@@ -1,13 +1,108 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import graft.analytics.Tpch
+import graft.core._
+import graft.oracle.Sql
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the full extract→transform→record pipeline, all cache states.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    pipelineE2e(spark, "/root/testdata/sf0.001")
+
+  /** Union of every cache's final state, normalized + deterministically
+    * ordered ≙ the reference system's complete summarized output.
+    */
+  def pipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    val xf = Transform.transformed(spark, dir)
+    val nullS = lit(null).cast(StringType)
+    val nullL = lit(null).cast(LongType)
+    val a = Caches.assocState(xf).select(col("cache"), col("k"),
+      nullS.as("a"), col("v"), col("t"), nullL.as("cnt"), nullL.as("rn"))
+    val l = Caches.lastnState(xf).select(col("cache"), col("k"),
+      nullS.as("a"), col("v"), col("t"), nullL.as("cnt"), col("rn"))
+    val c = Caches.countState(xf).select(col("cache"), col("s").as("k"),
+      col("a"), col("o").as("v"), col("last_t").as("t"), col("cnt"),
+      nullL.as("rn"))
+    val kc = Caches.keycountState(xf).select(col("cache"), col("k"),
+      nullS.as("a"), nullL.as("v"), nullL.as("t"), col("cnt"),
+      nullL.as("rn"))
+    a.unionAll(l).unionAll(c).unionAll(kc)
+      .orderBy(col("cache"), col("k"), col("a"), col("rn"), col("v"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- streamsum core ----
+    "ss_extract" -> ((s, d) => Transform.extract(s, d).orderBy("seq")),
+    "ss_transform" -> ((s, d) =>
+      Transform.transformed(s, d).orderBy(col("seq"), col("cache"))),
+    "ss_cache_assoc" -> ((s, d) =>
+      Caches.assocState(Transform.transformed(s, d))
+        .orderBy(col("cache"), col("k"))),
+    "ss_cache_lastn" -> ((s, d) =>
+      Caches.lastnState(Transform.transformed(s, d))
+        .orderBy(col("cache"), col("k"), col("rn"))),
+    "ss_cache_count" -> ((s, d) =>
+      Caches.countState(Transform.transformed(s, d))
+        .orderBy(col("cache"), col("s"), col("a"), col("o"))),
+    "ss_cache_keycount" -> ((s, d) =>
+      Caches.keycountState(Transform.transformed(s, d)).orderBy(col("k"))),
+    "ss_undo_assoc" -> ((s, d) =>
+      Caches.undoAssocState(Transform.extract(s, d)).orderBy(col("k"))),
+    "ss_q_getcount" -> ((s, d) => CountQueries.getCount(s, d, 1L, "buy", 3L)),
+    "ss_q_actions_for_subj" -> ((s, d) =>
+      CountQueries.actionsForSubj(s, d).orderBy(col("s"), col("a"))),
+    "ss_q_counts_for_subj_action" -> ((s, d) =>
+      CountQueries.countsForSubjAction(s, d, Seq("buy", "err"))
+        .orderBy(col("s"), col("o"))),
+    "ss_q_sumcounts" -> ((s, d) =>
+      CountQueries.sumCounts(s, d, Seq("buy")).orderBy(col("s"))),
+    "ss_q_tuples_sorted" -> ((s, d) => CountQueries.tuplesSorted(s, d)),
+    "ss_q_topk_per_subj" -> ((s, d) =>
+      CountQueries.topKPerSubj(s, d).orderBy(col("s"), col("rk"))),
+    "ss_metrics" -> ((s, d) => CountQueries.metrics(s, d).orderBy("metric")),
+    "ss_encode_output" -> ((s, d) =>
+      CountQueries.encodeOutput(s, d).orderBy(col("seq"), col("cache"))),
+    "ss_pipeline_e2e" -> ((s, d) => pipelineE2e(s, d)),
+    // ---- analytics / bench ----
+    "q1_agg" -> Tpch.q1 _,
+    "q3_join_agg" -> Tpch.q3 _,
+    "q5_multijoin" -> Tpch.q5 _,
+    "q_window" -> Tpch.qWindow _,
+    "q_sessionize" -> Tpch.qSessionize _,
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "ss_extract" -> Sql.ssExtract,
+    "ss_transform" -> Sql.ssTransform,
+    "ss_cache_assoc" -> Sql.ssCacheAssoc,
+    "ss_cache_lastn" -> Sql.ssCacheLastn,
+    "ss_cache_count" -> Sql.ssCacheCount,
+    "ss_cache_keycount" -> Sql.ssCacheKeycount,
+    "ss_undo_assoc" -> Sql.ssUndoAssoc,
+    "ss_q_getcount" -> Sql.ssQGetcount(1L, "buy", 3L),
+    "ss_q_actions_for_subj" -> Sql.ssQActionsForSubj,
+    "ss_q_counts_for_subj_action" -> Sql.ssQCountsForSubjAction(Seq("buy", "err")),
+    "ss_q_sumcounts" -> Sql.ssQSumcounts(Seq("buy")),
+    "ss_q_tuples_sorted" -> Sql.ssQTuplesSorted,
+    "ss_q_topk_per_subj" -> Sql.ssQTopkPerSubj(3),
+    "ss_metrics" -> Sql.ssMetrics,
+    "ss_encode_output" -> Sql.ssEncodeOutput,
+    "ss_pipeline_e2e" -> Sql.ssPipelineE2e,
+    "q1_agg" -> Tpch.q1Sql,
+    "q3_join_agg" -> Tpch.q3Sql,
+    "q5_multijoin" -> Tpch.q5Sql,
+    "q_window" -> Tpch.qWindowSql,
+    "q_sessionize" -> Tpch.qSessionizeSql,
+  )
 }

@@ -1,0 +1,250 @@
+package graft.analytics
+
+import graft.core.Graft
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** TPC-H-shaped analytics over the synthetic star schema: the classic
+  * scan→filter→aggregate→join→window coverage, written the way the plans
+  * should look at 100 TB - filters pushed to the parquet scan, dims
+  * explicitly broadcast, decimal-exact aggregation (so the DuckDB oracle
+  * hash-matches), one shuffle per aggregation.
+  */
+object Tpch {
+
+  private def dec(c: String, p: Int, s: Int): Column =
+    col(c).cast(DecimalType(p, s))
+
+  /** Q1-style pricing summary: filter + single hash aggregate. */
+  def q1(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Graft.table(spark, sfDir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        dec("l_quantity", 12, 2).as("qty"),
+        dec("l_extendedprice", 12, 2).as("px"),
+        dec("l_discount", 4, 2).as("disc"),
+        dec("l_tax", 4, 2).as("tax"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("qty")).as("dq"),
+        sum(col("px")).as("dp"),
+        sum(col("px") * (lit(1) - col("disc"))).as("ddp"),
+        sum(col("px") * (lit(1) - col("disc")) * (lit(1) + col("tax")))
+          .as("dc"),
+        sum(col("disc")).as("dd"),
+        count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("dq").cast(DoubleType).as("sum_qty"),
+        col("dp").cast(DoubleType).as("sum_base_price"),
+        col("ddp").cast(DoubleType).as("sum_disc_price"),
+        col("dc").cast(DoubleType).as("sum_charge"),
+        (col("dq").cast(DoubleType) / col("count_order").cast(DoubleType))
+          .as("avg_qty"),
+        (col("dp").cast(DoubleType) / col("count_order").cast(DoubleType))
+          .as("avg_price"),
+        (col("dd").cast(DoubleType) / col("count_order").cast(DoubleType))
+          .as("avg_disc"),
+        col("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(qty) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(px) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(px * (1 - disc)) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(px * (1 - disc) * (1 + tax)) AS DOUBLE) AS sum_charge,
+      |  CAST(sum(qty) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
+      |  CAST(sum(px) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_price,
+      |  CAST(sum(disc) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM (
+      |  SELECT l_returnflag, l_linestatus,
+      |         CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+      |         CAST(l_extendedprice AS DECIMAL(12,2)) AS px,
+      |         CAST(l_discount AS DECIMAL(4,2)) AS disc,
+      |         CAST(l_tax AS DECIMAL(4,2)) AS tax
+      |  FROM lineitem
+      |  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |)
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Q3-style shipping priority: broadcast the filtered customer dim,
+    * shuffle only the fact-side aggregate, top-10 via TakeOrdered.
+    */
+  def q3(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = lit("1998-06-01 00:00:00").cast("timestamp")
+    val cust = Graft.table(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = Graft.table(spark, sfDir, "orders")
+      .filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = Graft.table(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"),
+        (dec("l_extendedprice", 12, 2) * (lit(1) - dec("l_discount", 4, 2)))
+          .as("rev"))
+    li.join(broadcast(ord.join(broadcast(cust),
+          col("o_custkey") === col("c_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(col("rev")).as("drev"))
+      .select(col("l_orderkey"),
+        col("drev").cast(DoubleType).as("revenue"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+      |    AS revenue,
+      |  epoch_us(o_orderdate) AS o_orderdate_us
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** Q5-style local-supplier volume: the full six-table join with every
+    * dimension broadcast so the only shuffle is the final group-by.
+    */
+  def q5(spark: SparkSession, sfDir: String): DataFrame = {
+    val region = Graft.table(spark, sfDir, "region")
+      .filter(col("r_name") === "ASIA")
+    val nation = Graft.table(spark, sfDir, "nation")
+    val cust = Graft.table(spark, sfDir, "customer")
+    val supp = Graft.table(spark, sfDir, "supplier")
+    val ord = Graft.table(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+    val li = Graft.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (dec("l_extendedprice", 12, 2) * (lit(1) - dec("l_discount", 4, 2)))
+          .as("rev"))
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev")).as("drev"))
+      .select(col("n_name"), col("drev").cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5Sql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+      |    AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Window coverage: per-customer order rank by price + running spend
+    * over time. One shuffle on custkey serves both window functions.
+    */
+  def qWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("raw_price").desc, col("o_orderkey"))
+    val byTime = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Graft.table(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").as("raw_price"),
+        dec("o_totalprice", 14, 2).as("price"),
+        col("o_orderdate"))
+      .withColumn("price_rank", row_number().over(byPrice).cast(LongType))
+      .withColumn("running_spend",
+        sum(col("price")).over(byTime).cast(DoubleType))
+      .filter(col("price_rank") <= 5)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("price").cast(DoubleType).as("price"),
+        col("price_rank"), col("running_spend"))
+      .orderBy(col("o_custkey"), col("price_rank"))
+  }
+
+  val qWindowSql: String =
+    """SELECT o_custkey, o_orderkey, CAST(price AS DOUBLE) AS price,
+      |       price_rank, running_spend
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, price,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY raw_price DESC, o_orderkey)
+      |      AS price_rank,
+      |    CAST(sum(price) OVER (PARTITION BY o_custkey
+      |                          ORDER BY o_orderdate, o_orderkey
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING
+      |                          AND CURRENT ROW) AS DOUBLE)
+      |      AS running_spend
+      |  FROM (SELECT *, o_totalprice AS raw_price,
+      |               CAST(o_totalprice AS DECIMAL(14,2)) AS price
+      |        FROM orders)
+      |)
+      |WHERE price_rank <= 5
+      |ORDER BY o_custkey, price_rank""".stripMargin
+
+  /** Sessionization: 30-minute-gap sessions per user via lag + running
+    * flag sum - the standard single-shuffle formulation (partition by
+    * user, in-partition sort by time).
+    */
+  def qSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+    val flags = Graft.table(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("CAST(ts DIV 1000L AS BIGINT)").as("t"))
+      .withColumn("new_sess",
+        when(col("t") - lag(col("t"), 1).over(w) > gapUs || lag(col("t"), 1).over(w).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flags.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("t")).as("start_t"), max(col("t")).as("end_t"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val qSessionizeSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+      |), flags AS (
+      |  SELECT user_id, event_id, t,
+      |    CASE WHEN t - lag(t) OVER w > 1800000000
+      |           OR lag(t) OVER w IS NULL
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+      |), sess AS (
+      |  SELECT user_id, event_id, t,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id
+      |                             ORDER BY t, event_id
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING
+      |                             AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flags
+      |)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |       min(t) AS start_t, max(t) AS end_t
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+}

@@ -1,0 +1,81 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Batch "record" stage: the final state of each reference cache type,
+  * re-expressed as a declarative aggregation instead of per-event map
+  * mutation. Each state is exactly one shuffle (keyed on the cache key)
+  * with map-side partial aggregation - the shape that survives a 100 TB
+  * scale-up.
+  *
+  * Reference: /root/reference/src-clj/streamsum/caches.clj.
+  */
+object Caches {
+
+  /** AssociativeCache (caches.clj:28): last write per key wins. The
+    * "last" order is (t, seq) - event time then arrival order, ≙ the
+    * reference's single-threaded queue order.
+    * One hash aggregate: max over a (t, seq, v) struct; no global sort.
+    */
+  def assocState(xf: DataFrame): DataFrame =
+    xf.filter(col("cache").isin(Config.cachesOf(Assoc): _*))
+      .groupBy(col("cache"), col("k"))
+      .agg(max(struct(col("t"), col("seq"), col("v"))).as("m"))
+      .select(col("cache"), col("k"), col("m.v").as("v"), col("m.t").as("t"))
+
+  /** LastNCache (caches.clj:55): ring buffer of the last N values per
+    * key. Exposed exploded with a recency rank (rn=1 newest) so the
+    * result is flat-relational and oracle-comparable. Single shuffle on
+    * (cache, k); rank + filter is a bounded per-key sort.
+    */
+  def lastnState(xf: DataFrame, n: Int = Config.lastNSize): DataFrame = {
+    val w = Window.partitionBy(col("cache"), col("k"))
+      .orderBy(col("t").desc, col("seq").desc)
+    xf.filter(col("cache").isin(Config.cachesOf(LastN): _*))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= n)
+      .select(col("cache"), col("k"), col("v"), col("t"), col("rn"))
+  }
+
+  /** CountCache (caches.clj:81) + tuple_counts/update.clj `inc-count!`:
+    * per [subject action object]: occurrence count + most recent
+    * timestamp. GroupBy with map-side combine - the canonical
+    * shuffle-minimal count.
+    */
+  def countState(xf: DataFrame): DataFrame =
+    xf.filter(col("cache").isin(Config.cachesOf(CountK): _*))
+      .groupBy(col("cache"), col("k").as("s"), col("a"), col("v").as("o"))
+      .agg(count(lit(1)).as("cnt"), max(col("t")).as("last_t"))
+
+  /** Extended cache type ≙ the example config's KeyCountCache
+    * (example/streamsum/config.clj): number of updates per key across
+    * the whole transformed tuple stream.
+    */
+  def keycountState(xf: DataFrame): DataFrame =
+    xf.groupBy(col("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(lit("subject-counts").as("cache"), col("k"), col("cnt"))
+
+  /** undoUpdate semantics for the associative cache (caches.clj:37):
+    * a retraction puts nil for the key; last operation wins. Here
+    * `error` events retract the `signup-obj-user` entry for their
+    * object, mirroring AssociativeCache.undoUpdate. Keys only ever
+    * touched by a retraction surface with a null value, exactly like
+    * the reference's `.put(key, nil)`.
+    */
+  def undoAssocState(tuples: DataFrame): DataFrame = {
+    val ops = tuples.filter(col("p") === "signup")
+      .select(col("o").as("k"), col("s").as("v"), col("t"), col("seq"))
+      .unionAll(
+        tuples.filter(col("p") === "error")
+          .select(col("o").as("k"), lit(null).cast(LongType).as("v"),
+                  col("t"), col("seq")))
+    ops.groupBy(col("k"))
+      .agg(max(struct(col("t"), col("seq"), col("v"))).as("m"))
+      .select(lit("signup-obj-user").as("cache"), col("k"),
+              col("m.v").as("v"), col("m.t").as("t"))
+  }
+}

@@ -1,0 +1,123 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
+
+/** The reference's count-cache query API
+  * (/root/reference/src-clj/streamsum/tuple_counts/query_api.clj and the
+  * Java interfaces CountSummary/Queries/TupleComparators), re-expressed
+  * as DataFrame transformations over the count-cache state
+  * (`Caches.countState` ≙ the nested {s {a {o [count t]}}} structure,
+  * flattened relationally).
+  *
+  * Every function returns a DataFrame - no driver-side collect - so the
+  * same API scales from a point lookup to a full-cache scan; Catalyst
+  * pushes the subject/action filters into the aggregation upstream.
+  */
+object CountQueries {
+
+  private def counts(spark: SparkSession, sfDir: String): DataFrame =
+    Caches.countState(Transform.transformed(spark, sfDir))
+
+  /** CountSummary.getCount(s,a,o): point lookup; absent keys surface as
+    * [o 0 null], ≙ query_api.clj CountSummaryImpl.getCount's
+    * (new-CountTriple obj [0 nil]).
+    */
+  def getCount(spark: SparkSession, sfDir: String,
+               s: Long, a: String, o: Long): DataFrame = {
+    val key = spark.range(1).select(
+      lit(s).as("s"), lit(a).as("a"), lit(o).as("o"))
+    key.join(counts(spark, sfDir).drop("cache"), Seq("s", "a", "o"), "left")
+      .select(col("s"), col("a"), col("o"),
+              coalesce(col("cnt"), lit(0L)).as("cnt"), col("last_t"))
+  }
+
+  /** CountSummary.actionsForSubj: distinct actions per subject (exposed
+    * for all subjects - the distributed generalization of the per-key
+    * call; filter s to recover the point API).
+    */
+  def actionsForSubj(spark: SparkSession, sfDir: String): DataFrame =
+    counts(spark, sfDir).select(col("s"), col("a")).distinct()
+
+  /** CountSummary.countsForSubjAction(s, actions...): per-object counts
+    * merged across the selected actions - sum of counts, max of times,
+    * ≙ query_api.clj `merge-leaves`/`counts-for-actions-map`.
+    */
+  def countsForSubjAction(spark: SparkSession, sfDir: String,
+                          actions: Seq[String]): DataFrame =
+    counts(spark, sfDir)
+      .filter(col("a").isin(actions: _*))
+      .groupBy(col("s"), col("o"))
+      .agg(sum(col("cnt")).as("cnt"), max(col("last_t")).as("last_t"))
+
+  /** CountSummary.sumCounts(s) and sumCounts(s, actions...): total event
+    * count per subject, plus the action-filtered total in the same pass
+    * (conditional aggregation instead of a second scan).
+    */
+  def sumCounts(spark: SparkSession, sfDir: String,
+                actions: Seq[String]): DataFrame =
+    counts(spark, sfDir)
+      .groupBy(col("s"))
+      .agg(sum(col("cnt")).as("total"),
+           sum(when(col("a").isin(actions: _*), col("cnt")).otherwise(0L))
+             .as("filtered_total"))
+
+  /** Queries.tuplesForSubjAction(comparator, subj, actions) with the
+    * countTimeComparator(descending) of TupleComparators.java: the
+    * flattened [s a o count time] tuples, count-desc then time-desc
+    * (key columns break remaining ties deterministically).
+    */
+  def tuplesSorted(spark: SparkSession, sfDir: String): DataFrame =
+    counts(spark, sfDir)
+      .select(col("s"), col("a"), col("o"), col("cnt"), col("last_t"))
+      .orderBy(col("cnt").desc, col("last_t").desc,
+               col("s"), col("a"), col("o"))
+
+  /** Distributed top-k per subject by (count desc, time desc) - the
+    * scale-out form of sorting a subject's tuples with
+    * countTimeComparator and taking the head: rank within each subject
+    * partition, no global sort.
+    */
+  def topKPerSubj(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("s"))
+      .orderBy(col("cnt").desc, col("last_t").desc, col("a"), col("o"))
+    counts(spark, sfDir)
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+      .select(col("s"), col("a"), col("o"), col("cnt"), col("last_t"),
+              col("rk"))
+  }
+
+  /** Pipeline metrics ≙ protocols.clj `Metrics` callbacks: counters per
+    * processing stage plus per-cache recorded counts, as a single
+    * relational result.
+    */
+  def metrics(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Graft.table(spark, sfDir, "events")
+    val tuples = Transform.extract(spark, sfDir)
+    val xf = Transform(tuples)
+    val stage = events.agg(count(lit(1)).as("n"))
+      .select(lit("events-received").as("metric"), col("n"))
+      .unionAll(tuples.agg(count(lit(1)).as("n"))
+        .select(lit("tuples-extracted").as("metric"), col("n")))
+      .unionAll(xf.agg(count(lit(1)).as("n"))
+        .select(lit("tuples-transformed").as("metric"), col("n")))
+    val perCache = xf.groupBy(col("cache")).agg(count(lit(1)).as("n"))
+      .select(concat(lit("recorded-"), col("cache")).as("metric"), col("n"))
+    stage.unionAll(perCache)
+  }
+
+  /** Encode hook ≙ protocols.clj `Encode`: final transformation of the
+    * output tuple stream [cache key val time] into an app-facing
+    * representation (here a stable delimited string, the analog of the
+    * reference's pluggable encoder), in deterministic stream order.
+    */
+  def encodeOutput(spark: SparkSession, sfDir: String): DataFrame =
+    Transform.transformed(spark, sfDir)
+      .select(col("seq"), col("cache"),
+        concat_ws("|", col("cache"), col("k"),
+          coalesce(col("a"), lit("-")), col("v"), col("t").cast(StringType))
+          .as("encoded"))
+}

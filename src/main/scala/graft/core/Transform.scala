@@ -1,0 +1,119 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Cache kinds mirroring the reference's built-in TupleCache types
+  * (/root/reference/src-clj/streamsum/caches.clj: AssociativeCache,
+  * LastNCache, CountCache) plus the example config's extended
+  * KeyCountCache (/root/reference/example/streamsum/config.clj).
+  */
+sealed trait CacheKind
+case object Assoc extends CacheKind
+case object LastN extends CacheKind
+case object CountK extends CacheKind
+
+/** One output pattern of a transform rule: emit a tuple into `cache`,
+  * with the key/value drawn from the input tuple's fields ("s" or "o"),
+  * and - for count caches - a literal action name (the reference nests
+  * the action inside the object slot: [cache s [action o] t],
+  * caches.clj:81).
+  */
+final case class Out(cache: String, keyFrom: String, valFrom: String,
+                     action: Option[String] = None)
+
+/** A transform rule ≙ one core.match pattern of the reference's
+  * `deftransform` (system.clj:17): match on the predicate, emit 0..n
+  * output tuples with rearranged subject/object.
+  */
+final case class Rule(pred: String, outs: Seq[Out])
+
+/** Default config over the synthetic `events` table, shaped after
+  * /root/reference/example/streamsum/config.clj (CREATE_CHAT ≙ signup,
+  * CREATE_DOC ≙ purchase, ANNOTATE_DOC ≙ view, STAR_MESSAGE ≙ error;
+  * `click` is intentionally unmatched to exercise the
+  * "no transform match → drop" path, system.clj:28).
+  */
+object Config {
+  val lastNSize = 20
+
+  val rules: Seq[Rule] = Seq(
+    Rule("signup", Seq(
+      Out("signup-obj-user", "o", "s"),
+      Out("signup-user-obj", "s", "o"))),
+    Rule("view", Seq(
+      Out("view-user-obj", "s", "o"))),
+    Rule("purchase", Seq(
+      Out("buy-obj-user", "o", "s"),
+      Out("buy-user-obj", "s", "o"),
+      Out("interactions-user-obj", "s", "o", Some("buy")))),
+    Rule("error", Seq(
+      Out("interactions-user-obj", "s", "o", Some("err")))))
+
+  val cacheTypes: Map[String, CacheKind] = Map(
+    "signup-obj-user" -> Assoc,
+    "buy-obj-user" -> Assoc,
+    "signup-user-obj" -> LastN,
+    "view-user-obj" -> LastN,
+    "buy-user-obj" -> LastN,
+    "interactions-user-obj" -> CountK)
+
+  def cachesOf(kind: CacheKind): Seq[String] =
+    cacheTypes.collect { case (c, k) if k == kind => c }.toSeq.sorted
+}
+
+object Transform {
+
+  /** Extract stage ≙ protocols.clj `Extract`: destructure each event row
+    * into a [p s o t] tuple + `seq` (event_id) as the explicit total
+    * order a distributed engine needs where the reference relied on
+    * queue arrival order. Malformed events (null fields / unparseable
+    * props) are filtered, ≙ system.clj's satisfies?-filter +
+    * exception isolation.
+    *
+    * Narrow op: Project + Filter, fully codegen, pushed to the scan.
+    */
+  def extract(spark: SparkSession, sfDir: String): DataFrame =
+    extractFrom(Graft.table(spark, sfDir, "events"))
+
+  def extractFrom(events: DataFrame): DataFrame =
+    events.select(
+        col("event_type").as("p"),
+        col("user_id").as("s"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast(LongType).as("o"),
+        expr("CAST(ts DIV 1000L AS BIGINT)").as("t"), // ns → µs
+        col("event_id").as("seq"))
+      .filter(col("p").isNotNull && col("s").isNotNull &&
+              col("o").isNotNull && col("t").isNotNull)
+
+  /** Transform stage ≙ `deftransform` pattern matching: one pass over the
+    * tuples, emitting 0..n cache-routed tuples per input. Implemented as
+    * a single Project + Generate (explode of a compacted literal-pattern
+    * array) so Catalyst sees one narrow, shuffle-free, codegen'd stage -
+    * not one scan per rule.
+    *
+    * Output schema: (cache, k, a, v, t, seq); `a` is null except for
+    * count caches.
+    */
+  def apply(tuples: DataFrame, rules: Seq[Rule] = Config.rules): DataFrame = {
+    val patterns: Seq[Column] = for {
+      rule <- rules
+      out  <- rule.outs
+    } yield when(col("p") === rule.pred,
+      struct(
+        lit(out.cache).as("cache"),
+        col(out.keyFrom).as("k"),
+        out.action.map(lit(_)).getOrElse(lit(null: String)).as("a"),
+        col(out.valFrom).as("v"),
+        col("t").as("t"),
+        col("seq").as("seq")))
+
+    tuples
+      .select(explode(array_compact(array(patterns: _*))).as("u"))
+      .select("u.*")
+  }
+
+  def transformed(spark: SparkSession, sfDir: String): DataFrame =
+    apply(extract(spark, sfDir))
+}

@@ -1,0 +1,191 @@
+package graft.oracle
+
+import graft.core.{Assoc, CacheKind, Config, CountK, LastN}
+
+/** DuckDB oracle SQL, generated from the SAME `Config.rules` that drive
+  * the Spark transform - so the two sides cannot drift. Conventions that
+  * keep the driver's hash-compare exact:
+  *   - times are epoch-micros BIGINT on both sides;
+  *   - money/quantity aggregates go through DECIMAL pre-agg, DOUBLE out;
+  *   - every query ORDER BYs its full key set;
+  *   - no engine-native hash functions: md5 lowercase hex only.
+  */
+object Sql {
+
+  val tuplesCte: String =
+    """tuples AS (
+      |  SELECT event_type AS p, user_id AS s,
+      |         TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS o,
+      |         epoch_us(ts) AS t, event_id AS seq
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+      |    AND ts IS NOT NULL
+      |    AND TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)
+      |        IS NOT NULL
+      |)""".stripMargin
+
+  /** UNION ALL per (rule, output) ≙ the one-pass explode transform. */
+  val xfCte: String = {
+    val branches = for {
+      rule <- Config.rules
+      out  <- rule.outs
+    } yield {
+      val a = out.action.map(s => s"'$s'").getOrElse("CAST(NULL AS VARCHAR)")
+      s"""  SELECT '${out.cache}' AS cache, ${out.keyFrom} AS k, $a AS a,
+         |         ${out.valFrom} AS v, t, seq
+         |  FROM tuples WHERE p = '${rule.pred}'""".stripMargin
+    }
+    s"xf AS (\n${branches.mkString("\n  UNION ALL\n")}\n)"
+  }
+
+  val prefix = s"WITH $tuplesCte, $xfCte"
+
+  private def inList(caches: Seq[String]): String =
+    caches.map(c => s"'$c'").mkString("(", ", ", ")")
+
+  def cachesOfSql(kind: CacheKind): String = inList(Config.cachesOf(kind))
+
+  val ssExtract: String =
+    s"WITH $tuplesCte SELECT p, s, o, t, seq FROM tuples ORDER BY seq"
+
+  val ssTransform: String =
+    s"$prefix SELECT cache, k, a, v, t, seq FROM xf ORDER BY seq, cache"
+
+  val assocStateSelect: String =
+    s"""SELECT cache, k, v, t FROM (
+       |  SELECT cache, k, v, t,
+       |         row_number() OVER (PARTITION BY cache, k
+       |                            ORDER BY t DESC, seq DESC) AS rn
+       |  FROM xf WHERE cache IN ${cachesOfSql(Assoc)}
+       |) WHERE rn = 1""".stripMargin
+
+  val ssCacheAssoc: String =
+    s"$prefix, st AS ($assocStateSelect) SELECT * FROM st ORDER BY cache, k"
+
+  val lastnStateSelect: String =
+    s"""SELECT cache, k, v, t, rn FROM (
+       |  SELECT cache, k, v, t,
+       |         row_number() OVER (PARTITION BY cache, k
+       |                            ORDER BY t DESC, seq DESC) AS rn
+       |  FROM xf WHERE cache IN ${cachesOfSql(LastN)}
+       |) WHERE rn <= ${Config.lastNSize}""".stripMargin
+
+  val ssCacheLastn: String =
+    s"$prefix, st AS ($lastnStateSelect) " +
+      "SELECT * FROM st ORDER BY cache, k, rn"
+
+  val countStateSelect: String =
+    s"""SELECT cache, k AS s, a, v AS o,
+       |       count(*) AS cnt, max(t) AS last_t
+       |FROM xf WHERE cache IN ${cachesOfSql(CountK)}
+       |GROUP BY cache, k, a, v""".stripMargin
+
+  val ssCacheCount: String =
+    s"$prefix, st AS ($countStateSelect) " +
+      "SELECT * FROM st ORDER BY cache, s, a, o"
+
+  val ssCacheKeycount: String =
+    s"""$prefix SELECT 'subject-counts' AS cache, k, count(*) AS cnt
+       |FROM xf GROUP BY k ORDER BY k""".stripMargin
+
+  val ssUndoAssoc: String =
+    s"""WITH $tuplesCte, ops AS (
+       |  SELECT o AS k, s AS v, t, seq FROM tuples WHERE p = 'signup'
+       |  UNION ALL
+       |  SELECT o AS k, CAST(NULL AS BIGINT) AS v, t, seq
+       |  FROM tuples WHERE p = 'error'
+       |)
+       |SELECT 'signup-obj-user' AS cache, k, v, t FROM (
+       |  SELECT k, v, t,
+       |         row_number() OVER (PARTITION BY k
+       |                            ORDER BY t DESC, seq DESC) AS rn
+       |  FROM ops
+       |) WHERE rn = 1 ORDER BY k""".stripMargin
+
+  private val countsCte = s"$prefix, cs AS ($countStateSelect)"
+
+  def ssQGetcount(s: Long, a: String, o: Long): String =
+    s"""$countsCte
+       |SELECT key.s, key.a, key.o, coalesce(cs.cnt, 0) AS cnt, cs.last_t
+       |FROM (SELECT CAST($s AS BIGINT) AS s, '$a' AS a,
+       |             CAST($o AS BIGINT) AS o) key
+       |LEFT JOIN cs ON cs.s = key.s AND cs.a = key.a AND cs.o = key.o""".stripMargin
+
+  val ssQActionsForSubj: String =
+    s"$countsCte SELECT DISTINCT s, a FROM cs ORDER BY s, a"
+
+  def ssQCountsForSubjAction(actions: Seq[String]): String =
+    s"""$countsCte
+       |SELECT s, o, CAST(sum(cnt) AS BIGINT) AS cnt, max(last_t) AS last_t
+       |FROM cs WHERE a IN ${inList(actions)}
+       |GROUP BY s, o ORDER BY s, o""".stripMargin
+
+  def ssQSumcounts(actions: Seq[String]): String =
+    s"""$countsCte
+       |SELECT s, CAST(sum(cnt) AS BIGINT) AS total,
+       |       CAST(sum(CASE WHEN a IN ${inList(actions)} THEN cnt ELSE 0 END)
+       |            AS BIGINT) AS filtered_total
+       |FROM cs GROUP BY s ORDER BY s""".stripMargin
+
+  val ssQTuplesSorted: String =
+    s"""$countsCte
+       |SELECT s, a, o, cnt, last_t FROM cs
+       |ORDER BY cnt DESC, last_t DESC, s, a, o""".stripMargin
+
+  def ssQTopkPerSubj(k: Int): String =
+    s"""$countsCte
+       |SELECT s, a, o, cnt, last_t, rk FROM (
+       |  SELECT s, a, o, cnt, last_t,
+       |         row_number() OVER (PARTITION BY s
+       |                            ORDER BY cnt DESC, last_t DESC, a, o)
+       |           AS rk
+       |  FROM cs
+       |) WHERE rk <= $k ORDER BY s, rk""".stripMargin
+
+  val ssMetrics: String =
+    s"""$prefix, m AS (
+       |  SELECT 'events-received' AS metric, count(*) AS n FROM events
+       |  UNION ALL
+       |  SELECT 'tuples-extracted' AS metric, count(*) AS n FROM tuples
+       |  UNION ALL
+       |  SELECT 'tuples-transformed' AS metric, count(*) AS n FROM xf
+       |  UNION ALL
+       |  SELECT concat('recorded-', cache) AS metric, count(*) AS n
+       |  FROM xf GROUP BY cache
+       |) SELECT metric, n FROM m ORDER BY metric""".stripMargin
+
+  val ssEncodeOutput: String =
+    s"""$prefix
+       |SELECT seq, cache,
+       |       concat_ws('|', cache, k, coalesce(a, '-'), v, CAST(t AS VARCHAR))
+       |         AS encoded
+       |FROM xf ORDER BY seq, cache""".stripMargin
+
+  /** Union of every cache's final state, normalized - the flagship
+    * end-to-end pipeline result.
+    */
+  val ssPipelineE2e: String =
+    s"""$prefix,
+       |a_st AS ($assocStateSelect),
+       |l_st AS ($lastnStateSelect),
+       |c_st AS ($countStateSelect),
+       |uni AS (
+       |  SELECT cache, k, CAST(NULL AS VARCHAR) AS a, v, t,
+       |         CAST(NULL AS BIGINT) AS cnt, CAST(NULL AS BIGINT) AS rn
+       |  FROM a_st
+       |  UNION ALL
+       |  SELECT cache, k, CAST(NULL AS VARCHAR) AS a, v, t,
+       |         CAST(NULL AS BIGINT) AS cnt, rn
+       |  FROM l_st
+       |  UNION ALL
+       |  SELECT cache, s AS k, a, o AS v, last_t AS t, cnt,
+       |         CAST(NULL AS BIGINT) AS rn
+       |  FROM c_st
+       |  UNION ALL
+       |  SELECT 'subject-counts' AS cache, k, CAST(NULL AS VARCHAR) AS a,
+       |         CAST(NULL AS BIGINT) AS v, CAST(NULL AS BIGINT) AS t,
+       |         count(*) AS cnt, CAST(NULL AS BIGINT) AS rn
+       |  FROM xf GROUP BY k
+       |)
+       |SELECT * FROM uni ORDER BY cache, k, a, rn, v""".stripMargin
+}
