@@ -3,6 +3,7 @@ package graft
 import graft.analytics.Tpch
 import graft.core._
 import graft.oracle.Sql
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType}
@@ -77,6 +78,24 @@ object SparkEntry {
     "q5_multijoin" -> Tpch.q5 _,
     "q_window" -> Tpch.qWindow _,
     "q_sessionize" -> Tpch.qSessionize _,
+    // ---- dedup ----
+    "dd_exact" -> Dedup.exact _,
+    "dd_minhash_lsh" -> Dedup.minhashLsh _,
+    "dd_ngram_jaccard" -> Dedup.ngramJaccard _,
+    "dd_simhash" -> Dedup.simhashPairs _,
+    "dd_embed_cosine" -> Similarity.embedCosinePairs _,
+    // ---- similarity search ----
+    "ann_topk_brute" -> Similarity.annTopKBrute _,
+    "ann_lsh_bucketed" -> Similarity.annLshBucketed _,
+    "ann_ivf" -> Similarity.annIvf _,
+    // ---- text analysis ----
+    "txt_stats" -> TextAnalysis.stats _,
+    "txt_langid" -> TextAnalysis.langid _,
+    "txt_tokens" -> TextAnalysis.tokens _,
+    "txt_fingerprint" -> TextAnalysis.fingerprint _,
+    // ---- multimodal plumbing ----
+    "mm_binary_stats" -> Multimodal.binaryStats _,
+    "mm_frame_sample" -> Multimodal.frameSample _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -104,5 +123,19 @@ object SparkEntry {
     "q5_multijoin" -> Tpch.q5Sql,
     "q_window" -> Tpch.qWindowSql,
     "q_sessionize" -> Tpch.qSessionizeSql,
+    "dd_exact" -> Dedup.exactSql,
+    "dd_minhash_lsh" -> Dedup.minhashLshSql,
+    "dd_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    "dd_simhash" -> Dedup.simhashPairsSql,
+    "dd_embed_cosine" -> Similarity.embedCosinePairsSql,
+    "ann_topk_brute" -> Similarity.annTopKBruteSql,
+    "ann_lsh_bucketed" -> Similarity.annLshBucketedSql,
+    "ann_ivf" -> Similarity.annIvfSql,
+    "txt_stats" -> TextAnalysis.statsSql,
+    "txt_langid" -> TextAnalysis.langidSql,
+    "txt_tokens" -> TextAnalysis.tokensSql,
+    "txt_fingerprint" -> TextAnalysis.fingerprintSql,
+    "mm_binary_stats" -> Multimodal.binaryStatsSql,
+    "mm_frame_sample" -> Multimodal.frameSampleSql,
   )
 }

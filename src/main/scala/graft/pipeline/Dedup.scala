@@ -1,0 +1,252 @@
+package graft.pipeline
+
+import graft.core.Graft
+import HashParity._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Document deduplication suite: exact, MinHash+LSH, n-gram Jaccard
+  * verification, SimHash. Designed for the 100 TB shape:
+  *   - shingling/hashing is narrow per-document work (one pass, codegen);
+  *   - the only shuffles are keyed on (band, bucket) / (chunk, value) -
+  *     the standard LSH bucket-join, skew-safe because the band index is
+  *     part of the key;
+  *   - candidate pairs are pruned by doc_a < doc_b before the (small)
+  *     verification join.
+  */
+object Dedup {
+
+  val minhashK = 32
+  val bandRows = 4
+  val numBands: Int = minhashK / bandRows // 8
+  val jaccardThreshold = 0.8
+  val simhashBits = 48
+  val simhashChunks = 4
+  val hammingThreshold = 6
+
+  // ---- dd_exact ------------------------------------------------------
+
+  /** Exact dedup: group by content digest; each row keeps its group's
+    * size and whether it is the canonical (min doc_id) copy. One shuffle
+    * on the digest.
+    */
+  def exact(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("content_hash"))
+    Graft.table(spark, sfDir, "documents")
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+      .withColumn("group_size", count(lit(1)).over(w).cast(LongType))
+      .withColumn("is_canonical", col("doc_id") === min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("content_hash"), col("group_size"),
+        col("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  val exactSql: String =
+    """SELECT doc_id, md5(text) AS content_hash,
+      |  CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+      |    AS group_size,
+      |  doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- shared shingle/minhash plumbing -------------------------------
+
+  /** doc_id + distinct word-3-gram shingle array + 48-bit shingle hash
+    * array. Narrow; feeds minhash, LSH and Jaccard.
+    */
+  private def shingled(spark: SparkSession, sfDir: String): DataFrame =
+    Graft.table(spark, sfDir, "documents")
+      .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", expr(
+        """array_distinct(transform(sequence(1, size(toks) - 2),
+          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+          |                 element_at(toks, i + 2))))""".stripMargin))
+      .withColumn("hs", expr(s"transform(sh, s -> ${hex48Spark("md5(s)")})"))
+      .select(col("doc_id"), col("sh"), col("hs"))
+
+  private val shingledCteDuck: String = {
+    val h48 = hex48Duck("md5(s)")
+    s"""t0 AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+       |  FROM documents
+       |  WHERE len(regexp_extract_all(text, '\\S+')) >= 3
+       |), t AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(toks) - 1),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM t0
+       |), hs AS (
+       |  SELECT doc_id, sh,
+       |    list_transform(sh, s -> $h48) AS hs
+       |  FROM t
+       |)""".stripMargin
+  }
+
+  /** Minhash signature i as a Spark SQL expr over the `hs` array. */
+  private def sigExprSpark(i: Int): String =
+    s"array_min(transform(hs, h -> (${permA(i)} * h + ${permB(i)}) % ${P}L))"
+
+  private def sigExprDuck(i: Int): String =
+    s"list_min(list_transform(hs, h -> (${permA(i)} * h + ${permB(i)}) % $P))"
+
+  /** (doc_id, band, band_hash) exploded - the LSH bucket key stream. */
+  private def bandsDf(spark: SparkSession, sfDir: String): DataFrame = {
+    val bandStructs = (0 until numBands).map { b =>
+      val sigs = (0 until bandRows)
+        .map(r => s"CAST(${sigExprSpark(b * bandRows + r)} AS STRING)")
+      s"named_struct('b', $b, 'h', md5(concat_ws(':', ${sigs.mkString(", ")})))"
+    }
+    shingled(spark, sfDir)
+      .select(col("doc_id"),
+        explode(expr(s"array(${bandStructs.mkString(", ")})")).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.h").as("h"))
+  }
+
+  private val bandsCteDuck: String = {
+    val branches = (0 until numBands).map { b =>
+      val sigs = (0 until bandRows)
+        .map(r => s"CAST(${sigExprDuck(b * bandRows + r)} AS VARCHAR)")
+      s"""  SELECT doc_id, $b AS b,
+         |    md5(concat_ws(':', ${sigs.mkString(", ")})) AS h
+         |  FROM hs""".stripMargin
+    }
+    s"bands AS (\n${branches.mkString("\n  UNION ALL\n")}\n)"
+  }
+
+  // ---- dd_minhash_lsh ------------------------------------------------
+
+  /** Candidate near-duplicate pairs: docs sharing any LSH band bucket.
+    * The self-join shuffles on (b, h) - bounded bucket sizes, band index
+    * in the key.
+    */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val bands = bandsDf(spark, sfDir)
+    bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.h") === col("y.h") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val minhashLshSql: String =
+    s"""WITH $shingledCteDuck, $bandsCteDuck
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |FROM bands x JOIN bands y
+       |  ON x.b = y.b AND x.h = y.h AND x.doc_id < y.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- dd_ngram_jaccard ----------------------------------------------
+
+  /** Exact Jaccard verification over the LSH candidate pairs: the
+    * verify step of the dedup pipeline. Only candidates rejoin the
+    * shingle sets, so the expensive set-compare runs on a tiny relation.
+    */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingled(spark, sfDir).select(col("doc_id"), col("sh"))
+    minhashLsh(spark, sfDir)
+      .join(sh.withColumnRenamed("doc_id", "doc_a")
+              .withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("sh", "sh_b"), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
+      .withColumn("jaccard", round(
+        col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+            .cast("double"), 6))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH $shingledCteDuck, $bandsCteDuck, cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.h = y.h AND x.doc_id < y.doc_id
+       |), j AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |          / CAST(len(a.sh) + len(b.sh)
+       |                 - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6)
+       |      AS jaccard
+       |  FROM cand c
+       |  JOIN t a ON a.doc_id = c.doc_a
+       |  JOIN t b ON b.doc_id = c.doc_b
+       |)
+       |SELECT doc_a, doc_b, jaccard FROM j
+       |WHERE jaccard >= $jaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- dd_simhash ----------------------------------------------------
+
+  /** 48-bit SimHash near-dup pairs. Token-frequency-weighted bit
+    * majority per document (narrow), then the standard chunk-blocking:
+    * two docs within Hamming distance d of each other must share at
+    * least one of 4 12-bit chunks exactly (d <= 3 guaranteed; we use it
+    * as the candidate generator for d <= 6). Shuffle keyed on
+    * (chunk_idx, chunk_value).
+    */
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val bitSums = (0 until simhashBits).map { b =>
+      s"shiftleft(CASE WHEN aggregate(hst, 0L, (acc, h) -> acc + " +
+        s"(CASE WHEN (shiftright(h, $b) & 1) = 1 THEN 1 ELSE -1 END)) > 0 " +
+        s"THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END, $b)"
+    }
+    val simDocs = Graft.table(spark, sfDir, "documents")
+      .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+      .filter(size(col("toks")) >= 1)
+      .withColumn("hst", expr(s"transform(toks, s -> ${hex48Spark("md5(s)")})"))
+      .withColumn("sim", expr(bitSums.mkString(" + ")))
+      .select(col("doc_id"), col("sim"))
+    val chunks = simDocs.select(col("doc_id"), col("sim"),
+      explode(expr(
+        (0 until simhashChunks)
+          .map(c => s"named_struct('c', $c, 'v', shiftright(sim, ${12 * c}) & 4095)")
+          .mkString("array(", ", ", ")"))).as("ch"))
+      .select(col("doc_id"), col("sim"), col("ch.c").as("c"),
+        col("ch.v").as("v"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.sim ^ y.sim)").cast(LongType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= hammingThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val simhashPairsSql: String = {
+    val h48 = hex48Duck("md5(s)")
+    val bitSums = (0 until simhashBits).map { b =>
+      s"(CASE WHEN list_sum(list_transform(hst, h -> " +
+        s"CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END)) > 0 " +
+        s"THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << $b)"
+    }
+    val chunkBranches = (0 until simhashChunks).map { c =>
+      s"  SELECT doc_id, sim, $c AS c, (sim >> ${12 * c}) & 4095 AS v FROM sims"
+    }
+    s"""WITH tt AS (
+       |  SELECT doc_id,
+       |    list_transform(regexp_extract_all(text, '\\S+'), s -> $h48)
+       |      AS hst
+       |  FROM documents
+       |  WHERE len(regexp_extract_all(text, '\\S+')) >= 1
+       |), sims AS (
+       |  SELECT doc_id, ${bitSums.mkString(" + ")} AS sim FROM tt
+       |), chunks AS (
+       |${chunkBranches.mkString("\n  UNION ALL\n")}
+       |), pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    CAST(bit_count(xor(x.sim, y.sim)) AS BIGINT) AS hamming
+       |  FROM chunks x JOIN chunks y
+       |    ON x.c = y.c AND x.v = y.v AND x.doc_id < y.doc_id
+       |)
+       |SELECT doc_a, doc_b, hamming FROM pairs
+       |WHERE hamming <= $hammingThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+}

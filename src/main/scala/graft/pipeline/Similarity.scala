@@ -1,0 +1,259 @@
+package graft.pipeline
+
+import graft.core.Graft
+import HashParity.md5Hex
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Embedding similarity: near-dup pairs, brute-force top-k (the exact
+  * baseline), random-hyperplane LSH bucketing, and IVF-style probing
+  * (the two scale paths). Cosine math is written with an explicitly
+  * pinned evaluation order (element-wise cast to double, ascending-index
+  * sequential sum) so Spark and DuckDB produce bit-identical doubles.
+  *
+  * At scale: brute force broadcasts only the (small) query set - the
+  * corpus is never shuffled; LSH/IVF turn top-k into a bucket-local
+  * problem, shuffling the corpus once on the bucket key.
+  */
+object Similarity {
+
+  val dims = 64
+  val numQueries = 8 // query set: vec_id < 8
+  val topK = 10
+  val lshPlanes = 8
+  val ivfCentroids = 16 // vec_id < 16
+  val ivfProbes = 4
+  val cosinePairThreshold = 0.4
+
+  // ---- pinned-order cosine, both dialects ---------------------------
+
+  private def dotSpark(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  def cosSpark(a: String, b: String): String =
+    s"(${dotSpark(a, b)} / (sqrt(${dotSpark(a, a)}) * sqrt(${dotSpark(b, b)})))"
+
+  private def dotDuck(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  def cosDuck(a: String, b: String): String =
+    s"(${dotDuck(a, b)} / (sqrt(${dotDuck(a, a)}) * sqrt(${dotDuck(b, b)})))"
+
+  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+    Graft.table(spark, sfDir, "embeddings")
+
+  // ---- dd_embed_cosine ----------------------------------------------
+
+  /** Embedding near-dup pairs, blocked on the label column (the
+    * blocking key stands in for a coarse clustering at scale: only
+    * same-block pairs are compared, so the join shuffles on label, not
+    * all-pairs).
+    */
+  def embedCosinePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    e.as("x").join(e.as("y"),
+        col("x.label") === col("y.label") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .withColumn("sim",
+        round(expr(cosSpark("x.embedding", "y.embedding")), 6))
+      .filter(col("sim") >= cosinePairThreshold)
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        col("x.label").cast(LongType).as("label"), col("sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val embedCosinePairsSql: String =
+    s"""SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       |  CAST(x.label AS BIGINT) AS label,
+       |  round(${cosDuck("x.embedding", "y.embedding")}, 6) AS sim
+       |FROM embeddings x JOIN embeddings y
+       |  ON x.label = y.label AND x.vec_id < y.vec_id
+       |WHERE round(${cosDuck("x.embedding", "y.embedding")}, 6)
+       |      >= $cosinePairThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  // ---- ann_topk_brute -----------------------------------------------
+
+  /** Brute-force cosine top-k: broadcast the query set over the corpus,
+    * rank within each query. The exact-recall baseline.
+    */
+  def annTopKBrute(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(expr(cosSpark("q_emb", "embedding")), 6))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("vec_id"), col("sim"), col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val annTopKBruteSql: String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+       |    round(${cosDuck("q.embedding", "e.embedding")}, 6) AS sim
+       |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $numQueries
+       |), ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |                 ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
+       |  FROM scored
+       |)
+       |SELECT q_id, vec_id, sim, rk FROM ranked
+       |WHERE rk <= $topK ORDER BY q_id, rk""".stripMargin
+
+  // ---- ann_lsh_bucketed ---------------------------------------------
+
+  /** Deterministic random-hyperplane signs: plane j, dim i →
+    * +1 / -1 from the first md5 nibble of "p{j}:{i}". Precomputed in
+    * Scala; embedded as literals in both dialects, so query time pays
+    * zero hashing.
+    */
+  val planeSigns: Seq[Seq[Int]] =
+    (0 until lshPlanes).map { j =>
+      (0 until dims).map { i =>
+        val nib = Integer.parseInt(md5Hex(s"p$j:$i").substring(0, 1), 16)
+        if (nib >= 8) 1 else -1
+      }
+    }
+
+  private def bucketExpr(vec: String, element: (String, Int) => String): String = {
+    val bits = (0 until lshPlanes).map { j =>
+      val terms = (0 until dims).map { i =>
+        s"(${planeSigns(j)(i)}.0) * CAST(${element(vec, i + 1)} AS DOUBLE)"
+      }
+      s"(CASE WHEN (${terms.mkString(" + ")}) > 0 THEN ${1 << j} ELSE 0 END)"
+    }
+    s"(${bits.mkString(" + ")})"
+  }
+
+  def bucketSpark(vec: String): String =
+    bucketExpr(vec, (v, i) => s"element_at($v, $i)")
+
+  def bucketDuck(vec: String): String =
+    bucketExpr(vec, (v, i) => s"$v[$i]")
+
+  /** LSH-bucketed ANN: corpus and queries hash to one of 2^8 buckets;
+    * top-k is computed inside the query's bucket only. The scale path:
+    * the corpus shuffles once on the bucket id.
+    */
+  def annLshBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        expr(bucketSpark("embedding")).as("bucket"))
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(expr(cosSpark("q_emb", "embedding")), 6))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("vec_id"), col("bucket").cast(LongType)
+        .as("bucket"), col("sim"), col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val annLshBucketedSql: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |    ${bucketDuck("embedding")} AS bucket
+       |  FROM embeddings
+       |), scored AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+       |    CAST(e.bucket AS BIGINT) AS bucket,
+       |    round(${cosDuck("q.embedding", "e.embedding")}, 6) AS sim
+       |  FROM b q JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $numQueries
+       |), ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |                 ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
+       |  FROM scored
+       |)
+       |SELECT q_id, vec_id, bucket, sim, rk FROM ranked
+       |WHERE rk <= $topK ORDER BY q_id, rk""".stripMargin
+
+  // ---- ann_ivf -------------------------------------------------------
+
+  /** IVF-style ANN: a deterministic centroid set (vec_id < 16 ≙ a
+    * seeded sample), every vector assigned to its nearest centroid
+    * (inverted lists), queries probe the `ivfProbes` nearest lists.
+    * At scale the corpus is partitioned by centroid id once; a query
+    * touches probes/centroids of the data.
+    */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < ivfCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val assign = e.crossJoin(broadcast(cents))
+      .withColumn("csim", expr(cosSpark("embedding", "c_emb")))
+      .withColumn("ark", row_number().over(wAssign))
+      .filter(col("ark") === 1)
+      .select(col("vec_id"), col("cid"))
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("csim", expr(cosSpark("q_emb", "c_emb")))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= ivfProbes)
+      .select(col("q_id"), col("q_emb"), col("cid"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    probes.join(assign, "cid")
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(e, "vec_id")
+      .withColumn("sim", round(expr(cosSpark("q_emb", "embedding")), 6))
+      .withColumn("rk", row_number().over(wTop).cast(LongType))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("vec_id"), col("sim"), col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val annIvfSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cid, embedding AS c_emb FROM e
+       |  WHERE vec_id < $ivfCentroids
+       |), assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosDuck("e.embedding", "c.c_emb")} DESC, c.cid)
+       |        AS ark
+       |    FROM e CROSS JOIN cents c
+       |  ) WHERE ark = 1
+       |), probes AS (
+       |  SELECT q_id, cid FROM (
+       |    SELECT q.vec_id AS q_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosDuck("q.embedding", "c.c_emb")} DESC, c.cid)
+       |        AS prk
+       |    FROM e q CROSS JOIN cents c WHERE q.vec_id < $numQueries
+       |  ) WHERE prk <= $ivfProbes
+       |), scored AS (
+       |  SELECT p.q_id, a.vec_id,
+       |    round(${cosDuck("q.embedding", "e.embedding")}, 6) AS sim
+       |  FROM probes p
+       |  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.q_id
+       |  JOIN e ON e.vec_id = a.vec_id
+       |  JOIN e q ON q.vec_id = p.q_id
+       |), ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |                 ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
+       |  FROM scored
+       |)
+       |SELECT q_id, vec_id, sim, rk FROM ranked
+       |WHERE rk <= $topK ORDER BY q_id, rk""".stripMargin
+}

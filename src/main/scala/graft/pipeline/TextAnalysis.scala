@@ -1,0 +1,217 @@
+package graft.pipeline
+
+import graft.core.Graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis operators for a training-data pipeline: quality
+  * scoring, language ID, token counting, fingerprinting. All narrow
+  * (per-document) work - no shuffle except the final presentation sort -
+  * so they scale linearly with executors at 100 TB.
+  *
+  * Every formula is written twice (Column DSL + DuckDB SQL) from the
+  * same definitions; doubles only ever come from exact integer ratios or
+  * identically-ordered arithmetic, then round(…,6), so the oracle
+  * hash-matches bit-for-bit.
+  */
+object TextAnalysis {
+
+  val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+
+  /** Marker tokens per language for the n-gram/marker language-ID
+    * heuristic (documents carry a `lang` ground-truth column; the
+    * heuristic is scored against it downstream, not trained on it).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "es" -> Seq("el", "los", "las", "y", "que"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("de", "shi", "le", "wo", "ni"))
+
+  // ---- txt_stats ----------------------------------------------------
+
+  /** Per-document quality statistics + composite score. */
+  def stats(spark: SparkSession, sfDir: String): DataFrame =
+    Graft.table(spark, sfDir, "documents")
+      .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+      .withColumn("n_tokens", size(col("toks")).cast(LongType))
+      .withColumn("n_chars_calc", length(col("text")).cast(LongType))
+      .withColumn("n_stop", expr(
+        s"size(filter(toks, x -> x IN ($stopList)))").cast(LongType))
+      .withColumn("n_punct",
+        (length(col("text")) -
+         length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast(LongType))
+      .withColumn("stop_ratio", round(
+        col("n_stop").cast("double") / col("n_tokens").cast("double"), 6))
+      .withColumn("punct_ratio", round(
+        col("n_punct").cast("double") / col("n_chars_calc").cast("double"), 6))
+      .withColumn("quality", round(
+        least(lit(1.0), col("n_tokens").cast("double") / lit(50.0)) *
+          (lit(1.0) - col("stop_ratio") * lit(0.5)) *
+          (lit(1.0) - col("punct_ratio")), 6))
+      .select(col("doc_id"), col("lang"), col("n_chars_calc"),
+        col("n_tokens"), col("n_stop"), col("n_punct"),
+        col("stop_ratio"), col("punct_ratio"), col("quality"))
+      .orderBy(col("doc_id"))
+
+  val statsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |         CAST(length(text) AS BIGINT) AS n_chars_calc,
+       |         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+       |           AS n_tokens,
+       |         CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
+       |                              x -> x IN ($stopList))) AS BIGINT)
+       |           AS n_stop,
+       |         CAST(length(text)
+       |              - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+       |              AS BIGINT) AS n_punct
+       |  FROM documents
+       |), r AS (
+       |  SELECT *,
+       |    round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+       |      AS stop_ratio,
+       |    round(CAST(n_punct AS DOUBLE) / CAST(n_chars_calc AS DOUBLE), 6)
+       |      AS punct_ratio
+       |  FROM t
+       |)
+       |SELECT doc_id, lang, n_chars_calc, n_tokens, n_stop, n_punct,
+       |  stop_ratio, punct_ratio,
+       |  round(least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+       |        * (1.0 - stop_ratio * 0.5) * (1.0 - punct_ratio), 6)
+       |    AS quality
+       |FROM r ORDER BY doc_id""".stripMargin
+
+  // ---- txt_langid ---------------------------------------------------
+
+  /** Marker-word language ID: score = marker hits / tokens per language,
+    * predicted = argmax (score desc, lang asc). Narrow per-doc work +
+    * an explode of 5 scored rows, ranked in one window.
+    */
+  def langid(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Graft.table(spark, sfDir, "documents")
+      .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+      .withColumn("n_tokens", size(col("toks")).cast(LongType))
+    val langScores = langMarkers.map { case (lang, markers) =>
+      val ml = markers.map(m => s"'$m'").mkString(", ")
+      struct(lit(lang).as("cand"),
+        expr(s"size(filter(toks, x -> x IN ($ml)))").cast(LongType)
+          .as("hits"))
+    }
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cand"))
+    scored
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        explode(array(langScores: _*)).as("s"))
+      .select(col("doc_id"), col("lang"), col("s.cand").as("cand"),
+        round(col("s.hits").cast("double") / col("n_tokens").cast("double"),
+          6).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang"), col("cand").as("pred_lang"),
+        col("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val langidSql: String = {
+    val branches = langMarkers.map { case (lang, markers) =>
+      val ml = markers.map(m => s"'$m'").mkString(", ")
+      s"""  SELECT doc_id, lang, '$lang' AS cand,
+         |    round(CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
+         |                   x -> x IN ($ml))) AS DOUBLE)
+         |          / CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE),
+         |          6) AS score
+         |  FROM documents""".stripMargin
+    }
+    s"""WITH scored AS (
+       |${branches.mkString("\n  UNION ALL\n")}
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                               ORDER BY score DESC, cand) AS rk
+       |  FROM scored
+       |)
+       |SELECT doc_id, lang, cand AS pred_lang, score
+       |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- txt_tokens ---------------------------------------------------
+
+  /** Whitespace + BPE-ish regex token counts. The BPE-ish pieces are
+    * letter runs, single digits, and single non-alphanumeric marks -
+    * the shape of a byte-pair pre-tokenizer.
+    */
+  def tokens(spark: SparkSession, sfDir: String): DataFrame =
+    Graft.table(spark, sfDir, "documents")
+      .withColumn("n_ws", expr(
+        "size(regexp_extract_all(text, '\\\\S+', 0))").cast(LongType))
+      .withColumn("n_bpe", expr(
+        "size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\\\s]', 0))")
+        .cast(LongType))
+      .withColumn("n_distinct", expr(
+        "size(array_distinct(regexp_extract_all(text, '\\\\S+', 0)))")
+        .cast(LongType))
+      .withColumn("chars_per_tok", round(
+        length(col("text")).cast("double") / col("n_ws").cast("double"), 6))
+      .select(col("doc_id"), col("n_ws"), col("n_bpe"), col("n_distinct"),
+        col("chars_per_tok"))
+      .orderBy(col("doc_id"))
+
+  val tokensSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws,
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'))
+      |       AS BIGINT) AS n_bpe,
+      |  CAST(len(list_distinct(regexp_extract_all(text, '\S+'))) AS BIGINT)
+      |    AS n_distinct,
+      |  round(CAST(length(text) AS DOUBLE)
+      |        / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 6)
+      |    AS chars_per_tok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- txt_fingerprint ----------------------------------------------
+
+  /** Winnowing-style fingerprint: md5 over word 3-gram shingles, min
+    * hash per sliding window of 4, distinct mins exploded to rows.
+    * (Schleimer et al., "Winnowing: Local Algorithms for Document
+    * Fingerprinting", SIGMOD 2003 - the standard near-copy sketch.)
+    */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Graft.table(spark, sfDir, "documents")
+      .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+      .filter(size(col("toks")) >= 6)
+      .withColumn("hashes", expr(
+        """transform(sequence(1, size(toks) - 2),
+          |  i -> md5(concat_ws(' ', element_at(toks, i),
+          |                     element_at(toks, i + 1),
+          |                     element_at(toks, i + 2))))""".stripMargin))
+      .withColumn("fp", explode(expr(
+        """array_distinct(transform(sequence(1, size(hashes) - 3),
+          |  i -> array_min(slice(hashes, i, 4))))""".stripMargin)))
+      .select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"), col("fp"))
+
+  val fingerprintSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+      |  FROM documents
+      |  WHERE len(regexp_extract_all(text, '\S+')) >= 6
+      |), h AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, len(toks) - 1),
+      |      i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+      |      AS hashes
+      |  FROM t
+      |), w AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(hashes) - 2),
+      |      i -> list_min(hashes[i:i+3]))) AS fps
+      |  FROM h
+      |)
+      |SELECT doc_id, unnest(fps) AS fp FROM w
+      |ORDER BY doc_id, fp""".stripMargin
+}
