@@ -4,6 +4,7 @@ import graft.analytics.Tpch
 import graft.core._
 import graft.oracle.Sql
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.StreamSum
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType}
@@ -72,6 +73,8 @@ object SparkEntry {
     "ss_encode_output" -> ((s, d) =>
       CountQueries.encodeOutput(s, d).orderBy(col("seq"), col("cache"))),
     "ss_pipeline_e2e" -> ((s, d) => pipelineE2e(s, d)),
+    "ss_stream_count" -> StreamSum.streamCountState _,
+    "ss_stream_lastn" -> ((s, d) => StreamSum.streamLastnState(s, d)),
     // ---- analytics / bench ----
     "q1_agg" -> Tpch.q1 _,
     "q3_join_agg" -> Tpch.q3 _,
@@ -118,6 +121,8 @@ object SparkEntry {
     "ss_metrics" -> Sql.ssMetrics,
     "ss_encode_output" -> Sql.ssEncodeOutput,
     "ss_pipeline_e2e" -> Sql.ssPipelineE2e,
+    "ss_stream_count" -> Sql.ssCacheCount,
+    "ss_stream_lastn" -> Sql.ssCacheLastn,
     "q1_agg" -> Tpch.q1Sql,
     "q3_join_agg" -> Tpch.q3Sql,
     "q5_multijoin" -> Tpch.q5Sql,

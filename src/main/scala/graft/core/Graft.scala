@@ -19,6 +19,7 @@ object Graft {
   def ensureConf(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    graft.functions.NativeFunctions.register(spark)
     spark
   }
 

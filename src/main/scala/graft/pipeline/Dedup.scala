@@ -213,7 +213,7 @@ object Dedup {
         col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        expr("bit_count(x.sim ^ y.sim)").cast(LongType).as("hamming"))
+        expr("graft_hamming(x.sim, y.sim)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= hammingThreshold)
       .orderBy(col("doc_a"), col("doc_b"))

@@ -32,8 +32,16 @@ object Similarity {
   private def dotSpark(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
 
-  def cosSpark(a: String, b: String): String =
+  /** Pure-functions formulation (zip_with + aggregate) - kept as the
+    * cross-check for the native expression in tests.
+    */
+  def cosSparkHof(a: String, b: String): String =
     s"(${dotSpark(a, b)} / (sqrt(${dotSpark(a, a)}) * sqrt(${dotSpark(b, b)})))"
+
+  /** Hot path: the native codegen'd CosineSim expression (identical
+    * pinned-order math, no intermediate arrays).
+    */
+  def cosSpark(a: String, b: String): String = s"graft_cosine($a, $b)"
 
   private def dotDuck(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"

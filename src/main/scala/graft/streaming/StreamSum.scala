@@ -1,0 +1,103 @@
+package graft.streaming
+
+import graft.core.{CountK, Config, Graft, LastN, Transform}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.LongType
+
+/** Structured Streaming face of the engine ≙ the reference's live
+  * pipeline (system.clj: queue → transform → record). The SAME
+  * Transform/Config drives batch and stream; the cache states become
+  * stateful streaming aggregations:
+  *
+  *   - count cache  → windowless streaming groupBy aggregation
+  *                    (update/complete), state linear in #keys;
+  *   - last-N cache → flatMapGroupsWithState with a bounded ring-buffer
+  *                    state per key ≙ LastNCache (caches.clj:55);
+  *   - in-q/out-q   → readStream/writeStream; the memory sink here is
+  *                    the test harness stand-in for the CacheServer
+  *                    sink (production: parquet/kafka/foreachBatch).
+  *
+  * Tuple time `t` is the event time; a real deployment adds
+  * `.withWatermark` on it - with AvailableNow over static files there is
+  * no lateness, keeping results deterministic and oracle-comparable.
+  */
+object StreamSum {
+
+  final case class XfRow(cache: String, k: Long, a: String, v: Long,
+                         t: Long, seq: Long)
+  final case class LastNOut(cache: String, k: Long, v: Long, t: Long,
+                            rn: Long)
+
+  private def streamingEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+  }
+
+  private def runToTable(df: DataFrame, mode: OutputMode,
+                         prefix: String): DataFrame = {
+    val name = s"${prefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q.sparkSession.table(name)
+  }
+
+  /** Count cache as a streaming aggregation; with AvailableNow over the
+    * static table the final snapshot equals the batch `countState` - the
+    * stream/batch parity the declarative formulation buys us.
+    */
+  def streamCountState(spark: SparkSession, sfDir: String): DataFrame = {
+    val xf = Transform(Transform.extractFrom(streamingEvents(spark, sfDir)))
+    val counts = xf
+      .filter(col("cache").isin(Config.cachesOf(CountK): _*))
+      .groupBy(col("cache"), col("k").as("s"), col("a"), col("v").as("o"))
+      .agg(count(lit(1)).as("cnt"), max(col("t")).as("last_t"))
+    runToTable(counts, OutputMode.Complete(), "ss_stream_count")
+      .orderBy(col("cache"), col("s"), col("a"), col("o"))
+  }
+
+  /** Ring-buffer update ≙ LastNCache.update: keep the N most recent
+    * (t, seq, v) per key. Shared by the streaming state handler and the
+    * typed batch aggregator so both faces have identical semantics.
+    */
+  def ringPut(buf: Seq[(Long, Long, Long)], row: (Long, Long, Long),
+              n: Int): Seq[(Long, Long, Long)] =
+    ((row +: buf).sortBy(r => (-r._1, -r._2))).take(n)
+
+  private def lastnHandler(n: Int)(
+      key: (String, Long), rows: Iterator[XfRow],
+      state: GroupState[Seq[(Long, Long, Long)]]): Iterator[LastNOut] = {
+    val buf = rows.foldLeft(state.getOption.getOrElse(Seq.empty)) {
+      (b, r) => ringPut(b, (r.t, r.seq, r.v), n)
+    }
+    state.update(buf)
+    buf.iterator.zipWithIndex.map { case ((t, _, v), i) =>
+      LastNOut(key._1, key._2, v, t, i + 1L)
+    }
+  }
+
+  /** Last-N cache via flatMapGroupsWithState: bounded per-key state,
+    * emits each key's current ring buffer (exploded with recency rank)
+    * on update - ≙ the reference returning the updated lastn value from
+    * `update` (caches.clj:62).
+    */
+  def streamLastnState(spark: SparkSession, sfDir: String,
+                       n: Int = Config.lastNSize): DataFrame = {
+    import spark.implicits._
+    val xf = Transform(Transform.extractFrom(streamingEvents(spark, sfDir)))
+      .filter(col("cache").isin(Config.cachesOf(LastN): _*))
+      .as[XfRow]
+    val out = xf.groupByKey(r => (r.cache, r.k))
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout())(lastnHandler(n))
+    runToTable(out.toDF(), OutputMode.Update(), "ss_stream_lastn")
+      .select(col("cache"), col("k"), col("v"), col("t"),
+        col("rn").cast(LongType).as("rn"))
+      .orderBy(col("cache"), col("k"), col("rn"))
+  }
+}
