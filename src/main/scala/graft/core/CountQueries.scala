@@ -15,80 +15,98 @@ import org.apache.spark.sql.types.{LongType, StringType}
   * Every function returns a DataFrame - no driver-side collect - so the
   * same API scales from a point lookup to a full-cache scan; Catalyst
   * pushes the subject/action filters into the aggregation upstream.
+  * The `…From(state)` variants run against any count-state relation
+  * (schema: s, a, o, cnt, last_t); the (spark, sfDir) variants derive
+  * the state from the events table first.
   */
 object CountQueries {
 
   private def counts(spark: SparkSession, sfDir: String): DataFrame =
-    Caches.countState(Transform.transformed(spark, sfDir))
+    Caches.countState(Transform.transformed(spark, sfDir)).drop("cache")
 
   /** CountSummary.getCount(s,a,o): point lookup; absent keys surface as
     * [o 0 null], ≙ query_api.clj CountSummaryImpl.getCount's
     * (new-CountTriple obj [0 nil]).
     */
-  def getCount(spark: SparkSession, sfDir: String,
-               s: Long, a: String, o: Long): DataFrame = {
-    val key = spark.range(1).select(
+  def getCountFrom(state: DataFrame, s: Long, a: String, o: Long): DataFrame = {
+    val key = state.sparkSession.range(1).select(
       lit(s).as("s"), lit(a).as("a"), lit(o).as("o"))
-    key.join(counts(spark, sfDir).drop("cache"), Seq("s", "a", "o"), "left")
+    key.join(state, Seq("s", "a", "o"), "left")
       .select(col("s"), col("a"), col("o"),
               coalesce(col("cnt"), lit(0L)).as("cnt"), col("last_t"))
   }
+
+  def getCount(spark: SparkSession, sfDir: String,
+               s: Long, a: String, o: Long): DataFrame =
+    getCountFrom(counts(spark, sfDir), s, a, o)
 
   /** CountSummary.actionsForSubj: distinct actions per subject (exposed
     * for all subjects - the distributed generalization of the per-key
     * call; filter s to recover the point API).
     */
+  def actionsForSubjFrom(state: DataFrame): DataFrame =
+    state.select(col("s"), col("a")).distinct()
+
   def actionsForSubj(spark: SparkSession, sfDir: String): DataFrame =
-    counts(spark, sfDir).select(col("s"), col("a")).distinct()
+    actionsForSubjFrom(counts(spark, sfDir))
 
   /** CountSummary.countsForSubjAction(s, actions...): per-object counts
     * merged across the selected actions - sum of counts, max of times,
     * ≙ query_api.clj `merge-leaves`/`counts-for-actions-map`.
     */
-  def countsForSubjAction(spark: SparkSession, sfDir: String,
-                          actions: Seq[String]): DataFrame =
-    counts(spark, sfDir)
-      .filter(col("a").isin(actions: _*))
+  def countsForSubjActionFrom(state: DataFrame,
+                              actions: Seq[String]): DataFrame =
+    state.filter(col("a").isin(actions: _*))
       .groupBy(col("s"), col("o"))
       .agg(sum(col("cnt")).as("cnt"), max(col("last_t")).as("last_t"))
+
+  def countsForSubjAction(spark: SparkSession, sfDir: String,
+                          actions: Seq[String]): DataFrame =
+    countsForSubjActionFrom(counts(spark, sfDir), actions)
 
   /** CountSummary.sumCounts(s) and sumCounts(s, actions...): total event
     * count per subject, plus the action-filtered total in the same pass
     * (conditional aggregation instead of a second scan).
     */
-  def sumCounts(spark: SparkSession, sfDir: String,
-                actions: Seq[String]): DataFrame =
-    counts(spark, sfDir)
-      .groupBy(col("s"))
+  def sumCountsFrom(state: DataFrame, actions: Seq[String]): DataFrame =
+    state.groupBy(col("s"))
       .agg(sum(col("cnt")).as("total"),
            sum(when(col("a").isin(actions: _*), col("cnt")).otherwise(0L))
              .as("filtered_total"))
+
+  def sumCounts(spark: SparkSession, sfDir: String,
+                actions: Seq[String]): DataFrame =
+    sumCountsFrom(counts(spark, sfDir), actions)
 
   /** Queries.tuplesForSubjAction(comparator, subj, actions) with the
     * countTimeComparator(descending) of TupleComparators.java: the
     * flattened [s a o count time] tuples, count-desc then time-desc
     * (key columns break remaining ties deterministically).
     */
-  def tuplesSorted(spark: SparkSession, sfDir: String): DataFrame =
-    counts(spark, sfDir)
-      .select(col("s"), col("a"), col("o"), col("cnt"), col("last_t"))
+  def tuplesSortedFrom(state: DataFrame): DataFrame =
+    state.select(col("s"), col("a"), col("o"), col("cnt"), col("last_t"))
       .orderBy(col("cnt").desc, col("last_t").desc,
                col("s"), col("a"), col("o"))
+
+  def tuplesSorted(spark: SparkSession, sfDir: String): DataFrame =
+    tuplesSortedFrom(counts(spark, sfDir))
 
   /** Distributed top-k per subject by (count desc, time desc) - the
     * scale-out form of sorting a subject's tuples with
     * countTimeComparator and taking the head: rank within each subject
     * partition, no global sort.
     */
-  def topKPerSubj(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+  def topKPerSubjFrom(state: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("s"))
       .orderBy(col("cnt").desc, col("last_t").desc, col("a"), col("o"))
-    counts(spark, sfDir)
-      .withColumn("rk", row_number().over(w).cast(LongType))
+    state.withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= k)
       .select(col("s"), col("a"), col("o"), col("cnt"), col("last_t"),
               col("rk"))
   }
+
+  def topKPerSubj(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame =
+    topKPerSubjFrom(counts(spark, sfDir), k)
 
   /** Pipeline metrics ≙ protocols.clj `Metrics` callbacks: counters per
     * processing stage plus per-cache recorded counts, as a single

