@@ -103,6 +103,97 @@ case class HammingDist(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+object Md5Util {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Single-pass 48-bit SimHash over pre-hashed tokens: per-bit
+    * frequency-weighted majority vote - identical to the 48 per-bit
+    * sum formulations in the SQL oracle, in one traversal.
+    */
+  def simhash48(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val counts = new Array[Int](48)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < 48) {
+        if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 48) { if (counts(b) > 0) sim |= (1L << b); b += 1 }
+    sim
+  }
+
+  /** First 48 bits of md5(utf8(s)), big-endian - numerically identical
+    * to the Horner value of the first 12 hex nibbles (the portable SQL
+    * formulation in HashParity), without materializing the hex string.
+    */
+  def hash48(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val d = md.get(); d.reset()
+    val b = d.digest(s.getBytes)
+    ((b(0) & 0xffL) << 40) | ((b(1) & 0xffL) << 32) |
+      ((b(2) & 0xffL) << 24) | ((b(3) & 0xffL) << 16) |
+      ((b(4) & 0xffL) << 8) | (b(5) & 0xffL)
+  }
+}
+
+/** graft_md5_48(s): 48-bit integer content hash - the dedup hot path
+  * (one digest per shingle/token, no hex-string round trip).
+  */
+case class Md5Prefix48(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_md5_48 expects a string arg, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_md5_48"
+
+  override def nullSafeEval(v: Any): Any =
+    Md5Util.hash48(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Util.hash48($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** graft_simhash48(array<bigint>): frequency-weighted 48-bit SimHash. */
+case class SimHash48(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_simhash48 expects array<bigint>, got ${other.catalogString}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash48"
+
+  override def nullSafeEval(v: Any): Any =
+    Md5Util.simhash48(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Util.simhash48($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object NativeFunctions {
 
   /** Idempotently register the expressions as SQL temp functions so any
@@ -116,5 +207,9 @@ object NativeFunctions {
       exprs => CosineSim(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_hamming",
       exprs => HammingDist(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_md5_48",
+      exprs => Md5Prefix48(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash48",
+      exprs => SimHash48(exprs.head), "built-in")
   }
 }

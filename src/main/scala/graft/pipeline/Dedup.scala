@@ -63,7 +63,7 @@ object Dedup {
         """array_distinct(transform(sequence(1, size(toks) - 2),
           |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
           |                 element_at(toks, i + 2))))""".stripMargin))
-      .withColumn("hs", expr(s"transform(sh, s -> ${hex48Spark("md5(s)")})"))
+      .withColumn("hs", expr("transform(sh, s -> graft_md5_48(s))"))
       .select(col("doc_id"), col("sh"), col("hs"))
 
   private val shingledCteDuck: String = {
@@ -191,16 +191,11 @@ object Dedup {
     * (chunk_idx, chunk_value).
     */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val bitSums = (0 until simhashBits).map { b =>
-      s"shiftleft(CASE WHEN aggregate(hst, 0L, (acc, h) -> acc + " +
-        s"(CASE WHEN (shiftright(h, $b) & 1) = 1 THEN 1 ELSE -1 END)) > 0 " +
-        s"THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END, $b)"
-    }
     val simDocs = Graft.table(spark, sfDir, "documents")
       .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
       .filter(size(col("toks")) >= 1)
-      .withColumn("hst", expr(s"transform(toks, s -> ${hex48Spark("md5(s)")})"))
-      .withColumn("sim", expr(bitSums.mkString(" + ")))
+      .withColumn("hst", expr("transform(toks, s -> graft_md5_48(s))"))
+      .withColumn("sim", expr("graft_simhash48(hst)"))
       .select(col("doc_id"), col("sim"))
     val chunks = simDocs.select(col("doc_id"), col("sim"),
       explode(expr(

@@ -31,6 +31,17 @@ class ExpressionsSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("graft_md5_48 == hex-nibble Horner over md5 hex (oracle form)") {
+    val s = spark; import s.implicits._
+    val df = Seq("", "a", "hello world", "the quick brown fox", "ü™∂")
+      .toDF("s")
+    val bad = df.select(
+      expr("graft_md5_48(s)").as("native"),
+      expr(graft.pipeline.HashParity.hex48Spark("md5(s)")).as("sqlform"))
+      .filter(col("native") =!= col("sqlform"))
+    assert(bad.count() == 0)
+  }
+
   test("cosine expression participates in codegen (no fallback)") {
     val df = graft.core.Graft.table(spark, sfDir, "embeddings")
       .select(expr(Similarity.cosSpark("embedding", "embedding")).as("c"))
