@@ -142,20 +142,23 @@ object Dedup {
 
   /** Exact Jaccard verification over the LSH candidate pairs: the
     * verify step of the dedup pipeline. Only candidates rejoin the
-    * shingle sets, so the expensive set-compare runs on a tiny relation.
+    * shingle sets, so the expensive set-compare runs on a tiny
+    * relation; the compare runs on the 48-bit hashed shingle sets
+    * (identical sets in both engines; collision probability
+    * ~|doc|²/2^48, negligible) - integer intersect, not string.
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingled(spark, sfDir).select(col("doc_id"), col("sh"))
+    val sh = shingled(spark, sfDir).select(col("doc_id"), col("hs"))
     minhashLsh(spark, sfDir)
       .join(sh.withColumnRenamed("doc_id", "doc_a")
-              .withColumnRenamed("sh", "sh_a"), "doc_a")
+              .withColumnRenamed("hs", "hs_a"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("sh", "sh_b"), "doc_b")
+              .withColumnRenamed("hs", "hs_b"), "doc_b")
       .withColumn("inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast(LongType))
       .withColumn("jaccard", round(
         col("inter").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+          (size(col("hs_a")) + size(col("hs_b")) - col("inter"))
             .cast("double"), 6))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -169,13 +172,13 @@ object Dedup {
        |    ON x.b = y.b AND x.h = y.h AND x.doc_id < y.doc_id
        |), j AS (
        |  SELECT c.doc_a, c.doc_b,
-       |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |          / CAST(len(a.sh) + len(b.sh)
-       |                 - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6)
+       |    round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |          / CAST(len(a.hs) + len(b.hs)
+       |                 - len(list_intersect(a.hs, b.hs)) AS DOUBLE), 6)
        |      AS jaccard
        |  FROM cand c
-       |  JOIN t a ON a.doc_id = c.doc_a
-       |  JOIN t b ON b.doc_id = c.doc_b
+       |  JOIN hs a ON a.doc_id = c.doc_a
+       |  JOIN hs b ON b.doc_id = c.doc_b
        |)
        |SELECT doc_a, doc_b, jaccard FROM j
        |WHERE jaccard >= $jaccardThreshold
