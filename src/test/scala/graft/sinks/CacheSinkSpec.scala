@@ -1,0 +1,27 @@
+package graft.sinks
+
+import graft.SparkSpec
+import graft.core.{Caches, Transform}
+
+/** CacheServer-analog round trips: publish cache state, read it back. */
+class CacheSinkSpec extends SparkSpec {
+
+  test("memory sink round-trips cache state") {
+    val sink = new MemoryCacheSink
+    val st = Caches.assocState(Transform.transformed(spark, sfDir))
+    sink.put("assoc", st)
+    val back = sink.get(spark, "assoc")
+    assert(back.count() == st.count())
+    assert(back.columns.toSeq == st.columns.toSeq)
+  }
+
+  test("parquet sink round-trips cache state durably") {
+    val sink = new ParquetCacheSink(
+      java.nio.file.Files.createTempDirectory("graft_sink").toString)
+    val st = Caches.countState(Transform.transformed(spark, sfDir))
+    sink.put("counts", st)
+    val back = sink.get(spark, "counts")
+    assert(back.count() == st.count())
+    assert(back.schema == st.schema)
+  }
+}
