@@ -3,7 +3,7 @@ package graft
 import graft.analytics.Tpch
 import graft.core._
 import graft.oracle.Sql
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{CorpusClean, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.StreamSum
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -99,6 +99,8 @@ object SparkEntry {
     // ---- multimodal plumbing ----
     "mm_binary_stats" -> Multimodal.binaryStats _,
     "mm_frame_sample" -> Multimodal.frameSample _,
+    // ---- composed cleaning pipeline ----
+    "pipe_corpus_clean" -> ((s, d) => CorpusClean(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -142,5 +144,6 @@ object SparkEntry {
     "txt_fingerprint" -> TextAnalysis.fingerprintSql,
     "mm_binary_stats" -> Multimodal.binaryStatsSql,
     "mm_frame_sample" -> Multimodal.frameSampleSql,
+    "pipe_corpus_clean" -> CorpusClean.sql,
   )
 }

@@ -66,7 +66,7 @@ object Dedup {
       .withColumn("hs", expr("transform(sh, s -> graft_md5_48(s))"))
       .select(col("doc_id"), col("sh"), col("hs"))
 
-  private val shingledCteDuck: String = {
+  private[pipeline] val shingledCteDuck: String = {
     val h48 = hex48Duck("md5(s)")
     s"""t0 AS (
        |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
@@ -104,7 +104,7 @@ object Dedup {
       .select(col("doc_id"), col("band.b").as("b"), col("band.h").as("h"))
   }
 
-  private val bandsCteDuck: String = {
+  private[pipeline] val bandsCteDuck: String = {
     val branches = (0 until numBands).map { b =>
       val sigs = (0 until bandRows)
         .map(r => s"CAST(${sigExprDuck(b * bandRows + r)} AS VARCHAR)")
