@@ -75,6 +75,7 @@ object SparkEntry {
     "ss_pipeline_e2e" -> ((s, d) => pipelineE2e(s, d)),
     "ss_stream_count" -> StreamSum.streamCountState _,
     "ss_stream_lastn" -> ((s, d) => StreamSum.streamLastnState(s, d)),
+    "ss_stream_windowed" -> StreamSum.streamWindowedCounts _,
     // ---- analytics / bench ----
     "q1_agg" -> Tpch.q1 _,
     "q3_join_agg" -> Tpch.q3 _,
@@ -125,6 +126,7 @@ object SparkEntry {
     "ss_pipeline_e2e" -> Sql.ssPipelineE2e,
     "ss_stream_count" -> Sql.ssCacheCount,
     "ss_stream_lastn" -> Sql.ssCacheLastn,
+    "ss_stream_windowed" -> Sql.ssStreamWindowed,
     "q1_agg" -> Tpch.q1Sql,
     "q3_join_agg" -> Tpch.q3Sql,
     "q5_multijoin" -> Tpch.q5Sql,

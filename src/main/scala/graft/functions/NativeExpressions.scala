@@ -194,6 +194,34 @@ case class SimHash48(child: Expression)
     copy(child = newChild)
 }
 
+/** SparkSessionExtensions entry point: builds that set
+  * `spark.sql.extensions=graft.functions.GraftExtensions` get the graft
+  * functions injected at session construction (no runtime registration
+  * needed) - the standard way to ship the library onto a cluster.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions", name)
+
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "cosine similarity of two float vectors"),
+      exprs => CosineSim(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_hamming"),
+      info("graft_hamming", "hamming distance of two 64-bit keys"),
+      exprs => HammingDist(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_md5_48"),
+      info("graft_md5_48", "48-bit md5-prefix content hash"),
+      exprs => Md5Prefix48(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_simhash48"),
+      info("graft_simhash48", "48-bit simhash of hashed tokens"),
+      exprs => SimHash48(exprs.head)))
+  }
+}
+
 object NativeFunctions {
 
   /** Idempotently register the expressions as SQL temp functions so any

@@ -142,6 +142,13 @@ object Sql {
        |  FROM cs
        |) WHERE rk <= $k ORDER BY s, rk""".stripMargin
 
+  /** Tumbling 1-day windows are epoch-aligned in both engines. */
+  val ssStreamWindowed: String =
+    s"""WITH $tuplesCte
+       |SELECT (t // 86400000000) * 86400000000 AS window_start, p,
+       |       count(*) AS cnt
+       |FROM tuples GROUP BY 1, 2 ORDER BY window_start, p""".stripMargin
+
   val ssMetrics: String =
     s"""$prefix, m AS (
        |  SELECT 'events-received' AS metric, count(*) AS n FROM events

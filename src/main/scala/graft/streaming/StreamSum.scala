@@ -61,6 +61,25 @@ object StreamSum {
       .orderBy(col("cache"), col("s"), col("a"), col("o"))
   }
 
+  /** Event-time windowed aggregation with a watermark: tumbling 1-day
+    * counts per predicate - the canonical Structured Streaming shape
+    * (watermark bounds state; with AvailableNow over a static table the
+    * snapshot equals the batch group-by on the floored time bucket,
+    * which is what the oracle computes).
+    */
+  def streamWindowedCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val tuples = Transform.extractFrom(streamingEvents(spark, sfDir))
+      .withColumn("ets", timestamp_micros(col("t")))
+    val agg = tuples
+      .withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "1 day").as("w"), col("p"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("w.start")).as("window_start"), col("p"),
+        col("cnt"))
+    runToTable(agg, OutputMode.Update(), "ss_stream_windowed")
+      .orderBy(col("window_start"), col("p"))
+  }
+
   /** Ring-buffer update ≙ LastNCache.update: keep the N most recent
     * (t, seq, v) per key. Shared by the streaming state handler and the
     * typed batch aggregator so both faces have identical semantics.
