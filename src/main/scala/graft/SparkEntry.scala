@@ -58,6 +58,9 @@ object SparkEntry {
       Caches.keycountState(Transform.transformed(s, d)).orderBy(col("k"))),
     "ss_undo_assoc" -> ((s, d) =>
       Caches.undoAssocState(Transform.extract(s, d)).orderBy(col("k"))),
+    "ss_undo_count" -> ((s, d) =>
+      Caches.undoCountState(Transform.extract(s, d))
+        .orderBy(col("s"), col("a"), col("o"))),
     "ss_q_getcount" -> ((s, d) => CountQueries.getCount(s, d, 1L, "buy", 3L)),
     "ss_q_actions_for_subj" -> ((s, d) =>
       CountQueries.actionsForSubj(s, d).orderBy(col("s"), col("a"))),
@@ -82,6 +85,7 @@ object SparkEntry {
     "q5_multijoin" -> Tpch.q5 _,
     "q_window" -> Tpch.qWindow _,
     "q_sessionize" -> Tpch.qSessionize _,
+    "q_salt_agg" -> Tpch.qSaltAgg _,
     // ---- dedup ----
     "dd_exact" -> Dedup.exact _,
     "dd_minhash_lsh" -> Dedup.minhashLsh _,
@@ -115,6 +119,7 @@ object SparkEntry {
     "ss_cache_count" -> Sql.ssCacheCount,
     "ss_cache_keycount" -> Sql.ssCacheKeycount,
     "ss_undo_assoc" -> Sql.ssUndoAssoc,
+    "ss_undo_count" -> Sql.ssUndoCount,
     "ss_q_getcount" -> Sql.ssQGetcount(1L, "buy", 3L),
     "ss_q_actions_for_subj" -> Sql.ssQActionsForSubj,
     "ss_q_counts_for_subj_action" -> Sql.ssQCountsForSubjAction(Seq("buy", "err")),
@@ -132,6 +137,7 @@ object SparkEntry {
     "q5_multijoin" -> Tpch.q5Sql,
     "q_window" -> Tpch.qWindowSql,
     "q_sessionize" -> Tpch.qSessionizeSql,
+    "q_salt_agg" -> Tpch.qSaltAggSql,
     "dd_exact" -> Dedup.exactSql,
     "dd_minhash_lsh" -> Dedup.minhashLshSql,
     "dd_ngram_jaccard" -> Dedup.ngramJaccardSql,

@@ -202,6 +202,34 @@ object Tpch {
       |WHERE price_rank <= 5
       |ORDER BY o_custkey, price_rank""".stripMargin
 
+  /** Salted two-phase aggregation - the skew-mitigation pattern for a
+    * hot grouping key (l_returnflag has 3 values over the whole fact
+    * table; a naive groupBy funnels everything through 3 reducers).
+    * Phase 1 pre-aggregates on (key, salt=orderkey%16) - map-side +
+    * 48-way parallel reduce; phase 2 folds the 48 partials. Result is
+    * identical to the direct group-by (which is what the oracle runs).
+    */
+  def qSaltAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Graft.table(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"),
+        dec("l_quantity", 12, 2).as("qty"),
+        (col("l_orderkey") % 16).as("salt"))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(col("qty")).as("pq"), count(lit(1)).as("pn"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("pq")).as("dq"), sum(col("pn")).as("n"))
+      .select(col("l_returnflag"),
+        col("dq").cast(DoubleType).as("sum_qty"),
+        col("n").cast(LongType).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val qSaltAggSql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** Sessionization: 30-minute-gap sessions per user via lag + running
     * flag sum - the standard single-shuffle formulation (partition by
     * user, in-partition sort by time).

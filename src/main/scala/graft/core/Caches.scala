@@ -59,6 +59,41 @@ object Caches {
       .agg(count(lit(1)).as("cnt"))
       .select(lit("subject-counts").as("cache"), col("k"), col("cnt"))
 
+  /** undoUpdate semantics for the count cache with the reference's
+    * EXACT floor-at-each-step behavior (tuple_counts/update.clj
+    * `dec-count!`: decrement only while positive, at the moment the
+    * retraction arrives - NOT a clamped net sum). A sequential mutable
+    * walk becomes one window pass via the clamped-walk identity:
+    *
+    *   final = S_n - min(0, min_k S_k)   (S_k = running delta sum)
+    *
+    * `purchase` increments (s,'buy',o); `click` decrements. Keys never
+    * incremented don't exist (dec-count! on a missing subject is a
+    * no-op returning nil); the timestamp tracks increments only
+    * (dec-count! ignores its timestamp).
+    */
+  def undoCountState(tuples: DataFrame): DataFrame = {
+    val deltas = tuples
+      .filter(col("p").isin("purchase", "click"))
+      .select(col("s"), lit("buy").as("a"), col("o"),
+        when(col("p") === "purchase", 1L).otherwise(-1L).as("delta"),
+        col("t"), col("seq"))
+    val w = Window.partitionBy(col("s"), col("o"))
+      .orderBy(col("t"), col("seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("running", sum(col("delta")).over(w))
+      .groupBy(col("s"), col("a"), col("o"))
+      .agg(sum(col("delta")).as("total"),
+        min(col("running")).as("min_run"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_inc"),
+        max(when(col("delta") === 1L, col("t"))).as("last_t"))
+      .filter(col("n_inc") >= 1L)
+      .select(col("s"), col("a"), col("o"),
+        (col("total") - least(lit(0L), col("min_run"))).as("cnt"),
+        col("last_t"))
+  }
+
   /** undoUpdate semantics for the associative cache (caches.clj:37):
     * a retraction puts nil for the key; last operation wins. Here
     * `error` events retract the `signup-obj-user` entry for their

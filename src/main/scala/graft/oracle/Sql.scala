@@ -102,6 +102,25 @@ object Sql {
        |  FROM ops
        |) WHERE rn = 1 ORDER BY k""".stripMargin
 
+  val ssUndoCount: String =
+    s"""WITH $tuplesCte, deltas AS (
+       |  SELECT s, 'buy' AS a, o,
+       |         CASE WHEN p = 'purchase' THEN 1 ELSE -1 END AS delta,
+       |         t, seq
+       |  FROM tuples WHERE p IN ('purchase', 'click')
+       |), run AS (
+       |  SELECT *, sum(delta) OVER (PARTITION BY s, o ORDER BY t, seq
+       |                             ROWS BETWEEN UNBOUNDED PRECEDING
+       |                             AND CURRENT ROW) AS running
+       |  FROM deltas
+       |)
+       |SELECT s, a, o,
+       |  CAST(sum(delta) - least(0, min(running)) AS BIGINT) AS cnt,
+       |  max(CASE WHEN delta = 1 THEN t END) AS last_t
+       |FROM run GROUP BY s, a, o
+       |HAVING sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) >= 1
+       |ORDER BY s, a, o""".stripMargin
+
   private val countsCte = s"$prefix, cs AS ($countStateSelect)"
 
   def ssQGetcount(s: Long, a: String, o: Long): String =

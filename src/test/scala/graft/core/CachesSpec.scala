@@ -66,6 +66,30 @@ class CachesSpec extends SparkSpec {
     assert(st == Map(1L -> None, 2L -> Some(101L), 3L -> None))
   }
 
+  test("undo count: floor-at-each-step matches a sequential reference walk") {
+    val s = spark; import s.implicits._
+    // interleavings where clamped-walk ≠ clamped net sum:
+    // key 1: +1,-1,-1,+1 → ref walk 1,0,0,1 (net-clamp would give 0)
+    // key 2: -1,+1       → ref walk 0,1
+    // key 3: -1,-1       → no inc ever → key absent
+    // key 4: +1,+1,-1,-1,-1,+1 → 1,2,1,0,0,1
+    val ev = Seq(
+      ("purchase", 1L, 1L, 10L, 0L), ("click", 1L, 1L, 20L, 1L),
+      ("click", 1L, 1L, 30L, 2L), ("purchase", 1L, 1L, 40L, 3L),
+      ("click", 2L, 2L, 10L, 4L), ("purchase", 2L, 2L, 20L, 5L),
+      ("click", 3L, 3L, 10L, 6L), ("click", 3L, 3L, 20L, 7L),
+      ("purchase", 4L, 4L, 10L, 8L), ("purchase", 4L, 4L, 20L, 9L),
+      ("click", 4L, 4L, 30L, 10L), ("click", 4L, 4L, 40L, 11L),
+      ("click", 4L, 4L, 50L, 12L), ("purchase", 4L, 4L, 60L, 13L))
+      .toDF("p", "s", "o", "t", "seq")
+    val st = Caches.undoCountState(ev).collect()
+      .map(r => (r.getLong(0), (r.getLong(3), r.getLong(4)))).toMap
+    assert(st(1L) == (1L, 40L))
+    assert(st(2L) == (1L, 20L))
+    assert(!st.contains(3L))
+    assert(st(4L) == (1L, 60L))
+  }
+
   test("cache aggregation states shuffle exactly once") {
     val dfs = Map(
       "assoc" -> Caches.assocState(Transform.transformed(spark, sfDir)),
