@@ -65,6 +65,40 @@ object Config {
 
 object Transform {
 
+  /** Parse the compact text form of a transform config ≙ the reference
+    * reading rule patterns from a config file (system.clj
+    * `read-config-file`). One rule per line:
+    *
+    *   pred -> cache(keyField,valField)[@action], cache2(...)
+    *
+    * e.g. `purchase -> buy-obj-user(o,s), interactions-user-obj(s,o)@buy`
+    * Lines starting with # and blank lines are ignored.
+    */
+  def parseRules(text: String): Seq[Rule] = {
+    val outRe = """([\w-]+)\((s|o),(s|o)\)(?:@([\w-]+))?""".r
+    text.linesIterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { line =>
+        val Array(pred, rhs) = line.split("->", 2).map(_.trim)
+        val outs = outRe.findAllMatchIn(rhs).map { m =>
+          Out(m.group(1), m.group(2), m.group(3), Option(m.group(4)))
+        }.toSeq
+        require(outs.nonEmpty, s"no output specs in line '$line'")
+        Rule(pred, outs)
+      }.toSeq
+  }
+
+  /** The default config in its file form - `parseRules(defaultConfigText)`
+    * == `Config.rules` (asserted in TransformSpec).
+    */
+  val defaultConfigText: String =
+    """# graft transform config: pred -> cache(key,val)[@action], ...
+      |signup -> signup-obj-user(o,s), signup-user-obj(s,o)
+      |view -> view-user-obj(s,o)
+      |purchase -> buy-obj-user(o,s), buy-user-obj(s,o), interactions-user-obj(s,o)@buy
+      |error -> interactions-user-obj(s,o)@err
+      |""".stripMargin
+
   /** Extract stage ≙ protocols.clj `Extract`: destructure each event row
     * into a [p s o t] tuple + `seq` (event_id) as the explicit total
     * order a distributed engine needs where the reference relied on

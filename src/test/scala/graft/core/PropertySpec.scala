@@ -1,0 +1,64 @@
+package graft.core
+
+import graft.functions.Md5Util
+import graft.pipeline.HashParity
+import graft.streaming.StreamSum
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests of the pure kernels (no Spark session needed):
+  * the algebraic identities the distributed formulations rely on.
+  * Uses scalacheck directly (fixed seed-independent 200-case runs).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(name: String, prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("clamped-walk identity: total - min(0, min prefix) == sequential walk") {
+    check("clamped-walk", Prop.forAll(Gen.listOf(Gen.oneOf(1, -1))) {
+      deltas =>
+        // sequential reference walk (inc always; dec only while positive)
+        val walk = deltas.foldLeft(0L) { (c, d) =>
+          if (d == 1) c + 1 else if (c > 0) c - 1 else c
+        }
+        val prefixes = deltas.scanLeft(0L)(_ + _)
+        prefixes.last - math.min(0L, prefixes.min) == walk
+    })
+  }
+
+  test("ringPut: buffer == N most recent of all inserts, any order") {
+    val rowGen = for {
+      t <- Gen.choose(0L, 50L)
+      s <- Gen.choose(0L, 1000L)
+      v <- Gen.choose(0L, 10L)
+    } yield (t, s, v)
+    check("ringPut", Prop.forAll(Gen.listOf(rowGen), Gen.choose(1, 10)) {
+      (rows, n) =>
+        val buf = rows.foldLeft(Seq.empty[(Long, Long, Long)])(
+          (b, r) => StreamSum.ringPut(b, r, n))
+        buf == rows.sortBy(r => (-r._1, -r._2)).take(n)
+    })
+  }
+
+  test("hash48 == Horner over the md5 hex prefix") {
+    check("hash48", Prop.forAll { (s: String) =>
+      Md5Util.hash48(UTF8String.fromString(s)) ==
+        java.lang.Long.parseLong(HashParity.md5Hex(s).substring(0, 12), 16)
+    })
+  }
+
+  test("minhash permutation stays in [0, P) for any 48-bit hash") {
+    import HashParity._
+    check("perm-range",
+      Prop.forAll(Gen.choose(0L, (1L << 48) - 1), Gen.choose(0, 31)) {
+        (h, i) =>
+          val v = (permA(i) * h + permB(i)) % P
+          v >= 0 && v < P
+      })
+  }
+}

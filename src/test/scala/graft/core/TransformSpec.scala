@@ -55,6 +55,10 @@ class TransformSpec extends SparkSpec {
     assert(xf == expected)
   }
 
+  test("config file text parses to the default rules") {
+    assert(Transform.parseRules(Transform.defaultConfigText) == Config.rules)
+  }
+
   test("transform is a narrow plan (no shuffle)") {
     val plan = Transform(Transform.extractFrom(eventsDf))
       .queryExecution.executedPlan.toString
