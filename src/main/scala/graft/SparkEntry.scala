@@ -70,6 +70,8 @@ object SparkEntry {
     "ss_q_sumcounts" -> ((s, d) =>
       CountQueries.sumCounts(s, d, Seq("buy")).orderBy(col("s"))),
     "ss_q_tuples_sorted" -> ((s, d) => CountQueries.tuplesSorted(s, d)),
+    "ss_q_sort_variants" -> ((s, d) =>
+      CountQueries.sortedVariants(s, d).orderBy(col("ordering"), col("rk"))),
     "ss_q_topk_per_subj" -> ((s, d) =>
       CountQueries.topKPerSubj(s, d).orderBy(col("s"), col("rk"))),
     "ss_metrics" -> ((s, d) => CountQueries.metrics(s, d).orderBy("metric")),
@@ -125,6 +127,7 @@ object SparkEntry {
     "ss_q_counts_for_subj_action" -> Sql.ssQCountsForSubjAction(Seq("buy", "err")),
     "ss_q_sumcounts" -> Sql.ssQSumcounts(Seq("buy")),
     "ss_q_tuples_sorted" -> Sql.ssQTuplesSorted,
+    "ss_q_sort_variants" -> Sql.ssQSortVariants,
     "ss_q_topk_per_subj" -> Sql.ssQTopkPerSubj(3),
     "ss_metrics" -> Sql.ssMetrics,
     "ss_encode_output" -> Sql.ssEncodeOutput,

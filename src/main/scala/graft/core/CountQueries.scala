@@ -91,6 +91,34 @@ object CountQueries {
   def tuplesSorted(spark: SparkSession, sfDir: String): DataFrame =
     tuplesSortedFrom(counts(spark, sfDir))
 
+  /** All six TupleComparators orderings (time/count/count-time ×
+    * asc/desc, TupleComparators.java) in one relation: each variant
+    * tags its rows and ranks them (key columns break ties so the result
+    * is deterministic where the reference's comparators were not).
+    */
+  val sortVariants: Seq[(String, Seq[org.apache.spark.sql.Column])] = {
+    import org.apache.spark.sql.functions.{col => c}
+    Seq(
+      "time_asc" -> Seq(c("last_t").asc),
+      "time_desc" -> Seq(c("last_t").desc),
+      "count_asc" -> Seq(c("cnt").asc),
+      "count_desc" -> Seq(c("cnt").desc),
+      "count_time_asc" -> Seq(c("cnt").asc, c("last_t").asc),
+      "count_time_desc" -> Seq(c("cnt").desc, c("last_t").desc))
+  }
+
+  def sortedVariantsFrom(state: DataFrame): DataFrame =
+    sortVariants.map { case (name, order) =>
+      val w = Window.orderBy(order ++ Seq(col("s").asc, col("a").asc,
+        col("o").asc): _*)
+      state.select(lit(name).as("ordering"),
+        row_number().over(w).cast(LongType).as("rk"),
+        col("s"), col("a"), col("o"), col("cnt"), col("last_t"))
+    }.reduce(_ unionAll _)
+
+  def sortedVariants(spark: SparkSession, sfDir: String): DataFrame =
+    sortedVariantsFrom(counts(spark, sfDir))
+
   /** Distributed top-k per subject by (count desc, time desc) - the
     * scale-out form of sorting a subject's tuples with
     * countTimeComparator and taking the head: rank within each subject

@@ -151,6 +151,28 @@ object Sql {
        |SELECT s, a, o, cnt, last_t FROM cs
        |ORDER BY cnt DESC, last_t DESC, s, a, o""".stripMargin
 
+  /** All six TupleComparators orderings, tagged + ranked. */
+  val ssQSortVariants: String = {
+    val variants = Seq(
+      "time_asc" -> "last_t ASC",
+      "time_desc" -> "last_t DESC",
+      "count_asc" -> "cnt ASC",
+      "count_desc" -> "cnt DESC",
+      "count_time_asc" -> "cnt ASC, last_t ASC",
+      "count_time_desc" -> "cnt DESC, last_t DESC")
+    val branches = variants.map { case (name, order) =>
+      s"""  SELECT '$name' AS ordering,
+         |    CAST(row_number() OVER (ORDER BY $order, s, a, o) AS BIGINT)
+         |      AS rk,
+         |    s, a, o, cnt, last_t
+         |  FROM cs""".stripMargin
+    }
+    s"""$countsCte, v AS (
+       |${branches.mkString("\n  UNION ALL\n")}
+       |)
+       |SELECT * FROM v ORDER BY ordering, rk""".stripMargin
+  }
+
   def ssQTopkPerSubj(k: Int): String =
     s"""$countsCte
        |SELECT s, a, o, cnt, last_t, rk FROM (
