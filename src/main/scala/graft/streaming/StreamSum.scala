@@ -61,6 +61,29 @@ object StreamSum {
       .orderBy(col("cache"), col("s"), col("a"), col("o"))
   }
 
+  /** Production sink path: stream the count-cache state into a
+    * CacheSink snapshot per micro-batch via foreachBatch ≙ the
+    * reference pushing recorded tuples at its CacheServer. Complete
+    * mode: each batch publishes the full current state (idempotent
+    * overwrite), so the sink always holds a consistent snapshot.
+    */
+  def streamCountsToSink(spark: SparkSession, sfDir: String,
+                         sink: graft.sinks.CacheSink,
+                         cacheName: String): Unit = {
+    val xf = Transform(Transform.extractFrom(streamingEvents(spark, sfDir)))
+    val counts = xf
+      .filter(col("cache").isin(Config.cachesOf(CountK): _*))
+      .groupBy(col("cache"), col("k").as("s"), col("a"), col("v").as("o"))
+      .agg(count(lit(1)).as("cnt"), max(col("t")).as("last_t"))
+    val q = counts.writeStream
+      .outputMode(OutputMode.Complete())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink.put(cacheName, batch)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** Event-time windowed aggregation with a watermark: tumbling 1-day
     * counts per predicate - the canonical Structured Streaming shape
     * (watermark bounds state; with AvailableNow over a static table the

@@ -58,6 +58,15 @@ class StreamingSpec extends SparkSpec {
     assert(r == b)
   }
 
+  test("foreachBatch publishes count state through a CacheSink") {
+    val sink = new graft.sinks.ParquetCacheSink(
+      java.nio.file.Files.createTempDirectory("graft_stream_sink").toString)
+    StreamSum.streamCountsToSink(spark, sfDir, sink, "interactions")
+    val snap = sink.get(spark, "interactions")
+    val batch = Caches.countState(Transform.transformed(spark, sfDir))
+    assert(snap.count() == batch.count())
+  }
+
   test("ringPut keeps N most recent by (t, seq)") {
     val buf = (1L to 30L).foldLeft(Seq.empty[(Long, Long, Long)]) {
       (b, i) => StreamSum.ringPut(b, (i % 7, i, i * 10), 5)
