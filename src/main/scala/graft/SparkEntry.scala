@@ -81,6 +81,7 @@ object SparkEntry {
     "ss_stream_count" -> StreamSum.streamCountState _,
     "ss_stream_lastn" -> ((s, d) => StreamSum.streamLastnState(s, d)),
     "ss_stream_windowed" -> StreamSum.streamWindowedCounts _,
+    "ss_stream_assoc" -> StreamSum.streamAssocState _,
     // ---- analytics / bench ----
     "q1_agg" -> Tpch.q1 _,
     "q3_join_agg" -> Tpch.q3 _,
@@ -135,6 +136,7 @@ object SparkEntry {
     "ss_stream_count" -> Sql.ssCacheCount,
     "ss_stream_lastn" -> Sql.ssCacheLastn,
     "ss_stream_windowed" -> Sql.ssStreamWindowed,
+    "ss_stream_assoc" -> Sql.ssCacheAssoc,
     "q1_agg" -> Tpch.q1Sql,
     "q3_join_agg" -> Tpch.q3Sql,
     "q5_multijoin" -> Tpch.q5Sql,

@@ -61,6 +61,21 @@ object StreamSum {
       .orderBy(col("cache"), col("s"), col("a"), col("o"))
   }
 
+  /** Associative cache (last write wins) as a streaming aggregation:
+    * max over the (t, seq, v) struct - the same declarative state as
+    * the batch assocState, maintained incrementally.
+    */
+  def streamAssocState(spark: SparkSession, sfDir: String): DataFrame = {
+    val xf = Transform(Transform.extractFrom(streamingEvents(spark, sfDir)))
+    val assoc = xf
+      .filter(col("cache").isin(Config.cachesOf(graft.core.Assoc): _*))
+      .groupBy(col("cache"), col("k"))
+      .agg(max(struct(col("t"), col("seq"), col("v"))).as("m"))
+      .select(col("cache"), col("k"), col("m.v").as("v"), col("m.t").as("t"))
+    runToTable(assoc, OutputMode.Complete(), "ss_stream_assoc")
+      .orderBy(col("cache"), col("k"))
+  }
+
   /** Production sink path: stream the count-cache state into a
     * CacheSink snapshot per micro-batch via foreachBatch ≙ the
     * reference pushing recorded tuples at its CacheServer. Complete

@@ -58,6 +58,33 @@ class StreamingSpec extends SparkSpec {
     assert(r == b)
   }
 
+  test("watermark drops events later than the lateness bound") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val day = 86400L * 1000 * 1000 * 1000 // ns
+    val mem = MemoryStream[Ev]
+    val windowed = Transform.extractFrom(mem.toDF())
+      .withColumn("ets", timestamp_micros(col("t")))
+      .withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "1 day").as("w"), col("p"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("w.start")).as("ws"), col("cnt"))
+    val q = windowed.writeStream.format("memory").queryName("wm_test")
+      .outputMode(OutputMode.Update()).start()
+    // batch 1: one event on day 0, one on day 3 → watermark → day3 - 1h
+    mem.addData(mkEv(0, 1000, 1, "purchase", 1),
+      Ev(1, 3 * day, 1, "purchase", 1.0, """{"k": 1}"""))
+    q.processAllAvailable()
+    // batch 2: a day-0 event, now far older than the watermark → dropped
+    mem.addData(mkEv(2, 2000, 1, "purchase", 1))
+    q.processAllAvailable()
+    q.stop()
+    val counts = spark.table("wm_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(counts(0L) == 1L, "late day-0 event should have been dropped")
+    assert(counts(3L * day / 1000) == 1L)
+  }
+
   test("foreachBatch publishes count state through a CacheSink") {
     val sink = new graft.sinks.ParquetCacheSink(
       java.nio.file.Files.createTempDirectory("graft_stream_sink").toString)
