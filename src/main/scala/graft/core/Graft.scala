@@ -27,4 +27,19 @@ object Graft {
     ensureConf(spark)
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
+
+  /** Read + spread across the cluster for compute-bound narrow
+    * pipelines (per-row regex/hashing/vector math). A parquet row group
+    * is indivisible - one task - so when the input has fewer row groups
+    * than cores (true for the single-row-group test files, and for any
+    * pathological production layout) the whole narrow stage would run
+    * on a handful of threads. One cheap round-robin shuffle of the raw
+    * rows buys full-width parallelism for the expensive per-row work;
+    * ops that immediately shuffle anyway should use `table` instead.
+    */
+  def tableParallel(spark: SparkSession, sfDir: String,
+                    name: String): DataFrame = {
+    val df = table(spark, sfDir, name)
+    df.repartition(spark.sparkContext.defaultParallelism)
+  }
 }

@@ -109,7 +109,7 @@ object Transform {
     * Narrow op: Project + Filter, fully codegen, pushed to the scan.
     */
   def extract(spark: SparkSession, sfDir: String): DataFrame =
-    extractFrom(Graft.table(spark, sfDir, "events"))
+    extractFrom(Graft.tableParallel(spark, sfDir, "events"))
 
   def extractFrom(events: DataFrame): DataFrame =
     events.select(

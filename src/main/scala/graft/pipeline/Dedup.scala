@@ -34,7 +34,7 @@ object Dedup {
     */
   def exact(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("content_hash"))
-    Graft.table(spark, sfDir, "documents")
+    Graft.tableParallel(spark, sfDir, "documents")
       .withColumn("content_hash", md5(col("text").cast("binary")))
       .withColumn("group_size", count(lit(1)).over(w).cast(LongType))
       .withColumn("is_canonical", col("doc_id") === min(col("doc_id")).over(w))
@@ -56,7 +56,7 @@ object Dedup {
     * array. Narrow; feeds minhash, LSH and Jaccard.
     */
   private def shingled(spark: SparkSession, sfDir: String): DataFrame =
-    Graft.table(spark, sfDir, "documents")
+    Graft.tableParallel(spark, sfDir, "documents")
       .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
       .filter(size(col("toks")) >= 3)
       .withColumn("sh", expr(
@@ -194,7 +194,7 @@ object Dedup {
     * (chunk_idx, chunk_value).
     */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val simDocs = Graft.table(spark, sfDir, "documents")
+    val simDocs = Graft.tableParallel(spark, sfDir, "documents")
       .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
       .filter(size(col("toks")) >= 1)
       .withColumn("hst", expr("transform(toks, s -> graft_md5_48(s))"))

@@ -24,7 +24,7 @@ object Multimodal {
     * the content digest, standing in for an image-header parse.
     */
   def binaryStats(spark: SparkSession, sfDir: String): DataFrame =
-    Graft.table(spark, sfDir, "documents")
+    Graft.tableParallel(spark, sfDir, "documents")
       .withColumn("payload", col("text").cast("binary"))
       .withColumn("n_bytes", expr("octet_length(payload)").cast(LongType))
       .withColumn("digest", md5(col("payload")))

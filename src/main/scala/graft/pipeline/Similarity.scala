@@ -50,7 +50,7 @@ object Similarity {
     s"(${dotDuck(a, b)} / (sqrt(${dotDuck(a, a)}) * sqrt(${dotDuck(b, b)})))"
 
   private def emb(spark: SparkSession, sfDir: String): DataFrame =
-    Graft.table(spark, sfDir, "embeddings")
+    Graft.tableParallel(spark, sfDir, "embeddings")
 
   // ---- dd_embed_cosine ----------------------------------------------
 

@@ -37,7 +37,7 @@ object TextAnalysis {
 
   /** Per-document quality statistics + composite score. */
   def stats(spark: SparkSession, sfDir: String): DataFrame =
-    Graft.table(spark, sfDir, "documents")
+    Graft.tableParallel(spark, sfDir, "documents")
       .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
       .withColumn("n_tokens", size(col("toks")).cast(LongType))
       .withColumn("n_chars_calc", length(col("text")).cast(LongType))
@@ -94,7 +94,7 @@ object TextAnalysis {
     * an explode of 5 scored rows, ranked in one window.
     */
   def langid(spark: SparkSession, sfDir: String): DataFrame = {
-    val scored = Graft.table(spark, sfDir, "documents")
+    val scored = Graft.tableParallel(spark, sfDir, "documents")
       .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
       .withColumn("n_tokens", size(col("toks")).cast(LongType))
     val langScores = langMarkers.map { case (lang, markers) =>
@@ -146,7 +146,7 @@ object TextAnalysis {
     * the shape of a byte-pair pre-tokenizer.
     */
   def tokens(spark: SparkSession, sfDir: String): DataFrame =
-    Graft.table(spark, sfDir, "documents")
+    Graft.tableParallel(spark, sfDir, "documents")
       .withColumn("n_ws", expr(
         "size(regexp_extract_all(text, '\\\\S+', 0))").cast(LongType))
       .withColumn("n_bpe", expr(
@@ -181,7 +181,7 @@ object TextAnalysis {
     * Fingerprinting", SIGMOD 2003 - the standard near-copy sketch.)
     */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
-    Graft.table(spark, sfDir, "documents")
+    Graft.tableParallel(spark, sfDir, "documents")
       .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
       .filter(size(col("toks")) >= 6)
       .withColumn("hashes", expr(

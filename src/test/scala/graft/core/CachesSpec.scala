@@ -95,9 +95,11 @@ class CachesSpec extends SparkSpec {
       "assoc" -> Caches.assocState(Transform.transformed(spark, sfDir)),
       "count" -> Caches.countState(Transform.transformed(spark, sfDir)))
     dfs.foreach { case (name, df) =>
+      // exactly one KEYED shuffle; the round-robin spread of the
+      // single-row-group input (tableParallel) is not a keyed exchange
       val exchanges = df.queryExecution.executedPlan.toString
-        .linesIterator.count(_.contains("Exchange"))
-      assert(exchanges == 1, s"$name: expected exactly 1 shuffle")
+        .linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges == 1, s"$name: expected exactly 1 keyed shuffle")
     }
   }
 }
