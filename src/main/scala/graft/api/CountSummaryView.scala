@@ -1,0 +1,100 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Client-side convenience facade with the reference's query surface
+  * (CountSummary.java / Queries.java / TupleComparators.java):
+  * getCount, actionsForSubj, countsForSubjAction, sumCounts,
+  * tuplesForSubjAction with the six comparator orderings.
+  *
+  * A reference user's call sites port 1:1. The view collects the
+  * (small) per-subject slices it needs from the distributed count
+  * state; the DataFrame API in `graft.core.CountQueries` remains the
+  * scale path for whole-cache queries - this is the "app reads the
+  * summarized data from the CacheServer" half of the reference's
+  * contract (protocols.clj), not an execution strategy.
+  *
+  * Reference: /root/reference/src-java/streamsum/tuple_counts/
+  * CountSummary.java, Queries.java, TupleComparators.java;
+  * query_api.clj CountSummaryImpl.
+  */
+final class CountSummaryView(state: DataFrame) {
+
+  /** [obj count time]; absent key → (o, 0, None) ≙ [obj 0 nil]. */
+  def getCount(s: Long, a: String, o: Long): (Long, Long, Option[Long]) =
+    state.filter(col("s") === s && col("a") === a && col("o") === o)
+      .select(col("cnt"), col("last_t"))
+      .collect().headOption
+      .map(r => (o, r.getLong(0), Some(r.getLong(1))))
+      .getOrElse((o, 0L, None))
+
+  /** Distinct actions for one subject; may be empty, never null. */
+  def actionsForSubj(s: Long): Seq[String] =
+    state.filter(col("s") === s).select(col("a")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+
+  /** Per-object [obj Σcount max-time] merged across the actions
+    * (merge-leaves semantics). Empty action list = all actions,
+    * matching countsForSubjAction's varargs contract.
+    */
+  def countsForSubjAction(s: Long, actions: String*): Seq[(Long, Long, Long)] = {
+    val base = state.filter(col("s") === s)
+    val filtered =
+      if (actions.isEmpty) base else base.filter(col("a").isin(actions: _*))
+    filtered.groupBy(col("o"))
+      .agg(sum(col("cnt")).as("cnt"), max(col("last_t")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+  }
+
+  def sumCounts(s: Long): Long = sumCounts(s, Seq.empty: _*)
+
+  def sumCounts(s: Long, actions: String*): Long = {
+    val base = state.filter(col("s") === s)
+    val filtered =
+      if (actions.isEmpty) base else base.filter(col("a").isin(actions: _*))
+    filtered.agg(coalesce(sum(col("cnt")), lit(0L))).collect().head.getLong(0)
+  }
+
+  /** Flattened (s, a, o, count, time) tuples for the subject/actions
+    * filter (null subject = all), ordered by one of the six
+    * TupleComparators variants; `Ordering.unsorted` ≙ null comparator.
+    */
+  def tuplesForSubjAction(ordering: CountSummaryView.TupleOrdering,
+                          s: Option[Long],
+                          actions: String*): Seq[(Long, String, Long, Long, Long)] = {
+    val bySubj = s.map(v => state.filter(col("s") === v)).getOrElse(state)
+    val filtered = if (actions.isEmpty) bySubj
+      else bySubj.filter(col("a").isin(actions: _*))
+    val rows = filtered
+      .select(col("s"), col("a"), col("o"), col("cnt"), col("last_t"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    ordering.sort(rows)
+  }
+}
+
+object CountSummaryView {
+
+  type Tuple5L = (Long, String, Long, Long, Long)
+
+  /** ≙ TupleComparators factory methods. */
+  sealed abstract class TupleOrdering(
+      key: Tuple5L => (Long, Long), ascending: Boolean) {
+    def sort(rows: Seq[Tuple5L]): Seq[Tuple5L] = {
+      val sorted = rows.sortBy(key)
+      if (ascending) sorted else sorted.reverse
+    }
+  }
+  case object Unsorted extends TupleOrdering(_ => (0L, 0L), true) {
+    override def sort(rows: Seq[Tuple5L]): Seq[Tuple5L] = rows
+  }
+  final case class ByTime(ascending: Boolean)
+    extends TupleOrdering(r => (r._5, 0L), ascending)
+  final case class ByCount(ascending: Boolean)
+    extends TupleOrdering(r => (r._4, 0L), ascending)
+  final case class ByCountTime(ascending: Boolean)
+    extends TupleOrdering(r => (r._4, r._5), ascending)
+}

@@ -1,0 +1,57 @@
+package graft.api
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** The facade reproduces the reference's query_api_test.clj expectations
+  * over the simple-db fixture.
+  */
+class CountSummaryViewSpec extends SparkSpec {
+
+  private def view: CountSummaryView = {
+    val s = spark; import s.implicits._
+    new CountSummaryView(Seq(
+      (0L, "a0", 0L, 1L, 1000L),
+      (0L, "a0", 1L, 5L, 1001L),
+      (0L, "a1", 1L, 2L, 1005L),
+      (1L, "a0", 1L, 1L, 1002L),
+      (1L, "a0", 3L, 10L, 1010L),
+      (1L, "a0", 5L, 7L, 1008L))
+      .toDF("s", "a", "o", "cnt", "last_t"))
+  }
+
+  test("getCount present and absent") {
+    assert(view.getCount(0L, "a0", 1L) == ((1L, 5L, Some(1001L))))
+    assert(view.getCount(0L, "a0", 99L) == ((99L, 0L, None)))
+  }
+
+  test("actionsForSubj") {
+    assert(view.actionsForSubj(0L) == Seq("a0", "a1"))
+    assert(view.actionsForSubj(42L) == Seq.empty)
+  }
+
+  test("countsForSubjAction merges leaves") {
+    // s0 across a0+a1: o0 [1 1000], o1 [5+2=7, max(1001,1005)=1005]
+    assert(view.countsForSubjAction(0L, "a0", "a1") ==
+      Seq((0L, 1L, 1000L), (1L, 7L, 1005L)))
+  }
+
+  test("sumCounts matches reference expectations") {
+    assert(view.sumCounts(0L) == 8L)
+    assert(view.sumCounts(1L) == 18L)
+    assert(view.sumCounts(0L, "a1") == 2L)
+    assert(view.sumCounts(42L) == 0L)
+  }
+
+  test("tuplesForSubjAction with countTime descending") {
+    val r = view.tuplesForSubjAction(
+      CountSummaryView.ByCountTime(ascending = false), Some(1L))
+    assert(r.map(_._4) == Seq(10L, 7L, 1L))
+    assert(r.head._3 == 3L)
+  }
+
+  test("tuplesForSubjAction unsorted ≙ null comparator") {
+    val r = view.tuplesForSubjAction(CountSummaryView.Unsorted, None)
+    assert(r.size == 6)
+  }
+}
