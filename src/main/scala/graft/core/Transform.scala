@@ -88,8 +88,8 @@ object Transform {
       }.toSeq
   }
 
-  /** The default config in its file form - `parseRules(defaultConfigText)`
-    * == `Config.rules` (asserted in TransformSpec).
+  /** The default config in its file form; parsing it yields exactly
+    * `Config.rules` (asserted in TransformSpec).
     */
   val defaultConfigText: String =
     """# graft transform config: pred -> cache(key,val)[@action], ...
