@@ -89,6 +89,8 @@ object SparkEntry {
     "q_window" -> Tpch.qWindow _,
     "q_sessionize" -> Tpch.qSessionize _,
     "q_salt_agg" -> Tpch.qSaltAgg _,
+    "q_rollup" -> Tpch.qRollup _,
+    "q_stats_agg" -> Tpch.qStatsAgg _,
     // ---- dedup ----
     "dd_exact" -> Dedup.exact _,
     "dd_minhash_lsh" -> Dedup.minhashLsh _,
@@ -143,6 +145,8 @@ object SparkEntry {
     "q_window" -> Tpch.qWindowSql,
     "q_sessionize" -> Tpch.qSessionizeSql,
     "q_salt_agg" -> Tpch.qSaltAggSql,
+    "q_rollup" -> Tpch.qRollupSql,
+    "q_stats_agg" -> Tpch.qStatsAggSql,
     "dd_exact" -> Dedup.exactSql,
     "dd_minhash_lsh" -> Dedup.minhashLshSql,
     "dd_ngram_jaccard" -> Dedup.ngramJaccardSql,

@@ -230,6 +230,55 @@ object Tpch {
       |FROM lineitem GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Multi-level aggregation via ROLLUP: per (flag, status), per flag,
+    * and grand total in one pass - Catalyst expands the grouping sets,
+    * still a single shuffle.
+    */
+  def qRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Graft.table(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        dec("l_quantity", 12, 2).as("qty"))
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("qty")).as("dq"), count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("dq").cast(DoubleType).as("sum_qty"), col("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val qRollupSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** Exact + percentile statistics per group: countDistinct (Spark's
+    * expand + two-phase distinct aggregation) and interpolated median /
+    * quartiles (DuckDB quantile_cont ≙ Spark percentile). Quantiles of
+    * 2-decimal quantities interpolate exactly in both engines.
+    */
+  def qStatsAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Graft.table(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        expr("percentile(l_quantity, 0.5)").as("q50"),
+        expr("percentile(l_quantity, 0.25)").as("q25"),
+        expr("percentile(l_quantity, 0.75)").as("q75"))
+      .orderBy(col("l_returnflag"))
+
+  val qStatsAggSql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps,
+      |  quantile_cont(l_quantity, 0.5) AS q50,
+      |  quantile_cont(l_quantity, 0.25) AS q25,
+      |  quantile_cont(l_quantity, 0.75) AS q75
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** Sessionization: 30-minute-gap sessions per user via lag + running
     * flag sum - the standard single-shuffle formulation (partition by
     * user, in-partition sort by time).
