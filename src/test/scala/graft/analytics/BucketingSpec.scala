@@ -10,6 +10,17 @@ import org.apache.spark.sql.functions._
   */
 class BucketingSpec extends SparkSpec {
 
+  test("HLL approx distinct tracks exact distinct within 5%") {
+    import org.apache.spark.sql.functions._
+    val r = graft.core.Graft.table(spark, sfDir, "lineitem")
+      .agg(countDistinct(col("l_partkey")).as("exact"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx"))
+      .collect().head
+    val (exact, approx) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
   test("bucketed fact-fact join plans without a shuffle") {
     val wh = java.nio.file.Files.createTempDirectory("graft_buckets")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
