@@ -30,6 +30,33 @@ class DedupSimSpec extends SparkSpec {
     assert(js.forall(j => j >= 0.8 && j <= 1.0))
   }
 
+  test("LSH recall: every true Jaccard>=0.9 pair is an LSH candidate") {
+    import org.apache.spark.sql.functions._
+    // ground truth: brute-force all-pairs Jaccard over hashed shingles
+    val docs = graft.core.Graft.table(spark, sfDir, "documents")
+      .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", expr(
+        """array_distinct(transform(sequence(1, size(toks) - 2),
+          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+          |                 element_at(toks, i + 2))))""".stripMargin))
+      .withColumn("hs", expr("transform(sh, s -> graft_md5_48(s))"))
+      .select(col("doc_id"), col("hs"))
+    val truth = docs.as("x").crossJoin(docs.as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .withColumn("inter", size(array_intersect(col("x.hs"), col("y.hs"))))
+      .withColumn("j", col("inter").cast("double") /
+        (size(col("x.hs")) + size(col("y.hs")) - col("inter")).cast("double"))
+      .filter(col("j") >= 0.9)
+      .select(col("x.doc_id"), col("y.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.minhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "expected planted >=0.9 Jaccard pairs")
+    assert(truth.subsetOf(cand),
+      s"LSH missed ${truth.diff(cand).size} of ${truth.size} true pairs")
+  }
+
   test("simhash: near-dup pairs have small hamming distance") {
     val r = Dedup.simhashPairs(spark, sfDir).collect()
     assert(r.forall(_.getLong(2) <= Dedup.hammingThreshold))
