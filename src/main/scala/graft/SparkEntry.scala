@@ -109,6 +109,7 @@ object SparkEntry {
     // ---- multimodal plumbing ----
     "mm_binary_stats" -> Multimodal.binaryStats _,
     "mm_frame_sample" -> Multimodal.frameSample _,
+    "mm_decode_batched" -> Multimodal.decodeBatched _,
     // ---- composed cleaning pipeline ----
     "pipe_corpus_clean" -> ((s, d) => CorpusClean(s, d)),
   )
@@ -161,6 +162,7 @@ object SparkEntry {
     "txt_fingerprint" -> TextAnalysis.fingerprintSql,
     "mm_binary_stats" -> Multimodal.binaryStatsSql,
     "mm_frame_sample" -> Multimodal.frameSampleSql,
+    "mm_decode_batched" -> Multimodal.decodeBatchedSql,
     "pipe_corpus_clean" -> CorpusClean.sql,
   )
 }
