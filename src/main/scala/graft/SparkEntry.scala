@@ -91,6 +91,8 @@ object SparkEntry {
     "q_salt_agg" -> Tpch.qSaltAgg _,
     "q_rollup" -> Tpch.qRollup _,
     "q_stats_agg" -> Tpch.qStatsAgg _,
+    "q_profile" -> Tpch.qProfile _,
+    "txt_pii_scrub" -> TextAnalysis.piiScrub _,
     // ---- dedup ----
     "dd_exact" -> Dedup.exact _,
     "dd_minhash_lsh" -> Dedup.minhashLsh _,
@@ -148,6 +150,8 @@ object SparkEntry {
     "q_salt_agg" -> Tpch.qSaltAggSql,
     "q_rollup" -> Tpch.qRollupSql,
     "q_stats_agg" -> Tpch.qStatsAggSql,
+    "q_profile" -> Tpch.qProfileSql,
+    "txt_pii_scrub" -> TextAnalysis.piiScrubSql,
     "dd_exact" -> Dedup.exactSql,
     "dd_minhash_lsh" -> Dedup.minhashLshSql,
     "dd_ngram_jaccard" -> Dedup.ngramJaccardSql,

@@ -279,6 +279,51 @@ object Tpch {
       |FROM lineitem GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Generic column profiler - the data-quality pass a pipeline runs
+    * before training: per column, null count, distinct count, min/max
+    * (as strings for type-generality). One pass per column batched into
+    * a single aggregate row, then unpivoted; no collect.
+    */
+  def profile(df: org.apache.spark.sql.DataFrame,
+              columns: Seq[String]): DataFrame = {
+    val aggs = columns.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c).cast("string")).as(s"${c}__min"),
+        max(col(c).cast("string")).as(s"${c}__max"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = columns.map { c =>
+      s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`"
+    }.mkString(", ")
+    one.select(expr(
+        s"stack(${columns.size}, $stacked) AS " +
+          "(column_name, n_nulls, n_distinct, min_val, max_val)"))
+      .orderBy(col("column_name"))
+  }
+
+  def qProfile(spark: SparkSession, sfDir: String): DataFrame =
+    profile(Graft.table(spark, sfDir, "orders"),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+
+  val qProfileSql: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val branches = cols.map { c =>
+      s"""  SELECT '$c' AS column_name,
+         |    CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_nulls,
+         |    CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |    min(CAST($c AS VARCHAR)) AS min_val,
+         |    max(CAST($c AS VARCHAR)) AS max_val
+         |  FROM orders""".stripMargin
+    }
+    s"""WITH p AS (
+       |${branches.mkString("\n  UNION ALL\n")}
+       |)
+       |SELECT * FROM p ORDER BY column_name""".stripMargin
+  }
+
   /** Sessionization: 30-minute-gap sessions per user via lag + running
     * flag sum - the standard single-shuffle formulation (partition by
     * user, in-partition sort by time).

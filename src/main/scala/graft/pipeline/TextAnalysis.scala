@@ -173,6 +173,57 @@ object TextAnalysis {
       |    AS chars_per_tok
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- txt_pii_scrub ------------------------------------------------
+
+  /** PII scrubbing: redact email / phone / SSN-shaped spans (the
+    * standard training-data hygiene pass). Narrow per-row regexes;
+    * emits the scrubbed text's digest (not the text - keeps the result
+    * compact) + per-kind redaction counts. The synthetic corpus is
+    * PII-free, so counts are 0 here; TextAnalysisSpec drives the
+    * operator with planted PII.
+    */
+  val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val phoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val ssnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  def piiScrubExpr(textCol: String): org.apache.spark.sql.Column = {
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(col(textCol), emailRe, "<EMAIL>"),
+        ssnRe, "<SSN>"),
+      phoneRe, "<PHONE>")
+    scrubbed
+  }
+
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame =
+    Graft.tableParallel(spark, sfDir, "documents")
+      .withColumn("n_email", size(expr(
+        s"regexp_extract_all(text, '${emailRe.replace("\\", "\\\\")}', 0)"))
+        .cast(LongType))
+      .withColumn("n_phone", size(expr(
+        s"regexp_extract_all(text, '${phoneRe.replace("\\", "\\\\")}', 0)"))
+        .cast(LongType))
+      .withColumn("n_ssn", size(expr(
+        s"regexp_extract_all(text, '${ssnRe.replace("\\", "\\\\")}', 0)"))
+        .cast(LongType))
+      .withColumn("scrubbed_hash", md5(piiScrubExpr("text").cast("binary")))
+      .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ssn"),
+        col("scrubbed_hash"))
+      .orderBy(col("doc_id"))
+
+  val piiScrubSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT)
+       |    AS n_email,
+       |  CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT)
+       |    AS n_phone,
+       |  CAST(len(regexp_extract_all(text, '$ssnRe')) AS BIGINT) AS n_ssn,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |      '$emailRe', '<EMAIL>', 'g'),
+       |      '$ssnRe', '<SSN>', 'g'),
+       |      '$phoneRe', '<PHONE>', 'g')) AS scrubbed_hash
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- txt_fingerprint ----------------------------------------------
 
   /** Winnowing-style fingerprint: md5 over word 3-gram shingles, min

@@ -1,0 +1,42 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Text operators on crafted inputs (the synthetic corpus is PII-free,
+  * so scrubbing semantics are proven here).
+  */
+class TextAnalysisSpec extends SparkSpec {
+
+  test("pii scrub redacts emails, phones and SSNs") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "contact bob@example.com or 555-123-4567 today"),
+      (2L, "ssn 123-45-6789 appears once"),
+      (3L, "clean text with no pii at all"))
+      .toDF("doc_id", "text")
+    val scrubbed = df.select(col("doc_id"),
+        TextAnalysis.piiScrubExpr("text").as("out"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(scrubbed(1L) == "contact <EMAIL> or <PHONE> today")
+    assert(scrubbed(2L) == "ssn <SSN> appears once")
+    assert(scrubbed(3L) == "clean text with no pii at all")
+  }
+
+  test("pii counts align with redactions") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "a@b.co c@d.org and 111-22-3333")).toDF("doc_id", "text")
+    val n = df.select(
+      size(expr(s"regexp_extract_all(text, '${TextAnalysis.emailRe.replace("\\", "\\\\")}', 0)")).as("e"),
+      size(expr(s"regexp_extract_all(text, '${TextAnalysis.ssnRe.replace("\\", "\\\\")}', 0)")).as("s"))
+      .collect().head
+    assert(n.getInt(0) == 2 && n.getInt(1) == 1)
+  }
+
+  test("langid picks the best-scoring marker language deterministically") {
+    val r = TextAnalysis.langid(spark, sfDir).collect()
+    assert(r.length == 500)
+    // same-vocab synthetic corpus: scores must still be well-defined
+    assert(r.forall(x => x.getDouble(3) >= 0.0 && x.getDouble(3) <= 1.0))
+  }
+}
