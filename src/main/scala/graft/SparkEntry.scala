@@ -1,6 +1,6 @@
 package graft
 
-import graft.analytics.Tpch
+import graft.analytics.{AsofJoin, Tpch}
 import graft.core._
 import graft.oracle.Sql
 import graft.pipeline.{CorpusClean, Dedup, Multimodal, Similarity, TextAnalysis}
@@ -92,6 +92,7 @@ object SparkEntry {
     "q_rollup" -> Tpch.qRollup _,
     "q_stats_agg" -> Tpch.qStatsAgg _,
     "q_profile" -> Tpch.qProfile _,
+    "q_asof_join" -> AsofJoin.qAsof _,
     "txt_pii_scrub" -> TextAnalysis.piiScrub _,
     // ---- dedup ----
     "dd_exact" -> Dedup.exact _,
@@ -151,6 +152,7 @@ object SparkEntry {
     "q_rollup" -> Tpch.qRollupSql,
     "q_stats_agg" -> Tpch.qStatsAggSql,
     "q_profile" -> Tpch.qProfileSql,
+    "q_asof_join" -> AsofJoin.qAsofSql,
     "txt_pii_scrub" -> TextAnalysis.piiScrubSql,
     "dd_exact" -> Dedup.exactSql,
     "dd_minhash_lsh" -> Dedup.minhashLshSql,
