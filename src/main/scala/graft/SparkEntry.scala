@@ -82,6 +82,8 @@ object SparkEntry {
     "ss_stream_lastn" -> ((s, d) => StreamSum.streamLastnState(s, d)),
     "ss_stream_windowed" -> StreamSum.streamWindowedCounts _,
     "ss_stream_assoc" -> StreamSum.streamAssocState _,
+    "ss_stream_sessions" -> StreamSum.streamSessionWindows _,
+    "ss_stream_dedup" -> StreamSum.streamDedup _,
     // ---- analytics / bench ----
     "q1_agg" -> Tpch.q1 _,
     "q3_join_agg" -> Tpch.q3 _,
@@ -143,6 +145,8 @@ object SparkEntry {
     "ss_stream_lastn" -> Sql.ssCacheLastn,
     "ss_stream_windowed" -> Sql.ssStreamWindowed,
     "ss_stream_assoc" -> Sql.ssCacheAssoc,
+    "ss_stream_sessions" -> Sql.ssStreamSessions,
+    "ss_stream_dedup" -> Sql.ssStreamDedup,
     "q1_agg" -> Tpch.q1Sql,
     "q3_join_agg" -> Tpch.q3Sql,
     "q5_multijoin" -> Tpch.q5Sql,

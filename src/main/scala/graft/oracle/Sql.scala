@@ -190,6 +190,33 @@ object Sql {
        |       count(*) AS cnt
        |FROM tuples GROUP BY 1, 2 ORDER BY window_start, p""".stripMargin
 
+  /** Batch reconstruction of session_window: lag/gap sessions per
+    * subject over the tuple stream (30-min gap, µs), end = max t + gap.
+    */
+  val ssStreamSessions: String =
+    s"""WITH $tuplesCte, flags AS (
+       |  SELECT s, t, seq,
+       |    CASE WHEN t - lag(t) OVER w > 1800000000
+       |           OR lag(t) OVER w IS NULL
+       |         THEN 1 ELSE 0 END AS new_sess
+       |  FROM tuples
+       |  WINDOW w AS (PARTITION BY s ORDER BY t, seq)
+       |), sess AS (
+       |  SELECT s, t,
+       |    CAST(sum(new_sess) OVER (PARTITION BY s ORDER BY t, seq
+       |                             ROWS BETWEEN UNBOUNDED PRECEDING
+       |                             AND CURRENT ROW) AS BIGINT) AS sid
+       |  FROM flags
+       |)
+       |SELECT s AS user_id, min(t) AS start_t,
+       |       max(t) + 1800000000 AS end_plus_gap,
+       |       count(*) AS n_events
+       |FROM sess GROUP BY s, sid
+       |ORDER BY user_id, start_t""".stripMargin
+
+  val ssStreamDedup: String =
+    s"WITH $tuplesCte SELECT DISTINCT s, o FROM tuples ORDER BY s, o"
+
   val ssMetrics: String =
     s"""$prefix, m AS (
        |  SELECT 'events-received' AS metric, count(*) AS n FROM events

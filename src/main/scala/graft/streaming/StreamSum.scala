@@ -76,6 +76,40 @@ object StreamSum {
       .orderBy(col("cache"), col("k"))
   }
 
+  /** Session windows, natively: `session_window` merges events with
+    * < 30-minute gaps - the declarative form of the batch lag/gap
+    * sessionization (`Tpch.qSessionize`), maintained incrementally with
+    * watermark-bounded state. window.end is last-event-time + gap by
+    * definition, so the batch oracle reconstructs it as max(t) + gap.
+    */
+  def streamSessionWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    val tuples = Transform.extractFrom(streamingEvents(spark, sfDir))
+      .withColumn("ets", timestamp_micros(col("t")))
+    val sessions = tuples
+      .withWatermark("ets", "1 hour")
+      .groupBy(col("s"), session_window(col("ets"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("s").as("user_id"),
+        unix_micros(col("w.start")).as("start_t"),
+        unix_micros(col("w.end")).as("end_plus_gap"),
+        col("n_events"))
+    runToTable(sessions, OutputMode.Complete(), "ss_stream_sessions")
+      .orderBy(col("user_id"), col("start_t"))
+  }
+
+  /** Streaming dedup: first-seen (subject, object) pairs via
+    * dropDuplicates with stream state ≙ an exact-dedup pass over an
+    * unbounded stream. Output restricted to the dedup key so the
+    * result is order-independent.
+    */
+  def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val distinctPairs = Transform.extractFrom(streamingEvents(spark, sfDir))
+      .select(col("s"), col("o"))
+      .dropDuplicates("s", "o")
+    runToTable(distinctPairs, OutputMode.Append(), "ss_stream_dedup")
+      .orderBy(col("s"), col("o"))
+  }
+
   /** Production sink path: stream the count-cache state into a
     * CacheSink snapshot per micro-batch via foreachBatch ≙ the
     * reference pushing recorded tuples at its CacheServer. Complete
