@@ -84,6 +84,7 @@ object SparkEntry {
     "ss_stream_assoc" -> StreamSum.streamAssocState _,
     "ss_stream_sessions" -> StreamSum.streamSessionWindows _,
     "ss_stream_dedup" -> StreamSum.streamDedup _,
+    "ss_stream_join" -> StreamSum.streamStreamJoin _,
     // ---- analytics / bench ----
     "q1_agg" -> Tpch.q1 _,
     "q3_join_agg" -> Tpch.q3 _,
@@ -147,6 +148,7 @@ object SparkEntry {
     "ss_stream_assoc" -> Sql.ssCacheAssoc,
     "ss_stream_sessions" -> Sql.ssStreamSessions,
     "ss_stream_dedup" -> Sql.ssStreamDedup,
+    "ss_stream_join" -> Sql.ssStreamJoin,
     "q1_agg" -> Tpch.q1Sql,
     "q3_join_agg" -> Tpch.q3Sql,
     "q5_multijoin" -> Tpch.q5Sql,

@@ -214,6 +214,15 @@ object Sql {
        |FROM sess GROUP BY s, sid
        |ORDER BY user_id, start_t""".stripMargin
 
+  /** Batch form of the purchase→error interval join (µs interval). */
+  val ssStreamJoin: String =
+    s"""WITH $tuplesCte
+       |SELECT x.s AS s, x.seq AS p_seq, y.seq AS e_seq
+       |FROM tuples x JOIN tuples y
+       |  ON x.s = y.s AND x.p = 'purchase' AND y.p = 'error'
+       | AND y.t >= x.t AND y.t <= x.t + 3600000000
+       |ORDER BY x.s, p_seq, e_seq""".stripMargin
+
   val ssStreamDedup: String =
     s"WITH $tuplesCte SELECT DISTINCT s, o FROM tuples ORDER BY s, o"
 

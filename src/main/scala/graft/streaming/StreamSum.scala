@@ -110,6 +110,29 @@ object StreamSum {
       .orderBy(col("s"), col("o"))
   }
 
+  /** Watermarked stream-stream interval join: purchases followed by an
+    * error for the same subject within one hour (funnel analysis).
+    * Both sides carry watermarks so the join state is bounded by the
+    * interval + lateness - the canonical two-stream join shape.
+    */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val tuples = Transform.extractFrom(streamingEvents(spark, sfDir))
+    val purchases = tuples.filter(col("p") === "purchase")
+      .select(col("s").as("ps"), col("seq").as("p_seq"),
+        timestamp_micros(col("t")).as("p_ets"))
+      .withWatermark("p_ets", "1 hour")
+    val errors = tuples.filter(col("p") === "error")
+      .select(col("s").as("es"), col("seq").as("e_seq"),
+        timestamp_micros(col("t")).as("e_ets"))
+      .withWatermark("e_ets", "1 hour")
+    val joined = purchases.join(errors,
+      expr("""ps = es AND e_ets >= p_ets AND
+              e_ets <= p_ets + INTERVAL 1 HOUR"""))
+      .select(col("ps").as("s"), col("p_seq"), col("e_seq"))
+    runToTable(joined, OutputMode.Append(), "ss_stream_join")
+      .orderBy(col("s"), col("p_seq"), col("e_seq"))
+  }
+
   /** Production sink path: stream the count-cache state into a
     * CacheSink snapshot per micro-batch via foreachBatch ≙ the
     * reference pushing recorded tuples at its CacheServer. Complete
