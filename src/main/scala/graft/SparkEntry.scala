@@ -85,6 +85,7 @@ object SparkEntry {
     "ss_stream_sessions" -> StreamSum.streamSessionWindows _,
     "ss_stream_dedup" -> StreamSum.streamDedup _,
     "ss_stream_join" -> StreamSum.streamStreamJoin _,
+    "ss_stream_lastn_tws" -> ((s, d) => StreamSum.streamLastnTws(s, d)),
     // ---- analytics / bench ----
     "q1_agg" -> Tpch.q1 _,
     "q3_join_agg" -> Tpch.q3 _,
@@ -149,6 +150,7 @@ object SparkEntry {
     "ss_stream_sessions" -> Sql.ssStreamSessions,
     "ss_stream_dedup" -> Sql.ssStreamDedup,
     "ss_stream_join" -> Sql.ssStreamJoin,
+    "ss_stream_lastn_tws" -> Sql.ssCacheLastn,
     "q1_agg" -> Tpch.q1Sql,
     "q3_join_agg" -> Tpch.q3Sql,
     "q5_multijoin" -> Tpch.q5Sql,

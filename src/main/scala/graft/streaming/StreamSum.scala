@@ -3,7 +3,7 @@ package graft.streaming
 import graft.core.{CountK, Config, Graft, LastN, Transform}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, TimeMode, Trigger}
 import org.apache.spark.sql.types.LongType
 
 /** Structured Streaming face of the engine ≙ the reference's live
@@ -108,6 +108,28 @@ object StreamSum {
       .dropDuplicates("s", "o")
     runToTable(distinctPairs, OutputMode.Append(), "ss_stream_dedup")
       .orderBy(col("s"), col("o"))
+  }
+
+  /** Last-N via the Spark 4 transformWithState API (RocksDB state
+    * store) - same result as `streamLastnState`, current-generation
+    * stateful operator.
+    */
+  def streamLastnTws(spark: SparkSession, sfDir: String,
+                     n: Int = Config.lastNSize): DataFrame = {
+    Graft.ensureConf(spark)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    val xf = Transform(Transform.extractFrom(streamingEvents(spark, sfDir)))
+      .filter(col("cache").isin(Config.cachesOf(LastN): _*))
+      .as[XfRow]
+    val out = xf.groupByKey(r => (r.cache, r.k))
+      .transformWithState(new LastNProcessor(n), TimeMode.None(),
+        OutputMode.Update())
+    runToTable(out.toDF(), OutputMode.Update(), "ss_stream_lastn_tws")
+      .select(col("cache"), col("k"), col("v"), col("t"),
+        col("rn").cast(LongType).as("rn"))
+      .orderBy(col("cache"), col("k"), col("rn"))
   }
 
   /** Watermarked stream-stream interval join: purchases followed by an

@@ -94,6 +94,16 @@ class StreamingSpec extends SparkSpec {
     assert(snap.count() == batch.count())
   }
 
+  test("transformWithState last-N == batch last-N (Spark 4 stateful API)") {
+    val r = StreamSum.streamLastnTws(spark, sfDir)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4))).toSet
+    val b = Caches.lastnState(Transform.transformed(spark, sfDir))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4))).toSet
+    assert(r == b)
+  }
+
   test("ringPut keeps N most recent by (t, seq)") {
     val buf = (1L to 30L).foldLeft(Seq.empty[(Long, Long, Long)]) {
       (b, i) => StreamSum.ringPut(b, (i % 7, i, i * 10), 5)
