@@ -2,12 +2,29 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Per-round benchmark: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
-  * Results are fully materialized through a noop sink (count() would let
-  * Catalyst skip sorts/projections and under-report).
+/** Per-round benchmark: runs the headline queries (one representative
+  * per operator family; SPARK_GRAFT_BENCH_ALL=1 runs everything)
+  * against SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query
+  * seconds. Results are fully materialized through a noop sink
+  * (count() would let Catalyst skip sorts/projections and
+  * under-report).
   */
 object Bench {
+
+  val headline: Seq[String] = Seq(
+    // streamsum core: full pipeline + the cache/query workhorses
+    "ss_pipeline_e2e", "ss_transform", "ss_cache_count", "ss_cache_lastn",
+    "ss_q_counts_for_subj_action", "ss_q_topk_per_subj",
+    // streaming faces
+    "ss_stream_count", "ss_stream_lastn",
+    // analytics
+    "q1_agg", "q3_join_agg", "q5_multijoin", "q_window", "q_sessionize",
+    "q_asof_join",
+    // training-data pipeline
+    "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard", "dd_simhash",
+    "ann_topk_brute", "ann_lsh_bucketed", "txt_stats", "txt_fingerprint",
+    "mm_binary_stats", "pipe_corpus_clean")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -24,7 +41,11 @@ object Bench {
     // reflect steady-state execution, not first-call compilation.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    val selected =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))
+        SparkEntry.queries.toSeq.sortBy(_._1)
+      else headline.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+    val results = selected.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
