@@ -1,0 +1,46 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Plan-shape guarantees the 100 TB posture depends on, asserted so a
+  * refactor can't silently regress them (complements PLANS.md).
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1: filter and projection reach the parquet scan") {
+    val plan = executed(Tpch.q1(spark, sfDir))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!plan.contains("l_orderkey"), "column pruning failed: read a column q1 never uses")
+  }
+
+  test("q3/q5: every dimension joins as a broadcast") {
+    val p3 = executed(Tpch.q3(spark, sfDir))
+    assert(p3.contains("BroadcastHashJoin"))
+    assert(!p3.contains("SortMergeJoin"))
+    val p5 = executed(Tpch.q5(spark, sfDir))
+    // AQE's final-plan rendering repeats join nodes; require at least
+    // the five dimension joins and no sort-merge anywhere
+    assert(p5.linesIterator.count(_.contains("BroadcastHashJoin")) >= 5)
+    assert(!p5.contains("SortMergeJoin"))
+  }
+
+  test("ann brute force: corpus side is never shuffled before scoring") {
+    val plan = executed(graft.pipeline.Similarity.annTopKBrute(spark, sfDir))
+    // the only hash exchanges are the rank window (q_id) + final sort;
+    // the corpus reaches the join via scan (+ round-robin spread), not
+    // a keyed shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+           plan.contains("BroadcastHashJoin"))
+  }
+
+  test("dedup verification join runs on candidates, not all pairs") {
+    val plan = executed(graft.pipeline.Dedup.ngramJaccard(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"),
+      "jaccard must join LSH candidates, never cross the corpus")
+  }
+}
