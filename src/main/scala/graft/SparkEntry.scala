@@ -98,6 +98,7 @@ object SparkEntry {
     "q_profile" -> Tpch.qProfile _,
     "q_asof_join" -> AsofJoin.qAsof _,
     "txt_pii_scrub" -> TextAnalysis.piiScrub _,
+    "txt_sample" -> ((s, d) => TextAnalysis.sample(s, d)),
     // ---- dedup ----
     "dd_exact" -> Dedup.exact _,
     "dd_minhash_lsh" -> Dedup.minhashLsh _,
@@ -162,6 +163,7 @@ object SparkEntry {
     "q_profile" -> Tpch.qProfileSql,
     "q_asof_join" -> AsofJoin.qAsofSql,
     "txt_pii_scrub" -> TextAnalysis.piiScrubSql,
+    "txt_sample" -> TextAnalysis.sampleSql(),
     "dd_exact" -> Dedup.exactSql,
     "dd_minhash_lsh" -> Dedup.minhashLshSql,
     "dd_ngram_jaccard" -> Dedup.ngramJaccardSql,

@@ -224,6 +224,32 @@ object TextAnalysis {
        |      '$phoneRe', '<PHONE>', 'g')) AS scrubbed_hash
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- txt_sample ---------------------------------------------------
+
+  /** Deterministic hash-based sampling - how a production pipeline
+    * takes a reproducible x% slice of a corpus (seed-stable across
+    * reruns and engines, unlike rand()): keep a document iff its
+    * content hash falls in the sample band; report per-language counts
+    * so stratification is visible.
+    */
+  def sample(spark: SparkSession, sfDir: String, mod: Int = 10): DataFrame =
+    Graft.tableParallel(spark, sfDir, "documents")
+      .withColumn("h", expr("graft_md5_48(concat('sample:', doc_id))"))
+      .filter(col("h") % mod === 0)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang"))
+
+  def sampleSql(mod: Int = 10): String = {
+    val h48 = graft.pipeline.HashParity.hex48Duck(
+      "md5(concat('sample:', doc_id))")
+    s"""SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
+       |FROM documents
+       |WHERE $h48 % $mod = 0
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   // ---- txt_fingerprint ----------------------------------------------
 
   /** Winnowing-style fingerprint: md5 over word 3-gram shingles, min
