@@ -17,6 +17,9 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 trait CacheSink {
   def put(cacheName: String, state: DataFrame): Unit
   def get(spark: SparkSession, cacheName: String): DataFrame
+
+  /** ≙ caches.clj `reset-caches!`: drop a cache's published state. */
+  def reset(spark: SparkSession, cacheName: String): Unit
 }
 
 /** ≙ default-cache-server (caches.clj:215): session-scoped, in-memory. */
@@ -25,6 +28,8 @@ final class MemoryCacheSink extends CacheSink {
     state.createOrReplaceTempView(s"graft_cache_$cacheName")
   override def get(spark: SparkSession, cacheName: String): DataFrame =
     spark.table(s"graft_cache_$cacheName")
+  override def reset(spark: SparkSession, cacheName: String): Unit =
+    spark.catalog.dropTempView(s"graft_cache_$cacheName")
 }
 
 /** Durable store: one parquet directory per cache under `root`. */
@@ -33,4 +38,9 @@ final class ParquetCacheSink(root: String) extends CacheSink {
     state.write.mode(SaveMode.Overwrite).parquet(s"$root/$cacheName")
   override def get(spark: SparkSession, cacheName: String): DataFrame =
     spark.read.parquet(s"$root/$cacheName")
+  override def reset(spark: SparkSession, cacheName: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(s"$root/$cacheName")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
 }

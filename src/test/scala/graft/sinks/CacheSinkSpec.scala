@@ -15,6 +15,16 @@ class CacheSinkSpec extends SparkSpec {
     assert(back.columns.toSeq == st.columns.toSeq)
   }
 
+  test("reset drops published state (reset-caches! semantics)") {
+    val sink = new MemoryCacheSink
+    sink.put("tmp", Caches.keycountState(Transform.transformed(spark, sfDir)))
+    assert(sink.get(spark, "tmp").count() > 0)
+    sink.reset(spark, "tmp")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      sink.get(spark, "tmp").count()
+    }
+  }
+
   test("parquet sink round-trips cache state durably") {
     val sink = new ParquetCacheSink(
       java.nio.file.Files.createTempDirectory("graft_sink").toString)
