@@ -74,6 +74,16 @@ object SparkEntry {
       CountQueries.sortedVariants(s, d).orderBy(col("ordering"), col("rk"))),
     "ss_q_topk_per_subj" -> ((s, d) =>
       CountQueries.topKPerSubj(s, d).orderBy(col("s"), col("rk"))),
+    "ss_q_topk_custom" -> ((s, d) => {
+      val counts = Caches.countState(Transform.transformed(s, d))
+        .drop("cache")
+      graft.plans.TopK.perKey(counts, Seq("s"),
+          Seq(("cnt", false), ("last_t", false), ("a", true), ("o", true)),
+          3)
+        .select(col("s"), col("a"), col("o"), col("cnt"), col("last_t"),
+          col("rk"))
+        .orderBy(col("s"), col("rk"))
+    }),
     "ss_metrics" -> ((s, d) => CountQueries.metrics(s, d).orderBy("metric")),
     "ss_encode_output" -> ((s, d) =>
       CountQueries.encodeOutput(s, d).orderBy(col("seq"), col("cache"))),
@@ -141,6 +151,7 @@ object SparkEntry {
     "ss_q_tuples_sorted" -> Sql.ssQTuplesSorted,
     "ss_q_sort_variants" -> Sql.ssQSortVariants,
     "ss_q_topk_per_subj" -> Sql.ssQTopkPerSubj(3),
+    "ss_q_topk_custom" -> Sql.ssQTopkPerSubj(3),
     "ss_metrics" -> Sql.ssMetrics,
     "ss_encode_output" -> Sql.ssEncodeOutput,
     "ss_pipeline_e2e" -> Sql.ssPipelineE2e,

@@ -207,6 +207,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     new ExpressionInfo("graft.functions", name)
 
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(graft.plans.TopKPerKeyStrategy(_))
     e.injectFunction((FunctionIdentifier("graft_cosine"),
       info("graft_cosine", "cosine similarity of two float vectors"),
       exprs => CosineSim(exprs(0), exprs(1))))

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Minimal private[sql] bridge: build a DataFrame from a LogicalPlan
+  * (the standard extension-library pattern for custom operators; only
+  * `Dataset.ofRows` is touched).
+  */
+object GraftBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(
+      spark.asInstanceOf[classic.SparkSession], plan)
+}

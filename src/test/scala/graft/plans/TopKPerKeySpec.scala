@@ -1,0 +1,42 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.core.{Caches, CountQueries, Transform}
+import org.apache.spark.sql.functions._
+
+/** The custom bounded-heap top-k operator: plans through the injected
+  * strategy (exec node present) and agrees row-for-row with the
+  * window-function formulation.
+  */
+class TopKPerKeySpec extends SparkSpec {
+
+  test("custom exec node is planned and matches the window formulation") {
+    val counts = Caches.countState(Transform.transformed(spark, sfDir))
+      .drop("cache")
+    val custom = TopK.perKey(counts, Seq("s"),
+      Seq(("cnt", false), ("last_t", false), ("a", true), ("o", true)), 3)
+      .select(col("s"), col("a"), col("o"), col("cnt"), col("last_t"),
+        col("rk"))
+    custom.collect()
+    assert(custom.queryExecution.executedPlan.toString
+      .contains("TopKPerKey "), "custom operator not planned")
+    val viaWindow = CountQueries.topKPerSubjFrom(counts, 3)
+    val a = custom.collect().map(_.toSeq).toSet
+    val b = viaWindow.collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("bounded heap keeps exact top-k under ties broken by order cols") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "x", 10L), (1L, "y", 10L), (1L, "z", 5L), (1L, "w", 20L),
+      (2L, "a", 1L))
+      .toDF("k", "tag", "score")
+    val r = TopK.perKey(df, Seq("k"),
+      Seq(("score", false), ("tag", true)), 2)
+      .select(col("k"), col("tag"), col("rk"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+      .toSet
+    assert(r == Set((1L, "w", 1L), (1L, "x", 2L), (2L, "a", 1L)))
+  }
+}
