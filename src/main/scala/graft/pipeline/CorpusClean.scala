@@ -44,9 +44,9 @@ object CorpusClean {
        |  FROM cand c
        |  JOIN hs a ON a.doc_id = c.doc_a
        |  JOIN hs b ON b.doc_id = c.doc_b
-       |  WHERE round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |  WHERE (floor((CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
        |              / CAST(len(a.hs) + len(b.hs)
-       |                     - len(list_intersect(a.hs, b.hs)) AS DOUBLE), 6)
+       |                     - len(list_intersect(a.hs, b.hs)) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)
        |        >= ${Dedup.jaccardThreshold}
        |), exact_keep AS (
        |  SELECT doc_id FROM (
@@ -58,20 +58,20 @@ object CorpusClean {
        |  SELECT doc_id, lang,
        |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
        |      AS n_tokens,
-       |    round(CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
+       |    (floor((CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
        |            x -> x IN (${TextAnalysis.stopwords.map(s => s"'$s'").mkString(", ")})))
        |          AS DOUBLE)
-       |          / CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 6)
+       |          / CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)
        |      AS stop_ratio,
-       |    round(CAST(length(text)
+       |    (floor((CAST(length(text)
        |               - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
        |               AS DOUBLE)
-       |          / CAST(length(text) AS DOUBLE), 6) AS punct_ratio
+       |          / CAST(length(text) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) AS punct_ratio
        |  FROM documents
        |), scored AS (
        |  SELECT doc_id, lang, n_tokens,
-       |    round(least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
-       |          * (1.0 - stop_ratio * 0.5) * (1.0 - punct_ratio), 6)
+       |    (floor((least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+       |          * (1.0 - stop_ratio * 0.5) * (1.0 - punct_ratio)) * 1000000.0 + 0.5) / 1000000.0)
        |      AS quality
        |  FROM st
        |)

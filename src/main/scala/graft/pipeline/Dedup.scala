@@ -156,10 +156,10 @@ object Dedup {
               .withColumnRenamed("hs", "hs_b"), "doc_b")
       .withColumn("inter",
         size(array_intersect(col("hs_a"), col("hs_b"))).cast(LongType))
-      .withColumn("jaccard", round(
+      .withColumn("jaccard", ParityMath.q6(
         col("inter").cast("double") /
           (size(col("hs_a")) + size(col("hs_b")) - col("inter"))
-            .cast("double"), 6))
+            .cast("double")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -172,9 +172,9 @@ object Dedup {
        |    ON x.b = y.b AND x.h = y.h AND x.doc_id < y.doc_id
        |), j AS (
        |  SELECT c.doc_a, c.doc_b,
-       |    round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |    (floor((CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
        |          / CAST(len(a.hs) + len(b.hs)
-       |                 - len(list_intersect(a.hs, b.hs)) AS DOUBLE), 6)
+       |                 - len(list_intersect(a.hs, b.hs)) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)
        |      AS jaccard
        |  FROM cand c
        |  JOIN hs a ON a.doc_id = c.doc_a

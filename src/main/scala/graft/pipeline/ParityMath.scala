@@ -1,0 +1,20 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{floor, lit}
+
+/** Portable 6-decimal quantization. Engine round() implementations
+  * disagree on exact ties (Spark rounds the shortest decimal
+  * representation HALF_UP; DuckDB rounds the exact binary value), which
+  * matters whenever a ratio of small integers lands on x.xxxxxx5.
+  * floor(x·1e6 + 0.5)/1e6 is the same three IEEE ops in both engines,
+  * so results are bitwise identical by construction.
+  */
+object ParityMath {
+
+  def q6(c: Column): Column =
+    floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+
+  def q6Sql(e: String): String =
+    s"(floor(($e) * 1000000.0 + 0.5) / 1000000.0)"
+}

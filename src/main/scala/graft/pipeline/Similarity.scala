@@ -65,7 +65,7 @@ object Similarity {
         col("x.label") === col("y.label") &&
         col("x.vec_id") < col("y.vec_id"))
       .withColumn("sim",
-        round(expr(cosSpark("x.embedding", "y.embedding")), 6))
+        ParityMath.q6(expr(cosSpark("x.embedding", "y.embedding"))))
       .filter(col("sim") >= cosinePairThreshold)
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
         col("x.label").cast(LongType).as("label"), col("sim"))
@@ -75,10 +75,10 @@ object Similarity {
   val embedCosinePairsSql: String =
     s"""SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
        |  CAST(x.label AS BIGINT) AS label,
-       |  round(${cosDuck("x.embedding", "y.embedding")}, 6) AS sim
+       |  (floor((${cosDuck("x.embedding", "y.embedding")}) * 1000000.0 + 0.5) / 1000000.0) AS sim
        |FROM embeddings x JOIN embeddings y
        |  ON x.label = y.label AND x.vec_id < y.vec_id
-       |WHERE round(${cosDuck("x.embedding", "y.embedding")}, 6)
+       |WHERE (floor((${cosDuck("x.embedding", "y.embedding")}) * 1000000.0 + 0.5) / 1000000.0)
        |      >= $cosinePairThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
 
@@ -94,7 +94,7 @@ object Similarity {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("sim", round(expr(cosSpark("q_emb", "embedding")), 6))
+      .withColumn("sim", ParityMath.q6(expr(cosSpark("q_emb", "embedding"))))
       .withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= topK)
       .select(col("q_id"), col("vec_id"), col("sim"), col("rk"))
@@ -104,7 +104,7 @@ object Similarity {
   val annTopKBruteSql: String =
     s"""WITH scored AS (
        |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
-       |    round(${cosDuck("q.embedding", "e.embedding")}, 6) AS sim
+       |    (floor((${cosDuck("q.embedding", "e.embedding")}) * 1000000.0 + 0.5) / 1000000.0) AS sim
        |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
        |  WHERE q.vec_id < $numQueries
        |), ranked AS (
@@ -161,7 +161,7 @@ object Similarity {
       .orderBy(col("sim").desc, col("vec_id"))
     e.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("sim", round(expr(cosSpark("q_emb", "embedding")), 6))
+      .withColumn("sim", ParityMath.q6(expr(cosSpark("q_emb", "embedding"))))
       .withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= topK)
       .select(col("q_id"), col("vec_id"), col("bucket").cast(LongType)
@@ -177,7 +177,7 @@ object Similarity {
        |), scored AS (
        |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
        |    CAST(e.bucket AS BIGINT) AS bucket,
-       |    round(${cosDuck("q.embedding", "e.embedding")}, 6) AS sim
+       |    (floor((${cosDuck("q.embedding", "e.embedding")}) * 1000000.0 + 0.5) / 1000000.0) AS sim
        |  FROM b q JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
        |  WHERE q.vec_id < $numQueries
        |), ranked AS (
@@ -221,7 +221,7 @@ object Similarity {
     probes.join(assign, "cid")
       .filter(col("vec_id") =!= col("q_id"))
       .join(e, "vec_id")
-      .withColumn("sim", round(expr(cosSpark("q_emb", "embedding")), 6))
+      .withColumn("sim", ParityMath.q6(expr(cosSpark("q_emb", "embedding"))))
       .withColumn("rk", row_number().over(wTop).cast(LongType))
       .filter(col("rk") <= topK)
       .select(col("q_id"), col("vec_id"), col("sim"), col("rk"))
@@ -252,7 +252,7 @@ object Similarity {
        |  ) WHERE prk <= $ivfProbes
        |), scored AS (
        |  SELECT p.q_id, a.vec_id,
-       |    round(${cosDuck("q.embedding", "e.embedding")}, 6) AS sim
+       |    (floor((${cosDuck("q.embedding", "e.embedding")}) * 1000000.0 + 0.5) / 1000000.0) AS sim
        |  FROM probes p
        |  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.q_id
        |  JOIN e ON e.vec_id = a.vec_id

@@ -13,7 +13,7 @@ import org.apache.spark.sql.types.LongType
   *
   * Every formula is written twice (Column DSL + DuckDB SQL) from the
   * same definitions; doubles only ever come from exact integer ratios or
-  * identically-ordered arithmetic, then round(…,6), so the oracle
+  * identically-ordered arithmetic, then ParityMath.q6(…), so the oracle
   * hash-matches bit-for-bit.
   */
 object TextAnalysis {
@@ -46,14 +46,14 @@ object TextAnalysis {
       .withColumn("n_punct",
         (length(col("text")) -
          length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast(LongType))
-      .withColumn("stop_ratio", round(
-        col("n_stop").cast("double") / col("n_tokens").cast("double"), 6))
-      .withColumn("punct_ratio", round(
-        col("n_punct").cast("double") / col("n_chars_calc").cast("double"), 6))
-      .withColumn("quality", round(
+      .withColumn("stop_ratio", ParityMath.q6(
+        col("n_stop").cast("double") / col("n_tokens").cast("double")))
+      .withColumn("punct_ratio", ParityMath.q6(
+        col("n_punct").cast("double") / col("n_chars_calc").cast("double")))
+      .withColumn("quality", ParityMath.q6(
         least(lit(1.0), col("n_tokens").cast("double") / lit(50.0)) *
           (lit(1.0) - col("stop_ratio") * lit(0.5)) *
-          (lit(1.0) - col("punct_ratio")), 6))
+          (lit(1.0) - col("punct_ratio"))))
       .select(col("doc_id"), col("lang"), col("n_chars_calc"),
         col("n_tokens"), col("n_stop"), col("n_punct"),
         col("stop_ratio"), col("punct_ratio"), col("quality"))
@@ -74,16 +74,16 @@ object TextAnalysis {
        |  FROM documents
        |), r AS (
        |  SELECT *,
-       |    round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+       |    (floor((CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)
        |      AS stop_ratio,
-       |    round(CAST(n_punct AS DOUBLE) / CAST(n_chars_calc AS DOUBLE), 6)
+       |    (floor((CAST(n_punct AS DOUBLE) / CAST(n_chars_calc AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)
        |      AS punct_ratio
        |  FROM t
        |)
        |SELECT doc_id, lang, n_chars_calc, n_tokens, n_stop, n_punct,
        |  stop_ratio, punct_ratio,
-       |  round(least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
-       |        * (1.0 - stop_ratio * 0.5) * (1.0 - punct_ratio), 6)
+       |  (floor((least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+       |        * (1.0 - stop_ratio * 0.5) * (1.0 - punct_ratio)) * 1000000.0 + 0.5) / 1000000.0)
        |    AS quality
        |FROM r ORDER BY doc_id""".stripMargin
 
@@ -109,8 +109,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         explode(array(langScores: _*)).as("s"))
       .select(col("doc_id"), col("lang"), col("s.cand").as("cand"),
-        round(col("s.hits").cast("double") / col("n_tokens").cast("double"),
-          6).as("score"))
+        ParityMath.q6(col("s.hits").cast("double") / col("n_tokens").cast("double")).as("score"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("lang"), col("cand").as("pred_lang"),
@@ -122,10 +121,10 @@ object TextAnalysis {
     val branches = langMarkers.map { case (lang, markers) =>
       val ml = markers.map(m => s"'$m'").mkString(", ")
       s"""  SELECT doc_id, lang, '$lang' AS cand,
-         |    round(CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
+         |    (floor((CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
          |                   x -> x IN ($ml))) AS DOUBLE)
-         |          / CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE),
-         |          6) AS score
+         |          / CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE))
+         |          * 1000000.0 + 0.5) / 1000000.0) AS score
          |  FROM documents""".stripMargin
     }
     s"""WITH scored AS (
@@ -155,8 +154,8 @@ object TextAnalysis {
       .withColumn("n_distinct", expr(
         "size(array_distinct(regexp_extract_all(text, '\\\\S+', 0)))")
         .cast(LongType))
-      .withColumn("chars_per_tok", round(
-        length(col("text")).cast("double") / col("n_ws").cast("double"), 6))
+      .withColumn("chars_per_tok", ParityMath.q6(
+        length(col("text")).cast("double") / col("n_ws").cast("double")))
       .select(col("doc_id"), col("n_ws"), col("n_bpe"), col("n_distinct"),
         col("chars_per_tok"))
       .orderBy(col("doc_id"))
@@ -168,8 +167,8 @@ object TextAnalysis {
       |       AS BIGINT) AS n_bpe,
       |  CAST(len(list_distinct(regexp_extract_all(text, '\S+'))) AS BIGINT)
       |    AS n_distinct,
-      |  round(CAST(length(text) AS DOUBLE)
-      |        / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 6)
+      |  (floor((CAST(length(text) AS DOUBLE)
+      |        / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)
       |    AS chars_per_tok
       |FROM documents ORDER BY doc_id""".stripMargin
 
