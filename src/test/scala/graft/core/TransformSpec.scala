@@ -59,6 +59,15 @@ class TransformSpec extends SparkSpec {
     assert(Transform.parseRules(Transform.defaultConfigText) == Config.rules)
   }
 
+  test("parseRules rejects malformed config lines") {
+    intercept[IllegalArgumentException] {
+      Transform.parseRules("purchase -> just some garbage")
+    }
+    intercept[Exception] {
+      Transform.parseRules("no arrow here")
+    }
+  }
+
   test("transform is a narrow plan (no shuffle)") {
     val plan = Transform(Transform.extractFrom(eventsDf))
       .queryExecution.executedPlan.toString
