@@ -26,6 +26,27 @@ class TopKPerKeySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("randomized: custom operator == window formulation on 1000 rows") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(1000)((rnd.nextInt(20).toLong,
+      rnd.nextInt(100).toLong, rnd.nextLong())) // key, score, uid
+    val df = rows.toDF("k", "score", "uid")
+    val k = 4
+    val custom = TopK.perKey(df, Seq("k"),
+      Seq(("score", false), ("uid", true)), k)
+      .select(col("k"), col("score"), col("uid"), col("rk"))
+      .collect().map(_.toSeq).toSet
+    val win = df.withColumn("rk",
+        row_number().over(W.partitionBy(col("k"))
+          .orderBy(col("score").desc, col("uid"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("k"), col("score"), col("uid"), col("rk"))
+      .collect().map(_.toSeq).toSet
+    assert(custom == win)
+  }
+
   test("bounded heap keeps exact top-k under ties broken by order cols") {
     val s = spark; import s.implicits._
     val df = Seq(
