@@ -22,7 +22,11 @@ object SparkEntry {
     * ordered ≙ the reference system's complete summarized output.
     */
   def pipelineE2e(spark: SparkSession, dir: String): DataFrame = {
-    val xf = Transform.transformed(spark, dir)
+    // One scan+extract+transform feeds all four cache aggregations:
+    // without the persist, Spark recomputes the transform subtree per
+    // union branch (4× the input read - real money at 100 TB, where
+    // this relation would be a materialized intermediate anyway).
+    val xf = Transform.transformed(spark, dir).persist()
     val nullS = lit(null).cast(StringType)
     val nullL = lit(null).cast(LongType)
     val a = Caches.assocState(xf).select(col("cache"), col("k"),

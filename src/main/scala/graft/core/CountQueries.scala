@@ -107,13 +107,41 @@ object CountQueries {
       "count_time_desc" -> Seq(c("cnt").desc, c("last_t").desc))
   }
 
+  /** Global rank without the global-window scale-killer: range
+    * partition on the full (unique) order key, sort within partitions,
+    * then zipWithIndex - rank = partition-local index + the cumulative
+    * size of earlier (range-ordered) partitions. A `Window.orderBy`
+    * with no partitionBy funnels the whole relation through ONE task;
+    * this computes the identical rank with the sort spread across all
+    * partitions. zipWithIndex's size-count pass reuses the same shuffle
+    * output as the main pass (one RDD lineage), so the partitioning the
+    * offsets were computed from is exactly the partitioning the rows
+    * carry - unlike a self-join on spark_partition_id(), where the two
+    * sides may re-sample different range bounds.
+    */
+  private def rankedGlobally(state: DataFrame, name: String,
+                             order: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val spark = state.sparkSession
+    val parts = spark.sparkContext.defaultParallelism
+    val sorted = state
+      .select(col("s"), col("a"), col("o"), col("cnt"), col("last_t"))
+      .repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("rk", LongType, nullable = false))
+    val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(ranked, schema)
+      .select(lit(name).as("ordering"), col("rk"),
+        col("s"), col("a"), col("o"), col("cnt"), col("last_t"))
+  }
+
   def sortedVariantsFrom(state: DataFrame): DataFrame =
     sortVariants.map { case (name, order) =>
-      val w = Window.orderBy(order ++ Seq(col("s").asc, col("a").asc,
-        col("o").asc): _*)
-      state.select(lit(name).as("ordering"),
-        row_number().over(w).cast(LongType).as("rk"),
-        col("s"), col("a"), col("o"), col("cnt"), col("last_t"))
+      rankedGlobally(state, name,
+        order ++ Seq(col("s").asc, col("a").asc, col("o").asc))
     }.reduce(_ unionAll _)
 
   def sortedVariants(spark: SparkSession, sfDir: String): DataFrame =

@@ -40,6 +40,12 @@ object Graft {
   def tableParallel(spark: SparkSession, sfDir: String,
                     name: String): DataFrame = {
     val df = table(spark, sfDir, name)
-    df.repartition(spark.sparkContext.defaultParallelism)
+    // Only pay the round-robin shuffle when the scan is actually
+    // starved of splits: a production table with thousands of row
+    // groups already feeds every core, and an unconditional
+    // repartition would re-shuffle the whole corpus for nothing.
+    val cores = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= cores) df
+    else df.repartition(cores)
   }
 }

@@ -194,6 +194,151 @@ case class SimHash48(child: Expression)
     copy(child = newChild)
 }
 
+/** Random-hyperplane LSH math shared by the native bucket expression
+  * and (as precomputed literals) the DuckDB oracle SQL. Sign(j, i) is
+  * +1/-1 from the first md5 nibble of "p{j}:{i}" - deterministic, no
+  * seed to ship. The per-(planes, dims) sign matrix is built once per
+  * JVM and cached; bucket evaluation is one fused loop per row.
+  */
+object LshMath {
+
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  /** First md5 nibble of s (0-15). */
+  private def firstNibble(s: String): Int = {
+    val d = md.get(); d.reset()
+    (d.digest(s.getBytes("UTF-8"))(0) >> 4) & 0xf
+  }
+
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def signs(planes: Int, dims: Int): Array[Array[Double]] =
+    signCache.computeIfAbsent((planes, dims), { case (p, d) =>
+      Array.tabulate(p, d) { (j, i) =>
+        if (firstNibble(s"p$j:$i") >= 8) 1.0 else -1.0
+      }
+    })
+
+  /** Bucket id in [0, 2^planes): bit j set iff the signed sum of plane
+    * j is > 0. Pinned evaluation order (ascending index, double
+    * accumulation, ±1.0 multiply - all exact IEEE ops) so the result
+    * is bitwise identical to the literal sum formulation the DuckDB
+    * oracle evaluates.
+    */
+  def bucket(arr: ArrayData, planes: Int): Long = {
+    val dims = arr.numElements()
+    val s = signs(planes, dims)
+    var b = 0L
+    var j = 0
+    while (j < planes) {
+      val row = s(j)
+      var acc = 0.0
+      var i = 0
+      while (i < dims) { acc += row(i) * arr.getFloat(i).toDouble; i += 1 }
+      if (acc > 0) b |= (1L << j)
+      j += 1
+    }
+    b
+  }
+}
+
+/** graft_lsh_bucket(vec[, planes]): random-hyperplane bucket id. The
+  * codegen'd replacement for a ~(planes × dims)-term generated SQL
+  * expression, which falls out of whole-stage codegen (Janino method
+  * size) and pays interpreted evaluation per row.
+  */
+case class LshBucket(child: Expression, planes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_lsh_bucket expects array<float>, got ${other.catalogString}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lsh_bucket"
+
+  override def nullSafeEval(v: Any): Any =
+    LshMath.bucket(v.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.LshMath.bucket($c, $planes)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object IvfMath {
+
+  /** Index of the centroid with the highest pinned-order cosine to
+    * `vec`; ties resolve to the smallest index (≙ ORDER BY csim DESC,
+    * cid ASC with row_number = 1). One pass over the row, zero shuffle,
+    * zero copies of the corpus - replaces a crossJoin + window argmax
+    * that shuffled #centroids copies of every corpus row.
+    */
+  def nearest(vec: ArrayData, cents: Array[Array[Float]]): Long = {
+    val n = vec.numElements()
+    var best = Double.NegativeInfinity
+    var bestC = 0
+    var c = 0
+    while (c < cents.length) {
+      val ce = cents(c)
+      val m = math.min(n, ce.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < m) {
+        val xv = vec.getFloat(i).toDouble
+        val yv = ce(i).toDouble
+        dot += xv * yv; na += xv * xv; nb += yv * yv; i += 1
+      }
+      val csim = dot / (math.sqrt(na) * math.sqrt(nb))
+      if (csim > best) { best = csim; bestC = c }
+      c += 1
+    }
+    bestC.toLong
+  }
+}
+
+/** graft_nearest_centroid(vec): argmax-cosine centroid id against a
+  * plan-time centroid matrix (row index = centroid id). Built via the
+  * Column API (the matrix is not SQL-expressible), used by ann_ivf's
+  * assignment stage.
+  */
+case class NearestCentroid(child: Expression, cents: Seq[Seq[Float]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  @transient private lazy val centsArr: Array[Array[Float]] =
+    cents.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_nearest_centroid expects array<float>, got ${other.catalogString}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_nearest_centroid"
+
+  override def nullSafeEval(v: Any): Any =
+    IvfMath.nearest(v.asInstanceOf[ArrayData], centsArr)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", centsArr, "float[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.IvfMath.nearest($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** SparkSessionExtensions entry point: builds that set
   * `spark.sql.extensions=graft.functions.GraftExtensions` get the graft
   * functions injected at session construction (no runtime registration
@@ -220,10 +365,26 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_simhash48"),
       info("graft_simhash48", "48-bit simhash of hashed tokens"),
       exprs => SimHash48(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_lsh_bucket"),
+      info("graft_lsh_bucket", "random-hyperplane LSH bucket id"),
+      exprs => NativeFunctions.lshBucketBuilder(exprs)))
   }
 }
 
 object NativeFunctions {
+
+  /** graft_lsh_bucket(vec) or graft_lsh_bucket(vec, planes) - planes
+    * must be an integer literal (it shapes the sign matrix at plan time).
+    */
+  def lshBucketBuilder(exprs: Seq[Expression]): Expression = {
+    val planes = exprs.lift(1) match {
+      case None => 8
+      case Some(org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft_lsh_bucket planes must be an int literal, got $other")
+    }
+    LshBucket(exprs.head, planes)
+  }
 
   /** Idempotently register the expressions as SQL temp functions so any
     * query (or `expr(...)` fragment) can call graft_cosine /
@@ -240,5 +401,7 @@ object NativeFunctions {
       exprs => Md5Prefix48(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash48",
       exprs => SimHash48(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_lsh_bucket",
+      lshBucketBuilder, "built-in")
   }
 }

@@ -54,15 +54,19 @@ object Similarity {
 
   // ---- dd_embed_cosine ----------------------------------------------
 
-  /** Embedding near-dup pairs, blocked on the label column (the
-    * blocking key stands in for a coarse clustering at scale: only
-    * same-block pairs are compared, so the join shuffles on label, not
-    * all-pairs).
+  /** Embedding near-dup pairs, blocked on (label, LSH bucket): only
+    * pairs agreeing on both are compared, so the join shuffles on a
+    * bounded composite key. Bucketing is what bounds the block: a hot
+    * label alone is O(block²) all-pairs, but the random-hyperplane
+    * bucket splits any label across 2^planes cells whose expected size
+    * shrinks geometrically with planes - turn the knob, not the plan.
     */
   def embedCosinePairs(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
+      .withColumn("bucket", expr(bucketSpark("embedding")))
     e.as("x").join(e.as("y"),
         col("x.label") === col("y.label") &&
+        col("x.bucket") === col("y.bucket") &&
         col("x.vec_id") < col("y.vec_id"))
       .withColumn("sim",
         ParityMath.q6(expr(cosSpark("x.embedding", "y.embedding"))))
@@ -72,12 +76,18 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  val embedCosinePairsSql: String =
-    s"""SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+  lazy val embedCosinePairsSql: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, label, embedding,
+       |    ${bucketDuck("embedding")} AS bucket
+       |  FROM embeddings
+       |)
+       |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
        |  CAST(x.label AS BIGINT) AS label,
        |  (floor((${cosDuck("x.embedding", "y.embedding")}) * 1000000.0 + 0.5) / 1000000.0) AS sim
-       |FROM embeddings x JOIN embeddings y
-       |  ON x.label = y.label AND x.vec_id < y.vec_id
+       |FROM b x JOIN b y
+       |  ON x.label = y.label AND x.bucket = y.bucket
+       |  AND x.vec_id < y.vec_id
        |WHERE (floor((${cosDuck("x.embedding", "y.embedding")}) * 1000000.0 + 0.5) / 1000000.0)
        |      >= $cosinePairThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
@@ -122,7 +132,7 @@ object Similarity {
     * Scala; embedded as literals in both dialects, so query time pays
     * zero hashing.
     */
-  val planeSigns: Seq[Seq[Int]] =
+  lazy val planeSigns: Seq[Seq[Int]] =
     (0 until lshPlanes).map { j =>
       (0 until dims).map { i =>
         val nib = Integer.parseInt(md5Hex(s"p$j:$i").substring(0, 1), 16)
@@ -140,7 +150,15 @@ object Similarity {
     s"(${bits.mkString(" + ")})"
   }
 
-  def bucketSpark(vec: String): String =
+  /** Hot path: the native codegen'd LshBucket expression - one fused
+    * loop per row. The expanded 512-term SQL form (`bucketSparkSqlForm`)
+    * blows past Janino's method-size limit, so whole-stage codegen
+    * falls back and every row pays interpreted evaluation (~25× slower
+    * at sf0.1); it is kept only as the parity cross-check in tests.
+    */
+  def bucketSpark(vec: String): String = s"graft_lsh_bucket($vec, $lshPlanes)"
+
+  def bucketSparkSqlForm(vec: String): String =
     bucketExpr(vec, (v, i) => s"element_at($v, $i)")
 
   def bucketDuck(vec: String): String =
@@ -196,17 +214,35 @@ object Similarity {
     * At scale the corpus is partitioned by centroid id once; a query
     * touches probes/centroids of the data.
     */
+  /** Centroid assignment as a narrow argmax: the centroid set is k
+    * small rows by construction (k ≪ corpus), so it is collected once
+    * at plan time and baked into a native argmax expression -
+    * assignment is a zero-shuffle scan, not a crossJoin + window that
+    * materializes k copies of every corpus row through an exchange.
+    * Rows come back ordered by cid, so argmax-with-smallest-index ≙
+    * ORDER BY csim DESC, cid ASC.
+    */
+  def ivfAssign(e: DataFrame): DataFrame = {
+    val centRows = e.filter(col("vec_id") < ivfCentroids)
+      .orderBy(col("vec_id")).collect()
+    val centVecs: Seq[Seq[Float]] =
+      centRows.toSeq.map(_.getSeq[Float](1).toSeq)
+    val cids: Seq[Long] = centRows.toSeq.map(_.getLong(0))
+    val nearest = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.NearestCentroid(
+        org.apache.spark.sql.GraftBridge.expression(col("embedding")),
+        centVecs))
+    e.select(col("vec_id"),
+      element_at(typedLit(cids),
+        (nearest + 1).cast(org.apache.spark.sql.types.IntegerType))
+        .as("cid"))
+  }
+
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val assign = ivfAssign(e)
     val cents = e.filter(col("vec_id") < ivfCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cid"))
-    val assign = e.crossJoin(broadcast(cents))
-      .withColumn("csim", expr(cosSpark("embedding", "c_emb")))
-      .withColumn("ark", row_number().over(wAssign))
-      .filter(col("ark") === 1)
-      .select(col("vec_id"), col("cid"))
     val q = e.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val wProbe = Window.partitionBy(col("q_id"))

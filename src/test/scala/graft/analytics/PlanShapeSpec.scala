@@ -38,6 +38,15 @@ class PlanShapeSpec extends SparkSpec {
            plan.contains("BroadcastHashJoin"))
   }
 
+  test("ivf assignment: zero exchange between scan and argmax") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.core.Graft.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val plan = executed(graft.pipeline.Similarity.ivfAssign(e))
+    assert(!plan.contains("Exchange"),
+      s"centroid assignment must be a narrow scan:\n$plan")
+  }
+
   test("dedup verification join runs on candidates, not all pairs") {
     val plan = executed(graft.pipeline.Dedup.ngramJaccard(spark, sfDir))
     assert(!plan.contains("CartesianProduct"),

@@ -2,6 +2,7 @@ package graft.core
 
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** Count-cache query API against the reference's own test fixture
   * (query_api_test.clj `simple-db`):
@@ -67,6 +68,38 @@ class CountQueriesSpec extends SparkSpec {
     // o0[1,1000] vs o1[1,1002] → 1002 first
     assert(r.map(_._2).toSeq == Seq(10L, 7L, 5L, 2L, 1L, 1L))
     assert(r(4)._1 == 1L && r(5)._1 == 0L)
+  }
+
+  test("sortedVariants: range-partitioned rank == single global window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    val state = Caches.countState(
+      Transform.transformed(spark, sfDir)).drop("cache")
+    val got = CountQueries.sortedVariantsFrom(state).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4))).toSet
+    val want = CountQueries.sortVariants.map { case (name, order) =>
+      val w = Window.orderBy(order ++ Seq(col("s").asc, col("a").asc,
+        col("o").asc): _*)
+      state.select(lit(name).as("ordering"),
+        row_number().over(w).cast(LongType).as("rk"),
+        col("s"), col("a"), col("o"), col("cnt"), col("last_t"))
+    }.reduce(_ unionAll _).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4))).toSet
+    assert(got == want)
+  }
+
+  test("sortedVariants: no single-partition window in the plan") {
+    val state = Caches.countState(
+      Transform.transformed(spark, sfDir)).drop("cache")
+    val df = CountQueries.sortedVariantsFrom(state)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global-window funnel regressed:\n$plan")
+    assert(!plan.contains("Window"),
+      s"expected zipWithIndex ranking, not a window:\n$plan")
   }
 
   test("topK per subject") {

@@ -42,6 +42,58 @@ class ExpressionsSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("LshMath signs == the literal sign matrix the oracle SQL embeds") {
+    val fromExpr = LshMath.signs(Similarity.lshPlanes, Similarity.dims)
+      .map(_.toSeq.map(_.toInt)).toSeq
+    assert(fromExpr == Similarity.planeSigns)
+  }
+
+  test("graft_lsh_bucket == expanded 512-term SQL form, bitwise") {
+    val e = graft.core.Graft.table(spark, sfDir, "embeddings")
+    val bad = e.select(
+        expr(Similarity.bucketSpark("embedding")).as("native"),
+        expr(Similarity.bucketSparkSqlForm("embedding"))
+          .cast("bigint").as("sqlform"))
+      .filter(col("native") =!= col("sqlform"))
+    assert(bad.count() == 0)
+  }
+
+  test("lsh bucket expression participates in codegen (no fallback)") {
+    val df = graft.core.Graft.table(spark, sfDir, "embeddings")
+      .select(expr(Similarity.bucketSpark("embedding")).as("b"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_lsh_bucket"),
+      s"no codegen in:\n$plan")
+  }
+
+  test("graft_nearest_centroid == crossJoin+window argmax") {
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.core.Graft.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val centRows = e.filter(col("vec_id") < Similarity.ivfCentroids)
+      .orderBy(col("vec_id")).collect()
+    val centVecs = centRows.toSeq.map(_.getSeq[Float](1).toSeq)
+    val nearest = org.apache.spark.sql.GraftBridge.column(
+      NearestCentroid(
+        org.apache.spark.sql.GraftBridge.expression(col("embedding")),
+        centVecs))
+    val narrow = e.select(col("vec_id"), nearest.as("cid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cents = e.filter(col("vec_id") < Similarity.ivfCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val wide = e.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        expr(Similarity.cosSpark("embedding", "c_emb")))
+      .withColumn("ark", row_number().over(w))
+      .filter(col("ark") === 1)
+      .select(col("vec_id"), col("cid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(narrow == wide)
+  }
+
   test("cosine expression participates in codegen (no fallback)") {
     val df = graft.core.Graft.table(spark, sfDir, "embeddings")
       .select(expr(Similarity.cosSpark("embedding", "embedding")).as("c"))

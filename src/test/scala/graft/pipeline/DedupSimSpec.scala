@@ -94,6 +94,24 @@ class DedupSimSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("embed-cosine blocking is bounded on a skewed-label dataset") {
+    // one hot label over 512 deterministic vectors: bare-label blocking
+    // would make a single 512-row block (O(n²) pairs); the (label,
+    // bucket) key must split it into many small cells
+    val hot = spark.range(512)
+      .select(col("id").as("vec_id"), lit(1L).as("label"),
+        expr("transform(sequence(0, 63), i -> CAST(sin((id + 1) * (i + 1) * 997.0) AS FLOAT))")
+          .as("embedding"))
+    val blocks = hot
+      .withColumn("bucket", expr(Similarity.bucketSpark("embedding")))
+      .groupBy(col("label"), col("bucket")).count()
+      .agg(max(col("count")).as("mx"), count(lit(1)).as("cells"))
+      .collect().head
+    assert(blocks.getLong(1) > 50, "expected the hot label to split across many buckets")
+    assert(blocks.getLong(0) <= 32,
+      s"max block ${blocks.getLong(0)} not bounded - blocking key ineffective")
+  }
+
   test("ivf: probing fewer lists than brute force still finds neighbors") {
     val ivf = Similarity.annIvf(spark, sfDir)
     val counts = ivf.groupBy(col("q_id")).count().collect()
