@@ -20,28 +20,12 @@ object SparkEntry {
 
   /** Union of every cache's final state, normalized + deterministically
     * ordered ≙ the reference system's complete summarized output.
+    * Built from the default text config through the cache-kind registry
+    * (one persisted scan feeds every cache aggregation - see
+    * `Pipeline.fromConfig`).
     */
-  def pipelineE2e(spark: SparkSession, dir: String): DataFrame = {
-    // One scan+extract+transform feeds all four cache aggregations:
-    // without the persist, Spark recomputes the transform subtree per
-    // union branch (4× the input read - real money at 100 TB, where
-    // this relation would be a materialized intermediate anyway).
-    val xf = Transform.transformed(spark, dir).persist()
-    val nullS = lit(null).cast(StringType)
-    val nullL = lit(null).cast(LongType)
-    val a = Caches.assocState(xf).select(col("cache"), col("k"),
-      nullS.as("a"), col("v"), col("t"), nullL.as("cnt"), nullL.as("rn"))
-    val l = Caches.lastnState(xf).select(col("cache"), col("k"),
-      nullS.as("a"), col("v"), col("t"), nullL.as("cnt"), col("rn"))
-    val c = Caches.countState(xf).select(col("cache"), col("s").as("k"),
-      col("a"), col("o").as("v"), col("last_t").as("t"), col("cnt"),
-      nullL.as("rn"))
-    val kc = Caches.keycountState(xf).select(col("cache"), col("k"),
-      nullS.as("a"), nullL.as("v"), nullL.as("t"), col("cnt"),
-      nullL.as("rn"))
-    a.unionAll(l).unionAll(c).unionAll(kc)
-      .orderBy(col("cache"), col("k"), col("a"), col("rn"), col("v"))
-  }
+  def pipelineE2e(spark: SparkSession, dir: String): DataFrame =
+    Pipeline.fromConfig(spark, dir, Pipeline.defaultConfigText)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -65,6 +49,9 @@ object SparkEntry {
     "ss_undo_count" -> ((s, d) =>
       Caches.undoCountState(Transform.extract(s, d))
         .orderBy(col("s"), col("a"), col("o"))),
+    "ss_undo_lastn" -> ((s, d) =>
+      Caches.undoLastnState(Transform.extract(s, d))
+        .orderBy(col("k"), col("rn"))),
     "ss_q_getcount" -> ((s, d) => CountQueries.getCount(s, d, 1L, "buy", 3L)),
     "ss_q_actions_for_subj" -> ((s, d) =>
       CountQueries.actionsForSubj(s, d).orderBy(col("s"), col("a"))),
@@ -148,6 +135,7 @@ object SparkEntry {
     "ss_cache_keycount" -> Sql.ssCacheKeycount,
     "ss_undo_assoc" -> Sql.ssUndoAssoc,
     "ss_undo_count" -> Sql.ssUndoCount,
+    "ss_undo_lastn" -> Sql.ssUndoLastn(graft.core.Config.lastNSize),
     "ss_q_getcount" -> Sql.ssQGetcount(1L, "buy", 3L),
     "ss_q_actions_for_subj" -> Sql.ssQActionsForSubj,
     "ss_q_counts_for_subj_action" -> Sql.ssQCountsForSubjAction(Seq("buy", "err")),

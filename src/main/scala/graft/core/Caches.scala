@@ -20,8 +20,9 @@ object Caches {
     * reference's single-threaded queue order.
     * One hash aggregate: max over a (t, seq, v) struct; no global sort.
     */
-  def assocState(xf: DataFrame): DataFrame =
-    xf.filter(col("cache").isin(Config.cachesOf(Assoc): _*))
+  def assocState(xf: DataFrame,
+                 caches: Seq[String] = Config.cachesOf(Assoc)): DataFrame =
+    xf.filter(col("cache").isin(caches: _*))
       .groupBy(col("cache"), col("k"))
       .agg(max(struct(col("t"), col("seq"), col("v"))).as("m"))
       .select(col("cache"), col("k"), col("m.v").as("v"), col("m.t").as("t"))
@@ -31,10 +32,11 @@ object Caches {
     * result is flat-relational and oracle-comparable. Single shuffle on
     * (cache, k); rank + filter is a bounded per-key sort.
     */
-  def lastnState(xf: DataFrame, n: Int = Config.lastNSize): DataFrame = {
+  def lastnState(xf: DataFrame, n: Int = Config.lastNSize,
+                 caches: Seq[String] = Config.cachesOf(LastN)): DataFrame = {
     val w = Window.partitionBy(col("cache"), col("k"))
       .orderBy(col("t").desc, col("seq").desc)
-    xf.filter(col("cache").isin(Config.cachesOf(LastN): _*))
+    xf.filter(col("cache").isin(caches: _*))
       .withColumn("rn", row_number().over(w).cast(LongType))
       .filter(col("rn") <= n)
       .select(col("cache"), col("k"), col("v"), col("t"), col("rn"))
@@ -45,8 +47,9 @@ object Caches {
     * timestamp. GroupBy with map-side combine - the canonical
     * shuffle-minimal count.
     */
-  def countState(xf: DataFrame): DataFrame =
-    xf.filter(col("cache").isin(Config.cachesOf(CountK): _*))
+  def countState(xf: DataFrame,
+                 caches: Seq[String] = Config.cachesOf(CountK)): DataFrame =
+    xf.filter(col("cache").isin(caches: _*))
       .groupBy(col("cache"), col("k").as("s"), col("a"), col("v").as("o"))
       .agg(count(lit(1)).as("cnt"), max(col("t")).as("last_t"))
 
@@ -54,10 +57,11 @@ object Caches {
     * (example/streamsum/config.clj): number of updates per key across
     * the whole transformed tuple stream.
     */
-  def keycountState(xf: DataFrame): DataFrame =
+  def keycountState(xf: DataFrame,
+                    cacheName: String = "subject-counts"): DataFrame =
     xf.groupBy(col("k"))
       .agg(count(lit(1)).as("cnt"))
-      .select(lit("subject-counts").as("cache"), col("k"), col("cnt"))
+      .select(lit(cacheName).as("cache"), col("k"), col("cnt"))
 
   /** undoUpdate semantics for the count cache with the reference's
     * EXACT floor-at-each-step behavior (tuple_counts/update.clj
@@ -92,6 +96,42 @@ object Caches {
       .select(col("s"), col("a"), col("o"),
         (col("total") - least(lit(0L), col("min_run"))).as("cnt"),
         col("last_t"))
+  }
+
+  /** undoUpdate semantics for the LastN cache (caches.clj:69-73): a
+    * retraction rebuilds the ring buffer with every occurrence of the
+    * value removed - `(into (ring-buffer n) (filter #(not= v %) buf))` -
+    * while updates conj with capacity-n eviction. The interplay of
+    * eviction and retraction makes the per-key fold inherently
+    * sequential (a value evicted by capacity cannot be resurrected by
+    * a later retraction of its neighbors), so it runs as ONE
+    * `aggregate` HOF over the key's chronologically sorted ops: one
+    * shuffle on the key, per-key state bounded by n, no driver
+    * involvement. `view` events append (k=s, v=o); `click` events
+    * retract (s, o), mirroring LastNCache.undoUpdate.
+    * Output: (cache, k, rn, v), rn=1 newest, ≙ lastnState's exposure.
+    */
+  def undoLastnState(tuples: DataFrame,
+                     n: Int = Config.lastNSize): DataFrame = {
+    val ops = tuples.filter(col("p").isin("view", "click"))
+      .select(col("s").as("k"),
+        when(col("p") === "view", lit("add")).otherwise(lit("del")).as("op"),
+        col("o").as("v"), col("t"), col("seq"))
+    ops.groupBy(col("k"))
+      .agg(array_sort(collect_list(
+        struct(col("t"), col("seq"), col("op"), col("v")))).as("evs"))
+      .withColumn("buf", expr(
+        s"""aggregate(evs, CAST(array() AS ARRAY<BIGINT>),
+           |  (acc, e) -> CASE WHEN e.op = 'add'
+           |    THEN slice(concat(acc, array(e.v)),
+           |               greatest(1, size(acc) + 2 - $n),
+           |               least(size(acc) + 1, $n))
+           |    ELSE filter(acc, x -> x != e.v) END)""".stripMargin))
+      .select(lit("view-user-obj").as("cache"), col("k"), col("buf"),
+        posexplode(col("buf")))
+      .select(col("cache"), col("k"),
+        (size(col("buf")) - col("pos")).cast(LongType).as("rn"),
+        col("col").as("v"))
   }
 
   /** undoUpdate semantics for the associative cache (caches.clj:37):

@@ -151,6 +151,7 @@ object Transform {
       .select("u.*")
   }
 
-  def transformed(spark: SparkSession, sfDir: String): DataFrame =
-    apply(extract(spark, sfDir))
+  def transformed(spark: SparkSession, sfDir: String,
+                  rules: Seq[Rule] = Config.rules): DataFrame =
+    apply(extract(spark, sfDir), rules)
 }

@@ -102,6 +102,46 @@ object Sql {
        |  FROM ops
        |) WHERE rn = 1 ORDER BY k""".stripMargin
 
+  /** Exact LastNCache fold (append-with-eviction / retract-all) as a
+    * recursive CTE: one step per op per key, list state. The append
+    * branch trims from the front when the buffer would exceed n
+    * (capacity overflow is always exactly one element); the retract
+    * branch is list_filter. rn=1 newest, like the Spark side.
+    */
+  def ssUndoLastn(n: Int): String =
+    s"""WITH RECURSIVE $tuplesCte, ops AS (
+       |  SELECT * FROM (
+       |    SELECT s AS k,
+       |           CASE WHEN p = 'view' THEN 'add' ELSE 'del' END AS op,
+       |           o AS v,
+       |           row_number() OVER (PARTITION BY s ORDER BY t, seq)
+       |             AS step
+       |    FROM tuples WHERE p IN ('view', 'click')
+       |  )
+       |), nsteps AS (
+       |  SELECT k, max(step) AS mx FROM ops GROUP BY k
+       |), fold AS (
+       |  SELECT k, 0 AS step, CAST([] AS BIGINT[]) AS buf FROM nsteps
+       |  UNION ALL
+       |  SELECT f.k, f.step + 1,
+       |         CASE WHEN o.op = 'add' THEN
+       |           CASE WHEN len(list_append(f.buf, o.v)) > $n
+       |                THEN list_append(f.buf, o.v)[2:]
+       |                ELSE list_append(f.buf, o.v) END
+       |         ELSE list_filter(f.buf, x -> x != o.v) END
+       |  FROM fold f JOIN ops o ON o.k = f.k AND o.step = f.step + 1
+       |), final AS (
+       |  SELECT f.k, f.buf FROM fold f
+       |  JOIN nsteps ns ON ns.k = f.k AND f.step = ns.mx
+       |)
+       |SELECT cache, k, rn, v FROM (
+       |  SELECT 'view-user-obj' AS cache, k,
+       |         CAST(len(buf) - unnest(range(1, len(buf) + 1)) + 1
+       |              AS BIGINT) AS rn,
+       |         unnest(buf) AS v
+       |  FROM final
+       |) ORDER BY k, rn""".stripMargin
+
   val ssUndoCount: String =
     s"""WITH $tuplesCte, deltas AS (
        |  SELECT s, 'buy' AS a, o,

@@ -53,18 +53,11 @@ object Dedup {
   // ---- shared shingle/minhash plumbing -------------------------------
 
   /** doc_id + distinct word-3-gram shingle array + 48-bit shingle hash
-    * array. Narrow; feeds minhash, LSH and Jaccard.
+    * array. Narrow; feeds minhash, LSH and Jaccard - computed once per
+    * (session, corpus) and shared via the SignatureStore.
     */
   private def shingled(spark: SparkSession, sfDir: String): DataFrame =
-    Graft.tableParallel(spark, sfDir, "documents")
-      .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
-      .filter(size(col("toks")) >= 3)
-      .withColumn("sh", expr(
-        """array_distinct(transform(sequence(1, size(toks) - 2),
-          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
-          |                 element_at(toks, i + 2))))""".stripMargin))
-      .withColumn("hs", expr("transform(sh, s -> graft_md5_48(s))"))
-      .select(col("doc_id"), col("sh"), col("hs"))
+    SignatureStore.shingles(spark, sfDir)
 
   private[pipeline] val shingledCteDuck: String = {
     val h48 = hex48Duck("md5(s)")
@@ -91,18 +84,21 @@ object Dedup {
   private def sigExprDuck(i: Int): String =
     s"list_min(list_transform(hs, h -> (${permA(i)} * h + ${permB(i)}) % $P))"
 
-  /** (doc_id, band, band_hash) exploded - the LSH bucket key stream. */
-  private def bandsDf(spark: SparkSession, sfDir: String): DataFrame = {
-    val bandStructs = (0 until numBands).map { b =>
-      val sigs = (0 until bandRows)
-        .map(r => s"CAST(${sigExprSpark(b * bandRows + r)} AS STRING)")
-      s"named_struct('b', $b, 'h', md5(concat_ws(':', ${sigs.mkString(", ")})))"
-    }
-    shingled(spark, sfDir)
-      .select(col("doc_id"),
-        explode(expr(s"array(${bandStructs.mkString(", ")})")).as("band"))
-      .select(col("doc_id"), col("band.b").as("b"), col("band.h").as("h"))
-  }
+  /** (doc_id, band, band_hash) exploded - the LSH bucket key stream,
+    * persisted in the SignatureStore (the candidate self-join reads it
+    * from both sides).
+    */
+  private def bandsDf(spark: SparkSession, sfDir: String): DataFrame =
+    SignatureStore.bands(spark, sfDir, { sh =>
+      val bandStructs = (0 until numBands).map { b =>
+        val sigs = (0 until bandRows)
+          .map(r => s"CAST(${sigExprSpark(b * bandRows + r)} AS STRING)")
+        s"named_struct('b', $b, 'h', md5(concat_ws(':', ${sigs.mkString(", ")})))"
+      }
+      sh.select(col("doc_id"),
+          explode(expr(s"array(${bandStructs.mkString(", ")})")).as("band"))
+        .select(col("doc_id"), col("band.b").as("b"), col("band.h").as("h"))
+    })
 
   private[pipeline] val bandsCteDuck: String = {
     val branches = (0 until numBands).map { b =>

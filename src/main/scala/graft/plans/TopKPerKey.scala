@@ -77,26 +77,44 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
           heap.poll(); heap.add(row.copy())
         }
       }
-      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-      heaps.values().forEach { heap =>
-        val rows = new Array[InternalRow](heap.size())
-        var i = heap.size() - 1
-        while (i >= 0) { rows(i) = heap.poll(); i -= 1 }
-        var r = 0
-        while (r < rows.length) {
-          val joined = new org.apache.spark.sql.catalyst.expressions
-            .GenericInternalRow(childOutput.size + 1)
+      // Stream the output: one key's ≤k rows are materialized at a
+      // time and handed to the consumer, instead of buffering the whole
+      // partition's result. Post-consumption memory is the heap map
+      // itself - O(#keys-in-partition × k) bounded rows, the operator's
+      // inherent working set (a hot key holding millions of input rows
+      // still costs only k). Each heap is drained (and its entry
+      // removed) as it is emitted, so peak memory never exceeds the
+      // build phase's.
+      val entries = heaps.entrySet().iterator()
+      new Iterator[InternalRow] {
+        private var rows: Array[InternalRow] = Array.empty
+        private var r = 0
+        private val joined = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(childOutput.size + 1)
+
+        override def hasNext: Boolean = {
+          while (r >= rows.length && entries.hasNext) {
+            val heap = entries.next().getValue
+            entries.remove()
+            rows = new Array[InternalRow](heap.size())
+            var i = heap.size() - 1
+            while (i >= 0) { rows(i) = heap.poll(); i -= 1 }
+            r = 0
+          }
+          r < rows.length
+        }
+
+        override def next(): InternalRow = {
           var c = 0
           while (c < childOutput.size) {
             joined.update(c, rows(r).get(c, childOutput(c).dataType))
             c += 1
           }
           joined.setLong(childOutput.size, r + 1L)
-          out += toUnsafe(joined).copy()
           r += 1
+          toUnsafe(joined)
         }
       }
-      out.iterator
     }
   }
 

@@ -90,6 +90,36 @@ class CachesSpec extends SparkSpec {
     assert(st(4L) == (1L, 60L))
   }
 
+  test("undoLastnState: exact ring-buffer semantics (caches.clj:69-73)") {
+    val s = spark; import s.implicits._
+    val ev = Seq(
+      // key 1: add 1,2,3 with n=2 → [2,3]; retract 3 → [2]
+      ("view", 1L, 1L, 10L, 1L), ("view", 1L, 2L, 20L, 2L),
+      ("view", 1L, 3L, 30L, 3L), ("click", 1L, 3L, 40L, 4L),
+      // key 2: add 5, retract 5, re-add 5 → [5] (post-retraction append survives)
+      ("view", 2L, 5L, 10L, 5L), ("click", 2L, 5L, 20L, 6L),
+      ("view", 2L, 5L, 30L, 7L),
+      // key 3: retract on an empty buffer is a no-op → absent
+      ("click", 3L, 9L, 10L, 8L),
+      // key 4: add 7,8,9 (7 evicted at n=2), retract 8 and 9 → EMPTY.
+      // A "survivors" closed form would wrongly resurrect 7 - this row
+      // pins the sequential eviction semantics.
+      ("view", 4L, 7L, 10L, 9L), ("view", 4L, 8L, 20L, 10L),
+      ("view", 4L, 9L, 30L, 11L), ("click", 4L, 8L, 40L, 12L),
+      ("click", 4L, 9L, 50L, 13L),
+      // key 5: retract removes ALL occurrences of the value
+      ("view", 5L, 6L, 10L, 14L), ("view", 5L, 6L, 20L, 15L),
+      ("click", 5L, 6L, 30L, 16L))
+      .toDF("p", "s", "o", "t", "seq")
+    val st = Caches.undoLastnState(ev, n = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(st.filter(_._1 == 1L).toSet == Set((1L, 1L, 2L)))
+    assert(st.filter(_._1 == 2L).toSet == Set((2L, 1L, 5L)))
+    assert(!st.exists(_._1 == 3L))
+    assert(!st.exists(_._1 == 4L), "evicted value must not resurrect")
+    assert(!st.exists(_._1 == 5L), "retraction removes all occurrences")
+  }
+
   test("cache aggregation states shuffle exactly once") {
     val dfs = Map(
       "assoc" -> Caches.assocState(Transform.transformed(spark, sfDir)),

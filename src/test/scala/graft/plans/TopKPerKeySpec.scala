@@ -47,6 +47,21 @@ class TopKPerKeySpec extends SparkSpec {
     assert(custom == win)
   }
 
+  test("high key cardinality: output streams per key, result exact") {
+    // 100k distinct keys × 3 rows in few partitions: the exec must not
+    // buffer the whole partition's output (streamed per-key emission),
+    // and every key gets exactly min(k, rows) ranked rows
+    val df = spark.range(300000)
+      .select((col("id") % 100000).as("k"), col("id").as("uid"),
+        (col("id") / 100000).as("score"))
+      .repartition(4)
+    val r = TopK.perKey(df, Seq("k"), Seq(("score", false), ("uid", true)), 2)
+    assert(r.count() == 200000L)
+    val perKey = r.groupBy(col("k")).count()
+      .agg(min(col("count")), max(col("count"))).collect().head
+    assert(perKey.getLong(0) == 2L && perKey.getLong(1) == 2L)
+  }
+
   test("bounded heap keeps exact top-k under ties broken by order cols") {
     val s = spark; import s.implicits._
     val df = Seq(
