@@ -87,6 +87,7 @@ object SparkEntry {
     "ss_stream_dedup" -> StreamSum.streamDedup _,
     "ss_stream_join" -> StreamSum.streamStreamJoin _,
     "ss_stream_lastn_tws" -> ((s, d) => StreamSum.streamLastnTws(s, d)),
+    "ss_stream_lsh_cand" -> StreamSum.streamLshCandidates _,
     // ---- analytics / bench ----
     "q1_agg" -> Tpch.q1 _,
     "q3_join_agg" -> Tpch.q3 _,
@@ -155,6 +156,7 @@ object SparkEntry {
     "ss_stream_dedup" -> Sql.ssStreamDedup,
     "ss_stream_join" -> Sql.ssStreamJoin,
     "ss_stream_lastn_tws" -> Sql.ssCacheLastn,
+    "ss_stream_lsh_cand" -> Dedup.minhashLshSql,
     "q1_agg" -> Tpch.q1Sql,
     "q3_join_agg" -> Tpch.q3Sql,
     "q5_multijoin" -> Tpch.q5Sql,

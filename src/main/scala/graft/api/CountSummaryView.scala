@@ -60,23 +60,45 @@ final class CountSummaryView(state: DataFrame) {
   /** Flattened (s, a, o, count, time) tuples for the subject/actions
     * filter (null subject = all), ordered by one of the six
     * TupleComparators variants; `Ordering.unsorted` ≙ null comparator.
+    *
+    * Guardrail: an all-subjects call (s = None) collects the whole
+    * count state to the driver, so it is bounded by `maxRows`
+    * (CountSummaryView.AllSubjectsMaxRows by default) and fails fast
+    * with a pointer to the DataFrame API when the state is bigger -
+    * the facade is for per-subject slices; whole-cache scans belong in
+    * `CountQueries.sortedVariantsFrom`/`tuplesSortedFrom`.
     */
   def tuplesForSubjAction(ordering: CountSummaryView.TupleOrdering,
                           s: Option[Long],
+                          actions: String*): Seq[(Long, String, Long, Long, Long)] =
+    tuplesForSubjAction(ordering, s,
+      CountSummaryView.AllSubjectsMaxRows, actions: _*)
+
+  def tuplesForSubjAction(ordering: CountSummaryView.TupleOrdering,
+                          s: Option[Long], maxRows: Int,
                           actions: String*): Seq[(Long, String, Long, Long, Long)] = {
     val bySubj = s.map(v => state.filter(col("s") === v)).getOrElse(state)
     val filtered = if (actions.isEmpty) bySubj
       else bySubj.filter(col("a").isin(actions: _*))
-    val rows = filtered
+    val bounded =
+      if (s.isDefined) filtered else filtered.limit(maxRows + 1)
+    val rows = bounded
       .select(col("s"), col("a"), col("o"), col("cnt"), col("last_t"))
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getLong(4))).toSeq
+    require(s.isDefined || rows.size <= maxRows,
+      s"all-subjects tuplesForSubjAction exceeds $maxRows rows; " +
+        "use CountQueries.tuplesSortedFrom/sortedVariantsFrom (the " +
+        "distributed path) for whole-cache scans")
     ordering.sort(rows)
   }
 }
 
 object CountSummaryView {
+
+  /** Driver-side budget for all-subjects facade calls. */
+  val AllSubjectsMaxRows: Int = 100000
 
   type Tuple5L = (Long, String, Long, Long, Long)
 

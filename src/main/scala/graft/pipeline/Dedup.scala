@@ -53,9 +53,21 @@ object Dedup {
   // ---- shared shingle/minhash plumbing -------------------------------
 
   /** doc_id + distinct word-3-gram shingle array + 48-bit shingle hash
-    * array. Narrow; feeds minhash, LSH and Jaccard - computed once per
-    * (session, corpus) and shared via the SignatureStore.
+    * array from any (doc_id, text) relation - batch table or stream.
+    * Narrow one-pass compute; feeds minhash, LSH and Jaccard.
     */
+  def shinglesFrom(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", expr(
+        """array_distinct(transform(sequence(1, size(toks) - 2),
+          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+          |                 element_at(toks, i + 2))))""".stripMargin))
+      .withColumn("hs", expr("transform(sh, s -> graft_md5_48(s))"))
+      .select(col("doc_id"), col("sh"), col("hs"))
+
+  /** Batch face: the persisted, session-shared signature relation. */
   private def shingled(spark: SparkSession, sfDir: String): DataFrame =
     SignatureStore.shingles(spark, sfDir)
 
@@ -84,21 +96,25 @@ object Dedup {
   private def sigExprDuck(i: Int): String =
     s"list_min(list_transform(hs, h -> (${permA(i)} * h + ${permB(i)}) % $P))"
 
-  /** (doc_id, band, band_hash) exploded - the LSH bucket key stream,
-    * persisted in the SignatureStore (the candidate self-join reads it
-    * from both sides).
+  /** (doc_id, band, band_hash) exploded from a shingle relation - the
+    * LSH bucket key stream, usable over batch or streaming input.
+    */
+  def bandsFrom(sh: DataFrame): DataFrame = {
+    val bandStructs = (0 until numBands).map { b =>
+      val sigs = (0 until bandRows)
+        .map(r => s"CAST(${sigExprSpark(b * bandRows + r)} AS STRING)")
+      s"named_struct('b', $b, 'h', md5(concat_ws(':', ${sigs.mkString(", ")})))"
+    }
+    sh.select(col("doc_id"),
+        explode(expr(s"array(${bandStructs.mkString(", ")})")).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.h").as("h"))
+  }
+
+  /** Batch face: persisted in the SignatureStore (the candidate
+    * self-join reads it from both sides).
     */
   private def bandsDf(spark: SparkSession, sfDir: String): DataFrame =
-    SignatureStore.bands(spark, sfDir, { sh =>
-      val bandStructs = (0 until numBands).map { b =>
-        val sigs = (0 until bandRows)
-          .map(r => s"CAST(${sigExprSpark(b * bandRows + r)} AS STRING)")
-        s"named_struct('b', $b, 'h', md5(concat_ws(':', ${sigs.mkString(", ")})))"
-      }
-      sh.select(col("doc_id"),
-          explode(expr(s"array(${bandStructs.mkString(", ")})")).as("band"))
-        .select(col("doc_id"), col("band.b").as("b"), col("band.h").as("h"))
-    })
+    SignatureStore.bands(spark, sfDir, bandsFrom)
 
   private[pipeline] val bandsCteDuck: String = {
     val branches = (0 until numBands).map { b =>

@@ -2,7 +2,6 @@ package graft.pipeline
 
 import graft.core.Graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Materialized MinHash signature store: the shingle/hash relation and
   * the exploded LSH band stream are computed ONCE per (session, corpus)
@@ -24,20 +23,12 @@ object SignatureStore {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** doc_id + distinct word-3-gram shingles + 48-bit shingle hashes.
-    * Narrow one-pass compute; persisted on first use.
+    * Narrow one-pass compute (Dedup.shinglesFrom); persisted on first
+    * use.
     */
   def shingles(spark: SparkSession, sfDir: String): DataFrame =
     shingleCache.computeIfAbsent((spark, sfDir), { case (s, dir) =>
-      Graft.tableParallel(s, dir, "documents")
-        .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
-        .filter(size(col("toks")) >= 3)
-        .withColumn("sh", expr(
-          """array_distinct(transform(sequence(1, size(toks) - 2),
-            |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
-            |                 element_at(toks, i + 2))))""".stripMargin))
-        .withColumn("hs", expr("transform(sh, s -> graft_md5_48(s))"))
-        .select(col("doc_id"), col("sh"), col("hs"))
-        .persist()
+      Dedup.shinglesFrom(Graft.tableParallel(s, dir, "documents")).persist()
     })
 
   /** (doc_id, band, band_hash) exploded - the LSH bucket key stream,

@@ -197,6 +197,52 @@ object StreamSum {
       .orderBy(col("window_start"), col("p"))
   }
 
+  final case class BandRow(doc_id: Long, b: Int, h: String)
+  final case class CandPair(doc_a: Long, doc_b: Long)
+
+  /** Streaming LSH candidate emission: each band bucket keeps the set
+    * of doc_ids seen so far; a newly arriving document emits one
+    * candidate pair per prior member of its bucket. The streaming twin
+    * of the batch `Dedup.minhashLsh` self-join - per-bucket state is
+    * bounded the way LSH bucket sizes are (band index in the key,
+    * hash-uniform buckets), and each pair is emitted exactly once per
+    * bucket as data arrives instead of via a corpus-wide join. Pairs
+    * are normalized (min, max) so the result is arrival-order
+    * independent; with AvailableNow over the static table the distinct
+    * pair set equals the batch candidates (same oracle).
+    */
+  private def lshCandHandler(
+      key: (Int, String), rows: Iterator[BandRow],
+      state: GroupState[Seq[Long]]): Iterator[CandPair] = {
+    val seen = state.getOption.getOrElse(Seq.empty)
+    val newIds = rows.map(_.doc_id).toSeq.distinct.filterNot(seen.contains)
+    val pairs = for {
+      (nid, idx) <- newIds.zipWithIndex
+      old <- seen ++ newIds.take(idx)
+      if old != nid
+    } yield CandPair(math.min(old, nid), math.max(old, nid))
+    state.update(seen ++ newIds)
+    pairs.iterator
+  }
+
+  def streamLshCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val bands = graft.pipeline.Dedup.bandsFrom(
+        graft.pipeline.Dedup.shinglesFrom(docs))
+      .as[BandRow]
+    val out = bands.groupByKey(r => (r.b, r.h))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(lshCandHandler)
+    runToTable(out.toDF(), OutputMode.Append(), "ss_stream_lsh_cand")
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Ring-buffer update ≙ LastNCache.update: keep the N most recent
     * (t, seq, v) per key. Shared by the streaming state handler and the
     * typed batch aggregator so both faces have identical semantics.

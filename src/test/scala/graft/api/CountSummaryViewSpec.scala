@@ -54,4 +54,13 @@ class CountSummaryViewSpec extends SparkSpec {
     val r = view.tuplesForSubjAction(CountSummaryView.Unsorted, None)
     assert(r.size == 6)
   }
+
+  test("all-subjects call is bounded; oversized states fail fast") {
+    val e = intercept[IllegalArgumentException](
+      view.tuplesForSubjAction(CountSummaryView.Unsorted, None, 3))
+    assert(e.getMessage.contains("tuplesSortedFrom"))
+    // per-subject slices ignore the bound - the facade's intended use
+    val ok = view.tuplesForSubjAction(CountSummaryView.Unsorted, Some(1L), 1)
+    assert(ok.size == 3)
+  }
 }

@@ -85,6 +85,58 @@ class StreamingSpec extends SparkSpec {
     assert(counts(3L * day / 1000) == 1L)
   }
 
+  test("streaming LSH candidates == batch minhash candidates") {
+    val streamed = StreamSum.streamLshCandidates(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.pipeline.Dedup.minhashLsh(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("transformWithState timers: session expiry emits and clears state") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import org.apache.spark.sql.streaming.TimeMode
+    def sec(x: Long): Long = x * 1000000L
+    val gap = sec(100)
+    val mem = MemoryStream[SessEvent]
+    val input = mem.toDF()
+      .withColumn("ets", timestamp_micros(col("t")))
+      .withWatermark("ets", "0 seconds")
+      .as[SessEvent]
+    val out = input.groupByKey(_.s)
+      .transformWithState(new SessionTtlProcessor(gap),
+        TimeMode.EventTime(), OutputMode.Append())
+    val q = out.toDF().writeStream.format("memory").queryName("ttl_test")
+      .outputMode(OutputMode.Append()).start()
+    // (times start at 1000s - rows at/below the current watermark are
+    // dropped as late, and the initial watermark is 0)
+    // batch 1: key 1 session [1000s, 1050s]; key 3 has a within-batch
+    // gap > 100s, so its first session closes eagerly
+    mem.addData(SessEvent(1, sec(1000), 1), SessEvent(1, sec(1050), 2),
+      SessEvent(3, sec(1000), 3), SessEvent(3, sec(1300), 4))
+    q.processAllAvailable()
+    // batch 2: watermark is now 1300s → key-1 timer (expiry 1150s) fires
+    mem.addData(SessEvent(2, sec(2000), 5)); q.processAllAvailable()
+    // batch 3: watermark is now 2000s → key-3's second session (expiry
+    // 1400s) fires; key 2 merges the new event and re-arms
+    mem.addData(SessEvent(2, sec(2001), 6)); q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ttl_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(rows.contains((3L, sec(1000), sec(1100), 1L)),
+      s"eager close missing: $rows")
+    assert(rows.contains((1L, sec(1000), sec(1150), 2L)),
+      s"timer close missing: $rows")
+    assert(rows.contains((3L, sec(1300), sec(1400), 1L)),
+      s"second-session timer close missing: $rows")
+    assert(!rows.exists(_._1 == 2L), "key 2's session is still open")
+  }
+
   test("foreachBatch publishes count state through a CacheSink") {
     val sink = new graft.sinks.ParquetCacheSink(
       java.nio.file.Files.createTempDirectory("graft_stream_sink").toString)
