@@ -15,14 +15,16 @@ object Bench {
     // streamsum core: full pipeline + the cache/query workhorses
     "ss_pipeline_e2e", "ss_transform", "ss_cache_count", "ss_cache_lastn",
     "ss_q_counts_for_subj_action", "ss_q_topk_per_subj",
+    "ss_q_sort_variants", "ss_undo_lastn",
     // streaming faces
-    "ss_stream_count", "ss_stream_lastn",
+    "ss_stream_count", "ss_stream_lastn", "ss_stream_lsh_cand",
     // analytics
     "q1_agg", "q3_join_agg", "q5_multijoin", "q_window", "q_sessionize",
     "q_asof_join",
     // training-data pipeline
     "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard", "dd_simhash",
-    "ann_topk_brute", "ann_lsh_bucketed", "txt_stats", "txt_fingerprint",
+    "dd_embed_cosine", "ann_topk_brute", "ann_lsh_bucketed", "ann_ivf",
+    "txt_stats", "txt_fingerprint",
     "mm_binary_stats", "pipe_corpus_clean")
 
   def main(args: Array[String]): Unit = {

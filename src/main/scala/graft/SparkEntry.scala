@@ -120,6 +120,9 @@ object SparkEntry {
     "mm_binary_stats" -> Multimodal.binaryStats _,
     "mm_frame_sample" -> Multimodal.frameSample _,
     "mm_decode_batched" -> Multimodal.decodeBatched _,
+    // ---- corpus-level training-data ops ----
+    "txt_vocab" -> graft.pipeline.CorpusOps.vocab _,
+    "pipe_shuffle" -> graft.pipeline.CorpusOps.shuffle _,
     // ---- composed cleaning pipeline ----
     "pipe_corpus_clean" -> ((s, d) => CorpusClean(s, d)),
   )
@@ -184,6 +187,8 @@ object SparkEntry {
     "mm_binary_stats" -> Multimodal.binaryStatsSql,
     "mm_frame_sample" -> Multimodal.frameSampleSql,
     "mm_decode_batched" -> Multimodal.decodeBatchedSql,
+    "txt_vocab" -> graft.pipeline.CorpusOps.vocabSql,
+    "pipe_shuffle" -> graft.pipeline.CorpusOps.shuffleSql,
     "pipe_corpus_clean" -> CorpusClean.sql,
   )
 }

@@ -138,11 +138,16 @@ object CountQueries {
         col("s"), col("a"), col("o"), col("cnt"), col("last_t"))
   }
 
-  def sortedVariantsFrom(state: DataFrame): DataFrame =
+  def sortedVariantsFrom(state: DataFrame): DataFrame = {
+    // one computation of the count state feeds all six rankings
+    // (without the persist each union branch re-aggregates from the
+    // events scan)
+    val shared = state.persist()
     sortVariants.map { case (name, order) =>
-      rankedGlobally(state, name,
+      rankedGlobally(shared, name,
         order ++ Seq(col("s").asc, col("a").asc, col("o").asc))
     }.reduce(_ unionAll _)
+  }
 
   def sortedVariants(spark: SparkSession, sfDir: String): DataFrame =
     sortedVariantsFrom(counts(spark, sfDir))

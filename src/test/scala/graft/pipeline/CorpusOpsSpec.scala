@@ -1,0 +1,37 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusOpsSpec extends SparkSpec {
+
+  test("vocab: top-k terms, plan is TakeOrdered not a global sort") {
+    val df = CorpusOps.vocab(spark, sfDir)
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.length <= CorpusOps.vocabK)
+    // descending frequency, ties by term
+    assert(rows.sliding(2).forall { case Array((t1, f1), (t2, f2)) =>
+      f1 > f2 || (f1 == f2 && t1 < t2) })
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k must plan as TakeOrdered:\n$plan")
+  }
+
+  test("shuffle: every doc exactly once, deterministic, shards used") {
+    val r1 = CorpusOps.shuffle(spark, sfDir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val r2 = CorpusOps.shuffle(spark, sfDir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r1.toSeq == r2.toSeq, "shuffle must be reproducible")
+    val docs = graft.core.Graft.table(spark, sfDir, "documents").count()
+    assert(r1.map(_._3).distinct.length.toLong == docs)
+    assert(r1.map(_._1).distinct.length == CorpusOps.shuffleShards)
+    // positions are dense 1..n within each shard
+    r1.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // and the order within a shard is not the doc_id order (it shuffles)
+    val shard0 = r1.filter(_._1 == r1.head._1).sortBy(_._2).map(_._3)
+    assert(shard0.toSeq != shard0.sorted.toSeq)
+  }
+}
