@@ -20,6 +20,9 @@ object Graft {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     graft.functions.NativeFunctions.register(spark)
+    // engine-wide: row_number+filter top-k plans as the bounded-heap
+    // operator instead of a per-key sort (TopKWindowRewrite)
+    graft.plans.TopKWindowRewrite.install(spark)
     spark
   }
 

@@ -353,6 +353,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
 
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(graft.plans.TopKPerKeyStrategy(_))
+    e.injectOptimizerRule(graft.plans.TopKWindowRewrite(_))
     e.injectFunction((FunctionIdentifier("graft_cosine"),
       info("graft_cosine", "cosine similarity of two float vectors"),
       exprs => CosineSim(exprs(0), exprs(1))))

@@ -56,6 +56,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val orderExprs = order
     val keyExprs = keys
     val kk = k
+    val rankIsInt = rankAttr.dataType == org.apache.spark.sql.types.IntegerType
     val outTypes = output.map(_.dataType).toArray
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
@@ -110,7 +111,10 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
             joined.update(c, rows(r).get(c, childOutput(c).dataType))
             c += 1
           }
-          joined.setLong(childOutput.size, r + 1L)
+          // rank type follows the node's rankAttr: Long for the direct
+          // API, Int when substituted for a row_number window
+          if (rankIsInt) joined.setInt(childOutput.size, r + 1)
+          else joined.setLong(childOutput.size, r + 1L)
           r += 1
           toUnsafe(joined)
         }

@@ -1,0 +1,60 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The optimizer rule transparently swaps the row_number+filter idiom
+  * for the bounded-heap operator - same rows, no Window sort in the
+  * physical plan - and leaves non-matching windows alone.
+  */
+class TopKWindowRewriteSpec extends SparkSpec {
+
+  private def uninstall(): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .experimental
+    exp.extraOptimizations =
+      exp.extraOptimizations.filterNot(_.isInstanceOf[TopKWindowRewrite])
+  }
+
+  test("row_number+filter rewrites to TopKPerKeyExec, results identical") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = Seq.fill(2000)((rnd.nextInt(30).toLong,
+      rnd.nextInt(1000).toLong, rnd.nextLong())).toDF("k", "score", "uid")
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("score").desc, col("uid"))
+    def q = df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+    // ensureConf installs the rule engine-wide; drop it to capture the
+    // pure-window baseline, then restore
+    uninstall()
+    val baseline = q.collect().map(_.toSeq).toSet
+    assert(q.queryExecution.executedPlan.toString.contains("Window"))
+    TopKWindowRewrite.install(spark)
+    try {
+      val rewritten = q
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey"), s"rule did not fire:\n$plan")
+      assert(!plan.contains("Window"), s"window sort survived:\n$plan")
+      assert(rewritten.collect().map(_.toSeq).toSet == baseline)
+
+      // strict < bound is absorbed too (k-1)
+      val lt = df.withColumn("rk", row_number().over(w))
+        .filter(col("rk") < 3)
+      assert(lt.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      assert(lt.collect().map(_.toSeq).toSet ==
+        baseline.filter(_.last.asInstanceOf[Int] < 3))
+
+      // a global (unpartitioned) window is NOT rewritten
+      val g = df.withColumn("rk",
+          row_number().over(Window.orderBy(col("score"), col("uid"))))
+        .filter(col("rk") <= 5)
+      assert(g.queryExecution.executedPlan.toString.contains("Window"))
+
+      // rank(), unlike row_number, is NOT rewritten
+      val rkf = df.withColumn("rk", rank().over(w)).filter(col("rk") <= 5)
+      assert(rkf.queryExecution.executedPlan.toString.contains("Window"))
+    } finally TopKWindowRewrite.install(spark) // engine-wide default
+  }
+}
