@@ -123,6 +123,7 @@ object SparkEntry {
     // ---- corpus-level training-data ops ----
     "txt_vocab" -> graft.pipeline.CorpusOps.vocab _,
     "pipe_shuffle" -> graft.pipeline.CorpusOps.shuffle _,
+    "pipe_pack" -> graft.pipeline.CorpusOps.pack _,
     // ---- composed cleaning pipeline ----
     "pipe_corpus_clean" -> ((s, d) => CorpusClean(s, d)),
   )
@@ -189,6 +190,7 @@ object SparkEntry {
     "mm_decode_batched" -> Multimodal.decodeBatchedSql,
     "txt_vocab" -> graft.pipeline.CorpusOps.vocabSql,
     "pipe_shuffle" -> graft.pipeline.CorpusOps.shuffleSql,
+    "pipe_pack" -> graft.pipeline.CorpusOps.packSql,
     "pipe_corpus_clean" -> CorpusClean.sql,
   )
 }

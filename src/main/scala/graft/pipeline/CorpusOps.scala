@@ -63,6 +63,54 @@ object CorpusOps {
       .orderBy(col("shard"), col("pos"))
   }
 
+  // ---- pipe_pack -----------------------------------------------------
+
+  val packBudget = 256L
+
+  /** Sequence packing: assign documents to token-budgeted training
+    * bins. Contiguous-fill in the deterministic shuffle order: within
+    * a shard, a document's bin is the budget-quotient of its exclusive
+    * prefix token sum - each bin holds ~budget tokens (the last doc
+    * may spill past the boundary, the standard streaming-packing
+    * approximation). Per-shard windows only; no global sort, no
+    * sequential driver pass - the 100 TB shape of packing.
+    */
+  def pack(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("skey"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Graft.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        expr(s"graft_md5_48(concat('$shuffleSalt', CAST(doc_id AS STRING)))")
+          .as("skey"),
+        expr("CAST(size(regexp_extract_all(text, '\\\\S+', 0)) AS BIGINT)")
+          .as("n_tok"))
+      .withColumn("shard", pmod(col("skey"), lit(shuffleShards.toLong)))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", expr(s"(cum - n_tok) DIV $packBudget"))
+      .select(col("shard"), col("bin"), col("doc_id"), col("n_tok"))
+      .orderBy(col("shard"), col("bin"), col("doc_id"))
+  }
+
+  val packSql: String = {
+    val h48 = HashParity.hex48Duck(
+      s"md5(concat('$shuffleSalt', CAST(doc_id AS VARCHAR)))")
+    s"""WITH keyed AS (
+       |  SELECT doc_id, $h48 AS skey,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok
+       |  FROM documents
+       |), cums AS (
+       |  SELECT doc_id, skey % $shuffleShards AS shard, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY skey % $shuffleShards
+       |                     ORDER BY skey, doc_id
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING
+       |                     AND CURRENT ROW) AS cum
+       |  FROM keyed
+       |)
+       |SELECT shard, (cum - n_tok) // $packBudget AS bin, doc_id, n_tok
+       |FROM cums ORDER BY shard, bin, doc_id""".stripMargin
+  }
+
   val shuffleSql: String = {
     val h48 = HashParity.hex48Duck(
       s"md5(concat('$shuffleSalt', CAST(doc_id AS VARCHAR)))")

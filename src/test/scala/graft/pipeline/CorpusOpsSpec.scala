@@ -17,6 +17,25 @@ class CorpusOpsSpec extends SparkSpec {
       s"global top-k must plan as TakeOrdered:\n$plan")
   }
 
+  test("pack: bins respect the token budget up to one spill doc") {
+    val r = CorpusOps.pack(spark, sfDir).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), (x.getLong(2), x.getLong(3))))
+    val docs = graft.core.Graft.table(spark, sfDir, "documents").count()
+    assert(r.map(_._2._1).distinct.length.toLong == docs,
+      "every doc packed exactly once")
+    r.groupBy(_._1).foreach { case ((shard, bin), rows) =>
+      val toks = rows.map(_._2._2)
+      // a bin's exclusive-prefix start is inside [bin*B, (bin+1)*B), so
+      // its token sum is < budget + its largest (spilling) doc
+      assert(toks.sum < CorpusOps.packBudget + toks.max,
+        s"bin ($shard,$bin) overfilled: ${toks.sum}")
+    }
+    // deterministic rerun
+    val r2 = CorpusOps.pack(spark, sfDir).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), (x.getLong(2), x.getLong(3))))
+    assert(r.toSeq == r2.toSeq)
+  }
+
   test("shuffle: every doc exactly once, deterministic, shards used") {
     val r1 = CorpusOps.shuffle(spark, sfDir).collect()
       .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
