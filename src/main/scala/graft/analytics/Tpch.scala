@@ -264,9 +264,13 @@ object Tpch {
       .agg(
         countDistinct(col("l_partkey")).as("n_parts"),
         countDistinct(col("l_suppkey")).as("n_supps"),
-        expr("percentile(l_quantity, 0.5)").as("q50"),
-        expr("percentile(l_quantity, 0.25)").as("q25"),
-        expr("percentile(l_quantity, 0.75)").as("q75"))
+        // one percentile buffer for all three quantiles (the array
+        // form), not three copies of the column per group
+        expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qs"))
+      .select(col("l_returnflag"), col("n_parts"), col("n_supps"),
+        element_at(col("qs"), 2).as("q50"),
+        element_at(col("qs"), 1).as("q25"),
+        element_at(col("qs"), 3).as("q75"))
       .orderBy(col("l_returnflag"))
 
   val qStatsAggSql: String =

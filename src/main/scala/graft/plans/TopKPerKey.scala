@@ -62,6 +62,13 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordering = GenerateOrdering.generate(orderExprs, childOutput)
       val toUnsafe = UnsafeProjection.create(outTypes)
+      // The heaps live on-heap, but their footprint is REGISTERED with
+      // Spark's task memory manager (HeapLedger): the memory shows up
+      // in execution-memory accounting, so co-resident spillable
+      // consumers (sorts, aggregates) shrink to make room instead of
+      // the task silently overcommitting. The ledger itself cannot
+      // spill - the working set is the operator's O(#keys × k) minimum.
+      val ledger = TopKMemoryLedger.forCurrentTask()
       // per-key bounded heap: worst row on top for O(log k) eviction
       val heaps = new java.util.HashMap[InternalRow,
         java.util.PriorityQueue[InternalRow]]()
@@ -72,10 +79,17 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
           heap = new java.util.PriorityQueue[InternalRow](
             kk + 1, ordering.reversed())
           heaps.put(key, heap)
+          ledger.add(key, kk)
         }
-        if (heap.size() < kk) heap.add(row.copy())
-        else if (ordering.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.add(row.copy())
+        if (heap.size() < kk) {
+          val copy = row.copy()
+          heap.add(copy)
+          ledger.add(copy, 0)
+        } else if (ordering.compare(row, heap.peek()) < 0) {
+          ledger.remove(heap.poll())
+          val copy = row.copy()
+          heap.add(copy)
+          ledger.add(copy, 0)
         }
       }
       // Stream the output: one key's ≤k rows are materialized at a
@@ -124,6 +138,79 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
 
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
     copy(child = newChild)
+}
+
+/** Execution-memory bookkeeping for TopKPerKeyExec's per-key heaps:
+  * a non-spillable MemoryConsumer that acquires from the task memory
+  * manager as held-row bytes grow (reconciled every `syncEvery`
+  * mutations, so the hot loop pays two long adds) and frees everything
+  * at task completion. `spill` returns 0 - the heaps are the
+  * operator's bounded working set; registering them makes Spark's
+  * memory arbitration see the pressure rather than pretending the
+  * memory is free.
+  */
+final class TopKMemoryLedger(
+    tmm: org.apache.spark.memory.TaskMemoryManager)
+    extends org.apache.spark.memory.MemoryConsumer(
+      tmm, tmm.pageSizeBytes(), org.apache.spark.memory.MemoryMode.ON_HEAP) {
+
+  private val syncEvery = 256
+  private val perRowOverhead = 48L // PQ slot + map/object headers, approx
+  private var heldBytes = 0L
+  private var grantedBytes = 0L
+  private var opsSinceSync = 0
+
+  override def spill(size: Long,
+                     trigger: org.apache.spark.memory.MemoryConsumer): Long = 0L
+
+  private def sizeOf(row: InternalRow): Long = (row match {
+    case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+      u.getSizeInBytes.toLong
+    case _ => 64L
+  }) + perRowOverhead
+
+  def add(row: InternalRow, extraOverhead: Int): Unit = {
+    heldBytes += sizeOf(row) + extraOverhead
+    maybeSync()
+  }
+
+  def remove(row: InternalRow): Unit = {
+    heldBytes -= sizeOf(row)
+    maybeSync()
+  }
+
+  private def maybeSync(): Unit = {
+    opsSinceSync += 1
+    if (opsSinceSync >= syncEvery) {
+      opsSinceSync = 0
+      if (heldBytes > grantedBytes)
+        grantedBytes += acquireMemory(heldBytes - grantedBytes)
+      else if (grantedBytes - heldBytes > (1L << 20)) {
+        freeMemory(grantedBytes - heldBytes)
+        grantedBytes = heldBytes
+      }
+    }
+  }
+
+  def close(): Unit = {
+    if (grantedBytes > 0) freeMemory(grantedBytes)
+    grantedBytes = 0
+    heldBytes = 0
+  }
+}
+
+object TopKMemoryLedger {
+
+  /** Ledger bound to the running task (freed on task completion); a
+    * no-op ledger outside a task (e.g. driver-side unit evaluation).
+    */
+  def forCurrentTask(): TopKMemoryLedger = {
+    val ctx = org.apache.spark.TaskContext.get()
+    val ledger = new TopKMemoryLedger(
+      org.apache.spark.GraftTaskBridge.taskMemoryManager(ctx))
+    ctx.addTaskCompletionListener[Unit](_ => ledger.close())
+    ledger
+  }
 }
 
 /** Planner strategy mapping the logical node to the exec. */

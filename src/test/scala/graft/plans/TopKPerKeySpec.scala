@@ -62,6 +62,34 @@ class TopKPerKeySpec extends SparkSpec {
     assert(perKey.getLong(0) == 2L && perKey.getLong(1) == 2L)
   }
 
+  test("heap memory is registered with the task memory manager") {
+    val peaks = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          peaks.synchronized {
+            peaks += e.taskMetrics.peakOnHeapExecutionMemory
+          }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = spark.range(300000)
+        .select((col("id") % 50000).as("k"), col("id").as("uid"),
+          (col("id") / 50000).as("score"))
+        .repartition(4)
+      val r = TopK.perKey(df, Seq("k"),
+        Seq(("score", false), ("uid", true)), 3)
+      assert(r.count() == 150000L)
+      // listener delivery is async; poll briefly
+      val deadline = System.currentTimeMillis() + 30000
+      while (peaks.synchronized(peaks.isEmpty || peaks.max == 0L) &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(peaks.synchronized(peaks.nonEmpty && peaks.max > 0L),
+        "expected the heap ledger's acquisitions in peakExecutionMemory")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("bounded heap keeps exact top-k under ties broken by order cols") {
     val s = spark; import s.implicits._
     val df = Seq(
