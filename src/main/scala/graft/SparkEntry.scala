@@ -88,8 +88,10 @@ object SparkEntry {
     "ss_stream_join" -> StreamSum.streamStreamJoin _,
     "ss_stream_lastn_tws" -> ((s, d) => StreamSum.streamLastnTws(s, d)),
     "ss_stream_lsh_cand" -> StreamSum.streamLshCandidates _,
+    "ss_stream_ann_cand" -> StreamSum.streamAnnCandidates _,
     // ---- analytics / bench ----
     "q1_agg" -> Tpch.q1 _,
+    "q4_semijoin" -> Tpch.q4SemiJoin _,
     "q3_join_agg" -> Tpch.q3 _,
     "q5_multijoin" -> Tpch.q5 _,
     "q_window" -> Tpch.qWindow _,
@@ -161,6 +163,8 @@ object SparkEntry {
     "ss_stream_join" -> Sql.ssStreamJoin,
     "ss_stream_lastn_tws" -> Sql.ssCacheLastn,
     "ss_stream_lsh_cand" -> Dedup.minhashLshSql,
+    "ss_stream_ann_cand" -> Similarity.annCandidatesSql,
+    "q4_semijoin" -> Tpch.q4SemiJoinSql,
     "q1_agg" -> Tpch.q1Sql,
     "q3_join_agg" -> Tpch.q3Sql,
     "q5_multijoin" -> Tpch.q5Sql,

@@ -230,6 +230,36 @@ object Tpch {
       |FROM lineitem GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** TPC-H Q4 shape (adapted to the synthetic schema): orders in a
+    * quarter with at least one returned lineitem, counted per
+    * priority. The EXISTS becomes a LEFT SEMI join - the fact table
+    * never widens, duplicates never multiply, and the returned-flag
+    * filter is pushed to the lineitem scan so the semi join's build
+    * side is the small filtered key set.
+    */
+  def q4SemiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Graft.table(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    val flagged = Graft.table(spark, sfDir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    o.join(flagged, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q4SemiJoinSql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_returnflag = 'R')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** Multi-level aggregation via ROLLUP: per (flag, status), per flag,
     * and grand total in one pass - Catalyst expands the grouping sets,
     * still a single shuffle.

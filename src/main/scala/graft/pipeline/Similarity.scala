@@ -92,6 +92,22 @@ object Similarity {
        |      >= $cosinePairThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Candidate pairs sharing a (label, bucket) cell - the oracle for
+    * the streaming candidate emission (`ss_stream_ann_cand`); scoring
+    * happens downstream of the candidate stream.
+    */
+  lazy val annCandidatesSql: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, label, ${bucketDuck("embedding")} AS bucket
+       |  FROM embeddings
+       |)
+       |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       |  CAST(x.label AS BIGINT) AS label
+       |FROM b x JOIN b y
+       |  ON x.label = y.label AND x.bucket = y.bucket
+       |  AND x.vec_id < y.vec_id
+       |ORDER BY vec_a, vec_b""".stripMargin
+
   // ---- ann_topk_brute -----------------------------------------------
 
   /** Brute-force cosine top-k: broadcast the query set over the corpus,

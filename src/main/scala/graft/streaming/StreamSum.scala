@@ -243,6 +243,50 @@ object StreamSum {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  final case class EmbRow(vec_id: Long, label: Long, bucket: Long)
+  final case class AnnCand(vec_a: Long, vec_b: Long, label: Long)
+
+  /** Streaming ANN candidate emission over an embedding stream: the
+    * (label, LSH bucket) cell keeps its member vec_ids; each arriving
+    * vector emits one candidate pair per prior member - the streaming
+    * face of `dd_embed_cosine`'s blocking (scoring/thresholding happens
+    * downstream on the candidate stream). Same bounded-cell-state
+    * argument as `streamLshCandidates`.
+    */
+  private def annCandHandler(
+      key: (Long, Long), rows: Iterator[EmbRow],
+      state: GroupState[Seq[Long]]): Iterator[AnnCand] = {
+    val seen = state.getOption.getOrElse(Seq.empty)
+    val newIds = rows.map(_.vec_id).toSeq.distinct.filterNot(seen.contains)
+    val pairs = for {
+      (nid, idx) <- newIds.zipWithIndex
+      old <- seen ++ newIds.take(idx)
+      if old != nid
+    } yield AnnCand(math.min(old, nid), math.max(old, nid), key._1)
+    state.update(seen ++ newIds)
+    pairs.iterator
+  }
+
+  def streamAnnCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$sfDir/embeddings.parquet").schema
+    val emb = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(sfDir)
+    val keyed = emb.select(col("vec_id"), col("label").cast(LongType)
+        .as("label"),
+        expr(graft.pipeline.Similarity.bucketSpark("embedding"))
+          .as("bucket"))
+      .as[EmbRow]
+    val out = keyed.groupByKey(r => (r.label, r.bucket))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(annCandHandler)
+    runToTable(out.toDF(), OutputMode.Append(), "ss_stream_ann_cand")
+      .distinct()
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** Ring-buffer update ≙ LastNCache.update: keep the N most recent
     * (t, seq, v) per key. Shared by the streaming state handler and the
     * typed batch aggregator so both faces have identical semantics.

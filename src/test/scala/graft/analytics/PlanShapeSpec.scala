@@ -38,6 +38,16 @@ class PlanShapeSpec extends SparkSpec {
            plan.contains("BroadcastHashJoin"))
   }
 
+  test("q4: EXISTS plans as a semi join with both filters pushed") {
+    val plan = executed(Tpch.q4SemiJoin(spark, sfDir))
+    assert(plan.contains("LeftSemi") || plan.contains("Semi"),
+      s"expected a semi join:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)"),
+      s"returned-flag filter must reach the lineitem scan:\n$plan")
+    assert(plan.contains("IsNotNull(o_orderdate)"),
+      s"date filter must reach the orders scan:\n$plan")
+  }
+
   test("ivf assignment: zero exchange between scan and argmax") {
     import org.apache.spark.sql.functions.col
     val e = graft.core.Graft.table(spark, sfDir, "embeddings")
