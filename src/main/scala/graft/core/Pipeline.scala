@@ -135,8 +135,9 @@ object Pipeline {
   def fromConfig(spark: SparkSession, dir: String, configText: String,
                  extraFactories: Map[String, CacheRegistry.Factory] = Map.empty): DataFrame = {
     val cfg = PipelineConfig.parse(configText)
-    // one scan feeds every cache aggregation (see pipelineE2e)
-    val xf = Transform(Transform.extract(spark, dir), cfg.rules).persist()
+    // one persisted scan feeds every cache aggregation
+    // (Transform.transformed memoizes per (session, corpus, rules))
+    val xf = Transform.transformed(spark, dir, cfg.rules)
     CacheRegistry.pipelineState(xf, cfg, extraFactories)
   }
 }

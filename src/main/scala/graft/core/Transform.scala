@@ -151,7 +151,19 @@ object Transform {
       .select("u.*")
   }
 
+  private val xfCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Seq[Rule]), DataFrame]()
+
+  /** The transformed tuple relation, computed once per (session,
+    * corpus, rules) and persisted - every cache state and count query
+    * derives from it, and without sharing each one would re-run the
+    * scan + regex extract. The cache stands in for the materialized
+    * intermediate a 100 TB deployment writes between the transform and
+    * record stages (same pattern as pipeline.SignatureStore).
+    */
   def transformed(spark: SparkSession, sfDir: String,
                   rules: Seq[Rule] = Config.rules): DataFrame =
-    apply(extract(spark, sfDir), rules)
+    xfCache.computeIfAbsent((spark, sfDir, rules), { case (s, dir, rs) =>
+      apply(extract(s, dir), rs).persist()
+    })
 }
