@@ -31,6 +31,18 @@ class ExtensionsSpec extends AnyFunSuite {
       // first 12 hex chars of md5('abc') = '900150983cd2'
       assert(r.getLong(0) == java.lang.Long.parseLong("900150983cd2", 16))
       assert(r.getLong(1) == 2L) // 101 xor 110 = 011
+      // the injected optimizer rule substitutes the top-k operator with
+      // NO runtime install call - the pure extensions path
+      val topk = spark.sql(
+        """SELECT * FROM (
+          |  SELECT id % 5 AS k, id AS v,
+          |    row_number() OVER (PARTITION BY id % 5 ORDER BY id DESC) AS rk
+          |  FROM range(1000)
+          |) WHERE rk <= 2""".stripMargin)
+      topk.collect()
+      val plan = topk.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey"),
+        s"extensions-injected rewrite did not fire:\n$plan")
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
