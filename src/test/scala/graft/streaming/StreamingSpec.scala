@@ -85,6 +85,41 @@ class StreamingSpec extends SparkSpec {
     assert(counts(3L * day / 1000) == 1L)
   }
 
+  test("stateful query restarts from checkpoint with state intact") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ckpt").toString
+    val mem = MemoryStream[Ev]
+    def counts = Transform(Transform.extractFrom(mem.toDF()))
+      .filter(col("cache").isin(Config.cachesOf(CountK): _*))
+      .groupBy(col("cache"), col("k").as("s"), col("a"), col("v").as("o"))
+      .agg(count(lit(1)).as("cnt"), max(col("t")).as("last_t"))
+    def start() = counts.writeStream.format("memory")
+      .queryName("ckpt_counts").outputMode(OutputMode.Complete())
+      .option("checkpointLocation", ckpt).start()
+    val batch1 = Seq(mkEv(0, 10, 1, "purchase", 7), mkEv(1, 20, 1, "purchase", 7))
+    val batch2 = Seq(mkEv(2, 30, 1, "purchase", 7), mkEv(3, 40, 2, "error", 8))
+    val q1 = start()
+    mem.addData(batch1: _*); q1.processAllAvailable(); q1.stop()
+    // restart against the same checkpoint: batch1's offsets are
+    // committed, so only batch2 is processed - the counts for batch1
+    // can only come from recovered state
+    val q2 = start()
+    mem.addData(batch2: _*); q2.processAllAvailable(); q2.stop()
+    val streamed = spark.table("ckpt_counts").collect()
+      .map(r => ((r.getLong(1), r.getString(2), r.getLong(3)), r.getLong(4)))
+      .toMap
+    val batch = Caches.countState(
+      Transform(Transform.extractFrom((batch1 ++ batch2).toDF())))
+      .collect()
+      .map(r => ((r.getLong(1), r.getString(2), r.getLong(3)), r.getLong(4)))
+      .toMap
+    assert(streamed == batch)
+    assert(streamed((1L, "buy", 7L)) == 3L,
+      "pre-restart increments must survive the restart")
+  }
+
   test("streaming LSH candidates == batch minhash candidates") {
     val streamed = StreamSum.streamLshCandidates(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
