@@ -1,0 +1,32 @@
+package graft.probe
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.Graft.ensureConf(SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.driver.memory", "8g")
+      .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    val rows = args.headOption.map(_.toLong).getOrElse(10000000L)
+    val t0 = System.nanoTime()
+    val ev = spark.read.format("graft-events")
+      .option("rows", rows.toString)
+      .option("users", "100000")
+      .option("numPartitions", "64").load()
+    val xf = graft.core.Transform(graft.core.Transform.extractFrom(ev))
+    val counts = graft.core.Caches.countState(xf)
+    val n = counts.count()
+    val t1 = System.nanoTime()
+    val top = graft.core.CountQueries.topKPerSubjFrom(
+      counts.drop("cache"), 3).count()
+    val t2 = System.nanoTime()
+    println(f"SMOKE rows=$rows countState_groups=$n topk_rows=$top " +
+      f"pipeline_sec=${(t1 - t0) / 1e9}%.1f topk_sec=${(t2 - t1) / 1e9}%.1f " +
+      f"events_per_sec=${rows / ((t1 - t0) / 1e9)}%.0f")
+    spark.stop()
+  }
+}
