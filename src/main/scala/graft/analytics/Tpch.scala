@@ -318,22 +318,24 @@ object Tpch {
     * (as strings for type-generality). One pass per column batched into
     * a single aggregate row, then unpivoted; no collect.
     */
+  /** Long-form profiling: explode each row into (column_name, value)
+    * entries and aggregate per column. One distinct aggregate per
+    * group, so the plan is the two-phase partial-distinct - N
+    * countDistinct over one wide aggregate would Expand every row
+    * ×(N+1) through the shuffle instead. String casts are
+    * shortest-roundtrip, so distinct counts equal the raw columns'.
+    */
   def profile(df: org.apache.spark.sql.DataFrame,
               columns: Seq[String]): DataFrame = {
-    val aggs = columns.flatMap { c =>
-      Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__distinct"),
-        min(col(c).cast("string")).as(s"${c}__min"),
-        max(col(c).cast("string")).as(s"${c}__max"))
+    val entries = columns.map { c =>
+      struct(lit(c).as("column_name"), col(c).cast("string").as("v"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = columns.map { c =>
-      s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`"
-    }.mkString(", ")
-    one.select(expr(
-        s"stack(${columns.size}, $stacked) AS " +
-          "(column_name, n_nulls, n_distinct, min_val, max_val)"))
+    df.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.column_name").as("column_name"), col("e.v").as("v"))
+      .groupBy(col("column_name"))
+      .agg(sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col("v")).as("n_distinct"),
+        min(col("v")).as("min_val"), max(col("v")).as("max_val"))
       .orderBy(col("column_name"))
   }
 
