@@ -120,6 +120,32 @@ class CachesSpec extends SparkSpec {
     assert(!st.exists(_._1 == 5L), "retraction removes all occurrences")
   }
 
+  test("count/keycount states merge as monoids (partitioned == full)") {
+    // the property that makes partitioned/incremental computation
+    // valid: compute state over disjoint event halves, merge with
+    // (sum cnt, max last_t), get exactly the full-corpus state
+    val xf = Transform.transformed(spark, sfDir)
+    val a = xf.filter(col("seq") % 2 === 0)
+    val b = xf.filter(col("seq") % 2 === 1)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))
+    val mergedCount = Caches.countState(a).unionAll(Caches.countState(b))
+      .groupBy(col("cache"), col("s"), col("a"), col("o"))
+      .agg(sum(col("cnt")).as("cnt"), max(col("last_t")).as("last_t"))
+      .collect().map(r => key(r) -> (r.getLong(4), r.getLong(5))).toMap
+    val full = Caches.countState(xf)
+      .collect().map(r => key(r) -> (r.getLong(4), r.getLong(5))).toMap
+    assert(mergedCount == full)
+    val mergedKc = Caches.keycountState(a).unionAll(Caches.keycountState(b))
+      .groupBy(col("cache"), col("k")).agg(sum(col("cnt")).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val fullKc = Caches.keycountState(xf)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(mergedKc == fullKc)
+  }
+
   test("cache aggregation states shuffle exactly once") {
     val dfs = Map(
       "assoc" -> Caches.assocState(Transform.transformed(spark, sfDir)),
