@@ -57,6 +57,22 @@ class PlanShapeSpec extends SparkSpec {
       s"centroid assignment must be a narrow scan:\n$plan")
   }
 
+  test("column pruning pushes through the custom TopKPerKey node") {
+    import org.apache.spark.sql.functions.col
+    val li = graft.core.Graft.table(spark, sfDir, "lineitem")
+    val r = graft.plans.TopK.perKey(li, Seq("l_returnflag"),
+        Seq(("l_quantity", false), ("l_orderkey", true)), 2)
+      .select(col("l_returnflag"), col("rk"))
+    val plan = executed(r)
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") &&
+           readSchema.contains("l_quantity") &&
+           readSchema.contains("l_returnflag"))
+    assert(!readSchema.contains("l_extendedprice"),
+      s"scan reads columns the top-k never uses:\n$readSchema")
+  }
+
   test("dedup verification join runs on candidates, not all pairs") {
     val plan = executed(graft.pipeline.Dedup.ngramJaccard(spark, sfDir))
     assert(!plan.contains("CartesianProduct"),
