@@ -126,6 +126,7 @@ object SparkEntry {
     "txt_vocab" -> graft.pipeline.CorpusOps.vocab _,
     "pipe_shuffle" -> graft.pipeline.CorpusOps.shuffle _,
     "pipe_pack" -> graft.pipeline.CorpusOps.pack _,
+    "pipe_decontaminate" -> graft.pipeline.CorpusOps.decontaminate _,
     // ---- composed cleaning pipeline ----
     "pipe_corpus_clean" -> ((s, d) => CorpusClean(s, d)),
   )
@@ -195,6 +196,7 @@ object SparkEntry {
     "txt_vocab" -> graft.pipeline.CorpusOps.vocabSql,
     "pipe_shuffle" -> graft.pipeline.CorpusOps.shuffleSql,
     "pipe_pack" -> graft.pipeline.CorpusOps.packSql,
+    "pipe_decontaminate" -> graft.pipeline.CorpusOps.decontaminateSql,
     "pipe_corpus_clean" -> CorpusClean.sql,
   )
 }

@@ -63,6 +63,69 @@ object CorpusOps {
       .orderBy(col("shard"), col("pos"))
   }
 
+  // ---- pipe_decontaminate -------------------------------------------
+
+  val decontamN = 5 // n-gram length for overlap detection
+  val benchmarkDocs = 50L // doc_id < 50 ≙ the held-out benchmark set
+
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * word n-gram with a held-out benchmark set - the test-set-overlap
+    * hygiene pass of a training pipeline (distinct from near-dedup:
+    * one shared n-gram contaminates, regardless of similarity).
+    * The benchmark's hashed n-gram set is small by construction, so it
+    * BROADCASTS: the corpus is scanned once and never shuffled for the
+    * overlap check (asserted in PlanShapeSpec).
+    */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Graft.tableParallel(spark, sfDir, "documents")
+      .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+      .filter(size(col("toks")) >= decontamN)
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(transform(sequence(1, size(toks) - ${decontamN - 1}),
+           |  i -> graft_md5_48(concat_ws(' ',
+           |         slice(toks, i, $decontamN)))))""".stripMargin))
+        .as("h"))
+    val benchHashes = grams.filter(col("doc_id") < benchmarkDocs)
+      .select(col("h")).distinct()
+    val corpusGrams = grams.filter(col("doc_id") >= benchmarkDocs)
+    val contaminated = corpusGrams
+      .join(broadcast(benchHashes), Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+    Graft.table(spark, sfDir, "documents")
+      .filter(col("doc_id") >= benchmarkDocs)
+      .select(col("doc_id"))
+      .join(contaminated.withColumn("is_contaminated", lit(true)),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("is_contaminated"), lit(false)).as("is_contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSql: String = {
+    val h48 = HashParity.hex48Duck("md5(g)")
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
+       |  FROM documents WHERE len(regexp_extract_all(text, '\\S+')) >= $decontamN
+       |), grams AS (
+       |  SELECT DISTINCT doc_id, $h48 AS h FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(1, len(t) - ${decontamN - 2}),
+       |        i -> array_to_string(t[i:i+${decontamN - 1}], ' '))) AS g
+       |    FROM toks
+       |  )
+       |), bench AS (
+       |  SELECT DISTINCT h FROM grams WHERE doc_id < $benchmarkDocs
+       |), contaminated AS (
+       |  SELECT DISTINCT doc_id FROM grams
+       |  WHERE doc_id >= $benchmarkDocs AND h IN (SELECT h FROM bench)
+       |)
+       |SELECT d.doc_id,
+       |       (c.doc_id IS NOT NULL) AS is_contaminated
+       |FROM documents d LEFT JOIN contaminated c ON c.doc_id = d.doc_id
+       |WHERE d.doc_id >= $benchmarkDocs
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ---- pipe_pack -----------------------------------------------------
 
   val packBudget = 256L

@@ -17,6 +17,32 @@ class CorpusOpsSpec extends SparkSpec {
       s"global top-k must plan as TakeOrdered:\n$plan")
   }
 
+  test("decontaminate: planted overlaps flagged; benchmark set broadcasts") {
+    val df = CorpusOps.decontaminate(spark, "/root/testdata/sf0.01")
+    val rows = df.collect().map(r => r.getLong(0) -> r.getBoolean(1))
+    assert(rows.forall(_._1 >= CorpusOps.benchmarkDocs))
+    val contaminated = rows.filter(_._2).map(_._1)
+    assert(contaminated.nonEmpty,
+      "planted near-dups must contaminate against the benchmark half")
+    assert(contaminated.length < rows.length / 2,
+      "most of the corpus should be clean")
+    // a contaminated doc genuinely shares a 5-gram with a benchmark doc
+    val docs = graft.core.Graft.table(spark, "/root/testdata/sf0.01",
+        "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(s: String): Set[String] =
+      s.split("\\s+").sliding(CorpusOps.decontamN)
+        .map(_.mkString(" ")).toSet
+    val benchGrams = docs.filter(_._1 < CorpusOps.benchmarkDocs)
+      .values.flatMap(grams).toSet
+    assert(grams(docs(contaminated.head)).exists(benchGrams.contains))
+    // plan: the benchmark hash set broadcasts; no corpus-wide SMJ
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark set must broadcast:\n$plan")
+  }
+
   test("pack: bins respect the token budget up to one spill doc") {
     val r = CorpusOps.pack(spark, sfDir).collect()
       .map(x => ((x.getLong(0), x.getLong(1)), (x.getLong(2), x.getLong(3))))
