@@ -108,6 +108,7 @@ object SparkEntry {
     "dd_minhash_lsh" -> Dedup.minhashLsh _,
     "dd_ngram_jaccard" -> Dedup.ngramJaccard _,
     "dd_simhash" -> Dedup.simhashPairs _,
+    "dd_clusters" -> Dedup.dupClusters _,
     "dd_embed_cosine" -> Similarity.embedCosinePairs _,
     // ---- similarity search ----
     "ann_topk_brute" -> Similarity.annTopKBrute _,
@@ -182,6 +183,7 @@ object SparkEntry {
     "dd_minhash_lsh" -> Dedup.minhashLshSql,
     "dd_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dd_simhash" -> Dedup.simhashPairsSql,
+    "dd_clusters" -> Dedup.dupClustersSql,
     "dd_embed_cosine" -> Similarity.embedCosinePairsSql,
     "ann_topk_brute" -> Similarity.annTopKBruteSql,
     "ann_lsh_bucketed" -> Similarity.annLshBucketedSql,

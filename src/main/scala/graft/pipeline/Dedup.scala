@@ -196,6 +196,82 @@ object Dedup {
        |WHERE jaccard >= $jaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- dd_clusters ---------------------------------------------------
+
+  /** Resolve verified duplicate pairs into clusters: connected
+    * components by iterative min-label propagation (labels converge in
+    * O(component diameter) rounds - dup clusters are shallow, so 2-3
+    * rounds in practice; each round is one keyed shuffle). Output: one
+    * row per clustered doc with its cluster id (the component's min
+    * doc_id) and the keep-this-one canonical flag - the step that
+    * turns near-dup PAIRS into an actionable keep/drop decision.
+    * The driver-side loop is the one legitimately iterative pattern
+    * here (bounded by graph diameter, not data size); each iteration's
+    * result is materialized so lineage stays flat.
+    */
+  def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = ngramJaccard(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+    val sym = edges.unionAll(
+      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    var labels = sym.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
+      .persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      rounds += 1
+      val prop = labels.join(sym, col("doc_id") === col("doc_a"))
+        .groupBy(col("doc_b")).agg(min(col("lbl")).as("nlbl"))
+        .select(col("doc_b").as("doc_id"), col("nlbl"))
+      val next = labels.as("l")
+        .join(prop.as("p"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("l.lbl"), coalesce(col("p.nlbl"), col("l.lbl")))
+            .as("lbl"))
+        .persist()
+      changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
+        .filter(col("n.lbl") < col("o.lbl")).count()
+      labels.unpersist()
+      labels = next
+    }
+    val out = labels
+      .select(col("doc_id"), col("lbl").as("cluster_id"),
+        (col("doc_id") === col("lbl")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+    sym.unpersist()
+    out
+  }
+
+  val dupClustersSql: String =
+    s"""WITH RECURSIVE $shingledCteDuck, $bandsCteDuck, cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.h = y.h AND x.doc_id < y.doc_id
+       |), verified AS (
+       |  SELECT c.doc_a, c.doc_b FROM cand c
+       |  JOIN hs a ON a.doc_id = c.doc_a
+       |  JOIN hs b ON b.doc_id = c.doc_b
+       |  WHERE (floor((CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |        / CAST(len(a.hs) + len(b.hs)
+       |               - len(list_intersect(a.hs, b.hs)) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)
+       |        >= $jaccardThreshold
+       |), sym AS (
+       |  SELECT doc_a, doc_b FROM verified
+       |  UNION ALL SELECT doc_b, doc_a FROM verified
+       |), reach AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM sym
+       |  UNION
+       |  SELECT r.a, e.doc_b FROM reach r JOIN sym e ON e.doc_a = r.b
+       |)
+       |SELECT n.doc_id, CAST(least(n.doc_id, min(r.b)) AS BIGINT)
+       |         AS cluster_id,
+       |       (n.doc_id = least(n.doc_id, min(r.b))) AS is_canonical
+       |FROM (SELECT DISTINCT doc_a AS doc_id FROM sym) n
+       |LEFT JOIN reach r ON r.a = n.doc_id
+       |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin
+
   // ---- dd_simhash ----------------------------------------------------
 
   /** 48-bit SimHash near-dup pairs. Token-frequency-weighted bit

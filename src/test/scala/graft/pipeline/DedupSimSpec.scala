@@ -57,6 +57,24 @@ class DedupSimSpec extends SparkSpec {
       s"LSH missed ${truth.diff(cand).size} of ${truth.size} true pairs")
   }
 
+  test("dup clusters: labels are transitive-closed, canonical is min") {
+    val pairs = Dedup.ngramJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.dupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(clusters.nonEmpty)
+    // every pair's two docs share a cluster id
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a)._1 == clusters(b)._1, s"pair ($a,$b) split")
+    }
+    // cluster id is the component minimum; exactly one canonical each
+    clusters.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(members.keys.min == cid)
+      assert(members.values.count(_._2) == 1)
+      assert(members(cid)._2, "the min-id member is the canonical one")
+    }
+  }
+
   test("simhash: near-dup pairs have small hamming distance") {
     val r = Dedup.simhashPairs(spark, sfDir).collect()
     assert(r.forall(_.getLong(2) <= Dedup.hammingThreshold))
