@@ -288,20 +288,29 @@ object Tpch {
     * quartiles (DuckDB quantile_cont ≙ Spark percentile). Quantiles of
     * 2-decimal quantities interpolate exactly in both engines.
     */
-  def qStatsAgg(spark: SparkSession, sfDir: String): DataFrame =
-    Graft.table(spark, sfDir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_suppkey")).as("n_supps"),
-        // one percentile buffer for all three quantiles (the array
-        // form), not three copies of the column per group
-        expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qs"))
+  def qStatsAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Graft.table(spark, sfDir, "lineitem")
+    // Exact percentiles over PRE-AGGREGATED (value, frequency) pairs:
+    // l_quantity is low-cardinality, so the partial-agg-friendly
+    // count-by-value pass shrinks the percentile input from the fact
+    // table to ~50 rows per group - the exact result, none of the
+    // full-column aggregation state.
+    val qtyFreq = li.groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("freq"))
+    val pct = qtyFreq.groupBy(col("l_returnflag"))
+      .agg(expr(
+        "percentile(l_quantity, array(0.25D, 0.5D, 0.75D), freq)")
+        .as("qs"))
+    val distincts = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+    distincts.join(pct, "l_returnflag")
       .select(col("l_returnflag"), col("n_parts"), col("n_supps"),
         element_at(col("qs"), 2).as("q50"),
         element_at(col("qs"), 1).as("q25"),
         element_at(col("qs"), 3).as("q75"))
       .orderBy(col("l_returnflag"))
+  }
 
   val qStatsAggSql: String =
     """SELECT l_returnflag,
