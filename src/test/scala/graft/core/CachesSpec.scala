@@ -120,6 +120,41 @@ class CachesSpec extends SparkSpec {
     assert(!st.exists(_._1 == 5L), "retraction removes all occurrences")
   }
 
+  test("undoLastnState == sequential ring-buffer simulation (randomized)") {
+    val s = spark; import s.implicits._
+    val n = 3
+    Seq(11, 42, 99).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      // random add/retract stream over few keys/values, with t ties so
+      // the (t, seq) order discipline is exercised
+      val events = (1 to 300).map { i =>
+        val p = if (rnd.nextInt(3) == 0) "click" else "view"
+        (p, rnd.nextInt(4).toLong, rnd.nextInt(6).toLong,
+          rnd.nextInt(20).toLong, i.toLong)
+      }
+      // independent sequential simulator of the reference semantics:
+      // conj with capacity-n eviction; retraction filters all matches
+      val expected = events.sortBy(e => (e._4, e._5))
+        .foldLeft(Map.empty[Long, Vector[Long]]) { case (m, (p, k, v, _, _)) =>
+          val buf = m.getOrElse(k, Vector.empty)
+          p match {
+            case "view" => m.updated(k, (buf :+ v).takeRight(n))
+            case _ => m.updated(k, buf.filterNot(_ == v))
+          }
+        }
+        .flatMap { case (k, buf) =>
+          buf.zipWithIndex.map { case (v, pos) =>
+            (k, (buf.size - pos).toLong, v)
+          }
+        }.toSet
+      val got = Caches.undoLastnState(
+          events.toDF("p", "s", "o", "t", "seq"), n)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
   test("count/keycount states merge as monoids (partitioned == full)") {
     // the property that makes partitioned/incremental computation
     // valid: compute state over disjoint event halves, merge with
