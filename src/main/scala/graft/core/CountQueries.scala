@@ -91,62 +91,108 @@ object CountQueries {
   def tuplesSorted(spark: SparkSession, sfDir: String): DataFrame =
     tuplesSortedFrom(counts(spark, sfDir))
 
+  private val tieCols = Seq("s", "a", "o")
+
   /** All six TupleComparators orderings (time/count/count-time ×
     * asc/desc, TupleComparators.java) in one relation: each variant
-    * tags its rows and ranks them (key columns break ties so the result
-    * is deterministic where the reference's comparators were not).
+    * tags its rows and ranks them. The reference's comparators define
+    * no tie order; we pin determinism with the (s, a, o) key columns
+    * running in the variant's direction - so each desc ordering is the
+    * exact REVERSE of its asc partner, and one physical sort serves
+    * both (rk_desc = N + 1 - rk_asc).
     */
   val sortVariants: Seq[(String, Seq[org.apache.spark.sql.Column])] = {
     import org.apache.spark.sql.functions.{col => c}
+    def asc(keys: String*) = (keys ++ tieCols).map(c(_).asc)
+    def desc(keys: String*) = (keys ++ tieCols).map(c(_).desc)
     Seq(
-      "time_asc" -> Seq(c("last_t").asc),
-      "time_desc" -> Seq(c("last_t").desc),
-      "count_asc" -> Seq(c("cnt").asc),
-      "count_desc" -> Seq(c("cnt").desc),
-      "count_time_asc" -> Seq(c("cnt").asc, c("last_t").asc),
-      "count_time_desc" -> Seq(c("cnt").desc, c("last_t").desc))
+      "time_asc" -> asc("last_t"),
+      "time_desc" -> desc("last_t"),
+      "count_asc" -> asc("cnt"),
+      "count_desc" -> desc("cnt"),
+      "count_time_asc" -> asc("cnt", "last_t"),
+      "count_time_desc" -> desc("cnt", "last_t"))
   }
+
+  /** (asc name, desc name, sort keys) - each pair shares one sort. */
+  val sortVariantPairs: Seq[(String, String, Seq[String])] = Seq(
+    ("time_asc", "time_desc", Seq("last_t")),
+    ("count_asc", "count_desc", Seq("cnt")),
+    ("count_time_asc", "count_time_desc", Seq("cnt", "last_t")))
 
   /** Global rank without the global-window scale-killer: range
     * partition on the full (unique) order key, sort within partitions,
-    * then zipWithIndex - rank = partition-local index + the cumulative
-    * size of earlier (range-ordered) partitions. A `Window.orderBy`
-    * with no partitionBy funnels the whole relation through ONE task;
-    * this computes the identical rank with the sort spread across all
-    * partitions. zipWithIndex's size-count pass reuses the same shuffle
-    * output as the main pass (one RDD lineage), so the partitioning the
+    * then offset partition-local indexes by the cumulative size of
+    * earlier (range-ordered) partitions. A `Window.orderBy` with no
+    * partitionBy funnels the whole relation through ONE task; this
+    * computes the identical rank with the sort spread across all
+    * partitions. The partition-size pass reuses the same shuffle output
+    * as the data pass (one RDD lineage), so the partitioning the
     * offsets were computed from is exactly the partitioning the rows
     * carry - unlike a self-join on spark_partition_id(), where the two
     * sides may re-sample different range bounds.
+    *
+    * One ascending sort yields BOTH orderings of the pair: the total
+    * order (keys, s, a, o) asc reversed is (keys, s, a, o) desc, so a
+    * row at ascending rank i sits at descending rank N + 1 - i. Rows
+    * stay in the Tungsten representation end to end
+    * (`queryExecution.toRdd` in, `GraftBridge.ofInternalRows` out) -
+    * no external-Row ser/de on either edge.
     */
-  private def rankedGlobally(state: DataFrame, name: String,
-                             order: Seq[org.apache.spark.sql.Column]): DataFrame = {
+  private def rankedPairGlobally(state: DataFrame, nameAsc: String,
+                                 nameDesc: String,
+                                 keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
     val spark = state.sparkSession
     val parts = spark.sparkContext.defaultParallelism
+    val order = (keys ++ tieCols).map(col(_).asc)
     val sorted = state
       .select(col("s"), col("a"), col("o"), col("cnt"), col("last_t"))
       .repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
-    val schema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+
-        org.apache.spark.sql.types.StructField("rk", LongType, nullable = false))
-    val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    val inSchema = sorted.schema
+    val outSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("ordering", StringType,
+        nullable = false) +:
+      org.apache.spark.sql.types.StructField("rk", LongType,
+        nullable = false) +: inSchema.fields.toSeq)
+    val rdd = sorted.queryExecution.toRdd
+    val counts = rdd
+      .mapPartitions(it => Iterator.single(it.size.toLong)).collect()
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val n = offsets.last
+    val out = rdd.mapPartitionsWithIndex { (pi, it) =>
+      val ascTag = UTF8String.fromString(nameAsc)
+      val descTag = UTF8String.fromString(nameDesc)
+      var idx = offsets(pi)
+      it.flatMap { ir =>
+        // copy: unsafe-row iterators reuse the backing buffer
+        val vals = ir.copy().toSeq(inSchema).toArray
+        idx += 1
+        Iterator[InternalRow](
+          new GenericInternalRow(Array[Any](ascTag, idx) ++ vals),
+          new GenericInternalRow(Array[Any](descTag, n - idx + 1L) ++ vals))
+      }
     }
-    spark.createDataFrame(ranked, schema)
-      .select(lit(name).as("ordering"), col("rk"),
-        col("s"), col("a"), col("o"), col("cnt"), col("last_t"))
+    org.apache.spark.sql.GraftBridge.ofInternalRows(spark, out, outSchema)
   }
 
   def sortedVariantsFrom(state: DataFrame): DataFrame = {
-    // one computation of the count state feeds all six rankings
-    // (without the persist each union branch re-aggregates from the
-    // events scan)
+    // one computation of the count state feeds all rankings (without
+    // the persist each branch re-aggregates from the events scan); the
+    // partition-size passes above materialize each pair's range shuffle
+    // eagerly, so by the time this returns the cached state has served
+    // its purpose - the data pass reads shuffle files, not the cache -
+    // and the persist can be released instead of pinning the relation
+    // for the session lifetime
     val shared = state.persist()
-    sortVariants.map { case (name, order) =>
-      rankedGlobally(shared, name,
-        order ++ Seq(col("s").asc, col("a").asc, col("o").asc))
+    val out = sortVariantPairs.map { case (nameAsc, nameDesc, keys) =>
+      rankedPairGlobally(shared, nameAsc, nameDesc, keys)
     }.reduce(_ unionAll _)
+    shared.unpersist(blocking = false)
+    out
   }
 
   def sortedVariants(spark: SparkSession, sfDir: String): DataFrame =

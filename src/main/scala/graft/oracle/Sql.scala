@@ -191,18 +191,23 @@ object Sql {
        |SELECT s, a, o, cnt, last_t FROM cs
        |ORDER BY cnt DESC, last_t DESC, s, a, o""".stripMargin
 
-  /** All six TupleComparators orderings, tagged + ranked. */
+  /** All six TupleComparators orderings, tagged + ranked. The (s, a, o)
+    * tie-break runs in the variant's direction (the reference's
+    * comparators pin no tie order), making each desc ordering the exact
+    * reverse of its asc partner - the property the Spark side exploits
+    * to serve both from one sort.
+    */
   val ssQSortVariants: String = {
     val variants = Seq(
-      "time_asc" -> "last_t ASC",
-      "time_desc" -> "last_t DESC",
-      "count_asc" -> "cnt ASC",
-      "count_desc" -> "cnt DESC",
-      "count_time_asc" -> "cnt ASC, last_t ASC",
-      "count_time_desc" -> "cnt DESC, last_t DESC")
+      "time_asc" -> "last_t ASC, s ASC, a ASC, o ASC",
+      "time_desc" -> "last_t DESC, s DESC, a DESC, o DESC",
+      "count_asc" -> "cnt ASC, s ASC, a ASC, o ASC",
+      "count_desc" -> "cnt DESC, s DESC, a DESC, o DESC",
+      "count_time_asc" -> "cnt ASC, last_t ASC, s ASC, a ASC, o ASC",
+      "count_time_desc" -> "cnt DESC, last_t DESC, s DESC, a DESC, o DESC")
     val branches = variants.map { case (name, order) =>
       s"""  SELECT '$name' AS ordering,
-         |    CAST(row_number() OVER (ORDER BY $order, s, a, o) AS BIGINT)
+         |    CAST(row_number() OVER (ORDER BY $order) AS BIGINT)
          |      AS rk,
          |    s, a, o, cnt, last_t
          |  FROM cs""".stripMargin

@@ -170,7 +170,8 @@ object CorpusOps {
        |                     AND CURRENT ROW) AS cum
        |  FROM keyed
        |)
-       |SELECT shard, (cum - n_tok) // $packBudget AS bin, doc_id, n_tok
+       |SELECT shard, CAST((cum - n_tok) // $packBudget AS BIGINT) AS bin,
+       |       doc_id, n_tok
        |FROM cums ORDER BY shard, bin, doc_id""".stripMargin
   }
 

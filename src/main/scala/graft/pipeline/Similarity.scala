@@ -248,7 +248,11 @@ object Similarity {
       graft.functions.NearestCentroid(
         org.apache.spark.sql.GraftBridge.expression(col("embedding")),
         centVecs))
-    e.select(col("vec_id"),
+    // Keep the embedding in the output: the assignment scan already has
+    // it in hand, and dropping it would force a corpus-wide re-join on
+    // vec_id downstream just to re-fetch the column (two avoidable
+    // full-corpus exchanges at scale).
+    e.select(col("vec_id"), col("embedding"),
       element_at(typedLit(cids),
         (nearest + 1).cast(org.apache.spark.sql.types.IntegerType))
         .as("cid"))
@@ -270,9 +274,12 @@ object Similarity {
       .select(col("q_id"), col("q_emb"), col("cid"))
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))
-    probes.join(assign, "cid")
+    // probes is (numQueries × ivfProbes) rows by construction - declare
+    // the broadcast rather than leaving it to stats, so the corpus-side
+    // assign relation is never shuffled for the probe join; the only
+    // exchange left is the bounded per-query top-k window.
+    assign.join(broadcast(probes), "cid")
       .filter(col("vec_id") =!= col("q_id"))
-      .join(e, "vec_id")
       .withColumn("sim", ParityMath.q6(expr(cosSpark("q_emb", "embedding"))))
       .withColumn("rk", row_number().over(wTop).cast(LongType))
       .filter(col("rk") <= topK)

@@ -11,6 +11,18 @@ object GraftBridge {
     classic.Dataset.ofRows(
       spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** DataFrame from an RDD of InternalRow - keeps derived relations in
+    * the Tungsten representation instead of round-tripping through
+    * external `Row` ser/de (e.g. the global-rank zip, which would
+    * otherwise fall out of codegen'd processing on both edges).
+    */
+  def ofInternalRows(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
   /** Column ⇄ catalyst Expression, for operators whose parameters are
     * not SQL-expressible (e.g. a plan-time centroid matrix).
     */

@@ -57,6 +57,19 @@ class PlanShapeSpec extends SparkSpec {
       s"centroid assignment must be a narrow scan:\n$plan")
   }
 
+  test("ivf scoring: no corpus re-shuffle on vec_id after assignment") {
+    val plan = executed(graft.pipeline.Similarity.annIvf(spark, sfDir))
+    // assignment carries the embedding, probes broadcast onto the
+    // corpus side: the only hash exchanges are the bounded per-query
+    // top-k window (q_id) + final sort - never a corpus-wide join
+    // keyed on vec_id to re-fetch the embedding
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      s"corpus must not be re-shuffled on vec_id to re-attach columns:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+           plan.contains("BroadcastNestedLoopJoin"),
+      s"probes must broadcast onto the assignment scan:\n$plan")
+  }
+
   test("column pruning pushes through the custom TopKPerKey node") {
     import org.apache.spark.sql.functions.col
     val li = graft.core.Graft.table(spark, sfDir, "lineitem")

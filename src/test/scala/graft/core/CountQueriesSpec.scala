@@ -79,8 +79,8 @@ class CountQueriesSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getString(3), r.getLong(4))).toSet
     val want = CountQueries.sortVariants.map { case (name, order) =>
-      val w = Window.orderBy(order ++ Seq(col("s").asc, col("a").asc,
-        col("o").asc): _*)
+      // sortVariants carries the direction-matched (s, a, o) tie-break
+      val w = Window.orderBy(order: _*)
       state.select(lit(name).as("ordering"),
         row_number().over(w).cast(LongType).as("rk"),
         col("s"), col("a"), col("o"), col("cnt"), col("last_t"))

@@ -23,11 +23,13 @@ def norm(v):
     return str(v)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:  # local iteration on a subset (matches Verify's 3rd arg)
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -48,6 +50,18 @@ def main(sf_dir, out_dir):
             continue
         if exp_cols != got_cols:
             print(f"FAIL {name}: columns {got_cols} != oracle {exp_cols}")
+            n_bad += 1
+            continue
+        # Driver's hash is TYPE-sensitive (e.g. DuckDB window-sum over
+        # BIGINT yields HUGEINT; Spark emits BIGINT -> hash mismatch even
+        # with identical values). Compare logical types, not just values.
+        exp_types = dict(zip(exp.columns, [str(t) for t in exp.types]))
+        got_types = dict(zip(got.columns, [str(t) for t in got.types]))
+        type_diff = {c: (got_types[c], exp_types[c]) for c in exp_cols
+                     if got_types[c] != exp_types[c]}
+        if type_diff:
+            print(f"FAIL {name}: dtype mismatch (result vs oracle): "
+                  f"{type_diff}")
             n_bad += 1
             continue
         e_n = [[norm(v) for v in r] for r in exp_rows]
@@ -77,4 +91,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None))
