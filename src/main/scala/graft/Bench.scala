@@ -62,6 +62,10 @@ object Bench {
     val total = results.map(_._2).sum
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // release the per-(session, corpus) memos - the bench touched two
+    // corpora (warm-up SF + bench SF) and nothing should stay pinned
+    graft.core.Transform.releaseAll(spark)
+    graft.pipeline.SignatureStore.releaseAll(spark)
     spark.stop()
   }
 }

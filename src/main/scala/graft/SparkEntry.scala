@@ -89,6 +89,7 @@ object SparkEntry {
     "ss_stream_lastn_tws" -> ((s, d) => StreamSum.streamLastnTws(s, d)),
     "ss_stream_lsh_cand" -> StreamSum.streamLshCandidates _,
     "ss_stream_ann_cand" -> StreamSum.streamAnnCandidates _,
+    "ss_stream_undo_count" -> StreamSum.streamUndoCountState _,
     // ---- analytics / bench ----
     "q1_agg" -> Tpch.q1 _,
     "q4_semijoin" -> Tpch.q4SemiJoin _,
@@ -125,8 +126,13 @@ object SparkEntry {
     "mm_decode_batched" -> Multimodal.decodeBatched _,
     // ---- corpus-level training-data ops ----
     "txt_vocab" -> graft.pipeline.CorpusOps.vocab _,
-    "pipe_shuffle" -> graft.pipeline.CorpusOps.shuffle _,
-    "pipe_pack" -> graft.pipeline.CorpusOps.pack _,
+    // fixed shard count here so Spark and the generated oracle SQL
+    // bucket identically; production callers omit it and get a
+    // parallelism-scaled default
+    "pipe_shuffle" -> ((s, d) => graft.pipeline.CorpusOps
+      .shuffle(s, d, graft.pipeline.CorpusOps.oracleShards)),
+    "pipe_pack" -> ((s, d) => graft.pipeline.CorpusOps
+      .pack(s, d, graft.pipeline.CorpusOps.oracleShards)),
     "pipe_decontaminate" -> graft.pipeline.CorpusOps.decontaminate _,
     // ---- composed cleaning pipeline ----
     "pipe_corpus_clean" -> ((s, d) => CorpusClean(s, d)),
@@ -144,6 +150,9 @@ object SparkEntry {
     "ss_cache_keycount" -> Sql.ssCacheKeycount,
     "ss_undo_assoc" -> Sql.ssUndoAssoc,
     "ss_undo_count" -> Sql.ssUndoCount,
+    // the streaming retraction face maintains the same state the batch
+    // identity computes, so one oracle checks both
+    "ss_stream_undo_count" -> Sql.ssUndoCount,
     "ss_undo_lastn" -> Sql.ssUndoLastn(graft.core.Config.lastNSize),
     "ss_q_getcount" -> Sql.ssQGetcount(1L, "buy", 3L),
     "ss_q_actions_for_subj" -> Sql.ssQActionsForSubj,
@@ -196,8 +205,8 @@ object SparkEntry {
     "mm_frame_sample" -> Multimodal.frameSampleSql,
     "mm_decode_batched" -> Multimodal.decodeBatchedSql,
     "txt_vocab" -> graft.pipeline.CorpusOps.vocabSql,
-    "pipe_shuffle" -> graft.pipeline.CorpusOps.shuffleSql,
-    "pipe_pack" -> graft.pipeline.CorpusOps.packSql,
+    "pipe_shuffle" -> graft.pipeline.CorpusOps.shuffleSql(),
+    "pipe_pack" -> graft.pipeline.CorpusOps.packSql(),
     "pipe_decontaminate" -> graft.pipeline.CorpusOps.decontaminateSql,
     "pipe_corpus_clean" -> CorpusClean.sql,
   )

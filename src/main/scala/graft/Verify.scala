@@ -44,6 +44,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    graft.core.Transform.releaseAll(spark)
+    graft.pipeline.SignatureStore.releaseAll(spark)
     spark.stop()
   }
 }

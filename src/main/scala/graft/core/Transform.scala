@@ -166,4 +166,22 @@ object Transform {
     xfCache.computeIfAbsent((spark, sfDir, rules), { case (s, dir, rs) =>
       apply(extract(s, dir), rs).persist()
     })
+
+  /** Drop the memoized relation(s) for a corpus - call when done with a
+    * scale factor (Verify/Bench teardown do) or after rewriting the
+    * files at `sfDir` in-session; without it the persisted relations
+    * and their session references pin memory for the JVM lifetime.
+    */
+  def release(spark: SparkSession, sfDir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    xfCache.keySet.asScala
+      .filter(k => (k._1 eq spark) && k._2 == sfDir).toSeq
+      .foreach(k => Option(xfCache.remove(k)).foreach(_.unpersist()))
+  }
+
+  def releaseAll(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    xfCache.keySet.asScala.filter(_._1 eq spark).toSeq
+      .foreach(k => Option(xfCache.remove(k)).foreach(_.unpersist()))
+  }
 }

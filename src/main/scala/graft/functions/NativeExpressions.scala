@@ -384,6 +384,11 @@ object NativeFunctions {
       case Some(other) => throw new IllegalArgumentException(
         s"graft_lsh_bucket planes must be an int literal, got $other")
     }
+    // planes <= 0 would hash everything to bucket 0 and planes > 63
+    // would silently wrap the 1L << j bit mask (overlapping bits) -
+    // both produce wrong bucket ids with no error downstream
+    require(planes >= 1 && planes <= 63,
+      s"graft_lsh_bucket planes must be in [1, 63], got $planes")
     LshBucket(exprs.head, planes)
   }
 

@@ -13,8 +13,21 @@ import org.apache.spark.sql.types.LongType
 object CorpusOps {
 
   val vocabK = 100
-  val shuffleShards = 8
   val shuffleSalt = "shuf42:"
+
+  /** Shard count for the parity run: the oracle SQL is generated with
+    * the same fixed value so both engines bucket identically.
+    */
+  val oracleShards = 8
+
+  /** Default shard count: tracks the cluster's parallelism (overridable
+    * via `graft.shuffle.shards`). A constant would mean corpus/8 rows
+    * per reducer at 100 TB - shards must scale with the cluster, the
+    * way a training pipeline sizes its output shard count.
+    */
+  def shardsFor(spark: SparkSession): Int =
+    spark.conf.getOption("graft.shuffle.shards").map(_.toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
 
   // ---- txt_vocab -----------------------------------------------------
 
@@ -50,14 +63,17 @@ object CorpusOps {
     * the same order (seeded by the salt), so downstream runs are
     * reproducible.
     */
-  def shuffle(spark: SparkSession, sfDir: String): DataFrame = {
+  def shuffle(spark: SparkSession, sfDir: String): DataFrame =
+    shuffle(spark, sfDir, shardsFor(spark))
+
+  def shuffle(spark: SparkSession, sfDir: String, shards: Int): DataFrame = {
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("skey"), col("doc_id"))
     Graft.table(spark, sfDir, "documents")
       .select(col("doc_id"),
         expr(s"graft_md5_48(concat('$shuffleSalt', CAST(doc_id AS STRING)))")
           .as("skey"))
-      .withColumn("shard", pmod(col("skey"), lit(shuffleShards.toLong)))
+      .withColumn("shard", pmod(col("skey"), lit(shards.toLong)))
       .withColumn("pos", row_number().over(w).cast(LongType))
       .select(col("shard"), col("pos"), col("doc_id"))
       .orderBy(col("shard"), col("pos"))
@@ -138,7 +154,10 @@ object CorpusOps {
     * approximation). Per-shard windows only; no global sort, no
     * sequential driver pass - the 100 TB shape of packing.
     */
-  def pack(spark: SparkSession, sfDir: String): DataFrame = {
+  def pack(spark: SparkSession, sfDir: String): DataFrame =
+    pack(spark, sfDir, shardsFor(spark))
+
+  def pack(spark: SparkSession, sfDir: String, shards: Int): DataFrame = {
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("skey"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -148,14 +167,14 @@ object CorpusOps {
           .as("skey"),
         expr("CAST(size(regexp_extract_all(text, '\\\\S+', 0)) AS BIGINT)")
           .as("n_tok"))
-      .withColumn("shard", pmod(col("skey"), lit(shuffleShards.toLong)))
+      .withColumn("shard", pmod(col("skey"), lit(shards.toLong)))
       .withColumn("cum", sum(col("n_tok")).over(w))
       .withColumn("bin", expr(s"(cum - n_tok) DIV $packBudget"))
       .select(col("shard"), col("bin"), col("doc_id"), col("n_tok"))
       .orderBy(col("shard"), col("bin"), col("doc_id"))
   }
 
-  val packSql: String = {
+  def packSql(shards: Int = oracleShards): String = {
     val h48 = HashParity.hex48Duck(
       s"md5(concat('$shuffleSalt', CAST(doc_id AS VARCHAR)))")
     s"""WITH keyed AS (
@@ -163,8 +182,8 @@ object CorpusOps {
        |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok
        |  FROM documents
        |), cums AS (
-       |  SELECT doc_id, skey % $shuffleShards AS shard, n_tok,
-       |    sum(n_tok) OVER (PARTITION BY skey % $shuffleShards
+       |  SELECT doc_id, skey % $shards AS shard, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY skey % $shards
        |                     ORDER BY skey, doc_id
        |                     ROWS BETWEEN UNBOUNDED PRECEDING
        |                     AND CURRENT ROW) AS cum
@@ -175,14 +194,14 @@ object CorpusOps {
        |FROM cums ORDER BY shard, bin, doc_id""".stripMargin
   }
 
-  val shuffleSql: String = {
+  def shuffleSql(shards: Int = oracleShards): String = {
     val h48 = HashParity.hex48Duck(
       s"md5(concat('$shuffleSalt', CAST(doc_id AS VARCHAR)))")
     s"""WITH keyed AS (
        |  SELECT doc_id, $h48 AS skey FROM documents
        |)
-       |SELECT skey % $shuffleShards AS shard,
-       |       CAST(row_number() OVER (PARTITION BY skey % $shuffleShards
+       |SELECT skey % $shards AS shard,
+       |       CAST(row_number() OVER (PARTITION BY skey % $shards
        |                               ORDER BY skey, doc_id) AS BIGINT)
        |         AS pos,
        |       doc_id

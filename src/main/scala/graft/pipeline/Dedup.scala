@@ -218,10 +218,20 @@ object Dedup {
     var labels = sym.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("lbl", col("doc_id"))
       .persist()
+    // Min-label propagation converges in O(component diameter) rounds
+    // (some label strictly decreases every non-final round), so loop
+    // until a fixpoint. The cap is a runaway backstop only - hitting it
+    // is a bug, and silently returning unconverged labels would emit
+    // wrong cluster ids, so it THROWS instead.
+    val maxRounds = 1000
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    while (changed > 0) {
       rounds += 1
+      if (rounds > maxRounds)
+        throw new IllegalStateException(
+          s"dupClusters: no fixpoint after $maxRounds rounds - " +
+            "propagation must strictly shrink labels; this is a bug")
       val prop = labels.join(sym, col("doc_id") === col("doc_a"))
         .groupBy(col("doc_b")).agg(min(col("lbl")).as("nlbl"))
         .select(col("doc_b").as("doc_id"), col("nlbl"))
@@ -236,10 +246,15 @@ object Dedup {
       labels.unpersist()
       labels = next
     }
+    // materialize the (small: clustered docs only) result while the
+    // label chain is still cached, then release every intermediate -
+    // nothing from the iteration outlives the call
     val out = labels
       .select(col("doc_id"), col("lbl").as("cluster_id"),
         (col("doc_id") === col("lbl")).as("is_canonical"))
       .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    labels.unpersist()
     sym.unpersist()
     out
   }

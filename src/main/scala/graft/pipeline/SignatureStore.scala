@@ -45,4 +45,11 @@ object SignatureStore {
     Option(shingleCache.remove((spark, sfDir))).foreach(_.unpersist())
     Option(bandCache.remove((spark, sfDir))).foreach(_.unpersist())
   }
+
+  def releaseAll(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    (shingleCache.keySet.asScala ++ bandCache.keySet.asScala)
+      .filter(_._1 eq spark).toSeq.distinct
+      .foreach { case (_, dir) => release(spark, dir) }
+  }
 }

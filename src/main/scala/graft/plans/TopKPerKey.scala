@@ -79,17 +79,17 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
           heap = new java.util.PriorityQueue[InternalRow](
             kk + 1, ordering.reversed())
           heaps.put(key, heap)
-          ledger.add(key, kk)
+          ledger.add(key, TopKMemoryLedger.perKeyOverheadBytes(kk))
         }
         if (heap.size() < kk) {
           val copy = row.copy()
           heap.add(copy)
-          ledger.add(copy, 0)
+          ledger.add(copy, 0L)
         } else if (ordering.compare(row, heap.peek()) < 0) {
           ledger.remove(heap.poll())
           val copy = row.copy()
           heap.add(copy)
-          ledger.add(copy, 0)
+          ledger.add(copy, 0L)
         }
       }
       // Stream the output: one key's ≤k rows are materialized at a
@@ -140,6 +140,22 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     copy(child = newChild)
 }
 
+/** Heap bookkeeping interface: the exec talks to this, so partitions
+  * evaluated outside a running task (driver-side/unit evaluation) get a
+  * no-op implementation instead of an NPE on TaskContext.
+  */
+sealed trait HeapLedger {
+  def add(row: InternalRow, extraBytes: Long): Unit
+  def remove(row: InternalRow): Unit
+  def close(): Unit
+}
+
+object NoOpHeapLedger extends HeapLedger {
+  override def add(row: InternalRow, extraBytes: Long): Unit = ()
+  override def remove(row: InternalRow): Unit = ()
+  override def close(): Unit = ()
+}
+
 /** Execution-memory bookkeeping for TopKPerKeyExec's per-key heaps:
   * a non-spillable MemoryConsumer that acquires from the task memory
   * manager as held-row bytes grow (reconciled every `syncEvery`
@@ -152,7 +168,8 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
 final class TopKMemoryLedger(
     tmm: org.apache.spark.memory.TaskMemoryManager)
     extends org.apache.spark.memory.MemoryConsumer(
-      tmm, tmm.pageSizeBytes(), org.apache.spark.memory.MemoryMode.ON_HEAP) {
+      tmm, tmm.pageSizeBytes(), org.apache.spark.memory.MemoryMode.ON_HEAP)
+    with HeapLedger {
 
   private val syncEvery = 256
   private val perRowOverhead = 48L // PQ slot + map/object headers, approx
@@ -169,12 +186,12 @@ final class TopKMemoryLedger(
     case _ => 64L
   }) + perRowOverhead
 
-  def add(row: InternalRow, extraOverhead: Int): Unit = {
-    heldBytes += sizeOf(row) + extraOverhead
+  override def add(row: InternalRow, extraBytes: Long): Unit = {
+    heldBytes += sizeOf(row) + extraBytes
     maybeSync()
   }
 
-  def remove(row: InternalRow): Unit = {
+  override def remove(row: InternalRow): Unit = {
     heldBytes -= sizeOf(row)
     maybeSync()
   }
@@ -192,7 +209,7 @@ final class TopKMemoryLedger(
     }
   }
 
-  def close(): Unit = {
+  override def close(): Unit = {
     if (grantedBytes > 0) freeMemory(grantedBytes)
     grantedBytes = 0
     heldBytes = 0
@@ -201,15 +218,25 @@ final class TopKMemoryLedger(
 
 object TopKMemoryLedger {
 
+  /** Estimated bytes for one key's empty heap structure: the PQ's
+    * backing array (k+1 object slots), the PQ object itself, and the
+    * HashMap entry - so high-key-cardinality partitions register their
+    * per-key overhead in BYTES, not a symbolic constant.
+    */
+  def perKeyOverheadBytes(k: Int): Long = (k + 1) * 8L + 48L + 48L
+
   /** Ledger bound to the running task (freed on task completion); a
     * no-op ledger outside a task (e.g. driver-side unit evaluation).
     */
-  def forCurrentTask(): TopKMemoryLedger = {
+  def forCurrentTask(): HeapLedger = {
     val ctx = org.apache.spark.TaskContext.get()
-    val ledger = new TopKMemoryLedger(
-      org.apache.spark.GraftTaskBridge.taskMemoryManager(ctx))
-    ctx.addTaskCompletionListener[Unit](_ => ledger.close())
-    ledger
+    if (ctx == null) NoOpHeapLedger
+    else {
+      val ledger = new TopKMemoryLedger(
+        org.apache.spark.GraftTaskBridge.taskMemoryManager(ctx))
+      ctx.addTaskCompletionListener[Unit](_ => ledger.close())
+      ledger
+    }
   }
 }
 

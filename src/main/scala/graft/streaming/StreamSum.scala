@@ -213,12 +213,14 @@ object StreamSum {
     */
   private def lshCandHandler(
       key: (Int, String), rows: Iterator[BandRow],
-      state: GroupState[Seq[Long]]): Iterator[CandPair] = {
-    val seen = state.getOption.getOrElse(Seq.empty)
-    val newIds = rows.map(_.doc_id).toSeq.distinct.filterNot(seen.contains)
+      state: GroupState[Set[Long]]): Iterator[CandPair] = {
+    // Set-typed state: membership checks are O(1), so a hot bucket
+    // costs O(|batch|) per batch instead of O(|bucket|·|batch|)
+    val seen = state.getOption.getOrElse(Set.empty)
+    val newIds = rows.map(_.doc_id).toSeq.distinct.filterNot(seen)
     val pairs = for {
       (nid, idx) <- newIds.zipWithIndex
-      old <- seen ++ newIds.take(idx)
+      old <- seen.iterator ++ newIds.take(idx)
       if old != nid
     } yield CandPair(math.min(old, nid), math.max(old, nid))
     state.update(seen ++ newIds)
@@ -255,12 +257,13 @@ object StreamSum {
     */
   private def annCandHandler(
       key: (Long, Long), rows: Iterator[EmbRow],
-      state: GroupState[Seq[Long]]): Iterator[AnnCand] = {
-    val seen = state.getOption.getOrElse(Seq.empty)
-    val newIds = rows.map(_.vec_id).toSeq.distinct.filterNot(seen.contains)
+      state: GroupState[Set[Long]]): Iterator[AnnCand] = {
+    // Set-typed state, same O(|batch|) bound as lshCandHandler
+    val seen = state.getOption.getOrElse(Set.empty)
+    val newIds = rows.map(_.vec_id).toSeq.distinct.filterNot(seen)
     val pairs = for {
       (nid, idx) <- newIds.zipWithIndex
-      old <- seen ++ newIds.take(idx)
+      old <- seen.iterator ++ newIds.take(idx)
       if old != nid
     } yield AnnCand(math.min(old, nid), math.max(old, nid), key._1)
     state.update(seen ++ newIds)
@@ -285,6 +288,69 @@ object StreamSum {
     runToTable(out.toDF(), OutputMode.Append(), "ss_stream_ann_cand")
       .distinct()
       .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  final case class UndoOp(s: Long, o: Long, delta: Long, t: Long, seq: Long)
+  final case class UndoCountOut(s: Long, a: String, o: Long, cnt: Long,
+                                last_t: Long, ops: Long)
+
+  /** Streaming retraction face of the count cache ≙ the reference
+    * applying `undoUpdate` inline in the live pipeline (caches.clj:89
+    * dispatching to tuple_counts/update.clj `dec-count!`): per
+    * [subject object] key, `purchase` increments and `click` retracts
+    * with the reference's exact floor-at-each-step semantics -
+    * decrement only while positive, AT THE MOMENT the retraction
+    * arrives, never a clamped net sum. The per-key state is three
+    * longs (cnt, n_inc, last_t); ops within a micro-batch are applied
+    * in (t, seq) order, matching the single-threaded queue order the
+    * reference processes under. Keys never incremented stay invisible
+    * (dec-count! on a missing subject is a nil no-op), and the
+    * timestamp tracks increments only (dec-count! ignores its
+    * timestamp) - identical to the batch `Caches.undoCountState`, so
+    * the same DuckDB oracle checks both faces.
+    */
+  private def undoCountHandler(
+      key: (Long, Long), rows: Iterator[UndoOp],
+      state: GroupState[(Long, Long, Long, Long)]): Iterator[UndoCountOut] = {
+    var (cnt, nInc, lastT, nOps) = state.getOption.getOrElse((0L, 0L, -1L, 0L))
+    rows.toSeq.sortBy(r => (r.t, r.seq)).foreach { r =>
+      nOps += 1L
+      if (r.delta == 1L) {
+        cnt += 1L; nInc += 1L; lastT = math.max(lastT, r.t)
+      } else if (cnt > 0L) cnt -= 1L
+    }
+    state.update((cnt, nInc, lastT, nOps))
+    // ops is monotone per key across emissions, so a multi-batch
+    // consumer can select each key's latest snapshot
+    if (nInc >= 1L)
+      Iterator.single(UndoCountOut(key._1, "buy", key._2, cnt, lastT, nOps))
+    else Iterator.empty
+  }
+
+  /** The retraction stream itself, for any extracted tuple stream -
+    * exposed separately so parity tests can drive it through
+    * MemoryStream micro-batches.
+    */
+  def undoCountStream(tuples: DataFrame): Dataset[UndoCountOut] = {
+    val spark = tuples.sparkSession
+    import spark.implicits._
+    val ops = tuples
+      .filter(col("p").isin("purchase", "click"))
+      .select(col("s"), col("o"),
+        when(col("p") === "purchase", 1L).otherwise(-1L).as("delta"),
+        col("t"), col("seq"))
+      .as[UndoOp]
+    ops.groupByKey(r => (r.s, r.o))
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout())(undoCountHandler)
+  }
+
+  def streamUndoCountState(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = undoCountStream(
+      Transform.extractFrom(streamingEvents(spark, sfDir)))
+    runToTable(out.toDF(), OutputMode.Update(), "ss_stream_undo_count")
+      .select(col("s"), col("a"), col("o"), col("cnt"), col("last_t"))
+      .orderBy(col("s"), col("a"), col("o"))
   }
 
   /** Ring-buffer update ≙ LastNCache.update: keep the N most recent

@@ -58,6 +58,20 @@ class ExpressionsSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("graft_lsh_bucket rejects planes outside [1, 63]") {
+    // 0 planes → constant bucket, >63 → shifted-out mask bits: both
+    // silently wrong, so the builder must fail loudly at plan time
+    for (bad <- Seq(0, 64, -3)) {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT graft_lsh_bucket(array(CAST(1.0 AS FLOAT)), $bad)")
+          .collect()
+      }
+      assert(e.getMessage.contains("[1, 63]") ||
+        Option(e.getCause).exists(_.getMessage.contains("[1, 63]")),
+        s"planes=$bad must be rejected with a clear message, got: $e")
+    }
+  }
+
   test("lsh bucket expression participates in codegen (no fallback)") {
     val df = graft.core.Graft.table(spark, sfDir, "embeddings")
       .select(expr(Similarity.bucketSpark("embedding")).as("b"))

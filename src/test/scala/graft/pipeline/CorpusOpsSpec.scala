@@ -70,7 +70,7 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r1.toSeq == r2.toSeq, "shuffle must be reproducible")
     val docs = graft.core.Graft.table(spark, sfDir, "documents").count()
     assert(r1.map(_._3).distinct.length.toLong == docs)
-    assert(r1.map(_._1).distinct.length == CorpusOps.shuffleShards)
+    assert(r1.map(_._1).distinct.length == CorpusOps.shardsFor(spark))
     // positions are dense 1..n within each shard
     r1.groupBy(_._1).foreach { case (_, rows) =>
       assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq)
@@ -78,5 +78,24 @@ class CorpusOpsSpec extends SparkSpec {
     // and the order within a shard is not the doc_id order (it shuffles)
     val shard0 = r1.filter(_._1 == r1.head._1).sortBy(_._2).map(_._3)
     assert(shard0.toSeq != shard0.sorted.toSeq)
+  }
+
+  test("shuffle/pack shard count scales with the session's parallelism") {
+    // default tracks defaultParallelism (a constant would leave
+    // corpus/8 rows per reducer at 100 TB)
+    assert(CorpusOps.shardsFor(spark) ==
+      spark.sparkContext.defaultParallelism)
+    // conf override wins - the production knob
+    spark.conf.set("graft.shuffle.shards", "3")
+    try {
+      assert(CorpusOps.shardsFor(spark) == 3)
+      val shards = CorpusOps.shuffle(spark, sfDir).collect()
+        .map(_.getLong(0)).distinct
+      assert(shards.length == 3)
+      // explicit shard argument (the parity path) beats both
+      val fixed = CorpusOps.shuffle(spark, sfDir, CorpusOps.oracleShards)
+        .collect().map(_.getLong(0)).distinct
+      assert(fixed.length == CorpusOps.oracleShards)
+    } finally spark.conf.unset("graft.shuffle.shards")
   }
 }

@@ -48,6 +48,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(("interactions-user-obj", 1L, "buy", 7L)) == (2L, 30L))
   }
 
+  test("streaming undo-count retraction == batch undo semantics (multi-batch)") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Ev]
+    // (1,7): two increments in batch 1, two retractions + an increment
+    // in batch 2 → 1. (2,8): retraction BEFORE any increment is a nil
+    // no-op (key invisible until batch 2's purchase). (3,9): click,
+    // click, purchase → floor-at-each-step gives 1 where a clamped net
+    // sum (max(0, -1)) would give 0 - the discriminating case.
+    val batch1 = Seq(mkEv(0, 10, 1, "purchase", 7), mkEv(1, 20, 1, "purchase", 7),
+      mkEv(2, 30, 2, "click", 8), mkEv(3, 40, 3, "click", 9),
+      mkEv(4, 50, 3, "click", 9))
+    val batch2 = Seq(mkEv(5, 60, 1, "click", 7), mkEv(6, 70, 1, "click", 7),
+      mkEv(7, 80, 1, "purchase", 7), mkEv(8, 90, 2, "purchase", 8),
+      mkEv(9, 100, 3, "purchase", 9))
+    val out = StreamSum.undoCountStream(Transform.extractFrom(mem.toDF()))
+    val q = out.toDF().writeStream.format("memory").queryName("undo_parity")
+      .outputMode(OutputMode.Update()).start()
+    mem.addData(batch1: _*); q.processAllAvailable()
+    mem.addData(batch2: _*); q.processAllAvailable()
+    q.stop()
+    // latest snapshot per key = the emission with the highest op count
+    val streamed = spark.table("undo_parity").collect()
+      .groupBy(r => (r.getLong(0), r.getLong(2)))
+      .map { case (k, rs) =>
+        val m = rs.maxBy(_.getLong(5)); k -> (m.getLong(3), m.getLong(4)) }
+    val batch = Caches.undoCountState(
+        Transform.extractFrom((batch1 ++ batch2).toDF()))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), (r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(streamed == batch)
+    assert(streamed((1L, 7L))._1 == 1L)
+    assert(streamed((3L, 9L))._1 == 1L,
+      "floor-at-each-step, not clamped net sum")
+    assert(streamed((2L, 8L)) == (1L, 90L),
+      "pre-increment retraction is a nil no-op")
+  }
+
   test("streaming last-N state == batch last-N (ring buffer semantics)") {
     val r = StreamSum.streamLastnState(spark, sfDir)
       .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
