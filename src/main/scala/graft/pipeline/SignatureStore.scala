@@ -2,6 +2,7 @@ package graft.pipeline
 
 import graft.core.Graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Materialized MinHash signature store: the shingle/hash relation and
   * the exploded LSH band stream are computed ONCE per (session, corpus)
@@ -51,5 +52,57 @@ object SignatureStore {
     (shingleCache.keySet.asScala ++ bandCache.keySet.asScala)
       .filter(_._1 eq spark).toSeq.distinct
       .foreach { case (_, dir) => release(spark, dir) }
+  }
+
+  // ---- incremental maintenance (append-only corpus) ------------------
+
+  /** Catch up the persistent signature store with whatever parquet
+    * files appeared in `watchDir` since the last call: a Structured
+    * Streaming file source over the corpus directory, whose
+    * processed-file log (in the store's checkpoint) is the increment
+    * tracker, with foreachBatch appending each NEW file's shingle and
+    * band relations to the store. Signatures are pure per-document
+    * functions, so the per-batch append is exact - documents already
+    * in the store are never re-read, re-tokenized or re-hashed, which
+    * at 100 TB is the difference between touching today's arrivals and
+    * re-scanning the corpus. Restart-safe: the checkpoint makes each
+    * file's signatures append exactly once.
+    */
+  def catchUp(spark: SparkSession, watchDir: String,
+              storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    val schema = spark.read.option("pathGlobFilter", "*.parquet")
+      .parquet(watchDir).schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet").parquet(watchDir)
+    val q = docs.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sh = Dedup.shinglesFrom(batch)
+        sh.write.mode("append").parquet(s"$storeDir/shingles")
+        Dedup.bandsFrom(sh).write.mode("append").parquet(s"$storeDir/bands")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  def storedShingles(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(s"$storeDir/shingles")
+
+  def storedBands(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(s"$storeDir/bands")
+
+  /** LSH candidate pairs from the incrementally-maintained store -
+    * the same banded self-join as the batch `Dedup.minhashLsh`, so the
+    * store's answer matches the batch oracle once caught up.
+    */
+  def storedCandidates(spark: SparkSession, storeDir: String): DataFrame = {
+    val bands = storedBands(spark, storeDir)
+    bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.h") === col("y.h") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
   }
 }

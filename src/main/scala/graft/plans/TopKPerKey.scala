@@ -32,7 +32,11 @@ case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
                           // the exprId stable for downstream references
                           rankAttr: AttributeReference =
                             AttributeReference("rk", LongType,
-                              nullable = false)()) extends UnaryNode {
+                              nullable = false)(),
+                          // rank() semantics: retain boundary ties and
+                          // emit competition ranks (vs row_number's
+                          // strict k rows)
+                          rankLike: Boolean = false) extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr :: Nil)
@@ -41,7 +45,8 @@ case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
 }
 
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
-                          k: Int, rankAttr: Attribute, child: SparkPlan)
+                          k: Int, rankAttr: Attribute, child: SparkPlan,
+                          rankLike: Boolean = false)
     extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output :+ rankAttr
@@ -56,6 +61,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val orderExprs = order
     val keyExprs = keys
     val kk = k
+    val rankLikeFlag = rankLike
     val rankIsInt = rankAttr.dataType == org.apache.spark.sql.types.IntegerType
     val outTypes = output.map(_.dataType).toArray
     child.execute().mapPartitions { iter =>
@@ -72,6 +78,30 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
       // per-key bounded heap: worst row on top for O(log k) eviction
       val heaps = new java.util.HashMap[InternalRow,
         java.util.PriorityQueue[InternalRow]]()
+      val tieRetaining = rankLikeFlag
+      // rank() mode: evict the worst TIE GROUP only once >= k rows are
+      // strictly better than it (its competition rank exceeded k). The
+      // heap invariantly holds exactly the rows whose rank can still be
+      // <= k, so boundary ties are retained - rank's semantics - while
+      // non-tied inputs degrade to the plain k-bounded heap.
+      def trimWorstGroup(heap: java.util.PriorityQueue[InternalRow]): Unit = {
+        var go = true
+        while (go && heap.size() > kk) {
+          val group = new java.util.ArrayList[InternalRow]()
+          group.add(heap.poll())
+          while (heap.size() > 0 &&
+                 ordering.compare(heap.peek(), group.get(0)) == 0)
+            group.add(heap.poll())
+          if (heap.size() >= kk) {
+            // >= k strictly-better rows exist: group's rank > k, drop it
+            var i = 0
+            while (i < group.size()) { ledger.remove(group.get(i)); i += 1 }
+          } else {
+            heap.addAll(group)
+            go = false
+          }
+        }
+      }
       iter.foreach { row =>
         val key = keyProj(row).copy()
         var heap = heaps.get(key)
@@ -85,11 +115,20 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
           val copy = row.copy()
           heap.add(copy)
           ledger.add(copy, 0L)
-        } else if (ordering.compare(row, heap.peek()) < 0) {
-          ledger.remove(heap.poll())
-          val copy = row.copy()
-          heap.add(copy)
-          ledger.add(copy, 0L)
+        } else {
+          val cmp = ordering.compare(row, heap.peek())
+          if (cmp < 0) {
+            val copy = row.copy()
+            heap.add(copy)
+            ledger.add(copy, 0L)
+            if (tieRetaining) trimWorstGroup(heap)
+            else ledger.remove(heap.poll())
+          } else if (tieRetaining && cmp == 0) {
+            // ties with the surviving worst group: same rank <= k, keep
+            val copy = row.copy()
+            heap.add(copy)
+            ledger.add(copy, 0L)
+          }
         }
       }
       // Stream the output: one key's ≤k rows are materialized at a
@@ -104,6 +143,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
       new Iterator[InternalRow] {
         private var rows: Array[InternalRow] = Array.empty
         private var r = 0
+        private var rk = 0
         private val joined = new org.apache.spark.sql.catalyst.expressions
           .GenericInternalRow(childOutput.size + 1)
 
@@ -115,6 +155,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
             var i = heap.size() - 1
             while (i >= 0) { rows(i) = heap.poll(); i -= 1 }
             r = 0
+            rk = 0
           }
           r < rows.length
         }
@@ -125,10 +166,15 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
             joined.update(c, rows(r).get(c, childOutput(c).dataType))
             c += 1
           }
+          // row_number mode: dense positional rank; rank() mode:
+          // competition rank (ties share, next rank skips)
+          if (!rankLikeFlag || r == 0 ||
+              ordering.compare(rows(r - 1), rows(r)) != 0)
+            rk = r + 1
           // rank type follows the node's rankAttr: Long for the direct
-          // API, Int when substituted for a row_number window
-          if (rankIsInt) joined.setInt(childOutput.size, r + 1)
-          else joined.setLong(childOutput.size, r + 1L)
+          // API, Int when substituted for a window function
+          if (rankIsInt) joined.setInt(childOutput.size, rk)
+          else joined.setLong(childOutput.size, rk.toLong)
           r += 1
           toUnsafe(joined)
         }
@@ -243,8 +289,9 @@ object TopKMemoryLedger {
 /** Planner strategy mapping the logical node to the exec. */
 case class TopKPerKeyStrategy(spark: SparkSession) extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(keys, order, k, child, rankAttr) =>
-      TopKPerKeyExec(keys, order, k, rankAttr, planLater(child)) :: Nil
+    case TopKPerKeyNode(keys, order, k, child, rankAttr, rankLike) =>
+      TopKPerKeyExec(keys, order, k, rankAttr, planLater(child),
+        rankLike) :: Nil
     case _ => Nil
   }
 }

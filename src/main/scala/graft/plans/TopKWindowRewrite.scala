@@ -21,10 +21,14 @@ import org.apache.spark.sql.types.IntegerType
   * still sorts - our node removes the sort entirely).
   *
   * Conservative by construction: fires only on a Filter whose single
-  * predicate bounds a lone row_number window expression (rk <= k,
-  * rk < k, or the flipped forms), with a positive literal k. Any
-  * `WindowGroupLimit` Spark's own optimizer already inserted below the
-  * Window is absorbed (the heap subsumes its pre-filtering).
+  * predicate bounds a lone row_number() or rank() window expression
+  * (rk <= k, rk < k, or the flipped forms), with a positive literal k.
+  * rank() maps to the tie-retaining heap variant (boundary ties
+  * survive, competition ranks out); dense_rank() is left to Spark -
+  * its bound caps distinct order-values, which a bounded heap cannot
+  * decide locally. Any `WindowGroupLimit` Spark's own optimizer
+  * already inserted below the Window is absorbed (the heap subsumes
+  * its pre-filtering).
   */
 case class TopKWindowRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -44,9 +48,10 @@ case class TopKWindowRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond,
-        Window(Seq(alias @ Alias(WindowExpression(RowNumber(),
+        Window(Seq(alias @ Alias(WindowExpression(rankFn,
           WindowSpecDefinition(partSpec, orderSpec, _)), _)),
-          _, _, windowChild, _)) =>
+          _, _, windowChild, _))
+        if rankFn.isInstanceOf[RowNumber] || rankFn.isInstanceOf[Rank] =>
       boundOf(cond) match {
         case Some((attr, k))
             if k > 0 && attr.exprId == alias.exprId &&
@@ -58,7 +63,13 @@ case class TopKWindowRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           }
           val rankAttr = AttributeReference(alias.name, IntegerType,
             nullable = false)(exprId = alias.exprId)
-          TopKPerKeyNode(partSpec, orderSpec, k, child, rankAttr)
+          // rank() keeps boundary ties (heap retains the worst tie
+          // group until >= k rows strictly beat it); row_number stays
+          // a strict k-bounded heap. dense_rank is NOT admissible: its
+          // bound caps distinct order-values, not strictly-better rows,
+          // so a bounded heap cannot decide eviction locally.
+          TopKPerKeyNode(partSpec, orderSpec, k, child, rankAttr,
+            rankLike = rankFn.isInstanceOf[Rank])
         case _ => f
       }
   }

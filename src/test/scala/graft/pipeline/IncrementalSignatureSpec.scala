@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Incremental SignatureStore maintenance: appending a file to the
+  * corpus updates the persistent signature store without recomputing
+  * existing documents, and the store's candidate pairs match the batch
+  * oracle once caught up.
+  */
+class IncrementalSignatureSpec extends SparkSpec {
+
+  /** Land `df` as a single flat parquet file `$dir/$name` (the shape a
+    * corpus-append drops: one new file in the watched directory).
+    */
+  private def land(df: org.apache.spark.sql.DataFrame, dir: String,
+                   name: String): Unit = {
+    val tmp = Files.createTempDirectory("graft_inc_tmp").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, java.nio.file.Paths.get(dir, name))
+  }
+
+  test("catchUp appends only new files' signatures; candidates == batch") {
+    val watch = Files.createTempDirectory("graft_inc_watch").toString
+    val store = Files.createTempDirectory("graft_inc_store").toString
+    val docs = graft.core.Graft.table(spark, sfDir, "documents")
+    val mid = 250L
+
+    // corpus state 1: first half arrives
+    land(docs.filter(col("doc_id") < mid), watch, "docs1.parquet")
+    SignatureStore.catchUp(spark, watch, store)
+    val bandsAfter1 = SignatureStore.storedBands(spark, store).count()
+    val docsAfter1 = SignatureStore.storedShingles(spark, store)
+      .select("doc_id").distinct().count()
+    assert(docsAfter1 == docs.filter(col("doc_id") < mid)
+      .filter(size(expr("regexp_extract_all(text, '\\\\S+', 0)")) >= 3)
+      .count())
+
+    // corpus state 2: second half appended → ONLY the new docs are
+    // signed (store grows by exactly the new docs' bands; the first
+    // half's rows are byte-identical, not recomputed)
+    land(docs.filter(col("doc_id") >= mid), watch, "docs2.parquet")
+    SignatureStore.catchUp(spark, watch, store)
+    val stored = SignatureStore.storedBands(spark, store)
+    val newDocBands = Dedup.bandsFrom(Dedup.shinglesFrom(
+      docs.filter(col("doc_id") >= mid))).count()
+    assert(stored.count() == bandsAfter1 + newDocBands,
+      "second catch-up must append exactly the new docs' bands")
+    assert(stored.filter(col("doc_id") < mid).count() == bandsAfter1)
+
+    // idempotent: nothing new → nothing appended (checkpointed file log)
+    SignatureStore.catchUp(spark, watch, store)
+    assert(SignatureStore.storedBands(spark, store).count()
+      == bandsAfter1 + newDocBands)
+
+    // caught-up store == the batch candidate oracle over the full corpus
+    val inc = SignatureStore.storedCandidates(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Dedup.minhashLsh(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == batch)
+  }
+}

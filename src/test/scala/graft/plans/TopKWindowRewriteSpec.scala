@@ -52,9 +52,44 @@ class TopKWindowRewriteSpec extends SparkSpec {
         .filter(col("rk") <= 5)
       assert(g.queryExecution.executedPlan.toString.contains("Window"))
 
-      // rank(), unlike row_number, is NOT rewritten
-      val rkf = df.withColumn("rk", rank().over(w)).filter(col("rk") <= 5)
-      assert(rkf.queryExecution.executedPlan.toString.contains("Window"))
+      // dense_rank bounds a bounded heap cannot decide - NOT rewritten
+      val drf = df.withColumn("rk", dense_rank().over(w))
+        .filter(col("rk") <= 5)
+      assert(drf.queryExecution.executedPlan.toString.contains("Window"))
     } finally TopKWindowRewrite.install(spark) // engine-wide default
+  }
+
+  test("rank()+filter rewrites tie-retaining, results identical") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // scores drawn from 6 values per 25-key domain → boundary tie
+    // groups are common, so rank <= 3 regularly keeps > 3 rows per key
+    val df = Seq.fill(3000)((rnd.nextInt(25).toLong,
+      rnd.nextInt(6).toLong, rnd.nextLong())).toDF("k", "score", "uid")
+    val w = Window.partitionBy(col("k")).orderBy(col("score").desc)
+    def q = df.withColumn("rk", rank().over(w)).filter(col("rk") <= 3)
+    uninstall()
+    val baseline = q.collect().map(_.toSeq).toSet
+    assert(q.queryExecution.executedPlan.toString.contains("Window"))
+    TopKWindowRewrite.install(spark)
+    try {
+      val rewritten = q
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey"), s"rank rule did not fire:\n$plan")
+      assert(!plan.contains("Window"), s"window sort survived:\n$plan")
+      val got = rewritten.collect().map(_.toSeq).toSet
+      assert(got == baseline)
+      // the discriminator: ties at the boundary are retained, so some
+      // key holds MORE than 3 rows (row_number semantics would cap at 3)
+      val perKey = rewritten.collect().groupBy(_.getLong(0))
+        .values.map(_.length)
+      assert(perKey.exists(_ > 3),
+        "fixture must exercise boundary ties (rank keeps the tie group)")
+      // and competition ranks skip after a tie group
+      val someKey = rewritten.collect().groupBy(_.getLong(0)).values
+        .find(rs => rs.map(_.getInt(3)).distinct.length <
+          rs.length)
+      assert(someKey.isDefined, "expect at least one shared rank")
+    } finally TopKWindowRewrite.install(spark)
   }
 }
