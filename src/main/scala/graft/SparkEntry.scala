@@ -90,6 +90,8 @@ object SparkEntry {
     "ss_stream_lsh_cand" -> StreamSum.streamLshCandidates _,
     "ss_stream_ann_cand" -> StreamSum.streamAnnCandidates _,
     "ss_stream_undo_count" -> StreamSum.streamUndoCountState _,
+    "ss_stream_undo_assoc" -> StreamSum.streamUndoAssocState _,
+    "ss_stream_undo_lastn" -> ((s, d) => StreamSum.streamUndoLastnState(s, d)),
     // ---- analytics / bench ----
     "q1_agg" -> Tpch.q1 _,
     "q4_semijoin" -> Tpch.q4SemiJoin _,
@@ -150,9 +152,11 @@ object SparkEntry {
     "ss_cache_keycount" -> Sql.ssCacheKeycount,
     "ss_undo_assoc" -> Sql.ssUndoAssoc,
     "ss_undo_count" -> Sql.ssUndoCount,
-    // the streaming retraction face maintains the same state the batch
-    // identity computes, so one oracle checks both
+    // the streaming retraction faces maintain the same state the batch
+    // formulations compute, so one oracle checks both faces of each
     "ss_stream_undo_count" -> Sql.ssUndoCount,
+    "ss_stream_undo_assoc" -> Sql.ssUndoAssoc,
+    "ss_stream_undo_lastn" -> Sql.ssUndoLastn(graft.core.Config.lastNSize),
     "ss_undo_lastn" -> Sql.ssUndoLastn(graft.core.Config.lastNSize),
     "ss_q_getcount" -> Sql.ssQGetcount(1L, "buy", 3L),
     "ss_q_actions_for_subj" -> Sql.ssQActionsForSubj,

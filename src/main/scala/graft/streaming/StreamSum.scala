@@ -327,6 +327,97 @@ object StreamSum {
     else Iterator.empty
   }
 
+  /** Streaming retraction face of the associative cache ≙
+    * AssociativeCache.undoUpdate applied live (caches.clj:37: a
+    * retraction puts nil; last operation wins). The batch
+    * `undoAssocState` is already a pure last-op-wins aggregation, so
+    * the streaming face is the SAME declarative agg maintained
+    * incrementally - `signup` writes (k=o, v=s), `error` retracts with
+    * a null write, max over the (t, seq, v) struct picks the latest.
+    */
+  def streamUndoAssocState(spark: SparkSession, sfDir: String): DataFrame = {
+    val tuples = Transform.extractFrom(streamingEvents(spark, sfDir))
+    val ops = tuples.filter(col("p") === "signup")
+      .select(col("o").as("k"), col("s").as("v"), col("t"), col("seq"))
+      .unionAll(
+        tuples.filter(col("p") === "error")
+          .select(col("o").as("k"), lit(null).cast(LongType).as("v"),
+            col("t"), col("seq")))
+    val state = ops.groupBy(col("k"))
+      .agg(max(struct(col("t"), col("seq"), col("v"))).as("m"))
+      .select(lit("signup-obj-user").as("cache"), col("k"),
+        col("m.v").as("v"), col("m.t").as("t"))
+    runToTable(state, OutputMode.Complete(), "ss_stream_undo_assoc")
+      .orderBy(col("k"))
+  }
+
+  final case class LastNOp(k: Long, op: String, v: Long, t: Long, seq: Long)
+
+  /** Ring-buffer fold shared by the streaming undo-lastn handler ≙ the
+    * batch aggregate() HOF in `Caches.undoLastnState` (caches.clj:69-73
+    * undoUpdate: rebuild with every occurrence of the value removed;
+    * updates conj with capacity-n eviction). Buffer is chronological,
+    * oldest first.
+    */
+  def lastnUndoStep(buf: Vector[Long], op: String, v: Long,
+                    n: Int): Vector[Long] =
+    if (op == "add") (buf :+ v).takeRight(n)
+    else buf.filterNot(_ == v)
+
+  private def undoLastnHandler(n: Int)(
+      key: Long, rows: Iterator[LastNOp],
+      state: GroupState[(Long, Vector[Long])]): Iterator[LastNOut] = {
+    val (ops0, buf0) = state.getOption.getOrElse((0L, Vector.empty[Long]))
+    val sorted = rows.toSeq.sortBy(r => (r.t, r.seq))
+    val buf = sorted.foldLeft(buf0) {
+      (b, r) => lastnUndoStep(b, r.op, r.v, n)
+    }
+    val ops = ops0 + sorted.size
+    state.update((ops, buf))
+    // rn = 1 newest ≙ undoLastnState's exploded exposure. The batch
+    // output carries no time column (retraction severs the
+    // value-to-time association), so the t slot carries the key's
+    // monotone op count - multi-batch consumers use it to select the
+    // latest snapshot; the oracle-facing query drops it.
+    buf.reverseIterator.zipWithIndex.map { case (v, i) =>
+      LastNOut("view-user-obj", key, v, ops, i + 1L)
+    }
+  }
+
+  /** Streaming retraction face of the last-N cache: per-key sequential
+    * ring-buffer state with retract-all-matching + capacity eviction,
+    * applied in (t, seq) order as micro-batches arrive - the same fold
+    * the batch runs inside aggregate(), so both faces share
+    * `ssUndoLastn`'s recursive-CTE oracle. `view` appends, `click`
+    * retracts, mirroring the batch op routing.
+    */
+  /** The retraction ring-buffer stream over any extracted tuple stream
+    * (MemoryStream-drivable for parity tests).
+    */
+  def undoLastnStream(tuples: DataFrame,
+                      n: Int = Config.lastNSize): Dataset[LastNOut] = {
+    val spark = tuples.sparkSession
+    import spark.implicits._
+    val ops = tuples
+      .filter(col("p").isin("view", "click"))
+      .select(col("s").as("k"),
+        when(col("p") === "view", lit("add")).otherwise(lit("del")).as("op"),
+        col("o").as("v"), col("t"), col("seq"))
+      .as[LastNOp]
+    ops.groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout())(undoLastnHandler(n))
+  }
+
+  def streamUndoLastnState(spark: SparkSession, sfDir: String,
+                           n: Int = Config.lastNSize): DataFrame = {
+    val out = undoLastnStream(
+      Transform.extractFrom(streamingEvents(spark, sfDir)), n)
+    runToTable(out.toDF(), OutputMode.Update(), "ss_stream_undo_lastn")
+      .select(col("cache"), col("k"), col("rn"), col("v"))
+      .orderBy(col("k"), col("rn"))
+  }
+
   /** The retraction stream itself, for any extracted tuple stream -
     * exposed separately so parity tests can drive it through
     * MemoryStream micro-batches.

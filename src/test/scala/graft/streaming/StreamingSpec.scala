@@ -87,6 +87,82 @@ class StreamingSpec extends SparkSpec {
       "pre-increment retraction is a nil no-op")
   }
 
+  test("streaming undo-lastn == batch fold incl. eviction-then-retraction") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Ev]
+    // n=3; u1 views o1..o4 in batch 1 (o1 evicted by capacity), then
+    // batch 2 retracts o2, re-adds o1, retracts an absent o9 (no-op).
+    // o1's eviction must NOT resurrect it on o2's retraction - the
+    // sequential interplay the fold pins.
+    val batch1 = Seq(mkEv(0, 10, 1, "view", 1), mkEv(1, 20, 1, "view", 2),
+      mkEv(2, 30, 1, "view", 3), mkEv(3, 40, 1, "view", 4))
+    val batch2 = Seq(mkEv(4, 50, 1, "click", 2), mkEv(5, 60, 1, "view", 1),
+      mkEv(6, 70, 1, "click", 9), mkEv(7, 80, 2, "view", 5))
+    val out = StreamSum.undoLastnStream(
+      Transform.extractFrom(mem.toDF()), n = 3)
+    val q = out.toDF().writeStream.format("memory").queryName("ulastn_parity")
+      .outputMode(OutputMode.Update()).start()
+    mem.addData(batch1: _*); q.processAllAvailable()
+    mem.addData(batch2: _*); q.processAllAvailable()
+    q.stop()
+    // latest snapshot per key = rows carrying the max op marker (t slot)
+    val byKey = spark.table("ulastn_parity").collect()
+      .groupBy(_.getLong(1))
+    val streamed = byKey.map { case (k, rs) =>
+      val latest = rs.map(_.getLong(3)).max
+      k -> rs.filter(_.getLong(3) == latest)
+        .map(r => r.getLong(4) -> r.getLong(2)).toMap // rn -> v
+    }
+    val batch = Caches.undoLastnState(
+        Transform.extractFrom((batch1 ++ batch2).toDF()), n = 3)
+      .collect().groupBy(_.getLong(1))
+      .map { case (k, rs) =>
+        k -> rs.map(r => r.getLong(2) -> r.getLong(3)).toMap }
+    assert(streamed == batch)
+    // u1 final buffer: [o3, o4, o1] → rn1=o1 (newest), rn2=o4, rn3=o3
+    assert(streamed(1L) == Map(1L -> 1L, 2L -> 4L, 3L -> 3L))
+  }
+
+  test("streaming undo-assoc == batch last-op-wins with nil retraction") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Ev]
+    // signup writes (k=obj, v=user); error retracts obj's entry (nil);
+    // obj 8 is retracted then re-signed, obj 9 only ever retracted
+    // (must surface with a null value, ≙ .put(key, nil))
+    val evs1 = Seq(mkEv(0, 10, 1, "signup", 7), mkEv(1, 20, 2, "signup", 8),
+      mkEv(2, 30, 1, "error", 9))
+    val evs2 = Seq(mkEv(3, 40, 1, "error", 8), mkEv(4, 50, 3, "signup", 8),
+      mkEv(5, 60, 2, "error", 7))
+    val tuples = Transform.extractFrom(mem.toDF())
+    val ops = tuples.filter(col("p") === "signup")
+      .select(col("o").as("k"), col("s").as("v"), col("t"), col("seq"))
+      .unionAll(tuples.filter(col("p") === "error")
+        .select(col("o").as("k"),
+          lit(null).cast(org.apache.spark.sql.types.LongType).as("v"),
+          col("t"), col("seq")))
+    val agg = ops.groupBy(col("k"))
+      .agg(max(struct(col("t"), col("seq"), col("v"))).as("m"))
+      .select(col("k"), col("m.v").as("v"), col("m.t").as("t"))
+    val q = agg.writeStream.format("memory").queryName("uassoc_parity")
+      .outputMode(OutputMode.Complete()).start()
+    mem.addData(evs1: _*); q.processAllAvailable()
+    mem.addData(evs2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("uassoc_parity").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val batch = Caches.undoAssocState(
+        Transform.extractFrom((evs1 ++ evs2).toDF())).collect()
+      .map(r => r.getLong(1) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(streamed == batch)
+    assert(streamed(8L) == Some(3L), "retract-then-rewrite: last op wins")
+    assert(streamed(7L) == None, "retraction nulls the entry")
+    assert(streamed(9L) == None, "retract-only key surfaces with nil")
+  }
+
   test("streaming last-N state == batch last-N (ring buffer semantics)") {
     val r = StreamSum.streamLastnState(spark, sfDir)
       .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
