@@ -91,6 +91,7 @@ object SparkEntry {
     "ss_stream_ann_cand" -> StreamSum.streamAnnCandidates _,
     "ss_stream_undo_count" -> StreamSum.streamUndoCountState _,
     "ss_stream_undo_assoc" -> StreamSum.streamUndoAssocState _,
+    "ss_stream_keycount" -> StreamSum.streamKeycountState _,
     "ss_stream_undo_lastn" -> ((s, d) => StreamSum.streamUndoLastnState(s, d)),
     // ---- analytics / bench ----
     "q1_agg" -> Tpch.q1 _,
@@ -156,6 +157,7 @@ object SparkEntry {
     // formulations compute, so one oracle checks both faces of each
     "ss_stream_undo_count" -> Sql.ssUndoCount,
     "ss_stream_undo_assoc" -> Sql.ssUndoAssoc,
+    "ss_stream_keycount" -> Sql.ssCacheKeycount,
     "ss_stream_undo_lastn" -> Sql.ssUndoLastn(graft.core.Config.lastNSize),
     "ss_undo_lastn" -> Sql.ssUndoLastn(graft.core.Config.lastNSize),
     "ss_q_getcount" -> Sql.ssQGetcount(1L, "buy", 3L),

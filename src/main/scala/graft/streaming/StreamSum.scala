@@ -76,6 +76,20 @@ object StreamSum {
       .orderBy(col("cache"), col("k"))
   }
 
+  /** KeyCount cache (the example config's extended kind) as a
+    * streaming aggregation: updates per key across the whole
+    * transformed tuple stream - with this, every registered cache KIND
+    * (assoc, lastn, count, keycount) has a streaming face.
+    */
+  def streamKeycountState(spark: SparkSession, sfDir: String): DataFrame = {
+    val xf = Transform(Transform.extractFrom(streamingEvents(spark, sfDir)))
+    val kc = xf.groupBy(col("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(lit("subject-counts").as("cache"), col("k"), col("cnt"))
+    runToTable(kc, OutputMode.Complete(), "ss_stream_keycount")
+      .orderBy(col("k"))
+  }
+
   /** Session windows, natively: `session_window` merges events with
     * < 30-minute gaps - the declarative form of the batch lag/gap
     * sessionization (`Tpch.qSessionize`), maintained incrementally with
