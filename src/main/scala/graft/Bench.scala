@@ -47,15 +47,24 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))
         SparkEntry.queries.toSeq.sortBy(_._1)
       else headline.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+    // SPARK_GRAFT_BENCH_REPS=n (default 1): per-query median of n runs
+    // - machine contention makes single-shot numbers ±50% noisy; the
+    // median keeps the driver's run cheap by default but lets a local
+    // perf investigation measure structurally.
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
     val results = selected.map {
       case (name, fn) =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

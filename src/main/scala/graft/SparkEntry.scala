@@ -123,6 +123,7 @@ object SparkEntry {
     "txt_langid" -> TextAnalysis.langid _,
     "txt_tokens" -> TextAnalysis.tokens _,
     "txt_fingerprint" -> TextAnalysis.fingerprint _,
+    "txt_unigram_nll" -> TextAnalysis.unigramNll _,
     // ---- multimodal plumbing ----
     "mm_binary_stats" -> Multimodal.binaryStats _,
     "mm_frame_sample" -> Multimodal.frameSample _,
@@ -207,6 +208,7 @@ object SparkEntry {
     "txt_langid" -> TextAnalysis.langidSql,
     "txt_tokens" -> TextAnalysis.tokensSql,
     "txt_fingerprint" -> TextAnalysis.fingerprintSql,
+    "txt_unigram_nll" -> TextAnalysis.unigramNllSql,
     "mm_binary_stats" -> Multimodal.binaryStatsSql,
     "mm_frame_sample" -> Multimodal.frameSampleSql,
     "mm_decode_batched" -> Multimodal.decodeBatchedSql,

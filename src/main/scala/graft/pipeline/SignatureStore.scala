@@ -105,4 +105,52 @@ object SignatureStore {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
   }
+
+  /** Embedding twin of `catchUp`: append each NEW embedding file's
+    * (vec_id, label, LSH bucket) cell assignment to a persistent
+    * store. The bucket is a pure per-vector function (the codegen'd
+    * LshBucket expression), so the per-batch append is exact and old
+    * vectors are never re-hashed; the store is the batch-queryable
+    * face of the cells `ss_stream_ann_cand` keys its state on.
+    */
+  def catchUpEmbeddings(spark: SparkSession, watchDir: String,
+                        storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    val schema = spark.read.option("pathGlobFilter", "*.parquet")
+      .parquet(watchDir).schema
+    val embs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet").parquet(watchDir)
+    val q = embs.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(col("vec_id"),
+            col("label").cast(org.apache.spark.sql.types.LongType)
+              .as("label"),
+            org.apache.spark.sql.functions.expr(
+              Similarity.bucketSpark("embedding")).as("bucket"))
+          .write.mode("append").parquet(s"$storeDir/cells")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  def storedCells(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(s"$storeDir/cells")
+
+  /** Same-cell candidate pairs from the incrementally-maintained
+    * embedding store - matches the batch `annCandidatesSql` oracle
+    * once caught up.
+    */
+  def storedAnnCandidates(spark: SparkSession,
+                          storeDir: String): DataFrame = {
+    val cells = storedCells(spark, storeDir)
+    cells.as("x").join(cells.as("y"),
+        col("x.label") === col("y.label") &&
+        col("x.bucket") === col("y.bucket") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        col("x.label").as("label"))
+      .distinct()
+  }
 }

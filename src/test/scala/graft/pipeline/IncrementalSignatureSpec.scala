@@ -63,4 +63,35 @@ class IncrementalSignatureSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(inc == batch)
   }
+
+  test("catchUpEmbeddings: incremental cells match batch ANN blocking") {
+    val watch = Files.createTempDirectory("graft_emb_watch").toString
+    val store = Files.createTempDirectory("graft_emb_store").toString
+    val embs = graft.core.Graft.table(spark, sfDir, "embeddings")
+    val mid = 250L
+
+    land(embs.filter(col("vec_id") < mid), watch, "emb1.parquet")
+    SignatureStore.catchUpEmbeddings(spark, watch, store)
+    val cells1 = SignatureStore.storedCells(spark, store).count()
+    assert(cells1 == embs.filter(col("vec_id") < mid).count())
+
+    land(embs.filter(col("vec_id") >= mid), watch, "emb2.parquet")
+    SignatureStore.catchUpEmbeddings(spark, watch, store)
+    assert(SignatureStore.storedCells(spark, store).count() == embs.count(),
+      "second catch-up must add exactly the new vectors' cells")
+
+    // caught-up same-cell pairs == the batch (label, bucket) blocking
+    val inc = SignatureStore.storedAnnCandidates(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val e = embs.withColumn("bucket",
+      expr(Similarity.bucketSpark("embedding")))
+    val batch = e.as("x").join(e.as("y"),
+        col("x.label") === col("y.label") &&
+        col("x.bucket") === col("y.bucket") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id"), col("y.vec_id"),
+        col("x.label").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == batch)
+  }
 }

@@ -39,4 +39,25 @@ class TextAnalysisSpec extends SparkSpec {
     // same-vocab synthetic corpus: scores must still be well-defined
     assert(r.forall(x => x.getDouble(3) >= 0.0 && x.getDouble(3) <= 1.0))
   }
+
+  test("unigram NLL: rare-token documents score more surprising") {
+    val r = TextAnalysis.unigramNll(spark, sfDir).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r.size == 500 && r.values.forall(_ > 0.0))
+    // a document of corpus-common tokens must score below one that is
+    // mostly hapax legomena: compare each doc's score against the
+    // corpus quartiles of its own mean token frequency
+    val toks = graft.core.Graft.table(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+    val freq = toks.groupBy("term").count()
+    val meanFreq = toks.join(freq, "term").groupBy("doc_id")
+      .agg(avg(col("count")).as("mf"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val byFreq = r.keys.toSeq.sortBy(meanFreq)
+    val lowFreqNll = byFreq.takeRight(50).map(r).sum / 50 // most common
+    val highFreqNll = byFreq.take(50).map(r).sum / 50     // most rare
+    assert(highFreqNll > lowFreqNll,
+      "rare-token docs must have higher mean NLL than common-token docs")
+  }
 }
