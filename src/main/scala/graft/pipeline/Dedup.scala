@@ -218,6 +218,9 @@ object Dedup {
     var labels = sym.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("lbl", col("doc_id"))
       .persist()
+    // labels becomes a PROJECTION of each round's persisted relation;
+    // unpersist must target the handle that was actually cached
+    var cached = labels
     // Min-label propagation converges in O(component diameter) rounds
     // (some label strictly decreases every non-final round), so loop
     // until a fixpoint. The cap is a runaway backstop only - hitting it
@@ -235,16 +238,20 @@ object Dedup {
       val prop = labels.join(sym, col("doc_id") === col("doc_a"))
         .groupBy(col("doc_b")).agg(min(col("lbl")).as("nlbl"))
         .select(col("doc_b").as("doc_id"), col("nlbl"))
+      // carry the previous label through, so the convergence check is
+      // one scan of the freshly-persisted relation instead of a
+      // round-trip join against the previous iteration
       val next = labels.as("l")
         .join(prop.as("p"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("l.lbl"), coalesce(col("p.nlbl"), col("l.lbl")))
-            .as("lbl"))
+            .as("lbl"),
+          col("l.lbl").as("prev"))
         .persist()
-      changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
-        .filter(col("n.lbl") < col("o.lbl")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("lbl") < col("prev")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("doc_id"), col("lbl"))
     }
     // materialize the (small: clustered docs only) result while the
     // label chain is still cached, then release every intermediate -
@@ -254,7 +261,7 @@ object Dedup {
         (col("doc_id") === col("lbl")).as("is_canonical"))
       .orderBy(col("doc_id"))
       .localCheckpoint(true)
-    labels.unpersist()
+    cached.unpersist()
     sym.unpersist()
     out
   }

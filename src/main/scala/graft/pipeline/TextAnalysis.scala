@@ -300,59 +300,55 @@ object TextAnalysis {
     * high, formulaic boilerplate scores low).
     *
     * Shape at scale: one map-side-combinable term count (the vocab
-    * relation is small → broadcasts back onto the token stream), one
-    * keyed shuffle on doc_id for the fold. Parity: each token's nll is
-    * quantized (q6) BEFORE the per-document sum, and the sum runs as a
-    * sequential position-ordered fold on both engines (aggregate() over
-    * the pos-sorted struct list ≙ DuckDB list_sum(list(x ORDER BY
-    * pos))), so engine-level last-ulp ln() differences cannot
-    * accumulate and the result hash-matches bitwise.
+    * relation is small → broadcasts back onto the token stream), then
+    * one map-side-combinable LONG sum per doc_id. Parity: each token's
+    * nll is quantized to INTEGER micro-nats (floor(x·1e6 + 0.5) as
+    * BIGINT) before summing, so the per-document aggregation is exact
+    * integer arithmetic - order-independent, partial-agg-friendly, and
+    * immune to engine-level ln() last-ulp differences (which q6
+    * absorbs per token); the only floating ops after that are the
+    * identical final divisions on both engines.
     */
   def unigramNll(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Graft.tableParallel(spark, sfDir, "documents")
-      .select(col("doc_id"), posexplode(
-        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")))
-      .withColumnRenamed("col", "term")
+      .select(col("doc_id"), explode(
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
     val freq = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
     val totals = freq.agg(sum(col("cnt")).as("n_total"),
       count(lit(1)).as("v_size"))
     toks.join(broadcast(freq), "term")
       .crossJoin(broadcast(totals))
-      .select(col("doc_id"), col("pos"),
-        ParityMath.q6(expr(
-          "-ln(CAST(cnt + 1 AS DOUBLE) / CAST(n_total + v_size AS DOUBLE))"))
-          .as("nll_tok"))
+      .select(col("doc_id"), expr(
+        """CAST(floor(-ln(CAST(cnt + 1 AS DOUBLE)
+          |  / CAST(n_total + v_size AS DOUBLE)) * 1000000.0 + 0.5)
+          |  AS BIGINT)""".stripMargin).as("nll_u"))
       .groupBy(col("doc_id"))
-      .agg(expr(
-        """aggregate(array_sort(collect_list(struct(pos, nll_tok))),
-          |  CAST(0 AS DOUBLE), (acc, x) -> acc + x.nll_tok)""".stripMargin)
-          .as("sum_nll"),
-        count(lit(1)).as("n_tok"))
+      .agg(sum(col("nll_u")).as("sum_u"), count(lit(1)).as("n_tok"))
       .select(col("doc_id"), col("n_tok"),
-        ParityMath.q6(col("sum_nll") / col("n_tok")).as("nll"))
+        ParityMath.q6((col("sum_u").cast("double") / lit(1000000.0))
+          / col("n_tok")).as("nll"))
       .orderBy(col("doc_id"))
   }
 
-  val unigramNllSql: String = {
-    val tokNll = ParityMath.q6Sql(
-      "-ln(CAST(f.cnt + 1 AS DOUBLE) / CAST(tt.n_total + tt.v_size AS DOUBLE))")
+  val unigramNllSql: String =
     s"""WITH toks AS (
-       |  SELECT doc_id, unnest(l) AS term,
-       |         unnest(range(1, len(l) + 1)) AS pos
-       |  FROM (SELECT doc_id,
-       |          regexp_extract_all(lower(text), '[a-z0-9]+') AS l
-       |        FROM documents)
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+       |    '[a-z0-9]+')) AS term
+       |  FROM documents
        |), freq AS (
        |  SELECT term, count(*) AS cnt FROM toks GROUP BY term
        |), totals AS (
        |  SELECT sum(cnt) AS n_total, count(*) AS v_size FROM freq
        |), scored AS (
-       |  SELECT t.doc_id, t.pos, $tokNll AS nll_tok
+       |  SELECT t.doc_id,
+       |    CAST(floor(-ln(CAST(f.cnt + 1 AS DOUBLE)
+       |      / CAST(tt.n_total + tt.v_size AS DOUBLE)) * 1000000.0 + 0.5)
+       |      AS BIGINT) AS nll_u
        |  FROM toks t JOIN freq f USING (term) CROSS JOIN totals tt
        |)
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
-       |  ${ParityMath.q6Sql("list_sum(list(nll_tok ORDER BY pos)) / count(*)")}
+       |  ${ParityMath.q6Sql(
+            "(CAST(sum(nll_u) AS DOUBLE) / 1000000.0) / count(*)")}
        |    AS nll
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
-  }
 }
