@@ -24,9 +24,21 @@ object ScaleSmoke {
     val top = graft.core.CountQueries.topKPerSubjFrom(
       counts.drop("cache"), 3).count()
     val t2 = System.nanoTime()
+    // round-3 re-planned ops at generator scale: all six global sort
+    // rankings over the count state (3 physical sorts, InternalRow
+    // end-to-end) and the bounded-heap custom operator
+    val sv = graft.core.CountQueries.sortedVariantsFrom(
+      counts.drop("cache")).count()
+    val t3 = System.nanoTime()
+    val topCustom = graft.plans.TopK.perKey(counts.drop("cache"),
+      Seq("s"), Seq(("cnt", false), ("last_t", false), ("a", true),
+        ("o", true)), 3).count()
+    val t4 = System.nanoTime()
     println(f"SMOKE rows=$rows countState_groups=$n topk_rows=$top " +
       f"pipeline_sec=${(t1 - t0) / 1e9}%.1f topk_sec=${(t2 - t1) / 1e9}%.1f " +
-      f"events_per_sec=${rows / ((t1 - t0) / 1e9)}%.0f")
+      f"events_per_sec=${rows / ((t1 - t0) / 1e9)}%.0f " +
+      f"sort_variants_rows=$sv sort_variants_sec=${(t3 - t2) / 1e9}%.1f " +
+      f"topk_custom_rows=$topCustom topk_custom_sec=${(t4 - t3) / 1e9}%.1f")
     spark.stop()
   }
 }
