@@ -101,24 +101,22 @@ object CountQueries {
     * exact REVERSE of its asc partner, and one physical sort serves
     * both (rk_desc = N + 1 - rk_asc).
     */
-  val sortVariants: Seq[(String, Seq[org.apache.spark.sql.Column])] = {
-    import org.apache.spark.sql.functions.{col => c}
-    def asc(keys: String*) = (keys ++ tieCols).map(c(_).asc)
-    def desc(keys: String*) = (keys ++ tieCols).map(c(_).desc)
-    Seq(
-      "time_asc" -> asc("last_t"),
-      "time_desc" -> desc("last_t"),
-      "count_asc" -> asc("cnt"),
-      "count_desc" -> desc("cnt"),
-      "count_time_asc" -> asc("cnt", "last_t"),
-      "count_time_desc" -> desc("cnt", "last_t"))
-  }
-
-  /** (asc name, desc name, sort keys) - each pair shares one sort. */
+  /** (asc name, desc name, sort keys) - each pair shares one sort;
+    * the single source of truth for the variant list (`sortVariants`
+    * and the oracle SQL expand from it).
+    */
   val sortVariantPairs: Seq[(String, String, Seq[String])] = Seq(
     ("time_asc", "time_desc", Seq("last_t")),
     ("count_asc", "count_desc", Seq("cnt")),
     ("count_time_asc", "count_time_desc", Seq("cnt", "last_t")))
+
+  val sortVariants: Seq[(String, Seq[org.apache.spark.sql.Column])] = {
+    import org.apache.spark.sql.functions.{col => c}
+    sortVariantPairs.flatMap { case (nameAsc, nameDesc, keys) =>
+      Seq(nameAsc -> (keys ++ tieCols).map(c(_).asc),
+          nameDesc -> (keys ++ tieCols).map(c(_).desc))
+    }
+  }
 
   /** Global rank without the global-window scale-killer: range
     * partition on the full (unique) order key, sort within partitions,
@@ -159,8 +157,13 @@ object CountQueries {
       org.apache.spark.sql.types.StructField("rk", LongType,
         nullable = false) +: inSchema.fields.toSeq)
     val rdd = sorted.queryExecution.toRdd
-    val counts = rdd
-      .mapPartitions(it => Iterator.single(it.size.toLong)).collect()
+    // Long accumulation: Iterator.size returns Int, which would wrap on
+    // a >2^31-row range partition and silently corrupt every rank
+    val counts = rdd.mapPartitions { it =>
+      var c = 0L
+      while (it.hasNext) { it.next(); c += 1L }
+      Iterator.single(c)
+    }.collect()
     val offsets = counts.scanLeft(0L)(_ + _)
     val n = offsets.last
     val out = rdd.mapPartitionsWithIndex { (pi, it) =>

@@ -198,13 +198,14 @@ object Sql {
     * to serve both from one sort.
     */
   val ssQSortVariants: String = {
-    val variants = Seq(
-      "time_asc" -> "last_t ASC, s ASC, a ASC, o ASC",
-      "time_desc" -> "last_t DESC, s DESC, a DESC, o DESC",
-      "count_asc" -> "cnt ASC, s ASC, a ASC, o ASC",
-      "count_desc" -> "cnt DESC, s DESC, a DESC, o DESC",
-      "count_time_asc" -> "cnt ASC, last_t ASC, s ASC, a ASC, o ASC",
-      "count_time_desc" -> "cnt DESC, last_t DESC, s DESC, a DESC, o DESC")
+    // expanded from the SAME pair list the Spark side sorts with, so
+    // the variant inventory cannot drift between engine and oracle
+    val variants = graft.core.CountQueries.sortVariantPairs.flatMap {
+      case (nameAsc, nameDesc, keys) =>
+        val cols = keys ++ Seq("s", "a", "o")
+        Seq(nameAsc -> cols.map(c => s"$c ASC").mkString(", "),
+            nameDesc -> cols.map(c => s"$c DESC").mkString(", "))
+    }
     val branches = variants.map { case (name, order) =>
       s"""  SELECT '$name' AS ordering,
          |    CAST(row_number() OVER (ORDER BY $order) AS BIGINT)

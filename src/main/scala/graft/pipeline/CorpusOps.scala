@@ -23,11 +23,20 @@ object CorpusOps {
   /** Default shard count: tracks the cluster's parallelism (overridable
     * via `graft.shuffle.shards`). A constant would mean corpus/8 rows
     * per reducer at 100 TB - shards must scale with the cluster, the
-    * way a training pipeline sizes its output shard count.
+    * way a training pipeline sizes its output shard count. The
+    * trade-off is explicit: shuffle/pack output is deterministic FOR A
+    * GIVEN shard count (rerunning the same config reproduces the same
+    * order), so a dataset that must be byte-reproducible across
+    * differently-sized environments should pin `graft.shuffle.shards`
+    * in its config rather than inherit the environment's parallelism.
     */
   def shardsFor(spark: SparkSession): Int =
-    spark.conf.getOption("graft.shuffle.shards").map(_.toInt)
-      .getOrElse(spark.sparkContext.defaultParallelism)
+    spark.conf.getOption("graft.shuffle.shards").map { v =>
+      val n = v.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"graft.shuffle.shards must be a positive int, got '$v'"))
+      require(n >= 1, s"graft.shuffle.shards must be >= 1, got $n")
+      n
+    }.getOrElse(spark.sparkContext.defaultParallelism)
 
   // ---- txt_vocab -----------------------------------------------------
 

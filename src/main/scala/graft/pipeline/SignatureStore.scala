@@ -65,8 +65,11 @@ object SignatureStore {
     * functions, so the per-batch append is exact - documents already
     * in the store are never re-read, re-tokenized or re-hashed, which
     * at 100 TB is the difference between touching today's arrivals and
-    * re-scanning the corpus. Restart-safe: the checkpoint makes each
-    * file's signatures append exactly once.
+    * re-scanning the corpus. Restart-safe: each batch lands in its own
+    * `batch=<id>` partition with overwrite, so a replay after a crash
+    * between the checkpoint commit and the writes rewrites the same
+    * partition instead of appending duplicates - the idempotent-sink
+    * half of foreachBatch's exactly-once contract.
     */
   def catchUp(spark: SparkSession, watchDir: String,
               storeDir: String): Unit = {
@@ -77,10 +80,17 @@ object SignatureStore {
       .option("pathGlobFilter", "*.parquet").parquet(watchDir)
     val q = docs.writeStream
       .option("checkpointLocation", s"$storeDir/_checkpoint")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val sh = Dedup.shinglesFrom(batch)
-        sh.write.mode("append").parquet(s"$storeDir/shingles")
-        Dedup.bandsFrom(sh).write.mode("append").parquet(s"$storeDir/bands")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // persist: the shingle pipeline (tokenize + 3-gram + md5-48)
+        // feeds BOTH writes; without it bandsFrom re-derives the
+        // un-cached lineage and every batch is hashed twice
+        val sh = Dedup.shinglesFrom(batch).persist()
+        try {
+          sh.write.mode("overwrite")
+            .parquet(s"$storeDir/shingles/batch=$id")
+          Dedup.bandsFrom(sh).write.mode("overwrite")
+            .parquet(s"$storeDir/bands/batch=$id")
+        } finally sh.unpersist()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -88,10 +98,10 @@ object SignatureStore {
   }
 
   def storedShingles(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(s"$storeDir/shingles")
+    spark.read.parquet(s"$storeDir/shingles").drop("batch")
 
   def storedBands(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(s"$storeDir/bands")
+    spark.read.parquet(s"$storeDir/bands").drop("batch")
 
   /** LSH candidate pairs from the incrementally-maintained store -
     * the same banded self-join as the batch `Dedup.minhashLsh`, so the
@@ -122,13 +132,15 @@ object SignatureStore {
       .option("pathGlobFilter", "*.parquet").parquet(watchDir)
     val q = embs.writeStream
       .option("checkpointLocation", s"$storeDir/_checkpoint")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // per-batch partition overwrite: idempotent under replay,
+        // same as catchUp
         batch.select(col("vec_id"),
             col("label").cast(org.apache.spark.sql.types.LongType)
               .as("label"),
             org.apache.spark.sql.functions.expr(
               Similarity.bucketSpark("embedding")).as("bucket"))
-          .write.mode("append").parquet(s"$storeDir/cells")
+          .write.mode("overwrite").parquet(s"$storeDir/cells/batch=$id")
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -136,7 +148,7 @@ object SignatureStore {
   }
 
   def storedCells(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(s"$storeDir/cells")
+    spark.read.parquet(s"$storeDir/cells").drop("batch")
 
   /** Same-cell candidate pairs from the incrementally-maintained
     * embedding store - matches the batch `annCandidatesSql` oracle
