@@ -56,6 +56,26 @@ class IncrementalSignatureSpec extends SparkSpec {
     assert(SignatureStore.storedBands(spark, store).count()
       == bandsAfter1 + newDocBands)
 
+    // crash-replay idempotence: simulate a failure AFTER the batch's
+    // writes but BEFORE its checkpoint commit by deleting the newest
+    // commit marker - the restarted stream re-executes that batch from
+    // its recorded offsets, and the batch=<id> partition overwrite must
+    // leave the store unchanged (a blind append would duplicate it)
+    val commits = new java.io.File(s"$store/_checkpoint/commits")
+      .listFiles().filter(_.getName.forall(_.isDigit)).sortBy(_.getName)
+    assert(commits.nonEmpty)
+    val crc = new java.io.File(commits.last.getParentFile,
+      s".${commits.last.getName}.crc")
+    assert(commits.last.delete())
+    if (crc.exists()) crc.delete() // local ChecksumFs sidecar
+    SignatureStore.catchUp(spark, watch, store)
+    assert(SignatureStore.storedBands(spark, store).count()
+      == bandsAfter1 + newDocBands,
+      "replayed batch must overwrite its partition, not append duplicates")
+    assert(SignatureStore.storedShingles(spark, store)
+      .groupBy(col("doc_id")).count().filter(col("count") > 1).count() == 0,
+      "no doc may hold duplicate shingle rows after replay")
+
     // caught-up store == the batch candidate oracle over the full corpus
     val inc = SignatureStore.storedCandidates(spark, store)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
