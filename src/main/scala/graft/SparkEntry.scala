@@ -138,6 +138,7 @@ object SparkEntry {
     "pipe_pack" -> ((s, d) => graft.pipeline.CorpusOps
       .pack(s, d, graft.pipeline.CorpusOps.oracleShards)),
     "pipe_decontaminate" -> graft.pipeline.CorpusOps.decontaminate _,
+    "pipe_mix" -> graft.pipeline.CorpusOps.mix _,
     // ---- composed cleaning pipeline ----
     "pipe_corpus_clean" -> ((s, d) => CorpusClean(s, d)),
   )
@@ -214,6 +215,7 @@ object SparkEntry {
     "mm_decode_batched" -> Multimodal.decodeBatchedSql,
     "txt_vocab" -> graft.pipeline.CorpusOps.vocabSql,
     "pipe_shuffle" -> graft.pipeline.CorpusOps.shuffleSql(),
+    "pipe_mix" -> graft.pipeline.CorpusOps.mixSql,
     "pipe_pack" -> graft.pipeline.CorpusOps.packSql(),
     "pipe_decontaminate" -> graft.pipeline.CorpusOps.decontaminateSql,
     "pipe_corpus_clean" -> CorpusClean.sql,

@@ -183,6 +183,81 @@ object CorpusOps {
       .orderBy(col("shard"), col("bin"), col("doc_id"))
   }
 
+  // ---- pipe_mix ------------------------------------------------------
+
+  val mixFraction = 0.5 // fraction of the corpus the mixture keeps
+  val mixSalt = "mix42:"
+
+  /** Temperature-weighted source mixing ≙ the domain-reweighting step
+    * of training-data curation: each source's share of the output is
+    * ∝ n_source^0.5 (sqrt-temperature flattens the natural
+    * distribution, boosting small domains), and membership is decided
+    * by a deterministic per-document hash THRESHOLD rather than a
+    * rank - so the corpus pays one narrow scan + a broadcast of
+    * per-source cutoffs, never a per-source sort (a
+    * rank-within-source window would funnel corpus/#sources rows
+    * through single reducers at 100 TB). Quotas are hit approximately
+    * (hash-uniform), reproducibly (salted hash), and the same doc set
+    * is selected on every rerun and engine.
+    *
+    * Float parity: sqrt is IEEE-exact in both engines; the only
+    * order-sensitive reduction (Σ sqrt(n) over sources) runs as a
+    * source-name-ordered fold on both sides.
+    */
+  def mix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Graft.table(spark, sfDir, "documents")
+    val srcs = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
+    val totals = srcs.agg(
+      sum(col("n")).as("n_total"),
+      expr("""aggregate(array_sort(collect_list(struct(source,
+        |  sqrt(CAST(n AS DOUBLE)) AS sq))),
+        |  CAST(0 AS DOUBLE), (acc, x) -> acc + x.sq)""".stripMargin)
+        .as("denom"))
+    val cutoffs = srcs.crossJoin(broadcast(totals))
+      .select(col("source"),
+        expr(s"""CAST(FLOOR(
+          |  CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) / denom
+          |             * FLOOR(CAST(n_total AS DOUBLE) * $mixFraction))
+          |       AS DOUBLE)
+          |  / CAST(n AS DOUBLE) * 281474976710656.0) AS BIGINT)"""
+          .stripMargin).as("cutoff"))
+    docs
+      .select(col("doc_id"), col("source"),
+        expr(s"graft_md5_48(concat('$mixSalt', CAST(doc_id AS STRING)))")
+          .as("skey"))
+      .join(broadcast(cutoffs), "source")
+      .filter(col("skey") < col("cutoff"))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mixSql: String = {
+    val h48 = HashParity.hex48Duck(
+      s"md5(concat('$mixSalt', CAST(doc_id AS VARCHAR)))")
+    s"""WITH srcs AS (
+       |  SELECT source, count(*) AS n FROM documents GROUP BY source
+       |), totals AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS n_total,
+       |    list_sum(list(sqrt(CAST(n AS DOUBLE)) ORDER BY source))
+       |      AS denom
+       |  FROM srcs
+       |), cutoffs AS (
+       |  SELECT source,
+       |    CAST(FLOOR(
+       |      CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) / denom
+       |                 * FLOOR(CAST(n_total AS DOUBLE) * $mixFraction))
+       |           AS DOUBLE)
+       |      / CAST(n AS DOUBLE) * 281474976710656.0) AS BIGINT)
+       |      AS cutoff
+       |  FROM srcs CROSS JOIN totals
+       |)
+       |SELECT d.doc_id, d.source
+       |FROM documents d JOIN cutoffs c USING (source)
+       |WHERE $h48 < c.cutoff
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def packSql(shards: Int = oracleShards): String = {
     val h48 = HashParity.hex48Duck(
       s"md5(concat('$shuffleSalt', CAST(doc_id AS VARCHAR)))")

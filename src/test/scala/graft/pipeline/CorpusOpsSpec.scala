@@ -80,6 +80,44 @@ class CorpusOpsSpec extends SparkSpec {
     assert(shard0.toSeq != shard0.sorted.toSeq)
   }
 
+  test("mix: sqrt-temperature flattens source shares, deterministically") {
+    val sel = CorpusOps.mix(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val docs = graft.core.Graft.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(sel.toSet.subsetOf(docs.toSet))
+    // roughly mixFraction of the corpus survives (hash-threshold is
+    // approximate; floor-quotas bias slightly low)
+    assert(sel.length > docs.length * 0.3 && sel.length < docs.length * 0.6)
+    // temperature flattening: the LARGEST source's share of the mix
+    // must be below its share of the corpus (big population → sampling
+    // noise can't mask the effect), and every source's realized count
+    // must sit within sampling noise of its sqrt-temperature quota
+    val corpusShare = docs.groupBy(_._2).view.mapValues(
+      _.length.toDouble / docs.length).toMap
+    val mixShare = sel.groupBy(_._2).view.mapValues(
+      _.length.toDouble / sel.length).toMap
+    val biggest = corpusShare.maxBy(_._2)._1
+    assert(mixShare(biggest) < corpusShare(biggest),
+      s"biggest source must shrink: ${mixShare(biggest)} vs ${corpusShare(biggest)}")
+    val n = docs.groupBy(_._2).view.mapValues(_.length).toMap
+    val denom = n.keys.toSeq.sorted
+      .map(s => math.sqrt(n(s).toDouble)).sum
+    val tgt = math.floor(docs.length * CorpusOps.mixFraction)
+    val selCounts = sel.groupBy(_._2).view.mapValues(_.length).toMap
+    n.foreach { case (s, ns) =>
+      val quota = math.floor(math.sqrt(ns.toDouble) / denom * tgt)
+      val tol = 5 * math.sqrt(quota.max(1.0))
+      assert(math.abs(selCounts.getOrElse(s, 0) - quota) <= tol,
+        s"source $s: selected ${selCounts.getOrElse(s, 0)} vs quota $quota")
+    }
+    // deterministic rerun
+    val again = CorpusOps.mix(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(sel.toSeq == again.toSeq)
+  }
+
   test("shuffle/pack shard count scales with the session's parallelism") {
     // default tracks defaultParallelism (a constant would leave
     // corpus/8 rows per reducer at 100 TB)
