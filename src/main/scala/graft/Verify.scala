@@ -45,6 +45,7 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.core.Transform.releaseAll(spark)
+    graft.core.CountQueries.releaseAll(spark)
     graft.pipeline.SignatureStore.releaseAll(spark)
     spark.stop()
   }

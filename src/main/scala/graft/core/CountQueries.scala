@@ -186,16 +186,36 @@ object CountQueries {
     // one computation of the count state feeds all rankings (without
     // the persist each branch re-aggregates from the events scan); the
     // partition-size passes above materialize each pair's range shuffle
-    // eagerly, so by the time this returns the cached state has served
-    // its purpose - the data pass reads shuffle files, not the cache -
-    // and the persist can be released instead of pinning the relation
-    // for the session lifetime
+    // eagerly, so the data pass normally reads shuffle files, not the
+    // cache - but unpersisting HERE would bet on that reuse (a
+    // re-planned consumer or cleaned shuffle files silently re-aggregate
+    // from the source scan), so release is deferred to the
+    // caller-visible `releaseAll` teardown instead, mirroring
+    // Transform.releaseAll
     val shared = state.persist()
     val out = sortVariantPairs.map { case (nameAsc, nameDesc, keys) =>
       rankedPairGlobally(shared, nameAsc, nameDesc, keys)
     }.reduce(_ unionAll _)
-    shared.unpersist(blocking = false)
+    pendingRelease.add(shared)
     out
+  }
+
+  private val pendingRelease =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Unpersist the count-state relations pinned by `sortedVariantsFrom`
+    * for `spark` - call once the returned variants have been consumed
+    * (Bench between passes, Verify at exit, specs in afterAll).
+    */
+  def releaseAll(spark: SparkSession): Unit = {
+    val it = pendingRelease.iterator()
+    while (it.hasNext) {
+      val df = it.next()
+      if (df.sparkSession eq spark) {
+        df.unpersist(blocking = false)
+        it.remove()
+      }
+    }
   }
 
   def sortedVariants(spark: SparkSession, sfDir: String): DataFrame =
