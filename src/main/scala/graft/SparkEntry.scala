@@ -113,6 +113,12 @@ object SparkEntry {
     "dd_ngram_jaccard" -> Dedup.ngramJaccard _,
     "dd_simhash" -> Dedup.simhashPairs _,
     "dd_clusters" -> Dedup.dupClusters _,
+    // incremental-store faces: a fresh store catches up with the corpus
+    // arriving as two appends, then must answer exactly like the
+    // one-shot batch relation (shared oracle)
+    "dd_store_candidates" -> graft.pipeline.SignatureStore.gatedCandidates _,
+    "ann_store_candidates" ->
+      graft.pipeline.SignatureStore.gatedAnnCandidates _,
     "dd_embed_cosine" -> Similarity.embedCosinePairs _,
     // ---- similarity search ----
     "ann_topk_brute" -> Similarity.annTopKBrute _,
@@ -198,6 +204,10 @@ object SparkEntry {
     "txt_sample" -> TextAnalysis.sampleSql(),
     "dd_exact" -> Dedup.exactSql,
     "dd_minhash_lsh" -> Dedup.minhashLshSql,
+    // the incremental stores maintain the same candidate relations the
+    // batch queries compute, so each shares its batch oracle
+    "dd_store_candidates" -> Dedup.minhashLshSql,
+    "ann_store_candidates" -> Similarity.annCandidatesSql,
     "dd_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dd_simhash" -> Dedup.simhashPairsSql,
     "dd_clusters" -> Dedup.dupClustersSql,

@@ -53,19 +53,27 @@ object Dedup {
   // ---- shared shingle/minhash plumbing -------------------------------
 
   /** doc_id + distinct word-3-gram shingle array + 48-bit shingle hash
-    * array from any (doc_id, text) relation - batch table or stream.
-    * Narrow one-pass compute; feeds minhash, LSH and Jaccard.
+    * array + per-token 48-bit hash array (`hst`, duplicates kept - the
+    * SimHash weighting input) from any (doc_id, text) relation - batch
+    * table or stream. ONE narrow tokenize+hash pass feeds minhash, LSH,
+    * Jaccard AND SimHash; at 100 TB a second full-corpus tokenize pass
+    * is exactly what sharing this relation removes. Docs shorter than 3
+    * tokens carry empty shingle arrays (they still have token hashes);
+    * `bandsFrom` filters them out of the LSH key stream.
     */
   def shinglesFrom(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
-      .filter(size(col("toks")) >= 3)
+      .filter(size(col("toks")) >= 1)
+      .withColumn("hst", expr("transform(toks, s -> graft_md5_48(s))"))
       .withColumn("sh", expr(
-        """array_distinct(transform(sequence(1, size(toks) - 2),
-          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
-          |                 element_at(toks, i + 2))))""".stripMargin))
+        """CASE WHEN size(toks) >= 3 THEN
+          |  array_distinct(transform(sequence(1, size(toks) - 2),
+          |    i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+          |                   element_at(toks, i + 2))))
+          |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
       .withColumn("hs", expr("transform(sh, s -> graft_md5_48(s))"))
-      .select(col("doc_id"), col("sh"), col("hs"))
+      .select(col("doc_id"), col("sh"), col("hs"), col("hst"))
 
   /** Batch face: the persisted, session-shared signature relation. */
   private def shingled(spark: SparkSession, sfDir: String): DataFrame =
@@ -105,7 +113,11 @@ object Dedup {
         .map(r => s"CAST(${sigExprSpark(b * bandRows + r)} AS STRING)")
       s"named_struct('b', $b, 'h', md5(concat_ws(':', ${sigs.mkString(", ")})))"
     }
-    sh.select(col("doc_id"),
+    // sub-3-token docs carry empty shingle arrays: array_min over an
+    // empty hs is null, which concat_ws would silently SKIP, hashing
+    // every short doc into one shared bucket - exclude them here
+    sh.filter(size(col("hs")) >= 1)
+      .select(col("doc_id"),
         explode(expr(s"array(${bandStructs.mkString(", ")})")).as("band"))
       .select(col("doc_id"), col("band.b").as("b"), col("band.h").as("h"))
   }
@@ -114,7 +126,8 @@ object Dedup {
     * self-join reads it from both sides).
     */
   private def bandsDf(spark: SparkSession, sfDir: String): DataFrame =
-    SignatureStore.bands(spark, sfDir, bandsFrom)
+    SignatureStore.bands(spark, sfDir, s"minhash-b${numBands}r$bandRows",
+      bandsFrom)
 
   private[pipeline] val bandsCteDuck: String = {
     val branches = (0 until numBands).map { b =>
@@ -301,15 +314,14 @@ object Dedup {
     * two docs within Hamming distance d of each other must share at
     * least one of 4 12-bit chunks exactly (d <= 3 guaranteed; we use it
     * as the candidate generator for d <= 6). Shuffle keyed on
-    * (chunk_idx, chunk_value).
+    * (chunk_idx, chunk_value). The token-hash array comes from the
+    * session-shared SignatureStore relation - the same tokenize+hash
+    * pass that already feeds minhash/LSH/Jaccard, not a second
+    * full-corpus scan of `text`.
     */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val simDocs = Graft.tableParallel(spark, sfDir, "documents")
-      .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
-      .filter(size(col("toks")) >= 1)
-      .withColumn("hst", expr("transform(toks, s -> graft_md5_48(s))"))
-      .withColumn("sim", expr("graft_simhash48(hst)"))
-      .select(col("doc_id"), col("sim"))
+    val simDocs = SignatureStore.shingles(spark, sfDir)
+      .select(col("doc_id"), expr("graft_simhash48(hst)").as("sim"))
     val chunks = simDocs.select(col("doc_id"), col("sim"),
       explode(expr(
         (0 until simhashChunks)

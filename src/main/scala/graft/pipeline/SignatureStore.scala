@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.core.Graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, pmod}
 
 /** Materialized MinHash signature store: the shingle/hash relation and
   * the exploded LSH band stream are computed ONCE per (session, corpus)
@@ -21,11 +21,11 @@ object SignatureStore {
   private val shingleCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private val bandCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  /** doc_id + distinct word-3-gram shingles + 48-bit shingle hashes.
-    * Narrow one-pass compute (Dedup.shinglesFrom); persisted on first
-    * use.
+  /** doc_id + shingles + shingle hashes + token hashes (`hst`) - the
+    * one tokenize+hash pass shared by minhash/LSH/Jaccard/SimHash
+    * (Dedup.shinglesFrom); persisted on first use.
     */
   def shingles(spark: SparkSession, sfDir: String): DataFrame =
     shingleCache.computeIfAbsent((spark, sfDir), { case (s, dir) =>
@@ -35,21 +35,32 @@ object SignatureStore {
   /** (doc_id, band, band_hash) exploded - the LSH bucket key stream,
     * derived from the persisted shingle relation and itself persisted
     * (both the candidate join's build and probe side read it).
+    *
+    * `bandId` is the banding's cache identity: two callers using
+    * DIFFERENT band functions on the same corpus must pass different
+    * ids, or the second would silently receive the first one's
+    * relation. Passing a function alone can't key the memo - lambda
+    * instances have no stable identity.
     */
   def bands(spark: SparkSession, sfDir: String,
+            bandId: String,
             bandExprs: DataFrame => DataFrame): DataFrame =
-    bandCache.computeIfAbsent((spark, sfDir), { case (s, dir) =>
+    bandCache.computeIfAbsent((spark, sfDir, bandId), { case (s, dir, _) =>
       bandExprs(shingles(s, dir)).persist()
     })
 
   def release(spark: SparkSession, sfDir: String): Unit = {
+    import scala.jdk.CollectionConverters._
     Option(shingleCache.remove((spark, sfDir))).foreach(_.unpersist())
-    Option(bandCache.remove((spark, sfDir))).foreach(_.unpersist())
+    bandCache.keySet.asScala
+      .filter(k => (k._1 eq spark) && k._2 == sfDir).toSeq
+      .foreach(k => Option(bandCache.remove(k)).foreach(_.unpersist()))
   }
 
   def releaseAll(spark: SparkSession): Unit = {
     import scala.jdk.CollectionConverters._
-    (shingleCache.keySet.asScala ++ bandCache.keySet.asScala)
+    (shingleCache.keySet.asScala.map(k => (k._1, k._2)) ++
+        bandCache.keySet.asScala.map(k => (k._1, k._2)))
       .filter(_._1 eq spark).toSeq.distinct
       .foreach { case (_, dir) => release(spark, dir) }
   }
@@ -71,9 +82,23 @@ object SignatureStore {
     * partition instead of appending duplicates - the idempotent-sink
     * half of foreachBatch's exactly-once contract.
     */
+  /** True iff `dir` holds at least one parquet file (recursively) -
+    * the guard that keeps an incremental maintenance poll on a
+    * not-yet-populated corpus directory a no-op instead of a schema-
+    * inference error (an idle watch dir is the job's NATURAL state
+    * between arrivals, not a failure).
+    */
+  private def hasParquet(dir: String): Boolean = {
+    def walk(f: java.io.File): Boolean =
+      f.isFile && f.getName.endsWith(".parquet") ||
+        (f.isDirectory && Option(f.listFiles()).exists(_.exists(walk)))
+    walk(new java.io.File(dir))
+  }
+
   def catchUp(spark: SparkSession, watchDir: String,
               storeDir: String): Unit = {
     Graft.ensureConf(spark)
+    if (!hasParquet(watchDir)) return // nothing has arrived yet
     val schema = spark.read.option("pathGlobFilter", "*.parquet")
       .parquet(watchDir).schema
     val docs = spark.readStream.schema(schema)
@@ -97,11 +122,32 @@ object SignatureStore {
     q.awaitTermination()
   }
 
+  /** Read a store relation, or an empty relation with the store's
+    * schema when no batch has ever committed - a store that hasn't
+    * seen data yet answers queries with zero rows, not an error.
+    */
+  private def storedOrEmpty(spark: SparkSession, dir: String,
+                            empty: => DataFrame): DataFrame = {
+    Graft.ensureConf(spark)
+    if (hasParquet(dir)) spark.read.parquet(dir).drop("batch")
+    else empty
+  }
+
+  private def emptyLike(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+
+  /** Zero-row relation with the shingle pipeline's exact schema. */
+  private def emptyShingles(spark: SparkSession): DataFrame =
+    emptyLike(spark, Dedup.shinglesFrom(
+      spark.range(0).selectExpr("id AS doc_id", "'' AS text")))
+
   def storedShingles(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(s"$storeDir/shingles").drop("batch")
+    storedOrEmpty(spark, s"$storeDir/shingles", emptyShingles(spark))
 
   def storedBands(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(s"$storeDir/bands").drop("batch")
+    storedOrEmpty(spark, s"$storeDir/bands",
+      emptyLike(spark, Dedup.bandsFrom(emptyShingles(spark))))
 
   /** LSH candidate pairs from the incrementally-maintained store -
     * the same banded self-join as the batch `Dedup.minhashLsh`, so the
@@ -126,6 +172,7 @@ object SignatureStore {
   def catchUpEmbeddings(spark: SparkSession, watchDir: String,
                         storeDir: String): Unit = {
     Graft.ensureConf(spark)
+    if (!hasParquet(watchDir)) return // nothing has arrived yet
     val schema = spark.read.option("pathGlobFilter", "*.parquet")
       .parquet(watchDir).schema
     val embs = spark.readStream.schema(schema)
@@ -148,7 +195,9 @@ object SignatureStore {
   }
 
   def storedCells(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(s"$storeDir/cells").drop("batch")
+    storedOrEmpty(spark, s"$storeDir/cells",
+      emptyLike(spark, spark.range(0).selectExpr(
+        "id AS vec_id", "id AS label", "id AS bucket")))
 
   /** Same-cell candidate pairs from the incrementally-maintained
     * embedding store - matches the batch `annCandidatesSql` oracle
@@ -164,5 +213,63 @@ object SignatureStore {
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
         col("x.label").as("label"))
       .distinct()
+  }
+
+  // ---- driver-gate faces ---------------------------------------------
+
+  /** Land `df` as one flat parquet file `$dir/$name` - the shape a
+    * corpus append drops into a watched directory. Gate harness only
+    * (it simulates file arrival); the coalesce(1) is the simulated
+    * producer's write, not part of any operator plan.
+    */
+  private def land(df: DataFrame, dir: String, name: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_land").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(dir, name))
+  }
+
+  /** Driver-gate face of the incremental document store: a FRESH store
+    * catches up with `sfDir`'s documents arriving as two appends, then
+    * answers with its LSH candidate pairs - the same relation
+    * `dd_minhash_lsh` computes in one shot, so both share its oracle.
+    * This puts catchUp's increment tracking under the hard row/schema/
+    * hash gate, not just specs.
+    */
+  def gatedCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = java.nio.file.Files
+      .createTempDirectory("graft_gate_dd_watch").toString
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_gate_dd_store").toString
+    val docs = Graft.table(spark, sfDir, "documents")
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUp(spark, watch, store)
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUp(spark, watch, store)
+    storedCandidates(spark, store).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Embedding twin: fresh incremental cell store over two appends,
+    * answering with the same-cell candidate pairs `ss_stream_ann_cand`
+    * emits - all three faces (batch blocking, streaming state,
+    * incremental store) share one oracle.
+    */
+  def gatedAnnCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = java.nio.file.Files
+      .createTempDirectory("graft_gate_ann_watch").toString
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_gate_ann_store").toString
+    val embs = Graft.table(spark, sfDir, "embeddings")
+    land(embs.filter(pmod(col("vec_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpEmbeddings(spark, watch, store)
+    land(embs.filter(pmod(col("vec_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpEmbeddings(spark, watch, store)
+    storedAnnCandidates(spark, store).orderBy(col("vec_a"), col("vec_b"))
   }
 }

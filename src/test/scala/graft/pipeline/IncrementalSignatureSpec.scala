@@ -35,8 +35,10 @@ class IncrementalSignatureSpec extends SparkSpec {
     val bandsAfter1 = SignatureStore.storedBands(spark, store).count()
     val docsAfter1 = SignatureStore.storedShingles(spark, store)
       .select("doc_id").distinct().count()
+    // the store keeps every tokenizable doc (>= 1 token): sub-3-token
+    // docs have empty shingle arrays but real token hashes (SimHash)
     assert(docsAfter1 == docs.filter(col("doc_id") < mid)
-      .filter(size(expr("regexp_extract_all(text, '\\\\S+', 0)")) >= 3)
+      .filter(size(expr("regexp_extract_all(text, '\\\\S+', 0)")) >= 1)
       .count())
 
     // corpus state 2: second half appended → ONLY the new docs are

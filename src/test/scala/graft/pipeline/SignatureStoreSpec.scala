@@ -1,0 +1,58 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Session-memo and idle-state contracts of the SignatureStore. */
+class SignatureStoreSpec extends SparkSpec {
+
+  test("bands memo keys on the banding identity: two configs don't alias") {
+    // a deliberately different banding over the same corpus dir: one
+    // band whose hash is the doc's first shingle hash
+    val coarse: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      sh => sh.filter(size(col("hs")) >= 1)
+        .select(col("doc_id"), lit(0).as("b"),
+          element_at(col("hs"), 1).cast("string").as("h"))
+    val std = SignatureStore.bands(spark, sfDir, "minhash-b8r4",
+      Dedup.bandsFrom)
+    val alt = SignatureStore.bands(spark, sfDir, "first-shingle",
+      coarse)
+    // before the fix the second call silently received the first
+    // relation; the two bandings must differ structurally
+    assert(std.select("b").distinct().count() == Dedup.numBands.toLong)
+    assert(alt.select("b").distinct().count() == 1L)
+    // and a repeat call with the same id must hit the memo (same ref)
+    assert(SignatureStore.bands(spark, sfDir, "first-shingle", coarse)
+      eq alt)
+    SignatureStore.release(spark, sfDir)
+  }
+
+  test("idle store: empty watch dir is a no-op, empty store reads as 0 rows") {
+    val watch = Files.createTempDirectory("graft_idle_watch").toString
+    val store = Files.createTempDirectory("graft_idle_store").toString
+    // first poll before any arrival: must not throw
+    SignatureStore.catchUp(spark, watch, store)
+    SignatureStore.catchUpEmbeddings(spark, watch, store)
+    // a store with no committed batch answers with zero rows
+    assert(SignatureStore.storedShingles(spark, store).count() == 0)
+    assert(SignatureStore.storedBands(spark, store).count() == 0)
+    assert(SignatureStore.storedCells(spark, store).count() == 0)
+    assert(SignatureStore.storedCandidates(spark, store).count() == 0)
+    assert(SignatureStore.storedAnnCandidates(spark, store).count() == 0)
+  }
+
+  test("three faces agree: incremental store == streaming emission == batch") {
+    // the streaming face consumes sfDir's documents.parquet in place;
+    // the store face replays the same corpus as two appends - both
+    // must land on the batch relation's pair set
+    val stream = graft.streaming.StreamSum.streamLshCandidates(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stored = SignatureStore.gatedCandidates(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Dedup.minhashLsh(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stream == batch)
+    assert(stored == batch)
+  }
+}
