@@ -197,10 +197,20 @@ object Sql {
     * reverse of its asc partner - the property the Spark side exploits
     * to serve both from one sort.
     */
+  /** Independent literal copy of the engine's sort-variant inventory
+    * (CountQueries.sortVariantPairs). Deliberately NOT the shared
+    * constant: if oracle and engine expanded from one list, a wrong
+    * entry would corrupt both sides identically and parity would stay
+    * green. CountQueriesSpec asserts the two lists match, so drift is
+    * caught loudly instead of silently absorbed.
+    */
+  val sortVariantList: Seq[(String, String, Seq[String])] = Seq(
+    ("time_asc", "time_desc", Seq("last_t")),
+    ("count_asc", "count_desc", Seq("cnt")),
+    ("count_time_asc", "count_time_desc", Seq("cnt", "last_t")))
+
   val ssQSortVariants: String = {
-    // expanded from the SAME pair list the Spark side sorts with, so
-    // the variant inventory cannot drift between engine and oracle
-    val variants = graft.core.CountQueries.sortVariantPairs.flatMap {
+    val variants = sortVariantList.flatMap {
       case (nameAsc, nameDesc, keys) =>
         val cols = keys ++ Seq("s", "a", "o")
         Seq(nameAsc -> cols.map(c => s"$c ASC").mkString(", "),

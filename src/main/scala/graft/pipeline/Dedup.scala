@@ -268,12 +268,21 @@ object Dedup {
     }
     // materialize the (small: clustered docs only) result while the
     // label chain is still cached, then release every intermediate -
-    // nothing from the iteration outlives the call
-    val out = labels
+    // nothing from the iteration outlives the call. With a reliable
+    // checkpoint dir configured (cluster deployments: HDFS/object
+    // store) the result is cut from its lineage DURABLY, so executor
+    // loss after this call - routine at 100 TB - cannot orphan it; the
+    // localCheckpoint fallback (blocks unreplicated on executors) is
+    // only acceptable in single-process runs, where executor loss is
+    // process death anyway.
+    val projected = labels
       .select(col("doc_id"), col("lbl").as("cluster_id"),
         (col("doc_id") === col("lbl")).as("is_canonical"))
       .orderBy(col("doc_id"))
-      .localCheckpoint(true)
+    val out =
+      if (spark.sparkContext.getCheckpointDir.isDefined)
+        projected.checkpoint(true)
+      else projected.localCheckpoint(true)
     cached.unpersist()
     sym.unpersist()
     out

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.streaming.StreamSum.{LastNOut, XfRow}
+import graft.streaming.StreamSum.{LastNSnap, XfRow}
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, ValueState}
 
@@ -10,28 +10,33 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * `StreamSum.lastnHandler` / the reference's LastNCache. Kept as a
   * second implementation so the engine tracks the current stateful
   * API; parity with the batch state is asserted in StreamingSpec.
+  * Emits each snapshot with the key's monotone op count so Update-mode
+  * consumers can select the latest one under multi-batch delivery.
   */
 class LastNProcessor(n: Int)
-    extends StatefulProcessor[(String, Long), XfRow, LastNOut] {
+    extends StatefulProcessor[(String, Long), XfRow, LastNSnap] {
 
-  @transient private var buf: ValueState[Seq[(Long, Long, Long)]] = _
+  @transient private var buf: ValueState[(Long, Seq[(Long, Long, Long)])] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    buf = getHandle.getValueState[Seq[(Long, Long, Long)]](
-      "buf", Encoders.kryo[Seq[(Long, Long, Long)]],
+    buf = getHandle.getValueState[(Long, Seq[(Long, Long, Long)])](
+      "buf", Encoders.kryo[(Long, Seq[(Long, Long, Long)])],
       org.apache.spark.sql.streaming.TTLConfig.NONE)
 
   override def handleInputRows(
       key: (String, Long), rows: Iterator[XfRow],
       timerValues: org.apache.spark.sql.streaming.TimerValues)
-      : Iterator[LastNOut] = {
-    val updated = rows.foldLeft(
-      Option(buf.get()).getOrElse(Seq.empty[(Long, Long, Long)])) {
-      (b, r) => StreamSum.ringPut(b, (r.t, r.seq, r.v), n)
+      : Iterator[LastNSnap] = {
+    val (ops0, buf0) =
+      Option(buf.get()).getOrElse((0L, Seq.empty[(Long, Long, Long)]))
+    var ops = ops0
+    val updated = rows.foldLeft(buf0) { (b, r) =>
+      ops += 1L
+      StreamSum.ringPut(b, (r.t, r.seq, r.v), n)
     }
-    buf.update(updated)
+    buf.update((ops, updated))
     updated.iterator.zipWithIndex.map { case ((t, _, v), i) =>
-      LastNOut(key._1, key._2, v, t, i + 1L)
+      LastNSnap(key._1, key._2, v, t, i + 1L, ops)
     }
   }
 }

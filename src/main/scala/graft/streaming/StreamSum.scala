@@ -29,6 +29,13 @@ object StreamSum {
                          t: Long, seq: Long)
   final case class LastNOut(cache: String, k: Long, v: Long, t: Long,
                             rn: Long)
+  /** LastNOut plus the key's monotone op count: Update-mode sinks hold
+    * one buffer snapshot per key PER micro-batch, and `ops` is what
+    * lets a consumer select the latest one when the source delivers
+    * multiple batches.
+    */
+  final case class LastNSnap(cache: String, k: Long, v: Long, t: Long,
+                             rn: Long, ops: Long)
 
   private def streamingEvents(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
@@ -140,10 +147,8 @@ object StreamSum {
     val out = xf.groupByKey(r => (r.cache, r.k))
       .transformWithState(new LastNProcessor(n), TimeMode.None(),
         OutputMode.Update())
-    runToTable(out.toDF(), OutputMode.Update(), "ss_stream_lastn_tws")
-      .select(col("cache"), col("k"), col("v"), col("t"),
-        col("rn").cast(LongType).as("rn"))
-      .orderBy(col("cache"), col("k"), col("rn"))
+    latestLastnSnapshot(
+      runToTable(out.toDF(), OutputMode.Update(), "ss_stream_lastn_tws"))
   }
 
   /** Watermarked stream-stream interval join: purchases followed by an
@@ -392,10 +397,16 @@ object StreamSum {
     // output carries no time column (retraction severs the
     // value-to-time association), so the t slot carries the key's
     // monotone op count - multi-batch consumers use it to select the
-    // latest snapshot; the oracle-facing query drops it.
-    buf.reverseIterator.zipWithIndex.map { case (v, i) =>
-      LastNOut("view-user-obj", key, v, ops, i + 1L)
-    }
+    // latest snapshot; the oracle-facing query drops it. An EMPTIED
+    // buffer emits an rn=0 tombstone: without it the latest snapshot
+    // would be zero rows and a stale non-empty snapshot from an
+    // earlier batch would win the max-ops selection.
+    if (buf.isEmpty)
+      Iterator.single(LastNOut("view-user-obj", key, 0L, ops, 0L))
+    else
+      buf.reverseIterator.zipWithIndex.map { case (v, i) =>
+        LastNOut("view-user-obj", key, v, ops, i + 1L)
+      }
   }
 
   /** Streaming retraction face of the last-N cache: per-key sequential
@@ -427,7 +438,16 @@ object StreamSum {
                            n: Int = Config.lastNSize): DataFrame = {
     val out = undoLastnStream(
       Transform.extractFrom(streamingEvents(spark, sfDir)), n)
-    runToTable(out.toDF(), OutputMode.Update(), "ss_stream_undo_lastn")
+    val snap = runToTable(out.toDF(), OutputMode.Update(),
+      "ss_stream_undo_lastn")
+    // t carries the key's monotone op count (see undoLastnHandler):
+    // keep only each key's max-ops snapshot, so multi-batch delivery
+    // (stale buffer emissions from earlier batches) can't surface
+    // duplicate or conflicting rows.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+    snap.withColumn("mx", max(col("t")).over(w))
+      .filter(col("t") === col("mx"))
+      .filter(col("rn") >= 1) // drop emptied-buffer tombstones
       .select(col("cache"), col("k"), col("rn"), col("v"))
       .orderBy(col("k"), col("rn"))
   }
@@ -453,7 +473,18 @@ object StreamSum {
   def streamUndoCountState(spark: SparkSession, sfDir: String): DataFrame = {
     val out = undoCountStream(
       Transform.extractFrom(streamingEvents(spark, sfDir)))
-    runToTable(out.toDF(), OutputMode.Update(), "ss_stream_undo_count")
+    val snap = runToTable(out.toDF(), OutputMode.Update(),
+      "ss_stream_undo_count")
+    // The Update-mode sink holds one snapshot row per key PER
+    // micro-batch; ops is monotone per key, so the max-ops row is the
+    // key's latest state. Required whenever the source splits input
+    // across batches (multiple files, maxFilesPerTrigger) - with a
+    // single batch it's a no-op, so correctness no longer rests on the
+    // one-file-one-batch accident.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s"), col("a"), col("o"))
+    snap.withColumn("mx", max(col("ops")).over(w))
+      .filter(col("ops") === col("mx"))
       .select(col("s"), col("a"), col("o"), col("cnt"), col("last_t"))
       .orderBy(col("s"), col("a"), col("o"))
   }
@@ -468,13 +499,16 @@ object StreamSum {
 
   private def lastnHandler(n: Int)(
       key: (String, Long), rows: Iterator[XfRow],
-      state: GroupState[Seq[(Long, Long, Long)]]): Iterator[LastNOut] = {
-    val buf = rows.foldLeft(state.getOption.getOrElse(Seq.empty)) {
-      (b, r) => ringPut(b, (r.t, r.seq, r.v), n)
+      state: GroupState[(Long, Seq[(Long, Long, Long)])]): Iterator[LastNSnap] = {
+    val (ops0, buf0) = state.getOption.getOrElse((0L, Seq.empty))
+    var ops = ops0
+    val buf = rows.foldLeft(buf0) { (b, r) =>
+      ops += 1L
+      ringPut(b, (r.t, r.seq, r.v), n)
     }
-    state.update(buf)
+    state.update((ops, buf))
     buf.iterator.zipWithIndex.map { case ((t, _, v), i) =>
-      LastNOut(key._1, key._2, v, t, i + 1L)
+      LastNSnap(key._1, key._2, v, t, i + 1L, ops)
     }
   }
 
@@ -492,7 +526,19 @@ object StreamSum {
     val out = xf.groupByKey(r => (r.cache, r.k))
       .flatMapGroupsWithState(OutputMode.Update(),
         GroupStateTimeout.NoTimeout())(lastnHandler(n))
-    runToTable(out.toDF(), OutputMode.Update(), "ss_stream_lastn")
+    latestLastnSnapshot(
+      runToTable(out.toDF(), OutputMode.Update(), "ss_stream_lastn"))
+  }
+
+  /** Select each key's latest ring-buffer snapshot from an Update-mode
+    * sink (max-ops rows), exposing the LastNOut shape - shared by the
+    * flatMapGroupsWithState and transformWithState faces.
+    */
+  private def latestLastnSnapshot(snap: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cache"), col("k"))
+    snap.withColumn("mx", max(col("ops")).over(w))
+      .filter(col("ops") === col("mx"))
       .select(col("cache"), col("k"), col("v"), col("t"),
         col("rn").cast(LongType).as("rn"))
       .orderBy(col("cache"), col("k"), col("rn"))

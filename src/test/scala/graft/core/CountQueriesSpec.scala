@@ -102,6 +102,12 @@ class CountQueriesSpec extends SparkSpec {
       s"expected zipWithIndex ranking, not a window:\n$plan")
   }
 
+  test("sort-variant inventory: engine and oracle lists match") {
+    // the oracle keeps an independent literal copy (a shared constant
+    // would corrupt both sides identically); this is the drift alarm
+    assert(graft.oracle.Sql.sortVariantList == CountQueries.sortVariantPairs)
+  }
+
   test("topK per subject") {
     val r = CountQueries.topKPerSubjFrom(simpleDb, 2).collect()
       .map(x => (x.getLong(0), x.getLong(5), x.getLong(2)))

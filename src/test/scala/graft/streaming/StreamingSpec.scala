@@ -95,10 +95,14 @@ class StreamingSpec extends SparkSpec {
     // batch 2 retracts o2, re-adds o1, retracts an absent o9 (no-op).
     // o1's eviction must NOT resurrect it on o2's retraction - the
     // sequential interplay the fold pins.
+    // u3's buffer EMPTIES in batch 2: the handler must emit an rn=0
+    // tombstone so the stale batch-1 snapshot loses the max-ops race
     val batch1 = Seq(mkEv(0, 10, 1, "view", 1), mkEv(1, 20, 1, "view", 2),
-      mkEv(2, 30, 1, "view", 3), mkEv(3, 40, 1, "view", 4))
+      mkEv(2, 30, 1, "view", 3), mkEv(3, 40, 1, "view", 4),
+      mkEv(8, 15, 3, "view", 7))
     val batch2 = Seq(mkEv(4, 50, 1, "click", 2), mkEv(5, 60, 1, "view", 1),
-      mkEv(6, 70, 1, "click", 9), mkEv(7, 80, 2, "view", 5))
+      mkEv(6, 70, 1, "click", 9), mkEv(7, 80, 2, "view", 5),
+      mkEv(9, 55, 3, "click", 7))
     val out = StreamSum.undoLastnStream(
       Transform.extractFrom(mem.toDF()), n = 3)
     val q = out.toDF().writeStream.format("memory").queryName("ulastn_parity")
@@ -112,8 +116,9 @@ class StreamingSpec extends SparkSpec {
     val streamed = byKey.map { case (k, rs) =>
       val latest = rs.map(_.getLong(3)).max
       k -> rs.filter(_.getLong(3) == latest)
+        .filter(_.getLong(4) >= 1) // emptied-buffer tombstones
         .map(r => r.getLong(4) -> r.getLong(2)).toMap // rn -> v
-    }
+    }.filter(_._2.nonEmpty)
     val batch = Caches.undoLastnState(
         Transform.extractFrom((batch1 ++ batch2).toDF()), n = 3)
       .collect().groupBy(_.getLong(1))
@@ -122,6 +127,8 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     // u1 final buffer: [o3, o4, o1] → rn1=o1 (newest), rn2=o4, rn3=o3
     assert(streamed(1L) == Map(1L -> 1L, 2L -> 4L, 3L -> 3L))
+    // u3 emptied: the tombstone must erase the stale batch-1 snapshot
+    assert(!streamed.contains(3L))
   }
 
   test("streaming undo-assoc == batch last-op-wins with nil retraction") {
