@@ -75,6 +75,7 @@ object SparkEntry {
           col("rk"))
         .orderBy(col("s"), col("rk"))
     }),
+    "ss_q_topk_dense" -> ((s, d) => CountQueries.topKDensePerSubj(s, d)),
     "ss_metrics" -> ((s, d) => CountQueries.metrics(s, d).orderBy("metric")),
     "ss_encode_output" -> ((s, d) =>
       CountQueries.encodeOutput(s, d).orderBy(col("seq"), col("cache"))),
@@ -176,6 +177,7 @@ object SparkEntry {
     "ss_q_sort_variants" -> Sql.ssQSortVariants,
     "ss_q_topk_per_subj" -> Sql.ssQTopkPerSubj(3),
     "ss_q_topk_custom" -> Sql.ssQTopkPerSubj(3),
+    "ss_q_topk_dense" -> Sql.ssQTopkDense(2),
     "ss_metrics" -> Sql.ssMetrics,
     "ss_encode_output" -> Sql.ssEncodeOutput,
     "ss_pipeline_e2e" -> Sql.ssPipelineE2e,

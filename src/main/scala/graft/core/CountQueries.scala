@@ -238,6 +238,25 @@ object CountQueries {
   def topKPerSubj(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame =
     topKPerSubjFrom(counts(spark, sfDir), k)
 
+  /** Top-k DISTINCT count values per subject with all their ties - the
+    * dense_rank group-limit idiom. Written as the standard declarative
+    * window; the engine-wide TopKWindowRewrite substitutes the
+    * distinct-value-bounded operator (no per-key sort), which is what
+    * this query exists to exercise under the driver's oracle gate.
+    */
+  def topKDensePerSubjFrom(state: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("s")).orderBy(col("cnt").desc)
+    state.withColumn("rk", dense_rank().over(w))
+      .filter(col("rk") <= k)
+      .select(col("s"), col("a"), col("o"), col("cnt"), col("last_t"),
+        col("rk").cast(LongType).as("rk"))
+      .orderBy(col("s"), col("rk"), col("a"), col("o"))
+  }
+
+  def topKDensePerSubj(spark: SparkSession, sfDir: String,
+                       k: Int = 2): DataFrame =
+    topKDensePerSubjFrom(counts(spark, sfDir), k)
+
   /** Pipeline metrics ≙ protocols.clj `Metrics` callbacks: counters per
     * processing stage plus per-cache recorded counts, as a single
     * relational result.

@@ -229,6 +229,15 @@ object Sql {
        |SELECT * FROM v ORDER BY ordering, rk""".stripMargin
   }
 
+  def ssQTopkDense(k: Int): String =
+    s"""$countsCte
+       |SELECT s, a, o, cnt, last_t, rk FROM (
+       |  SELECT s, a, o, cnt, last_t,
+       |         CAST(dense_rank() OVER (PARTITION BY s ORDER BY cnt DESC)
+       |              AS BIGINT) AS rk
+       |  FROM cs
+       |) WHERE rk <= $k ORDER BY s, rk, a, o""".stripMargin
+
   def ssQTopkPerSubj(k: Int): String =
     s"""$countsCte
        |SELECT s, a, o, cnt, last_t, rk FROM (

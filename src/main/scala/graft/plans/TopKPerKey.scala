@@ -26,6 +26,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * ClusteredDistribution(keys) and the planner inserts the single
   * keyed exchange.
   */
+/** Which rank function's bound the operator enforces. `RowNumber`
+  * keeps a strict k-row heap; `CompetitionRank` retains boundary tie
+  * groups (rank() ties share a rank, so a tie group whose competition
+  * rank can still be <= k must survive); `DenseRank` bounds DISTINCT
+  * order values - it keeps every row whose order value is among the k
+  * best distinct values, which is locally decidable with a bounded
+  * value-group structure (cap distinct order keys, not rows).
+  */
+sealed trait RankSemantics extends Serializable
+object RankSemantics {
+  case object RowNumber extends RankSemantics
+  case object CompetitionRank extends RankSemantics
+  case object DenseRank extends RankSemantics
+}
+
 case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
                           k: Int, child: LogicalPlan,
                           // constructor member so `copy`/transform keeps
@@ -33,10 +48,8 @@ case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
                           rankAttr: AttributeReference =
                             AttributeReference("rk", LongType,
                               nullable = false)(),
-                          // rank() semantics: retain boundary ties and
-                          // emit competition ranks (vs row_number's
-                          // strict k rows)
-                          rankLike: Boolean = false) extends UnaryNode {
+                          semantics: RankSemantics =
+                            RankSemantics.RowNumber) extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr :: Nil)
@@ -46,7 +59,7 @@ case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
 
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
                           k: Int, rankAttr: Attribute, child: SparkPlan,
-                          rankLike: Boolean = false)
+                          semantics: RankSemantics = RankSemantics.RowNumber)
     extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output :+ rankAttr
@@ -56,12 +69,16 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
 
-  override protected def doExecute(): RDD[InternalRow] = {
+  override protected def doExecute(): RDD[InternalRow] =
+    if (semantics == RankSemantics.DenseRank) doExecuteDense()
+    else doExecuteHeap()
+
+  private def doExecuteHeap(): RDD[InternalRow] = {
     val childOutput = child.output
     val orderExprs = order
     val keyExprs = keys
     val kk = k
-    val rankLikeFlag = rankLike
+    val rankLikeFlag = semantics == RankSemantics.CompetitionRank
     val rankIsInt = rankAttr.dataType == org.apache.spark.sql.types.IntegerType
     val outTypes = output.map(_.dataType).toArray
     child.execute().mapPartitions { iter =>
@@ -182,6 +199,112 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     }
   }
 
+  /** dense_rank bound: per key, a comparator-ordered map of at most k
+    * DISTINCT order values, each holding its tie group. A row whose
+    * value is already present joins its group; a new value is admitted
+    * while fewer than k distinct values are held, or by evicting the
+    * entire worst value group once it is strictly beaten (its dense
+    * rank just exceeded k) - the local decidability a row-bounded heap
+    * lacks. Work is O(n log k) comparisons; memory is O(#keys × k ×
+    * tie-group size), the operator's inherent working set (dense_rank
+    * semantics REQUIRE retaining whole tie groups), and registered
+    * with the task memory manager like the heap path.
+    */
+  private def doExecuteDense(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val orderExprs = order
+    val keyExprs = keys
+    val kk = k
+    val rankIsInt = rankAttr.dataType == org.apache.spark.sql.types.IntegerType
+    val outTypes = output.map(_.dataType).toArray
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val ordering = GenerateOrdering.generate(orderExprs, childOutput)
+      val toUnsafe = UnsafeProjection.create(outTypes)
+      val ledger = TopKMemoryLedger.forCurrentTask()
+      val groups = new java.util.HashMap[InternalRow,
+        java.util.TreeMap[InternalRow, java.util.ArrayList[InternalRow]]]()
+      iter.foreach { row =>
+        val key = keyProj(row).copy()
+        var tree = groups.get(key)
+        if (tree == null) {
+          tree = new java.util.TreeMap[InternalRow,
+            java.util.ArrayList[InternalRow]](ordering)
+          groups.put(key, tree)
+          ledger.add(key, TopKMemoryLedger.perKeyOverheadBytes(kk))
+        }
+        val existing = tree.get(row) // comparator lookup; row not stored
+        if (existing != null) {
+          val copy = row.copy()
+          existing.add(copy)
+          ledger.add(copy, 0L)
+        } else if (tree.size() < kk) {
+          val copy = row.copy()
+          val grp = new java.util.ArrayList[InternalRow](1)
+          grp.add(copy)
+          tree.put(copy, grp)
+          ledger.add(copy, 0L)
+        } else if (ordering.compare(row, tree.lastKey()) < 0) {
+          val copy = row.copy()
+          val grp = new java.util.ArrayList[InternalRow](1)
+          grp.add(copy)
+          tree.put(copy, grp)
+          ledger.add(copy, 0L)
+          val evicted = tree.pollLastEntry().getValue
+          var i = 0
+          while (i < evicted.size()) { ledger.remove(evicted.get(i)); i += 1 }
+        }
+      }
+      // stream one key at a time, draining entries as they're emitted
+      // (same peak-memory argument as the heap path)
+      val entries = groups.entrySet().iterator()
+      new Iterator[InternalRow] {
+        private var rows: Array[InternalRow] = Array.empty
+        private var ranks: Array[Int] = Array.empty
+        private var r = 0
+        private val joined = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(childOutput.size + 1)
+
+        override def hasNext: Boolean = {
+          while (r >= rows.length && entries.hasNext) {
+            val tree = entries.next().getValue
+            entries.remove()
+            val rowsB = Array.newBuilder[InternalRow]
+            val ranksB = Array.newBuilder[Int]
+            var rank = 0
+            val git = tree.values().iterator()
+            while (git.hasNext) {
+              rank += 1
+              val grp = git.next()
+              var i = 0
+              while (i < grp.size()) {
+                rowsB += grp.get(i)
+                ranksB += rank
+                i += 1
+              }
+            }
+            rows = rowsB.result()
+            ranks = ranksB.result()
+            r = 0
+          }
+          r < rows.length
+        }
+
+        override def next(): InternalRow = {
+          var c = 0
+          while (c < childOutput.size) {
+            joined.update(c, rows(r).get(c, childOutput(c).dataType))
+            c += 1
+          }
+          if (rankIsInt) joined.setInt(childOutput.size, ranks(r))
+          else joined.setLong(childOutput.size, ranks(r).toLong)
+          r += 1
+          toUnsafe(joined)
+        }
+      }
+    }
+  }
+
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
     copy(child = newChild)
 }
@@ -289,9 +412,9 @@ object TopKMemoryLedger {
 /** Planner strategy mapping the logical node to the exec. */
 case class TopKPerKeyStrategy(spark: SparkSession) extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(keys, order, k, child, rankAttr, rankLike) =>
+    case TopKPerKeyNode(keys, order, k, child, rankAttr, semantics) =>
       TopKPerKeyExec(keys, order, k, rankAttr, planLater(child),
-        rankLike) :: Nil
+        semantics) :: Nil
     case _ => Nil
   }
 }

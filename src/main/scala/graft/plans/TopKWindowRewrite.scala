@@ -21,14 +21,15 @@ import org.apache.spark.sql.types.IntegerType
   * still sorts - our node removes the sort entirely).
   *
   * Conservative by construction: fires only on a Filter whose single
-  * predicate bounds a lone row_number() or rank() window expression
-  * (rk <= k, rk < k, or the flipped forms), with a positive literal k.
-  * rank() maps to the tie-retaining heap variant (boundary ties
-  * survive, competition ranks out); dense_rank() is left to Spark -
-  * its bound caps distinct order-values, which a bounded heap cannot
-  * decide locally. Any `WindowGroupLimit` Spark's own optimizer
-  * already inserted below the Window is absorbed (the heap subsumes
-  * its pre-filtering).
+  * predicate bounds a lone row_number(), rank() or dense_rank() window
+  * expression (rk <= k, rk < k, or the flipped forms), with a positive
+  * literal k. rank() maps to the tie-retaining heap variant (boundary
+  * ties survive, competition ranks out); dense_rank() maps to the
+  * distinct-value-bounded variant (the bound caps distinct order
+  * values - locally decidable with a k-entry value-group map, though
+  * not with a row-bounded heap). Any `WindowGroupLimit` Spark's own
+  * optimizer already inserted below the Window is absorbed (the
+  * bounded structures subsume its pre-filtering).
   */
 case class TopKWindowRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -51,7 +52,8 @@ case class TopKWindowRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         Window(Seq(alias @ Alias(WindowExpression(rankFn,
           WindowSpecDefinition(partSpec, orderSpec, _)), _)),
           _, _, windowChild, _))
-        if rankFn.isInstanceOf[RowNumber] || rankFn.isInstanceOf[Rank] =>
+        if rankFn.isInstanceOf[RowNumber] || rankFn.isInstanceOf[Rank] ||
+          rankFn.isInstanceOf[DenseRank] =>
       boundOf(cond) match {
         case Some((attr, k))
             if k > 0 && attr.exprId == alias.exprId &&
@@ -63,13 +65,16 @@ case class TopKWindowRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           }
           val rankAttr = AttributeReference(alias.name, IntegerType,
             nullable = false)(exprId = alias.exprId)
-          // rank() keeps boundary ties (heap retains the worst tie
-          // group until >= k rows strictly beat it); row_number stays
-          // a strict k-bounded heap. dense_rank is NOT admissible: its
-          // bound caps distinct order-values, not strictly-better rows,
-          // so a bounded heap cannot decide eviction locally.
+          // row_number: strict k-bounded heap. rank(): tie-retaining
+          // heap (the worst tie group survives until >= k rows strictly
+          // beat it). dense_rank(): k-distinct-value group map.
+          val semantics = rankFn match {
+            case _: Rank => RankSemantics.CompetitionRank
+            case _: DenseRank => RankSemantics.DenseRank
+            case _ => RankSemantics.RowNumber
+          }
           TopKPerKeyNode(partSpec, orderSpec, k, child, rankAttr,
-            rankLike = rankFn.isInstanceOf[Rank])
+            semantics = semantics)
         case _ => f
       }
   }

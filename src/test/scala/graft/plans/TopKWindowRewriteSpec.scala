@@ -52,11 +52,40 @@ class TopKWindowRewriteSpec extends SparkSpec {
         .filter(col("rk") <= 5)
       assert(g.queryExecution.executedPlan.toString.contains("Window"))
 
-      // dense_rank bounds a bounded heap cannot decide - NOT rewritten
-      val drf = df.withColumn("rk", dense_rank().over(w))
-        .filter(col("rk") <= 5)
-      assert(drf.queryExecution.executedPlan.toString.contains("Window"))
     } finally TopKWindowRewrite.install(spark) // engine-wide default
+  }
+
+  test("dense_rank()+filter rewrites distinct-value-bounded, identical") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(13)
+    // scores drawn from 8 values per 20-key domain → every kept dense
+    // rank carries a whole tie GROUP, so per-key output far exceeds k
+    val df = Seq.fill(3000)((rnd.nextInt(20).toLong,
+      rnd.nextInt(8).toLong, rnd.nextLong())).toDF("k", "score", "uid")
+    val w = Window.partitionBy(col("k")).orderBy(col("score").desc)
+    def q = df.withColumn("rk", dense_rank().over(w)).filter(col("rk") <= 3)
+    uninstall()
+    val baseline = q.collect().map(_.toSeq).toSet
+    assert(q.queryExecution.executedPlan.toString.contains("Window"))
+    TopKWindowRewrite.install(spark)
+    try {
+      val rewritten = q
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey"), s"dense rule did not fire:\n$plan")
+      assert(!plan.contains("Window"), s"window sort survived:\n$plan")
+      val got = rewritten.collect()
+      assert(got.map(_.toSeq).toSet == baseline)
+      // the discriminator: exactly the top 3 DISTINCT score values per
+      // key survive, with all their ties (rows per key >> 3)
+      val perKey = got.groupBy(_.getLong(0))
+      assert(perKey.values.exists(_.length > 3),
+        "fixture must keep whole tie groups, not 3 rows")
+      perKey.foreach { case (_, rs) =>
+        assert(rs.map(_.getLong(1)).distinct.length <= 3,
+          "no more than k distinct order values may survive")
+        assert(rs.map(_.getInt(3)).max <= 3)
+      }
+    } finally TopKWindowRewrite.install(spark)
   }
 
   test("rank()+filter rewrites tie-retaining, results identical") {
