@@ -135,4 +135,28 @@ class DedupSimSpec extends SparkSpec {
     val counts = ivf.groupBy(col("q_id")).count().collect()
     assert(counts.nonEmpty && counts.forall(_.getLong(1) <= 10))
   }
+
+  test("pinned recall@10 floors: ANN quality cannot silently degrade") {
+    // measured on the seeded corpus (deterministic data, centroids and
+    // hyperplanes): IVF(4/16 probes) = 0.90, single-probe LSH = 0.0125
+    // (500 vectors over 2^8 buckets leaves ~2 per bucket - the LSH
+    // floor guards against total breakage like a corrupted plane
+    // matrix, the IVF floor against real quality regressions when
+    // centroid/probe constants change)
+    def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = topk(Similarity.annTopKBrute(spark, sfDir)
+      .select("q_id", "vec_id"))
+    def recall(got: Map[Long, Set[Long]]): Double =
+      brute.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / brute.size
+    val ivfR = recall(topk(Similarity.annIvf(spark, sfDir)
+      .select("q_id", "vec_id")))
+    val lshR = recall(topk(Similarity.annLshBucketed(spark, sfDir)
+      .select("q_id", "vec_id")))
+    assert(ivfR >= 0.85, f"IVF recall@10 $ivfR%.3f fell below 0.85")
+    assert(lshR >= 0.01, f"LSH recall@10 $lshR%.4f fell below 0.01")
+  }
 }
