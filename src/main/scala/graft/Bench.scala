@@ -87,10 +87,17 @@ object Bench {
     // reflect steady-state execution, not first-call compilation.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
-    val selected =
+    val base =
       if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))
         SparkEntry.queries.toSeq.sortBy(_._1)
       else headline.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+    // local perf iteration: run a comma-separated subset only
+    val selected = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(names) =>
+        val keep = names.split(",").toSet
+        base.filter { case (n, _) => keep.contains(n) }
+      case None => base
+    }
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
     val passes = (1 to reps).map { _ =>

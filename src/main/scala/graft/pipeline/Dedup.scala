@@ -115,10 +115,21 @@ object Dedup {
     }
     // sub-3-token docs carry empty shingle arrays: array_min over an
     // empty hs is null, which concat_ws would silently SKIP, hashing
-    // every short doc into one shared bucket - exclude them here
-    sh.filter(size(col("hs")) >= 1)
-      .select(col("doc_id"),
-        explode(expr(s"array(${bandStructs.mkString(", ")})")).as("band"))
+    // every short doc into one shared bucket. They are excluded by
+    // EMPTYING the band array inside the explode expression (explode
+    // emits nothing for an empty array) rather than with a filter on
+    // size(hs): a separate Filter operator would evaluate the whole
+    // shingle+md5 pipeline once for the predicate and AGAIN for the
+    // projection when the input is an unpersisted lineage (the
+    // streaming face) - inside one Generate input, codegen
+    // subexpression elimination evaluates hs once. (Measured: the
+    // filter form tripled ss_stream_lsh_cand at sf0.1.)
+    sh.select(col("doc_id"),
+        explode(expr(
+          s"""CASE WHEN size(hs) >= 1
+             |THEN array(${bandStructs.mkString(", ")})
+             |ELSE CAST(array() AS ARRAY<STRUCT<b: INT, h: STRING>>)
+             |END""".stripMargin)).as("band"))
       .select(col("doc_id"), col("band.b").as("b"), col("band.h").as("h"))
   }
 
