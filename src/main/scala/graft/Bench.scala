@@ -18,7 +18,11 @@ import org.apache.spark.sql.SparkSession
   * between-pass memo release makes each pass pay the same cold-store
   * cost. Single-shot numbers on this box swing ±50% per query with
   * zero plan change; the median is what round-over-round comparisons
-  * can trust.
+  * can trust. `queries_min` carries the per-query minimum as well:
+  * contention can only add time, so when an entire run lands on a busy
+  * box (all three medians inflated), the min is the number that still
+  * tracks the plan-implied cost. Failed queries are listed under
+  * `failed` and excluded from all stats.
   *
   * Scaling anchor: the same suite also runs once (single pass) at a
   * second scale factor (SPARK_GRAFT_SF_DIR2, default the sf0.01
@@ -49,22 +53,32 @@ object Bench {
     graft.pipeline.SignatureStore.releaseAll(spark)
   }
 
-  /** One timed pass over the suite: per-query seconds, in order. */
+  /** One timed pass over the suite: per-query (seconds, succeeded).
+    * A failed query keeps its elapsed time for the log line but is
+    * marked failed so it never masquerades as a speedup in the
+    * reported medians/totals (a partial execution that dies early is
+    * not a timing).
+    */
   private def runPass(spark: SparkSession, sfDir: String,
                       selected: Seq[(String, (SparkSession, String) =>
-                        org.apache.spark.sql.DataFrame)]): Seq[(String, Double)] =
+                        org.apache.spark.sql.DataFrame)]): Seq[(String, Double, Boolean)] =
     selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
 
   private def fmtQueries(rs: Seq[(String, Double)]): String =
     rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+
+  private def fmtPass(rs: Seq[(String, Double, Boolean)]): String =
+    fmtQueries(rs.map { case (k, v, ok) => k -> (if (ok) v else -1.0) })
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -100,24 +114,43 @@ object Bench {
     }
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
-    val passes = (1 to reps).map { _ =>
+    val passes = (1 to reps).map { i =>
       releaseMemos(spark) // every pass pays the same cold-memo cost
-      runPass(spark, sfDir, selected)
+      val r = runPass(spark, sfDir, selected)
+      // per-pass evidence line: lets a reader distinguish a real plan
+      // regression (slow in every pass) from box contention during the
+      // run (one or two outlier passes); -1.000 marks a failed query
+      System.err.println(s"[bench] pass $i: ${fmtPass(r)}")
+      r
     }
-    val results = selected.map { case (name, _) =>
-      val times = passes.map(_.find(_._1 == name).map(_._2).getOrElse(0.0))
-        .sorted
-      name -> times(times.length / 2)
+    // a query is "failed" if ANY pass failed - partial timings from
+    // the other passes aren't comparable either
+    val failed = selected.map(_._1).filter { name =>
+      passes.exists(_.exists(r => r._1 == name && !r._3))
     }
+    def stat(pick: Seq[Double] => Double): Seq[(String, Double)] =
+      selected.collect { case (name, _) if !failed.contains(name) =>
+        name -> pick(passes.flatMap(_.collectFirst {
+          case (`name`, t, _) => t
+        }))
+      }
+    // median is the headline (resists one outlier pass); min is the
+    // contention-proof floor - noise only ever ADDS time, so min is
+    // the closest observable to the plan-implied cost
+    val results = stat(ts => ts.sorted.apply(ts.length / 2))
+    val mins = stat(_.min)
     val total = results.map(_._2).sum
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     val secondSf =
       if (sfDir2.nonEmpty && new java.io.File(sfDir2).isDirectory) {
         releaseMemos(spark)
         val r2 = runPass(spark, sfDir2, selected)
-        s""","sf2":"$sfDir2","queries_sf2":${fmtQueries(r2)},"reps":$reps"""
+        s""","sf2":"$sfDir2","queries_sf2":${fmtPass(r2)},"reps":$reps"""
       } else s""","reps":$reps"""
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmtQueries(results)},"sf":"$sfDir"$secondSf}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmtQueries(results)},"queries_min":${fmtQueries(mins)},"sf":"$sfDir"$failedJson$secondSf}""")
     // release the per-(session, corpus) memos - the bench touched
     // multiple corpora and nothing should stay pinned
     releaseMemos(spark)

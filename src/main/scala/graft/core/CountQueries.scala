@@ -196,23 +196,38 @@ object CountQueries {
     val out = sortVariantPairs.map { case (nameAsc, nameDesc, keys) =>
       rankedPairGlobally(shared, nameAsc, nameDesc, keys)
     }.reduce(_ unionAll _)
-    pendingRelease.add(shared)
+    // keyed by (session, semantic plan): a caller re-running the same
+    // variants query replaces (and unpersists) its previous pinned
+    // state instead of enqueueing forever; entries whose session has
+    // been stopped are swept on every call, so a consumer that never
+    // calls releaseAll still can't accumulate dead references
+    val prev = pendingRelease.put(
+      (state.sparkSession, state.semanticHash()), shared)
+    if (prev != null && (prev ne shared)) prev.unpersist(blocking = false)
+    sweepStopped()
     out
   }
 
   private val pendingRelease =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), DataFrame]()
+
+  private def sweepStopped(): Unit = {
+    val it = pendingRelease.entrySet().iterator()
+    while (it.hasNext) {
+      if (it.next().getKey._1.sparkContext.isStopped) it.remove()
+    }
+  }
 
   /** Unpersist the count-state relations pinned by `sortedVariantsFrom`
     * for `spark` - call once the returned variants have been consumed
     * (Bench between passes, Verify at exit, specs in afterAll).
     */
   def releaseAll(spark: SparkSession): Unit = {
-    val it = pendingRelease.iterator()
+    val it = pendingRelease.entrySet().iterator()
     while (it.hasNext) {
-      val df = it.next()
-      if (df.sparkSession eq spark) {
-        df.unpersist(blocking = false)
+      val e = it.next()
+      if (e.getKey._1 eq spark) {
+        e.getValue.unpersist(blocking = false)
         it.remove()
       }
     }

@@ -87,18 +87,30 @@ object SignatureStore {
     * not-yet-populated corpus directory a no-op instead of a schema-
     * inference error (an idle watch dir is the job's NATURAL state
     * between arrivals, not a failure).
+    *
+    * Probed through the Hadoop FileSystem API, NOT java.io.File: the
+    * store/watch dirs are URIs in production (hdfs://, s3a://), and a
+    * local-only probe would silently report "empty" for a remote store
+    * that holds data - a wrong answer, not a failure.
     */
-  private def hasParquet(dir: String): Boolean = {
-    def walk(f: java.io.File): Boolean =
-      f.isFile && f.getName.endsWith(".parquet") ||
-        (f.isDirectory && Option(f.listFiles()).exists(_.exists(walk)))
-    walk(new java.io.File(dir))
+  private def hasParquet(spark: SparkSession, dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(path) && {
+      val it = fs.listFiles(path, /* recursive = */ true)
+      var found = false
+      while (!found && it.hasNext()) {
+        val f = it.next()
+        found = f.isFile && f.getPath.getName.endsWith(".parquet")
+      }
+      found
+    }
   }
 
   def catchUp(spark: SparkSession, watchDir: String,
               storeDir: String): Unit = {
     Graft.ensureConf(spark)
-    if (!hasParquet(watchDir)) return // nothing has arrived yet
+    if (!hasParquet(spark, watchDir)) return // nothing has arrived yet
     val schema = spark.read.option("pathGlobFilter", "*.parquet")
       .parquet(watchDir).schema
     val docs = spark.readStream.schema(schema)
@@ -129,7 +141,7 @@ object SignatureStore {
   private def storedOrEmpty(spark: SparkSession, dir: String,
                             empty: => DataFrame): DataFrame = {
     Graft.ensureConf(spark)
-    if (hasParquet(dir)) spark.read.parquet(dir).drop("batch")
+    if (hasParquet(spark, dir)) spark.read.parquet(dir).drop("batch")
     else empty
   }
 
@@ -172,7 +184,7 @@ object SignatureStore {
   def catchUpEmbeddings(spark: SparkSession, watchDir: String,
                         storeDir: String): Unit = {
     Graft.ensureConf(spark)
-    if (!hasParquet(watchDir)) return // nothing has arrived yet
+    if (!hasParquet(spark, watchDir)) return // nothing has arrived yet
     val schema = spark.read.option("pathGlobFilter", "*.parquet")
       .parquet(watchDir).schema
     val embs = spark.readStream.schema(schema)
@@ -229,6 +241,34 @@ object SignatureStore {
       .find(_.getName.endsWith(".parquet")).get
     java.nio.file.Files.copy(part.toPath,
       java.nio.file.Paths.get(dir, name))
+    deleteRecursively(new java.io.File(tmp)) // staging copy served its purpose
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
+  /** Gate temp dirs must outlive this method (the returned DataFrame
+    * reads the store lazily), so they can't be deleted inline; a
+    * shutdown hook reclaims them when the JVM exits. Without this a
+    * reps=3 bench run leaves ~8 corpus copies per table in /tmp.
+    */
+  private lazy val exitCleanup: java.util.concurrent.ConcurrentLinkedQueue[String] = {
+    val q = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var d = q.poll()
+      while (d != null) {
+        deleteRecursively(new java.io.File(d)); d = q.poll()
+      }
+    }))
+    q
+  }
+
+  private def tempDirForExit(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    exitCleanup.add(d)
+    d
   }
 
   /** Driver-gate face of the incremental document store: a FRESH store
@@ -239,10 +279,8 @@ object SignatureStore {
     * hash gate, not just specs.
     */
   def gatedCandidates(spark: SparkSession, sfDir: String): DataFrame = {
-    val watch = java.nio.file.Files
-      .createTempDirectory("graft_gate_dd_watch").toString
-    val store = java.nio.file.Files
-      .createTempDirectory("graft_gate_dd_store").toString
+    val watch = tempDirForExit("graft_gate_dd_watch")
+    val store = tempDirForExit("graft_gate_dd_store")
     val docs = Graft.table(spark, sfDir, "documents")
     land(docs.filter(pmod(col("doc_id"), lit(2)) === 0), watch,
       "arrival1.parquet")
@@ -259,10 +297,8 @@ object SignatureStore {
     * incremental store) share one oracle.
     */
   def gatedAnnCandidates(spark: SparkSession, sfDir: String): DataFrame = {
-    val watch = java.nio.file.Files
-      .createTempDirectory("graft_gate_ann_watch").toString
-    val store = java.nio.file.Files
-      .createTempDirectory("graft_gate_ann_store").toString
+    val watch = tempDirForExit("graft_gate_ann_watch")
+    val store = tempDirForExit("graft_gate_ann_store")
     val embs = Graft.table(spark, sfDir, "embeddings")
     land(embs.filter(pmod(col("vec_id"), lit(2)) === 0), watch,
       "arrival1.parquet")

@@ -42,6 +42,24 @@ class SignatureStoreSpec extends SparkSpec {
     assert(SignatureStore.storedAnnCandidates(spark, store).count() == 0)
   }
 
+  test("store dirs as URIs: file: scheme probes and reads like a local path") {
+    // the emptiness probe must go through the Hadoop FileSystem API -
+    // with a java.io.File probe a URI-form store dir (file:, hdfs:,
+    // s3a:) silently read as EMPTY even when it held data
+    val watch = Files.createTempDirectory("graft_uri_watch").toString
+    val store = Files.createTempDirectory("graft_uri_store").toString
+    val docs = graft.core.Graft.table(spark, sfDir, "documents")
+    docs.limit(8).coalesce(1).write.mode("append").parquet(watch)
+    // catch up addressing BOTH dirs by file: URI, then read back by URI
+    SignatureStore.catchUp(spark, s"file:$watch", s"file:$store")
+    assert(SignatureStore.storedShingles(spark, s"file:$store").count() == 8)
+    assert(SignatureStore.storedBands(spark, s"file:$store").count() > 0)
+    // and an idle URI-form watch dir is still a clean no-op
+    val idle = Files.createTempDirectory("graft_uri_idle").toString
+    SignatureStore.catchUp(spark, s"file:$idle", s"file:$store")
+    assert(SignatureStore.storedShingles(spark, s"file:$store").count() == 8)
+  }
+
   test("three faces agree: incremental store == streaming emission == batch") {
     // the streaming face consumes sfDir's documents.parquet in place;
     // the store face replays the same corpus as two appends - both
