@@ -44,8 +44,9 @@ object Bench {
     // training-data pipeline
     "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard", "dd_simhash",
     "dd_embed_cosine", "ann_topk_brute", "ann_lsh_bucketed", "ann_ivf",
-    "txt_stats", "txt_fingerprint",
-    "mm_binary_stats", "pipe_corpus_clean")
+    "txt_stats", "txt_fingerprint", "txt_repetition",
+    "mm_binary_stats", "pipe_corpus_clean",
+    "pipe_decontaminate", "pipe_decont_bloom", "pipe_dedup_apply")
 
   private def releaseMemos(spark: SparkSession): Unit = {
     graft.core.Transform.releaseAll(spark)

@@ -131,6 +131,7 @@ object SparkEntry {
     "txt_tokens" -> TextAnalysis.tokens _,
     "txt_fingerprint" -> TextAnalysis.fingerprint _,
     "txt_unigram_nll" -> TextAnalysis.unigramNll _,
+    "txt_repetition" -> TextAnalysis.repetition _,
     // ---- multimodal plumbing ----
     "mm_binary_stats" -> Multimodal.binaryStats _,
     "mm_frame_sample" -> Multimodal.frameSample _,
@@ -145,7 +146,9 @@ object SparkEntry {
     "pipe_pack" -> ((s, d) => graft.pipeline.CorpusOps
       .pack(s, d, graft.pipeline.CorpusOps.oracleShards)),
     "pipe_decontaminate" -> graft.pipeline.CorpusOps.decontaminate _,
+    "pipe_decont_bloom" -> graft.pipeline.CorpusOps.decontaminateBloom _,
     "pipe_mix" -> graft.pipeline.CorpusOps.mix _,
+    "pipe_dedup_apply" -> Dedup.dedupApply _,
     // ---- composed cleaning pipeline ----
     "pipe_corpus_clean" -> ((s, d) => CorpusClean(s, d)),
   )
@@ -222,6 +225,7 @@ object SparkEntry {
     "txt_tokens" -> TextAnalysis.tokensSql,
     "txt_fingerprint" -> TextAnalysis.fingerprintSql,
     "txt_unigram_nll" -> TextAnalysis.unigramNllSql,
+    "txt_repetition" -> TextAnalysis.repetitionSql,
     "mm_binary_stats" -> Multimodal.binaryStatsSql,
     "mm_frame_sample" -> Multimodal.frameSampleSql,
     "mm_decode_batched" -> Multimodal.decodeBatchedSql,
@@ -230,6 +234,8 @@ object SparkEntry {
     "pipe_mix" -> graft.pipeline.CorpusOps.mixSql,
     "pipe_pack" -> graft.pipeline.CorpusOps.packSql(),
     "pipe_decontaminate" -> graft.pipeline.CorpusOps.decontaminateSql,
+    "pipe_decont_bloom" -> graft.pipeline.CorpusOps.decontaminateSql,
+    "pipe_dedup_apply" -> Dedup.dedupApplySql,
     "pipe_corpus_clean" -> CorpusClean.sql,
   )
 }

@@ -169,6 +169,53 @@ case class Md5Prefix48(child: Expression)
     copy(child = newChild)
 }
 
+/** graft_bloom_contains(bloom, h): membership probe of a 64-bit key
+  * against a plan-time Bloom filter (`org.apache.spark.util.sketch`,
+  * the same sketch Spark's own runtime row-level filters use). The
+  * filter bytes must be FOLDABLE (a literal): the filter is
+  * deserialized once per plan, shipped with the serialized expression,
+  * and probed inside whole-stage codegen - no UDF boundary, no
+  * per-row deserialization, no join. One-sided error: mightContain
+  * never reports a stored key absent, so "false" prunes are exact -
+  * the contract pipe_decont_bloom's exactness rests on.
+  */
+case class BloomMightContainLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!left.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_bloom_contains filter bytes must be foldable (a literal)")
+    else if (left.dataType != BinaryType || right.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_bloom_contains expects (binary, bigint), got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_contains"
+
+  @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(
+        left.eval(null).asInstanceOf[Array[Byte]]))
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    bloom.mightContainLong(b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBloom", bloom,
+      "org.apache.spark.util.sketch.BloomFilter")
+    nullSafeCodeGen(ctx, ev, (_, b) =>
+      s"${ev.value} = $ref.mightContainLong($b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** graft_simhash48(array<bigint>): frequency-weighted 48-bit SimHash. */
 case class SimHash48(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -369,6 +416,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_lsh_bucket"),
       info("graft_lsh_bucket", "random-hyperplane LSH bucket id"),
       exprs => NativeFunctions.lshBucketBuilder(exprs)))
+    e.injectFunction((FunctionIdentifier("graft_bloom_contains"),
+      info("graft_bloom_contains", "bloom-filter probe of a 64-bit key"),
+      exprs => BloomMightContainLong(exprs(0), exprs(1))))
   }
 }
 
@@ -409,5 +459,7 @@ object NativeFunctions {
       exprs => SimHash48(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_lsh_bucket",
       lshBucketBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_bloom_contains",
+      exprs => BloomMightContainLong(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -151,6 +151,59 @@ object CorpusOps {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Bloom-pruned decontamination: same relation as `decontaminate`
+    * (and shares its oracle), but the clean bulk of the corpus never
+    * reaches a join. The benchmark's hashed n-gram set is folded into
+    * a plan-time Bloom filter (fpp 0.001) probed by the codegen'd
+    * `graft_bloom_contains` inside a narrow per-row `exists` - a doc
+    * none of whose n-grams MIGHT be in the bench set is exactly clean
+    * (Bloom's one-sided error), so only the rare maybe-hits explode
+    * their n-grams into the exact verification semi-join, and the
+    * false-positive rate bounds that exploded volume. At 100 TB this
+    * is the difference between shuffling/probing every corpus n-gram
+    * and streaming past 99.9% of documents in one codegen'd scan.
+    * The driver-side collect builds the PLAN-TIME filter from the
+    * (small by construction) bench set - the same size assumption the
+    * broadcast join variant already makes.
+    */
+  def decontaminateBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val gramsExpr =
+      s"""array_distinct(transform(sequence(1, size(toks) - ${decontamN - 1}),
+         |  i -> graft_md5_48(concat_ws(' ',
+         |         slice(toks, i, $decontamN)))))""".stripMargin
+    val grams = Graft.tableParallel(spark, sfDir, "documents")
+      .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+      .filter(size(col("toks")) >= decontamN)
+      .select(col("doc_id"), expr(gramsExpr).as("ghs"))
+    val benchHashes: Array[Long] = grams
+      .filter(col("doc_id") < benchmarkDocs)
+      .select(explode(col("ghs")).as("h")).distinct()
+      .collect().map(_.getLong(0))
+    val bloom = org.apache.spark.util.sketch.BloomFilter
+      .create(math.max(benchHashes.length, 1).toLong, 0.001)
+    benchHashes.foreach(bloom.putLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val bloomLit = lit(bos.toByteArray)
+    val maybe = grams.filter(col("doc_id") >= benchmarkDocs)
+      .filter(exists(col("ghs"),
+        h => call_function("graft_bloom_contains", bloomLit, h)))
+    val benchDf = spark.createDataset(benchHashes.toSeq)(
+      org.apache.spark.sql.Encoders.scalaLong).toDF("h")
+    val contaminated = maybe
+      .select(col("doc_id"), explode(col("ghs")).as("h"))
+      .join(broadcast(benchDf), Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+    Graft.table(spark, sfDir, "documents")
+      .filter(col("doc_id") >= benchmarkDocs)
+      .select(col("doc_id"))
+      .join(contaminated.withColumn("is_contaminated", lit(true)),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("is_contaminated"), lit(false)).as("is_contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- pipe_pack -----------------------------------------------------
 
   val packBudget = 256L

@@ -299,8 +299,14 @@ object Dedup {
     out
   }
 
-  val dupClustersSql: String =
-    s"""WITH RECURSIVE $shingledCteDuck, $bandsCteDuck, cand AS (
+  /** The full cluster-resolution CTE chain (shingles -> bands -> LSH
+    * candidates -> Jaccard-verified edges -> transitive closure ->
+    * `clusters(doc_id, cluster_id, is_canonical)`), shared by the
+    * dd_clusters oracle and the pipe_dedup_apply oracle so both faces
+    * are checked against literally the same clustering definition.
+    */
+  private[pipeline] val clustersCteDuck: String =
+    s"""$shingledCteDuck, $bandsCteDuck, cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y
        |    ON x.b = y.b AND x.h = y.h AND x.doc_id < y.doc_id
@@ -319,13 +325,48 @@ object Dedup {
        |  SELECT doc_a AS a, doc_b AS b FROM sym
        |  UNION
        |  SELECT r.a, e.doc_b FROM reach r JOIN sym e ON e.doc_a = r.b
-       |)
-       |SELECT n.doc_id, CAST(least(n.doc_id, min(r.b)) AS BIGINT)
-       |         AS cluster_id,
-       |       (n.doc_id = least(n.doc_id, min(r.b))) AS is_canonical
-       |FROM (SELECT DISTINCT doc_a AS doc_id FROM sym) n
-       |LEFT JOIN reach r ON r.a = n.doc_id
-       |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin
+       |), clusters AS (
+       |  SELECT n.doc_id, CAST(least(n.doc_id, min(r.b)) AS BIGINT)
+       |           AS cluster_id,
+       |         (n.doc_id = least(n.doc_id, min(r.b))) AS is_canonical
+       |  FROM (SELECT DISTINCT doc_a AS doc_id FROM sym) n
+       |  LEFT JOIN reach r ON r.a = n.doc_id
+       |  GROUP BY n.doc_id
+       |)""".stripMargin
+
+  val dupClustersSql: String =
+    s"""WITH RECURSIVE $clustersCteDuck
+       |SELECT doc_id, cluster_id, is_canonical FROM clusters
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- pipe_dedup_apply ----------------------------------------------
+
+  /** The end product of the dedup family: the corpus with near-dup
+    * non-canonical documents REMOVED (keep the min doc_id of each
+    * verified cluster). One anti-join of the corpus against the
+    * (clusters-only, so small relative to the corpus) drop list -
+    * AQE picks a broadcast build side when the list fits, a keyed
+    * shuffle otherwise; neither re-reads or re-hashes `text`, since
+    * clustering comes from the session-shared SignatureStore pass.
+    */
+  def dedupApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val drop = dupClusters(spark, sfDir)
+      .filter(!col("is_canonical"))
+      .select(col("doc_id"))
+    Graft.table(spark, sfDir, "documents")
+      .join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupApplySql: String =
+    s"""WITH RECURSIVE $clustersCteDuck
+       |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+       |FROM documents d
+       |WHERE d.doc_id NOT IN
+       |  (SELECT doc_id FROM clusters WHERE NOT is_canonical)
+       |ORDER BY d.doc_id""".stripMargin
 
   // ---- dd_simhash ----------------------------------------------------
 

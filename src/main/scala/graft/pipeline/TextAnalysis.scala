@@ -351,4 +351,91 @@ object TextAnalysis {
             "(CAST(sum(nll_u) AS DOUBLE) / 1000000.0) / count(*)")}
        |    AS nll
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- txt_repetition ------------------------------------------------
+
+  /** Gopher-style repetition signals per document: the share of word
+    * bigrams taken by the single most frequent bigram (boilerplate /
+    * template detector), and the share of trigram occurrences that are
+    * repeats within the document.
+    *
+    * Plan shape for 100 TB: the duplicate-trigram count is pure
+    * per-row array work (zero shuffle - `array_distinct` over an
+    * in-row transform), and the bigram mode - the one genuinely
+    * cross-row-per-doc computation - is explode + two keyed
+    * aggregations on doc_id, the same shuffle-volume class as
+    * txt_vocab (~corpus token count). No window over the full corpus,
+    * no driver-side pass. Tie-break for the mode is (count desc,
+    * bigram desc) via a struct max, deterministic in both engines.
+    */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Graft.tableParallel(spark, sfDir, "documents")
+      .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("n_tokens", size(col("toks")).cast(LongType))
+      .withColumn("n_tri", (size(col("toks")) - 2).cast(LongType))
+      .withColumn("dup_tri_cnt", (col("n_tri") - expr(
+        """size(array_distinct(transform(sequence(0, size(toks) - 3),
+          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))"""
+          .stripMargin).cast(LongType)).cast(LongType))
+      .select(col("doc_id"), col("toks"), col("n_tokens"), col("n_tri"),
+        col("dup_tri_cnt"))
+    val bigrams = base.select(col("doc_id"), explode(expr(
+      """transform(sequence(0, size(toks) - 2),
+        |  i -> concat_ws(' ', toks[i], toks[i+1]))""".stripMargin))
+      .as("bg"))
+    val top = bigrams.groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("c"), col("bg"))).as("m"))
+      .select(col("doc_id"), col("m.bg").as("top_bigram"),
+        col("m.c").as("top_bigram_cnt"))
+    base.join(top, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("top_bigram"),
+        col("top_bigram_cnt"),
+        ParityMath.q6(col("top_bigram_cnt").cast("double") /
+          (col("n_tokens") - 1).cast("double")).as("rep2_ratio"),
+        col("dup_tri_cnt"),
+        ParityMath.q6(col("dup_tri_cnt").cast("double") /
+          col("n_tri").cast("double")).as("dup_tri_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
+       |  FROM documents
+       |  WHERE len(regexp_extract_all(text, '\\S+')) >= 3
+       |), base AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       |    CAST(len(t) - 2 AS BIGINT) AS n_tri,
+       |    CAST(len(t) - 2 - len(list_distinct(list_transform(
+       |        range(1, len(t) - 1),
+       |        i -> array_to_string(t[i:i+2], ' ')))) AS BIGINT)
+       |      AS dup_tri_cnt
+       |  FROM t
+       |), bg AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+       |    i -> array_to_string(t[i:i+1], ' '))) AS bg
+       |  FROM t
+       |), top AS (
+       |  SELECT doc_id, bg AS top_bigram,
+       |         CAST(c AS BIGINT) AS top_bigram_cnt
+       |  FROM (
+       |    SELECT doc_id, bg, count(*) AS c,
+       |      row_number() OVER (PARTITION BY doc_id
+       |                         ORDER BY count(*) DESC, bg DESC) AS rn
+       |    FROM bg GROUP BY doc_id, bg
+       |  ) WHERE rn = 1
+       |)
+       |SELECT b.doc_id, b.n_tokens, top.top_bigram, top.top_bigram_cnt,
+       |  ${ParityMath.q6Sql(
+            """CAST(top.top_bigram_cnt AS DOUBLE)
+              | / CAST(b.n_tokens - 1 AS DOUBLE)""".stripMargin)}
+       |    AS rep2_ratio,
+       |  b.dup_tri_cnt,
+       |  ${ParityMath.q6Sql(
+            "CAST(b.dup_tri_cnt AS DOUBLE) / CAST(b.n_tri AS DOUBLE)")}
+       |    AS dup_tri_ratio
+       |FROM base b JOIN top USING (doc_id) ORDER BY b.doc_id""".stripMargin
 }

@@ -117,4 +117,51 @@ class ExpressionsSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [graft_cosine"),
       s"no codegen in:\n$plan")
   }
+
+  test("graft_bloom_contains: no false negatives, few false positives") {
+    val s = spark; import s.implicits._
+    val stored = (0L until 1000L).map(_ * 7919L)
+    val bloom = org.apache.spark.util.sketch.BloomFilter
+      .create(stored.length.toLong, 0.001)
+    stored.foreach(bloom.putLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val bloomLit = lit(bos.toByteArray)
+    val probe = (stored ++ (1L to 5000L).map(_ * 7919L + 1L)).toDF("h")
+      .select(col("h"), call_function("graft_bloom_contains",
+        bloomLit, col("h")).as("hit"),
+        col("h").isin(stored: _*).as("stored"))
+    // one-sided error: every stored key MUST hit...
+    assert(probe.filter(col("stored") && !col("hit")).count() == 0)
+    // ...and fpp 0.001 keeps spurious hits rare (50x slack for luck)
+    assert(probe.filter(!col("stored") && col("hit")).count() <= 250)
+  }
+
+  test("bloom probe participates in codegen (no fallback)") {
+    val s = spark; import s.implicits._
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(10L, 0.01)
+    bloom.putLong(42L)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    // spark.range, not a local Seq - ConvertToLocalRelation would fold
+    // a local projection away and leave no physical plan to inspect
+    val df = spark.range(42, 44).select(
+      call_function("graft_bloom_contains",
+        lit(bos.toByteArray), col("id")).as("hit"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_bloom_contains"),
+      s"no codegen in:\n$plan")
+    assert(df.collect().map(_.getBoolean(0)).toSeq == Seq(true, false))
+  }
+
+  test("graft_bloom_contains rejects a non-foldable filter argument") {
+    val s = spark; import s.implicits._
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((Array[Byte](1, 2), 1L)).toDF("b", "h")
+        .select(call_function("graft_bloom_contains",
+          col("b"), col("h")))
+        .collect()
+    }
+    assert(err.getMessage.contains("foldable"))
+  }
 }
