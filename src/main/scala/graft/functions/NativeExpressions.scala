@@ -216,6 +216,73 @@ case class BloomMightContainLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** graft_bloom_any(bloom, hs): true iff ANY element of the bigint
+  * array might be in the plan-time Bloom filter. The batch form of
+  * `graft_bloom_contains`: one codegen'd early-exit loop per row
+  * instead of an interpreted `exists` HOF per element - on a corpus
+  * scan probing ~hundreds of n-gram hashes per document, the HOF's
+  * per-element interpretation overhead is larger than the probes
+  * themselves. Same one-sided-error contract: false means NO element
+  * is stored, exactly.
+  */
+case class BloomAnyContain(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!left.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_bloom_any filter bytes must be foldable (a literal)")
+    else if (left.dataType != BinaryType ||
+        !right.dataType.isInstanceOf[ArrayType] ||
+        right.dataType.asInstanceOf[ArrayType].elementType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_bloom_any expects (binary, array<bigint>), got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_any"
+
+  @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(
+        left.eval(null).asInstanceOf[Array[Byte]]))
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val hs = b.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      if (bloom.mightContainLong(hs.getLong(i))) return true
+      i += 1
+    }
+    false
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBloom", bloom,
+      "org.apache.spark.util.sketch.BloomFilter")
+    nullSafeCodeGen(ctx, ev, (_, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = $b.numElements();
+         |${ev.value} = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($ref.mightContainLong($b.getLong($i))) {
+         |    ${ev.value} = true; break;
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** graft_simhash48(array<bigint>): frequency-weighted 48-bit SimHash. */
 case class SimHash48(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -419,6 +486,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_bloom_contains"),
       info("graft_bloom_contains", "bloom-filter probe of a 64-bit key"),
       exprs => BloomMightContainLong(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_bloom_any"),
+      info("graft_bloom_any", "bloom-filter probe of a 64-bit key array"),
+      exprs => BloomAnyContain(exprs(0), exprs(1))))
   }
 }
 
@@ -461,5 +531,7 @@ object NativeFunctions {
       lshBucketBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_bloom_contains",
       exprs => BloomMightContainLong(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_bloom_any",
+      exprs => BloomAnyContain(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -154,6 +154,34 @@ class ExpressionsSpec extends SparkSpec {
     assert(df.collect().map(_.getBoolean(0)).toSeq == Seq(true, false))
   }
 
+  test("graft_bloom_any == exists(graft_bloom_contains), and codegens") {
+    val s = spark; import s.implicits._
+    val stored = (0L until 500L).map(_ * 104729L)
+    val bloom = org.apache.spark.util.sketch.BloomFilter
+      .create(stored.length.toLong, 0.001)
+    stored.foreach(bloom.putLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val bloomLit = lit(bos.toByteArray)
+    // arrays mixing hits and misses; plain array() (not a transform
+    // HOF) so the codegen assertion below tests bloom_any, not the
+    // fixture's lambda
+    val df = spark.range(0, 200).select(
+      array(col("id") * 3 * lit(104729L),
+        (col("id") * 3 + 1) * lit(104729L) + lit(1L),
+        (col("id") * 3 + 2) * lit(104729L)).as("hs"))
+    val bad = df.select(
+      call_function("graft_bloom_any", bloomLit, col("hs")).as("batch"),
+      exists(col("hs"),
+        h => call_function("graft_bloom_contains", bloomLit, h)).as("hof"))
+      .filter(col("batch") =!= col("hof"))
+    assert(bad.count() == 0)
+    val plan = df.select(call_function("graft_bloom_any", bloomLit,
+      col("hs")).as("b")).queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloom_any"), s"missing from:\n$plan")
+    assert(plan.contains("*(1) Project"), s"no codegen in:\n$plan")
+  }
+
   test("graft_bloom_contains rejects a non-foldable filter argument") {
     val s = spark; import s.implicits._
     val err = intercept[org.apache.spark.sql.AnalysisException] {
