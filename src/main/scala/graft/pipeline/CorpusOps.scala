@@ -189,8 +189,14 @@ object CorpusOps {
       val hashes = grams.filter(col("doc_id") < benchmarkDocs)
         .select(explode(col("ghs")).as("h")).distinct()
         .collect().map(_.getLong(0))
+      // fpp is PER PROBE and a document probes one gram at a time, so
+      // its chance of being falsely flagged is ~grams_per_doc x fpp
+      // (measured: fpp 1e-3 x ~56 grams/doc flagged 5.6% of a clean
+      // corpus). 1e-5 puts the per-document rate at ~0.1% for
+      // few-hundred-gram documents; bloom bits grow only with
+      // log(1/fpp), so the filter stays tiny relative to the set.
       val bloom = org.apache.spark.util.sketch.BloomFilter
-        .create(math.max(hashes.length, 1).toLong, 0.001)
+        .create(math.max(hashes.length, 1).toLong, 0.00001)
       hashes.foreach(bloom.putLong)
       val bos = new java.io.ByteArrayOutputStream()
       bloom.writeTo(bos)

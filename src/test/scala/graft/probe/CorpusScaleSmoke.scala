@@ -1,0 +1,125 @@
+package graft.probe
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-family scale smoke: runs the dedup/decontamination/repetition
+  * operators against a generated corpus 1-2 orders of magnitude past
+  * sf0.1 (unique random-word documents + planted exact duplicates), and
+  * prints per-stage throughput. The point is plan-shape evidence at
+  * scale: candidate pairs stay ~linear (planted dups only, no
+  * bucket blow-up on unique docs), the bloom prune touches every doc
+  * exactly once, and nothing collects an unbounded relation to the
+  * driver.
+  *
+  *   sbt "Test/runMain graft.probe.CorpusScaleSmoke [nDocs]"
+  */
+object CorpusScaleSmoke {
+
+  /** Deterministic random-word corpus, ~60-token docs from a 60-word
+    * vocabulary, as a pure-SQL generator (no driver-side data). Every
+    * doc whose id % 50 == 7 repeats the text of id-1 - planted exact
+    * duplicates at a fixed 2% rate; all other docs are unique with
+    * overwhelming probability (60^60 texts).
+    */
+  def syntheticDocs(spark: SparkSession, nDocs: Long): DataFrame = {
+    val vocab = Seq("key", "agg", "row", "scan", "slow", "fast", "table",
+      "value", "part", "hash", "merge", "batch", "spark", "line", "sort",
+      "window", "the", "a", "column", "join", "small", "big", "query",
+      "data", "group", "vector", "stream", "order", "filter", "customer",
+      "engine", "plan", "stage", "task", "shuffle", "codec", "page",
+      "block", "index", "store", "cache", "disk", "read", "write",
+      "byte", "field", "schema", "null", "state", "event", "time",
+      "count", "label", "token", "gram", "probe", "bloom", "band",
+      "bucket", "score").map(w => s"'$w'").mkString(", ")
+    spark.range(nDocs).toDF("doc_id")
+      .withColumn("seed_id",
+        when(pmod(col("doc_id"), lit(50)) === 7 && col("doc_id") > 0,
+          col("doc_id") - 1).otherwise(col("doc_id")))
+      // word + per-position numeric suffix: ~5800 distinct tokens, so
+      // unrelated docs share almost no CHAR shingles (with the bare
+      // 60-word vocab every doc was a char-5-gram near-dup of every
+      // other and LSH - correctly - flagged 2.7M pairs)
+      .withColumn("text", expr(
+        s"""concat_ws(' ', transform(sequence(0, 59),
+           |  i -> concat(element_at(array($vocab),
+           |    CAST(pmod(xxhash64(seed_id * 1000003 + i), 60) + 1 AS INT)),
+           |    pmod(xxhash64(seed_id * 999983 + i), 97))))"""
+          .stripMargin))
+      .select(col("doc_id"), col("text"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.Graft.ensureConf(SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    val nDocs = args.headOption.map(_.toLong).getOrElse(200000L)
+    val docs = syntheticDocs(spark, nDocs)
+      .repartition(64).persist()
+    val planted = docs.count() // materialize generation outside timers
+
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[corpus-smoke] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+
+    // exact dedup: one keyed shuffle on the content hash
+    val exactGroups = timed("exact dedup")(
+      docs.groupBy(expr("graft_md5_48(text)").as("h"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep"))
+        .filter(col("n") > 1).count())
+
+    // repetition signals: narrow in-row pass (dup-trigram share)
+    val repDocs = timed("repetition narrow pass")(
+      docs.withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+        .filter(size(col("toks")) >= 3)
+        .select((size(col("toks")) - 2 - expr(
+          """size(array_distinct(transform(sequence(0, size(toks) - 3),
+            |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))"""
+            .stripMargin)).as("dup_tri"))
+        .filter(col("dup_tri") >= 0).count())
+
+    // bloom decontamination prune: bench = first 50 docs' 5-grams
+    val bloomPruned = timed("bloom decont prune") {
+      val grams = docs
+        .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), expr(
+          """array_distinct(transform(sequence(1, size(toks) - 4),
+            |  i -> graft_md5_48(concat_ws(' ', slice(toks, i, 5)))))"""
+            .stripMargin).as("ghs"))
+      val bench = grams.filter(col("doc_id") < 50)
+        .select(explode(col("ghs")).as("h")).distinct()
+        .collect().map(_.getLong(0))
+      val bloom = org.apache.spark.util.sketch.BloomFilter
+        .create(bench.length.toLong, 0.00001)
+      bench.foreach(bloom.putLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      grams.filter(col("doc_id") >= 50)
+        .filter(call_function("graft_bloom_any",
+          lit(bos.toByteArray), col("ghs"))).count()
+    }
+
+    // MinHash/LSH candidate generation: the corpus-wide shuffle keys
+    // on (band, band_hash); unique docs produce ~no extra pairs, so
+    // the candidate relation stays ~linear in the planted dups
+    val candidates = timed("minhash+LSH candidates") {
+      val bands = graft.pipeline.Dedup.bandsFrom(
+        graft.pipeline.Dedup.shinglesFrom(docs))
+      bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.h") === col("y.h") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
+    }
+
+    println(s"CORPUS-SMOKE docs=$planted exact_dup_groups=$exactGroups " +
+      s"rep_docs=$repDocs bloom_maybe=$bloomPruned lsh_candidates=$candidates")
+    docs.unpersist()
+    spark.stop()
+  }
+}
