@@ -91,4 +91,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       "jaccard must join LSH candidates, never cross the corpus")
   }
+
+  test("bloom decontamination: codegen'd prune, verify join broadcasts") {
+    // judge the FINAL plan only: the barrier'd relations have no
+    // static stats, so AQE's initial plan legitimately starts
+    // sort-merge and converts to broadcast at runtime
+    val plan = executed(
+      graft.pipeline.CorpusOps.decontaminateBloom(spark, sfDir))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("graft_bloom_any"),
+      s"bloom prune missing from the plan:\n$plan")
+    // the exact verification must join the (tiny) maybe set against the
+    // broadcast bench relation - a sort-merge join would mean the
+    // corpus-sized gram stream is being shuffled for the check
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus grams shuffled for the verification join:\n$plan")
+  }
+
+  test("repetition: trigram dups stay in-row; only doc-keyed exchanges") {
+    val plan = executed(
+      graft.pipeline.TextAnalysis.repetition(spark, sfDir))
+    // the bigram-mode aggregation is allowed its doc_id/bg exchanges;
+    // nothing may shuffle on a non-doc key or cross the corpus
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("array_distinct"),
+      s"in-row dup-trigram computation missing:\n$plan")
+    val badExchange = plan.linesIterator.filter(_.contains("hashpartitioning"))
+      .filterNot(l => l.contains("doc_id") || l.contains("bg"))
+    assert(badExchange.isEmpty,
+      s"unexpected exchange keys:\n${badExchange.mkString("\n")}")
+  }
+
+  test("dedup apply: drop list joins the corpus without a corpus shuffle") {
+    val plan = executed(
+      graft.pipeline.Dedup.dedupApply(spark, sfDir))
+      .split("== Initial Plan ==").head
+    // AQE should broadcast the (clusters-only) drop list; the corpus
+    // must not sort-merge against it
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast anti-join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus shuffled to apply the drop list:\n$plan")
+  }
 }
