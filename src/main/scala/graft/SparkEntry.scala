@@ -90,6 +90,7 @@ object SparkEntry {
     "ss_stream_lastn_tws" -> ((s, d) => StreamSum.streamLastnTws(s, d)),
     "ss_stream_lsh_cand" -> StreamSum.streamLshCandidates _,
     "ss_stream_ann_cand" -> StreamSum.streamAnnCandidates _,
+    "ss_stream_decont" -> StreamSum.streamDecontaminate _,
     "ss_stream_undo_count" -> StreamSum.streamUndoCountState _,
     "ss_stream_undo_assoc" -> StreamSum.streamUndoAssocState _,
     "ss_stream_keycount" -> StreamSum.streamKeycountState _,
@@ -194,6 +195,7 @@ object SparkEntry {
     "ss_stream_lastn_tws" -> Sql.ssCacheLastn,
     "ss_stream_lsh_cand" -> Dedup.minhashLshSql,
     "ss_stream_ann_cand" -> Similarity.annCandidatesSql,
+    "ss_stream_decont" -> graft.pipeline.CorpusOps.decontaminateSql,
     "q4_semijoin" -> Tpch.q4SemiJoinSql,
     "q1_agg" -> Tpch.q1Sql,
     "q3_join_agg" -> Tpch.q3Sql,

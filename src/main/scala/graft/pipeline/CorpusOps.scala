@@ -179,6 +179,28 @@ object CorpusOps {
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String), (Array[Long], Array[Byte])]()
 
+  /** The word-5-gram hash array expression shared by every
+    * decontamination face (batch join, batch bloom, streaming bloom) -
+    * one definition so the faces cannot drift.
+    */
+  val gramHashesExpr: String =
+    s"""array_distinct(transform(sequence(1, size(toks) - ${decontamN - 1}),
+       |  i -> graft_md5_48(concat_ws(' ',
+       |         slice(toks, i, $decontamN)))))""".stripMargin
+
+  /** Bench n-gram hashes + serialized Bloom filter for `sfDir`,
+    * memoized per session (see `benchBloomCache`). Public face for the
+    * streaming decontamination query.
+    */
+  def benchBloomFor(spark: SparkSession,
+                    sfDir: String): (Array[Long], Array[Byte]) = {
+    val grams = Graft.tableParallel(spark, sfDir, "documents")
+      .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+      .filter(size(col("toks")) >= decontamN)
+      .select(col("doc_id"), expr(gramHashesExpr).as("ghs"))
+    benchBloom(spark, sfDir, grams)
+  }
+
   private def benchBloom(spark: SparkSession, sfDir: String,
                          grams: DataFrame): (Array[Long], Array[Byte]) = {
     val it = benchBloomCache.keySet().iterator()
@@ -205,14 +227,10 @@ object CorpusOps {
   }
 
   def decontaminateBloom(spark: SparkSession, sfDir: String): DataFrame = {
-    val gramsExpr =
-      s"""array_distinct(transform(sequence(1, size(toks) - ${decontamN - 1}),
-         |  i -> graft_md5_48(concat_ws(' ',
-         |         slice(toks, i, $decontamN)))))""".stripMargin
     val gramsPlan = Graft.tableParallel(spark, sfDir, "documents")
       .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
       .filter(size(col("toks")) >= decontamN)
-      .select(col("doc_id"), expr(gramsExpr).as("ghs"))
+      .select(col("doc_id"), expr(gramHashesExpr).as("ghs"))
     val (benchHashes, bloomBytes) = benchBloom(spark, sfDir, gramsPlan)
     // hash-once barrier: without it Catalyst collapses the `ghs`
     // projection into BOTH the bloom filter condition and the explode

@@ -131,6 +131,47 @@ object StreamSum {
       .orderBy(col("s"), col("o"))
   }
 
+  /** Streaming decontamination: documents arriving as a stream are
+    * flagged against the (static) benchmark's n-gram set - the online
+    * admission face of `pipe_decontaminate`, sharing its oracle. The
+    * plan-time Bloom filter (memoized in CorpusOps) prunes clean docs
+    * inside the micro-batch with the codegen'd `graft_bloom_any`; only
+    * maybe-hits explode their n-grams into the stream-static inner
+    * join against the broadcast bench relation. State is just the
+    * per-doc contamination aggregate - no corpus-sized stream state.
+    */
+  def streamDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    import graft.pipeline.CorpusOps
+    val (benchHashes, bloomBytes) = CorpusOps.benchBloomFor(spark, sfDir)
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val maybe = docs.filter(col("doc_id") >= CorpusOps.benchmarkDocs)
+      .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+      .filter(size(col("toks")) >= CorpusOps.decontamN)
+      .select(col("doc_id"), expr(CorpusOps.gramHashesExpr).as("ghs"))
+      .filter(call_function("graft_bloom_any",
+        lit(bloomBytes), col("ghs")))
+    val benchDf = spark.createDataset(benchHashes.toSeq)(
+      org.apache.spark.sql.Encoders.scalaLong).toDF("h")
+    val contaminated = maybe
+      .select(col("doc_id"), explode(col("ghs")).as("h"))
+      .join(broadcast(benchDf), Seq("h")) // stream-static inner join
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val contamTable = runToTable(contaminated.select(col("doc_id")),
+      OutputMode.Update(), "ss_stream_decont").distinct()
+    Graft.table(spark, sfDir, "documents")
+      .filter(col("doc_id") >= CorpusOps.benchmarkDocs)
+      .select(col("doc_id"))
+      .join(contamTable.withColumn("is_contaminated", lit(true)),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("is_contaminated"), lit(false)).as("is_contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Last-N via the Spark 4 transformWithState API (RocksDB state
     * store) - same result as `streamLastnState`, current-generation
     * stateful operator.

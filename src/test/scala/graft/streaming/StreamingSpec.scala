@@ -251,6 +251,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming decontamination == both batch faces") {
+    val streamed = StreamSum.streamDecontaminate(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    val joined = graft.pipeline.CorpusOps.decontaminate(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    val bloomed = graft.pipeline.CorpusOps.decontaminateBloom(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    assert(streamed == joined)
+    assert(streamed == bloomed)
+    assert(streamed.exists(_._2), "fixture should contain contamination")
+  }
+
   test("transformWithState timers: session expiry emits and clears state") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
