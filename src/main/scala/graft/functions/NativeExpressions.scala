@@ -145,6 +145,81 @@ object Md5Util {
   }
 }
 
+object NGramUtil {
+  /** Most frequent adjacent token pair with the (count desc, bigram
+    * desc) tie-break - the in-row form of
+    * `explode(bigrams) -> groupBy count -> max(struct(c, bg))`, which
+    * would shuffle corpus-token-count rows twice; the mode of a
+    * WITHIN-document relation never needs to leave the row. Returns
+    * null for arrays with fewer than 2 elements.
+    */
+  def topBigram(
+      toks: org.apache.spark.sql.catalyst.util.ArrayData):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val n = toks.numElements()
+    if (n < 2) return null
+    val counts = new java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, Int](n * 2)
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    var i = 0
+    while (i < n - 1) {
+      val bg = org.apache.spark.unsafe.types.UTF8String.concat(
+        toks.getUTF8String(i), space, toks.getUTF8String(i + 1))
+      counts.merge(bg, 1, (a, b) => a + b)
+      i += 1
+    }
+    var bestBg: org.apache.spark.unsafe.types.UTF8String = null
+    var bestC = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue
+      if (c > bestC || (c == bestC && e.getKey.compareTo(bestBg) > 0)) {
+        bestC = c; bestBg = e.getKey
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestBg, bestC.toLong))
+  }
+}
+
+/** graft_top_bigram(array<string>): the document's most frequent word
+  * bigram and its count as struct(bg, c) - one codegen'd per-row pass
+  * with an open hash map, replacing an explode + two corpus-token-
+  * volume exchanges. Tie-break (count desc, bigram desc), identical to
+  * `max(struct(c, bg))` in the relational form and to the oracle's
+  * `ORDER BY c DESC, bg DESC` window.
+  */
+case class TopBigram(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_top_bigram expects array<string>, got ${other.catalogString}")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("bg", StringType, nullable = true),
+    StructField("c", LongType, nullable = true)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_top_bigram"
+
+  override def nullSafeEval(v: Any): Any =
+    NGramUtil.topBigram(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.NGramUtil.topBigram($c);
+      |${ev.isNull} = (${ev.value} == null);
+    """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** graft_md5_48(s): 48-bit integer content hash - the dedup hot path
   * (one digest per shingle/token, no hex-string round trip).
   */
@@ -489,6 +564,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_bloom_any"),
       info("graft_bloom_any", "bloom-filter probe of a 64-bit key array"),
       exprs => BloomAnyContain(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_top_bigram"),
+      info("graft_top_bigram", "most frequent word bigram per document"),
+      exprs => TopBigram(exprs.head)))
   }
 }
 
@@ -533,5 +611,7 @@ object NativeFunctions {
       exprs => BloomMightContainLong(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_bloom_any",
       exprs => BloomAnyContain(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_top_bigram",
+      exprs => TopBigram(exprs.head), "built-in")
   }
 }

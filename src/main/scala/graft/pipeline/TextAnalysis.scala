@@ -359,17 +359,18 @@ object TextAnalysis {
     * template detector), and the share of trigram occurrences that are
     * repeats within the document.
     *
-    * Plan shape for 100 TB: the duplicate-trigram count is pure
-    * per-row array work (zero shuffle - `array_distinct` over an
-    * in-row transform), and the bigram mode - the one genuinely
-    * cross-row-per-doc computation - is explode + two keyed
-    * aggregations on doc_id, the same shuffle-volume class as
-    * txt_vocab (~corpus token count). No window over the full corpus,
-    * no driver-side pass. Tie-break for the mode is (count desc,
-    * bigram desc) via a struct max, deterministic in both engines.
+    * Plan shape for 100 TB: ZERO shuffle (bar the presentation sort).
+    * The duplicate-trigram count is per-row array work
+    * (`array_distinct` over an in-row transform), and the bigram mode
+    * - within-document, so it never needs to leave the row - is the
+    * codegen'd `graft_top_bigram` expression (per-row hash map, the
+    * same (count desc, bigram desc) tie-break the oracle's window
+    * uses). The relational form of the mode (explode + two keyed
+    * aggregations) would shuffle corpus-token-count rows twice for a
+    * result each row can compute alone.
     */
-  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = Graft.tableParallel(spark, sfDir, "documents")
+  def repetition(spark: SparkSession, sfDir: String): DataFrame =
+    Graft.tableParallel(spark, sfDir, "documents")
       .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
       .filter(size(col("toks")) >= 3)
       .withColumn("n_tokens", size(col("toks")).cast(LongType))
@@ -378,28 +379,16 @@ object TextAnalysis {
         """size(array_distinct(transform(sequence(0, size(toks) - 3),
           |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))"""
           .stripMargin).cast(LongType)).cast(LongType))
-      .select(col("doc_id"), col("toks"), col("n_tokens"), col("n_tri"),
-        col("dup_tri_cnt"))
-    val bigrams = base.select(col("doc_id"), explode(expr(
-      """transform(sequence(0, size(toks) - 2),
-        |  i -> concat_ws(' ', toks[i], toks[i+1]))""".stripMargin))
-      .as("bg"))
-    val top = bigrams.groupBy(col("doc_id"), col("bg"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(max(struct(col("c"), col("bg"))).as("m"))
-      .select(col("doc_id"), col("m.bg").as("top_bigram"),
-        col("m.c").as("top_bigram_cnt"))
-    base.join(top, "doc_id")
-      .select(col("doc_id"), col("n_tokens"), col("top_bigram"),
-        col("top_bigram_cnt"),
-        ParityMath.q6(col("top_bigram_cnt").cast("double") /
+      .withColumn("m", expr("graft_top_bigram(toks)"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("m.bg").as("top_bigram"),
+        col("m.c").as("top_bigram_cnt"),
+        ParityMath.q6(col("m.c").cast("double") /
           (col("n_tokens") - 1).cast("double")).as("rep2_ratio"),
         col("dup_tri_cnt"),
         ParityMath.q6(col("dup_tri_cnt").cast("double") /
           col("n_tri").cast("double")).as("dup_tri_ratio"))
       .orderBy(col("doc_id"))
-  }
 
   val repetitionSql: String =
     s"""WITH t AS (

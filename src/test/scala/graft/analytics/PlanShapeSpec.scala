@@ -109,18 +109,18 @@ class PlanShapeSpec extends SparkSpec {
       s"corpus grams shuffled for the verification join:\n$plan")
   }
 
-  test("repetition: trigram dups stay in-row; only doc-keyed exchanges") {
+  test("repetition: fully narrow - no keyed shuffle at all") {
     val plan = executed(
       graft.pipeline.TextAnalysis.repetition(spark, sfDir))
-    // the bigram-mode aggregation is allowed its doc_id/bg exchanges;
-    // nothing may shuffle on a non-doc key or cross the corpus
-    assert(!plan.contains("CartesianProduct"))
     assert(plan.contains("array_distinct"),
       s"in-row dup-trigram computation missing:\n$plan")
-    val badExchange = plan.linesIterator.filter(_.contains("hashpartitioning"))
-      .filterNot(l => l.contains("doc_id") || l.contains("bg"))
-    assert(badExchange.isEmpty,
-      s"unexpected exchange keys:\n${badExchange.mkString("\n")}")
+    assert(plan.contains("graft_top_bigram"),
+      s"in-row bigram mode missing:\n$plan")
+    // the only allowed exchanges are the parallelism spread
+    // (round-robin) and the presentation sort (range); a
+    // hashpartitioning would mean the mode went relational again
+    assert(!plan.contains("hashpartitioning"),
+      s"per-doc computation shuffled on a key:\n$plan")
   }
 
   test("dedup apply: drop list joins the corpus without a corpus shuffle") {

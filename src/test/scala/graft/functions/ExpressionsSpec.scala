@@ -182,6 +182,30 @@ class ExpressionsSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"), s"no codegen in:\n$plan")
   }
 
+  test("graft_top_bigram == explode/groupBy/max(struct) formulation") {
+    val docs = graft.core.Graft.table(spark, sfDir, "documents")
+      .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+      .filter(size(col("toks")) >= 2)
+    val native = docs.select(col("doc_id"),
+        expr("graft_top_bigram(toks)").as("m"))
+      .select(col("doc_id"), col("m.bg"), col("m.c"))
+    val relational = docs.select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> concat_ws(' ', toks[i], toks[i+1]))""".stripMargin))
+        .as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("c"), col("bg"))).as("m"))
+      .select(col("doc_id"), col("m.bg"), col("m.c"))
+    assert(native.exceptAll(relational).count() == 0)
+    assert(relational.exceptAll(native).count() == 0)
+    // degenerate inputs: < 2 tokens -> null struct
+    val s = spark; import s.implicits._
+    val tiny = Seq(Seq("one"), Seq.empty[String]).toDF("toks")
+      .select(expr("graft_top_bigram(toks)").as("m"))
+    assert(tiny.filter(col("m").isNotNull).count() == 0)
+  }
+
   test("graft_bloom_contains rejects a non-foldable filter argument") {
     val s = spark; import s.implicits._
     val err = intercept[org.apache.spark.sql.AnalysisException] {
