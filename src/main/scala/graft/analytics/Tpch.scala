@@ -283,6 +283,30 @@ object Tpch {
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** CUBE: all 2^k grouping sets in one pass - Spark's Expand emits one
+    * replicated row per grouping set ahead of a single keyed
+    * aggregation (k small by definition, so the 4x row amplification
+    * is the known, bounded cost; no per-set rescan of the fact table).
+    */
+  def qCube(spark: SparkSession, sfDir: String): DataFrame =
+    Graft.table(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        dec("l_quantity", 12, 2).as("qty"))
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("qty")).as("dq"), count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("dq").cast(DoubleType).as("sum_qty"), col("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val qCubeSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   /** Exact + percentile statistics per group: countDistinct (Spark's
     * expand + two-phase distinct aggregation) and interpolated median /
     * quartiles (DuckDB quantile_cont ≙ Spark percentile). Quantiles of
