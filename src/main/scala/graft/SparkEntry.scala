@@ -125,6 +125,7 @@ object SparkEntry {
     "dd_embed_cosine" -> Similarity.embedCosinePairs _,
     // ---- similarity search ----
     "ann_topk_brute" -> Similarity.annTopKBrute _,
+    "ann_topk_quant" -> Similarity.annTopKQuant _,
     "ann_lsh_bucketed" -> Similarity.annLshBucketed _,
     "ann_ivf" -> Similarity.annIvf _,
     // ---- text analysis ----
@@ -222,6 +223,7 @@ object SparkEntry {
     "dd_clusters" -> Dedup.dupClustersSql,
     "dd_embed_cosine" -> Similarity.embedCosinePairsSql,
     "ann_topk_brute" -> Similarity.annTopKBruteSql,
+    "ann_topk_quant" -> Similarity.annTopKQuantSql,
     "ann_lsh_bucketed" -> Similarity.annLshBucketedSql,
     "ann_ivf" -> Similarity.annIvfSql,
     "txt_stats" -> TextAnalysis.statsSql,

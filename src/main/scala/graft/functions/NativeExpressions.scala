@@ -145,6 +145,59 @@ object Md5Util {
   }
 }
 
+/** graft_qdot(a, b) over two int arrays - the quantized-ANN scoring
+  * kernel. Accumulates in long (int8-range elements cannot overflow),
+  * and because every intermediate is an exact integer the score is
+  * bit-identical across engines with NO pinned evaluation order - the
+  * portability argument for scoring on quantized vectors.
+  */
+case class QDotInt(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_qdot expects two array<int> args, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_qdot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getInt(i).toLong * y.getInt(i); i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += (long) $a.getInt($i) * (long) $b.getInt($i);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object NGramUtil {
   /** Most frequent adjacent token pair with the (count desc, bigram
     * desc) tie-break - the in-row form of
@@ -567,6 +620,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_top_bigram"),
       info("graft_top_bigram", "most frequent word bigram per document"),
       exprs => TopBigram(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_qdot"),
+      info("graft_qdot", "integer dot product of quantized vectors"),
+      exprs => QDotInt(exprs(0), exprs(1))))
   }
 }
 
@@ -613,5 +669,7 @@ object NativeFunctions {
       exprs => BloomAnyContain(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_top_bigram",
       exprs => TopBigram(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_qdot",
+      exprs => QDotInt(exprs(0), exprs(1)), "built-in")
   }
 }

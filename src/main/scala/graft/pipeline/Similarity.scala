@@ -141,6 +141,79 @@ object Similarity {
        |SELECT q_id, vec_id, sim, rk FROM ranked
        |WHERE rk <= $topK ORDER BY q_id, rk""".stripMargin
 
+  // ---- ann_topk_quant -----------------------------------------------
+
+  /** Brute-force top-k over int8-QUANTIZED vectors: per-vector
+    * symmetric scaling (127 / max|x|), one narrow quantize pass, then
+    * the same broadcast-query scan shape as `annTopKBrute` - but each
+    * corpus vector is 64 ints (256B effective, 4x less than floats
+    * promoted through doubles, and the real deployment stores int8 -
+    * 16x less scan bandwidth than doubles). Scoring is the codegen'd
+    * integer dot (`graft_qdot`) normalized by the integer norms:
+    * every intermediate below the final divide is an exact integer
+    * (|q|<=127, 64 dims -> dot <= ~1M << 2^53), so the score is
+    * bit-portable with NO pinned evaluation order - the quantized
+    * path dodges float-summation-order entirely. Recall vs the exact
+    * baseline is pinned in RecallSpec.
+    */
+  def annTopKQuant(spark: SparkSession, sfDir: String): DataFrame = {
+    val quantExpr =
+      """transform(embedding,
+        |  x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / smax) + 0.5) AS INT))"""
+        .stripMargin
+    val qe = emb(spark, sfDir)
+      .withColumn("smax", expr(
+        """aggregate(embedding, CAST(0.0 AS DOUBLE),
+          |  (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))""".stripMargin))
+      .filter(col("smax") > 0)
+      .select(col("vec_id"), expr(quantExpr).as("qv"))
+      .withColumn("qn", expr("graft_qdot(qv, qv)"))
+    val q = qe.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("qn").as("q_qn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    qe.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("sim", ParityMath.q6(
+        expr("CAST(graft_qdot(q_qv, qv) AS DOUBLE)") /
+          (sqrt(col("q_qn").cast("double")) * sqrt(col("qn").cast("double")))))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("vec_id"), col("sim"), col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val annTopKQuantSql: String = {
+    // integer-valued doubles: list_sum over products of ints <= 127^2
+    // is exact in double, so no evaluation-order pinning is needed
+    def qdot(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    s"""WITH qe AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE)
+       |             * (127.0 / list_aggregate(list_transform(embedding,
+       |                  v -> abs(CAST(v AS DOUBLE))), 'max')) + 0.5)
+       |           AS INT)) AS qv
+       |  FROM embeddings
+       |  WHERE list_aggregate(list_transform(embedding,
+       |          v -> abs(CAST(v AS DOUBLE))), 'max') > 0
+       |), scored AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+       |    (floor((${qdot("q.qv", "e.qv")}
+       |       / (sqrt(${qdot("q.qv", "q.qv")}) * sqrt(${qdot("e.qv", "e.qv")})))
+       |       * 1000000.0 + 0.5) / 1000000.0) AS sim
+       |  FROM qe q JOIN qe e ON e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $numQueries
+       |), ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |                 ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
+       |  FROM scored
+       |)
+       |SELECT q_id, vec_id, sim, rk FROM ranked
+       |WHERE rk <= $topK ORDER BY q_id, rk""".stripMargin
+  }
+
   // ---- ann_lsh_bucketed ---------------------------------------------
 
   /** Deterministic random-hyperplane signs: plane j, dim i →

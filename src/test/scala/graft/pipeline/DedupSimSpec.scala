@@ -158,5 +158,11 @@ class DedupSimSpec extends SparkSpec {
       .select("q_id", "vec_id")))
     assert(ivfR >= 0.85, f"IVF recall@10 $ivfR%.3f fell below 0.85")
     assert(lshR >= 0.01, f"LSH recall@10 $lshR%.4f fell below 0.01")
+    // int8 quantization perturbs each coordinate by <= 1/254 of the
+    // vector's max - neighbor sets should be nearly exact
+    val quantR = recall(topk(Similarity.annTopKQuant(spark, sfDir)
+      .select("q_id", "vec_id")))
+    assert(quantR >= 0.95,
+      f"quantized recall@10 $quantR%.3f fell below 0.95")
   }
 }
