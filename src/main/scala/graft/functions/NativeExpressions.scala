@@ -199,6 +199,88 @@ case class QDotInt(left: Expression, right: Expression)
 }
 
 object NGramUtil {
+
+  private def joinGram(
+      toks: org.apache.spark.sql.catalyst.util.ArrayData,
+      start: Int, n: Int,
+      space: org.apache.spark.unsafe.types.UTF8String):
+      org.apache.spark.unsafe.types.UTF8String = {
+    val parts = new Array[org.apache.spark.unsafe.types.UTF8String](
+      2 * n - 1)
+    var j = 0
+    while (j < n) {
+      if (j > 0) parts(2 * j - 1) = space
+      parts(2 * j) = toks.getUTF8String(start + j)
+      j += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.concat(parts: _*)
+  }
+
+  /** Distinct space-joined n-gram 48-bit hashes, first-occurrence
+    * order; empty array below n tokens.
+    */
+  def gramHashes(
+      toks: org.apache.spark.sql.catalyst.util.ArrayData, n: Int):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val len = toks.numElements()
+    val total = len - n + 1
+    if (total <= 0)
+      return org.apache.spark.sql.catalyst.util.ArrayData
+        .toArrayData(Array.emptyLongArray)
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val seen = new java.util.HashSet[
+      org.apache.spark.unsafe.types.UTF8String](total * 2)
+    val out = new Array[Long](total)
+    var m = 0
+    var i = 0
+    while (i < total) {
+      val g = joinGram(toks, i, n, space)
+      if (seen.add(g)) { out(m) = Md5Util.hash48(g); m += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(java.util.Arrays.copyOf(out, m))
+  }
+
+  /** Per-token (non-distinct) 48-bit hashes. */
+  def tokenHashes(
+      toks: org.apache.spark.sql.catalyst.util.ArrayData):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = toks.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = Md5Util.hash48(toks.getUTF8String(i)); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** Occurrences minus distinct count of the array's word n-grams
+    * (space-joined, matching `concat_ws(' ', ...)` and the oracle's
+    * `array_to_string(..., ' ')`). 0 for arrays shorter than n.
+    */
+  def dupNgrams(
+      toks: org.apache.spark.sql.catalyst.util.ArrayData, n: Int): Long = {
+    val len = toks.numElements()
+    val total = len - n + 1
+    if (total <= 0) return 0L
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val seen = new java.util.HashSet[
+      org.apache.spark.unsafe.types.UTF8String](total * 2)
+    var i = 0
+    while (i < total) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](
+        2 * n - 1)
+      var j = 0
+      while (j < n) {
+        if (j > 0) parts(2 * j - 1) = space
+        parts(2 * j) = toks.getUTF8String(i + j)
+        j += 1
+      }
+      seen.add(org.apache.spark.unsafe.types.UTF8String.concat(parts: _*)): Unit
+      i += 1
+    }
+    (total - seen.size).toLong
+  }
+
   /** Most frequent adjacent token pair with the (count desc, bigram
     * desc) tie-break - the in-row form of
     * `explode(bigrams) -> groupBy count -> max(struct(c, bg))`, which
@@ -233,6 +315,172 @@ object NGramUtil {
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](bestBg, bestC.toLong))
+  }
+}
+
+/** graft_dup_ngrams(toks, n): how many of the document's word n-gram
+  * OCCURRENCES are repeats (total n-grams minus distinct n-grams) -
+  * the repetition signal's in-row form. The interpreted
+  * `array_distinct(transform(...))` HOF formulation costs ~65µs per
+  * document at scale; this is one codegen'd pass with a hash set.
+  * `n` must be an int literal (>= 1).
+  */
+case class DupNgrams(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_dup_ngrams expects array<string>, got ${other.catalogString}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dup_ngrams"
+
+  override def nullSafeEval(v: Any): Any =
+    NGramUtil.dupNgrams(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NGramUtil.dupNgrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** graft_gram_hashes(toks, n): 48-bit md5 hashes of the array's
+  * DISTINCT space-joined word n-grams, in first-occurrence order -
+  * exactly `array_distinct(transform(sequence...)) |> graft_md5_48`
+  * fused into one codegen'd pass (the interpreted sequence/transform/
+  * slice/concat_ws chain evaluates ~5 lambda frames per gram). Empty
+  * array when the input is shorter than n. Feeds dedup shingling
+  * (n=3) and decontamination (n=5).
+  */
+case class GramHashes(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_gram_hashes expects array<string>, got ${other.catalogString}")
+    }
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gram_hashes"
+
+  override def nullSafeEval(v: Any): Any =
+    NGramUtil.gramHashes(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NGramUtil.gramHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** graft_token_hashes(toks): per-token 48-bit md5 hashes (NOT
+  * distinct - SimHash weights by frequency), one codegen'd pass
+  * instead of an interpreted `transform` lambda per token.
+  */
+case class TokenHashes(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_token_hashes expects array<string>, got ${other.catalogString}")
+    }
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_token_hashes"
+
+  override def nullSafeEval(v: Any): Any =
+    NGramUtil.tokenHashes(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NGramUtil.tokenHashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** graft_minhash_sigs: all k MinHash signatures
+  * `min over hs of (a_i * h + b_i) mod p` in ONE traversal of the hash
+  * array - the relational form evaluates k interpreted
+  * `array_min(transform(...))` passes per document. Returns null for
+  * an empty array (matching array_min's null on empty, which the band
+  * builder's empty-guard already excludes). Constructed from Scala
+  * with the permutation constants baked in (plan-time parameters, like
+  * the IVF centroid matrix); not SQL-registered.
+  */
+case class MinHashSigs(child: Expression,
+                       a: Array[Long], b: Array[Long], p: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(a.length == b.length && a.length >= 1)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash_sigs expects array<bigint>, got ${other.catalogString}")
+    }
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash_sigs"
+
+  override def nullSafeEval(v: Any): Any = {
+    val hs = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    MinHashUtil.sigs(hs, a, b, p)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", a, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", b, "long[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.MinHashUtil.sigs($c, $aRef, $bRef, ${p}L);
+      |${ev.isNull} = (${ev.value} == null);
+    """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashUtil {
+  /** One pass over hs maintaining all k minima. Null on empty input. */
+  def sigs(hs: org.apache.spark.sql.catalyst.util.ArrayData,
+           a: Array[Long], b: Array[Long], p: Long):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = hs.numElements()
+    if (n == 0) return null
+    val k = a.length
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (a(j) * h + b(j)) % p
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(mins)
   }
 }
 
@@ -620,6 +868,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_top_bigram"),
       info("graft_top_bigram", "most frequent word bigram per document"),
       exprs => TopBigram(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_gram_hashes"),
+      info("graft_gram_hashes", "distinct word n-gram 48-bit hashes"),
+      exprs => NativeFunctions.gramHashesBuilder(exprs)))
+    e.injectFunction((FunctionIdentifier("graft_token_hashes"),
+      info("graft_token_hashes", "per-token 48-bit hashes"),
+      exprs => TokenHashes(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_dup_ngrams"),
+      info("graft_dup_ngrams", "count of repeated word n-gram occurrences"),
+      exprs => NativeFunctions.dupNgramsBuilder(exprs)))
     e.injectFunction((FunctionIdentifier("graft_qdot"),
       info("graft_qdot", "integer dot product of quantized vectors"),
       exprs => QDotInt(exprs(0), exprs(1))))
@@ -646,6 +903,28 @@ object NativeFunctions {
     LshBucket(exprs.head, planes)
   }
 
+  /** graft_gram_hashes(toks, n) - n must be an int literal >= 1. */
+  def gramHashesBuilder(exprs: Seq[Expression]): Expression = {
+    val n = exprs.lift(1) match {
+      case Some(org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_gram_hashes n must be an int literal, got $other")
+    }
+    require(n >= 1, s"graft_gram_hashes n must be >= 1, got $n")
+    GramHashes(exprs.head, n)
+  }
+
+  /** graft_dup_ngrams(toks, n) - n must be an int literal >= 1. */
+  def dupNgramsBuilder(exprs: Seq[Expression]): Expression = {
+    val n = exprs.lift(1) match {
+      case Some(org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_dup_ngrams n must be an int literal, got $other")
+    }
+    require(n >= 1, s"graft_dup_ngrams n must be >= 1, got $n")
+    DupNgrams(exprs.head, n)
+  }
+
   /** Idempotently register the expressions as SQL temp functions so any
     * query (or `expr(...)` fragment) can call graft_cosine /
     * graft_hamming in this session.
@@ -669,6 +948,12 @@ object NativeFunctions {
       exprs => BloomAnyContain(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_top_bigram",
       exprs => TopBigram(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_dup_ngrams",
+      dupNgramsBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_gram_hashes",
+      gramHashesBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_token_hashes",
+      exprs => TokenHashes(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_qdot",
       exprs => QDotInt(exprs(0), exprs(1)), "built-in")
   }

@@ -105,11 +105,7 @@ object CorpusOps {
     val grams = Graft.tableParallel(spark, sfDir, "documents")
       .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
       .filter(size(col("toks")) >= decontamN)
-      .select(col("doc_id"), explode(expr(
-        s"""array_distinct(transform(sequence(1, size(toks) - ${decontamN - 1}),
-           |  i -> graft_md5_48(concat_ws(' ',
-           |         slice(toks, i, $decontamN)))))""".stripMargin))
-        .as("h"))
+      .select(col("doc_id"), explode(expr(gramHashesExpr)).as("h"))
     val benchHashes = grams.filter(col("doc_id") < benchmarkDocs)
       .select(col("h")).distinct()
     val corpusGrams = grams.filter(col("doc_id") >= benchmarkDocs)
@@ -183,10 +179,7 @@ object CorpusOps {
     * decontamination face (batch join, batch bloom, streaming bloom) -
     * one definition so the faces cannot drift.
     */
-  val gramHashesExpr: String =
-    s"""array_distinct(transform(sequence(1, size(toks) - ${decontamN - 1}),
-       |  i -> graft_md5_48(concat_ws(' ',
-       |         slice(toks, i, $decontamN)))))""".stripMargin
+  val gramHashesExpr: String = s"graft_gram_hashes(toks, $decontamN)"
 
   /** Bench n-gram hashes + serialized Bloom filter for `sfDir`,
     * memoized per session (see `benchBloomCache`). Public face for the

@@ -65,15 +65,13 @@ object Dedup {
     docs
       .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
       .filter(size(col("toks")) >= 1)
-      .withColumn("hst", expr("transform(toks, s -> graft_md5_48(s))"))
-      .withColumn("sh", expr(
-        """CASE WHEN size(toks) >= 3 THEN
-          |  array_distinct(transform(sequence(1, size(toks) - 2),
-          |    i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
-          |                   element_at(toks, i + 2))))
-          |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
-      .withColumn("hs", expr("transform(sh, s -> graft_md5_48(s))"))
-      .select(col("doc_id"), col("sh"), col("hs"), col("hst"))
+      .select(col("doc_id"),
+        // fused codegen'd passes: distinct 3-gram hashes and per-token
+        // hashes straight from the token array - the HOF formulation
+        // (array_distinct over transform lambdas) paid ~5 interpreted
+        // frames per shingle, the dominant dedup-family cost at scale
+        expr("graft_gram_hashes(toks, 3)").as("hs"),
+        expr("graft_token_hashes(toks)").as("hst"))
 
   /** Batch face: the persisted, session-shared signature relation. */
   private def shingled(spark: SparkSession, sfDir: String): DataFrame =
@@ -108,25 +106,35 @@ object Dedup {
     * LSH bucket key stream, usable over batch or streaming input.
     */
   def bandsFrom(sh: DataFrame): DataFrame = {
+    // all 32 signatures in ONE traversal of hs (the relational form,
+    // kept as `sigExprSpark` for the parity cross-check, runs 32
+    // interpreted array_min(transform) passes per document); null sigs
+    // (empty hs) keep flowing into the empty-band guard below
+    val sigsCol = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.MinHashSigs(
+        org.apache.spark.sql.GraftBridge.expression(col("hs")),
+        (0 until minhashK).map(permA).toArray,
+        (0 until minhashK).map(permB).toArray, P))
     val bandStructs = (0 until numBands).map { b =>
       val sigs = (0 until bandRows)
-        .map(r => s"CAST(${sigExprSpark(b * bandRows + r)} AS STRING)")
+        .map(r => s"CAST(element_at(sigs, ${b * bandRows + r + 1}) AS STRING)")
       s"named_struct('b', $b, 'h', md5(concat_ws(':', ${sigs.mkString(", ")})))"
     }
-    // sub-3-token docs carry empty shingle arrays: array_min over an
-    // empty hs is null, which concat_ws would silently SKIP, hashing
-    // every short doc into one shared bucket. They are excluded by
-    // EMPTYING the band array inside the explode expression (explode
-    // emits nothing for an empty array) rather than with a filter on
-    // size(hs): a separate Filter operator would evaluate the whole
-    // shingle+md5 pipeline once for the predicate and AGAIN for the
+    // sub-3-token docs carry empty shingle arrays: their sigs are null
+    // (MinHashSigs on empty input), which concat_ws would silently
+    // SKIP, hashing every short doc into one shared bucket. They are
+    // excluded by EMPTYING the band array inside the explode expression
+    // (explode emits nothing for an empty array) rather than with a
+    // filter on size(hs): a separate Filter operator would evaluate the
+    // whole shingle pipeline once for the predicate and AGAIN for the
     // projection when the input is an unpersisted lineage (the
-    // streaming face) - inside one Generate input, codegen
-    // subexpression elimination evaluates hs once. (Measured: the
-    // filter form tripled ss_stream_lsh_cand at sf0.1.)
-    sh.select(col("doc_id"),
+    // streaming face). The `sigs` alias is referenced 33 times by the
+    // Generate input, which also keeps CollapseProject from inlining
+    // the signature computation per reference.
+    sh.withColumn("sigs", sigsCol)
+      .select(col("doc_id"),
         explode(expr(
-          s"""CASE WHEN size(hs) >= 1
+          s"""CASE WHEN sigs IS NOT NULL
              |THEN array(${bandStructs.mkString(", ")})
              |ELSE CAST(array() AS ARRAY<STRUCT<b: INT, h: STRING>>)
              |END""".stripMargin)).as("band"))

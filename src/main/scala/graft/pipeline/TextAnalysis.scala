@@ -375,10 +375,7 @@ object TextAnalysis {
       .filter(size(col("toks")) >= 3)
       .withColumn("n_tokens", size(col("toks")).cast(LongType))
       .withColumn("n_tri", (size(col("toks")) - 2).cast(LongType))
-      .withColumn("dup_tri_cnt", (col("n_tri") - expr(
-        """size(array_distinct(transform(sequence(0, size(toks) - 3),
-          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))"""
-          .stripMargin).cast(LongType)).cast(LongType))
+      .withColumn("dup_tri_cnt", expr("graft_dup_ngrams(toks, 3)"))
       .withColumn("m", expr("graft_top_bigram(toks)"))
       .select(col("doc_id"), col("n_tokens"),
         col("m.bg").as("top_bigram"),

@@ -112,7 +112,7 @@ class PlanShapeSpec extends SparkSpec {
   test("repetition: fully narrow - no keyed shuffle at all") {
     val plan = executed(
       graft.pipeline.TextAnalysis.repetition(spark, sfDir))
-    assert(plan.contains("array_distinct"),
+    assert(plan.contains("graft_dup_ngrams"),
       s"in-row dup-trigram computation missing:\n$plan")
     assert(plan.contains("graft_top_bigram"),
       s"in-row bigram mode missing:\n$plan")

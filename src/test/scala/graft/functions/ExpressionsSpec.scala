@@ -206,6 +206,83 @@ class ExpressionsSpec extends SparkSpec {
     assert(tiny.filter(col("m").isNotNull).count() == 0)
   }
 
+  test("graft_dup_ngrams == array_distinct/transform formulation") {
+    val docs = graft.core.Graft.table(spark, sfDir, "documents")
+      .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+    val bad = docs.select(
+        expr("graft_dup_ngrams(toks, 3)").as("native"),
+        greatest(lit(0L), (size(col("toks")) - 2).cast("long") - expr(
+          """size(array_distinct(transform(sequence(0, size(toks) - 3),
+            |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))"""
+            .stripMargin).cast("long")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(bad.count() == 0)
+    // degenerate: fewer tokens than n -> 0, repeated text -> all dups
+    val s = spark; import s.implicits._
+    val edge = Seq(
+      (Seq("a", "b"), 0L),            // shorter than n
+      (Seq("a", "a", "a", "a"), 1L),  // "a a a" twice -> 1 repeat
+      (Seq.empty[String], 0L)
+    ).toDF("toks", "want")
+    assert(edge.filter(expr("graft_dup_ngrams(toks, 3)") =!= col("want"))
+      .count() == 0)
+  }
+
+  test("graft_gram_hashes == array_distinct/transform/md5 formulation") {
+    val docs = graft.core.Graft.table(spark, sfDir, "documents")
+      .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+    // 3-gram (shingling) and 5-gram (decontamination) forms, both
+    // against the HOF chain they replaced; distinct-on-strings order
+    // must match first-occurrence order exactly
+    for (n <- Seq(3, 5)) {
+      val bad = docs.select(
+          expr(s"graft_gram_hashes(toks, $n)").as("native"),
+          expr(
+            s"""CASE WHEN size(toks) >= $n THEN
+               |  transform(array_distinct(transform(
+               |    sequence(1, size(toks) - ${n - 1}),
+               |    i -> concat_ws(' ', slice(toks, i, $n)))),
+               |    s -> graft_md5_48(s))
+               |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin)
+            .as("hof"))
+        .filter(not(col("native") === col("hof")))
+      assert(bad.count() == 0, s"n=$n mismatch")
+    }
+    val bad2 = docs.select(
+        expr("graft_token_hashes(toks)").as("native"),
+        expr("transform(toks, s -> graft_md5_48(s))").as("hof"))
+      .filter(not(col("native") === col("hof")))
+    assert(bad2.count() == 0)
+  }
+
+  test("graft_minhash_sigs == 32 array_min(transform) signatures") {
+    import graft.pipeline.{Dedup, HashParity}
+    val hs = Dedup.shinglesFrom(
+        graft.core.Graft.table(spark, sfDir, "documents"))
+      .filter(size(col("hs")) >= 1)
+    val sigsCol = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.MinHashSigs(
+        org.apache.spark.sql.GraftBridge.expression(col("hs")),
+        (0 until Dedup.minhashK).map(HashParity.permA).toArray,
+        (0 until Dedup.minhashK).map(HashParity.permB).toArray,
+        HashParity.P))
+    val relational = (0 until Dedup.minhashK).map { i =>
+      expr(s"array_min(transform(hs, h -> (${HashParity.permA(i)} * h " +
+        s"+ ${HashParity.permB(i)}) % ${HashParity.P}L))")
+    }
+    val bad = hs.select(sigsCol.as("native"), array(relational: _*).as("rel"))
+      .filter(not(col("native") === col("rel")))
+    assert(bad.count() == 0)
+    // empty input -> null (the band builder's exclusion contract)
+    val s = spark; import s.implicits._
+    val empty = Seq(Seq.empty[Long]).toDF("hs").select(
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.MinHashSigs(
+          org.apache.spark.sql.GraftBridge.expression(col("hs")),
+          Array(1L), Array(0L), HashParity.P)).as("sigs"))
+    assert(empty.filter(col("sigs").isNotNull).count() == 0)
+  }
+
   test("graft_bloom_contains rejects a non-foldable filter argument") {
     val s = spark; import s.implicits._
     val err = intercept[org.apache.spark.sql.AnalysisException] {

@@ -73,8 +73,21 @@ object CorpusScaleSmoke {
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep"))
         .filter(col("n") > 1).count())
 
-    // repetition signals: narrow in-row pass (dup-trigram share)
-    val repDocs = timed("repetition narrow pass")(
+    // tokenization alone, to attribute the narrow-pass cost
+    val tokDocs = timed("tokenize only (regexp)")(
+      docs.select(expr("size(regexp_extract_all(text, '\\\\S+', 0))")
+        .as("n")).filter(col("n") >= 0).count())
+    require(tokDocs == planted)
+
+    // repetition signals: narrow in-row pass via the codegen'd
+    // expressions (vs the interpreted HOF formulation)
+    val repDocs = timed("repetition narrow pass (native)")(
+      docs.withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+        .filter(size(col("toks")) >= 3)
+        .select(expr("graft_dup_ngrams(toks, 3)").as("dup_tri"),
+          expr("graft_top_bigram(toks)").as("m"))
+        .filter(col("dup_tri") >= 0 && col("m").isNotNull).count())
+    val repDocsHof = timed("repetition narrow pass (HOF)")(
       docs.withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
         .filter(size(col("toks")) >= 3)
         .select((size(col("toks")) - 2 - expr(
@@ -82,6 +95,7 @@ object CorpusScaleSmoke {
             |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))"""
             .stripMargin)).as("dup_tri"))
         .filter(col("dup_tri") >= 0).count())
+    require(repDocs == repDocsHof)
 
     // bloom decontamination prune: bench = first 50 docs' 5-grams
     val bloomPruned = timed("bloom decont prune") {
