@@ -40,13 +40,14 @@ object Bench {
     "ss_stream_count", "ss_stream_lastn", "ss_stream_lsh_cand",
     // analytics
     "q1_agg", "q3_join_agg", "q5_multijoin", "q_window", "q_sessionize",
-    "q_asof_join",
+    "q_asof_join", "q_range_join",
     // training-data pipeline
     "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard", "dd_simhash",
     "dd_embed_cosine", "ann_topk_brute", "ann_topk_quant", "ann_lsh_bucketed", "ann_ivf",
     "txt_stats", "txt_fingerprint", "txt_repetition",
     "mm_binary_stats", "pipe_corpus_clean",
-    "pipe_decontaminate", "pipe_decont_bloom", "pipe_dedup_apply")
+    "pipe_decontaminate", "pipe_decont_bloom", "pipe_dedup_apply",
+    "pipe_quality_gate")
 
   private def releaseMemos(spark: SparkSession): Unit = {
     graft.core.Transform.releaseAll(spark)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.analytics.{AsofJoin, Tpch}
+import graft.analytics.{AsofJoin, RangeJoin, Tpch}
 import graft.core._
 import graft.oracle.Sql
 import graft.pipeline.{CorpusClean, Dedup, Multimodal, Similarity, TextAnalysis}
@@ -91,6 +91,7 @@ object SparkEntry {
     "ss_stream_lsh_cand" -> StreamSum.streamLshCandidates _,
     "ss_stream_ann_cand" -> StreamSum.streamAnnCandidates _,
     "ss_stream_decont" -> StreamSum.streamDecontaminate _,
+    "ss_stream_quality" -> StreamSum.streamQuality _,
     "ss_stream_undo_count" -> StreamSum.streamUndoCountState _,
     "ss_stream_undo_assoc" -> StreamSum.streamUndoAssocState _,
     "ss_stream_keycount" -> StreamSum.streamKeycountState _,
@@ -108,6 +109,7 @@ object SparkEntry {
     "q_stats_agg" -> Tpch.qStatsAgg _,
     "q_profile" -> Tpch.qProfile _,
     "q_asof_join" -> AsofJoin.qAsof _,
+    "q_range_join" -> RangeJoin.apply _,
     "txt_pii_scrub" -> TextAnalysis.piiScrub _,
     "txt_sample" -> ((s, d) => TextAnalysis.sample(s, d)),
     // ---- dedup ----
@@ -152,6 +154,7 @@ object SparkEntry {
     "pipe_decont_bloom" -> graft.pipeline.CorpusOps.decontaminateBloom _,
     "pipe_mix" -> graft.pipeline.CorpusOps.mix _,
     "pipe_dedup_apply" -> Dedup.dedupApply _,
+    "pipe_quality_gate" -> ((s, d) => graft.pipeline.QualityGate(s, d)),
     // ---- composed cleaning pipeline ----
     "pipe_corpus_clean" -> ((s, d) => CorpusClean(s, d)),
   )
@@ -210,6 +213,7 @@ object SparkEntry {
     "q_stats_agg" -> Tpch.qStatsAggSql,
     "q_profile" -> Tpch.qProfileSql,
     "q_asof_join" -> AsofJoin.qAsofSql,
+    "q_range_join" -> RangeJoin.sql,
     "txt_pii_scrub" -> TextAnalysis.piiScrubSql,
     "txt_sample" -> TextAnalysis.sampleSql(),
     "dd_exact" -> Dedup.exactSql,
@@ -242,6 +246,8 @@ object SparkEntry {
     "pipe_decontaminate" -> graft.pipeline.CorpusOps.decontaminateSql,
     "pipe_decont_bloom" -> graft.pipeline.CorpusOps.decontaminateSql,
     "pipe_dedup_apply" -> Dedup.dedupApplySql,
+    "pipe_quality_gate" -> graft.pipeline.QualityGate.sql,
+    "ss_stream_quality" -> graft.pipeline.QualityGate.sql,
     "pipe_corpus_clean" -> CorpusClean.sql,
   )
 }

@@ -20,7 +20,7 @@ object TextAnalysis {
 
   val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
 
-  private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+  private[pipeline] val stopList = stopwords.map(s => s"'$s'").mkString(", ")
 
   /** Marker tokens per language for the n-gram/marker language-ID
     * heuristic (documents carry a `lang` ground-truth column; the

@@ -172,6 +172,38 @@ object StreamSum {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming quality gate: documents arriving as a stream are scored
+    * against the STATIC corpus language model - the online admission
+    * face of `pipe_quality_gate`, sharing its oracle. The stream side
+    * computes the LM signal (per-doc NLL) incrementally: terms explode
+    * into a broadcast join against the static frequency relation, then
+    * an exact-integer micro-nat sum per doc_id (order-independent, so
+    * the streaming aggregation state is just two longs per doc).
+    * The narrow in-row signals and the keep verdict are the SAME
+    * functions the batch face uses (`QualityGate.rowSignals` /
+    * `withKeep`), so the two faces cannot drift.
+    */
+  def streamQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    graft.functions.NativeFunctions.register(spark)
+    import graft.pipeline.QualityGate
+    val (freq, nTotal, vSize) = QualityGate.lmRelations(spark, sfDir)
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val nll = QualityGate.nllFromToks(
+      QualityGate.termToks(docs), freq, nTotal, vSize)
+    val nllTable = runToTable(nll, OutputMode.Complete(), "ss_stream_quality")
+    QualityGate.withKeep(
+      QualityGate.rowSignals(Graft.table(spark, sfDir, "documents"))
+        .join(nllTable, Seq("doc_id"), "left"))
+      .select(col("doc_id"), col("n_tokens"), col("mean_tok_len"),
+        col("stop_ratio"), col("dup_tri_ratio"), col("rep2_ratio"),
+        col("nll"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Last-N via the Spark 4 transformWithState API (RocksDB state
     * store) - same result as `streamLastnState`, current-generation
     * stateful operator.

@@ -123,6 +123,47 @@ class PlanShapeSpec extends SparkSpec {
       s"per-doc computation shuffled on a key:\n$plan")
   }
 
+  test("range join: banding plans a hash join, never a nested loop") {
+    val plan = executed(RangeJoin(spark, sfDir))
+    // the banding rewrite must give Catalyst an equi-key; a
+    // BroadcastNestedLoopJoin or cartesian product means the rewrite
+    // regressed to the O(n*m) inequality-join plan
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join planned as a nested loop:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"range join planned as a cartesian product:\n$plan")
+  }
+
+  test("range join: banding == the naive inequality join") {
+    import org.apache.spark.sql.functions._
+    val e = graft.core.Graft.table(spark, sfDir, "events")
+      .select(col("event_id"), expr("ts DIV 1000").as("t"))
+    val naive = e.as("a")
+      .join(e.as("b"), col("b.t") > col("a.t") &&
+        col("b.t") <= col("a.t") + RangeJoin.deltaUs)
+      .groupBy(col("a.event_id").as("event_id"))
+      .agg(count(lit(1)).as("n_next"))
+    val expected = e.join(naive, Seq("event_id"), "left")
+      .select(col("event_id"), col("t"),
+        coalesce(col("n_next"), lit(0L)).as("n_next"))
+    val got = RangeJoin(spark, sfDir)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    assert(got.filter(col("n_next") > 0).count() > 0,
+      "degenerate fixture: no event pairs inside the window")
+  }
+
+  test("quality gate: in-row signals + broadcast LM, no nested loop") {
+    val plan = executed(graft.pipeline.QualityGate(spark, sfDir))
+    assert(plan.contains("graft_dup_ngrams") &&
+      plan.contains("graft_top_bigram"),
+      s"in-row repetition signals missing:\n$plan")
+    // term-frequency lookup must broadcast the vocab-sized relation;
+    // the one-row totals are plan-time literals, so no nested loop
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast LM join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"totals must be literals, not a cross join:\n$plan")
+  }
+
   test("dedup apply: drop list joins the corpus without a corpus shuffle") {
     val plan = executed(
       graft.pipeline.Dedup.dedupApply(spark, sfDir))
