@@ -1,6 +1,6 @@
 package graft
 
-import graft.analytics.{AsofJoin, RangeJoin, Tpch}
+import graft.analytics.{AsofJoin, RangeJoin, Sketches, Tpch}
 import graft.core._
 import graft.oracle.Sql
 import graft.pipeline.{CorpusClean, Dedup, Multimodal, Similarity, TextAnalysis}
@@ -110,6 +110,7 @@ object SparkEntry {
     "q_profile" -> Tpch.qProfile _,
     "q_asof_join" -> AsofJoin.qAsof _,
     "q_range_join" -> RangeJoin.apply _,
+    "q_hll_distinct" -> Sketches.qHllDistinct _,
     "txt_pii_scrub" -> TextAnalysis.piiScrub _,
     "txt_sample" -> ((s, d) => TextAnalysis.sample(s, d)),
     // ---- dedup ----
@@ -130,6 +131,7 @@ object SparkEntry {
     "ann_topk_quant" -> Similarity.annTopKQuant _,
     "ann_lsh_bucketed" -> Similarity.annLshBucketed _,
     "ann_ivf" -> Similarity.annIvf _,
+    "ann_ivf_quant" -> Similarity.annIvfQuant _,
     // ---- text analysis ----
     "txt_stats" -> TextAnalysis.stats _,
     "txt_langid" -> TextAnalysis.langid _,
@@ -214,6 +216,8 @@ object SparkEntry {
     "q_profile" -> Tpch.qProfileSql,
     "q_asof_join" -> AsofJoin.qAsofSql,
     "q_range_join" -> RangeJoin.sql,
+    "q_hll_distinct" -> Sketches.qHllDistinctSql,
+    "ann_ivf_quant" -> Similarity.annIvfQuantSql,
     "txt_pii_scrub" -> TextAnalysis.piiScrubSql,
     "txt_sample" -> TextAnalysis.sampleSql(),
     "dd_exact" -> Dedup.exactSql,

@@ -360,6 +360,116 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  // ---- ann_ivf_quant -------------------------------------------------
+
+  /** IVF probing combined with int8-quantized scoring - the full
+    * 100 TB ANN shape: centroid assignment and probe selection stay
+    * float (k centroid vectors, negligible), while the scan-dominant
+    * inverted-list scoring runs on 4x-smaller int8 vectors through the
+    * codegen'd integer dot. Quantization happens in the SAME narrow
+    * pass as assignment, so the corpus is still read once and never
+    * shuffled (the probe set, now carrying quantized query vectors, is
+    * broadcast exactly as in `annIvf`). Scores are exact integers
+    * below the final divide, so no evaluation-order pinning is needed.
+    * Zero vectors (smax=0) are unquantizable and excluded on both
+    * engines.
+    */
+  def annIvfQuant(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val quantExpr =
+      """transform(embedding,
+        |  x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / smax) + 0.5) AS INT))"""
+        .stripMargin
+    val assign = ivfAssign(e)
+      .withColumn("smax", expr(
+        """aggregate(embedding, CAST(0.0 AS DOUBLE),
+          |  (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))""".stripMargin))
+      .filter(col("smax") > 0)
+      .select(col("vec_id"), col("cid"), expr(quantExpr).as("qv"))
+      .withColumn("qn", expr("graft_qdot(qv, qv)"))
+    val cents = e.filter(col("vec_id") < ivfCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    val qf = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val probes = qf.crossJoin(broadcast(cents))
+      .withColumn("csim", expr(cosSpark("q_emb", "c_emb")))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= ivfProbes)
+      .select(col("q_id"), col("cid"))
+    // attach each probing query's quantized vector: numQueries x
+    // ivfProbes rows joined against the numQueries-row quantized query
+    // relation - both tiny, and broadcast together onto the corpus
+    val qq = assign.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("qn").as("q_qn"))
+    val probeQ = probes.join(qq, "q_id")
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    assign.join(broadcast(probeQ), "cid")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", ParityMath.q6(
+        expr("CAST(graft_qdot(q_qv, qv) AS DOUBLE)") /
+          (sqrt(col("q_qn").cast("double")) * sqrt(col("qn").cast("double")))))
+      .withColumn("rk", row_number().over(wTop).cast(LongType))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("vec_id"), col("sim"), col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val annIvfQuantSql: String = {
+    def qdot(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cid, embedding AS c_emb FROM e
+       |  WHERE vec_id < $ivfCentroids
+       |), qe AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE)
+       |             * (127.0 / list_aggregate(list_transform(embedding,
+       |                  v -> abs(CAST(v AS DOUBLE))), 'max')) + 0.5)
+       |           AS INT)) AS qv
+       |  FROM embeddings
+       |  WHERE list_aggregate(list_transform(embedding,
+       |          v -> abs(CAST(v AS DOUBLE))), 'max') > 0
+       |), assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosDuck("e.embedding", "c.c_emb")} DESC, c.cid)
+       |        AS ark
+       |    FROM e CROSS JOIN cents c
+       |  ) WHERE ark = 1
+       |), probes AS (
+       |  SELECT q_id, cid FROM (
+       |    SELECT q.vec_id AS q_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosDuck("q.embedding", "c.c_emb")} DESC, c.cid)
+       |        AS prk
+       |    FROM e q CROSS JOIN cents c WHERE q.vec_id < $numQueries
+       |  ) WHERE prk <= $ivfProbes
+       |), scored AS (
+       |  SELECT p.q_id, a.vec_id,
+       |    (floor((${qdot("qq.qv", "ee.qv")}
+       |       / (sqrt(${qdot("qq.qv", "qq.qv")}) * sqrt(${qdot("ee.qv", "ee.qv")})))
+       |       * 1000000.0 + 0.5) / 1000000.0) AS sim
+       |  FROM probes p
+       |  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.q_id
+       |  JOIN qe ee ON ee.vec_id = a.vec_id
+       |  JOIN qe qq ON qq.vec_id = p.q_id
+       |), ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |                 ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
+       |  FROM scored
+       |)
+       |SELECT q_id, vec_id, sim, rk FROM ranked
+       |WHERE rk <= $topK ORDER BY q_id, rk""".stripMargin
+  }
+
   val annIvfSql: String =
     s"""WITH e AS (
        |  SELECT vec_id, embedding FROM embeddings

@@ -164,5 +164,11 @@ class DedupSimSpec extends SparkSpec {
       .select("q_id", "vec_id")))
     assert(quantR >= 0.95,
       f"quantized recall@10 $quantR%.3f fell below 0.95")
+    // quantized IVF compounds both error sources; it must stay within
+    // a whisker of the float IVF path
+    val ivfQuantR = recall(topk(Similarity.annIvfQuant(spark, sfDir)
+      .select("q_id", "vec_id")))
+    assert(ivfQuantR >= 0.85,
+      f"quantized-IVF recall@10 $ivfQuantR%.3f fell below 0.85")
   }
 }
