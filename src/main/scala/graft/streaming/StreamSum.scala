@@ -247,6 +247,55 @@ object StreamSum {
       .orderBy(col("s"), col("p_seq"), col("e_seq"))
   }
 
+  /** Streaming face of the banded range join: event pairs within a
+    * trailing 60 s window found online via a stream-stream self-join.
+    * Spark refuses stream-stream joins without an equality predicate
+    * (symmetric hash state needs a key), so the SAME banding rewrite
+    * that saves the batch face from a nested loop is what makes the
+    * streaming face plannable at all: the probe stream explodes into
+    * its two consecutive delta-width buckets, the build stream keeps
+    * its home bucket, the bucket id is the join key and the exact
+    * range predicate + watermarks bound the join state to two bucket
+    * widths per side. Pair counts are then assembled batch-side
+    * (zero-match events restored), sharing `q_range_join`'s oracle.
+    */
+  def streamRangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    import graft.analytics.RangeJoin
+    val deltaUs = RangeJoin.deltaUs
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def evStream() = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select(col("event_id"), expr("ts DIV 1000").as("t"))
+    val probe = evStream()
+      .withColumn("bkt0", expr(s"t DIV ${deltaUs}L"))
+      .select(col("event_id"), col("t"),
+        explode(array(col("bkt0"), col("bkt0") + 1)).as("bkt"))
+      .withColumn("a_ets", timestamp_micros(col("t")))
+      .withWatermark("a_ets", "1 hour")
+    val build = evStream()
+      .select(col("event_id").as("b_id"), col("t").as("bt"),
+        expr(s"t DIV ${deltaUs}L").as("b_bkt"))
+      .withColumn("b_ets", timestamp_micros(col("bt")))
+      .withWatermark("b_ets", "1 hour")
+    val pairs = probe.join(build,
+      expr("""bkt = b_bkt AND
+             |b_ets > a_ets AND
+             |b_ets <= a_ets + INTERVAL 60 SECONDS""".stripMargin))
+      .select(col("event_id"), col("b_id"))
+    val pairTable = runToTable(pairs, OutputMode.Append(),
+      "ss_stream_range_join")
+    val counts = pairTable.groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_next"))
+    Graft.table(spark, sfDir, "events")
+      .select(col("event_id"), expr("ts DIV 1000").as("t"))
+      .join(counts, Seq("event_id"), "left")
+      .select(col("event_id"), col("t"),
+        coalesce(col("n_next"), lit(0L)).as("n_next"))
+      .orderBy(col("event_id"))
+  }
+
   /** Production sink path: stream the count-cache state into a
     * CacheSink snapshot per micro-batch via foreachBatch ≙ the
     * reference pushing recorded tuples at its CacheServer. Complete
