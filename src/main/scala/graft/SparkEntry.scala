@@ -93,6 +93,7 @@ object SparkEntry {
     "ss_stream_decont" -> StreamSum.streamDecontaminate _,
     "ss_stream_quality" -> StreamSum.streamQuality _,
     "ss_stream_range_join" -> StreamSum.streamRangeJoin _,
+    "ss_stream_hll" -> StreamSum.streamHll _,
     "ss_stream_undo_count" -> StreamSum.streamUndoCountState _,
     "ss_stream_undo_assoc" -> StreamSum.streamUndoAssocState _,
     "ss_stream_keycount" -> StreamSum.streamKeycountState _,
@@ -219,6 +220,7 @@ object SparkEntry {
     "q_range_join" -> RangeJoin.sql,
     "q_hll_distinct" -> Sketches.qHllDistinctSql,
     "ss_stream_range_join" -> RangeJoin.sql,
+    "ss_stream_hll" -> Sketches.qHllDistinctSql,
     "ann_ivf_quant" -> Similarity.annIvfQuantSql,
     "txt_pii_scrub" -> TextAnalysis.piiScrubSql,
     "txt_sample" -> TextAnalysis.sampleSql(),

@@ -54,20 +54,23 @@ object Sketches {
     * 39-bit suffix) + 1, via length(bin(w)) - identical in both
     * engines; w = 0 caps at 40.
     */
-  def qHllDistinct(spark: SparkSession, sfDir: String): DataFrame = {
-    Graft.ensureConf(spark)
-    graft.functions.NativeFunctions.register(spark)
-    val li = Graft.tableParallel(spark, sfDir, "lineitem")
-      .select(col("l_returnflag"), col("l_orderkey"))
-    val regs = li
-      .withColumn("h", expr("graft_md5_48(CAST(l_orderkey AS STRING))"))
+  /** The narrow per-row sketch pass over (l_returnflag, l_orderkey):
+    * hash, register index, rank. Works over batch or streaming input.
+    */
+  private[graft] def hashRho(li: DataFrame): DataFrame =
+    li.withColumn("h", expr("graft_md5_48(CAST(l_orderkey AS STRING))"))
       .withColumn("reg", expr(s"shiftright(h, $wBits)"))
       .withColumn("w", expr(s"h % ${wMod}L"))
       .withColumn("rho", expr(
         s"CASE WHEN w = 0 THEN ${wBits + 1} ELSE ${wBits + 1} - length(bin(w)) END"))
-      .groupBy(col("l_returnflag"), col("reg"))
-      .agg(max(col("rho")).as("mj"))
-    val est = regs.groupBy(col("l_returnflag"))
+      .select(col("l_returnflag"), col("reg"), col("rho"))
+
+  /** Estimator over the materialized register maxima
+    * (l_returnflag, reg, mj) - shared by the batch and streaming faces
+    * so the correction logic cannot drift.
+    */
+  private[graft] def estimate(regs: DataFrame): DataFrame =
+    regs.groupBy(col("l_returnflag"))
       .agg(
         sum(expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), mj) AS DOUBLE)"))
           .as("s_ne"),
@@ -84,9 +87,21 @@ object Sketches {
           s"""CASE WHEN e_raw <= $lcThreshold AND v > 0
              |THEN CAST(512.0 AS DOUBLE) * ln(CAST(512.0 AS DOUBLE) / CAST(v AS DOUBLE))
              |ELSE e_raw END""".stripMargin)).as("hll_est"))
-    val exact = li.groupBy(col("l_returnflag"))
+
+  /** Exact per-group distinct count, emitted alongside the estimate. */
+  private[graft] def exactDistinct(li: DataFrame): DataFrame =
+    li.groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_orderkey")).as("n_exact"))
-    est.join(exact, Seq("l_returnflag"))
+
+  def qHllDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    graft.functions.NativeFunctions.register(spark)
+    val li = Graft.tableParallel(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"))
+    val regs = hashRho(li)
+      .groupBy(col("l_returnflag"), col("reg"))
+      .agg(max(col("rho")).as("mj"))
+    estimate(regs).join(exactDistinct(li), Seq("l_returnflag"))
       .select(col("l_returnflag"), col("n_exact"), col("hll_est"))
       .orderBy(col("l_returnflag"))
   }

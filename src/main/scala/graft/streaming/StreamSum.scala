@@ -296,6 +296,36 @@ object StreamSum {
       .orderBy(col("event_id"))
   }
 
+  /** Streaming HLL: the sketch is WHY streaming distinct-count is
+    * tractable - exact streaming countDistinct needs state per
+    * distinct value (unbounded), while the register maxima are a
+    * bounded groups x 512 rows of state maintained by an ordinary
+    * streaming max aggregation. The estimator (shared with the batch
+    * face, exact-in-double register sum) runs over the final register
+    * snapshot; the exact count for the error column comes from the
+    * batch relation. Shares `q_hll_distinct`'s oracle.
+    */
+  def streamHll(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    graft.functions.NativeFunctions.register(spark)
+    import graft.analytics.Sketches
+    val schema = spark.read.parquet(s"$sfDir/lineitem.parquet").schema
+    val li = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet")
+      .parquet(sfDir)
+      .select(col("l_returnflag"), col("l_orderkey"))
+    val regs = Sketches.hashRho(li)
+      .groupBy(col("l_returnflag"), col("reg"))
+      .agg(max(col("rho")).as("mj"))
+    val regTable = runToTable(regs, OutputMode.Complete(), "ss_stream_hll")
+    val exact = Sketches.exactDistinct(
+      Graft.table(spark, sfDir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey")))
+    Sketches.estimate(regTable).join(exact, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_exact"), col("hll_est"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Production sink path: stream the count-cache state into a
     * CacheSink snapshot per micro-batch via foreachBatch ≙ the
     * reference pushing recorded tuples at its CacheServer. Complete
