@@ -30,26 +30,32 @@ object RangeJoin {
   /** Window width in microseconds (60 s). */
   val deltaUs: Long = 60000000L
 
+  /** The banding core over any (event_id, t) relation: per-event count
+    * of events landing in `(t, t + delta]`, zero-match rows restored.
+    */
+  def fromEvents(e: DataFrame, delta: Long): DataFrame = {
+    val build = e.select(col("event_id").as("b_id"), col("t").as("bt"))
+      .withColumn("bkt", expr(s"bt DIV ${delta}L"))
+    val probe = e
+      .withColumn("bkt0", expr(s"t DIV ${delta}L"))
+      .select(col("event_id"), col("t"),
+        explode(array(col("bkt0"), col("bkt0") + 1)).as("bkt"))
+    val counts = probe.join(build,
+        probe("bkt") === build("bkt") &&
+          col("bt") > col("t") && col("bt") <= col("t") + delta)
+      .groupBy(col("event_id")).agg(count(lit(1)).as("n_next"))
+    e.join(counts, Seq("event_id"), "left")
+      .select(col("event_id"), col("t"),
+        coalesce(col("n_next"), lit(0L)).as("n_next"))
+  }
+
   def apply(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
     // events.parquet is TIMESTAMP(NANOS) read as epoch-ns BIGINT;
     // canonical tuple time is microseconds (ts DIV 1000)
     val e = Graft.tableParallel(spark, sfDir, "events")
       .select(col("event_id"), expr("ts DIV 1000").as("t"))
-    val build = e.select(col("event_id").as("b_id"), col("t").as("bt"))
-      .withColumn("bkt", expr(s"bt DIV ${deltaUs}L"))
-    val probe = e
-      .withColumn("bkt0", expr(s"t DIV ${deltaUs}L"))
-      .select(col("event_id"), col("t"),
-        explode(array(col("bkt0"), col("bkt0") + 1)).as("bkt"))
-    val counts = probe.join(build,
-        probe("bkt") === build("bkt") &&
-          col("bt") > col("t") && col("bt") <= col("t") + deltaUs)
-      .groupBy(col("event_id")).agg(count(lit(1)).as("n_next"))
-    e.join(counts, Seq("event_id"), "left")
-      .select(col("event_id"), col("t"),
-        coalesce(col("n_next"), lit(0L)).as("n_next"))
-      .orderBy(col("event_id"))
+    fromEvents(e, deltaUs).orderBy(col("event_id"))
   }
 
   val sql: String =

@@ -39,6 +39,25 @@ object ScaleSmoke {
       f"events_per_sec=${rows / ((t1 - t0) / 1e9)}%.0f " +
       f"sort_variants_rows=$sv sort_variants_sec=${(t3 - t2) / 1e9}%.1f " +
       f"topk_custom_rows=$topCustom topk_custom_sec=${(t4 - t3) / 1e9}%.1f")
+    // banded range join at generator scale: events are exactly 1s
+    // apart, so with a 60s window every event except the last 60 has
+    // exactly 60 successors - the total pair count is checkable in
+    // closed form while the join itself exercises the full
+    // explode + bucket-shuffle + residual-filter path over `rows`^2
+    // candidate space
+    val delta = graft.analytics.RangeJoin.deltaUs
+    val evT = ev.select(col("event_id"), expr("ts DIV 1000").as("t"))
+    val rj = graft.analytics.RangeJoin.fromEvents(evT, delta)
+      .agg(sum(col("n_next")).as("pairs"), count(lit(1)).as("n"))
+      .collect()(0)
+    val t5 = System.nanoTime()
+    val expectPairs = 60L * (rows - 60) + (59L * 60 / 2)
+    require(rj.getLong(1) == rows,
+      s"range join lost rows: ${rj.getLong(1)} vs $rows")
+    require(rj.getLong(0) == expectPairs,
+      s"range join pair count ${rj.getLong(0)} != closed-form $expectPairs")
+    println(f"SMOKE range_join rows=$rows pairs=${rj.getLong(0)} " +
+      f"sec=${(t5 - t4) / 1e9}%.1f")
     spark.stop()
   }
 }
