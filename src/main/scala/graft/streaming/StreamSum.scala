@@ -280,9 +280,9 @@ object StreamSum {
       .withColumn("b_ets", timestamp_micros(col("bt")))
       .withWatermark("b_ets", "1 hour")
     val pairs = probe.join(build,
-      expr("""bkt = b_bkt AND
-             |b_ets > a_ets AND
-             |b_ets <= a_ets + INTERVAL 60 SECONDS""".stripMargin))
+      expr(s"""bkt = b_bkt AND
+              |b_ets > a_ets AND
+              |b_ets <= a_ets + INTERVAL ${deltaUs} MICROSECOND""".stripMargin))
       .select(col("event_id"), col("b_id"))
     val pairTable = runToTable(pairs, OutputMode.Append(),
       "ss_stream_range_join")
