@@ -63,4 +63,62 @@ class PropertySpec extends AnyFunSuite {
           v >= 0 && v < P
       })
   }
+
+  // ---- fused n-gram / minhash kernels vs straightforward Scala ------
+
+  private def arr(toks: Seq[String]) =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      toks.map(UTF8String.fromString).toArray[Any])
+
+  private def longs(a: org.apache.spark.sql.catalyst.util.ArrayData) =
+    a.toLongArray().toSeq
+
+  private val toksGen =
+    Gen.listOf(Gen.oneOf(Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("a", "b", "ab", "", "é", "日本", "a b")))
+
+  test("gramHashes == distinct space-joined n-grams, first-occurrence order") {
+    import graft.functions.NGramUtil
+    check("gramHashes", Prop.forAll(toksGen, Gen.choose(1, 5)) { (toks, n) =>
+      val grams = toks.sliding(n).filter(_.size == n)
+        .map(_.mkString(" ")).toSeq
+      val want = grams.distinct.map(g =>
+        Md5Util.hash48(UTF8String.fromString(g)))
+      longs(NGramUtil.gramHashes(arr(toks), n)) == want
+    })
+  }
+
+  test("dupNgrams == occurrences minus distinct n-grams") {
+    import graft.functions.NGramUtil
+    check("dupNgrams", Prop.forAll(toksGen, Gen.choose(1, 5)) { (toks, n) =>
+      val grams = toks.sliding(n).filter(_.size == n)
+        .map(_.mkString(" ")).toSeq
+      NGramUtil.dupNgrams(arr(toks), n) ==
+        (grams.size - grams.distinct.size).toLong
+    })
+  }
+
+  test("tokenHashes == per-token hash48, non-distinct") {
+    import graft.functions.NGramUtil
+    check("tokenHashes", Prop.forAll(toksGen) { toks =>
+      longs(NGramUtil.tokenHashes(arr(toks))) ==
+        toks.map(t => Md5Util.hash48(UTF8String.fromString(t)))
+    })
+  }
+
+  test("MinHashUtil.sigs == per-permutation minimum; null on empty") {
+    import graft.functions.MinHashUtil
+    import HashParity._
+    val hsGen = Gen.listOf(Gen.choose(0L, (1L << 48) - 1))
+    val a = (0 until 8).map(permA).toArray
+    val b = (0 until 8).map(permB).toArray
+    check("minhashSigs", Prop.forAll(hsGen) { hs =>
+      val got = MinHashUtil.sigs(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          hs.toArray), a, b, P)
+      if (hs.isEmpty) got == null
+      else longs(got) == (0 until 8).map(j =>
+        hs.map(h => (a(j) * h + b(j)) % P).min)
+    })
+  }
 }
