@@ -94,6 +94,7 @@ object SparkEntry {
     "ss_stream_quality" -> StreamSum.streamQuality _,
     "ss_stream_range_join" -> StreamSum.streamRangeJoin _,
     "ss_stream_hll" -> StreamSum.streamHll _,
+    "ss_stream_cms" -> StreamSum.streamCms _,
     "ss_stream_undo_count" -> StreamSum.streamUndoCountState _,
     "ss_stream_undo_assoc" -> StreamSum.streamUndoAssocState _,
     "ss_stream_keycount" -> StreamSum.streamKeycountState _,
@@ -113,10 +114,12 @@ object SparkEntry {
     "q_asof_join" -> AsofJoin.qAsof _,
     "q_range_join" -> RangeJoin.apply _,
     "q_hll_distinct" -> Sketches.qHllDistinct _,
+    "q_cms_topk" -> Sketches.qCmsTopk _,
     "txt_pii_scrub" -> TextAnalysis.piiScrub _,
     "txt_sample" -> ((s, d) => TextAnalysis.sample(s, d)),
     // ---- dedup ----
     "dd_exact" -> Dedup.exact _,
+    "dd_dup_spans" -> Dedup.dupSpans _,
     "dd_minhash_lsh" -> Dedup.minhashLsh _,
     "dd_ngram_jaccard" -> Dedup.ngramJaccard _,
     "dd_simhash" -> Dedup.simhashPairs _,
@@ -219,12 +222,17 @@ object SparkEntry {
     "q_asof_join" -> AsofJoin.qAsofSql,
     "q_range_join" -> RangeJoin.sql,
     "q_hll_distinct" -> Sketches.qHllDistinctSql,
+    "q_cms_topk" -> Sketches.qCmsTopkSql,
     "ss_stream_range_join" -> RangeJoin.sql,
     "ss_stream_hll" -> Sketches.qHllDistinctSql,
+    // the streaming counter matrix is the same state the batch sketch
+    // aggregates, so one oracle checks both faces
+    "ss_stream_cms" -> Sketches.qCmsTopkSql,
     "ann_ivf_quant" -> Similarity.annIvfQuantSql,
     "txt_pii_scrub" -> TextAnalysis.piiScrubSql,
     "txt_sample" -> TextAnalysis.sampleSql(),
     "dd_exact" -> Dedup.exactSql,
+    "dd_dup_spans" -> Dedup.dupSpansSql,
     "dd_minhash_lsh" -> Dedup.minhashLshSql,
     // the incremental stores maintain the same candidate relations the
     // batch queries compute, so each shares its batch oracle

@@ -106,6 +106,121 @@ object Sketches {
       .orderBy(col("l_returnflag"))
   }
 
+  // ------------------------------------------------------------------
+  // Count-Min sketch heavy hitters
+  // ------------------------------------------------------------------
+
+  /** Count-Min depth (independent hash rows) and width (buckets per
+    * row). The sketch guarantees est >= true and
+    * est <= true + eps * N with probability 1 - (1/2)^d where
+    * eps = e / w - so width is THE scale knob: at 100 TB a production
+    * run sizes w ~ 2^20 (few MB of counters) for the same error bound,
+    * while the test width keeps collisions actually visible at the
+    * verify scale factors so the overestimate path is exercised, not
+    * just compiled. All arithmetic is integer end to end: zero float
+    * parity risk.
+    */
+  val cmsD = 4
+  val cmsW = 256L
+  private val cmsK = 20
+
+  private def cmsRows = (0 until cmsD)
+
+  /** Per-row bucket of `user_id` for hash row `r`: the engine-portable
+    * md5-48 over "r:user_id", reduced mod w. Seeding by prefixing the
+    * row index gives d independent hash functions from the one digest
+    * primitive both engines share.
+    */
+  private def bucketSpark(r: String): String =
+    s"graft_md5_48(concat(CAST($r AS STRING), ':', CAST(user_id AS STRING))) % $cmsW"
+
+  private def bucketDuck(r: String): String =
+    HashParity.hex48Duck(
+      s"md5(CAST($r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR))") +
+      s" % $cmsW"
+
+  /** The narrow per-event sketch pass: each event fans out to its d
+    * (row, bucket) cells. Works over batch or streaming input; the
+    * downstream count agg is map-side combinable, so the shuffle after
+    * partial aggregation is at most d x w rows per map task no matter
+    * the corpus size - the mergeable-sketch dataflow, same as the HLL
+    * register maxima.
+    */
+  private[graft] def cmsCells(ev: DataFrame): DataFrame =
+    ev.select(col("user_id"),
+        explode(array(cmsRows.map(lit(_)): _*)).as("r"))
+      .select(col("r"), expr(bucketSpark("r")).as("bkt"))
+
+  /** The counter matrix: works over batch or streaming input (for the
+    * streaming face this groupBy IS the bounded d x w state).
+    */
+  private[graft] def cmsCounters(ev: DataFrame): DataFrame =
+    cmsCells(ev).groupBy(col("r"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Point-estimate the top-k heaviest items from the materialized
+    * counter state (shared by the batch and streaming faces). The
+    * candidate relation here is the exact per-item count purely so the
+    * overestimate is VISIBLE next to the estimate (est_cnt >= exact_cnt
+    * always, and strictly > where rows collided); a production heavy-
+    * hitter pass probes the counters with whatever candidate stream it
+    * has. Counters are d x w rows - broadcast - so the corpus-sized
+    * side never shuffles for the probe.
+    */
+  private[graft] def cmsEstimateAll(counters: DataFrame,
+                                    ev: DataFrame): DataFrame = {
+    val items = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("exact_cnt"))
+    val probes = items.select(col("user_id"), col("exact_cnt"),
+        explode(array(cmsRows.map(lit(_)): _*)).as("r"))
+      .withColumn("bkt", expr(bucketSpark("r")))
+    probes.join(broadcast(counters), Seq("r", "bkt"))
+      .groupBy(col("user_id"), col("exact_cnt"))
+      .agg(min(col("c")).as("est_cnt"))
+  }
+
+  private[graft] def cmsEstimate(counters: DataFrame,
+                                 ev: DataFrame): DataFrame =
+    cmsEstimateAll(counters, ev)
+      .orderBy(col("est_cnt").desc, col("user_id"))
+      .limit(cmsK)
+      .select(col("user_id"), col("exact_cnt"), col("est_cnt"))
+
+  /** Heavy-hitter users of the event stream via a d=4 x w=256
+    * Count-Min sketch: one narrow fan-out pass, one (row, bucket)
+    * count - the only corpus-wide aggregation, bounded at d x w after
+    * map-side combine - then a broadcast probe of the counter state.
+    * Estimates are exact integers, so unlike the HLL face there is no
+    * quantization step at all.
+    */
+  def qCmsTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val ev = Graft.table(spark, sfDir, "events").select(col("user_id"))
+    cmsEstimate(cmsCounters(ev), ev)
+  }
+
+  val qCmsTopkSql: String = {
+    val rowsList = cmsRows.mkString("[", ", ", "]")
+    s"""WITH ev AS (
+       |  SELECT user_id FROM events
+       |), cells AS (
+       |  SELECT u.r AS r, ${bucketDuck("u.r")} AS bkt
+       |  FROM ev, unnest($rowsList) u(r)
+       |), counters AS (
+       |  SELECT r, bkt, count(*) AS c FROM cells GROUP BY r, bkt
+       |), items AS (
+       |  SELECT user_id, count(*) AS exact_cnt FROM ev GROUP BY user_id
+       |), probes AS (
+       |  SELECT user_id, exact_cnt, u.r AS r, ${bucketDuck("u.r")} AS bkt
+       |  FROM items, unnest($rowsList) u(r)
+       |)
+       |SELECT user_id, exact_cnt, min(c) AS est_cnt
+       |FROM probes JOIN counters USING (r, bkt)
+       |GROUP BY user_id, exact_cnt
+       |ORDER BY est_cnt DESC, user_id
+       |LIMIT $cmsK""".stripMargin
+  }
+
   val qHllDistinctSql: String = {
     val h48 = HashParity.hex48Duck("md5(CAST(l_orderkey AS VARCHAR))")
     s"""WITH h AS (

@@ -242,6 +242,29 @@ object NGramUtil {
       .toArrayData(java.util.Arrays.copyOf(out, m))
   }
 
+  /** ALL space-joined n-gram 48-bit hashes in position order (one per
+    * starting token, repeats kept) - the positional form dup-span
+    * coverage needs, where `gramHashes`' dedup would lose the positions
+    * a repeated gram occupies. Empty array below n tokens.
+    */
+  def gramHashesAll(
+      toks: org.apache.spark.sql.catalyst.util.ArrayData, n: Int):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val len = toks.numElements()
+    val total = len - n + 1
+    if (total <= 0)
+      return org.apache.spark.sql.catalyst.util.ArrayData
+        .toArrayData(Array.emptyLongArray)
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val out = new Array[Long](total)
+    var i = 0
+    while (i < total) {
+      out(i) = Md5Util.hash48(joinGram(toks, i, n, space))
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   /** Per-token (non-distinct) 48-bit hashes. */
   def tokenHashes(
       toks: org.apache.spark.sql.catalyst.util.ArrayData):
@@ -379,6 +402,39 @@ case class GramHashes(child: Expression, n: Int)
                                    ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.functions.NGramUtil.gramHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** graft_gram_hashes_all(toks, n): 48-bit md5 hashes of EVERY
+  * space-joined word n-gram in position order (index i = the gram
+  * starting at token i; repeats kept) - the positional sibling of
+  * `graft_gram_hashes`, for operators that need to know WHERE a gram
+  * sits (dup-span coverage), not just the distinct gram set. Empty
+  * array when the input is shorter than n.
+  */
+case class GramHashesAll(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_gram_hashes_all expects array<string>, got ${other.catalogString}")
+    }
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gram_hashes_all"
+
+  override def nullSafeEval(v: Any): Any =
+    NGramUtil.gramHashesAll(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NGramUtil.gramHashesAll($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -871,6 +927,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_gram_hashes"),
       info("graft_gram_hashes", "distinct word n-gram 48-bit hashes"),
       exprs => NativeFunctions.gramHashesBuilder(exprs)))
+    e.injectFunction((FunctionIdentifier("graft_gram_hashes_all"),
+      info("graft_gram_hashes_all",
+        "positional (non-distinct) word n-gram 48-bit hashes"),
+      exprs => NativeFunctions.gramHashesAllBuilder(exprs)))
     e.injectFunction((FunctionIdentifier("graft_token_hashes"),
       info("graft_token_hashes", "per-token 48-bit hashes"),
       exprs => TokenHashes(exprs.head)))
@@ -914,6 +974,17 @@ object NativeFunctions {
     GramHashes(exprs.head, n)
   }
 
+  /** graft_gram_hashes_all(toks, n) - n must be an int literal >= 1. */
+  def gramHashesAllBuilder(exprs: Seq[Expression]): Expression = {
+    val n = exprs.lift(1) match {
+      case Some(org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_gram_hashes_all n must be an int literal, got $other")
+    }
+    require(n >= 1, s"graft_gram_hashes_all n must be >= 1, got $n")
+    GramHashesAll(exprs.head, n)
+  }
+
   /** graft_dup_ngrams(toks, n) - n must be an int literal >= 1. */
   def dupNgramsBuilder(exprs: Seq[Expression]): Expression = {
     val n = exprs.lift(1) match {
@@ -952,6 +1023,8 @@ object NativeFunctions {
       dupNgramsBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_gram_hashes",
       gramHashesBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_gram_hashes_all",
+      gramHashesAllBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_token_hashes",
       exprs => TokenHashes(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_qdot",

@@ -50,6 +50,123 @@ object Dedup {
       |  doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- dd_dup_spans ----------------------------------------------------
+
+  /** Span n-gram width for substring-level duplication. 5 words is wide
+    * enough that shared spans mean shared provenance, narrow enough to
+    * fire on the verify-scale corpus; production substring dedup uses
+    * ~50-token spans over the same dataflow.
+    */
+  val spanN = 5
+
+  /** Substring-LEVEL duplication signal: for each document, the
+    * fraction of its tokens covered by some word `spanN`-gram that
+    * occurs more than once in the corpus (within- or cross-document).
+    * Doc-level dedup (exact/minhash/simhash) misses boilerplate spans
+    * embedded in otherwise-unique documents; this is the per-token
+    * coverage measure a span-removal pass would act on.
+    *
+    * Dataflow at 100 TB: one narrow tokenize+hash pass per document
+    * (positional gram hashes via the codegen'd kernel); ONE corpus-wide
+    * shuffle keyed on the 48-bit gram hash whose volume after map-side
+    * partial aggregation is distinct-grams, not occurrences; the
+    * repeated-gram relation (bounded by the volume of duplicated
+    * content) joins back to the positional stream - AQE broadcasts it
+    * when it fits, falling back to a hash join keyed on the same gram
+    * hash. Only COVERED positions (again: duplicated content only)
+    * enter the per-document interval-union window; the union itself is
+    * the classic gaps-and-islands rewrite, one doc-keyed shuffle of the
+    * covered positions. No global sort, nothing driver-side.
+    */
+  def dupSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    dupSpansFrom(Graft.tableParallel(spark, sfDir, "documents"))
+  }
+
+  /** Core of `dupSpans` over any (doc_id, text) relation. */
+  def dupSpansFrom(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        expr("regexp_extract_all(text, '\\\\S+', 0)").as("toks"))
+    val base = toks.select(col("doc_id"),
+      size(col("toks")).cast(LongType).as("n_tokens"))
+    val grams = toks.select(col("doc_id"),
+      posexplode(expr(s"graft_gram_hashes_all(toks, $spanN)"))
+        .as(Seq("pos", "gh")))
+    val dup = grams.groupBy(col("gh")).agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+      .select(col("gh"))
+    val covered = grams.join(dup, "gh").select(col("doc_id"), col("pos"))
+    // interval union per doc: gram at pos covers [pos, pos+spanN-1];
+    // a new island starts when a gram begins past the running max end,
+    // so every island is contiguous and contributes max-min+spanN tokens
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val islands = covered
+      .withColumn("prev_end",
+        max(col("pos") + lit(spanN - 1))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(w))
+    val cov = islands.groupBy(col("doc_id"), col("island"))
+      .agg((max(col("pos")) - min(col("pos")) + lit(spanN.toLong)).as("cov"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cov")).as("covered_tokens"))
+    base.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        ParityMath.q6(
+          when(col("n_tokens") === 0L, lit(0.0))
+            .otherwise(
+              coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+                col("n_tokens").cast("double"))).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dupSpansSql: String = {
+    val gh = hex48Duck(
+      s"md5(array_to_string(toks[u.i:u.i+${spanN - 1}], ' '))")
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+       |  FROM documents
+       |), base AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t
+       |), g AS (
+       |  SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, $gh AS gh
+       |  FROM t, unnest(generate_series(1, greatest(len(toks) - ${spanN - 1}, 0))) u(i)
+       |), dup AS (
+       |  SELECT gh FROM g GROUP BY gh HAVING count(*) > 1
+       |), cov0 AS (
+       |  SELECT doc_id, pos FROM g JOIN dup USING (gh)
+       |), isl AS (
+       |  SELECT doc_id, pos,
+       |    max(pos + ${spanN - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |  FROM cov0
+       |), isl2 AS (
+       |  SELECT doc_id, pos,
+       |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+       |        THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM isl
+       |), per AS (
+       |  SELECT doc_id, island, max(pos) - min(pos) + $spanN AS cov
+       |  FROM isl2 GROUP BY doc_id, island
+       |), c AS (
+       |  SELECT doc_id, CAST(sum(cov) AS BIGINT) AS covered_tokens
+       |  FROM per GROUP BY doc_id
+       |)
+       |SELECT b.doc_id, b.n_tokens,
+       |  coalesce(c.covered_tokens, 0) AS covered_tokens,
+       |  ${ParityMath.q6Sql(
+            """CASE WHEN b.n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+              |ELSE CAST(coalesce(c.covered_tokens, 0) AS DOUBLE)
+              |     / CAST(b.n_tokens AS DOUBLE) END""".stripMargin)} AS dup_ratio
+       |FROM base b LEFT JOIN c USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   // ---- shared shingle/minhash plumbing -------------------------------
 
   /** doc_id + distinct word-3-gram shingle array + 48-bit shingle hash

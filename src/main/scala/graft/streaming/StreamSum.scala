@@ -326,6 +326,25 @@ object StreamSum {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Streaming Count-Min sketch: like the HLL face, the sketch is what
+    * makes the streaming form tractable - exact per-item frequency
+    * state grows with the number of distinct items, while the counter
+    * matrix is a FIXED d x w rows of state maintained by an ordinary
+    * streaming count aggregation. The heavy-hitter probe (shared with
+    * the batch face) runs over the final counter snapshot against the
+    * static item relation. Shares `q_cms_topk`'s oracle.
+    */
+  def streamCms(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    import graft.analytics.Sketches
+    val counters = Sketches.cmsCounters(
+      streamingEvents(spark, sfDir).select(col("user_id")))
+    val counterTable = runToTable(counters, OutputMode.Complete(),
+      "ss_stream_cms")
+    Sketches.cmsEstimate(counterTable,
+      Graft.table(spark, sfDir, "events").select(col("user_id")))
+  }
+
   /** Production sink path: stream the count-cache state into a
     * CacheSink snapshot per micro-batch via foreachBatch ≙ the
     * reference pushing recorded tuples at its CacheServer. Complete

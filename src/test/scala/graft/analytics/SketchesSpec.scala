@@ -1,0 +1,67 @@
+package graft.analytics
+
+import graft.SparkSpec
+import graft.pipeline.Dedup
+import org.apache.spark.sql.functions._
+
+/** Semantics of the mergeable-sketch family and the dup-span coverage
+  * measure (the driver oracle pins cross-engine parity; these pin the
+  * mathematical contracts the oracle can't see).
+  */
+class SketchesSpec extends SparkSpec {
+
+  test("CMS: est >= exact for every item, per-row counter sums == N") {
+    val ev = graft.core.Graft.table(spark, sfDir, "events")
+      .select(col("user_id"))
+    val n = ev.count()
+    val counters = Sketches.cmsCounters(ev)
+    // each hash row sees every event exactly once
+    val rowSums = counters.groupBy(col("r"))
+      .agg(sum(col("c")).as("s")).collect()
+    assert(rowSums.length == Sketches.cmsD)
+    assert(rowSums.forall(_.getLong(1) == n))
+    // one-sided error: the sketch can only overcount
+    val under = Sketches.cmsEstimateAll(counters, ev)
+      .filter(col("est_cnt") < col("exact_cnt")).count()
+    assert(under == 0)
+  }
+
+  test("CMS: collisions produce strict overestimates at the test width") {
+    // 600 distinct single-occurrence items in 256 buckets: most items
+    // share every row's bucket with someone, so strict overestimates
+    // are certain (deterministic given the md5 bucketing and the ids)
+    val s = spark; import s.implicits._
+    val ev = (1L to 600L).toDF("user_id")
+    val est = Sketches.cmsEstimateAll(Sketches.cmsCounters(ev), ev)
+    assert(est.filter(col("est_cnt") < col("exact_cnt")).count() == 0)
+    assert(est.filter(col("est_cnt") > col("exact_cnt")).count() > 0)
+  }
+
+  test("dup spans: planted boilerplate, interval merge, clean doc") {
+    val s = spark; import s.implicits._
+    val n = Dedup.spanN // 5
+    val boiler = "all rights reserved by the publisher" // 6 tokens
+    val docs = Seq(
+      // 1: 6-token shared span inside unique text: two overlapping
+      // duplicated 5-grams must merge to 6 covered tokens, not 10
+      (1L, s"u1 u2 u3 $boiler u4 u5 u6"),
+      (2L, s"v1 v2 $boiler v3 v4 v5 v6"),
+      // 3: within-document repeat: "w1 w2 w3 w4 w5" twice (adjacent),
+      // one contiguous covered run of all 10 tokens
+      (3L, "w1 w2 w3 w4 w5 w1 w2 w3 w4 w5"),
+      // 4: nothing duplicated
+      (4L, "x1 x2 x3 x4 x5 x6 x7 x8"),
+      // 5: shorter than the span width -> no grams at all
+      (5L, "y1 y2 y3")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpansFrom(docs)
+      .select("doc_id", "n_tokens", "covered_tokens")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 12L, 6L)))
+    assert(got(1) == ((2L, 12L, 6L)))
+    assert(got(2) == ((3L, 10L, 10L)))
+    assert(got(3) == ((4L, 8L, 0L)))
+    assert(got(4) == ((5L, 3L, 0L)))
+    assert(n == 5) // fixture geometry assumes the 5-gram span width
+  }
+}

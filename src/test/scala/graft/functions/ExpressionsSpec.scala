@@ -255,6 +255,28 @@ class ExpressionsSpec extends SparkSpec {
     assert(bad2.count() == 0)
   }
 
+  test("graft_gram_hashes_all == positional transform/md5 formulation") {
+    val docs = graft.core.Graft.table(spark, sfDir, "documents")
+      .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+    val n = graft.pipeline.Dedup.spanN
+    val bad = docs.select(
+        expr(s"graft_gram_hashes_all(toks, $n)").as("native"),
+        expr(
+          s"""CASE WHEN size(toks) >= $n THEN
+             |  transform(sequence(1, size(toks) - ${n - 1}),
+             |    i -> graft_md5_48(concat_ws(' ', slice(toks, i, $n))))
+             |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin)
+          .as("hof"))
+      .filter(not(col("native") === col("hof")))
+    assert(bad.count() == 0)
+    // positional form keeps repeats the distinct form drops
+    val s = spark; import s.implicits._
+    val rep = Seq(Seq("a", "b", "a", "b")).toDF("toks").select(
+      size(expr("graft_gram_hashes_all(toks, 2)")).as("all_n"),
+      size(expr("graft_gram_hashes(toks, 2)")).as("dis_n")).head()
+    assert(rep.getInt(0) == 3 && rep.getInt(1) == 2)
+  }
+
   test("graft_minhash_sigs == 32 array_min(transform) signatures") {
     import graft.pipeline.{Dedup, HashParity}
     val hs = Dedup.shinglesFrom(
