@@ -161,6 +161,7 @@ object SparkEntry {
     "pipe_decont_bloom" -> graft.pipeline.CorpusOps.decontaminateBloom _,
     "pipe_mix" -> graft.pipeline.CorpusOps.mix _,
     "pipe_dedup_apply" -> Dedup.dedupApply _,
+    "pipe_span_scrub" -> Dedup.spanScrub _,
     "pipe_quality_gate" -> ((s, d) => graft.pipeline.QualityGate(s, d)),
     // ---- composed cleaning pipeline ----
     "pipe_corpus_clean" -> ((s, d) => CorpusClean(s, d)),
@@ -262,6 +263,7 @@ object SparkEntry {
     "pipe_decontaminate" -> graft.pipeline.CorpusOps.decontaminateSql,
     "pipe_decont_bloom" -> graft.pipeline.CorpusOps.decontaminateSql,
     "pipe_dedup_apply" -> Dedup.dedupApplySql,
+    "pipe_span_scrub" -> Dedup.spanScrubSql,
     "pipe_quality_gate" -> graft.pipeline.QualityGate.sql,
     "ss_stream_quality" -> graft.pipeline.QualityGate.sql,
     "pipe_corpus_clean" -> CorpusClean.sql,

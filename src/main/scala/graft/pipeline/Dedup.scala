@@ -83,13 +83,19 @@ object Dedup {
     dupSpansFrom(Graft.tableParallel(spark, sfDir, "documents"))
   }
 
-  /** Core of `dupSpans` over any (doc_id, text) relation. */
-  def dupSpansFrom(docs: DataFrame): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"),
-        expr("regexp_extract_all(text, '\\\\S+', 0)").as("toks"))
-    val base = toks.select(col("doc_id"),
-      size(col("toks")).cast(LongType).as("n_tokens"))
+  /** (doc_id, toks) from any (doc_id, text) relation. */
+  private def spanToks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      expr("regexp_extract_all(text, '\\\\S+', 0)").as("toks"))
+
+  /** Per-doc MERGED covered intervals `[lo, hi]` (0-based token
+    * positions lying inside some corpus-repeated `spanN`-gram) -
+    * the shared core of the dup-span signal and the scrub action.
+    * Interval union per doc: the gram at pos covers
+    * [pos, pos+spanN-1]; a new island starts when a gram begins past
+    * the running max end, so every island is contiguous.
+    */
+  private[pipeline] def coveredIslandsFrom(toks: DataFrame): DataFrame = {
     val grams = toks.select(col("doc_id"),
       posexplode(expr(s"graft_gram_hashes_all(toks, $spanN)"))
         .as(Seq("pos", "gh")))
@@ -97,11 +103,8 @@ object Dedup {
       .filter(col("n_occ") > 1)
       .select(col("gh"))
     val covered = grams.join(dup, "gh").select(col("doc_id"), col("pos"))
-    // interval union per doc: gram at pos covers [pos, pos+spanN-1];
-    // a new island starts when a gram begins past the running max end,
-    // so every island is contiguous and contributes max-min+spanN tokens
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val islands = covered
+    covered
       .withColumn("prev_end",
         max(col("pos") + lit(spanN - 1))
           .over(w.rowsBetween(Window.unboundedPreceding, -1)))
@@ -109,10 +112,20 @@ object Dedup {
         when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L)
           .otherwise(0L))
       .withColumn("island", sum(col("brk")).over(w))
-    val cov = islands.groupBy(col("doc_id"), col("island"))
-      .agg((max(col("pos")) - min(col("pos")) + lit(spanN.toLong)).as("cov"))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("lo"),
+        (max(col("pos")) + lit(spanN - 1)).as("hi"))
+      .select(col("doc_id"), col("lo"), col("hi"))
+  }
+
+  /** Core of `dupSpans` over any (doc_id, text) relation. */
+  def dupSpansFrom(docs: DataFrame): DataFrame = {
+    val toks = spanToks(docs)
+    val base = toks.select(col("doc_id"),
+      size(col("toks")).cast(LongType).as("n_tokens"))
+    val cov = coveredIslandsFrom(toks)
       .groupBy(col("doc_id"))
-      .agg(sum(col("cov")).as("covered_tokens"))
+      .agg(sum(col("hi") - col("lo") + lit(1L)).as("covered_tokens"))
     base.join(cov, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
@@ -124,10 +137,15 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  val dupSpansSql: String = {
+  /** Shared DuckDB CTE chain ending in `islands(doc_id, lo, hi)` -
+    * the merged covered intervals - plus `t(doc_id, toks)` and
+    * `base(doc_id, n_tokens)`. The oracle twin of
+    * `coveredIslandsFrom`.
+    */
+  private val spanCteDuck: String = {
     val gh = hex48Duck(
       s"md5(array_to_string(toks[u.i:u.i+${spanN - 1}], ' '))")
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
        |  FROM documents
        |), base AS (
@@ -150,12 +168,16 @@ object Dedup {
        |        THEN 1 ELSE 0 END)
        |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
        |  FROM isl
-       |), per AS (
-       |  SELECT doc_id, island, max(pos) - min(pos) + $spanN AS cov
+       |), islands AS (
+       |  SELECT doc_id, min(pos) AS lo, max(pos) + ${spanN - 1} AS hi
        |  FROM isl2 GROUP BY doc_id, island
-       |), c AS (
-       |  SELECT doc_id, CAST(sum(cov) AS BIGINT) AS covered_tokens
-       |  FROM per GROUP BY doc_id
+       |)""".stripMargin
+  }
+
+  val dupSpansSql: String =
+    s"""WITH $spanCteDuck, c AS (
+       |  SELECT doc_id, CAST(sum(hi - lo + 1) AS BIGINT) AS covered_tokens
+       |  FROM islands GROUP BY doc_id
        |)
        |SELECT b.doc_id, b.n_tokens,
        |  coalesce(c.covered_tokens, 0) AS covered_tokens,
@@ -165,7 +187,65 @@ object Dedup {
               |     / CAST(b.n_tokens AS DOUBLE) END""".stripMargin)} AS dup_ratio
        |FROM base b LEFT JOIN c USING (doc_id)
        |ORDER BY b.doc_id""".stripMargin
+
+  /** The ACTION of `dd_dup_spans`: every token covered by a
+    * corpus-repeated `spanN`-gram is REMOVED from the document (the
+    * aggressive boilerplate-scrub form of substring dedup; output text
+    * is whitespace-normalized since both engines reassemble from the
+    * token array). The corpus stays narrow end to end: the merged
+    * island set per doc (a handful of [lo, hi] pairs, bounded by
+    * duplicated content) collects into ONE array column, joins back by
+    * doc_id, and the rewrite is an in-row indexed `filter` + exists -
+    * tokens never explode for reassembly and never shuffle.
+    */
+  def spanScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    spanScrubFrom(Graft.tableParallel(spark, sfDir, "documents"))
   }
+
+  /** Core of `spanScrub` over any (doc_id, text) relation. */
+  def spanScrubFrom(docs: DataFrame): DataFrame = {
+    val toks = spanToks(docs)
+    val spans = coveredIslandsFrom(toks)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("lo"), col("hi"))).as("spans"),
+        sum(col("hi") - col("lo") + lit(1L)).as("n_removed"))
+    toks.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        when(col("spans").isNull, array_join(col("toks"), " "))
+          .otherwise(expr(
+            """array_join(filter(toks, (t, i) ->
+              |  NOT exists(spans, s -> i >= s.lo AND i <= s.hi)), ' ')"""
+              .stripMargin)).as("text_scrubbed"))
+      .orderBy(col("doc_id"))
+  }
+
+  val spanScrubSql: String =
+    s"""WITH $spanCteDuck, tp AS (
+       |  SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, toks[u.i] AS tok
+       |  FROM t, unnest(generate_series(1, len(toks))) u(i)
+       |), kept AS (
+       |  SELECT p.doc_id, p.pos, p.tok
+       |  FROM tp p LEFT JOIN islands s
+       |    ON p.doc_id = s.doc_id AND p.pos BETWEEN s.lo AND s.hi
+       |  WHERE s.lo IS NULL
+       |), rm AS (
+       |  SELECT doc_id, CAST(sum(hi - lo + 1) AS BIGINT) AS n_removed
+       |  FROM islands GROUP BY doc_id
+       |), sc AS (
+       |  SELECT doc_id,
+       |    coalesce(string_agg(tok, ' ' ORDER BY pos), '') AS text_scrubbed
+       |  FROM kept GROUP BY doc_id
+       |)
+       |SELECT b.doc_id, b.n_tokens,
+       |  coalesce(rm.n_removed, 0) AS n_removed,
+       |  coalesce(sc.text_scrubbed, '') AS text_scrubbed
+       |FROM base b
+       |LEFT JOIN rm USING (doc_id)
+       |LEFT JOIN sc USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
 
   // ---- shared shingle/minhash plumbing -------------------------------
 

@@ -63,5 +63,14 @@ class SketchesSpec extends SparkSpec {
     assert(got(3) == ((4L, 8L, 0L)))
     assert(got(4) == ((5L, 3L, 0L)))
     assert(n == 5) // fixture geometry assumes the 5-gram span width
+    // the scrub action removes exactly the covered tokens in place
+    val scrubbed = Dedup.spanScrubFrom(docs)
+      .select("doc_id", "n_removed", "text_scrubbed")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(scrubbed(0) == ((1L, 6L, "u1 u2 u3 u4 u5 u6")))
+    assert(scrubbed(1) == ((2L, 6L, "v1 v2 v3 v4 v5 v6")))
+    assert(scrubbed(2) == ((3L, 10L, ""))) // fully-duplicated doc
+    assert(scrubbed(3) == ((4L, 0L, "x1 x2 x3 x4 x5 x6 x7 x8")))
+    assert(scrubbed(4) == ((5L, 0L, "y1 y2 y3")))
   }
 }
