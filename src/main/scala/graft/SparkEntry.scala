@@ -95,6 +95,7 @@ object SparkEntry {
     "ss_stream_range_join" -> StreamSum.streamRangeJoin _,
     "ss_stream_hll" -> StreamSum.streamHll _,
     "ss_stream_cms" -> StreamSum.streamCms _,
+    "ss_stream_qtile" -> StreamSum.streamQtile _,
     "ss_stream_undo_count" -> StreamSum.streamUndoCountState _,
     "ss_stream_undo_assoc" -> StreamSum.streamUndoAssocState _,
     "ss_stream_keycount" -> StreamSum.streamKeycountState _,
@@ -115,6 +116,7 @@ object SparkEntry {
     "q_range_join" -> RangeJoin.apply _,
     "q_hll_distinct" -> Sketches.qHllDistinct _,
     "q_cms_topk" -> Sketches.qCmsTopk _,
+    "q_qtile_sketch" -> Sketches.qQtileSketch _,
     "txt_pii_scrub" -> TextAnalysis.piiScrub _,
     "txt_sample" -> ((s, d) => TextAnalysis.sample(s, d)),
     // ---- dedup ----
@@ -229,6 +231,8 @@ object SparkEntry {
     // the streaming counter matrix is the same state the batch sketch
     // aggregates, so one oracle checks both faces
     "ss_stream_cms" -> Sketches.qCmsTopkSql,
+    "q_qtile_sketch" -> Sketches.qQtileSketchSql,
+    "ss_stream_qtile" -> Sketches.qQtileSketchSql,
     "ann_ivf_quant" -> Similarity.annIvfQuantSql,
     "txt_pii_scrub" -> TextAnalysis.piiScrubSql,
     "txt_sample" -> TextAnalysis.sampleSql(),

@@ -3,6 +3,7 @@ package graft.analytics
 import graft.core.Graft
 import graft.pipeline.{HashParity, ParityMath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic HyperLogLog distinct-count sketch, relationally.
@@ -219,6 +220,103 @@ object Sketches {
        |GROUP BY user_id, exact_cnt
        |ORDER BY est_cnt DESC, user_id
        |LIMIT $cmsK""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Fixed-bin histogram quantile sketch
+  // ------------------------------------------------------------------
+
+  /** Bin width for the price-quantile histogram. Bins are defined by
+    * the VALUE DOMAIN (bin = floor(v / w)), not the data, which is
+    * what makes the histogram a true mergeable sketch: any partition
+    * of the input produces the same (group, bin) counts under an
+    * ordinary sum - unlike rank-based quantile algorithms (t-digest,
+    * GK) whose state depends on arrival order and can never sit under
+    * a cross-engine oracle. Width is the accuracy knob (max quantile
+    * error = one bin width); state is groups x occupied-bins rows.
+    */
+  val qtileBinW = 1024.0
+  private val qtileQs = Seq(0.25, 0.5, 0.75, 0.95)
+
+  /** The narrow per-row pass: value -> home bin. Batch or streaming. */
+  private[graft] def qtileBins(li: DataFrame): DataFrame =
+    li.select(col("l_returnflag"),
+      floor(col("l_extendedprice") / lit(qtileBinW)).as("bin"))
+
+  /** Quantile estimates from the materialized (group, bin, c) counts -
+    * shared by the batch and streaming faces. For each target q: the
+    * rank-r value (r = ceil(q*n)) falls in the first bin whose
+    * cumulative count reaches r; linear interpolation inside that bin.
+    * Every float op is the identical expression in both engines, q6 at
+    * the end.
+    */
+  private[graft] def qtileEstimate(binCounts: DataFrame): DataFrame = {
+    val spark = binCounts.sparkSession
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    val cum = binCounts
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+    val qdf = spark.createDataFrame(qtileQs.map(Tuple1(_))).toDF("q")
+    cum.join(broadcast(qdf),
+        col("cum") >= ceil(col("q") * col("n")))
+      .withColumn("est", ParityMath.q6(
+        col("bin").cast("double") * lit(qtileBinW) + lit(qtileBinW) *
+          (ceil(col("q") * col("n")).cast("double") -
+            (col("cum") - col("c")).cast("double")) /
+          col("c").cast("double")))
+      .groupBy(col("l_returnflag"), col("q"))
+      .agg(max(col("n")).as("n"), min_by(col("est"), col("bin")).as("qtile_est"))
+      .select(col("l_returnflag"), col("q"), col("n"), col("qtile_est"))
+      .orderBy(col("l_returnflag"), col("q"))
+  }
+
+  /** Per-group price quantiles from the fixed-bin histogram: one
+    * narrow binning pass, one (group, bin) count - map-side
+    * combinable, at most groups x occupied-bins rows after partial
+    * agg - then a tiny estimator over the counter state. The third
+    * member of the mergeable-sketch family (distinct = HLL,
+    * frequency = CMS, quantile = this).
+    */
+  def qQtileSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val li = Graft.table(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    qtileEstimate(qtileBins(li)
+      .groupBy(col("l_returnflag"), col("bin"))
+      .agg(count(lit(1)).as("c")))
+  }
+
+  val qQtileSketchSql: String = {
+    val w = s"CAST($qtileBinW AS DOUBLE)"
+    val qList = qtileQs.map(q => s"CAST($q AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    s"""WITH b AS (
+       |  SELECT l_returnflag,
+       |    CAST(floor(l_extendedprice / $w) AS BIGINT) AS bin
+       |  FROM lineitem
+       |), c AS (
+       |  SELECT l_returnflag, bin, count(*) AS c FROM b GROUP BY 1, 2
+       |), cum AS (
+       |  SELECT l_returnflag, bin, c,
+       |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+       |    sum(c) OVER (PARTITION BY l_returnflag) AS n
+       |  FROM c
+       |), qs AS (
+       |  SELECT unnest($qList) AS q
+       |), cand AS (
+       |  SELECT l_returnflag, q, n, bin, c, cum
+       |  FROM cum, qs
+       |  WHERE cum >= CAST(ceil(q * n) AS BIGINT)
+       |)
+       |SELECT l_returnflag, q, CAST(max(n) AS BIGINT) AS n,
+       |  arg_min(${ParityMath.q6Sql(
+            s"""CAST(bin AS DOUBLE) * $w + $w *
+               |(CAST(ceil(q * n) AS DOUBLE) - CAST(cum - c AS DOUBLE))
+               |/ CAST(c AS DOUBLE)""".stripMargin)}, bin) AS qtile_est
+       |FROM cand
+       |GROUP BY l_returnflag, q
+       |ORDER BY l_returnflag, q""".stripMargin
   }
 
   val qHllDistinctSql: String = {

@@ -326,6 +326,32 @@ object StreamSum {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Streaming quantile sketch: the fixed-bin histogram is the only
+    * quantile form an incremental stream can maintain exactly - exact
+    * streaming quantiles need every value retained, and rank-based
+    * sketches (t-digest/GK) have order-dependent state that could
+    * never match a batch oracle. Here the state is just the
+    * (group, bin) counts - groups x occupied-bins rows under an
+    * ordinary streaming count - and the estimator (shared with the
+    * batch face) runs over the final snapshot. Shares
+    * `q_qtile_sketch`'s oracle.
+    */
+  def streamQtile(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    import graft.analytics.Sketches
+    val schema = spark.read.parquet(s"$sfDir/lineitem.parquet").schema
+    val li = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet")
+      .parquet(sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val counts = Sketches.qtileBins(li)
+      .groupBy(col("l_returnflag"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val binTable = runToTable(counts, OutputMode.Complete(),
+      "ss_stream_qtile")
+    Sketches.qtileEstimate(binTable)
+  }
+
   /** Streaming Count-Min sketch: like the HLL face, the sketch is what
     * makes the streaming form tractable - exact per-item frequency
     * state grows with the number of distinct items, while the counter

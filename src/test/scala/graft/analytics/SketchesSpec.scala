@@ -37,6 +37,28 @@ class SketchesSpec extends SparkSpec {
     assert(est.filter(col("est_cnt") > col("exact_cnt")).count() > 0)
   }
 
+  test("quantile sketch: every estimate within one bin width of exact") {
+    import org.apache.spark.sql.expressions.Window
+    val li = graft.core.Graft.table(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val est = Sketches.qQtileSketch(spark, sfDir)
+    // exact rank-r value (r = ceil(q*n), same rank convention)
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"))
+    val ranked = li.withColumn("rk", row_number().over(w))
+    val exact = est.select(col("l_returnflag"), col("q"), col("n"),
+        col("qtile_est"))
+      .join(ranked,
+        col("rk") === ceil(col("q") * col("n")) &&
+          ranked("l_returnflag") === est("l_returnflag"))
+      .select(est("l_returnflag"), col("q"), col("qtile_est"),
+        col("l_extendedprice").as("exact_v"))
+    val bad = exact.filter(
+      abs(col("qtile_est") - col("exact_v")) > Sketches.qtileBinW)
+    assert(bad.count() == 0)
+    assert(exact.count() == 12) // 3 groups x 4 quantiles at this SF
+  }
+
   test("dup spans: planted boilerplate, interval merge, clean doc") {
     val s = spark; import s.implicits._
     val n = Dedup.spanN // 5
