@@ -131,8 +131,29 @@ object CorpusScaleSmoke {
         .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
     }
 
+    // substring-level dup coverage: one gram-keyed count shuffle +
+    // broadcast repeated-gram probe + islands window over covered
+    // positions. The planted full-doc duplicates (and their seed docs)
+    // are exactly the fully-covered documents; every other doc shares
+    // no 5-gram with anything (position-salted tokens) so its coverage
+    // is 0 - the relation between planted structure and coverage is
+    // closed-form.
+    val (spanFull, spanNone) = timed("dup-span coverage") {
+      val spans = graft.pipeline.Dedup.dupSpansFrom(docs).persist()
+      val full = spans.filter(col("covered_tokens") === col("n_tokens"))
+        .count()
+      val none = spans.filter(col("covered_tokens") === 0).count()
+      spans.unpersist()
+      (full, none)
+    }
+    require(spanFull + spanNone == planted,
+      s"unexpected partial span coverage: full=$spanFull none=$spanNone")
+    require(spanFull == 2L * (nDocs / 50),
+      s"planted full-coverage docs: want ${2L * (nDocs / 50)}, got $spanFull")
+
     println(s"CORPUS-SMOKE docs=$planted exact_dup_groups=$exactGroups " +
-      s"rep_docs=$repDocs bloom_maybe=$bloomPruned lsh_candidates=$candidates")
+      s"rep_docs=$repDocs bloom_maybe=$bloomPruned lsh_candidates=$candidates " +
+      s"span_full=$spanFull")
     docs.unpersist()
     spark.stop()
   }
