@@ -174,4 +174,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"corpus shuffled to apply the drop list:\n$plan")
   }
+
+  test("cms: counter probe broadcasts, top-k is a bounded TakeOrdered") {
+    val plan = executed(Sketches.qCmsTopk(spark, sfDir))
+      .split("== Initial Plan ==").head
+    // the d x w counter matrix must reach the probe as a broadcast
+    // and the final top-k must never be a global sort
+    assert(plan.contains("BroadcastHashJoin"),
+      s"counter matrix must broadcast onto the probe side:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrdered, not a global sort:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"probe join shuffled:\n$plan")
+  }
+
+  test("dup spans: repeated-gram set broadcasts onto the gram stream") {
+    val plan = executed(graft.pipeline.Dedup.dupSpans(spark, sfDir))
+      .split("== Initial Plan ==").head
+    // the positional gram stream must not shuffle for the probe; the
+    // only sort-merge-free joins are broadcast (dup set + base outer)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"repeated-gram set must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"gram stream shuffled against the dup set:\n$plan")
+  }
+
+  test("quantile sketch: one keyed exchange for the bin counts") {
+    val plan = executed(Sketches.qQtileSketch(spark, sfDir))
+      .split("== Initial Plan ==").head
+    // exactly one hash exchange keyed on the group: the (group, bin)
+    // count (with partial agg); windows/estimator reuse it. The
+    // 4-row quantile-target join must broadcast.
+    val keyed = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(keyed.nonEmpty && keyed.forall(_.contains("l_returnflag")),
+      s"unexpected exchange keys:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+           plan.contains("BroadcastHashJoin"),
+      s"quantile targets must broadcast:\n$plan")
+  }
 }
