@@ -130,6 +130,7 @@ object SparkEntry {
     // arriving as two appends, then must answer exactly like the
     // one-shot batch relation (shared oracle)
     "dd_store_candidates" -> graft.pipeline.SignatureStore.gatedCandidates _,
+    "dd_store_spans" -> graft.pipeline.SignatureStore.gatedDupSpans _,
     "ann_store_candidates" ->
       graft.pipeline.SignatureStore.gatedAnnCandidates _,
     "dd_embed_cosine" -> Similarity.embedCosinePairs _,
@@ -242,6 +243,7 @@ object SparkEntry {
     // the incremental stores maintain the same candidate relations the
     // batch queries compute, so each shares its batch oracle
     "dd_store_candidates" -> Dedup.minhashLshSql,
+    "dd_store_spans" -> Dedup.dupSpansSql,
     "ann_store_candidates" -> Similarity.annCandidatesSql,
     "dd_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dd_simhash" -> Dedup.simhashPairsSql,

@@ -84,25 +84,25 @@ object Dedup {
   }
 
   /** (doc_id, toks) from any (doc_id, text) relation. */
-  private def spanToks(docs: DataFrame): DataFrame =
+  private[pipeline] def spanToks(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       expr("regexp_extract_all(text, '\\\\S+', 0)").as("toks"))
 
-  /** Per-doc MERGED covered intervals `[lo, hi]` (0-based token
-    * positions lying inside some corpus-repeated `spanN`-gram) -
-    * the shared core of the dup-span signal and the scrub action.
-    * Interval union per doc: the gram at pos covers
+  /** The positional gram stream (doc_id, pos, gh) - the span family's
+    * signature relation (pure per-document, so incrementally
+    * appendable; see SignatureStore.catchUpSpans).
+    */
+  private[pipeline] def spanGrams(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id"),
+      posexplode(expr(s"graft_gram_hashes_all(toks, $spanN)"))
+        .as(Seq("pos", "gh")))
+
+  /** Merged covered intervals from a (doc_id, pos) covered-position
+    * relation. Interval union per doc: the gram at pos covers
     * [pos, pos+spanN-1]; a new island starts when a gram begins past
     * the running max end, so every island is contiguous.
     */
-  private[pipeline] def coveredIslandsFrom(toks: DataFrame): DataFrame = {
-    val grams = toks.select(col("doc_id"),
-      posexplode(expr(s"graft_gram_hashes_all(toks, $spanN)"))
-        .as(Seq("pos", "gh")))
-    val dup = grams.groupBy(col("gh")).agg(count(lit(1)).as("n_occ"))
-      .filter(col("n_occ") > 1)
-      .select(col("gh"))
-    val covered = grams.join(dup, "gh").select(col("doc_id"), col("pos"))
+  private[pipeline] def islandsFromCovered(covered: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     covered
       .withColumn("prev_end",
@@ -118,13 +118,26 @@ object Dedup {
       .select(col("doc_id"), col("lo"), col("hi"))
   }
 
-  /** Core of `dupSpans` over any (doc_id, text) relation. */
-  def dupSpansFrom(docs: DataFrame): DataFrame = {
-    val toks = spanToks(docs)
-    val base = toks.select(col("doc_id"),
-      size(col("toks")).cast(LongType).as("n_tokens"))
-    val cov = coveredIslandsFrom(toks)
-      .groupBy(col("doc_id"))
+  /** Per-doc MERGED covered intervals `[lo, hi]` (0-based token
+    * positions lying inside some corpus-repeated `spanN`-gram) -
+    * the shared core of the dup-span signal and the scrub action.
+    */
+  private[pipeline] def coveredIslandsFrom(toks: DataFrame): DataFrame = {
+    val grams = spanGrams(toks)
+    val dup = grams.groupBy(col("gh")).agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+      .select(col("gh"))
+    islandsFromCovered(
+      grams.join(dup, "gh").select(col("doc_id"), col("pos")))
+  }
+
+  /** Final dup-span assembly from a (doc_id, n_tokens) base and the
+    * island relation - shared by the one-shot batch face and the
+    * incremental-store face so the ratio semantics cannot drift.
+    */
+  private[pipeline] def dupSpansAssemble(base: DataFrame,
+                                         islands: DataFrame): DataFrame = {
+    val cov = islands.groupBy(col("doc_id"))
       .agg(sum(col("hi") - col("lo") + lit(1L)).as("covered_tokens"))
     base.join(cov, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
@@ -135,6 +148,14 @@ object Dedup {
               coalesce(col("covered_tokens"), lit(0L)).cast("double") /
                 col("n_tokens").cast("double"))).as("dup_ratio"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Core of `dupSpans` over any (doc_id, text) relation. */
+  def dupSpansFrom(docs: DataFrame): DataFrame = {
+    val toks = spanToks(docs)
+    val base = toks.select(col("doc_id"),
+      size(col("toks")).cast(LongType).as("n_tokens"))
+    dupSpansAssemble(base, coveredIslandsFrom(toks))
   }
 
   /** Shared DuckDB CTE chain ending in `islands(doc_id, lo, hi)` -

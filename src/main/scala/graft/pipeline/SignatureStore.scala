@@ -206,6 +206,76 @@ object SignatureStore {
     q.awaitTermination()
   }
 
+  /** Span-family twin of `catchUp`: append each NEW file's positional
+    * gram relation (doc_id, pos, gh) - the span signature, a pure
+    * per-document function - plus its per-doc token counts and its
+    * PARTIAL per-batch gram counts (gh, n). Gram counts are additive,
+    * so the store-wide count is an ordinary sum over the appended
+    * partials at query time: the increment never re-reads, re-tokenizes
+    * or re-counts documents already in the store, and the count
+    * aggregation input is per-batch distinct grams, not the corpus.
+    * Per-batch partition overwrite keeps replay idempotent, same as
+    * catchUp.
+    */
+  def catchUpSpans(spark: SparkSession, watchDir: String,
+                   storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return // nothing has arrived yet
+    val schema = spark.read.option("pathGlobFilter", "*.parquet")
+      .parquet(watchDir).schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet").parquet(watchDir)
+    val q = docs.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val toks = Dedup.spanToks(batch).persist()
+        try {
+          toks.select(col("doc_id"),
+              org.apache.spark.sql.functions.size(col("toks"))
+                .cast(org.apache.spark.sql.types.LongType).as("n_tokens"))
+            .write.mode("overwrite")
+            .parquet(s"$storeDir/span_docs/batch=$id")
+          val grams = Dedup.spanGrams(toks).persist()
+          try {
+            grams.write.mode("overwrite")
+              .parquet(s"$storeDir/span_grams/batch=$id")
+            grams.groupBy(col("gh"))
+              .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+              .write.mode("overwrite")
+              .parquet(s"$storeDir/span_counts/batch=$id")
+          } finally grams.unpersist()
+        } finally toks.unpersist()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Dup-span coverage from the incrementally-maintained store: the
+    * repeated-gram set comes from summing the per-batch partial counts,
+    * the positional stream and token counts are read as stored - same
+    * assembly as the one-shot `Dedup.dupSpansFrom`, so the store's
+    * answer matches `dd_dup_spans`' oracle once caught up.
+    */
+  def storedDupSpans(spark: SparkSession, storeDir: String): DataFrame = {
+    val base = storedOrEmpty(spark, s"$storeDir/span_docs",
+      emptyLike(spark, spark.range(0)
+        .selectExpr("id AS doc_id", "id AS n_tokens")))
+    val grams = storedOrEmpty(spark, s"$storeDir/span_grams",
+      emptyLike(spark, spark.range(0)
+        .selectExpr("id AS doc_id", "CAST(id AS INT) AS pos", "id AS gh")))
+    val dup = storedOrEmpty(spark, s"$storeDir/span_counts",
+      emptyLike(spark, spark.range(0)
+        .selectExpr("id AS gh", "id AS n")))
+      .groupBy(col("gh"))
+      .agg(org.apache.spark.sql.functions.sum(col("n")).as("n_occ"))
+      .filter(col("n_occ") > 1)
+      .select(col("gh"))
+    Dedup.dupSpansAssemble(base,
+      Dedup.islandsFromCovered(
+        grams.join(dup, "gh").select(col("doc_id"), col("pos"))))
+  }
+
   def storedCells(spark: SparkSession, storeDir: String): DataFrame =
     storedOrEmpty(spark, s"$storeDir/cells",
       emptyLike(spark, spark.range(0).selectExpr(
@@ -289,6 +359,26 @@ object SignatureStore {
       "arrival2.parquet")
     catchUp(spark, watch, store)
     storedCandidates(spark, store).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Span twin: fresh incremental span store over two appends,
+    * answering with the same coverage relation `dd_dup_spans` computes
+    * in one shot (shared oracle). The split is doc-id parity, so
+    * cross-batch repeated grams - a gram arriving once per append,
+    * repeated only store-wide - are exactly what the summed partial
+    * counts must catch.
+    */
+  def gatedDupSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_span_watch")
+    val store = tempDirForExit("graft_gate_span_store")
+    val docs = Graft.table(spark, sfDir, "documents")
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpSpans(spark, watch, store)
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpSpans(spark, watch, store)
+    storedDupSpans(spark, store)
   }
 
   /** Embedding twin: fresh incremental cell store over two appends,

@@ -86,6 +86,44 @@ class IncrementalSignatureSpec extends SparkSpec {
     assert(inc == batch)
   }
 
+  test("catchUpSpans: cross-batch repeats caught by summed partials") {
+    val watch = Files.createTempDirectory("graft_span_watch").toString
+    val store = Files.createTempDirectory("graft_span_store").toString
+    val s = spark; import s.implicits._
+    val boiler = "all rights reserved by the publisher"
+    // each batch alone holds NO repeated 5-gram (per-batch partial
+    // counts are all 1); only the store-wide sum reveals the repeat -
+    // exactly the property a per-batch-local dup check would miss
+    val batchA = Seq((1L, s"a1 a2 a3 $boiler a4")).toDF("doc_id", "text")
+    val batchB = Seq((2L, s"b1 b2 $boiler b3 b4"),
+      (3L, "c1 c2 c3 c4 c5 c6")).toDF("doc_id", "text")
+
+    land(batchA, watch, "arrival1.parquet")
+    SignatureStore.catchUpSpans(spark, watch, store)
+    val cov1 = SignatureStore.storedDupSpans(spark, store)
+    assert(cov1.filter(col("covered_tokens") > 0).count() == 0,
+      "a single arrival with unique grams must show zero coverage")
+
+    land(batchB, watch, "arrival2.parquet")
+    SignatureStore.catchUpSpans(spark, watch, store)
+    val cov2 = SignatureStore.storedDupSpans(spark, store)
+      .select("doc_id", "covered_tokens")
+      .as[(Long, Long)].collect().toMap
+    assert(cov2 == Map(1L -> 6L, 2L -> 6L, 3L -> 0L),
+      s"cross-batch boilerplate must be fully covered, got $cov2")
+
+    // caught-up store == the one-shot batch relation on the union
+    val batch = Dedup.dupSpansFrom(batchA.union(batchB))
+      .select("doc_id", "covered_tokens")
+      .as[(Long, Long)].collect().toMap
+    assert(cov2 == batch)
+
+    // idempotent: nothing new -> nothing changes
+    SignatureStore.catchUpSpans(spark, watch, store)
+    assert(SignatureStore.storedDupSpans(spark, store)
+      .filter(col("covered_tokens") > 0).count() == 2)
+  }
+
   test("catchUpEmbeddings: incremental cells match batch ANN blocking") {
     val watch = Files.createTempDirectory("graft_emb_watch").toString
     val store = Files.createTempDirectory("graft_emb_store").toString
