@@ -59,6 +59,20 @@ class SketchesSpec extends SparkSpec {
     assert(exact.count() == 12) // 3 groups x 4 quantiles at this SF
   }
 
+  test("dup spans / scrub: null and empty text flow through, no crash") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, ""),
+      (3L, "only three tokens here x"),
+      (4L, "only three tokens here x")).toDF("doc_id", "text")
+    val spans = Dedup.dupSpansFrom(docs)
+      .select("doc_id", "covered_tokens").as[(Long, Long)].collect().toMap
+    // docs 3/4 are exact dups -> fully covered; null/empty -> 0 covered
+    assert(spans == Map(1L -> 0L, 2L -> 0L, 3L -> 5L, 4L -> 5L))
+    val scrub = Dedup.spanScrubFrom(docs)
+      .select("doc_id", "text_scrubbed").as[(Long, String)].collect().toMap
+    assert(scrub(2L) == "" && scrub(3L) == "" && scrub(4L) == "")
+  }
+
   test("dup spans: planted boilerplate, interval merge, clean doc") {
     val s = spark; import s.implicits._
     val n = Dedup.spanN // 5

@@ -58,6 +58,47 @@ object ScaleSmoke {
       s"range join pair count ${rj.getLong(0)} != closed-form $expectPairs")
     println(f"SMOKE range_join rows=$rows pairs=${rj.getLong(0)} " +
       f"sec=${(t5 - t4) / 1e9}%.1f")
+    // mergeable-sketch family at generator scale: every sketch is one
+    // narrow pass + one bounded keyed agg, so throughput should track
+    // the event rate. Contracts assertable without an oracle: CMS can
+    // only overcount and each hash row sees every event once; HLL's
+    // 512-register estimate lands within a few RSE of the true
+    // distinct count; histogram quantiles are monotone in q.
+    import graft.analytics.Sketches
+    val evU = ev.select(col("user_id"))
+    val counters = Sketches.cmsCounters(evU).persist()
+    val rowSums = counters.groupBy(col("r")).agg(sum(col("c")).as("s"))
+      .collect()
+    require(rowSums.forall(_.getLong(1) == rows),
+      "CMS row sums must equal the event count")
+    val under = Sketches.cmsEstimateAll(counters, evU)
+      .filter(col("est_cnt") < col("exact_cnt")).count()
+    require(under == 0, "CMS must never undercount")
+    counters.unpersist()
+    val t6 = System.nanoTime()
+    val evH = ev.select(lit("A").as("l_returnflag"),
+      col("user_id").as("l_orderkey"))
+    val hll = Sketches.estimate(
+        Sketches.hashRho(evH).groupBy(col("l_returnflag"), col("reg"))
+          .agg(max(col("rho")).as("mj")))
+      .collect()(0).getDouble(1)
+    val exactU = evU.distinct().count()
+    require(math.abs(hll - exactU) / exactU < 0.15,
+      f"HLL estimate $hll%.0f vs exact $exactU (>15%% off)")
+    val t7 = System.nanoTime()
+    val qt = Sketches.qtileEstimate(
+        ev.select(lit("A").as("l_returnflag"),
+            col("value").as("l_extendedprice"))
+          .transform(Sketches.qtileBins)
+          .groupBy(col("l_returnflag"), col("bin"))
+          .agg(count(lit(1)).as("c")))
+      .orderBy(col("q")).collect().map(_.getDouble(3))
+    require(qt.length == 4 && qt.sameElements(qt.sorted),
+      s"quantile estimates must be monotone in q: ${qt.mkString(",")}")
+    val t8 = System.nanoTime()
+    println(f"SMOKE sketches rows=$rows cms_sec=${(t6 - t5) / 1e9}%.1f " +
+      f"hll_est=$hll%.0f hll_exact=$exactU hll_sec=${(t7 - t6) / 1e9}%.1f " +
+      f"qtile_sec=${(t8 - t7) / 1e9}%.1f")
     spark.stop()
   }
 }
