@@ -96,6 +96,7 @@ object SparkEntry {
     "ss_stream_hll" -> StreamSum.streamHll _,
     "ss_stream_cms" -> StreamSum.streamCms _,
     "ss_stream_qtile" -> StreamSum.streamQtile _,
+    "ss_stream_span_scrub" -> StreamSum.streamSpanScrub _,
     "ss_stream_undo_count" -> StreamSum.streamUndoCountState _,
     "ss_stream_undo_assoc" -> StreamSum.streamUndoAssocState _,
     "ss_stream_keycount" -> StreamSum.streamKeycountState _,
@@ -234,6 +235,7 @@ object SparkEntry {
     "ss_stream_cms" -> Sketches.qCmsTopkSql,
     "q_qtile_sketch" -> Sketches.qQtileSketchSql,
     "ss_stream_qtile" -> Sketches.qQtileSketchSql,
+    "ss_stream_span_scrub" -> Dedup.spanScrubSql,
     "ann_ivf_quant" -> Similarity.annIvfQuantSql,
     "txt_pii_scrub" -> TextAnalysis.piiScrubSql,
     "txt_sample" -> TextAnalysis.sampleSql(),

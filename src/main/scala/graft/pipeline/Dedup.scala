@@ -84,7 +84,7 @@ object Dedup {
   }
 
   /** (doc_id, toks) from any (doc_id, text) relation. */
-  private[pipeline] def spanToks(docs: DataFrame): DataFrame =
+  private[graft] def spanToks(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       expr("regexp_extract_all(text, '\\\\S+', 0)").as("toks"))
 
@@ -92,7 +92,7 @@ object Dedup {
     * signature relation (pure per-document, so incrementally
     * appendable; see SignatureStore.catchUpSpans).
     */
-  private[pipeline] def spanGrams(toks: DataFrame): DataFrame =
+  private[graft] def spanGrams(toks: DataFrame): DataFrame =
     toks.select(col("doc_id"),
       posexplode(expr(s"graft_gram_hashes_all(toks, $spanN)"))
         .as(Seq("pos", "gh")))
@@ -102,7 +102,7 @@ object Dedup {
     * [pos, pos+spanN-1]; a new island starts when a gram begins past
     * the running max end, so every island is contiguous.
     */
-  private[pipeline] def islandsFromCovered(covered: DataFrame): DataFrame = {
+  private[graft] def islandsFromCovered(covered: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     covered
       .withColumn("prev_end",
@@ -227,7 +227,16 @@ object Dedup {
   /** Core of `spanScrub` over any (doc_id, text) relation. */
   def spanScrubFrom(docs: DataFrame): DataFrame = {
     val toks = spanToks(docs)
-    val spans = coveredIslandsFrom(toks)
+    spanScrubAssemble(toks, coveredIslandsFrom(toks))
+  }
+
+  /** The in-row rewrite from a (doc_id, toks) relation and the island
+    * relation - shared by the batch face and the streaming admission
+    * face so the scrub semantics cannot drift.
+    */
+  private[graft] def spanScrubAssemble(toks: DataFrame,
+                                          islands: DataFrame): DataFrame = {
+    val spans = islands
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("lo"), col("hi"))).as("spans"),
         sum(col("hi") - col("lo") + lit(1L)).as("n_removed"))

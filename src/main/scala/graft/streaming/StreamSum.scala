@@ -326,6 +326,39 @@ object StreamSum {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Streaming admission face of the span scrub: arriving documents
+    * have their corpus-repeated spans removed online. The repeated-gram
+    * set comes from the STATIC corpus (like `ss_stream_decont`'s bench
+    * set) and joins the arriving docs' positional gram stream as a
+    * stream-static broadcast join; per-doc streaming state is only the
+    * COVERED positions (bounded by duplicated content, zero for clean
+    * docs). Island merge + the in-row rewrite (shared with the batch
+    * face) run over the final snapshot. Shares `pipe_span_scrub`'s
+    * oracle.
+    */
+  def streamSpanScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    import graft.pipeline.Dedup
+    val toksB = Dedup.spanToks(Graft.table(spark, sfDir, "documents"))
+    val dup = Dedup.spanGrams(toksB)
+      .groupBy(col("gh")).agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+      .select(col("gh"))
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docsS = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val coveredS = Dedup.spanGrams(Dedup.spanToks(docsS))
+      .join(dup, "gh")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("pos")).as("poss"))
+    val covTable = runToTable(coveredS, OutputMode.Complete(),
+      "ss_stream_span_scrub")
+    Dedup.spanScrubAssemble(toksB,
+      Dedup.islandsFromCovered(
+        covTable.select(col("doc_id"), explode(col("poss")).as("pos"))))
+  }
+
   /** Streaming quantile sketch: the fixed-bin histogram is the only
     * quantile form an incremental stream can maintain exactly - exact
     * streaming quantiles need every value retained, and rank-based
