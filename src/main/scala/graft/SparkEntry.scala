@@ -111,6 +111,7 @@ object SparkEntry {
     "q_salt_agg" -> Tpch.qSaltAgg _,
     "q_rollup" -> Tpch.qRollup _,
     "q_cube" -> Tpch.qCube _,
+    "q_pivot" -> Tpch.qPivot _,
     "q_stats_agg" -> Tpch.qStatsAgg _,
     "q_profile" -> Tpch.qProfile _,
     "q_asof_join" -> AsofJoin.qAsof _,
@@ -222,6 +223,7 @@ object SparkEntry {
     "q_salt_agg" -> Tpch.qSaltAggSql,
     "q_rollup" -> Tpch.qRollupSql,
     "q_cube" -> Tpch.qCubeSql,
+    "q_pivot" -> Tpch.qPivotSql,
     "q_stats_agg" -> Tpch.qStatsAggSql,
     "q_profile" -> Tpch.qProfileSql,
     "q_asof_join" -> AsofJoin.qAsofSql,

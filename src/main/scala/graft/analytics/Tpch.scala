@@ -50,6 +50,50 @@ object Tpch {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** Pivoted revenue matrix (priority x order year) - the pivot form
+    * of a grouped aggregation, with the value list EXPLICIT so
+    * Catalyst plans ONE pass (pivot without values runs a distinct
+    * scan first to discover them - a second full read a 100 TB input
+    * cannot afford). Internally this is a single groupBy with one
+    * conditional aggregate per pivot column - exactly the CASE-WHEN
+    * formulation the oracle spells out. Catalyst plans it as the
+    * standard two-level pivot aggregation: a keyed shuffle on
+    * (group, pivot value) with map-side partial agg over the data,
+    * then a second exchange whose input is only groups x years rows -
+    * negligible at any scale. Money sums stay DECIMAL until the final
+    * output cast.
+    */
+  val pivotYears: Seq[Int] = 1995 to 2001
+
+  def qPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val base = Graft.table(spark, sfDir, "orders")
+      .select(col("o_orderpriority"),
+        year(col("o_orderdate")).as("yr"),
+        dec("o_totalprice", 12, 2).as("p"))
+    base.groupBy(col("o_orderpriority"))
+      .pivot("yr", pivotYears.map(y => y: Any))
+      .agg(sum(col("p")))
+      .select(col("o_orderpriority") +:
+        pivotYears.map(y =>
+          col(s"`$y`").cast(DoubleType).as(s"y$y")): _*)
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val qPivotSql: String = {
+    val cells = pivotYears.map(y =>
+      s"""CAST(sum(CASE WHEN yr = $y THEN p END) AS DOUBLE) AS y$y""")
+    s"""SELECT o_orderpriority,
+       |  ${cells.mkString(",\n  ")}
+       |FROM (
+       |  SELECT o_orderpriority, year(o_orderdate) AS yr,
+       |         CAST(o_totalprice AS DECIMAL(12,2)) AS p
+       |  FROM orders
+       |)
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+  }
+
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
       |  CAST(sum(qty) AS DOUBLE) AS sum_qty,

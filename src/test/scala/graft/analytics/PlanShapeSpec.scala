@@ -198,6 +198,20 @@ class PlanShapeSpec extends SparkSpec {
       s"gram stream shuffled against the dup set:\n$plan")
   }
 
+  test("pivot: explicit value list keeps it to ONE scan and one shuffle") {
+    val plan = executed(Tpch.qPivot(spark, sfDir))
+      .split("== Initial Plan ==").head
+    // pivot without values runs a distinct-discovery pass first; the
+    // explicit list must leave exactly one parquet scan of orders
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"pivot must not re-scan to discover values:\n$plan")
+    // the standard two-level pivot agg: data shuffles once on
+    // (group, year); the second exchange carries groups x years rows
+    val keyed = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(keyed.size <= 2, s"unexpected extra shuffles:\n$plan")
+  }
+
   test("quantile sketch: one keyed exchange for the bin counts") {
     val plan = executed(Sketches.qQtileSketch(spark, sfDir))
       .split("== Initial Plan ==").head

@@ -122,6 +122,18 @@ class IncrementalSignatureSpec extends SparkSpec {
     SignatureStore.catchUpSpans(spark, watch, store)
     assert(SignatureStore.storedDupSpans(spark, store)
       .filter(col("covered_tokens") > 0).count() == 2)
+
+    // third-face parity: the streaming admission scrub over the same
+    // corpus (landed as documents.parquet) must agree with the store's
+    // coverage - the covered token count per doc is face-independent
+    val corpusDir = Files.createTempDirectory("graft_span_corpus").toString
+    land(batchA.union(batchB), corpusDir, "documents.parquet")
+    val streamed = graft.streaming.StreamSum
+      .streamSpanScrub(spark, corpusDir)
+      .select("doc_id", "n_removed")
+      .as[(Long, Long)].collect().toMap
+    assert(streamed == cov2,
+      s"streaming face disagrees with the incremental store: $streamed")
   }
 
   test("catchUpEmbeddings: incremental cells match batch ANN blocking") {
