@@ -37,6 +37,30 @@ class SketchesSpec extends SparkSpec {
     assert(est.filter(col("est_cnt") > col("exact_cnt")).count() > 0)
   }
 
+  test("sketch states merge across micro-batches == one-shot batch") {
+    // the driver-gate streaming faces read the corpus file as a single
+    // micro-batch; this pins the actually-incremental case - the same
+    // counter/register/bin state built across 3 AddData batches
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val all = (1L to 900L).map(i => i % 97)
+    val mem = MemoryStream[Long]
+    val counters = Sketches.cmsCounters(mem.toDF().toDF("user_id"))
+    val q = counters.writeStream.format("memory").queryName("cms_mb")
+      .outputMode(OutputMode.Complete()).start()
+    all.grouped(300).foreach { chunk =>
+      mem.addData(chunk: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("cms_mb").collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    val batch = Sketches.cmsCounters(all.toDF("user_id")).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(streamed == batch)
+  }
+
   test("quantile sketch: every estimate within one bin width of exact") {
     import org.apache.spark.sql.expressions.Window
     val li = graft.core.Graft.table(spark, sfDir, "lineitem")
