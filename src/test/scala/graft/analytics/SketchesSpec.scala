@@ -61,6 +61,47 @@ class SketchesSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("HLL emits a live estimate per micro-batch, monotone as data grows") {
+    // the gate faces estimate over the FINAL register snapshot; this is
+    // the living-dashboard form - foreachBatch re-runs the shared
+    // estimator on each micro-batch's register state. Distinct count
+    // only grows, so successive estimates must be non-decreasing (the
+    // register maxima are monotone and the estimator is monotone in
+    // them), ending at the one-shot batch estimate.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Long]
+    val regs = Sketches.hashRho(
+        mem.toDF().select(lit("A").as("l_returnflag"),
+          col("value").as("l_orderkey")))
+      .groupBy(col("l_returnflag"), col("reg"))
+      .agg(max(col("rho")).as("mj"))
+    val live = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val q = regs.writeStream
+      .outputMode(OutputMode.Complete())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val est = Sketches.estimate(batch).collect()
+        if (est.nonEmpty) live += est(0).getDouble(1)
+        ()
+      }.start()
+    (1L to 3000L).grouped(1000).foreach { chunk =>
+      mem.addData(chunk: _*); q.processAllAvailable()
+    }
+    q.stop()
+    assert(live.size == 3)
+    assert(live.sameElements(live.sorted), s"estimates not monotone: $live")
+    val oneShot = Sketches.estimate(
+        Sketches.hashRho((1L to 3000L).toDF("l_orderkey")
+            .select(lit("A").as("l_returnflag"), col("l_orderkey")))
+          .groupBy(col("l_returnflag"), col("reg"))
+          .agg(max(col("rho")).as("mj")))
+      .collect()(0).getDouble(1)
+    assert(live.last == oneShot)
+  }
+
   test("quantile sketch: every estimate within one bin width of exact") {
     import org.apache.spark.sql.expressions.Window
     val li = graft.core.Graft.table(spark, sfDir, "lineitem")
