@@ -471,6 +471,22 @@ object Dedup {
   def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = ngramJaccard(spark, sfDir)
       .select(col("doc_a"), col("doc_b"))
+    resolveComponents(spark, edges)._1
+  }
+
+  /** Connected components of a (doc_a, doc_b) edge relation. Each
+    * round is min-label propagation over the edges PLUS a path-halving
+    * step (lbl <- lbl(lbl), the pointer-jumping half of union-find):
+    * propagation alone needs O(component diameter) rounds, and
+    * chain-shaped components - exactly what templated boilerplate
+    * produces, A~B~C~... with no A~C edge - make diameter O(n). The
+    * jump step doubles the distance a label travels per round, so the
+    * loop converges in O(log diameter) rounds for one extra
+    * (small, labels-only) self-join per round. Returns the projected
+    * cluster relation plus the round count (spec hook).
+    */
+  private[graft] def resolveComponents(spark: SparkSession,
+                                       edges: DataFrame): (DataFrame, Int) = {
     val sym = edges.unionAll(
       edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
@@ -480,9 +496,10 @@ object Dedup {
     // labels becomes a PROJECTION of each round's persisted relation;
     // unpersist must target the handle that was actually cached
     var cached = labels
-    // Min-label propagation converges in O(component diameter) rounds
-    // (some label strictly decreases every non-final round), so loop
-    // until a fixpoint. The cap is a runaway backstop only - hitting it
+    // Labels only ever shrink and are bounded below by the component
+    // min, so the loop reaches a fixpoint; at fixpoint the propagation
+    // step changed nothing, which forces lbl constant per component
+    // (= the min id). The cap is a runaway backstop only - hitting it
     // is a bug, and silently returning unconverged labels would emit
     // wrong cluster ids, so it THROWS instead.
     val maxRounds = 1000
@@ -507,10 +524,31 @@ object Dedup {
             .as("lbl"),
           col("l.lbl").as("prev"))
         .persist()
-      changed = next.filter(col("lbl") < col("prev")).count()
+      // path halving: every label value is itself a doc_id in this
+      // relation (labels start as own ids and only ever adopt another
+      // node's id), so lbl(lbl(x)) is a lookup join against the same
+      // round's relation; lbl(y) <= y makes least() pure safety
+      val jumped = next.as("x")
+        .join(next.select(col("doc_id").as("jd"), col("lbl").as("jl"))
+          .as("j"), col("x.lbl") === col("j.jd"), "left")
+        .select(col("x.doc_id").as("doc_id"),
+          least(col("x.lbl"), coalesce(col("j.jl"), col("x.lbl")))
+            .as("lbl"),
+          col("x.prev").as("prev"))
+        .persist()
+      changed = jumped.filter(col("lbl") < col("prev")).count()
+      next.unpersist()
       cached.unpersist()
-      cached = next
-      labels = next.select(col("doc_id"), col("lbl"))
+      cached = jumped
+      // rebase the next round on a LogicalRDD leaf over the persisted
+      // rows: the round's plan references `labels` three times (prop +
+      // both sides of the jump), so carrying the logical lineage
+      // forward doubles the plan tree per round - at O(log d) rounds
+      // the EXPLAIN string alone OOMs long before execution does.
+      // InternalRow end to end; reads come from the cached relation.
+      labels = org.apache.spark.sql.GraftBridge.ofInternalRows(spark,
+          jumped.queryExecution.toRdd, jumped.schema)
+        .select(col("doc_id"), col("lbl"))
     }
     // materialize the (small: clustered docs only) result while the
     // label chain is still cached, then release every intermediate -
@@ -531,7 +569,7 @@ object Dedup {
       else projected.localCheckpoint(true)
     cached.unpersist()
     sym.unpersist()
-    out
+    (out, rounds)
   }
 
   /** The full cluster-resolution CTE chain (shingles -> bands -> LSH

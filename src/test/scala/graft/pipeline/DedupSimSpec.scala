@@ -75,6 +75,25 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("component resolution: path halving converges in O(log d) rounds") {
+    // a 65-node chain (0-1, 1-2, ..., 63-64) has diameter 64: plain
+    // min-label propagation needs 64 rounds to walk label 0 to the far
+    // end, which is exactly the shape templated boilerplate produces
+    // (A~B~C~... with no A~C edge). With the pointer-jump step the
+    // label-to-root distance at least halves per round, so the loop
+    // must finish in O(log 64) rounds - generous cap at 10.
+    val s = spark; import s.implicits._
+    val chain = (0L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (out, rounds) = Dedup.resolveComponents(spark, chain)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.length == 65)
+    assert(rows.forall(_._2 == 0L), "all chain members label to the min id")
+    assert(rows.count(_._3) == 1 && rows.find(_._3).get._1 == 0L)
+    assert(rounds <= 10,
+      s"path halving should need ~log2(64) rounds, took $rounds")
+  }
+
   test("simhash: near-dup pairs have small hamming distance") {
     val r = Dedup.simhashPairs(spark, sfDir).collect()
     assert(r.forall(_.getLong(2) <= Dedup.hammingThreshold))
