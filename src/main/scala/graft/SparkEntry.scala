@@ -97,6 +97,7 @@ object SparkEntry {
     "ss_stream_cms" -> StreamSum.streamCms _,
     "ss_stream_qtile" -> StreamSum.streamQtile _,
     "ss_stream_span_scrub" -> StreamSum.streamSpanScrub _,
+    "ss_stream_wsample" -> StreamSum.streamWeightedSample _,
     "ss_stream_undo_count" -> StreamSum.streamUndoCountState _,
     "ss_stream_undo_assoc" -> StreamSum.streamUndoAssocState _,
     "ss_stream_keycount" -> StreamSum.streamKeycountState _,
@@ -165,6 +166,7 @@ object SparkEntry {
     "pipe_decontaminate" -> graft.pipeline.CorpusOps.decontaminate _,
     "pipe_decont_bloom" -> graft.pipeline.CorpusOps.decontaminateBloom _,
     "pipe_mix" -> graft.pipeline.CorpusOps.mix _,
+    "pipe_sample_weighted" -> graft.pipeline.CorpusOps.sampleWeighted _,
     "pipe_dedup_apply" -> Dedup.dedupApply _,
     "pipe_span_scrub" -> Dedup.spanScrub _,
     "pipe_quality_gate" -> ((s, d) => graft.pipeline.QualityGate(s, d)),
@@ -269,6 +271,9 @@ object SparkEntry {
     "txt_vocab" -> graft.pipeline.CorpusOps.vocabSql,
     "pipe_shuffle" -> graft.pipeline.CorpusOps.shuffleSql(),
     "pipe_mix" -> graft.pipeline.CorpusOps.mixSql,
+    "pipe_sample_weighted" -> graft.pipeline.CorpusOps.sampleWeightedSql,
+    // streaming admission face shares the batch sampling oracle
+    "ss_stream_wsample" -> graft.pipeline.CorpusOps.sampleWeightedSql,
     "pipe_pack" -> graft.pipeline.CorpusOps.packSql(),
     "pipe_decontaminate" -> graft.pipeline.CorpusOps.decontaminateSql,
     "pipe_decont_bloom" -> graft.pipeline.CorpusOps.decontaminateSql,

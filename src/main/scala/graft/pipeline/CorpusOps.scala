@@ -363,6 +363,64 @@ object CorpusOps {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---- pipe_sample_weighted -----------------------------------------
+
+  val wsampleK = 200
+  val wsampleSalt = "wsample:"
+
+  /** Weighted sampling without replacement (Efraimidis-Spirakis,
+    * "Weighted random sampling with a reservoir", IPL 2006): each doc
+    * draws u ~ U(0,1] and the K largest u^(1/w) win - inclusion odds
+    * scale with the weight (here token count: length-proportional
+    * sampling, the "sample by tokens not documents" knob of corpus
+    * curation). Deterministic by construction: u is hash-derived
+    * (seed-stable across engines and reruns, like `txt_sample`), and
+    * we rank by the monotone-equivalent ln(u)/w quantized to 9
+    * decimals with doc_id tie-break, so both engines select the same
+    * set. One narrow scan; the global top-K plans as
+    * TakeOrderedAndProject (per-partition heaps + a K-row driver
+    * merge) - never a full sort, the same 100 TB shape as `txt_vocab`.
+    */
+  def sampleWeighted(spark: SparkSession, sfDir: String): DataFrame =
+    sampleWeightedFrom(Graft.tableParallel(spark, sfDir, "documents"))
+      .orderBy(col("skey").desc, col("doc_id"))
+      .limit(wsampleK)
+
+  /** The per-document key derivation, shared with the streaming
+    * admission face so the sampling definition cannot drift.
+    */
+  private[graft] def sampleWeightedFrom(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr("CAST(size(regexp_extract_all(text, '\\\\S+', 0)) AS BIGINT)")
+          .as("weight"),
+        expr(s"graft_md5_48(concat('$wsampleSalt', CAST(doc_id AS STRING)))")
+          .as("h"))
+      .filter(col("weight") >= 1)
+      // u in (0, 1]: h is uniform on [0, 2^48)
+      .withColumn("skey", ParityMath.q9(
+        log((col("h").cast("double") + lit(1.0)) / lit(281474976710656.0))
+          / col("weight").cast("double")))
+      .select(col("doc_id"), col("weight"), col("skey"))
+
+  val sampleWeightedSql: String = {
+    val h48 = HashParity.hex48Duck(
+      s"md5(concat('$wsampleSalt', CAST(doc_id AS VARCHAR)))")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS weight,
+       |    $h48 AS h
+       |  FROM documents
+       |  WHERE len(regexp_extract_all(text, '\\S+')) >= 1
+       |)
+       |SELECT doc_id, weight,
+       |  ${ParityMath.q9Sql(
+            """ln((CAST(h AS DOUBLE) + 1.0) / 281474976710656.0)
+              |/ CAST(weight AS DOUBLE)""".stripMargin)} AS skey
+       |FROM t
+       |ORDER BY skey DESC, doc_id LIMIT $wsampleK""".stripMargin
+  }
+
   def packSql(shards: Int = oracleShards): String = {
     val h48 = HashParity.hex48Duck(
       s"md5(concat('$shuffleSalt', CAST(doc_id AS VARCHAR)))")

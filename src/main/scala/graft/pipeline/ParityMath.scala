@@ -17,4 +17,15 @@ object ParityMath {
 
   def q6Sql(e: String): String =
     s"(floor(($e) * 1000000.0 + 0.5) / 1000000.0)"
+
+  /** 9-decimal variant for values that need ranking resolution (e.g.
+    * per-document sampling keys, where q6 would collapse long-document
+    * keys into wide tie bands and the tie-break would dominate the
+    * weighting).
+    */
+  def q9(c: Column): Column =
+    floor(c * lit(1000000000.0) + lit(0.5)) / lit(1000000000.0)
+
+  def q9Sql(e: String): String =
+    s"(floor(($e) * 1000000000.0 + 0.5) / 1000000000.0)"
 }

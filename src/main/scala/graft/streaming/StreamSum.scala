@@ -204,6 +204,46 @@ object StreamSum {
       .orderBy(col("doc_id"))
   }
 
+  /** How many bounded top-K shards the streaming weighted sample
+    * maintains: state is shards x K rows total, and the final global
+    * top-K merges shards x K rows - both independent of stream length.
+    */
+  val wsampleShards = 32
+
+  /** Streaming weighted sampling: documents arriving as a stream
+    * compete for the K sample seats online - the admission face of
+    * `pipe_sample_weighted`, sharing its oracle. The per-document key
+    * derivation is literally the batch function
+    * (`CorpusOps.sampleWeightedFrom`), and the state is a bounded
+    * top-K buffer per doc_id-shard (`TopKSampleAgg`: map-side trim, at
+    * most 2K rows shipped per shard per batch). Exact streaming top-K
+    * needs no approximation because the E-S key is per-row pure: the
+    * final snapshot's shard-local winners merge into the same global
+    * top-K the batch pass selects, whatever the arrival order.
+    */
+  def streamWeightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    graft.functions.NativeFunctions.register(spark)
+    import graft.pipeline.CorpusOps
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val keyed = CorpusOps.sampleWeightedFrom(docs)
+      .as[(Long, Long, Double)]
+    val agg = graft.functions.TopKSampleAgg(CorpusOps.wsampleK)
+    val perShard = keyed.groupByKey(_._1 % wsampleShards)
+      .agg(agg.toColumn.name("topk"))
+    val snap = runToTable(perShard.toDF("shard", "topk"),
+      OutputMode.Complete(), "ss_stream_wsample")
+    snap.select(explode(col("topk")).as("r"))
+      .select(col("r._1").as("doc_id"), col("r._2").as("weight"),
+        col("r._3").as("skey"))
+      .orderBy(col("skey").desc, col("doc_id"))
+      .limit(CorpusOps.wsampleK)
+  }
+
   /** Last-N via the Spark 4 transformWithState API (RocksDB state
     * store) - same result as `streamLastnState`, current-generation
     * stateful operator.

@@ -118,6 +118,75 @@ class CorpusOpsSpec extends SparkSpec {
     assert(sel.toSeq == again.toSeq)
   }
 
+  test("weighted sample: inclusion tracks weight; top-K plan; rerun-stable") {
+    val s = spark; import s.implicits._
+    // planted two-class corpus: heavy docs carry 50 tokens, light docs
+    // 1 token - under Efraimidis-Spirakis, heavy docs must win seats
+    // at a far higher rate when only half the corpus fits
+    val n = 400
+    val docs = (0L until n.toLong).map { i =>
+      val txt = if (i % 2 == 0) Seq.fill(50)("w").mkString(" ") else "w"
+      (i, txt)
+    }.toDF("doc_id", "text")
+    val keyed = CorpusOps.sampleWeightedFrom(docs)
+      .orderBy(col("skey").desc, col("doc_id")).limit(n / 2)
+      .collect().map(_.getLong(0))
+    val heavy = keyed.count(_ % 2 == 0)
+    val light = keyed.length - heavy
+    assert(heavy > light * 2,
+      s"50x-weight docs should dominate the sample: heavy=$heavy light=$light")
+    // real corpus: exactly K rows, deterministic rerun, ranked output
+    val r1 = CorpusOps.sampleWeighted(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(r1.length == CorpusOps.wsampleK)
+    assert(r1.sliding(2).forall { case Array(a, b) =>
+      a._3 > b._3 || (a._3 == b._3 && a._1 < b._1) })
+    val r2 = CorpusOps.sampleWeighted(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(r1.toSeq == r2.toSeq, "sample must be reproducible")
+    // the global top-K must never plan as a full sort
+    val plan = CorpusOps.sampleWeighted(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K must plan as TakeOrdered:\n$plan")
+  }
+
+  test("weighted sample: streaming top-K state merges across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // 300 docs with hash-spread weights, delivered in 3 batches: the
+    // per-shard buffers must carry earlier batches' winners forward,
+    // so the final snapshot equals the one-shot batch selection
+    val all = (0L until 300L).map { i =>
+      (i, Seq.fill((i % 37 + 1).toInt)("w").mkString(" "))
+    }
+    val mem = MemoryStream[(Long, String)]
+    val agg = graft.functions.TopKSampleAgg(50)
+    val perShard = CorpusOps.sampleWeightedFrom(
+        mem.toDF().toDF("doc_id", "text"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1 % 8)
+      .agg(agg.toColumn.name("topk"))
+    val q = perShard.toDF("shard", "topk").writeStream.format("memory")
+      .queryName("wsample_mb").outputMode(OutputMode.Complete()).start()
+    all.grouped(100).foreach { chunk =>
+      mem.addData(chunk: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("wsample_mb")
+      .select(explode(col("topk")).as("r"))
+      .select(col("r._1").as("doc_id"), col("r._3").as("skey"))
+      .orderBy(col("skey").desc, col("doc_id")).limit(50)
+      .collect().map(_.getLong(0)).toSeq
+    val batch = CorpusOps.sampleWeightedFrom(all.toDF("doc_id", "text"))
+      .orderBy(col("skey").desc, col("doc_id")).limit(50)
+      .collect().map(_.getLong(0)).toSeq
+    assert(streamed == batch,
+      "multi-batch streaming top-K must equal the one-shot batch top-K")
+  }
+
   test("shuffle/pack shard count scales with the session's parallelism") {
     // default tracks defaultParallelism (a constant would leave
     // corpus/8 rows per reducer at 100 TB)
