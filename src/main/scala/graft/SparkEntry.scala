@@ -134,6 +134,7 @@ object SparkEntry {
     // one-shot batch relation (shared oracle)
     "dd_store_candidates" -> graft.pipeline.SignatureStore.gatedCandidates _,
     "dd_store_spans" -> graft.pipeline.SignatureStore.gatedDupSpans _,
+    "lm_store_quality" -> graft.pipeline.SignatureStore.gatedQualityGate _,
     "ann_store_candidates" ->
       graft.pipeline.SignatureStore.gatedAnnCandidates _,
     "dd_embed_cosine" -> Similarity.embedCosinePairs _,
@@ -250,6 +251,7 @@ object SparkEntry {
     // batch queries compute, so each shares its batch oracle
     "dd_store_candidates" -> Dedup.minhashLshSql,
     "dd_store_spans" -> Dedup.dupSpansSql,
+    "lm_store_quality" -> graft.pipeline.QualityGate.sql,
     "ann_store_candidates" -> Similarity.annCandidatesSql,
     "dd_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dd_simhash" -> Dedup.simhashPairsSql,

@@ -276,6 +276,96 @@ object SignatureStore {
         grams.join(dup, "gh").select(col("doc_id"), col("pos"))))
   }
 
+  /** Quality-gate twin of `catchUp` - the one store in the family whose
+    * query-time answer is NOT a union of per-document facts: the LM
+    * signal scores every document under the CORPUS's unigram model, and
+    * the model itself evolves with each append. So the store keeps what
+    * IS per-document pure - the narrow row signals and each doc's term
+    * multiset (doc_id, term, k) - plus additive per-batch partial term
+    * counts, and defers scoring to query time: the final LM is the sum
+    * of the partials, and a batch-1 document's NLL automatically
+    * reflects batch-2's vocabulary. Documents are still never re-read
+    * or re-tokenized; only the (vocabulary-sized) count relation is
+    * re-aggregated per query. Per-batch partition overwrite keeps
+    * replay idempotent, same as catchUp.
+    */
+  def catchUpLm(spark: SparkSession, watchDir: String,
+                storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    graft.functions.NativeFunctions.register(spark)
+    if (!hasParquet(spark, watchDir)) return // nothing has arrived yet
+    val schema = spark.read.option("pathGlobFilter", "*.parquet")
+      .parquet(watchDir).schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet").parquet(watchDir)
+    val q = docs.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        QualityGate.rowSignals(batch).write.mode("overwrite")
+          .parquet(s"$storeDir/lm_signals/batch=$id")
+        val terms = QualityGate.termToks(batch)
+          .groupBy(col("doc_id"), col("term"))
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("k"))
+          .persist()
+        try {
+          terms.write.mode("overwrite")
+            .parquet(s"$storeDir/lm_doc_terms/batch=$id")
+          terms.groupBy(col("term"))
+            .agg(org.apache.spark.sql.functions.sum(col("k")).as("n"))
+            .write.mode("overwrite")
+            .parquet(s"$storeDir/lm_term_counts/batch=$id")
+        } finally terms.unpersist()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Quality verdicts from the incrementally-maintained store: the LM
+    * is summed from the per-batch partials, every stored document's
+    * term multiset is scored under it, and the verdict rule is the
+    * shared `QualityGate.withKeep` - so the store's answer matches
+    * `pipe_quality_gate`'s oracle once caught up.
+    */
+  def storedQualityGate(spark: SparkSession, storeDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, count, expr, sum}
+    Graft.ensureConf(spark)
+    graft.functions.NativeFunctions.register(spark)
+    val signals = storedOrEmpty(spark, s"$storeDir/lm_signals",
+      emptyLike(spark, QualityGate.rowSignals(
+        spark.range(0).selectExpr("id AS doc_id", "'' AS text"))))
+    val docTerms = storedOrEmpty(spark, s"$storeDir/lm_doc_terms",
+      emptyLike(spark, spark.range(0)
+        .selectExpr("id AS doc_id", "'' AS term", "id AS k")))
+    val freq = storedOrEmpty(spark, s"$storeDir/lm_term_counts",
+      emptyLike(spark, spark.range(0)
+        .selectExpr("'' AS term", "id AS n")))
+      .groupBy(col("term")).agg(sum(col("n")).as("cnt"))
+    val totals = freq.agg(sum(col("cnt")).as("n_total"),
+      count(lit(1)).as("v_size")).collect()(0)
+    val (nTotal, vSize) =
+      if (totals.isNullAt(0)) (0L, 0L)
+      else (totals.getLong(0), totals.getLong(1))
+    // k identical tokens contribute k * nll_u - the same integer sum
+    // the one-shot per-token pass produces, in any order
+    val nll = docTerms.join(broadcast(freq), "term")
+      .select(col("doc_id"), col("k"), expr(
+        s"""CAST(floor(-ln(CAST(cnt + 1 AS DOUBLE)
+           |  / CAST(${nTotal}L + ${vSize}L AS DOUBLE)) * 1000000.0 + 0.5)
+           |  AS BIGINT)""".stripMargin).as("nll_u"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k") * col("nll_u")).as("sum_u"),
+        sum(col("k")).as("n_tok"))
+      .select(col("doc_id"),
+        ParityMath.q6((col("sum_u").cast("double") / lit(1000000.0))
+          / col("n_tok")).as("nll"))
+    QualityGate.withKeep(signals.join(nll, Seq("doc_id"), "left"))
+      .select(col("doc_id"), col("n_tokens"), col("mean_tok_len"),
+        col("stop_ratio"), col("dup_tri_ratio"), col("rep2_ratio"),
+        col("nll"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   def storedCells(spark: SparkSession, storeDir: String): DataFrame =
     storedOrEmpty(spark, s"$storeDir/cells",
       emptyLike(spark, spark.range(0).selectExpr(
@@ -379,6 +469,26 @@ object SignatureStore {
       "arrival2.parquet")
     catchUpSpans(spark, watch, store)
     storedDupSpans(spark, store)
+  }
+
+  /** Quality-gate twin: fresh incremental LM store over two appends,
+    * answering with the same signals+verdict relation
+    * `pipe_quality_gate` computes in one shot (shared oracle). The
+    * doc-parity split makes the LM evolve across appends - batch-1
+    * documents must end up scored under the FULL final vocabulary,
+    * which is exactly what deferring scoring to query time buys.
+    */
+  def gatedQualityGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_lm_watch")
+    val store = tempDirForExit("graft_gate_lm_store")
+    val docs = Graft.table(spark, sfDir, "documents")
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpLm(spark, watch, store)
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpLm(spark, watch, store)
+    storedQualityGate(spark, store)
   }
 
   /** Embedding twin: fresh incremental cell store over two appends,

@@ -136,6 +136,48 @@ class IncrementalSignatureSpec extends SparkSpec {
       s"streaming face disagrees with the incremental store: $streamed")
   }
 
+  test("catchUpLm: earlier batches are re-scored under the evolved LM") {
+    val watch = Files.createTempDirectory("graft_lm_watch").toString
+    val store = Files.createTempDirectory("graft_lm_store").toString
+    val s = spark; import s.implicits._
+    // batch A's doc uses the term "zq" that is globally rare until
+    // batch B floods the vocabulary with OTHER terms: the denominator
+    // (n_total + v_size) grows, so doc 1's NLL must CHANGE after the
+    // second append even though doc 1 itself never re-arrives - the
+    // property a score-at-append-time store would get wrong
+    val batchA = Seq((1L, ("zq " * 40).trim)).toDF("doc_id", "text")
+    val batchB = (2L to 4L).map(i =>
+      (i, (s"w$i " * 40).trim)).toDF("doc_id", "text")
+
+    land(batchA, watch, "arrival1.parquet")
+    SignatureStore.catchUpLm(spark, watch, store)
+    val nll1 = SignatureStore.storedQualityGate(spark, store)
+      .filter(col("doc_id") === 1L).collect()(0).getDouble(6)
+
+    land(batchB, watch, "arrival2.parquet")
+    SignatureStore.catchUpLm(spark, watch, store)
+    val after = SignatureStore.storedQualityGate(spark, store)
+    val nll1After = after.filter(col("doc_id") === 1L)
+      .collect()(0).getDouble(6)
+    assert(nll1After != nll1,
+      "batch-1 doc's NLL must reflect the LM grown by batch 2")
+
+    // caught-up store == the one-shot gate over the union, column for
+    // column (signals, nll, verdict)
+    val stored = after.collect().map(_.toSeq).toSeq
+    val oneShot = {
+      val dir = Files.createTempDirectory("graft_lm_corpus").toString
+      land(batchA.union(batchB), dir, "documents.parquet")
+      QualityGate(spark, dir).collect().map(_.toSeq).toSeq
+    }
+    assert(stored == oneShot)
+
+    // idempotent: nothing new -> nothing changes
+    SignatureStore.catchUpLm(spark, watch, store)
+    assert(SignatureStore.storedQualityGate(spark, store)
+      .collect().map(_.toSeq).toSeq == stored)
+  }
+
   test("catchUpEmbeddings: incremental cells match batch ANN blocking") {
     val watch = Files.createTempDirectory("graft_emb_watch").toString
     val store = Files.createTempDirectory("graft_emb_store").toString
