@@ -98,6 +98,7 @@ object SparkEntry {
     "ss_stream_qtile" -> StreamSum.streamQtile _,
     "ss_stream_span_scrub" -> StreamSum.streamSpanScrub _,
     "ss_stream_wsample" -> StreamSum.streamWeightedSample _,
+    "ss_stream_kmv" -> StreamSum.streamKmv _,
     "ss_stream_undo_count" -> StreamSum.streamUndoCountState _,
     "ss_stream_undo_assoc" -> StreamSum.streamUndoAssocState _,
     "ss_stream_keycount" -> StreamSum.streamKeycountState _,
@@ -118,6 +119,7 @@ object SparkEntry {
     "q_asof_join" -> AsofJoin.qAsof _,
     "q_range_join" -> RangeJoin.apply _,
     "q_hll_distinct" -> Sketches.qHllDistinct _,
+    "q_kmv_jaccard" -> Sketches.qKmvJaccard _,
     "q_cms_topk" -> Sketches.qCmsTopk _,
     "q_qtile_sketch" -> Sketches.qQtileSketch _,
     "txt_pii_scrub" -> TextAnalysis.piiScrub _,
@@ -232,6 +234,9 @@ object SparkEntry {
     "q_asof_join" -> AsofJoin.qAsofSql,
     "q_range_join" -> RangeJoin.sql,
     "q_hll_distinct" -> Sketches.qHllDistinctSql,
+    "q_kmv_jaccard" -> Sketches.qKmvJaccardSql,
+    // streaming KMV face shares the batch sketch oracle
+    "ss_stream_kmv" -> Sketches.qKmvJaccardSql,
     "q_cms_topk" -> Sketches.qCmsTopkSql,
     "ss_stream_range_join" -> RangeJoin.sql,
     "ss_stream_hll" -> Sketches.qHllDistinctSql,

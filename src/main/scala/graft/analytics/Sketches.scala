@@ -319,6 +319,151 @@ object Sketches {
        |ORDER BY l_returnflag, q""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // KMV (k-minimum-values) set-operations sketch
+  // ------------------------------------------------------------------
+
+  /** KMV buffer size. The fourth mergeable sketch in the family -
+    * distinct = HLL, frequency = CMS, quantile = histogram, SET
+    * OPERATIONS = KMV - and the one that answers what HLL registers
+    * cannot: how much do two groups' value sets OVERLAP. A group's
+    * sketch is its k smallest distinct md5-48 hashes; for a pair, the
+    * k smallest of the merged buffers are a uniform sample of the
+    * union, so the fraction of them present in both sides estimates
+    * Jaccard (Beyer et al., "On Synopses for Distinct-Value Estimation
+    * Under Multiset Operations", SIGMOD 2007), and the kth smallest
+    * hash estimates the union size ((k-1) * 2^48 / h_k). Everything is
+    * deterministic integer selection + one IEEE divide, so the DuckDB
+    * oracle matches bitwise - no engine-native approx sketch can sit
+    * under a cross-engine oracle. RSE ~ 1/sqrt(k) = 6%; the exact
+    * pairwise Jaccard is emitted alongside so the error is visible.
+    *
+    * Shape at scale: one narrow hash pass, one (group, h) distinct -
+    * map-side combinable - one bounded per-group top-k (the
+    * TopKWindowRewrite heap shape), then all pairwise math runs on
+    * groups x k-sized arrays: the corpus is never shuffled for the
+    * pair comparisons.
+    */
+  val kmvK = 256
+
+  /** Distinct (event_type, h) pairs - the input both faces sketch. */
+  private[graft] def kmvHashes(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"),
+        expr("graft_md5_48(CAST(user_id AS STRING))").as("h"))
+      .distinct()
+
+  /** Per-group sorted KMV buffer from the distinct hash relation. */
+  private[graft] def kmvSets(hs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    hs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= kmvK)
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("h"))).as("ks"))
+  }
+
+  /** Pairwise estimates over the per-group buffers - shared by the
+    * batch and streaming faces so the estimator cannot drift. All
+    * in-row array math on k-sized buffers.
+    */
+  private[graft] def kmvEstimates(kmv: DataFrame): DataFrame =
+    kmv.toDF("type_a", "ka").join(kmv.toDF("type_b", "kb"),
+        col("type_a") < col("type_b"))
+      .withColumn("u",
+        expr(s"slice(array_sort(array_union(ka, kb)), 1, $kmvK)"))
+      .withColumn("m", expr(
+        "size(filter(u, x -> array_contains(ka, x) AND array_contains(kb, x)))"))
+      .select(col("type_a"), col("type_b"),
+        ParityMath.q6(col("m").cast("double")
+          / size(col("u")).cast("double")).as("kmv_jaccard"),
+        // u shorter than k means BOTH sides' buffers were complete
+        // sets, so the union size is exact; otherwise h_k estimates it
+        when(size(col("u")) < kmvK, size(col("u")).cast("double"))
+          .otherwise(ParityMath.q6(
+            lit((kmvK - 1).toDouble * 281474976710656.0)
+              / expr("CAST(element_at(u, size(u)) AS DOUBLE)")))
+          .as("kmv_union_est"))
+
+  /** Exact pairwise overlap (one self-join keyed on the hash), emitted
+    * alongside the estimates; pairs with zero overlap still appear.
+    */
+  private[graft] def kmvExact(hs: DataFrame): DataFrame = {
+    val sizes = hs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val inter = hs.toDF("type_a", "h").join(hs.toDF("type_b", "h2"),
+        col("h") === col("h2") && col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    sizes.toDF("type_a", "na").join(sizes.toDF("type_b", "nb"),
+        col("type_a") < col("type_b"))
+      .join(inter, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        ParityMath.q6(coalesce(col("n_inter"), lit(0L)).cast("double")
+          / (col("na") + col("nb")
+            - coalesce(col("n_inter"), lit(0L))).cast("double"))
+          .as("jaccard_exact"))
+  }
+
+  def qKmvJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    graft.functions.NativeFunctions.register(spark)
+    val hs = kmvHashes(Graft.tableParallel(spark, sfDir, "events"))
+    kmvExact(hs)
+      .join(kmvEstimates(kmvSets(hs)), Seq("type_a", "type_b"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val qKmvJaccardSql: String = {
+    val h48 = HashParity.hex48Duck("md5(CAST(user_id AS VARCHAR))")
+    s"""WITH hs AS (
+       |  SELECT DISTINCT event_type, $h48 AS h FROM events
+       |), km AS (
+       |  SELECT event_type, list_sort(list(h)) AS ks FROM (
+       |    SELECT event_type, h,
+       |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |    FROM hs
+       |  ) WHERE rn <= $kmvK GROUP BY event_type
+       |), sizes AS (
+       |  SELECT event_type, count(*) AS n FROM hs GROUP BY event_type
+       |), inter AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |    count(*) AS n_inter
+       |  FROM hs a JOIN hs b
+       |    ON a.h = b.h AND a.event_type < b.event_type
+       |  GROUP BY 1, 2
+       |), ex AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |    CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+       |    ${ParityMath.q6Sql(
+            """CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+              |/ CAST(a.n + b.n - coalesce(i.n_inter, 0) AS DOUBLE)"""
+              .stripMargin)} AS jaccard_exact
+       |  FROM sizes a JOIN sizes b ON a.event_type < b.event_type
+       |  LEFT JOIN inter i
+       |    ON i.type_a = a.event_type AND i.type_b = b.event_type
+       |), est AS (
+       |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+       |    x.ks AS ka, y.ks AS kb,
+       |    list_sort(list_distinct(x.ks || y.ks))[1:$kmvK] AS u
+       |  FROM km x JOIN km y ON x.event_type < y.event_type
+       |), e2 AS (
+       |  SELECT type_a, type_b, u,
+       |    len(list_filter(u,
+       |      x -> list_contains(ka, x) AND list_contains(kb, x))) AS m
+       |  FROM est
+       |)
+       |SELECT ex.type_a, ex.type_b, ex.n_inter, ex.jaccard_exact,
+       |  ${ParityMath.q6Sql(
+            "CAST(m AS DOUBLE) / CAST(len(u) AS DOUBLE)")} AS kmv_jaccard,
+       |  CASE WHEN len(u) < $kmvK THEN CAST(len(u) AS DOUBLE)
+       |  ELSE ${ParityMath.q6Sql(
+            s"""CAST(${kmvK - 1}.0 AS DOUBLE) * 281474976710656.0
+               |/ CAST(u[len(u)] AS DOUBLE)""".stripMargin)} END
+       |    AS kmv_union_est
+       |FROM ex JOIN e2 USING (type_a, type_b)
+       |ORDER BY ex.type_a, ex.type_b""".stripMargin
+  }
+
   val qHllDistinctSql: String = {
     val h48 = HashParity.hex48Duck("md5(CAST(l_orderkey AS VARCHAR))")
     s"""WITH h AS (

@@ -244,6 +244,38 @@ object StreamSum {
       .limit(CorpusOps.wsampleK)
   }
 
+  /** Streaming face of the KMV set-operations sketch: per-type k
+    * smallest distinct hashes maintained as bounded streaming-agg
+    * state (`MinKAgg` - duplicates dedup inside the k-buffer itself,
+    * so exact KMV under an unbounded stream costs exactly k longs per
+    * group; the reason streaming set-overlap is tractable at all).
+    * The pairwise estimator over the final snapshot is the shared
+    * `Sketches.kmvEstimates`; the exact overlap relation comes from
+    * the static table, same as the other sketch faces - shares
+    * `q_kmv_jaccard`'s oracle.
+    */
+  def streamKmv(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    graft.functions.NativeFunctions.register(spark)
+    import graft.analytics.Sketches
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val ev = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val hashed = ev.select(col("event_type"),
+        expr("graft_md5_48(CAST(user_id AS STRING))").as("h"))
+      .as[(String, Long)]
+    val agg = graft.functions.MinKAgg(Sketches.kmvK)
+    val perType = hashed.groupByKey(_._1).mapValues(_._2)
+      .agg(agg.toColumn.name("ks"))
+    val snap = runToTable(perType.toDF("event_type", "ks"),
+      OutputMode.Complete(), "ss_stream_kmv")
+    val hs = Sketches.kmvHashes(Graft.table(spark, sfDir, "events"))
+    Sketches.kmvExact(hs)
+      .join(Sketches.kmvEstimates(snap), Seq("type_a", "type_b"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** Last-N via the Spark 4 transformWithState API (RocksDB state
     * store) - same result as `streamLastnState`, current-generation
     * stateful operator.

@@ -37,6 +37,64 @@ class SketchesSpec extends SparkSpec {
     assert(est.filter(col("est_cnt") > col("exact_cnt")).count() > 0)
   }
 
+  test("KMV: pairwise estimates within sketch error of planted truth") {
+    val s = spark; import s.implicits._
+    // two types over ranges [0,1000) and [500,1500): true Jaccard
+    // 500/1500, union 1500 - both beyond k=256, so the ESTIMATION path
+    // runs (never the small-set exact fallback)
+    val ev = ((0L until 1000L).map(u => ("A", u)) ++
+      (500L until 1500L).map(u => ("B", u)))
+      .toDF("event_type", "user_id")
+    val hs = Sketches.kmvHashes(ev)
+    val r = Sketches.kmvExact(hs)
+      .join(Sketches.kmvEstimates(Sketches.kmvSets(hs)),
+        Seq("type_a", "type_b")).collect()(0)
+    assert(r.getLong(2) == 500L && r.getDouble(3) == 0.333333) // q6 exact
+    // RSE ~ 1/sqrt(256) ~ 6%; generous deterministic bounds
+    assert(math.abs(r.getDouble(4) - 1.0 / 3) < 0.1,
+      s"KMV Jaccard ${r.getDouble(4)} far from 1/3")
+    assert(math.abs(r.getDouble(5) - 1500.0) < 300.0,
+      s"KMV union estimate ${r.getDouble(5)} far from 1500")
+    // small sets: the exact fallback reports the true union size
+    val tiny = Seq(("A", 1L), ("A", 2L), ("B", 2L), ("B", 3L))
+      .toDF("event_type", "user_id")
+    val ths = Sketches.kmvHashes(tiny)
+    val t = Sketches.kmvExact(ths)
+      .join(Sketches.kmvEstimates(Sketches.kmvSets(ths)),
+        Seq("type_a", "type_b")).collect()(0)
+    assert(t.getDouble(4) == 0.333333 && t.getDouble(5) == 3.0)
+  }
+
+  test("KMV: streaming min-k state dedups and merges across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // duplicates across batches (i % 400) force the in-buffer dedup:
+    // a value re-arriving in a later batch must not occupy two slots
+    val all = (0L until 1200L).map(i => ("A", i % 400))
+    val mem = MemoryStream[(String, Long)]
+    val agg = graft.functions.MinKAgg(Sketches.kmvK)
+    val perType = mem.toDS()
+      .groupByKey(_._1).mapValues(r => java.lang.Long.parseLong(
+        graft.pipeline.HashParity.md5Hex(r._2.toString).take(12), 16))
+      .agg(agg.toColumn.name("ks"))
+    val q = perType.toDF("event_type", "ks").writeStream.format("memory")
+      .queryName("kmv_mb").outputMode(OutputMode.Complete()).start()
+    all.grouped(400).foreach { chunk =>
+      mem.addData(chunk: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("kmv_mb").collect()(0)
+      .getSeq[Long](1)
+    val batch = Sketches.kmvSets(Sketches.kmvHashes(
+        all.toDF("event_type", "user_id")))
+      .collect()(0).getSeq[Long](1)
+    assert(streamed == batch,
+      "streamed KMV buffer must equal the one-shot batch buffer")
+    assert(streamed.length == math.min(400, Sketches.kmvK))
+  }
+
   test("sketch states merge across micro-batches == one-shot batch") {
     // the driver-gate streaming faces read the corpus file as a single
     // micro-batch; this pins the actually-incremental case - the same
