@@ -408,8 +408,20 @@ object Sketches {
     Graft.ensureConf(spark)
     graft.functions.NativeFunctions.register(spark)
     val hs = kmvHashes(Graft.tableParallel(spark, sfDir, "events"))
+    // the per-group buffers are groups x k longs - small by
+    // construction, the same legitimate collect as the IVF centroid
+    // literals - so the pairwise self-join runs on a LOCAL relation
+    // instead of duplicating the corpus-scan subtree per join side.
+    // The sketch path is then exactly ONE corpus scan (hash + one
+    // bounded per-group top-k); the exact-overlap relation joined
+    // alongside is the error-visibility adjunct (same role as
+    // q_hll_distinct's n_exact), not part of the production path.
+    val s2 = spark; import s2.implicits._
+    val kmvLocal = kmvSets(hs).collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1))).toSeq
     kmvExact(hs)
-      .join(kmvEstimates(kmvSets(hs)), Seq("type_a", "type_b"))
+      .join(kmvEstimates(kmvLocal.toDF("event_type", "ks")),
+        Seq("type_a", "type_b"))
       .orderBy(col("type_a"), col("type_b"))
   }
 

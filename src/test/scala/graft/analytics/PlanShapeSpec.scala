@@ -187,6 +187,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"probe join shuffled:\n$plan")
   }
 
+  test("kmv: per-group top-k plans as the bounded heap, not a sort") {
+    // the sketch-build relation (qKmvJaccard collects it as a local
+    // pair table, so it's not in the query's returned plan)
+    graft.core.Graft.ensureConf(spark)
+    val plan = executed(Sketches.kmvSets(Sketches.kmvHashes(
+      graft.core.Graft.table(spark, sfDir, "events"))))
+    // the k-minima selection must be the TopKPerKey heap operator
+    // (TopKWindowRewrite engages on the row_number formulation); a
+    // per-group Window sort would be O(n log n) per group at scale
+    assert(plan.contains("TopKPerKey"),
+      s"k-minima must plan as the bounded heap:\n${plan.take(3000)}")
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window\n"),
+      s"no window sort may survive the rewrite:\n${plan.take(3000)}")
+  }
+
   test("dup spans: repeated-gram set broadcasts onto the gram stream") {
     val plan = executed(graft.pipeline.Dedup.dupSpans(spark, sfDir))
       .split("== Initial Plan ==").head
