@@ -154,6 +154,32 @@ object CorpusScaleSmoke {
     println(s"CORPUS-SMOKE docs=$planted exact_dup_groups=$exactGroups " +
       s"rep_docs=$repDocs bloom_maybe=$bloomPruned lsh_candidates=$candidates " +
       s"span_full=$spanFull")
+
+    // weighted sample: one narrow pass + TakeOrdered top-K over the
+    // full corpus; K rows exactly, ranked
+    val wK = graft.pipeline.CorpusOps.wsampleK
+    val wTop = timed("weighted sample top-K")(
+      graft.pipeline.CorpusOps.sampleWeightedFrom(docs)
+        .orderBy(col("skey").desc, col("doc_id")).limit(wK).collect())
+    require(wTop.length == wK)
+    require(wTop.map(_.getDouble(2)).sliding(2)
+      .forall(p => p.length < 2 || p(0) >= p(1)), "sample not ranked")
+
+    // component resolution on a worst-case CHAIN: diameter = n, where
+    // plain min-label propagation needs n rounds (hours of jobs at
+    // this size) - path halving must land in O(log n)
+    val chainN = 100000L
+    val (chains, rounds) = timed(s"connected components ($chainN-chain)") {
+      val edges = spark.range(chainN - 1)
+        .selectExpr("id AS doc_a", "id + 1 AS doc_b")
+      val (out, r) = graft.pipeline.Dedup.resolveComponents(spark, edges)
+      (out.filter(col("cluster_id") === 0L).count(), r)
+    }
+    require(chains == chainN,
+      s"chain must collapse to one component: $chains of $chainN labeled 0")
+    require(rounds <= 25,
+      s"path halving must converge in O(log n) rounds, took $rounds")
+    println(s"CORPUS-SMOKE chain=$chainN rounds=$rounds wsample_k=$wK")
     docs.unpersist()
     spark.stop()
   }

@@ -99,6 +99,25 @@ object ScaleSmoke {
     println(f"SMOKE sketches rows=$rows cms_sec=${(t6 - t5) / 1e9}%.1f " +
       f"hll_est=$hll%.0f hll_exact=$exactU hll_sec=${(t7 - t6) / 1e9}%.1f " +
       f"qtile_sec=${(t8 - t7) / 1e9}%.1f")
+    // KMV set-operations sketch at scale, closed-form truth: type A =
+    // users [0, 1M), type B = [500k, 1.5M) - true Jaccard 1/3, union
+    // 1.5M, both far past k=256 so the estimation path runs. One
+    // narrow hash pass + the bounded per-group heap; pair math on two
+    // 256-long buffers.
+    val nk = 1000000L
+    val kmvIn = spark.range(nk).selectExpr("'A' AS event_type", "id AS user_id")
+      .unionAll(spark.range(nk / 2, 3 * nk / 2)
+        .selectExpr("'B' AS event_type", "id AS user_id"))
+    val kmvR = Sketches.kmvEstimates(
+        Sketches.kmvSets(Sketches.kmvHashes(kmvIn)))
+      .collect()(0)
+    val t9 = System.nanoTime()
+    require(math.abs(kmvR.getDouble(2) - 1.0 / 3) < 0.1,
+      s"KMV Jaccard ${kmvR.getDouble(2)} far from 1/3")
+    require(math.abs(kmvR.getDouble(3) - 1.5e6) / 1.5e6 < 0.15,
+      s"KMV union estimate ${kmvR.getDouble(3)} far from 1.5M")
+    println(f"SMOKE kmv rows=${2 * nk} jaccard_est=${kmvR.getDouble(2)}%.4f " +
+      f"union_est=${kmvR.getDouble(3)}%.0f sec=${(t9 - t8) / 1e9}%.1f")
     spark.stop()
   }
 }
