@@ -137,6 +137,10 @@ object SparkEntry {
     "dd_store_candidates" -> graft.pipeline.SignatureStore.gatedCandidates _,
     "dd_store_spans" -> graft.pipeline.SignatureStore.gatedDupSpans _,
     "lm_store_quality" -> graft.pipeline.SignatureStore.gatedQualityGate _,
+    "cms_store_topk" -> graft.pipeline.SignatureStore.gatedCmsTopk _,
+    "kmv_store_jaccard" -> graft.pipeline.SignatureStore.gatedKmvJaccard _,
+    "hll_store_distinct" -> graft.pipeline.SignatureStore.gatedHllDistinct _,
+    "qtile_store" -> graft.pipeline.SignatureStore.gatedQtileSketch _,
     "ann_store_candidates" ->
       graft.pipeline.SignatureStore.gatedAnnCandidates _,
     "dd_embed_cosine" -> Similarity.embedCosinePairs _,
@@ -257,6 +261,11 @@ object SparkEntry {
     "dd_store_candidates" -> Dedup.minhashLshSql,
     "dd_store_spans" -> Dedup.dupSpansSql,
     "lm_store_quality" -> graft.pipeline.QualityGate.sql,
+    // sketch stores share their batch faces' oracles
+    "cms_store_topk" -> Sketches.qCmsTopkSql,
+    "kmv_store_jaccard" -> Sketches.qKmvJaccardSql,
+    "hll_store_distinct" -> Sketches.qHllDistinctSql,
+    "qtile_store" -> Sketches.qQtileSketchSql,
     "ann_store_candidates" -> Similarity.annCandidatesSql,
     "dd_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dd_simhash" -> Dedup.simhashPairsSql,

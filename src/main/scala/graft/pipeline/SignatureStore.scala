@@ -366,6 +366,72 @@ object SignatureStore {
       .orderBy(col("doc_id"))
   }
 
+  // ---- sketch stores -------------------------------------------------
+
+  /** Sketch twin of `catchUp` over an events directory: every sketch
+    * in the family is a MERGEABLE summary, so incremental maintenance
+    * is per-batch partials + the sketch's own merge at query time -
+    * CMS counters are additive (sum), KMV buffers re-minimize
+    * (distinct-union-take-k). This is how a production pipeline
+    * actually keeps corpus-wide sketches current: each arriving
+    * partition contributes a partition-sized sketch, and no stored
+    * event is ever re-read or re-hashed. Per-batch partition
+    * overwrite keeps replay idempotent, same as catchUp.
+    */
+  def catchUpEventSketches(spark: SparkSession, watchDir: String,
+                           storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    graft.functions.NativeFunctions.register(spark)
+    import graft.analytics.Sketches
+    if (!hasParquet(spark, watchDir)) return // nothing has arrived yet
+    val schema = spark.read.option("pathGlobFilter", "*.parquet")
+      .parquet(watchDir).schema
+    val ev = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet").parquet(watchDir)
+    val q = ev.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        Sketches.cmsCounters(batch.select(col("user_id")))
+          .write.mode("overwrite").parquet(s"$storeDir/cms_part/batch=$id")
+        Sketches.kmvSets(Sketches.kmvHashes(batch))
+          .write.mode("overwrite").parquet(s"$storeDir/kmv_part/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Lineitem twin: HLL register maxima merge by max, histogram bin
+    * counts merge by sum.
+    */
+  def catchUpLineitemSketches(spark: SparkSession, watchDir: String,
+                              storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    graft.functions.NativeFunctions.register(spark)
+    import graft.analytics.Sketches
+    if (!hasParquet(spark, watchDir)) return // nothing has arrived yet
+    val schema = spark.read.option("pathGlobFilter", "*.parquet")
+      .parquet(watchDir).schema
+    val li = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet").parquet(watchDir)
+    val q = li.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        Sketches.hashRho(batch.select(col("l_returnflag"), col("l_orderkey")))
+          .groupBy(col("l_returnflag"), col("reg"))
+          .agg(org.apache.spark.sql.functions.max(col("rho")).as("mj"))
+          .write.mode("overwrite").parquet(s"$storeDir/hll_part/batch=$id")
+        Sketches.qtileBins(
+            batch.select(col("l_returnflag"), col("l_extendedprice")))
+          .groupBy(col("l_returnflag"), col("bin"))
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
+          .write.mode("overwrite").parquet(s"$storeDir/qtile_part/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def storedCells(spark: SparkSession, storeDir: String): DataFrame =
     storedOrEmpty(spark, s"$storeDir/cells",
       emptyLike(spark, spark.range(0).selectExpr(
@@ -489,6 +555,92 @@ object SignatureStore {
       "arrival2.parquet")
     catchUpLm(spark, watch, store)
     storedQualityGate(spark, store)
+  }
+
+  /** Sketch gated faces: a fresh store catches up with the table
+    * arriving as two appends (split on the id's parity, so every
+    * group's sketch genuinely merges partials from both batches), then
+    * answers with the SAME estimate relation the one-shot batch query
+    * computes - each face shares its batch oracle. The exact/probe
+    * adjunct comes from the static table, as in the streaming faces.
+    */
+  def gatedCmsTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.analytics.Sketches
+    val watch = tempDirForExit("graft_gate_cms_watch")
+    val store = tempDirForExit("graft_gate_cms_store")
+    val ev = Graft.table(spark, sfDir, "events")
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpEventSketches(spark, watch, store)
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpEventSketches(spark, watch, store)
+    val counters = spark.read.parquet(s"$store/cms_part").drop("batch")
+      .groupBy(col("r"), col("bkt"))
+      .agg(org.apache.spark.sql.functions.sum(col("c")).as("c"))
+    Sketches.cmsEstimate(counters, ev.select(col("user_id")))
+  }
+
+  def gatedKmvJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.analytics.Sketches
+    val watch = tempDirForExit("graft_gate_kmv_watch")
+    val store = tempDirForExit("graft_gate_kmv_store")
+    val ev = Graft.table(spark, sfDir, "events")
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpEventSketches(spark, watch, store)
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpEventSketches(spark, watch, store)
+    // KMV merge: the k smallest of the united buffers - batches x k
+    // rows per group in, k out
+    val merged = Sketches.kmvSets(
+      spark.read.parquet(s"$store/kmv_part").drop("batch")
+        .select(col("event_type"),
+          org.apache.spark.sql.functions.explode(col("ks")).as("h"))
+        .distinct())
+    Sketches.kmvExact(Sketches.kmvHashes(ev))
+      .join(Sketches.kmvEstimates(merged), Seq("type_a", "type_b"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  def gatedHllDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.analytics.Sketches
+    val watch = tempDirForExit("graft_gate_hll_watch")
+    val store = tempDirForExit("graft_gate_hll_store")
+    val li = Graft.table(spark, sfDir, "lineitem")
+    land(li.filter(pmod(col("l_orderkey"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpLineitemSketches(spark, watch, store)
+    land(li.filter(pmod(col("l_orderkey"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpLineitemSketches(spark, watch, store)
+    val regs = spark.read.parquet(s"$store/hll_part").drop("batch")
+      .groupBy(col("l_returnflag"), col("reg"))
+      .agg(org.apache.spark.sql.functions.max(col("mj")).as("mj"))
+    Sketches.estimate(regs)
+      .join(Sketches.exactDistinct(
+        li.select(col("l_returnflag"), col("l_orderkey"))),
+        Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_exact"), col("hll_est"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  def gatedQtileSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.analytics.Sketches
+    val watch = tempDirForExit("graft_gate_qt_watch")
+    val store = tempDirForExit("graft_gate_qt_store")
+    val li = Graft.table(spark, sfDir, "lineitem")
+    land(li.filter(pmod(col("l_orderkey"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpLineitemSketches(spark, watch, store)
+    land(li.filter(pmod(col("l_orderkey"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpLineitemSketches(spark, watch, store)
+    Sketches.qtileEstimate(
+      spark.read.parquet(s"$store/qtile_part").drop("batch")
+        .groupBy(col("l_returnflag"), col("bin"))
+        .agg(org.apache.spark.sql.functions.sum(col("c")).as("c")))
   }
 
   /** Embedding twin: fresh incremental cell store over two appends,

@@ -178,6 +178,38 @@ class IncrementalSignatureSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq == stored)
   }
 
+  test("catchUpEventSketches: partials merge to the one-shot sketch") {
+    import graft.analytics.Sketches
+    val watch = Files.createTempDirectory("graft_sk_watch").toString
+    val store = Files.createTempDirectory("graft_sk_store").toString
+    val ev = graft.core.Graft.table(spark, sfDir, "events")
+    land(ev.filter(col("event_id") % 2 === 0), watch, "a1.parquet")
+    SignatureStore.catchUpEventSketches(spark, watch, store)
+    land(ev.filter(col("event_id") % 2 === 1), watch, "a2.parquet")
+    SignatureStore.catchUpEventSketches(spark, watch, store)
+    // CMS: summed partials == the one-shot counter matrix (additive)
+    val merged = spark.read.parquet(s"$store/cms_part").drop("batch")
+      .groupBy(col("r"), col("bkt")).agg(sum(col("c")).as("c"))
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    val oneShot = Sketches.cmsCounters(ev.select(col("user_id")))
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(merged == oneShot)
+    // KMV: re-minimized union of per-batch buffers == one-shot buffer
+    val kMerged = Sketches.kmvSets(
+        spark.read.parquet(s"$store/kmv_part").drop("batch")
+          .select(col("event_type"), explode(col("ks")).as("h")).distinct())
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val kOne = Sketches.kmvSets(Sketches.kmvHashes(ev))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(kMerged == kOne)
+    // idempotent: nothing new -> nothing changes
+    SignatureStore.catchUpEventSketches(spark, watch, store)
+    assert(spark.read.parquet(s"$store/cms_part").drop("batch")
+      .groupBy(col("r"), col("bkt")).agg(sum(col("c")).as("c"))
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2)))
+      .toMap == oneShot)
+  }
+
   test("catchUpEmbeddings: incremental cells match batch ANN blocking") {
     val watch = Files.createTempDirectory("graft_emb_watch").toString
     val store = Files.createTempDirectory("graft_emb_store").toString
