@@ -49,8 +49,8 @@ object Bench {
     "txt_stats", "txt_fingerprint", "txt_repetition",
     "mm_binary_stats", "pipe_corpus_clean",
     "pipe_decontaminate", "pipe_decont_bloom", "pipe_dedup_apply",
-    "pipe_quality_gate", "dd_dup_spans", "pipe_span_scrub",
-    "pipe_sample_weighted")
+    "pipe_quality_gate", "pipe_quality_prune", "dd_dup_spans",
+    "pipe_span_scrub", "pipe_sample_weighted")
 
   private def releaseMemos(spark: SparkSession): Unit = {
     graft.core.Transform.releaseAll(spark)

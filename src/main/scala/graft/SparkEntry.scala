@@ -177,6 +177,7 @@ object SparkEntry {
     "pipe_dedup_apply" -> Dedup.dedupApply _,
     "pipe_span_scrub" -> Dedup.spanScrub _,
     "pipe_quality_gate" -> ((s, d) => graft.pipeline.QualityGate(s, d)),
+    "pipe_quality_prune" -> graft.pipeline.QualityGate.prune _,
     // ---- composed cleaning pipeline ----
     "pipe_corpus_clean" -> ((s, d) => CorpusClean(s, d)),
   )
@@ -296,6 +297,7 @@ object SparkEntry {
     "pipe_dedup_apply" -> Dedup.dedupApplySql,
     "pipe_span_scrub" -> Dedup.spanScrubSql,
     "pipe_quality_gate" -> graft.pipeline.QualityGate.sql,
+    "pipe_quality_prune" -> graft.pipeline.QualityGate.pruneSql,
     "ss_stream_quality" -> graft.pipeline.QualityGate.sql,
     "pipe_corpus_clean" -> CorpusClean.sql,
   )

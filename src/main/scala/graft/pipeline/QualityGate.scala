@@ -142,6 +142,92 @@ object QualityGate {
       .orderBy(col("doc_id"))
   }
 
+  // ---- pipe_quality_prune -------------------------------------------
+
+  /** NLL histogram bin width: a power of two, so `nll * 16` is an
+    * exact exponent shift in IEEE double and the bin id is bitwise
+    * identical in both engines.
+    */
+  val pruneBinInv = 16.0
+  val pruneQ = 0.75
+
+  /** Per-source quality pruning with a SKETCH-derived threshold: keep
+    * each source's best `pruneQ` quantile by LM NLL, where the cutoff
+    * bin comes from the fixed-bin histogram (one source x bins count +
+    * a rank walk) instead of a per-source global sort - at 100 TB a
+    * rank-within-source window funnels corpus/#sources rows through
+    * single reducers, while the histogram is a map-side-combinable
+    * count whose cum-walk runs on source x occupied-bins rows. The cut
+    * is bin-granular (error <= one bin = 1/16 nat) and deterministic,
+    * which is also what makes it oracle-able; docs on the threshold
+    * bin are kept. Only docs with an LM signal participate (no
+    * [a-z0-9]+ tokens -> no row, same as the nll relation itself).
+    */
+  def prune(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    graft.functions.NativeFunctions.register(spark)
+    val docs = Graft.tableParallel(spark, sfDir, "documents")
+    val (freq, nTotal, vSize) = lmRelations(spark, sfDir)
+    val nll = nllFromToks(termToks(docs), freq, nTotal, vSize)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("bin",
+        floor(col("nll") * lit(pruneBinInv)).cast(LongType))
+    val hist = nll.groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("bin"))
+    val cuts = hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+      .filter(col("cum") >=
+        ceil(lit(pruneQ) * col("n").cast("double")).cast(LongType))
+      .groupBy(col("source")).agg(min(col("bin")).as("qbin"))
+    nll.join(broadcast(cuts), "source")
+      .select(col("doc_id"), col("source"), col("nll"),
+        (col("bin") <= col("qbin")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val pruneSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+       |    '[a-z0-9]+')) AS term
+       |  FROM documents
+       |), freq AS (
+       |  SELECT term, count(*) AS cnt FROM toks GROUP BY term
+       |), totals AS (
+       |  SELECT sum(cnt) AS n_total, count(*) AS v_size FROM freq
+       |), nll AS (
+       |  SELECT doc_id, ${ParityMath.q6Sql(
+            "(CAST(sum(nll_u) AS DOUBLE) / 1000000.0) / count(*)")} AS nll
+       |  FROM (
+       |    SELECT t.doc_id,
+       |      CAST(floor(-ln(CAST(f.cnt + 1 AS DOUBLE)
+       |        / CAST(tt.n_total + tt.v_size AS DOUBLE)) * 1000000.0 + 0.5)
+       |        AS BIGINT) AS nll_u
+       |    FROM toks t JOIN freq f USING (term) CROSS JOIN totals tt
+       |  ) GROUP BY doc_id
+       |), nb AS (
+       |  SELECT n.doc_id, d.source, n.nll,
+       |    CAST(floor(n.nll * $pruneBinInv) AS BIGINT) AS bin
+       |  FROM nll n JOIN documents d USING (doc_id)
+       |), hist AS (
+       |  SELECT source, bin, count(*) AS c FROM nb GROUP BY source, bin
+       |), cum AS (
+       |  SELECT source, bin,
+       |    sum(c) OVER (PARTITION BY source ORDER BY bin) AS cum,
+       |    sum(c) OVER (PARTITION BY source) AS n
+       |  FROM hist
+       |), cuts AS (
+       |  SELECT source, min(bin) AS qbin FROM cum
+       |  WHERE cum >= CAST(ceil($pruneQ * CAST(n AS DOUBLE)) AS BIGINT)
+       |  GROUP BY source
+       |)
+       |SELECT nb.doc_id, nb.source, nb.nll, (nb.bin <= c.qbin) AS keep
+       |FROM nb JOIN cuts c USING (source)
+       |ORDER BY nb.doc_id""".stripMargin
+
   val sql: String =
     s"""WITH t AS (
        |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t

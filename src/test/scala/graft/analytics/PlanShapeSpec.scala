@@ -164,6 +164,32 @@ class PlanShapeSpec extends SparkSpec {
       s"totals must be literals, not a cross join:\n$plan")
   }
 
+  test("quality prune: sketch threshold, broadcast cut, ~quantile keep") {
+    val df = graft.pipeline.QualityGate.prune(spark, sfDir)
+    val rows = df.collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getBoolean(3)))
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      val kept = g.count(_._3).toDouble / g.length
+      // exact invariant: the threshold bin is the first whose cum
+      // reaches ceil(0.75 n), so the keep rate is NEVER below 0.75;
+      // the overshoot above it is bin-granular (large on tiny sources)
+      assert(kept >= 0.749999, s"$src keep rate $kept below the quantile")
+      if (g.exists(!_._3)) {
+        // every kept doc scores at most one bin above every dropped doc
+        val maxKept = g.filter(_._3).map(_._2).max
+        val minDropped = g.filter(!_._3).map(_._2).min
+        assert(maxKept < minDropped + 1.0 / graft.pipeline.QualityGate.pruneBinInv,
+          s"$src: kept nll $maxKept not below dropped $minDropped + bin")
+      }
+    }
+    assert(rows.exists(!_._3), "the prune must actually drop documents")
+    // the per-source cutoffs must broadcast back onto the doc relation
+    // (never a rank-within-source window over the corpus)
+    val plan = executed(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cutoffs must broadcast:\n${plan.take(3000)}")
+  }
+
   test("dedup apply: drop list joins the corpus without a corpus shuffle") {
     val plan = executed(
       graft.pipeline.Dedup.dedupApply(spark, sfDir))
