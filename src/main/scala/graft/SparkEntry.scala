@@ -174,6 +174,7 @@ object SparkEntry {
     "pipe_decont_bloom" -> graft.pipeline.CorpusOps.decontaminateBloom _,
     "pipe_mix" -> graft.pipeline.CorpusOps.mix _,
     "pipe_sample_weighted" -> graft.pipeline.CorpusOps.sampleWeighted _,
+    "pipe_layout_zorder" -> graft.pipeline.Layout.zorder _,
     "pipe_dedup_apply" -> Dedup.dedupApply _,
     "pipe_span_scrub" -> Dedup.spanScrub _,
     "pipe_quality_gate" -> ((s, d) => graft.pipeline.QualityGate(s, d)),
@@ -291,6 +292,7 @@ object SparkEntry {
     "pipe_sample_weighted" -> graft.pipeline.CorpusOps.sampleWeightedSql,
     // streaming admission face shares the batch sampling oracle
     "ss_stream_wsample" -> graft.pipeline.CorpusOps.sampleWeightedSql,
+    "pipe_layout_zorder" -> graft.pipeline.Layout.zorderSql,
     "pipe_pack" -> graft.pipeline.CorpusOps.packSql(),
     "pipe_decontaminate" -> graft.pipeline.CorpusOps.decontaminateSql,
     "pipe_decont_bloom" -> graft.pipeline.CorpusOps.decontaminateSql,

@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import graft.core.Graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: where rows LIVE decides what a 100 TB scan
+  * has to read. `pipe_layout_zorder` assigns every event a Morton
+  * (z-order) key over (time bucket, value bucket) and a shard = the
+  * key's top bits: writing the table partitioned by that shard gives
+  * range queries on EITHER dimension a small candidate shard set - the
+  * property no single-column sort can offer (a time-sorted layout
+  * answers value-range queries by reading everything). The z-curve is
+  * pure integer bit-interleaving on bucketized dimensions, identical
+  * SQL in both engines, so the whole layout decision sits under the
+  * bitwise oracle.
+  *
+  * Production use: `df.repartition(col("shard")).write.partitionBy
+  * ("shard")` and prune with `shard IN (candidates(region))` - the
+  * candidate enumeration for a query box is driver-side bit math over
+  * at most 2^(2*zBits - shardShift) shard ids (LayoutSpec demonstrates
+  * the end-to-end prune on files).
+  */
+object Layout {
+
+  /** Bits per dimension (buckets = 2^zBits per dim). */
+  val zBits = 8
+
+  /** Shard = zkey >> shardShift: 2^(2*zBits - shardShift) = 64 shards. */
+  val shardShift = 10
+
+  /** 4-hour time buckets in microseconds; monotone over the synthetic
+    * month of data (wraps only past 256 x 4 h ≈ 42 days - pinned by
+    * the oracle, which wraps identically).
+    */
+  val tBucketUs = 14400000000L
+
+  /** Value bucket width: division by 2 is an exact exponent shift in
+    * IEEE double, so the bucket id has zero parity risk.
+    */
+  val vWidth = 2.0
+
+  /** Bit-interleave expression over integer columns `a`, `b` - the
+    * same text modulo each dialect's shift syntax (Spark: shiftleft /
+    * shiftright functions; DuckDB: << / >> operators).
+    */
+  private def interleave(shl: (String, Int) => String,
+                         shr: (String, Int) => String)
+                        (a: String, b: String): String =
+    (0 until zBits).map { i =>
+      s"${shl(s"(${shr(a, i)} & 1)", 2 * i)} + " +
+        s"${shl(s"(${shr(b, i)} & 1)", 2 * i + 1)}"
+    }.mkString("(", " + ", ")")
+
+  private val zSpark = interleave(
+    (x, n) => s"shiftleft($x, $n)", (x, n) => s"shiftright($x, $n)")("tb", "vb")
+  private val zDuck = interleave(
+    (x, n) => s"($x << $n)", (x, n) => s"($x >> $n)")("tb", "vb")
+
+  def zorder(spark: SparkSession, sfDir: String): DataFrame =
+    zorderFrom(Graft.tableParallel(spark, sfDir, "events"))
+
+  /** One narrow pass: bucketize, interleave, take the top bits. */
+  private[graft] def zorderFrom(ev: DataFrame): DataFrame =
+    ev.filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_id"),
+        expr(s"pmod((ts DIV 1000L) DIV ${tBucketUs}L, ${1L << zBits})")
+          .as("tb"),
+        expr(s"CAST(least(floor(value / CAST($vWidth AS DOUBLE)), " +
+          s"${(1L << zBits) - 1}.0D) AS BIGINT)").as("vb"))
+      .withColumn("zkey", expr(zSpark))
+      .withColumn("shard", expr(s"shiftright(zkey, $shardShift)"))
+      .orderBy(col("event_id"))
+
+  val zorderSql: String =
+    s"""WITH b AS (
+       |  SELECT event_id,
+       |    (epoch_us(ts) // $tBucketUs) % ${1L << zBits} AS tb,
+       |    CAST(least(floor(value / CAST($vWidth AS DOUBLE)),
+       |               ${(1L << zBits) - 1}.0) AS BIGINT) AS vb
+       |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+       |)
+       |SELECT event_id, tb, vb, $zDuck AS zkey,
+       |  ($zDuck >> $shardShift) AS shard
+       |FROM b ORDER BY event_id""".stripMargin
+}
