@@ -99,6 +99,7 @@ object SparkEntry {
     "ss_stream_span_scrub" -> StreamSum.streamSpanScrub _,
     "ss_stream_wsample" -> StreamSum.streamWeightedSample _,
     "ss_stream_kmv" -> StreamSum.streamKmv _,
+    "ss_stream_qprune" -> StreamSum.streamQualityPrune _,
     "ss_stream_undo_count" -> StreamSum.streamUndoCountState _,
     "ss_stream_undo_assoc" -> StreamSum.streamUndoAssocState _,
     "ss_stream_keycount" -> StreamSum.streamKeycountState _,
@@ -300,6 +301,8 @@ object SparkEntry {
     "pipe_span_scrub" -> Dedup.spanScrubSql,
     "pipe_quality_gate" -> graft.pipeline.QualityGate.sql,
     "pipe_quality_prune" -> graft.pipeline.QualityGate.pruneSql,
+    // streaming admission face shares the prune oracle
+    "ss_stream_qprune" -> graft.pipeline.QualityGate.pruneSql,
     "ss_stream_quality" -> graft.pipeline.QualityGate.sql,
     "pipe_corpus_clean" -> CorpusClean.sql,
   )

@@ -18,7 +18,11 @@ final case class MinKAgg(k: Int)
   override def zero: Seq[Long] = Seq.empty
 
   override def reduce(buf: Seq[Long], h: Long): Seq[Long] =
-    if (buf.contains(h)) buf
+    // fast path: the buffer is sorted, so a full buffer rejects
+    // anything >= its maximum without a dedup scan or re-sort - the
+    // overwhelmingly common case once the stream warms up
+    if (buf.length >= k && h >= buf.last) buf
+    else if (buf.contains(h)) buf
     else ((buf :+ h).sorted: Seq[Long]).take(k)
 
   override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =

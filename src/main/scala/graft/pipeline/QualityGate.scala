@@ -163,30 +163,46 @@ object QualityGate {
     * bin are kept. Only docs with an LM signal participate (no
     * [a-z0-9]+ tokens -> no row, same as the nll relation itself).
     */
-  def prune(spark: SparkSession, sfDir: String): DataFrame = {
-    Graft.ensureConf(spark)
-    graft.functions.NativeFunctions.register(spark)
-    val docs = Graft.tableParallel(spark, sfDir, "documents")
-    val (freq, nTotal, vSize) = lmRelations(spark, sfDir)
-    val nll = nllFromToks(termToks(docs), freq, nTotal, vSize)
-      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+  /** (doc_id, source, nll, bin) from a per-doc nll relation. */
+  private[graft] def nllBinned(docs: DataFrame, nll: DataFrame): DataFrame =
+    nll.join(docs.select(col("doc_id"), col("source")), "doc_id")
       .withColumn("bin",
         floor(col("nll") * lit(pruneBinInv)).cast(LongType))
-    val hist = nll.groupBy(col("source"), col("bin"))
+
+  /** Per-source threshold bin from the histogram sketch: the first bin
+    * whose cumulative count reaches ceil(q * n). Runs on
+    * source x occupied-bins rows only.
+    */
+  private[graft] def pruneCuts(nb: DataFrame): DataFrame = {
+    val hist = nb.groupBy(col("source"), col("bin"))
       .agg(count(lit(1)).as("c"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("bin"))
-    val cuts = hist
+    hist
       .withColumn("cum", sum(col("c")).over(w))
       .withColumn("n", sum(col("c")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
       .filter(col("cum") >=
         ceil(lit(pruneQ) * col("n").cast("double")).cast(LongType))
       .groupBy(col("source")).agg(min(col("bin")).as("qbin"))
-    nll.join(broadcast(cuts), "source")
+  }
+
+  /** Verdict assembly shared by the batch and streaming faces. */
+  private[graft] def pruneAssemble(nb: DataFrame,
+                                   cuts: DataFrame): DataFrame =
+    nb.join(broadcast(cuts), "source")
       .select(col("doc_id"), col("source"), col("nll"),
         (col("bin") <= col("qbin")).as("keep"))
       .orderBy(col("doc_id"))
+
+  def prune(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    graft.functions.NativeFunctions.register(spark)
+    val docs = Graft.tableParallel(spark, sfDir, "documents")
+    val (freq, nTotal, vSize) = lmRelations(spark, sfDir)
+    val nb = nllBinned(docs,
+      nllFromToks(termToks(docs), freq, nTotal, vSize))
+    pruneAssemble(nb, pruneCuts(nb))
   }
 
   val pruneSql: String =

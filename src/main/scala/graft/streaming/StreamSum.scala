@@ -244,6 +244,39 @@ object StreamSum {
       .limit(CorpusOps.wsampleK)
   }
 
+  /** Streaming admission face of the sketch-thresholded quality prune:
+    * arriving documents are scored against the STATIC corpus LM (the
+    * streaming aggregation state is two longs per doc, as in
+    * `streamQuality`) and admitted against the STATIC per-source
+    * threshold bins - the sketch-derived cut is a model parameter the
+    * stream consults, not state it maintains. Scoring
+    * (`nllFromToks`), binning (`nllBinned`) and the verdict
+    * (`pruneAssemble`) are literally the batch functions; shares
+    * `pipe_quality_prune`'s oracle.
+    */
+  def streamQualityPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    graft.functions.NativeFunctions.register(spark)
+    import graft.pipeline.QualityGate
+    val (freq, nTotal, vSize) = QualityGate.lmRelations(spark, sfDir)
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docsS = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val nllS = QualityGate.nllFromToks(
+      QualityGate.termToks(docsS), freq, nTotal, vSize)
+    val nllTable = runToTable(nllS, OutputMode.Complete(),
+      "ss_stream_qprune")
+    val docsB = Graft.table(spark, sfDir, "documents")
+    // static cuts from the batch corpus; streamed scores admitted
+    // against them
+    val cuts = QualityGate.pruneCuts(QualityGate.nllBinned(docsB,
+      QualityGate.nllFromToks(QualityGate.termToks(docsB),
+        freq, nTotal, vSize)))
+    QualityGate.pruneAssemble(
+      QualityGate.nllBinned(docsB, nllTable), cuts)
+  }
+
   /** Streaming face of the KMV set-operations sketch: per-type k
     * smallest distinct hashes maintained as bounded streaming-agg
     * state (`MinKAgg` - duplicates dedup inside the k-buffer itself,
