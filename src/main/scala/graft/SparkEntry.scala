@@ -121,6 +121,7 @@ object SparkEntry {
     "q_range_join" -> RangeJoin.apply _,
     "q_hll_distinct" -> Sketches.qHllDistinct _,
     "q_kmv_jaccard" -> Sketches.qKmvJaccard _,
+    "q_hll_sliding" -> Sketches.qHllSliding _,
     "q_cms_topk" -> Sketches.qCmsTopk _,
     "q_qtile_sketch" -> Sketches.qQtileSketch _,
     "txt_pii_scrub" -> TextAnalysis.piiScrub _,
@@ -242,6 +243,7 @@ object SparkEntry {
     "q_range_join" -> RangeJoin.sql,
     "q_hll_distinct" -> Sketches.qHllDistinctSql,
     "q_kmv_jaccard" -> Sketches.qKmvJaccardSql,
+    "q_hll_sliding" -> Sketches.qHllSlidingSql,
     // streaming KMV face shares the batch sketch oracle
     "ss_stream_kmv" -> Sketches.qKmvJaccardSql,
     "q_cms_topk" -> Sketches.qCmsTopkSql,

@@ -70,20 +70,21 @@ object Sketches {
     * (l_returnflag, reg, mj) - shared by the batch and streaming faces
     * so the correction logic cannot drift.
     */
-  private[graft] def estimate(regs: DataFrame): DataFrame =
-    regs.groupBy(col("l_returnflag"))
+  private[graft] def estimate(regs: DataFrame,
+                              key: String = "l_returnflag"): DataFrame =
+    regs.groupBy(col(key))
       .agg(
         sum(expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), mj) AS DOUBLE)"))
           .as("s_ne"),
         count(lit(1)).as("n_reg"))
-      .select(col("l_returnflag"),
+      .select(col(key),
         // empty registers contribute 2^-0 = 1.0 each; they are exactly
         // the registers absent from the (group, reg) aggregate
         (col("s_ne") + (lit(hllM) - col("n_reg")).cast("double")).as("s_all"),
         (lit(hllM) - col("n_reg")).as("v"))
-      .select(col("l_returnflag"),
+      .select(col(key),
         expr(s"$alphaM2 / s_all").as("e_raw"), col("v"))
-      .select(col("l_returnflag"),
+      .select(col(key),
         ParityMath.q6(expr(
           s"""CASE WHEN e_raw <= $lcThreshold AND v > 0
              |THEN CAST(512.0 AS DOUBLE) * ln(CAST(512.0 AS DOUBLE) / CAST(v AS DOUBLE))
@@ -317,6 +318,95 @@ object Sketches {
        |FROM cand
        |GROUP BY l_returnflag, q
        |ORDER BY l_returnflag, q""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Sliding-window distinct via register merge
+  // ------------------------------------------------------------------
+
+  /** 4-hour sub-window buckets; the sliding window spans 6 of them
+    * (24 h ending at each occupied bucket).
+    */
+  val slideBucketUs = 14400000000L
+  val slideSpan = 5L // window = [wb - 5, wb]
+
+  /** Distinct users per sliding 24 h window - the mergeable-sketch
+    * payoff over TIME: per-4h-bucket HLL registers are built once
+    * (one narrow hash pass + one (bucket, register) max), and every
+    * sliding window's estimate is a MERGE of six bucket sketches
+    * (max over the range) instead of a re-scan of six hours of
+    * events. Exact sliding distinct re-reads every window's raw rows
+    * (the 6x read amplification this kills at 100 TB); it's emitted
+    * alongside for error visibility. The tiny window-end list
+    * broadcasts onto the bucket sketches; nothing corpus-sized
+    * shuffles twice.
+    */
+  def qHllSliding(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    graft.functions.NativeFunctions.register(spark)
+    val ev = Graft.tableParallel(spark, sfDir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(expr(s"(ts DIV 1000L) DIV ${slideBucketUs}L").as("b"),
+        col("user_id"))
+    val regs = hashRho(ev.select(col("b").as("l_returnflag"),
+        col("user_id").as("l_orderkey")))
+      .select(col("l_returnflag").as("b"), col("reg"), col("rho"))
+      .groupBy(col("b"), col("reg"))
+      .agg(max(col("rho")).as("mj"))
+    val wins = ev.select(col("b").as("wb")).distinct()
+    val merged = regs.join(broadcast(wins),
+        col("b").between(col("wb") - slideSpan, col("wb")))
+      .groupBy(col("wb"), col("reg"))
+      .agg(max(col("mj")).as("mj"))
+    val exact = ev.join(broadcast(wins),
+        col("b").between(col("wb") - slideSpan, col("wb")))
+      .groupBy(col("wb"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    estimate(merged, "wb").join(exact, Seq("wb"))
+      .select(col("wb"), col("n_exact"), col("hll_est"))
+      .orderBy(col("wb"))
+  }
+
+  val qHllSlidingSql: String = {
+    val h48 = HashParity.hex48Duck("md5(CAST(user_id AS VARCHAR))")
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts) // $slideBucketUs AS b, user_id
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |), r AS (
+       |  SELECT b, h >> $wBits AS reg, h % $wMod AS w FROM (
+       |    SELECT b, $h48 AS h FROM e
+       |  )
+       |), regs AS (
+       |  SELECT b, reg,
+       |    max(CASE WHEN w = 0 THEN ${wBits + 1}
+       |        ELSE ${wBits + 1} - length(bin(w)) END) AS mj
+       |  FROM r GROUP BY b, reg
+       |), wins AS (
+       |  SELECT DISTINCT b AS wb FROM e
+       |), merged AS (
+       |  SELECT w.wb, r.reg, max(r.mj) AS mj
+       |  FROM regs r JOIN wins w ON r.b BETWEEN w.wb - $slideSpan AND w.wb
+       |  GROUP BY w.wb, r.reg
+       |), est AS (
+       |  SELECT wb,
+       |    sum(1.0 / CAST((CAST(1 AS BIGINT) << mj) AS DOUBLE))
+       |      + CAST($hllM - count(*) AS DOUBLE) AS s_all,
+       |    $hllM - count(*) AS v
+       |  FROM merged GROUP BY wb
+       |), e2 AS (
+       |  SELECT wb, $alphaM2 / s_all AS e_raw, v FROM est
+       |), ex AS (
+       |  SELECT w.wb, CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_exact
+       |  FROM e JOIN wins w ON e.b BETWEEN w.wb - $slideSpan AND w.wb
+       |  GROUP BY w.wb
+       |)
+       |SELECT e2.wb, ex.n_exact,
+       |  ${ParityMath.q6Sql(
+            s"""CASE WHEN e2.e_raw <= $lcThreshold AND e2.v > 0
+               |THEN CAST(512.0 AS DOUBLE) * ln(CAST(512.0 AS DOUBLE) / CAST(e2.v AS DOUBLE))
+               |ELSE e2.e_raw END""".stripMargin)} AS hll_est
+       |FROM e2 JOIN ex USING (wb)
+       |ORDER BY e2.wb""".stripMargin
   }
 
   // ------------------------------------------------------------------

@@ -72,6 +72,29 @@ object Layout {
       .withColumn("shard", expr(s"shiftright(zkey, $shardShift)"))
       .orderBy(col("event_id"))
 
+  /** De-interleave a zkey back to its (tb, vb) buckets. */
+  def deinterleave(z: Long): (Long, Long) = {
+    var tb = 0L; var vb = 0L
+    var i = 0
+    while (i < zBits) {
+      tb |= ((z >> (2 * i)) & 1L) << i
+      vb |= ((z >> (2 * i + 1)) & 1L) << i
+      i += 1
+    }
+    (tb, vb)
+  }
+
+  /** Candidate shards for a query box - the prune procedure a reader
+    * runs before touching files: walk the 2^(2*zBits) zkeys
+    * (driver-side bit math, 65k iterations), keep shards whose region
+    * intersects the box, and scan only `shard IN (...)` partitions.
+    * Lossless by construction (LayoutSpec proves it on files).
+    */
+  def candidateShards(inBox: (Long, Long) => Boolean): Set[Long] =
+    (0L until (1L << (2 * zBits)))
+      .filter(z => inBox.tupled(deinterleave(z)))
+      .map(_ >> shardShift).toSet
+
   val zorderSql: String =
     s"""WITH b AS (
        |  SELECT event_id,

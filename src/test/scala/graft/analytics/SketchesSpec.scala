@@ -37,6 +37,40 @@ class SketchesSpec extends SparkSpec {
     assert(est.filter(col("est_cnt") > col("exact_cnt")).count() > 0)
   }
 
+  test("sliding HLL: merged bucket sketches == rebuilt window sketch") {
+    val s = spark; import s.implicits._
+    val r = Sketches.qHllSliding(spark, sfDir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    assert(r.nonEmpty)
+    // every window's estimate lands within a few RSE of exact
+    r.foreach { case (wb, exact, est) =>
+      assert(math.abs(est - exact) / math.max(exact, 1L) < 0.2,
+        s"window $wb: est $est vs exact $exact")
+    }
+    // merge == rebuild: the max-merged registers of a 6-bucket window
+    // must equal registers built directly from the window's raw rows
+    // (the property that makes the merge a valid substitute for the
+    // 6x re-scan)
+    val ev = graft.core.Graft.table(spark, sfDir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(expr(s"(ts DIV 1000L) DIV ${Sketches.slideBucketUs}L").as("b"),
+        col("user_id"))
+    val wb = r(r.length / 2)._1
+    val direct = Sketches.hashRho(
+        ev.filter(col("b").between(wb - Sketches.slideSpan, wb))
+          .select(lit(wb).as("l_returnflag"), col("user_id").as("l_orderkey")))
+      .groupBy(col("reg")).agg(max(col("rho")).as("mj"))
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    val regs = Sketches.hashRho(ev.select(col("b").as("l_returnflag"),
+        col("user_id").as("l_orderkey")))
+      .select(col("l_returnflag").as("b"), col("reg"), col("rho"))
+      .groupBy(col("b"), col("reg")).agg(max(col("rho")).as("mj"))
+    val merged = regs.filter(col("b").between(wb - Sketches.slideSpan, wb))
+      .groupBy(col("reg")).agg(max(col("mj")).as("mj"))
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(merged == direct)
+  }
+
   test("KMV: pairwise estimates within sketch error of planted truth") {
     val s = spark; import s.implicits._
     // two types over ranges [0,1000) and [500,1500): true Jaccard

@@ -11,23 +11,8 @@ import java.nio.file.Files
   */
 class LayoutSpec extends SparkSpec {
 
-  private def deinterleave(z: Long): (Long, Long) = {
-    var tb = 0L; var vb = 0L
-    (0 until Layout.zBits).foreach { i =>
-      tb |= ((z >> (2 * i)) & 1L) << i
-      vb |= ((z >> (2 * i + 1)) & 1L) << i
-    }
-    (tb, vb)
-  }
-
-  /** Exact candidate enumeration for a query box: walk the 2^16 zkeys
-    * (driver-side bit math, the real pruning procedure) and keep the
-    * shards whose region intersects the box.
-    */
   private def candShards(inBox: (Long, Long) => Boolean): Set[Long] =
-    (0L until (1L << (2 * Layout.zBits)))
-      .filter(z => inBox.tupled(deinterleave(z)))
-      .map(_ >> Layout.shardShift).toSet
+    Layout.candidateShards(inBox)
 
   test("zorder: both dimensions prune to a fraction of the shards") {
     val nShards = 1L << (2 * Layout.zBits - Layout.shardShift)
