@@ -122,6 +122,7 @@ object SparkEntry {
     "q_hll_distinct" -> Sketches.qHllDistinct _,
     "q_kmv_jaccard" -> Sketches.qKmvJaccard _,
     "q_hll_sliding" -> Sketches.qHllSliding _,
+    "q_kmv_retention" -> Sketches.qKmvRetention _,
     "q_cms_topk" -> Sketches.qCmsTopk _,
     "q_qtile_sketch" -> Sketches.qQtileSketch _,
     "txt_pii_scrub" -> TextAnalysis.piiScrub _,
@@ -244,6 +245,7 @@ object SparkEntry {
     "q_hll_distinct" -> Sketches.qHllDistinctSql,
     "q_kmv_jaccard" -> Sketches.qKmvJaccardSql,
     "q_hll_sliding" -> Sketches.qHllSlidingSql,
+    "q_kmv_retention" -> Sketches.qKmvRetentionSql,
     // streaming KMV face shares the batch sketch oracle
     "ss_stream_kmv" -> Sketches.qKmvJaccardSql,
     "q_cms_topk" -> Sketches.qCmsTopkSql,

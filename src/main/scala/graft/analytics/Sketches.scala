@@ -443,35 +443,45 @@ object Sketches {
       .distinct()
 
   /** Per-group sorted KMV buffer from the distinct hash relation. */
-  private[graft] def kmvSets(hs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+  private[graft] def kmvSets(hs: DataFrame,
+                             key: String = "event_type"): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col("h"))
     hs.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= kmvK)
-      .groupBy(col("event_type"))
+      .groupBy(col(key))
       .agg(sort_array(collect_list(col("h"))).as("ks"))
   }
 
-  /** Pairwise estimates over the per-group buffers - shared by the
-    * batch and streaming faces so the estimator cannot drift. All
-    * in-row array math on k-sized buffers.
+  /** The KMV pair estimator over any relation carrying two buffer
+    * columns `ka`, `kb`: appends `kmv_jaccard` and `kmv_union_est`.
+    * Shared by the type-pair, retention and streaming faces so the
+    * math cannot drift. All in-row array work on k-sized buffers.
     */
-  private[graft] def kmvEstimates(kmv: DataFrame): DataFrame =
-    kmv.toDF("type_a", "ka").join(kmv.toDF("type_b", "kb"),
-        col("type_a") < col("type_b"))
+  private[graft] def kmvPairMath(pairs: DataFrame): DataFrame =
+    pairs
       .withColumn("u",
         expr(s"slice(array_sort(array_union(ka, kb)), 1, $kmvK)"))
       .withColumn("m", expr(
         "size(filter(u, x -> array_contains(ka, x) AND array_contains(kb, x)))"))
-      .select(col("type_a"), col("type_b"),
-        ParityMath.q6(col("m").cast("double")
-          / size(col("u")).cast("double")).as("kmv_jaccard"),
-        // u shorter than k means BOTH sides' buffers were complete
-        // sets, so the union size is exact; otherwise h_k estimates it
+      .withColumn("kmv_jaccard", ParityMath.q6(col("m").cast("double")
+        / size(col("u")).cast("double")))
+      // u shorter than k means BOTH sides' buffers were complete
+      // sets, so the union size is exact; otherwise h_k estimates it
+      .withColumn("kmv_union_est",
         when(size(col("u")) < kmvK, size(col("u")).cast("double"))
           .otherwise(ParityMath.q6(
             lit((kmvK - 1).toDouble * 281474976710656.0)
-              / expr("CAST(element_at(u, size(u)) AS DOUBLE)")))
-          .as("kmv_union_est"))
+              / expr("CAST(element_at(u, size(u)) AS DOUBLE)"))))
+      .drop("u", "m")
+
+  /** Pairwise estimates over the per-group buffers - shared by the
+    * batch and streaming faces so the estimator cannot drift.
+    */
+  private[graft] def kmvEstimates(kmv: DataFrame): DataFrame =
+    kmvPairMath(kmv.toDF("type_a", "ka").join(kmv.toDF("type_b", "kb"),
+        col("type_a") < col("type_b")))
+      .select(col("type_a"), col("type_b"),
+        col("kmv_jaccard"), col("kmv_union_est"))
 
   /** Exact pairwise overlap (one self-join keyed on the hash), emitted
     * alongside the estimates; pairs with zero overlap still appear.
@@ -513,6 +523,97 @@ object Sketches {
       .join(kmvEstimates(kmvLocal.toDF("event_type", "ks")),
         Seq("type_a", "type_b"))
       .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** User retention between consecutive time windows via KMV merges:
+    * per-4h-bucket KMV buffers of the user-hash set, then every
+    * adjacent bucket pair's overlap estimated from two k-sized arrays
+    * - the sliding-set-operation counterpart of `q_hll_sliding`
+    * (distinct per window) and the reason KMV earns its place next to
+    * HLL: registers can't answer "how many of THIS window's users were
+    * also in the last one" without inclusion-exclusion error blowup,
+    * the buffers can. Exact adjacent-overlap (one h-keyed self-join of
+    * the distinct relation - re-reading both windows, the cost the
+    * sketch kills) is emitted alongside for error visibility.
+    */
+  def qKmvRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    graft.functions.NativeFunctions.register(spark)
+    val hs = Graft.tableParallel(spark, sfDir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(expr(s"(ts DIV 1000L) DIV ${slideBucketUs}L").as("b"),
+        expr("graft_md5_48(CAST(user_id AS STRING))").as("h"))
+      .distinct()
+    val km = kmvSets(hs, "b")
+    val est = kmvPairMath(
+        km.toDF("b_prev", "ka").join(km.toDF("b_next", "kb"),
+          col("b_next") === col("b_prev") + 1))
+      .select(col("b_prev"), col("b_next"),
+        col("kmv_jaccard"), col("kmv_union_est"))
+    val sizes = hs.groupBy(col("b")).agg(count(lit(1)).as("n"))
+    val inter = hs.toDF("b_prev", "h").join(hs.toDF("b_next", "h2"),
+        col("h") === col("h2") && col("b_next") === col("b_prev") + 1)
+      .groupBy(col("b_prev"), col("b_next"))
+      .agg(count(lit(1)).as("n_inter"))
+    sizes.toDF("b_prev", "na").join(sizes.toDF("b_next", "nb"),
+        col("b_next") === col("b_prev") + 1)
+      .join(inter, Seq("b_prev", "b_next"), "left")
+      .select(col("b_prev"), col("b_next"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        ParityMath.q6(coalesce(col("n_inter"), lit(0L)).cast("double")
+          / (col("na") + col("nb")
+            - coalesce(col("n_inter"), lit(0L))).cast("double"))
+          .as("jaccard_exact"))
+      .join(est, Seq("b_prev", "b_next"))
+      .orderBy(col("b_prev"))
+  }
+
+  val qKmvRetentionSql: String = {
+    val h48 = HashParity.hex48Duck("md5(CAST(user_id AS VARCHAR))")
+    s"""WITH hs AS (
+       |  SELECT DISTINCT epoch_us(ts) // $slideBucketUs AS b, $h48 AS h
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |), km AS (
+       |  SELECT b, list_sort(list(h)) AS ks FROM (
+       |    SELECT b, h,
+       |      row_number() OVER (PARTITION BY b ORDER BY h) AS rn
+       |    FROM hs
+       |  ) WHERE rn <= $kmvK GROUP BY b
+       |), sizes AS (
+       |  SELECT b, count(*) AS n FROM hs GROUP BY b
+       |), inter AS (
+       |  SELECT a.b AS b_prev, x.b AS b_next, count(*) AS n_inter
+       |  FROM hs a JOIN hs x ON a.h = x.h AND x.b = a.b + 1
+       |  GROUP BY 1, 2
+       |), ex AS (
+       |  SELECT a.b AS b_prev, x.b AS b_next,
+       |    CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+       |    ${ParityMath.q6Sql(
+            """CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+              |/ CAST(a.n + x.n - coalesce(i.n_inter, 0) AS DOUBLE)"""
+              .stripMargin)} AS jaccard_exact
+       |  FROM sizes a JOIN sizes x ON x.b = a.b + 1
+       |  LEFT JOIN inter i ON i.b_prev = a.b AND i.b_next = x.b
+       |), est AS (
+       |  SELECT p.b AS b_prev, q.b AS b_next, p.ks AS ka, q.ks AS kb,
+       |    list_sort(list_distinct(p.ks || q.ks))[1:$kmvK] AS u
+       |  FROM km p JOIN km q ON q.b = p.b + 1
+       |), e2 AS (
+       |  SELECT b_prev, b_next, u,
+       |    len(list_filter(u,
+       |      x -> list_contains(ka, x) AND list_contains(kb, x))) AS m
+       |  FROM est
+       |)
+       |SELECT ex.b_prev, ex.b_next, ex.n_inter, ex.jaccard_exact,
+       |  ${ParityMath.q6Sql(
+            "CAST(m AS DOUBLE) / CAST(len(u) AS DOUBLE)")} AS kmv_jaccard,
+       |  CASE WHEN len(u) < $kmvK THEN CAST(len(u) AS DOUBLE)
+       |  ELSE ${ParityMath.q6Sql(
+            s"""CAST(${kmvK - 1}.0 AS DOUBLE) * 281474976710656.0
+               |/ CAST(u[len(u)] AS DOUBLE)""".stripMargin)} END
+       |    AS kmv_union_est
+       |FROM ex JOIN e2 USING (b_prev, b_next)
+       |ORDER BY ex.b_prev""".stripMargin
   }
 
   val qKmvJaccardSql: String = {
