@@ -100,6 +100,7 @@ object SparkEntry {
     "ss_stream_wsample" -> StreamSum.streamWeightedSample _,
     "ss_stream_kmv" -> StreamSum.streamKmv _,
     "ss_stream_qprune" -> StreamSum.streamQualityPrune _,
+    "ss_stream_retention" -> StreamSum.streamKmvRetention _,
     "ss_stream_undo_count" -> StreamSum.streamUndoCountState _,
     "ss_stream_undo_assoc" -> StreamSum.streamUndoAssocState _,
     "ss_stream_keycount" -> StreamSum.streamKeycountState _,
@@ -246,6 +247,8 @@ object SparkEntry {
     "q_kmv_jaccard" -> Sketches.qKmvJaccardSql,
     "q_hll_sliding" -> Sketches.qHllSlidingSql,
     "q_kmv_retention" -> Sketches.qKmvRetentionSql,
+    // streaming retention face shares the batch oracle
+    "ss_stream_retention" -> Sketches.qKmvRetentionSql,
     // streaming KMV face shares the batch sketch oracle
     "ss_stream_kmv" -> Sketches.qKmvJaccardSql,
     "q_cms_topk" -> Sketches.qCmsTopkSql,

@@ -309,6 +309,57 @@ object StreamSum {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** Streaming face of the retention curve: per-4h-bucket KMV buffers
+    * maintained as bounded streaming-agg state (buckets x k longs -
+    * the in-buffer dedup makes duplicates free, see `streamKmv`), and
+    * the adjacent-pair overlap math runs over the final snapshot via
+    * the shared `kmvPairMath`. The exact-overlap adjunct comes from
+    * the static table. Shares `q_kmv_retention`'s oracle.
+    */
+  def streamKmvRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    graft.functions.NativeFunctions.register(spark)
+    import graft.analytics.Sketches
+    import spark.implicits._
+    val bucketed = streamingEvents(spark, sfDir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(expr(s"(ts DIV 1000L) DIV ${Sketches.slideBucketUs}L").as("b"),
+        expr("graft_md5_48(CAST(user_id AS STRING))").as("h"))
+      .as[(Long, Long)]
+    val agg = graft.functions.MinKAgg(Sketches.kmvK)
+    val perBucket = bucketed.groupByKey(_._1).mapValues(_._2)
+      .agg(agg.toColumn.name("ks"))
+    val km = runToTable(perBucket.toDF("b", "ks"),
+      OutputMode.Complete(), "ss_stream_retention")
+    val est = Sketches.kmvPairMath(
+        km.toDF("b_prev", "ka").join(km.toDF("b_next", "kb"),
+          col("b_next") === col("b_prev") + 1))
+      .select(col("b_prev"), col("b_next"),
+        col("kmv_jaccard"), col("kmv_union_est"))
+    val hs = Graft.table(spark, sfDir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(expr(s"(ts DIV 1000L) DIV ${Sketches.slideBucketUs}L").as("b"),
+        expr("graft_md5_48(CAST(user_id AS STRING))").as("h"))
+      .distinct()
+    val sizes = hs.groupBy(col("b")).agg(count(lit(1)).as("n"))
+    val inter = hs.toDF("b_prev", "h").join(hs.toDF("b_next", "h2"),
+        col("h") === col("h2") && col("b_next") === col("b_prev") + 1)
+      .groupBy(col("b_prev"), col("b_next"))
+      .agg(count(lit(1)).as("n_inter"))
+    sizes.toDF("b_prev", "na").join(sizes.toDF("b_next", "nb"),
+        col("b_next") === col("b_prev") + 1)
+      .join(inter, Seq("b_prev", "b_next"), "left")
+      .select(col("b_prev"), col("b_next"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        graft.pipeline.ParityMath.q6(
+          coalesce(col("n_inter"), lit(0L)).cast("double")
+            / (col("na") + col("nb")
+              - coalesce(col("n_inter"), lit(0L))).cast("double"))
+          .as("jaccard_exact"))
+      .join(est, Seq("b_prev", "b_next"))
+      .orderBy(col("b_prev"))
+  }
+
   /** Last-N via the Spark 4 transformWithState API (RocksDB state
     * store) - same result as `streamLastnState`, current-generation
     * stateful operator.
