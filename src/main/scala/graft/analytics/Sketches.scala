@@ -544,7 +544,13 @@ object Sketches {
       .select(expr(s"(ts DIV 1000L) DIV ${slideBucketUs}L").as("b"),
         expr("graft_md5_48(CAST(user_id AS STRING))").as("h"))
       .distinct()
-    val km = kmvSets(hs, "b")
+    // buckets x k longs - small by construction, same local-pair-table
+    // argument as qKmvJaccard: the adjacency math never duplicates the
+    // corpus-scan subtree
+    val s2 = spark; import s2.implicits._
+    val kmLocal = kmvSets(hs, "b").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    val km = kmLocal.toDF("b", "ks")
     val est = kmvPairMath(
         km.toDF("b_prev", "ka").join(km.toDF("b_next", "kb"),
           col("b_next") === col("b_prev") + 1))
