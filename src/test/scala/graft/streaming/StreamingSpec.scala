@@ -242,6 +242,33 @@ class StreamingSpec extends SparkSpec {
       "pre-restart increments must survive the restart")
   }
 
+  test("typed bounded-buffer agg state survives a checkpoint restart") {
+    // the KMV/top-K faces keep their sketch buffers as typed-agg
+    // state; a restart must recover the buffer, not just offsets -
+    // batch 2 alone cannot reproduce batch 1's minima
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_kmv").toString
+    val mem = MemoryStream[(String, Long)]
+    val agg = graft.functions.MinKAgg(8)
+    def buf = mem.toDS().groupByKey(_._1).mapValues(_._2)
+      .agg(agg.toColumn.name("ks"))
+    def start() = buf.toDF("g", "ks").writeStream.format("memory")
+      .queryName("ckpt_kmv").outputMode(OutputMode.Complete())
+      .option("checkpointLocation", ckpt).start()
+    // batch 1 holds the 4 smallest values; batch 2 only larger ones
+    val q1 = start()
+    mem.addData(Seq(1L, 2L, 3L, 4L).map("A" -> _): _*)
+    q1.processAllAvailable(); q1.stop()
+    val q2 = start()
+    mem.addData(Seq(100L, 101L, 102L, 103L, 104L, 105L).map("A" -> _): _*)
+    q2.processAllAvailable(); q2.stop()
+    val ks = spark.table("ckpt_kmv").collect()(0).getSeq[Long](1)
+    assert(ks == Seq(1L, 2L, 3L, 4L, 100L, 101L, 102L, 103L),
+      s"recovered buffer must retain batch 1's minima: $ks")
+  }
+
   test("streaming LSH candidates == batch minhash candidates") {
     val streamed = StreamSum.streamLshCandidates(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
