@@ -124,6 +124,8 @@ object SparkEntry {
     "q_kmv_jaccard" -> Sketches.qKmvJaccard _,
     "q_hll_sliding" -> Sketches.qHllSliding _,
     "q_kmv_retention" -> Sketches.qKmvRetention _,
+    "q_cms_sliding" -> Sketches.qCmsSliding _,
+    "q_qtile_sliding" -> Sketches.qQtileSliding _,
     "q_cms_topk" -> Sketches.qCmsTopk _,
     "q_qtile_sketch" -> Sketches.qQtileSketch _,
     "txt_pii_scrub" -> TextAnalysis.piiScrub _,
@@ -249,6 +251,8 @@ object SparkEntry {
     "q_kmv_retention" -> Sketches.qKmvRetentionSql,
     // streaming retention face shares the batch oracle
     "ss_stream_retention" -> Sketches.qKmvRetentionSql,
+    "q_cms_sliding" -> Sketches.qCmsSlidingSql,
+    "q_qtile_sliding" -> Sketches.qQtileSlidingSql,
     // streaming KMV face shares the batch sketch oracle
     "ss_stream_kmv" -> Sketches.qKmvJaccardSql,
     "q_cms_topk" -> Sketches.qCmsTopkSql,

@@ -251,10 +251,12 @@ object Sketches {
     * Every float op is the identical expression in both engines, q6 at
     * the end.
     */
-  private[graft] def qtileEstimate(binCounts: DataFrame): DataFrame = {
+  private[graft] def qtileEstimate(binCounts: DataFrame,
+                                   key: String = "l_returnflag",
+                                   binW: Double = qtileBinW): DataFrame = {
     val spark = binCounts.sparkSession
-    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))
-    val wAll = Window.partitionBy(col("l_returnflag"))
+    val wCum = Window.partitionBy(col(key)).orderBy(col("bin"))
+    val wAll = Window.partitionBy(col(key))
     val cum = binCounts
       .withColumn("cum", sum(col("c")).over(wCum))
       .withColumn("n", sum(col("c")).over(wAll))
@@ -262,14 +264,14 @@ object Sketches {
     cum.join(broadcast(qdf),
         col("cum") >= ceil(col("q") * col("n")))
       .withColumn("est", ParityMath.q6(
-        col("bin").cast("double") * lit(qtileBinW) + lit(qtileBinW) *
+        col("bin").cast("double") * lit(binW) + lit(binW) *
           (ceil(col("q") * col("n")).cast("double") -
             (col("cum") - col("c")).cast("double")) /
           col("c").cast("double")))
-      .groupBy(col("l_returnflag"), col("q"))
+      .groupBy(col(key), col("q"))
       .agg(max(col("n")).as("n"), min_by(col("est"), col("bin")).as("qtile_est"))
-      .select(col("l_returnflag"), col("q"), col("n"), col("qtile_est"))
-      .orderBy(col("l_returnflag"), col("q"))
+      .select(col(key), col("q"), col("n"), col("qtile_est"))
+      .orderBy(col(key), col("q"))
   }
 
   /** Per-group price quantiles from the fixed-bin histogram: one
@@ -523,6 +525,151 @@ object Sketches {
       .join(kmvEstimates(kmvLocal.toDF("event_type", "ks")),
         Seq("type_a", "type_b"))
       .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** Sliding-window heavy hitters via counter-matrix merge: per-bucket
+    * CMS partials (additive) are built once, every 24 h window's
+    * matrix is their SUM, and the probe + top-k run against the merged
+    * windows - frequency's member of the sliding family next to
+    * `q_hll_sliding` (distinct) and `q_kmv_retention` (set ops).
+    * Integer end to end; the per-window top-k plans as the bounded
+    * heap via the window rewrite.
+    */
+  val cmsSlideK = 10
+
+  def qCmsSliding(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    graft.functions.NativeFunctions.register(spark)
+    val ev = Graft.tableParallel(spark, sfDir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(expr(s"(ts DIV 1000L) DIV ${slideBucketUs}L").as("b"),
+        col("user_id"))
+    val counters = ev
+      .select(col("b"), col("user_id"),
+        explode(array(cmsRows.map(lit(_)): _*)).as("r"))
+      .select(col("b"), col("r"), expr(bucketSpark("r")).as("bkt"))
+      .groupBy(col("b"), col("r"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+    val wins = ev.select(col("b").as("wb")).distinct()
+    val merged = counters.join(broadcast(wins),
+        col("b").between(col("wb") - slideSpan, col("wb")))
+      .groupBy(col("wb"), col("r"), col("bkt"))
+      .agg(sum(col("c")).as("c"))
+    val items = ev.join(broadcast(wins),
+        col("b").between(col("wb") - slideSpan, col("wb")))
+      .groupBy(col("wb"), col("user_id"))
+      .agg(count(lit(1)).as("exact_cnt"))
+    val probes = items
+      .select(col("wb"), col("user_id"), col("exact_cnt"),
+        explode(array(cmsRows.map(lit(_)): _*)).as("r"))
+      .withColumn("bkt", expr(bucketSpark("r")))
+    val est = probes.join(broadcast(merged), Seq("wb", "r", "bkt"))
+      .groupBy(col("wb"), col("user_id"), col("exact_cnt"))
+      .agg(min(col("c")).as("est_cnt"))
+    val wTop = Window.partitionBy(col("wb"))
+      .orderBy(col("est_cnt").desc, col("user_id"))
+    est.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= cmsSlideK).drop("rn")
+      .orderBy(col("wb"), col("est_cnt").desc, col("user_id"))
+  }
+
+  val qCmsSlidingSql: String = {
+    val rowsList = cmsRows.mkString("[", ", ", "]")
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts) // $slideBucketUs AS b, user_id
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |), counters AS (
+       |  SELECT b, r, bkt, count(*) AS c FROM (
+       |    SELECT b, u.r AS r, ${bucketDuck("u.r")} AS bkt
+       |    FROM e, unnest($rowsList) u(r)
+       |  ) GROUP BY b, r, bkt
+       |), wins AS (
+       |  SELECT DISTINCT b AS wb FROM e
+       |), merged AS (
+       |  SELECT w.wb, c.r, c.bkt, CAST(sum(c.c) AS BIGINT) AS c
+       |  FROM counters c JOIN wins w
+       |    ON c.b BETWEEN w.wb - $slideSpan AND w.wb
+       |  GROUP BY w.wb, c.r, c.bkt
+       |), items AS (
+       |  SELECT w.wb, e.user_id, count(*) AS exact_cnt
+       |  FROM e JOIN wins w ON e.b BETWEEN w.wb - $slideSpan AND w.wb
+       |  GROUP BY w.wb, e.user_id
+       |), probes AS (
+       |  SELECT wb, user_id, exact_cnt, u.r AS r,
+       |    ${bucketDuck("u.r")} AS bkt
+       |  FROM items, unnest($rowsList) u(r)
+       |), est AS (
+       |  SELECT wb, user_id, exact_cnt, min(c) AS est_cnt
+       |  FROM probes JOIN merged USING (wb, r, bkt)
+       |  GROUP BY wb, user_id, exact_cnt
+       |)
+       |SELECT wb, user_id, exact_cnt, est_cnt FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY wb
+       |    ORDER BY est_cnt DESC, user_id) AS rn
+       |  FROM est
+       |) WHERE rn <= $cmsSlideK
+       |ORDER BY wb, est_cnt DESC, user_id""".stripMargin
+  }
+
+  /** Sliding-window value quantiles via bin-count merge: the fourth
+    * sliding face. Per-bucket (bin, count) partials sum into each
+    * window's histogram; the shared estimator runs per window. Bin
+    * width 16 = 2^4, so the bin id is IEEE-exact.
+    */
+  val slideQtileW = 16.0
+
+  def qQtileSliding(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val ev = Graft.tableParallel(spark, sfDir, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(expr(s"(ts DIV 1000L) DIV ${slideBucketUs}L").as("b"),
+        floor(col("value") / lit(slideQtileW)).as("bin"))
+    val partials = ev.groupBy(col("b"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val wins = ev.select(col("b").as("wb")).distinct()
+    val merged = partials.join(broadcast(wins),
+        col("b").between(col("wb") - slideSpan, col("wb")))
+      .groupBy(col("wb"), col("bin"))
+      .agg(sum(col("c")).as("c"))
+    qtileEstimate(merged, "wb", slideQtileW)
+  }
+
+  val qQtileSlidingSql: String = {
+    val w = s"CAST($slideQtileW AS DOUBLE)"
+    val qList = qtileQs.map(q => s"CAST($q AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts) // $slideBucketUs AS b,
+       |    CAST(floor(value / $w) AS BIGINT) AS bin
+       |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+       |), p AS (
+       |  SELECT b, bin, count(*) AS c FROM e GROUP BY b, bin
+       |), wins AS (
+       |  SELECT DISTINCT b AS wb FROM e
+       |), m AS (
+       |  SELECT w.wb, p.bin, sum(p.c) AS c
+       |  FROM p JOIN wins w ON p.b BETWEEN w.wb - $slideSpan AND w.wb
+       |  GROUP BY w.wb, p.bin
+       |), cum AS (
+       |  SELECT wb, bin, c,
+       |    sum(c) OVER (PARTITION BY wb ORDER BY bin) AS cum,
+       |    sum(c) OVER (PARTITION BY wb) AS n
+       |  FROM m
+       |), qs AS (
+       |  SELECT unnest($qList) AS q
+       |), cand AS (
+       |  SELECT wb, q, n, bin, c, cum
+       |  FROM cum, qs
+       |  WHERE cum >= CAST(ceil(q * n) AS BIGINT)
+       |)
+       |SELECT wb, q, CAST(max(n) AS BIGINT) AS n,
+       |  arg_min(${ParityMath.q6Sql(
+            s"""CAST(bin AS DOUBLE) * $w + $w *
+               |(CAST(ceil(q * n) AS DOUBLE) - CAST(cum - c AS DOUBLE))
+               |/ CAST(c AS DOUBLE)""".stripMargin)}, bin) AS qtile_est
+       |FROM cand
+       |GROUP BY wb, q
+       |ORDER BY wb, q""".stripMargin
   }
 
   /** User retention between consecutive time windows via KMV merges:
