@@ -118,6 +118,38 @@ object ScaleSmoke {
       s"KMV union estimate ${kmvR.getDouble(3)} far from 1.5M")
     println(f"SMOKE kmv rows=${2 * nk} jaccard_est=${kmvR.getDouble(2)}%.4f " +
       f"union_est=${kmvR.getDouble(3)}%.0f sec=${(t9 - t8) / 1e9}%.1f")
+    // sliding distinct at scale: the register-merge answer vs the
+    // 6x re-scan it replaces, on the same windows - the merge must
+    // agree within sketch error and cost less
+    val evB = ev.select(
+      expr(s"(ts DIV 1000) DIV ${Sketches.slideBucketUs}L").as("b"),
+      col("user_id"))
+    val winsB = evB.select(col("b").as("wb")).distinct()
+    val estsW = Sketches.estimate(
+        Sketches.hashRho(evB.select(col("b").as("l_returnflag"),
+            col("user_id").as("l_orderkey")))
+          .select(col("l_returnflag").as("b"), col("reg"), col("rho"))
+          .groupBy(col("b"), col("reg")).agg(max(col("rho")).as("mj"))
+          .join(broadcast(winsB),
+            col("b").between(col("wb") - Sketches.slideSpan, col("wb")))
+          .groupBy(col("wb"), col("reg")).agg(max(col("mj")).as("mj")),
+        "wb")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val t10 = System.nanoTime()
+    val exactW = evB.join(broadcast(winsB),
+        col("b").between(col("wb") - Sketches.slideSpan, col("wb")))
+      .groupBy(col("wb")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val t11 = System.nanoTime()
+    // 4.6% RSE per window, ~200 correlated windows: demand the
+    // DISTRIBUTION (90% within 3 RSE), cap the worst at 6 RSE
+    val errs = exactW.map { case (wb, ex) =>
+      math.abs(estsW(wb) - ex) / ex.toDouble }
+    require(errs.count(_ < 0.14).toDouble / errs.size >= 0.9,
+      f"too many windows beyond 3 RSE: ${errs.count(_ >= 0.14)}/${errs.size}")
+    require(errs.max < 0.28, f"worst window error ${errs.max}%.3f")
+    println(f"SMOKE sliding windows=${exactW.size} " +
+      f"merge_sec=${(t10 - t9) / 1e9}%.1f rescan_sec=${(t11 - t10) / 1e9}%.1f")
     spark.stop()
   }
 }
