@@ -106,6 +106,48 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("MinKAgg: any reduce/merge tree == k smallest distinct") {
+    import graft.functions.MinKAgg
+    val agg = MinKAgg(8)
+    val gen = for {
+      xs <- Gen.listOf(Gen.choose(0L, 30L)) // collisions likely
+      cut <- Gen.choose(0, 10)
+    } yield (xs, cut)
+    check("minK", Prop.forAll(gen) { case (xs, cut) =>
+      val want = xs.distinct.sorted.take(8)
+      // straight fold
+      val folded = xs.foldLeft(agg.zero)(agg.reduce)
+      // arbitrary split: fold halves independently, then merge
+      val (l, r) = xs.splitAt(math.min(cut, xs.length))
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      agg.finish(folded) == want && agg.finish(merged) == want
+    })
+  }
+
+  test("TopKSampleAgg: any reduce/merge tree == top-k by (skey, id)") {
+    import graft.functions.TopKSampleAgg
+    val agg = TopKSampleAgg(5)
+    val rowGen = for {
+      id <- Gen.choose(0L, 100L)
+      s <- Gen.choose(-10, 0)
+    } yield (id, 1L, s.toDouble)
+    val gen = for {
+      xs <- Gen.listOf(rowGen)
+      cut <- Gen.choose(0, 10)
+    } yield (xs.distinctBy(_._1), cut) // unique ids, as in real data
+    check("topKSample", Prop.forAll(gen) { case (xs, cut) =>
+      val want = xs.sortBy(r => (-r._3, r._1)).take(5)
+      val folded = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+      val (l, r) = xs.splitAt(math.min(cut, xs.length))
+      val merged = agg.finish(agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce)))
+      folded == want && merged == want
+    })
+  }
+
   test("MinHashUtil.sigs == per-permutation minimum; null on empty") {
     import graft.functions.MinHashUtil
     import HashParity._
