@@ -92,62 +92,8 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
       // the task silently overcommitting. The ledger itself cannot
       // spill - the working set is the operator's O(#keys × k) minimum.
       val ledger = TopKMemoryLedger.forCurrentTask()
-      // per-key bounded heap: worst row on top for O(log k) eviction
-      val heaps = new java.util.HashMap[InternalRow,
-        java.util.PriorityQueue[InternalRow]]()
-      val tieRetaining = rankLikeFlag
-      // rank() mode: evict the worst TIE GROUP only once >= k rows are
-      // strictly better than it (its competition rank exceeded k). The
-      // heap invariantly holds exactly the rows whose rank can still be
-      // <= k, so boundary ties are retained - rank's semantics - while
-      // non-tied inputs degrade to the plain k-bounded heap.
-      def trimWorstGroup(heap: java.util.PriorityQueue[InternalRow]): Unit = {
-        var go = true
-        while (go && heap.size() > kk) {
-          val group = new java.util.ArrayList[InternalRow]()
-          group.add(heap.poll())
-          while (heap.size() > 0 &&
-                 ordering.compare(heap.peek(), group.get(0)) == 0)
-            group.add(heap.poll())
-          if (heap.size() >= kk) {
-            // >= k strictly-better rows exist: group's rank > k, drop it
-            var i = 0
-            while (i < group.size()) { ledger.remove(group.get(i)); i += 1 }
-          } else {
-            heap.addAll(group)
-            go = false
-          }
-        }
-      }
-      iter.foreach { row =>
-        val key = keyProj(row).copy()
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](
-            kk + 1, ordering.reversed())
-          heaps.put(key, heap)
-          ledger.add(key, TopKMemoryLedger.perKeyOverheadBytes(kk))
-        }
-        if (heap.size() < kk) {
-          val copy = row.copy()
-          heap.add(copy)
-          ledger.add(copy, 0L)
-        } else {
-          val cmp = ordering.compare(row, heap.peek())
-          if (cmp < 0) {
-            val copy = row.copy()
-            heap.add(copy)
-            ledger.add(copy, 0L)
-            if (tieRetaining) trimWorstGroup(heap)
-            else ledger.remove(heap.poll())
-          } else if (tieRetaining && cmp == 0) {
-            // ties with the surviving worst group: same rank <= k, keep
-            val copy = row.copy()
-            heap.add(copy)
-            ledger.add(copy, 0L)
-          }
-        }
-      }
+      val heaps = TopKBuild.buildHeaps(iter, keyProj, ordering, ledger,
+        kk, rankLikeFlag)
       // Stream the output: one key's ≤k rows are materialized at a
       // time and handed to the consumer, instead of buffering the whole
       // partition's result. Post-consumption memory is the heap map
@@ -222,39 +168,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
       val ordering = GenerateOrdering.generate(orderExprs, childOutput)
       val toUnsafe = UnsafeProjection.create(outTypes)
       val ledger = TopKMemoryLedger.forCurrentTask()
-      val groups = new java.util.HashMap[InternalRow,
-        java.util.TreeMap[InternalRow, java.util.ArrayList[InternalRow]]]()
-      iter.foreach { row =>
-        val key = keyProj(row).copy()
-        var tree = groups.get(key)
-        if (tree == null) {
-          tree = new java.util.TreeMap[InternalRow,
-            java.util.ArrayList[InternalRow]](ordering)
-          groups.put(key, tree)
-          ledger.add(key, TopKMemoryLedger.perKeyOverheadBytes(kk))
-        }
-        val existing = tree.get(row) // comparator lookup; row not stored
-        if (existing != null) {
-          val copy = row.copy()
-          existing.add(copy)
-          ledger.add(copy, 0L)
-        } else if (tree.size() < kk) {
-          val copy = row.copy()
-          val grp = new java.util.ArrayList[InternalRow](1)
-          grp.add(copy)
-          tree.put(copy, grp)
-          ledger.add(copy, 0L)
-        } else if (ordering.compare(row, tree.lastKey()) < 0) {
-          val copy = row.copy()
-          val grp = new java.util.ArrayList[InternalRow](1)
-          grp.add(copy)
-          tree.put(copy, grp)
-          ledger.add(copy, 0L)
-          val evicted = tree.pollLastEntry().getValue
-          var i = 0
-          while (i < evicted.size()) { ledger.remove(evicted.get(i)); i += 1 }
-        }
-      }
+      val groups = TopKBuild.buildDense(iter, keyProj, ordering, ledger, kk)
       // stream one key at a time, draining entries as they're emitted
       // (same peak-memory argument as the heap path)
       val entries = groups.entrySet().iterator()
@@ -300,6 +214,195 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
           else joined.setLong(childOutput.size, ranks(r).toLong)
           r += 1
           toUnsafe(joined)
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+}
+
+/** The bounded per-key build phase, shared by the final exec and the
+  * map-side partial exec so the trimming semantics cannot drift. The
+  * invariant every semantics variant maintains - a row is dropped only
+  * once >= k locally strictly-better rows (or distinct values) exist -
+  * is exactly what makes a per-partition pass a valid PARTIAL: locally
+  * beaten implies globally beaten, and every row whose global rank can
+  * be <= k survives.
+  */
+private[plans] object TopKBuild {
+
+  def buildHeaps(iter: Iterator[InternalRow], keyProj: UnsafeProjection,
+                 ordering: Ordering[InternalRow], ledger: HeapLedger,
+                 kk: Int, tieRetaining: Boolean):
+      java.util.HashMap[InternalRow, java.util.PriorityQueue[InternalRow]] = {
+    // per-key bounded heap: worst row on top for O(log k) eviction
+    val heaps = new java.util.HashMap[InternalRow,
+      java.util.PriorityQueue[InternalRow]]()
+    // rank() mode: evict the worst TIE GROUP only once >= k rows are
+    // strictly better than it (its competition rank exceeded k). The
+    // heap invariantly holds exactly the rows whose rank can still be
+    // <= k, so boundary ties are retained - rank's semantics - while
+    // non-tied inputs degrade to the plain k-bounded heap.
+    def trimWorstGroup(heap: java.util.PriorityQueue[InternalRow]): Unit = {
+      var go = true
+      while (go && heap.size() > kk) {
+        val group = new java.util.ArrayList[InternalRow]()
+        group.add(heap.poll())
+        while (heap.size() > 0 &&
+               ordering.compare(heap.peek(), group.get(0)) == 0)
+          group.add(heap.poll())
+        if (heap.size() >= kk) {
+          // >= k strictly-better rows exist: group's rank > k, drop it
+          var i = 0
+          while (i < group.size()) { ledger.remove(group.get(i)); i += 1 }
+        } else {
+          heap.addAll(group)
+          go = false
+        }
+      }
+    }
+    iter.foreach { row =>
+      val key = keyProj(row).copy()
+      var heap = heaps.get(key)
+      if (heap == null) {
+        heap = new java.util.PriorityQueue[InternalRow](
+          kk + 1, ordering.reversed())
+        heaps.put(key, heap)
+        ledger.add(key, TopKMemoryLedger.perKeyOverheadBytes(kk))
+      }
+      if (heap.size() < kk) {
+        val copy = row.copy()
+        heap.add(copy)
+        ledger.add(copy, 0L)
+      } else {
+        val cmp = ordering.compare(row, heap.peek())
+        if (cmp < 0) {
+          val copy = row.copy()
+          heap.add(copy)
+          ledger.add(copy, 0L)
+          if (tieRetaining) trimWorstGroup(heap)
+          else ledger.remove(heap.poll())
+        } else if (tieRetaining && cmp == 0) {
+          // ties with the surviving worst group: same rank <= k, keep
+          val copy = row.copy()
+          heap.add(copy)
+          ledger.add(copy, 0L)
+        }
+      }
+    }
+    heaps
+  }
+
+  def buildDense(iter: Iterator[InternalRow], keyProj: UnsafeProjection,
+                 ordering: Ordering[InternalRow], ledger: HeapLedger,
+                 kk: Int):
+      java.util.HashMap[InternalRow,
+        java.util.TreeMap[InternalRow, java.util.ArrayList[InternalRow]]] = {
+    val groups = new java.util.HashMap[InternalRow,
+      java.util.TreeMap[InternalRow, java.util.ArrayList[InternalRow]]]()
+    iter.foreach { row =>
+      val key = keyProj(row).copy()
+      var tree = groups.get(key)
+      if (tree == null) {
+        tree = new java.util.TreeMap[InternalRow,
+          java.util.ArrayList[InternalRow]](ordering)
+        groups.put(key, tree)
+        ledger.add(key, TopKMemoryLedger.perKeyOverheadBytes(kk))
+      }
+      val existing = tree.get(row) // comparator lookup; row not stored
+      if (existing != null) {
+        val copy = row.copy()
+        existing.add(copy)
+        ledger.add(copy, 0L)
+      } else if (tree.size() < kk) {
+        val copy = row.copy()
+        val grp = new java.util.ArrayList[InternalRow](1)
+        grp.add(copy)
+        tree.put(copy, grp)
+        ledger.add(copy, 0L)
+      } else if (ordering.compare(row, tree.lastKey()) < 0) {
+        val copy = row.copy()
+        val grp = new java.util.ArrayList[InternalRow](1)
+        grp.add(copy)
+        tree.put(copy, grp)
+        ledger.add(copy, 0L)
+        val evicted = tree.pollLastEntry().getValue
+        var i = 0
+        while (i < evicted.size()) { ledger.remove(evicted.get(i)); i += 1 }
+      }
+    }
+    groups
+  }
+}
+
+/** Map-side partial of TopKPerKeyExec: runs the SAME bounded trimming
+  * per input partition BEFORE the exchange, so the shuffle ships at
+  * most k rows (plus boundary tie groups) per key per map partition
+  * instead of every row of a hot key - the combine step that makes the
+  * operator skew-robust at 100 TB. Emits raw child rows (ranks are
+  * assigned by the final exec over the merged survivors; the partial
+  * invariant guarantees the survivors contain every row whose global
+  * rank can be <= k, with its full better-set intact).
+  */
+case class TopKPartialExec(keys: Seq[Expression], order: Seq[SortOrder],
+                           k: Int, child: SparkPlan,
+                           semantics: RankSemantics = RankSemantics.RowNumber)
+    extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning:
+      org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val orderExprs = order
+    val keyExprs = keys
+    val kk = k
+    val dense = semantics == RankSemantics.DenseRank
+    val tieRetaining = semantics == RankSemantics.CompetitionRank
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val ordering = GenerateOrdering.generate(orderExprs, childOutput)
+      val ledger = TopKMemoryLedger.forCurrentTask()
+      if (dense) {
+        val groups = TopKBuild.buildDense(iter, keyProj, ordering,
+          ledger, kk)
+        val entries = groups.entrySet().iterator()
+        new Iterator[InternalRow] {
+          private var rows: java.util.Iterator[InternalRow] =
+            java.util.Collections.emptyIterator()
+          override def hasNext: Boolean = {
+            while (!rows.hasNext && entries.hasNext) {
+              val tree = entries.next().getValue
+              entries.remove()
+              val all = new java.util.ArrayList[InternalRow]()
+              tree.values().forEach(g => all.addAll(g))
+              rows = all.iterator()
+            }
+            rows.hasNext
+          }
+          override def next(): InternalRow = rows.next()
+        }
+      } else {
+        val heaps = TopKBuild.buildHeaps(iter, keyProj, ordering,
+          ledger, kk, tieRetaining)
+        val entries = heaps.entrySet().iterator()
+        new Iterator[InternalRow] {
+          private var rows: java.util.Iterator[InternalRow] =
+            java.util.Collections.emptyIterator()
+          override def hasNext: Boolean = {
+            while (!rows.hasNext && entries.hasNext) {
+              val heap = entries.next().getValue
+              entries.remove()
+              val all = new java.util.ArrayList[InternalRow](heap)
+              rows = all.iterator()
+            }
+            rows.hasNext
+          }
+          override def next(): InternalRow = rows.next()
         }
       }
     }
@@ -413,7 +516,10 @@ object TopKMemoryLedger {
 case class TopKPerKeyStrategy(spark: SparkSession) extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(keys, order, k, child, rankAttr, semantics) =>
-      TopKPerKeyExec(keys, order, k, rankAttr, planLater(child),
+      // partial below the (EnsureRequirements-inserted) exchange: the
+      // shuffle ships per-partition survivors, not every row of a key
+      TopKPerKeyExec(keys, order, k, rankAttr,
+        TopKPartialExec(keys, order, k, planLater(child), semantics),
         semantics) :: Nil
     case _ => Nil
   }

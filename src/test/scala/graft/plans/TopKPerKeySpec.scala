@@ -47,6 +47,42 @@ class TopKPerKeySpec extends SparkSpec {
     assert(custom == win)
   }
 
+  test("map-side partial: plans below the exchange, bounds hot-key shuffle") {
+    val s = spark; import s.implicits._
+    // one hot key with 100k rows spread over 8 map partitions: the
+    // partial must ship at most partitions x k rows of it through the
+    // exchange instead of all 100k
+    // plain (non-AQE) plan so the exchange node and its metrics are
+    // directly reachable
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val df = spark.range(100000)
+      .select(lit(1L).as("k"), col("id").as("uid"),
+        (col("id") % 1000).as("score"))
+      .repartition(8)
+    val k = 3
+    val r = TopK.perKey(df, Seq("k"), Seq(("score", false), ("uid", true)), k)
+    val rows = r.collect()
+    assert(rows.length == k)
+    val plan = r.queryExecution.executedPlan.toString
+    // shape: final TopKPerKey above the exchange, TopKPartial below it
+    val iFinal = plan.indexOf("TopKPerKey ")
+    val iEx = plan.indexOf("Exchange", iFinal)
+    val iPart = plan.indexOf("TopKPartial", iEx)
+    assert(iFinal >= 0 && iEx > iFinal && iPart > iEx,
+      s"expected TopKPerKey > Exchange > TopKPartial:\n$plan")
+    // shuffle volume: the exchange's written records are the partial's
+    // survivors - bounded by partitions x k, never the hot key's 100k
+    val metrics = r.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.metrics.get("shuffleRecordsWritten").map(_.value)
+    }.flatten
+    assert(metrics.nonEmpty)
+    assert(metrics.head <= 8L * k,
+      s"partial must bound the shuffle at partitions x k: ${metrics.head}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("high key cardinality: output streams per key, result exact") {
     // 100k distinct keys × 3 rows in few partitions: the exec must not
     // buffer the whole partition's output (streamed per-key emission),
