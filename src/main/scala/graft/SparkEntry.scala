@@ -181,6 +181,7 @@ object SparkEntry {
     "pipe_mix" -> graft.pipeline.CorpusOps.mix _,
     "pipe_sample_weighted" -> graft.pipeline.CorpusOps.sampleWeighted _,
     "pipe_layout_zorder" -> graft.pipeline.Layout.zorder _,
+    "txt_phrase_merge" -> TextAnalysis.phraseMerge _,
     "pipe_dedup_apply" -> Dedup.dedupApply _,
     "pipe_span_scrub" -> Dedup.spanScrub _,
     "pipe_quality_gate" -> ((s, d) => graft.pipeline.QualityGate(s, d)),
@@ -305,6 +306,7 @@ object SparkEntry {
     // streaming admission face shares the batch sampling oracle
     "ss_stream_wsample" -> graft.pipeline.CorpusOps.sampleWeightedSql,
     "pipe_layout_zorder" -> graft.pipeline.Layout.zorderSql,
+    "txt_phrase_merge" -> TextAnalysis.phraseMergeSql,
     "pipe_pack" -> graft.pipeline.CorpusOps.packSql(),
     "pipe_decontaminate" -> graft.pipeline.CorpusOps.decontaminateSql,
     "pipe_decont_bloom" -> graft.pipeline.CorpusOps.decontaminateSql,

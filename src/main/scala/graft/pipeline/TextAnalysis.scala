@@ -249,6 +249,85 @@ object TextAnalysis {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---- txt_phrase_merge ---------------------------------------------
+
+  /** Ordered merge table ≙ a trained BPE/phrase vocabulary: pair
+    * (a, b) merges to "a_b", applied in table order, left-to-right
+    * non-overlapping within a pass - the apply step of byte-pair
+    * encoding and of word2vec-style phrase detection (Mikolov et al.,
+    * "Distributed Representations of Words and Phrases", NeurIPS
+    * 2013). Training the table is the offline step; the corpus-scale
+    * work is applying it, which is what this operator distributes.
+    * The last two entries chain onto earlier outputs (multi-level
+    * phrases), the behavior a naive per-pair pass would miss.
+    */
+  val phraseMerges: Seq[(String, String)] = Seq(
+    ("hash", "join"), ("sort", "merge"), ("table", "scan"),
+    ("key", "value"), ("group", "agg"), ("stream", "batch"),
+    ("hash_join", "filter"), ("sort_merge", "join"))
+
+  /** Left-to-right non-overlapping pair merging via delimiter-wrapped
+    * string replacement: each token is wrapped as \x01tok\x01, so the
+    * pair pattern \x01a\x01\x01b\x01 consumes BOTH tokens' wrappers
+    * and the engine's replace() - left-to-right, non-overlapping in
+    * both Spark and DuckDB - implements exactly the BPE merge-pass
+    * semantics ("a a a" + (a,a) -> ["a_a", "a"], and a replacement is
+    * never re-matched within its own pass). Zero float work, so
+    * cross-engine parity is structural. One narrow pass; the merged
+    * token stream is recovered by splitting on the doubled delimiter.
+    */
+  private def mergeExpr(col: String, fn: (String, String, String) => String,
+                        chr: String): String =
+    phraseMerges.foldLeft(col) { case (acc, (a, b)) =>
+      fn(acc, s"$chr || '$a' || $chr || $chr || '$b' || $chr",
+        s"$chr || '${a}_$b' || $chr")
+    }
+
+  def phraseMerge(spark: SparkSession, sfDir: String): DataFrame =
+    phraseMergeFrom(Graft.tableParallel(spark, sfDir, "documents"))
+
+  private[graft] def phraseMergeFrom(docs: DataFrame): DataFrame = {
+    val sparkReplace = (s: String, find: String, rep: String) =>
+      s"replace($s, $find, $rep)"
+    val merged = mergeExpr("wrapped", sparkReplace, "chr(1)")
+    docs
+      .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+      .filter(size(col("toks")) >= 1)
+      .withColumn("wrapped", expr(
+        "chr(1) || concat_ws(chr(1) || chr(1), toks) || chr(1)"))
+      .withColumn("mtoks", expr(
+        s"split(substring($merged, 2, length($merged) - 2), chr(1) || chr(1))"))
+      .select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_before"),
+        size(col("mtoks")).cast(LongType).as("n_after"),
+        expr("concat_ws(' ', mtoks)").as("text_merged"))
+      .orderBy(col("doc_id"))
+  }
+
+  val phraseMergeSql: String = {
+    val duckReplace = (s: String, find: String, rep: String) =>
+      s"replace($s, $find, $rep)"
+    val merged = mergeExpr("wrapped", duckReplace, "chr(1)")
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+       |  FROM documents WHERE len(regexp_extract_all(text, '\\S+')) >= 1
+       |), w AS (
+       |  SELECT doc_id, toks,
+       |    chr(1) || array_to_string(toks, chr(1) || chr(1)) || chr(1)
+       |      AS wrapped
+       |  FROM t
+       |), m AS (
+       |  SELECT doc_id, toks,
+       |    str_split(substring($merged, 2, length($merged) - 2),
+       |      chr(1) || chr(1)) AS mtoks
+       |  FROM w
+       |)
+       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_before,
+       |  CAST(len(mtoks) AS BIGINT) AS n_after,
+       |  array_to_string(mtoks, ' ') AS text_merged
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   // ---- txt_fingerprint ----------------------------------------------
 
   /** Winnowing-style fingerprint: md5 over word 3-gram shingles, min

@@ -60,4 +60,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(highFreqNll > lowFreqNll,
       "rare-token docs must have higher mean NLL than common-token docs")
   }
+
+  test("phrase merge: left-to-right overlap, chaining, exact BPE pass") {
+    val s = spark; import s.implicits._
+    // merges include (hash, join), (hash_join, filter) - chained - and
+    // the overlap case uses a repeated pair
+    val docs = Seq(
+      // chaining: hash+join -> hash_join, then +filter -> 3-level
+      (1L, "hash join filter scan"),
+      // left-to-right non-overlap: "hash join ... hash join" both
+      // merge; "join hash join" -> first pair (join,hash) is NOT a
+      // merge, so (hash,join) fires on positions 2-3
+      (2L, "join hash join"),
+      // a replacement is never re-matched in its own pass: "hash join
+      // join" -> [hash_join, join], the second join survives
+      (3L, "hash join join"),
+      // untouched doc
+      (4L, "scan row scan")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.phraseMergeFrom(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getString(3)))
+      .toMap
+    assert(r(1L) == ((4L, 2L, "hash_join_filter scan")))
+    assert(r(2L) == ((3L, 2L, "join hash_join")))
+    assert(r(3L) == ((3L, 2L, "hash_join join")))
+    assert(r(4L) == ((3L, 3L, "scan row scan")))
+    // real corpus: merges fire, token counts only shrink, text
+    // reassembles consistently
+    val corpus = TextAnalysis.phraseMerge(spark, sfDir).collect()
+    assert(corpus.forall(x => x.getLong(2) <= x.getLong(1)))
+    assert(corpus.exists(x => x.getLong(2) < x.getLong(1)),
+      "the merge table must fire on the corpus")
+  }
 }
