@@ -51,7 +51,8 @@ object Bench {
     "mm_binary_stats", "pipe_corpus_clean",
     "pipe_decontaminate", "pipe_decont_bloom", "pipe_dedup_apply",
     "pipe_quality_gate", "pipe_quality_prune", "dd_dup_spans",
-    "pipe_span_scrub", "pipe_sample_weighted")
+    "pipe_span_scrub", "pipe_sample_weighted", "pipe_layout_zorder",
+    "txt_phrase_merge")
 
   private def releaseMemos(spark: SparkSession): Unit = {
     graft.core.Transform.releaseAll(spark)
