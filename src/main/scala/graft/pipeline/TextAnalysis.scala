@@ -275,6 +275,11 @@ object TextAnalysis {
     * never re-matched within its own pass). Zero float work, so
     * cross-engine parity is structural. One narrow pass; the merged
     * token stream is recovered by splitting on the doubled delimiter.
+    *
+    * Precondition: tokens must not contain \x01 (true of the corpus
+    * here; a production caller strips control characters in the
+    * cleaning pass that precedes tokenization - txt_pii_scrub /
+    * pipe_corpus_clean territory - or picks an unused sentinel).
     */
   private def mergeExpr(col: String, fn: (String, String, String) => String,
                         chr: String): String =
