@@ -125,6 +125,7 @@ object SparkEntry {
     "q_hll_sliding" -> Sketches.qHllSliding _,
     "q_kmv_retention" -> Sketches.qKmvRetention _,
     "q_cms_sliding" -> Sketches.qCmsSliding _,
+    "q_cms_join_card" -> Sketches.qCmsJoinCard _,
     "q_qtile_sliding" -> Sketches.qQtileSliding _,
     "q_cms_topk" -> Sketches.qCmsTopk _,
     "q_qtile_sketch" -> Sketches.qQtileSketch _,
@@ -253,6 +254,7 @@ object SparkEntry {
     // streaming retention face shares the batch oracle
     "ss_stream_retention" -> Sketches.qKmvRetentionSql,
     "q_cms_sliding" -> Sketches.qCmsSlidingSql,
+    "q_cms_join_card" -> Sketches.qCmsJoinCardSql,
     "q_qtile_sliding" -> Sketches.qQtileSlidingSql,
     // streaming KMV face shares the batch sketch oracle
     "ss_stream_kmv" -> Sketches.qKmvJaccardSql,

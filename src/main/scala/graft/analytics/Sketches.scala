@@ -224,6 +224,80 @@ object Sketches {
   }
 
   // ------------------------------------------------------------------
+  // CMS inner product: join cardinality without the join
+  // ------------------------------------------------------------------
+
+  /** Join-size estimation from two counter matrices (Cormode &
+    * Muthukrishnan, "An improved data stream summary: the count-min
+    * sketch and its applications", J. Algorithms 2005): the inner
+    * product of two sketches row-wise, minimized over rows, estimates
+    * sum_k f_A(k) * f_B(k) - the exact size of A join B on k - with a
+    * one-sided error (colliding keys only ADD products). Here: how
+    * many (purchase, error) event pairs share a user - the funnel
+    * join `ss_stream_join` actually materializes - WITHOUT running the
+    * join: each side is sketched in one narrow pass, and the estimate
+    * is d dot products of w-length vectors. At 100 TB this is the
+    * optimizer-style question (how big would this join be; do I dare
+    * shuffle it) answered from two d x w matrices. Integer end to end;
+    * the exact size is emitted alongside so the overestimate is
+    * visible.
+    */
+  def qCmsJoinCard(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    graft.functions.NativeFunctions.register(spark)
+    val ev = Graft.tableParallel(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"))
+    val ca = cmsCounters(purchases).toDF("r", "bkt", "ca")
+    val cb = cmsCounters(errors).toDF("r", "bkt", "cb")
+    val est = ca.join(cb, Seq("r", "bkt"))
+      .groupBy(col("r"))
+      .agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("est_pairs"))
+    val exact = purchases.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("fa"))
+      .join(errors.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("fb")), "user_id")
+      .agg(coalesce(sum(col("fa") * col("fb")), lit(0L)).as("exact_pairs"))
+    est.crossJoin(exact).select(col("est_pairs"), col("exact_pairs"))
+  }
+
+  val qCmsJoinCardSql: String = {
+    val rowsList = cmsRows.mkString("[", ", ", "]")
+    s"""WITH p AS (
+       |  SELECT user_id FROM events
+       |  WHERE user_id IS NOT NULL AND event_type = 'purchase'
+       |), e AS (
+       |  SELECT user_id FROM events
+       |  WHERE user_id IS NOT NULL AND event_type = 'error'
+       |), ca AS (
+       |  SELECT r, bkt, count(*) AS ca FROM (
+       |    SELECT u.r AS r, ${bucketDuck("u.r")} AS bkt
+       |    FROM p, unnest($rowsList) u(r)
+       |  ) GROUP BY r, bkt
+       |), cb AS (
+       |  SELECT r, bkt, count(*) AS cb FROM (
+       |    SELECT u.r AS r, ${bucketDuck("u.r")} AS bkt
+       |    FROM e, unnest($rowsList) u(r)
+       |  ) GROUP BY r, bkt
+       |), ip AS (
+       |  SELECT ca.r, CAST(sum(ca.ca * cb.cb) AS BIGINT) AS ip
+       |  FROM ca JOIN cb USING (r, bkt) GROUP BY ca.r
+       |), ex AS (
+       |  SELECT CAST(coalesce(sum(fa * fb), 0) AS BIGINT) AS exact_pairs
+       |  FROM (SELECT user_id, count(*) AS fa FROM p GROUP BY user_id) a
+       |  JOIN (SELECT user_id, count(*) AS fb FROM e GROUP BY user_id) b
+       |    USING (user_id)
+       |)
+       |SELECT (SELECT min(ip) FROM ip) AS est_pairs,
+       |       ex.exact_pairs
+       |FROM ex""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Fixed-bin histogram quantile sketch
   // ------------------------------------------------------------------
 

@@ -37,6 +37,24 @@ class SketchesSpec extends SparkSpec {
     assert(est.filter(col("est_cnt") > col("exact_cnt")).count() > 0)
   }
 
+  test("CMS inner product: one-sided join-size estimate within bound") {
+    val s = spark; import s.implicits._
+    // planted frequencies: user u has (u%5+1) purchases, (u%3+1) errors
+    val pu = (1L to 50L).flatMap(u => Seq.fill((u % 5 + 1).toInt)(u))
+    val er = (1L to 50L).flatMap(u => Seq.fill((u % 3 + 1).toInt)(u))
+    val exact = (1L to 50L).map(u => (u % 5 + 1) * (u % 3 + 1)).sum
+    val ca = Sketches.cmsCounters(pu.toDF("user_id")).toDF("r", "bkt", "ca")
+    val cb = Sketches.cmsCounters(er.toDF("user_id")).toDF("r", "bkt", "cb")
+    val est = ca.join(cb, Seq("r", "bkt"))
+      .groupBy(col("r")).agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip"))).collect()(0).getLong(0)
+    // one-sided: collisions only ADD products, so est >= exact always
+    assert(est >= exact, s"inner product must not undercount: $est < $exact")
+    // and the additive error is bounded by ~|A||B|/w per row (min of 4)
+    assert(est <= exact + 3L * pu.length * er.length / Sketches.cmsW,
+      s"est $est too far above exact $exact")
+  }
+
   test("sliding HLL: merged bucket sketches == rebuilt window sketch") {
     val s = spark; import s.implicits._
     val r = Sketches.qHllSliding(spark, sfDir).collect()
