@@ -150,6 +150,29 @@ object ScaleSmoke {
     require(errs.max < 0.28, f"worst window error ${errs.max}%.3f")
     println(f"SMOKE sliding windows=${exactW.size} " +
       f"merge_sec=${(t10 - t9) / 1e9}%.1f rescan_sec=${(t11 - t10) / 1e9}%.1f")
+    // z-order layout at scale: one narrow pass assigns every event a
+    // shard; shards stay balanced (no hot shard) and a time box's
+    // candidate set from the library enumeration is lossless
+    import graft.pipeline.Layout
+    val zo = Layout.zorderFrom(ev.withColumn("value",
+        (col("value") % 490.0))) // keep vb in the bucket domain
+      .groupBy(col("shard"), col("tb")).agg(count(lit(1)).as("n"))
+      .persist()
+    val byShard = zo.groupBy(col("shard")).agg(sum(col("n")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val t12 = System.nanoTime()
+    val mean = byShard.values.sum.toDouble / byShard.size
+    require(byShard.values.max < 8 * mean,
+      s"hot shard: max ${byShard.values.max} vs mean $mean")
+    val tbs = zo.select(col("tb")).distinct().collect().map(_.getLong(0))
+    val (lo, hi) = (tbs.min + 2, tbs.min + 21)
+    val cand = Layout.candidateShards((tb, _) => tb >= lo && tb <= hi)
+    val inBox = zo.filter(col("tb").between(lo, hi))
+    val missed = inBox.filter(!col("shard").isin(cand.toSeq: _*)).count()
+    require(missed == 0, s"prune lost $missed rows")
+    zo.unpersist()
+    println(f"SMOKE zorder rows=$rows shards=${byShard.size} " +
+      f"cand=${cand.size} sec=${(t12 - t11) / 1e9}%.1f")
     spark.stop()
   }
 }
