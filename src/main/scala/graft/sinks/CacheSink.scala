@@ -44,3 +44,77 @@ final class ParquetCacheSink(root: String) extends CacheSink {
     if (fs.exists(path)) fs.delete(path, true)
   }
 }
+
+/** Versioned atomic-publish store: the production half of foreachBatch
+  * exactly-once that `ParquetCacheSink`'s in-place overwrite lacks. A
+  * `put` writes the new snapshot to its OWN `v=<n>` directory -
+  * invisible to readers - then flips a one-line `_LATEST` manifest via
+  * an atomic rename (FileContext RENAME OVERWRITE), so a reader racing
+  * a publish always sees a complete snapshot (old or new, never a
+  * half-written directory), and a crash between the data write and the
+  * manifest flip leaves the previous version intact: a restarted batch
+  * simply rewrites the orphan `v=<n>` and flips again (idempotent, the
+  * same replay contract as the incremental stores). The last
+  * `keepVersions` snapshots are retained so in-flight readers of the
+  * previous version don't lose their files at the instant of a flip.
+  */
+final class SnapshotCacheSink(root: String, keepVersions: Int = 2)
+    extends CacheSink {
+  import org.apache.hadoop.fs.Path
+
+  private def fsFor(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifest(name: String) = new Path(s"$root/$name/_LATEST")
+
+  /** Latest committed version, or None before the first publish. */
+  def currentVersion(spark: SparkSession, name: String): Option[Long] = {
+    val m = manifest(name)
+    val fs = fsFor(spark, m)
+    if (!fs.exists(m)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(m).getLen.toInt)
+      val in = fs.open(m)
+      try in.readFully(buf) finally in.close()
+      Some(new String(buf, "UTF-8").trim.toLong)
+    }
+  }
+
+  override def put(name: String, state: DataFrame): Unit = {
+    val spark = state.sparkSession
+    val next = currentVersion(spark, name).getOrElse(0L) + 1
+    // data first, into a version-private dir (Overwrite: a replay of a
+    // torn publish rewrites the orphan instead of appending to it)
+    state.write.mode(SaveMode.Overwrite).parquet(s"$root/$name/v=$next")
+    // then the commit point: write-temp + atomic rename-overwrite
+    val m = manifest(name)
+    val fs = fsFor(spark, m)
+    val tmp = new Path(s"$root/$name/._LATEST.$next.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      m.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, m, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // retain a window of old snapshots for in-flight readers
+    val dir = new Path(s"$root/$name")
+    fs.listStatus(dir).foreach { st =>
+      val nm = st.getPath.getName
+      if (nm.startsWith("v=") &&
+          nm.stripPrefix("v=").toLong <= next - keepVersions)
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  override def get(spark: SparkSession, name: String): DataFrame = {
+    val v = currentVersion(spark, name).getOrElse(
+      throw new IllegalStateException(
+        s"SnapshotCacheSink: '$name' has never been published under $root"))
+    spark.read.parquet(s"$root/$name/v=$v")
+  }
+
+  override def reset(spark: SparkSession, name: String): Unit = {
+    val p = new Path(s"$root/$name")
+    val fs = fsFor(spark, p)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+}

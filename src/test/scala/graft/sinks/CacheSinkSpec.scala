@@ -36,4 +36,53 @@ class CacheSinkSpec extends SparkSpec {
     assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
       st.schema.fields.map(f => (f.name, f.dataType)).toSeq)
   }
+
+  test("snapshot sink: atomic publish, torn-write invisibility, retention") {
+    val s = spark; import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_snap").toString
+    val sink = new SnapshotCacheSink(root, keepVersions = 2)
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    sink.put("c", v1)
+    assert(sink.currentVersion(spark, "c").contains(1L))
+    assert(sink.get(spark, "c").count() == 2)
+
+    // torn publish: data directory appears WITHOUT a manifest flip
+    // (crash between write and commit) - readers must still see v1
+    Seq((9L, "x")).toDF("k", "v").write.mode("overwrite")
+      .parquet(s"$root/c/v=2")
+    assert(sink.currentVersion(spark, "c").contains(1L))
+    assert(sink.get(spark, "c").count() == 2, "torn publish became visible")
+
+    // the replayed batch rewrites the orphan and commits atomically
+    val v2 = Seq((3L, "c"), (4L, "d"), (5L, "e")).toDF("k", "v")
+    sink.put("c", v2)
+    assert(sink.currentVersion(spark, "c").contains(2L))
+    assert(sink.get(spark, "c").count() == 3)
+
+    // retention: publishing v3 keeps v2 (in-flight readers) drops v1
+    sink.put("c", v1)
+    assert(sink.currentVersion(spark, "c").contains(3L))
+    val dirs = new java.io.File(s"$root/c").listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).sorted.toSeq
+    assert(dirs == Seq("v=2", "v=3"), s"retention window wrong: $dirs")
+
+    // never-published cache fails loudly, reset clears everything
+    intercept[IllegalStateException] { sink.get(spark, "nope") }
+    sink.reset(spark, "c")
+    intercept[IllegalStateException] { sink.get(spark, "c") }
+  }
+
+  test("snapshot sink: streaming foreachBatch publishes per-batch versions") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_snap_stream").toString
+    val sink = new SnapshotCacheSink(root)
+    graft.streaming.StreamSum.streamCountsToSink(spark, sfDir, sink,
+      "counts")
+    // AvailableNow over one file = one batch; the published snapshot
+    // equals the batch count state
+    val batch = Caches.countState(Transform.transformed(spark, sfDir))
+    assert(sink.get(spark, "counts").count() == batch.count())
+    assert(sink.currentVersion(spark, "counts").exists(_ >= 1L))
+  }
 }
