@@ -146,8 +146,13 @@ object CorpusScaleSmoke {
       spans.unpersist()
       (full, none)
     }
-    require(spanFull + spanNone == planted,
-      s"unexpected partial span coverage: full=$spanFull none=$spanNone")
+    // 48-bit gram hashing: expected collisions ~ n_grams^2 / 2^49 -
+    // ~0.25 at 200k docs, ~1 at 400k - and each collision partially
+    // covers its two docs. Allow that probabilistic tail; the planted
+    // structure itself must be recovered exactly.
+    val partialDocs = planted - spanFull - spanNone
+    require(partialDocs <= 10,
+      s"partial span coverage beyond collision expectation: $partialDocs")
     require(spanFull == 2L * (nDocs / 50),
       s"planted full-coverage docs: want ${2L * (nDocs / 50)}, got $spanFull")
 
