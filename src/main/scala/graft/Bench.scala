@@ -45,7 +45,8 @@ object Bench {
     "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard", "dd_simhash",
     "dd_embed_cosine", "ann_topk_brute", "ann_topk_quant", "ann_lsh_bucketed", "ann_ivf",
     "ann_ivf_quant", "q_hll_distinct", "q_hll_sliding", "q_cms_topk",
-    "q_cms_sliding", "q_cms_join_card", "q_qtile_sketch", "q_qtile_sliding",
+    "q_cms_sliding", "q_cms_join_card", "q_cms_f2", "q_qtile_sketch",
+    "q_qtile_sliding",
     "q_kmv_jaccard", "q_kmv_retention",
     "txt_stats", "txt_fingerprint", "txt_repetition",
     "mm_binary_stats", "pipe_corpus_clean",

@@ -126,6 +126,7 @@ object SparkEntry {
     "q_kmv_retention" -> Sketches.qKmvRetention _,
     "q_cms_sliding" -> Sketches.qCmsSliding _,
     "q_cms_join_card" -> Sketches.qCmsJoinCard _,
+    "q_cms_f2" -> Sketches.qCmsF2 _,
     "q_qtile_sliding" -> Sketches.qQtileSliding _,
     "q_cms_topk" -> Sketches.qCmsTopk _,
     "q_qtile_sketch" -> Sketches.qQtileSketch _,
@@ -255,6 +256,7 @@ object SparkEntry {
     "ss_stream_retention" -> Sketches.qKmvRetentionSql,
     "q_cms_sliding" -> Sketches.qCmsSlidingSql,
     "q_cms_join_card" -> Sketches.qCmsJoinCardSql,
+    "q_cms_f2" -> Sketches.qCmsF2Sql,
     "q_qtile_sliding" -> Sketches.qQtileSlidingSql,
     // streaming KMV face shares the batch sketch oracle
     "ss_stream_kmv" -> Sketches.qKmvJaccardSql,

@@ -297,6 +297,56 @@ object Sketches {
        |FROM ex""".stripMargin
   }
 
+  /** Second frequency moment F2 = sum_k f(k)^2 of the per-user event
+    * distribution - the self-join size, and THE skew statistic: under
+    * a uniform distribution F2 = N^2/#keys, so F2 far above that is
+    * the quantitative "this key distribution will hot-spot a shuffle,
+    * salt it" signal `q_salt_agg` acts on. Estimated as the CMS
+    * self-inner-product (the AMS/CM classic) from the same one-pass
+    * d x w matrix; exact F2 alongside. At 100 TB this is how a
+    * pipeline DECIDES between the plain and salted plan without
+    * paying a groupBy first.
+    */
+  def qCmsF2(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    graft.functions.NativeFunctions.register(spark)
+    val ev = Graft.tableParallel(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"))
+    val c = cmsCounters(ev)
+    val est = c.groupBy(col("r"))
+      .agg(sum(col("c") * col("c")).as("ip"))
+      .agg(min(col("ip")).as("est_f2"))
+    val exact = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("f"))
+      .agg(sum(col("f") * col("f")).as("exact_f2"),
+        count(lit(1)).as("n_keys"), sum(col("f")).as("n"))
+    est.crossJoin(exact)
+      .select(col("est_f2"), col("exact_f2"), col("n_keys"), col("n"))
+  }
+
+  val qCmsF2Sql: String = {
+    val rowsList = cmsRows.mkString("[", ", ", "]")
+    s"""WITH ev AS (
+       |  SELECT user_id FROM events WHERE user_id IS NOT NULL
+       |), c AS (
+       |  SELECT r, bkt, count(*) AS c FROM (
+       |    SELECT u.r AS r, ${bucketDuck("u.r")} AS bkt
+       |    FROM ev, unnest($rowsList) u(r)
+       |  ) GROUP BY r, bkt
+       |), ip AS (
+       |  SELECT r, CAST(sum(c * c) AS BIGINT) AS ip FROM c GROUP BY r
+       |), ex AS (
+       |  SELECT CAST(sum(f * f) AS BIGINT) AS exact_f2,
+       |    CAST(count(*) AS BIGINT) AS n_keys,
+       |    CAST(sum(f) AS BIGINT) AS n
+       |  FROM (SELECT user_id, count(*) AS f FROM ev GROUP BY user_id)
+       |)
+       |SELECT (SELECT min(ip) FROM ip) AS est_f2,
+       |  ex.exact_f2, ex.n_keys, ex.n
+       |FROM ex""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   // Fixed-bin histogram quantile sketch
   // ------------------------------------------------------------------

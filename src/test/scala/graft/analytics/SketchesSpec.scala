@@ -55,6 +55,27 @@ class SketchesSpec extends SparkSpec {
       s"est $est too far above exact $exact")
   }
 
+  test("F2 sketch: one-sided, and the skew ratio separates hot from flat") {
+    val s = spark; import s.implicits._
+    def f2est(xs: Seq[Long]): Long =
+      Sketches.cmsCounters(xs.toDF("user_id"))
+        .groupBy(col("r")).agg(sum(col("c") * col("c")).as("ip"))
+        .agg(min(col("ip"))).collect()(0).getLong(0)
+    // flat: 100 keys x 10 each -> F2 = 10k, uniform floor N^2/keys = 10k
+    val flat = (1L to 100L).flatMap(u => Seq.fill(10)(u))
+    // hot: one key holds half the events
+    val hot = Seq.fill(500)(7L) ++ (1L to 100L).flatMap(u => Seq.fill(5)(u))
+    val (fFlat, fHot) = (f2est(flat), f2est(hot))
+    val exactFlat = 100L * 10 * 10
+    val exactHot = 500L * 500 + 100L * 25 + 2L * 500 * 5 // key 7 overlaps
+    assert(fFlat >= exactFlat && fHot >= 250000L, "F2 must not undercount")
+    // the decision signal: skew ratio = F2 / (N^2 / #keys)
+    val rFlat = fFlat.toDouble / (1000.0 * 1000 / 100)
+    val rHot = fHot.toDouble / (1000.0 * 1000 / 100)
+    assert(rFlat < 2.0, s"flat distribution must read ~1, got $rFlat")
+    assert(rHot > 10.0, s"hot distribution must read >>1, got $rHot")
+  }
+
   test("sliding HLL: merged bucket sketches == rebuilt window sketch") {
     val s = spark; import s.implicits._
     val r = Sketches.qHllSliding(spark, sfDir).collect()
