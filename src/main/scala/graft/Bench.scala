@@ -151,14 +151,38 @@ object Bench {
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    val secondSf =
+    val pass2 =
       if (sfDir2.nonEmpty && new java.io.File(sfDir2).isDirectory) {
         releaseMemos(spark)
-        val r2 = runPass(spark, sfDir2, selected)
+        Some(runPass(spark, sfDir2, selected))
+      } else None
+    val total2 = pass2.map(_.collect { case (_, t, true) => t }.sum)
+    val secondSf = pass2 match {
+      case Some(r2) =>
         s""","sf2":"$sfDir2","queries_sf2":${fmtPass(r2)},"reps":$reps"""
-      } else s""","reps":$reps"""
+      case None => s""","reps":$reps"""
+    }
+    val fullJson =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmtQueries(results)},"queries_min":${fmtQueries(mins)},"sf":"$sfDir"$failedJson$secondSf}"""
+    println(fullJson)
+    // The harness that invokes this captures only a TAIL of the sbt
+    // output; the full line above outgrows it once the suite passes
+    // ~45 queries. Two escape hatches: (1) persist the full JSON to a
+    // file (repo root by default) so it can be read/diffed regardless
+    // of console truncation; (2) print a compact summary as the very
+    // LAST stdout line, small enough to always survive the tail.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    try {
+      val w = new java.io.PrintWriter(new java.io.File(outPath), "UTF-8")
+      try w.println(fullJson) finally w.close()
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    val failedList = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total2Json = total2.map(t => f""","total_sf2":$t%.3f""").getOrElse("")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmtQueries(results)},"queries_min":${fmtQueries(mins)},"sf":"$sfDir"$failedJson$secondSf}""")
+      f"""{"metric":"summary","value":$total%.3f,"unit":"sec","total":$total%.3f$total2Json,"n":${results.length},"failed":$failedList,"reps":$reps,"sf":"$sfDir","full":"$outPath"}""")
     // release the per-(session, corpus) memos - the bench touched
     // multiple corpora and nothing should stay pinned
     releaseMemos(spark)
