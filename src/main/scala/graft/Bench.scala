@@ -48,6 +48,11 @@ object Bench {
     "q_cms_sliding", "q_cms_join_card", "q_cms_f2", "q_qtile_sketch",
     "q_qtile_sliding",
     "q_kmv_jaccard", "q_kmv_retention",
+    // production (sketch-only) faces next to their adjunct-bearing
+    // twins: the delta IS the cost of the exact adjunct
+    "q_hll_distinct_prod", "q_hll_sliding_prod", "q_cms_topk_prod",
+    "q_cms_sliding_prod", "q_cms_join_card_prod", "q_cms_f2_prod",
+    "q_kmv_jaccard_prod", "q_kmv_retention_prod",
     "txt_stats", "txt_fingerprint", "txt_repetition",
     "mm_binary_stats", "pipe_corpus_clean",
     "pipe_decontaminate", "pipe_decont_bloom", "pipe_dedup_apply",

@@ -130,6 +130,17 @@ object SparkEntry {
     "q_qtile_sliding" -> Sketches.qQtileSliding _,
     "q_cms_topk" -> Sketches.qCmsTopk _,
     "q_qtile_sketch" -> Sketches.qQtileSketch _,
+    // production (sketch-only) faces: identical sketch state +
+    // estimator, no exact adjunct in the plan - the deployment path
+    // the bench measures
+    "q_hll_distinct_prod" -> Sketches.qHllDistinctProd _,
+    "q_hll_sliding_prod" -> Sketches.qHllSlidingProd _,
+    "q_cms_topk_prod" -> Sketches.qCmsTopkProd _,
+    "q_cms_sliding_prod" -> Sketches.qCmsSlidingProd _,
+    "q_cms_join_card_prod" -> Sketches.qCmsJoinCardProd _,
+    "q_cms_f2_prod" -> Sketches.qCmsF2Prod _,
+    "q_kmv_jaccard_prod" -> Sketches.qKmvJaccardProd _,
+    "q_kmv_retention_prod" -> Sketches.qKmvRetentionProd _,
     "txt_pii_scrub" -> TextAnalysis.piiScrub _,
     "txt_sample" -> ((s, d) => TextAnalysis.sample(s, d)),
     // ---- dedup ----
@@ -261,6 +272,14 @@ object SparkEntry {
     // streaming KMV face shares the batch sketch oracle
     "ss_stream_kmv" -> Sketches.qKmvJaccardSql,
     "q_cms_topk" -> Sketches.qCmsTopkSql,
+    "q_hll_distinct_prod" -> Sketches.qHllDistinctProdSql,
+    "q_hll_sliding_prod" -> Sketches.qHllSlidingProdSql,
+    "q_cms_topk_prod" -> Sketches.qCmsTopkProdSql,
+    "q_cms_sliding_prod" -> Sketches.qCmsSlidingProdSql,
+    "q_cms_join_card_prod" -> Sketches.qCmsJoinCardProdSql,
+    "q_cms_f2_prod" -> Sketches.qCmsF2ProdSql,
+    "q_kmv_jaccard_prod" -> Sketches.qKmvJaccardProdSql,
+    "q_kmv_retention_prod" -> Sketches.qKmvRetentionProdSql,
     "ss_stream_range_join" -> RangeJoin.sql,
     "ss_stream_hll" -> Sketches.qHllDistinctSql,
     // the streaming counter matrix is the same state the batch sketch

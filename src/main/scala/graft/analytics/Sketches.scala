@@ -944,6 +944,432 @@ object Sketches {
        |ORDER BY ex.type_a, ex.type_b""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Production (sketch-only) faces
+  // ------------------------------------------------------------------
+  //
+  // Every sketch query above emits its exact counterpart alongside the
+  // estimate so the oracle gate can SEE the error - but at 100 TB the
+  // exact adjunct (a countDistinct, a corpus self-join, a per-window
+  // re-scan) IS the expensive pass the sketch exists to avoid. These
+  // _prod faces are the deployment path: identical sketch state,
+  // identical estimator (the shared helpers, so the two faces cannot
+  // drift), no exact relation anywhere in the plan. Each still sits
+  // under a full DuckDB oracle - the sketches are deterministic - so
+  // "production" costs nothing in verifiability.
+
+  /** HLL distinct estimate only: one narrow hash pass, one
+    * (group, register) max, a groups-sized final agg. The exact
+    * countDistinct - a second corpus-wide distinct shuffle - is gone.
+    */
+  def qHllDistinctProd(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    graft.functions.NativeFunctions.register(spark)
+    val li = Graft.tableParallel(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"))
+    val regs = hashRho(li)
+      .groupBy(col("l_returnflag"), col("reg"))
+      .agg(max(col("rho")).as("mj"))
+    estimate(regs).orderBy(col("l_returnflag"))
+  }
+
+  val qHllDistinctProdSql: String = {
+    val h48 = HashParity.hex48Duck("md5(CAST(l_orderkey AS VARCHAR))")
+    s"""WITH h AS (
+       |  SELECT l_returnflag, $h48 AS h FROM lineitem
+       |), r AS (
+       |  SELECT l_returnflag, h >> $wBits AS reg, h % $wMod AS w FROM h
+       |), regs AS (
+       |  SELECT l_returnflag, reg,
+       |    max(CASE WHEN w = 0 THEN ${wBits + 1}
+       |        ELSE ${wBits + 1} - length(bin(w)) END) AS mj
+       |  FROM r GROUP BY l_returnflag, reg
+       |), est AS (
+       |  SELECT l_returnflag,
+       |    sum(1.0 / CAST((CAST(1 AS BIGINT) << mj) AS DOUBLE))
+       |      + CAST($hllM - count(*) AS DOUBLE) AS s_all,
+       |    $hllM - count(*) AS v
+       |  FROM regs GROUP BY l_returnflag
+       |), e AS (
+       |  SELECT l_returnflag, $alphaM2 / s_all AS e_raw, v FROM est
+       |)
+       |SELECT l_returnflag,
+       |  ${ParityMath.q6Sql(
+            s"""CASE WHEN e_raw <= $lcThreshold AND v > 0
+               |THEN CAST(512.0 AS DOUBLE) * ln(CAST(512.0 AS DOUBLE) / CAST(v AS DOUBLE))
+               |ELSE e_raw END""".stripMargin)} AS hll_est
+       |FROM e
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
+  /** Sliding-window HLL estimate only: the six-bucket register merge
+    * IS the whole cost - the per-window exact distinct (re-reading
+    * every window's raw rows, 6x read amplification) is gone.
+    */
+  def qHllSlidingProd(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    graft.functions.NativeFunctions.register(spark)
+    val ev = Graft.tableParallel(spark, sfDir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(expr(s"(ts DIV 1000L) DIV ${slideBucketUs}L").as("b"),
+        col("user_id"))
+    val regs = hashRho(ev.select(col("b").as("l_returnflag"),
+        col("user_id").as("l_orderkey")))
+      .select(col("l_returnflag").as("b"), col("reg"), col("rho"))
+      .groupBy(col("b"), col("reg"))
+      .agg(max(col("rho")).as("mj"))
+    val wins = ev.select(col("b").as("wb")).distinct()
+    val merged = regs.join(broadcast(wins),
+        col("b").between(col("wb") - slideSpan, col("wb")))
+      .groupBy(col("wb"), col("reg"))
+      .agg(max(col("mj")).as("mj"))
+    estimate(merged, "wb").orderBy(col("wb"))
+  }
+
+  val qHllSlidingProdSql: String = {
+    val h48 = HashParity.hex48Duck("md5(CAST(user_id AS VARCHAR))")
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts) // $slideBucketUs AS b, user_id
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |), r AS (
+       |  SELECT b, h >> $wBits AS reg, h % $wMod AS w FROM (
+       |    SELECT b, $h48 AS h FROM e
+       |  )
+       |), regs AS (
+       |  SELECT b, reg,
+       |    max(CASE WHEN w = 0 THEN ${wBits + 1}
+       |        ELSE ${wBits + 1} - length(bin(w)) END) AS mj
+       |  FROM r GROUP BY b, reg
+       |), wins AS (
+       |  SELECT DISTINCT b AS wb FROM e
+       |), merged AS (
+       |  SELECT w.wb, r.reg, max(r.mj) AS mj
+       |  FROM regs r JOIN wins w ON r.b BETWEEN w.wb - $slideSpan AND w.wb
+       |  GROUP BY w.wb, r.reg
+       |), est AS (
+       |  SELECT wb,
+       |    sum(1.0 / CAST((CAST(1 AS BIGINT) << mj) AS DOUBLE))
+       |      + CAST($hllM - count(*) AS DOUBLE) AS s_all,
+       |    $hllM - count(*) AS v
+       |  FROM merged GROUP BY wb
+       |), e2 AS (
+       |  SELECT wb, $alphaM2 / s_all AS e_raw, v FROM est
+       |)
+       |SELECT wb,
+       |  ${ParityMath.q6Sql(
+            s"""CASE WHEN e_raw <= $lcThreshold AND v > 0
+               |THEN CAST(512.0 AS DOUBLE) * ln(CAST(512.0 AS DOUBLE) / CAST(v AS DOUBLE))
+               |ELSE e_raw END""".stripMargin)} AS hll_est
+       |FROM e2
+       |ORDER BY wb""".stripMargin
+  }
+
+  /** CMS heavy hitters estimate only: candidates are the distinct
+    * item set (one map-side-combinable distinct, no per-item exact
+    * counting), probed against the broadcast counter matrix.
+    */
+  def qCmsTopkProd(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    graft.functions.NativeFunctions.register(spark)
+    val ev = Graft.table(spark, sfDir, "events").select(col("user_id"))
+    val counters = cmsCounters(ev)
+    val probes = ev.distinct()
+      .select(col("user_id"), explode(array(cmsRows.map(lit(_)): _*)).as("r"))
+      .withColumn("bkt", expr(bucketSpark("r")))
+    probes.join(broadcast(counters), Seq("r", "bkt"))
+      .groupBy(col("user_id"))
+      .agg(min(col("c")).as("est_cnt"))
+      .orderBy(col("est_cnt").desc, col("user_id"))
+      .limit(cmsK)
+  }
+
+  val qCmsTopkProdSql: String = {
+    val rowsList = cmsRows.mkString("[", ", ", "]")
+    s"""WITH ev AS (
+       |  SELECT user_id FROM events
+       |), cells AS (
+       |  SELECT u.r AS r, ${bucketDuck("u.r")} AS bkt
+       |  FROM ev, unnest($rowsList) u(r)
+       |), counters AS (
+       |  SELECT r, bkt, count(*) AS c FROM cells GROUP BY r, bkt
+       |), items AS (
+       |  SELECT DISTINCT user_id FROM ev
+       |), probes AS (
+       |  SELECT user_id, u.r AS r, ${bucketDuck("u.r")} AS bkt
+       |  FROM items, unnest($rowsList) u(r)
+       |)
+       |SELECT user_id, min(c) AS est_cnt
+       |FROM probes JOIN counters USING (r, bkt)
+       |GROUP BY user_id
+       |ORDER BY est_cnt DESC, user_id
+       |LIMIT $cmsK""".stripMargin
+  }
+
+  /** Sliding CMS heavy hitters estimate only. The per-window exact
+    * count relation (a corpus x windows join + groupBy) is replaced by
+    * the distinct (bucket, item) relation built ONCE - window
+    * candidates are its union over the window's buckets - so the raw
+    * corpus is never re-scanned per window.
+    */
+  def qCmsSlidingProd(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    graft.functions.NativeFunctions.register(spark)
+    val ev = Graft.tableParallel(spark, sfDir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(expr(s"(ts DIV 1000L) DIV ${slideBucketUs}L").as("b"),
+        col("user_id"))
+    val counters = ev
+      .select(col("b"), col("user_id"),
+        explode(array(cmsRows.map(lit(_)): _*)).as("r"))
+      .select(col("b"), col("r"), expr(bucketSpark("r")).as("bkt"))
+      .groupBy(col("b"), col("r"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+    val wins = ev.select(col("b").as("wb")).distinct()
+    val merged = counters.join(broadcast(wins),
+        col("b").between(col("wb") - slideSpan, col("wb")))
+      .groupBy(col("wb"), col("r"), col("bkt"))
+      .agg(sum(col("c")).as("c"))
+    // candidate shape mirrors the adjunct-bearing twin exactly (window
+    // join on raw rows, THEN one (wb, user) shuffle, THEN the r-fan-out
+    // and md5): the nested-loop window join sees 1x rows, md5 runs once
+    // per distinct (window, item), and the distinct's partitioning is
+    // reused by the min(c) aggregate below - no extra exchange. The
+    // only thing removed vs the twin is the exact count itself.
+    val cand = ev.join(broadcast(wins),
+        col("b").between(col("wb") - slideSpan, col("wb")))
+      .select(col("wb"), col("user_id")).distinct()
+    val probes = cand
+      .select(col("wb"), col("user_id"),
+        explode(array(cmsRows.map(lit(_)): _*)).as("r"))
+      .withColumn("bkt", expr(bucketSpark("r")))
+    val est = probes.join(broadcast(merged), Seq("wb", "r", "bkt"))
+      .groupBy(col("wb"), col("user_id"))
+      .agg(min(col("c")).as("est_cnt"))
+    val wTop = Window.partitionBy(col("wb"))
+      .orderBy(col("est_cnt").desc, col("user_id"))
+    est.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= cmsSlideK).drop("rn")
+      .orderBy(col("wb"), col("est_cnt").desc, col("user_id"))
+  }
+
+  val qCmsSlidingProdSql: String = {
+    val rowsList = cmsRows.mkString("[", ", ", "]")
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts) // $slideBucketUs AS b, user_id
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |), counters AS (
+       |  SELECT b, r, bkt, count(*) AS c FROM (
+       |    SELECT b, u.r AS r, ${bucketDuck("u.r")} AS bkt
+       |    FROM e, unnest($rowsList) u(r)
+       |  ) GROUP BY b, r, bkt
+       |), wins AS (
+       |  SELECT DISTINCT b AS wb FROM e
+       |), merged AS (
+       |  SELECT w.wb, c.r, c.bkt, CAST(sum(c.c) AS BIGINT) AS c
+       |  FROM counters c JOIN wins w
+       |    ON c.b BETWEEN w.wb - $slideSpan AND w.wb
+       |  GROUP BY w.wb, c.r, c.bkt
+       |), cand AS (
+       |  SELECT DISTINCT w.wb, e.user_id
+       |  FROM e JOIN wins w ON e.b BETWEEN w.wb - $slideSpan AND w.wb
+       |), probes AS (
+       |  SELECT wb, user_id, u.r AS r, ${bucketDuck("u.r")} AS bkt
+       |  FROM cand, unnest($rowsList) u(r)
+       |), est AS (
+       |  SELECT wb, user_id, min(c) AS est_cnt
+       |  FROM probes JOIN merged USING (wb, r, bkt)
+       |  GROUP BY wb, user_id
+       |)
+       |SELECT wb, user_id, est_cnt FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY wb
+       |    ORDER BY est_cnt DESC, user_id) AS rn
+       |  FROM est
+       |) WHERE rn <= $cmsSlideK
+       |ORDER BY wb, est_cnt DESC, user_id""".stripMargin
+  }
+
+  /** Join-cardinality estimate only: two narrow sketch passes and d
+    * dot products of w-length vectors. The exact join size (two
+    * corpus-wide groupBys + a key join) is gone - at 100 TB that
+    * exact side is bigger than the join decision it informs.
+    */
+  def qCmsJoinCardProd(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    graft.functions.NativeFunctions.register(spark)
+    val ev = Graft.tableParallel(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"))
+    val ca = cmsCounters(purchases).toDF("r", "bkt", "ca")
+    val cb = cmsCounters(errors).toDF("r", "bkt", "cb")
+    ca.join(cb, Seq("r", "bkt"))
+      .groupBy(col("r"))
+      .agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("est_pairs"))
+  }
+
+  val qCmsJoinCardProdSql: String = {
+    val rowsList = cmsRows.mkString("[", ", ", "]")
+    s"""WITH p AS (
+       |  SELECT user_id FROM events
+       |  WHERE user_id IS NOT NULL AND event_type = 'purchase'
+       |), e AS (
+       |  SELECT user_id FROM events
+       |  WHERE user_id IS NOT NULL AND event_type = 'error'
+       |), ca AS (
+       |  SELECT r, bkt, count(*) AS ca FROM (
+       |    SELECT u.r AS r, ${bucketDuck("u.r")} AS bkt
+       |    FROM p, unnest($rowsList) u(r)
+       |  ) GROUP BY r, bkt
+       |), cb AS (
+       |  SELECT r, bkt, count(*) AS cb FROM (
+       |    SELECT u.r AS r, ${bucketDuck("u.r")} AS bkt
+       |    FROM e, unnest($rowsList) u(r)
+       |  ) GROUP BY r, bkt
+       |), ip AS (
+       |  SELECT ca.r, CAST(sum(ca.ca * cb.cb) AS BIGINT) AS ip
+       |  FROM ca JOIN cb USING (r, bkt) GROUP BY ca.r
+       |)
+       |SELECT min(ip) AS est_pairs FROM ip""".stripMargin
+  }
+
+  /** F2 estimate only: the skew decision from the one-pass d x w
+    * matrix, no exact groupBy anywhere.
+    */
+  def qCmsF2Prod(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    graft.functions.NativeFunctions.register(spark)
+    val ev = Graft.tableParallel(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"))
+    cmsCounters(ev).groupBy(col("r"))
+      .agg(sum(col("c") * col("c")).as("ip"))
+      .agg(min(col("ip")).as("est_f2"))
+  }
+
+  val qCmsF2ProdSql: String = {
+    val rowsList = cmsRows.mkString("[", ", ", "]")
+    s"""WITH ev AS (
+       |  SELECT user_id FROM events WHERE user_id IS NOT NULL
+       |), c AS (
+       |  SELECT r, bkt, count(*) AS c FROM (
+       |    SELECT u.r AS r, ${bucketDuck("u.r")} AS bkt
+       |    FROM ev, unnest($rowsList) u(r)
+       |  ) GROUP BY r, bkt
+       |), ip AS (
+       |  SELECT r, CAST(sum(c * c) AS BIGINT) AS ip FROM c GROUP BY r
+       |)
+       |SELECT min(ip) AS est_f2 FROM ip""".stripMargin
+  }
+
+  /** KMV pairwise Jaccard/union estimates only: one corpus scan
+    * (hash + bounded per-group top-k), pair math on groups x k local
+    * buffers. The exact-overlap adjunct - a corpus-wide hash SELF-JOIN
+    * - is gone; that join is THE scale bottleneck the sketch removes.
+    */
+  def qKmvJaccardProd(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    graft.functions.NativeFunctions.register(spark)
+    val hs = kmvHashes(Graft.tableParallel(spark, sfDir, "events"))
+    val s2 = spark; import s2.implicits._
+    val kmvLocal = kmvSets(hs).collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1))).toSeq
+    kmvEstimates(kmvLocal.toDF("event_type", "ks"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val qKmvJaccardProdSql: String = {
+    val h48 = HashParity.hex48Duck("md5(CAST(user_id AS VARCHAR))")
+    s"""WITH hs AS (
+       |  SELECT DISTINCT event_type, $h48 AS h FROM events
+       |), km AS (
+       |  SELECT event_type, list_sort(list(h)) AS ks FROM (
+       |    SELECT event_type, h,
+       |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |    FROM hs
+       |  ) WHERE rn <= $kmvK GROUP BY event_type
+       |), est AS (
+       |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+       |    x.ks AS ka, y.ks AS kb,
+       |    list_sort(list_distinct(x.ks || y.ks))[1:$kmvK] AS u
+       |  FROM km x JOIN km y ON x.event_type < y.event_type
+       |), e2 AS (
+       |  SELECT type_a, type_b, u,
+       |    len(list_filter(u,
+       |      x -> list_contains(ka, x) AND list_contains(kb, x))) AS m
+       |  FROM est
+       |)
+       |SELECT type_a, type_b,
+       |  ${ParityMath.q6Sql(
+            "CAST(m AS DOUBLE) / CAST(len(u) AS DOUBLE)")} AS kmv_jaccard,
+       |  CASE WHEN len(u) < $kmvK THEN CAST(len(u) AS DOUBLE)
+       |  ELSE ${ParityMath.q6Sql(
+            s"""CAST(${kmvK - 1}.0 AS DOUBLE) * 281474976710656.0
+               |/ CAST(u[len(u)] AS DOUBLE)""".stripMargin)} END
+       |    AS kmv_union_est
+       |FROM e2
+       |ORDER BY type_a, type_b""".stripMargin
+  }
+
+  /** Retention estimates only: per-bucket KMV buffers + adjacent-pair
+    * math on buckets x k local arrays. The exact adjacent-overlap
+    * self-join (re-reading both windows per pair) is gone.
+    */
+  def qKmvRetentionProd(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    graft.functions.NativeFunctions.register(spark)
+    val hs = Graft.tableParallel(spark, sfDir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(expr(s"(ts DIV 1000L) DIV ${slideBucketUs}L").as("b"),
+        expr("graft_md5_48(CAST(user_id AS STRING))").as("h"))
+      .distinct()
+    val s2 = spark; import s2.implicits._
+    val kmLocal = kmvSets(hs, "b").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    val km = kmLocal.toDF("b", "ks")
+    kmvPairMath(
+        km.toDF("b_prev", "ka").join(km.toDF("b_next", "kb"),
+          col("b_next") === col("b_prev") + 1))
+      .select(col("b_prev"), col("b_next"),
+        col("kmv_jaccard"), col("kmv_union_est"))
+      .orderBy(col("b_prev"))
+  }
+
+  val qKmvRetentionProdSql: String = {
+    val h48 = HashParity.hex48Duck("md5(CAST(user_id AS VARCHAR))")
+    s"""WITH hs AS (
+       |  SELECT DISTINCT epoch_us(ts) // $slideBucketUs AS b, $h48 AS h
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |), km AS (
+       |  SELECT b, list_sort(list(h)) AS ks FROM (
+       |    SELECT b, h,
+       |      row_number() OVER (PARTITION BY b ORDER BY h) AS rn
+       |    FROM hs
+       |  ) WHERE rn <= $kmvK GROUP BY b
+       |), est AS (
+       |  SELECT p.b AS b_prev, q.b AS b_next, p.ks AS ka, q.ks AS kb,
+       |    list_sort(list_distinct(p.ks || q.ks))[1:$kmvK] AS u
+       |  FROM km p JOIN km q ON q.b = p.b + 1
+       |), e2 AS (
+       |  SELECT b_prev, b_next, u,
+       |    len(list_filter(u,
+       |      x -> list_contains(ka, x) AND list_contains(kb, x))) AS m
+       |  FROM est
+       |)
+       |SELECT b_prev, b_next,
+       |  ${ParityMath.q6Sql(
+            "CAST(m AS DOUBLE) / CAST(len(u) AS DOUBLE)")} AS kmv_jaccard,
+       |  CASE WHEN len(u) < $kmvK THEN CAST(len(u) AS DOUBLE)
+       |  ELSE ${ParityMath.q6Sql(
+            s"""CAST(${kmvK - 1}.0 AS DOUBLE) * 281474976710656.0
+               |/ CAST(u[len(u)] AS DOUBLE)""".stripMargin)} END
+       |    AS kmv_union_est
+       |FROM e2
+       |ORDER BY b_prev""".stripMargin
+  }
+
   val qHllDistinctSql: String = {
     val h48 = HashParity.hex48Duck("md5(CAST(l_orderkey AS VARCHAR))")
     s"""WITH h AS (

@@ -305,4 +305,41 @@ class SketchesSpec extends SparkSpec {
     assert(scrubbed(3) == ((4L, 0L, "x1 x2 x3 x4 x5 x6 x7 x8")))
     assert(scrubbed(4) == ((5L, 0L, "y1 y2 y3")))
   }
+
+  test("prod faces equal the estimate columns of their adjunct twins") {
+    // the _prod deployment faces share state-building and estimator
+    // helpers with the adjunct-bearing oracle faces; this pins the
+    // shared-function contract end to end: estimates NEVER drift
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().toSeq.map(_.toSeq)
+    assert(rows(Sketches.qHllDistinctProd(spark, sfDir)) ==
+      rows(Sketches.qHllDistinct(spark, sfDir)
+        .select(col("l_returnflag"), col("hll_est"))
+        .orderBy(col("l_returnflag"))))
+    assert(rows(Sketches.qHllSlidingProd(spark, sfDir)) ==
+      rows(Sketches.qHllSliding(spark, sfDir)
+        .select(col("wb"), col("hll_est")).orderBy(col("wb"))))
+    assert(rows(Sketches.qCmsTopkProd(spark, sfDir)) ==
+      rows(Sketches.qCmsTopk(spark, sfDir)
+        .select(col("user_id"), col("est_cnt"))
+        .orderBy(col("est_cnt").desc, col("user_id"))))
+    assert(rows(Sketches.qCmsSlidingProd(spark, sfDir)) ==
+      rows(Sketches.qCmsSliding(spark, sfDir)
+        .select(col("wb"), col("user_id"), col("est_cnt"))
+        .orderBy(col("wb"), col("est_cnt").desc, col("user_id"))))
+    assert(rows(Sketches.qCmsJoinCardProd(spark, sfDir)) ==
+      rows(Sketches.qCmsJoinCard(spark, sfDir).select(col("est_pairs"))))
+    assert(rows(Sketches.qCmsF2Prod(spark, sfDir)) ==
+      rows(Sketches.qCmsF2(spark, sfDir).select(col("est_f2"))))
+    assert(rows(Sketches.qKmvJaccardProd(spark, sfDir)) ==
+      rows(Sketches.qKmvJaccard(spark, sfDir)
+        .select(col("type_a"), col("type_b"),
+          col("kmv_jaccard"), col("kmv_union_est"))
+        .orderBy(col("type_a"), col("type_b"))))
+    assert(rows(Sketches.qKmvRetentionProd(spark, sfDir)) ==
+      rows(Sketches.qKmvRetention(spark, sfDir)
+        .select(col("b_prev"), col("b_next"),
+          col("kmv_jaccard"), col("kmv_union_est"))
+        .orderBy(col("b_prev"))))
+  }
 }
