@@ -143,6 +143,7 @@ object SparkEntry {
     "q_kmv_retention_prod" -> Sketches.qKmvRetentionProd _,
     "txt_pii_scrub" -> TextAnalysis.piiScrub _,
     "txt_sample" -> ((s, d) => TextAnalysis.sample(s, d)),
+    "txt_bpe_learn" -> TextAnalysis.bpeLearn _,
     // ---- dedup ----
     "dd_exact" -> Dedup.exact _,
     "dd_dup_spans" -> Dedup.dupSpans _,
@@ -330,6 +331,7 @@ object SparkEntry {
     "ss_stream_wsample" -> graft.pipeline.CorpusOps.sampleWeightedSql,
     "pipe_layout_zorder" -> graft.pipeline.Layout.zorderSql,
     "txt_phrase_merge" -> TextAnalysis.phraseMergeSql,
+    "txt_bpe_learn" -> TextAnalysis.bpeLearnSql,
     "pipe_pack" -> graft.pipeline.CorpusOps.packSql(),
     "pipe_decontaminate" -> graft.pipeline.CorpusOps.decontaminateSql,
     "pipe_decont_bloom" -> graft.pipeline.CorpusOps.decontaminateSql,

@@ -281,9 +281,10 @@ object TextAnalysis {
     * cleaning pass that precedes tokenization - txt_pii_scrub /
     * pipe_corpus_clean territory - or picks an unused sentinel).
     */
-  private def mergeExpr(col: String, fn: (String, String, String) => String,
-                        chr: String): String =
-    phraseMerges.foldLeft(col) { case (acc, (a, b)) =>
+  private def mergeExprOf(merges: Seq[(String, String)], col: String,
+                          fn: (String, String, String) => String,
+                          chr: String): String =
+    merges.foldLeft(col) { case (acc, (a, b)) =>
       fn(acc, s"$chr || '$a' || $chr || $chr || '$b' || $chr",
         s"$chr || '${a}_$b' || $chr")
     }
@@ -291,10 +292,12 @@ object TextAnalysis {
   def phraseMerge(spark: SparkSession, sfDir: String): DataFrame =
     phraseMergeFrom(Graft.tableParallel(spark, sfDir, "documents"))
 
-  private[graft] def phraseMergeFrom(docs: DataFrame): DataFrame = {
+  private[graft] def phraseMergeFrom(
+      docs: DataFrame,
+      merges: Seq[(String, String)] = phraseMerges): DataFrame = {
     val sparkReplace = (s: String, find: String, rep: String) =>
       s"replace($s, $find, $rep)"
-    val merged = mergeExpr("wrapped", sparkReplace, "chr(1)")
+    val merged = mergeExprOf(merges, "wrapped", sparkReplace, "chr(1)")
     docs
       .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
       .filter(size(col("toks")) >= 1)
@@ -312,7 +315,7 @@ object TextAnalysis {
   val phraseMergeSql: String = {
     val duckReplace = (s: String, find: String, rep: String) =>
       s"replace($s, $find, $rep)"
-    val merged = mergeExpr("wrapped", duckReplace, "chr(1)")
+    val merged = mergeExprOf(phraseMerges, "wrapped", duckReplace, "chr(1)")
     s"""WITH t AS (
        |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
        |  FROM documents WHERE len(regexp_extract_all(text, '\\S+')) >= 1
@@ -331,6 +334,126 @@ object TextAnalysis {
        |  CAST(len(mtoks) AS BIGINT) AS n_after,
        |  array_to_string(mtoks, ' ') AS text_merged
        |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- txt_bpe_learn ------------------------------------------------
+
+  /** Number of merge rounds the induction runs (mirrors the 8-entry
+    * applied table above; bounded by construction, like
+    * `Dedup.resolveComponents`' loud round cap).
+    */
+  val bpeRounds: Int = 8
+
+  /** BPE pair-merge vocabulary INDUCTION - learns the merge table that
+    * `txt_phrase_merge` applies (Sennrich et al., "Neural Machine
+    * Translation of Rare Words with Subword Units", ACL 2016, at the
+    * word level - i.e. phrase induction a la Mikolov et al. 2013).
+    * Mirrors the reference's rules-from-data spirit
+    * (/root/reference/src-clj/streamsum/system.clj `deftransform`:
+    * transform rules are config, and config is produced offline).
+    *
+    * Per round: count adjacent pairs over the so-far-merged token
+    * stream (ONE map-side-combinable groupBy on pair keys), take the
+    * global argmax with a deterministic tie-break (count desc, then
+    * lhs/rhs binary asc) via TakeOrderedAndProject - a 1-row collect,
+    * bounded by construction - then fold the winner into the merge
+    * chain (the same \x01-wrapped non-overlapping replace pass the
+    * apply operator uses, so learn and apply share semantics exactly).
+    *
+    * 100 TB shape: each round is a narrow replace chain over the
+    * corpus + one partial-agg'd shuffle keyed on pairs + a top-1
+    * reduction; rounds are a small constant, and the winning pair is
+    * folded in as a LITERAL (broadcast-free). The max pair count is
+    * non-increasing across rounds (a merge can only create pairs at
+    * most as frequent as the ones it consumed), asserted in spec.
+    */
+  def bpeLearn(spark: SparkSession, sfDir: String): DataFrame =
+    bpeLearnFrom(Graft.tableParallel(spark, sfDir, "documents"), bpeRounds)
+
+  private[graft] def bpeLearnFrom(docs: DataFrame, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val d = "\u0001"
+    val base = docs
+      .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+      .filter(size(col("toks")) >= 2)
+      .select(expr("chr(1) || concat_ws(chr(1) || chr(1), toks) || chr(1)")
+        .as("wrapped"))
+      .persist()
+    var learned = Vector.empty[(Long, String, String, Long)]
+    try {
+      for (r <- 1 to rounds) {
+        // lit()-based replace chain: learned tokens never pass through
+        // SQL text, so quotes/backslashes in corpus tokens are inert
+        val mergedCol = learned.foldLeft(col("wrapped")) {
+          case (acc, (_, a, b, _)) =>
+            replace(acc, lit(d + a + d + d + b + d), lit(d + a + "_" + b + d))
+        }
+        val top = base.select(mergedCol.as("m"))
+          .withColumn("mtoks", expr(
+            "split(substring(m, 2, length(m) - 2), chr(1) || chr(1))"))
+          .filter(size(col("mtoks")) >= 2)
+          .select(explode(expr(
+            """transform(sequence(1, size(mtoks) - 1),
+              |  i -> array(element_at(mtoks, i), element_at(mtoks, i + 1)))"""
+              .stripMargin)).as("pr"))
+          .groupBy(expr("pr[0]").as("lhs"), expr("pr[1]").as("rhs"))
+          .agg(count(lit(1)).as("pair_count"))
+          .orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)
+          .limit(1).collect()
+        top.foreach { row =>
+          learned = learned :+
+            ((r.toLong, row.getString(0), row.getString(1), row.getLong(2)))
+        }
+      }
+    } finally base.unpersist()
+    import spark.implicits._
+    learned.toDF("round", "lhs", "rhs", "pair_count").orderBy("round")
+  }
+
+  /** DuckDB replay of the same `bpeRounds` merge rounds as nested CTEs:
+    * each round's argmax is computed IN SQL (top-1 cross-joined back to
+    * rewrite the stream), so the oracle learns the table independently
+    * rather than trusting the Spark side's picks.
+    */
+  val bpeLearnSql: String = {
+    val sb = new StringBuilder
+    sb ++= """WITH w0 AS (
+      |  SELECT chr(1) ||
+      |    array_to_string(regexp_extract_all(text, '\S+'),
+      |                    chr(1) || chr(1)) || chr(1) AS wrapped
+      |  FROM documents
+      |  WHERE len(regexp_extract_all(text, '\S+')) >= 2
+      |)""".stripMargin
+    for (r <- 1 to bpeRounds) {
+      sb ++= s"""
+        |, k$r AS (
+        |  SELECT str_split(substring(wrapped, 2, length(wrapped) - 2),
+        |                   chr(1) || chr(1)) AS toks
+        |  FROM w${r - 1}
+        |), p$r AS (
+        |  SELECT pr[1] AS lhs, pr[2] AS rhs, count(*) AS pair_count
+        |  FROM (
+        |    SELECT unnest(list_transform(range(1, len(toks)),
+        |                  i -> [toks[i], toks[i + 1]])) AS pr
+        |    FROM k$r WHERE len(toks) >= 2
+        |  ) GROUP BY 1, 2
+        |), t$r AS (
+        |  SELECT lhs, rhs, pair_count FROM p$r
+        |  ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+        |)""".stripMargin
+      if (r < bpeRounds) sb ++= s"""
+        |, w$r AS (
+        |  SELECT replace(w.wrapped,
+        |    chr(1) || t.lhs || chr(1) || chr(1) || t.rhs || chr(1),
+        |    chr(1) || t.lhs || '_' || t.rhs || chr(1)) AS wrapped
+        |  FROM w${r - 1} w CROSS JOIN t$r t
+        |)""".stripMargin
+    }
+    sb ++= (1 to bpeRounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, lhs, rhs, " +
+        s"CAST(pair_count AS BIGINT) AS pair_count FROM t$r")
+      .mkString("\n", "\nUNION ALL\n", "\nORDER BY round")
+    sb.toString
   }
 
   // ---- txt_fingerprint ----------------------------------------------

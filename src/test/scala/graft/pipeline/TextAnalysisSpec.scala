@@ -92,4 +92,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(corpus.exists(x => x.getLong(2) < x.getLong(1)),
       "the merge table must fire on the corpus")
   }
+
+  test("bpe learn: planted multi-level merges recovered, apply round-trips") {
+    val s = spark; import s.implicits._
+    // two docs of a repeated 3-token phrase plant a 3-level merge
+    // ladder; the filler doc contributes only count-1 pairs
+    val phrase = Array.fill(12)("spark sql engine").mkString(" ")
+    val docs = Seq(
+      (1L, phrase),
+      (2L, phrase),
+      (3L, "filler tokens alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val learned = TextAnalysis.bpeLearnFrom(docs, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: (spark,sql) and (sql,engine) tie at 24; lhs-asc breaks it
+    assert(learned(0) == ((1L, "spark", "sql", 24L)))
+    // round 2 chains onto round 1's output token
+    assert(learned(1) == ((2L, "spark_sql", "engine", 24L)))
+    // round 3: the fully-merged phrase repeats adjacently -> self-pair,
+    // 11 per doc
+    assert(learned(2) == ((3L, "spark_sql_engine", "spark_sql_engine", 22L)))
+    // max pair count is non-increasing across rounds (BPE invariant)
+    assert(learned.map(_._4).sliding(2).forall(w => w(0) >= w(1)))
+    // feeding the learned table to the APPLY operator reproduces the
+    // planted structure: 36 tokens -> 12 merged -> 6 self-paired
+    val applied = TextAnalysis
+      .phraseMergeFrom(docs, learned.map(x => (x._2, x._3)).toSeq)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2))))
+      .toMap
+    assert(applied(1L) == ((36L, 6L)))
+    assert(applied(3L) == ((6L, 6L)), "filler doc untouched")
+    // corpus run: exactly bpeRounds rows, counts non-increasing
+    val corpus = TextAnalysis.bpeLearn(spark, sfDir).collect()
+    assert(corpus.length == TextAnalysis.bpeRounds)
+    val counts = corpus.map(_.getLong(3))
+    assert(counts.sliding(2).forall(w => w(0) >= w(1)))
+  }
 }
