@@ -829,7 +829,7 @@ object IvfMath {
     * zero copies of the corpus - replaces a crossJoin + window argmax
     * that shuffled #centroids copies of every corpus row.
     */
-  def nearest(vec: ArrayData, cents: Array[Array[Float]]): Long = {
+  def nearest(vec: ArrayData, cents: Array[Array[Double]]): Long = {
     val n = vec.numElements()
     var best = Double.NegativeInfinity
     var bestC = 0
@@ -840,7 +840,7 @@ object IvfMath {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < m) {
         val xv = vec.getFloat(i).toDouble
-        val yv = ce(i).toDouble
+        val yv = ce(i)
         dot += xv * yv; na += xv * xv; nb += yv * yv; i += 1
       }
       val csim = dot / (math.sqrt(na) * math.sqrt(nb))
@@ -856,10 +856,10 @@ object IvfMath {
   * Column API (the matrix is not SQL-expressible), used by ann_ivf's
   * assignment stage.
   */
-case class NearestCentroid(child: Expression, cents: Seq[Seq[Float]])
+case class NearestCentroid(child: Expression, cents: Seq[Seq[Double]])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
-  @transient private lazy val centsArr: Array[Array[Float]] =
+  @transient private lazy val centsArr: Array[Array[Double]] =
     cents.map(_.toArray).toArray
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -876,7 +876,7 @@ case class NearestCentroid(child: Expression, cents: Seq[Seq[Float]])
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("cents", centsArr, "float[][]")
+    val ref = ctx.addReferenceObj("cents", centsArr, "double[][]")
     defineCodeGen(ctx, ev,
       c => s"graft.functions.IvfMath.nearest($c, $ref)")
   }

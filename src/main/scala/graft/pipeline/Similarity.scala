@@ -23,8 +23,9 @@ object Similarity {
   val numQueries = 8 // query set: vec_id < 8
   val topK = 10
   val lshPlanes = 8
-  val ivfCentroids = 16 // vec_id < 16
-  val ivfProbes = 4
+  val ivfCentroids = 16 // vec_id < 16 seeds the training
+  val ivfProbes = 6
+  val ivfLloydRounds = 2
   val cosinePairThreshold = 0.4
 
   // ---- pinned-order cosine, both dialects ---------------------------
@@ -297,51 +298,104 @@ object Similarity {
 
   // ---- ann_ivf -------------------------------------------------------
 
-  /** IVF-style ANN: a deterministic centroid set (vec_id < 16 ≙ a
-    * seeded sample), every vector assigned to its nearest centroid
-    * (inverted lists), queries probe the `ivfProbes` nearest lists.
-    * At scale the corpus is partitioned by centroid id once; a query
-    * touches probes/centroids of the data.
+  /** IVF-style ANN: centroids trained by `ivfLloydRounds` deterministic
+    * Lloyd rounds from a seeded pick (vec_id < 16), every vector
+    * assigned to its nearest centroid (inverted lists), queries probe
+    * the `ivfProbes` nearest lists. At scale the corpus is partitioned
+    * by centroid id once; a query touches probes/centroids of the data.
     */
-  /** Centroid assignment as a narrow argmax: the centroid set is k
-    * small rows by construction (k ≪ corpus), so it is collected once
-    * at plan time and baked into a native argmax expression -
-    * assignment is a zero-shuffle scan, not a crossJoin + window that
-    * materializes k copies of every corpus row through an exchange.
-    * Rows come back ordered by cid, so argmax-with-smallest-index ≙
-    * ORDER BY csim DESC, cid ASC.
+  /** Trained centroids: `ivfLloydRounds` deterministic Lloyd rounds
+    * from the seeded pick (vec_id < ivfCentroids). Per round, one
+    * narrow assignment scan (the native argmax below) feeds ONE
+    * map-side-combinable (cid, pos) aggregation whose component sums
+    * are exact BIGINT micro-units - order-independent, so Spark and
+    * the DuckDB oracle (which replays the same rounds as CTEs) land on
+    * bit-identical means; the only float op is the single final
+    * division, performed identically on both engines. The k×dims
+    * result is collected per round - bounded by construction, same
+    * argument as the seed pick. Empty clusters keep their previous
+    * centroid on both engines.
+    *
+    * 100 TB shape: rounds are a small constant; each is a narrow
+    * corpus scan plus a k×dims-key partial-agg'd shuffle; the trained
+    * matrix travels as a plan-time literal (broadcast-free).
     */
-  def ivfAssign(e: DataFrame): DataFrame = {
-    val centRows = e.filter(col("vec_id") < ivfCentroids)
+  private[graft] def trainedCentroids(
+      e: DataFrame, rounds: Int = ivfLloydRounds): Seq[Seq[Double]] = {
+    val seed: Seq[Seq[Double]] = e.filter(col("vec_id") < ivfCentroids)
       .orderBy(col("vec_id")).collect()
-    val centVecs: Seq[Seq[Float]] =
-      centRows.toSeq.map(_.getSeq[Float](1).toSeq)
-    val cids: Seq[Long] = centRows.toSeq.map(_.getLong(0))
+      .toSeq.map(_.getSeq[Float](1).toSeq.map(_.toDouble))
+    (1 to rounds).foldLeft(seed) { case (cents, _) =>
+      val nearest = org.apache.spark.sql.GraftBridge.column(
+        graft.functions.NearestCentroid(
+          org.apache.spark.sql.GraftBridge.expression(col("embedding")),
+          cents))
+      val sums = e.select(nearest.as("cid"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(expr(
+          "CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"))
+          .as("s"), count(lit(1)).as("n"))
+        .collect() // bounded: ≤ ivfCentroids × dims rows
+        .map(r => (r.getLong(0).toInt, r.getInt(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+      cents.zipWithIndex.map { case (old, cid) =>
+        old.indices.map { p =>
+          sums.get((cid, p))
+            .map { case (s, n) => s.toDouble / (1000000.0 * n.toDouble) }
+            .getOrElse(old(p))
+        }
+      }
+    }
+  }
+
+  /** Trained centroid matrix as a k-row relation (for probe selection;
+    * always broadcast by the callers).
+    */
+  private def centsDF(spark: SparkSession,
+                      cents: Seq[Seq[Double]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("cid", "c_emb")
+  }
+
+  /** Centroid assignment as a narrow argmax: the centroid set is k
+    * small rows by construction (k ≪ corpus), trained once on the
+    * driver and baked into a native argmax expression - assignment is
+    * a zero-shuffle scan, not a crossJoin + window that materializes k
+    * copies of every corpus row through an exchange. Centroid id =
+    * matrix row index, and the native argmax resolves ties to the
+    * smallest index ≙ ORDER BY csim DESC, cid ASC.
+    */
+  def ivfAssign(e: DataFrame): DataFrame =
+    ivfAssignWith(e, trainedCentroids(e))
+
+  private[graft] def ivfAssignWith(e: DataFrame,
+                                   cents: Seq[Seq[Double]]): DataFrame = {
     val nearest = org.apache.spark.sql.GraftBridge.column(
       graft.functions.NearestCentroid(
         org.apache.spark.sql.GraftBridge.expression(col("embedding")),
-        centVecs))
+        cents))
     // Keep the embedding in the output: the assignment scan already has
     // it in hand, and dropping it would force a corpus-wide re-join on
     // vec_id downstream just to re-fetch the column (two avoidable
     // full-corpus exchanges at scale).
-    e.select(col("vec_id"), col("embedding"),
-      element_at(typedLit(cids),
-        (nearest + 1).cast(org.apache.spark.sql.types.IntegerType))
-        .as("cid"))
+    e.select(col("vec_id"), col("embedding"), nearest.as("cid"))
   }
 
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
-    val assign = ivfAssign(e)
-    val cents = e.filter(col("vec_id") < ivfCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    val centVecs = trainedCentroids(e)
+    val assign = ivfAssignWith(e, centVecs)
+    val cents = centsDF(spark, centVecs)
     val q = e.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("csim").desc, col("cid"))
+    // trained centroids are array<double>: probe csim uses the HOF
+    // cosine (same pinned order; numQueries × k rows, cost-free)
     val probes = q.crossJoin(broadcast(cents))
-      .withColumn("csim", expr(cosSpark("q_emb", "c_emb")))
+      .withColumn("csim", expr(cosSparkHof("q_emb", "c_emb")))
       .withColumn("prk", row_number().over(wProbe))
       .filter(col("prk") <= ivfProbes)
       .select(col("q_id"), col("q_emb"), col("cid"))
@@ -376,25 +430,25 @@ object Similarity {
     */
   def annIvfQuant(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val centVecs = trainedCentroids(e)
     val quantExpr =
       """transform(embedding,
         |  x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / smax) + 0.5) AS INT))"""
         .stripMargin
-    val assign = ivfAssign(e)
+    val assign = ivfAssignWith(e, centVecs)
       .withColumn("smax", expr(
         """aggregate(embedding, CAST(0.0 AS DOUBLE),
           |  (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))""".stripMargin))
       .filter(col("smax") > 0)
       .select(col("vec_id"), col("cid"), expr(quantExpr).as("qv"))
       .withColumn("qn", expr("graft_qdot(qv, qv)"))
-    val cents = e.filter(col("vec_id") < ivfCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    val cents = centsDF(spark, centVecs)
     val qf = e.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("csim").desc, col("cid"))
     val probes = qf.crossJoin(broadcast(cents))
-      .withColumn("csim", expr(cosSpark("q_emb", "c_emb")))
+      .withColumn("csim", expr(cosSparkHof("q_emb", "c_emb")))
       .withColumn("prk", row_number().over(wProbe))
       .filter(col("prk") <= ivfProbes)
       .select(col("q_id"), col("cid"))
@@ -423,10 +477,7 @@ object Similarity {
       s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
     s"""WITH e AS (
        |  SELECT vec_id, embedding FROM embeddings
-       |), cents AS (
-       |  SELECT vec_id AS cid, embedding AS c_emb FROM e
-       |  WHERE vec_id < $ivfCentroids
-       |), qe AS (
+       |), $lloydCentsCtes, qe AS (
        |  SELECT vec_id,
        |    list_transform(embedding,
        |      x -> CAST(floor(CAST(x AS DOUBLE)
@@ -470,13 +521,57 @@ object Similarity {
        |WHERE rk <= $topK ORDER BY q_id, rk""".stripMargin
   }
 
+  /** DuckDB replay of the Lloyd training: c0 = the seeded pick as
+    * double vectors, then per round an assignment argmax and
+    * integer-micro-unit component means (exact BIGINT sums, one final
+    * division - bit-identical to the Spark side), empty clusters
+    * keeping their previous centroid. The chain ends in a
+    * `cents(cid, c_emb)` relation so the downstream query text is
+    * unchanged from the untrained form.
+    */
+  private def lloydCentsCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"""c0 AS (
+       |  SELECT vec_id AS cid,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb
+       |  FROM e WHERE vec_id < $ivfCentroids
+       |)""".stripMargin
+    for (r <- 1 to ivfLloydRounds) {
+      sb ++= s"""
+         |, a$r AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosDuck("e.embedding", "c.c_emb")} DESC, c.cid)
+         |        AS ark
+         |    FROM e CROSS JOIN c${r - 1} c
+         |  ) WHERE ark = 1
+         |), s$r AS (
+         |  SELECT a.cid, p.pos,
+         |    SUM(CAST(floor(CAST(e.embedding[p.pos] AS DOUBLE)
+         |          * 1000000.0 + 0.5) AS BIGINT)) AS s,
+         |    COUNT(*) AS n
+         |  FROM a$r a JOIN e ON e.vec_id = a.vec_id
+         |  CROSS JOIN (SELECT unnest(range(1, $dims + 1)) AS pos) p
+         |  GROUP BY 1, 2
+         |), m$r AS (
+         |  SELECT cid,
+         |    list(CAST(s AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE))
+         |         ORDER BY pos) AS c_emb
+         |  FROM s$r GROUP BY cid
+         |), c$r AS (
+         |  SELECT c.cid, COALESCE(m.c_emb, c.c_emb) AS c_emb
+         |  FROM c${r - 1} c LEFT JOIN m$r m USING (cid)
+         |)""".stripMargin
+    }
+    sb ++= s"\n, cents AS (\n  SELECT cid, c_emb FROM c$ivfLloydRounds\n)"
+    sb.toString
+  }
+
   val annIvfSql: String =
     s"""WITH e AS (
        |  SELECT vec_id, embedding FROM embeddings
-       |), cents AS (
-       |  SELECT vec_id AS cid, embedding AS c_emb FROM e
-       |  WHERE vec_id < $ivfCentroids
-       |), assign AS (
+       |), $lloydCentsCtes, assign AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT e.vec_id, c.cid,
        |      row_number() OVER (PARTITION BY e.vec_id

@@ -87,7 +87,7 @@ class ExpressionsSpec extends SparkSpec {
       .select(col("vec_id"), col("embedding"))
     val centRows = e.filter(col("vec_id") < Similarity.ivfCentroids)
       .orderBy(col("vec_id")).collect()
-    val centVecs = centRows.toSeq.map(_.getSeq[Float](1).toSeq)
+    val centVecs = centRows.toSeq.map(_.getSeq[Float](1).toSeq.map(_.toDouble))
     val nearest = org.apache.spark.sql.GraftBridge.column(
       NearestCentroid(
         org.apache.spark.sql.GraftBridge.expression(col("embedding")),
