@@ -95,6 +95,63 @@ object Layout {
       .filter(z => inBox.tupled(deinterleave(z)))
       .map(_ >> shardShift).toSet
 
+  /** Inclusive bucket-space query box over the two z-dimensions;
+    * defaults leave a side unbounded.
+    */
+  final case class ZBox(tbLo: Long = 0L, tbHi: Long = (1L << zBits) - 1,
+                        vbLo: Long = 0L, vbHi: Long = (1L << zBits) - 1) {
+    def contains(tb: Long, vb: Long): Boolean =
+      tb >= tbLo && tb <= tbHi && vb >= vbLo && vb <= vbHi
+  }
+
+  def candidateShards(box: ZBox): Set[Long] =
+    candidateShards((tb, vb) => box.contains(tb, vb))
+
+  /** The production write path: annotate each row with its (tb, vb,
+    * zkey, shard) and write partitioned by shard - ALL original
+    * columns ride along (unlike the oracle query, which projects the
+    * key columns for comparison). Rows whose (ts, value) key is null
+    * cannot be placed on the curve and land in a reserved shard -1,
+    * so they are never silently dropped and never pollute a pruned
+    * range read.
+    *
+    * 100 TB shape: one narrow keying pass + one repartition on the
+    * shard id (so each output partition is written by one task, no
+    * small-file explosion from 32 writers x 64 shards), then
+    * directory-partitioned parquet - the layout `prunedRead` skips at
+    * the FileIndex level, before any I/O.
+    */
+  def writeZOrdered(ev: DataFrame, dir: String): Unit =
+    ev.withColumn("tb", expr(
+        s"pmod((ts DIV 1000L) DIV ${tBucketUs}L, ${1L << zBits})"))
+      // explicit null guard: least() SKIPS nulls, so a bare
+      // least(floor(NULL), max) would silently bucket null values at
+      // the top of the range instead of quarantining them
+      .withColumn("vb", expr(
+        s"CASE WHEN value IS NULL THEN CAST(NULL AS BIGINT) " +
+          s"ELSE CAST(least(floor(value / CAST($vWidth AS DOUBLE)), " +
+          s"${(1L << zBits) - 1}.0D) AS BIGINT) END"))
+      .withColumn("zkey", expr(zSpark))
+      .withColumn("shard", coalesce(
+        expr(s"shiftright(zkey, $shardShift)"), lit(-1L)))
+      .repartition(col("shard"))
+      .write.partitionBy("shard").mode("overwrite").parquet(dir)
+
+  /** Pruned box read over a `writeZOrdered` table: enumerate the box's
+    * candidate shards on the driver (bit math, no I/O), then read with
+    * a partition filter (`shard IN cands`) plus the exact residual
+    * (tb, vb) predicate. Partition pruning happens in the FileIndex -
+    * non-candidate directories are never listed into the scan - which
+    * is the whole point of the layout at 100 TB.
+    */
+  def prunedRead(spark: SparkSession, dir: String, box: ZBox): DataFrame = {
+    val cands = candidateShards(box)
+    spark.read.parquet(dir)
+      .filter(col("shard").cast("long").isin(cands.toSeq: _*))
+      .filter(col("tb").between(box.tbLo, box.tbHi) &&
+        col("vb").between(box.vbLo, box.vbHi))
+  }
+
   val zorderSql: String =
     s"""WITH b AS (
        |  SELECT event_id,

@@ -52,4 +52,51 @@ class LayoutSpec extends SparkSpec {
     assert((allShards -- tCand).nonEmpty,
       "the fixture must have data outside the candidate set")
   }
+
+  test("writeZOrdered/prunedRead: public API is lossless, prunes at the " +
+       "FileIndex, and quarantines null keys") {
+    val s = spark; import s.implicits._
+    val ev = graft.core.Graft.table(spark, sfDir, "events")
+    // plant rows that cannot be placed on the curve
+    val nulls = {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        java.util.Arrays.asList(
+          Row(-1L, null, 123.0),
+          Row(-2L, 1704067200000000000L, null)),
+        StructType(Seq(StructField("event_id", LongType),
+          StructField("ts", LongType), // nanos-as-long, like the table
+          StructField("value", DoubleType))))
+    }
+    val withNulls = ev.select(col("event_id"), col("ts"), col("value"))
+      .unionByName(nulls.select(col("event_id"), col("ts"),
+        col("value").cast("double")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zapi").toString
+    Layout.writeZOrdered(withNulls, dir)
+    // nothing dropped; null-key rows live in the reserved shard
+    val full = spark.read.parquet(dir)
+    assert(full.count() == withNulls.count())
+    assert(full.filter(col("shard").cast("long") === -1L)
+      .select("event_id").collect().map(_.getLong(0)).toSet == Set(-1L, -2L))
+    // box query through the public API == direct filter over everything
+    val keyed = Layout.zorder(spark, sfDir)
+    val tbLo = keyed.agg(min(col("tb"))).collect()(0).getLong(0) + 10
+    val box = Layout.ZBox(tbLo = tbLo, tbHi = tbLo + 19)
+    val pruned = Layout.prunedRead(spark, dir, box)
+    val direct = keyed
+      .filter(col("tb").between(box.tbLo, box.tbHi) &&
+        col("vb").between(box.vbLo, box.vbHi))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(direct.nonEmpty, "fixture must have rows in the box")
+    val got = pruned.select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == direct, "prunedRead must be lossless for the box")
+    // the shard cut is a PARTITION filter (FileIndex-level skip, no
+    // I/O on non-candidate directories), not a post-scan predicate
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters:"))
+    assert(pf.exists(_.contains("shard")),
+      s"shard prune must appear in PartitionFilters:\n$plan")
+  }
 }
