@@ -290,14 +290,34 @@ object SignatureStore {
     * replay idempotent, same as catchUp.
     */
   def catchUpLm(spark: SparkSession, watchDir: String,
-                storeDir: String): Unit = {
+                storeDir: String): Unit =
+    maintainLm(spark, watchDir, storeDir, glob = "*.parquet",
+      admissions = false)
+
+  /** Streaming ADMISSION against the evolving LM: like `catchUpLm`,
+    * but after folding a micro-batch's partials into the store, the
+    * batch's documents are scored and gated against the store's
+    * CURRENT summed partials (which now include this batch) and the
+    * verdicts land in `lm_admissions/batch=<id>` - the decision the
+    * pipeline acted on at arrival time, kept next to the re-scorable
+    * partials. An earlier batch's admission record never changes; its
+    * CURRENT score (`storedQualityGate`) evolves with the vocabulary,
+    * and the spec pins both halves.
+    */
+  def admitLm(spark: SparkSession, watchDir: String, storeDir: String,
+              glob: String = "*.parquet"): Unit =
+    maintainLm(spark, watchDir, storeDir, glob, admissions = true)
+
+  private def maintainLm(spark: SparkSession, watchDir: String,
+                         storeDir: String, glob: String,
+                         admissions: Boolean): Unit = {
     Graft.ensureConf(spark)
     graft.functions.NativeFunctions.register(spark)
     if (!hasParquet(spark, watchDir)) return // nothing has arrived yet
-    val schema = spark.read.option("pathGlobFilter", "*.parquet")
+    val schema = spark.read.option("pathGlobFilter", glob)
       .parquet(watchDir).schema
     val docs = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "*.parquet").parquet(watchDir)
+      .option("pathGlobFilter", glob).parquet(watchDir)
     val q = docs.writeStream
       .option("checkpointLocation", s"$storeDir/_checkpoint")
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -314,6 +334,20 @@ object SignatureStore {
             .agg(org.apache.spark.sql.functions.sum(col("k")).as("n"))
             .write.mode("overwrite")
             .parquet(s"$storeDir/lm_term_counts/batch=$id")
+          if (admissions) {
+            // score THIS batch against the store's current partials
+            // (the freshly-written ones included) - literally the
+            // query-time scoring core, restricted to the batch's docs
+            val sig = spark.read
+              .parquet(s"$storeDir/lm_signals/batch=$id")
+            val dts = spark.read
+              .parquet(s"$storeDir/lm_doc_terms/batch=$id")
+            QualityGate.withKeep(
+              sig.join(lmNllAgainstStore(spark, storeDir, dts),
+                Seq("doc_id"), "left"))
+              .write.mode("overwrite")
+              .parquet(s"$storeDir/lm_admissions/batch=$id")
+          }
         } finally terms.unpersist()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -321,22 +355,16 @@ object SignatureStore {
     q.awaitTermination()
   }
 
-  /** Quality verdicts from the incrementally-maintained store: the LM
-    * is summed from the per-batch partials, every stored document's
-    * term multiset is scored under it, and the verdict rule is the
-    * shared `QualityGate.withKeep` - so the store's answer matches
-    * `pipe_quality_gate`'s oracle once caught up.
+  /** doc_id -> nll for an arbitrary (doc_id, term, k) relation, scored
+    * under the LM summed from the store's current `lm_term_counts`
+    * partials. Shared by the query-time re-scorer (`storedQualityGate`)
+    * and the per-batch admission face (`admitLm`), so the two cannot
+    * drift.
     */
-  def storedQualityGate(spark: SparkSession, storeDir: String): DataFrame = {
+  private[graft] def lmNllAgainstStore(spark: SparkSession,
+                                       storeDir: String,
+                                       docTerms: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, count, expr, sum}
-    Graft.ensureConf(spark)
-    graft.functions.NativeFunctions.register(spark)
-    val signals = storedOrEmpty(spark, s"$storeDir/lm_signals",
-      emptyLike(spark, QualityGate.rowSignals(
-        spark.range(0).selectExpr("id AS doc_id", "'' AS text"))))
-    val docTerms = storedOrEmpty(spark, s"$storeDir/lm_doc_terms",
-      emptyLike(spark, spark.range(0)
-        .selectExpr("id AS doc_id", "'' AS term", "id AS k")))
     val freq = storedOrEmpty(spark, s"$storeDir/lm_term_counts",
       emptyLike(spark, spark.range(0)
         .selectExpr("'' AS term", "id AS n")))
@@ -348,7 +376,7 @@ object SignatureStore {
       else (totals.getLong(0), totals.getLong(1))
     // k identical tokens contribute k * nll_u - the same integer sum
     // the one-shot per-token pass produces, in any order
-    val nll = docTerms.join(broadcast(freq), "term")
+    docTerms.join(broadcast(freq), "term")
       .select(col("doc_id"), col("k"), expr(
         s"""CAST(floor(-ln(CAST(cnt + 1 AS DOUBLE)
            |  / CAST(${nTotal}L + ${vSize}L AS DOUBLE)) * 1000000.0 + 0.5)
@@ -359,6 +387,24 @@ object SignatureStore {
       .select(col("doc_id"),
         ParityMath.q6((col("sum_u").cast("double") / lit(1000000.0))
           / col("n_tok")).as("nll"))
+  }
+
+  /** Quality verdicts from the incrementally-maintained store: the LM
+    * is summed from the per-batch partials, every stored document's
+    * term multiset is scored under it, and the verdict rule is the
+    * shared `QualityGate.withKeep` - so the store's answer matches
+    * `pipe_quality_gate`'s oracle once caught up.
+    */
+  def storedQualityGate(spark: SparkSession, storeDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    graft.functions.NativeFunctions.register(spark)
+    val signals = storedOrEmpty(spark, s"$storeDir/lm_signals",
+      emptyLike(spark, QualityGate.rowSignals(
+        spark.range(0).selectExpr("id AS doc_id", "'' AS text"))))
+    val docTerms = storedOrEmpty(spark, s"$storeDir/lm_doc_terms",
+      emptyLike(spark, spark.range(0)
+        .selectExpr("id AS doc_id", "'' AS term", "id AS k")))
+    val nll = lmNllAgainstStore(spark, storeDir, docTerms)
     QualityGate.withKeep(signals.join(nll, Seq("doc_id"), "left"))
       .select(col("doc_id"), col("n_tokens"), col("mean_tok_len"),
         col("stop_ratio"), col("dup_tri_ratio"), col("rep2_ratio"),
@@ -491,7 +537,7 @@ object SignatureStore {
     q
   }
 
-  private def tempDirForExit(prefix: String): String = {
+  private[graft] def tempDirForExit(prefix: String): String = {
     val d = java.nio.file.Files.createTempDirectory(prefix).toString
     exitCleanup.add(d)
     d

@@ -172,36 +172,26 @@ object StreamSum {
       .orderBy(col("doc_id"))
   }
 
-  /** Streaming quality gate: documents arriving as a stream are scored
-    * against the STATIC corpus language model - the online admission
-    * face of `pipe_quality_gate`, sharing its oracle. The stream side
-    * computes the LM signal (per-doc NLL) incrementally: terms explode
-    * into a broadcast join against the static frequency relation, then
-    * an exact-integer micro-nat sum per doc_id (order-independent, so
-    * the streaming aggregation state is just two longs per doc).
-    * The narrow in-row signals and the keep verdict are the SAME
-    * functions the batch face uses (`QualityGate.rowSignals` /
-    * `withKeep`), so the two faces cannot drift.
+  /** Streaming quality gate against the EVOLVING corpus language
+    * model - the online admission face of `pipe_quality_gate`, sharing
+    * its oracle. Each arriving micro-batch folds its LM partials into
+    * the incremental store and is immediately gated against the
+    * store's CURRENT summed partials (`SignatureStore.admitLm` - the
+    * admission verdict the pipeline acted on, persisted per batch);
+    * the returned relation is the store's query-time re-scoring
+    * (`storedQualityGate`), under which every document - however early
+    * it arrived - is scored against the full final vocabulary, which
+    * is exactly what the one-shot batch oracle computes. Signals,
+    * scoring core and verdict rule are literally the batch functions,
+    * so the faces cannot drift.
     */
   def streamQuality(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
     graft.functions.NativeFunctions.register(spark)
-    import graft.pipeline.QualityGate
-    val (freq, nTotal, vSize) = QualityGate.lmRelations(spark, sfDir)
-    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
-    val docs = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(sfDir)
-    val nll = QualityGate.nllFromToks(
-      QualityGate.termToks(docs), freq, nTotal, vSize)
-    val nllTable = runToTable(nll, OutputMode.Complete(), "ss_stream_quality")
-    QualityGate.withKeep(
-      QualityGate.rowSignals(Graft.table(spark, sfDir, "documents"))
-        .join(nllTable, Seq("doc_id"), "left"))
-      .select(col("doc_id"), col("n_tokens"), col("mean_tok_len"),
-        col("stop_ratio"), col("dup_tri_ratio"), col("rep2_ratio"),
-        col("nll"), col("keep"))
-      .orderBy(col("doc_id"))
+    import graft.pipeline.SignatureStore
+    val store = SignatureStore.tempDirForExit("graft_stream_lm")
+    SignatureStore.admitLm(spark, sfDir, store, glob = "documents.parquet")
+    SignatureStore.storedQualityGate(spark, store)
   }
 
   /** How many bounded top-K shards the streaming weighted sample
@@ -244,37 +234,30 @@ object StreamSum {
       .limit(CorpusOps.wsampleK)
   }
 
-  /** Streaming admission face of the sketch-thresholded quality prune:
-    * arriving documents are scored against the STATIC corpus LM (the
-    * streaming aggregation state is two longs per doc, as in
-    * `streamQuality`) and admitted against the STATIC per-source
-    * threshold bins - the sketch-derived cut is a model parameter the
-    * stream consults, not state it maintains. Scoring
-    * (`nllFromToks`), binning (`nllBinned`) and the verdict
-    * (`pruneAssemble`) are literally the batch functions; shares
-    * `pipe_quality_prune`'s oracle.
+  /** Streaming admission face of the sketch-thresholded quality prune,
+    * against the EVOLVING LM: arriving micro-batches fold their
+    * partials into the incremental store (`admitLm`, which also
+    * persists each batch's arrival-time admission verdicts), and the
+    * final relation re-scores every stored document under the store's
+    * current summed partials, re-derives the per-source histogram cuts
+    * from those evolved scores, and assembles the verdict - so the
+    * output is the one-shot batch prune over everything that has
+    * arrived. Scoring (`lmNllAgainstStore`), binning (`nllBinned`) and
+    * the verdict (`pruneAssemble`) are literally the batch/store
+    * functions; shares `pipe_quality_prune`'s oracle.
     */
   def streamQualityPrune(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
     graft.functions.NativeFunctions.register(spark)
-    import graft.pipeline.QualityGate
-    val (freq, nTotal, vSize) = QualityGate.lmRelations(spark, sfDir)
-    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
-    val docsS = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(sfDir)
-    val nllS = QualityGate.nllFromToks(
-      QualityGate.termToks(docsS), freq, nTotal, vSize)
-    val nllTable = runToTable(nllS, OutputMode.Complete(),
-      "ss_stream_qprune")
+    import graft.pipeline.{QualityGate, SignatureStore}
+    val store = SignatureStore.tempDirForExit("graft_stream_qprune")
+    SignatureStore.admitLm(spark, sfDir, store, glob = "documents.parquet")
+    val docTerms = spark.read.parquet(s"$store/lm_doc_terms")
+      .drop("batch")
+    val nll = SignatureStore.lmNllAgainstStore(spark, store, docTerms)
     val docsB = Graft.table(spark, sfDir, "documents")
-    // static cuts from the batch corpus; streamed scores admitted
-    // against them
-    val cuts = QualityGate.pruneCuts(QualityGate.nllBinned(docsB,
-      QualityGate.nllFromToks(QualityGate.termToks(docsB),
-        freq, nTotal, vSize)))
-    QualityGate.pruneAssemble(
-      QualityGate.nllBinned(docsB, nllTable), cuts)
+    val nb = QualityGate.nllBinned(docsB, nll)
+    QualityGate.pruneAssemble(nb, QualityGate.pruneCuts(nb))
   }
 
   /** Streaming face of the KMV set-operations sketch: per-type k

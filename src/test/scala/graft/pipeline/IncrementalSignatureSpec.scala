@@ -178,6 +178,47 @@ class IncrementalSignatureSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq == stored)
   }
 
+  test("admitLm: admission verdicts use the LM of their moment; " +
+       "a vocabulary-growing batch changes an earlier doc's score") {
+    val watch = Files.createTempDirectory("graft_adm_watch").toString
+    val store = Files.createTempDirectory("graft_adm_store").toString
+    val s = spark; import s.implicits._
+    def gateOver(dfs: org.apache.spark.sql.DataFrame*): Map[Long, Double] = {
+      val dir = Files.createTempDirectory("graft_adm_corpus").toString
+      land(dfs.reduce(_ union _), dir, "documents.parquet")
+      QualityGate(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getDouble(6)).toMap
+    }
+    val batchA = Seq((1L, ("zq " * 40).trim)).toDF("doc_id", "text")
+    val batchB = (2L to 4L).map(i =>
+      (i, (s"w$i " * 40).trim)).toDF("doc_id", "text")
+
+    land(batchA, watch, "arrival1.parquet")
+    SignatureStore.admitLm(spark, watch, store)
+    def admitted(batch: Long): Map[Long, Double] =
+      spark.read.parquet(s"$store/lm_admissions/batch=$batch")
+        .select("doc_id", "nll").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // batch 0's admission == the one-shot gate over what had arrived
+    val adm0 = admitted(0L)
+    assert(adm0 == gateOver(batchA))
+
+    land(batchB, watch, "arrival2.parquet")
+    SignatureStore.admitLm(spark, watch, store)
+    // batch 1 docs are admitted under the LM INCLUDING their own batch
+    val unionGate = gateOver(batchA, batchB)
+    assert(admitted(1L) == unionGate.view.filterKeys(_ >= 2L).toMap)
+    // the earlier doc's admission record is immutable history...
+    assert(admitted(0L) == adm0)
+    // ...but its CURRENT score evolved with the vocabulary, and the
+    // re-scoring matches the one-shot union gate exactly
+    val now = SignatureStore.storedQualityGate(spark, store).collect()
+      .map(r => r.getLong(0) -> r.getDouble(6)).toMap
+    assert(now(1L) != adm0(1L),
+      "doc 1 must re-score under the grown vocabulary")
+    assert(now == unionGate)
+  }
+
   test("catchUpEventSketches: partials merge to the one-shot sketch") {
     import graft.analytics.Sketches
     val watch = Files.createTempDirectory("graft_sk_watch").toString
