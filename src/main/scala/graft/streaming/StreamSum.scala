@@ -548,7 +548,21 @@ object StreamSum {
     * reference pushing recorded tuples at its CacheServer. Complete
     * mode: each batch publishes the full current state (idempotent
     * overwrite), so the sink always holds a consistent snapshot.
+    *
+    * The DEFAULT sink for the flagship publish is the versioned
+    * `SnapshotCacheSink` (atomic manifest flip; a reader racing a
+    * publish sees a complete old or new snapshot, never a torn one -
+    * CacheSinkSpec pins the race): pass a directory and get the
+    * publishing sink back for serving reads.
     */
+  def streamCountsToSink(spark: SparkSession, sfDir: String,
+                         root: String,
+                         cacheName: String): graft.sinks.SnapshotCacheSink = {
+    val sink = new graft.sinks.SnapshotCacheSink(root)
+    streamCountsToSink(spark, sfDir, sink, cacheName)
+    sink
+  }
+
   def streamCountsToSink(spark: SparkSession, sfDir: String,
                          sink: graft.sinks.CacheSink,
                          cacheName: String): Unit = {

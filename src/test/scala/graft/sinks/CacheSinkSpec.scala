@@ -76,13 +76,51 @@ class CacheSinkSpec extends SparkSpec {
   test("snapshot sink: streaming foreachBatch publishes per-batch versions") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_snap_stream").toString
-    val sink = new SnapshotCacheSink(root)
-    graft.streaming.StreamSum.streamCountsToSink(spark, sfDir, sink,
-      "counts")
+    // directory-form default: the flagship publish goes through the
+    // versioned sink without the caller constructing one
+    val sink = graft.streaming.StreamSum
+      .streamCountsToSink(spark, sfDir, root, "counts")
     // AvailableNow over one file = one batch; the published snapshot
     // equals the batch count state
     val batch = Caches.countState(Transform.transformed(spark, sfDir))
     assert(sink.get(spark, "counts").count() == batch.count())
     assert(sink.currentVersion(spark, "counts").exists(_ >= 1L))
+  }
+
+  test("snapshot sink: a reader racing publishes never sees a torn " +
+       "version and observes monotone versions") {
+    val s = spark; import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_snap_race").toString
+    // retention window of 4: an in-flight reader's files survive
+    // unless it falls 4 whole publishes behind within one read
+    val sink = new SnapshotCacheSink(root, keepVersions = 4)
+    val rows = 50
+    def snap(i: Int) = Seq.fill(rows)(i).toDF("v")
+    sink.put("c", snap(0))
+    @volatile var stop = false
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reader = new Thread(() => {
+      while (!stop) {
+        try {
+          val vals = sink.get(spark, "c").collect().map(_.getInt(0)).toSeq
+          if (vals.length != rows || vals.distinct.length != 1)
+            errs.add(s"torn snapshot: n=${vals.length}, " +
+              s"values=${vals.distinct.sorted}")
+          else seen.add(vals.head)
+        } catch { case e: Throwable => errs.add(e.toString) }
+      }
+    })
+    reader.start()
+    try for (i <- 1 to 6) sink.put("c", snap(i))
+    finally { stop = true; reader.join() }
+    assert(errs.isEmpty, s"racing reader observed: $errs")
+    assert(!seen.isEmpty, "reader must complete at least one read")
+    // every read is a complete snapshot of SOME published version, and
+    // the sequence of observed versions never goes backwards
+    val vs = seen.toArray(Array.empty[Integer]).map(_.toInt).toSeq
+    assert(vs.forall(v => v >= 0 && v <= 6))
+    assert(vs == vs.sorted, s"versions must be monotone: $vs")
   }
 }
