@@ -60,6 +60,22 @@ object Bench {
     "pipe_span_scrub", "pipe_sample_weighted", "pipe_layout_zorder",
     "txt_phrase_merge")
 
+  /** The headline queries whose ONLY input is the events table - the
+    * subset the generator-driven third scale anchor can honestly run
+    * (documents/embeddings have no generator; benching them at 1x
+    * under a "10x" label would misreport the point's scale).
+    */
+  val eventHeadline: Seq[String] = Seq(
+    "ss_pipeline_e2e", "ss_transform", "ss_cache_count", "ss_cache_lastn",
+    "ss_q_counts_for_subj_action", "ss_q_topk_per_subj",
+    "ss_q_sort_variants", "ss_undo_lastn",
+    "ss_stream_count", "ss_stream_lastn",
+    "q_sessionize", "q_range_join",
+    "q_cms_topk", "q_cms_topk_prod", "q_cms_sliding", "q_cms_sliding_prod",
+    "q_hll_sliding", "q_hll_sliding_prod", "q_qtile_sliding",
+    "q_kmv_jaccard_prod", "q_kmv_retention_prod",
+    "pipe_layout_zorder")
+
   private def releaseMemos(spark: SparkSession): Unit = {
     graft.core.Transform.releaseAll(spark)
     graft.core.CountQueries.releaseAll(spark)
@@ -167,8 +183,47 @@ object Bench {
         s""","sf2":"$sfDir2","queries_sf2":${fmtPass(r2)},"reps":$reps"""
       case None => s""","reps":$reps"""
     }
+    // third anchor: a generator-driven ~10x EVENTS scale point, so the
+    // scaling slope has a point ABOVE the primary sf, not just below.
+    // The generated table lands as a single events.parquet file (the
+    // layout every query and the streaming glob expect); only the
+    // event-only headline subset runs - a loud cap, not a silent one.
+    val sf3Factor = sys.env.get("SPARK_GRAFT_BENCH_SF3X")
+      .flatMap(_.toIntOption).getOrElse(10)
+    val pass3 =
+      if (sf3Factor <= 0) None
+      else try {
+        val rows3 =
+          spark.read.parquet(s"$sfDir/events.parquet").count() * sf3Factor
+        val dir3 = java.nio.file.Files
+          .createTempDirectory("graft_bench_sf3").toString
+        val tmp = s"$dir3/_gen"
+        spark.read.format("graft-events").option("rows", rows3.toString)
+          .load().coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(dir3, "events.parquet"))
+        val sel3 = selected.filter(q => eventHeadline.contains(q._1))
+        releaseMemos(spark)
+        val r = Some((rows3, runPass(spark, dir3, sel3)))
+        val p3 = new org.apache.hadoop.fs.Path(dir3)
+        p3.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p3, true)
+        r
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] sf3 anchor failed: ${e.getMessage}")
+          None
+      }
+    val total3 = pass3.map(_._2.collect { case (_, t, true) => t }.sum)
+    val thirdSf = pass3 match {
+      case Some((rows3, r3)) =>
+        s""","sf3_rows":$rows3,"queries_sf3":${fmtPass(r3)}"""
+      case None => ""
+    }
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmtQueries(results)},"queries_min":${fmtQueries(mins)},"sf":"$sfDir"$failedJson$secondSf}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmtQueries(results)},"queries_min":${fmtQueries(mins)},"sf":"$sfDir"$failedJson$secondSf$thirdSf}"""
     println(fullJson)
     // The harness that invokes this captures only a TAIL of the sbt
     // output; the full line above outgrows it once the suite passes
@@ -186,8 +241,9 @@ object Bench {
     }
     val failedList = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total2Json = total2.map(t => f""","total_sf2":$t%.3f""").getOrElse("")
+    val total3Json = total3.map(t => f""","total_sf3":$t%.3f""").getOrElse("")
     println(
-      f"""{"metric":"summary","value":$total%.3f,"unit":"sec","total":$total%.3f$total2Json,"n":${results.length},"failed":$failedList,"reps":$reps,"sf":"$sfDir","full":"$outPath"}""")
+      f"""{"metric":"summary","value":$total%.3f,"unit":"sec","total":$total%.3f$total2Json$total3Json,"n":${results.length},"failed":$failedList,"reps":$reps,"sf":"$sfDir","full":"$outPath"}""")
     // release the per-(session, corpus) memos - the bench touched
     // multiple corpora and nothing should stay pinned
     releaseMemos(spark)
