@@ -65,18 +65,32 @@ final class SnapshotCacheSink(root: String, keepVersions: Int = 2)
   private def fsFor(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Manifest reads must bypass client-side checksum sidecars: on a
+    * ChecksumFileSystem (local FS) the `.crc` travels in a SECOND
+    * rename behind the data file's, so a checksummed reader racing the
+    * flip can pair new manifest bytes with the old sidecar and throw.
+    * HDFS/object stores don't keep sidecar files — no-op there.
+    */
+  private def rawFs(fs: org.apache.hadoop.fs.FileSystem) = fs match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case f => f
+  }
+
   private def manifest(name: String) = new Path(s"$root/$name/_LATEST")
 
   /** Latest committed version, or None before the first publish. */
   def currentVersion(spark: SparkSession, name: String): Option[Long] = {
     val m = manifest(name)
-    val fs = fsFor(spark, m)
+    val fs = rawFs(fsFor(spark, m))
     if (!fs.exists(m)) None
     else {
-      val buf = new Array[Byte](fs.getFileStatus(m).getLen.toInt)
+      // read to EOF from one open handle (not a pre-fetched length):
+      // a rename-overwrite between stat and read must not truncate
       val in = fs.open(m)
-      try in.readFully(buf) finally in.close()
-      Some(new String(buf, "UTF-8").trim.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+      finally in.close()
+      Some(out.toString("UTF-8").trim.toLong)
     }
   }
 
