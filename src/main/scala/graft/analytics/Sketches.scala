@@ -1129,13 +1129,17 @@ object Sketches {
         col("b").between(col("wb") - slideSpan, col("wb")))
       .groupBy(col("wb"), col("r"), col("bkt"))
       .agg(sum(col("c")).as("c"))
-    // candidate shape mirrors the adjunct-bearing twin exactly (window
-    // join on raw rows, THEN one (wb, user) shuffle, THEN the r-fan-out
-    // and md5): the nested-loop window join sees 1x rows, md5 runs once
-    // per distinct (window, item), and the distinct's partitioning is
-    // reused by the min(c) aggregate below - no extra exchange. The
-    // only thing removed vs the twin is the exact count itself.
-    val cand = ev.join(broadcast(wins),
+    // candidates come from the distinct (bucket, item) relation built
+    // ONCE (one map-side-combinable keyed shuffle over the corpus);
+    // the windows nested-loop join then fans out bucket-distinct rows,
+    // bounded by buckets x items, NOT raw corpus rows - the twin's
+    // exact counts need the raw rows per window, which is precisely
+    // the re-scan the production path exists to avoid. The (wb, user)
+    // distinct runs BEFORE the 6-row probe fan-out (so the fan and the
+    // est agg see each candidate once), and its partitioning is reused
+    // by the min(c) agg below - no exchange between them.
+    val bi = ev.distinct()
+    val cand = bi.join(broadcast(wins),
         col("b").between(col("wb") - slideSpan, col("wb")))
       .select(col("wb"), col("user_id")).distinct()
     val probes = cand
@@ -1169,9 +1173,11 @@ object Sketches {
        |  FROM counters c JOIN wins w
        |    ON c.b BETWEEN w.wb - $slideSpan AND w.wb
        |  GROUP BY w.wb, c.r, c.bkt
+       |), bi AS (
+       |  SELECT DISTINCT b, user_id FROM e
        |), cand AS (
-       |  SELECT DISTINCT w.wb, e.user_id
-       |  FROM e JOIN wins w ON e.b BETWEEN w.wb - $slideSpan AND w.wb
+       |  SELECT DISTINCT w.wb, bi.user_id
+       |  FROM bi JOIN wins w ON bi.b BETWEEN w.wb - $slideSpan AND w.wb
        |), probes AS (
        |  SELECT wb, user_id, u.r AS r, ${bucketDuck("u.r")} AS bkt
        |  FROM cand, unnest($rowsList) u(r)
