@@ -43,7 +43,8 @@ object Bench {
     "q_asof_join", "q_range_join",
     // training-data pipeline
     "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard", "dd_simhash",
-    "dd_embed_cosine", "ann_topk_brute", "ann_topk_quant", "ann_lsh_bucketed", "ann_ivf",
+    "dd_embed_cosine", "dd_semantic",
+    "ann_topk_brute", "ann_topk_quant", "ann_lsh_bucketed", "ann_ivf",
     "ann_ivf_quant", "q_hll_distinct", "q_hll_sliding", "q_cms_topk",
     "q_cms_sliding", "q_cms_join_card", "q_cms_f2", "q_qtile_sketch",
     "q_qtile_sliding",
@@ -80,6 +81,7 @@ object Bench {
     graft.core.Transform.releaseAll(spark)
     graft.core.CountQueries.releaseAll(spark)
     graft.pipeline.SignatureStore.releaseAll(spark)
+    graft.pipeline.Similarity.releaseAll(spark)
   }
 
   /** One timed pass over the suite: per-query (seconds, succeeded).

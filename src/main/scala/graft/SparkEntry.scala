@@ -164,6 +164,7 @@ object SparkEntry {
     "ann_store_candidates" ->
       graft.pipeline.SignatureStore.gatedAnnCandidates _,
     "dd_embed_cosine" -> Similarity.embedCosinePairs _,
+    "dd_semantic" -> Similarity.ddSemantic _,
     // ---- similarity search ----
     "ann_topk_brute" -> Similarity.annTopKBrute _,
     "ann_topk_quant" -> Similarity.annTopKQuant _,
@@ -310,6 +311,7 @@ object SparkEntry {
     "dd_simhash" -> Dedup.simhashPairsSql,
     "dd_clusters" -> Dedup.dupClustersSql,
     "dd_embed_cosine" -> Similarity.embedCosinePairsSql,
+    "dd_semantic" -> Similarity.ddSemanticSql,
     "ann_topk_brute" -> Similarity.annTopKBruteSql,
     "ann_topk_quant" -> Similarity.annTopKQuantSql,
     "ann_lsh_bucketed" -> Similarity.annLshBucketedSql,

@@ -47,6 +47,7 @@ object Verify {
     graft.core.Transform.releaseAll(spark)
     graft.core.CountQueries.releaseAll(spark)
     graft.pipeline.SignatureStore.releaseAll(spark)
+    graft.pipeline.Similarity.releaseAll(spark)
     spark.stop()
   }
 }

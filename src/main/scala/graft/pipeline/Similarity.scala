@@ -320,6 +320,31 @@ object Similarity {
     * corpus scan plus a k×dims-key partial-agg'd shuffle; the trained
     * matrix travels as a plan-time literal (broadcast-free).
     */
+  /** Trained centroid matrix memoized per (session, corpus): the
+    * Lloyd rounds are the shared front half of ann_ivf, ann_ivf_quant
+    * and dd_semantic, and re-training per query re-runs rounds x 2
+    * corpus scans for an identical k x dims result. Stands in for the
+    * persisted centroid table a 100 TB deployment trains once and
+    * ships to every consumer (same pattern as Transform.transformed /
+    * SignatureStore). Release hooks match the other memos'.
+    */
+  private val centCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[Seq[Double]]]()
+
+  private[graft] def trainedCentroidsFor(
+      spark: SparkSession, sfDir: String): Seq[Seq[Double]] =
+    centCache.computeIfAbsent((spark, sfDir), { case (s, dir) =>
+      trainedCentroids(
+        Graft.tableParallel(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding")))
+    })
+
+  def releaseAll(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    centCache.keySet.asScala.filter(_._1 eq spark).toSeq
+      .foreach(centCache.remove)
+  }
+
   private[graft] def trainedCentroids(
       e: DataFrame, rounds: Int = ivfLloydRounds): Seq[Seq[Double]] = {
     val seed: Seq[Seq[Double]] = e.filter(col("vec_id") < ivfCentroids)
@@ -385,7 +410,7 @@ object Similarity {
 
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
-    val centVecs = trainedCentroids(e)
+    val centVecs = trainedCentroidsFor(spark, sfDir)
     val assign = ivfAssignWith(e, centVecs)
     val cents = centsDF(spark, centVecs)
     val q = e.filter(col("vec_id") < numQueries)
@@ -430,7 +455,7 @@ object Similarity {
     */
   def annIvfQuant(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
-    val centVecs = trainedCentroids(e)
+    val centVecs = trainedCentroidsFor(spark, sfDir)
     val quantExpr =
       """transform(embedding,
         |  x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / smax) + 0.5) AS INT))"""
@@ -601,4 +626,67 @@ object Similarity {
        |)
        |SELECT q_id, vec_id, sim, rk FROM ranked
        |WHERE rk <= $topK ORDER BY q_id, rk""".stripMargin
+
+  // ---- dd_semantic ---------------------------------------------------
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): trained k-means cells as DATA-ADAPTIVE blocks,
+    * within-cell pairwise cosine, and a deterministic dominance rule -
+    * a vector is dropped iff a smaller-id vector in the SAME cell is
+    * within `semanticEps`. Emits the full per-vector verdict
+    * (vec_id, cid, keep, dup_of) - the curation decision itself, where
+    * `dd_embed_cosine` only emits candidate pairs.
+    *
+    * 100 TB shape: centroid training + assignment are the IVF
+    * machinery (narrow argmax scan, zero shuffle); the only
+    * corpus-wide shuffle keys on the cell id, and the within-cell
+    * all-pairs is bounded by cell size - k grows with the corpus so
+    * cells stay ~constant-sized and the quadratic term is
+    * per-cell-constant x corpus, never corpus². Blocking by trained
+    * cells (vs the static hyperplanes of dd_embed_cosine) concentrates
+    * true neighbors in fewer blocks at equal block cost.
+    */
+  val semanticEps = 0.3
+
+  def ddSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val assign = ivfAssignWith(e, trainedCentroidsFor(spark, sfDir))
+    val dups = assign.as("x").join(assign.as("y"),
+        col("x.cid") === col("y.cid") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .withColumn("sim",
+        ParityMath.q6(expr(cosSpark("x.embedding", "y.embedding"))))
+      .filter(col("sim") >= semanticEps)
+      .groupBy(col("y.vec_id").as("vec_id"))
+      .agg(min(col("x.vec_id")).as("dup_of"))
+    assign.select(col("vec_id"), col("cid"))
+      .join(dups, Seq("vec_id"), "left")
+      .withColumn("keep", col("dup_of").isNull)
+      .select(col("vec_id"), col("cid"), col("keep"), col("dup_of"))
+      .orderBy(col("vec_id"))
+  }
+
+  val ddSemanticSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), $lloydCentsCtes, assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosDuck("e.embedding", "c.c_emb")} DESC, c.cid)
+       |        AS ark
+       |    FROM e CROSS JOIN cents c
+       |  ) WHERE ark = 1
+       |), dups AS (
+       |  SELECT y.vec_id AS vec_id, min(x.vec_id) AS dup_of
+       |  FROM assign x JOIN assign y
+       |    ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |  JOIN e ex ON ex.vec_id = x.vec_id
+       |  JOIN e ey ON ey.vec_id = y.vec_id
+       |  WHERE (floor((${cosDuck("ex.embedding", "ey.embedding")}) * 1000000.0 + 0.5) / 1000000.0) >= $semanticEps
+       |  GROUP BY 1
+       |)
+       |SELECT a.vec_id, a.cid, (d.dup_of IS NULL) AS keep, d.dup_of
+       |FROM assign a LEFT JOIN dups d USING (vec_id)
+       |ORDER BY a.vec_id""".stripMargin
 }

@@ -192,4 +192,43 @@ class DedupSimSpec extends SparkSpec {
     assert(ivfQuantR >= 0.90,
       f"quantized-IVF recall@10 $ivfQuantR%.3f fell below 0.90")
   }
+
+  test("semantic dedup: dominance rule holds against brute-force truth") {
+    val verdicts = Similarity.ddSemantic(spark, sfDir).collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getBoolean(2),
+         if (r.isNullAt(3)) None else Some(r.getLong(3)))))
+      .toMap
+    assert(verdicts.size == 500)
+    // reconstruct the within-cell truth with the library's own
+    // primitives evaluated independently (HOF cosine, not the native
+    // expression under test)
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cells = e.collect()
+      .map(r => r.getLong(0) -> verdicts(r.getLong(0))._1)
+      .groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    val vecs = e.collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def sim(a: Long, b: Long): Double = {
+      val (x, y) = (vecs(a), vecs(b))
+      var (d, nx, ny) = (0.0, 0.0, 0.0)
+      for (i <- x.indices) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i) }
+      math.floor(d / (math.sqrt(nx) * math.sqrt(ny)) * 1e6 + 0.5) / 1e6
+    }
+    var dropped = 0
+    for ((cid, members) <- cells; v <- members) {
+      val smallerDups = members.filter(u => u < v &&
+        sim(u, v) >= Similarity.semanticEps)
+      val (_, keep, dupOf) = verdicts(v)
+      assert(keep == smallerDups.isEmpty,
+        s"vec $v in cell $cid: keep=$keep but smaller dups=$smallerDups")
+      assert(dupOf == smallerDups.minOption,
+        s"vec $v: dup_of=$dupOf expected ${smallerDups.minOption}")
+      if (!keep) dropped += 1
+    }
+    // the fixture must actually exercise the drop path
+    assert(dropped > 0, "no semantic duplicates found - threshold dead")
+  }
 }
