@@ -692,6 +692,51 @@ object StreamSum {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Streaming admission face of `dd_semantic`, sharing its oracle:
+    * arriving vectors are assigned to the STATIC trained centroids
+    * (the k x dims matrix rides in the NearestCentroid literal - a
+    * narrow in-row expression, no stream-side state) and gated by a
+    * stream-static broadcast join against the already-ingested
+    * corpus's assignment on the cell id. The dominance rule
+    * quantifies over ALL smaller-id vectors in the cell - kept or
+    * dropped - so gating against the full static side gives verdicts
+    * identical to the batch face's, which is what lets both share one
+    * oracle. Per-cell streaming state is the min-dup aggregate only
+    * (two longs per flagged vector); clean vectors hold no state.
+    */
+  def streamSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    import graft.pipeline.{ParityMath, Similarity}
+    val cents = Similarity.trainedCentroidsFor(spark, sfDir)
+    val statAssign = Similarity.ivfAssignWith(
+      Graft.tableParallel(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding")), cents)
+    val schema = spark.read.parquet(s"$sfDir/embeddings.parquet").schema
+    val arriving = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val dups = Similarity.ivfAssignWith(arriving, cents).as("y")
+      .join(broadcast(statAssign.as("x")),
+        col("x.cid") === col("y.cid") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .withColumn("sim", ParityMath.q6(
+        expr(Similarity.cosSpark("x.embedding", "y.embedding"))))
+      .filter(col("sim") >= Similarity.semanticEps)
+      .groupBy(col("y.vec_id").as("vec_id"))
+      .agg(min(col("x.vec_id")).as("dup_of"))
+    // Update-mode snapshots are monotone non-increasing per key (the
+    // agg state only ever sees more static matches), so min across
+    // emissions is the final state
+    val dupTable = runToTable(dups, OutputMode.Update(), "ss_stream_semantic")
+      .groupBy(col("vec_id")).agg(min(col("dup_of")).as("dup_of"))
+    statAssign.select(col("vec_id"), col("cid"))
+      .join(dupTable, Seq("vec_id"), "left")
+      .withColumn("keep", col("dup_of").isNull)
+      .select(col("vec_id"), col("cid"), col("keep"), col("dup_of"))
+      .orderBy(col("vec_id"))
+  }
+
   final case class UndoOp(s: Long, o: Long, delta: Long, t: Long, seq: Long)
   final case class UndoCountOut(s: Long, a: String, o: Long, cnt: Long,
                                 last_t: Long, ops: Long)
