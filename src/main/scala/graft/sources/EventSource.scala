@@ -42,4 +42,13 @@ object EventSource {
     Graft.ensureConf(spark)
     spark.read.schema(eventSchema).option("header", "true").csv(path)
   }
+
+  /** ORC: the other columnar format Spark ships natively - same
+    * predicate pushdown / column pruning story as parquet, so an
+    * ORC-resident deployment pays no plan-shape penalty switching in.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame = {
+    Graft.ensureConf(spark)
+    spark.read.schema(eventSchema).orc(path)
+  }
 }

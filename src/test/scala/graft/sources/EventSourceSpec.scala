@@ -17,6 +17,7 @@ class EventSourceSpec extends SparkSpec {
     events.write.mode("overwrite").json(s"$tmp/events_json")
     events.write.mode("overwrite").option("header", "true")
       .csv(s"$tmp/events_csv")
+    events.write.mode("overwrite").orc(s"$tmp/events_orc")
 
     def state(df: org.apache.spark.sql.DataFrame): Set[String] =
       Caches.countState(Transform(Transform.extractFrom(df)))
@@ -28,5 +29,13 @@ class EventSourceSpec extends SparkSpec {
     assert(fromParquet.nonEmpty)
     assert(state(EventSource.json(spark, s"$tmp/events_json")) == fromParquet)
     assert(state(EventSource.csv(spark, s"$tmp/events_csv")) == fromParquet)
+    assert(state(EventSource.orc(spark, s"$tmp/events_orc")) == fromParquet)
+    // ORC scans must keep the pushdown story parquet has: the filter
+    // and the pruned column set reach the file scan
+    val plan = EventSource.orc(spark, s"$tmp/events_orc")
+      .filter(col("user_id") === 7L).select("event_type")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)]"),
+      s"ORC scan lost filter pushdown:\n$plan")
   }
 }
