@@ -55,6 +55,7 @@ object Bench {
     "q_cms_sliding_prod", "q_cms_join_card_prod", "q_cms_f2_prod",
     "q_kmv_jaccard_prod", "q_kmv_retention_prod",
     "txt_stats", "txt_fingerprint", "txt_repetition", "txt_bpe_learn",
+    "txt_bigram_nll",
     "mm_binary_stats", "pipe_corpus_clean",
     "pipe_decontaminate", "pipe_decont_bloom", "pipe_dedup_apply",
     "pipe_quality_gate", "pipe_quality_prune", "dd_dup_spans",

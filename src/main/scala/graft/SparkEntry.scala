@@ -178,6 +178,7 @@ object SparkEntry {
     "txt_tokens" -> TextAnalysis.tokens _,
     "txt_fingerprint" -> TextAnalysis.fingerprint _,
     "txt_unigram_nll" -> TextAnalysis.unigramNll _,
+    "txt_bigram_nll" -> TextAnalysis.bigramNll _,
     "txt_repetition" -> TextAnalysis.repetition _,
     // ---- multimodal plumbing ----
     "mm_binary_stats" -> Multimodal.binaryStats _,
@@ -323,6 +324,7 @@ object SparkEntry {
     "txt_tokens" -> TextAnalysis.tokensSql,
     "txt_fingerprint" -> TextAnalysis.fingerprintSql,
     "txt_unigram_nll" -> TextAnalysis.unigramNllSql,
+    "txt_bigram_nll" -> TextAnalysis.bigramNllSql,
     "txt_repetition" -> TextAnalysis.repetitionSql,
     "mm_binary_stats" -> Multimodal.binaryStatsSql,
     "mm_frame_sample" -> Multimodal.frameSampleSql,

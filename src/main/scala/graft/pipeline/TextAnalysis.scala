@@ -559,6 +559,90 @@ object TextAnalysis {
        |    AS nll
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- txt_bigram_nll ------------------------------------------------
+
+  /** Context-aware statistical quality gate: per-doc mean NLL under an
+    * add-1 BIGRAM LM trained on the corpus itself -
+    * P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V). Catches fluent-word-salad
+    * documents the unigram gate scores as normal (every token common,
+    * no token PAIR ever seen) - the standard second signal next to
+    * `txt_unigram_nll`.
+    *
+    * 100 TB shape: per-bigram scores are computed VOCAB-SIDE first
+    * (bigram counts joined with unigram counts + V on the
+    * bigram-vocabulary-sized relation, never the corpus), so the
+    * corpus-token-sized bigram stream pays exactly ONE keyed join
+    * against the scored vocabulary plus one doc-keyed sum. Unlike the
+    * unigram gate's broadcast, the bigram vocabulary at corpus scale
+    * outgrows a broadcast hash relation - the join keys on (w1, w2),
+    * which is also the skew-safe key (hot unigrams spread across their
+    * successor set). Per-position NLLs are floor-quantized to integer
+    * micro-nats BEFORE the per-doc sum, so ln() last-ulp differences
+    * cannot accumulate across summation orders (the txt_unigram_nll
+    * parity argument).
+    */
+  def bigramNll(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Graft.tableParallel(spark, sfDir, "documents")
+      .select(col("doc_id"), expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts"))
+      .filter(size(col("ts")) >= 2)
+    val bigrams = docs.select(col("doc_id"), explode(expr(
+      """zip_with(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1),
+        |  (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val ufreq = docs.select(explode(col("ts")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cu"))
+    val totals = ufreq.agg(count(lit(1)).as("v_size"))
+    val bfreq = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cb"))
+    // vocab-side scoring: bigram-vocabulary-sized, corpus never touched
+    val scoredVocab = bfreq
+      .join(ufreq.withColumnRenamed("term", "w1"), "w1")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), expr(
+        """CAST(floor(-ln(CAST(cb + 1 AS DOUBLE)
+          |  / CAST(cu + v_size AS DOUBLE)) * 1000000.0 + 0.5)
+          |  AS BIGINT)""".stripMargin).as("nll_b"))
+    bigrams.join(scoredVocab, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("nll_b")).as("sum_b"), count(lit(1)).as("n_big"))
+      .select(col("doc_id"), col("n_big"),
+        ParityMath.q6((col("sum_b").cast("double") / lit(1000000.0))
+          / col("n_big")).as("nll2"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bigramNllSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+       |  FROM documents
+       |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 2
+       |), bigrams AS (
+       |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+       |  FROM d, unnest(range(1, len(ts))) u(i)
+       |), ufreq AS (
+       |  SELECT term, count(*) AS cu FROM (
+       |    SELECT unnest(ts) AS term FROM d
+       |  ) GROUP BY term
+       |), totals AS (
+       |  SELECT count(*) AS v_size FROM ufreq
+       |), bfreq AS (
+       |  SELECT w1, w2, count(*) AS cb FROM bigrams GROUP BY w1, w2
+       |), scored_vocab AS (
+       |  SELECT b.w1, b.w2,
+       |    CAST(floor(-ln(CAST(b.cb + 1 AS DOUBLE)
+       |      / CAST(u.cu + t.v_size AS DOUBLE)) * 1000000.0 + 0.5)
+       |      AS BIGINT) AS nll_b
+       |  FROM bfreq b JOIN ufreq u ON u.term = b.w1 CROSS JOIN totals t
+       |)
+       |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_big,
+       |  ${ParityMath.q6Sql(
+            "(CAST(sum(s.nll_b) AS DOUBLE) / 1000000.0) / count(*)")}
+       |    AS nll2
+       |FROM bigrams g JOIN scored_vocab s
+       |  ON s.w1 = g.w1 AND s.w2 = g.w2
+       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
   // ---- txt_repetition ------------------------------------------------
 
   /** Gopher-style repetition signals per document: the share of word

@@ -128,4 +128,26 @@ class TextAnalysisSpec extends SparkSpec {
     val counts = corpus.map(_.getLong(3))
     assert(counts.sliding(2).forall(w => w(0) >= w(1)))
   }
+
+  test("bigram NLL separates word salad the unigram gate cannot see") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bg").toString
+    // same token MULTISET in both docs - the unigram LM scores them
+    // identically; only the patterned doc's pairs recur
+    val phrase = Seq.fill(40)("alpha beta gamma delta").mkString(" ")
+    val salad = new scala.util.Random(7)
+      .shuffle(phrase.split(" ").toSeq).mkString(" ")
+    val docs = spark.createDataFrame(Seq(
+      (0L, phrase, "en", "src0", phrase.length.toLong),
+      (1L, salad, "en", "src0", salad.length.toLong)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val uni = TextAnalysis.unigramNll(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val bi = TextAnalysis.bigramNll(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uni(0L) == uni(1L), "unigram gate must be blind to order")
+    assert(bi(1L) > bi(0L) + 0.5,
+      s"bigram gate failed to separate: phrase=${bi(0L)} salad=${bi(1L)}")
+  }
 }
