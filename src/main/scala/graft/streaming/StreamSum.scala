@@ -737,6 +737,42 @@ object StreamSum {
       .orderBy(col("vec_id"))
   }
 
+  /** Streaming face of the as-of join, sharing `q_asof_join`'s oracle
+    * (DuckDB's native ASOF LEFT JOIN): the static right side collapses
+    * to a per-key SORTED book of (rt, o_orderkey) - the same
+    * one-row-per-(key,time) dedup as the batch face - and each
+    * arriving event resolves its match with an in-row ordered lookup
+    * (last book entry with rt <= t), so the stream side does no
+    * keyed shuffle and holds no state at all. The book per key is
+    * bounded by right-rows-per-key (orders per customer / quotes per
+    * symbol - the inherent as-of state ANY streaming implementation
+    * carries); here it is broadcast, and a book too big for broadcast
+    * degrades to the same stream-static hash join on the key.
+    */
+  def streamAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val idx = Graft.table(spark, sfDir, "orders")
+      .select(col("o_custkey").as("k"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("rt"),
+        col("o_orderkey"))
+      .groupBy(col("k"), col("rt"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+      .groupBy(col("k"))
+      .agg(sort_array(collect_list(struct(col("rt"), col("o_orderkey"))))
+        .as("book"))
+    val ev = streamingEvents(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        expr("CAST(ts DIV 1000L AS BIGINT)").as("t"))
+    val joined = ev.join(broadcast(idx),
+        ev("user_id") === idx("k"), "left")
+      .withColumn("m", expr("element_at(filter(book, x -> x.rt <= t), -1)"))
+      .select(col("event_id"), col("user_id"), col("t"),
+        col("m.o_orderkey").as("matched_order"),
+        col("m.rt").as("matched_rt"))
+    runToTable(joined, OutputMode.Append(), "ss_stream_asof")
+      .orderBy(col("event_id"))
+  }
+
   final case class UndoOp(s: Long, o: Long, delta: Long, t: Long, seq: Long)
   final case class UndoCountOut(s: Long, a: String, o: Long, cnt: Long,
                                 last_t: Long, ops: Long)
