@@ -346,8 +346,9 @@ object Similarity {
   }
 
   private[graft] def trainedCentroids(
-      e: DataFrame, rounds: Int = ivfLloydRounds): Seq[Seq[Double]] = {
-    val seed: Seq[Seq[Double]] = e.filter(col("vec_id") < ivfCentroids)
+      e: DataFrame, rounds: Int = ivfLloydRounds,
+      k: Int = ivfCentroids): Seq[Seq[Double]] = {
+    val seed: Seq[Seq[Double]] = e.filter(col("vec_id") < k)
       .orderBy(col("vec_id")).collect()
       .toSeq.map(_.getSeq[Float](1).toSeq.map(_.toDouble))
     (1 to rounds).foldLeft(seed) { case (cents, _) =>
