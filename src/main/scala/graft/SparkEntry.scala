@@ -159,6 +159,7 @@ object SparkEntry {
     "dd_store_candidates" -> graft.pipeline.SignatureStore.gatedCandidates _,
     "dd_store_spans" -> graft.pipeline.SignatureStore.gatedDupSpans _,
     "lm_store_quality" -> graft.pipeline.SignatureStore.gatedQualityGate _,
+    "lm2_store_bigram" -> graft.pipeline.SignatureStore.gatedBigramNll _,
     "cms_store_topk" -> graft.pipeline.SignatureStore.gatedCmsTopk _,
     "kmv_store_jaccard" -> graft.pipeline.SignatureStore.gatedKmvJaccard _,
     "hll_store_distinct" -> graft.pipeline.SignatureStore.gatedHllDistinct _,
@@ -306,6 +307,7 @@ object SparkEntry {
     "dd_store_candidates" -> Dedup.minhashLshSql,
     "dd_store_spans" -> Dedup.dupSpansSql,
     "lm_store_quality" -> graft.pipeline.QualityGate.sql,
+    "lm2_store_bigram" -> TextAnalysis.bigramNllSql,
     // sketch stores share their batch faces' oracles
     "cms_store_topk" -> Sketches.qCmsTopkSql,
     "kmv_store_jaccard" -> Sketches.qKmvJaccardSql,

@@ -603,6 +603,105 @@ object SignatureStore {
     storedQualityGate(spark, store)
   }
 
+  /** Bigram-LM incremental store - the context-aware sibling of
+    * `catchUpLm`, same evolving-answer structure: per-batch appends of
+    * (a) per-doc bigram multisets (appended once, never re-read for
+    * maintenance), (b) additive bigram-count partials, (c) additive
+    * unigram-count partials (the c(w1) denominator + V). Scoring is
+    * deferred to query time, so an early batch's NLL CHANGES when a
+    * later batch grows the pair vocabulary - the same re-scoring
+    * contract `lm_store_quality` pins. Tokenization is literally
+    * `TextAnalysis.bigramDocToks`/`bigramPairs`, so store and batch
+    * faces cannot drift.
+    */
+  def catchUpLm2(spark: SparkSession, watchDir: String, storeDir: String,
+                 glob: String = "*.parquet"): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.option("pathGlobFilter", glob)
+      .parquet(watchDir).schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob).parquet(watchDir)
+    val q = docs.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val toks = TextAnalysis.bigramDocToks(batch).persist()
+        val pairs = TextAnalysis.bigramPairs(toks)
+          .groupBy(col("doc_id"), col("w1"), col("w2"))
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("k"))
+          .persist()
+        try {
+          pairs.write.mode("overwrite")
+            .parquet(s"$storeDir/lm2_doc_bigrams/batch=$id")
+          pairs.groupBy(col("w1"), col("w2"))
+            .agg(org.apache.spark.sql.functions.sum(col("k")).as("n"))
+            .write.mode("overwrite")
+            .parquet(s"$storeDir/lm2_bigram_counts/batch=$id")
+          toks.select(org.apache.spark.sql.functions.explode(col("ts"))
+              .as("term"))
+            .groupBy(col("term"))
+            .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+            .write.mode("overwrite")
+            .parquet(s"$storeDir/lm2_term_counts/batch=$id")
+        } finally { pairs.unpersist(); toks.unpersist() }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Per-doc bigram NLL from the store's current partials: bigram and
+    * unigram counts summed across batches, per-bigram scores computed
+    * VOCAB-SIDE (the batch face's plan shape), stored multisets scored
+    * under them - k identical pairs contribute k * nll_b, the same
+    * integer sum as the one-shot per-position pass. Matches
+    * `txt_bigram_nll`'s oracle once caught up.
+    */
+  def storedBigramNll(spark: SparkSession, storeDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, expr, sum}
+    Graft.ensureConf(spark)
+    val freqU = storedOrEmpty(spark, s"$storeDir/lm2_term_counts",
+      emptyLike(spark, spark.range(0)
+        .selectExpr("'' AS term", "id AS n")))
+      .groupBy(col("term")).agg(sum(col("n")).as("cu"))
+    val vRow = freqU.agg(count(lit(1)).as("v_size")).collect()(0)
+    val vSize = vRow.getLong(0)
+    val freqB = storedOrEmpty(spark, s"$storeDir/lm2_bigram_counts",
+      emptyLike(spark, spark.range(0)
+        .selectExpr("'' AS w1", "'' AS w2", "id AS n")))
+      .groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("cb"))
+    val scoredVocab = freqB
+      .join(freqU.withColumnRenamed("term", "w1"), "w1")
+      .select(col("w1"), col("w2"), expr(
+        s"""CAST(floor(-ln(CAST(cb + 1 AS DOUBLE)
+           |  / CAST(cu + ${vSize}L AS DOUBLE)) * 1000000.0 + 0.5)
+           |  AS BIGINT)""".stripMargin).as("nll_b"))
+    val docBg = storedOrEmpty(spark, s"$storeDir/lm2_doc_bigrams",
+      emptyLike(spark, spark.range(0).selectExpr("id AS doc_id",
+        "'' AS w1", "'' AS w2", "id AS k")))
+    docBg.join(scoredVocab, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k") * col("nll_b")).as("sum_b"),
+        sum(col("k")).as("n_big"))
+      .select(col("doc_id"), col("n_big"),
+        ParityMath.q6((col("sum_b").cast("double") / lit(1000000.0))
+          / col("n_big")).as("nll2"))
+      .orderBy(col("doc_id"))
+  }
+
+  def gatedBigramNll(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_lm2_watch")
+    val store = tempDirForExit("graft_gate_lm2_store")
+    val docs = Graft.table(spark, sfDir, "documents")
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpLm2(spark, watch, store)
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpLm2(spark, watch, store)
+    storedBigramNll(spark, store)
+  }
+
   /** Sketch gated faces: a fresh store catches up with the table
     * arriving as two appends (split on the id's parity, so every
     * group's sketch genuinely merges partials from both batches), then

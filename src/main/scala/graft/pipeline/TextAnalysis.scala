@@ -581,15 +581,28 @@ object TextAnalysis {
     * cannot accumulate across summation orders (the txt_unigram_nll
     * parity argument).
     */
-  def bigramNll(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Graft.tableParallel(spark, sfDir, "documents")
+  def bigramNll(spark: SparkSession, sfDir: String): DataFrame =
+    bigramNllFrom(Graft.tableParallel(spark, sfDir, "documents"))
+
+  /** The gate's tokenization, shared verbatim with the incremental
+    * store (`SignatureStore.catchUpLm2`) so the faces cannot drift:
+    * docs with >= 2 LM tokens, and their in-row bigram stream.
+    */
+  private[graft] def bigramDocToks(documents: DataFrame): DataFrame =
+    documents
       .select(col("doc_id"), expr(
         "regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts"))
       .filter(size(col("ts")) >= 2)
-    val bigrams = docs.select(col("doc_id"), explode(expr(
+
+  private[graft] def bigramPairs(docToks: DataFrame): DataFrame =
+    docToks.select(col("doc_id"), explode(expr(
       """zip_with(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1),
         |  (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  private[graft] def bigramNllFrom(documents: DataFrame): DataFrame = {
+    val docs = bigramDocToks(documents)
+    val bigrams = bigramPairs(docs)
     val ufreq = docs.select(explode(col("ts")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cu"))
     val totals = ufreq.agg(count(lit(1)).as("v_size"))

@@ -178,6 +178,43 @@ class IncrementalSignatureSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq == stored)
   }
 
+  test("catchUpLm2: earlier batches re-scored under the evolved bigram LM") {
+    val watch = Files.createTempDirectory("graft_lm2_watch").toString
+    val store = Files.createTempDirectory("graft_lm2_store").toString
+    val s = spark; import s.implicits._
+    // batch A's doc repeats one PAIR; batch B floods the pair
+    // vocabulary with unrelated pairs - c(w1,w2) for doc 1 is
+    // unchanged but V (unigram vocab) grows, so doc 1's bigram NLL
+    // must change without doc 1 re-arriving
+    val batchA = Seq((1L, ("zq yx " * 20).trim)).toDF("doc_id", "text")
+    val batchB = (2L to 4L).map(i =>
+      (i, (s"u$i v$i " * 20).trim)).toDF("doc_id", "text")
+
+    land(batchA, watch, "arrival1.parquet")
+    SignatureStore.catchUpLm2(spark, watch, store)
+    val nll1 = SignatureStore.storedBigramNll(spark, store)
+      .filter(col("doc_id") === 1L).collect()(0).getDouble(2)
+
+    land(batchB, watch, "arrival2.parquet")
+    SignatureStore.catchUpLm2(spark, watch, store)
+    val after = SignatureStore.storedBigramNll(spark, store)
+    val nll1After = after.filter(col("doc_id") === 1L)
+      .collect()(0).getDouble(2)
+    assert(nll1After != nll1,
+      "batch-1 doc's bigram NLL must reflect the LM grown by batch 2")
+
+    // caught-up store == the one-shot batch face over the union
+    val stored = after.collect().map(_.toSeq).toSeq
+    val oneShot = TextAnalysis.bigramNllFrom(batchA.union(batchB))
+      .collect().map(_.toSeq).toSeq
+    assert(stored == oneShot)
+
+    // idempotent: nothing new -> nothing changes
+    SignatureStore.catchUpLm2(spark, watch, store)
+    assert(SignatureStore.storedBigramNll(spark, store)
+      .collect().map(_.toSeq).toSeq == stored)
+  }
+
   test("admitLm: admission verdicts use the LM of their moment; " +
        "a vocabulary-growing batch changes an earlier doc's score") {
     val watch = Files.createTempDirectory("graft_adm_watch").toString

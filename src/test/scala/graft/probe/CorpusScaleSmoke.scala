@@ -170,6 +170,15 @@ object CorpusScaleSmoke {
     require(wTop.map(_.getDouble(2)).sliding(2)
       .forall(p => p.length < 2 || p(0) >= p(1)), "sample not ranked")
 
+    // bigram-LM NLL: the vocab-side scoring shape at the scale where
+    // the bigram vocabulary (position-salted tokens -> ~one distinct
+    // bigram per occurrence here, the worst case) genuinely outgrows a
+    // broadcast - the corpus pays one (w1,w2)-keyed shuffle join + one
+    // doc-keyed sum, never a vocab broadcast
+    val bgDocs = timed("bigram-LM NLL (vocab-side scoring)")(
+      graft.pipeline.TextAnalysis.bigramNllFrom(docs).count())
+    require(bgDocs == planted, s"bigram NLL rows: $bgDocs vs $planted")
+
     // component resolution on a worst-case CHAIN: diameter = n, where
     // plain min-label propagation needs n rounds (hours of jobs at
     // this size) - path halving must land in O(log n)
