@@ -92,6 +92,7 @@ object SparkEntry {
     "ss_stream_ann_cand" -> StreamSum.streamAnnCandidates _,
     "ss_stream_semantic" -> StreamSum.streamSemantic _,
     "ss_stream_asof" -> StreamSum.streamAsof _,
+    "ss_stream_mix" -> StreamSum.streamMix _,
     "ss_stream_decont" -> StreamSum.streamDecontaminate _,
     "ss_stream_quality" -> StreamSum.streamQuality _,
     "ss_stream_range_join" -> StreamSum.streamRangeJoin _,
@@ -252,6 +253,7 @@ object SparkEntry {
     "ss_stream_ann_cand" -> Similarity.annCandidatesSql,
     "ss_stream_semantic" -> Similarity.ddSemanticSql,
     "ss_stream_asof" -> graft.analytics.AsofJoin.qAsofSql,
+    "ss_stream_mix" -> graft.pipeline.CorpusOps.mixSql,
     "ss_stream_decont" -> graft.pipeline.CorpusOps.decontaminateSql,
     "q4_semijoin" -> Tpch.q4SemiJoinSql,
     "q1_agg" -> Tpch.q1Sql,

@@ -309,9 +309,14 @@ object CorpusOps {
     * order-sensitive reduction (Σ sqrt(n) over sources) runs as a
     * source-name-ordered fold on both sides.
     */
-  def mix(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Graft.table(spark, sfDir, "documents")
-    val srcs = docs.groupBy(col("source"))
+  /** The per-source admission cutoffs - the temperature-mixing PLAN,
+    * a model parameter derived once from corpus-wide source counts and
+    * consulted by both the batch and streaming admission faces.
+    */
+  private[graft] def mixCutoffs(spark: SparkSession,
+                                sfDir: String): DataFrame = {
+    val srcs = Graft.table(spark, sfDir, "documents")
+      .groupBy(col("source"))
       .agg(count(lit(1)).as("n"))
     val totals = srcs.agg(
       sum(col("n")).as("n_total"),
@@ -319,7 +324,7 @@ object CorpusOps {
         |  sqrt(CAST(n AS DOUBLE)) AS sq))),
         |  CAST(0 AS DOUBLE), (acc, x) -> acc + x.sq)""".stripMargin)
         .as("denom"))
-    val cutoffs = srcs.crossJoin(broadcast(totals))
+    srcs.crossJoin(broadcast(totals))
       .select(col("source"),
         expr(s"""CAST(FLOOR(
           |  CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) / denom
@@ -327,6 +332,13 @@ object CorpusOps {
           |       AS DOUBLE)
           |  / CAST(n AS DOUBLE) * 281474976710656.0) AS BIGINT)"""
           .stripMargin).as("cutoff"))
+  }
+
+  /** Stateless per-doc admission under the cutoffs - shared verbatim
+    * by the batch and streaming faces.
+    */
+  private[graft] def mixAdmit(docs: DataFrame,
+                              cutoffs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("source"),
         expr(s"graft_md5_48(concat('$mixSalt', CAST(doc_id AS STRING)))")
@@ -334,8 +346,11 @@ object CorpusOps {
       .join(broadcast(cutoffs), "source")
       .filter(col("skey") < col("cutoff"))
       .select(col("doc_id"), col("source"))
+
+  def mix(spark: SparkSession, sfDir: String): DataFrame =
+    mixAdmit(Graft.table(spark, sfDir, "documents"),
+      mixCutoffs(spark, sfDir))
       .orderBy(col("doc_id"))
-  }
 
   val mixSql: String = {
     val h48 = HashParity.hex48Duck(

@@ -737,6 +737,28 @@ object StreamSum {
       .orderBy(col("vec_id"))
   }
 
+  /** Streaming admission face of the temperature mix, sharing
+    * `pipe_mix`'s oracle: the per-source cutoffs are the mixing PLAN -
+    * a model parameter derived once from the static corpus's source
+    * counts - and each arriving doc's keep/drop is a stateless in-row
+    * threshold test against its source's broadcast cutoff. Zero
+    * streaming state; the admission function is literally the batch
+    * face's (`CorpusOps.mixAdmit`).
+    */
+  def streamMix(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    graft.functions.NativeFunctions.register(spark)
+    import graft.pipeline.CorpusOps
+    val cutoffs = CorpusOps.mixCutoffs(spark, sfDir)
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    runToTable(CorpusOps.mixAdmit(docs, cutoffs),
+      OutputMode.Append(), "ss_stream_mix")
+      .orderBy(col("doc_id"))
+  }
+
   /** Streaming face of the as-of join, sharing `q_asof_join`'s oracle
     * (DuckDB's native ASOF LEFT JOIN): the static right side collapses
     * to a per-key SORTED book of (rt, o_orderkey) - the same
