@@ -267,4 +267,72 @@ class PlanShapeSpec extends SparkSpec {
            plan.contains("BroadcastHashJoin"),
       s"quantile targets must broadcast:\n$plan")
   }
+
+  test("semantic dedup: cell-blocked compare, no all-pairs, no corpus " +
+       "shuffle beyond the cell join") {
+    val plan = executed(graft.pipeline.Similarity.ddSemantic(spark, sfDir))
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"),
+      s"within-cell compare must never be an unblocked all-pairs:\n$plan")
+    // every keyed exchange is on the cell id or the per-vector verdict
+    // key - nothing shuffles the corpus on any other key
+    val keyed = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(keyed.forall(l => l.contains("cid") || l.contains("vec_id")),
+      s"unexpected exchange keys:\n$plan")
+  }
+
+  test("bigram NLL: vocab-side scoring joins, no nested loop") {
+    val plan = executed(
+      graft.pipeline.TextAnalysis.bigramNll(spark, sfDir))
+      .split("== Initial Plan ==").head
+    // the only non-keyed join allowed is the 1-row totals cross join
+    assert(!plan.contains("CartesianProduct"),
+      s"bigram scoring must stay keyed:\n$plan")
+    // exchanges key only on the LM vocab ((w1[, w2]) / term) or the
+    // per-doc sum - the corpus bigram stream pays one keyed join and
+    // one doc-keyed aggregate, nothing else
+    val keyed = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(keyed.forall(l => l.contains("w1") || l.contains("term") ||
+             l.contains("doc_id")),
+      s"unexpected exchange keys:\n$plan")
+  }
+
+  test("stream-asof book: arriving side plans zero keyed exchanges") {
+    import org.apache.spark.sql.functions.col
+    // the batch replica of the streaming micro-batch plan: events
+    // joined to the broadcast book + the in-row ordered lookup
+    val idx = graft.core.Graft.table(spark, sfDir, "orders")
+      .select(col("o_custkey").as("k"),
+        org.apache.spark.sql.functions.unix_micros(
+          col("o_orderdate").cast("timestamp")).as("rt"),
+        col("o_orderkey"))
+      .groupBy(col("k"), col("rt"))
+      .agg(org.apache.spark.sql.functions.max(col("o_orderkey"))
+        .as("o_orderkey"))
+      .groupBy(col("k"))
+      .agg(org.apache.spark.sql.functions.sort_array(
+        org.apache.spark.sql.functions.collect_list(
+          org.apache.spark.sql.functions.struct(
+            col("rt"), col("o_orderkey")))).as("book"))
+    val ev = graft.core.Graft.table(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"),
+        org.apache.spark.sql.functions.expr(
+          "CAST(ts DIV 1000L AS BIGINT)").as("t"))
+    val joined = ev.join(
+        org.apache.spark.sql.functions.broadcast(idx),
+        ev("user_id") === idx("k"), "left")
+      .withColumn("m", org.apache.spark.sql.functions.expr(
+        "element_at(filter(book, x -> x.rt <= t), -1)"))
+    val plan = executed(joined).split("== Initial Plan ==").head
+    // the event side reaches the broadcast join straight from its scan:
+    // every keyed exchange in the plan belongs to the book build (k)
+    val keyed = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(keyed.forall(l => l.contains("k#") || l.contains("(k,")),
+      s"event side must not shuffle:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"book must broadcast onto the event scan:\n$plan")
+  }
 }
