@@ -161,6 +161,7 @@ object SparkEntry {
     "dd_store_spans" -> graft.pipeline.SignatureStore.gatedDupSpans _,
     "lm_store_quality" -> graft.pipeline.SignatureStore.gatedQualityGate _,
     "lm2_store_bigram" -> graft.pipeline.SignatureStore.gatedBigramNll _,
+    "layout_store" -> graft.pipeline.SignatureStore.gatedLayout _,
     "cms_store_topk" -> graft.pipeline.SignatureStore.gatedCmsTopk _,
     "kmv_store_jaccard" -> graft.pipeline.SignatureStore.gatedKmvJaccard _,
     "hll_store_distinct" -> graft.pipeline.SignatureStore.gatedHllDistinct _,
@@ -310,6 +311,7 @@ object SparkEntry {
     "dd_store_spans" -> Dedup.dupSpansSql,
     "lm_store_quality" -> graft.pipeline.QualityGate.sql,
     "lm2_store_bigram" -> TextAnalysis.bigramNllSql,
+    "layout_store" -> graft.pipeline.Layout.zorderSql,
     // sketch stores share their batch faces' oracles
     "cms_store_topk" -> Sketches.qCmsTopkSql,
     "kmv_store_jaccard" -> Sketches.qKmvJaccardSql,

@@ -702,6 +702,66 @@ object SignatureStore {
     storedBigramNll(spark, store)
   }
 
+  /** Z-order layout incremental store: each arriving batch is
+    * z-order-WRITTEN into its own `zorder/batch=<id>` subtree
+    * (partition overwrite - a replayed batch rewrites its orphan
+    * idempotently), so the layout is maintained without ever rewriting
+    * ingested data - the per-batch z-order is the incremental form of
+    * a global OPTIMIZE, trading a bounded per-batch shard-file count
+    * for zero-compaction appends. `shard` stays a partition column
+    * under EVERY batch directory, so a box read's candidate-shard cut
+    * prunes at FileIndex level across all batches at once.
+    */
+  def catchUpLayout(spark: SparkSession, watchDir: String,
+                    storeDir: String, glob: String = "*.parquet"): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.option("pathGlobFilter", glob)
+      .parquet(watchDir).schema
+    val ev = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob).parquet(watchDir)
+    val q = ev.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        Layout.writeZOrdered(batch, s"$storeDir/zorder/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Pruned box read across every ingested batch: one driver-side
+    * candidate enumeration, one FileIndex-level `shard IN cands` cut
+    * over the whole store, the exact (tb, vb) residual pushed as a
+    * normal predicate.
+    */
+  def prunedReadStore(spark: SparkSession, storeDir: String,
+                      box: Layout.ZBox): DataFrame = {
+    val cands = Layout.candidateShards(box)
+    spark.read.parquet(s"$storeDir/zorder")
+      .filter(col("shard").cast("long").isin(cands.toSeq: _*))
+      .filter(col("tb").between(box.tbLo, box.tbHi) &&
+        col("vb").between(box.vbLo, box.vbHi))
+  }
+
+  def gatedLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val watch = tempDirForExit("graft_gate_layout_watch")
+    val store = tempDirForExit("graft_gate_layout_store")
+    val ev = Graft.table(spark, sfDir, "events")
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpLayout(spark, watch, store)
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpLayout(spark, watch, store)
+    spark.read.parquet(s"$store/zorder")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_id"), col("tb"), col("vb"), col("zkey"),
+        expr("CAST(shard AS BIGINT)").as("shard"))
+      .orderBy(col("event_id"))
+  }
+
   /** Sketch gated faces: a fresh store catches up with the table
     * arriving as two appends (split on the id's parity, so every
     * group's sketch genuinely merges partials from both batches), then

@@ -99,4 +99,51 @@ class LayoutSpec extends SparkSpec {
     assert(pf.exists(_.contains("shard")),
       s"shard prune must appear in PartitionFilters:\n$plan")
   }
+
+  test("layout store: per-batch z-order, pruned read spans batches " +
+       "at the FileIndex") {
+    val watch = java.nio.file.Files
+      .createTempDirectory("graft_laystore_watch").toString
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_laystore_store").toString
+    val ev = graft.core.Graft.table(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("value"))
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$watch/_stage"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(watch, name))
+    }
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 0), "a1.parquet")
+    graft.pipeline.SignatureStore.catchUpLayout(spark, watch, store)
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 1), "a2.parquet")
+    graft.pipeline.SignatureStore.catchUpLayout(spark, watch, store)
+    val keyed = Layout.zorder(spark, sfDir)
+    val tbLo = keyed.agg(min(col("tb"))).collect()(0).getLong(0) + 10
+    val box = Layout.ZBox(tbLo = tbLo, tbHi = tbLo + 19)
+    val pruned = graft.pipeline.SignatureStore
+      .prunedReadStore(spark, store, box)
+    val direct = keyed
+      .filter(col("tb").between(box.tbLo, box.tbHi) &&
+        col("vb").between(box.vbLo, box.vbHi))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(direct.nonEmpty, "fixture must have rows in the box")
+    // rows from BOTH parities (batches) must be present - the prune
+    // spans every batch subtree, not just the latest
+    val got = pruned.select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == direct, "store pruned read must be lossless")
+    assert(got.exists(_ % 2 == 0) && got.exists(_ % 2 == 1),
+      "box must span both ingest batches")
+    val plan = pruned.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters:"))
+    assert(pf.exists(_.contains("shard")),
+      s"shard prune must appear in PartitionFilters:\n$plan")
+    // replay idempotency: nothing new -> identical store answer
+    graft.pipeline.SignatureStore.catchUpLayout(spark, watch, store)
+    assert(graft.pipeline.SignatureStore
+      .prunedReadStore(spark, store, box)
+      .select("event_id").collect().map(_.getLong(0)).toSet == got)
+  }
 }
