@@ -615,7 +615,23 @@ object SignatureStore {
     * faces cannot drift.
     */
   def catchUpLm2(spark: SparkSession, watchDir: String, storeDir: String,
-                 glob: String = "*.parquet"): Unit = {
+                 glob: String = "*.parquet"): Unit =
+    maintainLm2(spark, watchDir, storeDir, glob, admissions = false)
+
+  /** Streaming ADMISSION against the evolving bigram LM: after folding
+    * a micro-batch's pair/term partials into the store, the batch's
+    * documents are scored against the store's CURRENT summed partials
+    * and the arrival-time scores land in `lm2_admissions/batch=<id>` -
+    * immutable once written, while every document's CURRENT score
+    * (`storedBigramNll`) keeps evolving with the pair vocabulary.
+    */
+  def admitLm2(spark: SparkSession, watchDir: String, storeDir: String,
+               glob: String = "*.parquet"): Unit =
+    maintainLm2(spark, watchDir, storeDir, glob, admissions = true)
+
+  private def maintainLm2(spark: SparkSession, watchDir: String,
+                          storeDir: String, glob: String,
+                          admissions: Boolean): Unit = {
     Graft.ensureConf(spark)
     if (!hasParquet(spark, watchDir)) return
     val schema = spark.read.option("pathGlobFilter", glob)
@@ -643,6 +659,16 @@ object SignatureStore {
             .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
             .write.mode("overwrite")
             .parquet(s"$storeDir/lm2_term_counts/batch=$id")
+          if (admissions) {
+            // score THIS batch against the store's current partials
+            // (the freshly-written ones included) - the query-time
+            // scoring core restricted to the batch's docs
+            val dbg = spark.read
+              .parquet(s"$storeDir/lm2_doc_bigrams/batch=$id")
+            bigramNllAgainstStore(spark, storeDir, dbg)
+              .write.mode("overwrite")
+              .parquet(s"$storeDir/lm2_admissions/batch=$id")
+          }
         } finally { pairs.unpersist(); toks.unpersist() }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -657,7 +683,13 @@ object SignatureStore {
     * integer sum as the one-shot per-position pass. Matches
     * `txt_bigram_nll`'s oracle once caught up.
     */
-  def storedBigramNll(spark: SparkSession, storeDir: String): DataFrame = {
+  /** The bigram scoring core: given per-doc pair multisets, score them
+    * under the store's current summed partials. Shared by the
+    * query-time re-scorer and the admission path so they cannot drift.
+    */
+  private[graft] def bigramNllAgainstStore(spark: SparkSession,
+                                           storeDir: String,
+                                           docBg: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{count, expr, sum}
     Graft.ensureConf(spark)
     val freqU = storedOrEmpty(spark, s"$storeDir/lm2_term_counts",
@@ -676,9 +708,6 @@ object SignatureStore {
         s"""CAST(floor(-ln(CAST(cb + 1 AS DOUBLE)
            |  / CAST(cu + ${vSize}L AS DOUBLE)) * 1000000.0 + 0.5)
            |  AS BIGINT)""".stripMargin).as("nll_b"))
-    val docBg = storedOrEmpty(spark, s"$storeDir/lm2_doc_bigrams",
-      emptyLike(spark, spark.range(0).selectExpr("id AS doc_id",
-        "'' AS w1", "'' AS w2", "id AS k")))
     docBg.join(scoredVocab, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(sum(col("k") * col("nll_b")).as("sum_b"),
@@ -686,8 +715,14 @@ object SignatureStore {
       .select(col("doc_id"), col("n_big"),
         ParityMath.q6((col("sum_b").cast("double") / lit(1000000.0))
           / col("n_big")).as("nll2"))
-      .orderBy(col("doc_id"))
   }
+
+  def storedBigramNll(spark: SparkSession, storeDir: String): DataFrame =
+    bigramNllAgainstStore(spark, storeDir,
+      storedOrEmpty(spark, s"$storeDir/lm2_doc_bigrams",
+        emptyLike(spark, spark.range(0).selectExpr("id AS doc_id",
+          "'' AS w1", "'' AS w2", "id AS k"))))
+      .orderBy(col("doc_id"))
 
   def gatedBigramNll(spark: SparkSession, sfDir: String): DataFrame = {
     val watch = tempDirForExit("graft_gate_lm2_watch")

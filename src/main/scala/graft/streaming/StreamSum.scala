@@ -737,6 +737,24 @@ object StreamSum {
       .orderBy(col("vec_id"))
   }
 
+  /** Streaming admission against the evolving BIGRAM LM - the
+    * context-aware sibling of `ss_stream_quality`, sharing
+    * `txt_bigram_nll`'s oracle: each micro-batch folds its pair/term
+    * partials into the incremental store and is scored against the
+    * store's current summed partials (arrival-time scores persisted
+    * per batch); the returned relation is the query-time re-scoring,
+    * under which every document - however early it arrived - is scored
+    * against the full final pair vocabulary, which is exactly the
+    * one-shot batch computation.
+    */
+  def streamBigramNll(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    import graft.pipeline.SignatureStore
+    val store = SignatureStore.tempDirForExit("graft_stream_lm2")
+    SignatureStore.admitLm2(spark, sfDir, store, glob = "documents.parquet")
+    SignatureStore.storedBigramNll(spark, store)
+  }
+
   /** Streaming admission face of the temperature mix, sharing
     * `pipe_mix`'s oracle: the per-source cutoffs are the mixing PLAN -
     * a model parameter derived once from the static corpus's source

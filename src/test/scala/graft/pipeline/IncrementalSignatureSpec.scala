@@ -191,17 +191,26 @@ class IncrementalSignatureSpec extends SparkSpec {
       (i, (s"u$i v$i " * 20).trim)).toDF("doc_id", "text")
 
     land(batchA, watch, "arrival1.parquet")
-    SignatureStore.catchUpLm2(spark, watch, store)
+    SignatureStore.admitLm2(spark, watch, store)
     val nll1 = SignatureStore.storedBigramNll(spark, store)
       .filter(col("doc_id") === 1L).collect()(0).getDouble(2)
 
     land(batchB, watch, "arrival2.parquet")
-    SignatureStore.catchUpLm2(spark, watch, store)
+    SignatureStore.admitLm2(spark, watch, store)
     val after = SignatureStore.storedBigramNll(spark, store)
     val nll1After = after.filter(col("doc_id") === 1L)
       .collect()(0).getDouble(2)
     assert(nll1After != nll1,
       "batch-1 doc's bigram NLL must reflect the LM grown by batch 2")
+
+    // the arrival-time admission record is immutable: batch 0's
+    // persisted score is the score OF ITS MOMENT (== nll1), even
+    // though the doc's current score has since evolved
+    val admitted = spark.read
+      .parquet(s"$store/lm2_admissions/batch=0")
+      .filter(col("doc_id") === 1L).collect()(0).getDouble(2)
+    assert(admitted == nll1 && admitted != nll1After,
+      s"admission must keep the arrival-time score: $admitted vs $nll1")
 
     // caught-up store == the one-shot batch face over the union
     val stored = after.collect().map(_.toSeq).toSeq
