@@ -100,15 +100,32 @@ final class SnapshotCacheSink(root: String, keepVersions: Int = 2)
     // data first, into a version-private dir (Overwrite: a replay of a
     // torn publish rewrites the orphan instead of appending to it)
     state.write.mode(SaveMode.Overwrite).parquet(s"$root/$name/v=$next")
-    // then the commit point: write-temp + atomic rename-overwrite
+    // then the commit point: write-temp + atomic rename-overwrite.
+    // The tmp write goes through the RAW fs so no checksum sidecar is
+    // ever created (see rawFs) - the manifest is a single immutable
+    // line per version, self-validating by parse.
     val m = manifest(name)
-    val fs = fsFor(spark, m)
+    val fs = rawFs(fsFor(spark, m))
     val tmp = new Path(s"$root/$name/._LATEST.$next.tmp")
     val out = fs.create(tmp, true)
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      m.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, m, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val scheme = m.toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      // LocalFs FileContext rename-overwrite is delete-then-rename - a
+      // window where the manifest doesn't exist at all. The platform
+      // primitive is the real atomic overwrite on a local filesystem.
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath),
+        java.nio.file.Paths.get(fs.makeQualified(m).toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      // HDFS/object-store AbstractFileSystems implement overwrite
+      // rename atomically server-side
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        m.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, m, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
     // retain a window of old snapshots for in-flight readers
     val dir = new Path(s"$root/$name")
     fs.listStatus(dir).foreach { st =>
