@@ -40,7 +40,7 @@ object Bench {
     "ss_stream_count", "ss_stream_lastn", "ss_stream_lsh_cand",
     // analytics
     "q1_agg", "q3_join_agg", "q5_multijoin", "q_window", "q_sessionize",
-    "q_asof_join", "q_range_join",
+    "q_asof_join", "q_range_join", "q_resample",
     // training-data pipeline
     "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard", "dd_simhash",
     "dd_embed_cosine", "dd_semantic",
@@ -72,7 +72,7 @@ object Bench {
     "ss_q_counts_for_subj_action", "ss_q_topk_per_subj",
     "ss_q_sort_variants", "ss_undo_lastn",
     "ss_stream_count", "ss_stream_lastn",
-    "q_sessionize", "q_range_join",
+    "q_sessionize", "q_range_join", "q_resample",
     "q_cms_topk", "q_cms_topk_prod", "q_cms_sliding", "q_cms_sliding_prod",
     "q_hll_sliding", "q_hll_sliding_prod", "q_qtile_sliding",
     "q_kmv_jaccard_prod", "q_kmv_retention_prod",

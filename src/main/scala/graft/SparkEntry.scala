@@ -1,6 +1,6 @@
 package graft
 
-import graft.analytics.{AsofJoin, RangeJoin, Sketches, Tpch}
+import graft.analytics.{AsofJoin, RangeJoin, Sketches, TimeSeries, Tpch}
 import graft.core._
 import graft.oracle.Sql
 import graft.pipeline.{CorpusClean, Dedup, Multimodal, Similarity, TextAnalysis}
@@ -123,6 +123,7 @@ object SparkEntry {
     "q_stats_agg" -> Tpch.qStatsAgg _,
     "q_profile" -> Tpch.qProfile _,
     "q_asof_join" -> AsofJoin.qAsof _,
+    "q_resample" -> TimeSeries.qResample _,
     "q_range_join" -> RangeJoin.apply _,
     "q_hll_distinct" -> Sketches.qHllDistinct _,
     "q_kmv_jaccard" -> Sketches.qKmvJaccard _,
@@ -271,6 +272,7 @@ object SparkEntry {
     "q_stats_agg" -> Tpch.qStatsAggSql,
     "q_profile" -> Tpch.qProfileSql,
     "q_asof_join" -> AsofJoin.qAsofSql,
+    "q_resample" -> TimeSeries.qResampleSql,
     "q_range_join" -> RangeJoin.sql,
     "q_hll_distinct" -> Sketches.qHllDistinctSql,
     "q_kmv_jaccard" -> Sketches.qKmvJaccardSql,
