@@ -23,16 +23,23 @@ object TimeSeries {
   /** 4 h buckets - the same grid as the z-order layout's time dim. */
   val resampleBucketUs: Long = graft.pipeline.Layout.tBucketUs
 
-  def qResample(spark: SparkSession, sfDir: String): DataFrame = {
-    Graft.ensureConf(spark)
-    val ev = Graft.tableParallel(spark, sfDir, "events")
-      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+  /** The per-(key, bucket) observation state the fill runs over -
+    * maintained by a plain aggregation in batch and by a streaming
+    * aggregation (bounded state: keys x buckets) in the stream face.
+    */
+  private[graft] def resampleBase(ev: DataFrame): DataFrame =
+    ev.filter(col("ts").isNotNull && col("user_id").isNotNull)
       .select(col("user_id"),
         expr(s"(ts DIV 1000L) DIV ${resampleBucketUs}L").as("tb"),
         col("event_id"))
-    val base = ev.groupBy(col("user_id"), col("tb"))
+      .groupBy(col("user_id"), col("tb"))
       .agg(count(lit(1)).as("n_events"),
         max(col("event_id")).as("last_eid"))
+
+  /** Spine generation + forward fill over the observation state -
+    * shared verbatim by both faces, so they cannot drift.
+    */
+  private[graft] def resampleFill(base: DataFrame): DataFrame = {
     // per-key spine: every bucket between the key's first and last
     val spine = base.groupBy(col("user_id"))
       .agg(min(col("tb")).as("lo"), max(col("tb")).as("hi"))
@@ -47,6 +54,12 @@ object TimeSeries {
           .as("last_event_id"))
       .withColumn("is_gap", col("n_events") === 0L)
       .orderBy(col("user_id"), col("tb"))
+  }
+
+  def qResample(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    resampleFill(resampleBase(
+      Graft.tableParallel(spark, sfDir, "events")))
   }
 
   val qResampleSql: String =

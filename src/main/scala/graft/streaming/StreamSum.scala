@@ -737,6 +737,26 @@ object StreamSum {
       .orderBy(col("vec_id"))
   }
 
+  /** Streaming face of the time-series resample, sharing
+    * `q_resample`'s oracle: the corpus-touching half - the per-(key,
+    * bucket) observation counts - is maintained as a streaming
+    * aggregation with bounded state (keys x active buckets, the
+    * ss_stream_windowed state class), and the spine generation +
+    * forward fill run over the streamed state via literally the batch
+    * face's `resampleFill`. The fill's input is state-sized, not
+    * event-sized - the stream never re-scans raw events to answer.
+    */
+  def streamResample(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.analytics.TimeSeries
+    val base = TimeSeries.resampleBase(streamingEvents(spark, sfDir))
+    val state = runToTable(base, OutputMode.Complete(), "ss_stream_resample")
+    // the fill self-joins its input (the spine derives from it), which
+    // trips reference dedup over the memory-table relation - rebase on
+    // an InternalRow barrier (distributed, Tungsten form, fresh attrs)
+    TimeSeries.resampleFill(org.apache.spark.sql.GraftBridge
+      .ofInternalRows(spark, state.queryExecution.toRdd, state.schema))
+  }
+
   /** Streaming admission against the evolving BIGRAM LM - the
     * context-aware sibling of `ss_stream_quality`, sharing
     * `txt_bigram_nll`'s oracle: each micro-batch folds its pair/term
