@@ -201,23 +201,41 @@ object CorpusOps {
       if (it.next()._1.sparkContext.isStopped) it.remove()
     }
     benchBloomCache.computeIfAbsent((spark, sfDir), { _ =>
-      val hashes = grams.filter(col("doc_id") < benchmarkDocs)
-        .select(explode(col("ghs")).as("h")).distinct()
-        .collect().map(_.getLong(0))
-      // fpp is PER PROBE and a document probes one gram at a time, so
-      // its chance of being falsely flagged is ~grams_per_doc x fpp
-      // (measured: fpp 1e-3 x ~56 grams/doc flagged 5.6% of a clean
-      // corpus). 1e-5 puts the per-document rate at ~0.1% for
-      // few-hundred-gram documents; bloom bits grow only with
-      // log(1/fpp), so the filter stays tiny relative to the set.
-      val bloom = org.apache.spark.util.sketch.BloomFilter
-        .create(math.max(hashes.length, 1).toLong, 0.00001)
-      hashes.foreach(bloom.putLong)
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos)
-      (hashes, bos.toByteArray)
+      val bench = grams.filter(col("doc_id") < benchmarkDocs).persist()
+      try {
+        val hashes = bench
+          .select(explode(col("ghs")).as("h")).distinct()
+          .collect().map(_.getLong(0))
+        // fpp is PER PROBE and a document probes one gram at a time,
+        // so its chance of being falsely flagged is ~grams_per_doc x
+        // fpp (measured: fpp 1e-3 x ~56 grams/doc flagged 5.6% of a
+        // clean corpus). Size fpp ADAPTIVELY from the measured
+        // gram-count distribution - the p95 of the bench subset, same
+        // length distribution as the corpus, no extra corpus scan -
+        // so the per-document rate stays at the target regardless of
+        // document length; bloom bits grow only with log(1/fpp).
+        val p95 = bench.select(size(col("ghs")).cast("double").as("g"))
+          .stat.approxQuantile("g", Array(0.95), 0.01)
+          .headOption.getOrElse(1.0)
+        val bloom = org.apache.spark.util.sketch.BloomFilter
+          .create(math.max(hashes.length, 1).toLong,
+            adaptiveFpp(math.max(p95, 1.0)))
+        hashes.foreach(bloom.putLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        (hashes, bos.toByteArray)
+      } finally bench.unpersist()
     })
   }
+
+  /** Per-probe fpp that holds a p95-length document's false-flag
+    * chance at `bloomDocFpTarget`: fpp = target / grams_per_doc,
+    * clamped to a sane range (the floor bounds filter size, the cap
+    * keeps the prune useful even for absurd length estimates).
+    */
+  val bloomDocFpTarget = 0.001
+  private[graft] def adaptiveFpp(p95GramsPerDoc: Double): Double =
+    math.min(0.001, math.max(1e-8, bloomDocFpTarget / p95GramsPerDoc))
 
   def decontaminateBloom(spark: SparkSession, sfDir: String): DataFrame = {
     val gramsPlan = Graft.tableParallel(spark, sfDir, "documents")

@@ -205,4 +205,17 @@ class CorpusOpsSpec extends SparkSpec {
       assert(fixed.length == CorpusOps.oracleShards)
     } finally spark.conf.unset("graft.shuffle.shards")
   }
+
+  test("adaptive bloom fpp holds the per-document false-flag target") {
+    // a p95-length doc's false-flag chance is ~grams x fpp: the
+    // adaptive fpp must keep that product at the target across length
+    // regimes, within the clamp range
+    for (grams <- Seq(10.0, 56.0, 500.0, 5000.0)) {
+      val fpp = CorpusOps.adaptiveFpp(grams)
+      assert(grams * fpp <= CorpusOps.bloomDocFpTarget * 1.0001,
+        s"doc false-flag rate ${grams * fpp} above target at $grams grams")
+    }
+    assert(CorpusOps.adaptiveFpp(1.0) == 0.001)        // cap
+    assert(CorpusOps.adaptiveFpp(1e9) == 1e-8)         // floor
+  }
 }
