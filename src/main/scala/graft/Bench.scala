@@ -40,6 +40,7 @@ object Bench {
     "ss_stream_count", "ss_stream_lastn", "ss_stream_lsh_cand",
     // analytics
     "q1_agg", "q3_join_agg", "q5_multijoin", "q_window", "q_sessionize",
+    "q_corr",
     "q_asof_join", "q_range_join", "q_resample",
     // training-data pipeline
     "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard", "dd_simhash",

@@ -125,6 +125,7 @@ object SparkEntry {
     "q_profile" -> Tpch.qProfile _,
     "q_asof_join" -> AsofJoin.qAsof _,
     "q_resample" -> TimeSeries.qResample _,
+    "q_corr" -> Tpch.qCorr _,
     "q_range_join" -> RangeJoin.apply _,
     "q_hll_distinct" -> Sketches.qHllDistinct _,
     "q_kmv_jaccard" -> Sketches.qKmvJaccard _,
@@ -275,6 +276,7 @@ object SparkEntry {
     "q_profile" -> Tpch.qProfileSql,
     "q_asof_join" -> AsofJoin.qAsofSql,
     "q_resample" -> TimeSeries.qResampleSql,
+    "q_corr" -> Tpch.qCorrSql,
     "q_range_join" -> RangeJoin.sql,
     "q_hll_distinct" -> Sketches.qHllDistinctSql,
     "q_kmv_jaccard" -> Sketches.qKmvJaccardSql,

@@ -482,4 +482,72 @@ object Tpch {
       |       min(t) AS start_t, max(t) AS end_t
       |FROM sess GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
+
+  /** Per-group Pearson correlation + population covariance between
+    * quantity and price, computed from EXACT sums: both columns are
+    * integral in cents/units, so n, Σx, Σy, Σxy, Σx², Σy² accumulate
+    * exactly (Spark DECIMAL(38,0) / DuckDB HUGEINT - no float
+    * summation order anywhere), and only then does each engine cast
+    * the identical exact sums to double and run the identical closed
+    * formula - bitwise-comparable where a native corr() (running
+    * float state, order-dependent) never could be. One map-side
+    * combinable aggregation; 100 TB cost = one keyed shuffle of six
+    * numbers per group.
+    */
+  def qCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Graft.table(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"),
+        expr("CAST(l_quantity AS DECIMAL(10,0))").as("x"),
+        expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS DECIMAL(18,0))")
+          .as("y"))
+    li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        graft.pipeline.ParityMath.q6(expr(
+          """((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+            |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))"""
+            .stripMargin)).as("corr_qty_price"),
+        graft.pipeline.ParityMath.q6(expr(
+          """((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            |  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 100.0)"""
+            .stripMargin)).as("covar_pop"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qCorrSql: String =
+    s"""WITH b AS (
+       |  SELECT l_returnflag,
+       |    CAST(l_quantity AS BIGINT) AS x,
+       |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+       |  FROM lineitem
+       |), s AS (
+       |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+       |    sum(x * x) AS sxx, sum(y * y) AS syy
+       |  FROM b GROUP BY l_returnflag
+       |)
+       |SELECT l_returnflag, n,
+       |  ${graft.pipeline.ParityMath.q6Sql(
+            """((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))"""
+              .stripMargin)} AS corr_qty_price,
+       |  ${graft.pipeline.ParityMath.q6Sql(
+            """((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              |  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 100.0)"""
+              .stripMargin)} AS covar_pop
+       |FROM s ORDER BY l_returnflag""".stripMargin
 }
