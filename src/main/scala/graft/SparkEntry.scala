@@ -95,6 +95,7 @@ object SparkEntry {
     "ss_stream_mix" -> StreamSum.streamMix _,
     "ss_stream_bigram" -> StreamSum.streamBigramNll _,
     "ss_stream_resample" -> StreamSum.streamResample _,
+    "ss_stream_corr" -> StreamSum.streamCorr _,
     "ss_stream_decont" -> StreamSum.streamDecontaminate _,
     "ss_stream_quality" -> StreamSum.streamQuality _,
     "ss_stream_range_join" -> StreamSum.streamRangeJoin _,
@@ -261,6 +262,7 @@ object SparkEntry {
     "ss_stream_mix" -> graft.pipeline.CorpusOps.mixSql,
     "ss_stream_bigram" -> TextAnalysis.bigramNllSql,
     "ss_stream_resample" -> TimeSeries.qResampleSql,
+    "ss_stream_corr" -> Tpch.qCorrSql,
     "ss_stream_decont" -> graft.pipeline.CorpusOps.decontaminateSql,
     "q4_semijoin" -> Tpch.q4SemiJoinSql,
     "q1_agg" -> Tpch.q1Sql,

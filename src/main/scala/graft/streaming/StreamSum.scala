@@ -737,6 +737,50 @@ object StreamSum {
       .orderBy(col("vec_id"))
   }
 
+  /** Streaming face of the exact-sum correlation, sharing `q_corr`'s
+    * oracle: the six exact sums ARE the whole streaming state (six
+    * numbers per group - the minimum any online covariance carries),
+    * maintained as an ordinary streaming aggregation with map-side
+    * combine; the closed formula runs over the final snapshot exactly
+    * as the batch face runs it over its aggregate. Because the sums
+    * are exact integers, the stream's arrival order cannot perturb
+    * the result - the same property that makes the batch face
+    * bitwise-comparable cross-engine.
+    */
+  def streamCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val schema = spark.read.parquet(s"$sfDir/lineitem.parquet").schema
+    val li = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet")
+      .parquet(sfDir)
+      .select(col("l_returnflag"),
+        expr("CAST(l_quantity AS DECIMAL(10,0))").as("x"),
+        expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS DECIMAL(18,0))")
+          .as("y"))
+    val sums = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    runToTable(sums, OutputMode.Complete(), "ss_stream_corr")
+      .select(col("l_returnflag"), col("n"),
+        graft.pipeline.ParityMath.q6(expr(
+          """((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+            |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))"""
+            .stripMargin)).as("corr_qty_price"),
+        graft.pipeline.ParityMath.q6(expr(
+          """((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            |  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 100.0)"""
+            .stripMargin)).as("covar_pop"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Streaming face of the time-series resample, sharing
     * `q_resample`'s oracle: the corpus-touching half - the per-(key,
     * bucket) observation counts - is maintained as a streaming
