@@ -173,6 +173,29 @@ object ScaleSmoke {
     zo.unpersist()
     println(f"SMOKE zorder rows=$rows shards=${byShard.size} " +
       f"cand=${cand.size} sec=${(t12 - t11) / 1e9}%.1f")
+
+    // resample: hash-assigned users make each per-user series SPARSE
+    // (~100 occupied of ~700 span buckets at 10M rows x 100k users),
+    // so the spine fan is the gap-dominated worst case - bounded by
+    // keys x span buckets, never by raw events. Closed forms: no
+    // event is lost or invented (sum n_events == rows), and gaps are
+    // exactly spine minus occupied cells.
+    val t13 = System.nanoTime()
+    val base = graft.analytics.TimeSeries.resampleBase(ev).persist()
+    val baseCells = base.count()
+    val rs = graft.analytics.TimeSeries.resampleFill(base).persist()
+    val agg = rs.agg(count(lit(1)), sum(col("n_events")),
+      sum(when(col("is_gap"), 1L).otherwise(0L))).collect()(0)
+    val (rsRows, rsEvents, rsGaps) =
+      (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    val t14 = System.nanoTime()
+    rs.unpersist(); base.unpersist()
+    require(rsEvents == rows,
+      s"resample lost/invented events: $rsEvents vs $rows")
+    require(rsGaps == rsRows - baseCells,
+      s"gaps must be spine minus occupied: $rsGaps vs $rsRows-$baseCells")
+    println(f"SMOKE resample rows=$rows series_rows=$rsRows " +
+      f"occupied=$baseCells gaps=$rsGaps sec=${(t14 - t13) / 1e9}%.1f")
     spark.stop()
   }
 }
