@@ -299,6 +299,34 @@ class PlanShapeSpec extends SparkSpec {
       s"unexpected exchange keys:\n$plan")
   }
 
+  test("resample: spine explodes out of the span aggregate, not raw events") {
+    val plan = executed(TimeSeries.qResample(spark, sfDir))
+      .split("== Initial Plan ==").head
+    // the Generate (sequence explode) must sit above an Aggregate -
+    // fan bounded by keys x span, never a per-event explode
+    val genIdx = plan.linesIterator.indexWhere(_.contains("Generate"))
+    assert(genIdx >= 0, s"expected a spine explode:\n$plan")
+    val above = plan.linesIterator.slice(genIdx, genIdx + 8).mkString("\n")
+    assert(above.contains("HashAggregate"),
+      s"spine must explode out of the per-key span aggregate:\n$above")
+    // keyed exchanges only on the resample key (and key+bucket)
+    val keyed = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(keyed.nonEmpty && keyed.forall(_.contains("user_id")),
+      s"unexpected exchange keys:\n$plan")
+  }
+
+  test("corr: one keyed aggregation, six numbers per group shuffle") {
+    val plan = executed(Tpch.qCorr(spark, sfDir))
+      .split("== Initial Plan ==").head
+    val keyed = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(keyed.nonEmpty && keyed.forall(_.contains("l_returnflag")),
+      s"unexpected exchange keys:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
+      s"sums must combine map-side:\n$plan")
+  }
+
   test("stream-asof book: arriving side plans zero keyed exchanges") {
     import org.apache.spark.sql.functions.col
     // the batch replica of the streaming micro-batch plan: events
