@@ -175,6 +175,7 @@ object SparkEntry {
       graft.pipeline.SignatureStore.gatedAnnCandidates _,
     "dd_embed_cosine" -> Similarity.embedCosinePairs _,
     "dd_semantic" -> Similarity.ddSemantic _,
+    "dd_semantic_clusters" -> Similarity.ddSemanticClusters _,
     // ---- similarity search ----
     "ann_topk_brute" -> Similarity.annTopKBrute _,
     "ann_topk_quant" -> Similarity.annTopKQuant _,
@@ -333,6 +334,7 @@ object SparkEntry {
     "dd_clusters" -> Dedup.dupClustersSql,
     "dd_embed_cosine" -> Similarity.embedCosinePairsSql,
     "dd_semantic" -> Similarity.ddSemanticSql,
+    "dd_semantic_clusters" -> Similarity.ddSemanticClustersSql,
     "ann_topk_brute" -> Similarity.annTopKBruteSql,
     "ann_topk_quant" -> Similarity.annTopKQuantSql,
     "ann_lsh_bucketed" -> Similarity.annLshBucketedSql,

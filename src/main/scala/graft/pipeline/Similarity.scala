@@ -667,6 +667,66 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Cluster-level semantic dedup: the within-cell similarity pairs
+    * fed through the SAME path-halving component resolution the LSH
+    * family uses (`Dedup.resolveComponents`) - transitive closure
+    * instead of the dominance rule, so a chain a~b~c collapses to ONE
+    * canonical even when a and c are not directly similar. Output is
+    * the cluster relation (clustered vectors only), mirroring
+    * `dd_clusters`' shape; the oracle replays Lloyd as CTEs and the
+    * closure as a recursive CTE - both faces against one clustering
+    * definition.
+    */
+  def ddSemanticClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val assign = ivfAssignWith(e, trainedCentroidsFor(spark, sfDir))
+    val pairs = assign.as("x").join(assign.as("y"),
+        col("x.cid") === col("y.cid") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .withColumn("sim",
+        ParityMath.q6(expr(cosSpark("x.embedding", "y.embedding"))))
+      .filter(col("sim") >= semanticEps)
+      .select(col("x.vec_id").as("doc_a"), col("y.vec_id").as("doc_b"))
+    val (clusters, _) = Dedup.resolveComponents(spark, pairs)
+    clusters.select(col("doc_id").as("vec_id"), col("cluster_id"),
+        col("is_canonical"))
+      .orderBy(col("vec_id"))
+  }
+
+  val ddSemanticClustersSql: String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), $lloydCentsCtes, assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosDuck("e.embedding", "c.c_emb")} DESC, c.cid)
+       |        AS ark
+       |    FROM e CROSS JOIN cents c
+       |  ) WHERE ark = 1
+       |), pairs AS (
+       |  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+       |  FROM assign x JOIN assign y
+       |    ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |  JOIN e ex ON ex.vec_id = x.vec_id
+       |  JOIN e ey ON ey.vec_id = y.vec_id
+       |  WHERE (floor((${cosDuck("ex.embedding", "ey.embedding")}) * 1000000.0 + 0.5) / 1000000.0) >= $semanticEps
+       |), sym AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs
+       |), reach AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM sym
+       |  UNION
+       |  SELECT r.a, s.doc_b FROM reach r JOIN sym s ON s.doc_a = r.b
+       |)
+       |SELECT n.doc_id AS vec_id,
+       |  CAST(least(n.doc_id, min(r.b)) AS BIGINT) AS cluster_id,
+       |  (n.doc_id = least(n.doc_id, min(r.b))) AS is_canonical
+       |FROM (SELECT DISTINCT doc_a AS doc_id FROM sym) n
+       |LEFT JOIN reach r ON r.a = n.doc_id
+       |GROUP BY n.doc_id
+       |ORDER BY vec_id""".stripMargin
+
   val ddSemanticSql: String =
     s"""WITH e AS (
        |  SELECT vec_id, embedding FROM embeddings

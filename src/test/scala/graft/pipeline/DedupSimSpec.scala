@@ -231,4 +231,27 @@ class DedupSimSpec extends SparkSpec {
     // the fixture must actually exercise the drop path
     assert(dropped > 0, "no semantic duplicates found - threshold dead")
   }
+
+  test("semantic clusters: closure consistent with the dominance verdicts") {
+    val verdicts = Similarity.ddSemantic(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val clusters = Similarity.ddSemanticClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(clusters.nonEmpty, "fixture must produce semantic clusters")
+    // canonical = min of its cluster
+    val byCluster = clusters.groupBy(_._2)
+    for ((cid, ms) <- byCluster) {
+      assert(ms.map(_._1).min == cid, s"cluster id must be its min: $cid")
+      assert(ms.count(_._3) == 1 && ms.find(_._3).get._1 == cid)
+    }
+    // a dominance-dropped vector has a smaller same-cell neighbor, so
+    // it shares that neighbor's component and cannot be the min there:
+    // dropped implies clustered non-canonical (closure only MERGES
+    // further via chains, never splits)
+    for ((v, keep) <- verdicts if !keep) {
+      val c = clusters.find(_._1 == v)
+      assert(c.exists(!_._3),
+        s"dominance-dropped $v must be a non-canonical cluster member")
+    }
+  }
 }
