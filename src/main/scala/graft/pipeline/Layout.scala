@@ -40,6 +40,23 @@ object Layout {
     */
   val vWidth = 2.0
 
+  /** Value bucket, clamped to [0, 2^zBits - 1] on BOTH ends: without
+    * the lower clamp a negative value yields vb < 0 whose low 8
+    * two's-complement bits alias into a valid zkey (value = -1 → vb =
+    * -1 → bits read as 255), landing the row in a normal shard that no
+    * box read can ever reach (the residual vb predicate excludes
+    * negatives). Clamping to bucket 0 keeps every row addressable -
+    * out-of-range lows are findable under vbLo = 0, same as
+    * out-of-range highs under the existing top clamp.
+    */
+  private def vbSpark(value: String): String =
+    s"CAST(greatest(least(floor($value / CAST($vWidth AS DOUBLE)), " +
+      s"${(1L << zBits) - 1}.0D), 0.0D) AS BIGINT)"
+
+  private def vbDuck(value: String): String =
+    s"CAST(greatest(least(floor($value / CAST($vWidth AS DOUBLE)), " +
+      s"${(1L << zBits) - 1}.0), 0.0) AS BIGINT)"
+
   /** Bit-interleave expression over integer columns `a`, `b` - the
     * same text modulo each dialect's shift syntax (Spark: shiftleft /
     * shiftright functions; DuckDB: << / >> operators).
@@ -66,8 +83,7 @@ object Layout {
       .select(col("event_id"),
         expr(s"pmod((ts DIV 1000L) DIV ${tBucketUs}L, ${1L << zBits})")
           .as("tb"),
-        expr(s"CAST(least(floor(value / CAST($vWidth AS DOUBLE)), " +
-          s"${(1L << zBits) - 1}.0D) AS BIGINT)").as("vb"))
+        expr(vbSpark("value")).as("vb"))
       .withColumn("zkey", expr(zSpark))
       .withColumn("shard", expr(s"shiftright(zkey, $shardShift)"))
       .orderBy(col("event_id"))
@@ -113,7 +129,8 @@ object Layout {
     * key columns for comparison). Rows whose (ts, value) key is null
     * cannot be placed on the curve and land in a reserved shard -1,
     * so they are never silently dropped and never pollute a pruned
-    * range read.
+    * range read; out-of-range values clamp onto the curve's edge
+    * buckets (see `vbSpark`) and stay addressable.
     *
     * 100 TB shape: one narrow keying pass + one repartition on the
     * shard id (so each output partition is written by one task, no
@@ -129,8 +146,7 @@ object Layout {
       // the top of the range instead of quarantining them
       .withColumn("vb", expr(
         s"CASE WHEN value IS NULL THEN CAST(NULL AS BIGINT) " +
-          s"ELSE CAST(least(floor(value / CAST($vWidth AS DOUBLE)), " +
-          s"${(1L << zBits) - 1}.0D) AS BIGINT) END"))
+          s"ELSE ${vbSpark("value")} END"))
       .withColumn("zkey", expr(zSpark))
       .withColumn("shard", coalesce(
         expr(s"shiftright(zkey, $shardShift)"), lit(-1L)))
@@ -156,8 +172,7 @@ object Layout {
     s"""WITH b AS (
        |  SELECT event_id,
        |    (epoch_us(ts) // $tBucketUs) % ${1L << zBits} AS tb,
-       |    CAST(least(floor(value / CAST($vWidth AS DOUBLE)),
-       |               ${(1L << zBits) - 1}.0) AS BIGINT) AS vb
+       |    ${vbDuck("value")} AS vb
        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
        |)
        |SELECT event_id, tb, vb, $zDuck AS zkey,

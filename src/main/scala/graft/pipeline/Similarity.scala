@@ -23,10 +23,27 @@ object Similarity {
   val numQueries = 8 // query set: vec_id < 8
   val topK = 10
   val lshPlanes = 8
-  val ivfCentroids = 16 // vec_id < 16 seeds the training
+  val ivfCentroids = 16 // default cell count; vec_id < k seeds training
   val ivfProbes = 6
   val ivfLloydRounds = 2
   val cosinePairThreshold = 0.4
+
+  /** Cell count for the trained k-means family (IVF ANN + SemDeDup):
+    * the OPERATIONAL scale knob. At 100 TB, k grows with the corpus so
+    * cells stay ~constant-sized and the within-cell quadratic term
+    * stays per-cell-constant × corpus - a deployment pins
+    * `graft.similarity.cells` per corpus size (same contract as
+    * `graft.shuffle.shards`, CorpusOps.scala:34) instead of editing a
+    * constant. The DuckDB oracle replays training at the DEFAULT, so
+    * the oracle-gated queries run with the conf unset.
+    */
+  def cellsOf(spark: SparkSession): Int =
+    spark.conf.getOption("graft.similarity.cells").map { v =>
+      val n = v.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"graft.similarity.cells must be a positive int, got '$v'"))
+      require(n >= 1, s"graft.similarity.cells must be >= 1, got $n")
+      n
+    }.getOrElse(ivfCentroids)
 
   // ---- pinned-order cosine, both dialects ---------------------------
 
@@ -331,13 +348,36 @@ object Similarity {
   private val centCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), Seq[Seq[Double]]]()
 
+  /** Normalized memo key: equivalent spellings of the same corpus dir
+    * (trailing slash, relative vs absolute) must hit one entry, not
+    * train twice. Pure path normalization - no filesystem access, so
+    * non-local URIs pass through untouched.
+    */
+  private def normDir(dir: String): String =
+    if (dir.contains(":")) dir // URI-schemed: leave as spelled
+    else
+      try java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
+      catch { case _: Throwable => dir }
+
   private[graft] def trainedCentroidsFor(
-      spark: SparkSession, sfDir: String): Seq[Seq[Double]] =
-    centCache.computeIfAbsent((spark, sfDir), { case (s, dir) =>
-      trainedCentroids(
-        Graft.tableParallel(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding")))
+      spark: SparkSession, sfDir: String): Seq[Seq[Double]] = {
+    // sweep entries pinned to stopped sessions (same pattern as
+    // CorpusOps.benchBloomCache): long-lived processes that cycle
+    // sessions without calling releaseAll must not accumulate them
+    val it = centCache.keySet().iterator()
+    while (it.hasNext) {
+      if (it.next()._1.sparkContext.isStopped) it.remove()
+    }
+    // k is part of the memo key: a session that re-tunes the cell conf
+    // must re-train, not read a matrix of the wrong size
+    val k = cellsOf(spark)
+    centCache.computeIfAbsent((spark, s"${normDir(sfDir)}#k=$k"), {
+      case (s, _) =>
+        trainedCentroids(
+          Graft.tableParallel(s, sfDir, "embeddings")
+            .select(col("vec_id"), col("embedding")), k = k)
     })
+  }
 
   def releaseAll(spark: SparkSession): Unit = {
     import scala.jdk.CollectionConverters._

@@ -254,4 +254,26 @@ class DedupSimSpec extends SparkSpec {
         s"dominance-dropped $v must be a non-canonical cluster member")
     }
   }
+
+  test("graft.similarity.cells: the conf knob reaches centroid training " +
+       "and retuning never reads a stale matrix") {
+    Similarity.releaseAll(spark)
+    try {
+      assert(Similarity.trainedCentroidsFor(spark, sfDir).size ==
+        Similarity.ivfCentroids) // conf unset -> the oracle default
+      spark.conf.set("graft.similarity.cells", "4")
+      assert(Similarity.trainedCentroidsFor(spark, sfDir).size == 4)
+      // back to default: the k=4 memo entry must not shadow it
+      spark.conf.unset("graft.similarity.cells")
+      assert(Similarity.trainedCentroidsFor(spark, sfDir).size ==
+        Similarity.ivfCentroids)
+      spark.conf.set("graft.similarity.cells", "not-a-number")
+      intercept[IllegalArgumentException] {
+        Similarity.trainedCentroidsFor(spark, sfDir)
+      }
+    } finally {
+      spark.conf.unset("graft.similarity.cells")
+      Similarity.releaseAll(spark)
+    }
+  }
 }

@@ -146,4 +146,36 @@ class LayoutSpec extends SparkSpec {
       .prunedReadStore(spark, store, box)
       .select("event_id").collect().map(_.getLong(0)).toSet == got)
   }
+
+  test("writeZOrdered: negative values clamp to the edge bucket and " +
+       "stay addressable by a box read") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // a negative value used to produce vb < 0 whose low 8
+    // two's-complement bits alias into a VALID shard (value -1 -> vb
+    // -1 -> bits 255): the row landed in a normal shard but no box
+    // read (residual vb >= 0) could ever return it
+    val rows = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, 1704067200000000000L, -1.0),
+        Row(2L, 1704067200000000000L, -1e9),
+        Row(3L, 1704067200000000000L, 0.5),
+        Row(4L, 1704067200000000000L, 1e9)),
+      StructType(Seq(StructField("event_id", LongType),
+        StructField("ts", LongType),
+        StructField("value", DoubleType))))
+    val dir = Files.createTempDirectory("graft_zneg").toString
+    Layout.writeZOrdered(rows, dir)
+    val full = spark.read.parquet(dir)
+    // negatives share bucket 0 with genuine lows; highs clamp to 255;
+    // nothing lands in the reserved null shard and nothing is lost
+    val vbs = full.select("event_id", "vb").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(vbs == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 255L))
+    assert(full.filter(col("shard").cast("long") === -1L).count() == 0)
+    // the full-domain box reaches every row - the regression this pins
+    val got = Layout.prunedRead(spark, dir, Layout.ZBox())
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L, 4L))
+  }
 }
