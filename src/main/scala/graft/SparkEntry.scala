@@ -126,6 +126,7 @@ object SparkEntry {
     "q_profile" -> Tpch.qProfile _,
     "q_asof_join" -> AsofJoin.qAsof _,
     "q_resample" -> TimeSeries.qResample _,
+    "q_resample_interp" -> TimeSeries.qResampleInterp _,
     "q_corr" -> Tpch.qCorr _,
     "q_range_join" -> RangeJoin.apply _,
     "q_hll_distinct" -> Sketches.qHllDistinct _,
@@ -279,6 +280,7 @@ object SparkEntry {
     "q_profile" -> Tpch.qProfileSql,
     "q_asof_join" -> AsofJoin.qAsofSql,
     "q_resample" -> TimeSeries.qResampleSql,
+    "q_resample_interp" -> TimeSeries.qResampleInterpSql,
     "q_corr" -> Tpch.qCorrSql,
     "q_range_join" -> RangeJoin.sql,
     "q_hll_distinct" -> Sketches.qHllDistinctSql,

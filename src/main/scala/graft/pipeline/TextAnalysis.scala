@@ -344,6 +344,17 @@ object TextAnalysis {
     */
   val bpeRounds: Int = 8
 
+  /** Support floor for the early stop: once the BEST pair's count
+    * drops below this, every remaining round would merge noise (and a
+    * merge can only create pairs at most as frequent as the ones it
+    * consumed - the max is non-increasing, asserted in spec - so the
+    * first sub-floor round proves all later rounds sub-floor too).
+    * Stopping saves whole corpus-scan rounds at scale; the oracle
+    * applies the SAME rule in SQL, so both engines learn identical
+    * tables.
+    */
+  val bpeSupportFloor: Long = 2L
+
   /** BPE pair-merge vocabulary INDUCTION - learns the merge table that
     * `txt_phrase_merge` applies (Sennrich et al., "Neural Machine
     * Translation of Rare Words with Subword Units", ACL 2016, at the
@@ -381,7 +392,9 @@ object TextAnalysis {
       .persist()
     var learned = Vector.empty[(Long, String, String, Long)]
     try {
-      for (r <- 1 to rounds) {
+      var r = 1
+      var stopped = false
+      while (r <= rounds && !stopped) {
         // lit()-based replace chain: learned tokens never pass through
         // SQL text, so quotes/backslashes in corpus tokens are inert
         val mergedCol = learned.foldLeft(col("wrapped")) {
@@ -400,10 +413,15 @@ object TextAnalysis {
           .agg(count(lit(1)).as("pair_count"))
           .orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)
           .limit(1).collect()
-        top.foreach { row =>
-          learned = learned :+
-            ((r.toLong, row.getString(0), row.getString(1), row.getLong(2)))
+        // early stop: an empty or sub-floor argmax ends the induction -
+        // no further round can beat the floor (max is non-increasing)
+        top.headOption match {
+          case Some(row) if row.getLong(2) >= bpeSupportFloor =>
+            learned = learned :+
+              ((r.toLong, row.getString(0), row.getString(1), row.getLong(2)))
+          case _ => stopped = true
         }
+        r += 1
       }
     } finally base.unpersist()
     import spark.implicits._
@@ -438,7 +456,12 @@ object TextAnalysis {
         |    FROM k$r WHERE len(toks) >= 2
         |  ) GROUP BY 1, 2
         |), t$r AS (
+        |  -- support floor = the early stop: a sub-floor argmax yields
+        |  -- an EMPTY t, and the next round's CROSS JOIN t empties the
+        |  -- corpus, so every later round is empty too - the SQL form
+        |  -- of "stop once the best pair drops below the floor"
         |  SELECT lhs, rhs, pair_count FROM p$r
+        |  WHERE pair_count >= $bpeSupportFloor
         |  ORDER BY pair_count DESC, lhs, rhs LIMIT 1
         |)""".stripMargin
       if (r < bpeRounds) sb ++= s"""

@@ -37,4 +37,35 @@ class TimeSeriesSpec extends SparkSpec {
     assert(rows((1L, 3L)) == ((1L, 12L, false)))
     assert(rows((2L, 7L)) == ((1L, 20L, false)))
   }
+
+  test("resample interp: gap values interpolate linearly between the " +
+       "surrounding observations, exactly") {
+    val s = spark; import s.implicits._
+    val bUs = TimeSeries.resampleBucketUs
+    // user 1: observed 2.0 in bucket 0 (the LATER event 11 wins the
+    // bucket anchor) and 8.0 in bucket 3 -> gaps at 1, 2 interpolate
+    // to 4.0 and 6.0; user 2: single bucket, no gaps
+    val ev = Seq(
+      (10L, 0L * bUs * 1000L, 1L, 7.5),
+      (11L, (0L * bUs + 5L) * 1000L, 1L, 2.0),
+      (12L, 3L * bUs * 1000L, 1L, 8.0),
+      (20L, 7L * bUs * 1000L, 2L, 5.25))
+      .toDF("event_id", "ts", "user_id", "value")
+      .withColumn("event_type", lit("click"))
+      .withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_rsi").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = TimeSeries.qResampleInterp(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(rows.keySet == Set((1L, 0L), (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 7L)))
+    assert(rows((1L, 0L)) == ((2L, 2.0, false)),
+      "bucket anchor must be the LAST observation (max event_id)")
+    assert(rows((1L, 1L)) == ((0L, 4.0, true)),
+      "gap at 1/3 of the span must be prev + (next-prev)/3, exactly")
+    assert(rows((1L, 2L)) == ((0L, 6.0, true)))
+    assert(rows((1L, 3L)) == ((1L, 8.0, false)))
+    assert(rows((2L, 7L)) == ((1L, 5.25, false)))
+  }
 }

@@ -129,6 +129,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(counts.sliding(2).forall(w => w(0) >= w(1)))
   }
 
+  test("bpe learn: early stop at the support floor - a low-support " +
+       "tail ends the induction instead of merging noise") {
+    val s = spark; import s.implicits._
+    // round 1 has real support (the repeated bigram); every remaining
+    // adjacent pair occurs exactly once, i.e. below the floor of 2 -
+    // the induction must emit ONE round and stop, not pay 8 corpus
+    // scans to learn seven noise merges
+    val docs = (
+      (1L to 5L).map(i => (i, "hot pair")) ++ // merged doc = 1 token:
+        // no self-pair can chain a second supported round
+        (6L to 13L).map(i => (i, s"solo${i}a solo${i}b"))
+      ).toDF("doc_id", "text")
+    val learned = TextAnalysis.bpeLearnFrom(docs, rounds = 8).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(learned.length == 1, s"expected the floor to stop round 2+, " +
+      s"got ${learned.mkString(", ")}")
+    assert(learned(0)._2 == "hot" && learned(0)._3 == "pair")
+    assert(learned(0)._4 >= TextAnalysis.bpeSupportFloor)
+  }
+
   test("bigram NLL separates word salad the unigram gate cannot see") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft_bg").toString
