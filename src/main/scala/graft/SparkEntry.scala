@@ -182,6 +182,7 @@ object SparkEntry {
     "ann_topk_quant" -> Similarity.annTopKQuant _,
     "ann_lsh_bucketed" -> Similarity.annLshBucketed _,
     "ann_ivf" -> Similarity.annIvf _,
+    "ann_ivf_kpp" -> Similarity.annIvfKpp _,
     "ann_ivf_quant" -> Similarity.annIvfQuant _,
     // ---- text analysis ----
     "txt_stats" -> TextAnalysis.stats _,
@@ -341,6 +342,7 @@ object SparkEntry {
     "ann_topk_quant" -> Similarity.annTopKQuantSql,
     "ann_lsh_bucketed" -> Similarity.annLshBucketedSql,
     "ann_ivf" -> Similarity.annIvfSql,
+    "ann_ivf_kpp" -> Similarity.annIvfKppSql,
     "txt_stats" -> TextAnalysis.statsSql,
     "txt_langid" -> TextAnalysis.langidSql,
     "txt_tokens" -> TextAnalysis.tokensSql,

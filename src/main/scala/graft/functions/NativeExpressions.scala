@@ -849,6 +849,32 @@ object IvfMath {
     }
     bestC.toLong
   }
+
+  /** Best (maximum) pinned-order cosine of `vec` against the matrix -
+    * the k-means|| cost scan's kernel. Same per-centroid math as
+    * `nearest` (so the value agrees bit-for-bit with what the oracle's
+    * MAX over the same cosines computes), returning the similarity
+    * instead of the argmax index.
+    */
+  def maxSim(vec: ArrayData, cents: Array[Array[Double]]): Double = {
+    val n = vec.numElements()
+    var best = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val ce = cents(c)
+      val m = math.min(n, ce.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < m) {
+        val xv = vec.getFloat(i).toDouble
+        val yv = ce(i)
+        dot += xv * yv; na += xv * xv; nb += yv * yv; i += 1
+      }
+      val csim = dot / (math.sqrt(na) * math.sqrt(nb))
+      if (csim > best) best = csim
+      c += 1
+    }
+    best
+  }
 }
 
 /** graft_nearest_centroid(vec): argmax-cosine centroid id against a
@@ -879,6 +905,40 @@ case class NearestCentroid(child: Expression, cents: Seq[Seq[Double]])
     val ref = ctx.addReferenceObj("cents", centsArr, "double[][]")
     defineCodeGen(ctx, ev,
       c => s"graft.functions.IvfMath.nearest($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** graft_max_centroid_sim(vec): best cosine against a plan-time
+  * centroid matrix - the per-point COST term of the k-means||
+  * oversampling init (distance to the current candidate set). Built
+  * via the Column API like `NearestCentroid`; codegen'd, zero shuffle.
+  */
+case class MaxCentroidSim(child: Expression, cents: Seq[Seq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  @transient private lazy val centsArr: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_max_centroid_sim expects array<float>, got ${other.catalogString}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_max_centroid_sim"
+
+  override def nullSafeEval(v: Any): Any =
+    IvfMath.maxSim(v.asInstanceOf[ArrayData], centsArr)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", centsArr, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.IvfMath.maxSim($c, $ref)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -359,8 +359,36 @@ object Similarity {
       try java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
       catch { case _: Throwable => dir }
 
+  /** Seed strategy for the Lloyd rounds. `Prefix` (the default and
+    * what the oracle-gated family replays): the first k vectors by
+    * vec_id - measured recall@10 0.95 at 6/16 probes on the fixture.
+    * `KppInit`: deterministic k-means|| oversampling (`kppSeeds`) -
+    * the scalable init for adversarial distributions, selectable via
+    * `graft.similarity.init=kmeanspar` and oracle-covered by its own
+    * query (`ann_ivf_kpp`). Measured head-to-head on the synthetic
+    * label-clustered fixture, kpp does NOT beat the prefix pick at
+    * equal probes (0.79 vs 0.95 at the same 0.36 probed-mass), so it
+    * stays opt-in rather than default - the numbers live in PLANS.md.
+    */
+  sealed trait SeedInit
+  case object PrefixInit extends SeedInit
+  case object KppInit extends SeedInit
+
+  private def initOf(spark: SparkSession): SeedInit =
+    spark.conf.getOption("graft.similarity.init") match {
+      case None | Some("prefix") => PrefixInit
+      case Some("kmeanspar") => KppInit
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft.similarity.init must be 'prefix' or 'kmeanspar', got '$other'")
+    }
+
   private[graft] def trainedCentroidsFor(
-      spark: SparkSession, sfDir: String): Seq[Seq[Double]] = {
+      spark: SparkSession, sfDir: String): Seq[Seq[Double]] =
+    trainedCentroidsFor(spark, sfDir, initOf(spark))
+
+  private[graft] def trainedCentroidsFor(
+      spark: SparkSession, sfDir: String,
+      init: SeedInit): Seq[Seq[Double]] = {
     // sweep entries pinned to stopped sessions (same pattern as
     // CorpusOps.benchBloomCache): long-lived processes that cycle
     // sessions without calling releaseAll must not accumulate them
@@ -368,14 +396,14 @@ object Similarity {
     while (it.hasNext) {
       if (it.next()._1.sparkContext.isStopped) it.remove()
     }
-    // k is part of the memo key: a session that re-tunes the cell conf
-    // must re-train, not read a matrix of the wrong size
+    // k and the init are part of the memo key: a session that re-tunes
+    // either must re-train, not read a stale matrix
     val k = cellsOf(spark)
-    centCache.computeIfAbsent((spark, s"${normDir(sfDir)}#k=$k"), {
+    centCache.computeIfAbsent((spark, s"${normDir(sfDir)}#k=$k#i=$init"), {
       case (s, _) =>
         trainedCentroids(
           Graft.tableParallel(s, sfDir, "embeddings")
-            .select(col("vec_id"), col("embedding")), k = k)
+            .select(col("vec_id"), col("embedding")), k = k, init = init)
     })
   }
 
@@ -385,12 +413,132 @@ object Similarity {
       .foreach(centCache.remove)
   }
 
+  /** k-means|| oversampling rounds ahead of Lloyd (Bahmani et al.,
+    * "Scalable K-Means++", VLDB 2012) and the per-round oversampling
+    * factor l = 2k. Two rounds of cost-proportional sampling replace
+    * k-means++'s k SEQUENTIAL corpus passes with a constant number -
+    * the whole point of || at 100 TB - at a cost of ~2l extra
+    * candidate columns in the scans.
+    */
+  val kppRounds = 2
+
+  private[graft] def kppOversample(k: Int): Long = 2L * k
+
+  /** Deterministic k-means|| seeds, bit-reproducible by the oracle's
+    * CTE replay (`kppSeedCtes`):
+    *
+    *  1. start from the single vector vec_id = 0;
+    *  2. per round t, each point's cost is (1 - maxsim)² against the
+    *     current candidate set, quantized to exact BIGINT nano-units;
+    *     a point joins the candidates iff
+    *     hash48("kpp:t:" + vec_id) % 2^20  <  l · cost / Σcost,
+    *     cross-multiplied into an ALL-INTEGER predicate (DECIMAL(38)
+    *     here ≙ HUGEINT there) - no float division anywhere, so both
+    *     engines select the identical set;
+    *  3. the first k vec_ids are unioned in (guaranteeing ≥ k
+    *     candidates even on degenerate corpora);
+    *  4. every point votes for its nearest candidate (the same argmax
+    *     kernel as assignment, ties → smallest vec_id), giving each
+    *     candidate a weight;
+    *  5. the k seeds come from a deterministic weighted k-means++-style
+    *     greedy over the (small) candidate set: start from the
+    *     heaviest candidate, then repeatedly take the candidate
+    *     maximizing weight · (1 - maxsim-to-chosen)² (ties → smaller
+    *     vec_id) - the k-means++ D²-sampling objective with argmax in
+    *     place of randomness, which keeps the seeds SEPARATED (a plain
+    *     weight top-k concentrates in dense regions and measurably
+    *     drops recall). Seed order = selection order = cid.
+    *
+    * Scale shape: each round is one narrow codegen'd cost scan (the
+    * candidate matrix rides as a plan-time literal) plus two bounded
+    * collects (a BIGINT total and ~l sampled ids); the weights pass is
+    * one more narrow scan + a candidate-sized aggregation. Nothing
+    * corpus-sized ever reaches the driver.
+    */
+  private[graft] def kppSeeds(e: DataFrame, k: Int): Seq[Seq[Double]] = {
+    def vecsOf(ids: Seq[Long]): Map[Long, Seq[Double]] =
+      if (ids.isEmpty) Map.empty
+      else e.filter(col("vec_id").isin(ids: _*)).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq.map(_.toDouble))
+        .toMap
+    val l = kppOversample(k)
+    var candIds = Vector(0L)
+    var candVecs = vecsOf(candIds)
+    for (t <- 1 to kppRounds) {
+      val mat = candIds.map(candVecs)
+      val ms = org.apache.spark.sql.GraftBridge.column(
+        graft.functions.MaxCentroidSim(
+          org.apache.spark.sql.GraftBridge.expression(col("embedding")), mat))
+      val d2 = e.select(col("vec_id"), ms.as("ms"))
+        .withColumn("d2", expr(
+          "CAST(floor((1.0D - ms) * (1.0D - ms) * 1000000000.0D + 0.5D) AS BIGINT)"))
+        .persist() // two actions below; one corpus scan, not two
+      try {
+        val phi = Option(d2.agg(sum(col("d2"))).collect()(0).get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        if (phi > 0L) {
+          val hash = HashParity.hex48Spark(
+            s"md5(CAST(concat('kpp:$t:', CAST(vec_id AS STRING)) AS BINARY))")
+          val sel = d2.filter(expr(
+            s"CAST(($hash) % 1048576 AS DECIMAL(38,0)) " +
+              s"* CAST(${phi}L AS DECIMAL(38,0)) " +
+              s"< CAST(${l * 1048576L}L AS DECIMAL(38,0)) " +
+              s"* CAST(d2 AS DECIMAL(38,0))"))
+            .select(col("vec_id")).collect().map(_.getLong(0))
+          val newIds = sel.filterNot(candIds.contains).sorted.toVector
+          candIds = candIds ++ newIds
+          candVecs = candVecs ++ vecsOf(newIds)
+        }
+      } finally d2.unpersist()
+    }
+    // ascending id order so NearestCentroid's smallest-INDEX tie-break
+    // is exactly the oracle's smallest-vec_id tie-break
+    val all = (candIds ++ (0L until k.toLong)).distinct.sorted
+    val vecs = candVecs ++ vecsOf(all.filterNot(candVecs.keySet))
+    val mat = all.map(vecs)
+    val nearest = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.NearestCentroid(
+        org.apache.spark.sql.GraftBridge.expression(col("embedding")), mat))
+    val w = e.select(nearest.as("ci")).groupBy(col("ci"))
+      .agg(count(lit(1)).as("wt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cands = all.zipWithIndex
+      .map { case (id, i) => (id, vecs(id), w.getOrElse(i.toLong, 0L)) }
+    // weighted greedy: same pinned-order cosine as the scan kernels,
+    // driver-side over the candidate-sized set only
+    def cosD(a: Seq[Double], b: Seq[Double]): Double = {
+      val m = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < m) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val first = cands.minBy { case (id, _, wt) => (-wt, id) }
+    var chosen = Vector(first)
+    var rest = cands.filterNot(_._1 == first._1)
+    while (chosen.size < k && rest.nonEmpty) {
+      val next = rest.minBy { case (id, v, wt) =>
+        val ms = chosen.map(ch => cosD(v, ch._2)).max
+        (-(wt.toDouble * ((1.0 - ms) * (1.0 - ms))), id)
+      }
+      chosen = chosen :+ next
+      rest = rest.filterNot(_._1 == next._1)
+    }
+    chosen.map(_._2)
+  }
+
   private[graft] def trainedCentroids(
       e: DataFrame, rounds: Int = ivfLloydRounds,
-      k: Int = ivfCentroids): Seq[Seq[Double]] = {
-    val seed: Seq[Seq[Double]] = e.filter(col("vec_id") < k)
-      .orderBy(col("vec_id")).collect()
-      .toSeq.map(_.getSeq[Float](1).toSeq.map(_.toDouble))
+      k: Int = ivfCentroids,
+      init: SeedInit = PrefixInit): Seq[Seq[Double]] = {
+    val seed: Seq[Seq[Double]] = init match {
+      case PrefixInit =>
+        e.filter(col("vec_id") < k)
+          .orderBy(col("vec_id")).collect()
+          .toSeq.map(_.getSeq[Float](1).toSeq.map(_.toDouble))
+      case KppInit => kppSeeds(e, k)
+    }
     (1 to rounds).foldLeft(seed) { case (cents, _) =>
       val nearest = org.apache.spark.sql.GraftBridge.column(
         graft.functions.NearestCentroid(
@@ -449,9 +597,20 @@ object Similarity {
     e.select(col("vec_id"), col("embedding"), nearest.as("cid"))
   }
 
-  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame =
+    annIvfWith(spark, sfDir, trainedCentroidsFor(spark, sfDir))
+
+  /** `ann_ivf` with the k-means|| init pinned on (regardless of the
+    * session conf): the oracle face of the opt-in scalable init - its
+    * SQL twin replays the full oversampling + greedy + Lloyd chain, so
+    * the init stays bit-verified even while non-default.
+    */
+  def annIvfKpp(spark: SparkSession, sfDir: String): DataFrame =
+    annIvfWith(spark, sfDir, trainedCentroidsFor(spark, sfDir, KppInit))
+
+  private def annIvfWith(spark: SparkSession, sfDir: String,
+                         centVecs: Seq[Seq[Double]]): DataFrame = {
     val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
-    val centVecs = trainedCentroidsFor(spark, sfDir)
     val assign = ivfAssignWith(e, centVecs)
     val cents = centsDF(spark, centVecs)
     val q = e.filter(col("vec_id") < numQueries)
@@ -541,7 +700,7 @@ object Similarity {
   val annIvfQuantSql: String = {
     def qdot(a: String, b: String): String =
       s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-    s"""WITH e AS (
+    s"""WITH e AS MATERIALIZED (
        |  SELECT vec_id, embedding FROM embeddings
        |), $lloydCentsCtes, qe AS (
        |  SELECT vec_id,
@@ -595,13 +754,117 @@ object Similarity {
     * `cents(cid, c_emb)` relation so the downstream query text is
     * unchanged from the untrained form.
     */
-  private def lloydCentsCtes: String = {
+  /** DuckDB replay of the k-means|| init, ending in the same
+    * `c0(cid, c_emb)` shape the Lloyd chain consumes: per round a
+    * max-cosine cost scan (MAX over the identical pinned-order
+    * cosines the Spark kernel computes - max of equal sets is equal),
+    * exact nano-unit costs, and the all-integer HUGEINT selection
+    * predicate (≙ DECIMAL(38) on the Spark side); then the first-k
+    * union, the nearest-candidate weights vote, and the weight-ranked
+    * top-k as seeds.
+    */
+  private def kppSeedCtes: String = {
+    val k = ivfCentroids
+    val l = kppOversample(k)
     val sb = new StringBuilder
-    sb ++= s"""c0 AS (
+    sb ++= "kc0 AS (\n  SELECT vec_id FROM e WHERE vec_id = 0\n)"
+    for (t <- 1 to kppRounds) {
+      val hash = HashParity.hex48Duck(
+        s"md5('kpp:$t:' || CAST(d.vec_id AS VARCHAR))")
+      sb ++= s"""
+        |, km$t AS (
+        |  SELECT x.vec_id,
+        |    max(${cosDuck("x.embedding", "ce.embedding")}) AS ms
+        |  FROM e x CROSS JOIN kc${t - 1} c JOIN e ce ON ce.vec_id = c.vec_id
+        |  GROUP BY x.vec_id
+        |), kd$t AS (
+        |  SELECT vec_id,
+        |    CAST(floor((1.0 - ms) * (1.0 - ms) * 1000000000.0 + 0.5)
+        |         AS BIGINT) AS d2
+        |  FROM km$t
+        |), kf$t AS (
+        |  SELECT SUM(d2) AS phi FROM kd$t
+        |), ks$t AS (
+        |  SELECT d.vec_id FROM kd$t d, kf$t f
+        |  WHERE f.phi > 0
+        |    AND CAST(($hash) % 1048576 AS HUGEINT)
+        |          * CAST(f.phi AS HUGEINT)
+        |      < CAST(${l * 1048576L} AS HUGEINT) * CAST(d.d2 AS HUGEINT)
+        |), kc$t AS (
+        |  -- set union via nested UNION ALL + DISTINCT: a TOP-LEVEL
+        |  -- UNION in a WITH RECURSIVE block (dd_semantic_clusters)
+        |  -- makes DuckDB treat the CTE as a recursive union and skip
+        |  -- cross-branch dedup, silently duplicating candidates
+        |  SELECT DISTINCT vec_id FROM (
+        |    SELECT vec_id FROM kc${t - 1}
+        |    UNION ALL SELECT vec_id FROM ks$t
+        |  ) u
+        |)""".stripMargin
+    }
+    sb ++= s"""
+      |, kcf AS (
+      |  SELECT DISTINCT vec_id FROM (
+      |    SELECT vec_id FROM kc$kppRounds
+      |    UNION ALL SELECT vec_id FROM e WHERE vec_id < $k
+      |  ) u
+      |), kaw AS (
+      |  SELECT cand, count(*) AS wt FROM (
+      |    SELECT x.vec_id, c.vec_id AS cand,
+      |      row_number() OVER (PARTITION BY x.vec_id
+      |        ORDER BY ${cosDuck("x.embedding", "ce.embedding")} DESC,
+      |                 c.vec_id) AS rk
+      |    FROM e x CROSS JOIN kcf c JOIN e ce ON ce.vec_id = c.vec_id
+      |  ) WHERE rk = 1 GROUP BY cand
+      |), kcw AS MATERIALIZED (
+      |  SELECT c.vec_id AS cand, COALESCE(a.wt, 0) AS wt
+      |  FROM kcf c LEFT JOIN kaw a ON a.cand = c.vec_id
+      |), g0 AS MATERIALIZED (
+      |  SELECT cand AS vec_id, 0 AS cid FROM (
+      |    SELECT cand FROM kcw ORDER BY wt DESC, cand LIMIT 1
+      |  ) t0
+      |)""".stripMargin
+    for (i <- 1 until k) {
+      sb ++= s"""
+        |, g$i AS MATERIALIZED (
+        |  SELECT vec_id, cid FROM g${i - 1}
+        |  UNION ALL
+        |  SELECT cand AS vec_id, $i AS cid FROM (
+        |    SELECT w.cand, w.wt,
+        |      max(${cosDuck("ec.embedding", "eg.embedding")}) AS ms
+        |    FROM kcw w
+        |    JOIN e ec ON ec.vec_id = w.cand
+        |    CROSS JOIN g${i - 1} g
+        |    JOIN e eg ON eg.vec_id = g.vec_id
+        |    WHERE w.cand NOT IN (SELECT vec_id FROM g${i - 1})
+        |    GROUP BY w.cand, w.wt
+        |    ORDER BY w.wt * ((1.0 - ms) * (1.0 - ms)) DESC, w.cand
+        |    LIMIT 1
+        |  ) t$i
+        |)""".stripMargin
+    }
+    sb ++= s"""
+      |, c0 AS (
+      |  SELECT CAST(g.cid AS BIGINT) AS cid,
+      |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS c_emb
+      |  FROM g${k - 1} g JOIN e ON e.vec_id = g.vec_id
+      |)""".stripMargin
+    sb.toString
+  }
+
+  private def lloydCentsCtes: String = lloydCentsCtes(
+    s"""c0 AS (
        |  SELECT vec_id AS cid,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb
        |  FROM e WHERE vec_id < $ivfCentroids
-       |)""".stripMargin
+       |)""".stripMargin)
+
+  /** The Lloyd-round CTE chain over an arbitrary `c0` seed CTE - the
+    * oracle-gated default seeds with the vec_id prefix; `ann_ivf_kpp`
+    * seeds with the k-means|| replay (`kppSeedCtes`).
+    */
+  private def lloydCentsCtes(seedCte: String): String = {
+    val sb = new StringBuilder
+    sb ++= seedCte
     for (r <- 1 to ivfLloydRounds) {
       sb ++= s"""
          |, a$r AS (
@@ -634,10 +897,14 @@ object Similarity {
     sb.toString
   }
 
-  val annIvfSql: String =
-    s"""WITH e AS (
+  val annIvfSql: String = annIvfSqlWith(lloydCentsCtes)
+
+  val annIvfKppSql: String = annIvfSqlWith(lloydCentsCtes(kppSeedCtes))
+
+  private def annIvfSqlWith(centsCtes: String): String =
+    s"""WITH e AS MATERIALIZED (
        |  SELECT vec_id, embedding FROM embeddings
-       |), $lloydCentsCtes, assign AS (
+       |), $centsCtes, assign AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT e.vec_id, c.cid,
        |      row_number() OVER (PARTITION BY e.vec_id
@@ -734,7 +1001,7 @@ object Similarity {
   }
 
   val ddSemanticClustersSql: String =
-    s"""WITH RECURSIVE e AS (
+    s"""WITH RECURSIVE e AS MATERIALIZED (
        |  SELECT vec_id, embedding FROM embeddings
        |), $lloydCentsCtes, assign AS (
        |  SELECT vec_id, cid FROM (
@@ -768,7 +1035,7 @@ object Similarity {
        |ORDER BY vec_id""".stripMargin
 
   val ddSemanticSql: String =
-    s"""WITH e AS (
+    s"""WITH e AS MATERIALIZED (
        |  SELECT vec_id, embedding FROM embeddings
        |), $lloydCentsCtes, assign AS (
        |  SELECT vec_id, cid FROM (

@@ -255,6 +255,45 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("k-means|| init: opt-in via conf, deterministic, and its recall " +
+       "floor holds") {
+    Similarity.releaseAll(spark)
+    try {
+      // the conf knob selects the init; the explicit-init face and the
+      // conf-driven path must train the identical matrix
+      spark.conf.set("graft.similarity.init", "kmeanspar")
+      val viaConf = Similarity.trainedCentroidsFor(spark, sfDir)
+      spark.conf.unset("graft.similarity.init")
+      val viaFace = Similarity.trainedCentroidsFor(spark, sfDir,
+        Similarity.KppInit)
+      assert(viaConf == viaFace, "conf knob must reach the init choice")
+      // and differ from the default prefix-seeded matrix
+      assert(viaFace != Similarity.trainedCentroidsFor(spark, sfDir))
+      spark.conf.set("graft.similarity.init", "nonsense")
+      intercept[IllegalArgumentException] {
+        Similarity.trainedCentroidsFor(spark, sfDir)
+      }
+      spark.conf.unset("graft.similarity.init")
+      // breakage floor for the opt-in face (measured 0.69 on this
+      // fixture vs 0.95 for the default prefix init at equal probes -
+      // the A/B that keeps kpp non-default; see PLANS.md round 7)
+      def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+        df.collect().map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val brute = topk(Similarity.annTopKBrute(spark, sfDir)
+        .select("q_id", "vec_id"))
+      val kppTop = topk(Similarity.annIvfKpp(spark, sfDir)
+        .select("q_id", "vec_id"))
+      val kppR = brute.map { case (q, t) =>
+        kppTop.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / brute.size
+      assert(kppR >= 0.60, f"kpp-IVF recall@10 $kppR%.3f fell below 0.60")
+    } finally {
+      spark.conf.unset("graft.similarity.init")
+      Similarity.releaseAll(spark)
+    }
+  }
+
   test("graft.similarity.cells: the conf knob reaches centroid training " +
        "and retuning never reads a stale matrix") {
     Similarity.releaseAll(spark)
