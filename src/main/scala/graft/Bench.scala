@@ -79,6 +79,17 @@ object Bench {
     "q_kmv_jaccard_prod", "q_kmv_retention_prod",
     "pipe_layout_zorder")
 
+  /** Corpus (documents/embeddings) queries the generator-driven third
+    * anchor covers now that `graft-docs`/`graft-embeddings` exist -
+    * the r6 cap ("no corpus generator") is lifted. The similarity
+    * family runs with `graft.similarity.cells` scaled linearly with
+    * the corpus (cells-stay-constant, the operational knob) so the
+    * measured slope is the 100 TB posture's, not a fixed-k blowup.
+    */
+  val corpusHeadline: Seq[String] = Seq(
+    "dd_minhash_lsh", "dd_semantic", "txt_bigram_nll",
+    "pipe_quality_gate", "ann_ivf_quant", "txt_stats")
+
   private def releaseMemos(spark: SparkSession): Unit = {
     graft.core.Transform.releaseAll(spark)
     graft.core.CountQueries.releaseAll(spark)
@@ -197,20 +208,45 @@ object Bench {
     val pass3 =
       if (sf3Factor <= 0) None
       else try {
-        val rows3 =
-          spark.read.parquet(s"$sfDir/events.parquet").count() * sf3Factor
+        // Setup (generation) is timed and reported SEPARATELY so anchor
+        // cost never reads as query cost. The coalesce(1) single-file
+        // write and java.nio moves assume a local default FS - fine for
+        // this harness, a cluster would write partitioned and skip the
+        // move (documented in PLANS.md).
+        val tSetup = System.nanoTime()
         val dir3 = java.nio.file.Files
           .createTempDirectory("graft_bench_sf3").toString
-        val tmp = s"$dir3/_gen"
-        spark.read.format("graft-events").option("rows", rows3.toString)
-          .load().coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(dir3, "events.parquet"))
-        val sel3 = selected.filter(q => eventHeadline.contains(q._1))
+        def gen(fmt: String, table: String, rows: Long): Unit = {
+          val tmp = s"$dir3/_gen"
+          spark.read.format(fmt).option("rows", rows.toString)
+            .load().coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(dir3, s"$table.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        def scaled(table: String): Long =
+          spark.read.parquet(s"$sfDir/$table.parquet").count() * sf3Factor
+        val rows3 = scaled("events")
+        val rowsD = scaled("documents")
+        val rowsV = scaled("embeddings")
+        gen("graft-events", "events", rows3)
+        gen("graft-docs", "documents", rowsD)
+        gen("graft-embeddings", "embeddings", rowsV)
+        System.err.println(
+          f"[bench] sf3 setup ${(System.nanoTime() - tSetup) / 1e9}%.1fs " +
+            s"(events=$rows3 docs=$rowsD vecs=$rowsV)")
+        val sel3 = selected.filter(q =>
+          eventHeadline.contains(q._1) || corpusHeadline.contains(q._1))
         releaseMemos(spark)
-        val r = Some((rows3, runPass(spark, dir3, sel3)))
+        // cells-stay-constant: k scales with the corpus via the conf
+        // knob, exactly how a deployment would retune it
+        spark.conf.set("graft.similarity.cells",
+          (graft.pipeline.Similarity.ivfCentroids * sf3Factor).toString)
+        val r =
+          try Some((rows3, runPass(spark, dir3, sel3)))
+          finally spark.conf.unset("graft.similarity.cells")
         val p3 = new org.apache.hadoop.fs.Path(dir3)
         p3.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(p3, true)
