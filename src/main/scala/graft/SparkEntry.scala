@@ -81,6 +81,8 @@ object SparkEntry {
       CountQueries.encodeOutput(s, d).orderBy(col("seq"), col("cache"))),
     "ss_pipeline_e2e" -> ((s, d) => pipelineE2e(s, d)),
     "ss_stream_count" -> StreamSum.streamCountState _,
+    "ss_stream_count_sink" -> StreamSum.streamCountSinkState _,
+    "ss_stream_lastn_sink" -> StreamSum.streamLastnSinkState _,
     "ss_stream_lastn" -> ((s, d) => StreamSum.streamLastnState(s, d)),
     "ss_stream_windowed" -> StreamSum.streamWindowedCounts _,
     "ss_stream_assoc" -> StreamSum.streamAssocState _,
@@ -251,6 +253,10 @@ object SparkEntry {
     "ss_encode_output" -> Sql.ssEncodeOutput,
     "ss_pipeline_e2e" -> Sql.ssPipelineE2e,
     "ss_stream_count" -> Sql.ssCacheCount,
+    // the update-mode SnapshotCacheSink publish faces share the batch
+    // cache oracles: published snapshot == the one-shot batch state
+    "ss_stream_count_sink" -> Sql.ssCacheCount,
+    "ss_stream_lastn_sink" -> Sql.ssCacheLastn,
     "ss_stream_lastn" -> Sql.ssCacheLastn,
     "ss_stream_windowed" -> Sql.ssStreamWindowed,
     "ss_stream_assoc" -> Sql.ssCacheAssoc,

@@ -2,6 +2,7 @@ package graft.sinks
 
 import graft.SparkSpec
 import graft.core.{Caches, Transform}
+import org.apache.spark.sql.functions._
 
 /** CacheServer-analog round trips: publish cache state, read it back. */
 class CacheSinkSpec extends SparkSpec {
@@ -85,6 +86,49 @@ class CacheSinkSpec extends SparkSpec {
     val batch = Caches.countState(Transform.transformed(spark, sfDir))
     assert(sink.get(spark, "counts").count() == batch.count())
     assert(sink.currentVersion(spark, "counts").exists(_ >= 1L))
+  }
+
+  test("snapshot sink: update-mode publish folds per-batch deltas into " +
+       "the snapshot incrementally and replays idempotently") {
+    val s = spark; import s.implicits._
+    val watch = java.nio.file.Files
+      .createTempDirectory("graft_upd_watch").toString
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_upd_sink").toString
+    val cp = java.nio.file.Files
+      .createTempDirectory("graft_upd_cp").toString
+    val ev = graft.core.Graft.table(spark, sfDir, "events")
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$watch/_t"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(watch, name))
+    }
+    val sink = new SnapshotCacheSink(root)
+    // batch 1: even events only
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 0), "a1.parquet")
+    graft.streaming.StreamSum.streamCountsToSinkUpdate(
+      spark, watch, sink, "counts", Some(cp), glob = "*.parquet")
+    val v1 = sink.currentVersion(spark, "counts").get
+    // batch 2: the odd events arrive; only CHANGED keys travel, the
+    // snapshot must still equal the one-shot batch state over BOTH
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 1), "a2.parquet")
+    graft.streaming.StreamSum.streamCountsToSinkUpdate(
+      spark, watch, sink, "counts", Some(cp), glob = "*.parquet")
+    assert(sink.currentVersion(spark, "counts").get > v1)
+    def key(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(concat_ws("|", col("cache"), col("s"), col("a"), col("o"),
+        col("cnt"), col("last_t"))).collect().map(_.getString(0)).toSet
+    val full = Caches.countState(Transform(Transform.extractFrom(
+      spark.read.option("pathGlobFilter", "*.parquet").parquet(watch))))
+    assert(key(sink.get(spark, "counts")) == key(full),
+      "incrementally merged snapshot must equal the one-shot state")
+    // replay with nothing new: a no-op catch-up leaves the state equal
+    graft.streaming.StreamSum.streamCountsToSinkUpdate(
+      spark, watch, sink, "counts", Some(cp), glob = "*.parquet")
+    assert(key(sink.get(spark, "counts")) == key(full))
   }
 
   test("snapshot sink: a reader racing publishes never sees a torn " +
