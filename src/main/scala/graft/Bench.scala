@@ -260,9 +260,27 @@ object Bench {
           None
       }
     val total3 = pass3.map(_._2.collect { case (_, t, true) => t }.sum)
+    // executable form of the PLANS.md crossover claim: at the generated
+    // anchor (real key repetition) the sketch-only sliding CMS must not
+    // bench behind its exact-adjunct twin - the fixture's near-unique
+    // pairs are the documented worst case, the anchor is where prod's
+    // pre-distinct pays. 1.15x margin absorbs single-pass jitter.
+    val sf3Check = pass3.flatMap { case (_, r3) =>
+      for {
+        a <- r3.collectFirst { case ("q_cms_sliding", t, true) => t }
+        p <- r3.collectFirst { case ("q_cms_sliding_prod", t, true) => t }
+      } yield {
+        val ok = p <= a * 1.15
+        if (!ok) System.err.println(
+          f"[bench] CHECK FAILED: q_cms_sliding_prod ($p%.2fs) > " +
+            f"adjunct ($a%.2fs) x1.15 at the generated anchor - the " +
+            "prod-is-cheaper crossover regressed")
+        s""","sf3_prod_le_adjunct":$ok"""
+      }
+    }.getOrElse("")
     val thirdSf = pass3 match {
       case Some((rows3, r3)) =>
-        s""","sf3_rows":$rows3,"queries_sf3":${fmtPass(r3)}"""
+        s""","sf3_rows":$rows3,"queries_sf3":${fmtPass(r3)}$sf3Check"""
       case None => ""
     }
     val fullJson =

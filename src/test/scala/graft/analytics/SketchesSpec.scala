@@ -342,4 +342,31 @@ class SketchesSpec extends SparkSpec {
           col("kmv_jaccard"), col("kmv_union_est"))
         .orderBy(col("b_prev"))))
   }
+
+  test("cms sliding prod: the pre-distinct cuts the window fan volume " +
+       "on a corpus with real key repetition") {
+    // the crossover claim (PLANS.md r6): prod beats the exact-adjunct
+    // twin exactly when events / distinct(bucket, user) >> 1 - the
+    // fixture's near-unique pairs (ratio 1.05) are the documented
+    // worst case, the generated corpus has the production ratio. This
+    // pins the VOLUME mechanism deterministically (the bench pins the
+    // wall-clock inequality at the generated anchor, sf3 check).
+    val ev = spark.read.format("graft-events")
+      .option("rows", "20000").option("users", "50").load()
+      .select(expr(s"(ts DIV 1000L) DIV ${Sketches.slideBucketUs}L").as("b"),
+        col("user_id"))
+    val raw = ev.count()
+    val distinctPairs = ev.distinct().count()
+    assert(raw.toDouble / distinctPairs > 5.0,
+      s"generated corpus must repeat keys: $raw raw / $distinctPairs distinct")
+    // fan volume = rows entering the per-window candidate join
+    val wins = ev.select(col("b").as("wb")).distinct()
+    def fan(rel: org.apache.spark.sql.DataFrame): Long =
+      rel.join(wins, col("b").between(col("wb") - Sketches.slideSpan,
+        col("wb"))).count()
+    val adjunctFan = fan(ev)
+    val prodFan = fan(ev.distinct())
+    assert(prodFan.toDouble / adjunctFan < 0.25,
+      s"pre-distinct must cut the fan: prod=$prodFan adjunct=$adjunctFan")
+  }
 }
