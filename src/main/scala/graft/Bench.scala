@@ -43,7 +43,8 @@ object Bench {
     "q_corr",
     "q_asof_join", "q_range_join", "q_resample",
     // training-data pipeline
-    "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard", "dd_simhash",
+    "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard", "dd_jaccard_prefix",
+    "dd_containment", "dd_simhash",
     "dd_embed_cosine", "dd_semantic",
     "ann_topk_brute", "ann_topk_quant", "ann_lsh_bucketed", "ann_ivf",
     "ann_ivf_quant", "q_hll_distinct", "q_hll_sliding", "q_cms_topk",
@@ -56,7 +57,7 @@ object Bench {
     "q_cms_sliding_prod", "q_cms_join_card_prod", "q_cms_f2_prod",
     "q_kmv_jaccard_prod", "q_kmv_retention_prod",
     "txt_stats", "txt_fingerprint", "txt_repetition", "txt_bpe_learn",
-    "txt_bigram_nll",
+    "txt_bigram_nll", "txt_tfidf",
     "mm_binary_stats", "pipe_corpus_clean",
     "pipe_decontaminate", "pipe_decont_bloom", "pipe_dedup_apply",
     "pipe_quality_gate", "pipe_quality_prune", "dd_dup_spans",
@@ -90,7 +91,7 @@ object Bench {
     * measured slope is the 100 TB posture's, not a fixed-k blowup.
     */
   val corpusHeadline: Seq[String] = Seq(
-    "dd_minhash_lsh", "dd_semantic", "txt_bigram_nll",
+    "dd_minhash_lsh", "dd_jaccard_prefix", "dd_semantic", "txt_bigram_nll",
     "pipe_quality_gate", "ann_ivf_quant", "txt_stats")
 
   private def releaseMemos(spark: SparkSession): Unit = {

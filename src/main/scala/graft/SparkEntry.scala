@@ -160,12 +160,18 @@ object SparkEntry {
     "dd_dup_spans" -> Dedup.dupSpans _,
     "dd_minhash_lsh" -> Dedup.minhashLsh _,
     "dd_ngram_jaccard" -> Dedup.ngramJaccard _,
+    "dd_jaccard_prefix" -> Dedup.jaccardPrefix _,
+    "dd_containment" -> Dedup.containment _,
     "dd_simhash" -> Dedup.simhashPairs _,
     "dd_clusters" -> Dedup.dupClusters _,
     // incremental-store faces: a fresh store catches up with the corpus
     // arriving as two appends, then must answer exactly like the
     // one-shot batch relation (shared oracle)
     "dd_store_candidates" -> graft.pipeline.SignatureStore.gatedCandidates _,
+    "dd_store_jaccard_prefix" ->
+      graft.pipeline.SignatureStore.gatedJaccardPrefix _,
+    "dd_store_containment" ->
+      graft.pipeline.SignatureStore.gatedContainment _,
     "dd_store_spans" -> graft.pipeline.SignatureStore.gatedDupSpans _,
     "lm_store_quality" -> graft.pipeline.SignatureStore.gatedQualityGate _,
     "lm2_store_bigram" -> graft.pipeline.SignatureStore.gatedBigramNll _,
@@ -192,6 +198,7 @@ object SparkEntry {
     "txt_tokens" -> TextAnalysis.tokens _,
     "txt_fingerprint" -> TextAnalysis.fingerprint _,
     "txt_unigram_nll" -> TextAnalysis.unigramNll _,
+    "txt_tfidf" -> TextAnalysis.tfidf _,
     "txt_bigram_nll" -> TextAnalysis.bigramNll _,
     "txt_repetition" -> TextAnalysis.repetition _,
     // ---- multimodal plumbing ----
@@ -328,6 +335,8 @@ object SparkEntry {
     // the incremental stores maintain the same candidate relations the
     // batch queries compute, so each shares its batch oracle
     "dd_store_candidates" -> Dedup.minhashLshSql,
+    "dd_store_jaccard_prefix" -> Dedup.jaccardPrefixSql,
+    "dd_store_containment" -> Dedup.containmentSql,
     "dd_store_spans" -> Dedup.dupSpansSql,
     "lm_store_quality" -> graft.pipeline.QualityGate.sql,
     "lm2_store_bigram" -> TextAnalysis.bigramNllSql,
@@ -339,6 +348,8 @@ object SparkEntry {
     "qtile_store" -> Sketches.qQtileSketchSql,
     "ann_store_candidates" -> Similarity.annCandidatesSql,
     "dd_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    "dd_jaccard_prefix" -> Dedup.jaccardPrefixSql,
+    "dd_containment" -> Dedup.containmentSql,
     "dd_simhash" -> Dedup.simhashPairsSql,
     "dd_clusters" -> Dedup.dupClustersSql,
     "dd_embed_cosine" -> Similarity.embedCosinePairsSql,
@@ -354,6 +365,7 @@ object SparkEntry {
     "txt_tokens" -> TextAnalysis.tokensSql,
     "txt_fingerprint" -> TextAnalysis.fingerprintSql,
     "txt_unigram_nll" -> TextAnalysis.unigramNllSql,
+    "txt_tfidf" -> TextAnalysis.tfidfSql,
     "txt_bigram_nll" -> TextAnalysis.bigramNllSql,
     "txt_repetition" -> TextAnalysis.repetitionSql,
     "mm_binary_stats" -> Multimodal.binaryStatsSql,

@@ -455,6 +455,191 @@ object Dedup {
        |WHERE jaccard >= $jaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- dd_jaccard_prefix ---------------------------------------------
+
+  /** Exact threshold-Jaccard self-join by PREFIX FILTERING (the
+    * AllPairs / PPJoin candidate rule: Bayardo et al. WWW'07, Xiao et
+    * al. WWW'08) - the zero-false-negative alternative to MinHash+LSH.
+    * Shingle hashes get a global rare-first total order (document
+    * frequency asc, hash asc); a doc of |s| distinct shingles exposes
+    * only its first p = |s| - ceil(t*|s|) + 1 tokens in that order
+    * (t = 4/5, all-integer: ceil(4s/5) = (4s+4) div 5). Any pair with
+    * Jaccard >= t MUST share a token inside both prefixes, so the
+    * candidate self-join keys on prefix tokens only - by construction
+    * each doc's RAREST shingles, so bucket sizes are bounded by the
+    * df of rare tokens, not by corpus size. Pairs also pass the length
+    * filter 5*min(|a|,|b|) >= 4*max(|a|,|b|) (J >= t forces
+    * min/max >= t) inside the join condition. Survivors rejoin the
+    * shared shingle relation for the exact verify - identical
+    * semantics and rounding to `ngramJaccard`, but EXACT: LSH recalls
+    * whatever its bands catch; this finds every pair >= t.
+    * Scale shape: one map-combined df agg keyed on hash, one
+    * rank window keyed on doc_id (both O(total tokens)), then the
+    * candidate join on rare-token buckets. No all-pairs anywhere.
+    * Reference scope: streamsum has no similarity join at all; this
+    * generalizes its exact-key dedup (caches.clj assoc-cache
+    * last-write-wins identity) to set similarity.
+    */
+  def jaccardPrefix(spark: SparkSession, sfDir: String): DataFrame =
+    jaccardPrefixFrom(shingled(spark, sfDir))
+
+  /** Core of `jaccardPrefix` over any (doc_id, hs) shingle relation -
+    * the incremental store face re-derives prefixes under the EVOLVED
+    * global df at query time (the evolving-LM stores' philosophy:
+    * history is tokenized once, ranked under today's model).
+    */
+  def jaccardPrefixFrom(sh0: DataFrame): DataFrame = {
+    val sh = sh0.select(col("doc_id"), col("hs"))
+    val ex = sh.select(col("doc_id"),
+      size(col("hs")).cast(LongType).as("sz"), explode(col("hs")).as("h"))
+    val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    val prefix = ex.join(dfreq, "h")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+      .filter(col("rk") <= col("sz") - expr("(4 * sz + 4) div 5") + lit(1L))
+      .select(col("doc_id"), col("h"), col("sz"))
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id") &&
+        lit(5L) * least(col("x.sz"), col("y.sz")) >=
+          lit(4L) * greatest(col("x.sz"), col("y.sz")))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.withColumnRenamed("doc_id", "doc_a")
+              .withColumnRenamed("hs", "hs_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("hs", "hs_b"), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast(LongType))
+      .withColumn("jaccard", ParityMath.q6(
+        col("inter").cast("double") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("inter"))
+            .cast("double")))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val jaccardPrefixSql: String =
+    s"""WITH $shingledCteDuck, ex AS (
+       |  SELECT doc_id, CAST(len(hs) AS BIGINT) AS sz, unnest(hs) AS h
+       |  FROM hs
+       |), f AS (
+       |  SELECT h, count(*) AS df FROM ex GROUP BY h
+       |), r AS (
+       |  SELECT e.doc_id, e.h, e.sz,
+       |    row_number() OVER (PARTITION BY e.doc_id ORDER BY f.df, e.h) AS rk
+       |  FROM ex e JOIN f ON f.h = e.h
+       |), p AS (
+       |  SELECT doc_id, h, sz FROM r WHERE rk <= sz - ((4 * sz + 4) // 5) + 1
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM p x JOIN p y ON x.h = y.h AND x.doc_id < y.doc_id
+       |    AND 5 * least(x.sz, y.sz) >= 4 * greatest(x.sz, y.sz)
+       |), j AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    (floor((CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |          / CAST(len(a.hs) + len(b.hs)
+       |                 - len(list_intersect(a.hs, b.hs)) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)
+       |      AS jaccard
+       |  FROM cand c
+       |  JOIN hs a ON a.doc_id = c.doc_a
+       |  JOIN hs b ON b.doc_id = c.doc_b
+       |)
+       |SELECT doc_a, doc_b, jaccard FROM j
+       |WHERE jaccard >= $jaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- dd_containment ------------------------------------------------
+
+  /** Containment threshold (9/10): C(a,b) = |a∩b| / |a|. */
+  val containmentNum = 9
+  val containmentDen = 10
+
+  /** Asymmetric CONTAINMENT detection: doc_a's shingle set is >= 90%
+    * inside doc_b's (C(a,b) = |a∩b|/|a| >= 9/10, a != b) - the
+    * quote / partial-copy / subset-document signal Jaccard misses when
+    * |b| >> |a| (a page embedded in a long crawl dump has tiny Jaccard
+    * but containment ~1). LSH misses these for the same reason: the
+    * minhash signature of b is dominated by its non-a content.
+    * Candidate rule: C(a,b) >= tau forces overlap >= ceil(tau*|a|), so
+    * the PROBE side exposes a's prefix of |a| - ceil(9|a|/10) + 1
+    * rare-first tokens (same global order as `jaccardPrefix`), while
+    * the INDEX side keys every token of b (asymmetric joins get no
+    * index-side prefix). Length filter 10*|b| >= 9*|a| (overlap <= |b|)
+    * rides the join condition. Scale shape: the index side is the same
+    * O(total tokens) exploded relation the df agg already scans, keyed
+    * on the shingle hash; probe buckets are each doc's rarest tokens,
+    * so the join's per-key match fan is df(rare token) - bounded. The
+    * verify rejoins the shared shingle relation on the candidate set
+    * only.
+    */
+  def containment(spark: SparkSession, sfDir: String): DataFrame =
+    containmentFrom(shingled(spark, sfDir))
+
+  /** Core of `containment` over any (doc_id, hs) shingle relation. */
+  def containmentFrom(sh0: DataFrame): DataFrame = {
+    val sh = sh0.select(col("doc_id"), col("hs"))
+    val ex = sh.select(col("doc_id"),
+      size(col("hs")).cast(LongType).as("sz"), explode(col("hs")).as("h"))
+    val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    val probe = ex.join(dfreq, "h")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+      .filter(col("rk") <=
+        col("sz") - expr(s"($containmentNum * sz + ${containmentDen - 1}) div $containmentDen") + lit(1L))
+      .select(col("doc_id"), col("h"), col("sz"))
+    val cand = probe.as("x").join(ex.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") =!= col("y.doc_id") &&
+        lit(containmentDen.toLong) * col("y.sz") >=
+          lit(containmentNum.toLong) * col("x.sz"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.withColumnRenamed("doc_id", "doc_a")
+              .withColumnRenamed("hs", "hs_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("hs", "hs_b"), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast(LongType))
+      .withColumn("containment", ParityMath.q6(
+        col("inter").cast("double") / size(col("hs_a")).cast("double")))
+      .filter(col("containment") * lit(containmentDen.toDouble) >=
+        lit(containmentNum.toDouble))
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val containmentSql: String =
+    s"""WITH $shingledCteDuck, ex AS (
+       |  SELECT doc_id, CAST(len(hs) AS BIGINT) AS sz, unnest(hs) AS h
+       |  FROM hs
+       |), f AS (
+       |  SELECT h, count(*) AS df FROM ex GROUP BY h
+       |), r AS (
+       |  SELECT e.doc_id, e.h, e.sz,
+       |    row_number() OVER (PARTITION BY e.doc_id ORDER BY f.df, e.h) AS rk
+       |  FROM ex e JOIN f ON f.h = e.h
+       |), p AS (
+       |  SELECT doc_id, h, sz FROM r
+       |  WHERE rk <= sz - (($containmentNum * sz + ${containmentDen - 1}) // $containmentDen) + 1
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM p x JOIN ex y ON x.h = y.h AND x.doc_id <> y.doc_id
+       |    AND $containmentDen * y.sz >= $containmentNum * x.sz
+       |), j AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    (floor((CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |          / CAST(len(a.hs) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)
+       |      AS containment
+       |  FROM cand c
+       |  JOIN hs a ON a.doc_id = c.doc_a
+       |  JOIN hs b ON b.doc_id = c.doc_b
+       |)
+       |SELECT doc_a, doc_b, containment FROM j
+       |WHERE containment * $containmentDen >= $containmentNum
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---- dd_clusters ---------------------------------------------------
 
   /** Resolve verified duplicate pairs into clusters: connected

@@ -551,8 +551,39 @@ object SignatureStore {
     * hash gate, not just specs.
     */
   def gatedCandidates(spark: SparkSession, sfDir: String): DataFrame = {
-    val watch = tempDirForExit("graft_gate_dd_watch")
-    val store = tempDirForExit("graft_gate_dd_store")
+    val store = freshDocStore(spark, sfDir, "dd")
+    storedCandidates(spark, store).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact-similarity-join faces of the document store: the stored
+    * shingle relation (tokenized ONCE, incrementally) feeds the
+    * prefix-filter Jaccard join and the containment join, whose
+    * rare-first prefixes derive from the global document frequency AT
+    * QUERY TIME - batch-1 documents' prefixes reflect the final df
+    * exactly as if the corpus had arrived at once (the evolving-LM
+    * stores' re-score-history-under-today's-model semantics, applied
+    * to candidate pruning). Both share their batch twin's oracle.
+    */
+  def gatedJaccardPrefix(spark: SparkSession, sfDir: String): DataFrame = {
+    val store = freshDocStore(spark, sfDir, "jp")
+    Dedup.jaccardPrefixFrom(storedShingles(spark, store))
+  }
+
+  def gatedContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    val store = freshDocStore(spark, sfDir, "ct")
+    Dedup.containmentFrom(storedShingles(spark, store))
+  }
+
+  /** Fresh incremental document store caught up with sfDir's documents
+    * arriving as two doc-parity appends - the shared setup of the
+    * gated document-store faces. The parity split makes the global df
+    * evolve across appends, which is what the query-time prefix
+    * derivation must absorb.
+    */
+  private def freshDocStore(spark: SparkSession, sfDir: String,
+                            tag: String): String = {
+    val watch = tempDirForExit(s"graft_gate_${tag}_watch")
+    val store = tempDirForExit(s"graft_gate_${tag}_store")
     val docs = Graft.table(spark, sfDir, "documents")
     land(docs.filter(pmod(col("doc_id"), lit(2)) === 0), watch,
       "arrival1.parquet")
@@ -560,7 +591,7 @@ object SignatureStore {
     land(docs.filter(pmod(col("doc_id"), lit(2)) === 1), watch,
       "arrival2.parquet")
     catchUp(spark, watch, store)
-    storedCandidates(spark, store).orderBy(col("doc_a"), col("doc_b"))
+    store
   }
 
   /** Span twin: fresh incremental span store over two appends,

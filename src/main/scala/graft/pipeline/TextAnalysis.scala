@@ -582,6 +582,81 @@ object TextAnalysis {
        |    AS nll
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- txt_tfidf ------------------------------------------------------
+
+  /** Per-document top-3 characteristic terms by TF-IDF - the classic
+    * keyword/topic signal a curation pipeline uses for corpus
+    * composition reports and per-source content drift. Parity scheme:
+    * idf is quantized to INTEGER micro-nats (floor(ln(N/df)·1e6 + 0.5)
+    * as BIGINT, same trick as the NLL gates), so the per-doc ranking
+    * key is the pure integer c·idf_u - the 1/n_tok tf normalization is
+    * constant within a doc and cannot reorder it - and the top-3 pick
+    * is integer-deterministic (score desc, term asc), immune to ln()
+    * last-ulp drift; doubles appear only in the final reported score,
+    * q6-rounded identically on both engines.
+    *
+    * Shape at scale: one map-combined (doc_id, term) count, one
+    * map-combined df agg on the vocabulary-sized relation (broadcasts
+    * back), then a single doc_id-keyed window pass where BOTH the
+    * n_tok sum and the rank share one exchange+sort; the row_number
+    * group-limit is the engine-wide TopKWindowRewrite's target, so the
+    * per-doc state is a bounded k-heap, never a full sort.
+    */
+  def tfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = Graft.tableParallel(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val ndocs = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val idf = dfq.crossJoin(broadcast(ndocs))
+      .select(col("term"), expr(
+        """CAST(floor(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+          |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin).as("idf_u"))
+    val wdoc = Window.partitionBy(col("doc_id"))
+    val wrank = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_u").desc, col("term"))
+    tf.join(broadcast(idf), "term")
+      .withColumn("score_u", col("c") * col("idf_u"))
+      .withColumn("n_tok", sum(col("c")).over(wdoc))
+      .withColumn("rk", row_number().over(wrank).cast(LongType))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("rk"),
+        ParityMath.q6((col("score_u").cast("double") / lit(1000000.0)) /
+          col("n_tok").cast("double")).as("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  val tfidfSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+       |    '[a-z0-9]+')) AS term
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS c FROM toks GROUP BY doc_id, term
+       |), dfq AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY term
+       |), nd AS (
+       |  SELECT count(DISTINCT doc_id) AS n_docs FROM tf
+       |), idf AS (
+       |  SELECT term,
+       |    CAST(floor(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS idf_u
+       |  FROM dfq CROSS JOIN nd
+       |), scored AS (
+       |  SELECT t.doc_id, t.term, t.c * i.idf_u AS score_u,
+       |    sum(t.c) OVER (PARTITION BY t.doc_id) AS n_tok,
+       |    row_number() OVER (PARTITION BY t.doc_id
+       |      ORDER BY t.c * i.idf_u DESC, t.term) AS rk
+       |  FROM tf t JOIN idf i USING (term)
+       |)
+       |SELECT doc_id, term, CAST(rk AS BIGINT) AS rk,
+       |  ${ParityMath.q6Sql(
+            "(CAST(score_u AS DOUBLE) / 1000000.0) / CAST(n_tok AS DOUBLE)")}
+       |    AS tfidf
+       |FROM scored WHERE rk <= 3
+       |ORDER BY doc_id, rk""".stripMargin
+
   // ---- txt_bigram_nll ------------------------------------------------
 
   /** Context-aware statistical quality gate: per-doc mean NLL under an

@@ -75,6 +75,54 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  // shared brute-force ground truth: hashed shingle sets for every
+  // >=3-token doc, same kernel the operators use
+  private def bruteShingles = {
+    import org.apache.spark.sql.functions._
+    graft.core.Graft.table(spark, sfDir, "documents")
+      .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("hs", expr("graft_gram_hashes(toks, 3)"))
+      .select(col("doc_id"), col("hs"))
+  }
+
+  test("prefix-filter jaccard join is EXACT: equals brute-force all-pairs") {
+    val docs = bruteShingles
+    val truth = docs.as("x").crossJoin(docs.as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .withColumn("inter", size(array_intersect(col("x.hs"), col("y.hs"))))
+      .withColumn("j", ParityMath.q6(col("inter").cast("double") /
+        (size(col("x.hs")) + size(col("y.hs")) - col("inter")).cast("double")))
+      .filter(col("j") >= Dedup.jaccardThreshold)
+      .select(col("x.doc_id"), col("y.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.jaccardPrefix(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "expected planted >=0.8 Jaccard pairs")
+    assert(got == truth,
+      s"missed ${truth.diff(got).size}, spurious ${got.diff(truth).size}")
+  }
+
+  test("containment join is EXACT and catches subset docs jaccard misses") {
+    val docs = bruteShingles
+    val truth = docs.as("x").crossJoin(docs.as("y"))
+      .filter(col("x.doc_id") =!= col("y.doc_id"))
+      .withColumn("inter", size(array_intersect(col("x.hs"), col("y.hs"))))
+      .withColumn("c", ParityMath.q6(
+        col("inter").cast("double") / size(col("x.hs")).cast("double")))
+      .filter(col("c") * Dedup.containmentDen >= Dedup.containmentNum)
+      .select(col("x.doc_id"), col("y.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Dedup.containment(spark, sfDir).collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "expected containment pairs on the fixture")
+    assert(got == truth,
+      s"missed ${truth.diff(got).size}, spurious ${got.diff(truth).size}")
+    // directional semantics: every (a,b) read is "a >=90% inside b";
+    // values are per-direction (C(a,b) and C(b,a) differ when sizes do)
+    assert(rows.map(_.getDouble(2)).forall(c => c >= 0.899999 && c <= 1.0))
+  }
+
   test("component resolution: path halving converges in O(log d) rounds") {
     // a 65-node chain (0-1, 1-2, ..., 63-64) has diameter 64: plain
     // min-label propagation needs 64 rounds to walk label 0 to the far

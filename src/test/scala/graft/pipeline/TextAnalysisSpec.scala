@@ -61,6 +61,36 @@ class TextAnalysisSpec extends SparkSpec {
       "rare-token docs must have higher mean NLL than common-token docs")
   }
 
+  test("tfidf: top-3 matches an independent Scala recomputation") {
+    val rows = TextAnalysis.tfidf(spark, sfDir).collect()
+    val got = rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // independent ground truth: collect raw tokens, redo the integer
+    // quantization scheme in plain Scala
+    val toks = graft.core.Graft.table(spark, sfDir, "documents")
+      .select(col("doc_id"), expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+      .filter(_._2.nonEmpty)
+    val tf = toks.map { case (d, ts) =>
+      d -> ts.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong } }
+    val df = tf.flatMap(_._2.keys).groupBy(identity).map {
+      case (t, xs) => t -> xs.size.toLong }
+    val nDocs = tf.size.toDouble
+    val idfU = df.map { case (t, d) =>
+      t -> math.floor(math.log(nDocs / d.toDouble) * 1e6 + 0.5).toLong }
+    val truth = tf.flatMap { case (d, m) =>
+      m.toSeq.map { case (t, c) => (t, c * idfU(t)) }
+        .sortBy { case (t, s) => (-s, t) }.take(3).zipWithIndex
+        .map { case ((t, _), i) => (d, t, (i + 1).toLong) }
+    }.toSet
+    assert(got.length == truth.size)
+    assert(got.toSet == truth,
+      s"mismatch: ${got.toSet.diff(truth).take(3)} vs ${truth.diff(got.toSet).take(3)}")
+    // scores are non-negative and bounded by max idf (ln N, nats)
+    val scores = rows.map(_.getDouble(3))
+    assert(scores.forall(s => s >= 0.0 && s <= math.log(nDocs)))
+  }
+
   test("phrase merge: left-to-right overlap, chaining, exact BPE pass") {
     val s = spark; import s.implicits._
     // merges include (hash, join), (hash_join, filter) - chained - and
