@@ -47,7 +47,7 @@ object Bench {
     "dd_containment", "dd_simhash",
     "dd_embed_cosine", "dd_semantic",
     "ann_topk_brute", "ann_topk_quant", "ann_lsh_bucketed", "ann_ivf",
-    "ann_ivf_quant", "q_hll_distinct", "q_hll_sliding", "q_cms_topk",
+    "ann_ivf_quant", "ann_ivf_adaptive", "q_hll_distinct", "q_hll_sliding", "q_cms_topk",
     "q_cms_sliding", "q_cms_join_card", "q_cms_f2", "q_qtile_sketch",
     "q_qtile_sliding",
     "q_kmv_jaccard", "q_kmv_retention",

@@ -191,6 +191,7 @@ object SparkEntry {
     "ann_lsh_bucketed" -> Similarity.annLshBucketed _,
     "ann_ivf" -> Similarity.annIvf _,
     "ann_ivf_kpp" -> Similarity.annIvfKpp _,
+    "ann_ivf_adaptive" -> Similarity.annIvfAdaptive _,
     "ann_ivf_quant" -> Similarity.annIvfQuant _,
     // ---- text analysis ----
     "txt_stats" -> TextAnalysis.stats _,
@@ -360,6 +361,7 @@ object SparkEntry {
     "ann_lsh_bucketed" -> Similarity.annLshBucketedSql,
     "ann_ivf" -> Similarity.annIvfSql,
     "ann_ivf_kpp" -> Similarity.annIvfKppSql,
+    "ann_ivf_adaptive" -> Similarity.annIvfAdaptiveSql,
     "txt_stats" -> TextAnalysis.statsSql,
     "txt_langid" -> TextAnalysis.langidSql,
     "txt_tokens" -> TextAnalysis.tokensSql,

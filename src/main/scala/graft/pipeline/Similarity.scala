@@ -624,12 +624,19 @@ object Similarity {
       .withColumn("prk", row_number().over(wProbe))
       .filter(col("prk") <= ivfProbes)
       .select(col("q_id"), col("q_emb"), col("cid"))
+    scoreProbes(assign, probes)
+  }
+
+  /** Shared inverted-list scan + per-query top-k over a (q_id, q_emb,
+    * cid) probe set. Probe sets are numQueries × (a few cells) by
+    * construction - declare the broadcast rather than leaving it to
+    * stats, so the corpus-side assign relation is never shuffled for
+    * the probe join; the only exchange left is the bounded per-query
+    * top-k window.
+    */
+  private def scoreProbes(assign: DataFrame, probes: DataFrame): DataFrame = {
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))
-    // probes is (numQueries × ivfProbes) rows by construction - declare
-    // the broadcast rather than leaving it to stats, so the corpus-side
-    // assign relation is never shuffled for the probe join; the only
-    // exchange left is the bounded per-query top-k window.
     assign.join(broadcast(probes), "cid")
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", ParityMath.q6(expr(cosSpark("q_emb", "embedding"))))
@@ -637,6 +644,53 @@ object Similarity {
       .filter(col("rk") <= topK)
       .select(col("q_id"), col("vec_id"), col("sim"), col("rk"))
       .orderBy(col("q_id"), col("rk"))
+  }
+
+  // ---- ann_ivf_adaptive ----------------------------------------------
+
+  /** Adaptive probe-mass target: probe the minimal csim-ranked prefix
+    * of cells covering ≥ 3/8 of the corpus (3/8 = the fixed face's
+    * 6-of-16 EXPECTED mass on balanced cells, so the two faces agree
+    * when cells are uniform).
+    */
+  val adaptiveMassNum = 3
+  val adaptiveMassDen = 8
+
+  /** IVF with ADAPTIVE probe selection: instead of a fixed
+    * `ivfProbes` cell count per query, probe the minimal prefix of
+    * csim-ranked cells whose cumulative MEMBER COUNT reaches
+    * `adaptiveMassNum/adaptiveMassDen` of the corpus - a query whose
+    * nearest cells are large scans fewer lists, one whose neighborhood
+    * is fragmented scans more, and the scanned-row budget (the actual
+    * cost at 100 TB, where cells are ~constant-sized only in
+    * aggregate) is held ~constant per query instead of drifting with
+    * cell skew. The keep rule is exact integer arithmetic
+    * ((cum − csz)·den < n·num: keep every cell whose PRECEDING mass is
+    * below target, i.e. the crossing cell is the last kept), so both
+    * engines select identical probe sets. Cell sizes are a k-row agg
+    * broadcast onto the numQueries × k probe ranking - nothing
+    * corpus-sized moves.
+    */
+  def annIvfAdaptive(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val centVecs = trainedCentroidsFor(spark, sfDir)
+    val assign = ivfAssignWith(e, centVecs)
+    val cells = assign.groupBy(col("cid")).agg(count(lit(1)).as("csz"))
+    val total = assign.agg(count(lit(1)).as("n_corpus"))
+    val cents = centsDF(spark, centVecs)
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("csim", expr(cosSparkHof("q_emb", "c_emb")))
+      .join(broadcast(cells), "cid") // empty cells carry no mass, no rows
+      .crossJoin(broadcast(total))
+      .withColumn("cum", sum(col("csz")).over(wProbe))
+      .filter((col("cum") - col("csz")) * lit(adaptiveMassDen.toLong) <
+        col("n_corpus") * lit(adaptiveMassNum.toLong))
+      .select(col("q_id"), col("q_emb"), col("cid"))
+    scoreProbes(assign, probes)
   }
 
   // ---- ann_ivf_quant -------------------------------------------------
@@ -900,6 +954,45 @@ object Similarity {
   val annIvfSql: String = annIvfSqlWith(lloydCentsCtes)
 
   val annIvfKppSql: String = annIvfSqlWith(lloydCentsCtes(kppSeedCtes))
+
+  val annIvfAdaptiveSql: String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), $lloydCentsCtes, assign AS MATERIALIZED (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosDuck("e.embedding", "c.c_emb")} DESC, c.cid)
+       |        AS ark
+       |    FROM e CROSS JOIN cents c
+       |  ) WHERE ark = 1
+       |), cells AS (
+       |  SELECT cid, CAST(count(*) AS BIGINT) AS csz FROM assign GROUP BY cid
+       |), tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM assign
+       |), pr AS (
+       |  SELECT q.vec_id AS q_id, c.cid, cl.csz,
+       |    sum(cl.csz) OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${cosDuck("q.embedding", "c.c_emb")} DESC, c.cid) AS cum
+       |  FROM e q CROSS JOIN cents c JOIN cells cl ON cl.cid = c.cid
+       |  WHERE q.vec_id < $numQueries
+       |), probes AS (
+       |  SELECT q_id, cid FROM pr CROSS JOIN tot
+       |  WHERE (cum - csz) * $adaptiveMassDen < n_corpus * $adaptiveMassNum
+       |), scored AS (
+       |  SELECT p.q_id, a.vec_id,
+       |    (floor((${cosDuck("q.embedding", "e.embedding")}) * 1000000.0 + 0.5) / 1000000.0) AS sim
+       |  FROM probes p
+       |  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.q_id
+       |  JOIN e ON e.vec_id = a.vec_id
+       |  JOIN e q ON q.vec_id = p.q_id
+       |), ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |                 ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
+       |  FROM scored
+       |)
+       |SELECT q_id, vec_id, sim, rk FROM ranked
+       |WHERE rk <= $topK ORDER BY q_id, rk""".stripMargin
 
   private def annIvfSqlWith(centsCtes: String): String =
     s"""WITH e AS MATERIALIZED (

@@ -239,7 +239,16 @@ class DedupSimSpec extends SparkSpec {
       .select("q_id", "vec_id")))
     assert(ivfQuantR >= 0.90,
       f"quantized-IVF recall@10 $ivfQuantR%.3f fell below 0.90")
+    // adaptive probing targets the same EXPECTED mass as the fixed
+    // 6/16 face (3/8 of the corpus), so its recall must hold the same
+    // floor - it redistributes the scan budget across queries, it
+    // doesn't shrink it
+    val adaptiveR = recall(topk(Similarity.annIvfAdaptive(spark, sfDir)
+      .select("q_id", "vec_id")))
+    assert(adaptiveR >= 0.90,
+      f"adaptive-IVF recall@10 $adaptiveR%.3f fell below 0.90")
   }
+
 
   test("semantic dedup: dominance rule holds against brute-force truth") {
     val verdicts = Similarity.ddSemantic(spark, sfDir).collect()
