@@ -91,6 +91,7 @@ object SparkEntry {
     "ss_stream_join" -> StreamSum.streamStreamJoin _,
     "ss_stream_lastn_tws" -> ((s, d) => StreamSum.streamLastnTws(s, d)),
     "ss_stream_lsh_cand" -> StreamSum.streamLshCandidates _,
+    "ss_stream_containment" -> StreamSum.streamContainment _,
     "ss_stream_ann_cand" -> StreamSum.streamAnnCandidates _,
     "ss_stream_semantic" -> StreamSum.streamSemantic _,
     "ss_stream_asof" -> StreamSum.streamAsof _,
@@ -273,6 +274,7 @@ object SparkEntry {
     "ss_stream_join" -> Sql.ssStreamJoin,
     "ss_stream_lastn_tws" -> Sql.ssCacheLastn,
     "ss_stream_lsh_cand" -> Dedup.minhashLshSql,
+    "ss_stream_containment" -> Dedup.containmentSql,
     "ss_stream_ann_cand" -> Similarity.annCandidatesSql,
     "ss_stream_semantic" -> Similarity.ddSemanticSql,
     "ss_stream_asof" -> graft.analytics.AsofJoin.qAsofSql,

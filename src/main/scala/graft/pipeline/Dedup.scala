@@ -595,6 +595,16 @@ object Dedup {
           lit(containmentNum.toLong) * col("x.sz"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    containmentVerify(cand, sh)
+  }
+
+  /** Exact containment verify over any candidate (doc_a, doc_b)
+    * relation: order-independent, so EVERY candidate generator that is
+    * a superset of the true pairs (batch prefix probe, streaming
+    * shared-token admission) converges to the identical final result.
+    */
+  private[graft] def containmentVerify(cand: DataFrame,
+                                       sh: DataFrame): DataFrame =
     cand
       .join(sh.withColumnRenamed("doc_id", "doc_a")
               .withColumnRenamed("hs", "hs_a"), "doc_a")
@@ -608,7 +618,6 @@ object Dedup {
         lit(containmentNum.toDouble))
       .select(col("doc_a"), col("doc_b"), col("containment"))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   val containmentSql: String =
     s"""WITH $shingledCteDuck, ex AS (

@@ -765,6 +765,75 @@ object StreamSum {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  final case class TokRow(doc_id: Long, sz: Long, h: Long)
+  final case class DirCand(doc_a: Long, doc_b: Long)
+
+  /** Shared-shingle containment candidates: the cell keeps every
+    * (doc_id, size) carrying this shingle; an arriving doc emits a
+    * DIRECTED candidate per prior member and direction that survives
+    * the length bound (den·|index| ≥ num·|probe|). Same O(|batch|)
+    * membership-check bound as `lshCandHandler`.
+    */
+  private def containCandHandler(
+      key: Long, rows: Iterator[TokRow],
+      state: GroupState[Map[Long, Long]]): Iterator[DirCand] = {
+    import graft.pipeline.Dedup.{containmentDen => den, containmentNum => num}
+    val seen = state.getOption.getOrElse(Map.empty[Long, Long])
+    val fresh = rows.map(r => r.doc_id -> r.sz).toSeq.distinct
+      .filterNot(kv => seen.contains(kv._1))
+    val pairs = for {
+      ((nid, nsz), idx) <- fresh.zipWithIndex
+      (oid, osz) <- seen.iterator ++ fresh.take(idx)
+      if oid != nid
+      cand <- {
+        val newProbe = // new doc probes the older index member
+          if (den.toLong * osz >= num.toLong * nsz) Some(DirCand(nid, oid))
+          else None
+        val oldProbe = // the older doc probes the new index member
+          if (den.toLong * nsz >= num.toLong * osz) Some(DirCand(oid, nid))
+          else None
+        newProbe.iterator ++ oldProbe.iterator
+      }
+    } yield cand
+    state.update(seen ++ fresh)
+    pairs.iterator
+  }
+
+  /** Streaming ADMISSION face of `dd_containment`: each arriving
+    * document is checked for ≥90% shingle containment against the
+    * corpus seen so far, in both directions. Candidates key on the RAW
+    * shingle hash (the global-df rare-first prefix of the batch face
+    * does not exist online - df is a corpus-wide statistic), so the
+    * per-cell state is df-sized and the emitted candidate volume is
+    * Σ_h df(h)² - the admission trade: more candidates, zero false
+    * negatives, verify still bounded by the candidate count. The
+    * verify is order-independent (`containmentVerify`), so the
+    * admitted set converges to the batch face's exact relation and
+    * shares its oracle. At 100 TB this face serves new-arrival
+    * admission; full-corpus joins stay on the batch/store faces, whose
+    * prefix prune needs the final df.
+    */
+  def streamContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val toks = graft.pipeline.Dedup.shinglesFrom(docs)
+      .select(col("doc_id"), size(col("hs")).cast(LongType).as("sz"),
+        explode(col("hs")).as("h"))
+      .as[TokRow]
+    val out = toks.groupByKey(_.h)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(containCandHandler)
+    val cand = runToTable(out.toDF(), OutputMode.Append(),
+      "ss_stream_containment").distinct()
+    graft.pipeline.Dedup.containmentVerify(cand,
+      graft.pipeline.SignatureStore.shingles(spark, sfDir)
+        .select(col("doc_id"), col("hs")))
+  }
+
   final case class EmbRow(vec_id: Long, label: Long, bucket: Long)
   final case class AnnCand(vec_a: Long, vec_b: Long, label: Long)
 
