@@ -1,6 +1,6 @@
 package graft
 
-import graft.analytics.{AsofJoin, RangeJoin, Sketches, TimeSeries, Tpch}
+import graft.analytics.{AsofJoin, Behavior, RangeJoin, Sketches, TimeSeries, Tpch}
 import graft.core._
 import graft.oracle.Sql
 import graft.pipeline.{CorpusClean, Dedup, Multimodal, Similarity, TextAnalysis}
@@ -130,6 +130,9 @@ object SparkEntry {
     "q_asof_join" -> AsofJoin.qAsof _,
     "q_resample" -> TimeSeries.qResample _,
     "q_resample_interp" -> TimeSeries.qResampleInterp _,
+    "q_ewma" -> TimeSeries.qEwma _,
+    "q_anomaly" -> TimeSeries.qAnomaly _,
+    "q_funnel" -> Behavior.qFunnel _,
     "q_corr" -> Tpch.qCorr _,
     "q_range_join" -> RangeJoin.apply _,
     "q_hll_distinct" -> Sketches.qHllDistinct _,
@@ -298,6 +301,9 @@ object SparkEntry {
     "q_asof_join" -> AsofJoin.qAsofSql,
     "q_resample" -> TimeSeries.qResampleSql,
     "q_resample_interp" -> TimeSeries.qResampleInterpSql,
+    "q_ewma" -> TimeSeries.qEwmaSql,
+    "q_anomaly" -> TimeSeries.qAnomalySql,
+    "q_funnel" -> Behavior.qFunnelSql,
     "q_corr" -> Tpch.qCorrSql,
     "q_range_join" -> RangeJoin.sql,
     "q_hll_distinct" -> Sketches.qHllDistinctSql,

@@ -1,0 +1,108 @@
+package graft.analytics
+
+import graft.core.Graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral event analytics: the ordered-funnel conversion report —
+  * the classic "of the users who did A, how many later did B, and of
+  * those, how many later did C" product question over an event log.
+  * (Next to `q_sessionize`/`q_window` in the reference's event-rollup
+  * family; the ORDER constraint is what plain per-type counts miss.)
+  *
+  * Semantics: step order is the total per-user (ts, event_id) event
+  * order (event_id is unique, so the order — and therefore the whole
+  * result — is deterministic). A user reaches step 2 iff some step-1
+  * event strictly precedes one of their step-2 events; step 3 iff a
+  * CONVERTED step-2 event strictly precedes a step-3 event. "Did B
+  * before ever doing A" correctly does not count.
+  *
+  * 100 TB shape: ONE user-keyed exchange carries the whole operator —
+  * the two running-count window projections share the same partitioning
+  * and sort, the per-user flags aggregate on the same partitioning
+  * (Catalyst reuses the exchange), and the final 3-row report is a
+  * tiny global fold of 1-bit flags. No joins, no second shuffle, state
+  * O(1) per row.
+  */
+object Behavior {
+
+  /** The funnel definition: view → click → purchase. */
+  val funnelSteps: Seq[String] = Seq("view", "click", "purchase")
+
+  def qFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val Seq(s1, s2, s3) = funnelSteps
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    // strictly-preceding frame: a step counts only events BEFORE it
+    val before = order.rowsBetween(Window.unboundedPreceding, -1)
+    val flags = Graft.tableParallel(spark, sfDir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), expr("ts DIV 1000L").as("tus"),
+        col("event_id"), col("event_type"))
+      .withColumn("n1_before",
+        count(when(col("event_type") === s1, lit(1))).over(before))
+      .withColumn("conv2",
+        (col("event_type") === s2) && col("n1_before") > 0)
+      .withColumn("n2_before",
+        count(when(col("conv2"), lit(1))).over(before))
+      .withColumn("conv3",
+        (col("event_type") === s3) && col("n2_before") > 0)
+      .groupBy(col("user_id"))
+      .agg(max(col("event_type") === s1).as("r1"),
+        max(col("conv2")).as("r2"), max(col("conv3")).as("r3"))
+      .agg(sum(col("r1").cast("long")).as("u1"),
+        sum(col("r2").cast("long")).as("u2"),
+        sum(col("r3").cast("long")).as("u3"))
+    flags.select(expr(
+      s"""explode(array(
+         |  struct(1L AS step, '$s1' AS step_name, u1 AS n_users),
+         |  struct(2L AS step, '$s2' AS step_name, u2 AS n_users),
+         |  struct(3L AS step, '$s3' AS step_name, u3 AS n_users)))
+         |""".stripMargin).as("r"))
+      .select(col("r.step"), col("r.step_name"), col("r.n_users"))
+      .orderBy(col("step"))
+  }
+
+  val qFunnelSql: String = {
+    val Seq(s1, s2, s3) = funnelSteps
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |), w1 AS (
+       |  SELECT user_id, tus, event_id, event_type,
+       |    count(CASE WHEN event_type = '$s1' THEN 1 END)
+       |      OVER wb AS n1_before
+       |  FROM e
+       |  WINDOW wb AS (PARTITION BY user_id ORDER BY tus, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |), w2 AS (
+       |  SELECT user_id, event_type,
+       |    (event_type = '$s2' AND n1_before > 0) AS conv2,
+       |    count(CASE WHEN event_type = '$s2' AND n1_before > 0
+       |               THEN 1 END) OVER wb AS n2_before
+       |  FROM w1
+       |  WINDOW wb AS (PARTITION BY user_id ORDER BY tus, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |), f AS (
+       |  SELECT user_id,
+       |    max(event_type = '$s1') AS r1,
+       |    max(conv2) AS r2,
+       |    max(event_type = '$s3' AND n2_before > 0) AS r3
+       |  FROM w2 GROUP BY 1
+       |), t AS (
+       |  SELECT sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS u1,
+       |         sum(CASE WHEN r2 THEN 1 ELSE 0 END) AS u2,
+       |         sum(CASE WHEN r3 THEN 1 ELSE 0 END) AS u3
+       |  FROM f
+       |)
+       |SELECT CAST(1 AS BIGINT) AS step, '$s1' AS step_name,
+       |       CAST(u1 AS BIGINT) AS n_users FROM t
+       |UNION ALL
+       |SELECT 2, '$s2', CAST(u2 AS BIGINT) FROM t
+       |UNION ALL
+       |SELECT 3, '$s3', CAST(u3 AS BIGINT) FROM t
+       |ORDER BY step""".stripMargin
+  }
+}

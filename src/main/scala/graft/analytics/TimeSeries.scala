@@ -174,6 +174,171 @@ object TimeSeries {
        |  (n_events = 0) AS is_gap
        |FROM f ORDER BY user_id, tb""".stripMargin
 
+  // ---- q_ewma: truncated exact-rational EWMA smoothing ---------------
+
+  /** EWMA window length (observations) and decay α = 1/4. The dyadic α
+    * is what makes the smoother EXACT: with α = 1/4 the truncated
+    * normalized weights are 3^i·4^(m−1−i) / (4^m − 3^m) — all integers
+    * — so the whole smoother is one BIGINT weighted sum over the last
+    * m ≤ 8 observations divided ONCE at output. Σ_{i<m} 3^i·4^(m−1−i)
+    * = 4^m − 3^m (geometric), so the weights renormalize exactly at
+    * the warm-up edge too. Magnitudes: v_mu ≤ 5e8, max weight 4^7 →
+    * per-term ≤ 8.2e12, sum ≤ 6.6e13 — comfortably BIGINT.
+    */
+  val ewmaLen = 8
+
+  /** Per-event EWMA of `value` per user in event order: the standard
+    * smoothing pass ahead of anomaly/trend features on event logs.
+    *
+    * 100 TB shape: one user-keyed exchange + one sort carries the
+    * whole operator — the m lag columns and the weighted sum are a
+    * single window projection (no self-join, no second shuffle), and
+    * every row's state is O(ewmaLen). Event order is the total
+    * (ts, event_id) order, so the result is deterministic and the
+    * integer arithmetic lands bit-identically on both engines.
+    */
+  def qEwma(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val lagged = Graft.tableParallel(spark, sfDir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("value").isNotNull)
+      .select(col("user_id"), expr("ts DIV 1000L").as("tus"),
+        col("event_id"), col("value"),
+        expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").as("v0"))
+      .withColumn("m", least(lit(ewmaLen.toLong), row_number().over(w)))
+    val withLags = (1 until ewmaLen).foldLeft(lagged) { (df, i) =>
+      df.withColumn(s"v$i", lag(col("v0"), i).over(w))
+    }
+    val pow3 = Array.iterate(1L, ewmaLen + 1)(_ * 3L)
+    val pow4 = Array.iterate(1L, ewmaLen + 1)(_ * 4L)
+    // Σ_{i<m} 3^i · 4^(m−1−i) · v_i — the weight depends on m, so each
+    // term switches on the row's own warm-up length. Same CASE text as
+    // the oracle below, so the arithmetic cannot drift.
+    val numExpr = (0 until ewmaLen).map { i =>
+      val cases = ((i + 1) to ewmaLen)
+        .map(m => s"WHEN m = $m THEN ${pow3(i) * pow4(m - 1 - i)}L")
+        .mkString(" ")
+      s"(CASE $cases ELSE 0L END) * COALESCE(v$i, 0L)"
+    }.mkString(" + ")
+    val denExpr = (1 to ewmaLen)
+      .map(m => s"WHEN m = $m THEN ${pow4(m) - pow3(m)}L").mkString(" ")
+    withLags
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("m").cast("long").as("n_obs"),
+        graft.pipeline.ParityMath.q6(
+          expr(s"CAST($numExpr AS DOUBLE)") /
+            (expr(s"CAST(CASE $denExpr END AS DOUBLE)") *
+              lit(1000000.0))).as("ewma"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val qEwmaSql: String = {
+    val pow3 = Array.iterate(1L, ewmaLen + 1)(_ * 3L)
+    val pow4 = Array.iterate(1L, ewmaLen + 1)(_ * 4L)
+    val lagCols = (1 until ewmaLen)
+      .map(i => s"lag(v0, $i) OVER we AS v$i").mkString(",\n    ")
+    val numSql = (0 until ewmaLen).map { i =>
+      val cases = ((i + 1) to ewmaLen)
+        .map(m => s"WHEN m = $m THEN ${pow3(i) * pow4(m - 1 - i)}")
+        .mkString(" ")
+      s"(CASE $cases ELSE 0 END) * COALESCE(v$i, 0)"
+    }.mkString("\n      + ")
+    val denSql = (1 to ewmaLen)
+      .map(m => s"WHEN m = $m THEN ${pow4(m) - pow3(m)}").mkString(" ")
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS tus, event_id, value,
+       |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v0
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |    AND value IS NOT NULL
+       |), lagged AS (
+       |  SELECT user_id, event_id, value, v0,
+       |    LEAST($ewmaLen, row_number() OVER we) AS m,
+       |    $lagCols
+       |  FROM e
+       |  WINDOW we AS (PARTITION BY user_id ORDER BY tus, event_id)
+       |)
+       |SELECT user_id, event_id, value, CAST(m AS BIGINT) AS n_obs,
+       |  ${graft.pipeline.ParityMath.q6Sql(
+            s"""CAST($numSql AS DOUBLE)
+               |    / (CAST(CASE $denSql END AS DOUBLE) * 1000000.0)""".stripMargin)}
+       |    AS ewma
+       |FROM lagged ORDER BY user_id, event_id""".stripMargin
+  }
+
+  // ---- q_anomaly: rolling z-score outlier detection ------------------
+
+  /** Baseline window (strictly-preceding observations) and the minimum
+    * baseline size below which no verdict is issued.
+    */
+  val anomalyBase = 8
+  val anomalyMinN = 4
+
+  /** Rolling 3σ outlier detection per user: a value is anomalous when
+    * it deviates from its own trailing baseline (up to the previous
+    * `anomalyBase` observations, at least `anomalyMinN`) by more than
+    * three baseline standard deviations. The test is evaluated in
+    * EXACT integer arithmetic — (n·x − S)² > 9·(n·Q − S²) with
+    * S = Σv, Q = Σv² over the baseline in micro-units — so no float
+    * sqrt/mean ever runs and both engines agree bitwise. S² reaches
+    * ~1.6e19 (past BIGINT), so the two quadratic terms are computed in
+    * DECIMAL(38,0) ≙ DuckDB HUGEINT, the same cross-engine scheme as
+    * the k-means‖ sampling predicate.
+    *
+    * 100 TB shape: identical to q_ewma — one user-keyed exchange, one
+    * sort, one window frame (counts + two sums), a row-local verdict,
+    * zero joins. Output is the anomalous rows only.
+    */
+  def qAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val wb = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+      .rowsBetween(-anomalyBase, -1)
+    val d20 = "decimal(20,0)"
+    Graft.tableParallel(spark, sfDir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("value").isNotNull)
+      .select(col("user_id"), expr("ts DIV 1000L").as("tus"),
+        col("event_id"), col("value"),
+        expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").as("v"))
+      .withColumn("n", count(col("v")).over(wb))
+      .withColumn("s", sum(col("v")).over(wb))
+      .withColumn("q", sum(col("v") * col("v")).over(wb))
+      .filter(col("n") >= anomalyMinN)
+      .withColumn("d", (col("n") * col("v") - col("s")).cast(d20))
+      .filter(col("d") * col("d") >
+        lit(9) * (col("n") * col("q").cast(d20) -
+          col("s").cast(d20) * col("s").cast(d20)))
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("n").as("n_base"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val qAnomalySql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS tus, event_id, value,
+       |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |    AND value IS NOT NULL
+       |), w AS (
+       |  SELECT user_id, event_id, value, v,
+       |    count(v) OVER wb AS n,
+       |    sum(CAST(v AS HUGEINT)) OVER wb AS s,
+       |    sum(CAST(v AS HUGEINT) * v) OVER wb AS q
+       |  FROM e
+       |  WINDOW wb AS (PARTITION BY user_id ORDER BY tus, event_id
+       |    ROWS BETWEEN $anomalyBase PRECEDING AND 1 PRECEDING)
+       |)
+       |SELECT user_id, event_id, value, CAST(n AS BIGINT) AS n_base
+       |FROM w
+       |WHERE n >= $anomalyMinN
+       |  AND (n * CAST(v AS HUGEINT) - s) * (n * CAST(v AS HUGEINT) - s)
+       |      > 9 * (n * q - s * s)
+       |ORDER BY user_id, event_id""".stripMargin
+
   val qResampleSql: String =
     s"""WITH e AS (
        |  SELECT user_id, epoch_us(ts) // $resampleBucketUs AS tb,

@@ -68,4 +68,48 @@ class TimeSeriesSpec extends SparkSpec {
     assert(rows((1L, 3L)) == ((1L, 8.0, false)))
     assert(rows((2L, 7L)) == ((1L, 5.25, false)))
   }
+
+  test("ewma: truncated alpha=1/4 weights, exact at the warm-up edge") {
+    val s = spark; import s.implicits._
+    // user 1: 3.5 then 7.0 -> first row is its own value; second is
+    // (4*7.0 + 3*3.5)/7 = 5.5 exactly (m=2 weights 4,3 over 4^2-3^2).
+    // user 2: ten equal observations -> EWMA is the constant at every
+    // length, including past the 8-observation truncation.
+    val ev = (Seq((10L, 1000L, 1L, 3.5), (11L, 2000L, 1L, 7.0)) ++
+      (0 until 10).map(i => (20L + i, (i + 1) * 1000L, 2L, 2.25)))
+      .toDF("event_id", "ts", "user_id", "value")
+      .withColumn("event_type", lit("click"))
+      .withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ew").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = TimeSeries.qEwma(spark, dir).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows(10L) == ((1L, 3.5)), "m=1 must return the value itself")
+    assert(rows(11L) == ((2L, 5.5)), "m=2 must be (4*v0+3*v1)/7 exactly")
+    (0 until 10).foreach { i =>
+      assert(rows(20L + i) == ((math.min(i + 1, TimeSeries.ewmaLen).toLong,
+        2.25)), s"constant series must smooth to itself at obs $i")
+    }
+  }
+
+  test("anomaly: 3-sigma verdict on the trailing baseline, min-n gate") {
+    val s = spark; import s.implicits._
+    // user 1: four identical baseline values then a spike -> the spike
+    // (zero baseline variance, nonzero deviation) is anomalous; a fifth
+    // equal value (zero deviation) is not. user 2: three observations
+    // then a wild value -> baseline too small (n=3 < 4), no verdict.
+    val ev = (Seq(1.0, 1.0, 1.0, 1.0, 100.0, 1.0).zipWithIndex.map {
+      case (v, i) => (10L + i, (i + 1) * 1000L, 1L, v)
+    } ++ Seq(1.0, 2.0, 3.0, 500.0).zipWithIndex.map {
+      case (v, i) => (20L + i, (i + 1) * 1000L, 2L, v)
+    }).toDF("event_id", "ts", "user_id", "value")
+      .withColumn("event_type", lit("click"))
+      .withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_an").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = TimeSeries.qAnomaly(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(rows.toSeq == Seq((1L, 14L, 4L)),
+      s"only the spike with a full baseline may be flagged: ${rows.toSeq}")
+  }
 }
