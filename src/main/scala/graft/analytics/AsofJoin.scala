@@ -39,7 +39,7 @@ object AsofJoin {
         lit(0).as("side"), lit(null).cast("bigint").as("event_id"))
     val left = Graft.table(spark, sfDir, "events")
       .select(col("user_id").as("k"),
-        expr("CAST(ts DIV 1000L AS BIGINT)").as("rt"),
+        expr("graft_ts_us(ts)").as("rt"),
         lit(null).cast("bigint").as("o_orderkey"),
         lit(1).as("side"), col("event_id"))
     val w = Window.partitionBy(col("k"))

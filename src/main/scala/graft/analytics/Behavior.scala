@@ -39,7 +39,7 @@ object Behavior {
     val before = order.rowsBetween(Window.unboundedPreceding, -1)
     val flags = Graft.tableParallel(spark, sfDir, "events")
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
-      .select(col("user_id"), expr("ts DIV 1000L").as("tus"),
+      .select(col("user_id"), expr("graft_ts_us(ts)").as("tus"),
         col("event_id"), col("event_type"))
       .withColumn("n1_before",
         count(when(col("event_type") === s1, lit(1))).over(before))

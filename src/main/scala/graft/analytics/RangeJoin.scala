@@ -52,9 +52,9 @@ object RangeJoin {
   def apply(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
     // events.parquet is TIMESTAMP(NANOS) read as epoch-ns BIGINT;
-    // canonical tuple time is microseconds (ts DIV 1000)
+    // canonical tuple time is epoch-micros (graft_ts_us, encoding-adaptive)
     val e = Graft.tableParallel(spark, sfDir, "events")
-      .select(col("event_id"), expr("ts DIV 1000").as("t"))
+      .select(col("event_id"), expr("graft_ts_us(ts)").as("t"))
     fromEvents(e, deltaUs).orderBy(col("event_id"))
   }
 

@@ -472,7 +472,7 @@ object Sketches {
     graft.functions.NativeFunctions.register(spark)
     val ev = Graft.tableParallel(spark, sfDir, "events")
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
-      .select(expr(s"(ts DIV 1000L) DIV ${slideBucketUs}L").as("b"),
+      .select(expr(s"(graft_ts_us(ts)) DIV ${slideBucketUs}L").as("b"),
         col("user_id"))
     val regs = hashRho(ev.select(col("b").as("l_returnflag"),
         col("user_id").as("l_orderkey")))
@@ -666,7 +666,7 @@ object Sketches {
     graft.functions.NativeFunctions.register(spark)
     val ev = Graft.tableParallel(spark, sfDir, "events")
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
-      .select(expr(s"(ts DIV 1000L) DIV ${slideBucketUs}L").as("b"),
+      .select(expr(s"(graft_ts_us(ts)) DIV ${slideBucketUs}L").as("b"),
         col("user_id"))
     val counters = ev
       .select(col("b"), col("user_id"),
@@ -746,7 +746,7 @@ object Sketches {
     Graft.ensureConf(spark)
     val ev = Graft.tableParallel(spark, sfDir, "events")
       .filter(col("ts").isNotNull && col("value").isNotNull)
-      .select(expr(s"(ts DIV 1000L) DIV ${slideBucketUs}L").as("b"),
+      .select(expr(s"(graft_ts_us(ts)) DIV ${slideBucketUs}L").as("b"),
         floor(col("value") / lit(slideQtileW)).as("bin"))
     val partials = ev.groupBy(col("b"), col("bin"))
       .agg(count(lit(1)).as("c"))
@@ -812,7 +812,7 @@ object Sketches {
     graft.functions.NativeFunctions.register(spark)
     val hs = Graft.tableParallel(spark, sfDir, "events")
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
-      .select(expr(s"(ts DIV 1000L) DIV ${slideBucketUs}L").as("b"),
+      .select(expr(s"(graft_ts_us(ts)) DIV ${slideBucketUs}L").as("b"),
         expr("graft_md5_48(CAST(user_id AS STRING))").as("h"))
       .distinct()
     // buckets x k longs - small by construction, same local-pair-table
@@ -1011,7 +1011,7 @@ object Sketches {
     graft.functions.NativeFunctions.register(spark)
     val ev = Graft.tableParallel(spark, sfDir, "events")
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
-      .select(expr(s"(ts DIV 1000L) DIV ${slideBucketUs}L").as("b"),
+      .select(expr(s"(graft_ts_us(ts)) DIV ${slideBucketUs}L").as("b"),
         col("user_id"))
     val regs = hashRho(ev.select(col("b").as("l_returnflag"),
         col("user_id").as("l_orderkey")))
@@ -1116,7 +1116,7 @@ object Sketches {
     graft.functions.NativeFunctions.register(spark)
     val ev = Graft.tableParallel(spark, sfDir, "events")
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
-      .select(expr(s"(ts DIV 1000L) DIV ${slideBucketUs}L").as("b"),
+      .select(expr(s"(graft_ts_us(ts)) DIV ${slideBucketUs}L").as("b"),
         col("user_id"))
     val counters = ev
       .select(col("b"), col("user_id"),
@@ -1328,7 +1328,7 @@ object Sketches {
     graft.functions.NativeFunctions.register(spark)
     val hs = Graft.tableParallel(spark, sfDir, "events")
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
-      .select(expr(s"(ts DIV 1000L) DIV ${slideBucketUs}L").as("b"),
+      .select(expr(s"(graft_ts_us(ts)) DIV ${slideBucketUs}L").as("b"),
         expr("graft_md5_48(CAST(user_id AS STRING))").as("h"))
       .distinct()
     val s2 = spark; import s2.implicits._

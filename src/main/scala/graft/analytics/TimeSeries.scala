@@ -30,7 +30,7 @@ object TimeSeries {
   private[graft] def resampleBase(ev: DataFrame): DataFrame =
     ev.filter(col("ts").isNotNull && col("user_id").isNotNull)
       .select(col("user_id"),
-        expr(s"(ts DIV 1000L) DIV ${resampleBucketUs}L").as("tb"),
+        expr(s"(graft_ts_us(ts)) DIV ${resampleBucketUs}L").as("tb"),
         col("event_id"))
       .groupBy(col("user_id"), col("tb"))
       .agg(count(lit(1)).as("n_events"),
@@ -74,7 +74,7 @@ object TimeSeries {
     ev.filter(col("ts").isNotNull && col("user_id").isNotNull &&
         col("value").isNotNull)
       .select(col("user_id"),
-        expr(s"(ts DIV 1000L) DIV ${resampleBucketUs}L").as("tb"),
+        expr(s"(graft_ts_us(ts)) DIV ${resampleBucketUs}L").as("tb"),
         col("event_id"),
         expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").as("v_mu"))
       .groupBy(col("user_id"), col("tb"))
@@ -204,7 +204,7 @@ object TimeSeries {
     val lagged = Graft.tableParallel(spark, sfDir, "events")
       .filter(col("ts").isNotNull && col("user_id").isNotNull &&
         col("value").isNotNull)
-      .select(col("user_id"), expr("ts DIV 1000L").as("tus"),
+      .select(col("user_id"), expr("graft_ts_us(ts)").as("tus"),
         col("event_id"), col("value"),
         expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").as("v0"))
       .withColumn("m", least(lit(ewmaLen.toLong), row_number().over(w)))
@@ -300,7 +300,7 @@ object TimeSeries {
     Graft.tableParallel(spark, sfDir, "events")
       .filter(col("ts").isNotNull && col("user_id").isNotNull &&
         col("value").isNotNull)
-      .select(col("user_id"), expr("ts DIV 1000L").as("tus"),
+      .select(col("user_id"), expr("graft_ts_us(ts)").as("tus"),
         col("event_id"), col("value"),
         expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").as("v"))
       .withColumn("n", count(col("v")).over(wb))

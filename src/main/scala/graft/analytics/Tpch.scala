@@ -447,7 +447,7 @@ object Tpch {
       .orderBy(col("t"), col("event_id"))
     val flags = Graft.table(spark, sfDir, "events")
       .select(col("user_id"), col("event_id"),
-        expr("CAST(ts DIV 1000L AS BIGINT)").as("t"))
+        expr("graft_ts_us(ts)").as("t"))
       .withColumn("new_sess",
         when(col("t") - lag(col("t"), 1).over(w) > gapUs || lag(col("t"), 1).over(w).isNull, 1L)
           .otherwise(0L))

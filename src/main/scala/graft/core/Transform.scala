@@ -119,7 +119,7 @@ object Transform {
         // reference's exception isolation), not kill the job under ANSI.
         expr("TRY_CAST(regexp_extract(props, '\"k\": (\\\\d+)', 1) AS BIGINT)")
           .as("o"),
-        expr("CAST(ts DIV 1000L AS BIGINT)").as("t"), // ns → µs
+        expr("graft_ts_us(ts)").as("t"), // any encoding → µs
         col("event_id").as("seq"))
       .filter(col("p").isNotNull && col("s").isNotNull &&
               col("o").isNotNull && col("t").isNotNull)

@@ -601,6 +601,54 @@ case class Md5Prefix48(child: Expression)
     copy(child = newChild)
 }
 
+/** graft_ts_us(ts): event time as BIGINT epoch-microseconds, adaptive
+  * at ANALYSIS time to the physical encoding of the scanned column -
+  * the engine's one canonical event-time accessor (≙ the reference's
+  * source-format-agnostic Extract contract, protocols.clj):
+  *
+  *   - BIGINT            → epoch-nanos (parquet TIMESTAMP(NANOS) read
+  *                         under `nanosAsLong`, or a raw INT64 column):
+  *                         divide by 1000;
+  *   - TIMESTAMP[_NTZ]   → Catalyst's internal value IS epoch-micros
+  *                         (local-wall micros for NTZ; the engine pins
+  *                         the session to UTC so both equal DuckDB's
+  *                         `epoch_us`): reinterpret, zero work.
+  *
+  * Dispatching on the resolved child type here - instead of hardcoding
+  * one physical layout at ~20 call sites - is what keeps every
+  * event-time operator correct when the warehouse rewrites the table's
+  * timestamp encoding (exactly what a long-lived 100 TB deployment
+  * does across parquet-writer generations).
+  */
+case class TsMicros(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | TimestampType | TimestampNTZType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_ts_us expects bigint (epoch-nanos) or a timestamp type, " +
+        s"got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_ts_us"
+
+  override def nullSafeEval(v: Any): Any = child.dataType match {
+    case LongType => v.asInstanceOf[Long] / 1000L
+    case _ => v // internal timestamp representation is already micros
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    child.dataType match {
+      case LongType => defineCodeGen(ctx, ev, c => s"($c / 1000L)")
+      case _ => defineCodeGen(ctx, ev, c => c)
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** graft_bloom_contains(bloom, h): membership probe of a 64-bit key
   * against a plan-time Bloom filter (`org.apache.spark.util.sketch`,
   * the same sketch Spark's own runtime row-level filters use). The
@@ -969,6 +1017,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_md5_48"),
       info("graft_md5_48", "48-bit md5-prefix content hash"),
       exprs => Md5Prefix48(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_ts_us"),
+      info("graft_ts_us", "event time as epoch-micros, any encoding"),
+      exprs => TsMicros(exprs.head)))
     e.injectFunction((FunctionIdentifier("graft_simhash48"),
       info("graft_simhash48", "48-bit simhash of hashed tokens"),
       exprs => SimHash48(exprs.head)))
@@ -1069,6 +1120,8 @@ object NativeFunctions {
       exprs => HammingDist(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_md5_48",
       exprs => Md5Prefix48(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_ts_us",
+      exprs => TsMicros(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash48",
       exprs => SimHash48(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_lsh_bucket",

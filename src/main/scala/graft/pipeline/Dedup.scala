@@ -488,7 +488,16 @@ object Dedup {
     * global df at query time (the evolving-LM stores' philosophy:
     * history is tokenized once, ranked under today's model).
     */
-  def jaccardPrefixFrom(sh0: DataFrame): DataFrame = {
+  def jaccardPrefixFrom(sh0: DataFrame): DataFrame =
+    jaccardPrefixFrom(sh0, positional = true)
+
+  /** Candidate pairs only (pre-verify) - `positional = false` drops the
+    * PPJoin positional filter so its pruning power is measurable; both
+    * settings admit every true pair (the positional bound over-counts
+    * overlap, never under-counts - see the join condition comment).
+    */
+  private[graft] def jaccardPrefixCandidates(
+      sh0: DataFrame, positional: Boolean): DataFrame = {
     val sh = sh0.select(col("doc_id"), col("hs"))
     val ex = sh.select(col("doc_id"),
       size(col("hs")).cast(LongType).as("sz"), explode(col("hs")).as("h"))
@@ -497,13 +506,37 @@ object Dedup {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
       .filter(col("rk") <= col("sz") - expr("(4 * sz + 4) div 5") + lit(1L))
-      .select(col("doc_id"), col("h"), col("sz"))
-    val cand = prefix.as("x").join(prefix.as("y"),
+      .select(col("doc_id"), col("h"), col("sz"),
+        col("rk").cast(LongType).as("rk"))
+    // PPJoin positional filter (Xiao et al. WWW'08): a shared token at
+    // rare-first ranks (i, j) bounds the overlap by
+    //   min(i, j) - 1  (shared tokens BEFORE this one in the global
+    //                   order - at most that many on each side)
+    // + 1              (this token)
+    // + min(sza - i, szb - j)   (tokens after it on each side),
+    // and J >= 4/5 forces overlap >= ceil(4(sza+szb)/9). The bound
+    // >= the true overlap for EVERY shared token, so requiring it on
+    // the join key loses no qualifying pair while pruning the
+    // length-filter-admitted pairs whose match sits too deep in either
+    // prefix - the candidate-volume cap that keeps rare-but-frequent
+    // prefix tokens from quadratic fan at corpus scale.
+    val positionalOk =
+      least(col("x.rk"), col("y.rk")) +
+        least(col("x.sz") - col("x.rk"), col("y.sz") - col("y.rk")) >=
+        expr("(4 * (x.sz + y.sz) + 8) div 9")
+    prefix.as("x").join(prefix.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id") &&
         lit(5L) * least(col("x.sz"), col("y.sz")) >=
-          lit(4L) * greatest(col("x.sz"), col("y.sz")))
+          lit(4L) * greatest(col("x.sz"), col("y.sz")) &&
+        (if (positional) positionalOk else lit(true)))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  private def jaccardPrefixFrom(sh0: DataFrame,
+                                positional: Boolean): DataFrame = {
+    val sh = sh0.select(col("doc_id"), col("hs"))
+    val cand = jaccardPrefixCandidates(sh0, positional)
     cand
       .join(sh.withColumnRenamed("doc_id", "doc_a")
               .withColumnRenamed("hs", "hs_a"), "doc_a")

@@ -81,7 +81,7 @@ object Layout {
   private[graft] def zorderFrom(ev: DataFrame): DataFrame =
     ev.filter(col("ts").isNotNull && col("value").isNotNull)
       .select(col("event_id"),
-        expr(s"pmod((ts DIV 1000L) DIV ${tBucketUs}L, ${1L << zBits})")
+        expr(s"pmod((graft_ts_us(ts)) DIV ${tBucketUs}L, ${1L << zBits})")
           .as("tb"),
         expr(vbSpark("value")).as("vb"))
       .withColumn("zkey", expr(zSpark))
@@ -140,7 +140,7 @@ object Layout {
     */
   def writeZOrdered(ev: DataFrame, dir: String): Unit =
     ev.withColumn("tb", expr(
-        s"pmod((ts DIV 1000L) DIV ${tBucketUs}L, ${1L << zBits})"))
+        s"pmod((graft_ts_us(ts)) DIV ${tBucketUs}L, ${1L << zBits})"))
       // explicit null guard: least() SKIPS nulls, so a bare
       // least(floor(NULL), max) would silently bucket null values at
       // the top of the range instead of quarantining them

@@ -17,38 +17,56 @@ import org.apache.spark.sql.types._
   */
 object EventSource {
 
-  /** The canonical event schema (`ts` as epoch-nanos BIGINT, matching
-    * the nanosAsLong parquet read).
+  /** The canonical event schema. `tsType` is the one encoding-dependent
+    * field: TIMESTAMP_NTZ for the current warehouse layout, BIGINT for
+    * legacy epoch-nanos feeds - downstream never cares, because every
+    * event-time consumer goes through the type-adaptive `graft_ts_us`.
     */
-  val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  def eventSchema(tsType: DataType = TimestampNTZType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
   def parquet(spark: SparkSession, path: String): DataFrame = {
     Graft.ensureConf(spark)
     spark.read.parquet(path)
   }
 
-  def json(spark: SparkSession, path: String): DataFrame = {
+  /** Text formats need an explicit fraction-bearing pattern: Spark's
+    * default timestampNTZFormat carries only milliseconds, and the
+    * events table has genuine microsecond components - the default
+    * would silently truncate on write and desync `last_t` state.
+    * Writers producing text feeds for these readers must use the same.
+    */
+  val tsNtzFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+  def json(spark: SparkSession, path: String,
+           tsType: DataType = TimestampNTZType): DataFrame = {
     Graft.ensureConf(spark)
-    spark.read.schema(eventSchema).json(path)
+    spark.read.schema(eventSchema(tsType))
+      .option("timestampNTZFormat", tsNtzFormat).json(path)
   }
 
-  def csv(spark: SparkSession, path: String): DataFrame = {
+  def csv(spark: SparkSession, path: String,
+          tsType: DataType = TimestampNTZType): DataFrame = {
     Graft.ensureConf(spark)
-    spark.read.schema(eventSchema).option("header", "true").csv(path)
+    spark.read.schema(eventSchema(tsType))
+      .option("timestampNTZFormat", tsNtzFormat)
+      .option("header", "true").csv(path)
   }
 
   /** ORC: the other columnar format Spark ships natively - same
     * predicate pushdown / column pruning story as parquet, so an
     * ORC-resident deployment pays no plan-shape penalty switching in.
+    * ORC files are self-describing, so the schema (incl. the ts
+    * encoding) comes from the footer, not a declaration.
     */
   def orc(spark: SparkSession, path: String): DataFrame = {
     Graft.ensureConf(spark)
-    spark.read.schema(eventSchema).orc(path)
+    spark.read.orc(path)
   }
 }

@@ -306,7 +306,7 @@ object StreamSum {
     import spark.implicits._
     val bucketed = streamingEvents(spark, sfDir)
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
-      .select(expr(s"(ts DIV 1000L) DIV ${Sketches.slideBucketUs}L").as("b"),
+      .select(expr(s"(graft_ts_us(ts)) DIV ${Sketches.slideBucketUs}L").as("b"),
         expr("graft_md5_48(CAST(user_id AS STRING))").as("h"))
       .as[(Long, Long)]
     val agg = graft.functions.MinKAgg(Sketches.kmvK)
@@ -321,7 +321,7 @@ object StreamSum {
         col("kmv_jaccard"), col("kmv_union_est"))
     val hs = Graft.table(spark, sfDir, "events")
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
-      .select(expr(s"(ts DIV 1000L) DIV ${Sketches.slideBucketUs}L").as("b"),
+      .select(expr(s"(graft_ts_us(ts)) DIV ${Sketches.slideBucketUs}L").as("b"),
         expr("graft_md5_48(CAST(user_id AS STRING))").as("h"))
       .distinct()
     val sizes = hs.groupBy(col("b")).agg(count(lit(1)).as("n"))
@@ -406,7 +406,7 @@ object StreamSum {
     def evStream() = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .select(col("event_id"), expr("ts DIV 1000").as("t"))
+      .select(col("event_id"), expr("graft_ts_us(ts)").as("t"))
     val probe = evStream()
       .withColumn("bkt0", expr(s"t DIV ${deltaUs}L"))
       .select(col("event_id"), col("t"),
@@ -428,7 +428,7 @@ object StreamSum {
     val counts = pairTable.groupBy(col("event_id"))
       .agg(count(lit(1)).as("n_next"))
     Graft.table(spark, sfDir, "events")
-      .select(col("event_id"), expr("ts DIV 1000").as("t"))
+      .select(col("event_id"), expr("graft_ts_us(ts)").as("t"))
       .join(counts, Seq("event_id"), "left")
       .select(col("event_id"), col("t"),
         coalesce(col("n_next"), lit(0L)).as("n_next"))
@@ -1053,7 +1053,7 @@ object StreamSum {
         .as("book"))
     val ev = streamingEvents(spark, sfDir)
       .select(col("event_id"), col("user_id"),
-        expr("CAST(ts DIV 1000L AS BIGINT)").as("t"))
+        expr("graft_ts_us(ts)").as("t"))
     val joined = ev.join(broadcast(idx),
         ev("user_id") === idx("k"), "left")
       .withColumn("m", expr("element_at(filter(book, x -> x.rt <= t), -1)"))

@@ -137,7 +137,7 @@ class PlanShapeSpec extends SparkSpec {
   test("range join: banding == the naive inequality join") {
     import org.apache.spark.sql.functions._
     val e = graft.core.Graft.table(spark, sfDir, "events")
-      .select(col("event_id"), expr("ts DIV 1000").as("t"))
+      .select(col("event_id"), expr("graft_ts_us(ts)").as("t"))
     val naive = e.as("a")
       .join(e.as("b"), col("b.t") > col("a.t") &&
         col("b.t") <= col("a.t") + RangeJoin.deltaUs)
@@ -347,7 +347,7 @@ class PlanShapeSpec extends SparkSpec {
     val ev = graft.core.Graft.table(spark, sfDir, "events")
       .select(col("event_id"), col("user_id"),
         org.apache.spark.sql.functions.expr(
-          "CAST(ts DIV 1000L AS BIGINT)").as("t"))
+          "graft_ts_us(ts)").as("t"))
     val joined = ev.join(
         org.apache.spark.sql.functions.broadcast(idx),
         ev("user_id") === idx("k"), "left")

@@ -92,7 +92,7 @@ class SketchesSpec extends SparkSpec {
     // 6x re-scan)
     val ev = graft.core.Graft.table(spark, sfDir, "events")
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
-      .select(expr(s"(ts DIV 1000L) DIV ${Sketches.slideBucketUs}L").as("b"),
+      .select(expr(s"(graft_ts_us(ts)) DIV ${Sketches.slideBucketUs}L").as("b"),
         col("user_id"))
     val wb = r(r.length / 2)._1
     val direct = Sketches.hashRho(
@@ -353,7 +353,7 @@ class SketchesSpec extends SparkSpec {
     // wall-clock inequality at the generated anchor, sf3 check).
     val ev = spark.read.format("graft-events")
       .option("rows", "20000").option("users", "50").load()
-      .select(expr(s"(ts DIV 1000L) DIV ${Sketches.slideBucketUs}L").as("b"),
+      .select(expr(s"(graft_ts_us(ts)) DIV ${Sketches.slideBucketUs}L").as("b"),
         col("user_id"))
     val raw = ev.count()
     val distinctPairs = ev.distinct().count()

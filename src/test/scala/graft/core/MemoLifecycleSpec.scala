@@ -39,6 +39,22 @@ class MemoLifecycleSpec extends SparkSpec {
     assert(persistedCount == before)
   }
 
+  test("centroid memo canonicalizes corpus-dir spellings to one entry") {
+    graft.pipeline.Similarity.releaseAll(spark)
+    val canonical = graft.pipeline.Similarity.trainedCentroidsFor(spark, sfDir)
+    // trailing slash, dot segment, relative-style round trip: all must
+    // resolve to the SAME memo entry - reference identity proves no
+    // second training ran
+    for (spelling <- Seq(s"$sfDir/", s"$sfDir/./",
+        s"${new java.io.File(sfDir).getParent}/../testdata/sf0.001")) {
+      val again = graft.pipeline.Similarity.trainedCentroidsFor(spark, spelling)
+      assert(again eq canonical,
+        s"'$spelling' trained a second centroid matrix instead of " +
+          "hitting the canonical memo entry")
+    }
+    graft.pipeline.Similarity.releaseAll(spark)
+  }
+
   test("dupClusters releases its per-round intermediates") {
     SignatureStore.release(spark, sfDir)
     Dedup.dupClusters(spark, sfDir).count()

@@ -103,6 +103,39 @@ class DedupSimSpec extends SparkSpec {
       s"missed ${truth.diff(got).size}, spurious ${got.diff(truth).size}")
   }
 
+  test("positional filter prunes length-admitted candidates, loses none") {
+    import spark.implicits._
+    // Planted so the ONLY shared-prefix match of (a, b) sits at ranks
+    // (4, 1) with sizes (16, 20): overlap bound = min(4,1) +
+    // min(16-4, 20-1) = 13 < ceil(4*36/9) = 16 -> positionally pruned,
+    // while the length filter (5*16 >= 4*20) admits it. True Jaccard
+    // is 1/35, so pruning changes nothing in the verified output.
+    // Doc c exists only to give every planted token document
+    // frequency 2 (df asc, h asc is the global prefix order).
+    val a = (Seq(1L, 2L, 3L, 1000L) ++ (2000L until 2012L)).toArray
+    val b = (Seq(1000L) ++ (3000L until 3019L)).toArray
+    val c = (Seq(1L, 2L, 3L) ++ (2000L until 2012L) ++
+      (3000L until 3019L)).toArray
+    val sh = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "hs")
+    val without = Dedup.jaccardPrefixCandidates(sh, positional = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val withPos = Dedup.jaccardPrefixCandidates(sh, positional = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(without == Set((1L, 2L)),
+      s"length filter should admit exactly the planted pair, got $without")
+    assert(withPos.isEmpty,
+      s"positional filter should prune the planted pair, got $withPos")
+    // and on the real corpus the filtered candidates stay a superset
+    // of the verified pairs (exactness itself is pinned by the
+    // brute-force test above)
+    val realCands = Dedup.jaccardPrefixCandidates(
+      bruteShingles, positional = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = Dedup.jaccardPrefix(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.subsetOf(realCands))
+  }
+
   test("containment join is EXACT and catches subset docs jaccard misses") {
     val docs = bruteShingles
     val truth = docs.as("x").crossJoin(docs.as("y"))

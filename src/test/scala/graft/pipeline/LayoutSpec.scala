@@ -69,8 +69,15 @@ class LayoutSpec extends SparkSpec {
           StructField("ts", LongType), // nanos-as-long, like the table
           StructField("value", DoubleType))))
     }
+    // the fixture carries long nanos; re-encode to whatever ts type the
+    // live table scans as (the union must be encoding-agnostic, like
+    // the operators themselves)
+    val fixtureTs = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts")
+      case dt => expr("timestamp_micros(ts DIV 1000)").cast(dt)
+    }
     val withNulls = ev.select(col("event_id"), col("ts"), col("value"))
-      .unionByName(nulls.select(col("event_id"), col("ts"),
+      .unionByName(nulls.select(col("event_id"), fixtureTs.as("ts"),
         col("value").cast("double")))
     val dir = java.nio.file.Files.createTempDirectory("graft_zapi").toString
     Layout.writeZOrdered(withNulls, dir)

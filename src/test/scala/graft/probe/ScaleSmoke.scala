@@ -46,7 +46,7 @@ object ScaleSmoke {
     // explode + bucket-shuffle + residual-filter path over `rows`^2
     // candidate space
     val delta = graft.analytics.RangeJoin.deltaUs
-    val evT = ev.select(col("event_id"), expr("ts DIV 1000").as("t"))
+    val evT = ev.select(col("event_id"), expr("graft_ts_us(ts)").as("t"))
     val rj = graft.analytics.RangeJoin.fromEvents(evT, delta)
       .agg(sum(col("n_next")).as("pairs"), count(lit(1)).as("n"))
       .collect()(0)
@@ -122,7 +122,7 @@ object ScaleSmoke {
     // 6x re-scan it replaces, on the same windows - the merge must
     // agree within sketch error and cost less
     val evB = ev.select(
-      expr(s"(ts DIV 1000) DIV ${Sketches.slideBucketUs}L").as("b"),
+      expr(s"(graft_ts_us(ts)) DIV ${Sketches.slideBucketUs}L").as("b"),
       col("user_id"))
     val winsB = evB.select(col("b").as("wb")).distinct()
     val estsW = Sketches.estimate(

@@ -14,8 +14,11 @@ class EventSourceSpec extends SparkSpec {
   test("json and csv sources produce the same cache state as parquet") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_src").toString
     val events = EventSource.parquet(spark, s"$sfDir/events.parquet")
-    events.write.mode("overwrite").json(s"$tmp/events_json")
+    events.write.mode("overwrite")
+      .option("timestampNTZFormat", EventSource.tsNtzFormat)
+      .json(s"$tmp/events_json")
     events.write.mode("overwrite").option("header", "true")
+      .option("timestampNTZFormat", EventSource.tsNtzFormat)
       .csv(s"$tmp/events_csv")
     events.write.mode("overwrite").orc(s"$tmp/events_orc")
 
