@@ -210,6 +210,7 @@ object SparkEntry {
     "mm_binary_stats" -> Multimodal.binaryStats _,
     "mm_frame_sample" -> Multimodal.frameSample _,
     "mm_decode_batched" -> Multimodal.decodeBatched _,
+    "mm_bmp_decode" -> Multimodal.bmpDecodeE2e _,
     // ---- corpus-level training-data ops ----
     "txt_vocab" -> graft.pipeline.CorpusOps.vocab _,
     // fixed shard count here so Spark and the generated oracle SQL
@@ -381,6 +382,7 @@ object SparkEntry {
     "mm_binary_stats" -> Multimodal.binaryStatsSql,
     "mm_frame_sample" -> Multimodal.frameSampleSql,
     "mm_decode_batched" -> Multimodal.decodeBatchedSql,
+    "mm_bmp_decode" -> Multimodal.bmpDecodeE2eSql,
     "txt_vocab" -> graft.pipeline.CorpusOps.vocabSql,
     "pipe_shuffle" -> graft.pipeline.CorpusOps.shuffleSql(),
     "pipe_mix" -> graft.pipeline.CorpusOps.mixSql,

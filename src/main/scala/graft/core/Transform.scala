@@ -15,19 +15,25 @@ case object LastN extends CacheKind
 case object CountK extends CacheKind
 
 /** One output pattern of a transform rule: emit a tuple into `cache`,
-  * with the key/value drawn from the input tuple's fields ("s" or "o"),
-  * and - for count caches - a literal action name (the reference nests
-  * the action inside the object slot: [cache s [action o] t],
+  * with the key/value ATOMS either drawn from the input tuple's fields
+  * ("s" or "o") or literal longs (a constant in an output position, ≙
+  * the reference emitting composite/constant values from a core.match
+  * arm), and - for count caches - a literal action name (the reference
+  * nests the action inside the object slot: [cache s [action o] t],
   * caches.clj:81).
   */
 final case class Out(cache: String, keyFrom: String, valFrom: String,
                      action: Option[String] = None)
 
 /** A transform rule ≙ one core.match pattern of the reference's
-  * `deftransform` (system.clj:17): match on the predicate, emit 0..n
-  * output tuples with rearranged subject/object.
+  * `deftransform` (system.clj:17): match on the predicate - and
+  * optionally on CONSTANTS in the subject/object tuple positions
+  * (core.match patterns may pin any position to a literal; an absent
+  * guard is the wildcard) - then emit 0..n output tuples with
+  * rearranged subject/object and/or literal atoms.
   */
-final case class Rule(pred: String, outs: Seq[Out])
+final case class Rule(pred: String, outs: Seq[Out],
+                      sEq: Option[Long] = None, oEq: Option[Long] = None)
 
 /** Default config over the synthetic `events` table, shaped after
   * /root/reference/example/streamsum/config.clj (CREATE_CHAT ≙ signup,
@@ -69,22 +75,44 @@ object Transform {
     * reading rule patterns from a config file (system.clj
     * `read-config-file`). One rule per line:
     *
-    *   pred -> cache(keyField,valField)[@action], cache2(...)
+    *   pred[(s=N[,o=M])] -> cache(keyAtom,valAtom)[@action], cache2(...)
     *
+    * where an atom is `s`, `o`, or a literal long. The optional guard
+    * list pins the subject/object positions to constants - the full
+    * core.match surface of `deftransform`: constants or wildcards in
+    * any tuple position, constant atoms in any output position.
     * e.g. `purchase -> buy-obj-user(o,s), interactions-user-obj(s,o)@buy`
+    *      `view(o=7) -> featured-viewers(s,1)`
     * Lines starting with # and blank lines are ignored.
     */
   def parseRules(text: String): Seq[Rule] = {
-    val outRe = """([\w-]+)\((s|o),(s|o)\)(?:@([\w-]+))?""".r
+    val headRe = """([\w-]+)(?:\(\s*([^)]*)\))?""".r
+    val guardRe = """(s|o)\s*=\s*(-?\d+)""".r
+    val outRe = """([\w-]+)\((s|o|-?\d+),(s|o|-?\d+)\)(?:@([\w-]+))?""".r
     text.linesIterator.map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { line =>
-        val Array(pred, rhs) = line.split("->", 2).map(_.trim)
+        val Array(head, rhs) = line.split("->", 2).map(_.trim)
+        val (pred, guards) = head match {
+          case headRe(p, null) => (p, Seq.empty[(String, Long)])
+          case headRe(p, gs) =>
+            val parsed = gs.split(",").map(_.trim).filter(_.nonEmpty)
+              .toSeq.map {
+                case guardRe(f, v) => f -> v.toLong
+                case bad => throw new IllegalArgumentException(
+                  s"unparseable guard '$bad' in line '$line'")
+              }
+            (p, parsed)
+          case other => throw new IllegalArgumentException(
+            s"unparseable rule head '$other' in line '$line'")
+        }
         val outs = outRe.findAllMatchIn(rhs).map { m =>
           Out(m.group(1), m.group(2), m.group(3), Option(m.group(4)))
         }.toSeq
         require(outs.nonEmpty, s"no output specs in line '$line'")
-        Rule(pred, outs)
+        Rule(pred, outs,
+          sEq = guards.collectFirst { case ("s", v) => v },
+          oEq = guards.collectFirst { case ("o", v) => v })
       }.toSeq
   }
 
@@ -134,15 +162,21 @@ object Transform {
     * count caches.
     */
   def apply(tuples: DataFrame, rules: Seq[Rule] = Config.rules): DataFrame = {
+    // "s"/"o" bind the tuple field; a literal long is a constant atom
+    def atom(a: String): Column =
+      if (a == "s" || a == "o") col(a) else lit(a.toLong)
     val patterns: Seq[Column] = for {
       rule <- rules
       out  <- rule.outs
-    } yield when(col("p") === rule.pred,
+    } yield when(
+      (Seq(col("p") === rule.pred) ++
+        rule.sEq.map(col("s") === _) ++
+        rule.oEq.map(col("o") === _)).reduce(_ && _),
       struct(
         lit(out.cache).as("cache"),
-        col(out.keyFrom).as("k"),
+        atom(out.keyFrom).as("k"),
         out.action.map(lit(_)).getOrElse(lit(null: String)).as("a"),
-        col(out.valFrom).as("v"),
+        atom(out.valFrom).as("v"),
         col("t").as("t"),
         col("seq").as("seq")))
 

@@ -117,6 +117,131 @@ object Multimodal {
        |    AS format
        |FROM t ORDER BY doc_id""".stripMargin
 
+  // ---- mm_bmp_decode: a REAL image codec (no stub) -------------------
+
+  /** Pure-JVM BMP writer: 24-bit uncompressed BI_RGB, bottom-up rows,
+    * 4-byte row padding - a genuine, ImageIO-readable image file. The
+    * pixel pattern is doc-derived: blue = x + y, green = 2(x + y),
+    * red = docId % 200 (dims stay < 256 so no channel wraps), which
+    * gives the decoder's output a closed form the DuckDB oracle can
+    * recompute from doc_id alone.
+    */
+  private[pipeline] def bmpEncode(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val size = 54 + rowBytes * h
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(rowBytes * h).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    val red = (docId % 200).toByte
+    var y = h - 1 // bottom-up: last image row is stored first
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        b.put((x + y).toByte).put((2 * (x + y)).toByte).put(red) // B G R
+        x += 1
+      }
+      var p = w * 3
+      while (p < rowBytes) { b.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    b.array()
+  }
+
+  /** Decoded header + exact integer pixel aggregates. `tl_blue` is the
+    * blue channel of the TOP-LEFT image pixel - in a bottom-up BMP that
+    * byte sits at the start of the LAST stored row, so a parser that
+    * ignores row order gets it wrong even though the sums hide it.
+    */
+  final case class BmpDecoded(doc_id: Long, width: Long, height: Long,
+                              bpp: Long, sum_red: Long, sum_green: Long,
+                              sum_blue: Long, tl_blue: Long)
+
+  /** Pure-JVM BMP parser: validates the magic, reads the little-endian
+    * header (pixel offset, dims, bpp, BI_RGB only), then walks the
+    * padded bottom-up pixel rows. No library, no stub - this reads any
+    * 24-bit uncompressed BMP, not just `bmpEncode`'s (the spec pins it
+    * against the JDK's own ImageIO BMP reader as an independent
+    * referee).
+    */
+  private[pipeline] def bmpDecode(docId: Long, bytes: Array[Byte]): BmpDecoded = {
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54 && b.get(0) == 'B'.toByte &&
+      b.get(1) == 'M'.toByte, s"doc $docId: not a BMP payload")
+    val pixOff = b.getInt(10)
+    val w = b.getInt(18)
+    val h = b.getInt(22)
+    val bpp = b.getShort(28).toInt
+    require(bpp == 24 && b.getInt(30) == 0,
+      s"doc $docId: only 24-bit BI_RGB supported, got bpp=$bpp")
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var stored = 0 // stored-row index; image row y = h - 1 - stored
+    while (stored < h) {
+      var x = 0
+      val base = pixOff + stored * rowBytes
+      while (x < w) {
+        sb += bytes(base + x * 3) & 0xff
+        sg += bytes(base + x * 3 + 1) & 0xff
+        sr += bytes(base + x * 3 + 2) & 0xff
+        x += 1
+      }
+      stored += 1
+    }
+    // top-left image pixel = first pixel of the last STORED row
+    val tl = bytes(pixOff + (h - 1) * rowBytes) & 0xff
+    BmpDecoded(docId, w, h, bpp, sr, sg, sb, tl)
+  }
+
+  /** End-to-end real-codec path: encode each document's doc-derived
+    * image as genuine BMP bytes (the binary media column), then decode
+    * header + pixels back with the real parser. Encoder and parser are
+    * independent code paths, so a parse bug (padding, row order,
+    * endianness, header offset) breaks the closed-form oracle match.
+    * Same mapPartitions batch shape as `decodeBatched` - per-partition
+    * codec init, rows streamed through.
+    */
+  def bmpDecodeE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    val s2 = Graft.ensureConf(spark)
+    import s2.implicits._
+    Graft.tableParallel(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 16 + (id % 17).toInt
+          val h = 8 + (id % 11).toInt
+          bmpDecode(id, bmpEncode(id, w, h))
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** Closed forms: width/height from doc_id; channel sums over the
+    * gradient - sum(x+y) = h*w(w-1)/2 + w*h(h-1)/2, green doubles it,
+    * red is constant per image, top-left blue is 0 by construction.
+    */
+  val bmpDecodeE2eSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         16 + doc_id % 17 AS w,
+      |         8 + doc_id % 11 AS h
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(24 AS BIGINT) AS bpp,
+      |  CAST(w * h * (doc_id % 200) AS BIGINT) AS sum_red,
+      |  CAST(2 * (h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2))
+      |       AS BIGINT) AS sum_green,
+      |  CAST(h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2)
+      |       AS BIGINT) AS sum_blue,
+      |  CAST(0 AS BIGINT) AS tl_blue
+      |FROM t ORDER BY doc_id""".stripMargin
+
   /** Frame-sampling plumbing: each payload fans out to stride-sampled
     * frame-index rows (explode = the distributed flatMap); the per-frame
     * "feature" is a STUB digest. Narrow: no shuffle at any width.

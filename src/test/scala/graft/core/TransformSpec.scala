@@ -59,6 +59,30 @@ class TransformSpec extends SparkSpec {
     assert(Transform.parseRules(Transform.defaultConfigText) == Config.rules)
   }
 
+  test("constant guards and literal output atoms (full pattern surface)") {
+    // ≙ a core.match arm pinning a tuple position to a constant and
+    // emitting a constant atom: [\"view\" s 7 t] -> [cache s 1 t].
+    // props {\"k\": 7} extracts to o=7, so only event 2 (view, o=7)
+    // matches the guarded rule; the sibling unguarded rule still sees
+    // every view.
+    val rules = Transform.parseRules(
+      """view(o=7) -> featured-viewers(s,1)
+        |view -> view-user-obj(s,o)
+        |purchase(s=999) -> never(s,o)
+        |""".stripMargin)
+    assert(rules.head == Rule("view",
+      Seq(Out("featured-viewers", "s", "1")), sEq = None, oEq = Some(7L)))
+    val xf = Transform(Transform.extractFrom(eventsDf), rules)
+      .select("cache", "k", "v", "seq").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(xf == Set(
+      ("featured-viewers", 11L, 1L, 2L), // guarded match, literal v
+      ("view-user-obj", 11L, 7L, 2L)))   // unguarded sibling
+    // guard that matches nothing emits nothing (no null structs leak)
+    assert(!xf.exists(_._1 == "never"))
+  }
+
   test("parseRules rejects malformed config lines") {
     intercept[IllegalArgumentException] {
       Transform.parseRules("purchase -> just some garbage")
