@@ -98,6 +98,7 @@ object SparkEntry {
     "ss_stream_mix" -> StreamSum.streamMix _,
     "ss_stream_bigram" -> StreamSum.streamBigramNll _,
     "ss_stream_resample" -> StreamSum.streamResample _,
+    "ss_stream_resample_interp" -> StreamSum.streamResampleInterp _,
     "ss_stream_corr" -> StreamSum.streamCorr _,
     "ss_stream_decont" -> StreamSum.streamDecontaminate _,
     "ss_stream_quality" -> StreamSum.streamQuality _,
@@ -285,6 +286,7 @@ object SparkEntry {
     "ss_stream_mix" -> graft.pipeline.CorpusOps.mixSql,
     "ss_stream_bigram" -> TextAnalysis.bigramNllSql,
     "ss_stream_resample" -> TimeSeries.qResampleSql,
+    "ss_stream_resample_interp" -> TimeSeries.qResampleInterpSql,
     "ss_stream_corr" -> Tpch.qCorrSql,
     "ss_stream_decont" -> graft.pipeline.CorpusOps.decontaminateSql,
     "q4_semijoin" -> Tpch.q4SemiJoinSql,

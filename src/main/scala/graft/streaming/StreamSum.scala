@@ -988,6 +988,28 @@ object StreamSum {
       .ofInternalRows(spark, state.queryExecution.toRdd, state.schema))
   }
 
+  /** Streaming face of the INTERPOLATING resample, sharing
+    * `q_resample_interp`'s oracle - same split as `streamResample`:
+    * the corpus-touching half (per-(key, bucket) count + last
+    * observation by event_id, exact micro-units) is a streaming
+    * aggregation with bounded state (keys x active buckets; the
+    * max-by-event_id anchor is an ordinary max over a (event_id, v_mu)
+    * struct, so arrival order cannot perturb it), and the spine +
+    * two-sided interpolation windows run over the streamed state via
+    * literally the batch `resampleInterpFill`. State-sized fill input,
+    * never raw events.
+    */
+  def streamResampleInterp(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.analytics.TimeSeries
+    val base = TimeSeries.resampleInterpBase(streamingEvents(spark, sfDir))
+    val state = runToTable(base, OutputMode.Complete(),
+      "ss_stream_resample_interp")
+    // same InternalRow barrier as streamResample: the fill self-joins
+    // its input, which trips reference dedup over memory-table relations
+    TimeSeries.resampleInterpFill(org.apache.spark.sql.GraftBridge
+      .ofInternalRows(spark, state.queryExecution.toRdd, state.schema))
+  }
+
   /** Streaming admission against the evolving BIGRAM LM - the
     * context-aware sibling of `ss_stream_quality`, sharing
     * `txt_bigram_nll`'s oracle: each micro-batch folds its pair/term

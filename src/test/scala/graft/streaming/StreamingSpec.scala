@@ -278,6 +278,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming interpolating resample == batch face (incl. gaps)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e6), r.getBoolean(4))
+    val streamed = StreamSum.streamResampleInterp(spark, sfDir)
+      .collect().map(key).toSet
+    val batch = graft.analytics.TimeSeries.qResampleInterp(spark, sfDir)
+      .collect().map(key).toSet
+    assert(streamed == batch)
+    assert(streamed.exists(_._5), "fixture should contain gap buckets")
+  }
+
   test("streaming decontamination == both batch faces") {
     val streamed = StreamSum.streamDecontaminate(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
