@@ -212,6 +212,7 @@ object SparkEntry {
     "mm_frame_sample" -> Multimodal.frameSample _,
     "mm_decode_batched" -> Multimodal.decodeBatched _,
     "mm_bmp_decode" -> Multimodal.bmpDecodeE2e _,
+    "mm_wav_decode" -> Multimodal.wavDecodeE2e _,
     // ---- corpus-level training-data ops ----
     "txt_vocab" -> graft.pipeline.CorpusOps.vocab _,
     // fixed shard count here so Spark and the generated oracle SQL
@@ -385,6 +386,7 @@ object SparkEntry {
     "mm_frame_sample" -> Multimodal.frameSampleSql,
     "mm_decode_batched" -> Multimodal.decodeBatchedSql,
     "mm_bmp_decode" -> Multimodal.bmpDecodeE2eSql,
+    "mm_wav_decode" -> Multimodal.wavDecodeE2eSql,
     "txt_vocab" -> graft.pipeline.CorpusOps.vocabSql,
     "pipe_shuffle" -> graft.pipeline.CorpusOps.shuffleSql(),
     "pipe_mix" -> graft.pipeline.CorpusOps.mixSql,

@@ -242,6 +242,114 @@ object Multimodal {
       |  CAST(0 AS BIGINT) AS tl_blue
       |FROM t ORDER BY doc_id""".stripMargin
 
+  // ---- mm_wav_decode: a REAL audio codec (no stub) -------------------
+
+  /** Pure-JVM WAV writer: canonical RIFF/WAVE, 16-bit PCM mono,
+    * little-endian - a genuine file javax.sound can open. Doc-derived
+    * waveform with a closed form: sample i = 50·((docId%100) + i%100),
+    * n = 500 + docId%300 samples, rate 8000 + (docId%4)·4000 Hz.
+    */
+  private[pipeline] def wavEncode(docId: Long): Array[Byte] = {
+    val n = (500 + docId % 300).toInt
+    val rate = (8000 + (docId % 4) * 4000).toInt
+    val base = (docId % 100).toInt
+    val b = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + 2 * n).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    b.put("data".getBytes).putInt(2 * n)
+    var i = 0
+    while (i < n) {
+      b.putShort((50 * (base + i % 100)).toShort)
+      i += 1
+    }
+    b.array()
+  }
+
+  final case class WavDecoded(doc_id: Long, sample_rate: Long,
+                              channels: Long, bits: Long, n_samples: Long,
+                              sum_samples: Long, peak: Long)
+
+  /** Pure-JVM WAV parser: validates RIFF/WAVE, then WALKS the chunk
+    * list generically (fmt may be followed by LIST/fact/etc. in the
+    * wild - chunks are skipped by their declared size, word-aligned)
+    * rather than assuming the canonical 44-byte layout; 16-bit PCM
+    * mono only. Exact integer aggregates over the samples.
+    */
+  private[pipeline] def wavDecode(docId: Long, bytes: Array[Byte]): WavDecoded = {
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    require(bytes.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      s"doc $docId: not a WAV payload")
+    var off = 12
+    var rate, channels, bits = -1
+    var dataOff, dataLen = -1
+    while (off + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
+      val id = tag(off)
+      val len = b.getInt(off + 4)
+      id match {
+        case "fmt " =>
+          require(b.getShort(off + 8) == 1,
+            s"doc $docId: only PCM supported")
+          channels = b.getShort(off + 10)
+          rate = b.getInt(off + 12)
+          bits = b.getShort(off + 22)
+        case "data" => dataOff = off + 8; dataLen = len
+        case _ => // unknown chunk: skip
+      }
+      off += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    require(rate > 0 && dataOff > 0, s"doc $docId: missing fmt/data chunk")
+    require(bits == 16 && channels == 1,
+      s"doc $docId: only 16-bit mono supported, got $bits/$channels")
+    val n = dataLen / 2
+    var (sum, peak) = (0L, Long.MinValue)
+    var i = 0
+    while (i < n) {
+      val s = b.getShort(dataOff + 2 * i).toLong
+      sum += s
+      if (s > peak) peak = s
+      i += 1
+    }
+    WavDecoded(docId, rate, channels, bits, n, sum, peak)
+  }
+
+  /** End-to-end real audio codec path, same shape as `bmpDecodeE2e`:
+    * genuine WAV bytes in, independent parse out, closed-form oracle.
+    */
+  def wavDecodeE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    val s2 = Graft.ensureConf(spark)
+    import s2.implicits._
+    Graft.tableParallel(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(ids => ids.map(id => wavDecode(id, wavEncode(id))))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** Closed forms: n = 500 + id%300 >= 500 covers a full 100-sample
+    * cycle, so peak = 50·(id%100 + 99); sum = 50·(n·(id%100) + q·4950
+    * + r(r−1)/2) with n = 100q + r.
+    */
+  val wavDecodeE2eSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         500 + doc_id % 300 AS n,
+      |         doc_id % 100 AS base,
+      |         8000 + (doc_id % 4) * 4000 AS rate
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(rate AS BIGINT) AS sample_rate,
+      |  CAST(1 AS BIGINT) AS channels, CAST(16 AS BIGINT) AS bits,
+      |  CAST(n AS BIGINT) AS n_samples,
+      |  CAST(50 * (n * base + (n // 100) * 4950
+      |       + (n % 100) * ((n % 100) - 1) // 2) AS BIGINT) AS sum_samples,
+      |  CAST(50 * (base + 99) AS BIGINT) AS peak
+      |FROM t ORDER BY doc_id""".stripMargin
+
   /** Frame-sampling plumbing: each payload fans out to stride-sampled
     * frame-index rows (explode = the distributed flatMap); the per-frame
     * "feature" is a STUB digest. Narrow: no shuffle at any width.

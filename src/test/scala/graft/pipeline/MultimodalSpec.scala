@@ -59,6 +59,58 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Multimodal.bmpDecode(1L, bytes) }
   }
 
+  test("wavEncode output opens in the JDK's own audio reader") {
+    for (id <- Seq(0L, 13L, 777L)) {
+      val bytes = Multimodal.wavEncode(id)
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      assert(fmt.getSampleRate.toInt == 8000 + (id % 4).toInt * 4000)
+      assert(fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16)
+      assert(in.getFrameLength == 500 + id % 300)
+    }
+  }
+
+  test("wavDecode agrees with javax.sound on rate, length and samples") {
+    for (id <- Seq(5L, 299L, 4242L)) {
+      val bytes = Multimodal.wavEncode(id)
+      val got = Multimodal.wavDecode(id, bytes)
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val pcm = in.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(pcm)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var (sum, peak) = (0L, Long.MinValue)
+      for (i <- 0 until pcm.length / 2) {
+        val s = bb.getShort(2 * i).toLong
+        sum += s; peak = math.max(peak, s)
+      }
+      assert(got.sample_rate == in.getFormat.getSampleRate.toLong)
+      assert(got.n_samples == pcm.length / 2)
+      assert((got.sum_samples, got.peak) == ((sum, peak)))
+    }
+  }
+
+  test("wavDecode walks non-canonical chunk layouts and rejects non-PCM") {
+    // splice an unknown chunk between fmt and data - a parser that
+    // assumes the canonical 44-byte layout reads garbage samples
+    val canon = Multimodal.wavEncode(9L)
+    val extra = java.nio.ByteBuffer.allocate(canon.length + 14)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put(canon, 0, 36)                       // RIFF..fmt chunk
+    extra.put("LIST".getBytes).putInt(5)
+      .put("junk!".getBytes).put(0.toByte)        // odd size + pad byte
+    extra.put(canon, 36, canon.length - 36)       // data chunk
+    val spliced = extra.array()
+    // fix the RIFF size field for the inserted bytes
+    java.nio.ByteBuffer.wrap(spliced)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(4, spliced.length - 8)
+    assert(Multimodal.wavDecode(9L, spliced) == Multimodal.wavDecode(9L, canon))
+    intercept[IllegalArgumentException] {
+      Multimodal.wavDecode(1L, Array.fill[Byte](100)(0x33))
+    }
+  }
+
   test("bmp end-to-end matches the closed-form derivation") {
     val got = Multimodal.bmpDecodeE2e(spark, sfDir)
       .filter(col("doc_id") < 20)
