@@ -59,7 +59,8 @@ object Bench {
     "q_kmv_jaccard_prod", "q_kmv_retention_prod",
     "txt_stats", "txt_fingerprint", "txt_repetition", "txt_bpe_learn",
     "txt_bigram_nll", "txt_tfidf",
-    "mm_binary_stats", "pipe_corpus_clean",
+    "mm_binary_stats", "mm_bmp_decode", "mm_wav_decode",
+    "pipe_corpus_clean",
     "pipe_decontaminate", "pipe_decont_bloom", "pipe_dedup_apply",
     "pipe_quality_gate", "pipe_quality_prune", "dd_dup_spans",
     "pipe_span_scrub", "pipe_sample_weighted", "pipe_layout_zorder",
@@ -94,7 +95,10 @@ object Bench {
     */
   val corpusHeadline: Seq[String] = Seq(
     "dd_minhash_lsh", "dd_jaccard_prefix", "dd_semantic", "txt_bigram_nll",
-    "pipe_quality_gate", "ann_ivf_quant", "txt_stats")
+    "pipe_quality_gate", "ann_ivf_quant", "txt_stats",
+    // the real-codec mapPartitions path: per-row cost must stay flat
+    // as docs scale (narrow, no shuffle - the slope IS the claim)
+    "mm_bmp_decode")
 
   private def releaseMemos(spark: SparkSession): Unit = {
     graft.core.Transform.releaseAll(spark)
