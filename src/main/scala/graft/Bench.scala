@@ -62,7 +62,8 @@ object Bench {
     "mm_binary_stats", "mm_bmp_decode", "mm_wav_decode",
     "pipe_corpus_clean",
     "pipe_decontaminate", "pipe_decont_bloom", "pipe_dedup_apply",
-    "pipe_quality_gate", "pipe_quality_prune", "dd_dup_spans",
+    "pipe_quality_gate", "pipe_quality_prune", "pipe_source_cap",
+    "dd_dup_spans",
     "pipe_span_scrub", "pipe_sample_weighted", "pipe_layout_zorder",
     "txt_phrase_merge")
 
@@ -98,7 +99,10 @@ object Bench {
     "pipe_quality_gate", "ann_ivf_quant", "txt_stats",
     // the real-codec mapPartitions path: per-row cost must stay flat
     // as docs scale (narrow, no shuffle - the slope IS the claim)
-    "mm_bmp_decode")
+    "mm_bmp_decode",
+    // the custom bounded-heap group limit under a 10x corpus: the
+    // map-side trim is what keeps the slope linear
+    "pipe_source_cap")
 
   private def releaseMemos(spark: SparkSession): Unit = {
     graft.core.Transform.releaseAll(spark)

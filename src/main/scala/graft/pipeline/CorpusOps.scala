@@ -487,4 +487,68 @@ object CorpusOps {
        |       doc_id
        |FROM keyed ORDER BY shard, pos""".stripMargin
   }
+
+  // ---- pipe_source_cap ------------------------------------------------
+
+  /** Per-source document cap (keep the `sourceCapK` best docs of every
+    * source). */
+  val sourceCapK = 10
+
+  /** Anti-domain-domination curation: cap every source at its
+    * `sourceCapK` highest-quality documents, quality = the corpus's
+    * own add-1 unigram NLL (lower = less surprising; the
+    * txt_unigram_nll relation, whose q6-quantized double is already
+    * bit-identical cross-engine, so it is a safe ordering key), ties
+    * by doc_id. The classic "no crawl domain may dominate the mix"
+    * step next to pipe_mix's temperature reweighting.
+    *
+    * 100 TB shape: the group limit runs through the custom TopKPerKey
+    * physical operator - map-side partial heaps trim each input
+    * partition to <= k rows per source BEFORE the exchange, so a hot
+    * domain (exactly the case this operator exists for) ships
+    * partitions x k rows instead of its whole crawl, then one bounded
+    * heap per source after. No window sort anywhere.
+    */
+  def sourceCap(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    graft.functions.NativeFunctions.register(spark)
+    val docs = Graft.tableParallel(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"))
+    val nll = TextAnalysis.unigramNll(spark, sfDir)
+      .select(col("doc_id"), col("nll"))
+    graft.plans.TopK.perKey(docs.join(nll, Seq("doc_id")),
+        Seq("source"), Seq(("nll", true), ("doc_id", true)), sourceCapK)
+      .select(col("source"), col("doc_id"), col("nll"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val sourceCapSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+       |    '[a-z0-9]+')) AS term
+       |  FROM documents
+       |), freq AS (
+       |  SELECT term, count(*) AS cnt FROM toks GROUP BY term
+       |), totals AS (
+       |  SELECT sum(cnt) AS n_total, count(*) AS v_size FROM freq
+       |), scored AS (
+       |  SELECT t.doc_id,
+       |    CAST(floor(-ln(CAST(f.cnt + 1 AS DOUBLE)
+       |      / CAST(tt.n_total + tt.v_size AS DOUBLE)) * 1000000.0 + 0.5)
+       |      AS BIGINT) AS nll_u
+       |  FROM toks t JOIN freq f USING (term) CROSS JOIN totals tt
+       |), nll AS (
+       |  SELECT doc_id,
+       |    ${ParityMath.q6Sql(
+              "(CAST(sum(nll_u) AS DOUBLE) / 1000000.0) / count(*)")}
+       |      AS nll
+       |  FROM scored GROUP BY doc_id
+       |), ranked AS (
+       |  SELECT d.source, d.doc_id, n.nll,
+       |    CAST(row_number() OVER (PARTITION BY d.source
+       |      ORDER BY n.nll, d.doc_id) AS BIGINT) AS rk
+       |  FROM documents d JOIN nll n USING (doc_id)
+       |)
+       |SELECT source, doc_id, nll, rk FROM ranked
+       |WHERE rk <= $sourceCapK ORDER BY source, rk""".stripMargin
 }

@@ -206,6 +206,35 @@ class CorpusOpsSpec extends SparkSpec {
     } finally spark.conf.unset("graft.shuffle.shards")
   }
 
+  test("source cap: per-source best-k by nll, runs on the bounded heap") {
+    val df = CorpusOps.sourceCap(spark, sfDir)
+    val rows = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // every source capped at k, ranks contiguous from 1
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      assert(g.length <= CorpusOps.sourceCapK, s"$src over cap")
+      assert(g.map(_._4).sorted.toSeq == (1L to g.length).toSeq)
+    }
+    // equals the window formulation on the same scored relation
+    val nll = TextAnalysis.unigramNll(spark, sfDir)
+      .select(col("doc_id"), col("nll"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("nll"), col("doc_id"))
+    val expect = graft.core.Graft.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source")).join(nll, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= CorpusOps.sourceCapK)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("nll"), r.getAs[Int]("rk").toLong)).toSet
+    assert(rows.toSet == expect)
+    // the custom operator (map-side partial + final heap), not a sort
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"),
+      s"source cap must run on the custom bounded-heap operator:\n$plan")
+  }
+
   test("adaptive bloom fpp holds the per-document false-flag target") {
     // a p95-length doc's false-flag chance is ~grams x fpp: the
     // adaptive fpp must keep that product at the target across length
