@@ -201,6 +201,7 @@ object SparkEntry {
     // ---- text analysis ----
     "txt_stats" -> TextAnalysis.stats _,
     "txt_langid" -> TextAnalysis.langid _,
+    "txt_langid_eval" -> TextAnalysis.langidEval _,
     "txt_tokens" -> TextAnalysis.tokens _,
     "txt_fingerprint" -> TextAnalysis.fingerprint _,
     "txt_unigram_nll" -> TextAnalysis.unigramNll _,
@@ -377,6 +378,7 @@ object SparkEntry {
     "ann_ivf_adaptive" -> Similarity.annIvfAdaptiveSql,
     "txt_stats" -> TextAnalysis.statsSql,
     "txt_langid" -> TextAnalysis.langidSql,
+    "txt_langid_eval" -> TextAnalysis.langidEvalSql,
     "txt_tokens" -> TextAnalysis.tokensSql,
     "txt_fingerprint" -> TextAnalysis.fingerprintSql,
     "txt_unigram_nll" -> TextAnalysis.unigramNllSql,

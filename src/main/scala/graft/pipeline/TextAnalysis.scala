@@ -138,6 +138,31 @@ object TextAnalysis {
        |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin
   }
 
+  // ---- txt_langid_eval ----------------------------------------------
+
+  /** Classifier evaluation face: the langid confusion matrix against
+    * the labeled `lang` column - the calibration report a curation
+    * pipeline runs before trusting a heuristic classifier to route
+    * documents. Pure integer counts over the langid relation (one
+    * map-combinable (label, pred) agg on top of it), so the oracle is
+    * bitwise. At 100 TB the label would come from a held-out annotated
+    * slice; the plan is label-source-agnostic.
+    */
+  def langidEval(spark: SparkSession, sfDir: String): DataFrame =
+    langid(spark, sfDir)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+
+  val langidEvalSql: String =
+    s"""WITH base AS (
+       |${langidSql.linesIterator.map("  " + _).mkString("\n")
+         .replace("ORDER BY doc_id", "")}
+       |)
+       |SELECT lang, pred_lang, count(*) AS n
+       |FROM base GROUP BY lang, pred_lang
+       |ORDER BY lang, pred_lang""".stripMargin
+
   // ---- txt_tokens ---------------------------------------------------
 
   /** Whitespace + BPE-ish regex token counts. The BPE-ish pieces are
