@@ -179,6 +179,7 @@ object SparkEntry {
       graft.pipeline.SignatureStore.gatedContainment _,
     "dd_store_spans" -> graft.pipeline.SignatureStore.gatedDupSpans _,
     "lm_store_quality" -> graft.pipeline.SignatureStore.gatedQualityGate _,
+    "lm_store_source_cap" -> graft.pipeline.SignatureStore.gatedSourceCap _,
     "lm2_store_bigram" -> graft.pipeline.SignatureStore.gatedBigramNll _,
     "layout_store" -> graft.pipeline.SignatureStore.gatedLayout _,
     "cms_store_topk" -> graft.pipeline.SignatureStore.gatedCmsTopk _,
@@ -354,6 +355,7 @@ object SparkEntry {
     "dd_store_containment" -> Dedup.containmentSql,
     "dd_store_spans" -> Dedup.dupSpansSql,
     "lm_store_quality" -> graft.pipeline.QualityGate.sql,
+    "lm_store_source_cap" -> graft.pipeline.CorpusOps.sourceCapSql,
     "lm2_store_bigram" -> TextAnalysis.bigramNllSql,
     "layout_store" -> graft.pipeline.Layout.zorderSql,
     // sketch stores share their batch faces' oracles

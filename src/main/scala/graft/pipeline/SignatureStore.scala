@@ -323,6 +323,10 @@ object SignatureStore {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         QualityGate.rowSignals(batch).write.mode("overwrite")
           .parquet(s"$storeDir/lm_signals/batch=$id")
+        // doc -> source, for the per-source cap face; per-doc-pure,
+        // so plain append like the signals
+        batch.select(col("doc_id"), col("source")).write.mode("overwrite")
+          .parquet(s"$storeDir/lm_sources/batch=$id")
         val terms = QualityGate.termToks(batch)
           .groupBy(col("doc_id"), col("term"))
           .agg(org.apache.spark.sql.functions.count(lit(1)).as("k"))
@@ -632,6 +636,46 @@ object SignatureStore {
       "arrival2.parquet")
     catchUpLm(spark, watch, store)
     storedQualityGate(spark, store)
+  }
+
+  /** Per-source cap from the incrementally-maintained LM store: every
+    * stored document re-scored under the store's CURRENT summed term
+    * partials (the 48c evolving-answer structure - an early doc's rank
+    * inside its source changes when later batches shift the LM), then
+    * the same TopKPerKey bounded-heap cap as the batch face. Shares
+    * `pipe_source_cap`'s oracle once caught up.
+    */
+  def storedSourceCap(spark: SparkSession, storeDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    graft.functions.NativeFunctions.register(spark)
+    val docTerms = storedOrEmpty(spark, s"$storeDir/lm_doc_terms",
+      emptyLike(spark, spark.range(0)
+        .selectExpr("id AS doc_id", "'' AS term", "id AS k")))
+    val sources = storedOrEmpty(spark, s"$storeDir/lm_sources",
+      emptyLike(spark, spark.range(0)
+        .selectExpr("id AS doc_id", "'' AS source")))
+    val nll = lmNllAgainstStore(spark, storeDir, docTerms)
+    graft.plans.TopK.perKey(sources.join(nll, Seq("doc_id")),
+        Seq("source"), Seq(("nll", true), ("doc_id", true)),
+        CorpusOps.sourceCapK)
+      .select(col("source"), col("doc_id"), col("nll"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  /** Driver-gate face of `storedSourceCap`: fresh store, two doc-parity
+    * appends, then the cap - matching the one-shot `pipe_source_cap`.
+    */
+  def gatedSourceCap(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_scap_watch")
+    val store = tempDirForExit("graft_gate_scap_store")
+    val docs = Graft.table(spark, sfDir, "documents")
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpLm(spark, watch, store)
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpLm(spark, watch, store)
+    storedSourceCap(spark, store)
   }
 
   /** Bigram-LM incremental store - the context-aware sibling of

@@ -60,6 +60,42 @@ class SignatureStoreSpec extends SparkSpec {
     assert(SignatureStore.storedShingles(spark, s"file:$store").count() == 8)
   }
 
+  test("stored source cap: early docs re-rank under the evolved LM, " +
+       "caught-up store == one-shot cap") {
+    val watch = Files.createTempDirectory("graft_scap_watch").toString
+    val store = Files.createTempDirectory("graft_scap_store").toString
+    val docs = graft.core.Graft.table(spark, sfDir, "documents")
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$watch/_stage"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(watch, name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    def capSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 0), "a1.parquet")
+    SignatureStore.catchUpLm(spark, watch, store)
+    val afterFirst = capSet(SignatureStore.storedSourceCap(spark, store))
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 1), "a2.parquet")
+    SignatureStore.catchUpLm(spark, watch, store)
+    val full = capSet(SignatureStore.storedSourceCap(spark, store))
+    val oneShot = capSet(CorpusOps.sourceCap(spark, sfDir))
+    assert(full == oneShot,
+      "caught-up store must equal the one-shot per-source cap")
+    // the evolving-answer contract: batch-1 docs' nll (and therefore
+    // their within-source ranking) is NOT frozen at arrival - the
+    // final relation scores them under the grown vocabulary
+    val b1Early = afterFirst.map(r => r._2 -> r._3).toMap
+    val b1Final = full.filter(r => r._2 % 2 == 0).map(r => r._2 -> r._3)
+    assert(b1Final.exists { case (id, nll) =>
+      b1Early.get(id).exists(_ != nll) },
+      "batch-1 docs should re-score once batch 2 grows the LM")
+  }
+
   test("three faces agree: incremental store == streaming emission == batch") {
     // the streaming face consumes sfDir's documents.parquet in place;
     // the store face replays the same corpus as two appends - both
