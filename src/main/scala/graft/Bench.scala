@@ -41,7 +41,7 @@ object Bench {
     // analytics
     "q1_agg", "q3_join_agg", "q5_multijoin", "q_window", "q_sessionize",
     "q_corr",
-    "q_asof_join", "q_range_join", "q_resample",
+    "q_asof_join", "q_attribution", "q_range_join", "q_resample",
     "q_ewma", "q_anomaly", "q_funnel",
     // training-data pipeline
     "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard", "dd_jaccard_prefix",
@@ -80,7 +80,7 @@ object Bench {
     "ss_q_counts_for_subj_action", "ss_q_topk_per_subj",
     "ss_q_sort_variants", "ss_undo_lastn",
     "ss_stream_count_sink", "ss_stream_lastn_sink",
-    "q_sessionize", "q_range_join", "q_resample",
+    "q_sessionize", "q_range_join", "q_resample", "q_attribution",
     "q_ewma", "q_anomaly", "q_funnel",
     "q_cms_topk", "q_cms_topk_prod", "q_cms_sliding", "q_cms_sliding_prod",
     "q_hll_sliding", "q_hll_sliding_prod", "q_qtile_sliding",

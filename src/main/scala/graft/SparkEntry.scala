@@ -129,6 +129,7 @@ object SparkEntry {
     "q_stats_agg" -> Tpch.qStatsAgg _,
     "q_profile" -> Tpch.qProfile _,
     "q_asof_join" -> AsofJoin.qAsof _,
+    "q_attribution" -> AsofJoin.qAttribution _,
     "q_resample" -> TimeSeries.qResample _,
     "q_resample_interp" -> TimeSeries.qResampleInterp _,
     "q_ewma" -> TimeSeries.qEwma _,
@@ -306,6 +307,7 @@ object SparkEntry {
     "q_stats_agg" -> Tpch.qStatsAggSql,
     "q_profile" -> Tpch.qProfileSql,
     "q_asof_join" -> AsofJoin.qAsofSql,
+    "q_attribution" -> AsofJoin.qAttributionSql,
     "q_resample" -> TimeSeries.qResampleSql,
     "q_resample_interp" -> TimeSeries.qResampleInterpSql,
     "q_ewma" -> TimeSeries.qEwmaSql,

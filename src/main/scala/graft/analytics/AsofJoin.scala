@@ -71,4 +71,81 @@ object AsofJoin {
       |       r.o_orderkey AS matched_order, r.rt AS matched_rt
       |FROM l ASOF LEFT JOIN r ON l.user_id = r.k AND l.t >= r.rt
       |ORDER BY l.event_id""".stripMargin
+
+  // ---- q_attribution: as-of with a staleness tolerance ---------------
+
+  /** Last-touch lookback window: a view older than this cannot be
+    * credited for a purchase.
+    */
+  val attributionLookbackUs: Long = 3600L * 1000000L // 1 hour
+
+  /** Last-touch attribution - each purchase credited to the SAME
+    * user's latest view at-or-before it, but only within the lookback
+    * window (an as-of join with a tolerance: the standard guard
+    * against crediting stale touchpoints, and the backward-looking
+    * complement of the forward purchase→error interval join).
+    * Same union+window single pass as `qAsof` - the tolerance is a
+    * row-local predicate on the carried match, so the plan shape (one
+    * keyed shuffle, one sort, O(1) carried state) is unchanged; a
+    * too-stale match nulls out rather than falling back to an even
+    * older view, which is exactly the ASOF-then-filter semantics
+    * DuckDB's native operator + CASE reproduces independently.
+    */
+  def qAttribution(spark: SparkSession, sfDir: String): DataFrame =
+    attributionFrom(Graft.table(spark, sfDir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id").as("k"), expr("graft_ts_us(ts)").as("rt"),
+        col("event_id"), col("event_type")))
+
+  /** Core over any (k, rt µs, event_id, event_type) relation. */
+  private[graft] def attributionFrom(ev: DataFrame): DataFrame = {
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("k"), col("rt"))
+      .agg(max(col("event_id")).as("view_id"))
+      .select(col("k"), col("rt"), col("view_id"),
+        lit(0).as("side"), lit(null).cast("bigint").as("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("k"), col("rt"),
+        lit(null).cast("bigint").as("view_id"),
+        lit(1).as("side"), col("event_id"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("rt"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionAll(purchases)
+      .withColumn("cand_view",
+        last(col("view_id"), ignoreNulls = true).over(w))
+      .withColumn("cand_rt",
+        last(when(col("side") === 0, col("rt")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .withColumn("fresh",
+        col("cand_rt").isNotNull &&
+          col("rt") - col("cand_rt") <= attributionLookbackUs)
+      .select(col("event_id"), col("k").as("user_id"), col("rt").as("t"),
+        when(col("fresh"), col("cand_view")).as("attributed_view"),
+        when(col("fresh"), col("cand_rt")).as("view_t"),
+        col("fresh").as("attributed"))
+      .orderBy(col("event_id"))
+  }
+
+  val qAttributionSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id AS k, epoch_us(ts) AS rt, event_id, event_type
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |), v AS (
+       |  SELECT k, rt, max(event_id) AS view_id
+       |  FROM e WHERE event_type = 'view' GROUP BY 1, 2
+       |), p AS (
+       |  SELECT k, rt, event_id FROM e WHERE event_type = 'purchase'
+       |), m AS (
+       |  SELECT p.event_id, p.k, p.rt AS t, v.view_id, v.rt AS vt
+       |  FROM p ASOF LEFT JOIN v ON p.k = v.k AND p.rt >= v.rt
+       |)
+       |SELECT event_id, k AS user_id, t,
+       |  CASE WHEN vt IS NOT NULL AND t - vt <= $attributionLookbackUs
+       |       THEN view_id END AS attributed_view,
+       |  CASE WHEN vt IS NOT NULL AND t - vt <= $attributionLookbackUs
+       |       THEN vt END AS view_t,
+       |  (vt IS NOT NULL AND t - vt <= $attributionLookbackUs)
+       |    AS attributed
+       |FROM m ORDER BY event_id""".stripMargin
 }

@@ -16,6 +16,30 @@ class AsofJoinSpec extends SparkSpec {
     assert(matched.count() > 0)
   }
 
+  test("attribution: lookback boundary is inclusive, staleness nulls out") {
+    val s = spark; import s.implicits._
+    val tol = AsofJoin.attributionLookbackUs
+    // user 1: view exactly at the lookback edge (inclusive -> credited)
+    // user 2: view one µs past the edge (stale -> not credited)
+    // user 3: view AFTER the purchase (no candidate at all)
+    // user 4: two views in window - the LATEST one is credited
+    val ev = Seq(
+      (1L, 0L, 10L, "view"), (1L, tol, 11L, "purchase"),
+      (2L, 0L, 20L, "view"), (2L, tol + 1L, 21L, "purchase"),
+      (3L, 5L, 31L, "purchase"), (3L, 6L, 30L, "view"),
+      (4L, 100L, 40L, "view"), (4L, 200L, 41L, "view"),
+      (4L, 250L, 42L, "purchase")
+    ).toDF("k", "rt", "event_id", "event_type")
+    val got = AsofJoin.attributionFrom(ev).collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(5)))
+      .toMap
+    assert(got(11L) == (Some(10L), true), "edge view must be credited")
+    assert(got(21L) == (None, false), "stale view must null out")
+    assert(got(31L) == (None, false), "future view is no candidate")
+    assert(got(42L) == (Some(41L), true), "latest in-window view wins")
+  }
+
   test("corpus clean output is a quality-gated subset of canonical docs") {
     import graft.pipeline.{CorpusClean, Dedup}
     val cleaned = CorpusClean(spark, sfDir)
