@@ -197,6 +197,7 @@ object SparkEntry {
     "ann_topk_quant" -> Similarity.annTopKQuant _,
     "ann_lsh_bucketed" -> Similarity.annLshBucketed _,
     "ann_ivf" -> Similarity.annIvf _,
+    "ann_recall_eval" -> Similarity.annRecallEval _,
     "ann_ivf_kpp" -> Similarity.annIvfKpp _,
     "ann_ivf_adaptive" -> Similarity.annIvfAdaptive _,
     "ann_ivf_quant" -> Similarity.annIvfQuant _,
@@ -378,6 +379,7 @@ object SparkEntry {
     "ann_topk_quant" -> Similarity.annTopKQuantSql,
     "ann_lsh_bucketed" -> Similarity.annLshBucketedSql,
     "ann_ivf" -> Similarity.annIvfSql,
+    "ann_recall_eval" -> Similarity.annRecallEvalSql,
     "ann_ivf_kpp" -> Similarity.annIvfKppSql,
     "ann_ivf_adaptive" -> Similarity.annIvfAdaptiveSql,
     "txt_stats" -> TextAnalysis.statsSql,

@@ -1150,4 +1150,44 @@ object Similarity {
        |SELECT a.vec_id, a.cid, (d.dup_of IS NULL) AS keep, d.dup_of
        |FROM assign a LEFT JOIN dups d USING (vec_id)
        |ORDER BY a.vec_id""".stripMargin
+
+  // ---- ann_recall_eval ------------------------------------------------
+
+  /** ANN calibration face: per-query recall@k of the IVF index against
+    * the brute-force truth - the eval every deployment runs before
+    * trusting an approximate index, here as a first-class gated query
+    * (both engines build truth AND index independently, so the recall
+    * numbers themselves are oracle-checked). One (q_id, vec_id)-keyed
+    * left join of two k-bounded relations (numQueries x topK rows
+    * each) - the eval costs a rounding error next to the index builds
+    * it reuses.
+    */
+  def annRecallEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = annTopKBrute(spark, sfDir).select(col("q_id"), col("vec_id"))
+    val approx = annIvf(spark, sfDir).select(col("q_id"), col("vec_id"))
+      .withColumn("hit", lit(1L))
+    truth.join(approx, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("q_id"), col("n_hit"),
+        ParityMath.q6(col("n_hit").cast("double") / lit(topK.toDouble))
+          .as("recall"))
+      .orderBy(col("q_id"))
+  }
+
+  val annRecallEvalSql: String = {
+    def cte(sql: String): String =
+      sql.linesIterator.map("  " + _).mkString("\n")
+    s"""WITH truth AS (
+       |${cte(annTopKBruteSql)}
+       |), approx AS (
+       |${cte(annIvfSql)}
+       |)
+       |SELECT t.q_id, CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+       |  ${ParityMath.q6Sql(
+            s"CAST(count(a.vec_id) AS DOUBLE) / $topK.0")} AS recall
+       |FROM truth t LEFT JOIN approx a
+       |  ON a.q_id = t.q_id AND a.vec_id = t.vec_id
+       |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
+  }
 }
