@@ -502,12 +502,26 @@ object Dedup {
     val ex = sh.select(col("doc_id"),
       size(col("hs")).cast(LongType).as("sz"), explode(col("hs")).as("h"))
     val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    // ASYMMETRIC prefixes (AllPairs, Bayardo et al. WWW'07): order each
+    // pair by (size, doc_id); for J >= t the overlap is
+    // alpha = ceil(t/(1+t)(|x|+|y|)), and bounding alpha per side via
+    // the size order gives each side its own prefix:
+    //   smaller side x (|y| >= |x|): alpha >= ceil(2t/(1+t)|x|)
+    //       = ceil(8|x|/9)  -> probe prefix |x| - ceil(8|x|/9) + 1,
+    //   larger side y (|x| >= t|y|): alpha >= ceil(t|y|)
+    //       = ceil(4|y|/5)  -> index prefix |y| - ceil(4|y|/5) + 1.
+    // Prefixes only shrink as alpha grows, so a token shared inside
+    // the TRUE-alpha prefixes is shared inside these - zero false
+    // negatives (brute-force equality spec), with the probe side
+    // exposing ~|x|/9 tokens instead of ~|x|/5: the candidate fan of a
+    // rare-but-repeated prefix token drops by nearly half.
     val prefix = ex.join(dfreq, "h")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
       .filter(col("rk") <= col("sz") - expr("(4 * sz + 4) div 5") + lit(1L))
       .select(col("doc_id"), col("h"), col("sz"),
-        col("rk").cast(LongType).as("rk"))
+        col("rk").cast(LongType).as("rk"),
+        (col("sz") - expr("(8 * sz + 8) div 9") + lit(1L)).as("p_probe"))
     // PPJoin positional filter (Xiao et al. WWW'08): a shared token at
     // rare-first ranks (i, j) bounds the overlap by
     //   min(i, j) - 1  (shared tokens BEFORE this one in the global
@@ -524,12 +538,18 @@ object Dedup {
       least(col("x.rk"), col("y.rk")) +
         least(col("x.sz") - col("x.rk"), col("y.sz") - col("y.rk")) >=
         expr("(4 * (x.sz + y.sz) + 8) div 9")
+    // x is the (size, doc_id)-smaller side and uses its probe prefix;
+    // y indexes its full t-prefix
+    val sizeOrdered =
+      (col("x.sz") < col("y.sz")) ||
+        (col("x.sz") === col("y.sz") && col("x.doc_id") < col("y.doc_id"))
     prefix.as("x").join(prefix.as("y"),
-        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id") &&
-        lit(5L) * least(col("x.sz"), col("y.sz")) >=
-          lit(4L) * greatest(col("x.sz"), col("y.sz")) &&
+        col("x.h") === col("y.h") && sizeOrdered &&
+        col("x.rk") <= col("x.p_probe") &&
+        lit(5L) * col("x.sz") >= lit(4L) * col("y.sz") &&
         (if (positional) positionalOk else lit(true)))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
       .distinct()
   }
 

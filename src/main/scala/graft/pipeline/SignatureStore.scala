@@ -324,9 +324,12 @@ object SignatureStore {
         QualityGate.rowSignals(batch).write.mode("overwrite")
           .parquet(s"$storeDir/lm_signals/batch=$id")
         // doc -> source, for the per-source cap face; per-doc-pure,
-        // so plain append like the signals
-        batch.select(col("doc_id"), col("source")).write.mode("overwrite")
-          .parquet(s"$storeDir/lm_sources/batch=$id")
+        // so plain append like the signals. A feed without a source
+        // column (the LM store doesn't require one) just skips the
+        // relation - storedSourceCap then reads an empty store.
+        if (batch.columns.contains("source"))
+          batch.select(col("doc_id"), col("source")).write.mode("overwrite")
+            .parquet(s"$storeDir/lm_sources/batch=$id")
         val terms = QualityGate.termToks(batch)
           .groupBy(col("doc_id"), col("term"))
           .agg(org.apache.spark.sql.functions.count(lit(1)).as("k"))

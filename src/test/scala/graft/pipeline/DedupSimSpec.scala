@@ -106,16 +106,19 @@ class DedupSimSpec extends SparkSpec {
   test("positional filter prunes length-admitted candidates, loses none") {
     import spark.implicits._
     // Planted so the ONLY shared-prefix match of (a, b) sits at ranks
-    // (4, 1) with sizes (16, 20): overlap bound = min(4,1) +
-    // min(16-4, 20-1) = 13 < ceil(4*36/9) = 16 -> positionally pruned,
-    // while the length filter (5*16 >= 4*20) admits it. True Jaccard
-    // is 1/35, so pruning changes nothing in the verified output.
-    // Doc c exists only to give every planted token document
-    // frequency 2 (df asc, h asc is the global prefix order).
-    val a = (Seq(1L, 2L, 3L, 1000L) ++ (2000L until 2012L)).toArray
-    val b = (Seq(1000L) ++ (3000L until 3019L)).toArray
-    val c = (Seq(1L, 2L, 3L) ++ (2000L until 2012L) ++
-      (3000L until 3019L)).toArray
+    // (3, 1) with sizes (18, 22): the probe side's 8/9-prefix is
+    // 18 - ceil(8*18/9) + 1 = 3, so the match sits exactly on the
+    // inclusive probe boundary and the asymmetric prefixes admit it;
+    // the length filter (5*18 >= 4*22) admits it; the positional
+    // bound min(3,1) + min(18-3, 22-1) = 16 < ceil(4*40/9) = 18
+    // prunes it. True Jaccard is 1/39, so pruning changes nothing in
+    // the verified output. Doc c exists only to give every planted
+    // token document frequency 2 (df asc, h asc is the global prefix
+    // order).
+    val a = (Seq(1L, 2L, 1000L) ++ (2000L until 2015L)).toArray
+    val b = (Seq(1000L) ++ (3000L until 3021L)).toArray
+    val c = (Seq(1L, 2L) ++ (2000L until 2015L) ++
+      (3000L until 3021L)).toArray
     val sh = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "hs")
     val without = Dedup.jaccardPrefixCandidates(sh, positional = false)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
