@@ -1078,11 +1078,57 @@ object StreamSum {
         expr("graft_ts_us(ts)").as("t"))
     val joined = ev.join(broadcast(idx),
         ev("user_id") === idx("k"), "left")
-      .withColumn("m", expr("element_at(filter(book, x -> x.rt <= t), -1)"))
+      .withColumn("m",
+        expr("try_element_at(filter(book, x -> x.rt <= t), -1)"))
       .select(col("event_id"), col("user_id"), col("t"),
         col("m.o_orderkey").as("matched_order"),
         col("m.rt").as("matched_rt"))
     runToTable(joined, OutputMode.Append(), "ss_stream_asof")
+      .orderBy(col("event_id"))
+  }
+
+  /** Streaming face of last-touch attribution, sharing
+    * `q_attribution`'s oracle - the `streamAsof` design with the
+    * staleness tolerance as an extra row-local predicate: the
+    * historical view book collapses once per user to a sorted
+    * (rt, view_id) array (the inherent attribution state), each
+    * arriving purchase resolves its latest at-or-before view with an
+    * in-row ordered lookup and nulls it out when older than the
+    * lookback. Zero streaming state, zero keyed shuffles on the
+    * stream side; the book broadcasts (degrading to a stream-static
+    * hash join on the key when it outgrows broadcast).
+    */
+  def streamAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val tol = graft.analytics.AsofJoin.attributionLookbackUs
+    val book = Graft.table(spark, sfDir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type") === "view")
+      .select(col("user_id").as("k"), expr("graft_ts_us(ts)").as("rt"),
+        col("event_id"))
+      .groupBy(col("k"), col("rt"))
+      .agg(max(col("event_id")).as("view_id"))
+      .groupBy(col("k"))
+      .agg(sort_array(collect_list(struct(col("rt"), col("view_id"))))
+        .as("book"))
+    val purchases = streamingEvents(spark, sfDir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        expr("graft_ts_us(ts)").as("t"))
+    val joined = purchases.join(broadcast(book),
+        purchases("user_id") === book("k"), "left")
+      // try_element_at: a purchase BEFORE any view filters the book to
+      // an empty array, which ANSI element_at(-1) rejects
+      .withColumn("m",
+        expr("try_element_at(filter(book, x -> x.rt <= t), -1)"))
+      .withColumn("fresh",
+        col("m").isNotNull && col("t") - col("m.rt") <= tol)
+      .select(col("event_id"), col("user_id"), col("t"),
+        when(col("fresh"), col("m.view_id")).as("attributed_view"),
+        when(col("fresh"), col("m.rt")).as("view_t"),
+        col("fresh").as("attributed"))
+    runToTable(joined, OutputMode.Append(), "ss_stream_attribution")
       .orderBy(col("event_id"))
   }
 
