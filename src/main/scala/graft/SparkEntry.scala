@@ -182,6 +182,7 @@ object SparkEntry {
     "dd_store_spans" -> graft.pipeline.SignatureStore.gatedDupSpans _,
     "lm_store_quality" -> graft.pipeline.SignatureStore.gatedQualityGate _,
     "lm_store_source_cap" -> graft.pipeline.SignatureStore.gatedSourceCap _,
+    "session_store" -> graft.pipeline.SignatureStore.gatedSessions _,
     "lm2_store_bigram" -> graft.pipeline.SignatureStore.gatedBigramNll _,
     "layout_store" -> graft.pipeline.SignatureStore.gatedLayout _,
     "cms_store_topk" -> graft.pipeline.SignatureStore.gatedCmsTopk _,
@@ -361,6 +362,7 @@ object SparkEntry {
     "dd_store_spans" -> Dedup.dupSpansSql,
     "lm_store_quality" -> graft.pipeline.QualityGate.sql,
     "lm_store_source_cap" -> graft.pipeline.CorpusOps.sourceCapSql,
+    "session_store" -> Tpch.qSessionizeSql,
     "lm2_store_bigram" -> TextAnalysis.bigramNllSql,
     "layout_store" -> graft.pipeline.Layout.zorderSql,
     // sketch stores share their batch faces' oracles

@@ -441,24 +441,33 @@ object Tpch {
     * flag sum - the standard single-shuffle formulation (partition by
     * user, in-partition sort by time).
     */
-  def qSessionize(spark: SparkSession, sfDir: String): DataFrame = {
-    val gapUs = 30L * 60 * 1000 * 1000
+  val sessionGapUs: Long = 30L * 60 * 1000 * 1000
+
+  /** Session rows from any (user_id, event_id, t µs) relation - the
+    * lag/gap core, shared by the batch face and the per-batch fragment
+    * builder of the incremental session store.
+    */
+  private[graft] def sessionFrom(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("t"), col("event_id"))
-    val flags = Graft.table(spark, sfDir, "events")
-      .select(col("user_id"), col("event_id"),
-        expr("graft_ts_us(ts)").as("t"))
+    ev
       .withColumn("new_sess",
-        when(col("t") - lag(col("t"), 1).over(w) > gapUs || lag(col("t"), 1).over(w).isNull, 1L)
+        when(col("t") - lag(col("t"), 1).over(w) > sessionGapUs ||
+          lag(col("t"), 1).over(w).isNull, 1L)
           .otherwise(0L))
       .withColumn("session_id",
         sum(col("new_sess")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    flags.groupBy(col("user_id"), col("session_id"))
+      .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         min(col("t")).as("start_t"), max(col("t")).as("end_t"))
-      .orderBy(col("user_id"), col("session_id"))
   }
+
+  def qSessionize(spark: SparkSession, sfDir: String): DataFrame =
+    sessionFrom(Graft.table(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("graft_ts_us(ts)").as("t")))
+      .orderBy(col("user_id"), col("session_id"))
 
   val qSessionizeSql: String =
     """WITH ev AS (

@@ -2,7 +2,8 @@ package graft.pipeline
 
 import graft.core.Graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, pmod}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, count, expr, lit, max, min, pmod, sum, when}
 
 /** Materialized MinHash signature store: the shingle/hash relation and
   * the exploded LSH band stream are computed ONCE per (session, corpus)
@@ -420,6 +421,90 @@ object SignatureStore {
   }
 
   // ---- sketch stores -------------------------------------------------
+
+  // ---- session store -------------------------------------------------
+
+  /** Incremental sessionization: each arriving batch is sessionized
+    * ALONE (the shared lag/gap core) and lands its session FRAGMENTS -
+    * (user, start, end, n) - per batch; the global sessions are
+    * recovered at query time by a gap-merge sweep over the fragments.
+    * Exactness argument: a batch-local adjacent pair within the gap is
+    * within the gap globally (every event between them is closer
+    * still), so fragments are sub-sessions of global sessions; and for
+    * any global adjacent pair within the gap that spans two fragments,
+    * the later fragment starts within the gap of the earlier's end, so
+    * the sorted sweep merges their clusters - the sweep's transitive
+    * closure IS the session partition. Event counts are additive over
+    * fragments. The fill input is fragment-sized, never raw events -
+    * the 48-family structure applied to the one event-family operator
+    * whose answer genuinely spans batch boundaries.
+    */
+  def catchUpSessions(spark: SparkSession, watchDir: String,
+                      storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val ev = spark.readStream.schema(schema).parquet(watchDir)
+    val q = ev.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.analytics.Tpch.sessionFrom(
+            batch.filter(col("ts").isNotNull && col("user_id").isNotNull)
+              .select(col("user_id"), col("event_id"),
+                expr("graft_ts_us(ts)").as("t")))
+          .select(col("user_id"), col("start_t"), col("end_t"),
+            col("n_events"))
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/session_frags/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Global sessions from the stored fragments: per user, sort by
+    * (start, end) and open a new session when a fragment starts more
+    * than the gap after the running max end - the interval-union-
+    * with-gap sweep. Matches `q_sessionize`'s oracle once caught up.
+    */
+  def storedSessions(spark: SparkSession, storeDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val frags = storedOrEmpty(spark, s"$storeDir/session_frags",
+      emptyLike(spark, spark.range(0).selectExpr("id AS user_id",
+        "id AS start_t", "id AS end_t", "id AS n_events")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("start_t"), col("end_t"))
+    val prevMax = max(col("end_t"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    frags
+      .withColumn("new_sess",
+        when(prevMax.isNull ||
+          col("start_t") - prevMax > graft.analytics.Tpch.sessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(sum(col("n_events")).as("n_events"),
+        min(col("start_t")).as("start_t"), max(col("end_t")).as("end_t"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** Driver-gate face: fresh store, two event-parity appends (maximal
+    * cross-batch interleave - nearly every session is split), then the
+    * fragment merge; shares `q_sessionize`'s oracle.
+    */
+  def gatedSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_sess_watch")
+    val store = tempDirForExit("graft_gate_sess_store")
+    val ev = Graft.table(spark, sfDir, "events")
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpSessions(spark, watch, store)
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpSessions(spark, watch, store)
+    storedSessions(spark, store)
+  }
 
   /** Sketch twin of `catchUp` over an events directory: every sketch
     * in the family is a MERGEABLE summary, so incremental maintenance

@@ -96,6 +96,54 @@ class SignatureStoreSpec extends SparkSpec {
       "batch-1 docs should re-score once batch 2 grows the LM")
   }
 
+  test("session store: interleaved cross-batch fragments merge to the " +
+       "one-shot sessions") {
+    val watch = Files.createTempDirectory("graft_sess_watch").toString
+    val store = Files.createTempDirectory("graft_sess_store").toString
+    val s = spark; import s.implicits._
+    val min = 60L * 1000000L
+    // user 1: one global session whose events INTERLEAVE across the
+    // two batches (batch-local gaps 10-20 min, all <= 30 min) plus a
+    // clearly separate session 2 h later arriving in batch 2;
+    // user 2: two events 40 min apart in DIFFERENT batches - each
+    // batch sees a lone fragment, the merge must NOT join them
+    def evDf(rows: Seq[(Long, Long, Long)]) = rows
+      .map { case (u, t, id) =>
+        (id, new java.sql.Timestamp(t / 1000L), u, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val batch1 = evDf(Seq((1L, 0L, 10L), (1L, 20 * min, 11L),
+      (2L, 0L, 20L)))
+    val batch2 = evDf(Seq((1L, 10 * min, 12L), (1L, 30 * min, 13L),
+      (1L, 150 * min, 14L), (2L, 40 * min, 21L)))
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$watch/_stage"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(watch, name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    land(batch1, "a1.parquet")
+    SignatureStore.catchUpSessions(spark, watch, store)
+    land(batch2, "a2.parquet")
+    SignatureStore.catchUpSessions(spark, watch, store)
+    val got = SignatureStore.storedSessions(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == Set(
+      (1L, 1L, 4L, 0L, 30 * min),       // merged interleaved session
+      (1L, 2L, 1L, 150 * min, 150 * min),
+      (2L, 1L, 1L, 0L, 0L),             // 40-min gap stays split
+      (2L, 2L, 1L, 40 * min, 40 * min)))
+    // and on the real corpus: parity-split store == one-shot batch face
+    val oneShot = graft.analytics.Tpch.qSessionize(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val stored = SignatureStore.gatedSessions(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(stored == oneShot)
+  }
+
   test("three faces agree: incremental store == streaming emission == batch") {
     // the streaming face consumes sfDir's documents.parquet in place;
     // the store face replays the same corpus as two appends - both
