@@ -42,7 +42,7 @@ object Bench {
     "q1_agg", "q3_join_agg", "q5_multijoin", "q_window", "q_sessionize",
     "q_corr",
     "q_asof_join", "q_attribution", "q_range_join", "q_resample",
-    "q_ewma", "q_anomaly", "q_funnel",
+    "q_ewma", "q_anomaly", "q_funnel", "q_cohort",
     // training-data pipeline
     "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard", "dd_jaccard_prefix",
     "dd_containment", "dd_simhash",
@@ -81,7 +81,7 @@ object Bench {
     "ss_q_sort_variants", "ss_undo_lastn",
     "ss_stream_count_sink", "ss_stream_lastn_sink",
     "q_sessionize", "q_range_join", "q_resample", "q_attribution",
-    "q_ewma", "q_anomaly", "q_funnel",
+    "q_ewma", "q_anomaly", "q_funnel", "q_cohort",
     "q_cms_topk", "q_cms_topk_prod", "q_cms_sliding", "q_cms_sliding_prod",
     "q_hll_sliding", "q_hll_sliding_prod", "q_qtile_sliding",
     "q_kmv_jaccard_prod", "q_kmv_retention_prod",

@@ -136,6 +136,7 @@ object SparkEntry {
     "q_ewma" -> TimeSeries.qEwma _,
     "q_anomaly" -> TimeSeries.qAnomaly _,
     "q_funnel" -> Behavior.qFunnel _,
+    "q_cohort" -> Behavior.qCohort _,
     "q_corr" -> Tpch.qCorr _,
     "q_range_join" -> RangeJoin.apply _,
     "q_hll_distinct" -> Sketches.qHllDistinct _,
@@ -317,6 +318,7 @@ object SparkEntry {
     "q_ewma" -> TimeSeries.qEwmaSql,
     "q_anomaly" -> TimeSeries.qAnomalySql,
     "q_funnel" -> Behavior.qFunnelSql,
+    "q_cohort" -> Behavior.qCohortSql,
     "q_corr" -> Tpch.qCorrSql,
     "q_range_join" -> RangeJoin.sql,
     "q_hll_distinct" -> Sketches.qHllDistinctSql,

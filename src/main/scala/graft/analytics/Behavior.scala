@@ -65,6 +65,66 @@ object Behavior {
       .orderBy(col("step"))
   }
 
+  // ---- q_cohort: weekly cohort retention matrix ----------------------
+
+  val cohortWeekUs: Long = 7L * 24 * 3600 * 1000000L
+
+  /** Weekly cohort retention: users grouped by first-activity week,
+    * each cell = how many of that cohort were active `week_offset`
+    * weeks later (plus the exact rate against the cohort size). The
+    * matrix every product/growth dashboard starts from - and the
+    * per-entity-lifetime rollup a training pipeline uses to detect
+    * source churn.
+    *
+    * 100 TB shape: one user-keyed map-combinable min (first week) over
+    * the distinct (user, week) relation, the cohort assignment joins
+    * back on the SAME user partitioning (Catalyst reuses the
+    * exchange), and the matrix is a tiny (cohort, offset) count. No
+    * window functions, no self-join over events.
+    */
+  def qCohort(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val weeks = Graft.table(spark, sfDir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"),
+        expr(s"(graft_ts_us(ts)) DIV ${cohortWeekUs}L").as("w"))
+      .distinct()
+    val first = weeks.groupBy(col("user_id")).agg(min(col("w")).as("cw"))
+    val sizes = first.groupBy(col("cw")).agg(count(lit(1)).as("n_cohort"))
+    weeks.join(first, "user_id")
+      .groupBy(col("cw"), (col("w") - col("cw")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cw")
+      .select(col("cw").as("cohort_week"), col("week_offset"),
+        col("n_active"), col("n_cohort"),
+        graft.pipeline.ParityMath.q6(
+          col("n_active").cast("double") / col("n_cohort").cast("double"))
+          .as("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val qCohortSql: String =
+    s"""WITH weeks AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // $cohortWeekUs AS w
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |), first AS (
+       |  SELECT user_id, min(w) AS cw FROM weeks GROUP BY 1
+       |), sizes AS (
+       |  SELECT cw, count(*) AS n_cohort FROM first GROUP BY 1
+       |), cells AS (
+       |  SELECT f.cw, w.w - f.cw AS week_offset, count(*) AS n_active
+       |  FROM weeks w JOIN first f USING (user_id)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT c.cw AS cohort_week, c.week_offset,
+       |  CAST(c.n_active AS BIGINT) AS n_active,
+       |  CAST(s.n_cohort AS BIGINT) AS n_cohort,
+       |  ${graft.pipeline.ParityMath.q6Sql(
+            "CAST(c.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE)")}
+       |    AS retention
+       |FROM cells c JOIN sizes s USING (cw)
+       |ORDER BY cohort_week, week_offset""".stripMargin
+
   val qFunnelSql: String = {
     val Seq(s1, s2, s3) = funnelSteps
     s"""WITH e AS (

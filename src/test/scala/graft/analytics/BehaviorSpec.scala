@@ -32,4 +32,27 @@ class BehaviorSpec extends SparkSpec {
     assert(rows == Seq((1L, "view", 3L), (2L, "click", 2L),
       (3L, "purchase", 1L)), s"funnel report wrong: $rows")
   }
+
+  test("cohort: first-activity week assigns the cohort, cells count " +
+       "distinct returning users") {
+    val s = spark; import s.implicits._
+    val weekNs = Behavior.cohortWeekUs * 1000L
+    // user 1 active weeks 0,1,2; user 2 weeks 0,2 (skips 1, and twice
+    // in week 0 - distinct per week); user 3 weeks 1,2 (cohort 1)
+    val ev = Seq(
+      (1L, 1L, 0L), (2L, 1L, 1L), (3L, 1L, 2L),
+      (4L, 2L, 0L), (5L, 2L, 0L), (6L, 2L, 2L),
+      (7L, 3L, 1L), (8L, 3L, 2L))
+      .map { case (id, u, wk) => (id, wk * weekNs + id * 1000L, u, "view",
+        1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_coh").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = Behavior.qCohort(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(rows == Seq(
+      (0L, 0L, 2L, 2L), (0L, 1L, 1L, 2L), (0L, 2L, 2L, 2L),
+      (1L, 0L, 1L, 1L), (1L, 1L, 1L, 1L)), s"cohort matrix wrong: $rows")
+  }
 }
