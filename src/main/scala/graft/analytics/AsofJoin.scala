@@ -99,21 +99,20 @@ object AsofJoin {
 
   /** Core over any (k, rt µs, event_id, event_type) relation. */
   private[graft] def attributionFrom(ev: DataFrame): DataFrame = {
-    val views = ev.filter(col("event_type") === "view")
-      .groupBy(col("k"), col("rt"))
-      .agg(max(col("event_id")).as("view_id"))
-      .select(col("k"), col("rt"), col("view_id"),
-        lit(0).as("side"), lit(null).cast("bigint").as("event_id"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("k"), col("rt"),
-        lit(null).cast("bigint").as("view_id"),
-        lit(1).as("side"), col("event_id"))
+    // ONE events scan: views and purchases ride the same relation with
+    // a side tag (no per-side branch, no view-dedup aggregate - the
+    // (rt, side, event_id) window order already makes last-view-wins
+    // deterministic: among same-instant views the greatest event_id is
+    // carried, exactly the max_by the oracle's dedup computes)
     val w = Window.partitionBy(col("k"))
-      .orderBy(col("rt"), col("side"))
+      .orderBy(col("rt"), col("side"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    views.unionAll(purchases)
+    ev.filter(col("event_type").isin("view", "purchase"))
+      .select(col("k"), col("rt"), col("event_id"),
+        when(col("event_type") === "view", 0).otherwise(1).as("side"))
       .withColumn("cand_view",
-        last(col("view_id"), ignoreNulls = true).over(w))
+        last(when(col("side") === 0, col("event_id")), ignoreNulls = true)
+          .over(w))
       .withColumn("cand_rt",
         last(when(col("side") === 0, col("rt")), ignoreNulls = true).over(w))
       .filter(col("side") === 1)

@@ -76,25 +76,32 @@ object Behavior {
     * per-entity-lifetime rollup a training pipeline uses to detect
     * source churn.
     *
-    * 100 TB shape: one user-keyed map-combinable min (first week) over
-    * the distinct (user, week) relation, the cohort assignment joins
-    * back on the SAME user partitioning (Catalyst reuses the
-    * exchange), and the matrix is a tiny (cohort, offset) count. No
-    * window functions, no self-join over events.
+    * 100 TB shape: ONE events scan. The per-user week set is a single
+    * user-keyed map-combinable collect_set (bounded by the corpus's
+    * week count); cohort = array_min of that set, offsets explode from
+    * it, and the cohort SIZES need no second pass - every user is by
+    * definition active at offset 0, so n_cohort is the matrix's own
+    * offset-0 column (the tiny matrix broadcast-joins itself). The
+    * naive formulation (distinct → first-week agg → join back → size
+    * agg) scans events three times; this is the same result in one.
     */
   def qCohort(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
-    val weeks = Graft.table(spark, sfDir, "events")
+    val cells = Graft.table(spark, sfDir, "events")
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
       .select(col("user_id"),
         expr(s"(graft_ts_us(ts)) DIV ${cohortWeekUs}L").as("w"))
-      .distinct()
-    val first = weeks.groupBy(col("user_id")).agg(min(col("w")).as("cw"))
-    val sizes = first.groupBy(col("cw")).agg(count(lit(1)).as("n_cohort"))
-    weeks.join(first, "user_id")
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("w")).as("ws"))
+      .select(expr("array_min(ws)").as("cw"), explode(col("ws")).as("w"))
       .groupBy(col("cw"), (col("w") - col("cw")).as("week_offset"))
       .agg(count(lit(1)).as("n_active"))
-      .join(sizes, "cw")
+    // sizes via a window over the TINY matrix (not a self-join, which
+    // would re-derive the scan subtree): per cohort, the offset-0 cell
+    cells
+      .withColumn("n_cohort",
+        max(when(col("week_offset") === 0L, col("n_active")))
+          .over(Window.partitionBy(col("cw"))))
       .select(col("cw").as("cohort_week"), col("week_offset"),
         col("n_active"), col("n_cohort"),
         graft.pipeline.ParityMath.q6(
