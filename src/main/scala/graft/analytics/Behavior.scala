@@ -37,7 +37,7 @@ object Behavior {
       .orderBy(col("tus"), col("event_id"))
     // strictly-preceding frame: a step counts only events BEFORE it
     val before = order.rowsBetween(Window.unboundedPreceding, -1)
-    val flags = Graft.tableParallel(spark, sfDir, "events")
+    val flags = Graft.table(spark, sfDir, "events")
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
       .select(col("user_id"), expr("graft_ts_us(ts)").as("tus"),
         col("event_id"), col("event_type"))

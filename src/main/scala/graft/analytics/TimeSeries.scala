@@ -59,7 +59,7 @@ object TimeSeries {
   def qResample(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
     resampleFill(resampleBase(
-      Graft.tableParallel(spark, sfDir, "events")))
+      Graft.table(spark, sfDir, "events")))
   }
 
   // ---- q_resample_interp: linear interpolation between observations --
@@ -126,7 +126,7 @@ object TimeSeries {
   def qResampleInterp(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
     resampleInterpFill(resampleInterpBase(
-      Graft.tableParallel(spark, sfDir, "events")))
+      Graft.table(spark, sfDir, "events")))
   }
 
   val qResampleInterpSql: String =
@@ -201,7 +201,7 @@ object TimeSeries {
     Graft.ensureConf(spark)
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("tus"), col("event_id"))
-    val lagged = Graft.tableParallel(spark, sfDir, "events")
+    val lagged = Graft.table(spark, sfDir, "events")
       .filter(col("ts").isNotNull && col("user_id").isNotNull &&
         col("value").isNotNull)
       .select(col("user_id"), expr("graft_ts_us(ts)").as("tus"),
@@ -297,7 +297,7 @@ object TimeSeries {
       .orderBy(col("tus"), col("event_id"))
       .rowsBetween(-anomalyBase, -1)
     val d20 = "decimal(20,0)"
-    Graft.tableParallel(spark, sfDir, "events")
+    Graft.table(spark, sfDir, "events")
       .filter(col("ts").isNotNull && col("user_id").isNotNull &&
         col("value").isNotNull)
       .select(col("user_id"), expr("graft_ts_us(ts)").as("tus"),
