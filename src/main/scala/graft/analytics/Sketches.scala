@@ -744,7 +744,7 @@ object Sketches {
 
   def qQtileSliding(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
-    val ev = Graft.tableParallel(spark, sfDir, "events")
+    val ev = Graft.table(spark, sfDir, "events")
       .filter(col("ts").isNotNull && col("value").isNotNull)
       .select(expr(s"(graft_ts_us(ts)) DIV ${slideBucketUs}L").as("b"),
         floor(col("value") / lit(slideQtileW)).as("bin"))
