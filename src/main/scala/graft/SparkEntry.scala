@@ -96,6 +96,7 @@ object SparkEntry {
     "ss_stream_semantic" -> StreamSum.streamSemantic _,
     "ss_stream_asof" -> StreamSum.streamAsof _,
     "ss_stream_attribution" -> StreamSum.streamAttribution _,
+    "ss_stream_cohort" -> StreamSum.streamCohort _,
     "ss_stream_mix" -> StreamSum.streamMix _,
     "ss_stream_bigram" -> StreamSum.streamBigramNll _,
     "ss_stream_resample" -> StreamSum.streamResample _,
@@ -293,6 +294,7 @@ object SparkEntry {
     "ss_stream_semantic" -> Similarity.ddSemanticSql,
     "ss_stream_asof" -> graft.analytics.AsofJoin.qAsofSql,
     "ss_stream_attribution" -> graft.analytics.AsofJoin.qAttributionSql,
+    "ss_stream_cohort" -> Behavior.qCohortSql,
     "ss_stream_mix" -> graft.pipeline.CorpusOps.mixSql,
     "ss_stream_bigram" -> TextAnalysis.bigramNllSql,
     "ss_stream_resample" -> TimeSeries.qResampleSql,

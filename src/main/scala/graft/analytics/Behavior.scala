@@ -85,14 +85,12 @@ object Behavior {
     * naive formulation (distinct → first-week agg → join back → size
     * agg) scans events three times; this is the same result in one.
     */
-  def qCohort(spark: SparkSession, sfDir: String): DataFrame = {
-    Graft.ensureConf(spark)
-    val cells = Graft.table(spark, sfDir, "events")
-      .filter(col("ts").isNotNull && col("user_id").isNotNull)
-      .select(col("user_id"),
-        expr(s"(graft_ts_us(ts)) DIV ${cohortWeekUs}L").as("w"))
-      .groupBy(col("user_id"))
-      .agg(collect_set(col("w")).as("ws"))
+  /** Matrix math over any per-user (user_id, ws: array of active
+    * weeks) relation - shared by the batch face and the streaming
+    * face, whose streamed state is exactly this relation.
+    */
+  private[graft] def cohortMatrixFrom(perUser: DataFrame): DataFrame = {
+    val cells = perUser
       .select(expr("array_min(ws)").as("cw"), explode(col("ws")).as("w"))
       .groupBy(col("cw"), (col("w") - col("cw")).as("week_offset"))
       .agg(count(lit(1)).as("n_active"))
@@ -108,6 +106,16 @@ object Behavior {
           col("n_active").cast("double") / col("n_cohort").cast("double"))
           .as("retention"))
       .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  def qCohort(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    cohortMatrixFrom(Graft.table(spark, sfDir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"),
+        expr(s"(graft_ts_us(ts)) DIV ${cohortWeekUs}L").as("w"))
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("w")).as("ws")))
   }
 
   val qCohortSql: String =

@@ -1132,6 +1132,26 @@ object StreamSum {
       .orderBy(col("event_id"))
   }
 
+  /** Streaming face of the cohort retention matrix, sharing
+    * `q_cohort`'s oracle: the per-user active-week SET is the streamed
+    * state - collect_set is an order-insensitive mergeable union, and
+    * its size is bounded by the corpus's week count, so arrival order
+    * cannot perturb it and state stays small per key. The matrix math
+    * runs over the final snapshot via literally the batch
+    * `cohortMatrixFrom` (state-sized input, never raw events).
+    */
+  def streamCohort(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.analytics.Behavior
+    val perUser = streamingEvents(spark, sfDir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"),
+        expr(s"(graft_ts_us(ts)) DIV ${Behavior.cohortWeekUs}L").as("w"))
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("w")).as("ws"))
+    Behavior.cohortMatrixFrom(
+      runToTable(perUser, OutputMode.Complete(), "ss_stream_cohort"))
+  }
+
   final case class UndoOp(s: Long, o: Long, delta: Long, t: Long, seq: Long)
   final case class UndoCountOut(s: Long, a: String, o: Long, cnt: Long,
                                 last_t: Long, ops: Long)
