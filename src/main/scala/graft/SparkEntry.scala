@@ -234,6 +234,7 @@ object SparkEntry {
     "pipe_decont_bloom" -> graft.pipeline.CorpusOps.decontaminateBloom _,
     "pipe_mix" -> graft.pipeline.CorpusOps.mix _,
     "pipe_source_cap" -> graft.pipeline.CorpusOps.sourceCap _,
+    "pipe_split" -> graft.pipeline.CorpusOps.split _,
     "pipe_sample_weighted" -> graft.pipeline.CorpusOps.sampleWeighted _,
     "pipe_layout_zorder" -> graft.pipeline.Layout.zorder _,
     "txt_phrase_merge" -> TextAnalysis.phraseMerge _,
@@ -408,6 +409,7 @@ object SparkEntry {
     "pipe_shuffle" -> graft.pipeline.CorpusOps.shuffleSql(),
     "pipe_mix" -> graft.pipeline.CorpusOps.mixSql,
     "pipe_source_cap" -> graft.pipeline.CorpusOps.sourceCapSql,
+    "pipe_split" -> graft.pipeline.CorpusOps.splitSql,
     "pipe_sample_weighted" -> graft.pipeline.CorpusOps.sampleWeightedSql,
     // streaming admission face shares the batch sampling oracle
     "ss_stream_wsample" -> graft.pipeline.CorpusOps.sampleWeightedSql,

@@ -488,6 +488,45 @@ object CorpusOps {
        |FROM keyed ORDER BY shard, pos""".stripMargin
   }
 
+  // ---- pipe_split -----------------------------------------------------
+
+  /** Validation share: 1/16 of documents, by content-independent
+    * salted id hash.
+    */
+  val splitValDen = 16
+  val splitSalt = "split42:"
+
+  /** Deterministic train/validation split - the assignment every
+    * training pipeline needs to be (a) reproducible across reruns and
+    * environments, (b) stable under corpus appends (a doc's split
+    * never changes when other docs arrive - hash of the doc's own id,
+    * no sampling state), (c) content-independent (editing a doc must
+    * not move it across the split and leak val into train). One
+    * narrow, shuffle-free projection; the same salted-md5-48 scheme as
+    * pipe_shuffle/pipe_mix, so both engines assign bit-identically.
+    */
+  def split(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    graft.functions.NativeFunctions.register(spark)
+    Graft.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        expr(s"graft_md5_48(concat('$splitSalt', CAST(doc_id AS STRING)))")
+          .as("skey"))
+      .select(col("doc_id"),
+        when(pmod(col("skey"), lit(splitValDen.toLong)) === 0L,
+          lit("val")).otherwise(lit("train")).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val splitSql: String = {
+    val h48 = HashParity.hex48Duck(
+      s"md5(concat('$splitSalt', CAST(doc_id AS VARCHAR)))")
+    s"""SELECT doc_id,
+       |  CASE WHEN ($h48) % $splitValDen = 0 THEN 'val'
+       |       ELSE 'train' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   // ---- pipe_source_cap ------------------------------------------------
 
   /** Per-source document cap (keep the `sourceCapK` best docs of every

@@ -206,6 +206,30 @@ class CorpusOpsSpec extends SparkSpec {
     } finally spark.conf.unset("graft.shuffle.shards")
   }
 
+  test("split: deterministic, append-stable, content-independent, " +
+       "shuffle-free") {
+    val full = CorpusOps.split(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(full.values.toSet == Set("train", "val"),
+      "both splits must be populated on the fixture")
+    // append-stability: the same docs in a half-sized corpus keep
+    // their assignment (the split is a pure function of doc_id)
+    val dir = java.nio.file.Files.createTempDirectory("graft_split").toString
+    val docs = graft.core.Graft.table(spark, sfDir, "documents")
+    docs.filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val half = CorpusOps.split(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(half.forall { case (id, s) => full(id) == s },
+      "an append must never move an existing doc across the split")
+    // shuffle-free: a narrow projection, no Exchange except the
+    // presentation sort
+    val plan = CorpusOps.split(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Exchange")) <= 1,
+      s"split must not shuffle:\n$plan")
+  }
+
   test("source cap: per-source best-k by nll, runs on the bounded heap") {
     val df = CorpusOps.sourceCap(spark, sfDir)
     val rows = df.collect()
