@@ -113,6 +113,9 @@ object SparkEntry {
     "ss_stream_kmv" -> StreamSum.streamKmv _,
     "ss_stream_qprune" -> StreamSum.streamQualityPrune _,
     "ss_stream_retention" -> StreamSum.streamKmvRetention _,
+    "ss_stream_funnel" -> graft.streaming.FeatureStream.streamFunnel _,
+    "ss_stream_ewma" -> graft.streaming.FeatureStream.streamEwma _,
+    "ss_stream_anomaly" -> graft.streaming.FeatureStream.streamAnomaly _,
     "ss_stream_undo_count" -> StreamSum.streamUndoCountState _,
     "ss_stream_undo_assoc" -> StreamSum.streamUndoAssocState _,
     "ss_stream_keycount" -> StreamSum.streamKeycountState _,
@@ -212,6 +215,8 @@ object SparkEntry {
     "txt_tokens" -> TextAnalysis.tokens _,
     "txt_fingerprint" -> TextAnalysis.fingerprint _,
     "txt_unigram_nll" -> TextAnalysis.unigramNll _,
+    "txt_entropy" -> TextAnalysis.entropy _,
+    "txt_zipf" -> TextAnalysis.zipf _,
     "txt_tfidf" -> TextAnalysis.tfidf _,
     "txt_bigram_nll" -> TextAnalysis.bigramNll _,
     "txt_repetition" -> TextAnalysis.repetition _,
@@ -221,6 +226,7 @@ object SparkEntry {
     "mm_decode_batched" -> Multimodal.decodeBatched _,
     "mm_bmp_decode" -> Multimodal.bmpDecodeE2e _,
     "mm_wav_decode" -> Multimodal.wavDecodeE2e _,
+    "mm_png_decode" -> Multimodal.pngDecodeE2e _,
     // ---- corpus-level training-data ops ----
     "txt_vocab" -> graft.pipeline.CorpusOps.vocab _,
     // fixed shard count here so Spark and the generated oracle SQL
@@ -322,6 +328,11 @@ object SparkEntry {
     "q_anomaly" -> TimeSeries.qAnomalySql,
     "q_funnel" -> Behavior.qFunnelSql,
     "q_cohort" -> Behavior.qCohortSql,
+    // streaming faces of the per-user feature operators share the
+    // batch window formulations' oracles (same total event order)
+    "ss_stream_funnel" -> Behavior.qFunnelSql,
+    "ss_stream_ewma" -> TimeSeries.qEwmaSql,
+    "ss_stream_anomaly" -> TimeSeries.qAnomalySql,
     "q_corr" -> Tpch.qCorrSql,
     "q_range_join" -> RangeJoin.sql,
     "q_hll_distinct" -> Sketches.qHllDistinctSql,
@@ -397,6 +408,8 @@ object SparkEntry {
     "txt_tokens" -> TextAnalysis.tokensSql,
     "txt_fingerprint" -> TextAnalysis.fingerprintSql,
     "txt_unigram_nll" -> TextAnalysis.unigramNllSql,
+    "txt_entropy" -> TextAnalysis.entropySql,
+    "txt_zipf" -> TextAnalysis.zipfSql,
     "txt_tfidf" -> TextAnalysis.tfidfSql,
     "txt_bigram_nll" -> TextAnalysis.bigramNllSql,
     "txt_repetition" -> TextAnalysis.repetitionSql,
@@ -405,6 +418,7 @@ object SparkEntry {
     "mm_decode_batched" -> Multimodal.decodeBatchedSql,
     "mm_bmp_decode" -> Multimodal.bmpDecodeE2eSql,
     "mm_wav_decode" -> Multimodal.wavDecodeE2eSql,
+    "mm_png_decode" -> Multimodal.pngDecodeE2eSql,
     "txt_vocab" -> graft.pipeline.CorpusOps.vocabSql,
     "pipe_shuffle" -> graft.pipeline.CorpusOps.shuffleSql(),
     "pipe_mix" -> graft.pipeline.CorpusOps.mixSql,

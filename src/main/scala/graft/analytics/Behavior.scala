@@ -30,6 +30,27 @@ object Behavior {
   /** The funnel definition: view → click → purchase. */
   val funnelSteps: Seq[String] = Seq("view", "click", "purchase")
 
+  /** The tiny 3-row report fold over any per-user (r1, r2, r3)
+    * boolean-flag relation - shared by the batch face and the
+    * streaming face (whose streamed state is exactly these flags), so
+    * the report shape cannot drift between them.
+    */
+  private[graft] def funnelReportFrom(flags: DataFrame): DataFrame = {
+    val Seq(s1, s2, s3) = funnelSteps
+    flags
+      .agg(sum(col("r1").cast("long")).as("u1"),
+        sum(col("r2").cast("long")).as("u2"),
+        sum(col("r3").cast("long")).as("u3"))
+      .select(expr(
+        s"""explode(array(
+           |  struct(1L AS step, '$s1' AS step_name, u1 AS n_users),
+           |  struct(2L AS step, '$s2' AS step_name, u2 AS n_users),
+           |  struct(3L AS step, '$s3' AS step_name, u3 AS n_users)))
+           |""".stripMargin).as("r"))
+      .select(col("r.step"), col("r.step_name"), col("r.n_users"))
+      .orderBy(col("step"))
+  }
+
   def qFunnel(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
     val Seq(s1, s2, s3) = funnelSteps
@@ -52,17 +73,7 @@ object Behavior {
       .groupBy(col("user_id"))
       .agg(max(col("event_type") === s1).as("r1"),
         max(col("conv2")).as("r2"), max(col("conv3")).as("r3"))
-      .agg(sum(col("r1").cast("long")).as("u1"),
-        sum(col("r2").cast("long")).as("u2"),
-        sum(col("r3").cast("long")).as("u3"))
-    flags.select(expr(
-      s"""explode(array(
-         |  struct(1L AS step, '$s1' AS step_name, u1 AS n_users),
-         |  struct(2L AS step, '$s2' AS step_name, u2 AS n_users),
-         |  struct(3L AS step, '$s3' AS step_name, u3 AS n_users)))
-         |""".stripMargin).as("r"))
-      .select(col("r.step"), col("r.step_name"), col("r.n_users"))
-      .orderBy(col("step"))
+    funnelReportFrom(flags)
   }
 
   // ---- q_cohort: weekly cohort retention matrix ----------------------

@@ -350,6 +350,243 @@ object Multimodal {
       |  CAST(50 * (base + 99) AS BIGINT) AS peak
       |FROM t ORDER BY doc_id""".stripMargin
 
+  // ---- mm_png_decode: a REAL compressed-image codec (no stub) --------
+
+  /** PNG Paeth predictor (RFC 2083 §6.6) - shared by the encoder's
+    * filter pass and the parser's reconstruction.
+    */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a)
+    val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def crc32(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val c = new java.util.zip.CRC32()
+    c.update(bytes, off, len)
+    c.getValue
+  }
+
+  /** Pure-JVM PNG writer: 8-bit truecolor RGB, non-interlaced, zlib
+    * (java.util.zip.Deflater) IDAT - a genuine, ImageIO-readable PNG.
+    * Each row's filter type is y % 5, so every image exercises ALL
+    * FIVE PNG filters (None/Sub/Up/Average/Paeth); a decoder that
+    * mishandles any reconstruction breaks the closed-form sums. Pixel
+    * pattern: red = docId % 200, green = 2x + y, blue = x + 2y (dims
+    * bounded so no channel wraps) - closed forms from doc_id alone.
+    */
+  private[pipeline] def pngEncode(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val stride = w * 3
+    val raw = new Array[Byte](h * stride)
+    val red = (docId % 200).toByte
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = y * stride + x * 3
+        raw(i) = red
+        raw(i + 1) = (2 * x + y).toByte
+        raw(i + 2) = (x + 2 * y).toByte
+        x += 1
+      }
+      y += 1
+    }
+    // filter pass: one filter-type byte + filtered bytes per scanline
+    val filtered = new Array[Byte](h * (stride + 1))
+    y = 0
+    while (y < h) {
+      val ft = y % 5
+      filtered(y * (stride + 1)) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val cur = raw(y * stride + i) & 0xff
+        val left = if (i >= 3) raw(y * stride + i - 3) & 0xff else 0
+        val up = if (y > 0) raw((y - 1) * stride + i) & 0xff else 0
+        val ul =
+          if (y > 0 && i >= 3) raw((y - 1) * stride + i - 3) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        filtered(y * (stride + 1) + 1 + i) = ((cur - pred) & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered)
+    defl.finish()
+    val zbuf = new Array[Byte](filtered.length + 1024)
+    var zn = 0
+    while (!defl.finished()) zn += defl.deflate(zbuf, zn, zbuf.length - zn)
+    defl.end()
+    val out = java.nio.ByteBuffer.allocate(8 + 25 + 12 + zn + 12)
+    out.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    def chunk(tag: String, data: Array[Byte]): Unit = {
+      out.putInt(data.length).put(tag.getBytes("US-ASCII")).put(data)
+      val body = tag.getBytes("US-ASCII") ++ data
+      out.putInt(crc32(body, 0, body.length).toInt)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    chunk("IHDR", ihdr)
+    chunk("IDAT", java.util.Arrays.copyOf(zbuf, zn))
+    chunk("IEND", Array.emptyByteArray)
+    out.array()
+  }
+
+  final case class PngDecoded(doc_id: Long, width: Long, height: Long,
+                              bit_depth: Long, color_type: Long,
+                              sum_red: Long, sum_green: Long,
+                              sum_blue: Long, tl_blue: Long)
+
+  /** Pure-JVM PNG parser: signature + chunk walk with CRC32
+    * verification, multi-IDAT zlib inflate (java.util.zip.Inflater),
+    * full five-filter scanline reconstruction - this reads any 8-bit
+    * non-interlaced truecolor PNG, not just `pngEncode`'s (the spec
+    * referees both directions against the JDK's ImageIO PNG codec,
+    * whose own filter choices differ from ours). `tl_blue` (blue of
+    * the TOP-LEFT pixel) pins PNG's top-down row order - the opposite
+    * of BMP's bottom-up, and invisible to the sums.
+    */
+  private[pipeline] def pngDecode(docId: Long, bytes: Array[Byte]): PngDecoded = {
+    val b = java.nio.ByteBuffer.wrap(bytes) // PNG ints are big-endian
+    require(bytes.length > 8 && b.getLong(0) == 0x89504e470d0a1a0aL,
+      s"doc $docId: not a PNG payload")
+    var off = 8
+    var w, h, bitDepth, colorType = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done && off + 12 <= bytes.length) {
+      val len = b.getInt(off)
+      val tag = new String(bytes, off + 4, 4, "US-ASCII")
+      require(len >= 0 && off + 12 + len <= bytes.length,
+        s"doc $docId: truncated $tag chunk")
+      val crcStored = b.getInt(off + 8 + len) & 0xffffffffL
+      require(crc32(bytes, off + 4, 4 + len) == crcStored,
+        s"doc $docId: CRC mismatch in $tag chunk")
+      tag match {
+        case "IHDR" =>
+          w = b.getInt(off + 8)
+          h = b.getInt(off + 12)
+          bitDepth = bytes(off + 16) & 0xff
+          colorType = bytes(off + 17) & 0xff
+          require((bytes(off + 18) & 0xff) == 0 &&
+            (bytes(off + 19) & 0xff) == 0 && (bytes(off + 20) & 0xff) == 0,
+            s"doc $docId: unsupported compression/filter/interlace")
+        case "IDAT" => idat.write(bytes, off + 8, len)
+        case "IEND" => done = true
+        case _ => // ancillary chunk: skip
+      }
+      off += 12 + len
+    }
+    require(w > 0 && done, s"doc $docId: missing IHDR/IEND")
+    require(bitDepth == 8 && colorType == 2,
+      s"doc $docId: only 8-bit truecolor supported, " +
+        s"got depth=$bitDepth type=$colorType")
+    val stride = w * 3
+    val infl = new java.util.zip.Inflater()
+    infl.setInput(idat.toByteArray)
+    val scan = new Array[Byte](h * (stride + 1))
+    var n = 0
+    while (n < scan.length && !infl.finished()) {
+      val k = infl.inflate(scan, n, scan.length - n)
+      require(k > 0 || infl.finished(), s"doc $docId: truncated IDAT")
+      n += k
+    }
+    infl.end()
+    require(n == scan.length, s"doc $docId: short IDAT ($n/${scan.length})")
+    // reverse the per-row filters into raw RGB
+    val raw = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val ft = scan(y * (stride + 1)) & 0xff
+      var i = 0
+      while (i < stride) {
+        val v = scan(y * (stride + 1) + 1 + i) & 0xff
+        val left = if (i >= 3) raw(y * stride + i - 3) & 0xff else 0
+        val up = if (y > 0) raw((y - 1) * stride + i) & 0xff else 0
+        val ul =
+          if (y > 0 && i >= 3) raw((y - 1) * stride + i - 3) & 0xff else 0
+        val rec = ft match {
+          case 0 => v
+          case 1 => v + left
+          case 2 => v + up
+          case 3 => v + (left + up) / 2
+          case 4 => v + paeth(left, up, ul)
+          case other =>
+            throw new IllegalArgumentException(
+              s"doc $docId: bad filter type $other")
+        }
+        raw(y * stride + i) = (rec & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var i = 0
+    while (i < raw.length) {
+      sr += raw(i) & 0xff
+      sg += raw(i + 1) & 0xff
+      sb += raw(i + 2) & 0xff
+      i += 3
+    }
+    PngDecoded(docId, w, h, bitDepth, colorType, sr, sg, sb, raw(2) & 0xff)
+  }
+
+  /** End-to-end real compressed-image codec path, same mapPartitions
+    * batch shape as `bmpDecodeE2e`: genuine zlib-compressed PNG bytes
+    * in, independent chunk-walking/inflating/unfiltering parse out,
+    * closed-form oracle from doc_id alone. Encoder and parser share no
+    * state beyond the Paeth function, so a bug in either side of the
+    * filter/compress round-trip breaks the gate.
+    */
+  def pngDecodeE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    val s2 = Graft.ensureConf(spark)
+    import s2.implicits._
+    Graft.tableParallel(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 12 + (id % 21).toInt
+          val h = 9 + (id % 13).toInt
+          pngDecode(id, pngEncode(id, w, h))
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** Closed forms: red constant per image; Σ(2x+y) = 2h·Sx + w·Sy and
+    * Σ(x+2y) = h·Sx + 2w·Sy with Sx = w(w−1)/2, Sy = h(h−1)/2;
+    * top-left blue = 0 by construction (and ≠ the bottom-left value,
+    * so a row-order flip fails).
+    */
+  val pngDecodeE2eSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         12 + doc_id % 21 AS w,
+      |         9 + doc_id % 13 AS h
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(8 AS BIGINT) AS bit_depth, CAST(2 AS BIGINT) AS color_type,
+      |  CAST(w * h * (doc_id % 200) AS BIGINT) AS sum_red,
+      |  CAST(2 * h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2)
+      |       AS BIGINT) AS sum_green,
+      |  CAST(h * (w * (w - 1) // 2) + 2 * w * (h * (h - 1) // 2)
+      |       AS BIGINT) AS sum_blue,
+      |  CAST(0 AS BIGINT) AS tl_blue
+      |FROM t ORDER BY doc_id""".stripMargin
+
   /** Frame-sampling plumbing: each payload fans out to stride-sampled
     * frame-index rows (explode = the distributed flatMap); the per-frame
     * "feature" is a STUB digest. Narrow: no shuffle at any width.

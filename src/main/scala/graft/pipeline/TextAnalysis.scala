@@ -851,4 +851,155 @@ object TextAnalysis {
             "CAST(b.dup_tri_cnt AS DOUBLE) / CAST(b.n_tri AS DOUBLE)")}
        |    AS dup_tri_ratio
        |FROM base b JOIN top USING (doc_id) ORDER BY b.doc_id""".stripMargin
+
+  // ---- txt_entropy ----------------------------------------------------
+
+  /** Per-document word-distribution Shannon entropy - the third
+    * statistical quality signal next to the NLL gates: repetition
+    * ratios catch ONE dominant n-gram, the LM gates score against the
+    * corpus, but a document that cycles a tiny vocabulary with no
+    * single dominant token (spam keyword stuffing) shows up as LOW
+    * entropy regardless of which tokens it uses.
+    *
+    * Shape at scale: FULLY NARROW - the distribution is within-row, so
+    * counts, the Σ c·ln c fold and the entropy all run as in-row
+    * higher-order functions (docs are ≤ a few thousand tokens; the
+    * quadratic distinct×tokens scan is row-local work, no shuffle at
+    * any corpus width). Parity: per-count ln is quantized to integer
+    * micro-nats (the NLL gates' scheme), entropy = (n·lnq(n) − Σ
+    * c·lnq(c)) / (n·1e6) leaves ONE final double division, so both
+    * engines divide the same two integers.
+    */
+  def entropy(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    Graft.tableParallel(spark, sfDir, "documents")
+      .select(col("doc_id"), expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") > 0L)
+      .withColumn("sum_clnc", expr(
+        """aggregate(
+          |  transform(array_distinct(toks),
+          |    w -> CAST(size(filter(toks, t -> t = w)) AS BIGINT)),
+          |  0L,
+          |  (acc, c) -> acc + c * CAST(floor(ln(CAST(c AS DOUBLE))
+          |    * 1000000.0 + 0.5) AS BIGINT))""".stripMargin))
+      .select(col("doc_id"), col("n").as("n_tok"),
+        ParityMath.q6(expr(
+          """CAST(CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+            |  AS BIGINT) * n - sum_clnc AS DOUBLE)
+            |  / (CAST(n AS DOUBLE) * 1000000.0)""".stripMargin))
+          .as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  val entropySql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+       |    '[a-z0-9]+')) AS term
+       |  FROM documents
+       |), counts AS (
+       |  SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2
+       |), agg AS (
+       |  SELECT doc_id,
+       |    sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5)
+       |        AS BIGINT)) AS sum_clnc,
+       |    sum(c) AS n
+       |  FROM counts GROUP BY 1
+       |)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
+       |  ${ParityMath.q6Sql(
+            """CAST(CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+              |    AS BIGINT) * n - sum_clnc AS DOUBLE)
+              |    / (CAST(n AS DOUBLE) * 1000000.0)""".stripMargin)}
+       |    AS entropy
+       |FROM agg WHERE n > 0 ORDER BY doc_id""".stripMargin
+
+  // ---- txt_zipf -------------------------------------------------------
+
+  /** Zipf rank-frequency regression over the corpus vocabulary - the
+    * corpus-composition health check (natural text follows ln f ≈
+    * a − s·ln r with s near 1; template/boilerplate floods flatten the
+    * slope, garbage steepens it). The report every curation run logs
+    * next to the txt_vocab top-k.
+    *
+    * Shape at scale: the corpus pays ONE map-combinable term count;
+    * the top-R ranks come off the vocab relation via a bounded global
+    * heap (TakeOrderedAndProject, never a vocab-wide sort), and the
+    * regression runs over R = $zipfRanks rows. Parity: ln(rank) and
+    * ln(freq) quantize to integer micro-nats, the least-squares sums
+    * accumulate in DECIMAL(38,0) ≙ HUGEINT (n·Σxy reaches ~7e18 at
+    * corpus scale), and slope = (n·Σxy − Σx·Σy)/(n·Σx² − Σx²) is ONE
+    * final double division - bitwise cross-engine.
+    */
+  val zipfRanks = 256
+
+  def zipf(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val freq = Graft.tableParallel(spark, sfDir, "documents")
+      .select(explode(expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val totals = freq.agg(sum(col("cnt")).as("total_tokens"),
+      count(lit(1)).as("vocab_size"))
+    // bounded global heap: rank only the R most frequent terms
+    val top = freq.orderBy(col("cnt").desc, col("term").asc)
+      .limit(zipfRanks)
+    val ranked = top.select(col("cnt"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("term").asc)).cast("long").as("r"))
+      .select(
+        expr("CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000.0 + 0.5) " +
+          "AS DECIMAL(38,0))").as("x"),
+        expr("CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5) " +
+          "AS DECIMAL(38,0))").as("y"))
+    ranked
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .crossJoin(totals)
+      .select(col("n").cast("long").as("n_ranks"),
+        col("vocab_size").cast("long").as("vocab_size"),
+        col("total_tokens").cast("long").as("total_tokens"),
+        ParityMath.q6(expr(
+          """CAST(n * sxy - sx * sy AS DOUBLE)
+            |  / CAST(n * sxx - sx * sx AS DOUBLE)""".stripMargin))
+          .as("slope"))
+  }
+
+  val zipfSql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+       |    AS term
+       |  FROM documents
+       |), freq AS (
+       |  SELECT term, count(*) AS cnt FROM toks GROUP BY term
+       |), totals AS (
+       |  SELECT sum(cnt) AS total_tokens, count(*) AS vocab_size
+       |  FROM freq
+       |), top AS (
+       |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term ASC)
+       |    AS r
+       |  FROM freq ORDER BY cnt DESC, term ASC LIMIT $zipfRanks
+       |), pts AS (
+       |  SELECT
+       |    CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000.0 + 0.5)
+       |      AS HUGEINT) AS x,
+       |    CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5)
+       |      AS HUGEINT) AS y
+       |  FROM top
+       |), s AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+       |         sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+       |  FROM pts
+       |)
+       |SELECT CAST(s.n AS BIGINT) AS n_ranks,
+       |  CAST(t.vocab_size AS BIGINT) AS vocab_size,
+       |  CAST(t.total_tokens AS BIGINT) AS total_tokens,
+       |  ${ParityMath.q6Sql(
+            """CAST(s.n * s.sxy - s.sx * s.sy AS DOUBLE)
+              |    / CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE)""".stripMargin)}
+       |    AS slope
+       |FROM s CROSS JOIN totals t""".stripMargin
 }

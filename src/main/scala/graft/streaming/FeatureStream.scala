@@ -1,0 +1,215 @@
+package graft.streaming
+
+import graft.analytics.{Behavior, TimeSeries}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming faces of the per-user event-feature operators (funnel /
+  * EWMA / rolling anomaly) — the behavior family's live deployment
+  * path. Each is a per-user sequential fold in the same total
+  * (ts, event_id) event order the batch window formulations use, so
+  * the faces share the batch operators' oracles verbatim.
+  *
+  * State is BOUNDED by construction — the entire point of these
+  * streaming forms at 100 TB:
+  *   - funnel: three booleans per user (the batch per-user flags);
+  *   - EWMA:   the last ≤ 7 prior observations per user (the batch
+  *             window's lag columns ARE this ring);
+  *   - anomaly: the last ≤ 8 prior observations per user (the batch
+  *             trailing baseline frame).
+  * An exact streaming funnel/EWMA cannot hold less: each is the batch
+  * window frame made explicit. Rows are folded in (ts, event_id)
+  * order within each micro-batch; across batches the file source
+  * delivers in time order (the same arrival contract the undo-cache
+  * faces document).
+  *
+  * Reference: the reference's live pipeline summarizes events as they
+  * arrive (system.clj queue → transform → record); these faces apply
+  * that arrival-driven model to the windowed feature operators.
+  */
+object FeatureStream {
+
+  final case class EvRow(user_id: Long, tus: Long, event_id: Long,
+                         event_type: String)
+  final case class ValRow(user_id: Long, tus: Long, event_id: Long,
+                          value: Double)
+  final case class FunnelFlag(user_id: Long, r1: Boolean, r2: Boolean,
+                              r3: Boolean, ops: Long)
+  final case class EwmaOut(user_id: Long, event_id: Long, value: Double,
+                           n_obs: Long, ewma: Double)
+  final case class AnomalyOut(user_id: Long, event_id: Long,
+                              value: Double, n_base: Long)
+
+  /** value → exact integer micro-units; the same IEEE ops as the batch
+    * faces' `CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)`.
+    */
+  private def vMu(value: Double): Long =
+    math.floor(value * 1000000.0 + 0.5).toLong
+
+  private def q6(x: Double): Double =
+    math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+  // ---- ss_stream_funnel ----------------------------------------------
+
+  /** Per-user funnel fold: state = the three conversion bits. A step-k
+    * event converts iff step k−1 was converted by a STRICTLY preceding
+    * event — in a sequential fold the state before the current event
+    * is exactly the strictly-preceding history, so the batch window
+    * semantics (Behavior.qFunnel) fall out of evaluating the three
+    * rules against the PRE-update flags.
+    */
+  private def funnelHandler(
+      key: Long, rows: Iterator[EvRow],
+      state: GroupState[(Boolean, Boolean, Boolean, Long)])
+      : Iterator[FunnelFlag] = {
+    val Seq(s1, s2, s3) = Behavior.funnelSteps
+    var (r1, r2, r3, ops) = state.getOption.getOrElse(
+      (false, false, false, 0L))
+    val sorted = rows.toSeq.sortBy(r => (r.tus, r.event_id))
+    sorted.foreach { r =>
+      // evaluate against the pre-update flags (strictly-preceding);
+      // an event has one type, so the three updates cannot interact
+      val n2 = r2 || (r.event_type == s2 && r1)
+      val n3 = r3 || (r.event_type == s3 && r2)
+      r1 = r1 || r.event_type == s1
+      r2 = n2
+      r3 = n3
+      ops += 1L
+    }
+    state.update((r1, r2, r3, ops))
+    Iterator.single(FunnelFlag(key, r1, r2, r3, ops))
+  }
+
+  /** The per-user flag stream over any (user_id, tus, event_id,
+    * event_type) relation — MemoryStream-drivable for parity specs.
+    */
+  def funnelFlagStream(ev: DataFrame): Dataset[FunnelFlag] = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.as[EvRow].groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout())(funnelHandler)
+  }
+
+  def streamFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = StreamSum.streamingEvents(spark, sfDir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), expr("graft_ts_us(ts)").as("tus"),
+        col("event_id"), col("event_type"))
+    val snap = StreamSum.runToTable(funnelFlagStream(ev).toDF(),
+      OutputMode.Update(), "ss_stream_funnel")
+    // Update-mode sink: one flag snapshot per user per micro-batch;
+    // ops is monotone, so max-ops selects each user's final flags.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+    val flags = snap.withColumn("mx", max(col("ops")).over(w))
+      .filter(col("ops") === col("mx"))
+      .select(col("user_id"), col("r1"), col("r2"), col("r3"))
+    Behavior.funnelReportFrom(flags)
+  }
+
+  // ---- ss_stream_ewma ------------------------------------------------
+
+  /** Per-user EWMA fold: state = the last ≤ ewmaLen−1 prior
+    * observations in micro-units, newest first (the batch face's lag
+    * columns). Each arriving event's EWMA is final at arrival —
+    * Append-mode emission, one row per event, no snapshot selection.
+    * Arithmetic is the batch face's exactly: integer weighted sum
+    * 3^i·4^(m−1−i) over the ≤ m observations, ONE double division,
+    * q6 — so the emitted doubles are bit-identical to the window
+    * formulation's and the face shares `qEwmaSql`.
+    */
+  private def ewmaHandler(
+      key: Long, rows: Iterator[ValRow],
+      state: GroupState[Seq[Long]]): Iterator[EwmaOut] = {
+    val n = TimeSeries.ewmaLen
+    val pow3 = Array.iterate(1L, n + 1)(_ * 3L)
+    val pow4 = Array.iterate(1L, n + 1)(_ * 4L)
+    var ring = state.getOption.getOrElse(Seq.empty) // newest first
+    val out = rows.toSeq.sortBy(r => (r.tus, r.event_id)).map { r =>
+      val vs = vMu(r.value) +: ring // v0 = current, v1.. = lags
+      val m = math.min(vs.length, n)
+      var num = 0L
+      var i = 0
+      while (i < m) {
+        num += pow3(i) * pow4(m - 1 - i) * vs(i)
+        i += 1
+      }
+      val den = pow4(m) - pow3(m)
+      ring = vs.take(n - 1)
+      EwmaOut(key, r.event_id, r.value, m.toLong,
+        q6(num.toDouble / (den.toDouble * 1000000.0)))
+    }
+    state.update(ring)
+    out.iterator
+  }
+
+  def ewmaStream(ev: DataFrame): Dataset[EwmaOut] = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.as[ValRow].groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(ewmaHandler)
+  }
+
+  private def valueEvents(spark: SparkSession, sfDir: String): DataFrame =
+    StreamSum.streamingEvents(spark, sfDir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("value").isNotNull)
+      .select(col("user_id"), expr("graft_ts_us(ts)").as("tus"),
+        col("event_id"), col("value"))
+
+  def streamEwma(spark: SparkSession, sfDir: String): DataFrame =
+    StreamSum.runToTable(ewmaStream(valueEvents(spark, sfDir)).toDF(),
+      OutputMode.Append(), "ss_stream_ewma")
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("n_obs"), col("ewma"))
+      .orderBy(col("user_id"), col("event_id"))
+
+  // ---- ss_stream_anomaly ---------------------------------------------
+
+  /** Per-user rolling-3σ fold: state = the last ≤ anomalyBase prior
+    * observations (the batch trailing frame), oldest first. The
+    * verdict is the batch face's EXACT integer test
+    * (n·v − S)² > 9·(n·Q − S²) — S² reaches ~1.6e19, past BIGINT, so
+    * the quadratics run in BigInt ≙ the batch DECIMAL(38,0) ≙ the
+    * oracle HUGEINT. Only anomalous rows are emitted (Append mode,
+    * final at arrival).
+    */
+  private def anomalyHandler(
+      key: Long, rows: Iterator[ValRow],
+      state: GroupState[Seq[Long]]): Iterator[AnomalyOut] = {
+    val maxN = TimeSeries.anomalyBase
+    var ring = state.getOption.getOrElse(Seq.empty) // oldest first
+    val out = rows.toSeq.sortBy(r => (r.tus, r.event_id)).flatMap { r =>
+      val v = vMu(r.value)
+      val n = ring.length.toLong
+      val verdict = if (n >= TimeSeries.anomalyMinN) {
+        val s = ring.sum
+        val q = ring.map(x => BigInt(x) * x).sum
+        val d = BigInt(n * v - s)
+        d * d > 9 * (BigInt(n) * q - BigInt(s) * s)
+      } else false
+      ring = (ring :+ v).takeRight(maxN)
+      if (verdict) Some(AnomalyOut(key, r.event_id, r.value, n)) else None
+    }
+    state.update(ring)
+    out.iterator
+  }
+
+  def anomalyStream(ev: DataFrame): Dataset[AnomalyOut] = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.as[ValRow].groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(anomalyHandler)
+  }
+
+  def streamAnomaly(spark: SparkSession, sfDir: String): DataFrame =
+    StreamSum.runToTable(anomalyStream(valueEvents(spark, sfDir)).toDF(),
+      OutputMode.Append(), "ss_stream_anomaly")
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("n_base"))
+      .orderBy(col("user_id"), col("event_id"))
+}

@@ -37,7 +37,7 @@ object StreamSum {
   final case class LastNSnap(cache: String, k: Long, v: Long, t: Long,
                              rn: Long, ops: Long)
 
-  private def streamingEvents(spark: SparkSession, sfDir: String): DataFrame = {
+  private[streaming] def streamingEvents(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     spark.readStream.schema(schema)
@@ -45,8 +45,8 @@ object StreamSum {
       .parquet(sfDir)
   }
 
-  private def runToTable(df: DataFrame, mode: OutputMode,
-                         prefix: String): DataFrame = {
+  private[streaming] def runToTable(df: DataFrame, mode: OutputMode,
+                                    prefix: String): DataFrame = {
     val name = s"${prefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()

@@ -111,6 +111,68 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("pngEncode output is a valid PNG per the JDK's ImageIO reader") {
+    for (id <- Seq(0L, 7L, 123L, 4567L)) {
+      val w = 12 + (id % 21).toInt
+      val h = 9 + (id % 13).toInt
+      val bytes = Multimodal.pngEncode(id, w, h)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO rejected the encoded PNG for doc $id")
+      assert(img.getWidth == w && img.getHeight == h)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+      }
+      val sx = w.toLong * (w - 1) / 2
+      val sy = h.toLong * (h - 1) / 2
+      // ImageIO independently reverses all five per-row filters; the
+      // sums only match if OUR filter pass encoded them correctly
+      assert(sr == w.toLong * h * (id % 200))
+      assert(sg == 2 * h * sx + w * sy && sb == h * sx + 2 * w * sy)
+      assert((img.getRGB(0, 0) & 0xff) == 0, "top-left blue must be 0")
+      assert((img.getRGB(0, h - 1) & 0xff) == 2 * (h - 1),
+        "bottom-left blue pins top-down row order")
+    }
+  }
+
+  test("pngDecode reads ImageIO-WRITTEN PNGs (foreign filter choices)") {
+    for (id <- Seq(3L, 42L, 1001L)) {
+      val w = 12 + (id % 21).toInt
+      val h = 9 + (id % 13).toInt
+      // build the same gradient through the JDK's own PNG ENCODER -
+      // its filter selection differs from ours, so this exercises the
+      // parser against scanlines we didn't produce
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((id % 200).toInt << 16) |
+          ((2 * x + y) << 8) | (x + 2 * y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val got = Multimodal.pngDecode(id, bos.toByteArray)
+      val viaOurs = Multimodal.pngDecode(id, Multimodal.pngEncode(id, w, h))
+      assert(got == viaOurs,
+        s"parsing the JDK-written PNG diverges for doc $id")
+    }
+  }
+
+  test("pngDecode verifies CRCs and rejects corrupt/truncated payloads") {
+    val bytes = Multimodal.pngEncode(5L, 17, 10)
+    intercept[IllegalArgumentException] {
+      Multimodal.pngDecode(5L, Array.fill[Byte](100)(0x11))
+    }
+    // flip one IDAT byte: the chunk CRC must catch it
+    val corrupt = bytes.clone()
+    corrupt(8 + 25 + 8 + 3) = (corrupt(8 + 25 + 8 + 3) ^ 0x7f).toByte
+    intercept[IllegalArgumentException] { Multimodal.pngDecode(5L, corrupt) }
+    // truncate mid-IDAT
+    intercept[IllegalArgumentException] {
+      Multimodal.pngDecode(5L, java.util.Arrays.copyOf(bytes, 60))
+    }
+  }
+
   test("bmp end-to-end matches the closed-form derivation") {
     val got = Multimodal.bmpDecodeE2e(spark, sfDir)
       .filter(col("doc_id") < 20)

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.analytics.{Behavior, TimeSeries}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Stream/batch parity for the per-user feature faces: the sequential
+  * folds (funnel flags, EWMA ring, anomaly baseline) must reproduce
+  * the batch window formulations exactly, including across micro-batch
+  * boundaries where the carried state does the work of the window
+  * frame.
+  */
+class FeatureStreamSpec extends SparkSpec {
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("ss_stream_funnel == q_funnel") {
+    assert(rows(FeatureStream.streamFunnel(spark, sfDir)) ==
+      rows(Behavior.qFunnel(spark, sfDir)))
+  }
+
+  test("ss_stream_ewma == q_ewma (bitwise)") {
+    assert(rows(FeatureStream.streamEwma(spark, sfDir)) ==
+      rows(TimeSeries.qEwma(spark, sfDir)))
+  }
+
+  test("ss_stream_anomaly == q_anomaly") {
+    assert(rows(FeatureStream.streamAnomaly(spark, sfDir)) ==
+      rows(TimeSeries.qAnomaly(spark, sfDir)))
+  }
+
+  test("ewma ring state carries across micro-batches") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // 12 observations for one user: the second batch's first rows must
+    // see the first batch's tail through the carried ring (m reaches
+    // the full window length only if state survived the boundary)
+    val all = (0 until 12).map(i =>
+      FeatureStream.ValRow(1L, 1000L + i, i.toLong, (i * 37 % 100) / 4.0))
+    def run(batches: Seq[Seq[FeatureStream.ValRow]]): Seq[String] = {
+      val mem = MemoryStream[FeatureStream.ValRow]
+      val q = FeatureStream.ewmaStream(mem.toDF()).toDF()
+        .writeStream.format("memory")
+        .queryName(s"ewma_mb_${batches.size}")
+        .outputMode(OutputMode.Append()).start()
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      s.table(s"ewma_mb_${batches.size}")
+        .orderBy("user_id", "event_id").collect().map(_.toString).toSeq
+    }
+    val split = run(Seq(all.take(5), all.drop(5)))
+    val oneShot = run(Seq(all))
+    assert(split == oneShot && split.size == 12)
+  }
+
+  test("funnel flags carry across micro-batches (view in b1, click in b2)") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[FeatureStream.EvRow]
+    val q = FeatureStream.funnelFlagStream(mem.toDF()).toDF()
+      .writeStream.format("memory").queryName("funnel_mb")
+      .outputMode(OutputMode.Update()).start()
+    // user 1 converts step 2 only because the step-1 view arrived in
+    // the PREVIOUS batch; user 2's purchase-before-click must not count
+    mem.addData(
+      FeatureStream.EvRow(1L, 10L, 1L, "view"),
+      FeatureStream.EvRow(2L, 10L, 2L, "purchase"))
+    q.processAllAvailable()
+    mem.addData(
+      FeatureStream.EvRow(1L, 20L, 3L, "click"),
+      FeatureStream.EvRow(2L, 20L, 4L, "click"),
+      FeatureStream.EvRow(2L, 30L, 5L, "view"))
+    q.processAllAvailable()
+    q.stop()
+    // latest (max-ops) snapshot per user, selected in plain Scala -
+    // memory-table self-joins trip Spark's relation dedup
+    val flags = s.table("funnel_mb")
+      .select("user_id", "r1", "r2", "r3", "ops")
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rs) =>
+        val r = rs.maxBy(_.getLong(4))
+        u -> ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+      }
+    assert(flags(1L) == ((true, true, false)))
+    // user 2: view arrives after the click - no step-2 conversion
+    assert(flags(2L) == ((true, false, false)))
+  }
+}
