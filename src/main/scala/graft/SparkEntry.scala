@@ -1,6 +1,6 @@
 package graft
 
-import graft.analytics.{AsofJoin, Behavior, RangeJoin, Sketches, TimeSeries, Tpch}
+import graft.analytics.{AsofJoin, Behavior, Graph, RangeJoin, Sketches, TimeSeries, Tpch}
 import graft.core._
 import graft.oracle.Sql
 import graft.pipeline.{CorpusClean, Dedup, Multimodal, Similarity, TextAnalysis}
@@ -98,6 +98,8 @@ object SparkEntry {
     "ss_stream_attribution" -> StreamSum.streamAttribution _,
     "ss_stream_cohort" -> StreamSum.streamCohort _,
     "ss_stream_mix" -> StreamSum.streamMix _,
+    "ss_stream_entropy" -> StreamSum.streamEntropy _,
+    "ss_stream_zipf" -> StreamSum.streamZipf _,
     "ss_stream_bigram" -> StreamSum.streamBigramNll _,
     "ss_stream_resample" -> StreamSum.streamResample _,
     "ss_stream_resample_interp" -> StreamSum.streamResampleInterp _,
@@ -141,6 +143,7 @@ object SparkEntry {
     "q_anomaly" -> TimeSeries.qAnomaly _,
     "q_funnel" -> Behavior.qFunnel _,
     "q_cohort" -> Behavior.qCohort _,
+    "q_pagerank" -> Graph.qPagerank _,
     "q_corr" -> Tpch.qCorr _,
     "q_range_join" -> RangeJoin.apply _,
     "q_hll_distinct" -> Sketches.qHllDistinct _,
@@ -188,6 +191,7 @@ object SparkEntry {
     "lm_store_quality" -> graft.pipeline.SignatureStore.gatedQualityGate _,
     "lm_store_source_cap" -> graft.pipeline.SignatureStore.gatedSourceCap _,
     "session_store" -> graft.pipeline.SignatureStore.gatedSessions _,
+    "cohort_store" -> graft.pipeline.SignatureStore.gatedCohort _,
     "lm2_store_bigram" -> graft.pipeline.SignatureStore.gatedBigramNll _,
     "layout_store" -> graft.pipeline.SignatureStore.gatedLayout _,
     "cms_store_topk" -> graft.pipeline.SignatureStore.gatedCmsTopk _,
@@ -328,6 +332,7 @@ object SparkEntry {
     "q_anomaly" -> TimeSeries.qAnomalySql,
     "q_funnel" -> Behavior.qFunnelSql,
     "q_cohort" -> Behavior.qCohortSql,
+    "q_pagerank" -> Graph.qPagerankSql,
     // streaming faces of the per-user feature operators share the
     // batch window formulations' oracles (same total event order)
     "ss_stream_funnel" -> Behavior.qFunnelSql,
@@ -379,6 +384,7 @@ object SparkEntry {
     "lm_store_quality" -> graft.pipeline.QualityGate.sql,
     "lm_store_source_cap" -> graft.pipeline.CorpusOps.sourceCapSql,
     "session_store" -> Tpch.qSessionizeSql,
+    "cohort_store" -> Behavior.qCohortSql,
     "lm2_store_bigram" -> TextAnalysis.bigramNllSql,
     "layout_store" -> graft.pipeline.Layout.zorderSql,
     // sketch stores share their batch faces' oracles
@@ -410,6 +416,8 @@ object SparkEntry {
     "txt_unigram_nll" -> TextAnalysis.unigramNllSql,
     "txt_entropy" -> TextAnalysis.entropySql,
     "txt_zipf" -> TextAnalysis.zipfSql,
+    "ss_stream_entropy" -> TextAnalysis.entropySql,
+    "ss_stream_zipf" -> TextAnalysis.zipfSql,
     "txt_tfidf" -> TextAnalysis.tfidfSql,
     "txt_bigram_nll" -> TextAnalysis.bigramNllSql,
     "txt_repetition" -> TextAnalysis.repetitionSql,

@@ -3,7 +3,7 @@ package graft.pipeline
 import graft.core.Graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{col, count, expr, lit, max, min, pmod, sum, when}
+import org.apache.spark.sql.functions.{col, collect_set, count, expr, lit, max, min, pmod, sum, when}
 
 /** Materialized MinHash signature store: the shingle/hash relation and
   * the exploded LSH band stream are computed ONCE per (session, corpus)
@@ -504,6 +504,75 @@ object SignatureStore {
       "arrival2.parquet")
     catchUpSessions(spark, watch, store)
     storedSessions(spark, store)
+  }
+
+  // ---- cohort store --------------------------------------------------
+
+  /** Incremental cohort retention: each arriving batch lands its
+    * DISTINCT (user, week) facts - batch-sized, additive under
+    * union-distinct. Like the LM stores, the ANSWER is not a union of
+    * per-batch answers: a user's cohort week is the min over ALL
+    * arrivals, so an older batch arriving later legitimately moves
+    * users into an earlier cohort and re-shapes the whole matrix -
+    * which is why the matrix math is deferred to query time over the
+    * stored facts (via literally the batch `cohortMatrixFrom`).
+    * Catch-up cost tracks arrivals; query cost tracks the distinct
+    * (user, week) relation, never raw events.
+    */
+  def catchUpCohort(spark: SparkSession, watchDir: String,
+                    storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val ev = spark.readStream.schema(schema).parquet(watchDir)
+    val q = ev.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.filter(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(col("user_id"), expr(
+            s"(graft_ts_us(ts)) DIV ${graft.analytics.Behavior.cohortWeekUs}L")
+            .as("w"))
+          .distinct()
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/user_weeks/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The retention matrix from the stored facts: cross-batch distinct
+    * (the same (user, week) may arrive in many batches), per-user set,
+    * then the shared matrix math. Matches `q_cohort`'s oracle once
+    * caught up.
+    */
+  def storedCohort(spark: SparkSession, storeDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val uw = storedOrEmpty(spark, s"$storeDir/user_weeks",
+      emptyLike(spark, spark.range(0).selectExpr("id AS user_id",
+        "id AS w")))
+    graft.analytics.Behavior.cohortMatrixFrom(
+      uw.select(col("user_id"), col("w")).distinct()
+        .groupBy(col("user_id"))
+        .agg(collect_set(col("w")).as("ws")))
+  }
+
+  /** Driver-gate face: fresh store, two event-parity appends (users'
+    * first-activity weeks split across batches, so cohort assignment
+    * must re-derive under the union), then the deferred matrix;
+    * shares `q_cohort`'s oracle.
+    */
+  def gatedCohort(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_cohort_watch")
+    val store = tempDirForExit("graft_gate_cohort_store")
+    val ev = Graft.table(spark, sfDir, "events")
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpCohort(spark, watch, store)
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpCohort(spark, watch, store)
+    storedCohort(spark, store)
   }
 
   /** Sketch twin of `catchUp` over an events directory: every sketch

@@ -870,9 +870,12 @@ object TextAnalysis {
     * c·lnq(c)) / (n·1e6) leaves ONE final double division, so both
     * engines divide the same two integers.
     */
-  def entropy(spark: SparkSession, sfDir: String): DataFrame = {
-    Graft.ensureConf(spark)
-    Graft.tableParallel(spark, sfDir, "documents")
+  /** The in-row entropy projection over any (doc_id, text) relation -
+    * shared verbatim by the batch face and the stateless streaming
+    * admission face.
+    */
+  private[graft] def entropyFrom(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), expr(
         "regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
@@ -890,6 +893,10 @@ object TextAnalysis {
             |  AS BIGINT) * n - sum_clnc AS DOUBLE)
             |  / (CAST(n AS DOUBLE) * 1000000.0)""".stripMargin))
           .as("entropy"))
+
+  def entropy(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    entropyFrom(Graft.tableParallel(spark, sfDir, "documents"))
       .orderBy(col("doc_id"))
   }
 
@@ -934,12 +941,11 @@ object TextAnalysis {
     */
   val zipfRanks = 256
 
-  def zipf(spark: SparkSession, sfDir: String): DataFrame = {
-    Graft.ensureConf(spark)
-    val freq = Graft.tableParallel(spark, sfDir, "documents")
-      .select(explode(expr(
-        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+  /** The regression over any (term, cnt) vocabulary relation - shared
+    * by the batch face and the streaming face, whose streamed state IS
+    * this relation.
+    */
+  private[graft] def zipfFrom(freq: DataFrame): DataFrame = {
     val totals = freq.agg(sum(col("cnt")).as("total_tokens"),
       count(lit(1)).as("vocab_size"))
     // bounded global heap: rank only the R most frequent terms
@@ -966,6 +972,14 @@ object TextAnalysis {
           """CAST(n * sxy - sx * sy AS DOUBLE)
             |  / CAST(n * sxx - sx * sx AS DOUBLE)""".stripMargin))
           .as("slope"))
+  }
+
+  def zipf(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    zipfFrom(Graft.tableParallel(spark, sfDir, "documents")
+      .select(explode(expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt")))
   }
 
   val zipfSql: String =

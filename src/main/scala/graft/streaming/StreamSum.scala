@@ -1050,6 +1050,45 @@ object StreamSum {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming admission face of the entropy signal, sharing
+    * `txt_entropy`'s oracle: the score is within-row (the whole point
+    * of the in-row formulation), so arriving docs are scored by
+    * LITERALLY the batch projection with zero streaming state and
+    * zero stream-side shuffles.
+    */
+  def streamEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    runToTable(graft.pipeline.TextAnalysis.entropyFrom(docs),
+      OutputMode.Append(), "ss_stream_entropy")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Streaming face of the Zipf composition report, sharing
+    * `txt_zipf`'s oracle: the streamed state is the vocabulary count
+    * relation (term → cnt, an ordinary streaming agg with map-side
+    * combine - state is vocab-bounded, the minimum any rank-frequency
+    * report can carry), and the bounded-heap ranking + integer
+    * least-squares run over the final snapshot via literally the
+    * batch `zipfFrom`.
+    */
+  def streamZipf(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val freq = docs
+      .select(explode(expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    graft.pipeline.TextAnalysis.zipfFrom(
+      runToTable(freq, OutputMode.Complete(), "ss_stream_zipf"))
+  }
+
   /** Streaming face of the as-of join, sharing `q_asof_join`'s oracle
     * (DuckDB's native ASOF LEFT JOIN): the static right side collapses
     * to a per-key SORTED book of (rt, o_orderkey) - the same

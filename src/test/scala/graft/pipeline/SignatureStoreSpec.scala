@@ -144,6 +144,48 @@ class SignatureStoreSpec extends SparkSpec {
     assert(stored == oneShot)
   }
 
+  test("cohort store: a later-arriving older batch re-assigns cohorts") {
+    val watch = Files.createTempDirectory("graft_cohort_watch").toString
+    val store = Files.createTempDirectory("graft_cohort_store").toString
+    val s = spark; import s.implicits._
+    val week = graft.analytics.Behavior.cohortWeekUs
+    def evDf(rows: Seq[(Long, Long, Long)]) = rows
+      .map { case (u, t, id) =>
+        (id, new java.sql.Timestamp(t / 1000L), u, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$watch/_stage"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(watch, name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    // batch 1: user 1 active in weeks 2 and 3 -> provisional cohort 2
+    land(evDf(Seq((1L, 2 * week, 10L), (1L, 3 * week, 11L))), "a1.parquet")
+    SignatureStore.catchUpCohort(spark, watch, store)
+    val early = SignatureStore.storedCohort(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(early == Set((2L, 0L, 1L), (2L, 1L, 1L)))
+    // batch 2: user 1's week-0 activity arrives LATE; user 2 in week 2
+    land(evDf(Seq((1L, week / 2, 12L), (2L, 2 * week, 20L))),
+      "a2.parquet")
+    SignatureStore.catchUpCohort(spark, watch, store)
+    val got = SignatureStore.storedCohort(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // user 1's cohort moved from 2 to 0 (offsets 0, 2, 3); user 2 is
+    // its own cohort at week 2 - the deferred matrix re-derived both
+    assert(got == Set((0L, 0L, 1L), (0L, 2L, 1L), (0L, 3L, 1L),
+      (2L, 0L, 1L)))
+    // on the real corpus: parity-split store == one-shot batch face
+    val oneShot = graft.analytics.Behavior.qCohort(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val stored = SignatureStore.gatedCohort(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(stored == oneShot)
+  }
+
   test("three faces agree: incremental store == streaming emission == batch") {
     // the streaming face consumes sfDir's documents.parquet in place;
     // the store face replays the same corpus as two appends - both
