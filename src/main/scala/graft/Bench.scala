@@ -42,7 +42,8 @@ object Bench {
     "q1_agg", "q3_join_agg", "q5_multijoin", "q_window", "q_sessionize",
     "q_corr",
     "q_asof_join", "q_attribution", "q_range_join", "q_resample",
-    "q_ewma", "q_anomaly", "q_funnel", "q_cohort",
+    "q_ewma", "q_anomaly", "q_funnel", "q_cohort", "q_pagerank",
+    "ss_stream_ewma",
     // training-data pipeline
     "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard", "dd_jaccard_prefix",
     "dd_containment", "dd_simhash",
@@ -58,8 +59,8 @@ object Bench {
     "q_cms_sliding_prod", "q_cms_join_card_prod", "q_cms_f2_prod",
     "q_kmv_jaccard_prod", "q_kmv_retention_prod",
     "txt_stats", "txt_fingerprint", "txt_repetition", "txt_bpe_learn",
-    "txt_bigram_nll", "txt_tfidf",
-    "mm_binary_stats", "mm_bmp_decode", "mm_wav_decode",
+    "txt_bigram_nll", "txt_tfidf", "txt_entropy", "txt_zipf",
+    "mm_binary_stats", "mm_bmp_decode", "mm_wav_decode", "mm_png_decode",
     "pipe_corpus_clean",
     "pipe_decontaminate", "pipe_decont_bloom", "pipe_dedup_apply",
     "pipe_quality_gate", "pipe_quality_prune", "pipe_source_cap",
@@ -81,7 +82,8 @@ object Bench {
     "ss_q_sort_variants", "ss_undo_lastn",
     "ss_stream_count_sink", "ss_stream_lastn_sink",
     "q_sessionize", "q_range_join", "q_resample", "q_attribution",
-    "q_ewma", "q_anomaly", "q_funnel", "q_cohort",
+    "q_ewma", "q_anomaly", "q_funnel", "q_cohort", "q_pagerank",
+    "ss_stream_ewma",
     "q_cms_topk", "q_cms_topk_prod", "q_cms_sliding", "q_cms_sliding_prod",
     "q_hll_sliding", "q_hll_sliding_prod", "q_qtile_sliding",
     "q_kmv_jaccard_prod", "q_kmv_retention_prod",
@@ -99,7 +101,10 @@ object Bench {
     "pipe_quality_gate", "ann_ivf_quant", "txt_stats",
     // the real-codec mapPartitions path: per-row cost must stay flat
     // as docs scale (narrow, no shuffle - the slope IS the claim)
-    "mm_bmp_decode",
+    "mm_bmp_decode", "mm_png_decode",
+    // the compressed codec: deflate/inflate dominates, so the per-row
+    // cost claim is stronger than BMP's raw-raster one
+    "txt_entropy",
     // the custom bounded-heap group limit under a 10x corpus: the
     // map-side trim is what keeps the slope linear
     "pipe_source_cap")

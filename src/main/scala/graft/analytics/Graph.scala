@@ -43,9 +43,14 @@ object Graph {
   def qPagerank(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
     val tuples = Transform.extract(spark, sfDir)
+    // materialize the distinct pair relation ONCE (localCheckpoint
+    // truncates lineage, ≙ the reliable checkpoint an iterative graph
+    // job takes between supersteps) - without it every iteration's
+    // unrolled plan re-derives the events scan + distinct
     val fwd = tuples
       .select((col("s") * 2).as("src"), (col("o") * 2 + 1).as("dst"))
       .distinct()
+      .localCheckpoint()
     // undirected walk: each interaction pair contributes both arcs;
     // even→odd and odd→even cannot duplicate, so unionAll is exact
     val edges = fwd.unionAll(

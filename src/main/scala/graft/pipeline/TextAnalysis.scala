@@ -943,28 +943,33 @@ object TextAnalysis {
 
   /** The regression over any (term, cnt) vocabulary relation - shared
     * by the batch face and the streaming face, whose streamed state IS
-    * this relation.
+    * this relation. ONE pass: the totals and the bounded top-R heap
+    * (`TopFreqAgg`, map-side-trimmed like the sample family's
+    * aggregator) come out of the same global aggregation, so the vocab
+    * relation - and therefore the corpus scan feeding it - is
+    * traversed exactly once (the naive totals + orderBy/limit
+    * formulation re-derives the whole scan subtree; AQE does not reuse
+    * it across the two sinks).
     */
   private[graft] def zipfFrom(freq: DataFrame): DataFrame = {
-    val totals = freq.agg(sum(col("cnt")).as("total_tokens"),
-      count(lit(1)).as("vocab_size"))
-    // bounded global heap: rank only the R most frequent terms
-    val top = freq.orderBy(col("cnt").desc, col("term").asc)
-      .limit(zipfRanks)
-    val ranked = top.select(col("cnt"),
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("cnt").desc, col("term").asc)).cast("long").as("r"))
-      .select(
-        expr("CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000.0 + 0.5) " +
+    val topAgg = udaf(graft.functions.TopFreqAgg(zipfRanks))
+    freq
+      .agg(sum(col("cnt")).as("total_tokens"),
+        count(lit(1)).as("vocab_size"),
+        topAgg(col("term"), col("cnt")).as("top"))
+      .select(col("total_tokens"), col("vocab_size"),
+        posexplode(col("top")).as(Seq("pos", "tc")))
+      .select(col("total_tokens"), col("vocab_size"),
+        expr("CAST(floor(ln(CAST(pos + 1 AS DOUBLE)) * 1000000.0 + 0.5) " +
           "AS DECIMAL(38,0))").as("x"),
-        expr("CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5) " +
+        expr("CAST(floor(ln(CAST(tc._2 AS DOUBLE)) * 1000000.0 + 0.5) " +
           "AS DECIMAL(38,0))").as("y"))
-    ranked
-      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+      .agg(max(col("total_tokens")).as("total_tokens"),
+        max(col("vocab_size")).as("vocab_size"),
+        count(lit(1)).cast("decimal(38,0)").as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
-      .crossJoin(totals)
       .select(col("n").cast("long").as("n_ranks"),
         col("vocab_size").cast("long").as("vocab_size"),
         col("total_tokens").cast("long").as("total_tokens"),
