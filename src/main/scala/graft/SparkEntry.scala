@@ -144,6 +144,8 @@ object SparkEntry {
     "q_funnel" -> Behavior.qFunnel _,
     "q_cohort" -> Behavior.qCohort _,
     "q_pagerank" -> Graph.qPagerank _,
+    "q_cooccur" -> Graph.qCooccur _,
+    "graph_store" -> graft.pipeline.SignatureStore.gatedGraph _,
     "q_corr" -> Tpch.qCorr _,
     "q_range_join" -> RangeJoin.apply _,
     "q_hll_distinct" -> Sketches.qHllDistinct _,
@@ -220,6 +222,7 @@ object SparkEntry {
     "txt_fingerprint" -> TextAnalysis.fingerprint _,
     "txt_unigram_nll" -> TextAnalysis.unigramNll _,
     "txt_entropy" -> TextAnalysis.entropy _,
+    "txt_hashfeat" -> TextAnalysis.hashfeat _,
     "txt_zipf" -> TextAnalysis.zipf _,
     "txt_tfidf" -> TextAnalysis.tfidf _,
     "txt_bigram_nll" -> TextAnalysis.bigramNll _,
@@ -333,6 +336,8 @@ object SparkEntry {
     "q_funnel" -> Behavior.qFunnelSql,
     "q_cohort" -> Behavior.qCohortSql,
     "q_pagerank" -> Graph.qPagerankSql,
+    "q_cooccur" -> Graph.qCooccurSql,
+    "graph_store" -> Graph.qPagerankSql,
     // streaming faces of the per-user feature operators share the
     // batch window formulations' oracles (same total event order)
     "ss_stream_funnel" -> Behavior.qFunnelSql,
@@ -415,6 +420,7 @@ object SparkEntry {
     "txt_fingerprint" -> TextAnalysis.fingerprintSql,
     "txt_unigram_nll" -> TextAnalysis.unigramNllSql,
     "txt_entropy" -> TextAnalysis.entropySql,
+    "txt_hashfeat" -> TextAnalysis.hashfeatSql,
     "txt_zipf" -> TextAnalysis.zipfSql,
     "ss_stream_entropy" -> TextAnalysis.entropySql,
     "ss_stream_zipf" -> TextAnalysis.zipfSql,

@@ -37,20 +37,31 @@ object Graph {
 
   val iterations = 3
 
+  /** The interaction pair relation (users even ids 2s, objects odd
+    * 2o+1 — the two id spaces cannot collide) from any extracted
+    * tuple stream.
+    */
+  private[graft] def fwdPairs(tuples: DataFrame): DataFrame =
+    tuples.select((col("s") * 2).as("src"), (col("o") * 2 + 1).as("dst"))
+      .distinct()
+
   /** Node encoding: users ride even ids (2s), objects odd (2o+1) —
     * the two id spaces cannot collide.
     */
   def qPagerank(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
-    val tuples = Transform.extract(spark, sfDir)
+    pagerankFrom(fwdPairs(Transform.extract(spark, sfDir)))
+  }
+
+  /** The rank iteration over any distinct (src, dst) pair relation -
+    * shared by the batch face and the incremental store face.
+    */
+  private[graft] def pagerankFrom(fwdPairs: DataFrame): DataFrame = {
     // materialize the distinct pair relation ONCE (localCheckpoint
     // truncates lineage, ≙ the reliable checkpoint an iterative graph
     // job takes between supersteps) - without it every iteration's
-    // unrolled plan re-derives the events scan + distinct
-    val fwd = tuples
-      .select((col("s") * 2).as("src"), (col("o") * 2 + 1).as("dst"))
-      .distinct()
-      .localCheckpoint()
+    // unrolled plan re-derives the scan + distinct
+    val fwd = fwdPairs.localCheckpoint()
     // undirected walk: each interaction pair contributes both arcs;
     // even→odd and odd→even cannot duplicate, so unionAll is exact
     val edges = fwd.unionAll(
@@ -108,4 +119,59 @@ object Graph {
        |  CAST(r AS BIGINT) AS rank_mu
        |FROM r$iterations ORDER BY node_kind, node_id""".stripMargin
   }
+
+  // ---- q_cooccur: item co-occurrence ---------------------------------
+
+  /** Per-user degree cap and the minimum support for an emitted pair. */
+  val cooccurMaxDeg = 128
+  val cooccurMinCnt = 2L
+
+  /** Item-item co-occurrence: object pairs interacted with by ≥ 2
+    * common users — the co-visitation matrix behind "users who touched
+    * X also touched Y" and the similarity prior recommenders start
+    * from. The pair fan-out is quadratic in per-user degree, so users
+    * above `cooccurMaxDeg` distinct objects are EXCLUDED outright (the
+    * standard bot/power-user mitigation: their pairs are pure noise
+    * and their deg² dominates the join) — a deterministic rule both
+    * engines apply identically, not a sample.
+    *
+    * 100 TB shape: one (user)-keyed distinct+collect (map-combinable),
+    * pair explode IN-ROW from each user's ≤ cap-sized sorted array
+    * (fan bounded at ~8k per user by the cap), one (o1, o2)-keyed
+    * map-combinable count. No self-join of the event log — the oracle
+    * uses one (it has no array explode), which is exactly the plan
+    * this formulation avoids.
+    */
+  def qCooccur(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    cooccurFrom(Transform.extract(spark, sfDir))
+  }
+
+  private[graft] def cooccurFrom(tuples: DataFrame): DataFrame =
+    tuples.select(col("s"), col("o")).distinct()
+      .groupBy(col("s"))
+      .agg(sort_array(collect_set(col("o"))).as("os"))
+      .filter(size(col("os")).between(2, cooccurMaxDeg))
+      .select(explode(expr(
+        """flatten(transform(os, (x, i) ->
+          |  transform(slice(os, i + 2, size(os) - i - 1),
+          |    y -> named_struct('o1', x, 'o2', y))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.o1").as("o1"), col("p.o2").as("o2"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= cooccurMinCnt)
+      .orderBy(col("o1"), col("o2"))
+
+  val qCooccurSql: String =
+    s"""WITH ${graft.oracle.Sql.tuplesCte},
+       |so AS (SELECT DISTINCT s, o FROM tuples),
+       |deg AS (SELECT s, count(*) AS d FROM so GROUP BY 1),
+       |el AS (
+       |  SELECT so.s, so.o FROM so JOIN deg USING (s)
+       |  WHERE deg.d BETWEEN 2 AND $cooccurMaxDeg
+       |)
+       |SELECT a.o AS o1, b.o AS o2, CAST(count(*) AS BIGINT) AS cnt
+       |FROM el a JOIN el b ON a.s = b.s AND a.o < b.o
+       |GROUP BY 1, 2 HAVING count(*) >= $cooccurMinCnt
+       |ORDER BY o1, o2""".stripMargin
 }

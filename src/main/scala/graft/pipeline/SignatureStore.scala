@@ -575,6 +575,63 @@ object SignatureStore {
     storedCohort(spark, store)
   }
 
+  // ---- graph store ---------------------------------------------------
+
+  /** Incremental interaction graph: each arriving batch lands its
+    * DISTINCT (src, dst) interaction pairs (additive under
+    * union-distinct, like the cohort facts). PageRank is a fixed
+    * point of the WHOLE graph - no per-batch rank is reusable - so the
+    * iteration runs at query time over the stored edge relation via
+    * literally the batch `pagerankFrom`: catch-up cost tracks
+    * arrivals, query cost tracks the edge relation, raw events are
+    * never re-read.
+    */
+  def catchUpGraph(spark: SparkSession, watchDir: String,
+                   storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val ev = spark.readStream.schema(schema).parquet(watchDir)
+    val q = ev.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.analytics.Graph.fwdPairs(
+            graft.core.Transform.extractFrom(batch))
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/edges/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  def storedPagerank(spark: SparkSession, storeDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val edges = storedOrEmpty(spark, s"$storeDir/edges",
+      emptyLike(spark, spark.range(0).selectExpr("id AS src",
+        "id AS dst")))
+    graft.analytics.Graph.pagerankFrom(
+      edges.select(col("src"), col("dst")).distinct())
+  }
+
+  /** Driver-gate face: fresh store, two event-parity appends (most
+    * edges appear in both batches - the union-distinct is doing real
+    * work), then the query-time fixed point; shares `q_pagerank`'s
+    * oracle.
+    */
+  def gatedGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_graph_watch")
+    val store = tempDirForExit("graft_gate_graph_store")
+    val ev = Graft.table(spark, sfDir, "events")
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpGraph(spark, watch, store)
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpGraph(spark, watch, store)
+    storedPagerank(spark, store)
+  }
+
   /** Sketch twin of `catchUp` over an events directory: every sketch
     * in the family is a MERGEABLE summary, so incremental maintenance
     * is per-batch partials + the sketch's own merge at query time -

@@ -922,6 +922,57 @@ object TextAnalysis {
        |    AS entropy
        |FROM agg WHERE n > 0 ORDER BY doc_id""".stripMargin
 
+  // ---- txt_hashfeat ---------------------------------------------------
+
+  /** Feature-hashing bucket count (the "hashing trick"). */
+  val hashfeatBuckets = 64
+
+  /** Feature-hashing vectorizer: each document becomes a sparse
+    * `hashfeatBuckets`-dimensional signed term-frequency vector - the
+    * fixed-width featurization (Weinberger et al., ICML 2009) that
+    * needs NO vocabulary pass, no dictionary broadcast, and no
+    * train/serve vocab skew; the signed-sum makes collisions unbiased.
+    * Output is the sparse (doc_id, bucket, w) relation, zero-weight
+    * collisions dropped.
+    *
+    * 100 TB shape: one narrow token fan-out + one (doc, bucket)-keyed
+    * map-combinable sum (≤ `hashfeatBuckets` rows per doc survive the
+    * partial agg). Bucket and sign come off the engines' shared
+    * md5-48 integer (bucket = h mod K, sign = bit 6), so the relation
+    * is bitwise cross-engine.
+    */
+  def hashfeat(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    Graft.tableParallel(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+      .withColumn("h", expr("graft_md5_48(term)"))
+      .groupBy(col("doc_id"),
+        (col("h") % hashfeatBuckets).as("bucket"))
+      .agg(sum(when(expr(s"(h DIV $hashfeatBuckets) % 2 = 0"), 1L)
+        .otherwise(-1L)).as("w"))
+      .filter(col("w") =!= 0L)
+      .orderBy(col("doc_id"), col("bucket"))
+  }
+
+  val hashfeatSql: String = {
+    val h48 = HashParity.hex48Duck("md5(term)")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+       |    '[a-z0-9]+')) AS term
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id, $h48 AS h FROM toks
+       |)
+       |SELECT doc_id, CAST(h % $hashfeatBuckets AS BIGINT) AS bucket,
+       |  CAST(sum(CASE WHEN (h // $hashfeatBuckets) % 2 = 0
+       |                THEN 1 ELSE -1 END) AS BIGINT) AS w
+       |FROM h GROUP BY 1, 2
+       |HAVING sum(CASE WHEN (h // $hashfeatBuckets) % 2 = 0
+       |           THEN 1 ELSE -1 END) != 0
+       |ORDER BY doc_id, bucket""".stripMargin
+  }
+
   // ---- txt_zipf -------------------------------------------------------
 
   /** Zipf rank-frequency regression over the corpus vocabulary - the

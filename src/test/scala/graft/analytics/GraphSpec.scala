@@ -1,0 +1,48 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Graph-family semantics: PageRank determinism/structure, the
+  * co-occurrence cap rule, and store/batch parity.
+  */
+class GraphSpec extends SparkSpec {
+
+  test("pagerank: ranks are deterministic, positive, and mass-plausible") {
+    val a = Graph.qPagerank(spark, sfDir).collect()
+    val b = Graph.qPagerank(spark, sfDir).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+      "two runs must land identical ranks (integer walk)")
+    assert(a.nonEmpty && a.forall(_.getLong(2) >= 150000L),
+      "every node keeps at least the teleport mass")
+    // per-node rank stays in the same order of magnitude as the init:
+    // the floor-division walk must not blow up or collapse
+    assert(a.forall(r => r.getLong(2) < 100000000L))
+  }
+
+  test("graph store == one-shot pagerank after parity-split ingest") {
+    val oneShot = Graph.qPagerank(spark, sfDir).collect().map(_.toSeq).toSet
+    val stored = graft.pipeline.SignatureStore.gatedGraph(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(stored == oneShot)
+  }
+
+  test("cooccur: planted pairs count common users; cap excludes hot user") {
+    val s = spark; import s.implicits._
+    // users 1,2 both touch {10, 20} -> pair (10,20) cnt 2;
+    // user 3 touches {10, 30} only -> (10,30) cnt 1 falls below support;
+    // user 4 exceeds the degree cap -> contributes nothing at all
+    val hot = (0 until Graph.cooccurMaxDeg + 1)
+      .map(i => (4L, 1000L + i))
+    val rows = (Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 30L)) ++ hot)
+      .zipWithIndex.map { case ((u, o), i) =>
+        (i.toLong, new java.sql.Timestamp(1000L + i), u, "view", 1.0,
+          s"""{"k": $o}""")
+      }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Graph.cooccurFrom(graft.core.Transform.extractFrom(rows))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((10L, 20L, 2L)))
+  }
+}
