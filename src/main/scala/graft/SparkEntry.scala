@@ -118,6 +118,7 @@ object SparkEntry {
     "ss_stream_funnel" -> graft.streaming.FeatureStream.streamFunnel _,
     "ss_stream_ewma" -> graft.streaming.FeatureStream.streamEwma _,
     "ss_stream_anomaly" -> graft.streaming.FeatureStream.streamAnomaly _,
+    "ss_stream_cooccur" -> graft.streaming.FeatureStream.streamCooccur _,
     "ss_stream_undo_count" -> StreamSum.streamUndoCountState _,
     "ss_stream_undo_assoc" -> StreamSum.streamUndoAssocState _,
     "ss_stream_keycount" -> StreamSum.streamKeycountState _,
@@ -343,6 +344,7 @@ object SparkEntry {
     "ss_stream_funnel" -> Behavior.qFunnelSql,
     "ss_stream_ewma" -> TimeSeries.qEwmaSql,
     "ss_stream_anomaly" -> TimeSeries.qAnomalySql,
+    "ss_stream_cooccur" -> Graph.qCooccurSql,
     "q_corr" -> Tpch.qCorrSql,
     "q_range_join" -> RangeJoin.sql,
     "q_hll_distinct" -> Sketches.qHllDistinctSql,

@@ -212,4 +212,76 @@ object FeatureStream {
       .select(col("user_id"), col("event_id"), col("value"),
         col("n_base"))
       .orderBy(col("user_id"), col("event_id"))
+
+  // ---- ss_stream_cooccur ---------------------------------------------
+
+  final case class UserObj(user_id: Long, o: Long)
+  /** o1 = -1 is the cap-exceeded tombstone for the user. */
+  final case class CoPair(user_id: Long, o1: Long, o2: Long)
+
+  /** Per-user co-occurrence emission: state is the user's distinct
+    * object set, BOUNDED at the degree cap — each genuinely new object
+    * pairs with every prior member, so across batches each (user,
+    * pair) streams out exactly once. The batch face EXCLUDES users
+    * over the cap, which is unknowable online — so the moment a user
+    * exceeds it, the handler emits one TOMBSTONE, drops the set (the
+    * state shrinks to a flag), and goes silent; the snapshot query
+    * anti-joins tombstoned users before counting, converging exactly
+    * to the batch relation. The online-retraction analog of the
+    * undo-cache faces, applied to candidate emission.
+    */
+  private def cooccurHandler(
+      key: Long, rows: Iterator[UserObj],
+      state: GroupState[(Set[Long], Boolean)]): Iterator[CoPair] = {
+    var (seen, dead) = state.getOption.getOrElse((Set.empty[Long], false))
+    val out = scala.collection.mutable.ArrayBuffer.empty[CoPair]
+    rows.foreach { r =>
+      if (!dead && !seen(r.o)) {
+        if (seen.size + 1 > graft.analytics.Graph.cooccurMaxDeg) {
+          dead = true
+          seen = Set.empty
+          out += CoPair(key, -1L, -1L)
+        } else {
+          out ++= seen.iterator.map(p =>
+            CoPair(key, math.min(p, r.o), math.max(p, r.o)))
+          seen += r.o
+        }
+      }
+    }
+    state.update((seen, dead))
+    out.iterator
+  }
+
+  /** The pair-emission stream over any (user_id, o) relation —
+    * MemoryStream-drivable for the tombstone spec.
+    */
+  def cooccurPairStream(userObjs: DataFrame): Dataset[CoPair] = {
+    val spark = userObjs.sparkSession
+    import spark.implicits._
+    userObjs.select(col("user_id"), col("o")).as[UserObj]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(cooccurHandler)
+  }
+
+  def streamCooccur(spark: SparkSession, sfDir: String): DataFrame = {
+    val tuples = graft.core.Transform.extractFrom(
+        StreamSum.streamingEvents(spark, sfDir))
+      .select(col("s").as("user_id"), col("o"))
+    val snap0 = StreamSum.runToTable(cooccurPairStream(tuples).toDF(),
+      OutputMode.Append(), "ss_stream_cooccur")
+    // the tombstone anti-join self-joins the snapshot, which trips
+    // reference dedup over the memory-table relation - rebase on the
+    // InternalRow barrier (same as the resample faces)
+    val snap = org.apache.spark.sql.GraftBridge.ofInternalRows(
+      spark, snap0.queryExecution.toRdd, snap0.schema)
+    val dead = snap.filter(col("o1") === -1L)
+      .select(col("user_id")).distinct()
+    snap.filter(col("o1") =!= -1L)
+      .join(dead, Seq("user_id"), "left_anti")
+      .groupBy(col("o1"), col("o2"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= graft.analytics.Graph.cooccurMinCnt)
+      .orderBy(col("o1"), col("o2"))
+  }
 }

@@ -55,6 +55,40 @@ class FeatureStreamSpec extends SparkSpec {
     assert(split == oneShot && split.size == 12)
   }
 
+  test("ss_stream_cooccur == q_cooccur") {
+    assert(rows(FeatureStream.streamCooccur(spark, sfDir)) ==
+      rows(graft.analytics.Graph.qCooccur(spark, sfDir)))
+  }
+
+  test("cooccur tombstone: a user crossing the cap mid-stream retracts") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[FeatureStream.UserObj]
+    val q = FeatureStream.cooccurPairStream(mem.toDF()).toDF()
+      .writeStream.format("memory").queryName("cooccur_mb")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: users 1 and 2 each pair {10, 20}; batch 2 pushes user 1
+    // past the cap - its earlier pairs must be retracted by tombstone
+    mem.addData(FeatureStream.UserObj(1L, 10L), FeatureStream.UserObj(1L, 20L),
+      FeatureStream.UserObj(2L, 10L), FeatureStream.UserObj(2L, 20L))
+    q.processAllAvailable()
+    val flood = (0 to graft.analytics.Graph.cooccurMaxDeg)
+      .map(i => FeatureStream.UserObj(1L, 1000L + i))
+    mem.addData(flood: _*)
+    q.processAllAvailable()
+    q.stop()
+    val snap = s.table("cooccur_mb")
+    val dead = snap.filter($"o1" === -1L).select("user_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(dead == Set(1L), "user 1 must be tombstoned")
+    // the snapshot query's anti-join leaves only user 2's pair, which
+    // falls below the 2-user support floor -> empty final relation
+    val alivePairs = snap.filter($"o1" =!= -1L)
+      .filter(!$"user_id".isin(dead.toSeq: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(alivePairs == Set((2L, 10L, 20L)))
+  }
+
   test("funnel flags carry across micro-batches (view in b1, click in b2)") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
