@@ -43,7 +43,7 @@ object Bench {
     "q_corr",
     "q_asof_join", "q_attribution", "q_range_join", "q_resample",
     "q_ewma", "q_anomaly", "q_funnel", "q_cohort", "q_pagerank",
-    "ss_stream_ewma",
+    "q_decay_count", "ss_stream_ewma",
     // training-data pipeline
     "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard", "dd_jaccard_prefix",
     "dd_containment", "dd_simhash",

@@ -146,6 +146,7 @@ object SparkEntry {
     "q_cohort" -> Behavior.qCohort _,
     "q_pagerank" -> Graph.qPagerank _,
     "q_cooccur" -> Graph.qCooccur _,
+    "q_decay_count" -> TimeSeries.qDecayCount _,
     "graph_store" -> graft.pipeline.SignatureStore.gatedGraph _,
     "q_corr" -> Tpch.qCorr _,
     "q_range_join" -> RangeJoin.apply _,
@@ -338,6 +339,7 @@ object SparkEntry {
     "q_cohort" -> Behavior.qCohortSql,
     "q_pagerank" -> Graph.qPagerankSql,
     "q_cooccur" -> Graph.qCooccurSql,
+    "q_decay_count" -> TimeSeries.qDecayCountSql,
     "graph_store" -> Graph.qPagerankSql,
     // streaming faces of the per-user feature operators share the
     // batch window formulations' oracles (same total event order)

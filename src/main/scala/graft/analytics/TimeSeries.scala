@@ -339,6 +339,55 @@ object TimeSeries {
        |      > 9 * (n * q - s * s)
        |ORDER BY user_id, event_id""".stripMargin
 
+  // ---- q_decay_count: recency-weighted count cache --------------------
+
+  /** Decay halflife (1 day) and the age cap beyond which weight is 0. */
+  val decayHalflifeUs: Long = 24L * 3600 * 1000000L
+  val decayMaxAge = 40
+
+  /** Recency-weighted count cache: the reference's CountCache with an
+    * exponential decay — each tuple contributes 2^-(age/halflife) of
+    * a count, so "hot lately" and "hot ever" separate (the recency
+    * prior every ranking/trending feature wants from an event rollup).
+    *
+    * Exactness scheme: age quantizes to whole halflives against the
+    * corpus max event time, the weight is 1e6 >> age (a BIGINT SHIFT,
+    * no pow/float anywhere), ages past `decayMaxAge` contribute 0
+    * (1e6 < 2^40, so the shift floor is the cap's own semantics
+    * made explicit). One map-combinable (p, s, o)-keyed sum; the max
+    * event time is a 1-row broadcast.
+    */
+  def qDecayCount(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val tuples = graft.core.Transform.extract(spark, sfDir)
+    val tmax = tuples.agg(max(col("t")).as("t_max"))
+    tuples.crossJoin(broadcast(tmax))
+      .select(col("p"), col("s"), col("o"),
+        expr(s"CAST((t_max - t) DIV ${decayHalflifeUs}L AS INT)")
+          .as("age"))
+      .select(col("p"), col("s"), col("o"),
+        when(col("age") < decayMaxAge,
+          expr("1000000L DIV shiftleft(1L, age)")).otherwise(0L)
+          .as("w"))
+      .groupBy(col("p"), col("s"), col("o"))
+      .agg(count(lit(1)).as("cnt"), sum(col("w")).as("decayed_mu"))
+      .orderBy(col("p"), col("s"), col("o"))
+  }
+
+  val qDecayCountSql: String =
+    s"""WITH ${graft.oracle.Sql.tuplesCte},
+       |tm AS (SELECT max(t) AS t_max FROM tuples),
+       |aged AS (
+       |  SELECT p, s, o,
+       |    CAST((tm.t_max - t) // $decayHalflifeUs AS INT) AS age
+       |  FROM tuples CROSS JOIN tm
+       |)
+       |SELECT p, s, o, CAST(count(*) AS BIGINT) AS cnt,
+       |  CAST(sum(CASE WHEN age < $decayMaxAge
+       |                THEN 1000000 // (CAST(1 AS BIGINT) << age)
+       |                ELSE 0 END) AS BIGINT) AS decayed_mu
+       |FROM aged GROUP BY 1, 2, 3 ORDER BY p, s, o""".stripMargin
+
   val qResampleSql: String =
     s"""WITH e AS (
        |  SELECT user_id, epoch_us(ts) // $resampleBucketUs AS tb,
