@@ -147,6 +147,8 @@ object SparkEntry {
     "q_pagerank" -> Graph.qPagerank _,
     "q_cooccur" -> Graph.qCooccur _,
     "q_decay_count" -> TimeSeries.qDecayCount _,
+    "ss_stream_decay" -> StreamSum.streamDecayCount _,
+    "decay_store" -> graft.pipeline.SignatureStore.gatedDecay _,
     "graph_store" -> graft.pipeline.SignatureStore.gatedGraph _,
     "q_corr" -> Tpch.qCorr _,
     "q_range_join" -> RangeJoin.apply _,
@@ -340,6 +342,8 @@ object SparkEntry {
     "q_pagerank" -> Graph.qPagerankSql,
     "q_cooccur" -> Graph.qCooccurSql,
     "q_decay_count" -> TimeSeries.qDecayCountSql,
+    "ss_stream_decay" -> TimeSeries.qDecayCountSql,
+    "decay_store" -> TimeSeries.qDecayCountSql,
     "graph_store" -> Graph.qPagerankSql,
     // streaming faces of the per-user feature operators share the
     // batch window formulations' oracles (same total event order)

@@ -350,41 +350,67 @@ object TimeSeries {
     * a count, so "hot lately" and "hot ever" separate (the recency
     * prior every ranking/trending feature wants from an event rollup).
     *
-    * Exactness scheme: age quantizes to whole halflives against the
-    * corpus max event time, the weight is 1e6 >> age (a BIGINT SHIFT,
-    * no pow/float anywhere), ages past `decayMaxAge` contribute 0
-    * (1e6 < 2^40, so the shift floor is the cap's own semantics
-    * made explicit). One map-combinable (p, s, o)-keyed sum; the max
-    * event time is a 1-row broadcast.
+    * Exactness scheme: ages are whole halflives between CALENDAR
+    * buckets (day_max − day, so the bucketed relation is additive and
+    * the store/streaming faces share this oracle), the weight is
+    * 1e6 >> age (a BIGINT SHIFT, no pow/float anywhere), ages past
+    * `decayMaxAge` contribute 0. One map-combinable (p, s, o, day)
+    * count + one (p, s, o) fold; the max day is a 1-row broadcast.
     */
+  /** Day-bucketed (p, s, o, day, c) counts from any extracted tuple
+    * relation - one map-combinable keyed count; ages are whole
+    * halflives between CALENDAR buckets (day_max − day), so the
+    * relation is additive across arrivals and the decay is exactly
+    * re-derivable from it (the store/streaming faces' state).
+    */
+  private[graft] def decayBuckets(tuples: DataFrame): DataFrame =
+    tuples
+      .select(col("p"), col("s"), col("o"),
+        expr(s"t DIV ${decayHalflifeUs}L").as("day"))
+      .groupBy(col("p"), col("s"), col("o"), col("day"))
+      .agg(count(lit(1)).as("c"))
+
   def qDecayCount(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
-    val tuples = graft.core.Transform.extract(spark, sfDir)
-    val tmax = tuples.agg(max(col("t")).as("t_max"))
-    tuples.crossJoin(broadcast(tmax))
-      .select(col("p"), col("s"), col("o"),
-        expr(s"CAST((t_max - t) DIV ${decayHalflifeUs}L AS INT)")
-          .as("age"))
-      .select(col("p"), col("s"), col("o"),
-        when(col("age") < decayMaxAge,
-          expr("1000000L DIV shiftleft(1L, age)")).otherwise(0L)
-          .as("w"))
+    decayFromBuckets(decayBuckets(
+      graft.core.Transform.extract(spark, sfDir)))
+  }
+
+  /** The decay evaluation over any (p, s, o, day, c) day-bucketed
+    * count relation - shared by the incremental store face and the
+    * streaming face, whose state IS this relation (counts per day
+    * bucket are ADDITIVE, so decay becomes a query-time view over a
+    * mergeable summary - the sketch-store idea applied to recency
+    * weighting; state is keys × ≤41 live day buckets).
+    */
+  private[graft] def decayFromBuckets(buckets: DataFrame): DataFrame = {
+    val tmax = buckets.agg(max(col("day")).as("day_max"))
+    buckets.crossJoin(broadcast(tmax))
+      .select(col("p"), col("s"), col("o"), col("c"),
+        (col("day_max") - col("day")).cast("int").as("age"))
       .groupBy(col("p"), col("s"), col("o"))
-      .agg(count(lit(1)).as("cnt"), sum(col("w")).as("decayed_mu"))
+      .agg(sum(col("c")).as("cnt"),
+        sum(when(col("age") < decayMaxAge,
+          col("c") * expr("1000000L DIV shiftleft(1L, age)"))
+          .otherwise(0L)).as("decayed_mu"))
       .orderBy(col("p"), col("s"), col("o"))
   }
 
   val qDecayCountSql: String =
     s"""WITH ${graft.oracle.Sql.tuplesCte},
-       |tm AS (SELECT max(t) AS t_max FROM tuples),
+       |b AS (
+       |  SELECT p, s, o, t // $decayHalflifeUs AS day, count(*) AS c
+       |  FROM tuples GROUP BY 1, 2, 3, 4
+       |),
+       |tm AS (SELECT max(day) AS day_max FROM b),
        |aged AS (
-       |  SELECT p, s, o,
-       |    CAST((tm.t_max - t) // $decayHalflifeUs AS INT) AS age
-       |  FROM tuples CROSS JOIN tm
+       |  SELECT p, s, o, c,
+       |    CAST(tm.day_max - day AS INT) AS age
+       |  FROM b CROSS JOIN tm
        |)
-       |SELECT p, s, o, CAST(count(*) AS BIGINT) AS cnt,
+       |SELECT p, s, o, CAST(sum(c) AS BIGINT) AS cnt,
        |  CAST(sum(CASE WHEN age < $decayMaxAge
-       |                THEN 1000000 // (CAST(1 AS BIGINT) << age)
+       |                THEN c * (1000000 // (CAST(1 AS BIGINT) << age))
        |                ELSE 0 END) AS BIGINT) AS decayed_mu
        |FROM aged GROUP BY 1, 2, 3 ORDER BY p, s, o""".stripMargin
 

@@ -575,6 +575,62 @@ object SignatureStore {
     storedCohort(spark, store)
   }
 
+  // ---- decay store ---------------------------------------------------
+
+  /** Incremental decayed-count cache: per-batch (p, s, o, day) partial
+    * counts — ADDITIVE, the sketch-store structure — with the decay
+    * applied at query time against the CURRENT max day (via literally
+    * the batch `decayFromBuckets`). The evolving-answer contract in
+    * its sharpest form: every stored bucket's weight halves each time
+    * a new day arrives, so no per-batch decayed value could ever be
+    * unioned — only the bucketed counts are storable state.
+    */
+  def catchUpDecay(spark: SparkSession, watchDir: String,
+                   storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val ev = spark.readStream.schema(schema).parquet(watchDir)
+    val q = ev.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.analytics.TimeSeries.decayBuckets(
+            graft.core.Transform.extractFrom(batch))
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/day_counts/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  def storedDecay(spark: SparkSession, storeDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val b = storedOrEmpty(spark, s"$storeDir/day_counts",
+      emptyLike(spark, spark.range(0).selectExpr("CAST(id AS STRING) AS p",
+        "id AS s", "id AS o", "id AS day", "id AS c")))
+    graft.analytics.TimeSeries.decayFromBuckets(
+      b.groupBy(col("p"), col("s"), col("o"), col("day"))
+        .agg(sum(col("c")).as("c")))
+  }
+
+  /** Driver-gate face: parity-split appends (the same (key, day)
+    * bucket accumulates across batches), then the query-time decay;
+    * shares `q_decay_count`'s oracle.
+    */
+  def gatedDecay(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_decay_watch")
+    val store = tempDirForExit("graft_gate_decay_store")
+    val ev = Graft.table(spark, sfDir, "events")
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpDecay(spark, watch, store)
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpDecay(spark, watch, store)
+    storedDecay(spark, store)
+  }
+
   // ---- graph store ---------------------------------------------------
 
   /** Incremental interaction graph: each arriving batch lands its

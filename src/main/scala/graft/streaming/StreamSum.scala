@@ -1050,6 +1050,23 @@ object StreamSum {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming face of the decayed count cache, sharing
+    * `q_decay_count`'s oracle: the streamed state is the per
+    * (p, s, o, day) count — an ordinary streaming aggregation, state
+    * bounded at keys × live day buckets — and the decay is evaluated
+    * over the final snapshot against its own max day via literally
+    * the batch `decayFromBuckets`. Decay-as-a-view means the
+    * streaming agg never rewrites old state when the clock advances;
+    * an eviction policy (drop buckets older than `decayMaxAge`) would
+    * bound state further without changing any answer.
+    */
+  def streamDecayCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val buckets = graft.analytics.TimeSeries.decayBuckets(
+      graft.core.Transform.extractFrom(streamingEvents(spark, sfDir)))
+    graft.analytics.TimeSeries.decayFromBuckets(
+      runToTable(buckets, OutputMode.Complete(), "ss_stream_decay"))
+  }
+
   /** Streaming admission face of the entropy signal, sharing
     * `txt_entropy`'s oracle: the score is within-row (the whole point
     * of the in-row formulation), so arriving docs are scored by

@@ -186,6 +186,47 @@ class SignatureStoreSpec extends SparkSpec {
     assert(stored == oneShot)
   }
 
+  test("decay store: a later batch's newer day halves earlier weights") {
+    val watch = Files.createTempDirectory("graft_decay_watch").toString
+    val store = Files.createTempDirectory("graft_decay_store").toString
+    val s = spark; import s.implicits._
+    val day = graft.analytics.TimeSeries.decayHalflifeUs
+    def evDf(rows: Seq[(Long, Long, Long)]) = rows
+      .map { case (u, t, id) =>
+        (id, new java.sql.Timestamp(t / 1000L), u, "view", 1.0,
+          """{"k": 5}""") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$watch/_stage"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(watch, name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    def decayed(): Map[Long, (Long, Long)] =
+      SignatureStore.storedDecay(spark, store).collect()
+        .map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4)))).toMap
+    // batch 1: user 1, two events on day 0 -> age 0, full weight
+    land(evDf(Seq((1L, 10L, 10L), (1L, 20L, 11L))), "a1.parquet")
+    SignatureStore.catchUpDecay(spark, watch, store)
+    assert(decayed()(1L) == ((2L, 2000000L)))
+    // batch 2: user 2 on day 1 -> user 1's day-0 weight HALVES
+    land(evDf(Seq((2L, day + 10L, 20L))), "a2.parquet")
+    SignatureStore.catchUpDecay(spark, watch, store)
+    val d2 = decayed()
+    assert(d2(1L) == ((2L, 1000000L)),
+      "stored day-0 bucket must re-weight under the new max day")
+    assert(d2(2L) == ((1L, 1000000L)))
+    // and on the real corpus: parity-split store == one-shot batch
+    val oneShot = graft.analytics.TimeSeries.qDecayCount(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val stored = SignatureStore.gatedDecay(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(stored == oneShot)
+  }
+
   test("three faces agree: incremental store == streaming emission == batch") {
     // the streaming face consumes sfDir's documents.parquet in place;
     // the store face replays the same corpus as two appends - both
