@@ -49,7 +49,7 @@ object Bench {
     "dd_containment", "dd_simhash",
     "dd_embed_cosine", "dd_semantic",
     "ann_topk_brute", "ann_topk_quant", "ann_lsh_bucketed", "ann_ivf",
-    "ann_ivf_quant", "ann_ivf_adaptive", "q_hll_distinct", "q_hll_sliding", "q_cms_topk",
+    "ann_ivf_quant", "ann_ivf_adaptive", "ann_ivf_pq", "q_hll_distinct", "q_hll_sliding", "q_cms_topk",
     "q_cms_sliding", "q_cms_join_card", "q_cms_f2", "q_qtile_sketch",
     "q_qtile_sliding",
     "q_kmv_jaccard", "q_kmv_retention",
@@ -98,7 +98,7 @@ object Bench {
     */
   val corpusHeadline: Seq[String] = Seq(
     "dd_minhash_lsh", "dd_jaccard_prefix", "dd_semantic", "txt_bigram_nll",
-    "pipe_quality_gate", "ann_ivf_quant", "txt_stats",
+    "pipe_quality_gate", "ann_ivf_quant", "ann_ivf_pq", "txt_stats",
     // the real-codec mapPartitions path: per-row cost must stay flat
     // as docs scale (narrow, no shuffle - the slope IS the claim)
     "mm_bmp_decode", "mm_png_decode",

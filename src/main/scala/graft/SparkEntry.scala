@@ -218,6 +218,7 @@ object SparkEntry {
     "ann_ivf_kpp" -> Similarity.annIvfKpp _,
     "ann_ivf_adaptive" -> Similarity.annIvfAdaptive _,
     "ann_ivf_quant" -> Similarity.annIvfQuant _,
+    "ann_ivf_pq" -> Similarity.annIvfPq _,
     // ---- text analysis ----
     "txt_stats" -> TextAnalysis.stats _,
     "txt_langid" -> TextAnalysis.langid _,
@@ -383,6 +384,7 @@ object SparkEntry {
     "ss_stream_qtile" -> Sketches.qQtileSketchSql,
     "ss_stream_span_scrub" -> Dedup.spanScrubSql,
     "ann_ivf_quant" -> Similarity.annIvfQuantSql,
+    "ann_ivf_pq" -> Similarity.annIvfPqSql,
     "txt_pii_scrub" -> TextAnalysis.piiScrubSql,
     "txt_sample" -> TextAnalysis.sampleSql(),
     "dd_exact" -> Dedup.exactSql,

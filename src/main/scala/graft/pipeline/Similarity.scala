@@ -411,6 +411,7 @@ object Similarity {
     import scala.jdk.CollectionConverters._
     centCache.keySet.asScala.filter(_._1 eq spark).toSeq
       .foreach(centCache.remove)
+    releasePq(spark)
   }
 
   /** k-means|| oversampling rounds ahead of Lloyd (Bahmani et al.,
@@ -798,6 +799,309 @@ object Similarity {
        |)
        |SELECT q_id, vec_id, sim, rk FROM ranked
        |WHERE rk <= $topK ORDER BY q_id, rk""".stripMargin
+  }
+
+  // ---- ann_ivf_pq ----------------------------------------------------
+
+  /** Product-quantization geometry: 64 dims → `pqSub` subspaces of
+    * `pqSubDim`, `pqCodes` codewords per subspace → an 8-byte code
+    * per vector (32× smaller than the 256-byte float vector). The
+    * codebook is corpus-INDEPENDENT in size, so it never scales with
+    * data - the PQ property that makes 100 TB inverted lists fit in
+    * memory.
+    */
+  val pqSub = 8
+  val pqSubDim: Int = dims / pqSub
+  val pqCodes = 16
+  val pqLloydRounds = 2
+  val pqShortlist: Int = 8 * topK
+
+  /** Per-subspace codebooks in integer MICRO-units:
+    * cb(m)(j)(d), m < pqSub, j < pqCodes, d < pqSubDim. Fully integer
+    * training (floor-toward-zero division ≙ Spark DIV ≙ DuckDB //),
+    * so the codebook is bit-identical cross-engine by construction.
+    */
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[Seq[Seq[Long]]]]()
+
+  private[graft] def pqCodebookFor(
+      spark: SparkSession, sfDir: String): Seq[Seq[Seq[Long]]] = {
+    val it = pqCache.keySet().iterator()
+    while (it.hasNext) {
+      if (it.next()._1.sparkContext.isStopped) it.remove()
+    }
+    pqCache.computeIfAbsent((spark, normDir(sfDir)), { case (s, _) =>
+      pqTrain(Graft.tableParallel(s, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding")))
+    })
+  }
+
+  def releasePq(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    pqCache.keySet.asScala.filter(_._1 eq spark).toSeq
+      .foreach(pqCache.remove)
+  }
+
+  private val muVecExpr =
+    """transform(embedding,
+      |  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"""
+      .stripMargin
+
+  /** Per-subspace squared-L2 argmin against codebook literals, as one
+    * generated projection: d'_mj = ||c_mj||² − 2·x_m·c_mj drops the
+    * row-constant ||x_m||² (argmin and TIES unchanged), so each
+    * distance is 8 integer products. array_position picks the FIRST
+    * minimum ≙ smallest code id - the deterministic tie-break.
+    */
+  private def pqDistArraySql(cbm: Seq[Seq[Long]], m: Int,
+                             vmu: String): String = {
+    val dists = cbm.map { cw =>
+      val cnorm = cw.map(x => x * x).sum
+      val dot = cw.zipWithIndex.map { case (c, d) =>
+        s"element_at($vmu, ${m * pqSubDim + d + 1}) * ${c}L"
+      }.mkString(" + ")
+      s"(${cnorm}L - 2 * ($dot))"
+    }
+    s"array(${dists.mkString(", ")})"
+  }
+
+  /** Attach `codes` (array of pqSub ints) to any relation carrying a
+    * `v_mu` column, via per-subspace distance-array columns (kept
+    * small so codegen stays within method limits).
+    */
+  private def withPqCodes(df: DataFrame,
+                          cb: Seq[Seq[Seq[Long]]]): DataFrame = {
+    val withDa = cb.indices.foldLeft(df) { (d, m) =>
+      d.withColumn(s"_da$m", expr(pqDistArraySql(cb(m), m, "v_mu")))
+    }
+    withDa
+      .withColumn("codes", expr(
+        cb.indices.map(m =>
+            s"CAST(array_position(_da$m, array_min(_da$m)) - 1 AS INT)")
+          .mkString("array(", ", ", ")")))
+      .drop(cb.indices.map(m => s"_da$m"): _*)
+  }
+
+  /** Integer Lloyd per subspace: seeds = the first `pqCodes` vectors'
+    * subvectors; each round one corpus pass assigns every subvector
+    * (generated argmin projection) and one (m, j, pos)-keyed exact
+    * BIGINT sum folds into new codewords by floor division (empty
+    * codes keep their codeword). The collected relation is bounded at
+    * pqSub × pqCodes × pqSubDim rows by construction.
+    */
+  private[graft] def pqTrain(e: DataFrame): Seq[Seq[Seq[Long]]] = {
+    val seedRows = e.filter(col("vec_id") < pqCodes)
+      .orderBy(col("vec_id")).collect()
+      .map(_.getSeq[Float](1).toSeq
+        .map(x => math.floor(x.toDouble * 1000000.0 + 0.5).toLong))
+    var cb: Seq[Seq[Seq[Long]]] = (0 until pqSub).map { m =>
+      seedRows.toSeq.map(r =>
+        r.slice(m * pqSubDim, (m + 1) * pqSubDim))
+    }
+    val vmu = e.select(expr(muVecExpr).as("v_mu"))
+    for (_ <- 1 to pqLloydRounds) {
+      val sums = withPqCodes(vmu, cb)
+        .select(col("v_mu"), posexplode(col("codes")).as(Seq("m", "j")))
+        .select(col("m"), col("j"), posexplode(expr(
+          s"slice(v_mu, m * $pqSubDim + 1, $pqSubDim)"))
+          .as(Seq("pos", "x")))
+        .groupBy(col("m"), col("j"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+          ((r.getLong(3), r.getLong(4)))).toMap
+      cb = cb.zipWithIndex.map { case (cbm, m) =>
+        cbm.zipWithIndex.map { case (old, j) =>
+          old.indices.map { d =>
+            sums.get((m, j, d)).map { case (s, n) => s / n }
+              .getOrElse(old(d))
+          }
+        }
+      }
+    }
+    cb
+  }
+
+  /** IVF-PQ: the deployment-grade ANN composition at 100 TB - the
+    * inverted lists store 8-byte PQ CODES instead of 256-byte float
+    * vectors, so the scan-dominant probe phase reads 32× fewer bytes;
+    * candidates are ranked by the exact-integer ADC score
+    * Σ_m q_m·c_m[code_m] (asymmetric distance: the query stays
+    * unquantized), and only the `pqShortlist` ADC winners per query
+    * are re-ranked EXACTLY by joining their full vectors back - the
+    * FAISS ADC + refine pattern. Recall is pinned against the brute
+    * baseline in spec; every arithmetic step below the final q6 is
+    * integer, so the whole chain is bit-reproducible and the DuckDB
+    * oracle replays it end to end (subspace Lloyd included).
+    */
+  def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val centVecs = trainedCentroidsFor(spark, sfDir)
+    val cb = pqCodebookFor(spark, sfDir)
+    // the stored index: (vec_id, cid, codes) - 12 bytes of payload per
+    // corpus vector; the float vector is DROPPED here and re-fetched
+    // only for the shortlist refine
+    val index = withPqCodes(
+        ivfAssignWith(e, centVecs).withColumn("v_mu", expr(muVecExpr)),
+        cb)
+      .select(col("vec_id"), col("cid"), col("codes"))
+    val cents = centsDF(spark, centVecs)
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("q_mu", expr(muVecExpr.replace("embedding", "q_emb")))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("csim", expr(cosSparkHof("q_emb", "c_emb")))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= ivfProbes)
+      .select(col("q_id"), col("q_mu"), col("cid"))
+    // decode each subspace's codeword once (per-m 16×8 literal, a
+    // ~1 KB plan constant each), then the ADC sum references only the
+    // decoded arrays - keeps every generated expression small
+    val adcExpr = (0 until pqSub).flatMap { m =>
+      (0 until pqSubDim).map { d =>
+        s"element_at(_cw$m, ${d + 1}) * " +
+          s"element_at(q_mu, ${m * pqSubDim + d + 1})"
+      }
+    }.mkString(" + ")
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val withCw = (0 until pqSub).foldLeft(
+        index.join(broadcast(probes), "cid")
+          .filter(col("vec_id") =!= col("q_id"))) { (df, m) =>
+      val cbm = cb(m).map(_.mkString("array(", "L, ", "L)"))
+        .mkString("array(", ", ", ")")
+      df.withColumn(s"_cw$m",
+        expr(s"element_at($cbm, element_at(codes, ${m + 1}) + 1)"))
+    }
+    val shortlist = withCw
+      .withColumn("adc", expr(adcExpr))
+      .withColumn("srk", row_number().over(wAdc))
+      .filter(col("srk") <= pqShortlist)
+      .select(col("q_id"), col("vec_id"))
+    // exact refine: only shortlist-sized vector fetches
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    shortlist
+      .join(e, "vec_id")
+      .join(broadcast(q.select(col("q_id"), col("q_emb"))), "q_id")
+      .withColumn("sim", ParityMath.q6(expr(cosSpark("q_emb", "embedding"))))
+      .withColumn("rk", row_number().over(wTop).cast(LongType))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("vec_id"), col("sim"), col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** DuckDB replay of the whole IVF-PQ chain: the IVF Lloyd CTEs,
+    * then the subspace codebook training (integer argmin by
+    * ||c||² − 2x·c with the same toward-zero floor division), the
+    * final code assignment, the exact-integer ADC over probed
+    * candidates, the shortlist, and the exact refine. Both engines
+    * train, encode, score and refine independently.
+    */
+  val annIvfPqSql: String = {
+    val sd = pqSubDim
+    def subDist(cw: String, vmu: String, m: String): String =
+      s"""list_sum(list_transform(range(1, ${sd + 1}),
+         |      d -> $cw[d] * $cw[d] - 2 * $cw[d] * $vmu[$m * $sd + d]))"""
+        .stripMargin
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), $lloydCentsCtes, v AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+       |              AS BIGINT)) AS v_mu
+       |  FROM e
+       |), pb0 AS (
+       |  SELECT mm.m, CAST(v.vec_id AS INT) AS j,
+       |    list_slice(v.v_mu, mm.m * $sd + 1, mm.m * $sd + $sd) AS cw
+       |  FROM v CROSS JOIN (SELECT unnest(range(0, $pqSub)) AS m) mm
+       |  WHERE v.vec_id < $pqCodes
+       |)""".stripMargin
+    for (r <- 1 to pqLloydRounds) {
+      sb ++= s"""
+         |, pa$r AS (
+         |  SELECT vec_id, m, j FROM (
+         |    SELECT v.vec_id, p.m, p.j,
+         |      row_number() OVER (PARTITION BY v.vec_id, p.m
+         |        ORDER BY ${subDist("p.cw", "v.v_mu", "p.m")} ASC,
+         |                 p.j ASC) AS rk
+         |    FROM v CROSS JOIN pb${r - 1} p
+         |  ) WHERE rk = 1
+         |), ps$r AS (
+         |  SELECT a.m, a.j, d.pos,
+         |    SUM(v.v_mu[a.m * $sd + d.pos]) AS s, COUNT(*) AS n
+         |  FROM pa$r a JOIN v ON v.vec_id = a.vec_id
+         |  CROSS JOIN (SELECT unnest(range(1, ${sd + 1})) AS pos) d
+         |  GROUP BY 1, 2, 3
+         |), pm$r AS (
+         |  SELECT m, j, list(CAST(s // n AS BIGINT) ORDER BY pos) AS cw
+         |  FROM ps$r GROUP BY 1, 2
+         |), pb$r AS (
+         |  SELECT p.m, p.j, COALESCE(q.cw, p.cw) AS cw
+         |  FROM pb${r - 1} p
+         |  LEFT JOIN pm$r q ON q.m = p.m AND q.j = p.j
+         |)""".stripMargin
+    }
+    sb ++= s"""
+       |, codes AS (
+       |  SELECT vec_id, m, j FROM (
+       |    SELECT v.vec_id, p.m, p.j,
+       |      row_number() OVER (PARTITION BY v.vec_id, p.m
+       |        ORDER BY ${subDist("p.cw", "v.v_mu", "p.m")} ASC,
+       |                 p.j ASC) AS rk
+       |    FROM v CROSS JOIN pb$pqLloydRounds p
+       |  ) WHERE rk = 1
+       |), assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosDuck("e.embedding", "c.c_emb")} DESC, c.cid)
+       |        AS ark
+       |    FROM e CROSS JOIN cents c
+       |  ) WHERE ark = 1
+       |), probes AS (
+       |  SELECT q_id, cid FROM (
+       |    SELECT q.vec_id AS q_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosDuck("q.embedding", "c.c_emb")} DESC, c.cid)
+       |        AS prk
+       |    FROM e q CROSS JOIN cents c WHERE q.vec_id < $numQueries
+       |  ) WHERE prk <= $ivfProbes
+       |), adc AS (
+       |  SELECT p.q_id, a.vec_id,
+       |    SUM(b.cw[d.pos] * qv.v_mu[c.m * $sd + d.pos]) AS score
+       |  FROM probes p
+       |  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.q_id
+       |  JOIN codes c ON c.vec_id = a.vec_id
+       |  JOIN pb$pqLloydRounds b ON b.m = c.m AND b.j = c.j
+       |  JOIN v qv ON qv.vec_id = p.q_id
+       |  CROSS JOIN (SELECT unnest(range(1, ${sd + 1})) AS pos) d
+       |  GROUP BY 1, 2
+       |), short AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY score DESC, vec_id) AS srk
+       |    FROM adc
+       |  ) WHERE srk <= $pqShortlist
+       |), scored AS (
+       |  SELECT s.q_id, s.vec_id,
+       |    (floor((${cosDuck("q.embedding", "e2.embedding")})
+       |       * 1000000.0 + 0.5) / 1000000.0) AS sim
+       |  FROM short s
+       |  JOIN e e2 ON e2.vec_id = s.vec_id
+       |  JOIN e q ON q.vec_id = s.q_id
+       |), ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |                 ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
+       |  FROM scored
+       |)
+       |SELECT q_id, vec_id, sim, rk FROM ranked
+       |WHERE rk <= $topK ORDER BY q_id, rk""".stripMargin
+    sb.toString
   }
 
   /** DuckDB replay of the Lloyd training: c0 = the seeded pick as

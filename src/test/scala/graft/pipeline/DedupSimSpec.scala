@@ -275,6 +275,13 @@ class DedupSimSpec extends SparkSpec {
       .select("q_id", "vec_id")))
     assert(ivfQuantR >= 0.90,
       f"quantized-IVF recall@10 $ivfQuantR%.3f fell below 0.90")
+    // IVF-PQ reads 32x smaller codes in the probe scan and refines an
+    // 8xtopK ADC shortlist exactly; measured 0.90 (sf0.001) / 0.875
+    // (sf0.01) vs the float IVF path's 0.95/0.9125 - the shortlist
+    // size is the recall knob, and the floor guards the composition
+    val pqR = recall(topk(Similarity.annIvfPq(spark, sfDir)
+      .select("q_id", "vec_id")))
+    assert(pqR >= 0.85, f"IVF-PQ recall@10 $pqR%.3f fell below 0.85")
     // adaptive probing targets the same EXPECTED mass as the fixed
     // 6/16 face (3/8 of the corpus), so its recall must hold the same
     // floor - it redistributes the scan budget across queries, it
