@@ -363,4 +363,63 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"book must broadcast onto the event scan:\n$plan")
   }
+
+  test("entropy: fully narrow - the distribution never leaves the row") {
+    val plan = executed(
+      graft.pipeline.TextAnalysis.entropy(spark, sfDir))
+    assert(!plan.contains("hashpartitioning"),
+      s"per-doc entropy shuffled on a key:\n$plan")
+  }
+
+  test("zipf: totals and top-R heap share ONE corpus scan") {
+    val plan = executed(graft.pipeline.TextAnalysis.zipf(spark, sfDir))
+      .split("== Initial Plan ==").head
+    assert(plan.linesIterator.count(l =>
+        l.contains("FileScan parquet") &&
+          l.contains("documents.parquet")) == 1,
+      s"vocab totals and ranks must come off one scan:\n$plan")
+  }
+
+  test("pagerank: iterations run over the checkpointed edges, zero " +
+       "re-scans") {
+    val plan = executed(Graph.qPagerank(spark, sfDir))
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("FileScan parquet"),
+      s"an iteration re-derived the events scan:\n$plan")
+  }
+
+  test("cooccur: in-row pair fan-out, no event-log self-join") {
+    val plan = executed(Graph.qCooccur(spark, sfDir))
+      .split("== Initial Plan ==").head
+    assert(plan.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("events.parquet")) == 1,
+      s"pair generation must not re-scan or self-join events:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("BroadcastHashJoin"),
+      s"pairs must explode in-row, not join:\n$plan")
+  }
+
+  test("hashfeat: one scan, one (doc, bucket)-keyed exchange") {
+    val plan = executed(
+      graft.pipeline.TextAnalysis.hashfeat(spark, sfDir))
+      .split("== Initial Plan ==").head
+    assert(plan.linesIterator.count(
+        _.contains("Exchange hashpartitioning")) == 1,
+      s"hashing-trick features need exactly one keyed exchange:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"signed counts must combine map-side:\n$plan")
+  }
+
+  test("ivf-pq: the probe scan reads codes; vectors re-fetched only " +
+       "for the shortlist refine") {
+    val plan = executed(
+      graft.pipeline.Similarity.annIvfPq(spark, sfDir))
+      .split("== Initial Plan ==").head
+    // the ADC phase must not carry the float vectors: `embedding`
+    // may appear in the index build (assignment/encode) and in the
+    // refine join, but the shortlist window ranks on (adc, vec_id)
+    assert(plan.contains("adc"), s"ADC score column missing:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probes must broadcast onto the code relation:\n$plan")
+  }
 }
