@@ -43,13 +43,14 @@ object Bench {
     "q_corr",
     "q_asof_join", "q_attribution", "q_range_join", "q_resample",
     "q_ewma", "q_anomaly", "q_funnel", "q_cohort", "q_pagerank",
-    "q_decay_count", "ss_stream_ewma",
+    "q_decay_count", "q_trending", "q_markov", "ss_stream_ewma",
     // training-data pipeline
     "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard", "dd_jaccard_prefix",
     "dd_containment", "dd_simhash",
     "dd_embed_cosine", "dd_semantic",
     "ann_topk_brute", "ann_topk_quant", "ann_lsh_bucketed", "ann_ivf",
-    "ann_ivf_quant", "ann_ivf_adaptive", "ann_ivf_pq", "q_hll_distinct", "q_hll_sliding", "q_cms_topk",
+    "ann_ivf_quant", "ann_ivf_adaptive", "ann_ivf_pq", "ann_knn_join",
+    "q_hll_distinct", "q_hll_sliding", "q_cms_topk",
     "q_cms_sliding", "q_cms_join_card", "q_cms_f2", "q_qtile_sketch",
     "q_qtile_sliding",
     "q_kmv_jaccard", "q_kmv_retention",
@@ -83,7 +84,7 @@ object Bench {
     "ss_stream_count_sink", "ss_stream_lastn_sink",
     "q_sessionize", "q_range_join", "q_resample", "q_attribution",
     "q_ewma", "q_anomaly", "q_funnel", "q_cohort", "q_pagerank",
-    "ss_stream_ewma",
+    "q_trending", "q_markov", "ss_stream_ewma",
     "q_cms_topk", "q_cms_topk_prod", "q_cms_sliding", "q_cms_sliding_prod",
     "q_hll_sliding", "q_hll_sliding_prod", "q_qtile_sliding",
     "q_kmv_jaccard_prod", "q_kmv_retention_prod",
@@ -98,7 +99,8 @@ object Bench {
     */
   val corpusHeadline: Seq[String] = Seq(
     "dd_minhash_lsh", "dd_jaccard_prefix", "dd_semantic", "txt_bigram_nll",
-    "pipe_quality_gate", "ann_ivf_quant", "ann_ivf_pq", "txt_stats",
+    "pipe_quality_gate", "ann_ivf_quant", "ann_ivf_pq", "ann_knn_join",
+    "txt_stats",
     // the real-codec mapPartitions path: per-row cost must stay flat
     // as docs scale (narrow, no shuffle - the slope IS the claim)
     "mm_bmp_decode", "mm_png_decode",

@@ -147,6 +147,10 @@ object SparkEntry {
     "q_pagerank" -> Graph.qPagerank _,
     "q_cooccur" -> Graph.qCooccur _,
     "q_decay_count" -> TimeSeries.qDecayCount _,
+    "q_trending" -> TimeSeries.qTrending _,
+    "q_markov" -> Behavior.qMarkov _,
+    "ss_stream_markov" -> graft.streaming.FeatureStream.streamMarkov _,
+    "markov_store" -> graft.pipeline.SignatureStore.gatedMarkov _,
     "ss_stream_decay" -> StreamSum.streamDecayCount _,
     "decay_store" -> graft.pipeline.SignatureStore.gatedDecay _,
     "graph_store" -> graft.pipeline.SignatureStore.gatedGraph _,
@@ -219,6 +223,7 @@ object SparkEntry {
     "ann_ivf_adaptive" -> Similarity.annIvfAdaptive _,
     "ann_ivf_quant" -> Similarity.annIvfQuant _,
     "ann_ivf_pq" -> Similarity.annIvfPq _,
+    "ann_knn_join" -> Similarity.annKnnJoin _,
     // ---- text analysis ----
     "txt_stats" -> TextAnalysis.stats _,
     "txt_langid" -> TextAnalysis.langid _,
@@ -343,6 +348,10 @@ object SparkEntry {
     "q_pagerank" -> Graph.qPagerankSql,
     "q_cooccur" -> Graph.qCooccurSql,
     "q_decay_count" -> TimeSeries.qDecayCountSql,
+    "q_trending" -> TimeSeries.qTrendingSql,
+    "q_markov" -> Behavior.qMarkovSql,
+    "ss_stream_markov" -> Behavior.qMarkovSql,
+    "markov_store" -> Behavior.qMarkovSql,
     "ss_stream_decay" -> TimeSeries.qDecayCountSql,
     "decay_store" -> TimeSeries.qDecayCountSql,
     "graph_store" -> Graph.qPagerankSql,
@@ -423,6 +432,7 @@ object SparkEntry {
     "ann_recall_eval" -> Similarity.annRecallEvalSql,
     "ann_ivf_kpp" -> Similarity.annIvfKppSql,
     "ann_ivf_adaptive" -> Similarity.annIvfAdaptiveSql,
+    "ann_knn_join" -> Similarity.annKnnJoinSql,
     "txt_stats" -> TextAnalysis.statsSql,
     "txt_langid" -> TextAnalysis.langidSql,
     "txt_langid_eval" -> TextAnalysis.langidEvalSql,

@@ -151,6 +151,90 @@ object Behavior {
        |FROM cells c JOIN sizes s USING (cw)
        |ORDER BY cohort_week, week_offset""".stripMargin
 
+  // ---- q_markov: event-type transition matrix ------------------------
+
+  /** First-order Markov transition matrix over the event log: for each
+    * ordered pair of event types, how often does a user's `from_type`
+    * event get immediately followed by a `to_type` event, and what
+    * fraction of all transitions out of `from_type` is that — the
+    * behavioral language model (next-action prediction, bot detection,
+    * funnel discovery without a hand-declared step list).
+    *
+    * Semantics: transitions are consecutive events in the per-user
+    * total (ts, event_id) order — the same order every behavior-family
+    * operator uses, so the result is deterministic. The probability is
+    * ONE double division per matrix cell over exact integer counts
+    * (q6-quantized), so both engines agree bitwise.
+    *
+    * 100 TB shape: one user-keyed exchange + sort carries the lag
+    * (same class as q_ewma); the transition counts aggregate with
+    * map-side combine on the (from, to) key whose cardinality is
+    * |event types|² — the matrix is tiny by construction, so the row
+    * totals come from a window over the MATRIX (never a second events
+    * scan or a self-join re-deriving the scan subtree, the q_cohort
+    * lesson).
+    */
+  /** Matrix math over any (from_type, to_type, n_trans) count
+    * relation - shared by the batch, streaming, and store faces (whose
+    * states/fragments are transition counts), so the normalization
+    * cannot drift between them.
+    */
+  private[graft] def markovMatrixFrom(counts: DataFrame): DataFrame = {
+    val m = counts.groupBy(col("from_type"), col("to_type"))
+      .agg(sum(col("n_trans")).as("n_trans"))
+    m.withColumn("n_from",
+        sum(col("n_trans")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        col("n_from"),
+        graft.pipeline.ParityMath.q6(
+          col("n_trans").cast("double") / col("n_from").cast("double"))
+          .as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Row-level (from_type, to_type) transitions → counts. */
+  private[graft] def markovCount(trans: DataFrame): DataFrame =
+    trans.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+
+  def qMarkov(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val trans = Graft.table(spark, sfDir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), expr("graft_ts_us(ts)").as("tus"),
+        col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .select(col("from_type"), col("event_type").as("to_type"))
+    markovMatrixFrom(markovCount(trans))
+  }
+
+  val qMarkovSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |), t AS (
+       |  SELECT
+       |    lag(event_type, 1) OVER (PARTITION BY user_id
+       |      ORDER BY tus, event_id) AS from_type,
+       |    event_type AS to_type
+       |  FROM e
+       |), m AS (
+       |  SELECT from_type, to_type, count(*) AS n_trans
+       |  FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2
+       |), mm AS (
+       |  SELECT from_type, to_type, n_trans,
+       |    sum(n_trans) OVER (PARTITION BY from_type) AS n_from
+       |  FROM m
+       |)
+       |SELECT from_type, to_type, CAST(n_trans AS BIGINT) AS n_trans,
+       |  CAST(n_from AS BIGINT) AS n_from,
+       |  ${graft.pipeline.ParityMath.q6Sql(
+            "CAST(n_trans AS DOUBLE) / CAST(n_from AS DOUBLE)")} AS p
+       |FROM mm ORDER BY from_type, to_type""".stripMargin
+
   val qFunnelSql: String = {
     val Seq(s1, s2, s3) = funnelSteps
     s"""WITH e AS (

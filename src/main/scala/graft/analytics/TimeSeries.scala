@@ -383,7 +383,12 @@ object TimeSeries {
     * mergeable summary - the sketch-store idea applied to recency
     * weighting; state is keys × ≤41 live day buckets).
     */
-  private[graft] def decayFromBuckets(buckets: DataFrame): DataFrame = {
+  private[graft] def decayFromBuckets(buckets0: DataFrame): DataFrame = {
+    // materialize the bucket relation ONCE (keys × ≤41 live days -
+    // small by construction): the 1-row max-day branch would otherwise
+    // re-derive the whole upstream subtree (for the batch face, a
+    // second full scan + extract of the corpus)
+    val buckets = buckets0.localCheckpoint()
     val tmax = buckets.agg(max(col("day")).as("day_max"))
     buckets.crossJoin(broadcast(tmax))
       .select(col("p"), col("s"), col("o"), col("c"),
@@ -413,6 +418,77 @@ object TimeSeries {
        |                THEN c * (1000000 // (CAST(1 AS BIGINT) << age))
        |                ELSE 0 END) AS BIGINT) AS decayed_mu
        |FROM aged GROUP BY 1, 2, 3 ORDER BY p, s, o""".stripMargin
+
+  // ---- q_trending: recent-vs-prior lift ranking -----------------------
+
+  /** How many top items the trending report emits. */
+  val trendingTopN = 20
+
+  /** Trending objects: rank every object by the LIFT of its most
+    * recent day-bucket count over the bucket before (add-one smoothed,
+    * so new arrivals rank by absolute recency volume and division is
+    * total) — the "what is suddenly hot" complement to `q_decay_count`
+    * ("hot lately, smoothly"). Objects active in neither of the two
+    * buckets are excluded (their lift is the smoothing artifact 1).
+    *
+    * Exactness: lift is INTEGER micro-units — (c_r+1)·1e6 DIV (c_p+1)
+    * — so ranking never compares floats; ties break by (c_r desc,
+    * o asc), making the whole report deterministic.
+    *
+    * 100 TB shape: ONE events scan — the (o, day) counts aggregate
+    * with map-side combine; the max day comes from THAT bucketed
+    * relation (never a second scan) as a 1-row broadcast; the final
+    * per-o fold runs over the bucket relation (≤ distinct objects ×
+    * live days); and the top-N is a TakeOrderedAndProject (per-
+    * partition heaps + an N-row driver merge), never a global sort.
+    */
+  def qTrending(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    // materialize the bucket relation ONCE (pagerank's localCheckpoint
+    // pattern): without it the 1-row max-day branch re-derives the
+    // whole scan + extract + agg subtree - a second full corpus read
+    val b = graft.core.Transform.extract(spark, sfDir)
+      .select(col("o"), expr(s"t DIV ${decayHalflifeUs}L").as("day"))
+      .groupBy(col("o"), col("day"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val dmax = b.agg(max(col("day")).as("day_max"))
+    b.crossJoin(broadcast(dmax))
+      .filter(col("day") >= col("day_max") - 1)
+      .groupBy(col("o"))
+      .agg(sum(when(col("day") === col("day_max"), col("c"))
+          .otherwise(0L)).as("cnt_recent"),
+        sum(when(col("day") === col("day_max") - 1, col("c"))
+          .otherwise(0L)).as("cnt_prev"))
+      .select(col("o"), col("cnt_recent"), col("cnt_prev"),
+        expr("(cnt_recent + 1L) * 1000000L DIV (cnt_prev + 1L)")
+          .as("lift_mu"))
+      .orderBy(col("lift_mu").desc, col("cnt_recent").desc, col("o"))
+      .limit(trendingTopN)
+  }
+
+  val qTrendingSql: String =
+    s"""WITH ${graft.oracle.Sql.tuplesCte},
+       |b AS (
+       |  SELECT o, t // $decayHalflifeUs AS day, count(*) AS c
+       |  FROM tuples GROUP BY 1, 2
+       |),
+       |tm AS (SELECT max(day) AS day_max FROM b),
+       |f AS (
+       |  SELECT o,
+       |    sum(CASE WHEN day = tm.day_max THEN c ELSE 0 END) AS cnt_recent,
+       |    sum(CASE WHEN day = tm.day_max - 1 THEN c ELSE 0 END) AS cnt_prev
+       |  FROM b CROSS JOIN tm
+       |  WHERE day >= tm.day_max - 1
+       |  GROUP BY 1
+       |)
+       |SELECT o, CAST(cnt_recent AS BIGINT) AS cnt_recent,
+       |  CAST(cnt_prev AS BIGINT) AS cnt_prev,
+       |  CAST((cnt_recent + 1) * 1000000 // (cnt_prev + 1) AS BIGINT)
+       |    AS lift_mu
+       |FROM f
+       |ORDER BY lift_mu DESC, cnt_recent DESC, o
+       |LIMIT $trendingTopN""".stripMargin
 
   val qResampleSql: String =
     s"""WITH e AS (

@@ -898,6 +898,41 @@ object IvfMath {
     bestC.toLong
   }
 
+  /** Index of the SECOND-best centroid under the same
+    * (csim DESC, cid ASC) order as `nearest` (≙ row_number = 2) — the
+    * kNN-join probe's boundary cell. Same per-centroid math, one pass;
+    * requires ≥ 2 centroids (the cells knob guarantees it).
+    */
+  def second(vec: ArrayData, cents: Array[Array[Double]]): Long = {
+    val n = vec.numElements()
+    var best = Double.NegativeInfinity
+    var bestC = -1
+    var sec = Double.NegativeInfinity
+    var secC = -1
+    var c = 0
+    while (c < cents.length) {
+      val ce = cents(c)
+      val m = math.min(n, ce.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < m) {
+        val xv = vec.getFloat(i).toDouble
+        val yv = ce(i)
+        dot += xv * yv; na += xv * xv; nb += yv * yv; i += 1
+      }
+      val csim = dot / (math.sqrt(na) * math.sqrt(nb))
+      // strict > everywhere: on ties the earlier (smaller) cid wins,
+      // matching the oracle's (csim DESC, cid ASC) row_number order
+      if (csim > best) {
+        sec = best; secC = bestC
+        best = csim; bestC = c
+      } else if (csim > sec) {
+        sec = csim; secC = c
+      }
+      c += 1
+    }
+    secC.toLong
+  }
+
   /** Best (maximum) pinned-order cosine of `vec` against the matrix -
     * the k-means|| cost scan's kernel. Same per-centroid math as
     * `nearest` (so the value agrees bit-for-bit with what the oracle's
@@ -953,6 +988,40 @@ case class NearestCentroid(child: Expression, cents: Seq[Seq[Double]])
     val ref = ctx.addReferenceObj("cents", centsArr, "double[][]")
     defineCodeGen(ctx, ev,
       c => s"graft.functions.IvfMath.nearest($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** graft_second_centroid(vec): second-best-cosine centroid id against
+  * a plan-time centroid matrix — the kNN join's boundary-cell probe.
+  * Built via the Column API like `NearestCentroid`; codegen'd, zero
+  * shuffle.
+  */
+case class SecondCentroid(child: Expression, cents: Seq[Seq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  @transient private lazy val centsArr: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_second_centroid expects array<float>, got ${other.catalogString}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_second_centroid"
+
+  override def nullSafeEval(v: Any): Any =
+    IvfMath.second(v.asInstanceOf[ArrayData], centsArr)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", centsArr, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.IvfMath.second($c, $ref)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

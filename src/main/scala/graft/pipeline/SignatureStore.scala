@@ -3,7 +3,7 @@ package graft.pipeline
 import graft.core.Graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{col, collect_set, count, expr, lit, max, min, pmod, sum, when}
+import org.apache.spark.sql.functions.{col, collect_set, count, expr, lag, lit, max, min, pmod, struct, sum, when}
 
 /** Materialized MinHash signature store: the shingle/hash relation and
   * the exploded LSH band stream are computed ONCE per (session, corpus)
@@ -629,6 +629,117 @@ object SignatureStore {
       "arrival2.parquet")
     catchUpDecay(spark, watch, store)
     storedDecay(spark, store)
+  }
+
+  // ---- markov store --------------------------------------------------
+
+  /** Incremental transition matrix: each arriving batch lands (a) its
+    * WITHIN-batch (from, to) transition counts — additive — and (b)
+    * one BOUNDARY record per active user (the batch's first and last
+    * event key + type), from which the query-time merge re-derives the
+    * junction transition between consecutive batches (prev batch's
+    * last event → next batch's first event) with a lag over the
+    * boundary relation. Per-batch state is users × 1 boundary rows +
+    * a |types|²-bounded count matrix; raw events are never re-read.
+    *
+    * Exactness CONTRACT (narrower than the session/cohort stores, and
+    * the honest one): batches must partition each user's timeline into
+    * time-CONTIGUOUS chunks — i.e. arrivals are in event-time order,
+    * the same arrival contract the streaming faces and the undo-cache
+    * faces document. Under interleaved batches a first-order chain is
+    * NOT recoverable from any bounded summary (an event inserted
+    * between two stored events rewrites a transition), so the gate
+    * face splits by TIME (midpoint day), not by the parity interleave
+    * the order-free stores use.
+    */
+  def catchUpMarkov(spark: SparkSession, watchDir: String,
+                    storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val ev = spark.readStream.schema(schema).parquet(watchDir)
+    val q = ev.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val e = batch
+          .filter(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(col("user_id"), expr("graft_ts_us(ts)").as("tus"),
+            col("event_id"), col("event_type"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))
+        graft.analytics.Behavior.markovCount(
+            e.withColumn("from_type", lag(col("event_type"), 1).over(w))
+              .filter(col("from_type").isNotNull)
+              .select(col("from_type"),
+                col("event_type").as("to_type")))
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/trans_counts/batch=$id")
+        e.groupBy(col("user_id"))
+          .agg(min(struct(col("tus"), col("event_id"),
+            col("event_type"))).as("f"),
+            max(struct(col("tus"), col("event_id"),
+              col("event_type"))).as("l"))
+          .select(col("user_id"),
+            col("f.tus").as("first_tus"),
+            col("f.event_id").as("first_eid"),
+            col("f.event_type").as("first_type"),
+            col("l.event_type").as("last_type"))
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/boundaries/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The matrix from the stored fragments: summed within-batch counts
+    * plus the lag-derived junction transitions over the boundary
+    * relation, normalized by the shared batch fold. Matches
+    * `q_markov`'s oracle once caught up (under the in-order contract).
+    */
+  def storedMarkov(spark: SparkSession, storeDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val within = storedOrEmpty(spark, s"$storeDir/trans_counts",
+      emptyLike(spark, spark.range(0).selectExpr(
+        "CAST(id AS STRING) AS from_type",
+        "CAST(id AS STRING) AS to_type", "id AS n_trans")))
+    val b = storedOrEmpty(spark, s"$storeDir/boundaries",
+      emptyLike(spark, spark.range(0).selectExpr("id AS user_id",
+        "id AS first_tus", "id AS first_eid",
+        "CAST(id AS STRING) AS first_type",
+        "CAST(id AS STRING) AS last_type")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("first_tus"), col("first_eid"))
+    val junction = b
+      .withColumn("from_type", lag(col("last_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .select(col("from_type"), col("first_type").as("to_type"))
+    graft.analytics.Behavior.markovMatrixFrom(
+      within.select(col("from_type"), col("to_type"), col("n_trans"))
+        .unionByName(graft.analytics.Behavior.markovCount(junction)))
+  }
+
+  /** Driver-gate face: fresh store, two TIME-contiguous appends split
+    * at the midpoint day (users' chains straddle the cut, so the
+    * junction stitch is exercised on nearly every user); shares
+    * `q_markov`'s oracle.
+    */
+  def gatedMarkov(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_markov_watch")
+    val store = tempDirForExit("graft_gate_markov_store")
+    val ev = Graft.table(spark, sfDir, "events")
+    val dayUs = graft.analytics.TimeSeries.decayHalflifeUs
+    val cut = ev.filter(col("ts").isNotNull)
+      .agg(expr(s"(min(graft_ts_us(ts) DIV ${dayUs}L) + " +
+        s"max(graft_ts_us(ts) DIV ${dayUs}L)) DIV 2").as("c"))
+      .first().getLong(0)
+    land(ev.filter(expr(s"graft_ts_us(ts) DIV ${dayUs}L") <= cut),
+      watch, "arrival1.parquet")
+    catchUpMarkov(spark, watch, store)
+    land(ev.filter(expr(s"graft_ts_us(ts) DIV ${dayUs}L") > cut),
+      watch, "arrival2.parquet")
+    catchUpMarkov(spark, watch, store)
+    storedMarkov(spark, store)
   }
 
   // ---- graph store ---------------------------------------------------

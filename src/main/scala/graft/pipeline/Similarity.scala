@@ -1332,6 +1332,90 @@ object Similarity {
        |SELECT q_id, vec_id, sim, rk FROM ranked
        |WHERE rk <= $topK ORDER BY q_id, rk""".stripMargin
 
+  // ---- ann_knn_join ---------------------------------------------------
+
+  /** Neighbors returned per vector by the kNN join. */
+  val knnK = 5
+
+  /** kNN JOIN: every corpus vector's top-`knnK` neighbors — the
+    * all-vectors face of ANN (semantic-dedup candidate generation,
+    * recommendation mining, graph construction), where the `ann_*`
+    * queries answer only a small query set. Brute force is corpus² and
+    * broadcast is impossible (the "query set" IS the corpus), so the
+    * trained IVF cells become the join key: each vector PROBES its two
+    * nearest cells (home + boundary — the second cell recovers the
+    * neighbors that sit just across a Voronoi face, the dominant ANN
+    * failure mode of home-cell-only blocking) while the corpus is
+    * INDEXED by home cell alone.
+    *
+    * 100 TB shape: cell ranks 1 and 2 come from ONE narrow codegen'd
+    * scan (native argmax/arg-second expressions — never a k-way
+    * crossJoin + corpus-wide window); the candidate join shuffles each
+    * side once on the cell id (probe side ×2 via the explode), with
+    * candidate volume bounded by cell sizes (cells-stay-constant knob,
+    * same as dd_semantic); the per-vector top-k is a row_number window
+    * the TopKWindowRewrite executes as a bounded per-key heap with
+    * map-side partials. Nothing broadcasts, nothing is corpus².
+    */
+  def annKnnJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val centVecs = trainedCentroidsFor(spark, sfDir)
+    val nearest = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.NearestCentroid(
+        org.apache.spark.sql.GraftBridge.expression(col("embedding")),
+        centVecs))
+    val secondC = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.SecondCentroid(
+        org.apache.spark.sql.GraftBridge.expression(col("embedding")),
+        centVecs))
+    // one narrow pass computes home + boundary cell for every vector
+    val assign2 = e.select(col("vec_id"), col("embedding"),
+      nearest.as("cid"), secondC.as("cid2"))
+    val probes = assign2
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(array(col("cid"), col("cid2"))).as("pcid"))
+    val index = assign2.select(col("vec_id"), col("embedding"),
+      col("cid").as("pcid"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    probes.join(index, "pcid")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim",
+        ParityMath.q6(expr(cosSpark("q_emb", "embedding"))))
+      .withColumn("rk", row_number().over(wTop).cast(LongType))
+      .filter(col("rk") <= knnK)
+      .select(col("q_id"), col("vec_id").as("nbr_id"), col("sim"),
+        col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val annKnnJoinSql: String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), $lloydCentsCtes, ranks AS MATERIALIZED (
+       |  SELECT vec_id, cid, crk FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosDuck("e.embedding", "c.c_emb")} DESC, c.cid)
+       |        AS crk
+       |    FROM e CROSS JOIN cents c
+       |  ) WHERE crk <= 2
+       |), scored AS (
+       |  SELECT p.vec_id AS q_id, a.vec_id,
+       |    (floor((${cosDuck("q.embedding", "e.embedding")}) * 1000000.0 + 0.5) / 1000000.0) AS sim
+       |  FROM ranks p
+       |  JOIN ranks a ON a.cid = p.cid AND a.crk = 1
+       |    AND a.vec_id <> p.vec_id
+       |  JOIN e ON e.vec_id = a.vec_id
+       |  JOIN e q ON q.vec_id = p.vec_id
+       |), ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |                 ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
+       |  FROM scored
+       |)
+       |SELECT q_id, vec_id AS nbr_id, sim, rk FROM ranked
+       |WHERE rk <= $knnK ORDER BY q_id, rk""".stripMargin
+
   // ---- dd_semantic ---------------------------------------------------
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,

@@ -213,6 +213,54 @@ object FeatureStream {
         col("n_base"))
       .orderBy(col("user_id"), col("event_id"))
 
+  // ---- ss_stream_markov ----------------------------------------------
+
+  final case class MarkovTrans(user_id: Long, from_type: String,
+                               to_type: String)
+
+  /** Per-user transition fold: state = the user's LAST event
+    * (tus, event_id, type) — the minimum an exact first-order chain
+    * can carry, and exactly the lag window's frame made explicit. Each
+    * arriving event emits one (from, to) transition against the
+    * pre-update state (Append mode — a transition is final at
+    * arrival); the snapshot aggregates through the batch face's
+    * `markovMatrixFrom`, so the faces share `qMarkovSql`.
+    */
+  private def markovHandler(
+      key: Long, rows: Iterator[EvRow],
+      state: GroupState[(Long, Long, String)]): Iterator[MarkovTrans] = {
+    var last = state.getOption.orNull
+    val out = scala.collection.mutable.ArrayBuffer.empty[MarkovTrans]
+    rows.toSeq.sortBy(r => (r.tus, r.event_id)).foreach { r =>
+      if (last != null) out += MarkovTrans(key, last._3, r.event_type)
+      last = (r.tus, r.event_id, r.event_type)
+    }
+    if (last != null) state.update(last)
+    out.iterator
+  }
+
+  /** The transition stream over any (user_id, tus, event_id,
+    * event_type) relation — MemoryStream-drivable for parity specs.
+    */
+  def markovTransStream(ev: DataFrame): Dataset[MarkovTrans] = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.as[EvRow].groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(markovHandler)
+  }
+
+  def streamMarkov(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = StreamSum.streamingEvents(spark, sfDir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), expr("graft_ts_us(ts)").as("tus"),
+        col("event_id"), col("event_type"))
+    val snap = StreamSum.runToTable(markovTransStream(ev).toDF(),
+      OutputMode.Append(), "ss_stream_markov")
+    Behavior.markovMatrixFrom(Behavior.markovCount(
+      snap.select(col("from_type"), col("to_type"))))
+  }
+
   // ---- ss_stream_cooccur ---------------------------------------------
 
   final case class UserObj(user_id: Long, o: Long)

@@ -33,6 +33,30 @@ class BehaviorSpec extends SparkSpec {
       (3L, "purchase", 1L)), s"funnel report wrong: $rows")
   }
 
+  test("markov: transitions follow per-user event order; rows " +
+       "normalize per from-state") {
+    val s = spark; import s.implicits._
+    // user 1: a -> b -> a   (a→b, b→a)
+    // user 2: a -> a -> c   (a→a, a→c)
+    // user 3: b only        (no transition)
+    val ev = Seq(
+      (10L, 1L, "a"), (11L, 1L, "b"), (12L, 1L, "a"),
+      (20L, 2L, "a"), (21L, 2L, "a"), (22L, 2L, "c"),
+      (30L, 3L, "b"))
+      .map { case (id, u, t) => (id, (id % 10 + 1) * 1000L, u, t, 1.0,
+        "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mkv").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = Behavior.qMarkov(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(rows == Seq(
+      ("a", "a", 1L, 3L, 0.333333), ("a", "b", 1L, 3L, 0.333333),
+      ("a", "c", 1L, 3L, 0.333333), ("b", "a", 1L, 1L, 1.0)),
+      s"markov matrix wrong: $rows")
+  }
+
   test("cohort: first-activity week assigns the cohort, cells count " +
        "distinct returning users") {
     val s = spark; import s.implicits._

@@ -9,6 +9,35 @@ import org.apache.spark.sql.functions._
   */
 class TimeSeriesSpec extends SparkSpec {
 
+  test("trending: lift ranks recent-vs-prior day counts; older-only " +
+       "objects are excluded") {
+    val s = spark; import s.implicits._
+    val dayNs = TimeSeries.decayHalflifeUs * 1000L
+    // day_max = 2. o=1: 4 recent / 1 prev -> (5)e6/2 = 2_500_000;
+    // o=2: 2 recent / 0 prev -> 3_000_000; o=3: 0 recent / 3 prev ->
+    // 250_000; o=5: day-0 only -> excluded entirely.
+    val rows = Seq(
+      (1L, 2L, 4), (1L, 1L, 1),
+      (2L, 2L, 2),
+      (3L, 1L, 3),
+      (5L, 0L, 2)).flatMap { case (o, day, n) =>
+      (0 until n).map(i => (o * 100 + day * 10 + i,
+        day * dayNs + (o * 100 + i) * 1000L, 1L, "view", 1.0,
+        s"""{"k": $o}"""))
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tr").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = TimeSeries.qTrending(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(
+      (2L, 2L, 0L, 3000000L),
+      (1L, 4L, 1L, 2500000L),
+      (3L, 0L, 3L, 250000L)), s"trending report wrong: $got")
+  }
+
   test("resample: gaps generated, last observation carried forward") {
     val s = spark; import s.implicits._
     val bUs = TimeSeries.resampleBucketUs

@@ -1,0 +1,65 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.core.Graft
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ann_knn_join parity: the native argmax/arg-second cell assignment +
+  * bucketed join must reproduce, bitwise, the declarative replay of
+  * the SAME rule (crossJoin + window cell ranks — the formulation the
+  * DuckDB oracle runs), and the join must behave sanely on a planted
+  * boundary case.
+  */
+class KnnJoinSpec extends SparkSpec {
+
+  test("ann_knn_join == declarative crossJoin+window replay (bitwise)") {
+    val s = spark; import s.implicits._
+    val e = Graft.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.trainedCentroidsFor(spark, sfDir)
+    val centsDf = cents.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("cid", "c_emb")
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val ranks = e.crossJoin(broadcast(centsDf))
+      .withColumn("csim", expr(Similarity.cosSparkHof("embedding", "c_emb")))
+      .withColumn("crk", row_number().over(wCell))
+      .filter(col("crk") <= 2)
+      .select(col("vec_id"), col("cid"), col("crk"))
+    val probes = ranks.select(col("vec_id").as("q_id"), col("cid"))
+    val index = ranks.filter(col("crk") === 1)
+      .select(col("vec_id").as("nbr_id"), col("cid"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("nbr_id"))
+    val replay = probes.join(index, "cid")
+      .filter(col("nbr_id") =!= col("q_id"))
+      .join(e.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb")), "q_id")
+      .join(e.select(col("vec_id").as("nbr_id"),
+        col("embedding").as("n_emb")), "nbr_id")
+      .withColumn("sim",
+        ParityMath.q6(expr(Similarity.cosSpark("q_emb", "n_emb"))))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= Similarity.knnK)
+      .select(col("q_id"), col("nbr_id"), col("sim"), col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+      .collect().map(_.toString).toSeq
+    val fast = Similarity.annKnnJoin(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(fast.nonEmpty && fast == replay)
+  }
+
+  test("every vector gets neighbors; self is never a neighbor; ranks " +
+       "are 1..k dense per vector") {
+    val rows = Similarity.annKnnJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.values.forall(g =>
+      g.map(_._3).sorted.toSeq == (1L to g.size.toLong)))
+    assert(rows.forall { case (q, n, _) => q != n })
+    // with 500 vectors in 16 cells every cell has > k members, so
+    // every vector must reach the full k
+    assert(byQ.values.forall(_.size == Similarity.knnK))
+  }
+}

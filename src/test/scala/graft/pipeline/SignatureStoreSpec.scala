@@ -227,6 +227,41 @@ class SignatureStoreSpec extends SparkSpec {
     assert(stored == oneShot)
   }
 
+  test("markov store: the junction transition between batches is " +
+       "stitched from boundary records") {
+    val watch = Files.createTempDirectory("graft_mkv_watch").toString
+    val store = Files.createTempDirectory("graft_mkv_store").toString
+    val s = spark; import s.implicits._
+    def evDf(rows: Seq[(Long, Long, String)]) = rows
+      .map { case (id, t, ty) => (id, t * 1000L, 1L, ty, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$watch/_stage"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(watch, name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    // batch 1: a -> b (within-batch a→b); batch 2: c -> a (within-batch
+    // c→a). The junction b→c exists ONLY across the boundary.
+    land(evDf(Seq((1L, 1000L, "a"), (2L, 2000L, "b"))), "a1.parquet")
+    SignatureStore.catchUpMarkov(spark, watch, store)
+    land(evDf(Seq((3L, 3000L, "c"), (4L, 4000L, "a"))), "a2.parquet")
+    SignatureStore.catchUpMarkov(spark, watch, store)
+    val got = SignatureStore.storedMarkov(spark, store).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L)),
+      s"stitched matrix wrong: $got")
+    // and on the real corpus: midpoint-day split store == one-shot batch
+    val oneShot = graft.analytics.Behavior.qMarkov(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val stored = SignatureStore.gatedMarkov(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(stored == oneShot)
+  }
+
   test("three faces agree: incremental store == streaming emission == batch") {
     // the streaming face consumes sfDir's documents.parquet in place;
     // the store face replays the same corpus as two appends - both

@@ -55,6 +55,38 @@ class FeatureStreamSpec extends SparkSpec {
     assert(split == oneShot && split.size == 12)
   }
 
+  test("ss_stream_markov == q_markov (bitwise)") {
+    assert(rows(FeatureStream.streamMarkov(spark, sfDir)) ==
+      rows(Behavior.qMarkov(spark, sfDir)))
+  }
+
+  test("markov last-event state carries across micro-batches") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // one user, types a b a c: splitting after 'b' puts the b->a
+    // junction transition across the batch boundary - it must still
+    // be emitted, via the carried last-event state
+    val all = Seq("a", "b", "a", "c").zipWithIndex.map { case (t, i) =>
+      FeatureStream.EvRow(1L, 1000L + i, i.toLong, t)
+    }
+    def run(batches: Seq[Seq[FeatureStream.EvRow]]): Seq[(String, String)] = {
+      val mem = MemoryStream[FeatureStream.EvRow]
+      val q = FeatureStream.markovTransStream(mem.toDF()).toDF()
+        .writeStream.format("memory")
+        .queryName(s"mkv_mb_${batches.size}")
+        .outputMode(OutputMode.Append()).start()
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      s.table(s"mkv_mb_${batches.size}")
+        .orderBy("from_type", "to_type").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+    }
+    val split = run(Seq(all.take(2), all.drop(2)))
+    val oneShot = run(Seq(all))
+    assert(split == oneShot &&
+      split == Seq(("a", "b"), ("a", "c"), ("b", "a")))
+  }
+
   test("ss_stream_cooccur == q_cooccur") {
     assert(rows(FeatureStream.streamCooccur(spark, sfDir)) ==
       rows(graft.analytics.Graph.qCooccur(spark, sfDir)))
