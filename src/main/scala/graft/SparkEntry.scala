@@ -149,6 +149,12 @@ object SparkEntry {
     "q_decay_count" -> TimeSeries.qDecayCount _,
     "q_trending" -> TimeSeries.qTrending _,
     "q_markov" -> Behavior.qMarkov _,
+    "q_paths" -> Behavior.qPaths _,
+    "q_seasonality" -> TimeSeries.qSeasonality _,
+    "q_changepoint" -> TimeSeries.qChangepoint _,
+    "q_histogram" -> Tpch.qHistogram _,
+    "q_rfm" -> graft.analytics.Segmentation.qRfm _,
+    "pipe_token_budget" -> graft.pipeline.CorpusOps.tokenBudgetPack _,
     "ss_stream_markov" -> graft.streaming.FeatureStream.streamMarkov _,
     "markov_store" -> graft.pipeline.SignatureStore.gatedMarkov _,
     "ss_stream_decay" -> StreamSum.streamDecayCount _,
@@ -350,6 +356,12 @@ object SparkEntry {
     "q_decay_count" -> TimeSeries.qDecayCountSql,
     "q_trending" -> TimeSeries.qTrendingSql,
     "q_markov" -> Behavior.qMarkovSql,
+    "q_paths" -> Behavior.qPathsSql,
+    "q_seasonality" -> TimeSeries.qSeasonalitySql,
+    "q_changepoint" -> TimeSeries.qChangepointSql,
+    "q_histogram" -> Tpch.qHistogramSql,
+    "q_rfm" -> graft.analytics.Segmentation.qRfmSql,
+    "pipe_token_budget" -> graft.pipeline.CorpusOps.tokenBudgetSql,
     "ss_stream_markov" -> Behavior.qMarkovSql,
     "markov_store" -> Behavior.qMarkovSql,
     "ss_stream_decay" -> TimeSeries.qDecayCountSql,

@@ -235,6 +235,77 @@ object Behavior {
             "CAST(n_trans AS DOUBLE) / CAST(n_from AS DOUBLE)")} AS p
        |FROM mm ORDER BY from_type, to_type""".stripMargin
 
+  // ---- q_paths: top user journey prefixes ----------------------------
+
+  /** Path length: the first `pathLen` events of each user's history. */
+  val pathLen: Int = 5
+
+  /** Report size: the `pathTopK` most common paths. */
+  val pathTopK: Int = 20
+
+  /** Top user-journey prefixes: each user's first `pathLen` events (in
+    * the per-user total (ts, event_id) order) joined into a `>`-path
+    * string, ranked by how many users share the exact prefix — funnel
+    * DISCOVERY, where q_funnel measures a funnel someone already
+    * declared. (The behavior family's path-analysis member, next to
+    * q_markov's one-step matrix: paths keep the full k-step sequence
+    * the Markov factorization throws away.)
+    *
+    * 100 TB shape: ONE user-keyed exchange. The `row_number <= pathLen`
+    * projection plans as the bounded-heap TopKPerKey operator (the
+    * engine-wide window rewrite), so each user's unbounded history is
+    * trimmed to `pathLen` rows map-side before the exchange; the path
+    * strings aggregate with map-side combine; and the global top-k is
+    * the bounded TopFreqAgg heap — at most 2k rows per partition ship
+    * to the single final reducer, never the full path-frequency
+    * relation, and nothing global is ever sorted.
+    */
+  def qPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val perUser = Graft.table(spark, sfDir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), expr("graft_ts_us(ts)").as("tus"),
+        col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= pathLen)
+      .groupBy(col("user_id"))
+      .agg(expr("array_join(transform(array_sort(" +
+        "collect_list(struct(rn, event_type))), x -> x.event_type), '>')")
+        .as("path"))
+    val topAgg = udaf(graft.functions.TopFreqAgg(pathTopK))
+    perUser.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .agg(topAgg(col("path"), col("n_users")).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "tc")))
+      .select((col("pos") + 1).cast("long").as("rk"),
+        col("tc._1").as("path"), col("tc._2").as("n_users"))
+      .orderBy(col("rk"))
+  }
+
+  val qPathsSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |), r AS (
+       |  SELECT user_id, event_type,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY tus, event_id) AS rn
+       |  FROM e
+       |), p AS (
+       |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+       |  FROM r WHERE rn <= $pathLen GROUP BY user_id
+       |), f AS (
+       |  SELECT path, count(*) AS n_users FROM p GROUP BY 1
+       |), top AS (
+       |  SELECT path, n_users,
+       |    row_number() OVER (ORDER BY n_users DESC, path ASC) AS rk
+       |  FROM f
+       |)
+       |SELECT CAST(rk AS BIGINT) AS rk, path,
+       |  CAST(n_users AS BIGINT) AS n_users
+       |FROM top WHERE rk <= $pathTopK ORDER BY rk""".stripMargin
+
   val qFunnelSql: String = {
     val Seq(s1, s2, s3) = funnelSteps
     s"""WITH e AS (

@@ -490,6 +490,142 @@ object TimeSeries {
        |ORDER BY lift_mu DESC, cnt_recent DESC, o
        |LIMIT $trendingTopN""".stripMargin
 
+  // ---- q_seasonality: hour-of-day x day-of-week activity profile -----
+
+  private val hourUs: Long = 3600L * 1000000L
+  private val dayUs: Long = 24L * hourUs
+
+  /** Seasonality profile: event volume per (day-of-week, hour-of-day)
+    * cell plus the lift of each cell against a perfectly uniform week —
+    * the "when is this system actually used" matrix behind load
+    * forecasting, anomaly baselines (q_anomaly's per-entity z-score
+    * deliberately ignores time-of-day; this is the global counterpart),
+    * and crawl scheduling.
+    *
+    * Cell math is pure integer epoch arithmetic (epoch day 0 is a
+    * Thursday, hence the +4 day-of-week shift) — identical in both
+    * engines with no timezone or calendar library in the plan. The
+    * lift is ONE q6-quantized double division per cell.
+    *
+    * 100 TB shape: one events scan into a map-combinable 168-cell
+    * aggregation; the total for the lift comes from a window over the
+    * TINY matrix (never a second scan — the q_cohort lesson). Nothing
+    * shuffles but 168 partial rows per input partition.
+    */
+  def qSeasonality(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val cells = Graft.table(spark, sfDir, "events")
+      .filter(col("ts").isNotNull)
+      .select(expr("graft_ts_us(ts)").as("tus"))
+      .select(expr(s"((tus DIV ${dayUs}L) + 4L) % 7L").as("dow"),
+        expr(s"(tus DIV ${hourUs}L) % 24L").as("hour"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    cells
+      .withColumn("total", sum(col("n_events")).over(Window.partitionBy()))
+      .select(col("dow"), col("hour"), col("n_events"),
+        graft.pipeline.ParityMath.q6(
+          col("n_events").cast("double") * lit(168.0) /
+            col("total").cast("double")).as("lift"))
+      .orderBy(col("dow"), col("hour"))
+  }
+
+  val qSeasonalitySql: String =
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts) AS tus FROM events WHERE ts IS NOT NULL
+       |), c AS (
+       |  SELECT ((tus // $dayUs) + 4) % 7 AS dow,
+       |         (tus // $hourUs) % 24 AS hour,
+       |         count(*) AS n_events
+       |  FROM e GROUP BY 1, 2
+       |), t AS (
+       |  SELECT dow, hour, n_events, sum(n_events) OVER () AS total
+       |  FROM c
+       |)
+       |SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour,
+       |  CAST(n_events AS BIGINT) AS n_events,
+       |  ${graft.pipeline.ParityMath.q6Sql(
+            "CAST(n_events AS DOUBLE) * 168.0 / CAST(total AS DOUBLE)")}
+       |    AS lift
+       |FROM t ORDER BY dow, hour""".stripMargin
+
+  // ---- q_changepoint: best mean-shift split over the daily series ----
+
+  /** Mean-shift changepoint scan: for every split point of the daily
+    * event-count series, the absolute difference between the mean
+    * volume before (inclusive) and after the split — the exhaustive
+    * single-changepoint scan (the inner step of binary segmentation /
+    * CUSUM-style drift detection) a pipeline runs on a source's daily
+    * volume to find the day the crawler broke or the upstream schema
+    * changed. The top split is flagged.
+    *
+    * 100 TB shape: the events scan collapses to a map-combinable
+    * per-day count first; every window after that (cumulative sum/count
+    * forward, total) runs over the TINY daily matrix. The doubles are
+    * two divisions + one subtraction per day, q6-quantized.
+    */
+  def qChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val daily = Graft.table(spark, sfDir, "events")
+      .filter(col("ts").isNotNull)
+      .select(expr(s"graft_ts_us(ts) DIV ${dayUs}L").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_events"))
+    val wcum = Window.partitionBy().orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy()
+    val scored = daily
+      .withColumn("cum_n", sum(col("n_events")).over(wcum))
+      .withColumn("cum_d", count(lit(1)).over(wcum))
+      .withColumn("tot_n", sum(col("n_events")).over(wall))
+      .withColumn("tot_d", count(lit(1)).over(wall))
+      .filter(col("cum_d") < col("tot_d"))
+      .select(col("day"), col("n_events"),
+        graft.pipeline.ParityMath.q6(abs(
+          col("cum_n").cast("double") / col("cum_d").cast("double") -
+            (col("tot_n") - col("cum_n")).cast("double") /
+              (col("tot_d") - col("cum_d")).cast("double"))).as("score"))
+    scored
+      .withColumn("mx", max(col("score")).over(wall))
+      .withColumn("best_day",
+        min(when(col("score") === col("mx"), col("day"))).over(wall))
+      .select(col("day"), col("n_events"), col("score"),
+        (col("score") === col("mx") && col("day") === col("best_day"))
+          .as("is_change"))
+      .orderBy(col("day"))
+  }
+
+  val qChangepointSql: String =
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts) // $dayUs AS day FROM events
+       |  WHERE ts IS NOT NULL
+       |), d AS (
+       |  SELECT day, count(*) AS n_events FROM e GROUP BY 1
+       |), c AS (
+       |  SELECT day, n_events,
+       |    sum(n_events) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+       |    row_number() OVER (ORDER BY day) AS cum_d,
+       |    sum(n_events) OVER () AS tot_n,
+       |    count(*) OVER () AS tot_d
+       |  FROM d
+       |), s AS (
+       |  SELECT day, n_events,
+       |    ${graft.pipeline.ParityMath.q6Sql(
+            "abs(CAST(cum_n AS DOUBLE) / CAST(cum_d AS DOUBLE) - " +
+            "CAST(tot_n - cum_n AS DOUBLE) / CAST(tot_d - cum_d AS DOUBLE))")}
+       |      AS score
+       |  FROM c WHERE cum_d < tot_d
+       |), m AS (
+       |  SELECT day, n_events, score, max(score) OVER () AS mx FROM s
+       |), b AS (
+       |  SELECT day, n_events, score, mx,
+       |    min(CASE WHEN score = mx THEN day END) OVER () AS best_day
+       |  FROM m
+       |)
+       |SELECT day, CAST(n_events AS BIGINT) AS n_events, score,
+       |  (score = mx AND day = best_day) AS is_change
+       |FROM b ORDER BY day""".stripMargin
+
   val qResampleSql: String =
     s"""WITH e AS (
        |  SELECT user_id, epoch_us(ts) // $resampleBucketUs AS tb,

@@ -559,4 +559,67 @@ object Tpch {
               |  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 100.0)"""
               .stripMargin)} AS covar_pop
        |FROM s ORDER BY l_returnflag""".stripMargin
+
+  // ---- q_histogram: fixed-width price histogram + exact CDF ----------
+
+  /** Bucket width for the extended-price histogram. */
+  val histWidth: Double = 5000.0
+
+  /** Fixed-width histogram of `l_extendedprice` with the exact
+    * cumulative distribution — the data-profiling primitive q_profile's
+    * min/max/avg summary can't give (where the mass actually sits),
+    * and the exact counterpart the q_qtile_sketch family is an
+    * approximation of.
+    *
+    * Bucketing is `floor(price / width)`: one IEEE divide + floor,
+    * identical cross-engine (prices are 2-decimal values exactly
+    * representable in doubles). The CDF is a running sum over the
+    * bucket matrix, q6-quantized for the fraction.
+    *
+    * 100 TB shape: one lineitem scan reading ONE column, collapsed by
+    * a map-combinable ~21-cell aggregation; the cumulative window and
+    * the total run over the TINY bucket matrix. The shuffle carries
+    * buckets-per-partition rows, nothing else.
+    */
+  def qHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val cells = Graft.table(spark, sfDir, "lineitem")
+      .select(expr(s"CAST(floor(l_extendedprice / $histWidth) AS BIGINT)")
+        .as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_items"))
+    val wcum = Window.partitionBy().orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_items", sum(col("n_items")).over(wcum))
+      .withColumn("total", sum(col("n_items")).over(Window.partitionBy()))
+      .select(col("bucket"),
+        (col("bucket").cast(DoubleType) * lit(histWidth)).as("lo"),
+        col("n_items"), col("cum_items"),
+        graft.pipeline.ParityMath.q6(
+          col("cum_items").cast("double") / col("total").cast("double"))
+          .as("cdf"))
+      .orderBy(col("bucket"))
+  }
+
+  val qHistogramSql: String =
+    s"""WITH b AS (
+       |  SELECT CAST(floor(l_extendedprice / $histWidth) AS BIGINT)
+       |    AS bucket
+       |  FROM lineitem
+       |), c AS (
+       |  SELECT bucket, count(*) AS n_items FROM b GROUP BY 1
+       |), w AS (
+       |  SELECT bucket, n_items,
+       |    sum(n_items) OVER (ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS cum_items,
+       |    sum(n_items) OVER () AS total
+       |  FROM c
+       |)
+       |SELECT bucket, CAST(bucket AS DOUBLE) * $histWidth AS lo,
+       |  CAST(n_items AS BIGINT) AS n_items,
+       |  CAST(cum_items AS BIGINT) AS cum_items,
+       |  ${graft.pipeline.ParityMath.q6Sql(
+            "CAST(cum_items AS DOUBLE) / CAST(total AS DOUBLE)")} AS cdf
+       |FROM w ORDER BY bucket""".stripMargin
 }

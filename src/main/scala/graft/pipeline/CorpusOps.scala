@@ -590,4 +590,93 @@ object CorpusOps {
        |)
        |SELECT source, doc_id, nll, rk FROM ranked
        |WHERE rk <= $sourceCapK ORDER BY source, rk""".stripMargin
+
+  // ---- pipe_token_budget: per-source token-budget packing ------------
+
+  /** Whitespace-token budget each source may contribute. */
+  val tokenBudget: Long = 800L
+
+  /** Token-budget curation: every source contributes its best documents
+    * (quality = the corpus's own add-1 unigram NLL, the same
+    * bit-stable ordering key sourceCap uses, ties by doc_id) until the
+    * next document would push the source's cumulative whitespace-token
+    * count past `tokenBudget`. This is the operator a training mix is
+    * actually specified in — "N tokens per source", not "N documents"
+    * — sourceCap's sibling with the budget in the unit that matters.
+    *
+    * Admission rule: a document is kept iff the running token total
+    * INCLUDING it stays ≤ budget (so one oversized best doc is
+    * dropped, and later smaller docs do NOT slide into its place —
+    * the cut is a prefix of the quality order, which keeps the result
+    * a deterministic function of the per-source ranking and makes the
+    * store/stream faces' incremental answer well-defined).
+    *
+    * 100 TB shape: docs with zero tokens can't exist past the
+    * tokenizer (every competing doc carries ≥ 1 token), so no prefix
+    * longer than `tokenBudget` documents can fit the budget — the
+    * custom TopKPerKey operator therefore pre-trims each source to
+    * ≤ `tokenBudget` rows with MAP-SIDE partial heaps before the one
+    * source-keyed exchange (a hot crawl domain ships partitions × k
+    * rows, never its whole corpus), and the exact cumulative-sum
+    * window runs per source over the trimmed ≤ k rows.
+    */
+  def tokenBudgetPack(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val docs = Graft.tableParallel(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr("CAST(size(regexp_extract_all(text, '\\\\S+', 0)) AS BIGINT)")
+          .as("n_ws"))
+      .filter(col("n_ws") >= 1L)
+    val nll = TextAnalysis.unigramNll(spark, sfDir)
+      .select(col("doc_id"), col("nll"))
+    val trimmed = graft.plans.TopK.perKey(docs.join(nll, Seq("doc_id")),
+      Seq("source"), Seq(("nll", true), ("doc_id", true)),
+      tokenBudget.toInt)
+    val wcum = Window.partitionBy(col("source"))
+      .orderBy(col("nll"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    trimmed
+      .withColumn("cum_tokens", sum(col("n_ws")).over(wcum))
+      .filter(col("cum_tokens") <= tokenBudget)
+      .select(col("source"), col("doc_id"), col("nll"), col("n_ws"),
+        col("cum_tokens"))
+      .orderBy(col("source"), col("nll"), col("doc_id"))
+  }
+
+  val tokenBudgetSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+       |    '[a-z0-9]+')) AS term
+       |  FROM documents
+       |), freq AS (
+       |  SELECT term, count(*) AS cnt FROM toks GROUP BY term
+       |), totals AS (
+       |  SELECT sum(cnt) AS n_total, count(*) AS v_size FROM freq
+       |), scored AS (
+       |  SELECT t.doc_id,
+       |    CAST(floor(-ln(CAST(f.cnt + 1 AS DOUBLE)
+       |      / CAST(tt.n_total + tt.v_size AS DOUBLE)) * 1000000.0 + 0.5)
+       |      AS BIGINT) AS nll_u
+       |  FROM toks t JOIN freq f USING (term) CROSS JOIN totals tt
+       |), nll AS (
+       |  SELECT doc_id,
+       |    ${ParityMath.q6Sql(
+              "(CAST(sum(nll_u) AS DOUBLE) / 1000000.0) / count(*)")}
+       |      AS nll
+       |  FROM scored GROUP BY doc_id
+       |), sized AS (
+       |  SELECT d.source, d.doc_id, n.nll,
+       |    CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n_ws
+       |  FROM documents d JOIN nll n USING (doc_id)
+       |  WHERE len(regexp_extract_all(d.text, '\\S+')) >= 1
+       |), c AS (
+       |  SELECT source, doc_id, nll, n_ws,
+       |    CAST(sum(n_ws) OVER (PARTITION BY source ORDER BY nll, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum_tokens
+       |  FROM sized
+       |)
+       |SELECT source, doc_id, nll, n_ws, cum_tokens FROM c
+       |WHERE cum_tokens <= $tokenBudget
+       |ORDER BY source, nll, doc_id""".stripMargin
 }

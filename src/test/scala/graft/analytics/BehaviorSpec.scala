@@ -33,6 +33,26 @@ class BehaviorSpec extends SparkSpec {
       (3L, "purchase", 1L)), s"funnel report wrong: $rows")
   }
 
+  test("paths: per-user prefix in event order, shared prefixes ranked") {
+    val s = spark; import s.implicits._
+    // users 1+2 share the exact 3-step journey; user 3 diverges; path
+    // is the FIRST pathLen events, so user 4's 6th event is ignored
+    val ev = Seq(
+      (10L, 1L, "a"), (11L, 1L, "b"), (12L, 1L, "c"),
+      (20L, 2L, "a"), (21L, 2L, "b"), (22L, 2L, "c"),
+      (30L, 3L, "b"),
+      (40L, 4L, "a"), (41L, 4L, "a"), (42L, 4L, "a"),
+      (43L, 4L, "a"), (44L, 4L, "a"), (45L, 4L, "zzz"))
+      .map { case (id, u, t) => (id, (id + 1) * 1000L, u, t, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pth").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = Behavior.qPaths(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, "a>b>c", 2L), (2L, "a>a>a>a>a", 1L),
+      (3L, "b", 1L)), s"paths wrong: $rows")
+  }
+
   test("markov: transitions follow per-user event order; rows " +
        "normalize per from-state") {
     val s = spark; import s.implicits._

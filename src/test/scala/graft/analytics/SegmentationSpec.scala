@@ -1,0 +1,65 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** RFM quintile math and histogram/CDF semantics on planted fixtures —
+  * the integer rank formula (`1 + (rn-1)*5 DIV n`) is pinned here so a
+  * drift toward engine-defined ntile placement would fail loudly.
+  */
+class SegmentationSpec extends SparkSpec {
+
+  test("rfm: per-customer rollup + integer quintile scores; monetary " +
+       "sums exact cents") {
+    val s = spark; import s.implicits._
+    val dayNs = 86400L * 1000000000L
+    // 5 customers, deliberately DIFFERENT orderings per dimension:
+    // custkey: last day   #orders  total cents
+    //   1        d4 (newest) 1      100.00
+    //   2        d3          2      50.01
+    //   3        d2          3      30.00
+    //   4        d1          4      20.00
+    //   5        d0 (oldest) 5      10.02
+    val orders = Seq(
+      (1L, 4L, 100.00),
+      (2L, 3L, 25.00), (2L, 2L, 25.01),
+      (3L, 2L, 10.00), (3L, 1L, 10.00), (3L, 0L, 10.00),
+      (4L, 1L, 5.00), (4L, 0L, 5.00), (4L, 0L, 5.00), (4L, 0L, 5.00),
+      (5L, 0L, 2.00), (5L, 0L, 2.00), (5L, 0L, 2.00), (5L, 0L, 2.00),
+      (5L, 0L, 2.02))
+      .zipWithIndex.map { case ((ck, day, price), i) =>
+        (i.toLong + 1, ck, "O", price, day * dayNs, "1-URGENT") }
+    val df = orders.toDF("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rfm").toString
+    df.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Segmentation.qRfm(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7))).toSeq
+    // n=5 so each rank is its own quintile: recency score 5 = newest;
+    // frequency/monetary score 5 = largest
+    assert(got == Seq(
+      (1L, 0L, 1L, 10000L, 5L, 1L, 5L, "515"),
+      (2L, 1L, 2L, 5001L, 4L, 2L, 4L, "424"),
+      (3L, 2L, 3L, 3000L, 3L, 3L, 3L, "333"),
+      (4L, 3L, 4L, 2000L, 2L, 4L, 2L, "242"),
+      (5L, 4L, 5L, 1002L, 1L, 5L, 1L, "151")),
+      s"rfm scores wrong: $got")
+  }
+
+  test("histogram: fixed-width buckets, exact cumulative distribution") {
+    val s = spark; import s.implicits._
+    // width 5000: prices land in buckets 0 (x2), 1 (x1), 3 (x1)
+    val li = Seq(901.82, 4999.99, 5000.0, 17500.0)
+      .zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("l_orderkey", "l_extendedprice")
+    val dir = java.nio.file.Files.createTempDirectory("graft_hist").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Tpch.qHistogram(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == Seq(
+      (0L, 0.0, 2L, 2L, 0.5), (1L, 5000.0, 1L, 3L, 0.75),
+      (3L, 15000.0, 1L, 4L, 1.0)),
+      s"histogram cells wrong: $got")
+  }
+}

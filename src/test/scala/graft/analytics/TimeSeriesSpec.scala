@@ -141,4 +141,51 @@ class TimeSeriesSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, 14L, 4L)),
       s"only the spike with a full baseline may be flagged: ${rows.toSeq}")
   }
+
+  test("seasonality: pure integer epoch cells (epoch day 0 = Thursday), " +
+       "lift normalizes against a uniform week") {
+    val s = spark; import s.implicits._
+    val hourNs = 3600L * 1000000000L
+    // 3 events Thu 00h, 1 event Thu 01h; 2 events Fri 02h (day 1)
+    val rows = Seq(
+      (1L, 0L * hourNs), (2L, 0L * hourNs + 7L), (3L, 0L * hourNs + 9L),
+      (4L, 1L * hourNs),
+      (5L, 26L * hourNs), (6L, 26L * hourNs + 5L))
+      .map { case (id, ns) => (id, ns, 1L, "view", 1.0, "{}") }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sea").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = TimeSeries.qSeasonality(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq(
+      (4L, 0L, 3L, 84.0), (4L, 1L, 1L, 28.0), (5L, 2L, 2L, 56.0)),
+      s"seasonality cells wrong: $got")
+  }
+
+  test("changepoint: the best mean-shift split is flagged, scores are " +
+       "exact prefix/suffix mean gaps") {
+    val s = spark; import s.implicits._
+    val dayNs = 86400L * 1000000000L
+    // daily counts: 2, 2, 2, 10, 10 -> best split after day index 2
+    // (mean 2 vs 10, gap 8); other splits have smaller gaps
+    val rows = (Seq.fill(2)(0L) ++ Seq.fill(2)(1L) ++ Seq.fill(2)(2L) ++
+      Seq.fill(10)(3L) ++ Seq.fill(10)(4L)).zipWithIndex
+      .map { case (day, i) =>
+        (i.toLong, day * dayNs + i * 1000L, 1L, "view", 1.0, "{}") }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cp").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = TimeSeries.qChangepoint(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSeq
+    // splits: after d0 |2-6|=4; d1 |2-22/3|≈5.333333; d2 |2-10|=8 (max);
+    // d3 |4-10|=6.  Last day is not a split.
+    assert(got == Seq(
+      (0L, 2L, 4.0, false), (1L, 2L, 5.333333, false),
+      (2L, 2L, 8.0, true), (3L, 10L, 6.0, false)),
+      s"changepoint scan wrong: $got")
+  }
 }

@@ -259,6 +259,44 @@ class CorpusOpsSpec extends SparkSpec {
       s"source cap must run on the custom bounded-heap operator:\n$plan")
   }
 
+  test("token budget: kept set is the exact budget-bounded prefix of " +
+       "the per-source quality order; pretrim loses nothing") {
+    val df = CorpusOps.tokenBudgetPack(spark, sfDir)
+    val rows = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // budget respected, cum is the running sum of the kept prefix
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      assert(g.map(_._5).max <= CorpusOps.tokenBudget, s"$src over budget")
+      val ordered = g.sortBy(r => (r._3, r._2))
+      assert(ordered.map(_._4).scanLeft(0L)(_ + _).tail.toSeq ==
+        ordered.map(_._5).toSeq, s"$src cum not a prefix sum")
+    }
+    // equals the pure window formulation (no TopKPerKey pretrim):
+    // proves the map-side trim admits exactly the same prefix
+    val nll = TextAnalysis.unigramNll(spark, sfDir)
+      .select(col("doc_id"), col("nll"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("nll"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val expect = graft.core.Graft.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), expr(
+        "CAST(size(regexp_extract_all(text, '\\\\S+', 0)) AS BIGINT)")
+        .as("n_ws"))
+      .filter(col("n_ws") >= 1L)
+      .join(nll, Seq("doc_id"))
+      .withColumn("cum", sum(col("n_ws")).over(w))
+      .filter(col("cum") <= CorpusOps.tokenBudget)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("nll"), r.getAs[Long]("n_ws"),
+        r.getAs[Long]("cum"))).toSet
+    assert(rows.toSet == expect)
+  }
+
   test("adaptive bloom fpp holds the per-document false-flag target") {
     // a p95-length doc's false-flag chance is ~grams x fpp: the
     // adaptive fpp must keep that product at the target across length
