@@ -150,6 +150,10 @@ object SparkEntry {
     "q_trending" -> TimeSeries.qTrending _,
     "q_markov" -> Behavior.qMarkov _,
     "q_paths" -> Behavior.qPaths _,
+    "ss_stream_topk" -> StreamSum.streamTopkPerSubj _,
+    "ss_stream_paths" -> StreamSum.streamPaths _,
+    "ss_stream_changepoint" -> StreamSum.streamChangepoint _,
+    "rfm_store" -> graft.pipeline.SignatureStore.gatedRfm _,
     "q_seasonality" -> TimeSeries.qSeasonality _,
     "q_changepoint" -> TimeSeries.qChangepoint _,
     "q_histogram" -> Tpch.qHistogram _,
@@ -357,6 +361,10 @@ object SparkEntry {
     "q_trending" -> TimeSeries.qTrendingSql,
     "q_markov" -> Behavior.qMarkovSql,
     "q_paths" -> Behavior.qPathsSql,
+    "ss_stream_topk" -> Sql.ssQTopkPerSubj(3),
+    "ss_stream_paths" -> Behavior.qPathsSql,
+    "ss_stream_changepoint" -> TimeSeries.qChangepointSql,
+    "rfm_store" -> graft.analytics.Segmentation.qRfmSql,
     "q_seasonality" -> TimeSeries.qSeasonalitySql,
     "q_changepoint" -> TimeSeries.qChangepointSql,
     "q_histogram" -> Tpch.qHistogramSql,

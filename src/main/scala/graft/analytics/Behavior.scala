@@ -260,6 +260,20 @@ object Behavior {
     * to the single final reducer, never the full path-frequency
     * relation, and nothing global is ever sorted.
     */
+  /** Rank report over any per-user (path) relation — shared by the
+    * batch face and the streaming face (whose state yields the same
+    * per-user path strings), so the ranking cannot drift between them.
+    */
+  private[graft] def pathsTopFrom(perUser: DataFrame): DataFrame = {
+    val topAgg = udaf(graft.functions.TopFreqAgg(pathTopK))
+    perUser.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .agg(topAgg(col("path"), col("n_users")).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "tc")))
+      .select((col("pos") + 1).cast("long").as("rk"),
+        col("tc._1").as("path"), col("tc._2").as("n_users"))
+      .orderBy(col("rk"))
+  }
+
   def qPaths(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
     val w = Window.partitionBy(col("user_id"))
@@ -274,13 +288,7 @@ object Behavior {
       .agg(expr("array_join(transform(array_sort(" +
         "collect_list(struct(rn, event_type))), x -> x.event_type), '>')")
         .as("path"))
-    val topAgg = udaf(graft.functions.TopFreqAgg(pathTopK))
-    perUser.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
-      .agg(topAgg(col("path"), col("n_users")).as("top"))
-      .select(posexplode(col("top")).as(Seq("pos", "tc")))
-      .select((col("pos") + 1).cast("long").as("rk"),
-        col("tc._1").as("path"), col("tc._2").as("n_users"))
-      .orderBy(col("rk"))
+    pathsTopFrom(perUser)
   }
 
   val qPathsSql: String =

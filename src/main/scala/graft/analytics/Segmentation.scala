@@ -31,15 +31,12 @@ object Segmentation {
     * the fact table itself is never sorted. The global max-date for
     * recency is a window over the same tiny relation.
     */
-  def qRfm(spark: SparkSession, sfDir: String): DataFrame = {
-    Graft.ensureConf(spark)
-    val per = Graft.table(spark, sfDir, "orders")
-      .select(col("o_custkey"), expr("graft_ts_us(o_orderdate)").as("ous"),
-        expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
-          .as("cents"))
-      .groupBy(col("o_custkey"))
-      .agg(max(col("ous")).as("last_us"), count(lit(1)).as("frequency"),
-        sum(col("cents")).as("monetary_cents"))
+  /** Ranking math over any per-customer (o_custkey, last_us, frequency,
+    * monetary_cents) state relation — shared by the batch face and the
+    * incremental store face (whose stored per-batch partials merge to
+    * exactly this state), so the quintile math cannot drift.
+    */
+  private[graft] def rfmFrom(per: DataFrame): DataFrame = {
     val wall = Window.partitionBy()
     per
       .withColumn("n_cust", count(lit(1)).over(wall))
@@ -63,6 +60,24 @@ object Segmentation {
       .withColumn("segment", concat(col("r_score").cast("string"),
         col("f_score").cast("string"), col("m_score").cast("string")))
       .orderBy(col("o_custkey"))
+  }
+
+  /** The additive per-customer rollup of an orders relation — the
+    * store face persists exactly this per batch (max/count/sum all
+    * merge associatively across batches).
+    */
+  private[graft] def rfmRollup(orders: DataFrame): DataFrame =
+    orders
+      .select(col("o_custkey"), expr("graft_ts_us(o_orderdate)").as("ous"),
+        expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+          .as("cents"))
+      .groupBy(col("o_custkey"))
+      .agg(max(col("ous")).as("last_us"), count(lit(1)).as("frequency"),
+        sum(col("cents")).as("monetary_cents"))
+
+  def qRfm(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    rfmFrom(rfmRollup(Graft.table(spark, sfDir, "orders")))
   }
 
   val qRfmSql: String =

@@ -492,8 +492,8 @@ object TimeSeries {
 
   // ---- q_seasonality: hour-of-day x day-of-week activity profile -----
 
-  private val hourUs: Long = 3600L * 1000000L
-  private val dayUs: Long = 24L * hourUs
+  private[graft] val hourUs: Long = 3600L * 1000000L
+  private[graft] val dayUs: Long = 24L * hourUs
 
   /** Seasonality profile: event volume per (day-of-week, hour-of-day)
     * cell plus the lift of each cell against a perfectly uniform week —
@@ -564,12 +564,11 @@ object TimeSeries {
     * forward, total) runs over the TINY daily matrix. The doubles are
     * two divisions + one subtraction per day, q6-quantized.
     */
-  def qChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
-    Graft.ensureConf(spark)
-    val daily = Graft.table(spark, sfDir, "events")
-      .filter(col("ts").isNotNull)
-      .select(expr(s"graft_ts_us(ts) DIV ${dayUs}L").as("day"))
-      .groupBy(col("day")).agg(count(lit(1)).as("n_events"))
+  /** Split scan over any per-day (day, n_events) count relation —
+    * shared by the batch face and the streaming face (whose streamed
+    * state IS the additive daily count matrix).
+    */
+  private[graft] def changepointFrom(daily: DataFrame): DataFrame = {
     val wcum = Window.partitionBy().orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wall = Window.partitionBy()
@@ -592,6 +591,14 @@ object TimeSeries {
         (col("score") === col("mx") && col("day") === col("best_day"))
           .as("is_change"))
       .orderBy(col("day"))
+  }
+
+  def qChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    changepointFrom(Graft.table(spark, sfDir, "events")
+      .filter(col("ts").isNotNull)
+      .select(expr(s"graft_ts_us(ts) DIV ${dayUs}L").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_events")))
   }
 
   val qChangepointSql: String =

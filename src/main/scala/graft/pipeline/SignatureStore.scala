@@ -631,6 +631,66 @@ object SignatureStore {
     storedDecay(spark, store)
   }
 
+  // ---- rfm store -----------------------------------------------------
+
+  /** Incremental RFM: each arriving orders batch lands its per-customer
+    * rollup (max last-order time, order count, cents sum) — all three
+    * merge ASSOCIATIVELY across batches (max/sum/sum), so the store
+    * holds one customer-sized partial per batch and never re-reads
+    * orders. The quintile ranking is a query-time VIEW over the merged
+    * state (the batch `rfmFrom`): ONE new order can shift every other
+    * customer's quintile boundary, so no score is storable state —
+    * same evolving-answer contract as the decay store, on the ranking
+    * axis instead of the time axis.
+    */
+  def catchUpRfm(spark: SparkSession, watchDir: String,
+                 storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val orders = spark.readStream.schema(schema).parquet(watchDir)
+    val q = orders.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.analytics.Segmentation.rfmRollup(batch)
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/rollups/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  def storedRfm(spark: SparkSession, storeDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val b = storedOrEmpty(spark, s"$storeDir/rollups",
+      emptyLike(spark, spark.range(0).selectExpr("id AS o_custkey",
+        "id AS last_us", "id AS frequency", "id AS monetary_cents")))
+    graft.analytics.Segmentation.rfmFrom(
+      b.groupBy(col("o_custkey"))
+        .agg(max(col("last_us")).as("last_us"),
+          sum(col("frequency")).as("frequency"),
+          sum(col("monetary_cents")).as("monetary_cents")))
+  }
+
+  /** Driver-gate face: fresh store, two order-parity appends (a
+    * customer's orders straddle the batches, so recency/frequency/
+    * monetary must all merge, not overwrite), then the query-time
+    * ranking; shares `q_rfm`'s oracle.
+    */
+  def gatedRfm(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_rfm_watch")
+    val store = tempDirForExit("graft_gate_rfm_store")
+    val ord = Graft.table(spark, sfDir, "orders")
+    land(ord.filter(pmod(col("o_orderkey"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpRfm(spark, watch, store)
+    land(ord.filter(pmod(col("o_orderkey"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpRfm(spark, watch, store)
+    storedRfm(spark, store)
+  }
+
   // ---- markov store --------------------------------------------------
 
   /** Incremental transition matrix: each arriving batch lands (a) its

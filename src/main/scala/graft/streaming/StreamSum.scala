@@ -1106,6 +1106,72 @@ object StreamSum {
       runToTable(freq, OutputMode.Complete(), "ss_stream_zipf"))
   }
 
+  /** Streaming face of the per-subject top-k count query, sharing
+    * `ss_q_topk_per_subj`'s oracle: the streamed state is the count
+    * cache itself (the same declarative aggregation as
+    * `streamCountState` — state linear in #keys, maintained
+    * incrementally), and the top-k selection is a view over the
+    * snapshot via the batch `topKPerSubjFrom` — ranking is pure
+    * presentation, so the stream carries no extra state for it.
+    */
+  def streamTopkPerSubj(spark: SparkSession, sfDir: String): DataFrame = {
+    val xf = Transform(Transform.extractFrom(streamingEvents(spark, sfDir)))
+    val counts = xf
+      .filter(col("cache").isin(Config.cachesOf(CountK): _*))
+      .groupBy(col("cache"), col("k").as("s"), col("a"), col("v").as("o"))
+      .agg(count(lit(1)).as("cnt"), max(col("t")).as("last_t"))
+    val snap = runToTable(counts, OutputMode.Complete(), "ss_stream_topk")
+    graft.core.CountQueries.topKPerSubjFrom(snap.drop("cache"), 3)
+      .orderBy(col("s"), col("rk"))
+  }
+
+  /** Streaming face of the journey-prefix report, sharing `q_paths`'
+    * oracle: per-user state is the bounded FirstKAgg buffer of the k
+    * EARLIEST (tus, event_id, event_type) rows — a journey prefix is
+    * exactly the k earliest events seen so far, so the state is O(k)
+    * per user, merges associatively, and survives out-of-order and
+    * multi-batch arrival (where the batch face's row_number needs the
+    * whole history present). Path strings + the bounded top-k report
+    * are a view over the snapshot via the batch `pathsTopFrom`.
+    */
+  def streamPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val firstK = udaf(graft.functions.FirstKAgg(
+      graft.analytics.Behavior.pathLen))
+    val state = streamingEvents(spark, sfDir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), expr("graft_ts_us(ts)").as("tus"),
+        col("event_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(firstK(col("tus"), col("event_id"), col("event_type"))
+        .as("buf"))
+    val snap = runToTable(state, OutputMode.Complete(), "ss_stream_paths")
+    graft.analytics.Behavior.pathsTopFrom(
+      snap.select(expr("array_join(transform(buf, x -> x._3), '>')")
+        .as("path")))
+  }
+
+  /** Streaming face of the mean-shift changepoint scan, sharing
+    * `q_changepoint`'s oracle: the streamed state is the ADDITIVE
+    * per-day count matrix (a windowless streaming aggregation, state
+    * bounded by #days); the whole split scan is a query-time view over
+    * the snapshot via the batch `changepointFrom` — the sharpest
+    * "evolving answer" case after the decay cache: every arriving day
+    * shifts every split's suffix mean, so no per-split score could
+    * ever be stored.
+    */
+  def streamChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val daily = streamingEvents(spark, sfDir)
+      .filter(col("ts").isNotNull)
+      .select(expr(
+        s"graft_ts_us(ts) DIV ${graft.analytics.TimeSeries.dayUs}L")
+        .as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_events"))
+    graft.analytics.TimeSeries.changepointFrom(
+      runToTable(daily, OutputMode.Complete(), "ss_stream_changepoint"))
+  }
+
   /** Streaming face of the as-of join, sharing `q_asof_join`'s oracle
     * (DuckDB's native ASOF LEFT JOIN): the static right side collapses
     * to a per-key SORTED book of (rt, o_orderkey) - the same

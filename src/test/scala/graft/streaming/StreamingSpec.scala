@@ -242,6 +242,67 @@ class StreamingSpec extends SparkSpec {
       "pre-restart increments must survive the restart")
   }
 
+  test("streaming journey-prefix state keeps the EARLIEST k under " +
+       "out-of-order multi-batch arrival") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Ev]
+    // batch 1 delivers user 1's LATER events; batch 2 delivers the
+    // true journey start - the prefix must re-point to the earlier
+    // events (a row_number over arrival order would get this wrong)
+    val batch1 = Seq(mkEv(10, 60, 1, "d", 1), mkEv(11, 70, 1, "e", 1),
+      mkEv(12, 80, 1, "f", 1), mkEv(13, 90, 1, "g", 1),
+      mkEv(14, 95, 1, "h", 1))
+    val batch2 = Seq(mkEv(1, 10, 1, "a", 1), mkEv(2, 20, 1, "b", 1))
+    val firstK = udaf(graft.functions.FirstKAgg(
+      graft.analytics.Behavior.pathLen))
+    val state = mem.toDF()
+      .select(col("user_id"), expr("graft_ts_us(ts)").as("tus"),
+        col("event_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(firstK(col("tus"), col("event_id"), col("event_type"))
+        .as("buf"))
+    val q = state.writeStream.format("memory").queryName("paths_parity")
+      .outputMode(OutputMode.Complete()).start()
+    mem.addData(batch1: _*); q.processAllAvailable()
+    mem.addData(batch2: _*); q.processAllAvailable()
+    q.stop()
+    val path = graft.analytics.Behavior.pathsTopFrom(
+      spark.table("paths_parity")
+        .select(expr("array_join(transform(buf, x -> x._3), '>')")
+          .as("path"))).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(path == Seq((1L, "a>b>d>e>f", 1L)),
+      s"prefix must be the 5 EARLIEST events across batches: $path")
+  }
+
+  test("rfm store: a customer's orders straddling batches merge " +
+       "(max/sum/sum), never overwrite") {
+    val s = spark; import s.implicits._
+    val dayNs = 86400L * 1000000000L
+    val orders = Seq(
+      (1L, 1L, 4L, 100.00), (2L, 2L, 3L, 25.00), (3L, 2L, 2L, 25.01),
+      (4L, 3L, 2L, 10.00), (5L, 3L, 1L, 10.00), (6L, 3L, 0L, 10.00))
+      .map { case (ok, ck, day, price) =>
+        (ok, ck, "O", price, day * dayNs, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rfms").toString
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = graft.pipeline.SignatureStore.gatedRfm(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(7))).toSeq
+    // odd/even orderkey split puts customer 2's and 3's orders in BOTH
+    // batches: frequency and cents must sum, recency must max
+    val expect = graft.analytics.Segmentation.qRfm(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(7))).toSeq
+    assert(got == expect, s"store answer diverged: $got vs $expect")
+    assert(got.map(t => (t._1, t._3, t._4)) ==
+      Seq((1L, 1L, 10000L), (2L, 2L, 5001L), (3L, 3L, 3000L)),
+      s"merged rollups wrong: $got")
+  }
+
   test("typed bounded-buffer agg state survives a checkpoint restart") {
     // the KMV/top-K faces keep their sketch buffers as typed-agg
     // state; a restart must recover the buffer, not just offsets -
