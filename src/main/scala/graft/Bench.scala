@@ -44,6 +44,7 @@ object Bench {
     "q_asof_join", "q_attribution", "q_range_join", "q_resample",
     "q_ewma", "q_anomaly", "q_funnel", "q_cohort", "q_pagerank",
     "q_decay_count", "q_trending", "q_markov", "ss_stream_ewma",
+    "q_paths", "q_seasonality", "q_changepoint", "q_histogram", "q_rfm",
     // training-data pipeline
     "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard", "dd_jaccard_prefix",
     "dd_containment", "dd_simhash",
@@ -65,7 +66,7 @@ object Bench {
     "pipe_corpus_clean",
     "pipe_decontaminate", "pipe_decont_bloom", "pipe_dedup_apply",
     "pipe_quality_gate", "pipe_quality_prune", "pipe_source_cap",
-    "dd_dup_spans",
+    "pipe_token_budget", "dd_dup_spans",
     "pipe_span_scrub", "pipe_sample_weighted", "pipe_layout_zorder",
     "txt_phrase_merge")
 
@@ -85,6 +86,7 @@ object Bench {
     "q_sessionize", "q_range_join", "q_resample", "q_attribution",
     "q_ewma", "q_anomaly", "q_funnel", "q_cohort", "q_pagerank",
     "q_trending", "q_markov", "ss_stream_ewma",
+    "q_paths", "q_seasonality", "q_changepoint",
     "q_cms_topk", "q_cms_topk_prod", "q_cms_sliding", "q_cms_sliding_prod",
     "q_hll_sliding", "q_hll_sliding_prod", "q_qtile_sliding",
     "q_kmv_jaccard_prod", "q_kmv_retention_prod",
@@ -109,7 +111,10 @@ object Bench {
     "txt_entropy",
     // the custom bounded-heap group limit under a 10x corpus: the
     // map-side trim is what keeps the slope linear
-    "pipe_source_cap")
+    "pipe_source_cap",
+    // the token-budget variant: same map-side trim argument, budget
+    // in tokens - its cumsum window must stay on the trimmed rows
+    "pipe_token_budget")
 
   private def releaseMemos(spark: SparkSession): Unit = {
     graft.core.Transform.releaseAll(spark)

@@ -69,6 +69,15 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
 
+  // the heap trims rows WITHIN partitions - the child's (key-hash)
+  // partitioning survives verbatim. Without this override the default
+  // UnknownPartitioning makes every downstream same-key operator
+  // (per-key agg after a group limit, a cumsum window after a budget
+  // trim) re-exchange rows that are already exactly where they belong.
+  override def outputPartitioning:
+      org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] =
     if (semantics == RankSemantics.DenseRank) doExecuteDense()
     else doExecuteHeap()
