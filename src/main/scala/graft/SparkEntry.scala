@@ -254,6 +254,8 @@ object SparkEntry {
     "mm_bmp_decode" -> Multimodal.bmpDecodeE2e _,
     "mm_wav_decode" -> Multimodal.wavDecodeE2e _,
     "mm_png_decode" -> Multimodal.pngDecodeE2e _,
+    "mm_audio_features" -> Multimodal.audioFeatures _,
+    "tfidf_store" -> graft.pipeline.SignatureStore.gatedTfidf _,
     // ---- corpus-level training-data ops ----
     "txt_vocab" -> graft.pipeline.CorpusOps.vocab _,
     // fixed shard count here so Spark and the generated oracle SQL
@@ -473,6 +475,8 @@ object SparkEntry {
     "mm_bmp_decode" -> Multimodal.bmpDecodeE2eSql,
     "mm_wav_decode" -> Multimodal.wavDecodeE2eSql,
     "mm_png_decode" -> Multimodal.pngDecodeE2eSql,
+    "mm_audio_features" -> Multimodal.audioFeaturesSql,
+    "tfidf_store" -> TextAnalysis.tfidfSql,
     "txt_vocab" -> graft.pipeline.CorpusOps.vocabSql,
     "pipe_shuffle" -> graft.pipeline.CorpusOps.shuffleSql(),
     "pipe_mix" -> graft.pipeline.CorpusOps.mixSql,

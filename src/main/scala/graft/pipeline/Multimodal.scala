@@ -350,6 +350,95 @@ object Multimodal {
       |  CAST(50 * (base + 99) AS BIGINT) AS peak
       |FROM t ORDER BY doc_id""".stripMargin
 
+  // ---- mm_audio_features: frame features over the decoded PCM --------
+
+  /** Analysis frame length (samples). */
+  val audioFrameLen: Int = 100
+
+  final case class AudioFrame(doc_id: Long, frame: Long, n_samples: Long,
+                              sum_samples: Long, energy: Long, peak: Long)
+
+  /** Frame slicer + exact integer features over an already-parsed
+    * 16-bit PCM buffer: per fixed-length frame, sample sum, energy
+    * (sum of squares — the integer RMS numerator) and peak. The
+    * feature-extraction stage every audio pipeline runs after decode
+    * (VAD thresholds, loudness normalization, silence trimming).
+    */
+  private[pipeline] def audioFrames(docId: Long,
+                                    bytes: Array[Byte]): Seq[AudioFrame] = {
+    val d = wavDecode(docId, bytes)
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // data chunk offset re-derived the same way the parser found it:
+    // trust the decode's n_samples, locate data by scanning chunks
+    var off = 12
+    var dataOff = -1
+    def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
+    while (dataOff < 0 && off + 8 <= bytes.length) {
+      val len = b.getInt(off + 4)
+      if (tag(off) == "data") dataOff = off + 8
+      else off += 8 + len + (len & 1)
+    }
+    val n = d.n_samples.toInt
+    (0 until (n + audioFrameLen - 1) / audioFrameLen).map { j =>
+      val lo = j * audioFrameLen
+      val hi = math.min(lo + audioFrameLen, n)
+      var (sum, energy, peak) = (0L, 0L, Long.MinValue)
+      var i = lo
+      while (i < hi) {
+        val s = b.getShort(dataOff + 2 * i).toLong
+        sum += s
+        energy += s * s
+        if (s > peak) peak = s
+        i += 1
+      }
+      AudioFrame(docId, j.toLong, (hi - lo).toLong, sum, energy, peak)
+    }
+  }
+
+  /** Frame-feature extraction over REAL WAV bytes: encode → parse →
+    * slice → exact integer features, one narrow mapPartitions (the
+    * decode-adjacent stage stays fused with the decode at 100 TB —
+    * frames never materialize as rows before their features do).
+    * Oracle: the generator waveform is 100-periodic and frames are
+    * 100-aligned, so every frame's sum/energy/peak has a closed form.
+    */
+  def audioFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val s2 = Graft.ensureConf(spark)
+    import s2.implicits._
+    Graft.tableParallel(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(ids =>
+        ids.flatMap(id => audioFrames(id, wavEncode(id))))
+      .toDF()
+      .orderBy(col("doc_id"), col("frame"))
+  }
+
+  val audioFeaturesSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, 500 + doc_id % 300 AS n, doc_id % 100 AS base
+       |  FROM documents
+       |), f AS (
+       |  SELECT doc_id, n, base,
+       |    unnest(range(0, (n + ${audioFrameLen - 1}) // $audioFrameLen))
+       |      AS frame
+       |  FROM t
+       |), x AS (
+       |  SELECT doc_id, frame, base,
+       |    CASE WHEN (frame + 1) * $audioFrameLen <= n
+       |         THEN $audioFrameLen ELSE n - frame * $audioFrameLen END
+       |      AS m
+       |  FROM f
+       |)
+       |SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+       |  CAST(m AS BIGINT) AS n_samples,
+       |  CAST(50 * (m * base + m * (m - 1) // 2) AS BIGINT)
+       |    AS sum_samples,
+       |  CAST(2500 * (m * base * base + 2 * base * (m * (m - 1) // 2)
+       |       + (m - 1) * m * (2 * m - 1) // 6) AS BIGINT) AS energy,
+       |  CAST(50 * (base + m - 1) AS BIGINT) AS peak
+       |FROM x ORDER BY doc_id, frame""".stripMargin
+
   // ---- mm_png_decode: a REAL compressed-image codec (no stub) --------
 
   /** PNG Paeth predictor (RFC 2083 §6.6) - shared by the encoder's

@@ -3,7 +3,7 @@ package graft.pipeline
 import graft.core.Graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{col, collect_set, count, expr, lag, lit, max, min, pmod, struct, sum, when}
+import org.apache.spark.sql.functions.{col, collect_set, count, explode, expr, lag, lit, max, min, pmod, struct, sum, when}
 
 /** Materialized MinHash signature store: the shingle/hash relation and
   * the exploded LSH band stream are computed ONCE per (session, corpus)
@@ -1251,6 +1251,67 @@ object SignatureStore {
       "arrival2.parquet")
     catchUpLm2(spark, watch, store)
     storedBigramNll(spark, store)
+  }
+
+  /** Incremental TF-IDF keyword store: each arriving documents batch
+    * lands its per-(doc, term) counts — a document tokenizes exactly
+    * once, ever. The df/idf side and the per-doc ranking are a
+    * query-time VIEW over the merged tf relation (the batch
+    * `tfidfFrom`): df is corpus-global, so EVERY new batch shifts
+    * every stored document's idf — scores are never storable state,
+    * only the tf facts are (the evolving-answer contract on the
+    * vocabulary axis, next to the decay store's time axis and the RFM
+    * store's ranking axis).
+    */
+  def catchUpTfidf(spark: SparkSession, watchDir: String,
+                   storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val docs = spark.readStream.schema(schema).parquet(watchDir)
+    val q = docs.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch
+          .select(col("doc_id"), explode(expr(
+            "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("c"))
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/tf/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  def storedTfidf(spark: SparkSession, storeDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val tf = storedOrEmpty(spark, s"$storeDir/tf",
+      emptyLike(spark, spark.range(0).selectExpr("id AS doc_id",
+        "'' AS term", "id AS c")))
+    // re-sum defensively: a doc split across landings would otherwise
+    // double-count its term rows in df (same guard as the other stores)
+    graft.pipeline.TextAnalysis.tfidfFrom(
+      tf.groupBy(col("doc_id"), col("term")).agg(sum(col("c")).as("c")))
+  }
+
+  /** Driver-gate face: fresh store, two doc-parity appends (the second
+    * batch's vocabulary shifts the first batch's idf — the scores must
+    * re-derive under the union), then the query-time ranking; shares
+    * `txt_tfidf`'s oracle.
+    */
+  def gatedTfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_tfidf_watch")
+    val store = tempDirForExit("graft_gate_tfidf_store")
+    val docs = Graft.table(spark, sfDir, "documents")
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpTfidf(spark, watch, store)
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpTfidf(spark, watch, store)
+    storedTfidf(spark, store)
   }
 
   /** Z-order layout incremental store: each arriving batch is

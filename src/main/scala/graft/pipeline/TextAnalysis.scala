@@ -632,6 +632,15 @@ object TextAnalysis {
       .select(col("doc_id"), explode(
         expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+    tfidfFrom(tf)
+  }
+
+  /** Scoring over any per-(doc, term) count relation — shared by the
+    * batch face and the incremental store face (whose stored per-batch
+    * tf partials union to exactly this relation), so the idf/ranking
+    * math cannot drift between them.
+    */
+  private[graft] def tfidfFrom(tf: DataFrame): DataFrame = {
     val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val ndocs = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
     val idf = dfq.crossJoin(broadcast(ndocs))

@@ -410,6 +410,35 @@ class PlanShapeSpec extends SparkSpec {
       s"signed counts must combine map-side:\n$plan")
   }
 
+  test("paths: TopKPerKey's output partitioning feeds the per-user " +
+       "aggregation - no re-exchange after the group limit") {
+    val plan = executed(Behavior.qPaths(spark, sfDir))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("TopKPerKey"),
+      s"prefix trim must run on the bounded-heap operator:\n$plan")
+    // exactly three exchanges: user-keyed (into the trim + agg),
+    // path-keyed (frequency), and the single-partition TopFreq fold.
+    // A fourth would mean the group limit forgot its partitioning
+    // and the per-user aggregation re-shuffled trimmed rows.
+    assert(plan.linesIterator.count(_.contains("Exchange ")) == 3,
+      s"paths must not re-exchange after the group limit:\n$plan")
+  }
+
+  test("token budget: the cumsum window runs directly on the trimmed " +
+       "partitioning - no exchange between TopKPerKey and Window") {
+    val plan = executed(
+      graft.pipeline.CorpusOps.tokenBudgetPack(spark, sfDir))
+      .split("== Initial Plan ==").head
+    val lines = plan.linesIterator.toSeq
+    val wi = lines.indexWhere(_.contains("Window"))
+    val ti = lines.indexWhere(_.contains("TopKPerKey"))
+    assert(wi >= 0 && ti > wi,
+      s"window must sit above the group limit:\n$plan")
+    assert(!lines.slice(wi, ti).exists(_.contains("Exchange ")),
+      s"trimmed rows are already source-partitioned; the window must " +
+        s"not re-shuffle them:\n$plan")
+  }
+
   test("ivf-pq: the probe scan reads codes; vectors re-fetched only " +
        "for the shortlist refine") {
     val plan = executed(

@@ -173,6 +173,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audioFrames agrees with a javax.sound-decoded per-sample " +
+       "recompute, including the partial tail frame") {
+    for (id <- Seq(5L, 299L, 4242L)) {
+      val bytes = Multimodal.wavEncode(id)
+      val frames = Multimodal.audioFrames(id, bytes)
+      // independent referee: decode via the JDK, slice, recompute
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val pcm = in.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(pcm)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val n = pcm.length / 2
+      val f = Multimodal.audioFrameLen
+      val expect = (0 until (n + f - 1) / f).map { j =>
+        val samples = (j * f until math.min(j * f + f, n))
+          .map(i => bb.getShort(2 * i).toLong)
+        (j.toLong, samples.length.toLong, samples.sum,
+          samples.map(s => s * s).sum, samples.max)
+      }
+      assert(frames.map(r => (r.frame, r.n_samples, r.sum_samples,
+        r.energy, r.peak)) == expect, s"doc $id frame features diverge")
+      // the generator guarantees a partial tail for n % 100 != 0 docs
+      if (n % f != 0) assert(frames.last.n_samples == n % f)
+    }
+  }
+
   test("bmp end-to-end matches the closed-form derivation") {
     val got = Multimodal.bmpDecodeE2e(spark, sfDir)
       .filter(col("doc_id") < 20)

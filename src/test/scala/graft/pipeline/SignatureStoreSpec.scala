@@ -186,6 +186,53 @@ class SignatureStoreSpec extends SparkSpec {
     assert(stored == oneShot)
   }
 
+  test("tfidf store: a later batch's vocabulary re-scores earlier " +
+       "documents (idf is never storable)") {
+    val watch = Files.createTempDirectory("graft_tfidf_watch").toString
+    val store = Files.createTempDirectory("graft_tfidf_store").toString
+    val s = spark; import s.implicits._
+    def docDf(rows: Seq[(Long, String)]) = rows
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$watch/_stage"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(watch, name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    // batch 1: "rare" appears only in doc 1 of 2 -> its top keyword
+    land(docDf(Seq((1L, "rare alpha beta"), (2L, "alpha beta gamma"))),
+      "a1.parquet")
+    SignatureStore.catchUpTfidf(spark, watch, store)
+    val early = SignatureStore.storedTfidf(spark, store)
+      .filter(col("doc_id") === 1L && col("term") === "rare").collect()
+    assert(early.head.getLong(2) == 1L,
+      s"doc 1's top term should be 'rare': ${early.toSeq}")
+    val earlyScore = early.head.getDouble(3)
+    // batch 2: two more docs BOTH containing "rare" -> df(rare) 1->3
+    // of 4 docs while alpha/beta stay at 2: doc 1's stored tf is
+    // untouched but 'rare' loses both score and rank
+    land(docDf(Seq((3L, "rare delta"), (4L, "rare epsilon"))),
+      "a2.parquet")
+    SignatureStore.catchUpTfidf(spark, watch, store)
+    val later = SignatureStore.storedTfidf(spark, store)
+      .filter(col("doc_id") === 1L && col("term") === "rare").collect()
+    assert(later.head.getLong(2) > 1L,
+      s"'rare' must lose the top rank as it spreads: ${later.toSeq}")
+    assert(later.head.getDouble(3) < earlyScore,
+      s"rare's idf must fall as it spreads: $earlyScore -> " +
+        s"${later.head.getDouble(3)}")
+    // on the real corpus: parity-split store == one-shot batch face
+    val oneShot = graft.pipeline.TextAnalysis.tfidf(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val stored = SignatureStore.gatedTfidf(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(stored == oneShot)
+  }
+
   test("decay store: a later batch's newer day halves earlier weights") {
     val watch = Files.createTempDirectory("graft_decay_watch").toString
     val store = Files.createTempDirectory("graft_decay_store").toString
