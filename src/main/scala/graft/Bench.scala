@@ -53,7 +53,7 @@ object Bench {
     "ann_ivf_quant", "ann_ivf_adaptive", "ann_ivf_pq", "ann_knn_join",
     "q_hll_distinct", "q_hll_sliding", "q_cms_topk",
     "q_cms_sliding", "q_cms_join_card", "q_cms_f2", "q_qtile_sketch",
-    "q_qtile_sliding",
+    "q_quantile_exact", "q_qtile_sliding",
     "q_kmv_jaccard", "q_kmv_retention",
     // production (sketch-only) faces next to their adjunct-bearing
     // twins: the delta IS the cost of the exact adjunct

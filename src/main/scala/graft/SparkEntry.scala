@@ -176,6 +176,8 @@ object SparkEntry {
     "q_qtile_sliding" -> Sketches.qQtileSliding _,
     "q_cms_topk" -> Sketches.qCmsTopk _,
     "q_qtile_sketch" -> Sketches.qQtileSketch _,
+    "q_quantile_exact" -> Sketches.qQuantileExact _,
+    "ss_stream_rfm" -> StreamSum.streamRfm _,
     // production (sketch-only) faces: identical sketch state +
     // estimator, no exact adjunct in the plan - the deployment path
     // the bench measures
@@ -412,6 +414,8 @@ object SparkEntry {
     // aggregates, so one oracle checks both faces
     "ss_stream_cms" -> Sketches.qCmsTopkSql,
     "q_qtile_sketch" -> Sketches.qQtileSketchSql,
+    "q_quantile_exact" -> Sketches.qQuantileExactSql,
+    "ss_stream_rfm" -> graft.analytics.Segmentation.qRfmSql,
     "ss_stream_qtile" -> Sketches.qQtileSketchSql,
     "ss_stream_span_scrub" -> Dedup.spanScrubSql,
     "ann_ivf_quant" -> Similarity.annIvfQuantSql,

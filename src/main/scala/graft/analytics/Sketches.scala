@@ -361,7 +361,7 @@ object Sketches {
     * error = one bin width); state is groups x occupied-bins rows.
     */
   val qtileBinW = 1024.0
-  private val qtileQs = Seq(0.25, 0.5, 0.75, 0.95)
+  private[graft] val qtileQs = Seq(0.25, 0.5, 0.75, 0.95)
 
   /** The narrow per-row pass: value -> home bin. Batch or streaming. */
   private[graft] def qtileBins(li: DataFrame): DataFrame =
@@ -412,6 +412,56 @@ object Sketches {
     qtileEstimate(qtileBins(li)
       .groupBy(col("l_returnflag"), col("bin"))
       .agg(count(lit(1)).as("c")))
+  }
+
+  /** EXACT per-group quantiles by rank selection (quantile_disc): the
+    * ground truth the histogram sketch above approximates, at the
+    * honest exact price — one per-group exchange + SORT of every
+    * value. Benchmarked next to its sketch twin, the delta IS the
+    * cost of exactness (the same pairing discipline as the
+    * sketch/prod faces). Selection is the element at rank ceil(q·n):
+    * a VALUE pick, so price ties need no tie-break — any rank
+    * assignment among equal values selects the same number.
+    *
+    * 100 TB shape: one exchange keyed on the group carries the sort;
+    * both windows (rank + group size) share it; the 4-row quantile
+    * spec broadcasts. No second scan, no global sort.
+    */
+  def qQuantileExact(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"))
+    val qs = qtileQs.map(q => s"CAST($q AS DOUBLE)")
+      .mkString("array(", ", ", ")")
+    val ranked = Graft.table(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col("l_returnflag"))))
+    ranked
+      .join(broadcast(spark.range(1)
+        .select(explode(expr(qs)).as("q"))),
+        col("rn") === ceil(col("q") * col("n")).cast("long"))
+      .select(col("l_returnflag"), col("q"), col("n"),
+        col("l_extendedprice").as("qtile"))
+      .orderBy(col("l_returnflag"), col("q"))
+  }
+
+  val qQuantileExactSql: String = {
+    val qList = qtileQs.map(q => s"CAST($q AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    s"""WITH r AS (
+       |  SELECT l_returnflag, l_extendedprice,
+       |    row_number() OVER (PARTITION BY l_returnflag
+       |      ORDER BY l_extendedprice) AS rn,
+       |    count(*) OVER (PARTITION BY l_returnflag) AS n
+       |  FROM lineitem
+       |), qs AS (SELECT unnest($qList) AS q)
+       |SELECT l_returnflag, q, CAST(n AS BIGINT) AS n,
+       |  l_extendedprice AS qtile
+       |FROM r, qs
+       |WHERE rn = CAST(ceil(q * n) AS BIGINT)
+       |ORDER BY l_returnflag, q""".stripMargin
   }
 
   val qQtileSketchSql: String = {

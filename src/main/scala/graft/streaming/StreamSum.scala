@@ -1151,6 +1151,25 @@ object StreamSum {
         .as("path")))
   }
 
+  /** Streaming face of the RFM segmentation, sharing `q_rfm`'s oracle:
+    * the streamed state is the per-customer rollup (max last-order
+    * time / order count / cents sum — the same declarative aggregation
+    * as the batch `rfmRollup`, state one row per customer); the
+    * quintile ranking is a snapshot view via the batch `rfmFrom`,
+    * because one arriving order can shift every other customer's
+    * quintile boundary — scores are never streaming state.
+    */
+  def streamRfm(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val schema = spark.read.parquet(s"$sfDir/orders.parquet").schema
+    val orders = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "orders.parquet")
+      .parquet(sfDir)
+    graft.analytics.Segmentation.rfmFrom(
+      runToTable(graft.analytics.Segmentation.rfmRollup(orders),
+        OutputMode.Complete(), "ss_stream_rfm"))
+  }
+
   /** Streaming face of the mean-shift changepoint scan, sharing
     * `q_changepoint`'s oracle: the streamed state is the ADDITIVE
     * per-day count matrix (a windowless streaming aggregation, state

@@ -255,6 +255,35 @@ class SketchesSpec extends SparkSpec {
     assert(exact.count() == 12) // 3 groups x 4 quantiles at this SF
   }
 
+  test("exact quantiles: rank-selection picks the planted values; the " +
+       "sketch twin stays within its bin bound of them") {
+    val s = spark; import s.implicits._
+    // flag A: 1..10 (q25→3, q50→5, q75→8, q95→10); B: 100,200 (ceil
+    // picks 100/100/200/200)
+    val li = ((1 to 10).map(v => ("A", v * 1.0)) ++
+      Seq(("B", 100.0), ("B", 200.0)))
+      .toDF("l_returnflag", "l_extendedprice")
+    val dir = java.nio.file.Files.createTempDirectory("graft_qex").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Sketches.qQuantileExact(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq(
+      ("A", 0.25, 10L, 3.0), ("A", 0.5, 10L, 5.0),
+      ("A", 0.75, 10L, 8.0), ("A", 0.95, 10L, 10.0),
+      ("B", 0.25, 2L, 100.0), ("B", 0.5, 2L, 100.0),
+      ("B", 0.75, 2L, 200.0), ("B", 0.95, 2L, 200.0)),
+      s"exact quantiles wrong: $got")
+    // the sketch face on the same data respects its error contract
+    // against these exact values
+    val est = Sketches.qQtileSketch(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getDouble(1)), r.getDouble(3))).toMap
+    got.foreach { case (f, q, _, v) =>
+      assert(math.abs(est((f, q)) - v) <= Sketches.qtileBinW,
+        s"sketch est ${est((f, q))} too far from exact $v at ($f, $q)")
+    }
+  }
+
   test("dup spans / scrub: null and empty text flow through, no crash") {
     val s = spark; import s.implicits._
     val docs = Seq((1L, null.asInstanceOf[String]), (2L, ""),

@@ -288,7 +288,14 @@ class StreamingSpec extends SparkSpec {
       .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")
     val dir = java.nio.file.Files.createTempDirectory("graft_rfms").toString
-    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // single FILE named orders.parquet (the testdata layout - the
+    // streaming face's pathGlobFilter matches leaf file names)
+    val stage = s"$dir/_stage"
+    orders.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(dir, "orders.parquet"))
     val got = graft.pipeline.SignatureStore.gatedRfm(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getString(7))).toSeq
@@ -301,6 +308,12 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(t => (t._1, t._3, t._4)) ==
       Seq((1L, 1L, 10000L), (2L, 2L, 5001L), (3L, 3L, 3000L)),
       s"merged rollups wrong: $got")
+    // the streaming face shares the same rollup + view split
+    val streamed = graft.streaming.StreamSum.streamRfm(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(7))).toSeq
+    assert(streamed == expect, s"stream face diverged: $streamed")
   }
 
   test("typed bounded-buffer agg state survives a checkpoint restart") {
