@@ -45,6 +45,7 @@ object Bench {
     "q_ewma", "q_anomaly", "q_funnel", "q_cohort", "q_pagerank",
     "q_decay_count", "q_trending", "q_markov", "ss_stream_ewma",
     "q_paths", "q_seasonality", "q_changepoint", "q_histogram", "q_rfm",
+    "q_skyline", "q_grouping_sets",
     // training-data pipeline
     "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard", "dd_jaccard_prefix",
     "dd_containment", "dd_simhash",

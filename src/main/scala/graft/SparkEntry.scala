@@ -158,6 +158,8 @@ object SparkEntry {
     "q_changepoint" -> TimeSeries.qChangepoint _,
     "q_histogram" -> Tpch.qHistogram _,
     "q_rfm" -> graft.analytics.Segmentation.qRfm _,
+    "q_skyline" -> graft.analytics.Segmentation.qSkyline _,
+    "q_grouping_sets" -> Tpch.qGroupingSets _,
     "pipe_token_budget" -> graft.pipeline.CorpusOps.tokenBudgetPack _,
     "ss_stream_markov" -> graft.streaming.FeatureStream.streamMarkov _,
     "markov_store" -> graft.pipeline.SignatureStore.gatedMarkov _,
@@ -373,6 +375,8 @@ object SparkEntry {
     "q_changepoint" -> TimeSeries.qChangepointSql,
     "q_histogram" -> Tpch.qHistogramSql,
     "q_rfm" -> graft.analytics.Segmentation.qRfmSql,
+    "q_skyline" -> graft.analytics.Segmentation.qSkylineSql,
+    "q_grouping_sets" -> Tpch.qGroupingSetsSql,
     "pipe_token_budget" -> graft.pipeline.CorpusOps.tokenBudgetSql,
     "ss_stream_markov" -> Behavior.qMarkovSql,
     "markov_store" -> Behavior.qMarkovSql,

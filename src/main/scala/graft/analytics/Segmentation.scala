@@ -80,6 +80,60 @@ object Segmentation {
     rfmFrom(rfmRollup(Graft.table(spark, sfDir, "orders")))
   }
 
+  /** 2-D skyline (Pareto frontier) over the per-customer state: the
+    * customers no one beats on BOTH frequency and monetary — the
+    * multi-objective "best under two criteria at once" pick (same
+    * question a curation pipeline asks of sources: max quality AND
+    * max coverage). Dominance: q beats p iff q ≥ p on both axes and
+    * > on at least one; equal (f, m) points beat neither, so exact
+    * duplicates BOTH survive.
+    *
+    * Formulation: after the fact collapses to per-customer integers,
+    * p survives iff (a) no strictly-higher-frequency point reaches
+    * its monetary (max over the RANGE frame f' > f, exact under
+    * frequency ties because the frame is value-based, not row-based)
+    * and (b) no same-frequency point strictly exceeds it (per-f max).
+    * One sort of the DIMENSION-sized state relation; no self-join,
+    * no quadratic dominance test — the oracle runs exactly that
+    * NOT-EXISTS self-join as the independent formulation.
+    */
+  def qSkyline(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val per = rfmRollup(Graft.table(spark, sfDir, "orders"))
+      .select(col("o_custkey"), col("frequency"), col("monetary_cents"))
+    val fGt = Window.orderBy(col("frequency").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val fEq = Window.partitionBy(col("frequency"))
+    per
+      .withColumn("m_fgt", max(col("monetary_cents")).over(fGt))
+      .withColumn("m_feq", max(col("monetary_cents")).over(fEq))
+      .filter((col("m_fgt").isNull ||
+          col("m_fgt") < col("monetary_cents")) &&
+        col("monetary_cents") === col("m_feq"))
+      .select(col("o_custkey"), col("frequency"), col("monetary_cents"))
+      .orderBy(col("frequency").desc, col("monetary_cents").desc,
+        col("o_custkey"))
+  }
+
+  val qSkylineSql: String =
+    s"""WITH per AS (
+       |  SELECT o_custkey, count(*) AS frequency,
+       |    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+       |      AS BIGINT) AS monetary_cents
+       |  FROM orders GROUP BY 1
+       |)
+       |SELECT p.o_custkey, CAST(p.frequency AS BIGINT) AS frequency,
+       |  p.monetary_cents
+       |FROM per p
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM per q
+       |  WHERE q.frequency >= p.frequency
+       |    AND q.monetary_cents >= p.monetary_cents
+       |    AND (q.frequency > p.frequency
+       |         OR q.monetary_cents > p.monetary_cents)
+       |)
+       |ORDER BY frequency DESC, monetary_cents DESC, o_custkey""".stripMargin
+
   val qRfmSql: String =
     s"""WITH per AS (
        |  SELECT o_custkey, max(epoch_us(o_orderdate)) AS last_us,

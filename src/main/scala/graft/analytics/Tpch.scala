@@ -319,6 +319,35 @@ object Tpch {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** GROUPING SETS with a NON-hierarchical set list — the member of
+    * the multi-granularity family rollup/cube can't express (rollup =
+    * prefix chain, cube = powerset; this skips (l_returnflag) on
+    * purpose). Same single-scan expansion: the optimizer plans one
+    * Expand over the scan, one aggregation — never one scan per set.
+    */
+  def qGroupingSets(spark: SparkSession, sfDir: String): DataFrame =
+    Graft.table(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        dec("l_quantity", 12, 2).as("qty"))
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("qty")).as("dq"), count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("dq").cast(DoubleType).as("sum_qty"), col("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val qGroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |  (l_linestatus), ())
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   val qRollupSql: String =
     """SELECT l_returnflag, l_linestatus,
       |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

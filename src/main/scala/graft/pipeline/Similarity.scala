@@ -855,14 +855,20 @@ object Similarity {
     */
   private def pqDistArraySql(cbm: Seq[Seq[Long]], m: Int,
                              vmu: String): String = {
-    val dists = cbm.map { cw =>
-      val cnorm = cw.map(x => x * x).sum
-      val dot = cw.zipWithIndex.map { case (c, d) =>
-        s"element_at($vmu, ${m * pqSubDim + d + 1}) * ${c}L"
-      }.mkString(" + ")
-      s"(${cnorm}L - 2 * ($dot))"
-    }
-    s"array(${dists.mkString(", ")})"
+    // codebook + its norms as ARRAY LITERALS walked by higher-order
+    // functions - NOT 16 unrolled 32-term dot products. The unrolled
+    // form put ~4096 multiply terms into every training/assignment
+    // stage and whole-stage codegen compile time dominated the query
+    // (18s at sf0.1, 30x its family); the HOF form is a ~1 KB plan
+    // whose left-fold integer sum is bit-identical to the unrolled
+    // left-associated sum.
+    val cwArr = cbm.map(_.mkString("array(", "L, ", "L)"))
+      .mkString("array(", ", ", ")")
+    val cnArr = cbm.map(cw => cw.map(x => x * x).sum)
+      .mkString("array(", "L, ", "L)")
+    s"zip_with($cnArr, $cwArr, (cn, cw) -> cn - 2 * aggregate(" +
+      s"zip_with(cw, slice($vmu, ${m * pqSubDim + 1}, $pqSubDim), " +
+      s"(c, x) -> c * x), 0L, (a, y) -> a + y))"
   }
 
   /** Attach `codes` (array of pqSub ints) to any relation carrying a
@@ -959,11 +965,12 @@ object Similarity {
     // decode each subspace's codeword once (per-m 16×8 literal, a
     // ~1 KB plan constant each), then the ADC sum references only the
     // decoded arrays - keeps every generated expression small
-    val adcExpr = (0 until pqSub).flatMap { m =>
-      (0 until pqSubDim).map { d =>
-        s"element_at(_cw$m, ${d + 1}) * " +
-          s"element_at(q_mu, ${m * pqSubDim + d + 1})"
-      }
+    // per-subspace dot as a HOF fold (same integer left-fold order as
+    // the unrolled sum) - keeps the probe stage's codegen tiny
+    val adcExpr = (0 until pqSub).map { m =>
+      s"aggregate(zip_with(_cw$m, " +
+        s"slice(q_mu, ${m * pqSubDim + 1}, $pqSubDim), " +
+        s"(c, x) -> c * x), 0L, (a, y) -> a + y)"
     }.mkString(" + ")
     val wAdc = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").desc, col("vec_id"))

@@ -46,6 +46,34 @@ class SegmentationSpec extends SparkSpec {
       s"rfm scores wrong: $got")
   }
 
+  test("skyline: strict dominance removes, exact duplicates survive, " +
+       "frequency ties resolved by the per-f max") {
+    val s = spark; import s.implicits._
+    // per-customer (frequency, monetary): orders fan out to match
+    //  c1 (5, 10.00)  skyline (highest f)
+    //  c2 (3, 20.00)  skyline (beats everything with f<=3 on m)
+    //  c3 (3, 20.00)  skyline (exact duplicate of c2 - both stay)
+    //  c4 (3,  5.00)  dominated by c1 (f 5>3, m 10>=5)
+    //  c5 (1, 15.00)  dominated by c2 (f 3>1, m 20>=15)
+    val spec = Seq(
+      (1L, 5, 1000L), (2L, 3, 2000L), (3L, 3, 2000L),
+      (4L, 3, 500L), (5L, 1, 1500L))
+    val orders = spec.flatMap { case (ck, n, totCents) =>
+      // n orders summing to totCents: n-1 zero-ish orders + remainder
+      (1 to n).map { i =>
+        val cents = if (i == n) totCents - (n - 1) else 1L
+        (ck * 100 + i, ck, "O", cents / 100.0, 1000000000L, "1-URGENT")
+      }
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sky").toString
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Segmentation.qSkyline(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 5L, 1000L), (2L, 3L, 2000L), (3L, 3L, 2000L)),
+      s"skyline wrong: $got")
+  }
+
   test("histogram: fixed-width buckets, exact cumulative distribution") {
     val s = spark; import s.implicits._
     // width 5000: prices land in buckets 0 (x2), 1 (x1), 3 (x1)
