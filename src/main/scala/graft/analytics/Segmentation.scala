@@ -2,7 +2,6 @@ package graft.analytics
 
 import graft.core.Graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Entity segmentation over the orders fact: the classic RFM
@@ -25,11 +24,12 @@ object Segmentation {
     * depend on partition-order float association).
     *
     * 100 TB shape: the orders fact collapses to per-customer state in
-    * ONE customer-keyed map-combinable aggregation — the three ranking
-    * windows then run over the DIMENSION-sized state relation (one row
-    * per customer), which is the relation you'd rank on any engine;
-    * the fact table itself is never sorted. The global max-date for
-    * recency is a window over the same tiny relation.
+    * ONE customer-keyed map-combinable aggregation — the three global
+    * rankings then run over the DIMENSION-sized state relation (one
+    * row per customer) as range-partitioned partition-offset ranks
+    * (GlobalRank), never a single-task empty-partition window; the
+    * fact table itself is never sorted. The global max-date for
+    * recency is one bounded 1-row aggregate.
     */
   /** Ranking math over any per-customer (o_custkey, last_us, frequency,
     * monetary_cents) state relation — shared by the batch face and the
@@ -37,26 +37,41 @@ object Segmentation {
     * exactly this state), so the quintile math cannot drift.
     */
   private[graft] def rfmFrom(per: DataFrame): DataFrame = {
-    val wall = Window.partitionBy()
-    per
-      .withColumn("n_cust", count(lit(1)).over(wall))
-      .withColumn("max_us", max(col("last_us")).over(wall))
-      .withColumn("rn_r", row_number().over(
-        Window.partitionBy().orderBy(col("last_us"), col("o_custkey"))))
-      .withColumn("rn_f", row_number().over(
-        Window.partitionBy().orderBy(col("frequency"), col("o_custkey"))))
-      .withColumn("rn_m", row_number().over(
-        Window.partitionBy().orderBy(col("monetary_cents"),
-          col("o_custkey"))))
+    // Three GLOBAL total-order rankings — but never through a
+    // single-task `Window.partitionBy()` window: at 100 TB the
+    // per-customer state is ~10⁹ rows, and an empty-partition window
+    // funnels all of them through ONE task, three times. Instead each
+    // ranking is a range-partitioned sort + partition-offset rank
+    // (GlobalRank), chained so each pass range-shuffles the
+    // dimension-sized relation once and no join is ever needed to glue
+    // the three ranks back together. n_cust falls out of the first
+    // rank's size pass and max_us is one bounded 1-row aggregate, so
+    // the two former "wall" windows become driver-side literals.
+    val pinned = per
+      .select(col("o_custkey"), col("last_us"), col("frequency"),
+        col("monetary_cents"))
+      .persist()
+    val (r1, nCust) = graft.core.GlobalRank.withRank(pinned,
+      Seq(col("last_us").asc, col("o_custkey").asc), "rn_r")
+    val maxUs =
+      if (nCust == 0L) 0L
+      else pinned.agg(max(col("last_us"))).head.getLong(0)
+    val (r2, _) = graft.core.GlobalRank.withRank(r1,
+      Seq(col("frequency").asc, col("o_custkey").asc), "rn_f")
+    val (r3, _) = graft.core.GlobalRank.withRank(r2,
+      Seq(col("monetary_cents").asc, col("o_custkey").asc), "rn_m")
+    // the rank passes above are eager (each size pass materializes its
+    // range shuffle, which the data pass then reuses), so the input
+    // cache has served its purpose once r1's shuffle exists
+    pinned.unpersist(blocking = false)
+    val n = math.max(nCust, 1L) // avoid DIV 0 on an empty state
+    r3
       .select(col("o_custkey"),
-        expr(s"(max_us - last_us) DIV ${dayUs}L").as("recency_days"),
+        expr(s"(${maxUs}L - last_us) DIV ${dayUs}L").as("recency_days"),
         col("frequency"), col("monetary_cents"),
-        expr("1L + (CAST(rn_r AS BIGINT) - 1L) * 5L DIV n_cust")
-          .as("r_score"),
-        expr("1L + (CAST(rn_f AS BIGINT) - 1L) * 5L DIV n_cust")
-          .as("f_score"),
-        expr("1L + (CAST(rn_m AS BIGINT) - 1L) * 5L DIV n_cust")
-          .as("m_score"))
+        expr(s"1L + (rn_r - 1L) * 5L DIV ${n}L").as("r_score"),
+        expr(s"1L + (rn_f - 1L) * 5L DIV ${n}L").as("f_score"),
+        expr(s"1L + (rn_m - 1L) * 5L DIV ${n}L").as("m_score"))
       .withColumn("segment", concat(col("r_score").cast("string"),
         col("f_score").cast("string"), col("m_score").cast("string")))
       .orderBy(col("o_custkey"))
@@ -88,31 +103,62 @@ object Segmentation {
     * > on at least one; equal (f, m) points beat neither, so exact
     * duplicates BOTH survive.
     *
-    * Formulation: after the fact collapses to per-customer integers,
-    * p survives iff (a) no strictly-higher-frequency point reaches
-    * its monetary (max over the RANGE frame f' > f, exact under
-    * frequency ties because the frame is value-based, not row-based)
-    * and (b) no same-frequency point strictly exceeds it (per-f max).
-    * One sort of the DIMENSION-sized state relation; no self-join,
-    * no quadratic dominance test — the oracle runs exactly that
-    * NOT-EXISTS self-join as the independent formulation.
+    * Formulation — partition-and-merge, because dominance is CLOSED
+    * under partitioning (a global skyline point is a local skyline
+    * point of whatever partition holds it, and every strictly
+    * dominated point has — by transitivity of strict dominance — a
+    * dominator that survives its own partition's local pass): range
+    * partition the per-customer state on (f desc, m desc), run the
+    * one-pass local frontier in each partition (running max of m over
+    * strictly-higher-f groups; survive iff m equals the group max AND
+    * strictly exceeds that running max — so equal (f, m) duplicates
+    * both survive, matching the dominance definition), then merge the
+    * tiny per-partition frontiers with the SAME pass over one
+    * partition. No global single-task window, no quadratic dominance
+    * self-join — the oracle runs exactly that NOT-EXISTS self-join as
+    * the independent formulation. The merge task is sized by the sum
+    * of local frontier sizes (worst case the skyline itself plus one
+    * frontier per partition boundary), not the data.
     */
   def qSkyline(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
     val per = rfmRollup(Graft.table(spark, sfDir, "orders"))
       .select(col("o_custkey"), col("frequency"), col("monetary_cents"))
-    val fGt = Window.orderBy(col("frequency").desc)
-      .rangeBetween(Window.unboundedPreceding, -1)
-    val fEq = Window.partitionBy(col("frequency"))
-    per
-      .withColumn("m_fgt", max(col("monetary_cents")).over(fGt))
-      .withColumn("m_feq", max(col("monetary_cents")).over(fEq))
-      .filter((col("m_fgt").isNull ||
-          col("m_fgt") < col("monetary_cents")) &&
-        col("monetary_cents") === col("m_feq"))
-      .select(col("o_custkey"), col("frequency"), col("monetary_cents"))
-      .orderBy(col("frequency").desc, col("monetary_cents").desc,
-        col("o_custkey"))
+    val order = Seq(col("frequency").desc, col("monetary_cents").desc,
+      col("o_custkey").asc)
+    // one-pass frontier over partitions already sorted by
+    // (f desc, m desc, key): prevMax = max monetary over all
+    // STRICTLY-higher-f rows seen so far, groupMax = max monetary of
+    // the current f group (its first row, by the sort)
+    def frontier(sorted: DataFrame): DataFrame = {
+      import sorted.sparkSession.implicits._
+      sorted.toDF("_1", "_2", "_3").as[(Long, Long, Long)]
+        .mapPartitions { it =>
+          var curF = 0L
+          var groupMax = 0L
+          var prevMax = Long.MinValue
+          var started = false
+          it.filter { case (_, f, m) =>
+            if (!started || f != curF) {
+              if (started) prevMax = math.max(prevMax, groupMax)
+              started = true; curF = f; groupMax = m
+            }
+            m == groupMax && m > prevMax
+          }
+        }
+        .toDF("o_custkey", "frequency", "monetary_cents")
+    }
+    val parts = spark.sparkContext.defaultParallelism
+    val local = frontier(per
+      .repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*))
+    // repartition(1), NOT coalesce(1): coalesce would collapse the
+    // local pass itself into the single merge task
+    val merged = frontier(local
+      .repartition(1)
+      .sortWithinPartitions(order: _*))
+    merged.orderBy(col("frequency").desc, col("monetary_cents").desc,
+      col("o_custkey"))
   }
 
   val qSkylineSql: String =

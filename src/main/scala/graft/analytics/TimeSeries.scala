@@ -514,9 +514,15 @@ object TimeSeries {
     */
   def qSeasonality(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
+    // tus >= 0 is part of the operator contract, enforced on BOTH
+    // faces: for negative (pre-epoch) timestamps Spark's DIV/% truncate
+    // toward zero while DuckDB's // floors, so dow/hour would silently
+    // diverge (and dow could go negative). The filter makes the
+    // integer bucket math well-defined instead of data-dependent.
     val cells = Graft.table(spark, sfDir, "events")
       .filter(col("ts").isNotNull)
       .select(expr("graft_ts_us(ts)").as("tus"))
+      .filter(col("tus") >= 0L)
       .select(expr(s"((tus DIV ${dayUs}L) + 4L) % 7L").as("dow"),
         expr(s"(tus DIV ${hourUs}L) % 24L").as("hour"))
       .groupBy(col("dow"), col("hour"))
@@ -532,7 +538,8 @@ object TimeSeries {
 
   val qSeasonalitySql: String =
     s"""WITH e AS (
-       |  SELECT epoch_us(ts) AS tus FROM events WHERE ts IS NOT NULL
+       |  SELECT epoch_us(ts) AS tus FROM events
+       |  WHERE ts IS NOT NULL AND epoch_us(ts) >= 0
        |), c AS (
        |  SELECT ((tus // $dayUs) + 4) % 7 AS dow,
        |         (tus // $hourUs) % 24 AS hour,
@@ -595,16 +602,20 @@ object TimeSeries {
 
   def qChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
+    // ts >= 0 contract as in qSeasonality: pre-epoch timestamps would
+    // hit the DIV-truncates / //-floors divergence between engines
     changepointFrom(Graft.table(spark, sfDir, "events")
       .filter(col("ts").isNotNull)
-      .select(expr(s"graft_ts_us(ts) DIV ${dayUs}L").as("day"))
+      .select(expr("graft_ts_us(ts)").as("tus"))
+      .filter(col("tus") >= 0L)
+      .select(expr(s"tus DIV ${dayUs}L").as("day"))
       .groupBy(col("day")).agg(count(lit(1)).as("n_events")))
   }
 
   val qChangepointSql: String =
     s"""WITH e AS (
        |  SELECT epoch_us(ts) // $dayUs AS day FROM events
-       |  WHERE ts IS NOT NULL
+       |  WHERE ts IS NOT NULL AND epoch_us(ts) >= 0
        |), d AS (
        |  SELECT day, count(*) AS n_events FROM e GROUP BY 1
        |), c AS (

@@ -376,6 +376,9 @@ object Multimodal {
     def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
     while (dataOff < 0 && off + 8 <= bytes.length) {
       val len = b.getInt(off + 4)
+      // a corrupt negative chunk length would stop the scan advancing
+      // (off += 8 + len + pad can be <= 0) and spin this loop forever
+      require(len >= 0, s"doc $docId: negative RIFF chunk length $len")
       if (tag(off) == "data") dataOff = off + 8
       else off += 8 + len + (len & 1)
     }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.types.LongType
   * and the signal values retained for auditability (a training-data
   * pipeline needs to answer "WHY was this document dropped", not just
   * drop it). Reference family: the reference's per-event quality
-  * filtering (`/root/reference/src-clj/streamsum/transform.clj` drops
+  * filtering (`/root/reference/src-clj/streamsum/system.clj` drops
   * malformed events inline); this is the corpus-scale analogue over
   * `documents`.
   *

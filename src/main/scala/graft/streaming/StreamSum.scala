@@ -1183,8 +1183,12 @@ object StreamSum {
     Graft.ensureConf(spark)
     val daily = streamingEvents(spark, sfDir)
       .filter(col("ts").isNotNull)
+      .select(expr("graft_ts_us(ts)").as("tus"))
+      // same ts >= 0 contract as the batch face (DIV vs // divergence
+      // on pre-epoch timestamps)
+      .filter(col("tus") >= 0L)
       .select(expr(
-        s"graft_ts_us(ts) DIV ${graft.analytics.TimeSeries.dayUs}L")
+        s"tus DIV ${graft.analytics.TimeSeries.dayUs}L")
         .as("day"))
       .groupBy(col("day")).agg(count(lit(1)).as("n_events"))
     graft.analytics.TimeSeries.changepointFrom(

@@ -414,13 +414,20 @@ class PlanShapeSpec extends SparkSpec {
        "aggregation - no re-exchange after the group limit") {
     val plan = executed(Behavior.qPaths(spark, sfDir))
       .split("== Initial Plan ==").head
-    assert(plan.contains("TopKPerKey"),
+    val lines = plan.linesIterator.toSeq
+    val ti = lines.indexWhere(_.contains("TopKPerKey"))
+    assert(ti >= 0,
       s"prefix trim must run on the bounded-heap operator:\n$plan")
-    // exactly three exchanges: user-keyed (into the trim + agg),
-    // path-keyed (frequency), and the single-partition TopFreq fold.
-    // A fourth would mean the group limit forgot its partitioning
-    // and the per-user aggregation re-shuffled trimmed rows.
-    assert(plan.linesIterator.count(_.contains("Exchange ")) == 3,
+    // the per-user aggregation (the trim's consumer, printed above it)
+    // must sit directly on TopKPerKey's user-keyed output — an Exchange
+    // between them would mean the group limit forgot its partitioning
+    // and the trimmed rows re-shuffled. (Asserting the relation, not a
+    // global exchange COUNT, so unrelated planner changes - AQE reuse,
+    // broadcast threshold - can't flip the test without a real
+    // regression.)
+    val ai = lines.slice(0, ti).lastIndexWhere(_.contains("HashAggregate"))
+    assert(ai >= 0, s"per-user aggregate must consume the trim:\n$plan")
+    assert(!lines.slice(ai, ti).exists(_.contains("Exchange ")),
       s"paths must not re-exchange after the group limit:\n$plan")
   }
 
@@ -450,5 +457,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("adc"), s"ADC score column missing:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       s"probes must broadcast onto the code relation:\n$plan")
+  }
+
+  test("rfm: no single-task global window anywhere in the ranking " +
+       "(the three ranks are range-partitioned partition-offset ranks)") {
+    val plan = executed(Segmentation.qRfm(spark, sfDir))
+    // the old shape ranked via four Window.partitionBy() (empty)
+    // windows — at 100 TB that funnels the ~10⁹-row per-customer state
+    // through ONE task, three times. The GlobalRank rewrite leaves NO
+    // window operator at all: ranks arrive via rangepartitioning +
+    // per-partition offsets, so a reappearing Window is a regression.
+    assert(!plan.contains("Window"),
+      s"rfm ranking must not plan a window:\n$plan")
+    assert(plan.contains("rangepartitioning"),
+      s"ranks must come from range-partitioned sorts:\n$plan")
+  }
+
+  test("skyline: partition-local frontiers, no global window, and the " +
+       "merge input is the tiny local-frontier relation") {
+    val plan = executed(Segmentation.qSkyline(spark, sfDir))
+    assert(!plan.contains("Window"),
+      s"skyline must not plan a global window:\n$plan")
+    assert(plan.contains("rangepartitioning"),
+      s"local frontiers must run on a range-partitioned sort:\n$plan")
+    // the single-partition merge exists (SinglePartition exchange) but
+    // only AFTER the local pass has shrunk the relation
+    assert(plan.contains("SinglePartition"),
+      s"frontier merge step missing:\n$plan")
   }
 }
