@@ -40,32 +40,22 @@ object Segmentation {
     // Three GLOBAL total-order rankings — but never through a
     // single-task `Window.partitionBy()` window: at 100 TB the
     // per-customer state is ~10⁹ rows, and an empty-partition window
-    // funnels all of them through ONE task, three times. Instead each
-    // ranking is a range-partitioned sort + partition-offset rank
-    // (GlobalRank), chained so each pass range-shuffles the
-    // dimension-sized relation once and no join is ever needed to glue
-    // the three ranks back together. n_cust falls out of the first
-    // rank's size pass and max_us is one bounded 1-row aggregate, so
-    // the two former "wall" windows become driver-side literals.
-    val pinned = per
+    // funnels all of them through ONE task, three times. Instead all
+    // three rankings share ONE axis-tagged range shuffle
+    // (GlobalRank.longAxisRanks): partition-offset ranks over the
+    // (axis, value, key) order, with n_cust and max_us falling out of
+    // the same size pass as driver-side literals — no extra
+    // aggregation job, no per-axis re-shuffle, no cache.
+    val state = per
       .select(col("o_custkey"), col("last_us"), col("frequency"),
         col("monetary_cents"))
-      .persist()
-    val (r1, nCust) = graft.core.GlobalRank.withRank(pinned,
-      Seq(col("last_us").asc, col("o_custkey").asc), "rn_r")
-    val maxUs =
-      if (nCust == 0L) 0L
-      else pinned.agg(max(col("last_us"))).head.getLong(0)
-    val (r2, _) = graft.core.GlobalRank.withRank(r1,
-      Seq(col("frequency").asc, col("o_custkey").asc), "rn_f")
-    val (r3, _) = graft.core.GlobalRank.withRank(r2,
-      Seq(col("monetary_cents").asc, col("o_custkey").asc), "rn_m")
-    // the rank passes above are eager (each size pass materializes its
-    // range shuffle, which the data pass then reuses), so the input
-    // cache has served its purpose once r1's shuffle exists
-    pinned.unpersist(blocking = false)
+    val (ranks, nCust, maxs) = graft.core.GlobalRank.longAxisRanks(
+      state, "o_custkey",
+      Seq("last_us", "frequency", "monetary_cents"),
+      Seq("rn_r", "rn_f", "rn_m"))
+    val maxUs = if (nCust == 0L) 0L else maxs.head
     val n = math.max(nCust, 1L) // avoid DIV 0 on an empty state
-    r3
+    state.join(ranks, "o_custkey")
       .select(col("o_custkey"),
         expr(s"(${maxUs}L - last_us) DIV ${dayUs}L").as("recency_days"),
         col("frequency"), col("monetary_cents"),
