@@ -543,14 +543,47 @@ object Dedup {
     val sizeOrdered =
       (col("x.sz") < col("y.sz")) ||
         (col("x.sz") === col("y.sz") && col("x.doc_id") < col("y.doc_id"))
-    prefix.as("x").join(prefix.as("y"),
+    val matched = prefix.as("x").join(prefix.as("y"),
         col("x.h") === col("y.h") && sizeOrdered &&
         col("x.rk") <= col("x.p_probe") &&
         lit(5L) * col("x.sz") >= lit(4L) * col("y.sz") &&
         (if (positional) positionalOk else lit(true)))
-      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
-        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
-      .distinct()
+    if (!positional)
+      return matched
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+        .distinct()
+    // Accumulated-overlap filter (the PPJoin refinement of the
+    // per-token positional bound): the pair-dedup shuffle has ALL of a
+    // pair's shared prefix tokens in hand anyway, so instead of
+    // DISTINCT, count them. Ranks are positions in one GLOBAL rare-
+    // first order restricted to each doc, so shared tokens are rank-
+    // co-monotone across the two docs: every shared token ordered
+    // before the LAST prefix match (max rk_x ≙ max rk_y, same token)
+    // lies inside both joined prefixes and is therefore counted in c,
+    // and at most min(sz_x − max rk_x, sz_y − max rk_y) shared tokens
+    // can follow it. Hence overlap ≤ c + that tail bound — and J ≥ 4/5
+    // forces overlap ≥ ceil(4(sz_x+sz_y)/9). Zero false negatives: for
+    // a TRUE pair every shared token passes the per-token positional
+    // filter (its bound ≥ the real overlap ≥ alpha), so c/max-ranks
+    // are computed over the complete match set and the inequality is a
+    // genuine upper bound. Non-qualifying pairs whose matches sit deep
+    // or sparse in the prefixes are pruned BEFORE the verify join ever
+    // fetches their full shingle sets. Same shuffle as the old
+    // DISTINCT (keyed on the pair), one tiny agg on top.
+    matched
+      .select(col("x.doc_id").as("dx"), col("y.doc_id").as("dy"),
+        col("x.rk").as("rk_x"), col("y.rk").as("rk_y"),
+        col("x.sz").as("sz_x"), col("y.sz").as("sz_y"))
+      .groupBy(col("dx"), col("dy"))
+      .agg(count(lit(1)).as("c"),
+        max(col("rk_x")).as("ix"), max(col("rk_y")).as("jy"),
+        first(col("sz_x")).as("szx"), first(col("sz_y")).as("szy"))
+      .filter(col("c") +
+        least(col("szx") - col("ix"), col("szy") - col("jy")) >=
+        expr("(4 * (szx + szy) + 8) div 9"))
+      .select(least(col("dx"), col("dy")).as("doc_a"),
+        greatest(col("dx"), col("dy")).as("doc_b"))
   }
 
   private def jaccardPrefixFrom(sh0: DataFrame,
