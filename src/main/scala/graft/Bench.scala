@@ -64,6 +64,7 @@ object Bench {
     "txt_stats", "txt_fingerprint", "txt_repetition", "txt_bpe_learn",
     "txt_bigram_nll", "txt_tfidf", "txt_entropy", "txt_zipf",
     "mm_binary_stats", "mm_bmp_decode", "mm_wav_decode", "mm_png_decode",
+    "mm_jpeg_decode",
     "pipe_corpus_clean",
     "pipe_decontaminate", "pipe_decont_bloom", "pipe_dedup_apply",
     "pipe_quality_gate", "pipe_quality_prune", "pipe_source_cap",
@@ -106,9 +107,10 @@ object Bench {
     "txt_stats",
     // the real-codec mapPartitions path: per-row cost must stay flat
     // as docs scale (narrow, no shuffle - the slope IS the claim)
-    "mm_bmp_decode", "mm_png_decode",
-    // the compressed codec: deflate/inflate dominates, so the per-row
-    // cost claim is stronger than BMP's raw-raster one
+    "mm_bmp_decode", "mm_png_decode", "mm_jpeg_decode",
+    // the compressed codecs: deflate/inflate (PNG) and FDCT+Huffman
+    // (JPEG) dominate, so the per-row cost claim is stronger than
+    // BMP's raw-raster one
     "txt_entropy",
     // the custom bounded-heap group limit under a 10x corpus: the
     // map-side trim is what keeps the slope linear

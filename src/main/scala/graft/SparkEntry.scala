@@ -258,6 +258,7 @@ object SparkEntry {
     "mm_bmp_decode" -> Multimodal.bmpDecodeE2e _,
     "mm_wav_decode" -> Multimodal.wavDecodeE2e _,
     "mm_png_decode" -> Multimodal.pngDecodeE2e _,
+    "mm_jpeg_decode" -> graft.pipeline.Jpeg.jpegDecodeE2e _,
     "mm_audio_features" -> Multimodal.audioFeatures _,
     "tfidf_store" -> graft.pipeline.SignatureStore.gatedTfidf _,
     // ---- corpus-level training-data ops ----
@@ -483,6 +484,7 @@ object SparkEntry {
     "mm_bmp_decode" -> Multimodal.bmpDecodeE2eSql,
     "mm_wav_decode" -> Multimodal.wavDecodeE2eSql,
     "mm_png_decode" -> Multimodal.pngDecodeE2eSql,
+    "mm_jpeg_decode" -> graft.pipeline.Jpeg.jpegDecodeE2eSql,
     "mm_audio_features" -> Multimodal.audioFeaturesSql,
     "tfidf_store" -> TextAnalysis.tfidfSql,
     "txt_vocab" -> graft.pipeline.CorpusOps.vocabSql,
