@@ -444,14 +444,25 @@ object TimeSeries {
     */
   def qTrending(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
-    // materialize the bucket relation ONCE (pagerank's localCheckpoint
-    // pattern): without it the 1-row max-day branch re-derives the
-    // whole scan + extract + agg subtree - a second full corpus read
-    val b = graft.core.Transform.extract(spark, sfDir)
+    trendingFromBuckets(graft.core.Transform.extract(spark, sfDir)
       .select(col("o"), expr(s"t DIV ${decayHalflifeUs}L").as("day"))
       .groupBy(col("o"), col("day"))
-      .agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .agg(count(lit(1)).as("c")))
+  }
+
+  /** The trending report over any (o, day, c) day-bucketed count
+    * relation — shared by the batch face and the streaming face,
+    * whose state IS this relation (per-day counts are ADDITIVE, the
+    * `decayFromBuckets` pattern on the lift axis): the report is a
+    * query-time view because one arriving event can move day_max and
+    * reprice every object's lift.
+    */
+  private[graft] def trendingFromBuckets(b0: DataFrame): DataFrame = {
+    // materialize the bucket relation ONCE (pagerank's localCheckpoint
+    // pattern): without it the 1-row max-day branch re-derives the
+    // whole upstream subtree (for the batch face, a second full
+    // scan + extract of the corpus)
+    val b = b0.localCheckpoint()
     val dmax = b.agg(max(col("day")).as("day_max"))
     b.crossJoin(broadcast(dmax))
       .filter(col("day") >= col("day_max") - 1)
@@ -519,7 +530,15 @@ object TimeSeries {
     // toward zero while DuckDB's // floors, so dow/hour would silently
     // diverge (and dow could go negative). The filter makes the
     // integer bucket math well-defined instead of data-dependent.
-    val cells = Graft.table(spark, sfDir, "events")
+    seasonalityFromCells(seasonalityCells(
+      Graft.table(spark, sfDir, "events")))
+  }
+
+  /** The (dow, hour) cell aggregation — shared by the batch and
+    * streaming faces so the bucket math cannot drift.
+    */
+  private[graft] def seasonalityCells(events: DataFrame): DataFrame =
+    events
       .filter(col("ts").isNotNull)
       .select(expr("graft_ts_us(ts)").as("tus"))
       .filter(col("tus") >= 0L)
@@ -527,6 +546,14 @@ object TimeSeries {
         expr(s"(tus DIV ${hourUs}L) % 24L").as("hour"))
       .groupBy(col("dow"), col("hour"))
       .agg(count(lit(1)).as("n_events"))
+
+  /** The lift view over any (dow, hour, n_events) cell matrix — the
+    * streaming face's state IS this ≤168-cell ADDITIVE matrix; lift is
+    * a query-time view because every arriving event moves the total.
+    * (The empty-partition window here runs over ≤168 rows by
+    * construction — bounded, not data-sized.)
+    */
+  private[graft] def seasonalityFromCells(cells: DataFrame): DataFrame =
     cells
       .withColumn("total", sum(col("n_events")).over(Window.partitionBy()))
       .select(col("dow"), col("hour"), col("n_events"),
@@ -534,7 +561,6 @@ object TimeSeries {
           col("n_events").cast("double") * lit(168.0) /
             col("total").cast("double")).as("lift"))
       .orderBy(col("dow"), col("hour"))
-  }
 
   val qSeasonalitySql: String =
     s"""WITH e AS (

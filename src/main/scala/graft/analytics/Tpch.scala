@@ -612,10 +612,26 @@ object Tpch {
     */
   def qHistogram(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
-    val cells = Graft.table(spark, sfDir, "lineitem")
+    histogramFromCells(histogramCells(
+      Graft.table(spark, sfDir, "lineitem")))
+  }
+
+  /** The bucket-count aggregation — shared by the batch and streaming
+    * faces so the floor-divide bucket math cannot drift.
+    */
+  private[graft] def histogramCells(lineitem: DataFrame): DataFrame =
+    lineitem
       .select(expr(s"CAST(floor(l_extendedprice / $histWidth) AS BIGINT)")
         .as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_items"))
+
+  /** The CDF view over any (bucket, n_items) matrix — the streaming
+    * face's state IS this ADDITIVE bucket matrix; the cumulative sum
+    * and total are query-time views because one arriving row shifts
+    * every later bucket's CDF. (The windows run over the ~21-cell
+    * matrix — bounded by the price range, not the data.)
+    */
+  private[graft] def histogramFromCells(cells: DataFrame): DataFrame = {
     val wcum = Window.partitionBy().orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cells

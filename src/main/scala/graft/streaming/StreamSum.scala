@@ -1195,6 +1195,56 @@ object StreamSum {
       runToTable(daily, OutputMode.Complete(), "ss_stream_changepoint"))
   }
 
+  /** Streaming face of the trending-lift report, sharing
+    * `q_trending`'s oracle: the streamed state is the ADDITIVE
+    * (o, day) count matrix (windowless streaming agg, state bounded by
+    * objects × live days); the whole report — max day, two-bucket
+    * fold, lift ranking, top-N — is a query-time view via the batch
+    * `trendingFromBuckets`, because one arriving event can move
+    * day_max and reprice every object's lift.
+    */
+  def streamTrending(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val buckets = Transform.extractFrom(streamingEvents(spark, sfDir))
+      .select(col("o"), expr(
+        s"t DIV ${graft.analytics.TimeSeries.decayHalflifeUs}L").as("day"))
+      .groupBy(col("o"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    graft.analytics.TimeSeries.trendingFromBuckets(
+      runToTable(buckets, OutputMode.Complete(), "ss_stream_trending"))
+  }
+
+  /** Streaming face of the seasonality matrix, sharing
+    * `q_seasonality`'s oracle: the streamed state is the ≤168-cell
+    * ADDITIVE (dow, hour) count matrix — the projection + aggregation
+    * are LITERALLY the batch `seasonalityCells` over the streaming
+    * source; lift is a query-time view (every event moves the total).
+    */
+  def streamSeasonality(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    graft.analytics.TimeSeries.seasonalityFromCells(
+      runToTable(graft.analytics.TimeSeries.seasonalityCells(
+        streamingEvents(spark, sfDir)),
+        OutputMode.Complete(), "ss_stream_seasonality"))
+  }
+
+  /** Streaming face of the price histogram + exact CDF, sharing
+    * `q_histogram`'s oracle: the streamed state is the ~21-cell
+    * ADDITIVE bucket matrix over a streaming read of the lineitem
+    * fact; the cumulative distribution is a query-time view (one
+    * arriving row shifts every later bucket's CDF).
+    */
+  def streamHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val schema = spark.read.parquet(s"$sfDir/lineitem.parquet").schema
+    val lineitem = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet")
+      .parquet(sfDir)
+    graft.analytics.Tpch.histogramFromCells(
+      runToTable(graft.analytics.Tpch.histogramCells(lineitem),
+        OutputMode.Complete(), "ss_stream_histogram"))
+  }
+
   /** Streaming face of the as-of join, sharing `q_asof_join`'s oracle
     * (DuckDB's native ASOF LEFT JOIN): the static right side collapses
     * to a per-key SORTED book of (rt, o_orderkey) - the same

@@ -154,4 +154,23 @@ class FeatureStreamSpec extends SparkSpec {
     // user 2: view arrives after the click - no step-2 conversion
     assert(flags(2L) == ((true, false, false)))
   }
+
+  // the three additive-matrix faces: state is the batch aggregation
+  // itself (streamed Complete-mode agg), the report a query-time view
+  // via the SAME batch function — parity must be bitwise
+
+  test("ss_stream_trending == q_trending") {
+    assert(rows(StreamSum.streamTrending(spark, sfDir)) ==
+      rows(TimeSeries.qTrending(spark, sfDir)))
+  }
+
+  test("ss_stream_seasonality == q_seasonality") {
+    assert(rows(StreamSum.streamSeasonality(spark, sfDir)) ==
+      rows(TimeSeries.qSeasonality(spark, sfDir)))
+  }
+
+  test("ss_stream_histogram == q_histogram") {
+    assert(rows(StreamSum.streamHistogram(spark, sfDir)) ==
+      rows(graft.analytics.Tpch.qHistogram(spark, sfDir)))
+  }
 }
