@@ -26,9 +26,11 @@ import org.apache.spark.sql.functions._
   * iteration is one src-keyed join against the node-sized rank
   * relation (broadcast while ranks fit, hash join on src beyond) and
   * one map-combinable dst-keyed sum — the standard Pregel-as-joins
-  * plan. Three fixed iterations here; a production run would
-  * checkpoint the rank relation between iterations to cut lineage,
-  * which changes no result.
+  * plan. Iteration depth is session-tunable
+  * (`graft.pagerank.iterations`, default 3), and deep runs can
+  * checkpoint the rank relation between supersteps
+  * (`graft.pagerank.checkpoint=true`) to cut the unrolled lineage —
+  * which changes no result (spec-pinned).
   *
   * Reference: extends the event-rollup family (caches.clj summarizes
   * per-key; this propagates across keys).
@@ -36,6 +38,31 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   val iterations = 3
+
+  /** Iteration count, retunable per session via
+    * `graft.pagerank.iterations` (default `iterations` — the oracle
+    * replays the default, so gated runs leave the conf unset).
+    */
+  def iterationsOf(spark: SparkSession): Int =
+    spark.conf.getOption("graft.pagerank.iterations").map { v =>
+      val n = v.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"graft.pagerank.iterations must be a positive int, got '$v'"))
+      require(n >= 1, s"graft.pagerank.iterations must be >= 1, got $n")
+      n
+    }.getOrElse(iterations)
+
+  /** Production posture for deep runs: checkpoint the rank relation
+    * between supersteps (`graft.pagerank.checkpoint=true`), truncating
+    * the unrolled join lineage the same way the edge relation already
+    * is. Changes no result (spec-pinned) — at 3 iterations the lineage
+    * is shallow enough that the extra materialization isn't worth it,
+    * which is why the default is off.
+    */
+  def checkpointRanksOf(spark: SparkSession): Boolean =
+    spark.conf.getOption("graft.pagerank.checkpoint").exists { v =>
+      v.toBooleanOption.getOrElse(throw new IllegalArgumentException(
+        s"graft.pagerank.checkpoint must be true/false, got '$v'"))
+    }
 
   /** The interaction pair relation (users even ids 2s, objects odd
     * 2o+1 — the two id spaces cannot collide) from any extracted
@@ -50,13 +77,17 @@ object Graph {
     */
   def qPagerank(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
-    pagerankFrom(fwdPairs(Transform.extract(spark, sfDir)))
+    pagerankFrom(fwdPairs(Transform.extract(spark, sfDir)),
+      iters = iterationsOf(spark),
+      checkpointRanks = checkpointRanksOf(spark))
   }
 
   /** The rank iteration over any distinct (src, dst) pair relation -
     * shared by the batch face and the incremental store face.
     */
-  private[graft] def pagerankFrom(fwdPairs: DataFrame): DataFrame = {
+  private[graft] def pagerankFrom(
+      fwdPairs: DataFrame, iters: Int = iterations,
+      checkpointRanks: Boolean = false): DataFrame = {
     // materialize the distinct pair relation ONCE (localCheckpoint
     // truncates lineage, ≙ the reliable checkpoint an iterative graph
     // job takes between supersteps) - without it every iteration's
@@ -69,7 +100,7 @@ object Graph {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .select(col("src").as("v"), col("d"))
     var ranks = deg.select(col("v"), lit(1000000L).as("r"))
-    for (_ <- 1 to iterations) {
+    for (_ <- 1 to iters) {
       val share = ranks.join(deg, "v")
         .select(col("v").as("src"), expr("r DIV d").as("c"))
       val contribs = edges.join(share, "src")
@@ -78,6 +109,7 @@ object Graph {
         .join(contribs, Seq("v"), "left")
         .select(col("v"), expr(
           "150000L + (17L * coalesce(S, 0L)) DIV 20L").as("r"))
+      if (checkpointRanks) ranks = ranks.localCheckpoint()
     }
     ranks.select(
         when(pmod(col("v"), lit(2)) === 0, lit("user"))

@@ -20,6 +20,37 @@ class GraphSpec extends SparkSpec {
     assert(a.forall(r => r.getLong(2) < 100000000L))
   }
 
+  test("pagerank knobs: iteration conf reaches the loop; checkpointing " +
+       "between supersteps changes no rank") {
+    val base = Graph.qPagerank(spark, sfDir).collect().map(_.toString).toSeq
+    try {
+      // iteration-count configurability: conf value ≙ the explicit
+      // parameter, and a shallower run actually differs
+      spark.conf.set("graft.pagerank.iterations", "1")
+      val one = Graph.qPagerank(spark, sfDir).collect().map(_.toString).toSeq
+      val oneDirect = Graph.pagerankFrom(
+        Graph.fwdPairs(graft.core.Transform.extract(spark, sfDir)),
+        iters = 1).collect().map(_.toString).toSeq
+      assert(one == oneDirect, "conf must reach the iteration loop")
+      assert(one != base, "1 iteration must differ from the default 3")
+      spark.conf.unset("graft.pagerank.iterations")
+      // checkpoint knob: pure lineage management, bit-identical ranks
+      spark.conf.set("graft.pagerank.checkpoint", "true")
+      val ck = Graph.qPagerank(spark, sfDir).collect().map(_.toString).toSeq
+      assert(ck == base, "checkpointing between supersteps must not " +
+        "change any rank")
+    } finally {
+      spark.conf.unset("graft.pagerank.iterations")
+      spark.conf.unset("graft.pagerank.checkpoint")
+    }
+    intercept[IllegalArgumentException] {
+      try {
+        spark.conf.set("graft.pagerank.iterations", "0")
+        Graph.qPagerank(spark, sfDir).collect()
+      } finally spark.conf.unset("graft.pagerank.iterations")
+    }
+  }
+
   test("graph store == one-shot pagerank after parity-split ingest") {
     val oneShot = Graph.qPagerank(spark, sfDir).collect().map(_.toSeq).toSet
     val stored = graft.pipeline.SignatureStore.gatedGraph(spark, sfDir)
