@@ -567,7 +567,11 @@ object Similarity {
         graft.functions.NearestCentroid(
           org.apache.spark.sql.GraftBridge.expression(col("embedding")),
           cents))
-      val sums = et.select(nearest.as("cid"),
+      // same materialize-before-explode as pqTrain: keep the argmax
+      // out of the Generate stage (sample-bounded relation, O(train))
+      val sums = et.select(nearest.as("cid"), col("embedding"))
+        .localCheckpoint()
+        .select(col("cid"),
           posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
         .agg(sum(expr(
@@ -932,7 +936,16 @@ object Similarity {
     val vmu = e.filter(col("vec_id") < annTrainN)
       .select(expr(muVecExpr).as("v_mu"))
     for (_ <- 1 to pqLloydRounds) {
-      val sums = withPqCodes(vmu, cb)
+      // materialize the coded training relation BEFORE the explode:
+      // profiled on the 10× anchor, posexplode directly over the
+      // withPqCodes projection re-evaluates the 8-subspace × 16-
+      // codeword argmin chain inside the Generate stage (~14s/round
+      // on 384 rows vs 0.06s materialized — two orders of magnitude,
+      // and it would recur EVERY round since each round's codebook
+      // literals make a fresh plan). The relation is sample-bounded
+      // (annTrainN rows × 8 codes), so the checkpoint is O(sample),
+      // never O(corpus).
+      val sums = withPqCodes(vmu, cb).localCheckpoint()
         .select(col("v_mu"), posexplode(col("codes")).as(Seq("m", "j")))
         .select(col("m"), col("j"), posexplode(expr(
           s"slice(v_mu, m * $pqSubDim + 1, $pqSubDim)"))
