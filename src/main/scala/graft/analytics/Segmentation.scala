@@ -112,7 +112,20 @@ object Segmentation {
     */
   def qSkyline(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
-    val per = rfmRollup(Graft.table(spark, sfDir, "orders"))
+    skylineFrom(rfmRollup(Graft.table(spark, sfDir, "orders")))
+  }
+
+  /** The frontier over any per-customer state relation carrying
+    * (o_custkey, frequency, monetary_cents) — shared by the batch face
+    * and the streaming face, whose state IS the per-customer rollup
+    * (count + sum merge additively): the frontier itself is a
+    * query-time view, because one arriving order can both promote its
+    * customer INTO the skyline and evict any number of now-dominated
+    * members.
+    */
+  private[graft] def skylineFrom(state: DataFrame): DataFrame = {
+    val spark = state.sparkSession
+    val per = state
       .select(col("o_custkey"), col("frequency"), col("monetary_cents"))
     val order = Seq(col("frequency").desc, col("monetary_cents").desc,
       col("o_custkey").asc)

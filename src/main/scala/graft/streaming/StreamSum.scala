@@ -1170,6 +1170,24 @@ object StreamSum {
         OutputMode.Complete(), "ss_stream_rfm"))
   }
 
+  /** Streaming face of the 2-D skyline, sharing `q_skyline`'s oracle:
+    * the streamed state is the per-customer rollup (count + cents sum
+    * — the same additive state as the RFM face); the Pareto frontier
+    * is a query-time view via the batch `skylineFrom`, because one
+    * arriving order can both promote its customer INTO the skyline
+    * and evict any number of now-dominated members.
+    */
+  def streamSkyline(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val schema = spark.read.parquet(s"$sfDir/orders.parquet").schema
+    val orders = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "orders.parquet")
+      .parquet(sfDir)
+    graft.analytics.Segmentation.skylineFrom(
+      runToTable(graft.analytics.Segmentation.rfmRollup(orders),
+        OutputMode.Complete(), "ss_stream_skyline"))
+  }
+
   /** Streaming face of the mean-shift changepoint scan, sharing
     * `q_changepoint`'s oracle: the streamed state is the ADDITIVE
     * per-day count matrix (a windowless streaming aggregation, state

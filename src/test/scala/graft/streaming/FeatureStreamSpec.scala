@@ -169,6 +169,11 @@ class FeatureStreamSpec extends SparkSpec {
       rows(TimeSeries.qSeasonality(spark, sfDir)))
   }
 
+  test("ss_stream_skyline == q_skyline") {
+    assert(rows(StreamSum.streamSkyline(spark, sfDir)) ==
+      rows(graft.analytics.Segmentation.qSkyline(spark, sfDir)))
+  }
+
   test("ss_stream_histogram == q_histogram") {
     assert(rows(StreamSum.streamHistogram(spark, sfDir)) ==
       rows(graft.analytics.Tpch.qHistogram(spark, sfDir)))
