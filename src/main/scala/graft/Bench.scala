@@ -67,7 +67,8 @@ object Bench {
     "mm_jpeg_decode",
     "pipe_corpus_clean",
     "pipe_decontaminate", "pipe_decont_bloom", "pipe_dedup_apply",
-    "pipe_quality_gate", "pipe_quality_prune", "pipe_source_cap",
+    "pipe_quality_gate", "pipe_quality_prune", "pipe_qclf_score",
+    "pipe_source_cap",
     "pipe_token_budget", "dd_dup_spans",
     "pipe_span_scrub", "pipe_sample_weighted", "pipe_layout_zorder",
     "txt_phrase_merge")
@@ -124,6 +125,7 @@ object Bench {
     graft.core.CountQueries.releaseAll(spark)
     graft.pipeline.SignatureStore.releaseAll(spark)
     graft.pipeline.Similarity.releaseAll(spark)
+    graft.pipeline.QualityClassifier.releaseAll(spark)
   }
 
   /** One timed pass over the suite: per-query (seconds, succeeded).

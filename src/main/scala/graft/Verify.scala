@@ -48,6 +48,7 @@ object Verify {
     graft.core.CountQueries.releaseAll(spark)
     graft.pipeline.SignatureStore.releaseAll(spark)
     graft.pipeline.Similarity.releaseAll(spark)
+    graft.pipeline.QualityClassifier.releaseAll(spark)
     spark.stop()
   }
 }

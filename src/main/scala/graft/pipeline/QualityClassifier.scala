@@ -1,0 +1,325 @@
+package graft.pipeline
+
+import graft.core.Graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** In-engine trained quality classifier: logistic regression over the
+  * hashing-trick features, distilling a deterministic heuristic
+  * teacher into a learned scorer — the CCNet/GPT-3-line quality-filter
+  * pattern (train a cheap linear model on weak labels, score the whole
+  * corpus with one narrow pass). The reference has no learned
+  * component (`/root/reference/src-clj/streamsum/caches.clj` is pure
+  * counting); this is the commissioned training-data extension's
+  * "learn the filter" member next to the rule-based 39b gate.
+  *
+  * Determinism scheme (the repo's integer-units discipline applied to
+  * GRADIENT DESCENT): weights live in integer micro-units; per epoch,
+  * z_mu = Σ w_mu·x + b_mu is an exact integer sum; the only
+  * transcendental is the sigmoid, quantized to integer micro-units
+  * immediately (floor(1e6/(1+exp(−z)) + 0.5) — the micro-nat ln
+  * precedent), so the per-bucket gradient Σ (p_mu − y_mu)·x is exact
+  * integer again; the update divides by (lrDen·n_train) with truncation
+  * toward zero (Scala/Spark semantics; the oracle replays truncation
+  * by sign-splitting DuckDB's floor division). Both engines therefore
+  * train BIT-IDENTICAL weights, epoch by epoch.
+  *
+  * Scale posture (the lessons of this codebase baked in from the
+  * start): training runs on the bounded deterministic `doc_id <
+  * qclfTrainN` sample — never the corpus — and the per-epoch passes
+  * run over a localCheckpointed O(sample × buckets) relation, so
+  * epoch cost is independent of corpus size AND free of the
+  * Generate/re-evaluation pathology the PQ trainer hit. Scoring is
+  * one narrow pass over the full corpus features against the 67-entry
+  * literal weight vector. Full-batch GD (not SGD): batch
+  * gradients are order-independent integer sums, exactly what the
+  * cross-engine contract needs, and for a 67-parameter model the
+  * sample IS the batch.
+  */
+object QualityClassifier {
+
+  /** Training-sample bound (deterministic doc_id prefix; fixtures are
+    * larger, so the gate certifies the sampled path).
+    */
+  val qclfTrainN = 300L
+
+  val qclfEpochs = 40
+
+  /** Update denominator factor: step = trunc(grad / (lrDen · n)). */
+  val lrDen = 3L
+
+  private val nB = TextAnalysis.hashfeatBuckets // 64
+
+  /** Teacher labels: the two cheapest gate signals (token count in the
+    * Gopher band, stopword ratio above floor) — deliberately a SUBSET
+    * of the full 39b gate, so the classifier has real signal to
+    * recover from lexical features without the oracle having to replay
+    * the gate's LM leg inside every epoch CTE.
+    */
+  private def labels(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+      .withColumn("n_tokens", size(col("toks")).cast(LongType))
+      .withColumn("stop_cnt",
+        expr(s"size(filter(toks, x -> x IN (${TextAnalysis.stopList})))")
+          .cast(LongType))
+      .withColumn("stop_ratio", when(col("n_tokens") >= 1, ParityMath.q6(
+        col("stop_cnt").cast("double") / col("n_tokens").cast("double"))))
+      .select(col("doc_id"), col("n_tokens"), col("stop_cnt"),
+        (col("n_tokens").between(QualityGate.minTokens,
+            QualityGate.maxTokens) &&
+          coalesce(col("stop_ratio") >= QualityGate.minStopRatio,
+            lit(false))).as("y"))
+
+  /** Features + bias rows + micro-unit labels for any documents frame:
+    * (doc_id, bucket, x, ymu) with bucket −1 carrying the bias (x=1
+    * for every doc, so empty documents still reach the model), −2 the
+    * clamped token count and −3 the clamped stopword count.
+    */
+  private def featureRows(docs: DataFrame): DataFrame = {
+    val lab = labels(docs)
+    // dense engineered features next to the hashed buckets: the signed
+    // hash sums CANCEL length information by construction (that is
+    // their unbiasedness), so a length-band teacher is invisible to
+    // them alone — clamped token and stopword counts restore the axes
+    // the teacher actually thresholds (measured: hash-only training
+    // landed exactly at the majority-class baseline)
+    val feats = TextAnalysis.hashfeatFrom(docs)
+      .select(col("doc_id"), col("bucket"), col("w").as("x"))
+      .unionAll(lab.select(col("doc_id"), lit(-1L).as("bucket"),
+        lit(1L).as("x")))
+      .unionAll(lab.select(col("doc_id"), lit(-2L).as("bucket"),
+        expr("least(n_tokens, 64L) DIV 8L").as("x")))
+      .unionAll(lab.select(col("doc_id"), lit(-3L).as("bucket"),
+        expr("least(stop_cnt, 64L) DIV 8L").as("x")))
+    feats.join(lab.select(col("doc_id"), col("y")), "doc_id")
+      .select(col("doc_id"), col("bucket"), col("x"),
+        when(col("y"), 1000000L).otherwise(0L).as("ymu"))
+  }
+
+  /** Weight-lookup column for a driver-held weight vector: bucket −3
+    * (the first dense feature) maps to index 1 of the 1-based literal
+    * array.
+    */
+  private def wLookup(w: Array[Long]) =
+    expr(s"element_at(array(${w.mkString("L, ")}L), " +
+      s"CAST(bucket + 4 AS INT))")
+
+  /** Train the 67 micro-unit weights (64 hashed buckets + bias + two
+    * dense features) on the bounded sample; returns (weights indexed
+    * by bucket+3, n_train). Bounded driver state by construction — the
+    * Lloyd-trainer pattern.
+    */
+  /** Trained weights memoized per (session, corpus) — train and score
+    * faces share one training run (the centroid-cache pattern,
+    * including the stopped-session sweep).
+    */
+  private val wCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Array[Long], Long)]()
+
+  def releaseAll(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    wCache.keySet.asScala.filter(_._1 eq spark).toSeq
+      .foreach(wCache.remove)
+  }
+
+  private[graft] def trainWeights(spark: SparkSession,
+                                  sfDir: String): (Array[Long], Long) = {
+    val it = wCache.keySet().iterator()
+    while (it.hasNext) {
+      if (it.next()._1.sparkContext.isStopped) it.remove()
+    }
+    wCache.computeIfAbsent((spark, sfDir), { case (s, d) =>
+      trainWeightsUncached(s, d)
+    })
+  }
+
+  private def trainWeightsUncached(spark: SparkSession,
+                                   sfDir: String): (Array[Long], Long) = {
+    Graft.ensureConf(spark)
+    val docsT = Graft.tableParallel(spark, sfDir, "documents")
+      .filter(col("doc_id") < qclfTrainN)
+    // O(sample × buckets) rows, materialized once for all epochs
+    val joined = featureRows(docsT).localCheckpoint()
+    val n = joined.filter(col("bucket") === -1L).count()
+    val w = new Array[Long](nB + 3)
+    if (n == 0L) return (w, 0L)
+    for (_ <- 1 to qclfEpochs) {
+      val z = joined
+        .groupBy(col("doc_id"), col("ymu"))
+        .agg(sum(col("x") * wLookup(w)).as("zmu"))
+      val err = z.select(col("doc_id"),
+        (expr("CAST(floor(1000000.0 / (1.0 + exp(-(CAST(zmu AS DOUBLE) " +
+          "/ 1000000.0))) + 0.5) AS BIGINT)") - col("ymu")).as("errmu"))
+      val grad = joined.join(err, "doc_id")
+        .groupBy(col("bucket"))
+        .agg(sum(col("errmu") * col("x")).as("g"))
+        .collect() // bounded: ≤ 67 rows
+      grad.foreach { r =>
+        val b = r.getLong(0).toInt
+        // Scala Long division truncates toward zero ≙ Spark DIV; the
+        // oracle replays truncation by sign-splitting DuckDB's //
+        w(b + 3) -= r.getLong(1) / (lrDen * n)
+      }
+    }
+    (w, n)
+  }
+
+  /** `pipe_qclf_train`: the trained weight relation (bucket −1 =
+    * bias), bit-identical to the oracle's CTE-replayed training.
+    */
+  def train(spark: SparkSession, sfDir: String): DataFrame = {
+    val s2 = Graft.ensureConf(spark)
+    import s2.implicits._
+    val (w, _) = trainWeights(spark, sfDir)
+    w.zipWithIndex.map { case (wmu, i) => (i.toLong - 3L, wmu) }
+      .toSeq.toDF("bucket", "w_mu")
+      .orderBy(col("bucket"))
+  }
+
+  /** `pipe_qclf_score`: every corpus document scored by the trained
+    * model — micro-unit probability, thresholded verdict, teacher
+    * label, and agreement (the distillation-fidelity audit column).
+    * One narrow feature pass + one ≤65-row broadcast lookup; the
+    * corpus never feeds training.
+    */
+  def score(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val (w, _) = trainWeights(spark, sfDir)
+    featureRows(Graft.tableParallel(spark, sfDir, "documents"))
+      .groupBy(col("doc_id"), col("ymu"))
+      .agg(sum(col("x") * wLookup(w)).as("zmu"))
+      .withColumn("score_mu",
+        expr("CAST(floor(1000000.0 / (1.0 + exp(-(CAST(zmu AS DOUBLE) " +
+          "/ 1000000.0))) + 0.5) AS BIGINT)"))
+      .select(col("doc_id"), col("score_mu"),
+        (col("score_mu") >= 500000L).as("predicted"),
+        (col("ymu") === 1000000L).as("label"),
+        ((col("score_mu") >= 500000L) === (col("ymu") === 1000000L))
+          .as("agree"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- DuckDB oracles -------------------------------------------------
+
+  private val h48 = HashParity.hex48Duck("md5(term)")
+
+  /** Feature/label CTEs over a docs CTE named `$src`, emitting
+    * feat_$tag(doc_id, bucket, x) and lab_$tag(doc_id, ymu).
+    */
+  private def featCtes(src: String, tag: String): String =
+    s"""toks_$tag AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+       |    '[a-z0-9]+')) AS term
+       |  FROM $src
+       |), h_$tag AS (
+       |  SELECT doc_id, $h48 AS h FROM toks_$tag
+       |), sig_$tag AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+       |      AS n_tokens,
+       |    CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
+       |      x -> x IN (${TextAnalysis.stopList}))) AS BIGINT)
+       |      AS stop_cnt,
+       |    CASE WHEN len(regexp_extract_all(text, '\\S+')) >= 1
+       |      THEN ${ParityMath.q6Sql(
+            s"""CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
+               |  x -> x IN (${TextAnalysis.stopList}))) AS DOUBLE)
+               | / CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE)"""
+              .stripMargin)} END AS stop_ratio
+       |  FROM $src
+       |), lab_$tag AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN n_tokens BETWEEN ${QualityGate.minTokens}
+       |           AND ${QualityGate.maxTokens}
+       |         AND COALESCE(stop_ratio >= ${QualityGate.minStopRatio},
+       |                      FALSE)
+       |      THEN 1000000 ELSE 0 END AS ymu
+       |  FROM sig_$tag
+       |), feat_$tag AS MATERIALIZED (
+       |  SELECT doc_id, CAST(h % $nB AS BIGINT) AS bucket,
+       |    CAST(sum(CASE WHEN (h // $nB) % 2 = 0 THEN 1 ELSE -1 END)
+       |      AS BIGINT) AS x
+       |  FROM h_$tag GROUP BY 1, 2
+       |  HAVING sum(CASE WHEN (h // $nB) % 2 = 0 THEN 1 ELSE -1 END) != 0
+       |  UNION ALL
+       |  SELECT doc_id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT)
+       |  FROM lab_$tag
+       |  UNION ALL
+       |  SELECT doc_id, CAST(-2 AS BIGINT), LEAST(n_tokens, 64) // 8
+       |  FROM sig_$tag
+       |  UNION ALL
+       |  SELECT doc_id, CAST(-3 AS BIGINT), LEAST(stop_cnt, 64) // 8
+       |  FROM sig_$tag
+       |)""".stripMargin
+
+  /** The epoch chain: w0 = zeros, then per epoch the z/p/gradient/
+    * update CTEs — ends in w$qclfEpochs.
+    */
+  private def epochCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"""nT AS MATERIALIZED (SELECT count(*) AS n FROM lab_t),
+       |w0 AS MATERIALIZED (
+       |  SELECT CAST(unnest(range(-3, $nB)) AS BIGINT) AS bucket,
+       |    CAST(0 AS BIGINT) AS wmu
+       |)""".stripMargin
+    for (e <- 1 to qclfEpochs) {
+      sb ++= s"""
+         |, z$e AS (
+         |  SELECT f.doc_id, SUM(f.x * w.wmu) AS zmu
+         |  FROM feat_t f JOIN w${e - 1} w USING (bucket) GROUP BY 1
+         |), p$e AS (
+         |  SELECT doc_id,
+         |    CAST(floor(1000000.0 / (1.0 + exp(-(CAST(zmu AS DOUBLE)
+         |      / 1000000.0))) + 0.5) AS BIGINT) AS pmu
+         |  FROM z$e
+         |), g$e AS (
+         |  SELECT f.bucket, SUM((p.pmu - l.ymu) * f.x) AS g
+         |  FROM feat_t f
+         |  JOIN p$e p USING (doc_id)
+         |  JOIN lab_t l USING (doc_id)
+         |  GROUP BY 1
+         |), w$e AS MATERIALIZED (
+         |  -- truncation toward zero ≙ the Spark side's Long division
+         |  SELECT w.bucket, w.wmu -
+         |    (CASE WHEN COALESCE(g.g, 0) >= 0
+         |          THEN COALESCE(g.g, 0) // ($lrDen * n.n)
+         |          ELSE -((-COALESCE(g.g, 0)) // ($lrDen * n.n)) END)
+         |    AS wmu
+         |  FROM w${e - 1} w
+         |  LEFT JOIN g$e g USING (bucket)
+         |  CROSS JOIN nT n
+         |)""".stripMargin
+    }
+    sb.toString
+  }
+
+  val trainSql: String =
+    s"""WITH tr AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < $qclfTrainN
+       |), ${featCtes("tr", "t")}, $epochCtes
+       |SELECT bucket, CAST(wmu AS BIGINT) AS w_mu
+       |FROM w$qclfEpochs ORDER BY bucket""".stripMargin
+
+  val scoreSql: String =
+    s"""WITH tr AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < $qclfTrainN
+       |), ${featCtes("tr", "t")}, $epochCtes,
+       |${featCtes("documents", "a")},
+       |zA AS (
+       |  SELECT f.doc_id, SUM(f.x * w.wmu) AS zmu
+       |  FROM feat_a f JOIN w$qclfEpochs w USING (bucket) GROUP BY 1
+       |), pA AS (
+       |  SELECT doc_id,
+       |    CAST(floor(1000000.0 / (1.0 + exp(-(CAST(zmu AS DOUBLE)
+       |      / 1000000.0))) + 0.5) AS BIGINT) AS score_mu
+       |  FROM zA
+       |)
+       |SELECT l.doc_id, p.score_mu,
+       |  p.score_mu >= 500000 AS predicted,
+       |  l.ymu = 1000000 AS label,
+       |  (p.score_mu >= 500000) = (l.ymu = 1000000) AS agree
+       |FROM lab_a l JOIN pA p USING (doc_id)
+       |ORDER BY l.doc_id""".stripMargin
+}

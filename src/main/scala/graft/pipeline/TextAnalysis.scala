@@ -952,7 +952,17 @@ object TextAnalysis {
     */
   def hashfeat(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
-    Graft.tableParallel(spark, sfDir, "documents")
+    hashfeatFrom(Graft.tableParallel(spark, sfDir, "documents"))
+      .orderBy(col("doc_id"), col("bucket"))
+  }
+
+  /** The sparse (doc_id, bucket, w) relation over any documents frame —
+    * shared by the gated vectorizer face and the quality classifier
+    * (whose features must be bit-identical to this relation, or the
+    * two oracles would train on different vectors).
+    */
+  private[graft] def hashfeatFrom(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(expr(
         "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
       .withColumn("h", expr("graft_md5_48(term)"))
@@ -961,8 +971,6 @@ object TextAnalysis {
       .agg(sum(when(expr(s"(h DIV $hashfeatBuckets) % 2 = 0"), 1L)
         .otherwise(-1L)).as("w"))
       .filter(col("w") =!= 0L)
-      .orderBy(col("doc_id"), col("bucket"))
-  }
 
   val hashfeatSql: String = {
     val h48 = HashParity.hex48Duck("md5(term)")

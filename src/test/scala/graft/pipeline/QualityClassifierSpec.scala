@@ -1,0 +1,44 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+/** The learned quality filter: integer-GD logistic regression over the
+  * hashing-trick features, distilling the heuristic teacher labels.
+  */
+class QualityClassifierSpec extends SparkSpec {
+
+  test("training is deterministic and the weights actually move") {
+    val w1 = QualityClassifier.train(spark, sfDir).collect()
+    val w2 = QualityClassifier.train(spark, sfDir).collect()
+    assert(w1.map(_.toString).toSeq == w2.map(_.toString).toSeq,
+      "two trainings must land bit-identical weights")
+    assert(w1.length == TextAnalysis.hashfeatBuckets + 3)
+    assert(w1.exists(_.getLong(1) != 0L), "all-zero weights: GD never ran")
+  }
+
+  test("corpus agreement beats the majority-class baseline " +
+       "(the model learned something, not just the prior)") {
+    val rows = QualityClassifier.score(spark, sfDir).collect()
+    val n = rows.length
+    assert(n > 0)
+    val agree = rows.count(_.getBoolean(4))
+    val pos = rows.count(_.getBoolean(3))
+    val majority = math.max(pos, n - pos).toDouble / n
+    info(f"n=$n pos=$pos agree=${agree.toDouble / n}%.4f " +
+      f"majority=$majority%.4f")
+    assert(pos > 0 && pos < n,
+      s"degenerate teacher labels on the fixture ($pos/$n positive)")
+    assert(agree.toDouble / n > majority,
+      f"agreement ${agree.toDouble / n}%.4f must beat the " +
+        f"majority baseline $majority%.4f")
+  }
+
+  test("scores are calibrated micro-probabilities in [0, 1e6]") {
+    val rows = QualityClassifier.score(spark, sfDir).collect()
+    assert(rows.forall { r =>
+      val s = r.getLong(1); s >= 0L && s <= 1000000L
+    })
+    // threshold consistency: predicted == (score_mu >= 500000)
+    assert(rows.forall(r => r.getBoolean(2) == (r.getLong(1) >= 500000L)))
+  }
+}
