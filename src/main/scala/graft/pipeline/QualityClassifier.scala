@@ -51,14 +51,31 @@ object QualityClassifier {
 
   private val nB = TextAnalysis.hashfeatBuckets // 64
 
-  /** Teacher labels: the two cheapest gate signals (token count in the
-    * Gopher band, stopword ratio above floor) — deliberately a SUBSET
-    * of the full 39b gate, so the classifier has real signal to
-    * recover from lexical features without the oracle having to replay
-    * the gate's LM leg inside every epoch CTE.
+  // Teacher labels: the two cheapest gate signals (token count in the
+  // Gopher band, stopword ratio above floor) — deliberately a SUBSET
+  // of the full 39b gate, so the classifier has real signal to
+  // recover from lexical features without the oracle having to replay
+  // the gate's LM leg inside every epoch CTE. Computed inline as
+  // COLUMNS in featureRows (per-row rule, no self-join).
+
+  /** Features + bias rows + micro-unit labels for any documents frame:
+    * (doc_id, bucket, x, ymu) with bucket −1 carrying the bias (x=1
+    * for every doc, so empty documents still reach the model), −2 the
+    * clamped token count and −3 the clamped stopword count.
     */
-  private def labels(docs: DataFrame): DataFrame =
-    docs
+  private[graft] def featureRows(docs: DataFrame): DataFrame = {
+    // dense engineered features next to the hashed buckets: the signed
+    // hash sums CANCEL length information by construction (that is
+    // their unbiasedness), so a length-band teacher is invisible to
+    // them alone — clamped token and stopword counts restore the axes
+    // the teacher actually thresholds (measured: hash-only training
+    // landed exactly at the majority-class baseline).
+    // The label rides every derivation as a COLUMN (the teacher rule
+    // is per-row), never via a doc_id self-join — a join of two
+    // derivations of the same source would become a stream-stream
+    // join on the streaming face.
+    val labT = docs
+      .select(col("doc_id"), col("text"))
       .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
       .withColumn("n_tokens", size(col("toks")).cast(LongType))
       .withColumn("stop_cnt",
@@ -66,36 +83,37 @@ object QualityClassifier {
           .cast(LongType))
       .withColumn("stop_ratio", when(col("n_tokens") >= 1, ParityMath.q6(
         col("stop_cnt").cast("double") / col("n_tokens").cast("double"))))
-      .select(col("doc_id"), col("n_tokens"), col("stop_cnt"),
-        (col("n_tokens").between(QualityGate.minTokens,
+      .withColumn("ymu",
+        when(col("n_tokens").between(QualityGate.minTokens,
             QualityGate.maxTokens) &&
           coalesce(col("stop_ratio") >= QualityGate.minStopRatio,
-            lit(false))).as("y"))
-
-  /** Features + bias rows + micro-unit labels for any documents frame:
-    * (doc_id, bucket, x, ymu) with bucket −1 carrying the bias (x=1
-    * for every doc, so empty documents still reach the model), −2 the
-    * clamped token count and −3 the clamped stopword count.
-    */
-  private def featureRows(docs: DataFrame): DataFrame = {
-    val lab = labels(docs)
-    // dense engineered features next to the hashed buckets: the signed
-    // hash sums CANCEL length information by construction (that is
-    // their unbiasedness), so a length-band teacher is invisible to
-    // them alone — clamped token and stopword counts restore the axes
-    // the teacher actually thresholds (measured: hash-only training
-    // landed exactly at the majority-class baseline)
-    val feats = TextAnalysis.hashfeatFrom(docs)
-      .select(col("doc_id"), col("bucket"), col("w").as("x"))
-      .unionAll(lab.select(col("doc_id"), lit(-1L).as("bucket"),
-        lit(1L).as("x")))
-      .unionAll(lab.select(col("doc_id"), lit(-2L).as("bucket"),
-        expr("least(n_tokens, 64L) DIV 8L").as("x")))
-      .unionAll(lab.select(col("doc_id"), lit(-3L).as("bucket"),
-        expr("least(stop_cnt, 64L) DIV 8L").as("x")))
-    feats.join(lab.select(col("doc_id"), col("y")), "doc_id")
-      .select(col("doc_id"), col("bucket"), col("x"),
-        when(col("y"), 1000000L).otherwise(0L).as("ymu"))
+            lit(false)), 1000000L).otherwise(0L))
+      .select(col("doc_id"), col("text"), col("n_tokens"),
+        col("stop_cnt"), col("ymu"))
+    // ONE explode + ONE aggregation (no union of aggregated and
+    // row-wise branches — a Complete-mode streaming query cannot mix
+    // them): each doc fans out to its hashed-term contributions PLUS
+    // three synthetic entries carrying bias and the dense features,
+    // then a single (doc, ymu, bucket)-keyed map-combinable sum folds
+    // them. Zero-sum HASHED buckets drop (collision cancellation);
+    // dense rows stay even at zero (their absence would change z for
+    // short docs on only one engine).
+    labT
+      .select(col("doc_id"), col("ymu"), explode(expr(
+        s"""concat(
+           |  transform(regexp_extract_all(lower(text), '[a-z0-9]+', 0),
+           |    t -> named_struct(
+           |      'b', graft_md5_48(t) % $nB,
+           |      'c', CASE WHEN (graft_md5_48(t) DIV $nB) % 2 = 0
+           |                THEN 1L ELSE -1L END)),
+           |  array(named_struct('b', -1L, 'c', 1L),
+           |        named_struct('b', -2L, 'c', least(n_tokens, 64L) DIV 8L),
+           |        named_struct('b', -3L, 'c', least(stop_cnt, 64L) DIV 8L))
+           |)""".stripMargin)).as("bc"))
+      .groupBy(col("doc_id"), col("ymu"), col("bc.b").as("bucket"))
+      .agg(sum(col("bc.c")).as("x"))
+      .filter(col("bucket") < 0L || col("x") =!= 0L)
+      .select(col("doc_id"), col("bucket"), col("x"), col("ymu"))
   }
 
   /** Weight-lookup column for a driver-held weight vector: bucket −3
@@ -138,10 +156,18 @@ object QualityClassifier {
   private def trainWeightsUncached(spark: SparkSession,
                                    sfDir: String): (Array[Long], Long) = {
     Graft.ensureConf(spark)
-    val docsT = Graft.tableParallel(spark, sfDir, "documents")
-      .filter(col("doc_id") < qclfTrainN)
+    gdTrain(featureRows(Graft.tableParallel(spark, sfDir, "documents")
+      .filter(col("doc_id") < qclfTrainN)))
+  }
+
+  /** The epoch loop over any (doc_id, bucket, x, ymu) training feature
+    * relation — shared by the batch face and the streaming face
+    * (whose snapshot state IS this relation for the arrived training
+    * docs).
+    */
+  private[graft] def gdTrain(feats: DataFrame): (Array[Long], Long) = {
     // O(sample × buckets) rows, materialized once for all epochs
-    val joined = featureRows(docsT).localCheckpoint()
+    val joined = feats.localCheckpoint()
     val n = joined.filter(col("bucket") === -1L).count()
     val w = new Array[Long](nB + 3)
     if (n == 0L) return (w, 0L)
@@ -187,7 +213,16 @@ object QualityClassifier {
   def score(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
     val (w, _) = trainWeights(spark, sfDir)
-    featureRows(Graft.tableParallel(spark, sfDir, "documents"))
+    scoreFrom(
+      featureRows(Graft.tableParallel(spark, sfDir, "documents")), w)
+  }
+
+  /** The scoring view over any (doc_id, bucket, x, ymu) feature
+    * relation — shared by the batch and streaming faces.
+    */
+  private[graft] def scoreFrom(feats: DataFrame,
+                               w: Array[Long]): DataFrame =
+    feats
       .groupBy(col("doc_id"), col("ymu"))
       .agg(sum(col("x") * wLookup(w)).as("zmu"))
       .withColumn("score_mu",
@@ -199,7 +234,6 @@ object QualityClassifier {
         ((col("score_mu") >= 500000L) === (col("ymu") === 1000000L))
           .as("agree"))
       .orderBy(col("doc_id"))
-  }
 
   // ---- DuckDB oracles -------------------------------------------------
 

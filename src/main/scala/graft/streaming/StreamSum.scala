@@ -194,6 +194,31 @@ object StreamSum {
     SignatureStore.storedQualityGate(spark, store)
   }
 
+  /** Streaming face of the learned quality filter, sharing
+    * `pipe_qclf_score`'s oracle: the streamed state is the
+    * (doc, bucket) feature relation — ONE Complete-mode aggregation
+    * (hashed contributions and the dense/bias entries fan out of the
+    * same explode, so there is no agg/row-wise union the mode would
+    * reject). At snapshot time the model RETRAINS from the arrived
+    * training docs' features (the evolving-model contract: a training
+    * doc arriving late changes every weight, so no weight is storable
+    * state) and scores everything that has arrived — exactly the
+    * one-shot batch train+score.
+    */
+  def streamQclf(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    import graft.pipeline.QualityClassifier
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val feats = runToTable(QualityClassifier.featureRows(docs),
+      OutputMode.Complete(), "ss_stream_qclf")
+    val (w, _) = QualityClassifier.gdTrain(
+      feats.filter(col("doc_id") < QualityClassifier.qclfTrainN))
+    QualityClassifier.scoreFrom(feats, w)
+  }
+
   /** How many bounded top-K shards the streaming weighted sample
     * maintains: state is shards x K rows total, and the final global
     * top-K merges shards x K rows - both independent of stream length.

@@ -169,6 +169,12 @@ class FeatureStreamSpec extends SparkSpec {
       rows(TimeSeries.qSeasonality(spark, sfDir)))
   }
 
+  test("ss_stream_qclf == pipe_qclf_score (retrained from streamed " +
+       "features, bit-identical weights)") {
+    assert(rows(StreamSum.streamQclf(spark, sfDir)) ==
+      rows(graft.pipeline.QualityClassifier.score(spark, sfDir)))
+  }
+
   test("ss_stream_skyline == q_skyline") {
     assert(rows(StreamSum.streamSkyline(spark, sfDir)) ==
       rows(graft.analytics.Segmentation.qSkyline(spark, sfDir)))
