@@ -235,6 +235,42 @@ object QualityClassifier {
           .as("agree"))
       .orderBy(col("doc_id"))
 
+  /** `pipe_qclf_eval`: the model-quality report — corpus counts,
+    * thresholded agreement, and the EXACT tie-corrected ROC AUC via
+    * integer midranks: scores collapse to a per-value matrix (bounded
+    * by the 1e6+1-value score DOMAIN, never the corpus), midrank·2 =
+    * 2·(count below) + count(tied) + 1 keeps everything integer, and
+    * AUC = (Σ_pos midrank·2 − n_pos·(n_pos+1)) / (2·n_pos·n_neg) is
+    * one final q6 division — bitwise cross-engine, no float ranking
+    * anywhere. (The Mann–Whitney identity; ties contribute the exact
+    * 1/2 the statistical definition assigns them.)
+    */
+  def eval(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val s = score(spark, sfDir)
+    val byScore = s.groupBy(col("score_mu"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("pos"),
+        sum(when(col("agree"), 1L).otherwise(0L)).as("agr"))
+    // windows over the per-value matrix (bounded by the score domain)
+    val wBelow = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_mu"))
+      .rowsBetween(Long.MinValue, -1)
+    byScore
+      .withColumn("below", coalesce(sum(col("cnt")).over(wBelow), lit(0L)))
+      .agg(sum(col("cnt")).as("n"), sum(col("pos")).as("n_pos"),
+        sum(col("agr")).as("n_agree"),
+        sum(col("pos") * (lit(2L) * col("below") + col("cnt") + 1L))
+          .as("mid2"))
+      .select(col("n"), col("n_pos"), (col("n") - col("n_pos")).as("n_neg"),
+        ParityMath.q6(col("n_agree").cast("double") /
+          col("n").cast("double")).as("agree_frac"),
+        ParityMath.q6(
+          (col("mid2") - col("n_pos") * (col("n_pos") + 1L)).cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") *
+              (col("n") - col("n_pos")).cast("double"))).as("auc"))
+  }
+
   // ---- DuckDB oracles -------------------------------------------------
 
   private val h48 = HashParity.hex48Duck("md5(term)")
@@ -336,24 +372,61 @@ object QualityClassifier {
        |SELECT bucket, CAST(wmu AS BIGINT) AS w_mu
        |FROM w$qclfEpochs ORDER BY bucket""".stripMargin
 
-  val scoreSql: String =
-    s"""WITH tr AS (
+  /** CTE chain from the raw table through training to the per-doc
+    * scored relation `scored(doc_id, score_mu, ymu)` — shared by the
+    * score and eval oracles.
+    */
+  private def scoredCtes: String =
+    s"""tr AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id < $qclfTrainN
        |), ${featCtes("tr", "t")}, $epochCtes,
        |${featCtes("documents", "a")},
        |zA AS (
        |  SELECT f.doc_id, SUM(f.x * w.wmu) AS zmu
        |  FROM feat_a f JOIN w$qclfEpochs w USING (bucket) GROUP BY 1
-       |), pA AS (
-       |  SELECT doc_id,
-       |    CAST(floor(1000000.0 / (1.0 + exp(-(CAST(zmu AS DOUBLE)
-       |      / 1000000.0))) + 0.5) AS BIGINT) AS score_mu
-       |  FROM zA
+       |), scored AS MATERIALIZED (
+       |  SELECT l.doc_id,
+       |    CAST(floor(1000000.0 / (1.0 + exp(-(CAST(z.zmu AS DOUBLE)
+       |      / 1000000.0))) + 0.5) AS BIGINT) AS score_mu,
+       |    l.ymu
+       |  FROM lab_a l JOIN zA z USING (doc_id)
+       |)""".stripMargin
+
+  val scoreSql: String =
+    s"""WITH $scoredCtes
+       |SELECT doc_id, score_mu,
+       |  score_mu >= 500000 AS predicted,
+       |  ymu = 1000000 AS label,
+       |  (score_mu >= 500000) = (ymu = 1000000) AS agree
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
+
+  val evalSql: String =
+    s"""WITH $scoredCtes, by_score AS (
+       |  SELECT score_mu, count(*) AS cnt,
+       |    sum(CASE WHEN ymu = 1000000 THEN 1 ELSE 0 END) AS pos,
+       |    sum(CASE WHEN (score_mu >= 500000) = (ymu = 1000000)
+       |             THEN 1 ELSE 0 END) AS agr
+       |  FROM scored GROUP BY 1
+       |), cum AS (
+       |  SELECT score_mu, cnt, pos, agr,
+       |    COALESCE(sum(cnt) OVER (ORDER BY score_mu
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS below
+       |  FROM by_score
+       |), tot AS (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+       |    CAST(sum(pos) AS BIGINT) AS n_pos,
+       |    CAST(sum(agr) AS BIGINT) AS n_agree,
+       |    CAST(sum(pos * (2 * below + cnt + 1)) AS BIGINT) AS mid2
+       |  FROM cum
        |)
-       |SELECT l.doc_id, p.score_mu,
-       |  p.score_mu >= 500000 AS predicted,
-       |  l.ymu = 1000000 AS label,
-       |  (p.score_mu >= 500000) = (l.ymu = 1000000) AS agree
-       |FROM lab_a l JOIN pA p USING (doc_id)
-       |ORDER BY l.doc_id""".stripMargin
+       |SELECT n, n_pos, n - n_pos AS n_neg,
+       |  ${ParityMath.q6Sql(
+          "CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE)")} AS agree_frac,
+       |  ${ParityMath.q6Sql(
+          """CAST(mid2 - n_pos * (n_pos + 1) AS DOUBLE)
+            |  / (2.0 * CAST(n_pos AS DOUBLE)
+            |     * CAST(n - n_pos AS DOUBLE))""".stripMargin)} AS auc
+       |FROM tot""".stripMargin
 }

@@ -33,6 +33,16 @@ class QualityClassifierSpec extends SparkSpec {
         f"majority baseline $majority%.4f")
   }
 
+  test("eval: exact midrank AUC beats coin-flip and counts match") {
+    val r = QualityClassifier.eval(spark, sfDir).collect().head
+    val (n, nPos, nNeg) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(n == nPos + nNeg && nPos > 0 && nNeg > 0)
+    val auc = r.getDouble(4)
+    info(f"auc=$auc%.4f agree=${r.getDouble(3)}%.4f")
+    assert(auc > 0.5, f"AUC $auc%.4f must beat random ranking")
+    assert(auc <= 1.0)
+  }
+
   test("scores are calibrated micro-probabilities in [0, 1e6]") {
     val rows = QualityClassifier.score(spark, sfDir).collect()
     assert(rows.forall { r =>
