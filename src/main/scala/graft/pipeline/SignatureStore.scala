@@ -691,6 +691,64 @@ object SignatureStore {
     storedRfm(spark, store)
   }
 
+  // ---- qclf store ----------------------------------------------------
+
+  /** Incremental face of the learned quality filter: each arriving
+    * batch of documents lands its FEATURE relation (doc, bucket, x,
+    * ymu — docs are immutable, so partials are disjoint appends;
+    * "tokenize once", the evolving-LM stores' philosophy applied to
+    * featurization). The model itself is NEVER stored: a training doc
+    * arriving in a later batch changes every weight, so training is a
+    * query-time fold over the stored training-sample features —
+    * the evolving-model contract on the WEIGHTS axis.
+    */
+  def catchUpQclf(spark: SparkSession, watchDir: String,
+                  storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val docs = spark.readStream.schema(schema).parquet(watchDir)
+    val q = docs.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.pipeline.QualityClassifier.featureRows(batch)
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/feats/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  def storedQclf(spark: SparkSession, storeDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val feats = storedOrEmpty(spark, s"$storeDir/feats",
+      emptyLike(spark, spark.range(0).selectExpr("id AS doc_id",
+        "id AS bucket", "id AS x", "id AS ymu")))
+    val (w, _) = graft.pipeline.QualityClassifier.gdTrain(
+      feats.filter(col("doc_id") <
+        graft.pipeline.QualityClassifier.qclfTrainN))
+    graft.pipeline.QualityClassifier.scoreFrom(feats, w)
+  }
+
+  /** Driver-gate face: fresh store, two doc-parity appends (training
+    * docs land in BOTH batches, so the query-time retrain must see the
+    * union — weights trained on either half alone differ), then the
+    * scoring view; shares `pipe_qclf_score`'s oracle.
+    */
+  def gatedQclf(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_qclf_watch")
+    val store = tempDirForExit("graft_gate_qclf_store")
+    val docs = Graft.table(spark, sfDir, "documents")
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpQclf(spark, watch, store)
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpQclf(spark, watch, store)
+    storedQclf(spark, store)
+  }
+
   // ---- markov store --------------------------------------------------
 
   /** Incremental transition matrix: each arriving batch lands (a) its

@@ -43,6 +43,15 @@ class QualityClassifierSpec extends SparkSpec {
     assert(auc <= 1.0)
   }
 
+  test("qclf store == one-shot score after parity-split ingest " +
+       "(training docs straddle the batches — retrain sees the union)") {
+    val stored = SignatureStore.gatedQclf(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val oneShot = QualityClassifier.score(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(stored == oneShot)
+  }
+
   test("scores are calibrated micro-probabilities in [0, 1e6]") {
     val rows = QualityClassifier.score(spark, sfDir).collect()
     assert(rows.forall { r =>
