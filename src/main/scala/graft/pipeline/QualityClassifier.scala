@@ -161,32 +161,43 @@ object QualityClassifier {
   }
 
   /** The epoch loop over any (doc_id, bucket, x, ymu) training feature
-    * relation — shared by the batch face and the streaming face
-    * (whose snapshot state IS this relation for the arrived training
-    * docs).
+    * relation — shared by the batch, streaming, and store faces. The
+    * relation is SAMPLE-BOUNDED by construction (≤ qclfTrainN × 67
+    * rows), so it is collected ONCE and the 40 epochs fold on the
+    * driver — the Lloyd-codebook posture: distributed featurization,
+    * driver-local fitting of a 67-parameter model. (The first cut ran
+    * each epoch as a Spark job: 40 × the job-launch floor ≈ 6s of
+    * pure scheduling for microseconds of arithmetic.) Bit-identical to
+    * the distributed form AND the DuckDB replay: every sum is an
+    * order-free integer fold, z_mu/1e6 is one IEEE division, and the
+    * sigmoid uses the same Math.exp the engines' EXP lowers to.
     */
   private[graft] def gdTrain(feats: DataFrame): (Array[Long], Long) = {
-    // O(sample × buckets) rows, materialized once for all epochs
-    val joined = feats.localCheckpoint()
-    val n = joined.filter(col("bucket") === -1L).count()
+    val rows = feats
+      .select(col("doc_id"), col("bucket"), col("x"), col("ymu"))
+      .collect() // bounded: ≤ qclfTrainN × 67 rows
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2),
+        r.getLong(3)))
+    val byDoc = rows.groupBy(_._1).values.toArray
+    val n = byDoc.length.toLong
     val w = new Array[Long](nB + 3)
     if (n == 0L) return (w, 0L)
     for (_ <- 1 to qclfEpochs) {
-      val z = joined
-        .groupBy(col("doc_id"), col("ymu"))
-        .agg(sum(col("x") * wLookup(w)).as("zmu"))
-      val err = z.select(col("doc_id"),
-        (expr("CAST(floor(1000000.0 / (1.0 + exp(-(CAST(zmu AS DOUBLE) " +
-          "/ 1000000.0))) + 0.5) AS BIGINT)") - col("ymu")).as("errmu"))
-      val grad = joined.join(err, "doc_id")
-        .groupBy(col("bucket"))
-        .agg(sum(col("errmu") * col("x")).as("g"))
-        .collect() // bounded: ≤ 67 rows
-      grad.foreach { r =>
-        val b = r.getLong(0).toInt
+      val grad = new Array[Long](nB + 3)
+      byDoc.foreach { fs =>
+        var zmu = 0L
+        fs.foreach { case (_, b, x, _) => zmu += x * w(b + 3) }
+        val pmu = math.floor(1000000.0 /
+          (1.0 + math.exp(-(zmu.toDouble / 1000000.0))) + 0.5).toLong
+        val errmu = pmu - fs.head._4
+        fs.foreach { case (_, b, x, _) => grad(b + 3) += errmu * x }
+      }
+      var b = 0
+      while (b < grad.length) {
         // Scala Long division truncates toward zero ≙ Spark DIV; the
         // oracle replays truncation by sign-splitting DuckDB's //
-        w(b + 3) -= r.getLong(1) / (lrDen * n)
+        w(b) -= grad(b) / (lrDen * n)
+        b += 1
       }
     }
     (w, n)
