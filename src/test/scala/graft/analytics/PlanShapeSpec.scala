@@ -473,6 +473,23 @@ class PlanShapeSpec extends SparkSpec {
       s"ranks must come from range-partitioned sorts:\n$plan")
   }
 
+  test("qclf scoring: narrow feature fan-out, keyed aggregations only " +
+       "(no window, no nested-loop join), columns pruned to the scan") {
+    val plan = executed(
+      graft.pipeline.QualityClassifier.score(spark, sfDir))
+    assert(!plan.contains("Window"),
+      s"scoring must not plan a window:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"the weight lookup is a literal array, never a join:\n$plan")
+    // the documents scan feeds only (doc_id, text) — reading any other
+    // column for a 2-input featurization is a pruning regression
+    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.nonEmpty && reads.forall { l =>
+      l.contains("doc_id") && l.contains("text") && !l.contains("source")
+    }, s"feature scan must read only doc_id+text:\n$plan")
+  }
+
   test("skyline: partition-local frontiers, no global window, and the " +
        "merge input is the tiny local-frontier relation") {
     val plan = executed(Segmentation.qSkyline(spark, sfDir))
