@@ -66,6 +66,50 @@ object GlobalRank {
     (GraftBridge.ofInternalRows(spark, out, outSchema), n)
   }
 
+  /** `df` plus an EXCLUSIVE running sum of `valueCol` (a non-null
+    * LongType column) under the total order `order`: for each row, the
+    * sum of `valueCol` over all strictly order-earlier rows. Also
+    * returns the grand total (free from the size pass). Same
+    * construction as `withRank` with the per-partition COUNT replaced
+    * by a per-partition SUM - the global-cumsum shape
+    * (`Window.orderBy(...).rowsBetween(unbounded, -1)`) without the
+    * one-task window funnel.
+    */
+  def withPrefixSum(df: DataFrame, order: Seq[Column], valueCol: String,
+                    sumCol: String): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val parts = spark.sparkContext.defaultParallelism
+    val sorted = df
+      .repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+    val inSchema = sorted.schema
+    val vIdx = inSchema.fieldIndex(valueCol)
+    require(inSchema(vIdx).dataType == LongType,
+      s"$valueCol must be LongType, got ${inSchema(vIdx).dataType}")
+    val outSchema = StructType(
+      inSchema.fields :+ StructField(sumCol, LongType, nullable = false))
+    val rdd = sorted.queryExecution.toRdd
+    val sums = rdd.mapPartitions { it =>
+      var s = 0L
+      while (it.hasNext) { s += it.next().getLong(vIdx) }
+      Iterator.single(s)
+    }.collect()
+    val offsets = sums.scanLeft(0L)(_ + _)
+    val total = offsets.last
+    val out = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var acc = offsets(pi)
+      it.map[InternalRow] { ir =>
+        val v = ir.getLong(vIdx)
+        // copy: unsafe-row iterators reuse the backing buffer
+        val vals = ir.copy().toSeq(inSchema).toArray[Any]
+        val row = new GenericInternalRow(vals :+ (acc: Any)) // exclusive
+        acc += v
+        row
+      }
+    }
+    (GraftBridge.ofInternalRows(spark, out, outSchema), total)
+  }
+
   /** SEVERAL global rankings of one relation in ONE range shuffle:
     * each row is tagged into `axes.length` skinny (key, axis, value)
     * rows, range-partitioned on (axis, value, key) — axis leading, so

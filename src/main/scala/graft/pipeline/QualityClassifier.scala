@@ -171,6 +171,15 @@ object QualityClassifier {
     * the distributed form AND the DuckDB replay: every sum is an
     * order-free integer fold, z_mu/1e6 is one IEEE division, and the
     * sigmoid uses the same Math.exp the engines' EXP lowers to.
+    *
+    * Known cross-engine risk (accepted): bit-identity assumes DuckDB's
+    * libm exp() agrees with JVM Math.exp wherever
+    * floor(1e6·sigmoid + 0.5) sits within 1 ulp of a .5 boundary;
+    * unlike the one-shot micro-nat ln, a single boundary hit here
+    * cascades through all 67 weights for the remaining epochs. The
+    * clean diagnostic exists by construction: `pipe_qclf_train` gates
+    * the WEIGHT VECTOR itself, so a libm divergence fails as a 67-row
+    * weight mismatch there before any downstream face can mis-score.
     */
   private[graft] def gdTrain(feats: DataFrame): (Array[Long], Long) = {
     val rows = feats
@@ -256,19 +265,25 @@ object QualityClassifier {
     * anywhere. (The Mann–Whitney identity; ties contribute the exact
     * 1/2 the statistical definition assigns them.)
     */
-  def eval(spark: SparkSession, sfDir: String): DataFrame = {
-    Graft.ensureConf(spark)
-    val s = score(spark, sfDir)
-    val byScore = s.groupBy(col("score_mu"))
+  def eval(spark: SparkSession, sfDir: String): DataFrame =
+    evalFrom(score(spark, sfDir))
+
+  /** The midrank-AUC report over any scored relation - shared by the
+    * full-corpus eval and the held-out calibration face. The `below`
+    * cumulative runs through `GlobalRank.withPrefixSum` (the axis-
+    * tagged range-shuffle family), NOT a global-order window: the
+    * per-value matrix is score-DOMAIN-bounded so a window would pass
+    * the fixtures, but it was the one remaining empty-partition window
+    * funnel in the codebase.
+    */
+  private def evalFrom(scored: DataFrame): DataFrame = {
+    val byScore = scored.groupBy(col("score_mu"))
       .agg(count(lit(1)).as("cnt"),
         sum(when(col("label"), 1L).otherwise(0L)).as("pos"),
         sum(when(col("agree"), 1L).otherwise(0L)).as("agr"))
-    // windows over the per-value matrix (bounded by the score domain)
-    val wBelow = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score_mu"))
-      .rowsBetween(Long.MinValue, -1)
-    byScore
-      .withColumn("below", coalesce(sum(col("cnt")).over(wBelow), lit(0L)))
+    val (withBelow, _) = graft.core.GlobalRank.withPrefixSum(
+      byScore, Seq(col("score_mu")), "cnt", "below")
+    withBelow
       .agg(sum(col("cnt")).as("n"), sum(col("pos")).as("n_pos"),
         sum(col("agr")).as("n_agree"),
         sum(col("pos") * (lit(2L) * col("below") + col("cnt") + 1L))
@@ -276,6 +291,73 @@ object QualityClassifier {
       .select(col("n"), col("n_pos"), (col("n") - col("n_pos")).as("n_neg"),
         ParityMath.q6(col("n_agree").cast("double") /
           col("n").cast("double")).as("agree_frac"),
+        ParityMath.q6(
+          (col("mid2") - col("n_pos") * (col("n_pos") + 1L)).cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") *
+              (col("n") - col("n_pos")).cast("double"))).as("auc"))
+  }
+
+  /** Calibrated decision threshold: the score_mu cut maximizing
+    * thresholded teacher agreement ON THE TRAINING SAMPLE (candidates:
+    * the sample's distinct scores plus the predict-nothing cut
+    * 1000001; ties break to the smallest cut). The sample is bounded
+    * (`doc_id < qclfTrainN`), so selection folds on the driver - the
+    * gdTrain posture - and the oracle replays the identical integer
+    * argmax in SQL. This closes the r9 gap between ranking quality
+    * (AUC 0.96) and the fixed-0.5 thresholded agreement (0.878): the
+    * sigmoid is distilled from a discrete teacher, so nothing pins its
+    * natural cut to one half.
+    */
+  private[graft] def calThreshold(spark: SparkSession,
+                                  sfDir: String): Long = {
+    Graft.ensureConf(spark)
+    val (w, _) = trainWeights(spark, sfDir)
+    val pairs = scoreFrom(
+      featureRows(Graft.tableParallel(spark, sfDir, "documents")
+        .filter(col("doc_id") < qclfTrainN)), w)
+      .select(col("score_mu"), col("label"))
+      .collect() // bounded: <= qclfTrainN rows
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    val cands = (pairs.map(_._1).distinct :+ 1000001L).sorted
+    val best = cands.map { th =>
+      val agree = pairs.count { case (s, y) => (s >= th) == y }
+      (th, agree)
+    }.maxBy { case (th, a) => (a.toLong, -th) } // ties: smallest cut
+    best._1
+  }
+
+  /** `pipe_qclf_cal`: the HELD-OUT evaluation (docs the training
+    * sample never saw, `doc_id >= qclfTrainN`) at both the default 0.5
+    * cut and the training-calibrated cut - the honest generalization
+    * numbers `pipe_qclf_eval`'s full-corpus distillation audit (which
+    * includes the 300 training docs) does not give.
+    */
+  def cal(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val (w, _) = trainWeights(spark, sfDir)
+    val theta = calThreshold(spark, sfDir)
+    val held = scoreFrom(
+      featureRows(Graft.tableParallel(spark, sfDir, "documents")
+        .filter(col("doc_id") >= qclfTrainN)), w)
+    val byScore = held.groupBy(col("score_mu"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("pos"),
+        sum(when(col("agree"), 1L).otherwise(0L)).as("agr"),
+        sum(when((col("score_mu") >= theta) === col("label"), 1L)
+          .otherwise(0L)).as("agr_cal"))
+    val (withBelow, _) = graft.core.GlobalRank.withPrefixSum(
+      byScore, Seq(col("score_mu")), "cnt", "below")
+    withBelow
+      .agg(sum(col("cnt")).as("n"), sum(col("pos")).as("n_pos"),
+        sum(col("agr")).as("n_agree"), sum(col("agr_cal")).as("n_cal"),
+        sum(col("pos") * (lit(2L) * col("below") + col("cnt") + 1L))
+          .as("mid2"))
+      .select(lit(theta).as("theta_mu"), col("n"), col("n_pos"),
+        (col("n") - col("n_pos")).as("n_neg"),
+        ParityMath.q6(col("n_agree").cast("double") /
+          col("n").cast("double")).as("agree_default"),
+        ParityMath.q6(col("n_cal").cast("double") /
+          col("n").cast("double")).as("agree_cal"),
         ParityMath.q6(
           (col("mid2") - col("n_pos") * (col("n_pos") + 1L)).cast("double") /
             (lit(2.0) * col("n_pos").cast("double") *
@@ -435,6 +517,62 @@ object QualityClassifier {
        |SELECT n, n_pos, n - n_pos AS n_neg,
        |  ${ParityMath.q6Sql(
           "CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE)")} AS agree_frac,
+       |  ${ParityMath.q6Sql(
+          """CAST(mid2 - n_pos * (n_pos + 1) AS DOUBLE)
+            |  / (2.0 * CAST(n_pos AS DOUBLE)
+            |     * CAST(n - n_pos AS DOUBLE))""".stripMargin)} AS auc
+       |FROM tot""".stripMargin
+
+  /** The held-out calibration oracle: replay training, select the
+    * agreement-argmax cut over the TRAINING docs' scores (ties to the
+    * smallest cut - matches the driver fold), then the held-out
+    * report at both cuts.
+    */
+  val calSql: String =
+    s"""WITH $scoredCtes, trs AS (
+       |  SELECT score_mu, ymu FROM scored WHERE doc_id < $qclfTrainN
+       |), cands AS (
+       |  SELECT DISTINCT score_mu AS th FROM trs
+       |  UNION SELECT CAST(1000001 AS BIGINT)
+       |), agrt AS (
+       |  SELECT c.th,
+       |    (SELECT count(*) FROM trs t
+       |     WHERE (t.score_mu >= c.th) = (t.ymu = 1000000)) AS a
+       |  FROM cands c
+       |), theta AS (
+       |  SELECT th FROM agrt ORDER BY a DESC, th ASC LIMIT 1
+       |), ho AS (
+       |  SELECT s.score_mu, s.ymu, t.th
+       |  FROM scored s CROSS JOIN theta t
+       |  WHERE s.doc_id >= $qclfTrainN
+       |), by_score AS (
+       |  SELECT score_mu, count(*) AS cnt,
+       |    sum(CASE WHEN ymu = 1000000 THEN 1 ELSE 0 END) AS pos,
+       |    sum(CASE WHEN (score_mu >= 500000) = (ymu = 1000000)
+       |             THEN 1 ELSE 0 END) AS agr,
+       |    sum(CASE WHEN (score_mu >= th) = (ymu = 1000000)
+       |             THEN 1 ELSE 0 END) AS agr_cal
+       |  FROM ho GROUP BY 1
+       |), cum AS (
+       |  SELECT cnt, pos, agr, agr_cal,
+       |    COALESCE(sum(cnt) OVER (ORDER BY score_mu
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS below
+       |  FROM by_score
+       |), tot AS (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+       |    CAST(sum(pos) AS BIGINT) AS n_pos,
+       |    CAST(sum(agr) AS BIGINT) AS n_agree,
+       |    CAST(sum(agr_cal) AS BIGINT) AS n_cal,
+       |    CAST(sum(pos * (2 * below + cnt + 1)) AS BIGINT) AS mid2
+       |  FROM cum
+       |)
+       |SELECT (SELECT CAST(th AS BIGINT) FROM theta) AS theta_mu,
+       |  n, n_pos, n - n_pos AS n_neg,
+       |  ${ParityMath.q6Sql(
+          "CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE)")} AS agree_default,
+       |  ${ParityMath.q6Sql(
+          "CAST(n_cal AS DOUBLE) / CAST(n AS DOUBLE)")} AS agree_cal,
        |  ${ParityMath.q6Sql(
           """CAST(mid2 - n_pos * (n_pos + 1) AS DOUBLE)
             |  / (2.0 * CAST(n_pos AS DOUBLE)

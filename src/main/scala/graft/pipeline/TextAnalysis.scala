@@ -956,10 +956,13 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("bucket"))
   }
 
-  /** The sparse (doc_id, bucket, w) relation over any documents frame —
-    * shared by the gated vectorizer face and the quality classifier
-    * (whose features must be bit-identical to this relation, or the
-    * two oracles would train on different vectors).
+  /** The sparse (doc_id, bucket, w) relation over any documents frame.
+    * The quality classifier's hashed features must be bit-identical to
+    * this relation but CANNOT derive from it: its streaming face needs
+    * the one-explode/one-aggregation plan shape (dense features ride
+    * the same explode), so `QualityClassifier.featureRows` re-states
+    * the bucket/sign math inline and `QualityClassifierSpec` pins the
+    * equality - parity is spec-enforced, not structural.
     */
   private[graft] def hashfeatFrom(docs: DataFrame): DataFrame =
     docs

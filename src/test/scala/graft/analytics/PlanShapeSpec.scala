@@ -490,6 +490,22 @@ class PlanShapeSpec extends SparkSpec {
     }, s"feature scan must read only doc_id+text:\n$plan")
   }
 
+  test("qclf eval: the score-domain cumulative runs on the range-" +
+       "shuffle prefix sum, never a global-order window") {
+    // the last empty-partition window in the codebase lived here (the
+    // `below` cumsum over the per-score matrix); GlobalRank
+    // .withPrefixSum replaced it - a reappearing Window is a regression
+    val plan = executed(
+      graft.pipeline.QualityClassifier.eval(spark, sfDir))
+    assert(!plan.contains("Window"),
+      s"eval must not plan a window:\n$plan")
+    // the range shuffle itself lives behind the GraftBridge RDD
+    // boundary (GlobalRankSpec pins its correctness); the SQL plan
+    // must consume that bridge, not re-derive the cumsum
+    assert(plan.contains("Scan ExistingRDD"),
+      s"the below-cumsum must come off the GlobalRank bridge:\n$plan")
+  }
+
   test("skyline: partition-local frontiers, no global window, and the " +
        "merge input is the tiny local-frontier relation") {
     val plan = executed(Segmentation.qSkyline(spark, sfDir))

@@ -31,6 +31,23 @@ class GlobalRankSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("withPrefixSum == exclusive window cumsum over the same order, " +
+       "with value groups straddling partitions") {
+    val s = spark; import s.implicits._
+    val rows = (0L until 1000L).map(i => (i, (i * 13) % 97 + 1))
+    val in = rows.toDF("k", "v")
+    val (summed, total) = GlobalRank.withPrefixSum(
+      in, Seq(col("k").asc), "v", "below")
+    assert(total == rows.map(_._2).sum)
+    val got = summed.select("k", "below").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    var acc = 0L
+    val expected = rows.sortBy(_._1).map { case (k, v) =>
+      val e = k -> acc; acc += v; e
+    }.toMap
+    assert(got == expected)
+  }
+
   test("longAxisRanks == three independent window ranks, one shuffle") {
     val s = spark; import s.implicits._
     val rows = (0L until 500L).map(i =>

@@ -52,6 +52,38 @@ class QualityClassifierSpec extends SparkSpec {
     assert(stored == oneShot)
   }
 
+  test("classifier hashed features are bit-identical to the gated " +
+       "hashfeat relation (parity is spec-enforced, not structural)") {
+    val docs = graft.core.Graft.table(spark, sfDir, "documents")
+    val fromClf = QualityClassifier.featureRows(docs)
+      .filter(org.apache.spark.sql.functions.col("bucket") >= 0)
+      .select("doc_id", "bucket", "x")
+      .collect().map(_.toString).sorted.toSeq
+    val fromHashfeat = TextAnalysis.hashfeatFrom(docs)
+      .select("doc_id", "bucket", "w")
+      .collect().map(_.toString).sorted.toSeq
+    assert(fromClf == fromHashfeat,
+      "featureRows' hashed buckets drifted from hashfeatFrom")
+  }
+
+  test("held-out calibration: theta is deterministic, the held-out " +
+       "slice excludes the training sample, and the calibrated cut " +
+       "does not lose to the default on agreement") {
+    val r = QualityClassifier.cal(spark, sfDir).collect().head
+    val r2 = QualityClassifier.cal(spark, sfDir).collect().head
+    assert(r.toString == r2.toString, "calibration must be deterministic")
+    val theta = r.getLong(0)
+    assert(theta >= 0L && theta <= 1000001L)
+    val nDocs = graft.core.Graft.table(spark, sfDir, "documents").count()
+    assert(r.getLong(1) == nDocs - QualityClassifier.qclfTrainN,
+      "held-out n must be corpus minus the training sample")
+    val (agreeDef, agreeCal) = (r.getDouble(4), r.getDouble(5))
+    info(f"theta=$theta agree_default=$agreeDef%.4f agree_cal=$agreeCal%.4f")
+    assert(agreeCal >= agreeDef,
+      f"calibrated cut ($agreeCal%.4f) lost to the default " +
+        f"($agreeDef%.4f) on held-out agreement")
+  }
+
   test("scores are calibrated micro-probabilities in [0, 1e6]") {
     val rows = QualityClassifier.score(spark, sfDir).collect()
     assert(rows.forall { r =>
