@@ -126,6 +126,11 @@ object Bench {
     graft.pipeline.SignatureStore.releaseAll(spark)
     graft.pipeline.Similarity.releaseAll(spark)
     graft.pipeline.QualityClassifier.releaseAll(spark)
+    // memory-sink harness tables pin complete-mode state snapshots in
+    // driver heap; a multi-pass sweep accumulates 100+ of them and the
+    // GC pressure lands on whichever stateful query runs late (r9's
+    // 96s ss_stream_count_sink sf3 outlier vs 7.8s isolated)
+    graft.streaming.StreamSum.releaseHarnessTables(spark)
   }
 
   /** One timed pass over the suite: per-query (seconds, succeeded).
@@ -169,6 +174,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // unload terminated queries' state-store providers promptly: each
+      // keeps its in-memory version maps loaded until a maintenance
+      // cycle notices the query is gone (default 60s) - a fast sweep
+      // over dozens of stateful faces otherwise carries several
+      // state-sized heaps at once
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "15s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -236,6 +247,8 @@ object Bench {
     // event-only headline subset runs - a loud cap, not a silent one.
     val sf3Factor = sys.env.get("SPARK_GRAFT_BENCH_SF3X")
       .flatMap(_.toIntOption).getOrElse(10)
+    val reps3 = sys.env.get("SPARK_GRAFT_BENCH_SF3_REPS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(2)
     val pass3 =
       if (sf3Factor <= 0) None
       else try {
@@ -270,14 +283,32 @@ object Bench {
             s"(events=$rows3 docs=$rowsD vecs=$rowsV)")
         val sel3 = selected.filter(q =>
           eventHeadline.contains(q._1) || corpusHeadline.contains(q._1))
-        releaseMemos(spark)
         // cells-stay-constant: k scales with the corpus via the conf
         // knob, exactly how a deployment would retune it
         spark.conf.set("graft.similarity.cells",
           (graft.pipeline.Similarity.ivfCentroids * sf3Factor).toString)
+        // the anchor takes the per-query MIN over >=2 passes: a single
+        // pass cannot distinguish a plan regression from one bad run
+        // (r9's 96s-vs-6.9s sink-face outlier defined the round), and
+        // noise only ever ADDS time, so min tracks the plan cost
         val r =
-          try Some((rows3, runPass(spark, dir3, sel3)))
-          finally spark.conf.unset("graft.similarity.cells")
+          try {
+            val passes3 = (1 to reps3).map { i =>
+              releaseMemos(spark)
+              val p = runPass(spark, dir3, sel3)
+              System.err.println(s"[bench] sf3 pass $i: ${fmtPass(p)}")
+              p
+            }
+            val min3 = sel3.map { case (name, _) =>
+              val ts = passes3.flatMap(_.collectFirst {
+                case (`name`, t, ok) => (t, ok)
+              })
+              val okTs = ts.collect { case (t, true) => t }
+              if (okTs.isEmpty) (name, ts.map(_._1).max, false)
+              else (name, okTs.min, true)
+            }
+            Some((rows3, min3))
+          } finally spark.conf.unset("graft.similarity.cells")
         val p3 = new org.apache.hadoop.fs.Path(dir3)
         p3.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(p3, true)
@@ -308,7 +339,7 @@ object Bench {
     }.getOrElse("")
     val thirdSf = pass3 match {
       case Some((rows3, r3)) =>
-        s""","sf3_rows":$rows3,"queries_sf3":${fmtPass(r3)}$sf3Check"""
+        s""","sf3_rows":$rows3,"sf3_reps":$reps3,"queries_sf3":${fmtPass(r3)}$sf3Check"""
       case None => ""
     }
     val fullJson =
