@@ -496,32 +496,40 @@ object Dedup {
     * settings admit every true pair (the positional bound over-counts
     * overlap, never under-counts - see the join condition comment).
     */
-  private[graft] def jaccardPrefixCandidates(
-      sh0: DataFrame, positional: Boolean): DataFrame = {
+  /** The rare-first prefix relation (doc_id, h, sz, rk, p_probe) the
+    * candidate join keys on - exposed for phase profiling.
+    *
+    * ASYMMETRIC prefixes (AllPairs, Bayardo et al. WWW'07): order each
+    * pair by (size, doc_id); for J >= t the overlap is
+    * alpha = ceil(t/(1+t)(|x|+|y|)), and bounding alpha per side via
+    * the size order gives each side its own prefix:
+    *   smaller side x (|y| >= |x|): alpha >= ceil(2t/(1+t)|x|)
+    *       = ceil(8|x|/9)  -> probe prefix |x| - ceil(8|x|/9) + 1,
+    *   larger side y (|x| >= t|y|): alpha >= ceil(t|y|)
+    *       = ceil(4|y|/5)  -> index prefix |y| - ceil(4|y|/5) + 1.
+    * Prefixes only shrink as alpha grows, so a token shared inside
+    * the TRUE-alpha prefixes is shared inside these - zero false
+    * negatives (brute-force equality spec), with the probe side
+    * exposing ~|x|/9 tokens instead of ~|x|/5: the candidate fan of a
+    * rare-but-repeated prefix token drops by nearly half.
+    */
+  private[graft] def prefixRelationFor(sh0: DataFrame): DataFrame = {
     val sh = sh0.select(col("doc_id"), col("hs"))
     val ex = sh.select(col("doc_id"),
       size(col("hs")).cast(LongType).as("sz"), explode(col("hs")).as("h"))
     val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
-    // ASYMMETRIC prefixes (AllPairs, Bayardo et al. WWW'07): order each
-    // pair by (size, doc_id); for J >= t the overlap is
-    // alpha = ceil(t/(1+t)(|x|+|y|)), and bounding alpha per side via
-    // the size order gives each side its own prefix:
-    //   smaller side x (|y| >= |x|): alpha >= ceil(2t/(1+t)|x|)
-    //       = ceil(8|x|/9)  -> probe prefix |x| - ceil(8|x|/9) + 1,
-    //   larger side y (|x| >= t|y|): alpha >= ceil(t|y|)
-    //       = ceil(4|y|/5)  -> index prefix |y| - ceil(4|y|/5) + 1.
-    // Prefixes only shrink as alpha grows, so a token shared inside
-    // the TRUE-alpha prefixes is shared inside these - zero false
-    // negatives (brute-force equality spec), with the probe side
-    // exposing ~|x|/9 tokens instead of ~|x|/5: the candidate fan of a
-    // rare-but-repeated prefix token drops by nearly half.
-    val prefix = ex.join(dfreq, "h")
+    ex.join(dfreq, "h")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
       .filter(col("rk") <= col("sz") - expr("(4 * sz + 4) div 5") + lit(1L))
       .select(col("doc_id"), col("h"), col("sz"),
         col("rk").cast(LongType).as("rk"),
         (col("sz") - expr("(8 * sz + 8) div 9") + lit(1L)).as("p_probe"))
+  }
+
+  private[graft] def jaccardPrefixCandidates(
+      sh0: DataFrame, positional: Boolean): DataFrame = {
+    val prefix = prefixRelationFor(sh0)
     // PPJoin positional filter (Xiao et al. WWW'08): a shared token at
     // rare-first ranks (i, j) bounds the overlap by
     //   min(i, j) - 1  (shared tokens BEFORE this one in the global
