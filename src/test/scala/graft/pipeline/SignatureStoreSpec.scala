@@ -307,6 +307,18 @@ class SignatureStoreSpec extends SparkSpec {
     val stored = SignatureStore.gatedMarkov(spark, sfDir)
       .collect().map(_.toSeq).toSeq
     assert(stored == oneShot)
+    // arrival contract ENFORCED: a batch whose events precede the
+    // stored timeline must fail loudly, not corrupt the junctions
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      land(evDf(Seq((9L, 3500L, "d"))), "a3.parquet") // between a2's events
+      SignatureStore.catchUpMarkov(spark, watch, store)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(err).exists(c =>
+      c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("arrival contract violated")),
+      s"expected the arrival-contract error, got: $err")
   }
 
   test("three faces agree: incremental store == streaming emission == batch") {
