@@ -405,6 +405,10 @@ object Jpeg {
     var compTa: Array[Int] = null
     while (sosAt < 0) {
       require((bytes(pos) & 0xff) == 0xff, s"doc $docId: bad marker sync")
+      // T.81 B.1.1.2: any number of 0xFF fill bytes may pad the space
+      // before a marker code - skip them or the default length-skip
+      // branch below would read a bogus segment length
+      while ((bytes(pos + 1) & 0xff) == 0xff) pos += 1
       val m = bytes(pos + 1) & 0xff
       if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) pos += 2
       else {
@@ -454,6 +458,12 @@ object Jpeg {
               compTq(c) = bytes(body + 8 + 3 * c) & 0xff
               c += 1
             }
+            // single-component scans are NON-interleaved: the MCU is
+            // one data unit and the plane tiles ceil(w/8) x ceil(h/8)
+            // regardless of declared sampling factors (T.81 A.2.2) -
+            // normalizing to 1x1 reproduces exactly that geometry,
+            // where the interleaved-MCU path would mis-tile the plane
+            if (nc == 1) { compH(0) = 1; compV(0) = 1 }
           case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
                0xcb | 0xcd | 0xce | 0xcf =>
             throw new IllegalArgumentException(

@@ -39,6 +39,36 @@ class JpegSpec extends SparkSpec {
     assert(img.planes(0).sameElements(p))
   }
 
+  test("marker walk skips 0xFF fill bytes (T.81 B.1.1.2) and a " +
+       "single-component SOF with sampling >1x1 decodes non-interleaved") {
+    val (p, w, h) = Jpeg.plant(7L)
+    val enc = Jpeg.jpegEncodeGray(p, w, h)
+    val ref = Jpeg.jpegDecode(7L, enc)
+    // plant two fill bytes between SOI and the first marker: the
+    // stream reads FFD8 FF FF FFxx... - legal padding per the spec
+    val padded = enc.take(2) ++ Array(0xff.toByte, 0xff.toByte) ++
+      enc.drop(2)
+    val viaPad = Jpeg.jpegDecode(7L, padded)
+    assert(viaPad.planes(0).sameElements(ref.planes(0)),
+      "fill bytes before a marker must be transparent")
+    // patch the SOF0 sampling byte of the single component from 0x11
+    // to 0x22: per T.81 A.2.2 a one-component scan is non-interleaved
+    // (MCU = one data unit), so the decode must be unchanged
+    val sofAt = {
+      var i = 2
+      while (!((enc(i) & 0xff) == 0xff && (enc(i + 1) & 0xff) == 0xc0))
+        i += 1
+      i
+    }
+    val sampAt = sofAt + 4 + 5 + 2 // marker(2) + len(2) + prec,h,w,nc + id
+    assert((enc(sampAt) & 0xff) == 0x11, "sampling byte not where expected")
+    val patched = enc.clone()
+    patched(sampAt) = 0x22.toByte
+    val viaPatch = Jpeg.jpegDecode(7L, patched)
+    assert(viaPatch.planes(0).sameElements(ref.planes(0)),
+      "declared sampling factors must not change one-component geometry")
+  }
+
   test("jpegEncodeGray output is a valid JPEG per ImageIO, within ±1 " +
        "of our own decode on a full-AC gradient image") {
     for (id <- Seq(3L, 42L, 1001L)) {
