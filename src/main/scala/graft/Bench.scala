@@ -27,7 +27,11 @@ import org.apache.spark.sql.SparkSession
   * Scaling anchor: the same suite also runs once (single pass) at a
   * second scale factor (SPARK_GRAFT_SF_DIR2, default the sf0.01
   * sibling of the primary dir) so each query carries a visible
-  * scaling slope, not just one point.
+  * scaling slope, not just one point. The generator-driven THIRD
+  * anchor (~10x) takes the per-query MIN over SPARK_GRAFT_BENCH_SF3_REPS
+  * passes (default 2): r9's round was defined by a single-pass sink
+  * outlier (96s driver vs 6.9s quiet, same code) that two passes
+  * would have exposed as noise.
   */
 object Bench {
 
