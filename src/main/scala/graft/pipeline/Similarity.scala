@@ -1595,6 +1595,77 @@ object Similarity {
        |FROM assign a LEFT JOIN dups d USING (vec_id)
        |ORDER BY a.vec_id""".stripMargin
 
+  // ---- pipe_embed_prune ----------------------------------------------
+
+  /** Fraction of the corpus pruned as embedding outliers: the bottom
+    * decile by affinity to the trained structure.
+    */
+  val embedPruneFrac = 0.1
+
+  /** Embedding-outlier pruning - curation's complement to SemDeDup:
+    * where `dd_semantic` drops vectors too CLOSE to a neighbor
+    * (redundancy), this drops vectors too FAR from the corpus's
+    * trained cluster structure (mislabeled scrapes, encoder failures,
+    * OOD noise - the prototype-distance pruning of the D4/SSL-prototype
+    * family, Tirumala et al. 2023, arXiv:2308.12284). Affinity = cosine
+    * to the vector's own trained centroid; the bottom `embedPruneFrac`
+    * of the corpus under the total order (c_sim asc, vec_id asc) is
+    * flagged keep=false. The cut is RANK-based, not value-based, so
+    * the boundary stays deterministic across engines even when q6
+    * collapses a tie band exactly at the threshold.
+    *
+    * 100 TB shape: assignment is the IVF narrow argmax scan (zero
+    * shuffle, native expression); the affinity needs the winning
+    * centroid VECTOR, so the scan broadcast-joins the k-row centroid
+    * relation (k ≪ corpus, hinted explicitly); the global bottom-decile
+    * cut runs through GlobalRank's range shuffle (sample + range
+    * partition + per-partition offsets) - never a single-task global
+    * window. One corpus-wide shuffle total, and only for the rank.
+    */
+  def pipeEmbedPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val cents = trainedCentroidsFor(spark, sfDir)
+    // cosSparkHof, not the native float-pair expression: the centroid
+    // side is double (the trained means), and the HOF form casts both
+    // sides element-wise to double in the same pinned order cosDuck
+    // uses - mixed-width cosine with bitwise oracle parity
+    val withSim = ivfAssignWith(e, cents)
+      .join(broadcast(centsDF(spark, cents)), "cid")
+      .withColumn("c_sim",
+        ParityMath.q6(expr(cosSparkHof("embedding", "c_emb"))))
+      .select(col("vec_id"), col("cid"), col("c_sim"))
+    val (ranked, n) = graft.core.GlobalRank.withRank(withSim,
+      Seq(col("c_sim"), col("vec_id")), "rk")
+    val cut = math.floor(embedPruneFrac * n.toDouble).toLong
+    ranked
+      .withColumn("keep", col("rk") > cut)
+      .select(col("vec_id"), col("cid"), col("c_sim"), col("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  val pipeEmbedPruneSql: String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), $lloydCentsCtes, assign AS MATERIALIZED (
+       |  SELECT vec_id, cid, csim FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      ${ParityMath.q6Sql(cosDuck("e.embedding", "c.c_emb"))} AS csim,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosDuck("e.embedding", "c.c_emb")} DESC, c.cid)
+       |        AS ark
+       |    FROM e CROSS JOIN cents c
+       |  ) WHERE ark = 1
+       |), ranked AS (
+       |  SELECT vec_id, cid, csim,
+       |    CAST(row_number() OVER (ORDER BY csim, vec_id) AS BIGINT) AS rk,
+       |    count(*) OVER () AS n
+       |  FROM assign
+       |)
+       |SELECT vec_id, cid, csim AS c_sim,
+       |  rk > CAST(floor($embedPruneFrac * CAST(n AS DOUBLE)) AS BIGINT)
+       |    AS keep
+       |FROM ranked ORDER BY vec_id""".stripMargin
+
   // ---- ann_recall_eval ------------------------------------------------
 
   /** ANN calibration face: per-query recall@k of the IVF index against

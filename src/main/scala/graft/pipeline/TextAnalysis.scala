@@ -456,11 +456,13 @@ object TextAnalysis {
   /** DuckDB replay of the same `bpeRounds` merge rounds as nested CTEs:
     * each round's argmax is computed IN SQL (top-1 cross-joined back to
     * rewrite the stream), so the oracle learns the table independently
-    * rather than trusting the Spark side's picks.
+    * rather than trusting the Spark side's picks. The chain (w0..t_R)
+    * is shared verbatim by the encode oracle, which extends it with an
+    * apply pass over the doc_id-carrying corpus.
     */
-  val bpeLearnSql: String = {
+  private def bpeChainCtes: String = {
     val sb = new StringBuilder
-    sb ++= """WITH w0 AS (
+    sb ++= """w0 AS (
       |  SELECT chr(1) ||
       |    array_to_string(regexp_extract_all(text, '\S+'),
       |                    chr(1) || chr(1)) || chr(1) AS wrapped
@@ -497,10 +499,100 @@ object TextAnalysis {
         |  FROM w${r - 1} w CROSS JOIN t$r t
         |)""".stripMargin
     }
-    sb ++= (1 to bpeRounds).map(r =>
+    sb.toString
+  }
+
+  val bpeLearnSql: String =
+    "WITH " + bpeChainCtes + (1 to bpeRounds).map(r =>
       s"SELECT CAST($r AS BIGINT) AS round, lhs, rhs, " +
         s"CAST(pair_count AS BIGINT) AS pair_count FROM t$r")
       .mkString("\n", "\nUNION ALL\n", "\nORDER BY round")
+
+  // ---- txt_bpe_encode -----------------------------------------------
+
+  /** End-to-end tokenizer APPLY with the LEARNED table - the second
+    * half of the `txt_bpe_learn` story (where `txt_phrase_merge`
+    * demonstrates the merge pass against a static literal table, this
+    * runs learn → apply as one operator: the exact corpus-tokenize
+    * step of a training-data pipeline). Emits per doc the raw token
+    * count, the encoded token count, and the encoded stream itself, so
+    * the gate certifies the full encoding - not a summary of it.
+    *
+    * The merge table is learned once and folded in as ≤`bpeRounds`
+    * LITERALS (the driver/cluster line: 8 rows on the driver, the
+    * corpus-scale apply distributed) - the same posture as the
+    * classifier's weight vector and the Lloyd codebook. The apply is a
+    * narrow codegen'd replace chain in table order over the
+    * \x01-wrapped stream (left-to-right non-overlapping within each
+    * pass, shared with learn/`txt_phrase_merge` semantics exactly):
+    * zero shuffles beyond the learn it reuses. Zero-token docs are
+    * excluded (nothing to encode); single-token docs pass through
+    * unmerged. The oracle re-learns the table in SQL (the shared
+    * `bpeChainCtes`) and re-applies it with LEFT JOIN + COALESCE per
+    * round, so an early-stopped empty round is identity for the apply
+    * (where the learn chain's CROSS JOIN correctly empties the
+    * remaining LEARN stream).
+    */
+  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame =
+    bpeEncodeFrom(Graft.tableParallel(spark, sfDir, "documents"), bpeRounds)
+
+  private[graft] def bpeEncodeFrom(docs: DataFrame,
+                                   rounds: Int): DataFrame = {
+    val merges = bpeLearnFrom(docs, rounds).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val d = "\u0001"
+    val merged = merges.foldLeft(col("wrapped")) { case (acc, (a, b)) =>
+      replace(acc, lit(d + a + d + d + b + d), lit(d + a + "_" + b + d))
+    }
+    docs
+      .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+      .filter(size(col("toks")) >= 1)
+      .withColumn("wrapped",
+        expr("chr(1) || concat_ws(chr(1) || chr(1), toks) || chr(1)"))
+      .withColumn("m", merged)
+      .withColumn("enc_toks",
+        expr("split(substring(m, 2, length(m) - 2), chr(1) || chr(1))"))
+      .select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_base"),
+        size(col("enc_toks")).cast(LongType).as("n_enc"),
+        concat_ws(" ", col("enc_toks")).as("enc"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bpeEncodeSql: String = {
+    val sb = new StringBuilder
+    sb ++= "WITH " + bpeChainCtes
+    sb ++= """
+      |, e0 AS (
+      |  SELECT doc_id, len(toks) AS n_base,
+      |    chr(1) || array_to_string(toks, chr(1) || chr(1)) || chr(1)
+      |      AS wrapped
+      |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) >= 1
+      |)""".stripMargin
+    for (r <- 1 to bpeRounds) {
+      sb ++= s"""
+        |, e$r AS (
+        |  SELECT e.doc_id, e.n_base,
+        |    COALESCE(replace(e.wrapped,
+        |      chr(1) || t.lhs || chr(1) || chr(1) || t.rhs || chr(1),
+        |      chr(1) || t.lhs || '_' || t.rhs || chr(1)),
+        |      e.wrapped) AS wrapped
+        |  FROM e${r - 1} e LEFT JOIN t$r t ON TRUE
+        |)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT doc_id, CAST(n_base AS BIGINT) AS n_base,
+      |  CAST(len(toks) AS BIGINT) AS n_enc,
+      |  array_to_string(toks, ' ') AS enc
+      |FROM (
+      |  SELECT doc_id, n_base,
+      |    str_split(substring(wrapped, 2, length(wrapped) - 2),
+      |              chr(1) || chr(1)) AS toks
+      |  FROM e$bpeRounds
+      |)
+      |ORDER BY doc_id""".stripMargin
     sb.toString
   }
 

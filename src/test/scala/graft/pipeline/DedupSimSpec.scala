@@ -415,4 +415,21 @@ class DedupSimSpec extends SparkSpec {
       Similarity.releaseAll(spark)
     }
   }
+
+  test("embedding-outlier pruning drops exactly the bottom decile " +
+       "under (centroid affinity, vec_id)") {
+    val r = Similarity.pipeEmbedPrune(spark, sfDir).collect()
+    val n = r.length
+    assert(n > 0)
+    val cut = math.floor(Similarity.embedPruneFrac * n).toInt
+    val pruned = r.filter(!_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(pruned.size == cut, s"expected $cut pruned, got ${pruned.size}")
+    // rank-based cut: the pruned set IS the bottom slice of the total
+    // order, never a value-threshold approximation of it
+    val bottom = r.sortBy(row => (row.getDouble(2), row.getLong(0)))
+      .take(cut).map(_.getLong(0)).toSet
+    assert(pruned == bottom)
+    // every vector appears exactly once with its assignment intact
+    assert(r.map(_.getLong(0)).distinct.length == n)
+  }
 }

@@ -159,6 +159,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(counts.sliding(2).forall(w => w(0) >= w(1)))
   }
 
+  test("bpe encode: the learned table applied end-to-end reproduces " +
+       "the planted merge ladder") {
+    val s = spark; import s.implicits._
+    val phrase = Array.fill(12)("spark sql engine").mkString(" ")
+    val docs = Seq(
+      (1L, phrase),
+      (2L, phrase),
+      (3L, "filler tokens alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bpeEncodeFrom(docs, rounds = 3).collect()
+    val m = r.map(x => x.getLong(0) ->
+      ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    // 36 raw tokens -> 24 (spark_sql) -> 12 (spark_sql_engine) -> 6
+    // (the round-3 self-pair merges left-to-right non-overlapping)
+    assert(m(1L)._1 == 36L && m(1L)._2 == 6L)
+    assert(m(1L)._3 ==
+      Array.fill(6)("spark_sql_engine_spark_sql_engine").mkString(" "))
+    assert(m(3L) == ((6L, 6L, "filler tokens alpha beta gamma delta")),
+      "doc without planted pairs must pass through unmerged")
+    // corpus run: every encoded count bounded by the raw count, and
+    // the learned table actually fires somewhere
+    val corpus = TextAnalysis.bpeEncode(spark, sfDir).collect()
+    assert(corpus.nonEmpty)
+    assert(corpus.forall(x => x.getLong(2) <= x.getLong(1)))
+    assert(corpus.exists(x => x.getLong(2) < x.getLong(1)),
+      "the corpus-learned merges must fire on the corpus")
+  }
+
   test("bpe learn: early stop at the support floor - a low-support " +
        "tail ends the induction instead of merging noise") {
     val s = spark; import s.implicits._
