@@ -1622,19 +1622,29 @@ object Similarity {
     * partition + per-partition offsets) - never a single-task global
     * window. One corpus-wide shuffle total, and only for the rank.
     */
-  def pipeEmbedPrune(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The per-vector affinity relation (vec_id, cid, c_sim) - public to
+    * the plan spec, which pins the broadcast join HERE (the prune
+    * query's executed plan only shows the post-rank side of the
+    * GlobalRank bridge).
+    */
+  private[graft] def embedAffinity(spark: SparkSession,
+                                   sfDir: String): DataFrame = {
     val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
     val cents = trainedCentroidsFor(spark, sfDir)
     // cosSparkHof, not the native float-pair expression: the centroid
     // side is double (the trained means), and the HOF form casts both
     // sides element-wise to double in the same pinned order cosDuck
     // uses - mixed-width cosine with bitwise oracle parity
-    val withSim = ivfAssignWith(e, cents)
+    ivfAssignWith(e, cents)
       .join(broadcast(centsDF(spark, cents)), "cid")
       .withColumn("c_sim",
         ParityMath.q6(expr(cosSparkHof("embedding", "c_emb"))))
       .select(col("vec_id"), col("cid"), col("c_sim"))
-    val (ranked, n) = graft.core.GlobalRank.withRank(withSim,
+  }
+
+  def pipeEmbedPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val (ranked, n) = graft.core.GlobalRank.withRank(
+      embedAffinity(spark, sfDir),
       Seq(col("c_sim"), col("vec_id")), "rk")
     val cut = math.floor(embedPruneFrac * n.toDouble).toLong
     ranked

@@ -518,4 +518,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("SinglePartition"),
       s"frontier merge step missing:\n$plan")
   }
+
+  test("embed prune: broadcast centroid join, no global-order window, " +
+       "rank off the GlobalRank bridge") {
+    // the affinity side (pre-rank): k-row centroid relation broadcasts,
+    // the corpus never shuffles on a key for it
+    val aff = executed(
+      graft.pipeline.Similarity.embedAffinity(spark, sfDir))
+    assert(aff.contains("BroadcastHashJoin"),
+      s"the k-row centroid relation must broadcast:\n$aff")
+    assert(!aff.contains("SortMergeJoin") &&
+      !aff.contains("Exchange hashpartitioning"),
+      s"the corpus must never key-shuffle for the affinity join:\n$aff")
+    // the prune query: the decile cut comes off the GlobalRank range
+    // shuffle (behind the bridge), never a global-order window
+    val plan = executed(
+      graft.pipeline.Similarity.pipeEmbedPrune(spark, sfDir))
+    assert(!plan.contains("Window"),
+      s"the decile cut must not plan a global-order window:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"the rank must come off the GlobalRank range shuffle:\n$plan")
+  }
+
+  test("bpe encode: the apply is a narrow replace chain - no exchange " +
+       "before the presentation sort") {
+    val plan = executed(
+      graft.pipeline.TextAnalysis.bpeEncode(spark, sfDir))
+    // the learn rounds run (and aggregate) inside bpeLearnFrom before
+    // this plan exists; the ENCODE plan itself must be scan -> project
+    // -> sort, with the merge table folded in as literals: no keyed
+    // shuffle anywhere (the only exchanges are tableParallel's
+    // round-robin spread and the presentation range sort)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"encode must not shuffle on a key:\n$plan")
+    assert(!plan.contains("Join"),
+      s"the merge table must fold in as literals, not a join:\n$plan")
+    assert(plan.contains("replace(replace("),
+      s"the merge chain must fold into one projection:\n$plan")
+  }
 }
