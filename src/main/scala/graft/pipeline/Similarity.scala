@@ -1627,24 +1627,40 @@ object Similarity {
     * query's executed plan only shows the post-rank side of the
     * GlobalRank bridge).
     */
-  private[graft] def embedAffinity(spark: SparkSession,
-                                   sfDir: String): DataFrame = {
-    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
-    val cents = trainedCentroidsFor(spark, sfDir)
+  /** Affinity of each vector in `e` to its own centroid from `cents` -
+    * works unchanged on a STREAMING frame (narrow argmax + broadcast
+    * k-row join, no state), which is what the streaming face rides.
+    */
+  private[graft] def affinityWith(e: DataFrame,
+                                  cents: Seq[Seq[Double]]): DataFrame =
     // cosSparkHof, not the native float-pair expression: the centroid
     // side is double (the trained means), and the HOF form casts both
     // sides element-wise to double in the same pinned order cosDuck
     // uses - mixed-width cosine with bitwise oracle parity
     ivfAssignWith(e, cents)
-      .join(broadcast(centsDF(spark, cents)), "cid")
+      .join(broadcast(centsDF(e.sparkSession, cents)), "cid")
       .withColumn("c_sim",
         ParityMath.q6(expr(cosSparkHof("embedding", "c_emb"))))
       .select(col("vec_id"), col("cid"), col("c_sim"))
-  }
 
-  def pipeEmbedPrune(spark: SparkSession, sfDir: String): DataFrame = {
-    val (ranked, n) = graft.core.GlobalRank.withRank(
-      embedAffinity(spark, sfDir),
+  /** The per-vector affinity relation (vec_id, cid, c_sim) - public to
+    * the plan spec, which pins the broadcast join HERE (the prune
+    * query's executed plan only shows the post-rank side of the
+    * GlobalRank bridge).
+    */
+  private[graft] def embedAffinity(spark: SparkSession,
+                                   sfDir: String): DataFrame =
+    affinityWith(emb(spark, sfDir).select(col("vec_id"), col("embedding")),
+      trainedCentroidsFor(spark, sfDir))
+
+  /** The rank cut as a view over ANY affinity relation - shared by the
+    * batch face and the streaming face's final-snapshot read (the cut
+    * is a query-time VIEW under the evolving-answer contract: one
+    * arriving vector can flip any other vector's keep bit, so
+    * membership is never stored state).
+    */
+  private[graft] def pruneFromAffinity(aff: DataFrame): DataFrame = {
+    val (ranked, n) = graft.core.GlobalRank.withRank(aff,
       Seq(col("c_sim"), col("vec_id")), "rk")
     val cut = math.floor(embedPruneFrac * n.toDouble).toLong
     ranked
@@ -1652,6 +1668,9 @@ object Similarity {
       .select(col("vec_id"), col("cid"), col("c_sim"), col("keep"))
       .orderBy(col("vec_id"))
   }
+
+  def pipeEmbedPrune(spark: SparkSession, sfDir: String): DataFrame =
+    pruneFromAffinity(embedAffinity(spark, sfDir))
 
   val pipeEmbedPruneSql: String =
     s"""WITH e AS MATERIALIZED (

@@ -927,6 +927,30 @@ object StreamSum {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Streaming face of the embedding-outlier prune, sharing
+    * `pipe_embed_prune`'s oracle: affinity to the STATIC trained
+    * centroids is a pure per-row map (narrow argmax + broadcast k-row
+    * centroid join - an APPEND-mode stream with zero keyed state), so
+    * the stream lands the affinity relation; the bottom-decile cut is
+    * a query-time VIEW over the snapshot under the evolving-answer
+    * contract (one arriving vector shifts the global rank boundary
+    * and can flip any other vector's keep bit - membership is never
+    * stored state, same as the skyline/trending/CDF matrix views).
+    */
+  def streamEmbedPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    import graft.pipeline.Similarity
+    val cents = Similarity.trainedCentroidsFor(spark, sfDir)
+    val schema = spark.read.parquet(s"$sfDir/embeddings.parquet").schema
+    val arriving = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(sfDir)
+      .select(col("vec_id"), col("embedding"))
+    Similarity.pruneFromAffinity(
+      runToTable(Similarity.affinityWith(arriving, cents),
+        OutputMode.Append(), "ss_stream_embed_prune"))
+  }
+
   /** Streaming admission face of `dd_semantic`, sharing its oracle:
     * arriving vectors are assigned to the STATIC trained centroids
     * (the k x dims matrix rides in the NearestCentroid literal - a
