@@ -354,4 +354,73 @@ object Behavior {
        |SELECT 3, '$s3', CAST(u3 AS BIGINT) FROM t
        |ORDER BY step""".stripMargin
   }
+
+  // ---- q_seq_pattern ------------------------------------------------
+
+  /** The pattern the matcher mines: one or more browse events (view /
+    * click) immediately followed by a purchase — "browse runs that
+    * convert", with any other event type breaking the run. Restricted
+    * to the regex class both engines scan identically (greedy,
+    * leftmost, non-overlapping; no backreferences or lookaround, where
+    * Java regex and RE2 diverge).
+    */
+  val seqPattern = "[vc]+p"
+
+  /** Regex SEQUENCE-PATTERN mining over per-user event histories — the
+    * regular-language generalization of the funnel family
+    * (MATCH_RECOGNIZE's core, which neither Spark nor DuckDB ships):
+    * q_funnel measures one declared step chain, q_paths ranks fixed
+    * prefixes, q_markov keeps one-step factorization; this matches an
+    * arbitrary REGULAR pattern over the whole ordered history. Each
+    * event encodes as its type's initial (distinct across the five
+    * types), the per-user history collapses to one ordered string,
+    * and the pattern scan emits per user the match count and the
+    * matched runs themselves.
+    *
+    * 100 TB shape: ONE user-keyed exchange (collect_list partials
+    * merge map-side); the regex scan is narrow per-user work after
+    * it. Per-user state is the event history — the inherent state of
+    * ANY sequence matcher over arbitrary regular patterns (a
+    * deployment bounds it with history retention); the sort happens
+    * in-row (array_sort), so arrival order inside the aggregation
+    * cannot perturb the string.
+    */
+  private[graft] def seqPatternFrom(seqs: DataFrame): DataFrame =
+    seqs
+      .withColumn("ms",
+        expr(s"regexp_extract_all(seq, '$seqPattern', 0)"))
+      .select(col("user_id"),
+        length(col("seq")).cast("long").as("seq_len"),
+        size(col("ms")).cast("long").as("n_matches"),
+        array_join(col("ms"), "|").as("matches"))
+      .orderBy(col("user_id"))
+
+  def qSeqPattern(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val seqs = Graft.table(spark, sfDir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), expr("graft_ts_us(ts)").as("tus"),
+        col("event_id"), substring(col("event_type"), 1, 1).as("c"))
+      .groupBy(col("user_id"))
+      .agg(expr("array_join(transform(array_sort(" +
+        "collect_list(struct(tus, event_id, c))), x -> x.c), '')")
+        .as("seq"))
+    seqPatternFrom(seqs)
+  }
+
+  val qSeqPatternSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+       |    substring(event_type, 1, 1) AS c
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |), s AS (
+       |  SELECT user_id, string_agg(c, '' ORDER BY tus, event_id) AS seq
+       |  FROM e GROUP BY user_id
+       |)
+       |SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+       |  CAST(len(regexp_extract_all(seq, '$seqPattern')) AS BIGINT)
+       |    AS n_matches,
+       |  array_to_string(regexp_extract_all(seq, '$seqPattern'), '|')
+       |    AS matches
+       |FROM s ORDER BY user_id""".stripMargin
 }

@@ -1223,6 +1223,34 @@ object StreamSum {
         .as("path")))
   }
 
+  /** Streaming face of the regex sequence matcher, sharing
+    * `q_seq_pattern`'s oracle: the per-user state is the event
+    * history as an UNSORTED collect_list of (tus, event_id, initial)
+    * — collect_list merges associatively and the view sorts IN-ROW,
+    * so out-of-order and multi-batch arrival cannot perturb the
+    * sequence string (the batch face's discipline, streamed). The
+    * history is the inherent state of any matcher over arbitrary
+    * regular patterns — a deployment bounds it with retention; the
+    * regex scan + match report are a view over the snapshot via the
+    * shared seqPatternFrom.
+    */
+  def streamSeqPattern(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val state = streamingEvents(spark, sfDir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), expr("graft_ts_us(ts)").as("tus"),
+        col("event_id"), substring(col("event_type"), 1, 1).as("c"))
+      .groupBy(col("user_id"))
+      .agg(collect_list(struct(col("tus"), col("event_id"), col("c")))
+        .as("buf"))
+    val snap = runToTable(state, OutputMode.Complete(),
+      "ss_stream_seq_pattern")
+    graft.analytics.Behavior.seqPatternFrom(
+      snap.select(col("user_id"),
+        expr("array_join(transform(array_sort(buf), x -> x.c), '')")
+          .as("seq")))
+  }
+
   /** Streaming face of the RFM segmentation, sharing `q_rfm`'s oracle:
     * the streamed state is the per-customer rollup (max last-order
     * time / order count / cents sum — the same declarative aggregation

@@ -99,4 +99,38 @@ class BehaviorSpec extends SparkSpec {
       (0L, 0L, 2L, 2L), (0L, 1L, 1L, 2L), (0L, 2L, 2L, 2L),
       (1L, 0L, 1L, 1L), (1L, 1L, 1L, 1L)), s"cohort matrix wrong: $rows")
   }
+
+  test("seq pattern: greedy leftmost non-overlapping runs, broken by " +
+       "intervening events, arrival order irrelevant") {
+    val s = spark; import s.implicits._
+    // user 1: v c v p e p -> one greedy match "vcvp" (the trailing
+    //         lone p has no browse run before it)
+    // user 2: p v c       -> purchase BEFORE the browse run: no match
+    // user 3: v e v p     -> the error breaks the first run: "vp" only
+    // user 4: c p c p     -> two disjoint matches
+    val ev = Seq(
+      (10L, 1L, "view"), (11L, 1L, "click"), (12L, 1L, "view"),
+      (13L, 1L, "purchase"), (14L, 1L, "error"), (15L, 1L, "purchase"),
+      (20L, 2L, "purchase"), (21L, 2L, "view"), (22L, 2L, "click"),
+      (30L, 3L, "view"), (31L, 3L, "error"), (32L, 3L, "view"),
+      (33L, 3L, "purchase"),
+      (40L, 4L, "click"), (41L, 4L, "purchase"), (42L, 4L, "click"),
+      (43L, 4L, "purchase"))
+      .map { case (id, u, t) => (id, (id % 10 + 1) * 1000L, u, t) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+      // shuffled write order: the in-row array_sort must restore the
+      // (ts, event_id) sequence regardless of arrival order
+      .orderBy(expr("hash(event_id)"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_seq").toString
+    ev.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = Behavior.qSeqPattern(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(rows == Seq(
+      (1L, 6L, 1L, "vcvp"), (2L, 3L, 0L, ""),
+      (3L, 4L, 1L, "vp"), (4L, 4L, 2L, "cp|cp")),
+      s"seq pattern report wrong: $rows")
+  }
 }
