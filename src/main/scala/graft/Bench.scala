@@ -49,7 +49,7 @@ object Bench {
     "q_ewma", "q_anomaly", "q_funnel", "q_cohort", "q_pagerank",
     "q_decay_count", "q_trending", "q_markov", "ss_stream_ewma",
     "q_paths", "q_seasonality", "q_changepoint", "q_histogram", "q_rfm",
-    "q_skyline", "q_grouping_sets",
+    "q_skyline", "q_grouping_sets", "q_seq_pattern",
     // training-data pipeline
     "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard", "dd_jaccard_prefix",
     "dd_containment", "dd_simhash",
@@ -66,13 +66,14 @@ object Bench {
     "q_cms_sliding_prod", "q_cms_join_card_prod", "q_cms_f2_prod",
     "q_kmv_jaccard_prod", "q_kmv_retention_prod",
     "txt_stats", "txt_fingerprint", "txt_repetition", "txt_bpe_learn",
+    "txt_bpe_encode",
     "txt_bigram_nll", "txt_tfidf", "txt_entropy", "txt_zipf",
     "mm_binary_stats", "mm_bmp_decode", "mm_wav_decode", "mm_png_decode",
-    "mm_jpeg_decode",
+    "mm_jpeg_decode", "mm_avi_frames",
     "pipe_corpus_clean",
     "pipe_decontaminate", "pipe_decont_bloom", "pipe_dedup_apply",
     "pipe_quality_gate", "pipe_quality_prune", "pipe_qclf_score",
-    "pipe_source_cap",
+    "pipe_source_cap", "pipe_embed_prune",
     "pipe_token_budget", "dd_dup_spans",
     "pipe_span_scrub", "pipe_sample_weighted", "pipe_layout_zorder",
     "txt_phrase_merge")
@@ -93,7 +94,7 @@ object Bench {
     "q_sessionize", "q_range_join", "q_resample", "q_attribution",
     "q_ewma", "q_anomaly", "q_funnel", "q_cohort", "q_pagerank",
     "q_trending", "q_markov", "ss_stream_ewma",
-    "q_paths", "q_seasonality", "q_changepoint",
+    "q_paths", "q_seasonality", "q_changepoint", "q_seq_pattern",
     "q_cms_topk", "q_cms_topk_prod", "q_cms_sliding", "q_cms_sliding_prod",
     "q_hll_sliding", "q_hll_sliding_prod", "q_qtile_sliding",
     "q_kmv_jaccard_prod", "q_kmv_retention_prod",
@@ -109,10 +110,10 @@ object Bench {
   val corpusHeadline: Seq[String] = Seq(
     "dd_minhash_lsh", "dd_jaccard_prefix", "dd_semantic", "txt_bigram_nll",
     "pipe_quality_gate", "ann_ivf_quant", "ann_ivf_pq", "ann_knn_join",
-    "txt_stats",
+    "txt_stats", "pipe_embed_prune", "txt_bpe_encode",
     // the real-codec mapPartitions path: per-row cost must stay flat
     // as docs scale (narrow, no shuffle - the slope IS the claim)
-    "mm_bmp_decode", "mm_png_decode", "mm_jpeg_decode",
+    "mm_bmp_decode", "mm_png_decode", "mm_jpeg_decode", "mm_avi_frames",
     // the compressed codecs: deflate/inflate (PNG) and FDCT+Huffman
     // (JPEG) dominate, so the per-row cost claim is stronger than
     // BMP's raw-raster one
@@ -130,6 +131,7 @@ object Bench {
     graft.pipeline.SignatureStore.releaseAll(spark)
     graft.pipeline.Similarity.releaseAll(spark)
     graft.pipeline.QualityClassifier.releaseAll(spark)
+    graft.pipeline.TextAnalysis.releaseAll(spark)
     // memory-sink harness tables pin complete-mode state snapshots in
     // driver heap; a multi-pass sweep accumulates 100+ of them and the
     // GC pressure lands on whichever stateful query runs late (r9's

