@@ -3,7 +3,7 @@ package graft.pipeline
 import graft.core.Graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{col, collect_set, count, explode, expr, lag, lit, max, min, pmod, struct, sum, when}
+import org.apache.spark.sql.functions.{col, collect_list, collect_set, count, explode, expr, lag, lit, max, min, pmod, struct, substring, sum, when}
 
 /** Materialized MinHash signature store: the shingle/hash relation and
   * the exploded LSH band stream are computed ONCE per (session, corpus)
@@ -893,6 +893,74 @@ object SignatureStore {
       watch, "arrival2.parquet")
     catchUpMarkov(spark, watch, store)
     storedMarkov(spark, store)
+  }
+
+  // ---- seq-pattern store -----------------------------------------------
+
+  /** Incremental store for the regex sequence matcher: each arriving
+    * batch lands one per-user FRAGMENT - the batch's (tus, event_id,
+    * initial) structs as an unsorted list. Fragments are disjoint
+    * appends (events are immutable), concatenation of unsorted
+    * fragments followed by one in-row sort equals sorting the union,
+    * so the query-time merge is exact under ANY batch split - unlike
+    * the markov store, no arrival-order contract is needed at all
+    * (the spec-free claim the gate certifies with an event-id-parity
+    * split, which interleaves every user's history across batches).
+    * Per-batch state is users x 1 fragment rows; the regex report is
+    * a view via the shared seqPatternFrom.
+    */
+  def catchUpSeq(spark: SparkSession, watchDir: String,
+                 storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val events = spark.readStream.schema(schema).parquet(watchDir)
+    val q = events.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch
+          .filter(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(col("user_id"), expr("graft_ts_us(ts)").as("tus"),
+            col("event_id"), substring(col("event_type"), 1, 1).as("c"))
+          .groupBy(col("user_id"))
+          .agg(collect_list(struct(col("tus"), col("event_id"), col("c")))
+            .as("buf"))
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/frags/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  def storedSeq(spark: SparkSession, storeDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val frags = storedOrEmpty(spark, s"$storeDir/frags",
+      emptyLike(spark, spark.range(0).selectExpr("id AS user_id",
+        "array(struct(id AS tus, id AS event_id, " +
+          "CAST(id AS STRING) AS c)) AS buf")))
+    graft.analytics.Behavior.seqPatternFrom(
+      frags.groupBy(col("user_id"))
+        .agg(expr("array_join(transform(array_sort(" +
+          "flatten(collect_list(buf))), x -> x.c), '')").as("seq")))
+  }
+
+  /** Driver-gate face: fresh store, two event-id-PARITY appends (every
+    * user's history interleaves across the two batches, so the
+    * fragment merge must reconstruct the global order from shuffled
+    * pieces), then the regex report; shares `q_seq_pattern`'s oracle.
+    */
+  def gatedSeq(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_seq_watch")
+    val store = tempDirForExit("graft_gate_seq_store")
+    val ev = Graft.table(spark, sfDir, "events")
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpSeq(spark, watch, store)
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpSeq(spark, watch, store)
+    storedSeq(spark, store)
   }
 
   // ---- graph store ---------------------------------------------------
