@@ -144,6 +144,41 @@ class SignatureStoreSpec extends SparkSpec {
     assert(stored == oneShot)
   }
 
+  test("seq store: fragments interleaved and OUT OF ORDER across " +
+       "batches merge to the one-shot match report") {
+    val watch = Files.createTempDirectory("graft_seqs_watch").toString
+    val store = Files.createTempDirectory("graft_seqs_store").toString
+    val s = spark; import s.implicits._
+    // global order for user 1: v c v p  (one match "vcvp") - but
+    // batch 1 carries events 2 and 4, batch 2 carries 1 and 3, so
+    // each batch-local fragment is NOT a prefix of the history and
+    // batch 2 is strictly OLDER than batch 1's last event (the
+    // arrival shape the markov store must reject; here it is exact)
+    def evDf(rows: Seq[(Long, Long, String)]) = rows
+      .map { case (id, t, ty) =>
+        (id, new java.sql.Timestamp(t), 1L, ty, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$watch/_stage"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(watch, name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    land(evDf(Seq((2L, 2000L, "click"), (4L, 4000L, "purchase"))),
+      "a1.parquet")
+    SignatureStore.catchUpSeq(spark, watch, store)
+    land(evDf(Seq((1L, 1000L, "view"), (3L, 3000L, "view"))),
+      "a2.parquet")
+    SignatureStore.catchUpSeq(spark, watch, store)
+    val got = SignatureStore.storedSeq(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(got == Seq((1L, 4L, 1L, "vcvp")), s"seq store merge wrong: $got")
+  }
+
   test("cohort store: a later-arriving older batch re-assigns cohorts") {
     val watch = Files.createTempDirectory("graft_cohort_watch").toString
     val store = Files.createTempDirectory("graft_cohort_store").toString
