@@ -69,7 +69,7 @@ object Bench {
     "txt_bpe_encode",
     "txt_bigram_nll", "txt_tfidf", "txt_entropy", "txt_zipf",
     "mm_binary_stats", "mm_bmp_decode", "mm_wav_decode", "mm_png_decode",
-    "mm_jpeg_decode", "mm_avi_frames",
+    "mm_jpeg_decode", "mm_avi_frames", "mm_avi_av",
     "pipe_corpus_clean",
     "pipe_decontaminate", "pipe_decont_bloom", "pipe_dedup_apply",
     "pipe_quality_gate", "pipe_quality_prune", "pipe_qclf_score",

@@ -54,12 +54,35 @@ object Avi {
     * handler 'MJPG', every frame a keyframe in idx1.
     */
   private[pipeline] def aviMuxMjpeg(frames: Seq[Array[Byte]], w: Int,
-                                    h: Int): Array[Byte] = {
+                                    h: Int): Array[Byte] =
+    aviMux(frames, w, h, Nil, 0)
+
+  /** Mux an A/V pair: the MJPEG 'vids' stream plus (when `audioChunks`
+    * is non-empty) a 'auds' 16-bit PCM mono stream at `rate` Hz,
+    * chunks interleaved one '01wb' after each '00dc' (the
+    * chunk-granular interleaving AVI exists for — a player reads both
+    * streams in one forward pass). Every chunk of both streams is a
+    * keyframe entry in idx1.
+    */
+  private[pipeline] def aviMux(frames: Seq[Array[Byte]], w: Int, h: Int,
+                               audioChunks: Seq[Array[Byte]],
+                               rate: Int): Array[Byte] = {
     require(frames.nonEmpty, "an AVI needs at least one frame")
-    val padded = frames.map(f => f.length + (f.length & 1))
-    val moviSize = 4 + padded.map(_ + 8).sum // 'movi' + chunks
-    val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
-    val idx1Size = 16 * frames.length
+    val hasAudio = audioChunks.nonEmpty
+    // interleave: 00dc f0, 01wb a0, 00dc f1, 01wb a1, ... (a missing
+    // tail audio chunk just ends the interleave early)
+    val chunks: Seq[(String, Array[Byte])] =
+      frames.zipWithIndex.flatMap { case (f, i) =>
+        ("00dc" -> f) +: audioChunks.lift(i).map("01wb" -> _).toSeq
+      }
+    val moviSize = 4 + chunks.map { case (_, c) =>
+      8 + c.length + (c.length & 1)
+    }.sum
+    val strlVSize = 4 + (8 + 56) + (8 + 40)
+    val strlASize = 4 + (8 + 56) + (8 + 16)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlVSize) +
+      (if (hasAudio) 8 + strlASize else 0)
+    val idx1Size = 16 * chunks.length
     val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idx1Size)
     val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -71,11 +94,11 @@ object Avi {
     u32(buf, 0); u32(buf, 0) // dwMaxBytesPerSec, dwPaddingGranularity
     u32(buf, 0x10) // dwFlags: AVIF_HASINDEX
     u32(buf, frames.length.toLong) // dwTotalFrames
-    u32(buf, 0); u32(buf, 1) // dwInitialFrames, dwStreams
+    u32(buf, 0); u32(buf, if (hasAudio) 2 else 1) // dwInitialFrames, dwStreams
     u32(buf, 0) // dwSuggestedBufferSize
     u32(buf, w.toLong); u32(buf, h.toLong)
     (1 to 4).foreach(_ => u32(buf, 0)) // dwReserved
-    fourcc(buf, "LIST"); u32(buf, 4 + (8 + 56) + (8 + 40))
+    fourcc(buf, "LIST"); u32(buf, strlVSize)
     fourcc(buf, "strl")
     fourcc(buf, "strh"); u32(buf, 56)
     fourcc(buf, "vids"); fourcc(buf, "MJPG")
@@ -95,30 +118,52 @@ object Avi {
     fourcc(buf, "MJPG") // biCompression
     u32(buf, (w.toLong * h * 3)) // biSizeImage
     u32(buf, 0); u32(buf, 0); u32(buf, 0); u32(buf, 0)
+    if (hasAudio) {
+      val nSamples = audioChunks.map(_.length / 2).sum
+      fourcc(buf, "LIST"); u32(buf, strlASize)
+      fourcc(buf, "strl")
+      fourcc(buf, "strh"); u32(buf, 56)
+      fourcc(buf, "auds"); u32(buf, 0) // fccHandler: none for PCM
+      u32(buf, 0) // dwFlags
+      u32(buf, 0) // wPriority + wLanguage
+      u32(buf, 0) // dwInitialFrames
+      u32(buf, 1); u32(buf, rate.toLong) // dwScale, dwRate (samples/s)
+      u32(buf, 0); u32(buf, nSamples.toLong) // dwStart, dwLength
+      u32(buf, 0) // dwSuggestedBufferSize
+      u32(buf, 0xffffffffL) // dwQuality
+      u32(buf, 2) // dwSampleSize = block align (16-bit mono)
+      u32(buf, 0); u32(buf, 0) // rcFrame unused for audio
+      fourcc(buf, "strf"); u32(buf, 16) // WAVEFORMATEX (no cbSize)
+      buf.putShort(1); buf.putShort(1) // wFormatTag PCM, nChannels
+      u32(buf, rate.toLong); u32(buf, rate.toLong * 2)
+      buf.putShort(2); buf.putShort(16) // nBlockAlign, wBitsPerSample
+    }
     // ---- LIST movi ----
     fourcc(buf, "LIST"); u32(buf, moviSize); fourcc(buf, "movi")
     // idx1 offsets are relative to the 'movi' fourcc position; the
     // first chunk header starts 4 bytes past it
-    val offsets = new Array[Long](frames.length)
+    val offsets = new Array[Long](chunks.length)
     var off = 4L
-    frames.zipWithIndex.foreach { case (f, i) =>
+    chunks.zipWithIndex.foreach { case ((id, c), i) =>
       offsets(i) = off
-      fourcc(buf, "00dc"); u32(buf, f.length.toLong); buf.put(f)
-      if ((f.length & 1) == 1) buf.put(0.toByte)
-      off += 8 + f.length + (f.length & 1)
+      fourcc(buf, id); u32(buf, c.length.toLong); buf.put(c)
+      if ((c.length & 1) == 1) buf.put(0.toByte)
+      off += 8 + c.length + (c.length & 1)
     }
     // ---- idx1 ----
     fourcc(buf, "idx1"); u32(buf, idx1Size)
-    frames.zipWithIndex.foreach { case (f, i) =>
-      fourcc(buf, "00dc")
+    chunks.zipWithIndex.foreach { case ((id, c), i) =>
+      fourcc(buf, id)
       u32(buf, 0x10) // AVIIF_KEYFRAME
-      u32(buf, offsets(i)); u32(buf, f.length.toLong)
+      u32(buf, offsets(i)); u32(buf, c.length.toLong)
     }
     buf.array()
   }
 
   final case class AviVideo(width: Int, height: Int,
-                            frames: Seq[Array[Byte]])
+                            frames: Seq[Array[Byte]],
+                            audioChunks: Seq[Array[Byte]] = Nil,
+                            audioRate: Int = -1)
 
   /** Demux an AVI: container validation + frame payload extraction
     * (no pixel decode — callers feed frames to the codec they match).
@@ -139,6 +184,9 @@ object Avi {
     require(tag() == "AVI ", s"doc $docId: RIFF form is not 'AVI '")
     var w = -1; var h = -1; var declaredFrames = -1L
     var frames = Vector.empty[Array[Byte]]
+    var audio = Vector.empty[Array[Byte]]
+    var audioRate = -1
+    var lastStreamType = "" // strh fccType, pending for its strf
     var idxEntries = -1L
     def walk(end: Int): Unit = {
       while (buf.position() + 8 <= end) {
@@ -156,9 +204,9 @@ object Avi {
                   val cid = tag(); val csz = len()
                   require(csz <= listEnd - buf.position(),
                     s"doc $docId: movi chunk '$cid' overruns the list")
-                  if (cid == "00dc") {
-                    val f = new Array[Byte](csz.toInt); buf.get(f)
-                    frames :+= f
+                  if (cid == "00dc" || cid == "01wb") {
+                    val c = new Array[Byte](csz.toInt); buf.get(c)
+                    if (cid == "00dc") frames :+= c else audio :+= c
                   } else buf.position(buf.position() + csz.toInt)
                   if ((csz & 1) == 1) buf.position(buf.position() + 1)
                 }
@@ -169,6 +217,20 @@ object Avi {
             val base = buf.position()
             declaredFrames = buf.getInt(base + 16) & 0xffffffffL
             w = buf.getInt(base + 32); h = buf.getInt(base + 36)
+          case "strh" =>
+            require(sz >= 4, s"doc $docId: strh chunk too short ($sz)")
+            lastStreamType = {
+              val b = new Array[Byte](4)
+              buf.get(b); buf.position(buf.position() - 4)
+              new String(b, "US-ASCII")
+            }
+          case "strf" if lastStreamType == "auds" =>
+            // WAVEFORMATEX: wFormatTag u16, nChannels u16, rate u32
+            require(sz >= 16, s"doc $docId: auds strf too short ($sz)")
+            val base = buf.position()
+            require(buf.getShort(base) == 1,
+              s"doc $docId: only PCM audio supported")
+            audioRate = buf.getInt(base + 4)
           case "idx1" => idxEntries = sz / 16
           case _ => // unknown chunk: skip by length
         }
@@ -181,10 +243,13 @@ object Avi {
     require(declaredFrames == frames.length,
       s"doc $docId: avih declares $declaredFrames frames, movi has " +
         s"${frames.length}")
-    require(idxEntries == -1L || idxEntries == frames.length,
-      s"doc $docId: idx1 has $idxEntries entries for ${frames.length} " +
-        "frames")
-    AviVideo(w, h, frames)
+    require(audio.isEmpty || audioRate > 0,
+      s"doc $docId: '01wb' audio chunks but no parseable auds strf")
+    require(idxEntries == -1L ||
+      idxEntries == frames.length + audio.length,
+      s"doc $docId: idx1 has $idxEntries entries for " +
+        s"${frames.length}+${audio.length} chunks")
+    AviVideo(w, h, frames, audio, audioRate)
   }
 
   // ---- mm_avi_frames gate --------------------------------------------
@@ -247,6 +312,108 @@ object Avi {
       .toDF()
       .orderBy(col("doc_id"), col("frame_idx"))
   }
+
+  // ---- mm_avi_av gate ------------------------------------------------
+
+  final case class AviAv(doc_id: Long, n_frames: Long, video_sum: Long,
+                         sample_rate: Long, n_chunks: Long,
+                         n_samples: Long, sum_samples: Long, peak: Long)
+
+  /** End-to-end INTERLEAVED A/V path — the multi-stream case the AVI
+    * container exists for: the planted MJPEG frames plus the WAV
+    * plant's 16-bit PCM waveform (sample i = 50·(base + i%100),
+    * n = 500 + id%300, rate = 8000 + (id%4)·4000 — `Multimodal
+    * .wavEncode`'s closed forms, so the audio aggregates share its
+    * oracle algebra) muxed as chunk-interleaved '00dc'/'01wb' streams,
+    * demuxed independently (strh/strf walk recovers the PCM format),
+    * every frame decoded by the real JPEG codec and the audio
+    * reassembled by chunk concatenation — exact under ANY chunking,
+    * which is the claim: interleaving is a transport layout, never a
+    * semantic boundary. One summary row per doc keeps both streams'
+    * exact integer aggregates under one hash.
+    */
+  def aviAvE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    val s2 = Graft.ensureConf(spark)
+    import s2.implicits._
+    Graft.tableParallel(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val (bw, bh, nf) = plantGeom(id)
+          val w = bw * 8; val h = bh * 8
+          val jpegs = (0 until nf).map(f =>
+            Jpeg.jpegEncodeGray(plantFrame(id, f, bw, bh), w, h))
+          // the WAV plant's waveform, split into nf interleave chunks
+          val n = (500 + id % 300).toInt
+          val rate = (8000 + (id % 4) * 4000).toInt
+          val base = (id % 100).toInt
+          val pcm = java.nio.ByteBuffer.allocate(2 * n)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          (0 until n).foreach(i => pcm.putShort((50 * (base + i % 100)).toShort))
+          val bytes = pcm.array()
+          val chunks = (0 until nf).map { f =>
+            java.util.Arrays.copyOfRange(bytes,
+              2 * (f * n / nf), 2 * ((f + 1) * n / nf))
+          }
+          val v = aviDemux(id, aviMux(jpegs, w, h, chunks, rate))
+          require(v.width == w && v.height == h)
+          val videoSum = v.frames.map { fb =>
+            Jpeg.jpegDecode(id, fb).planes(0).map(_.toLong).sum
+          }.sum
+          val samples = v.audioChunks.flatMap { c =>
+            val b = java.nio.ByteBuffer.wrap(c)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            (0 until c.length / 2).map(i => b.getShort(2 * i).toLong)
+          }
+          AviAv(id, v.frames.length.toLong, videoSum,
+            v.audioRate.toLong, v.audioChunks.length.toLong,
+            samples.length.toLong, samples.sum, samples.max)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** Closed forms: video as in `aviFramesE2eSql` summed over frames;
+    * audio exactly `Multimodal.wavDecodeE2eSql`'s algebra (n ≥ 500
+    * covers a full 100-sample cycle, so peak = 50·(base + 99); sum =
+    * 50·(n·base + q·4950 + r(r−1)/2) with n = 100q + r); chunk count
+    * = frame count by the interleave construction.
+    */
+  val aviAvE2eSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         2 + doc_id % 2 AS bw,
+      |         1 + doc_id % 3 AS bh,
+      |         2 + doc_id % 3 AS nf,
+      |         500 + doc_id % 300 AS n,
+      |         doc_id % 100 AS base,
+      |         8000 + (doc_id % 4) * 4000 AS rate
+      |  FROM documents
+      |), b AS (
+      |  SELECT doc_id, bw, bh, nf,
+      |         unnest(range(0, nf)) AS f
+      |  FROM t
+      |), bv AS (
+      |  SELECT doc_id, bw, bh, nf, f, unnest(range(0, bw * bh)) AS i
+      |  FROM b
+      |), vs AS (
+      |  SELECT doc_id,
+      |    CAST(64 * sum((doc_id + 17 * f + 7 * (i % bw)
+      |                   + 13 * (i // bw)) % 200) AS BIGINT) AS video_sum
+      |  FROM bv GROUP BY doc_id
+      |)
+      |SELECT t.doc_id,
+      |  CAST(nf AS BIGINT) AS n_frames,
+      |  vs.video_sum,
+      |  CAST(rate AS BIGINT) AS sample_rate,
+      |  CAST(nf AS BIGINT) AS n_chunks,
+      |  CAST(n AS BIGINT) AS n_samples,
+      |  CAST(50 * (n * base + (n // 100) * 4950
+      |       + (n % 100) * ((n % 100) - 1) // 2) AS BIGINT) AS sum_samples,
+      |  CAST(50 * (base + 99) AS BIGINT) AS peak
+      |FROM t JOIN vs ON vs.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
 
   /** Closed forms: geometry from doc_id (bw = 2 + id%2, bh = 1 + id%3,
     * nf = 2 + id%3); per block (x, y) of frame f the constant is

@@ -67,6 +67,27 @@ class AviSpec extends SparkSpec {
     assert(e2.getMessage.contains("declares"))
   }
 
+  test("interleaved A/V: both streams roundtrip byte-exactly, the " +
+       "audio format is recovered from the strl walk, and chunking " +
+       "is transport-only") {
+    val (fs, w, h) = frames(5L)
+    val pcm = Array.tabulate(101)(i => (i * 13 - 7).toByte) // odd length
+    val chunks = Seq(pcm.take(40), pcm.slice(40, 41), pcm.drop(41))
+    val v = Avi.aviDemux(5L, Avi.aviMux(fs, w, h, chunks, 12000))
+    assert(v.frames.length == fs.length &&
+      v.frames.zip(fs).forall { case (a, b) =>
+        java.util.Arrays.equals(a, b)
+      })
+    assert(v.audioRate == 12000)
+    assert(v.audioChunks.length == chunks.length)
+    // reassembly by concatenation == the planted stream, regardless
+    // of how the muxer chunked it (incl. the odd-length middle chunk)
+    assert(java.util.Arrays.equals(v.audioChunks.flatten.toArray, pcm))
+    // video-only containers still demux with no audio state
+    val vOnly = Avi.aviDemux(5L, Avi.aviMuxMjpeg(fs, w, h))
+    assert(vOnly.audioChunks.isEmpty && vOnly.audioRate == -1)
+  }
+
   test("the gate relation matches its closed forms on a slice") {
     val rows = Avi.aviFramesE2e(spark, sfDir).collect()
     assert(rows.nonEmpty)
