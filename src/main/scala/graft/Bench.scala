@@ -114,6 +114,7 @@ object Bench {
     // the real-codec mapPartitions path: per-row cost must stay flat
     // as docs scale (narrow, no shuffle - the slope IS the claim)
     "mm_bmp_decode", "mm_png_decode", "mm_jpeg_decode", "mm_avi_frames",
+    "mm_avi_av",
     // the compressed codecs: deflate/inflate (PNG) and FDCT+Huffman
     // (JPEG) dominate, so the per-row cost claim is stronger than
     // BMP's raw-raster one
