@@ -66,7 +66,7 @@ object Bench {
     "q_cms_sliding_prod", "q_cms_join_card_prod", "q_cms_f2_prod",
     "q_kmv_jaccard_prod", "q_kmv_retention_prod",
     "txt_stats", "txt_fingerprint", "txt_repetition", "txt_bpe_learn",
-    "txt_bpe_encode",
+    "txt_bpe_encode", "txt_bm25", "q_hybrid_rrf",
     "txt_bigram_nll", "txt_tfidf", "txt_entropy", "txt_zipf",
     "mm_binary_stats", "mm_bmp_decode", "mm_wav_decode", "mm_png_decode",
     "mm_jpeg_decode", "mm_avi_frames", "mm_avi_av",

@@ -822,6 +822,243 @@ object TextAnalysis {
        |FROM scored WHERE rk <= 3
        |ORDER BY doc_id, rk""".stripMargin
 
+  // ---- txt_bm25 -------------------------------------------------------
+
+  /** The retrieval query the BM25/hybrid faces score against - a
+    * LITERAL term set (the langMarkers/funnelSteps posture: the query
+    * is a parameter; what's gated is the scoring math), mixing one
+    * rare corpus term with common ones so idf spread is exercised.
+    */
+  val bm25QueryTerms: Seq[String] = Seq("dup", "vector", "query",
+    "join", "batch")
+  val bm25TopK = 20
+
+  /** BM25 document scoring (Robertson-Spärck Jones, with the Lucene
+    * +1 idf floor so very common terms contribute small-positive, not
+    * negative) - the lexical half of hybrid retrieval, next to
+    * `txt_tfidf`'s per-doc keyword report. k1 = 1.2, b = 0.75.
+    *
+    * Parity scheme: idf quantizes to integer micro-nats (the tfidf/NLL
+    * discipline); the tf saturation c·(k1+1)/(c + k1(1−b) + k1·b·dl/avgdl)
+    * is made exact by clearing denominators with avgdl = S/N:
+    * num = 22·c·S, den = 10·c·S + 3·S + 9·dl·N - both exact BIGINTs
+    * (< 2^53 for corpora to ~8·10^8 tokens, well past the gate SFs;
+    * a 100 TB run lifts to DECIMAL(38,0)) - so each term's
+    * contribution floor(idf_u·(num/den) + 0.5) is one identically-
+    * rounded IEEE product per engine, and the per-doc score is an
+    * ORDER-FREE integer sum. Ranking key (score_u desc, doc_id asc)
+    * is pure integer.
+    *
+    * 100 TB shape: one narrow token fan-out filtered to the query
+    * terms BEFORE the (doc, term) count (the explode carries ≤|Q|
+    * rows per doc), df/N/S are vocabulary- and 1-row-sized aggregates
+    * broadcast back, and the global top-k is a bounded
+    * TakeOrderedAndProject - the corpus is never sorted.
+    */
+  private[graft] def bm25Scored(spark: SparkSession,
+                                sfDir: String): DataFrame = {
+    val ql = bm25QueryTerms.map(t => s"'$t'").mkString(", ")
+    val docs = Graft.tableParallel(spark, sfDir, "documents")
+      .select(col("doc_id"), expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast(LongType).as("dl"),
+        col("toks"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("s_toks"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"),
+        explode(expr(s"filter(toks, t -> t IN ($ql))")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val dfq = Graft.tableParallel(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(expr(
+        s"filter(array_distinct(regexp_extract_all(lower(text), " +
+          s"'[a-z0-9]+', 0)), t -> t IN ($ql))")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = dfq.crossJoin(broadcast(stats))
+      .select(col("term"), col("n_docs"), col("s_toks"), expr(
+        """CAST(floor(ln(1.0 +
+          |  (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+          |  / (CAST(df AS DOUBLE) + 0.5)) * 1000000.0 + 0.5)
+          |AS BIGINT)""".stripMargin).as("idf_u"))
+    tf.join(broadcast(idf), "term")
+      .withColumn("contrib_u", expr(
+        """CAST(floor(CAST(idf_u AS DOUBLE) *
+          |  (CAST(22 * c * s_toks AS DOUBLE)
+          |   / CAST(10 * c * s_toks + 3 * s_toks + 9 * dl * n_docs
+          |          AS DOUBLE)) + 0.5) AS BIGINT)""".stripMargin))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib_u")).as("score_u"))
+  }
+
+  def bm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val s2 = Graft.ensureConf(spark)
+    val top = bm25Scored(s2, sfDir)
+      .orderBy(col("score_u").desc, col("doc_id")).limit(bm25TopK)
+    // rank over the ≤bm25TopK-row TakeOrdered output: bounded by a
+    // constant, so the empty-partition window is a 20-row formality
+    val w = Window.orderBy(col("score_u").desc, col("doc_id"))
+    top.withColumn("rk", row_number().over(w).cast(LongType))
+      .select(col("rk"), col("doc_id"),
+        ParityMath.q6(col("score_u").cast("double") / lit(1000000.0))
+          .as("bm25"))
+      .orderBy(col("rk"))
+  }
+
+  private def bm25ScoredCtes: String = {
+    val ql = bm25QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""d AS (
+       |  SELECT doc_id,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |  FROM documents
+       |), dd AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d
+       |), stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(dl) AS BIGINT) AS s_toks
+       |  FROM dd
+       |), tf AS (
+       |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS c
+       |  FROM (
+       |    SELECT doc_id, dl,
+       |      unnest(list_filter(toks, t -> t IN ($ql))) AS term
+       |    FROM dd
+       |  ) GROUP BY 1, 2, 3
+       |), dfq AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(list_filter(list_distinct(toks), t -> t IN ($ql)))
+       |        AS term
+       |    FROM dd
+       |  ) GROUP BY 1
+       |), idf AS (
+       |  SELECT term, n_docs, s_toks,
+       |    CAST(floor(ln(1.0 +
+       |      (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |      / (CAST(df AS DOUBLE) + 0.5)) * 1000000.0 + 0.5)
+       |    AS BIGINT) AS idf_u
+       |  FROM dfq CROSS JOIN stats
+       |), scored AS (
+       |  SELECT tf.doc_id,
+       |    CAST(sum(CAST(floor(CAST(idf_u AS DOUBLE) *
+       |      (CAST(22 * c * s_toks AS DOUBLE)
+       |       / CAST(10 * c * s_toks + 3 * s_toks + 9 * dl * n_docs
+       |              AS DOUBLE)) + 0.5) AS BIGINT)) AS BIGINT)
+       |      AS score_u
+       |  FROM tf JOIN idf USING (term)
+       |  GROUP BY 1
+       |)""".stripMargin
+  }
+
+  val bm25Sql: String =
+    s"""WITH $bm25ScoredCtes
+       |SELECT CAST(row_number() OVER (ORDER BY score_u DESC, doc_id)
+       |         AS BIGINT) AS rk,
+       |  doc_id,
+       |  ${ParityMath.q6Sql("CAST(score_u AS DOUBLE) / 1000000.0")}
+       |    AS bm25
+       |FROM scored
+       |ORDER BY rk LIMIT $bm25TopK""".stripMargin
+
+  // ---- q_hybrid_rrf ---------------------------------------------------
+
+  /** RRF constant (Cormack et al. 2009's K = 60) and list sizes. */
+  val rrfK = 60
+  val hybridListLen = 50
+  val hybridTopK = 20
+
+  /** HYBRID retrieval via reciprocal-rank fusion - the standard RAG
+    * pattern: the BM25 lexical list and a vector-similarity list
+    * (cosine against the query embedding, here vec_id 0's vector ≙
+    * the embedded query; embeddings key by vec_id ≙ doc_id) fused as
+    * score = Σ_lists 1/(K + rank). Rank fusion is exactly what makes
+    * hybrid robust: absolute scores from different models are
+    * incomparable, ranks always are - and a doc missing from one
+    * list (the vector index covers a corpus subset; a lexical miss
+    * has no query term) just contributes nothing for that list.
+    *
+    * Parity: each list's rank is integer-deterministic (key desc,
+    * id asc); 1/(K+r) quantizes per list to floor(1e6/(K+r) + 0.5) -
+    * one identically-rounded IEEE division - and the fusion is an
+    * order-free integer sum. 100 TB shape: both lists are bounded
+    * TakeOrdered outputs (the corpus is scanned, never sorted), the
+    * fusion joins two ≤`hybridListLen`-row relations.
+    */
+  def hybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    val s2 = Graft.ensureConf(spark)
+    val wText = Window.orderBy(col("score_u").desc, col("doc_id"))
+    val text = bm25Scored(s2, sfDir)
+      .orderBy(col("score_u").desc, col("doc_id")).limit(hybridListLen)
+      .withColumn("text_rank", row_number().over(wText).cast(LongType))
+      .select(col("doc_id"), col("text_rank"))
+    val e = Graft.tableParallel(s2, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val qv = e.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("q_emb"))
+    val wVec = Window.orderBy(col("sim").desc, col("doc_id"))
+    val vec = e.crossJoin(broadcast(qv))
+      .withColumn("sim", ParityMath.q6(
+        expr(Similarity.cosSpark("embedding", "q_emb"))))
+      .select(col("vec_id").as("doc_id"), col("sim"))
+      .orderBy(col("sim").desc, col("doc_id")).limit(hybridListLen)
+      .withColumn("vec_rank", row_number().over(wVec).cast(LongType))
+      .select(col("doc_id"), col("vec_rank"))
+    val wFuse = Window.orderBy(col("rrf_u").desc, col("doc_id"))
+    text.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_u", expr(
+        s"""CAST(floor(1000000.0 / ($rrfK + coalesce(text_rank, 0))
+           |  + 0.5) AS BIGINT) * CAST(text_rank IS NOT NULL AS BIGINT)
+           | + CAST(floor(1000000.0 / ($rrfK + coalesce(vec_rank, 0))
+           |  + 0.5) AS BIGINT) * CAST(vec_rank IS NOT NULL AS BIGINT)"""
+          .stripMargin))
+      .orderBy(col("rrf_u").desc, col("doc_id")).limit(hybridTopK)
+      .withColumn("rk", row_number().over(wFuse).cast(LongType))
+      .select(col("rk"), col("doc_id"),
+        ParityMath.q6(col("rrf_u").cast("double") / lit(1000000.0))
+          .as("rrf"),
+        col("text_rank"), col("vec_rank"))
+      .orderBy(col("rk"))
+  }
+
+  val hybridRrfSql: String =
+    s"""WITH $bm25ScoredCtes, text AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY score_u DESC, doc_id)
+       |      AS BIGINT) AS text_rank
+       |  FROM scored
+       |  ORDER BY score_u DESC, doc_id LIMIT $hybridListLen
+       |), qv AS (
+       |  SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0
+       |), vecl AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY sim DESC, doc_id)
+       |      AS BIGINT) AS vec_rank
+       |  FROM (
+       |    SELECT e.vec_id AS doc_id,
+       |      ${ParityMath.q6Sql(
+             graft.pipeline.Similarity.cosDuck("e.embedding", "q.q_emb"))}
+       |        AS sim
+       |    FROM embeddings e CROSS JOIN qv q
+       |  )
+       |  ORDER BY sim DESC, doc_id LIMIT $hybridListLen
+       |), fused AS (
+       |  SELECT coalesce(t.doc_id, v.doc_id) AS doc_id,
+       |    t.text_rank, v.vec_rank,
+       |    coalesce(CAST(floor(1000000.0 / ($rrfK + t.text_rank) + 0.5)
+       |             AS BIGINT), 0)
+       |    + coalesce(CAST(floor(1000000.0 / ($rrfK + v.vec_rank) + 0.5)
+       |               AS BIGINT), 0) AS rrf_u
+       |  FROM text t FULL OUTER JOIN vecl v ON t.doc_id = v.doc_id
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY rrf_u DESC, doc_id)
+       |         AS BIGINT) AS rk,
+       |  doc_id,
+       |  ${ParityMath.q6Sql("CAST(rrf_u AS DOUBLE) / 1000000.0")} AS rrf,
+       |  text_rank, vec_rank
+       |FROM fused
+       |ORDER BY rk LIMIT $hybridTopK""".stripMargin
+
   // ---- txt_bigram_nll ------------------------------------------------
 
   /** Context-aware statistical quality gate: per-doc mean NLL under an

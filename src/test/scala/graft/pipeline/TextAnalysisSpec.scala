@@ -207,6 +207,69 @@ class TextAnalysisSpec extends SparkSpec {
     assert(learned(0)._4 >= TextAnalysis.bpeSupportFloor)
   }
 
+  test("bm25: engine top-k matches an independent driver-side " +
+       "recomputation of the full formula") {
+    val rows = TextAnalysis.bm25(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty && rows.map(_._1).toSeq == (1L to rows.length))
+    // independent reimplementation: plain Scala over the raw text
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).toSeq)
+    val n = docs.length.toLong
+    val sToks = docs.map(_._2.length.toLong).sum
+    val dfm = TextAnalysis.bm25QueryTerms.map(t =>
+      t -> docs.count(_._2.contains(t)).toLong).toMap
+    val scored = docs.map { case (id, toks) =>
+      val dl = toks.length.toLong
+      val su = TextAnalysis.bm25QueryTerms.map { t =>
+        val c = toks.count(_ == t).toLong
+        if (c == 0) 0L
+        else {
+          val idfU = math.floor(math.log(1.0 +
+            (n.toDouble - dfm(t) + 0.5) / (dfm(t) + 0.5)) * 1e6 + 0.5).toLong
+          math.floor(idfU.toDouble *
+            ((22.0 * c * sToks) /
+             (10.0 * c * sToks + 3.0 * sToks + 9.0 * dl * n).toDouble)
+            + 0.5).toLong
+        }
+      }.sum
+      (id, su)
+    }.filter(_._2 > 0)
+      .sortBy { case (id, su) => (-su, id) }
+      .take(TextAnalysis.bm25TopK)
+    assert(rows.map(_._2).toSeq == scored.map(_._1).toSeq,
+      s"ranking mismatch: engine=${rows.map(_._2).toSeq} " +
+        s"driver=${scored.map(_._1).toSeq}")
+    rows.zip(scored).foreach { case ((_, _, s), (_, su)) =>
+      assert(math.abs(s - su / 1e6) < 1e-9)
+    }
+  }
+
+  test("hybrid rrf: fused scores are consistent with the reported " +
+       "per-list ranks and ordering is deterministic") {
+    val rows = TextAnalysis.hybridRrf(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    def part(r: Option[Long]): Long =
+      r.map(x => math.floor(1e6 / (TextAnalysis.rrfK + x) + 0.5).toLong)
+        .getOrElse(0L)
+    val recomputed = rows.map { r =>
+      val tr = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      val vr = if (r.isNullAt(4)) None else Some(r.getLong(4))
+      (r.getLong(1), part(tr) + part(vr), r.getDouble(2))
+    }
+    recomputed.foreach { case (_, u, rrf) =>
+      assert(math.abs(rrf - u / 1e6) < 1e-9)
+    }
+    // the report is ordered by the fused score with doc_id tie-break
+    val key = recomputed.map { case (id, u, _) => (-u, id) }
+    assert(key.sortBy(identity).toSeq == key.toSeq)
+    // at least one doc must appear in BOTH lists on the fixture
+    assert(rows.exists(r => !r.isNullAt(3) && !r.isNullAt(4)),
+      "expected overlap between the lexical and vector lists")
+  }
+
   test("bigram NLL separates word salad the unigram gate cannot see") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft_bg").toString
