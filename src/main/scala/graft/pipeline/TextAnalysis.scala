@@ -863,18 +863,26 @@ object TextAnalysis {
         "regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("toks"))
       .select(col("doc_id"), size(col("toks")).cast(LongType).as("dl"),
         col("toks"))
-    val stats = docs.agg(count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("s_toks"))
     val tf = docs
       .select(col("doc_id"), col("dl"),
         explode(expr(s"filter(toks, t -> t IN ($ql))")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("c"))
-    val dfq = Graft.tableParallel(spark, sfDir, "documents")
-      .select(col("doc_id"), explode(expr(
-        s"filter(array_distinct(regexp_extract_all(lower(text), " +
-          s"'[a-z0-9]+', 0)), t -> t IN ($ql))")).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    bm25FromParts(docs.select(col("doc_id"), col("dl")), tf)
+  }
+
+  /** BM25 scoring over any (doc_id, dl) + (doc_id, dl, term, c)
+    * relation pair - shared by the batch face and the streaming
+    * face's final-snapshot view, so the idf/saturation math cannot
+    * drift between them. `docLens` must carry EVERY doc (zero-hit
+    * docs contribute to N and S); `tf` only the query-term hits.
+    */
+  private[graft] def bm25FromParts(docLens: DataFrame,
+                                   tf: DataFrame): DataFrame = {
+    val stats = docLens.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("s_toks"))
+    val dfq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
     val idf = dfq.crossJoin(broadcast(stats))
       .select(col("term"), col("n_docs"), col("s_toks"), expr(
         """CAST(floor(ln(1.0 +
@@ -891,11 +899,13 @@ object TextAnalysis {
       .agg(sum(col("contrib_u")).as("score_u"))
   }
 
-  def bm25(spark: SparkSession, sfDir: String): DataFrame = {
-    val s2 = Graft.ensureConf(spark)
-    val top = bm25Scored(s2, sfDir)
+  /** The ranked top-k report over any scored relation - shared by the
+    * batch and streaming faces.
+    */
+  private[graft] def bm25Report(scored: DataFrame): DataFrame = {
+    val top = scored
       .orderBy(col("score_u").desc, col("doc_id")).limit(bm25TopK)
-    // rank over the ≤bm25TopK-row TakeOrdered output: bounded by a
+    // rank over the <=bm25TopK-row TakeOrdered output: bounded by a
     // constant, so the empty-partition window is a 20-row formality
     val w = Window.orderBy(col("score_u").desc, col("doc_id"))
     top.withColumn("rk", row_number().over(w).cast(LongType))
@@ -904,6 +914,9 @@ object TextAnalysis {
           .as("bm25"))
       .orderBy(col("rk"))
   }
+
+  def bm25(spark: SparkSession, sfDir: String): DataFrame =
+    bm25Report(bm25Scored(Graft.ensureConf(spark), sfDir))
 
   private def bm25ScoredCtes: String = {
     val ql = bm25QueryTerms.map(t => s"'$t'").mkString(", ")

@@ -927,6 +927,47 @@ object StreamSum {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Streaming face of BM25 retrieval, sharing `txt_bm25`'s oracle:
+    * the per-doc state is SEVEN longs (dl + the five query-term
+    * counts, maintained by an ordinary streaming max-agg over the
+    * narrow per-doc features) - docs are immutable so arrival order
+    * cannot perturb it. Everything corpus-wide is a view over the
+    * snapshot: N/S/df/idf and the bounded top-k all recompute at
+    * query time (idf is an evolving-answer quantity - one arriving
+    * doc shifts every score - so storing scores would be wrong, the
+    * same contract as the trending/skyline matrix views), through
+    * literally the batch face's bm25FromParts/bm25Report.
+    */
+  def streamBm25(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    import graft.pipeline.TextAnalysis
+    val terms = TextAnalysis.bm25QueryTerms
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val arriving = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val cCols = terms.zipWithIndex.map { case (t, i) =>
+      expr(s"CAST(size(filter(toks, x -> x = '$t')) AS BIGINT)")
+        .as(s"c_$i")
+    }
+    val state = arriving
+      .select(col("doc_id"), expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("toks"))
+      .select(col("doc_id") +:
+        expr("CAST(size(toks) AS BIGINT)").as("dl") +: cCols: _*)
+      .groupBy(col("doc_id"))
+      .agg(max(col("dl")).as("dl"),
+        terms.indices.map(i => max(col(s"c_$i")).as(s"c_$i")): _*)
+    val snap = runToTable(state, OutputMode.Complete(), "ss_stream_bm25")
+    val tf = terms.zipWithIndex.map { case (t, i) =>
+      snap.select(col("doc_id"), col("dl"), lit(t).as("term"),
+        col(s"c_$i").as("c")).filter(col("c") > 0L)
+    }.reduce(_ unionByName _)
+    TextAnalysis.bm25Report(
+      TextAnalysis.bm25FromParts(snap.select(col("doc_id"), col("dl")),
+        tf))
+  }
+
   /** Streaming face of the embedding-outlier prune, sharing
     * `pipe_embed_prune`'s oracle: affinity to the STATIC trained
     * centroids is a pure per-row map (narrow argmax + broadcast k-row
