@@ -111,6 +111,7 @@ object Bench {
     "dd_minhash_lsh", "dd_jaccard_prefix", "dd_semantic", "txt_bigram_nll",
     "pipe_quality_gate", "ann_ivf_quant", "ann_ivf_pq", "ann_knn_join",
     "txt_stats", "pipe_embed_prune", "txt_bpe_encode",
+    "txt_bm25", "q_hybrid_rrf",
     // the real-codec mapPartitions path: per-row cost must stay flat
     // as docs scale (narrow, no shuffle - the slope IS the claim)
     "mm_bmp_decode", "mm_png_decode", "mm_jpeg_decode", "mm_avi_frames",
