@@ -95,6 +95,7 @@ object Bench {
     "q_ewma", "q_anomaly", "q_funnel", "q_cohort", "q_pagerank",
     "q_trending", "q_markov", "ss_stream_ewma",
     "q_paths", "q_seasonality", "q_changepoint", "q_seq_pattern",
+    "q_triangles",
     "q_cms_topk", "q_cms_topk_prod", "q_cms_sliding", "q_cms_sliding_prod",
     "q_hll_sliding", "q_hll_sliding_prod", "q_qtile_sliding",
     "q_kmv_jaccard_prod", "q_kmv_retention_prod",
@@ -111,7 +112,7 @@ object Bench {
     "dd_minhash_lsh", "dd_jaccard_prefix", "dd_semantic", "txt_bigram_nll",
     "pipe_quality_gate", "ann_ivf_quant", "ann_ivf_pq", "ann_knn_join",
     "txt_stats", "pipe_embed_prune", "txt_bpe_encode",
-    "txt_bm25", "q_hybrid_rrf",
+    "txt_bm25", "q_hybrid_rrf", "q_retrieval_eval", "txt_backoff_nll",
     // the real-codec mapPartitions path: per-row cost must stay flat
     // as docs scale (narrow, no shuffle - the slope IS the claim)
     "mm_bmp_decode", "mm_png_decode", "mm_jpeg_decode", "mm_avi_frames",

@@ -179,18 +179,29 @@ object Graph {
     cooccurFrom(Transform.extract(spark, sfDir))
   }
 
-  private[graft] def cooccurFrom(tuples: DataFrame): DataFrame =
+  /** The cap-filtered per-user object-set relation (s, os sorted) —
+    * the shared front half of the co-occurrence and triangle faces.
+    */
+  private[graft] def capActive(tuples: DataFrame): DataFrame =
     tuples.select(col("s"), col("o")).distinct()
       .groupBy(col("s"))
       .agg(sort_array(collect_set(col("o"))).as("os"))
       .filter(size(col("os")).between(2, cooccurMaxDeg))
-      .select(explode(expr(
+
+  /** In-row pair explode + support count over the capped set relation:
+    * (o1 < o2, cnt) with no self-join of the event log.
+    */
+  private[graft] def pairCounts(act: DataFrame): DataFrame =
+    act.select(explode(expr(
         """flatten(transform(os, (x, i) ->
           |  transform(slice(os, i + 2, size(os) - i - 1),
           |    y -> named_struct('o1', x, 'o2', y))))""".stripMargin))
         .as("p"))
       .groupBy(col("p.o1").as("o1"), col("p.o2").as("o2"))
       .agg(count(lit(1)).as("cnt"))
+
+  private[graft] def cooccurFrom(tuples: DataFrame): DataFrame =
+    pairCounts(capActive(tuples))
       .filter(col("cnt") >= cooccurMinCnt)
       .orderBy(col("o1"), col("o2"))
 
@@ -206,4 +217,137 @@ object Graph {
        |FROM el a JOIN el b ON a.s = b.s AND a.o < b.o
        |GROUP BY 1, 2 HAVING count(*) >= $cooccurMinCnt
        |ORDER BY o1, o2""".stripMargin
+
+  // ---- q_triangles: degree-oriented triangle counting ----------------
+
+  /** Lift gate for a co-visitation edge: keep (o1, o2) iff
+    * cnt·n_users > (liftNum/liftDen)·deg(o1)·deg(o2) — i.e. the pair
+    * co-occurs ≥ 5% more than independent popularity predicts. The
+    * rule is exact integer arithmetic (`liftDen·cnt·n > liftNum·c1·c2`)
+    * and SCALE-INVARIANT: an absolute count threshold that sparsifies
+    * sf0.01 leaves sf0.001 empty and 100× data complete, a lift ratio
+    * filters the same "surprising" fraction at any volume.
+    */
+  val triLiftNum = 21L
+  val triLiftDen = 20L
+
+  /** Per-node triangle participation over the lift-filtered
+    * co-visitation graph — the cohesion signal behind community
+    * detection and local clustering coefficients (and, in a curation
+    * pipeline, the "tightly-knit near-duplicate neighborhood" smell on
+    * a doc↔domain link graph). The user↔object interaction graph is
+    * bipartite (triangle-free by construction), so the faces count on
+    * the object-object PROJECTION: edges are co-visitation pairs with
+    * support ≥ `cooccurMinCnt` AND lift above `triLiftNum/triLiftDen`.
+    *
+    * 100 TB shape: the classic degree-orientation plan. Each edge is
+    * directed from its lexicographically smaller (degree, id) endpoint,
+    * turning every triangle into exactly ONE wedge+closure — the wedge
+    * self-join's volume is Σ_v outdeg(v)², bounded by O(|E|^{3/2})
+    * regardless of skew (a hub of degree d orients its edges INWARD,
+    * so it closes wedges rather than fanning them out). One src-keyed
+    * self-join (the wedge), one (a, b)-keyed join against the edge set
+    * (the closure), one map-combinable count — the projection itself
+    * reuses the co-occurrence family's in-row pair explode, so nothing
+    * here self-joins the event log. The edge relation is
+    * localCheckpoint'd once (pagerank's discipline): both orientation
+    * sides and the closure probe read the materialized relation, not
+    * three re-derivations of the pair explode.
+    *
+    * Reference: extends the graph family (pagerank = fixed-point,
+    * paths/markov = sequence, cooccur = projection; this adds the
+    * motif/cohesion member).
+    */
+  def qTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    trianglesFrom(Transform.extract(spark, sfDir))
+  }
+
+  private[graft] def trianglesFrom(tuples: DataFrame): DataFrame = {
+    val act = capActive(tuples).localCheckpoint()
+    val nu = act.agg(count(lit(1)).as("n"))
+    val od = act.select(explode(col("os")).as("o"))
+      .groupBy(col("o")).agg(count(lit(1)).as("c"))
+    // lift-gated edge set (o1 < o2); od is object-cardinality-sized
+    // and nu one row -> both broadcast
+    val e = pairCounts(act)
+      .filter(col("cnt") >= cooccurMinCnt)
+      .join(broadcast(od.select(col("o").as("o1"), col("c").as("c1"))),
+        "o1")
+      .join(broadcast(od.select(col("o").as("o2"), col("c").as("c2"))),
+        "o2")
+      .crossJoin(broadcast(nu))
+      .filter(lit(triLiftDen) * col("cnt") * col("n") >
+        lit(triLiftNum) * col("c1") * col("c2"))
+      .select(col("o1"), col("o2"))
+      .localCheckpoint()
+    val deg = e.select(col("o1").as("v"))
+      .unionAll(e.select(col("o2").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    // orient each edge from the smaller (degree, id) endpoint: every
+    // triangle becomes exactly one wedge at its lowest-order corner
+    val low = (col("d1") < col("d2")) ||
+      (col("d1") === col("d2") && col("o1") < col("o2"))
+    val ori = e
+      .join(broadcast(deg.select(col("v").as("o1"), col("d").as("d1"))),
+        "o1")
+      .join(broadcast(deg.select(col("v").as("o2"), col("d").as("d2"))),
+        "o2")
+      .select(when(low, col("o1")).otherwise(col("o2")).as("src"),
+        when(low, col("o2")).otherwise(col("o1")).as("dst"))
+    val tri = ori.select(col("src"), col("dst").as("a"))
+      .join(ori.select(col("src"), col("dst").as("b")), "src")
+      .filter(col("a") < col("b"))
+      .join(e.select(col("o1").as("a"), col("o2").as("b")),
+        Seq("a", "b"))
+    tri.select(explode(array(col("src"), col("a"), col("b")))
+        .as("node_id"))
+      .groupBy(col("node_id")).agg(count(lit(1)).as("tri_cnt"))
+      .orderBy(col("node_id"))
+  }
+
+  val qTrianglesSql: String =
+    s"""WITH ${graft.oracle.Sql.tuplesCte},
+       |so AS (SELECT DISTINCT s, o FROM tuples),
+       |deg0 AS (SELECT s, count(*) AS d FROM so GROUP BY 1),
+       |el AS (
+       |  SELECT so.s, so.o FROM so JOIN deg0 USING (s)
+       |  WHERE deg0.d BETWEEN 2 AND $cooccurMaxDeg
+       |),
+       |nu AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS n FROM el),
+       |od AS (SELECT o, CAST(count(*) AS BIGINT) AS c FROM el GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.o AS o1, b.o AS o2, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM el a JOIN el b ON a.s = b.s AND a.o < b.o
+       |  GROUP BY 1, 2 HAVING count(*) >= $cooccurMinCnt
+       |),
+       |e AS (
+       |  SELECT p.o1, p.o2
+       |  FROM pairs p
+       |  JOIN od d1 ON p.o1 = d1.o JOIN od d2 ON p.o2 = d2.o
+       |  CROSS JOIN nu
+       |  WHERE $triLiftDen * p.cnt * nu.n > $triLiftNum * d1.c * d2.c
+       |),
+       |deg AS (
+       |  SELECT v, count(*) AS d FROM (
+       |    SELECT o1 AS v FROM e UNION ALL SELECT o2 AS v FROM e
+       |  ) GROUP BY 1
+       |),
+       |ori AS (
+       |  SELECT
+       |    CASE WHEN da.d < db.d OR (da.d = db.d AND e.o1 < e.o2)
+       |         THEN e.o1 ELSE e.o2 END AS src,
+       |    CASE WHEN da.d < db.d OR (da.d = db.d AND e.o1 < e.o2)
+       |         THEN e.o2 ELSE e.o1 END AS dst
+       |  FROM e JOIN deg da ON e.o1 = da.v JOIN deg db ON e.o2 = db.v
+       |),
+       |tri AS (
+       |  SELECT w.src, w.a, w.b FROM (
+       |    SELECT e1.src, e1.dst AS a, e2.dst AS b
+       |    FROM ori e1 JOIN ori e2 ON e1.src = e2.src AND e1.dst < e2.dst
+       |  ) w JOIN e ON w.a = e.o1 AND w.b = e.o2
+       |)
+       |SELECT node_id, CAST(count(*) AS BIGINT) AS tri_cnt
+       |FROM (SELECT unnest([src, a, b]) AS node_id FROM tri)
+       |GROUP BY 1 ORDER BY node_id""".stripMargin
 }

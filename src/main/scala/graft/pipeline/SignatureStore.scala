@@ -3,7 +3,7 @@ package graft.pipeline
 import graft.core.Graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{col, collect_list, collect_set, count, explode, expr, lag, lit, max, min, pmod, struct, substring, sum, when}
+import org.apache.spark.sql.functions.{col, collect_list, collect_set, count, explode, expr, lag, lit, max, min, pmod, size, struct, substring, sum, when}
 
 /** Materialized MinHash signature store: the shingle/hash relation and
   * the exploded LSH band stream are computed ONCE per (session, corpus)
@@ -1473,6 +1473,87 @@ object SignatureStore {
       "arrival2.parquet")
     catchUpTfidf(spark, watch, store)
     storedTfidf(spark, store)
+  }
+
+  /** Incremental BM25 retrieval store: each arriving documents batch
+    * lands its per-doc token length and its per-(doc, query-term)
+    * counts — a document tokenizes exactly once, ever. EVERYTHING
+    * else is a query-time VIEW through the batch face's shared
+    * scoring functions (`bm25FromParts`/`bm25Report`): N, avgdl, df
+    * and therefore every idf are corpus-global — one arriving doc
+    * shifts every stored document's score — so scores are never
+    * storable state, only the (dl, tf) facts are. BM25's bag-of-words
+    * nature makes the merge exact under ANY batch split of a doc:
+    * lengths and counts are plain sums (unlike the bigram LM store,
+    * no cross-boundary n-gram is ever lost).
+    */
+  def catchUpBm25(spark: SparkSession, watchDir: String,
+                  storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val ql = graft.pipeline.TextAnalysis.bm25QueryTerms
+      .map(t => s"'$t'").mkString(", ")
+    val schema = spark.read.parquet(watchDir).schema
+    val docs = spark.readStream.schema(schema).parquet(watchDir)
+    val q = docs.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // tokenize once per batch; both landed relations read the
+        // materialized token arrays, not two re-tokenizations
+        val toks = batch.select(col("doc_id"), expr(
+            "regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts"))
+          .localCheckpoint()
+        toks.select(col("doc_id"),
+            size(col("ts")).cast("long").as("dl"))
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/len/batch=$id")
+        toks.select(col("doc_id"),
+            explode(expr(s"filter(ts, t -> t IN ($ql))")).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("c"))
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/tf/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  def storedBm25(spark: SparkSession, storeDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val len = storedOrEmpty(spark, s"$storeDir/len",
+      emptyLike(spark, spark.range(0).selectExpr("id AS doc_id",
+        "id AS dl")))
+    val tf0 = storedOrEmpty(spark, s"$storeDir/tf",
+      emptyLike(spark, spark.range(0).selectExpr("id AS doc_id",
+        "'' AS term", "id AS c")))
+    // re-sum: a doc split across landings contributes dl and c
+    // partials that add exactly (bag-of-words)
+    val docLens = len.groupBy(col("doc_id")).agg(sum(col("dl")).as("dl"))
+    val tf = tf0.groupBy(col("doc_id"), col("term"))
+      .agg(sum(col("c")).as("c"))
+      .join(docLens, "doc_id")
+      .select(col("doc_id"), col("dl"), col("term"), col("c"))
+    graft.pipeline.TextAnalysis.bm25Report(
+      graft.pipeline.TextAnalysis.bm25FromParts(docLens, tf))
+  }
+
+  /** Driver-gate face: fresh store, two doc-parity appends (the
+    * second batch shifts N/avgdl/df, so every first-batch score must
+    * re-derive under the union), then the query-time ranking; shares
+    * `txt_bm25`'s oracle.
+    */
+  def gatedBm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_bm25_watch")
+    val store = tempDirForExit("graft_gate_bm25_store")
+    val docs = Graft.table(spark, sfDir, "documents")
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpBm25(spark, watch, store)
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpBm25(spark, watch, store)
+    storedBm25(spark, store)
   }
 
   /** Z-order layout incremental store: each arriving batch is

@@ -998,25 +998,42 @@ object TextAnalysis {
     * TakeOrdered outputs (the corpus is scanned, never sorted), the
     * fusion joins two ≤`hybridListLen`-row relations.
     */
-  def hybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
-    val s2 = Graft.ensureConf(spark)
-    val wText = Window.orderBy(col("score_u").desc, col("doc_id"))
-    val text = bm25Scored(s2, sfDir)
-      .orderBy(col("score_u").desc, col("doc_id")).limit(hybridListLen)
-      .withColumn("text_rank", row_number().over(wText).cast(LongType))
+  /** The BM25 lexical top-n list as (doc_id, text_rank) — shared by
+    * the fusion and eval faces. Rank over the ≤n-row TakeOrdered
+    * output: the empty-partition window is an n-row formality.
+    */
+  private[graft] def textList(spark: SparkSession, sfDir: String,
+                              n: Int): DataFrame = {
+    val w = Window.orderBy(col("score_u").desc, col("doc_id"))
+    bm25Scored(spark, sfDir)
+      .orderBy(col("score_u").desc, col("doc_id")).limit(n)
+      .withColumn("text_rank", row_number().over(w).cast(LongType))
       .select(col("doc_id"), col("text_rank"))
-    val e = Graft.tableParallel(s2, sfDir, "embeddings")
+  }
+
+  /** The query-embedding cosine top-n list as (doc_id, vec_rank) —
+    * shared by the fusion and eval faces.
+    */
+  private[graft] def vecList(spark: SparkSession, sfDir: String,
+                             n: Int): DataFrame = {
+    val e = Graft.tableParallel(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val qv = e.filter(col("vec_id") === 0L)
       .select(col("embedding").as("q_emb"))
-    val wVec = Window.orderBy(col("sim").desc, col("doc_id"))
-    val vec = e.crossJoin(broadcast(qv))
+    val w = Window.orderBy(col("sim").desc, col("doc_id"))
+    e.crossJoin(broadcast(qv))
       .withColumn("sim", ParityMath.q6(
         expr(Similarity.cosSpark("embedding", "q_emb"))))
       .select(col("vec_id").as("doc_id"), col("sim"))
-      .orderBy(col("sim").desc, col("doc_id")).limit(hybridListLen)
-      .withColumn("vec_rank", row_number().over(wVec).cast(LongType))
+      .orderBy(col("sim").desc, col("doc_id")).limit(n)
+      .withColumn("vec_rank", row_number().over(w).cast(LongType))
       .select(col("doc_id"), col("vec_rank"))
+  }
+
+  def hybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    val s2 = Graft.ensureConf(spark)
+    val text = textList(s2, sfDir, hybridListLen)
+    val vec = vecList(s2, sfDir, hybridListLen)
     val wFuse = Window.orderBy(col("rrf_u").desc, col("doc_id"))
     text.join(vec, Seq("doc_id"), "full_outer")
       .withColumn("rrf_u", expr(
@@ -1034,8 +1051,12 @@ object TextAnalysis {
       .orderBy(col("rk"))
   }
 
-  val hybridRrfSql: String =
-    s"""WITH $bm25ScoredCtes, text AS (
+  /** The fusion CTE chain (text/vector lists + RRF scores) — shared by
+    * the hybrid face's oracle and the retrieval-eval oracle, so the
+    * list construction cannot drift between them.
+    */
+  private def hybridCtes: String =
+    s"""text AS (
        |  SELECT doc_id,
        |    CAST(row_number() OVER (ORDER BY score_u DESC, doc_id)
        |      AS BIGINT) AS text_rank
@@ -1063,7 +1084,10 @@ object TextAnalysis {
        |    + coalesce(CAST(floor(1000000.0 / ($rrfK + v.vec_rank) + 0.5)
        |               AS BIGINT), 0) AS rrf_u
        |  FROM text t FULL OUTER JOIN vecl v ON t.doc_id = v.doc_id
-       |)
+       |)""".stripMargin
+
+  val hybridRrfSql: String =
+    s"""WITH $bm25ScoredCtes, $hybridCtes
        |SELECT CAST(row_number() OVER (ORDER BY rrf_u DESC, doc_id)
        |         AS BIGINT) AS rk,
        |  doc_id,
@@ -1071,6 +1095,144 @@ object TextAnalysis {
        |  text_rank, vec_rank
        |FROM fused
        |ORDER BY rk LIMIT $hybridTopK""".stripMargin
+
+  // ---- q_retrieval_eval -----------------------------------------------
+
+  /** Metrics cutoff for P@k and nDCG@k. */
+  val retrievalEvalK = 10
+
+  /** Retrieval quality scorecard — Precision@10, MRR, and binary-gain
+    * nDCG@10 for each of the three retrieval faces (lexical BM25,
+    * query-embedding cosine, RRF hybrid) against a deterministic
+    * relevance set: the CONJUNCTIVE-match docs (all five query terms
+    * present). The eval-family member for retrieval, next to
+    * `ann_recall_eval` (recall of the index vs brute force),
+    * `txt_langid_eval` (confusion matrix) and `pipe_qclf_eval`
+    * (held-out AUC): the numbers a RAG pipeline actually watches when
+    * it tunes k1/b, the fusion constant, or the embedding model.
+    *
+    * Parity scheme: every metric is integer until its final division —
+    * rank positions are integer-deterministic from the gated list
+    * faces; 1/rank and 1/log2(rank+1) quantize per position to
+    * micro-units (one identically-rounded IEEE op each); DCG/IDCG are
+    * order-free integer sums (IDCG folds over sequence(1, min(|rel|,
+    * k)) in-row); P@10 divides a hit count by the constant k. q6 on
+    * the way out, the house rule.
+    *
+    * 100 TB shape: the three lists are bounded TakeOrdered outputs of
+    * already-audited faces (≤20 rows each); the relevance flag is one
+    * narrow corpus scan (pushed projection of doc_id + the in-row
+    * distinct-term intersect); everything after the list∪rel join
+    * touches ≤60 rows.
+    */
+  def retrievalEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val s2 = Graft.ensureConf(spark)
+    val k = retrievalEvalK
+    val ql = bm25QueryTerms.map(t => s"'$t'").mkString(", ")
+    val rel = Graft.tableParallel(s2, sfDir, "documents")
+      .select(col("doc_id"), expr(
+        s"""size(array_intersect(array_distinct(
+           |  regexp_extract_all(lower(text), '[a-z0-9]+', 0)),
+           |  array($ql)))""".stripMargin).as("nq"))
+      .filter(col("nq") === bm25QueryTerms.size)
+      .select(col("doc_id"), lit(1L).as("rel"))
+    val nrel = rel.agg(count(lit(1)).as("n_rel"))
+    val lists = textList(s2, sfDir, bm25TopK)
+        .select(lit("bm25").as("lst"), col("text_rank").as("rk"),
+          col("doc_id"))
+      .unionAll(vecList(s2, sfDir, bm25TopK)
+        .select(lit("vector").as("lst"), col("vec_rank").as("rk"),
+          col("doc_id")))
+      .unionAll(hybridRrf(s2, sfDir)
+        .select(lit("hybrid").as("lst"), col("rk"), col("doc_id")))
+    lists.join(broadcast(rel), Seq("doc_id"), "left")
+      .withColumn("r", coalesce(col("rel"), lit(0L)))
+      .groupBy(col("lst"))
+      .agg(sum(col("r")).as("hits"),
+        sum(when(col("rk") <= k, col("r")).otherwise(lit(0L)))
+          .as("hits_k"),
+        min(when(col("r") === 1L, col("rk"))).as("first_rel"),
+        sum(when(col("r") === 1L && col("rk") <= k, expr(
+          """CAST(floor(1000000.0 / log2(CAST(rk + 1 AS DOUBLE)) + 0.5)
+            |AS BIGINT)""".stripMargin)).otherwise(lit(0L))).as("dcg_u"))
+      .crossJoin(broadcast(nrel))
+      // CASE-guarded: Spark's sequence(1, 0) DESCENDS instead of being
+      // empty, so an empty relevance set must short-circuit to 0 (the
+      // oracle's range(1, 1) is empty and coalesces to 0 on its own)
+      .withColumn("idcg_u", expr(
+        s"""CASE WHEN n_rel = 0 THEN 0L ELSE
+           |aggregate(sequence(1, CAST(least(n_rel, $k) AS INT)), 0L,
+           |  (acc, i) -> acc + CAST(floor(1000000.0
+           |    / log2(CAST(i + 1 AS DOUBLE)) + 0.5) AS BIGINT))
+           |END""".stripMargin))
+      .select(col("lst"), col("hits"),
+        ParityMath.q6(col("hits_k").cast("double") / lit(k.toDouble))
+          .as("p_at_k"),
+        ParityMath.q6(expr(
+          """CASE WHEN first_rel IS NULL THEN 0.0
+            |ELSE floor(1000000.0 / CAST(first_rel AS DOUBLE) + 0.5)
+            |     / 1000000.0 END""".stripMargin)).as("mrr"),
+        ParityMath.q6(expr(
+          """CASE WHEN idcg_u = 0 THEN 0.0
+            |ELSE CAST(dcg_u AS DOUBLE) / CAST(idcg_u AS DOUBLE)
+            |END""".stripMargin)).as("ndcg"))
+      .orderBy(col("lst"))
+  }
+
+  val retrievalEvalSql: String = {
+    val k = retrievalEvalK
+    val ql = bm25QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH $bm25ScoredCtes, $hybridCtes,
+       |hyb AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY rrf_u DESC, doc_id)
+       |           AS BIGINT) AS rk, doc_id
+       |  FROM fused ORDER BY rk LIMIT $hybridTopK
+       |), rel AS (
+       |  SELECT doc_id, CAST(1 AS BIGINT) AS rel FROM documents
+       |  WHERE len(list_filter(list_distinct(
+       |      regexp_extract_all(lower(text), '[a-z0-9]+')),
+       |      t -> t IN ($ql))) = ${bm25QueryTerms.size}
+       |), nrel AS (SELECT CAST(count(*) AS BIGINT) AS n_rel FROM rel),
+       |lists AS (
+       |  SELECT 'bm25' AS lst, text_rank AS rk, doc_id FROM text
+       |  WHERE text_rank <= $bm25TopK
+       |  UNION ALL
+       |  SELECT 'vector' AS lst, vec_rank AS rk, doc_id FROM vecl
+       |  WHERE vec_rank <= $bm25TopK
+       |  UNION ALL
+       |  SELECT 'hybrid' AS lst, rk, doc_id FROM hyb
+       |), agg AS (
+       |  SELECT lst,
+       |    CAST(sum(coalesce(r.rel, 0)) AS BIGINT) AS hits,
+       |    CAST(sum(CASE WHEN l.rk <= $k THEN coalesce(r.rel, 0)
+       |             ELSE 0 END) AS BIGINT) AS hits_k,
+       |    min(CASE WHEN r.rel = 1 THEN l.rk END) AS first_rel,
+       |    CAST(sum(CASE WHEN r.rel = 1 AND l.rk <= $k THEN
+       |      CAST(floor(1000000.0 / log2(CAST(l.rk + 1 AS DOUBLE)) + 0.5)
+       |      AS BIGINT) ELSE 0 END) AS BIGINT) AS dcg_u
+       |  FROM lists l LEFT JOIN rel r USING (doc_id)
+       |  GROUP BY lst
+       |), withi AS (
+       |  SELECT a.*, (
+       |    SELECT coalesce(CAST(sum(CAST(floor(1000000.0
+       |      / log2(CAST(i + 1 AS DOUBLE)) + 0.5) AS BIGINT))
+       |      AS BIGINT), 0)
+       |    FROM unnest(range(1, least(n.n_rel, $k) + 1)) u(i)
+       |  ) AS idcg_u
+       |  FROM agg a CROSS JOIN nrel n
+       |)
+       |SELECT lst, hits,
+       |  ${ParityMath.q6Sql(s"CAST(hits_k AS DOUBLE) / $k.0")} AS p_at_k,
+       |  ${ParityMath.q6Sql(
+           """CASE WHEN first_rel IS NULL THEN 0.0
+             |ELSE floor(1000000.0 / CAST(first_rel AS DOUBLE) + 0.5)
+             |     / 1000000.0 END""".stripMargin)} AS mrr,
+       |  ${ParityMath.q6Sql(
+           """CASE WHEN idcg_u = 0 THEN 0.0
+             |ELSE CAST(dcg_u AS DOUBLE) / CAST(idcg_u AS DOUBLE)
+             |END""".stripMargin)} AS ndcg
+       |FROM withi ORDER BY lst""".stripMargin
+  }
 
   // ---- txt_bigram_nll ------------------------------------------------
 
@@ -1168,6 +1330,196 @@ object TextAnalysis {
        |FROM bigrams g JOIN scored_vocab s
        |  ON s.w1 = g.w1 AND s.w2 = g.w2
        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
+  // ---- txt_backoff_nll -----------------------------------------------
+
+  /** Stupid Backoff backoff factor (Brants et al. 2007's α = 0.4),
+    * expressed as the exact double literals the chain multiplies by:
+    * one level = 0.4, two levels = 0.16.
+    */
+  val backoffAlpha = "0.4"
+
+  /** Held-out language-model scoring under a trigram→bigram→unigram
+    * STUPID BACKOFF chain (Brants et al. 2007 — the smoothing actually
+    * used at web scale precisely because it needs only counts, no
+    * discount fitting): S(w₃|w₁w₂) = c₃/c₁₂ if the trigram was seen,
+    * else 0.4·S(w₃|w₂); S(w₃|w₂) = c₂/c₁ if seen, else 0.4·U(w₃);
+    * U = (cu+1)/(S+V) (add-1 floor so unseen vocabulary stays finite).
+    * The LM trains on the EVEN doc_ids and scores the ODD ones — the
+    * held-out discipline the r9 verdict demanded of the quality
+    * classifier, applied from birth here: scoring the training corpus
+    * with its own trigram LM never backs off (every observed trigram
+    * has count ≥ 1) and measures nothing.
+    *
+    * Parity scheme: each position's NLL is ONE CASE expression shaped
+    * identically in both engines — a single ln() on a single quotient
+    * (times the exact 0.4/0.16 literal), floor-quantized to integer
+    * micro-nats before the per-doc sum (the NLL family's argument:
+    * order-free integer aggregation, ln last-ulp absorbed per
+    * position). `n_bo` counts backoff STEPS (trigram→bigram = 1,
+    * →unigram = 2) — the fluency signal itself: held-out text full of
+    * never-seen trigrams is exactly what word-salad looks like to a
+    * count LM.
+    *
+    * 100 TB shape: counts are map-combinable n-gram aggregations;
+    * context totals fold into the n-gram relations VOCAB-SIDE (c₁₂
+    * onto trigrams, c₁ onto bigrams), so the held-out token stream
+    * pays exactly three keyed left joins — (w1,w2,w3), (w2,w3), (w3)
+    * — each on the skew-safe compound key, plus one broadcast 1-row
+    * totals relation, then one doc-keyed integer sum. The trigram
+    * vocabulary outgrows any broadcast at corpus scale; nothing here
+    * assumes it fits.
+    */
+  def backoffNll(spark: SparkSession, sfDir: String): DataFrame =
+    backoffNllFrom(Graft.tableParallel(spark, sfDir, "documents"))
+
+  private[graft] def backoffNllFrom(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"), expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts"))
+      .filter(size(col("ts")) >= 1)
+    // the training half tokenizes ONCE (localCheckpoint): the three
+    // n-gram counts derive from the materialized token relation, not
+    // three corpus re-scans; the held-out half streams off its single
+    // scan
+    val train = toks.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .localCheckpoint()
+    val test = toks.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val uni = train.select(explode(col("ts")).as("w3"))
+      .groupBy(col("w3")).agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum(col("cu")).as("s_tok"),
+      count(lit(1)).as("v_size"))
+    val bg = train.select(explode(expr(
+        """zip_with(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1),
+          |  (a, b) -> struct(a AS w2, b AS w3))""".stripMargin)).as("g"))
+      .groupBy(col("g.w2").as("w2"), col("g.w3").as("w3"))
+      .agg(count(lit(1)).as("c2"))
+    val tg = train.filter(size(col("ts")) >= 3)
+      .select(explode(expr(
+        """transform(sequence(3, size(ts)), i -> struct(
+          |  ts[i - 3] AS w1, ts[i - 2] AS w2, ts[i - 1] AS w3))"""
+          .stripMargin)).as("g"))
+      .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"),
+        col("g.w3").as("w3"))
+      .agg(count(lit(1)).as("c3"))
+    // context totals fold in vocab-side: the corpus stream never joins
+    // a bare context relation
+    val tgs = tg.join(
+      tg.groupBy(col("w1"), col("w2")).agg(sum(col("c3")).as("c12")),
+      Seq("w1", "w2"))
+    val bgs = bg.join(
+      bg.groupBy(col("w2")).agg(sum(col("c2")).as("c1")), Seq("w2"))
+    val pos = test.select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ts)), i -> struct(
+          |  CAST(i AS BIGINT) AS i,
+          |  CASE WHEN i >= 3 THEN ts[i - 3] END AS w1,
+          |  CASE WHEN i >= 2 THEN ts[i - 2] END AS w2,
+          |  ts[i - 1] AS w3))""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.i").as("i"), col("p.w1").as("w1"),
+        col("p.w2").as("w2"), col("p.w3").as("w3"))
+    val a = backoffAlpha
+    pos
+      .join(tgs, Seq("w1", "w2", "w3"), "left")
+      .join(bgs, Seq("w2", "w3"), "left")
+      .join(broadcast(uni), Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        expr(s"""CAST(floor(-ln(CASE
+          |  WHEN i >= 3 AND c3 IS NOT NULL
+          |    THEN CAST(c3 AS DOUBLE) / CAST(c12 AS DOUBLE)
+          |  WHEN i >= 2 AND c2 IS NOT NULL
+          |    THEN (CASE WHEN i >= 3 THEN $a ELSE 1.0 END)
+          |      * (CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))
+          |  ELSE (CASE WHEN i >= 3 THEN $a * $a WHEN i = 2 THEN $a
+          |        ELSE 1.0 END)
+          |    * (CAST(coalesce(cu, 0) + 1 AS DOUBLE)
+          |       / CAST(s_tok + v_size AS DOUBLE))
+          |END) * 1000000.0 + 0.5) AS BIGINT)""".stripMargin).as("nll_u"),
+        expr("""CASE
+          |  WHEN i >= 3 AND c3 IS NULL AND c2 IS NULL THEN 2L
+          |  WHEN i >= 3 AND c3 IS NULL THEN 1L
+          |  WHEN i = 2 AND c2 IS NULL THEN 1L
+          |  ELSE 0L END""".stripMargin).as("bo"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("bo")).as("n_bo"),
+        sum(col("nll_u")).as("sum_u"))
+      .select(col("doc_id"), col("n_tok"), col("n_bo"),
+        ParityMath.q6((col("sum_u").cast("double") / lit(1000000.0))
+          / col("n_tok")).as("nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val backoffNllSql: String = {
+    val a = backoffAlpha
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+       |  FROM documents
+       |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 1
+       |), tr AS (SELECT ts FROM toks WHERE doc_id % 2 = 0),
+       |te AS (SELECT doc_id, ts FROM toks WHERE doc_id % 2 = 1),
+       |uni AS (
+       |  SELECT w3, count(*) AS cu FROM (
+       |    SELECT unnest(ts) AS w3 FROM tr
+       |  ) GROUP BY 1
+       |), tot AS (
+       |  SELECT sum(cu) AS s_tok, count(*) AS v_size FROM uni
+       |), bg AS (
+       |  SELECT w2, w3, count(*) AS c2 FROM (
+       |    SELECT ts[i] AS w2, ts[i + 1] AS w3
+       |    FROM tr, unnest(range(1, len(ts))) u(i)
+       |  ) GROUP BY 1, 2
+       |), tg AS (
+       |  SELECT w1, w2, w3, count(*) AS c3 FROM (
+       |    SELECT ts[i] AS w1, ts[i + 1] AS w2, ts[i + 2] AS w3
+       |    FROM tr, unnest(range(1, len(ts) - 1)) u(i)
+       |    WHERE len(ts) >= 3
+       |  ) GROUP BY 1, 2, 3
+       |), tgs AS (
+       |  SELECT t.w1, t.w2, t.w3, t.c3, x.c12
+       |  FROM tg t JOIN (
+       |    SELECT w1, w2, sum(c3) AS c12 FROM tg GROUP BY 1, 2
+       |  ) x ON t.w1 = x.w1 AND t.w2 = x.w2
+       |), bgs AS (
+       |  SELECT b.w2, b.w3, b.c2, x.c1
+       |  FROM bg b JOIN (
+       |    SELECT w2, sum(c2) AS c1 FROM bg GROUP BY 1
+       |  ) x ON b.w2 = x.w2
+       |), pos AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+       |    CASE WHEN i >= 3 THEN ts[i - 2] END AS w1,
+       |    CASE WHEN i >= 2 THEN ts[i - 1] END AS w2,
+       |    ts[i] AS w3
+       |  FROM te, unnest(range(1, len(ts) + 1)) u(i)
+       |), sc AS (
+       |  SELECT p.doc_id,
+       |    CAST(floor(-ln(CASE
+       |      WHEN i >= 3 AND c3 IS NOT NULL
+       |        THEN CAST(c3 AS DOUBLE) / CAST(c12 AS DOUBLE)
+       |      WHEN i >= 2 AND c2 IS NOT NULL
+       |        THEN (CASE WHEN i >= 3 THEN $a ELSE 1.0 END)
+       |          * (CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))
+       |      ELSE (CASE WHEN i >= 3 THEN $a * $a WHEN i = 2 THEN $a
+       |            ELSE 1.0 END)
+       |        * (CAST(coalesce(cu, 0) + 1 AS DOUBLE)
+       |           / CAST(s_tok + v_size AS DOUBLE))
+       |    END) * 1000000.0 + 0.5) AS BIGINT) AS nll_u,
+       |    CASE
+       |      WHEN i >= 3 AND c3 IS NULL AND c2 IS NULL THEN 2
+       |      WHEN i >= 3 AND c3 IS NULL THEN 1
+       |      WHEN i = 2 AND c2 IS NULL THEN 1
+       |      ELSE 0 END AS bo
+       |  FROM pos p
+       |  LEFT JOIN tgs t ON p.w1 = t.w1 AND p.w2 = t.w2 AND p.w3 = t.w3
+       |  LEFT JOIN bgs b ON p.w2 = b.w2 AND p.w3 = b.w3
+       |  LEFT JOIN uni u ON p.w3 = u.w3
+       |  CROSS JOIN tot
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       |  CAST(sum(bo) AS BIGINT) AS n_bo,
+       |  ${ParityMath.q6Sql(
+            "(CAST(sum(nll_u) AS DOUBLE) / 1000000.0) / count(*)")}
+       |    AS nll
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 
   // ---- txt_repetition ------------------------------------------------
 

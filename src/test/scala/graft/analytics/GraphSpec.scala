@@ -76,4 +76,58 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((10L, 20L, 2L)))
   }
+
+  private def eventsOf(pairs: Seq[(Long, Long)]) = {
+    val s = spark; import s.implicits._
+    pairs.zipWithIndex.map { case ((u, o), i) =>
+      (i.toLong, new java.sql.Timestamp(1000L + i), u, "view", 1.0,
+        s"""{"k": $o}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  test("triangles: planted clique counts once per corner; lift gate " +
+       "excludes the uniform graph") {
+    // users 1-4 touch all of {10,20,30}; users 5,6 touch {40,50} only.
+    // The bystander pair raises n_users to 6, so the clique pairs pass
+    // the lift gate (cnt*n/(c1*c2) = 4*6/16 = 1.5 > 1.05); pair (40,50)
+    // also passes (lift 3) but closes no wedge. Exactly one triangle,
+    // counted at each of its three corners.
+    val base = (1L to 4L).flatMap(u => Seq(10L, 20L, 30L).map((u, _))) ++
+      Seq((5L, 40L), (5L, 50L), (6L, 40L), (6L, 50L))
+    val got = Graph.trianglesFrom(
+        graft.core.Transform.extractFrom(eventsOf(base)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((10L, 1L), (20L, 1L), (30L, 1L)))
+    // Without the bystanders every pair's co-occurrence is exactly what
+    // popularity predicts (lift = 1): the gate must drop ALL edges -
+    // this is the complete-overlap case an absolute threshold keeps.
+    val uniform = (1L to 4L).flatMap(u => Seq(10L, 20L, 30L).map((u, _)))
+    assert(Graph.trianglesFrom(
+      graft.core.Transform.extractFrom(eventsOf(uniform))).isEmpty)
+  }
+
+  test("triangles: hub orientation closes wedges without fanning out") {
+    // star around hub 10 plus one rim edge: {10-20, 10-30, 20-30} is
+    // the only triangle; rim pair (20,40) lacks support-2. Degree
+    // orientation must direct rim->hub, so the hub's degree never
+    // explodes the wedge set, and the triangle still lands exactly once.
+    // Bystander users 100-106 on pair (60,70) raise n_users to 16 so
+    // the hub edges clear the lift bar (worst: 10-20 at 2*16/(6*5)).
+    val base =
+      Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),   // edge 10-20
+        (3L, 10L), (3L, 30L), (4L, 10L), (4L, 30L),     // edge 10-30
+        (5L, 10L), (5L, 40L), (6L, 10L), (6L, 40L),     // edge 10-40
+        (7L, 20L), (7L, 30L), (8L, 20L), (8L, 30L),     // edge 20-30
+        (9L, 20L), (9L, 40L)) ++                        // support-1 pair
+      (100L to 106L).flatMap(u => Seq((u, 60L), (u, 70L)))
+    val got = Graph.trianglesFrom(
+        graft.core.Transform.extractFrom(eventsOf(base)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((10L, 1L), (20L, 1L), (30L, 1L)))
+    // determinism across runs (localCheckpoint'd edge relation)
+    val again = Graph.trianglesFrom(
+        graft.core.Transform.extractFrom(eventsOf(base)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(again == got)
+  }
 }

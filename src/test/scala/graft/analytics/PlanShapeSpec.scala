@@ -399,6 +399,50 @@ class PlanShapeSpec extends SparkSpec {
       s"pairs must explode in-row, not join:\n$plan")
   }
 
+  test("triangles: wedge+closure run over the materialized edge " +
+       "relation - no event re-scan, no product join") {
+    val plan = executed(Graph.qTriangles(spark, sfDir))
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("FileScan parquet"),
+      s"orientation/wedge/closure must read the checkpointed edges, " +
+        s"not re-derive the pair explode:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"triangle counting must stay on keyed/broadcast joins:\n$plan")
+  }
+
+  test("backoff nll: train n-grams derive from one materialized " +
+       "tokenization; held-out side scans the corpus once") {
+    val plan = executed(
+      graft.pipeline.TextAnalysis.backoffNll(spark, sfDir))
+      .split("== Initial Plan ==").head
+    assert(plan.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("documents")) == 1,
+      s"only the held-out stream may scan the corpus (train side is " +
+        s"localCheckpoint'd):\n$plan")
+    // (the 1-row totals relation rides the house BNLJ-broadcast cross
+    // join; the pin is that the three n-gram joins stay keyed and no
+    // unkeyed product of corpus-sized relations appears)
+    assert(!plan.contains("CartesianProduct"),
+      s"the three backoff joins must stay keyed:\n$plan")
+    assert(plan.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3,
+      s"trigram/bigram/unigram lookups should be keyed joins:\n$plan")
+  }
+
+  test("retrieval eval: lists land via bounded TakeOrdered, nothing " +
+       "sorts the corpus") {
+    val plan = executed(
+      graft.pipeline.TextAnalysis.retrievalEval(spark, sfDir))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"every list must be a bounded top-k, not a global sort:\n$plan")
+    // (the RRF fusion's 50-row full-outer join legitimately plans as
+    // SortMergeJoin - broadcast hash doesn't support full outer - so
+    // the pin here is only that no corpus-sized product appears)
+    assert(!plan.contains("CartesianProduct"),
+      s"no unkeyed corpus product anywhere in the eval:\n$plan")
+  }
+
   test("hashfeat: one scan, one (doc, bucket)-keyed exchange") {
     val plan = executed(
       graft.pipeline.TextAnalysis.hashfeat(spark, sfDir))

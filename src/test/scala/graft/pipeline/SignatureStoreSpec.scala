@@ -268,6 +268,51 @@ class SignatureStoreSpec extends SparkSpec {
     assert(stored == oneShot)
   }
 
+  test("bm25 store: split-doc landings merge exactly (bag-of-words); " +
+       "parity-split store == one-shot batch face") {
+    val watch = Files.createTempDirectory("graft_bm25_watch").toString
+    val store = Files.createTempDirectory("graft_bm25_store").toString
+    val s = spark; import s.implicits._
+    def docDf(rows: Seq[(Long, String)]) = rows
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$watch/_stage"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(watch, name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    // doc 1 arrives SPLIT across the two landings; doc 2 whole. The
+    // stored ranking must equal the batch face over the merged text -
+    // dl and tf partials add exactly, and doc 2's score shifts when
+    // batch 2 moves N/avgdl/df (scores are never storable).
+    land(docDf(Seq((1L, "query join dup"), (2L, "batch batch filler"))),
+      "a1.parquet")
+    SignatureStore.catchUpBm25(spark, watch, store)
+    land(docDf(Seq((1L, "vector batch pad pad"), (3L, "plain filler"))),
+      "a2.parquet")
+    SignatureStore.catchUpBm25(spark, watch, store)
+    val stored = SignatureStore.storedBm25(spark, store)
+      .collect().map(_.toSeq).toSet
+    val merged = Files.createTempDirectory("graft_bm25_merged").toString
+    docDf(Seq((1L, "query join dup vector batch pad pad"),
+        (2L, "batch batch filler"), (3L, "plain filler")))
+      .write.mode("overwrite").parquet(s"$merged/documents.parquet")
+    val oneShotSmall = graft.pipeline.TextAnalysis.bm25(spark, merged)
+      .collect().map(_.toSeq).toSet
+    assert(stored == oneShotSmall,
+      s"split-doc store drifted: $stored vs $oneShotSmall")
+    // on the real corpus: parity-split store == one-shot batch face
+    val oneShot = graft.pipeline.TextAnalysis.bm25(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val full = SignatureStore.gatedBm25(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(full == oneShot)
+  }
+
   test("decay store: a later batch's newer day halves earlier weights") {
     val watch = Files.createTempDirectory("graft_decay_watch").toString
     val store = Files.createTempDirectory("graft_decay_store").toString

@@ -270,6 +270,85 @@ class TextAnalysisSpec extends SparkSpec {
       "expected overlap between the lexical and vector lists")
   }
 
+  test("stupid backoff: verbatim held-out text never backs off; " +
+       "reordered text backs off and scores worse") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sbo").toString
+    val phrase = Seq.fill(40)("alpha beta gamma delta").mkString(" ")
+    val salad = new scala.util.Random(11)
+      .shuffle(phrase.split(" ").toSeq).mkString(" ")
+    // train = even ids (the phrase LM); held-out = 1 verbatim, 3 salad
+    val docs = spark.createDataFrame(Seq(
+      (0L, phrase, "en", "src0", phrase.length.toLong),
+      (2L, phrase, "en", "src0", phrase.length.toLong),
+      (1L, phrase, "en", "src0", phrase.length.toLong),
+      (3L, salad, "en", "src0", salad.length.toLong)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.backoffNll(spark, tmp).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set(1L, 3L), "only held-out (odd) docs score")
+    val (n1, bo1, nll1) = got(1L)
+    val (n3, bo3, nll3) = got(3L)
+    assert(n1 == 160L && n3 == 160L)
+    assert(bo1 == 0L, s"every trigram of the verbatim doc is in the " +
+      s"LM - no backoff, got $bo1")
+    assert(bo3 > 0L, "the reordered doc must hit unseen trigrams")
+    assert(nll3 > nll1 + 0.3,
+      s"backoff chain failed to separate: verbatim=$nll1 salad=$nll3")
+    // the training docs' own trigrams are all seen by construction -
+    // scoring train-on-train would measure nothing; the parity split
+    // is what makes bo3 > 0 possible at all
+  }
+
+  test("retrieval eval: metrics match an independent driver-side " +
+       "recomputation from the gated lists") {
+    val rows = TextAnalysis.retrievalEval(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == Seq("bm25", "hybrid", "vector"))
+    // driver-side relevance: all five query terms present
+    val rel = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .filter { r =>
+        val toks = "[a-z0-9]+".r
+          .findAllIn(r.getString(1).toLowerCase).toSet
+        TextAnalysis.bm25QueryTerms.forall(toks.contains)
+      }.map(_.getLong(0)).toSet
+    assert(rel.nonEmpty, "fixture must have conjunctive-match docs")
+    val k = TextAnalysis.retrievalEvalK
+    val idcgU = (1 to math.min(rel.size, k)).map(i =>
+      math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0)) + 0.5).toLong)
+      .sum
+    def metrics(list: Seq[(Long, Long)]): (Long, Double, Double, Double) = {
+      val hits = list.count(e => rel(e._1)).toLong
+      val pk = list.count(e => rel(e._1) && e._2 <= k) / k.toDouble
+      val first = list.filter(e => rel(e._1)).map(_._2).sorted.headOption
+      val mrr = first.map(r0 =>
+        math.floor(1e6 / r0.toDouble + 0.5) / 1e6).getOrElse(0.0)
+      val dcgU = list.filter(e => rel(e._1) && e._2 <= k).map(e =>
+        math.floor(1e6 / (math.log(e._2 + 1.0) / math.log(2.0)) + 0.5)
+          .toLong).sum
+      val ndcg = if (idcgU == 0L) 0.0 else dcgU.toDouble / idcgU
+      (hits, pk, mrr, ndcg)
+    }
+    val faces = Map(
+      "bm25" -> TextAnalysis.textList(spark, sfDir, TextAnalysis.bm25TopK)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq,
+      "vector" -> TextAnalysis.vecList(spark, sfDir, TextAnalysis.bm25TopK)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq,
+      "hybrid" -> TextAnalysis.hybridRrf(spark, sfDir)
+        .collect().map(r => (r.getLong(1), r.getLong(0))).toSeq)
+    rows.foreach { case (lst, hits, pk, mrr, ndcg) =>
+      val (eh, epk, emrr, endcg) = metrics(faces(lst))
+      assert(hits == eh, s"$lst hits: got $hits want $eh")
+      assert(math.abs(pk - epk) < 1e-9, s"$lst p@k: got $pk want $epk")
+      assert(math.abs(mrr - emrr) < 1e-9, s"$lst mrr: got $mrr want $emrr")
+      assert(math.abs(ndcg - endcg) < 2e-6,
+        s"$lst ndcg: got $ndcg want $endcg")
+    }
+  }
+
   test("bigram NLL separates word salad the unigram gate cannot see") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft_bg").toString
