@@ -91,11 +91,12 @@ object Bench {
     "ss_q_counts_for_subj_action", "ss_q_topk_per_subj",
     "ss_q_sort_variants", "ss_undo_lastn",
     "ss_stream_count_sink", "ss_stream_lastn_sink",
-    "q_sessionize", "q_range_join", "q_resample", "q_attribution",
+    "q_sessionize", "q_session_overlap", "q_range_join", "q_resample",
+    "q_attribution",
     "q_ewma", "q_anomaly", "q_funnel", "q_cohort", "q_pagerank",
     "q_trending", "q_markov", "ss_stream_ewma",
     "q_paths", "q_seasonality", "q_changepoint", "q_seq_pattern",
-    "q_triangles",
+    "q_triangles", "q_kcore",
     "q_cms_topk", "q_cms_topk_prod", "q_cms_sliding", "q_cms_sliding_prod",
     "q_hll_sliding", "q_hll_sliding_prod", "q_qtile_sliding",
     "q_kmv_jaccard_prod", "q_kmv_retention_prod",
@@ -116,7 +117,7 @@ object Bench {
     // the real-codec mapPartitions path: per-row cost must stay flat
     // as docs scale (narrow, no shuffle - the slope IS the claim)
     "mm_bmp_decode", "mm_png_decode", "mm_jpeg_decode", "mm_avi_frames",
-    "mm_avi_av",
+    "mm_avi_av", "mm_scene_cut",
     // the compressed codecs: deflate/inflate (PNG) and FDCT+Huffman
     // (JPEG) dominate, so the per-row cost claim is stronger than
     // BMP's raw-raster one

@@ -268,10 +268,18 @@ object Graph {
     val nu = act.agg(count(lit(1)).as("n"))
     val od = act.select(explode(col("os")).as("o"))
       .groupBy(col("o")).agg(count(lit(1)).as("c"))
-    // lift-gated edge set (o1 < o2); od is object-cardinality-sized
-    // and nu one row -> both broadcast
-    val e = pairCounts(act)
-      .filter(col("cnt") >= cooccurMinCnt)
+    trianglesFromEdges(liftEdges(
+      pairCounts(act).filter(col("cnt") >= cooccurMinCnt), od, nu))
+  }
+
+  /** The lift gate over any (o1, o2, cnt) pair relation with its
+    * (o, c) object-degree relation and 1-row user count — shared by
+    * the batch face and the streaming face's snapshot view. od is
+    * object-cardinality-sized and nu one row → both broadcast.
+    */
+  private[graft] def liftEdges(pairs: DataFrame, od: DataFrame,
+                               nu: DataFrame): DataFrame =
+    pairs
       .join(broadcast(od.select(col("o").as("o1"), col("c").as("c1"))),
         "o1")
       .join(broadcast(od.select(col("o").as("o2"), col("c").as("c2"))),
@@ -280,7 +288,14 @@ object Graph {
       .filter(lit(triLiftDen) * col("cnt") * col("n") >
         lit(triLiftNum) * col("c1") * col("c2"))
       .select(col("o1"), col("o2"))
-      .localCheckpoint()
+
+  /** Degree-orientation triangle counting over any (o1 < o2) edge
+    * relation — shared by both faces. The edge relation materializes
+    * once (localCheckpoint): orientation sides and the closure probe
+    * read it, not three re-derivations.
+    */
+  private[graft] def trianglesFromEdges(edges: DataFrame): DataFrame = {
+    val e = edges.localCheckpoint()
     val deg = e.select(col("o1").as("v"))
       .unionAll(e.select(col("o2").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
@@ -304,6 +319,122 @@ object Graph {
         .as("node_id"))
       .groupBy(col("node_id")).agg(count(lit(1)).as("tri_cnt"))
       .orderBy(col("node_id"))
+  }
+
+  // ---- q_kcore: bounded-round core decomposition ---------------------
+
+  /** Core threshold and the peel-round safety budget. Spark peels to
+    * the FIXPOINT (true k-core) and fails loudly past the budget; the
+    * oracle unrolls the full budget — post-convergence rounds are
+    * no-ops over the (tiny, materialized) converged relation, so the
+    * two agree exactly whenever the Spark side's convergence assert
+    * holds. Peel depth is data-dependent (a whisker chain peels one
+    * layer per round — the sf0.1 projection takes 15 rounds to reveal
+    * an EMPTY 3-core), which is why a small fixed budget would be
+    * dishonest and an unbounded oracle impossible.
+    */
+  val kcoreK = 3
+  val kcoreMaxRounds = 32
+
+  /** K-CORE survivors over the lift-filtered co-visitation graph —
+    * the global-cohesion twin of `q_triangles`' local motif count
+    * (a node can sit on many triangles yet hang off a whisker; the
+    * core demands every member keep ≥ k neighbors AFTER its weak
+    * neighbors are peeled). Emits the fixpoint core with each node's
+    * residual in-core degree.
+    *
+    * 100 TB shape: each round is one map-combinable degree count over
+    * the surviving edge relation + two semi-joins against the
+    * (node-sized, broadcast) survivor set — the standard
+    * Pregel-as-joins peel, localCheckpoint'd between rounds (the
+    * pagerank discipline), with one driver-side count() per round as
+    * the convergence test (GraphX's loop shape; the count is the
+    * cheapest possible action over the already-materialized edges).
+    */
+  def qKcore(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    kcoreFrom(Transform.extract(spark, sfDir))
+  }
+
+  private[graft] def kcoreFrom(tuples: DataFrame): DataFrame = {
+    val act = capActive(tuples).localCheckpoint()
+    val nu = act.agg(count(lit(1)).as("n"))
+    val od = act.select(explode(col("os")).as("o"))
+      .groupBy(col("o")).agg(count(lit(1)).as("c"))
+    var e = liftEdges(
+      pairCounts(act).filter(col("cnt") >= cooccurMinCnt), od, nu)
+      .localCheckpoint()
+    var edges = e.count()
+    var stable = false
+    var round = 0
+    while (!stable && round < kcoreMaxRounds) {
+      val deg = e.select(col("o1").as("v"))
+        .unionAll(e.select(col("o2").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val live = deg.filter(col("d") >= kcoreK).select(col("v"))
+      val next = e
+        .join(broadcast(live.withColumnRenamed("v", "o1")), "o1")
+        .join(broadcast(live.withColumnRenamed("v", "o2")), "o2")
+        .select(col("o1"), col("o2"))
+        .localCheckpoint()
+      val m = next.count()
+      // peeling only removes: an unchanged edge count means no node
+      // fell below k -> fixpoint
+      stable = m == edges
+      e = next; edges = m; round += 1
+    }
+    require(stable || edges == 0L,
+      s"k-core peel exceeded the $kcoreMaxRounds-round budget " +
+        s"($edges edges still unstable) - raise kcoreMaxRounds and the " +
+        s"oracle's unroll together")
+    e.select(col("o1").as("v")).unionAll(e.select(col("o2").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("core_deg"))
+      .filter(col("core_deg") >= kcoreK)
+      .select(col("v").as("node_id"), col("core_deg"))
+      .orderBy(col("node_id"))
+  }
+
+  val qKcoreSql: String = {
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    // each round references its predecessor twice - unrolled depth d
+    // would otherwise re-derive the base 2^d times
+    val peels = (1 to kcoreMaxRounds).map { i =>
+      s"""d$i AS (
+         |  SELECT v, count(*) AS d FROM (
+         |    SELECT unnest([o1, o2]) AS v FROM e${i - 1}
+         |  ) GROUP BY 1
+         |), n$i AS (SELECT v FROM d$i WHERE d >= $kcoreK),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.o1, e.o2 FROM e${i - 1} e
+         |  JOIN n$i a ON e.o1 = a.v JOIN n$i b ON e.o2 = b.v
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ${graft.oracle.Sql.tuplesCte},
+       |so AS (SELECT DISTINCT s, o FROM tuples),
+       |deg0 AS (SELECT s, count(*) AS d FROM so GROUP BY 1),
+       |el AS (
+       |  SELECT so.s, so.o FROM so JOIN deg0 USING (s)
+       |  WHERE deg0.d BETWEEN 2 AND $cooccurMaxDeg
+       |),
+       |nu AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS n FROM el),
+       |od AS (SELECT o, CAST(count(*) AS BIGINT) AS c FROM el GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.o AS o1, b.o AS o2, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM el a JOIN el b ON a.s = b.s AND a.o < b.o
+       |  GROUP BY 1, 2 HAVING count(*) >= $cooccurMinCnt
+       |),
+       |e0 AS MATERIALIZED (
+       |  SELECT p.o1, p.o2
+       |  FROM pairs p
+       |  JOIN od d1 ON p.o1 = d1.o JOIN od d2 ON p.o2 = d2.o
+       |  CROSS JOIN nu
+       |  WHERE $triLiftDen * p.cnt * nu.n > $triLiftNum * d1.c * d2.c
+       |),
+       |$peels
+       |SELECT v AS node_id, CAST(count(*) AS BIGINT) AS core_deg FROM (
+       |  SELECT unnest([o1, o2]) AS v FROM e$kcoreMaxRounds
+       |) GROUP BY 1 HAVING count(*) >= $kcoreK
+       |ORDER BY node_id""".stripMargin
   }
 
   val qTrianglesSql: String =

@@ -521,6 +521,95 @@ object Tpch {
       |FROM sess GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** Tile width for the interval-overlap self-join (1 hour in µs). */
+  val overlapBinUs: Long = 3600L * 1000 * 1000
+
+  /** Per-session CONCURRENCY via an interval-overlap SELF-JOIN — how
+    * many other sessions (any user) were active at some point during
+    * each session: the load/contention signal behind capacity reports
+    * and "was the site busy" features, and the canonical interval×
+    * interval join Spark has no native operator for (q_range_join is
+    * the point-in-interval case).
+    *
+    * 100 TB shape: the BIN-TILING plan (the technique behind every
+    * production range-join optimizer): each session explodes to its
+    * covered 1-hour tiles (spans are gap-bounded, so the fan-out is
+    * small and data-independent-ish; the tile width is the operational
+    * knob), the self-join keys on the TILE — an equi-join shuffle
+    * whose per-key volume is bounded by peak concurrency, never |S|²
+    * — the exact overlap predicate filters inside each tile, and a
+    * pair sharing several tiles is counted EXACTLY ONCE by the
+    * ownership rule: only the tile containing max(start₁, start₂)
+    * (the first tile where both are alive) scores it. The oracle
+    * replays the plain quadratic inequality join (DuckDB's IEJoin) —
+    * same relation, no tiles — so the tiling's exactness is what the
+    * gate certifies.
+    */
+  def qSessionOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.core.Graft.ensureConf(spark)
+    val w = overlapBinUs
+    val sess = sessionFrom(Graft.table(spark, sfDir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("graft_ts_us(ts)").as("t")))
+      .select(col("user_id"), col("session_id"),
+        col("start_t"), col("end_t"))
+      .localCheckpoint()
+    val binned = sess.select(col("user_id"), col("session_id"),
+      col("start_t"), col("end_t"),
+      explode(expr(s"sequence(start_t DIV ${w}L, end_t DIV ${w}L)"))
+        .as("bin"))
+    val a = binned.select(col("bin"), col("user_id").as("u1"),
+      col("session_id").as("s1"), col("start_t").as("st1"),
+      col("end_t").as("en1"))
+    val b = binned.select(col("bin"), col("user_id").as("u2"),
+      col("session_id").as("s2"), col("start_t").as("st2"),
+      col("end_t").as("en2"))
+    val ov = a.join(b, "bin")
+      .filter(col("st1") <= col("en2") && col("st2") <= col("en1"))
+      .filter(!(col("u1") === col("u2") && col("s1") === col("s2")))
+      .filter(col("bin") ===
+        expr(s"greatest(st1, st2) DIV ${w}L"))
+      .groupBy(col("u1").as("user_id"), col("s1").as("session_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    sess.join(ov, Seq("user_id", "session_id"), "left")
+      .select(col("user_id"), col("session_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val qSessionOverlapSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+      |), flags AS (
+      |  SELECT user_id, event_id, t,
+      |    CASE WHEN t - lag(t) OVER w > 1800000000
+      |           OR lag(t) OVER w IS NULL
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+      |), sess AS (
+      |  SELECT user_id, event_id, t,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id
+      |                             ORDER BY t, event_id
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING
+      |                             AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flags
+      |), sr AS MATERIALIZED (
+      |  SELECT user_id, session_id, min(t) AS start_t, max(t) AS end_t
+      |  FROM sess GROUP BY user_id, session_id
+      |), ov AS (
+      |  SELECT a.user_id, a.session_id, CAST(count(*) AS BIGINT) AS n
+      |  FROM sr a JOIN sr b
+      |    ON a.start_t <= b.end_t AND b.start_t <= a.end_t
+      |   AND NOT (a.user_id = b.user_id AND a.session_id = b.session_id)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT s.user_id, s.session_id,
+      |       coalesce(o.n, 0) AS n_overlap
+      |FROM sr s LEFT JOIN ov o
+      |  ON s.user_id = o.user_id AND s.session_id = o.session_id
+      |ORDER BY s.user_id, s.session_id""".stripMargin
+
   /** Per-group Pearson correlation + population covariance between
     * quantity and price, computed from EXACT sums: both columns are
     * integral in cents/units, so n, Σx, Σy, Σxy, Σx², Σy² accumulate

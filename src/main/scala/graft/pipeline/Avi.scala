@@ -415,6 +415,122 @@ object Avi {
       |FROM t JOIN vs ON vs.doc_id = t.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  // ---- mm_scene_cut gate ---------------------------------------------
+
+  /** Cut threshold: boundary f→f+1 is a scene cut iff the per-pixel
+    * mean absolute difference exceeds this (SAD > thr·w·h, exact
+    * integers).
+    */
+  val sceneCutThr = 40L
+
+  final case class AviScene(doc_id: Long, seg_idx: Long, f_start: Long,
+                            f_end: Long, n_frames_seg: Long,
+                            seg_sum_gray: Long)
+
+  /** SCENE-CUT temporal segmentation over the real video path — the
+    * clip-extraction step a multimodal training pipeline runs after
+    * decode (shot boundaries → per-shot sampling/captioning): mux,
+    * demux, decode every frame with the real JPEG codec, compute the
+    * per-boundary SAD (sum of absolute per-pixel differences between
+    * consecutive decoded frames), cut where the per-pixel mean exceeds
+    * `sceneCutThr`, and emit one row per resulting segment with its
+    * exact gray mass. The plants make this non-degenerate: consecutive
+    * frames differ by +17 per pixel mod 200, so a block's difference
+    * is 17 except at the wrap (|17−200| = 183) — boundaries cut
+    * exactly when enough blocks wrap, which varies with (doc_id, f)
+    * and has a closed form the oracle replays.
+    *
+    * 100 TB shape: identical to the other codec gates — one narrow
+    * mapPartitions pass, a doc's whole container handled in-row (SAD,
+    * cut flags and segment grouping never leave the task), zero
+    * shuffle before the presentation sort.
+    */
+  def aviSceneCut(spark: SparkSession, sfDir: String): DataFrame = {
+    val s2 = Graft.ensureConf(spark)
+    import s2.implicits._
+    Graft.tableParallel(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val (bw, bh, nf) = plantGeom(id)
+          val w = bw * 8; val h = bh * 8
+          val jpegs = (0 until nf).map(f =>
+            Jpeg.jpegEncodeGray(plantFrame(id, f, bw, bh), w, h))
+          val video = aviDemux(id, aviMuxMjpeg(jpegs, w, h))
+          require(video.width == w && video.height == h)
+          val planes = video.frames.map(b => Jpeg.jpegDecode(id, b).planes(0))
+          val sums = planes.map(_.map(_.toLong).sum)
+          // cut flags per boundary f (between frames f and f+1)
+          val cuts = (0 until nf - 1).map { f =>
+            var sad = 0L
+            var i = 0
+            val a = planes(f); val b = planes(f + 1)
+            while (i < a.length) {
+              sad += math.abs(a(i).toLong - b(i).toLong); i += 1
+            }
+            sad > sceneCutThr * w * h
+          }
+          // segment index per frame = cuts crossed before it
+          val seg = Array.ofDim[Int](nf)
+          (1 until nf).foreach(f =>
+            seg(f) = seg(f - 1) + (if (cuts(f - 1)) 1 else 0))
+          (0 until nf).groupBy(seg).toSeq.map { case (s, fs) =>
+            AviScene(id, s.toLong, fs.min.toLong, fs.max.toLong,
+              fs.length.toLong, fs.map(sums(_)).sum)
+          }
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"), col("seg_idx"))
+  }
+
+  /** Closed forms: block constant c_f = (id + 17f + 7x + 13y) % 200;
+    * the boundary SAD is 64·Σ_blocks (17 + 166·[c_f ≥ 183]) — the +17
+    * step wraps to |17−200| = 183 exactly when c_f ≥ 183; segment
+    * index = cuts crossed; segment mass = Σ 64·Σ_blocks c_f.
+    */
+  val aviSceneCutSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         2 + doc_id % 2 AS bw,
+       |         1 + doc_id % 3 AS bh,
+       |         2 + doc_id % 3 AS nf
+       |  FROM documents
+       |), fr AS (
+       |  SELECT doc_id, bw, bh, nf, unnest(range(0, nf)) AS f
+       |  FROM t
+       |), blk AS (
+       |  SELECT doc_id, bw, bh, nf, f,
+       |         (doc_id + 17 * f + 7 * (i % bw) + 13 * (i // bw)) % 200
+       |           AS c
+       |  FROM (SELECT doc_id, bw, bh, nf, f,
+       |          unnest(range(0, bw * bh)) AS i FROM fr)
+       |), fsum AS (
+       |  SELECT doc_id, bw, bh, nf, f,
+       |         CAST(64 * sum(c) AS BIGINT) AS sum_gray,
+       |         CAST(64 * sum(17 + 166 * CAST(c >= 183 AS INT))
+       |           AS BIGINT) AS sad_next
+       |  FROM blk GROUP BY doc_id, bw, bh, nf, f
+       |), cuts AS (
+       |  SELECT doc_id, f,
+       |         CAST(sad_next > $sceneCutThr * 64 * bw * bh AS INT)
+       |           AS cut
+       |  FROM fsum WHERE f < nf - 1
+       |), segf AS (
+       |  SELECT s.doc_id, s.f, s.sum_gray,
+       |         coalesce((SELECT sum(c.cut) FROM cuts c
+       |                   WHERE c.doc_id = s.doc_id AND c.f < s.f), 0)
+       |           AS seg_idx
+       |  FROM fsum s
+       |)
+       |SELECT doc_id, CAST(seg_idx AS BIGINT) AS seg_idx,
+       |  CAST(min(f) AS BIGINT) AS f_start,
+       |  CAST(max(f) AS BIGINT) AS f_end,
+       |  CAST(count(*) AS BIGINT) AS n_frames_seg,
+       |  CAST(sum(sum_gray) AS BIGINT) AS seg_sum_gray
+       |FROM segf GROUP BY doc_id, seg_idx
+       |ORDER BY doc_id, seg_idx""".stripMargin
+
   /** Closed forms: geometry from doc_id (bw = 2 + id%2, bh = 1 + id%3,
     * nf = 2 + id%3); per block (x, y) of frame f the constant is
     * (id + 17f + 7x + 13y) % 200, 64 pixels per block.

@@ -312,6 +312,96 @@ object FeatureStream {
         GroupStateTimeout.NoTimeout())(cooccurHandler)
   }
 
+  // ---- ss_stream_triangles -------------------------------------------
+
+  /** Per-user emission for the TRIANGLE face: the cooccur handler's
+    * pair stream (each genuinely new object pairs with every prior
+    * member; cap → tombstone + silence) EXTENDED with one MEMBERSHIP
+    * fact per accepted object (encoded o2 = -2). The triangle view
+    * needs what the pair stream alone cannot reconstruct: per-object
+    * user degrees and the eligible-user count for the lift gate — both
+    * derive from the membership facts of non-tombstoned users with
+    * ≥ 2 accepted objects (exactly the batch face's `el` relation).
+    * Lift, edges, orientation and the wedge count are all evolving-
+    * answer quantities (one arriving interaction shifts every degree),
+    * so they are query-time VIEWS through the batch face's shared
+    * `liftEdges`/`trianglesFromEdges` — never stored state.
+    */
+  private def triangleHandler(
+      key: Long, rows: Iterator[UserObj],
+      state: GroupState[(Set[Long], Boolean)]): Iterator[CoPair] = {
+    var (seen, dead) = state.getOption.getOrElse((Set.empty[Long], false))
+    val out = scala.collection.mutable.ArrayBuffer.empty[CoPair]
+    rows.foreach { r =>
+      if (!dead && !seen(r.o)) {
+        if (seen.size + 1 > graft.analytics.Graph.cooccurMaxDeg) {
+          dead = true
+          seen = Set.empty
+          out += CoPair(key, -1L, -1L)
+        } else {
+          out ++= seen.iterator.map(p =>
+            CoPair(key, math.min(p, r.o), math.max(p, r.o)))
+          out += CoPair(key, r.o, -2L)
+          seen += r.o
+        }
+      }
+    }
+    state.update((seen, dead))
+    out.iterator
+  }
+
+  /** The pair+membership stream over any (user_id, o) relation —
+    * MemoryStream-drivable for parity specs.
+    */
+  def trianglePairStream(userObjs: DataFrame): Dataset[CoPair] = {
+    val spark = userObjs.sparkSession
+    import spark.implicits._
+    userObjs.select(col("user_id"), col("o")).as[UserObj]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(triangleHandler)
+  }
+
+  /** The triangle view over any CoPair snapshot (pairs + membership +
+    * tombstones) — shared by the gated face and the MemoryStream spec.
+    */
+  def trianglesOfSnapshot(snap0: DataFrame): DataFrame = {
+    val spark = snap0.sparkSession
+    // the view self-joins the snapshot several ways - rebase on the
+    // InternalRow barrier (the cooccur face's reference-dedup guard)
+    val snap = org.apache.spark.sql.GraftBridge.ofInternalRows(
+      spark, snap0.queryExecution.toRdd, snap0.schema)
+    val dead = snap.filter(col("o1") === -1L)
+      .select(col("user_id")).distinct()
+    val live = snap.join(dead, Seq("user_id"), "left_anti")
+      .localCheckpoint()
+    val memb = live.filter(col("o2") === -2L)
+      .select(col("user_id"), col("o1").as("o"))
+    // eligibility = the batch el rule: >= 2 distinct accepted objects
+    // (the cap bound is the tombstone's job)
+    val eligible = memb.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("d")).filter(col("d") >= 2)
+      .select(col("user_id"))
+    val el = memb.join(eligible, Seq("user_id"))
+    val od = el.groupBy(col("o")).agg(count(lit(1)).as("c"))
+    val nu = eligible.agg(count(lit(1)).as("n"))
+    val pairs = live.filter(col("o2") =!= -2L)
+      .groupBy(col("o1"), col("o2"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= graft.analytics.Graph.cooccurMinCnt)
+    graft.analytics.Graph.trianglesFromEdges(
+      graft.analytics.Graph.liftEdges(pairs, od, nu))
+  }
+
+  def streamTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val tuples = graft.core.Transform.extractFrom(
+        StreamSum.streamingEvents(spark, sfDir))
+      .select(col("s").as("user_id"), col("o"))
+    trianglesOfSnapshot(StreamSum.runToTable(
+      trianglePairStream(tuples).toDF(),
+      OutputMode.Append(), "ss_stream_triangles"))
+  }
+
   def streamCooccur(spark: SparkSession, sfDir: String): DataFrame = {
     val tuples = graft.core.Transform.extractFrom(
         StreamSum.streamingEvents(spark, sfDir))

@@ -9,6 +9,36 @@ import org.apache.spark.sql.functions._
   */
 class BehaviorSpec extends SparkSpec {
 
+  test("session overlap: tiled self-join counts each overlapping pair " +
+       "once, even across a tile boundary") {
+    val s = spark; import s.implicits._
+    // times in seconds; tile = 3600s. Session A (user 1) [3500, 3700]
+    // and B (user 2) [3550, 3650] share TWO tiles (0 and 1) - the
+    // ownership rule must score the pair exactly once. C (user 3) at
+    // [10000, 10000] overlaps nothing.
+    val ev = Seq(
+      (1L, 3500L), (1L, 3700L),
+      (2L, 3550L), (2L, 3650L),
+      (3L, 10000L))
+      .zipWithIndex.map { case ((u, t), i) =>
+        (i.toLong, new java.sql.Timestamp(t * 1000L), u, "view", 1.0,
+          """{"k": 1}""")
+      }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_sessov").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Tpch.qSessionOverlap(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 0L)),
+      s"cross-tile pair must count once: $got")
+    // sanity on the fixture: concurrency is symmetric in total (every
+    // unordered pair contributes to exactly two sessions)
+    val tot = Tpch.qSessionOverlap(spark, sfDir).collect()
+      .map(_.getLong(2)).sum
+    assert(tot % 2 == 0 && tot > 0)
+  }
+
   test("funnel: step order is enforced per user") {
     val s = spark; import s.implicits._
     // user 1: view -> click -> purchase        (all three steps)

@@ -106,6 +106,38 @@ class GraphSpec extends SparkSpec {
       graft.core.Transform.extractFrom(eventsOf(uniform))).isEmpty)
   }
 
+  test("kcore: a whiskered clique peels to the clique; a whisker-only " +
+       "graph peels to nothing") {
+    // users 1-4 on the clique {10,20,30,40}; users 5,6 whisker (40,50);
+    // users 7,8 bystand on (60,70) raising n_users to 8 so every edge
+    // clears the lift bar (worst: (40,50) at 2*8/(6*2)).
+    val clique = (1L to 4L).flatMap(u =>
+      Seq(10L, 20L, 30L, 40L).map((u, _)))
+    val whisker = Seq((5L, 40L), (5L, 50L), (6L, 40L), (6L, 50L))
+    val bystand = Seq((7L, 60L), (7L, 70L), (8L, 60L), (8L, 70L))
+    val got = Graph.kcoreFrom(graft.core.Transform.extractFrom(
+        eventsOf(clique ++ whisker ++ bystand)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // node 50 (deg 1), 60, 70 (deg 1 each) peel; the clique survives
+    // with every member at in-core degree 3
+    assert(got == Seq((10L, 3L), (20L, 3L), (30L, 3L), (40L, 3L)))
+    // whisker + bystander alone: max degree 1 - the 3-core is EMPTY,
+    // and the loop must terminate at the empty fixpoint
+    assert(Graph.kcoreFrom(graft.core.Transform.extractFrom(
+      eventsOf(whisker ++ bystand))).isEmpty)
+  }
+
+  test("kcore on the fixture is deterministic and every member keeps " +
+       ">= k in-core neighbors") {
+    val a = Graph.qKcore(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = Graph.qKcore(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b)
+    assert(a.forall(_._2 >= Graph.kcoreK),
+      "fixpoint members must all keep >= k in-core neighbors")
+  }
+
   test("triangles: hub orientation closes wedges without fanning out") {
     // star around hub 10 plus one rim edge: {10-20, 10-30, 20-30} is
     // the only triangle; rim pair (20,40) lacks support-2. Degree

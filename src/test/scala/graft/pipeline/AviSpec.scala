@@ -88,6 +88,44 @@ class AviSpec extends SparkSpec {
     assert(vOnly.audioChunks.isEmpty && vOnly.audioRate == -1)
   }
 
+  test("scene cut: segments partition each video, conserve gray mass, " +
+       "and cut exactly where the wrap-block SAD crosses the bar") {
+    val frames = Avi.aviFramesE2e(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+    val segs = Avi.aviSceneCut(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+    assert(segs.keySet == frames.keySet)
+    segs.foreach { case (id, ss) =>
+      val nf = frames(id).head.getLong(4)
+      // contiguous partition of [0, nf): seg i ends where i+1 starts
+      val ordered = ss.sortBy(_.getLong(1))
+      assert(ordered.head.getLong(2) == 0L &&
+        ordered.last.getLong(3) == nf - 1)
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(b.getLong(2) == a.getLong(3) + 1)
+        case _ =>
+      }
+      assert(ordered.map(_.getLong(4)).sum == nf)
+      // mass conservation vs the per-frame gate
+      assert(ordered.map(_.getLong(5)).sum ==
+        frames(id).map(_.getLong(5)).sum, s"doc $id gray mass")
+      // independent cut recomputation from the plant closed form
+      val (bw, bh, nfi) = Avi.plantGeom(id)
+      val cuts = (0 until nfi - 1).map { f =>
+        val sad = 64L * (0 until bw * bh).map(i =>
+          17L + 166L * (if ((id + 17 * f + 7 * (i % bw) + 13 * (i / bw))
+            % 200 >= 183) 1 else 0)).sum
+        sad > Avi.sceneCutThr * 64 * bw * bh
+      }
+      assert(ordered.length == 1 + cuts.count(identity),
+        s"doc $id segment count vs closed-form cuts")
+    }
+    // non-degenerate on the fixture: both single- and multi-segment
+    // videos must occur
+    assert(segs.values.exists(_.length == 1) &&
+      segs.values.exists(_.length > 1))
+  }
+
   test("the gate relation matches its closed forms on a slice") {
     val rows = Avi.aviFramesE2e(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -121,6 +121,46 @@ class FeatureStreamSpec extends SparkSpec {
     assert(alivePairs == Set((2L, 10L, 20L)))
   }
 
+  test("ss_stream_triangles == q_triangles") {
+    assert(rows(FeatureStream.streamTriangles(spark, sfDir)) ==
+      rows(graft.analytics.Graph.qTriangles(spark, sfDir)))
+  }
+
+  test("triangles stream: membership facts rebuild the lift gate " +
+       "across micro-batch splits; tombstone retracts a corner") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // the GraphSpec clique fixture: users 1-4 on {10,20,30}, bystanders
+    // 5,6 on {40,50} - one triangle. Split mid-user-history so pair
+    // and membership facts straddle the boundary.
+    val all = ((1L to 4L).flatMap(u => Seq(10L, 20L, 30L).map((u, _))) ++
+      Seq((5L, 40L), (5L, 50L), (6L, 40L), (6L, 50L)))
+      .map { case (u, o) => FeatureStream.UserObj(u, o) }
+    def run(batches: Seq[Seq[FeatureStream.UserObj]],
+            name: String): Seq[(Long, Long)] = {
+      val mem = MemoryStream[FeatureStream.UserObj]
+      val q = FeatureStream.trianglePairStream(mem.toDF()).toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      FeatureStream.trianglesOfSnapshot(s.table(name))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    val oneShot = run(Seq(all), "tri_mb_1")
+    val split = run(Seq(all.take(7), all.drop(7)), "tri_mb_2")
+    assert(oneShot == Seq((10L, 1L), (20L, 1L), (30L, 1L)))
+    assert(split == oneShot, "micro-batch split must not perturb the view")
+    // flooding corner 10's users past the cap tombstones them: with
+    // users 1-4 dead, every clique pair loses support - no triangles
+    val flood = (1L to 4L).flatMap(u =>
+      (0 to graft.analytics.Graph.cooccurMaxDeg)
+        .map(i => FeatureStream.UserObj(u, 1000L + i)))
+    val gone = run(Seq(all, flood), "tri_mb_3")
+    assert(gone.isEmpty,
+      s"tombstoned users must retract their triangles: $gone")
+  }
+
   test("funnel flags carry across micro-batches (view in b1, click in b2)") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
