@@ -50,6 +50,7 @@ object Bench {
     "q_decay_count", "q_trending", "q_markov", "ss_stream_ewma",
     "q_paths", "q_seasonality", "q_changepoint", "q_histogram", "q_rfm",
     "q_skyline", "q_grouping_sets", "q_seq_pattern",
+    "q_triangles", "q_kcore", "q_session_overlap",
     // training-data pipeline
     "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard", "dd_jaccard_prefix",
     "dd_containment", "dd_simhash",
@@ -66,10 +67,11 @@ object Bench {
     "q_cms_sliding_prod", "q_cms_join_card_prod", "q_cms_f2_prod",
     "q_kmv_jaccard_prod", "q_kmv_retention_prod",
     "txt_stats", "txt_fingerprint", "txt_repetition", "txt_bpe_learn",
-    "txt_bpe_encode", "txt_bm25", "q_hybrid_rrf",
-    "txt_bigram_nll", "txt_tfidf", "txt_entropy", "txt_zipf",
+    "txt_bpe_encode", "txt_bm25", "q_hybrid_rrf", "q_retrieval_eval",
+    "txt_bigram_nll", "txt_backoff_nll", "txt_tfidf", "txt_entropy",
+    "txt_zipf",
     "mm_binary_stats", "mm_bmp_decode", "mm_wav_decode", "mm_png_decode",
-    "mm_jpeg_decode", "mm_avi_frames", "mm_avi_av",
+    "mm_jpeg_decode", "mm_avi_frames", "mm_avi_av", "mm_scene_cut",
     "pipe_corpus_clean",
     "pipe_decontaminate", "pipe_decont_bloom", "pipe_dedup_apply",
     "pipe_quality_gate", "pipe_quality_prune", "pipe_qclf_score",

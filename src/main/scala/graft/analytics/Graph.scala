@@ -361,10 +361,16 @@ object Graph {
     val nu = act.agg(count(lit(1)).as("n"))
     val od = act.select(explode(col("os")).as("o"))
       .groupBy(col("o")).agg(count(lit(1)).as("c"))
-    var e = liftEdges(
-      pairCounts(act).filter(col("cnt") >= cooccurMinCnt), od, nu)
-      .localCheckpoint()
-    var edges = e.count()
+    kcoreFromEdges(liftEdges(
+      pairCounts(act).filter(col("cnt") >= cooccurMinCnt), od, nu))
+  }
+
+  /** The fixpoint peel over any (o1 < o2) edge relation — shared by
+    * the batch face and the streaming face's snapshot view.
+    */
+  private[graft] def kcoreFromEdges(edges: DataFrame): DataFrame = {
+    var e = edges.localCheckpoint()
+    var edgeCount = e.count()
     var stable = false
     var round = 0
     while (!stable && round < kcoreMaxRounds) {
@@ -380,12 +386,12 @@ object Graph {
       val m = next.count()
       // peeling only removes: an unchanged edge count means no node
       // fell below k -> fixpoint
-      stable = m == edges
-      e = next; edges = m; round += 1
+      stable = m == edgeCount
+      e = next; edgeCount = m; round += 1
     }
-    require(stable || edges == 0L,
+    require(stable || edgeCount == 0L,
       s"k-core peel exceeded the $kcoreMaxRounds-round budget " +
-        s"($edges edges still unstable) - raise kcoreMaxRounds and the " +
+        s"($edgeCount edges still unstable) - raise kcoreMaxRounds and the " +
         s"oracle's unroll together")
     e.select(col("o1").as("v")).unionAll(e.select(col("o2").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("core_deg"))

@@ -1556,6 +1556,85 @@ object SignatureStore {
     storedBm25(spark, store)
   }
 
+  /** Incremental STUPID-BACKOFF LM store, the trigram sibling of the
+    * 48g bigram store with the same evolving-answer structure: each
+    * arriving documents batch lands (a) its TRAIN-side (even doc_ids)
+    * unigram/bigram/trigram count PARTIALS — additive, summed at
+    * query time, so an n-gram recurring only ACROSS batches still
+    * counts — and (b) its HELD-OUT (odd doc_ids) position stream,
+    * tokenized exactly once. Scoring is entirely a query-time view
+    * through the batch face's `backoffScore`: a later batch's train
+    * docs shift every stored held-out doc's NLL (new trigrams turn
+    * backoffs into hits), so scores are never storable state. Docs
+    * land whole (row-atomic ingestion) — unlike the bag-of-words BM25
+    * store, an n-gram relation cannot merge a doc split mid-text.
+    */
+  def catchUpBackoff(spark: SparkSession, watchDir: String,
+                     storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val docs = spark.readStream.schema(schema).parquet(watchDir)
+    val q = docs.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val toks = graft.pipeline.TextAnalysis.backoffDocToks(batch)
+          .localCheckpoint()
+        val train = toks.filter(pmod(col("doc_id"), lit(2)) === 0)
+        graft.pipeline.TextAnalysis.backoffUni(train)
+          .write.mode("overwrite").parquet(s"$storeDir/uni/batch=$id")
+        graft.pipeline.TextAnalysis.backoffBg(train)
+          .write.mode("overwrite").parquet(s"$storeDir/bg/batch=$id")
+        graft.pipeline.TextAnalysis.backoffTg(train)
+          .write.mode("overwrite").parquet(s"$storeDir/tg/batch=$id")
+        graft.pipeline.TextAnalysis.backoffPos(
+            toks.filter(pmod(col("doc_id"), lit(2)) === 1))
+          .write.mode("overwrite").parquet(s"$storeDir/pos/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  def storedBackoff(spark: SparkSession, storeDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val uni = storedOrEmpty(spark, s"$storeDir/uni",
+      emptyLike(spark, spark.range(0).selectExpr("'' AS w3", "id AS cu")))
+      .groupBy(col("w3")).agg(sum(col("cu")).as("cu"))
+    val bg = storedOrEmpty(spark, s"$storeDir/bg",
+      emptyLike(spark, spark.range(0).selectExpr("'' AS w2", "'' AS w3",
+        "id AS c2")))
+      .groupBy(col("w2"), col("w3")).agg(sum(col("c2")).as("c2"))
+    val tg = storedOrEmpty(spark, s"$storeDir/tg",
+      emptyLike(spark, spark.range(0).selectExpr("'' AS w1", "'' AS w2",
+        "'' AS w3", "id AS c3")))
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(sum(col("c3")).as("c3"))
+    val pos = storedOrEmpty(spark, s"$storeDir/pos",
+      emptyLike(spark, spark.range(0).selectExpr("id AS doc_id",
+        "id AS i", "'' AS w1", "'' AS w2", "'' AS w3")))
+      .select(col("doc_id"), col("i"), col("w1"), col("w2"), col("w3"))
+    graft.pipeline.TextAnalysis.backoffScore(pos, uni, bg, tg)
+  }
+
+  /** Driver-gate face: fresh store, two appends split on (doc_id DIV
+    * 2) parity so EACH batch carries both train partials and held-out
+    * positions — the second batch's train docs re-score the first
+    * batch's held-out docs under the summed partials; shares
+    * `txt_backoff_nll`'s oracle.
+    */
+  def gatedBackoff(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_sbo_watch")
+    val store = tempDirForExit("graft_gate_sbo_store")
+    val docs = Graft.table(spark, sfDir, "documents")
+    land(docs.filter(pmod(expr("doc_id DIV 2"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpBackoff(spark, watch, store)
+    land(docs.filter(pmod(expr("doc_id DIV 2"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpBackoff(spark, watch, store)
+    storedBackoff(spark, store)
+  }
+
   /** Z-order layout incremental store: each arriving batch is
     * z-order-WRITTEN into its own `zorder/batch=<id>` subtree
     * (partition overwrite - a replayed batch rewrites its orphan

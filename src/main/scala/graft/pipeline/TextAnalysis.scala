@@ -1373,27 +1373,27 @@ object TextAnalysis {
   def backoffNll(spark: SparkSession, sfDir: String): DataFrame =
     backoffNllFrom(Graft.tableParallel(spark, sfDir, "documents"))
 
-  private[graft] def backoffNllFrom(documents: DataFrame): DataFrame = {
-    val toks = documents.select(col("doc_id"), expr(
+  /** The gate's tokenization, shared with the incremental store so
+    * the faces cannot drift: docs with ≥ 1 LM token.
+    */
+  private[graft] def backoffDocToks(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), expr(
         "regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts"))
       .filter(size(col("ts")) >= 1)
-    // the training half tokenizes ONCE (localCheckpoint): the three
-    // n-gram counts derive from the materialized token relation, not
-    // three corpus re-scans; the held-out half streams off its single
-    // scan
-    val train = toks.filter(pmod(col("doc_id"), lit(2)) === 0)
-      .localCheckpoint()
-    val test = toks.filter(pmod(col("doc_id"), lit(2)) === 1)
-    val uni = train.select(explode(col("ts")).as("w3"))
+
+  private[graft] def backoffUni(train: DataFrame): DataFrame =
+    train.select(explode(col("ts")).as("w3"))
       .groupBy(col("w3")).agg(count(lit(1)).as("cu"))
-    val tot = uni.agg(sum(col("cu")).as("s_tok"),
-      count(lit(1)).as("v_size"))
-    val bg = train.select(explode(expr(
+
+  private[graft] def backoffBg(train: DataFrame): DataFrame =
+    train.select(explode(expr(
         """zip_with(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1),
           |  (a, b) -> struct(a AS w2, b AS w3))""".stripMargin)).as("g"))
       .groupBy(col("g.w2").as("w2"), col("g.w3").as("w3"))
       .agg(count(lit(1)).as("c2"))
-    val tg = train.filter(size(col("ts")) >= 3)
+
+  private[graft] def backoffTg(train: DataFrame): DataFrame =
+    train.filter(size(col("ts")) >= 3)
       .select(explode(expr(
         """transform(sequence(3, size(ts)), i -> struct(
           |  ts[i - 3] AS w1, ts[i - 2] AS w2, ts[i - 1] AS w3))"""
@@ -1401,14 +1401,12 @@ object TextAnalysis {
       .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"),
         col("g.w3").as("w3"))
       .agg(count(lit(1)).as("c3"))
-    // context totals fold in vocab-side: the corpus stream never joins
-    // a bare context relation
-    val tgs = tg.join(
-      tg.groupBy(col("w1"), col("w2")).agg(sum(col("c3")).as("c12")),
-      Seq("w1", "w2"))
-    val bgs = bg.join(
-      bg.groupBy(col("w2")).agg(sum(col("c2")).as("c1")), Seq("w2"))
-    val pos = test.select(col("doc_id"), explode(expr(
+
+  /** The held-out position stream (1-based i with its trigram/bigram
+    * context, nulls below the order) from any tokenized relation.
+    */
+  private[graft] def backoffPos(test: DataFrame): DataFrame =
+    test.select(col("doc_id"), explode(expr(
         """transform(sequence(1, size(ts)), i -> struct(
           |  CAST(i AS BIGINT) AS i,
           |  CASE WHEN i >= 3 THEN ts[i - 3] END AS w1,
@@ -1416,6 +1414,36 @@ object TextAnalysis {
           |  ts[i - 1] AS w3))""".stripMargin)).as("p"))
       .select(col("doc_id"), col("p.i").as("i"), col("p.w1").as("w1"),
         col("p.w2").as("w2"), col("p.w3").as("w3"))
+
+  private[graft] def backoffNllFrom(documents: DataFrame): DataFrame = {
+    val toks = backoffDocToks(documents)
+    // the training half tokenizes ONCE (localCheckpoint): the three
+    // n-gram counts derive from the materialized token relation, not
+    // three corpus re-scans; the held-out half streams off its single
+    // scan
+    val train = toks.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .localCheckpoint()
+    val test = toks.filter(pmod(col("doc_id"), lit(2)) === 1)
+    backoffScore(backoffPos(test), backoffUni(train), backoffBg(train),
+      backoffTg(train))
+  }
+
+  /** The scoring core over any position stream + n-gram count
+    * relations — shared by the batch face and the incremental store's
+    * query-time view (whose summed per-batch partials are exactly
+    * these relations, counts being additive). Context totals fold in
+    * vocab-side; the position stream pays three keyed left joins.
+    */
+  private[graft] def backoffScore(pos: DataFrame, uni: DataFrame,
+                                  bg: DataFrame,
+                                  tg: DataFrame): DataFrame = {
+    val tot = uni.agg(sum(col("cu")).as("s_tok"),
+      count(lit(1)).as("v_size"))
+    val tgs = tg.join(
+      tg.groupBy(col("w1"), col("w2")).agg(sum(col("c3")).as("c12")),
+      Seq("w1", "w2"))
+    val bgs = bg.join(
+      bg.groupBy(col("w2")).agg(sum(col("c2")).as("c1")), Seq("w2"))
     val a = backoffAlpha
     pos
       .join(tgs, Seq("w1", "w2", "w3"), "left")

@@ -362,10 +362,11 @@ object FeatureStream {
         GroupStateTimeout.NoTimeout())(triangleHandler)
   }
 
-  /** The triangle view over any CoPair snapshot (pairs + membership +
-    * tombstones) — shared by the gated face and the MemoryStream spec.
+  /** The lift-gated edge relation from any CoPair snapshot (pairs +
+    * membership + tombstones) — shared by the triangle and k-core
+    * views and the MemoryStream specs.
     */
-  def trianglesOfSnapshot(snap0: DataFrame): DataFrame = {
+  private def liftEdgesOfSnapshot(snap0: DataFrame): DataFrame = {
     val spark = snap0.sparkSession
     // the view self-joins the snapshot several ways - rebase on the
     // InternalRow barrier (the cooccur face's reference-dedup guard)
@@ -389,18 +390,37 @@ object FeatureStream {
       .groupBy(col("o1"), col("o2"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= graft.analytics.Graph.cooccurMinCnt)
-    graft.analytics.Graph.trianglesFromEdges(
-      graft.analytics.Graph.liftEdges(pairs, od, nu))
+    graft.analytics.Graph.liftEdges(pairs, od, nu)
   }
 
-  def streamTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The triangle view over any CoPair snapshot — shared by the gated
+    * face and the MemoryStream spec.
+    */
+  def trianglesOfSnapshot(snap0: DataFrame): DataFrame =
+    graft.analytics.Graph.trianglesFromEdges(liftEdgesOfSnapshot(snap0))
+
+  /** The k-core view over any CoPair snapshot: the peel is an
+    * evolving-answer fixpoint of the WHOLE graph (one arriving
+    * interaction can re-admit a peeled node), so like the triangle
+    * view it runs at query time through the batch face's shared peel.
+    */
+  def kcoreOfSnapshot(snap0: DataFrame): DataFrame =
+    graft.analytics.Graph.kcoreFromEdges(liftEdgesOfSnapshot(snap0))
+
+  private def pairSnapshot(spark: SparkSession, sfDir: String,
+                           table: String): DataFrame = {
     val tuples = graft.core.Transform.extractFrom(
         StreamSum.streamingEvents(spark, sfDir))
       .select(col("s").as("user_id"), col("o"))
-    trianglesOfSnapshot(StreamSum.runToTable(
-      trianglePairStream(tuples).toDF(),
-      OutputMode.Append(), "ss_stream_triangles"))
+    StreamSum.runToTable(trianglePairStream(tuples).toDF(),
+      OutputMode.Append(), table)
   }
+
+  def streamTriangles(spark: SparkSession, sfDir: String): DataFrame =
+    trianglesOfSnapshot(pairSnapshot(spark, sfDir, "ss_stream_triangles"))
+
+  def streamKcore(spark: SparkSession, sfDir: String): DataFrame =
+    kcoreOfSnapshot(pairSnapshot(spark, sfDir, "ss_stream_kcore"))
 
   def streamCooccur(spark: SparkSession, sfDir: String): DataFrame = {
     val tuples = graft.core.Transform.extractFrom(

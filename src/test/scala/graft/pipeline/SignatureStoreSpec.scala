@@ -313,6 +313,53 @@ class SignatureStoreSpec extends SparkSpec {
     assert(full == oneShot)
   }
 
+  test("backoff store: a later batch's train trigrams re-score " +
+       "earlier held-out docs (the LM is never storable)") {
+    val watch = Files.createTempDirectory("graft_sbo_watch").toString
+    val store = Files.createTempDirectory("graft_sbo_store").toString
+    val s = spark; import s.implicits._
+    def docDf(rows: Seq[(Long, String)]) = rows
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$watch/_stage"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(watch, name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    // batch 1: train doc 0 "alpha beta gamma" + held-out doc 1 "delta
+    // alpha beta" -> doc 1's trigram (delta,alpha,beta) is UNSEEN (2
+    // backoff steps at i=3; (alpha,beta) bigram hits at i=3's fallback)
+    land(docDf(Seq((0L, "alpha beta gamma"), (1L, "delta alpha beta"))),
+      "a1.parquet")
+    SignatureStore.catchUpBackoff(spark, watch, store)
+    val early = SignatureStore.storedBackoff(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toList
+    assert(early.map(_._1) == List(1L))
+    val (_, bo1, nll1) = early.head
+    assert(bo1 > 0L, s"the unseen trigram must back off: $bo1")
+    // batch 2: train doc 2 containing "delta alpha beta" - doc 1's
+    // trigram becomes a HIT under the summed partials
+    land(docDf(Seq((2L, "delta alpha beta delta alpha beta"))),
+      "a2.parquet")
+    SignatureStore.catchUpBackoff(spark, watch, store)
+    val later = SignatureStore.storedBackoff(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toList
+    val (_, bo2, nll2) = later.head
+    assert(bo2 < bo1, s"new train trigrams must cut backoffs: $bo1 -> $bo2")
+    assert(nll2 != nll1, "the stored score must re-derive under the " +
+      "evolved LM")
+    // on the real corpus: interleaved-parity store == one-shot face
+    val oneShot = graft.pipeline.TextAnalysis.backoffNll(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val full = SignatureStore.gatedBackoff(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(full == oneShot)
+  }
+
   test("decay store: a later batch's newer day halves earlier weights") {
     val watch = Files.createTempDirectory("graft_decay_watch").toString
     val store = Files.createTempDirectory("graft_decay_store").toString

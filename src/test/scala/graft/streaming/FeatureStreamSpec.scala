@@ -126,6 +126,11 @@ class FeatureStreamSpec extends SparkSpec {
       rows(graft.analytics.Graph.qTriangles(spark, sfDir)))
   }
 
+  test("ss_stream_kcore == q_kcore") {
+    assert(rows(FeatureStream.streamKcore(spark, sfDir)) ==
+      rows(graft.analytics.Graph.qKcore(spark, sfDir)))
+  }
+
   test("triangles stream: membership facts rebuild the lift gate " +
        "across micro-batch splits; tombstone retracts a corner") {
     val s = spark; import s.implicits._
