@@ -547,13 +547,20 @@ object Tpch {
     */
   def qSessionOverlap(spark: SparkSession, sfDir: String): DataFrame = {
     graft.core.Graft.ensureConf(spark)
-    val w = overlapBinUs
-    val sess = sessionFrom(Graft.table(spark, sfDir, "events")
+    overlapFrom(sessionFrom(Graft.table(spark, sfDir, "events")
         .select(col("user_id"), col("event_id"),
           expr("graft_ts_us(ts)").as("t")))
       .select(col("user_id"), col("session_id"),
-        col("start_t"), col("end_t"))
-      .localCheckpoint()
+        col("start_t"), col("end_t")))
+  }
+
+  /** The tiled overlap count over any (user_id, session_id, start_t,
+    * end_t) session relation — shared by the batch face and the
+    * streaming face's snapshot view.
+    */
+  private[graft] def overlapFrom(sessions: DataFrame): DataFrame = {
+    val w = overlapBinUs
+    val sess = sessions.localCheckpoint()
     val binned = sess.select(col("user_id"), col("session_id"),
       col("start_t"), col("end_t"),
       explode(expr(s"sequence(start_t DIV ${w}L, end_t DIV ${w}L)"))

@@ -142,6 +142,48 @@ object StreamSum {
       .orderBy(col("user_id"), col("start_t"))
   }
 
+  /** Streaming face of the interval-overlap concurrency count,
+    * sharing `q_session_overlap`'s oracle: the state is the native
+    * session-window aggregation (exactly `ss_stream_sessions`' face —
+    * window.end is last-event + gap, so the batch end_t reconstructs
+    * as end_plus_gap − gap, and the per-user ordinal is a rank over
+    * the snapshot); the tiled self-join is an evolving-answer
+    * quantity (one arriving event can extend a session into new
+    * overlaps, or MERGE two sessions — renumbering every later
+    * ordinal), so the whole overlap relation is a query-time view
+    * through the batch face's shared `overlapFrom`.
+    */
+  def streamSessionOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    // RAW events (user_id, ts), exactly the batch face's input - the
+    // tuple extraction's props filter must not narrow the session set.
+    // (Exact-gap boundary: session_window merges strictly-closer-than-
+    // gap events where the batch rule keeps <= gap together - the same
+    // µs-resolution non-issue the gated ss_stream_sessions face
+    // already rides; an exact 30-minute-to-the-µs gap never occurs.)
+    val ev = streamingEvents(spark, sfDir)
+      .select(col("user_id"), expr("graft_ts_us(ts)").as("t"))
+      .withColumn("ets", timestamp_micros(col("t")))
+    val sessions = ev
+      .withWatermark("ets", "1 hour")
+      .groupBy(col("user_id"),
+        session_window(col("ets"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_t"),
+        unix_micros(col("w.end")).as("end_plus_gap"))
+    val snap = runToTable(sessions, OutputMode.Complete(),
+      "ss_stream_session_overlap")
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("start_t"))
+    graft.analytics.Tpch.overlapFrom(snap
+      .withColumn("session_id",
+        org.apache.spark.sql.functions.row_number().over(wOrd)
+          .cast("long"))
+      .select(col("user_id"), col("session_id"), col("start_t"),
+        (col("end_plus_gap") - lit(graft.analytics.Tpch.sessionGapUs))
+          .as("end_t")))
+  }
+
   /** Streaming dedup: first-seen (subject, object) pairs via
     * dropDuplicates with stream state ≙ an exact-dedup pass over an
     * unbounded stream. Output restricted to the dedup key so the

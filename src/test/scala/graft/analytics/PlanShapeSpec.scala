@@ -443,6 +443,18 @@ class PlanShapeSpec extends SparkSpec {
       s"no unkeyed corpus product anywhere in the eval:\n$plan")
   }
 
+  test("session overlap: the interval self-join rides the tile " +
+       "equi-join - no product join anywhere") {
+    val plan = executed(Tpch.qSessionOverlap(spark, sfDir))
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the overlap predicate must filter inside the tile equi-join, " +
+        s"never drive a product:\n$plan")
+    assert(!plan.contains("FileScan parquet"),
+      s"everything derives from the checkpointed session relation:\n$plan")
+  }
+
   test("hashfeat: one scan, one (doc, bucket)-keyed exchange") {
     val plan = executed(
       graft.pipeline.TextAnalysis.hashfeat(spark, sfDir))

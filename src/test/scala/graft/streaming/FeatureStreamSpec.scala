@@ -131,6 +131,11 @@ class FeatureStreamSpec extends SparkSpec {
       rows(graft.analytics.Graph.qKcore(spark, sfDir)))
   }
 
+  test("ss_stream_session_overlap == q_session_overlap") {
+    assert(rows(StreamSum.streamSessionOverlap(spark, sfDir)) ==
+      rows(graft.analytics.Tpch.qSessionOverlap(spark, sfDir)))
+  }
+
   test("triangles stream: membership facts rebuild the lift gate " +
        "across micro-batch splits; tombstone retracts a corner") {
     val s = spark; import s.implicits._
