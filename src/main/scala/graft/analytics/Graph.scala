@@ -152,6 +152,105 @@ object Graph {
        |FROM r$iterations ORDER BY node_kind, node_id""".stripMargin
   }
 
+  // ---- q_ppr: personalized PageRank ----------------------------------
+
+  /** Seed cohort rule: user nodes whose subject id is a multiple of
+    * this (a deterministic stand-in for "the segment we personalize
+    * for" — the cohort is a parameter; what's gated is the restart
+    * math).
+    */
+  val pprSeedMod = 10L
+
+  /** PERSONALIZED PageRank: the same integer micro-unit walk as
+    * `q_pagerank`, with teleport mass restricted to a SEED cohort —
+    * the recommender staple ("importance as seen from this segment"):
+    * r'(v) = [v ∈ S]·150000 + (17·Σ_{u→v} r(u) DIV d(u)) DIV 20,
+    * seeds initialized at 1e6 and everything else at 0, so after k
+    * iterations exactly the ≤ k-hop neighborhood of the cohort
+    * carries mass (emitted rows are the r > 0 support — on a
+    * bipartite graph the reach alternates sides, which the spec
+    * pins). Same 100 TB shape as the global walk: one materialized
+    * edge relation, per-iteration one src-keyed join + one
+    * map-combinable dst-keyed sum; the seed flag is a node-sized
+    * broadcast.
+    */
+  def qPpr(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    pprFrom(fwdPairs(Transform.extract(spark, sfDir)))
+  }
+
+  private[graft] def pprFrom(fwdPairs: DataFrame,
+                             iters: Int = iterations): DataFrame = {
+    val fwd = fwdPairs.localCheckpoint()
+    val edges = fwd.unionAll(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .select(col("src").as("v"), col("d"))
+      .withColumn("seed",
+        (pmod(col("v"), lit(2)) === 0 &&
+          pmod(expr("v DIV 2"), lit(pprSeedMod)) === 0).cast("int"))
+    var ranks = deg.select(col("v"),
+      (col("seed") * lit(1000000L)).as("r"))
+    for (_ <- 1 to iters) {
+      val share = ranks.join(deg.select(col("v"), col("d")), "v")
+        .select(col("v").as("src"), expr("r DIV d").as("c"))
+      val contribs = edges.join(share, "src")
+        .groupBy(col("dst").as("v")).agg(sum(col("c")).as("S"))
+      ranks = deg.select(col("v"), col("seed"))
+        .join(contribs, Seq("v"), "left")
+        .select(col("v"), expr(
+          "CAST(seed AS BIGINT) * 150000L" +
+            " + (17L * coalesce(S, 0L)) DIV 20L").as("r"))
+    }
+    ranks.filter(col("r") > 0)
+      .select(
+        when(pmod(col("v"), lit(2)) === 0, lit("user"))
+          .otherwise(lit("obj")).as("node_kind"),
+        expr("v DIV 2").as("node_id"),
+        col("r").as("rank_mu"))
+      .orderBy(col("node_kind"), col("node_id"))
+  }
+
+  val qPprSql: String = {
+    val iters = (1 to iterations).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS v, sum(r.r // g.d) AS S
+         |  FROM edges e
+         |  JOIN r${i - 1} r ON e.src = r.v
+         |  JOIN deg g ON e.src = g.v
+         |  GROUP BY 1
+         |), r$i AS (
+         |  SELECT g.v,
+         |    CAST(g.seed * 150000 + (17 * COALESCE(c.S, 0)) // 20
+         |      AS BIGINT) AS r
+         |  FROM deg g LEFT JOIN c$i c ON g.v = c.v
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ${graft.oracle.Sql.tuplesCte},
+       |fwd AS (
+       |  SELECT DISTINCT 2 * s AS src, 2 * o + 1 AS dst FROM tuples
+       |),
+       |edges AS (
+       |  SELECT src, dst FROM fwd
+       |  UNION ALL
+       |  SELECT dst AS src, src AS dst FROM fwd
+       |),
+       |deg AS (
+       |  SELECT src AS v, count(*) AS d,
+       |    CAST(src % 2 = 0 AND (src // 2) % $pprSeedMod = 0 AS INT)
+       |      AS seed
+       |  FROM edges GROUP BY src
+       |),
+       |r0 AS (SELECT v, CAST(seed * 1000000 AS BIGINT) AS r FROM deg),
+       |$iters
+       |SELECT CASE WHEN v % 2 = 0 THEN 'user' ELSE 'obj' END
+       |    AS node_kind,
+       |  CAST(v // 2 AS BIGINT) AS node_id,
+       |  CAST(r AS BIGINT) AS rank_mu
+       |FROM r$iterations WHERE r > 0
+       |ORDER BY node_kind, node_id""".stripMargin
+  }
+
   // ---- q_cooccur: item co-occurrence ---------------------------------
 
   /** Per-user degree cap and the minimum support for an emitted pair. */

@@ -268,6 +268,125 @@ object TimeSeries {
        |FROM lagged ORDER BY user_id, event_id""".stripMargin
   }
 
+  // ---- q_holt: double exponential smoothing --------------------------
+
+  /** Holt window length (the ewma truncation discipline) and the
+    * integer weight tables: with α = β = 1/4 the per-step update is
+    * [L'; B'] = (1/16)·[[12, 12], [−1, 15]]·[L; B] + (y/16)·[4; 1]
+    * (B' = ¼(L'−L) + ¾B expanded), initialized L₁ = y₁, B₁ = 0 — so
+    * over a length-m window both level and trend are INTEGER weighted
+    * sums of the observations over the common denominator 16^(m−1)
+    * (matrix-power weights; level weights sum to 16^(m−1), trend
+    * weights to 0 — a constant series smooths to itself with zero
+    * trend, spec-pinned). Magnitudes: |w| ≤ 6.8e7, v_mu ≤ 5e8 →
+    * per-term ≤ 3.4e16, sum ≤ 2.7e17 — comfortably BIGINT.
+    */
+  val holtLen = 8
+
+  private[graft] val (holtWL, holtWB): (Array[Array[Long]], Array[Array[Long]]) = {
+    val wl = Array.ofDim[Array[Long]](holtLen + 1)
+    val wb = Array.ofDim[Array[Long]](holtLen + 1)
+    wl(1) = Array(1L); wb(1) = Array(0L)
+    for (t <- 2 to holtLen) {
+      val scalePrev = Array.iterate(1L, t - 1)(_ * 16L).last
+      wl(t) = Array.tabulate(t)(j =>
+        if (j < t - 1) 12L * wl(t - 1)(j) + 12L * wb(t - 1)(j)
+        else 4L * scalePrev)
+      wb(t) = Array.tabulate(t)(j =>
+        if (j < t - 1) -1L * wl(t - 1)(j) + 15L * wb(t - 1)(j)
+        else 1L * scalePrev)
+    }
+    (wl, wb)
+  }
+
+  /** Per-event HOLT double exponential smoothing (level + trend +
+    * one-step forecast) of `value` per user — the forecasting-family
+    * member above `q_ewma`'s level-only smoother: trend is what turns
+    * "smoothed now" into "expected next", the input to capacity
+    * forecasts and trend-break features. Same 100 TB shape as ewma:
+    * ONE user-keyed exchange + sort carries the operator; the m lag
+    * columns and both weighted sums are a single window projection,
+    * per-row state O(holtLen); identical CASE weight-table text on
+    * both engines, one q6 division at output.
+    */
+  def qHolt(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val lagged = Graft.table(spark, sfDir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("value").isNotNull)
+      .select(col("user_id"), expr("graft_ts_us(ts)").as("tus"),
+        col("event_id"), col("value"),
+        expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").as("v0"))
+      .withColumn("m", least(lit(holtLen.toLong), row_number().over(w)))
+    val withLags = (1 until holtLen).foldLeft(lagged) { (df, i) =>
+      df.withColumn(s"v$i", lag(col("v0"), i).over(w))
+    }
+    def numExpr(tbl: Array[Array[Long]]): String =
+      (0 until holtLen).map { j =>
+        val cases = ((j + 1) to holtLen)
+          .map(m => s"WHEN m = $m THEN ${tbl(m)(m - j - 1)}L")
+          .mkString(" ")
+        s"(CASE $cases ELSE 0L END) * COALESCE(v$j, 0L)"
+      }.mkString(" + ")
+    val den = (1 to holtLen)
+      .map(m => s"WHEN m = $m THEN ${
+        Array.iterate(1L, m)(_ * 16L).last}L").mkString(" ")
+    val denD = s"(CAST(CASE $den END AS DOUBLE) * 1000000.0)"
+    withLags
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("m").cast("long").as("n_obs"),
+        graft.pipeline.ParityMath.q6(
+          expr(s"CAST(${numExpr(holtWL)} AS DOUBLE)") / expr(denD))
+          .as("level"),
+        graft.pipeline.ParityMath.q6(
+          expr(s"CAST(${numExpr(holtWB)} AS DOUBLE)") / expr(denD))
+          .as("trend"),
+        graft.pipeline.ParityMath.q6(
+          expr(s"CAST((${numExpr(holtWL)}) + (${numExpr(holtWB)}) " +
+            "AS DOUBLE)") / expr(denD)).as("forecast"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val qHoltSql: String = {
+    def numSql(tbl: Array[Array[Long]]): String =
+      (0 until holtLen).map { j =>
+        val cases = ((j + 1) to holtLen)
+          .map(m => s"WHEN m = $m THEN ${tbl(m)(m - j - 1)}")
+          .mkString(" ")
+        s"(CASE $cases ELSE 0 END) * COALESCE(v$j, 0)"
+      }.mkString("\n      + ")
+    val den = (1 to holtLen)
+      .map(m => s"WHEN m = $m THEN ${
+        Array.iterate(1L, m)(_ * 16L).last}").mkString(" ")
+    val lagCols = (1 until holtLen)
+      .map(i => s"lag(v0, $i) OVER we AS v$i").mkString(",\n    ")
+    val denD = s"(CAST(CASE $den END AS DOUBLE) * 1000000.0)"
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS tus, event_id, value,
+       |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v0
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |    AND value IS NOT NULL
+       |), lagged AS (
+       |  SELECT user_id, event_id, value, v0,
+       |    LEAST($holtLen, row_number() OVER we) AS m,
+       |    $lagCols
+       |  FROM e
+       |  WINDOW we AS (PARTITION BY user_id ORDER BY tus, event_id)
+       |)
+       |SELECT user_id, event_id, value, CAST(m AS BIGINT) AS n_obs,
+       |  ${graft.pipeline.ParityMath.q6Sql(
+            s"CAST(${numSql(holtWL)} AS DOUBLE) / $denD")} AS level,
+       |  ${graft.pipeline.ParityMath.q6Sql(
+            s"CAST(${numSql(holtWB)} AS DOUBLE) / $denD")} AS trend,
+       |  ${graft.pipeline.ParityMath.q6Sql(
+            s"CAST((${numSql(holtWL)}) + (${numSql(holtWB)}) AS DOUBLE) / $denD")}
+       |    AS forecast
+       |FROM lagged ORDER BY user_id, event_id""".stripMargin
+  }
+
   // ---- q_anomaly: rolling z-score outlier detection ------------------
 
   /** Baseline window (strictly-preceding observations) and the minimum

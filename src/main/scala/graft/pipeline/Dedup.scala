@@ -941,9 +941,16 @@ object Dedup {
     * pass that already feeds minhash/LSH/Jaccard, not a second
     * full-corpus scan of `text`.
     */
-  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val simDocs = SignatureStore.shingles(spark, sfDir)
-      .select(col("doc_id"), expr("graft_simhash48(hst)").as("sim"))
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    simhashPairsFrom(SignatureStore.shingles(spark, sfDir)
+      .select(col("doc_id"), expr("graft_simhash48(hst)").as("sim")))
+
+  /** The chunk-blocked Hamming pair join over any (doc_id, sim)
+    * signature relation — shared by the batch face and the
+    * incremental store (whose per-batch signature facts union to
+    * exactly this relation: a doc signs once, ever).
+    */
+  private[graft] def simhashPairsFrom(simDocs: DataFrame): DataFrame = {
     val chunks = simDocs.select(col("doc_id"), col("sim"),
       explode(expr(
         (0 until simhashChunks)

@@ -993,6 +993,65 @@ object SignatureStore {
     q.awaitTermination()
   }
 
+  /** Incremental COHESION store: per-batch DISTINCT (s, o)
+    * interaction pairs (union-distinct-additive, the 48m discipline on
+    * the unencoded relation), serving BOTH graph-cohesion views —
+    * triangles and k-core are each fixpoints/motifs of the WHOLE
+    * lift-filtered projection (one arriving interaction shifts every
+    * degree and can re-admit a peeled node), so both run at query
+    * time through the batch faces' shared cores over the stored union.
+    */
+  def catchUpCohesion(spark: SparkSession, watchDir: String,
+                      storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val ev = spark.readStream.schema(schema).parquet(watchDir)
+    val q = ev.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.core.Transform.extractFrom(batch)
+          .select(col("s"), col("o")).distinct()
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/so/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private def storedSo(spark: SparkSession, storeDir: String): DataFrame =
+    storedOrEmpty(spark, s"$storeDir/so",
+      emptyLike(spark, spark.range(0).selectExpr("id AS s", "id AS o")))
+      .select(col("s"), col("o"))
+
+  private def cohesionStore(spark: SparkSession, sfDir: String,
+                            name: String): String = {
+    val watch = tempDirForExit(s"graft_gate_${name}_watch")
+    val store = tempDirForExit(s"graft_gate_${name}_store")
+    val ev = Graft.table(spark, sfDir, "events")
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpCohesion(spark, watch, store)
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpCohesion(spark, watch, store)
+    store
+  }
+
+  /** Driver-gate faces: event-parity appends (most pairs land in both
+    * batches — the union-distinct does real work), then the query-time
+    * view; share `q_triangles`' / `q_kcore`'s oracles (the batch
+    * cores accept any (s, o) relation — capActive re-distincts).
+    */
+  def gatedTriangles(spark: SparkSession, sfDir: String): DataFrame =
+    graft.analytics.Graph.trianglesFrom(
+      storedSo(spark, cohesionStore(spark, sfDir, "tri")))
+
+  def gatedKcore(spark: SparkSession, sfDir: String): DataFrame =
+    graft.analytics.Graph.kcoreFrom(
+      storedSo(spark, cohesionStore(spark, sfDir, "kcore")))
+
   def storedPagerank(spark: SparkSession, storeDir: String): DataFrame = {
     Graft.ensureConf(spark)
     val edges = storedOrEmpty(spark, s"$storeDir/edges",
@@ -1473,6 +1532,59 @@ object SignatureStore {
       "arrival2.parquet")
     catchUpTfidf(spark, watch, store)
     storedTfidf(spark, store)
+  }
+
+  /** Incremental SIMHASH store, completing the dedup-store family
+    * (48a minhash bands, 48b spans, jaccard-prefix, containment — and
+    * now the Hamming member): each arriving batch lands its per-doc
+    * 48-bit signature ONCE (docs immutable → signature facts are
+    * disjoint appends; the tokenize+hash pass is the shingle
+    * pipeline's); the chunk-blocked Hamming pair join is a query-time
+    * view through the batch face's shared `simhashPairsFrom` — a new
+    * doc can pair with ANY earlier doc, so pairs are never storable
+    * per batch.
+    */
+  def catchUpSimhash(spark: SparkSession, watchDir: String,
+                     storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val docs = spark.readStream.schema(schema).parquet(watchDir)
+    val q = docs.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        Dedup.shinglesFrom(batch)
+          .select(col("doc_id"), expr("graft_simhash48(hst)").as("sim"))
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/sig/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  def storedSimhashPairs(spark: SparkSession,
+                         storeDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    Dedup.simhashPairsFrom(storedOrEmpty(spark, s"$storeDir/sig",
+      emptyLike(spark, spark.range(0).selectExpr("id AS doc_id",
+        "id AS sim"))))
+  }
+
+  /** Driver-gate face: doc-parity appends, then the query-time pair
+    * join; shares `dd_simhash`'s oracle.
+    */
+  def gatedSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_simhash_watch")
+    val store = tempDirForExit("graft_gate_simhash_store")
+    val docs = Graft.table(spark, sfDir, "documents")
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpSimhash(spark, watch, store)
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpSimhash(spark, watch, store)
+    storedSimhashPairs(spark, store)
   }
 
   /** Incremental BM25 retrieval store: each arriving documents batch

@@ -51,6 +51,16 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("cohesion store == one-shot triangles/kcore after parity-split " +
+       "ingest") {
+    val tri = Graph.qTriangles(spark, sfDir).collect().map(_.toSeq).toSet
+    assert(graft.pipeline.SignatureStore.gatedTriangles(spark, sfDir)
+      .collect().map(_.toSeq).toSet == tri)
+    val core = Graph.qKcore(spark, sfDir).collect().map(_.toSeq).toSet
+    assert(graft.pipeline.SignatureStore.gatedKcore(spark, sfDir)
+      .collect().map(_.toSeq).toSet == core)
+  }
+
   test("graph store == one-shot pagerank after parity-split ingest") {
     val oneShot = Graph.qPagerank(spark, sfDir).collect().map(_.toSeq).toSet
     val stored = graft.pipeline.SignatureStore.gatedGraph(spark, sfDir)
@@ -104,6 +114,24 @@ class GraphSpec extends SparkSpec {
     val uniform = (1L to 4L).flatMap(u => Seq(10L, 20L, 30L).map((u, _)))
     assert(Graph.trianglesFrom(
       graft.core.Transform.extractFrom(eventsOf(uniform))).isEmpty)
+  }
+
+  test("ppr: mass stays on the seed cohort's k-hop neighborhood, " +
+       "exact integer walk") {
+    // seed user 0 - obj 5 - user 1 - obj 7 chain; user 3 - obj 9 is
+    // disconnected from the cohort and must carry ZERO mass.
+    // Hand-replayed 3-iteration integer walk (see values below).
+    val got = Graph.pprFrom(Graph.fwdPairs(
+        graft.core.Transform.extractFrom(eventsOf(Seq(
+          (0L, 5L), (1L, 5L), (1L, 7L), (3L, 9L))))))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set(
+      ("user", 0L, 204187L),   // seed: 150000 + 17*63750 DIV 20
+      ("user", 1L, 54187L),    // 2-hop user
+      ("obj", 5L, 588093L),    // 1-hop object, both users feed it
+      ("obj", 7L, 153531L)),   // 3-hop object
+      s"ppr support/values drifted: $got")
   }
 
   test("kcore: a whiskered clique peels to the clique; a whisker-only " +

@@ -9,6 +9,58 @@ import org.apache.spark.sql.functions._
   */
 class TimeSeriesSpec extends SparkSpec {
 
+  test("holt: window weights equal the per-row truncated recursion; " +
+       "a constant series smooths to itself with zero trend") {
+    val s = spark; import s.implicits._
+    // user 1: a ramp (the trend must come out positive and the
+    // forecast must overshoot the level); user 2: constant
+    val vals1 = (1 to 12).map(_.toDouble)
+    val rows = (vals1.zipWithIndex.map { case (v, i) =>
+        (i.toLong, new java.sql.Timestamp(1000L + i), 1L, "view", v,
+          """{"k": 1}""")
+      } ++ (0 until 10).map { i =>
+        (100L + i, new java.sql.Timestamp(1000L + i), 2L, "view", 7.5,
+          """{"k": 1}""")
+      }).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_holt").toString
+    rows.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val byKey = TimeSeries.qHolt(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    // constant user: level == value, trend == 0, forecast == value
+    (0 until 10).foreach { i =>
+      val (_, lvl, tr, fc) = byKey((2L, 100L + i))
+      assert(lvl == 7.5 && tr == 0.0 && fc == 7.5,
+        s"constant series must be a fixed point: $lvl $tr $fc")
+    }
+    // ramp user: per-row driver replay of the truncated recursion
+    // (L=y_first, B=0, then m-1 exact 1/16 steps) must match the
+    // engine's weight-table formulation
+    def replay(win: Seq[Double]): (Double, Double) = {
+      val vu = win.map(v => math.floor(v * 1e6 + 0.5).toLong)
+      var l = BigInt(vu.head); var b = BigInt(0); var scale = BigInt(1)
+      vu.tail.foreach { y =>
+        val nl = 12 * l + 12 * b + 4 * scale * y
+        val nb = -1 * l + 15 * b + scale * y
+        l = nl; b = nb; scale *= 16
+      }
+      def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      (q6((l.toDouble / scale.toDouble) / 1e6),
+        q6((b.toDouble / scale.toDouble) / 1e6))
+    }
+    vals1.indices.foreach { i =>
+      val win = vals1.slice(math.max(0, i - 7), i + 1)
+      val (el, eb) = replay(win)
+      val (m, lvl, tr, fc) = byKey((1L, i.toLong))
+      assert(m == win.length)
+      assert(math.abs(lvl - el) < 2e-6 && math.abs(tr - eb) < 2e-6,
+        s"row $i: got ($lvl, $tr) want ($el, $eb)")
+      if (i >= 1)
+        assert(fc > lvl, s"ramp forecast must overshoot the level at $i")
+    }
+  }
+
   test("trending: lift ranks recent-vs-prior day counts; older-only " +
        "objects are excluded") {
     val s = spark; import s.implicits._

@@ -313,6 +313,20 @@ class SignatureStoreSpec extends SparkSpec {
     assert(full == oneShot)
   }
 
+  test("simhash store: parity-split signature facts reproduce the " +
+       "one-shot pair join (cross-batch pairs included)") {
+    val oneShot = graft.pipeline.Dedup.simhashPairs(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val stored = SignatureStore.gatedSimhash(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(stored == oneShot)
+    // the parity split guarantees cross-batch pairs exist whenever the
+    // one-shot answer has an even-odd pair - assert the fixture does
+    val crossBatch = oneShot.exists(r =>
+      r(0).asInstanceOf[Long] % 2 != r(1).asInstanceOf[Long] % 2)
+    assert(crossBatch, "fixture must exercise cross-batch pairing")
+  }
+
   test("backoff store: a later batch's train trigrams re-score " +
        "earlier held-out docs (the LM is never storable)") {
     val watch = Files.createTempDirectory("graft_sbo_watch").toString
