@@ -387,6 +387,110 @@ object TimeSeries {
        |FROM lagged ORDER BY user_id, event_id""".stripMargin
   }
 
+  // ---- q_autocorr: pooled lag-k autocorrelation -----------------------
+
+  /** Largest lag the ACF reports. */
+  val acfMaxLag = 4
+
+  /** Pooled AUTOCORRELATION function of `value` at lags 1..4: within
+    * each user's total (tus, event_id) order, every observation pairs
+    * with its lag-k predecessor (pairs never cross users), and each
+    * lag's Pearson correlation pools ALL pairs corpus-wide — the
+    * seasonality/forecasting diagnostic that says how much memory the
+    * series has (feeds the choice between q_ewma's level-only and
+    * q_holt's trend smoothing, and whether q_seasonality's daily
+    * period is real). Exact-sum discipline (q_corr's): x, y in integer
+    * micro-units, the six sums n/Σx/Σy/Σxy/Σx²/Σy² accumulate in
+    * DECIMAL(38,0) ≙ HUGEINT with no float order anywhere, then both
+    * engines cast the identical exact sums to double and run the
+    * identical closed formula under q6. Shape: ONE user-keyed
+    * exchange + sort carries the lag columns (q_ewma's class), the
+    * pair explode is row-local, and the ACF itself is a map-side
+    * combinable 4-group aggregation — at 100 TB the second shuffle
+    * moves 4 rows of six numbers.
+    */
+  def qAutocorr(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val lagged = Graft.table(spark, sfDir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("value").isNotNull)
+      .select(col("user_id"), expr("graft_ts_us(ts)").as("tus"),
+        col("event_id"),
+        expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").as("v0"))
+    val withLags = (1 to acfMaxLag).foldLeft(lagged) { (df, i) =>
+      df.withColumn(s"v$i", lag(col("v0"), i).over(w))
+    }
+    val arr = (1 to acfMaxLag).map { k =>
+      s"IF(v$k IS NOT NULL, " +
+        s"named_struct('lag', CAST($k AS BIGINT), 'x', v0, 'y', v$k), " +
+        "CAST(NULL AS STRUCT<lag: BIGINT, x: BIGINT, y: BIGINT>))"
+    }.mkString(", ")
+    withLags
+      .select(explode(expr(
+        s"filter(array($arr), p -> p IS NOT NULL)")).as("p"))
+      .select(col("p.lag").as("lag"),
+        col("p.x").cast("decimal(18,0)").as("x"),
+        col("p.y").cast("decimal(18,0)").as("y"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lag"), col("n_pairs"),
+        graft.pipeline.ParityMath.q6(expr(
+          """((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+            |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            |  / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+            |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            |     * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+            |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))"""
+            .stripMargin)).as("acf"))
+      .orderBy(col("lag"))
+  }
+
+  val qAutocorrSql: String = {
+    val lagCols = (1 to acfMaxLag)
+      .map(i => s"lag(v0, $i) OVER we AS v$i").mkString(",\n    ")
+    val pairSelects = (1 to acfMaxLag).map { k =>
+      s"SELECT $k AS lag, v0 AS x, v$k AS y FROM lagged " +
+        s"WHERE v$k IS NOT NULL"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+       |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v0
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |    AND value IS NOT NULL
+       |), lagged AS (
+       |  SELECT user_id, v0,
+       |    $lagCols
+       |  FROM e
+       |  WINDOW we AS (PARTITION BY user_id ORDER BY tus, event_id)
+       |), pairs AS (
+       |  $pairSelects
+       |), s AS (
+       |  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+       |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+       |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+       |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+       |    sum(CAST(y AS HUGEINT) * y) AS syy
+       |  FROM pairs GROUP BY lag
+       |)
+       |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+       |  ${graft.pipeline.ParityMath.q6Sql(
+            """((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+              |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              |  / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+              |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              |     * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+              |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))"""
+              .stripMargin)} AS acf
+       |FROM s ORDER BY lag""".stripMargin
+  }
+
   // ---- q_anomaly: rolling z-score outlier detection ------------------
 
   /** Baseline window (strictly-preceding observations) and the minimum

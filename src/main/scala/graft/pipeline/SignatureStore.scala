@@ -1061,6 +1061,35 @@ object SignatureStore {
       edges.select(col("src"), col("dst")).distinct())
   }
 
+  /** PERSONALIZED-rank view over the same stored edge relation the
+    * 48m graph store lands: like the global walk, the seeded rank is
+    * a fixpoint of the WHOLE graph (one arriving edge re-routes mass
+    * everywhere), so the store's only fact stays the edge union and
+    * the restart iteration runs at query time through the batch
+    * `pprFrom` — one store, both rank views; shares `q_ppr`'s oracle.
+    */
+  def storedPpr(spark: SparkSession, storeDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val edges = storedOrEmpty(spark, s"$storeDir/edges",
+      emptyLike(spark, spark.range(0).selectExpr("id AS src",
+        "id AS dst")))
+    graft.analytics.Graph.pprFrom(
+      edges.select(col("src"), col("dst")).distinct())
+  }
+
+  def gatedPpr(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_ppr_watch")
+    val store = tempDirForExit("graft_gate_ppr_store")
+    val ev = Graft.table(spark, sfDir, "events")
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpGraph(spark, watch, store)
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpGraph(spark, watch, store)
+    storedPpr(spark, store)
+  }
+
   /** Driver-gate face: fresh store, two event-parity appends (most
     * edges appear in both batches - the union-distinct is doing real
     * work), then the query-time fixed point; shares `q_pagerank`'s

@@ -167,6 +167,67 @@ object FeatureStream {
         col("n_obs"), col("ewma"))
       .orderBy(col("user_id"), col("event_id"))
 
+  // ---- ss_stream_holt --------------------------------------------------
+
+  final case class HoltOut(user_id: Long, event_id: Long, value: Double,
+                           n_obs: Long, level: Double, trend: Double,
+                           forecast: Double)
+
+  /** Per-user HOLT fold: the EWMA face's ring (last ≤ holtLen−1 prior
+    * observations, newest first) evaluated through the batch face's
+    * integer matrix-power weight tables — level and trend are both
+    * weighted sums of the same window over the common denominator
+    * 16^(m−1), so the state the level-only smoother already carries is
+    * exactly enough for the trend too (a streaming Holt could also
+    * fold (L, B) directly, but the truncated-window semantics the
+    * batch face defines REQUIRE the re-derivation from the window:
+    * a fold would never forget observation m+1). Append mode — every
+    * row's smoothing is final at arrival; arithmetic is the batch
+    * text's (per-lag CASE weight · micro-unit value, one double
+    * division, q6), so the face shares `qHoltSql` bitwise.
+    */
+  private def holtHandler(
+      key: Long, rows: Iterator[ValRow],
+      state: GroupState[Seq[Long]]): Iterator[HoltOut] = {
+    val n = TimeSeries.holtLen
+    val (wl, wb) = (TimeSeries.holtWL, TimeSeries.holtWB)
+    var ring = state.getOption.getOrElse(Seq.empty) // newest first
+    val out = rows.toSeq.sortBy(r => (r.tus, r.event_id)).map { r =>
+      val vs = vMu(r.value) +: ring // v0 = current, v1.. = lags
+      val m = math.min(vs.length, n)
+      var numL = 0L
+      var numB = 0L
+      var j = 0
+      while (j < m) {
+        numL += wl(m)(m - 1 - j) * vs(j)
+        numB += wb(m)(m - 1 - j) * vs(j)
+        j += 1
+      }
+      val den = Array.iterate(1L, m)(_ * 16L).last.toDouble * 1000000.0
+      ring = vs.take(n - 1)
+      HoltOut(key, r.event_id, r.value, m.toLong,
+        q6(numL.toDouble / den), q6(numB.toDouble / den),
+        q6((numL + numB).toDouble / den))
+    }
+    state.update(ring)
+    out.iterator
+  }
+
+  def holtStream(ev: DataFrame): Dataset[HoltOut] = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.as[ValRow].groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(holtHandler)
+  }
+
+  def streamHolt(spark: SparkSession, sfDir: String): DataFrame =
+    StreamSum.runToTable(holtStream(valueEvents(spark, sfDir)).toDF(),
+      OutputMode.Append(), "ss_stream_holt")
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("n_obs"), col("level"), col("trend"), col("forecast"))
+      .orderBy(col("user_id"), col("event_id"))
+
   // ---- ss_stream_anomaly ---------------------------------------------
 
   /** Per-user rolling-3σ fold: state = the last ≤ anomalyBase prior

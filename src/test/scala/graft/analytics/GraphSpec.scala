@@ -61,6 +61,13 @@ class GraphSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet == core)
   }
 
+  test("graph store serves the ppr view == one-shot q_ppr") {
+    val oneShot = Graph.qPpr(spark, sfDir).collect().map(_.toSeq).toSet
+    val stored = graft.pipeline.SignatureStore.gatedPpr(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(stored == oneShot)
+  }
+
   test("graph store == one-shot pagerank after parity-split ingest") {
     val oneShot = Graph.qPagerank(spark, sfDir).collect().map(_.toSeq).toSet
     val stored = graft.pipeline.SignatureStore.gatedGraph(spark, sfDir)

@@ -61,6 +61,51 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("autocorr: pooled lag-k pearson matches a driver replay; " +
+       "pairs never cross users; alternating series flips sign by lag") {
+    val s = spark; import s.implicits._
+    // user 1: +/- alternation (lag-1 ACF strongly negative, lag-2
+    // positive); user 2: a short ramp; user 3: ONE observation - it
+    // must contribute no pair at any lag
+    val series = Map(
+      1L -> Seq(10.0, 2.0, 11.0, 1.0, 12.0, 3.0, 10.5, 2.5),
+      2L -> Seq(1.0, 2.0, 3.0, 4.0),
+      3L -> Seq(42.0))
+    val rows = series.toSeq.flatMap { case (u, vs) =>
+      vs.zipWithIndex.map { case (v, i) =>
+        (u * 100 + i, new java.sql.Timestamp(1000L + i), u, "view", v,
+          """{"k": 1}""")
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_acf").toString
+    rows.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = TimeSeries.qAutocorr(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def replay(k: Int): (Long, Double) = {
+      val pairs = series.values.toSeq.flatMap { vs =>
+        val mu = vs.map(v => math.floor(v * 1e6 + 0.5).toLong)
+        mu.drop(k).zip(mu.dropRight(k))
+      }
+      val n = pairs.size.toDouble
+      val sx = pairs.map(_._1).sum.toDouble
+      val sy = pairs.map(_._2).sum.toDouble
+      val sxy = pairs.map(p => BigInt(p._1) * p._2).sum.toDouble
+      val sxx = pairs.map(p => BigInt(p._1) * p._1).sum.toDouble
+      val syy = pairs.map(p => BigInt(p._2) * p._2).sum.toDouble
+      val c = (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      (pairs.size.toLong, math.floor(c * 1e6 + 0.5) / 1e6)
+    }
+    (1 to TimeSeries.acfMaxLag).foreach { k =>
+      val (en, ec) = replay(k)
+      val (gn, gc) = got(k.toLong)
+      assert(gn == en, s"lag $k pair count: got $gn want $en")
+      assert(math.abs(gc - ec) < 2e-6, s"lag $k acf: got $gc want $ec")
+    }
+    assert(got(1L)._2 < -0.5 && got(2L)._2 > 0.5,
+      "alternating series must flip ACF sign between lags 1 and 2")
+  }
+
   test("trending: lift ranks recent-vs-prior day counts; older-only " +
        "objects are excluded") {
     val s = spark; import s.implicits._

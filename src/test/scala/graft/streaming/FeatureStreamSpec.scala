@@ -26,6 +26,35 @@ class FeatureStreamSpec extends SparkSpec {
       rows(TimeSeries.qEwma(spark, sfDir)))
   }
 
+  test("ss_stream_holt == q_holt (bitwise)") {
+    assert(rows(FeatureStream.streamHolt(spark, sfDir)) ==
+      rows(TimeSeries.qHolt(spark, sfDir)))
+  }
+
+  test("holt ring state carries across micro-batches") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // a ramp: the second batch's first rows reach full-window m (and a
+    // nonzero trend consistent with the whole history) only if the
+    // ring survived the boundary
+    val all = (0 until 12).map(i =>
+      FeatureStream.ValRow(1L, 1000L + i, i.toLong, i.toDouble))
+    def run(batches: Seq[Seq[FeatureStream.ValRow]]): Seq[String] = {
+      val mem = MemoryStream[FeatureStream.ValRow]
+      val q = FeatureStream.holtStream(mem.toDF()).toDF()
+        .writeStream.format("memory")
+        .queryName(s"holt_mb_${batches.size}")
+        .outputMode(OutputMode.Append()).start()
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      s.table(s"holt_mb_${batches.size}")
+        .orderBy("user_id", "event_id").collect().map(_.toString).toSeq
+    }
+    val split = run(Seq(all.take(5), all.drop(5)))
+    val oneShot = run(Seq(all))
+    assert(split == oneShot && split.size == 12)
+  }
+
   test("ss_stream_anomaly == q_anomaly") {
     assert(rows(FeatureStream.streamAnomaly(spark, sfDir)) ==
       rows(TimeSeries.qAnomaly(spark, sfDir)))
