@@ -76,7 +76,7 @@ object Bench {
     "pipe_corpus_clean",
     "pipe_decontaminate", "pipe_decont_bloom", "pipe_dedup_apply",
     "pipe_quality_gate", "pipe_quality_prune", "pipe_qclf_score",
-    "pipe_source_cap", "pipe_embed_prune",
+    "pipe_source_cap", "pipe_embed_prune", "pipe_repeat_upsample",
     "pipe_token_budget", "dd_dup_spans",
     "pipe_span_scrub", "pipe_sample_weighted", "pipe_layout_zorder",
     "txt_phrase_merge")
@@ -128,6 +128,10 @@ object Bench {
     // the custom bounded-heap group limit under a 10x corpus: the
     // map-side trim is what keeps the slope linear
     "pipe_source_cap",
+    // the epoch upsampler: a sources-sized broadcast plan + stateless
+    // admission - the explode's output volume is the target, so the
+    // slope must track upsampleFactor x corpus, never worse
+    "pipe_repeat_upsample",
     // the token-budget variant: same map-side trim argument, budget
     // in tokens - its cumsum window must stay on the trimmed rows
     "pipe_token_budget")

@@ -427,12 +427,22 @@ object TimeSeries {
         s"named_struct('lag', CAST($k AS BIGINT), 'x', v0, 'y', v$k), " +
         "CAST(NULL AS STRUCT<lag: BIGINT, x: BIGINT, y: BIGINT>))"
     }.mkString(", ")
-    withLags
+    acfFromPairs(withLags
       .select(explode(expr(
         s"filter(array($arr), p -> p IS NOT NULL)")).as("p"))
-      .select(col("p.lag").as("lag"),
-        col("p.x").cast("decimal(18,0)").as("x"),
-        col("p.y").cast("decimal(18,0)").as("y"))
+      .select(col("p.lag").as("lag"), col("p.x").as("x"),
+        col("p.y").as("y")))
+  }
+
+  /** The pooled-Pearson view over any (lag, x, y) BIGINT pair relation
+    * — shared by the batch face and the streaming face (whose per-user
+    * ring emits exactly these pairs at arrival).
+    */
+  private[graft] def acfFromPairs(pairs: DataFrame): DataFrame = {
+    pairs
+      .select(col("lag"),
+        col("x").cast("decimal(18,0)").as("x"),
+        col("y").cast("decimal(18,0)").as("y"))
       .groupBy(col("lag"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),

@@ -454,6 +454,111 @@ object CorpusOps {
        |ORDER BY skey DESC, doc_id LIMIT $wsampleK""".stripMargin
   }
 
+  // ---- pipe_repeat_upsample -------------------------------------------
+
+  val upsampleFactor = 2.0
+  val upsampleSalt = "upsample:"
+
+  /** Temperature UPSAMPLING with fractional epochs — the inverse of
+    * `pipe_source_cap` and the generalization of `pipe_mix`: the
+    * target mixture redistributes upsampleFactor·N document slots
+    * across sources by the same sqrt-temperature share the mix plan
+    * uses, and a source whose quota EXCEEDS its size repeats its
+    * docs — quota DIV n full epochs for every doc plus ONE extra for
+    * the hash-admitted fraction (quota MOD n)/n — the standard way a
+    * training pipeline realizes "2.3 epochs of source X" (repeating
+    * small high-value sources a few epochs is near-free for model
+    * quality, which is why every data-constrained mixture does it).
+    * Emitted rows are (doc_id, source, epoch 1..copies).
+    *
+    * Same scale discipline as pipe_mix: the plan is a sources-sized
+    * model parameter derived from one corpus-wide count (broadcast
+    * back), per-doc admission is STATELESS (salted-hash cutoff, never
+    * a rank-within-source sort), and the fractional epoch is hit
+    * approximately (hash-uniform) but reproducibly on both engines.
+    * The explode multiplies rows by the targeted epoch count — the
+    * intended output volume, not amplification overhead.
+    */
+  private[graft] def upsamplePlan(spark: SparkSession,
+                                  sfDir: String): DataFrame = {
+    val srcs = Graft.table(spark, sfDir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
+    val totals = srcs.agg(
+      sum(col("n")).as("n_total"),
+      expr("""aggregate(array_sort(collect_list(struct(source,
+        |  sqrt(CAST(n AS DOUBLE)) AS sq))),
+        |  CAST(0 AS DOUBLE), (acc, x) -> acc + x.sq)""".stripMargin)
+        .as("denom"))
+    srcs.crossJoin(broadcast(totals))
+      .select(col("source"), col("n"),
+        expr(s"""CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) / denom
+          |  * FLOOR(CAST(n_total AS DOUBLE) * $upsampleFactor))
+          |  AS BIGINT)""".stripMargin).as("quota"))
+      .select(col("source"),
+        expr("quota DIV n").as("full_epochs"),
+        expr("""CAST(FLOOR(CAST(quota % n AS DOUBLE)
+          |  / CAST(n AS DOUBLE) * 281474976710656.0) AS BIGINT)"""
+          .stripMargin).as("frac_cutoff"))
+  }
+
+  /** Stateless per-doc epoch assignment under the plan — shared
+    * verbatim by the batch and streaming faces.
+    */
+  private[graft] def upsampleAdmit(docs: DataFrame,
+                                   plan: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        expr(s"graft_md5_48(concat('$upsampleSalt', " +
+          "CAST(doc_id AS STRING)))").as("skey"))
+      .join(broadcast(plan), "source")
+      .select(col("doc_id"), col("source"),
+        expr("full_epochs + IF(skey < frac_cutoff, 1L, 0L)")
+          .as("copies"))
+      .filter(col("copies") >= 1)
+      .select(col("doc_id"), col("source"),
+        explode(expr("sequence(CAST(1 AS BIGINT), copies)")).as("epoch"))
+
+  def repeatUpsample(spark: SparkSession, sfDir: String): DataFrame =
+    upsampleAdmit(Graft.table(spark, sfDir, "documents"),
+      upsamplePlan(spark, sfDir))
+      .orderBy(col("doc_id"), col("epoch"))
+
+  val repeatUpsampleSql: String = {
+    val h48 = HashParity.hex48Duck(
+      s"md5(concat('$upsampleSalt', CAST(doc_id AS VARCHAR)))")
+    s"""WITH srcs AS (
+       |  SELECT source, count(*) AS n FROM documents GROUP BY source
+       |), totals AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS n_total,
+       |    list_sum(list(sqrt(CAST(n AS DOUBLE)) ORDER BY source))
+       |      AS denom
+       |  FROM srcs
+       |), quotas AS (
+       |  SELECT source, n,
+       |    CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) / denom
+       |      * FLOOR(CAST(n_total AS DOUBLE) * $upsampleFactor))
+       |      AS BIGINT) AS quota
+       |  FROM srcs CROSS JOIN totals
+       |), plan AS (
+       |  SELECT source, quota // n AS full_epochs,
+       |    CAST(FLOOR(CAST(quota % n AS DOUBLE)
+       |      / CAST(n AS DOUBLE) * 281474976710656.0) AS BIGINT)
+       |      AS frac_cutoff
+       |  FROM quotas
+       |), admitted AS (
+       |  SELECT d.doc_id, d.source,
+       |    p.full_epochs
+       |      + CASE WHEN $h48 < p.frac_cutoff THEN 1 ELSE 0 END
+       |      AS copies
+       |  FROM documents d JOIN plan p USING (source)
+       |)
+       |SELECT doc_id, source,
+       |  CAST(unnest(generate_series(1, copies)) AS BIGINT) AS epoch
+       |FROM admitted WHERE copies >= 1
+       |ORDER BY doc_id, epoch""".stripMargin
+  }
+
   def packSql(shards: Int = oracleShards): String = {
     val h48 = HashParity.hex48Duck(
       s"md5(concat('$shuffleSalt', CAST(doc_id AS VARCHAR)))")

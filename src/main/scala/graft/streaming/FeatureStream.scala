@@ -274,6 +274,50 @@ object FeatureStream {
         col("n_base"))
       .orderBy(col("user_id"), col("event_id"))
 
+  // ---- ss_stream_autocorr ----------------------------------------------
+
+  final case class AcfPair(lag: Long, x: Long, y: Long)
+
+  /** Per-user ACF pair emission: state = the last ≤ acfMaxLag prior
+    * observations in micro-units, newest first (the batch lag columns
+    * — the same ring shape as the EWMA/Holt faces). Each arriving
+    * observation emits its (lag k, current, lag-k predecessor) pairs,
+    * which are FINAL at arrival (Append mode); the pooled Pearson is
+    * an evolving-answer quantity (every arrival shifts all six sums),
+    * so the ACF is a query-time view through the batch face's shared
+    * `acfFromPairs` — the pair stream is the stored fact, never the
+    * correlation.
+    */
+  private def acfHandler(
+      key: Long, rows: Iterator[ValRow],
+      state: GroupState[Seq[Long]]): Iterator[AcfPair] = {
+    val n = TimeSeries.acfMaxLag
+    var ring = state.getOption.getOrElse(Seq.empty) // newest first
+    val out = scala.collection.mutable.ArrayBuffer.empty[AcfPair]
+    rows.toSeq.sortBy(r => (r.tus, r.event_id)).foreach { r =>
+      val v = vMu(r.value)
+      ring.take(n).zipWithIndex.foreach { case (p, i) =>
+        out += AcfPair((i + 1).toLong, v, p)
+      }
+      ring = (v +: ring).take(n)
+    }
+    state.update(ring)
+    out.iterator
+  }
+
+  def acfPairStream(ev: DataFrame): Dataset[AcfPair] = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.as[ValRow].groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(acfHandler)
+  }
+
+  def streamAutocorr(spark: SparkSession, sfDir: String): DataFrame =
+    TimeSeries.acfFromPairs(
+      StreamSum.runToTable(acfPairStream(valueEvents(spark, sfDir)).toDF(),
+        OutputMode.Append(), "ss_stream_autocorr"))
+
   // ---- ss_stream_markov ----------------------------------------------
 
   final case class MarkovTrans(user_id: Long, from_type: String,

@@ -1205,6 +1205,26 @@ object StreamSum {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming face of the temperature upsampler, sharing
+    * `pipe_repeat_upsample`'s oracle: the epoch plan is a sources-sized
+    * model parameter (derived batch-side, like the mix cutoffs), so
+    * per-doc epoch assignment is STATELESS — each arriving doc's
+    * copies are final at arrival, Append mode, no state at all.
+    */
+  def streamUpsample(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    graft.functions.NativeFunctions.register(spark)
+    import graft.pipeline.CorpusOps
+    val plan = CorpusOps.upsamplePlan(spark, sfDir)
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    runToTable(CorpusOps.upsampleAdmit(docs, plan),
+      OutputMode.Append(), "ss_stream_upsample")
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
   /** Streaming face of the decayed count cache, sharing
     * `q_decay_count`'s oracle: the streamed state is the per
     * (p, s, o, day) count — an ordinary streaming aggregation, state

@@ -118,6 +118,54 @@ class CorpusOpsSpec extends SparkSpec {
     assert(sel.toSeq == again.toSeq)
   }
 
+  test("repeat upsample: per-source epochs replay the quota math; " +
+       "epochs are dense; output exceeds the corpus; rerun-stable") {
+    val out = CorpusOps.repeatUpsample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val docs = graft.core.Graft.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // epochs dense 1..copies per doc
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // factor 2.0 redistributes ~2N slots, so the mixture must REPEAT:
+    // more output rows than corpus docs, and some doc at epoch >= 2
+    assert(out.length > docs.length)
+    assert(out.exists(_._3 >= 2L))
+    // driver replay of the plan: per-source realized copies within
+    // hash-noise of the quota; full epochs are exact (hash-free), so
+    // tolerance only covers the fractional cutoff
+    val n = docs.groupBy(_._2).view.mapValues(_.length).toMap
+    val denom = n.keys.toSeq.sorted
+      .map(s => math.sqrt(n(s).toDouble)).sum
+    val tgt = math.floor(docs.length * CorpusOps.upsampleFactor)
+    val outCounts = out.groupBy(_._2).view.mapValues(_.length).toMap
+    n.foreach { case (s, ns) =>
+      val quota = math.floor(math.sqrt(ns.toDouble) / denom * tgt).toLong
+      val full = quota / ns
+      val rem = quota % ns
+      val tol = 5 * math.sqrt(rem.max(1L).toDouble)
+      val got = outCounts.getOrElse(s, 0).toLong
+      assert(got >= full * ns && math.abs(got - quota) <= tol,
+        s"source $s: emitted $got vs quota $quota (full $full x $ns)")
+      // a source smaller than its sqrt-share must genuinely upsample
+      if (quota >= 2L * ns) assert(full >= 2L, s"source $s must repeat")
+    }
+    val again = CorpusOps.repeatUpsample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == again.toSeq)
+  }
+
+  test("ss_stream_upsample == pipe_repeat_upsample (stateless admission " +
+       "under the broadcast plan)") {
+    val batch = CorpusOps.repeatUpsample(spark, sfDir).collect()
+      .map(_.toString).toSeq
+    val streamed = graft.streaming.StreamSum
+      .streamUpsample(spark, sfDir).collect().map(_.toString).toSeq
+    assert(streamed == batch)
+  }
+
   test("weighted sample: inclusion tracks weight; top-K plan; rerun-stable") {
     val s = spark; import s.implicits._
     // planted two-class corpus: heavy docs carry 50 tokens, light docs

@@ -84,6 +84,37 @@ class FeatureStreamSpec extends SparkSpec {
     assert(split == oneShot && split.size == 12)
   }
 
+  test("ss_stream_autocorr == q_autocorr (bitwise)") {
+    assert(rows(FeatureStream.streamAutocorr(spark, sfDir)) ==
+      rows(TimeSeries.qAutocorr(spark, sfDir)))
+  }
+
+  test("autocorr pair ring carries across micro-batches") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // 10 observations for one user split mid-stream: the pairs that
+    // straddle the boundary (lag-k reaching back into batch 1) exist
+    // only if the ring survived it
+    val all = (0 until 10).map(i =>
+      FeatureStream.ValRow(1L, 1000L + i, i.toLong, (i * 31 % 17) / 2.0))
+    def run(batches: Seq[Seq[FeatureStream.ValRow]]): Seq[String] = {
+      val mem = MemoryStream[FeatureStream.ValRow]
+      val q = FeatureStream.acfPairStream(mem.toDF()).toDF()
+        .writeStream.format("memory")
+        .queryName(s"acf_mb_${batches.size}")
+        .outputMode(OutputMode.Append()).start()
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      s.table(s"acf_mb_${batches.size}")
+        .orderBy("lag", "x", "y").collect().map(_.toString).toSeq
+    }
+    val split = run(Seq(all.take(5), all.drop(5)))
+    val oneShot = run(Seq(all))
+    assert(split == oneShot)
+    // 10 observations at lags 1..4 -> 9+8+7+6 = 30 pairs
+    assert(split.size == 30)
+  }
+
   test("ss_stream_markov == q_markov (bitwise)") {
     assert(rows(FeatureStream.streamMarkov(spark, sfDir)) ==
       rows(Behavior.qMarkov(spark, sfDir)))
