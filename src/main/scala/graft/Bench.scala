@@ -71,8 +71,9 @@ object Bench {
     "txt_bpe_encode", "txt_bm25", "q_hybrid_rrf", "q_retrieval_eval",
     "txt_bigram_nll", "txt_backoff_nll", "txt_tfidf", "txt_entropy",
     "txt_zipf",
-    "mm_binary_stats", "mm_bmp_decode", "mm_wav_decode", "mm_png_decode",
-    "mm_jpeg_decode", "mm_avi_frames", "mm_avi_av", "mm_scene_cut",
+    "mm_binary_stats", "mm_bmp_decode", "mm_resize", "mm_wav_decode",
+    "mm_png_decode", "mm_jpeg_decode", "mm_avi_frames", "mm_avi_av",
+    "mm_scene_cut",
     "pipe_corpus_clean",
     "pipe_decontaminate", "pipe_decont_bloom", "pipe_dedup_apply",
     "pipe_quality_gate", "pipe_quality_prune", "pipe_qclf_score",
@@ -119,8 +120,8 @@ object Bench {
     "txt_bm25", "q_hybrid_rrf", "q_retrieval_eval", "txt_backoff_nll",
     // the real-codec mapPartitions path: per-row cost must stay flat
     // as docs scale (narrow, no shuffle - the slope IS the claim)
-    "mm_bmp_decode", "mm_png_decode", "mm_jpeg_decode", "mm_avi_frames",
-    "mm_avi_av", "mm_scene_cut",
+    "mm_bmp_decode", "mm_resize", "mm_png_decode", "mm_jpeg_decode",
+    "mm_avi_frames", "mm_avi_av", "mm_scene_cut",
     // the compressed codecs: deflate/inflate (PNG) and FDCT+Huffman
     // (JPEG) dominate, so the per-row cost claim is stronger than
     // BMP's raw-raster one

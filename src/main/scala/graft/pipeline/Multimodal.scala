@@ -242,6 +242,120 @@ object Multimodal {
       |  CAST(0 AS BIGINT) AS tl_blue
       |FROM t ORDER BY doc_id""".stripMargin
 
+  // ---- mm_resize: nearest-neighbor raster resize ----------------------
+
+  /** Fixed resize target: mixed regime by construction — widths
+    * (16..32) always downsample to 12, heights (8..18) straddle it, so
+    * both the row-duplication (upsample) and row-skip (downsample)
+    * paths run on the gate corpus.
+    */
+  val resizeTw = 12
+  val resizeTh = 12
+
+  final case class BmpResized(doc_id: Long, width: Long, height: Long,
+                              sum_red: Long, sum_green: Long,
+                              sum_blue: Long, br_blue: Long)
+
+  /** Nearest-neighbor resize of a real 24-bit BMP payload: parse the
+    * header (same validation as `bmpDecode`), then sample source pixel
+    * (⌊ox·w/tw⌋, ⌊oy·h/th⌋) for every target pixel — THE standard
+    * training-data image normalization (fixed input dims for a vision
+    * tower), run against genuine bytes, not a stub. Output is the
+    * resized raster's exact integer channel sums + the bottom-right
+    * pixel's blue (a single-pixel probe that catches an off-by-one in
+    * the index map that symmetric sums could hide). The bottom-up
+    * stored-row addressing must compose with the index map — a parser
+    * that conflates image y with stored y breaks `br_blue` on every
+    * non-square-scaled doc.
+    */
+  private[pipeline] def bmpResizeNearest(docId: Long, bytes: Array[Byte],
+                                         tw: Int, th: Int): BmpResized = {
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54 && b.get(0) == 'B'.toByte &&
+      b.get(1) == 'M'.toByte, s"doc $docId: not a BMP payload")
+    val pixOff = b.getInt(10)
+    val w = b.getInt(18)
+    val h = b.getInt(22)
+    require(b.getShort(28).toInt == 24 && b.getInt(30) == 0,
+      s"doc $docId: only 24-bit BI_RGB supported")
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    def px(x: Int, y: Int): Int = pixOff + (h - 1 - y) * rowBytes + x * 3
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var oy = 0
+    while (oy < th) {
+      val sy = oy * h / th
+      var ox = 0
+      while (ox < tw) {
+        val base = px(ox * w / tw, sy)
+        sb += bytes(base) & 0xff
+        sg += bytes(base + 1) & 0xff
+        sr += bytes(base + 2) & 0xff
+        ox += 1
+      }
+      oy += 1
+    }
+    val br = bytes(px((tw - 1) * w / tw, (th - 1) * h / th)) & 0xff
+    BmpResized(docId, tw.toLong, th.toLong, sr, sg, sb, br.toLong)
+  }
+
+  /** End-to-end: encode the doc-derived BMP, resize it for real. Same
+    * mapPartitions shape as `bmpDecodeE2e` — narrow, no shuffle, per-row
+    * cost constant in the corpus (the 100 TB claim the corpus anchor
+    * measures for the codec family).
+    */
+  def resizeE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    val s2 = Graft.ensureConf(spark)
+    import s2.implicits._
+    Graft.tableParallel(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 16 + (id % 17).toInt
+          val h = 8 + (id % 11).toInt
+          bmpResizeNearest(id, bmpEncode(id, w, h), resizeTw, resizeTh)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** Closed forms over the gradient image: a resized pixel's blue is
+    * ⌊ox·w/tw⌋ + ⌊oy·h/th⌋, so sum_blue = th·Σ_ox⌊ox·w/tw⌋ +
+    * tw·Σ_oy⌊oy·h/th⌋ (the floor sums unroll over generate_series),
+    * green doubles it, red is constant per image, and br_blue is the
+    * index map evaluated at the last target pixel.
+    */
+  val resizeE2eSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         16 + doc_id % 17 AS w,
+       |         8 + doc_id % 11 AS h
+       |  FROM documents
+       |), ser AS (
+       |  SELECT unnest(generate_series(0, ${resizeTw - 1})) AS i
+       |), fx AS (
+       |  SELECT doc_id, sum((i * w) // $resizeTw) AS sxx
+       |  FROM t CROSS JOIN ser GROUP BY doc_id
+       |), fy AS (
+       |  SELECT doc_id, sum((i * h) // $resizeTh) AS syy
+       |  FROM t CROSS JOIN ser WHERE i < $resizeTh GROUP BY doc_id
+       |)
+       |SELECT t.doc_id,
+       |  CAST($resizeTw AS BIGINT) AS width,
+       |  CAST($resizeTh AS BIGINT) AS height,
+       |  CAST($resizeTw * $resizeTh * (t.doc_id % 200) AS BIGINT)
+       |    AS sum_red,
+       |  CAST(2 * ($resizeTh * fx.sxx + $resizeTw * fy.syy) AS BIGINT)
+       |    AS sum_green,
+       |  CAST($resizeTh * fx.sxx + $resizeTw * fy.syy AS BIGINT)
+       |    AS sum_blue,
+       |  CAST((${resizeTw - 1} * t.w) // $resizeTw
+       |       + (${resizeTh - 1} * t.h) // $resizeTh AS BIGINT)
+       |    AS br_blue
+       |FROM t JOIN fx USING (doc_id) JOIN fy USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+
   // ---- mm_wav_decode: a REAL audio codec (no stub) -------------------
 
   /** Pure-JVM WAV writer: canonical RIFF/WAVE, 16-bit PCM mono,

@@ -29,6 +29,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("bmpResizeNearest agrees with a driver resample over ImageIO's " +
+       "independently decoded raster") {
+    for (id <- Seq(0L, 5L, 42L, 999L, 4567L)) {
+      val w = 16 + (id % 17).toInt
+      val h = 8 + (id % 11).toInt
+      val bytes = Multimodal.bmpEncode(id, w, h)
+      val got = Multimodal.bmpResizeNearest(id, bytes,
+        Multimodal.resizeTw, Multimodal.resizeTh)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (oy <- 0 until Multimodal.resizeTh;
+           ox <- 0 until Multimodal.resizeTw) {
+        val rgb = img.getRGB(ox * w / Multimodal.resizeTw,
+          oy * h / Multimodal.resizeTh)
+        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+      }
+      val brRgb = img.getRGB(
+        (Multimodal.resizeTw - 1) * w / Multimodal.resizeTw,
+        (Multimodal.resizeTh - 1) * h / Multimodal.resizeTh)
+      assert((got.sum_red, got.sum_green, got.sum_blue, got.br_blue) ==
+        ((sr, sg, sb, (brRgb & 0xff).toLong)),
+        s"doc $id resample disagrees with the ImageIO referee")
+    }
+  }
+
   test("bmpDecode agrees with ImageIO on every field it extracts") {
     for (id <- Seq(3L, 42L, 1001L)) {
       val w = 16 + (id % 17).toInt
