@@ -1616,6 +1616,62 @@ object SignatureStore {
     storedSimhashPairs(spark, store)
   }
 
+  /** Incremental SEMDEDUP store, the semantic member of the dedup-store
+    * family: each arriving embeddings batch lands its (vec_id,
+    * embedding) facts ONCE (vectors immutable → disjoint appends); the
+    * dominance verdict is a query-time view through the batch face's
+    * shared `ddSemanticFrom` — a new vector can pair with ANY earlier
+    * one in its cell, so verdicts are never storable per batch. The
+    * centroids are the shipped-model parameter (the streaming face's
+    * posture): trained once on the deterministic sample, consulted by
+    * every serve.
+    */
+  def catchUpSemantic(spark: SparkSession, watchDir: String,
+                      storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val vecs = spark.readStream.schema(schema).parquet(watchDir)
+    val q = vecs.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.select(col("vec_id"), col("embedding"))
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/vec/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  def storedSemantic(spark: SparkSession, storeDir: String,
+                     sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val vecs = storedOrEmpty(spark, s"$storeDir/vec",
+      emptyLike(spark, spark.range(0).selectExpr("id AS vec_id",
+        "CAST(array() AS ARRAY<FLOAT>) AS embedding")))
+      .select(col("vec_id"), col("embedding"))
+    graft.pipeline.Similarity.ddSemanticFrom(vecs,
+      graft.pipeline.Similarity.trainedCentroidsFor(spark, sfDir))
+  }
+
+  /** Driver-gate face: vec-parity appends (cross-batch dominance pairs
+    * are guaranteed whenever a dup's canonical has opposite parity),
+    * then the query-time verdict; shares `dd_semantic`'s oracle.
+    */
+  def gatedSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_sem_watch")
+    val store = tempDirForExit("graft_gate_sem_store")
+    val vecs = Graft.table(spark, sfDir, "embeddings")
+    land(vecs.filter(pmod(col("vec_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpSemantic(spark, watch, store)
+    land(vecs.filter(pmod(col("vec_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpSemantic(spark, watch, store)
+    storedSemantic(spark, store, sfDir)
+  }
+
   /** Incremental BM25 retrieval store: each arriving documents batch
     * lands its per-doc token length and its per-(doc, query-term)
     * counts — a document tokenizes exactly once, ever. EVERYTHING

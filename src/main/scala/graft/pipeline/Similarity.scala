@@ -1493,9 +1493,20 @@ object Similarity {
     */
   val semanticEps = 0.3
 
-  def ddSemantic(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
-    val assign = ivfAssignWith(e, trainedCentroidsFor(spark, sfDir))
+  def ddSemantic(spark: SparkSession, sfDir: String): DataFrame =
+    ddSemanticFrom(
+      emb(spark, sfDir).select(col("vec_id"), col("embedding")),
+      trainedCentroidsFor(spark, sfDir))
+
+  /** The SemDeDup verdict over any (vec_id, embedding) relation under
+    * given centroids — shared by the batch face and the incremental
+    * store (whose per-batch vector facts union to exactly this
+    * relation; the dominance verdict is never storable per batch: a
+    * new vector can pair with ANY earlier one).
+    */
+  private[graft] def ddSemanticFrom(e: DataFrame,
+                                    cents: Seq[Seq[Double]]): DataFrame = {
+    val assign = ivfAssignWith(e, cents)
     val dups = assign.as("x").join(assign.as("y"),
         col("x.cid") === col("y.cid") &&
         col("x.vec_id") < col("y.vec_id"))

@@ -327,6 +327,23 @@ class SignatureStoreSpec extends SparkSpec {
     assert(crossBatch, "fixture must exercise cross-batch pairing")
   }
 
+  test("semantic store: parity-split vector facts reproduce the " +
+       "one-shot SemDeDup verdict (cross-batch dominance included)") {
+    val oneShot = graft.pipeline.Similarity.ddSemantic(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val stored = SignatureStore.gatedSemantic(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(stored == oneShot)
+    // cross-batch dominance: some dropped vector's canonical must have
+    // the opposite vec_id parity (else the split never exercised the
+    // cross-batch pairing the store exists for)
+    val cross = oneShot.exists { r =>
+      r(3) != null &&
+        r(0).asInstanceOf[Long] % 2 != r(3).asInstanceOf[Long] % 2
+    }
+    assert(cross, "fixture must exercise cross-batch dominance")
+  }
+
   test("backoff store: a later batch's train trigrams re-score " +
        "earlier held-out docs (the LM is never storable)") {
     val watch = Files.createTempDirectory("graft_sbo_watch").toString
