@@ -449,14 +449,23 @@ object TimeSeries {
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
+      // a zero-variance side makes Pearson undefined (0/0; by
+      // Cauchy-Schwarz a zero denominator forces a zero numerator) -
+      // emit NULL rather than trip ANSI DIVIDE_BY_ZERO; q6(NULL) is
+      // NULL on both engines, so the guard preserves bitwise parity
       .select(col("lag"), col("n_pairs"),
         graft.pipeline.ParityMath.q6(expr(
-          """((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
-            |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-            |  / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
-            |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-            |     * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
-            |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))"""
+          """IF((sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+            |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            |    * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+            |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) = 0.0,
+            |   CAST(NULL AS DOUBLE),
+            |   (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+            |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            |   / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+            |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            |      * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+            |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))"""
             .stripMargin)).as("acf"))
       .orderBy(col("lag"))
   }
@@ -491,13 +500,18 @@ object TimeSeries {
        |)
        |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
        |  ${graft.pipeline.ParityMath.q6Sql(
-            """((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
-              |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-              |  / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
-              |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-              |     * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
-              |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))"""
-              .stripMargin)} AS acf
+            """(CASE WHEN (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+              |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              |         * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+              |                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) = 0.0
+              |  THEN NULL
+              |  ELSE (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+              |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              |       / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+              |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              |          * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+              |                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+              |  END)""".stripMargin)} AS acf
        |FROM s ORDER BY lag""".stripMargin
   }
 

@@ -106,6 +106,22 @@ class TimeSeriesSpec extends SparkSpec {
       "alternating series must flip ACF sign between lags 1 and 2")
   }
 
+  test("autocorr: a constant series yields NULL acf, not an ANSI " +
+       "divide-by-zero (the generator-anchor shape)") {
+    val s = spark; import s.implicits._
+    val rows = (0 until 20).map { i =>
+      (i.toLong, new java.sql.Timestamp(1000L + i), 1L, "view", 1.0,
+        """{"k": 1}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_acf0").toString
+    rows.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = TimeSeries.qAutocorr(spark, tmp).collect()
+    assert(got.length == TimeSeries.acfMaxLag)
+    got.foreach { r =>
+      assert(r.isNullAt(2), s"zero-variance lag must be NULL: $r")
+    }
+  }
+
   test("trending: lift ranks recent-vs-prior day counts; older-only " +
        "objects are excluded") {
     val s = spark; import s.implicits._
