@@ -49,7 +49,8 @@ object Bench {
     "q_ewma", "q_holt", "q_autocorr", "q_anomaly", "q_funnel",
     "q_cohort", "q_pagerank", "q_ppr",
     "q_decay_count", "q_trending", "q_markov", "ss_stream_ewma",
-    "q_paths", "q_seasonality", "q_changepoint", "q_histogram", "q_rfm",
+    "q_paths", "q_seasonality", "q_changepoint", "q_histogram", "q_gini",
+    "q_rfm",
     "q_skyline", "q_grouping_sets", "q_seq_pattern",
     "q_triangles", "q_kcore", "q_session_overlap",
     // training-data pipeline
@@ -67,7 +68,8 @@ object Bench {
     "q_hll_distinct_prod", "q_hll_sliding_prod", "q_cms_topk_prod",
     "q_cms_sliding_prod", "q_cms_join_card_prod", "q_cms_f2_prod",
     "q_kmv_jaccard_prod", "q_kmv_retention_prod",
-    "txt_stats", "txt_fingerprint", "txt_repetition", "txt_bpe_learn",
+    "txt_stats", "txt_readability", "txt_fingerprint", "txt_repetition",
+    "txt_bpe_learn",
     "txt_bpe_encode", "txt_bm25", "q_hybrid_rrf", "q_retrieval_eval",
     "txt_bigram_nll", "txt_backoff_nll", "txt_tfidf", "txt_entropy",
     "txt_zipf",
@@ -100,7 +102,7 @@ object Bench {
     "q_ewma", "q_holt", "q_autocorr", "q_anomaly", "q_funnel",
     "q_cohort", "q_pagerank", "q_ppr", "q_trending", "q_markov", "ss_stream_ewma",
     "q_paths", "q_seasonality", "q_changepoint", "q_seq_pattern",
-    "q_triangles", "q_kcore",
+    "q_gini", "q_triangles", "q_kcore",
     "q_cms_topk", "q_cms_topk_prod", "q_cms_sliding", "q_cms_sliding_prod",
     "q_hll_sliding", "q_hll_sliding_prod", "q_qtile_sliding",
     "q_kmv_jaccard_prod", "q_kmv_retention_prod",
@@ -116,7 +118,7 @@ object Bench {
   val corpusHeadline: Seq[String] = Seq(
     "dd_minhash_lsh", "dd_jaccard_prefix", "dd_semantic", "txt_bigram_nll",
     "pipe_quality_gate", "ann_ivf_quant", "ann_ivf_pq", "ann_knn_join",
-    "txt_stats", "pipe_embed_prune", "txt_bpe_encode",
+    "txt_stats", "txt_readability", "pipe_embed_prune", "txt_bpe_encode",
     "txt_bm25", "q_hybrid_rrf", "q_retrieval_eval", "txt_backoff_nll",
     // the real-codec mapPartitions path: per-row cost must stay flat
     // as docs scale (narrow, no shuffle - the slope IS the claim)

@@ -685,6 +685,62 @@ object Tpch {
               .stripMargin)} AS covar_pop
        |FROM s ORDER BY l_returnflag""".stripMargin
 
+  // ---- q_gini: activity-concentration coefficient ---------------------
+
+  /** GINI coefficient of per-user event counts — the concentration
+    * diagnostic behind every "do 1% of users generate 90% of events?"
+    * question (bot/abuse triage, sampling design, load-model sanity):
+    * G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over the counts sorted
+    * ascending with user_id tie-break (a total order, so the rank —
+    * and therefore the statistic — is deterministic on both engines).
+    * The global sort is the classical scale trap; this uses
+    * `GlobalRank.withRank`'s range-shuffle rank (every partition ranks
+    * its own slice against broadcast offsets — no single-task window),
+    * then Σ rank·x accumulates exactly in DECIMAL(38,0) ≙ HUGEINT and
+    * the closed formula runs once over three exact numbers under q6.
+    * 100 TB cost: one user-keyed count + one range exchange of the
+    * users-sized relation.
+    */
+  def qGini(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val counts = Graft.table(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+    val (ranked, n) = graft.core.GlobalRank.withRank(
+      counts, Seq(col("x").asc, col("user_id").asc), "rk")
+    ranked
+      .select(col("x").cast("decimal(18,0)").as("x"),
+        col("rk").cast("decimal(18,0)").as("rk"))
+      .agg(sum(col("x")).as("sx"), sum(col("x") * col("rk")).as("sxr"))
+      .select(lit(n).as("n_users"),
+        col("sx").cast("long").as("total_events"),
+        graft.pipeline.ParityMath.q6(expr(
+          s"""2.0 * CAST(sxr AS DOUBLE)
+             |  / (CAST($n AS DOUBLE) * CAST(sx AS DOUBLE))
+             |  - (CAST($n AS DOUBLE) + 1.0) / CAST($n AS DOUBLE)"""
+            .stripMargin)).as("gini"))
+  }
+
+  val qGiniSql: String =
+    s"""WITH c AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS x
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+       |), r AS (
+       |  SELECT x, row_number() OVER (ORDER BY x, user_id) AS rk FROM c
+       |), s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         sum(CAST(x AS HUGEINT)) AS sx,
+       |         sum(CAST(x AS HUGEINT) * rk) AS sxr
+       |  FROM r
+       |)
+       |SELECT n AS n_users, CAST(sx AS BIGINT) AS total_events,
+       |  ${graft.pipeline.ParityMath.q6Sql(
+            """2.0 * CAST(sxr AS DOUBLE)
+              |  / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+              |  - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)"""
+              .stripMargin)} AS gini
+       |FROM s""".stripMargin
+
   // ---- q_histogram: fixed-width price histogram + exact CDF ----------
 
   /** Bucket width for the extended-price histogram. */

@@ -87,6 +87,74 @@ object TextAnalysis {
        |    AS quality
        |FROM r ORDER BY doc_id""".stripMargin
 
+  // ---- txt_readability ------------------------------------------------
+
+  /** Per-doc READABILITY scores (Flesch reading ease + Flesch-Kincaid
+    * grade) from three exact integer counts — words (\S+ runs),
+    * sentences ([.!?]+ runs), and the standard vowel-group syllable
+    * proxy ([aeiou]+ runs over the lowercased text; Flesch 1948 /
+    * Kincaid 1975 with the deterministic syllable heuristic every
+    * at-scale implementation uses, since a dictionary syllabifier
+    * isn't reproducible across engines). The quality-scoring member
+    * next to `txt_stats`'s length/punct ratios: readability is the
+    * curation feature that separates prose from boilerplate/code at
+    * equal token counts. Counts are char-class regex extractions with
+    * identical semantics in Java regex and RE2; the two scores are
+    * the identical closed formula under q6; zero-count denominators
+    * floor at 1 on both engines (a no-sentence doc reads as one
+    * sentence, never a divide-by-zero). Shape: one narrow scan,
+    * row-local, no shuffle — 100 TB cost is the scan itself.
+    */
+  def readability(spark: SparkSession, sfDir: String): DataFrame =
+    Graft.tableParallel(spark, sfDir, "documents")
+      .withColumn("n_words", expr(
+        "CAST(size(regexp_extract_all(text, '\\\\S+', 0)) AS BIGINT)"))
+      .withColumn("n_sentences", expr(
+        "CAST(size(regexp_extract_all(text, '[.!?]+', 0)) AS BIGINT)"))
+      .withColumn("n_syllables", expr(
+        "CAST(size(regexp_extract_all(lower(text), '[aeiou]+', 0)) " +
+          "AS BIGINT)"))
+      .withColumn("wd", expr("CAST(greatest(1L, n_words) AS DOUBLE)"))
+      .withColumn("sd", expr("CAST(greatest(1L, n_sentences) AS DOUBLE)"))
+      .withColumn("flesch", ParityMath.q6(expr(
+        """206.835 - 1.015 * (CAST(n_words AS DOUBLE) / sd)
+          |        - 84.6 * (CAST(n_syllables AS DOUBLE) / wd)"""
+          .stripMargin)))
+      .withColumn("fk_grade", ParityMath.q6(expr(
+        """0.39 * (CAST(n_words AS DOUBLE) / sd)
+          |  + 11.8 * (CAST(n_syllables AS DOUBLE) / wd) - 15.59"""
+          .stripMargin)))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"), col("flesch"), col("fk_grade"))
+      .orderBy(col("doc_id"))
+
+  val readabilitySql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+       |      AS n_words,
+       |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+       |      AS n_sentences,
+       |    CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT)
+       |      AS n_syllables
+       |  FROM documents
+       |), d AS (
+       |  SELECT *,
+       |    CAST(greatest(1, n_words) AS DOUBLE) AS wd,
+       |    CAST(greatest(1, n_sentences) AS DOUBLE) AS sd
+       |  FROM t
+       |)
+       |SELECT doc_id, n_words, n_sentences, n_syllables,
+       |  ${ParityMath.q6Sql(
+            """206.835 - 1.015 * (CAST(n_words AS DOUBLE) / sd)
+              |        - 84.6 * (CAST(n_syllables AS DOUBLE) / wd)"""
+              .stripMargin)} AS flesch,
+       |  ${ParityMath.q6Sql(
+            """0.39 * (CAST(n_words AS DOUBLE) / sd)
+              |  + 11.8 * (CAST(n_syllables AS DOUBLE) / wd) - 15.59"""
+              .stripMargin)} AS fk_grade
+       |FROM d ORDER BY doc_id""".stripMargin
+
   // ---- txt_langid ---------------------------------------------------
 
   /** Marker-word language ID: score = marker hits / tokens per language,

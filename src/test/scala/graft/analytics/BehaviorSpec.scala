@@ -9,6 +9,33 @@ import org.apache.spark.sql.functions._
   */
 class BehaviorSpec extends SparkSpec {
 
+  test("gini: hand-computed concentration on planted counts; uniform " +
+       "activity scores zero") {
+    val s = spark; import s.implicits._
+    def eventsFor(counts: Seq[Int]): String = {
+      val rows = counts.zipWithIndex.flatMap { case (c, u) =>
+        (0 until c).map { i =>
+          ((u * 1000 + i).toLong, new java.sql.Timestamp(1000L + i),
+            u.toLong, "view", 1.0, """{"k": 1}""")
+        }
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_gini").toString
+      rows.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      tmp
+    }
+    // counts (1,1,1,1,6): sorted ranks 1..5, sum(rk*x) = 1+2+3+4+30 =
+    // 40, sum x = 10 -> G = 2*40/(5*10) - 6/5 = 0.4
+    val skewed = Tpch.qGini(spark, eventsFor(Seq(1, 1, 1, 1, 6)))
+      .collect().head
+    assert(skewed.getLong(0) == 5L && skewed.getLong(1) == 10L)
+    assert(skewed.getDouble(2) == 0.4, s"want 0.4: $skewed")
+    // perfectly uniform activity -> zero concentration
+    val flat = Tpch.qGini(spark, eventsFor(Seq(3, 3, 3, 3)))
+      .collect().head
+    assert(flat.getDouble(2) == 0.0, s"uniform must be 0: $flat")
+  }
+
   test("session overlap: tiled self-join counts each overlapping pair " +
        "once, even across a tile boundary") {
     val s = spark; import s.implicits._

@@ -273,6 +273,44 @@ class TextAnalysisSpec extends SparkSpec {
   test("stupid backoff: verbatim held-out text never backs off; " +
        "reordered text backs off and scores worse") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_sbo").toString
+    runBackoffFixture(tmp)
+  }
+
+  test("readability: counts and both Flesch formulas replay by hand; " +
+       "zero-sentence text floors the denominator instead of dividing " +
+       "by zero") {
+    // "Hello world. This is fun!" - 5 words, 2 sentence runs, vowel
+    // groups: he|llo(2) wo|rld(1) this(1) is(1) fun(1) = 6
+    val t1 = "Hello world. This is fun!"
+    val t2 = "no sentence terminators here at all"  // 6 words, 0 sents
+    val docs = spark.createDataFrame(Seq(
+      (0L, t1, "en", "src0", t1.length.toLong),
+      (1L, t2, "en", "src0", t2.length.toLong)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_read").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.readability(spark, tmp).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5)))).toMap
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def scores(w: Long, s: Long, y: Long): (Double, Double) = {
+      val wd = math.max(1L, w).toDouble; val sd = math.max(1L, s).toDouble
+      (q6(206.835 - 1.015 * (w / sd) - 84.6 * (y / wd)),
+        q6(0.39 * (w / sd) + 11.8 * (y / wd) - 15.59))
+    }
+    assert(got(0L)._1 == 5L && got(0L)._2 == 2L && got(0L)._3 == 6L)
+    val (f0, g0) = scores(5, 2, 6)
+    assert(got(0L)._4 == f0 && got(0L)._5 == g0)
+    // vowel groups of t2: o(1) e|e(2) e|i|a|o (no - count per word:
+    // "no"(1) "sentence"(3: e,e,e) "terminators"(4: e,i,a,o)
+    // "here"(2) "at"(1) "all"(1) = 12
+    assert(got(1L)._1 == 6L && got(1L)._2 == 0L && got(1L)._3 == 12L)
+    val (f1, g1) = scores(6, 0, 12)
+    assert(got(1L)._4 == f1 && got(1L)._5 == g1)
+  }
+
+  private def runBackoffFixture(tmp: String): Unit = {
     val phrase = Seq.fill(40)("alpha beta gamma delta").mkString(" ")
     val salad = new scala.util.Random(11)
       .shuffle(phrase.split(" ").toSeq).mkString(" ")
