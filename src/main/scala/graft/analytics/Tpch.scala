@@ -703,9 +703,18 @@ object Tpch {
     */
   def qGini(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
-    val counts = Graft.table(spark, sfDir, "events")
+    giniFromCounts(Graft.table(spark, sfDir, "events")
       .filter(col("user_id").isNotNull)
-      .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("x")))
+  }
+
+  /** The Gini view over any (user_id, x) count relation — shared by
+    * the batch face and the streaming face (whose Complete-mode state
+    * is exactly this relation): the statistic needs the GLOBAL sorted
+    * order, so it can only ever be a query-time view, never
+    * incremental state.
+    */
+  private[graft] def giniFromCounts(counts: DataFrame): DataFrame = {
     val (ranked, n) = graft.core.GlobalRank.withRank(
       counts, Seq(col("x").asc, col("user_id").asc), "rk")
     ranked

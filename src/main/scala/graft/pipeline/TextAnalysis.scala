@@ -106,7 +106,15 @@ object TextAnalysis {
     * row-local, no shuffle — 100 TB cost is the scan itself.
     */
   def readability(spark: SparkSession, sfDir: String): DataFrame =
-    Graft.tableParallel(spark, sfDir, "documents")
+    readabilityFrom(Graft.tableParallel(spark, sfDir, "documents"))
+      .orderBy(col("doc_id"))
+
+  /** The row-local scoring over any documents relation — shared by the
+    * batch face and the streaming face (readability is stateless, so
+    * the stream is the same projection, final at arrival).
+    */
+  private[graft] def readabilityFrom(docs: DataFrame): DataFrame =
+    docs
       .withColumn("n_words", expr(
         "CAST(size(regexp_extract_all(text, '\\\\S+', 0)) AS BIGINT)"))
       .withColumn("n_sentences", expr(
@@ -126,7 +134,6 @@ object TextAnalysis {
           .stripMargin)))
       .select(col("doc_id"), col("n_words"), col("n_sentences"),
         col("n_syllables"), col("flesch"), col("fk_grade"))
-      .orderBy(col("doc_id"))
 
   val readabilitySql: String =
     s"""WITH t AS (

@@ -260,6 +260,42 @@ object StreamSum {
     SignatureStore.storedQualityGate(spark, store)
   }
 
+  /** Streaming face of the readability scorer, sharing
+    * `txt_readability`'s oracle: the scoring is ROW-LOCAL (three regex
+    * counts + two closed formulas), so the stream is the identical
+    * projection, final at arrival — Append mode, zero state. The
+    * cheapest possible streaming contract, stated explicitly so the
+    * family's spectrum (stateless → bounded ring → evolving view) has
+    * its floor member.
+    */
+  def streamReadability(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    runToTable(graft.pipeline.TextAnalysis.readabilityFrom(docs),
+      OutputMode.Append(), "ss_stream_readability")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Streaming face of the Gini concentration, sharing `q_gini`'s
+    * oracle: the streamed state is the per-user count — ONE
+    * Complete-mode aggregation, a single long per user (the minimum
+    * any exact concentration statistic can carry) — while the
+    * statistic itself needs the GLOBAL sorted order, so it is a
+    * query-time view through the batch face's shared `giniFromCounts`
+    * (every arriving event re-ranks its user; no per-batch Gini could
+    * ever be unioned).
+    */
+  def streamGini(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = streamingEvents(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+    val snap = runToTable(counts, OutputMode.Complete(), "ss_stream_gini")
+    graft.analytics.Tpch.giniFromCounts(snap)
+  }
+
   /** Streaming face of the learned quality filter, sharing
     * `pipe_qclf_score`'s oracle: the streamed state is the
     * (doc, bucket) feature relation — ONE Complete-mode aggregation

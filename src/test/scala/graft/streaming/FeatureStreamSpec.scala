@@ -290,6 +290,16 @@ class FeatureStreamSpec extends SparkSpec {
       rows(graft.analytics.Segmentation.qSkyline(spark, sfDir)))
   }
 
+  test("ss_stream_gini == q_gini") {
+    assert(rows(StreamSum.streamGini(spark, sfDir)) ==
+      rows(graft.analytics.Tpch.qGini(spark, sfDir)))
+  }
+
+  test("ss_stream_readability == txt_readability (stateless projection)") {
+    assert(rows(StreamSum.streamReadability(spark, sfDir)) ==
+      rows(graft.pipeline.TextAnalysis.readability(spark, sfDir)))
+  }
+
   test("ss_stream_histogram == q_histogram") {
     assert(rows(StreamSum.streamHistogram(spark, sfDir)) ==
       rows(graft.analytics.Tpch.qHistogram(spark, sfDir)))
