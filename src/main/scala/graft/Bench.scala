@@ -46,8 +46,8 @@ object Bench {
     "q1_agg", "q3_join_agg", "q5_multijoin", "q_window", "q_sessionize",
     "q_corr",
     "q_asof_join", "q_attribution", "q_range_join", "q_resample",
-    "q_ewma", "q_holt", "q_autocorr", "q_anomaly", "q_funnel",
-    "q_cohort", "q_pagerank", "q_ppr",
+    "q_ewma", "q_holt", "q_forecast_eval", "q_autocorr", "q_anomaly",
+    "q_funnel", "q_cohort", "q_pagerank", "q_ppr",
     "q_decay_count", "q_trending", "q_markov", "ss_stream_ewma",
     "q_paths", "q_seasonality", "q_changepoint", "q_histogram", "q_gini",
     "q_rfm",
@@ -99,8 +99,8 @@ object Bench {
     "ss_stream_count_sink", "ss_stream_lastn_sink",
     "q_sessionize", "q_session_overlap", "q_range_join", "q_resample",
     "q_attribution",
-    "q_ewma", "q_holt", "q_autocorr", "q_anomaly", "q_funnel",
-    "q_cohort", "q_pagerank", "q_ppr", "q_trending", "q_markov", "ss_stream_ewma",
+    "q_ewma", "q_holt", "q_forecast_eval", "q_autocorr", "q_anomaly",
+    "q_funnel", "q_cohort", "q_pagerank", "q_ppr", "q_trending", "q_markov", "ss_stream_ewma",
     "q_paths", "q_seasonality", "q_changepoint", "q_seq_pattern",
     "q_gini", "q_triangles", "q_kcore",
     "q_cms_topk", "q_cms_topk_prod", "q_cms_sliding", "q_cms_sliding_prod",

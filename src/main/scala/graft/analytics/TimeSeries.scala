@@ -309,10 +309,17 @@ object TimeSeries {
     * per-row state O(holtLen); identical CASE weight-table text on
     * both engines, one q6 division at output.
     */
-  def qHolt(spark: SparkSession, sfDir: String): DataFrame = {
-    Graft.ensureConf(spark)
-    val w = Window.partitionBy(col("user_id"))
+  /** Holt window machinery shared by the smoother and its backtest
+    * (`q_forecast_eval`): the per-user lagged relation and the integer
+    * weight-table expression texts (kept in ONE place so the two faces
+    * cannot drift).
+    */
+  private def holtWindow: org.apache.spark.sql.expressions.WindowSpec =
+    Window.partitionBy(col("user_id"))
       .orderBy(col("tus"), col("event_id"))
+
+  private def holtLagged(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = holtWindow
     val lagged = Graft.table(spark, sfDir, "events")
       .filter(col("ts").isNotNull && col("user_id").isNotNull &&
         col("value").isNotNull)
@@ -320,21 +327,31 @@ object TimeSeries {
         col("event_id"), col("value"),
         expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").as("v0"))
       .withColumn("m", least(lit(holtLen.toLong), row_number().over(w)))
-    val withLags = (1 until holtLen).foldLeft(lagged) { (df, i) =>
+    (1 until holtLen).foldLeft(lagged) { (df, i) =>
       df.withColumn(s"v$i", lag(col("v0"), i).over(w))
     }
-    def numExpr(tbl: Array[Array[Long]]): String =
-      (0 until holtLen).map { j =>
-        val cases = ((j + 1) to holtLen)
-          .map(m => s"WHEN m = $m THEN ${tbl(m)(m - j - 1)}L")
-          .mkString(" ")
-        s"(CASE $cases ELSE 0L END) * COALESCE(v$j, 0L)"
-      }.mkString(" + ")
+  }
+
+  private def holtNumExpr(tbl: Array[Array[Long]]): String =
+    (0 until holtLen).map { j =>
+      val cases = ((j + 1) to holtLen)
+        .map(m => s"WHEN m = $m THEN ${tbl(m)(m - j - 1)}L")
+        .mkString(" ")
+      s"(CASE $cases ELSE 0L END) * COALESCE(v$j, 0L)"
+    }.mkString(" + ")
+
+  private val holtDenD: String = {
     val den = (1 to holtLen)
       .map(m => s"WHEN m = $m THEN ${
         Array.iterate(1L, m)(_ * 16L).last}L").mkString(" ")
-    val denD = s"(CAST(CASE $den END AS DOUBLE) * 1000000.0)"
-    withLags
+    s"(CAST(CASE $den END AS DOUBLE) * 1000000.0)"
+  }
+
+  def qHolt(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    def numExpr(tbl: Array[Array[Long]]): String = holtNumExpr(tbl)
+    val denD = holtDenD
+    holtLagged(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("value"),
         col("m").cast("long").as("n_obs"),
         graft.pipeline.ParityMath.q6(
@@ -349,20 +366,28 @@ object TimeSeries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
-  val qHoltSql: String = {
-    def numSql(tbl: Array[Array[Long]]): String =
-      (0 until holtLen).map { j =>
-        val cases = ((j + 1) to holtLen)
-          .map(m => s"WHEN m = $m THEN ${tbl(m)(m - j - 1)}")
-          .mkString(" ")
-        s"(CASE $cases ELSE 0 END) * COALESCE(v$j, 0)"
-      }.mkString("\n      + ")
+  private def holtNumSql(tbl: Array[Array[Long]]): String =
+    (0 until holtLen).map { j =>
+      val cases = ((j + 1) to holtLen)
+        .map(m => s"WHEN m = $m THEN ${tbl(m)(m - j - 1)}")
+        .mkString(" ")
+      s"(CASE $cases ELSE 0 END) * COALESCE(v$j, 0)"
+    }.mkString("\n      + ")
+
+  private val holtDenSqlD: String = {
     val den = (1 to holtLen)
       .map(m => s"WHEN m = $m THEN ${
         Array.iterate(1L, m)(_ * 16L).last}").mkString(" ")
-    val lagCols = (1 until holtLen)
-      .map(i => s"lag(v0, $i) OVER we AS v$i").mkString(",\n    ")
-    val denD = s"(CAST(CASE $den END AS DOUBLE) * 1000000.0)"
+    s"(CAST(CASE $den END AS DOUBLE) * 1000000.0)"
+  }
+
+  private val holtLagColsSql: String = (1 until holtLen)
+    .map(i => s"lag(v0, $i) OVER we AS v$i").mkString(",\n    ")
+
+  val qHoltSql: String = {
+    def numSql(tbl: Array[Array[Long]]): String = holtNumSql(tbl)
+    val lagCols = holtLagColsSql
+    val denD = holtDenSqlD
     s"""WITH e AS (
        |  SELECT user_id, epoch_us(ts) AS tus, event_id, value,
        |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v0
@@ -385,6 +410,95 @@ object TimeSeries {
             s"CAST((${numSql(holtWL)}) + (${numSql(holtWB)}) AS DOUBLE) / $denD")}
        |    AS forecast
        |FROM lagged ORDER BY user_id, event_id""".stripMargin
+  }
+
+  // ---- q_forecast_eval: Holt backtest vs persistence ------------------
+
+  /** One-step-ahead BACKTEST of the Holt forecaster against the
+    * persistence baseline ("tomorrow = today") — the honest member
+    * every forecasting family needs: a smoother that cannot beat
+    * persistence on the corpus is a feature, not a forecaster, and
+    * this query measures exactly that. For every observation with a
+    * successor in its user's series, the error is the CURRENT row's
+    * one-step forecast minus the NEXT observation, in exact integer
+    * micro-units: the q6-rounded forecast's numerator
+    * floor(f·1e6 + 0.5) is itself the integer the batch face emits,
+    * so |e| sums exactly (BIGINT → DECIMAL ≙ HUGEINT) with no float
+    * summation order anywhere; the two MAEs and the skill ratio
+    * (Σ|e_holt| / Σ|e_naive|; < 1 means the trend model earns its
+    * keep) are single identical-text divisions under q6, NULL when a
+    * constant corpus zeroes the baseline. Same shape as q_holt plus
+    * one lead() on the same window — no extra exchange.
+    */
+  def qForecastEval(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val fmu = s"CAST(floor((CAST((${holtNumExpr(holtWL)}) + " +
+      s"(${holtNumExpr(holtWB)}) AS DOUBLE) / $holtDenD) " +
+      "* 1000000.0 + 0.5) AS BIGINT)"
+    holtLagged(spark, sfDir)
+      .withColumn("v_next", lead(col("v0"), 1).over(holtWindow))
+      .filter(col("v_next").isNotNull)
+      .select(expr(s"abs($fmu - v_next)").as("e_holt"),
+        expr("abs(v0 - v_next)").as("e_naive"))
+      .agg(count(lit(1)).as("n_evals"),
+        sum(col("e_holt").cast("decimal(18,0)")).as("se_holt"),
+        sum(col("e_naive").cast("decimal(18,0)")).as("se_naive"))
+      .select(col("n_evals"),
+        graft.pipeline.ParityMath.q6(expr(
+          """CAST(se_holt AS DOUBLE)
+            | / (CAST(n_evals AS DOUBLE) * 1000000.0)""".stripMargin))
+          .as("mae_holt"),
+        graft.pipeline.ParityMath.q6(expr(
+          """CAST(se_naive AS DOUBLE)
+            | / (CAST(n_evals AS DOUBLE) * 1000000.0)""".stripMargin))
+          .as("mae_naive"),
+        graft.pipeline.ParityMath.q6(expr(
+          """IF(CAST(se_naive AS DOUBLE) = 0.0, CAST(NULL AS DOUBLE),
+            |   CAST(se_holt AS DOUBLE) / CAST(se_naive AS DOUBLE))"""
+            .stripMargin)).as("skill"))
+  }
+
+  val qForecastEvalSql: String = {
+    val fmu = s"CAST(floor((CAST((${holtNumSql(holtWL)}) + " +
+      s"(${holtNumSql(holtWB)}) AS DOUBLE) / $holtDenSqlD) " +
+      "* 1000000.0 + 0.5) AS BIGINT)"
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS tus, event_id, value,
+       |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v0
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |    AND value IS NOT NULL
+       |), lagged AS (
+       |  SELECT user_id, event_id, value, v0,
+       |    LEAST($holtLen, row_number() OVER we) AS m,
+       |    $holtLagColsSql,
+       |    lead(v0, 1) OVER we AS v_next
+       |  FROM e
+       |  WINDOW we AS (PARTITION BY user_id ORDER BY tus, event_id)
+       |), ev AS (
+       |  SELECT abs($fmu - v_next) AS e_holt,
+       |         abs(v0 - v_next) AS e_naive
+       |  FROM lagged WHERE v_next IS NOT NULL
+       |), s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_evals,
+       |         sum(CAST(e_holt AS HUGEINT)) AS se_holt,
+       |         sum(CAST(e_naive AS HUGEINT)) AS se_naive
+       |  FROM ev
+       |)
+       |SELECT n_evals,
+       |  ${graft.pipeline.ParityMath.q6Sql(
+            """CAST(se_holt AS DOUBLE)
+              | / (CAST(n_evals AS DOUBLE) * 1000000.0)""".stripMargin)}
+       |    AS mae_holt,
+       |  ${graft.pipeline.ParityMath.q6Sql(
+            """CAST(se_naive AS DOUBLE)
+              | / (CAST(n_evals AS DOUBLE) * 1000000.0)""".stripMargin)}
+       |    AS mae_naive,
+       |  ${graft.pipeline.ParityMath.q6Sql(
+            """(CASE WHEN CAST(se_naive AS DOUBLE) = 0.0 THEN NULL
+              |  ELSE CAST(se_holt AS DOUBLE) / CAST(se_naive AS DOUBLE)
+              |  END)""".stripMargin)} AS skill
+       |FROM s""".stripMargin
   }
 
   // ---- q_autocorr: pooled lag-k autocorrelation -----------------------

@@ -61,6 +61,71 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("forecast eval: exact driver replay of both error sums; the " +
+       "trend model beats persistence on a ramp; constant series " +
+       "yields NULL skill") {
+    val s = spark; import s.implicits._
+    def eventsFor(series: Map[Long, Seq[Double]]): String = {
+      val rows = series.toSeq.flatMap { case (u, vs) =>
+        vs.zipWithIndex.map { case (v, i) =>
+          (u * 100 + i, new java.sql.Timestamp(1000L + i), u, "view", v,
+            """{"k": 1}""")
+        }
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_fce").toString
+      rows.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      tmp
+    }
+    // exact per-row forecast replay (the holt spec's recursion)
+    def forecastMu(win: Seq[Double]): Long = {
+      val vu = win.map(v => math.floor(v * 1e6 + 0.5).toLong)
+      var l = BigInt(vu.head); var b = BigInt(0); var scale = BigInt(1)
+      vu.tail.foreach { y =>
+        val nl = 12 * l + 12 * b + 4 * scale * y
+        val nb = -1 * l + 15 * b + scale * y
+        l = nl; b = nb; scale *= 16
+      }
+      math.floor(((l + b).toDouble / scale.toDouble / 1e6) * 1e6 + 0.5)
+        .toLong
+    }
+    val ramp = (1 to 15).map(_ * 2.0)
+    val wob = Seq(5.0, 4.0, 6.0, 3.0, 7.0, 5.5, 4.5)
+    val tmp = eventsFor(Map(1L -> ramp, 2L -> wob))
+    val got = TimeSeries.qForecastEval(spark, tmp).collect().head
+    var (seH, seN, n) = (0L, 0L, 0L)
+    Seq(ramp, wob).foreach { vs =>
+      val mu = vs.map(v => math.floor(v * 1e6 + 0.5).toLong)
+      vs.indices.dropRight(1).foreach { i =>
+        val win = vs.slice(math.max(0, i - 7), i + 1)
+        seH += math.abs(forecastMu(win) - mu(i + 1))
+        seN += math.abs(mu(i) - mu(i + 1))
+        n += 1
+      }
+    }
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got.getLong(0) == n)
+    assert(got.getDouble(1) == q6(seH.toDouble / (n.toDouble * 1e6)))
+    assert(got.getDouble(2) == q6(seN.toDouble / (n.toDouble * 1e6)))
+    assert(got.getDouble(3) == q6(seH.toDouble / seN.toDouble))
+    // where the smoother EARNS its keep: an anti-persistent
+    // alternation, where naive chases every swing (error = the full
+    // amplitude) while the smoothed level sits near the mean
+    // (computed skill 0.678). Notably the smoother LOSES on a fast
+    // ramp (the 8-window restart + 1/4 gains never escape warmup) -
+    // exactly the asymmetry this backtest exists to expose.
+    val altSeries = (0 until 16).map(i => if (i % 2 == 0) 3.0 else 7.0)
+    val alt = TimeSeries.qForecastEval(spark,
+      eventsFor(Map(1L -> altSeries))).collect().head
+    assert(alt.getDouble(3) < 1.0,
+      s"holt must beat persistence on anti-persistent swings: $alt")
+    // constant corpus: both error sums zero -> NULL skill, zero MAEs
+    val flat = TimeSeries.qForecastEval(spark,
+      eventsFor(Map(1L -> Seq.fill(10)(3.0)))).collect().head
+    assert(flat.getDouble(1) == 0.0 && flat.getDouble(2) == 0.0 &&
+      flat.isNullAt(3))
+  }
+
   test("autocorr: pooled lag-k pearson matches a driver replay; " +
        "pairs never cross users; alternating series flips sign by lag") {
     val s = spark; import s.implicits._
