@@ -73,7 +73,8 @@ object Bench {
     "txt_bpe_encode", "txt_bm25", "q_hybrid_rrf", "q_retrieval_eval",
     "txt_bigram_nll", "txt_backoff_nll", "txt_tfidf", "txt_entropy",
     "txt_zipf",
-    "mm_binary_stats", "mm_bmp_decode", "mm_resize", "mm_wav_decode",
+    "mm_binary_stats", "mm_bmp_decode", "mm_resize", "mm_ahash_pairs",
+    "mm_wav_decode",
     "mm_png_decode", "mm_jpeg_decode", "mm_avi_frames", "mm_avi_av",
     "mm_scene_cut",
     "pipe_corpus_clean",
@@ -122,7 +123,8 @@ object Bench {
     "txt_bm25", "q_hybrid_rrf", "q_retrieval_eval", "txt_backoff_nll",
     // the real-codec mapPartitions path: per-row cost must stay flat
     // as docs scale (narrow, no shuffle - the slope IS the claim)
-    "mm_bmp_decode", "mm_resize", "mm_png_decode", "mm_jpeg_decode",
+    "mm_bmp_decode", "mm_resize", "mm_ahash_pairs", "mm_png_decode",
+    "mm_jpeg_decode",
     "mm_avi_frames", "mm_avi_av", "mm_scene_cut",
     // the compressed codecs: deflate/inflate (PNG) and FDCT+Huffman
     // (JPEG) dominate, so the per-row cost claim is stronger than

