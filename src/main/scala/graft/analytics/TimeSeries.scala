@@ -943,6 +943,99 @@ object TimeSeries {
        |    AS lift
        |FROM t ORDER BY dow, hour""".stripMargin
 
+  // ---- q_psi_drift: population-stability drift between time halves ---
+
+  /** POPULATION STABILITY INDEX of the event-type mix between the
+    * corpus's two time halves — the distribution-level drift monitor
+    * next to `q_changepoint`'s mean-level one (the standard production
+    * check before retraining on fresh data: PSI < 0.1 stable, > 0.25
+    * act). Split at the exact midpoint (min+max) DIV 2 of the event
+    * time (integer, deterministic — no median sort); per-type ref/cur
+    * counts are ONE map-combinable aggregation; Laplace-smoothed
+    * shares p = (c+1)/(n+k) make every ln argument positive with no
+    * epsilon hacks (k = observed types); each term (p−q)·ln(p/q) is
+    * the identical double text on both engines, and the TOTAL folds
+    * the per-type terms in event_type order (the mixCutoffs
+    * sorted-fold discipline — a plain 5-double sum would be
+    * partition-order-dependent). 100 TB cost: one scan + a 5-row
+    * reduction; the broadcast bounds row is the only extra exchange.
+    */
+  def qPsiDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val ev = Graft.table(spark, sfDir, "events")
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(expr("graft_ts_us(ts)").as("tus"), col("event_type"))
+    val bounds = ev.agg(min(col("tus")).as("lo"), max(col("tus")).as("hi"))
+    val counts = ev.crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        expr("IF(tus <= (lo + hi) DIV 2L, 1L, 0L)").as("is_ref"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("is_ref")).as("c_ref"),
+        sum(lit(1L) - col("is_ref")).as("c_cur"))
+    val totals = counts.agg(sum(col("c_ref")).as("n_ref"),
+      sum(col("c_cur")).as("n_cur"), count(lit(1)).as("k"))
+    val termExpr =
+      """((CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + k AS DOUBLE))
+        |  - (CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + k AS DOUBLE)))
+        | * ln((CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + k AS DOUBLE))
+        |      / (CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + k AS DOUBLE)))"""
+        .stripMargin
+    val terms = counts.crossJoin(broadcast(totals))
+      .select(col("event_type"), col("c_ref"), col("c_cur"),
+        expr(termExpr).as("term"))
+    val total = terms
+      .agg(expr(
+        """aggregate(array_sort(collect_list(struct(event_type, term))),
+          |  CAST(0 AS DOUBLE), (acc, x) -> acc + x.term)""".stripMargin)
+        .as("psi_raw"))
+    terms.crossJoin(broadcast(total))
+      .select(col("event_type"), col("c_ref"), col("c_cur"),
+        graft.pipeline.ParityMath.q6(col("term")).as("psi_term"),
+        graft.pipeline.ParityMath.q6(col("psi_raw")).as("psi_total"))
+      .orderBy(col("event_type"))
+  }
+
+  val qPsiDriftSql: String = {
+    val termSql =
+      """((CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + k AS DOUBLE))
+        |  - (CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + k AS DOUBLE)))
+        | * ln((CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + k AS DOUBLE))
+        |      / (CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + k AS DOUBLE)))"""
+        .stripMargin
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts) AS tus, event_type
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+       |), b AS (
+       |  SELECT min(tus) AS lo, max(tus) AS hi FROM e
+       |), c AS (
+       |  SELECT event_type,
+       |    sum(CASE WHEN tus <= (lo + hi) // 2 THEN 1 ELSE 0 END)
+       |      AS c_ref,
+       |    sum(CASE WHEN tus <= (lo + hi) // 2 THEN 0 ELSE 1 END)
+       |      AS c_cur
+       |  FROM e CROSS JOIN b GROUP BY event_type
+       |), t AS (
+       |  SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref,
+       |         CAST(sum(c_cur) AS BIGINT) AS n_cur,
+       |         CAST(count(*) AS BIGINT) AS k
+       |  FROM c
+       |), terms AS (
+       |  SELECT event_type, CAST(c_ref AS BIGINT) AS c_ref,
+       |         CAST(c_cur AS BIGINT) AS c_cur,
+       |         $termSql AS term
+       |  FROM c CROSS JOIN t
+       |), tot AS (
+       |  SELECT list_sum(list(term ORDER BY event_type)) AS psi_raw
+       |  FROM terms
+       |)
+       |SELECT event_type, c_ref, c_cur,
+       |  ${graft.pipeline.ParityMath.q6Sql("term")} AS psi_term,
+       |  ${graft.pipeline.ParityMath.q6Sql("psi_raw")} AS psi_total
+       |FROM terms CROSS JOIN tot
+       |ORDER BY event_type""".stripMargin
+  }
+
   // ---- q_changepoint: best mean-shift split over the daily series ----
 
   /** Mean-shift changepoint scan: for every split point of the daily

@@ -61,6 +61,58 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("psi drift: hand-computed index on a planted mix shift; an " +
+       "identical mix scores (near) zero") {
+    val s = spark; import s.implicits._
+    def eventsFor(ref: Map[String, Int], cur: Map[String, Int]): String = {
+      // ref half at t in [0, 100); cur half at t in (100, 200]
+      var eid = 0L
+      val rows = (ref.toSeq.flatMap { case (ty, c) =>
+        (0 until c).map { _ =>
+          eid += 1
+          (eid, new java.sql.Timestamp(1000L + eid % 90), 1L, ty, 1.0,
+            """{"k": 1}""")
+        }
+      } ++ cur.toSeq.flatMap { case (ty, c) =>
+        (0 until c).map { _ =>
+          eid += 1
+          (eid, new java.sql.Timestamp(1000L + 110 + eid % 90), 1L, ty,
+            1.0, """{"k": 1}""")
+        }
+      }).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_psi").toString
+      rows.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      tmp
+    }
+    // drifted mix: a/b 30/10 -> 10/30
+    val drift = TimeSeries.qPsiDrift(spark,
+      eventsFor(Map("a" -> 30, "b" -> 10), Map("a" -> 10, "b" -> 30)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def term(c1: Long, c2: Long, n1: Long, n2: Long, k: Long): Double = {
+      val p = (c1 + 1).toDouble / (n1 + k).toDouble
+      val q = (c2 + 1).toDouble / (n2 + k).toDouble
+      (p - q) * math.log(p / q)
+    }
+    val ta = term(30, 10, 40, 40, 2)
+    val tb = term(10, 30, 40, 40, 2)
+    assert(drift("a")._1 == 30L && drift("a")._2 == 10L)
+    assert(drift("a")._3 == q6(ta) && drift("b")._3 == q6(tb))
+    assert(drift("a")._4 == q6(ta + tb) && drift("a")._4 > 0.25,
+      s"a 3x mix swap must read as actionable drift: $drift")
+    // identical mix: every term is exactly zero (p == q)
+    val stable = TimeSeries.qPsiDrift(spark,
+      eventsFor(Map("a" -> 20, "b" -> 20), Map("a" -> 20, "b" -> 20)))
+      .collect()
+    stable.foreach { r =>
+      assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0,
+        s"identical halves must score zero: $r")
+    }
+  }
+
   test("forecast eval: exact driver replay of both error sums; the " +
        "trend model beats persistence on a ramp; constant series " +
        "yields NULL skill") {
