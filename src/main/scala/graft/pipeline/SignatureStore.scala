@@ -1616,6 +1616,61 @@ object SignatureStore {
     storedSimhashPairs(spark, store)
   }
 
+  /** Incremental AHASH store — the IMAGE member of the dedup-store
+    * family, structurally `catchUpSimhash` on the perceptual
+    * signature: each arriving batch encodes + hashes its docs' scene
+    * BMPs ONCE (payloads immutable → disjoint 48-bit signature
+    * appends), and the chunk-blocked Hamming pair join stays a
+    * query-time view through the SAME shared `simhashPairsFrom` the
+    * text face uses — one pairing core across modalities, one store
+    * discipline across signatures.
+    */
+  def catchUpAhash(spark: SparkSession, watchDir: String,
+                   storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val docs = spark.readStream.schema(schema).parquet(watchDir)
+    val q = docs.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s2 = batch.sparkSession
+        import s2.implicits._
+        batch.select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { did =>
+              val w = 16 + (did % 17).toInt
+              val h = 8 + (did % 11).toInt
+              (did, Multimodal.bmpAhash48(did,
+                Multimodal.bmpEncodeScene(did, w, h)))
+            }
+          }
+          .toDF("doc_id", "sim")
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/sig/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Driver-gate face: doc-parity appends, query-time pair join;
+    * shares `mm_ahash_pairs`' oracle (and `storedSimhashPairs`' view —
+    * the stored relation is the same (doc_id, sim) shape).
+    */
+  def gatedAhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_ahash_watch")
+    val store = tempDirForExit("graft_gate_ahash_store")
+    val docs = Graft.table(spark, sfDir, "documents")
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpAhash(spark, watch, store)
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpAhash(spark, watch, store)
+    storedSimhashPairs(spark, store)
+  }
+
   /** Incremental SEMDEDUP store, the semantic member of the dedup-store
     * family: each arriving embeddings batch lands its (vec_id,
     * embedding) facts ONCE (vectors immutable → disjoint appends); the

@@ -327,6 +327,18 @@ class SignatureStoreSpec extends SparkSpec {
     assert(crossBatch, "fixture must exercise cross-batch pairing")
   }
 
+  test("ahash store: parity-split image signatures reproduce the " +
+       "one-shot perceptual pair join") {
+    val oneShot = graft.pipeline.Multimodal.ahashPairs(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val stored = SignatureStore.gatedAhash(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(stored == oneShot && oneShot.nonEmpty)
+    val crossBatch = oneShot.exists(r =>
+      r(0).asInstanceOf[Long] % 2 != r(1).asInstanceOf[Long] % 2)
+    assert(crossBatch, "fixture must exercise cross-batch pairing")
+  }
+
   test("semantic store: parity-split vector facts reproduce the " +
        "one-shot SemDeDup verdict (cross-batch dominance included)") {
     val oneShot = graft.pipeline.Similarity.ddSemantic(spark, sfDir)
