@@ -586,4 +586,132 @@ object Graph {
        |SELECT node_id, CAST(count(*) AS BIGINT) AS tri_cnt
        |FROM (SELECT unnest([src, a, b]) AS node_id FROM tri)
        |GROUP BY 1 ORDER BY node_id""".stripMargin
+
+  // ---- q_linkpred: common-neighbor / Adamic-Adar link prediction -----
+
+  /** Wedge centers above this degree are excluded: a hub center's
+    * wedge fan is quadratic in its degree while its Adamic-Adar
+    * evidence 1/ln(d) is the weakest in the graph — the standard
+    * high-degree cutoff every production link predictor applies, and
+    * the same OUTRIGHT-exclusion contract as `cooccurMaxDeg` (not a
+    * sample of the hub's wedges, which would be volume-dependent).
+    */
+  val linkpredMaxDeg = 64
+
+  /** Minimum common-neighbor support for an emitted candidate pair. */
+  val linkpredMinCn = 2L
+
+  /** LINK PREDICTION over the lift-filtered co-visitation projection —
+    * the "which edge appears next" complement of `q_triangles`' "which
+    * edges close now" (recommender candidate generation; in a curation
+    * pipeline, the "these two near-dup clusters are about to merge"
+    * early-warning on a doc↔domain graph). For every NON-adjacent pair
+    * with >= `linkpredMinCn` shared neighbors, emits the
+    * common-neighbor count and the Adamic-Adar score: each shared
+    * neighbor z contributes 1/ln(deg(z)), quantized to integer
+    * micro-units floor(1e6/ln(d) + 0.5) BEFORE the per-pair sum (the
+    * NLL family's argument: integer addition commutes, so the total is
+    * partition-order-independent; the one-shot ln is the accepted
+    * cross-engine surface). deg(z) >= 2 for every wedge center by
+    * construction, so ln is never 0.
+    *
+    * 100 TB shape: neighbor lists build with ONE map-combinable
+    * aggregation over the (already lift-sparsified) edge relation;
+    * wedge pairs explode IN-ROW from each center's sorted,
+    * degree-capped list (fan bounded at cap²/2 per center); candidates
+    * reduce map-combinably on (o1, o2); the known-edge removal is one
+    * keyed LEFT ANTI join — no all-pairs anywhere, volume bounded by
+    * Σ_z min(deg z, cap)².
+    *
+    * Reference: extends the graph family (pagerank = fixed point,
+    * cooccur = projection, triangles/k-core = cohesion; this adds the
+    * missing-edge/prediction member).
+    */
+  def qLinkpred(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    linkpredFrom(Transform.extract(spark, sfDir))
+  }
+
+  private[graft] def linkpredFrom(tuples: DataFrame): DataFrame = {
+    val act = capActive(tuples).localCheckpoint()
+    val nu = act.agg(count(lit(1)).as("n"))
+    val od = act.select(explode(col("os")).as("o"))
+      .groupBy(col("o")).agg(count(lit(1)).as("c"))
+    linkpredFromEdges(liftEdges(
+      pairCounts(act).filter(col("cnt") >= cooccurMinCnt), od, nu))
+  }
+
+  /** The wedge-and-score core over any (o1 < o2) edge relation —
+    * shared by the batch face and the store face's snapshot view. The
+    * edge relation materializes once (localCheckpoint): the two
+    * neighbor-list directions and the anti-join probe read it, not
+    * three re-derivations of the lift gate.
+    */
+  private[graft] def linkpredFromEdges(edges: DataFrame): DataFrame = {
+    val e = edges.localCheckpoint()
+    val nbr = e.select(col("o1").as("v"), col("o2").as("w"))
+      .unionAll(e.select(col("o2").as("v"), col("o1").as("w")))
+    val ctr = nbr.groupBy(col("v"))
+      .agg(sort_array(collect_list(col("w"))).as("ws"))
+      .filter(size(col("ws")).between(2, linkpredMaxDeg))
+      .select(col("ws"), expr(
+        "CAST(floor(1000000.0 / ln(CAST(size(ws) AS DOUBLE)) + 0.5) " +
+          "AS BIGINT)").as("aa"))
+    val cand = ctr
+      .select(col("aa"), explode(expr(
+        """flatten(transform(ws, (x, i) ->
+          |  transform(slice(ws, i + 2, size(ws) - i - 1),
+          |    y -> named_struct('o1', x, 'o2', y))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.o1").as("o1"), col("p.o2").as("o2"))
+      .agg(count(lit(1)).as("cn"), sum(col("aa")).as("aa_micro"))
+    cand.join(e, Seq("o1", "o2"), "left_anti")
+      .filter(col("cn") >= linkpredMinCn)
+      .orderBy(col("o1"), col("o2"))
+  }
+
+  val qLinkpredSql: String =
+    s"""WITH ${graft.oracle.Sql.tuplesCte},
+       |so AS (SELECT DISTINCT s, o FROM tuples),
+       |deg0 AS (SELECT s, count(*) AS d FROM so GROUP BY 1),
+       |el AS (
+       |  SELECT so.s, so.o FROM so JOIN deg0 USING (s)
+       |  WHERE deg0.d BETWEEN 2 AND $cooccurMaxDeg
+       |),
+       |nu AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS n FROM el),
+       |od AS (SELECT o, CAST(count(*) AS BIGINT) AS c FROM el GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.o AS o1, b.o AS o2, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM el a JOIN el b ON a.s = b.s AND a.o < b.o
+       |  GROUP BY 1, 2 HAVING count(*) >= $cooccurMinCnt
+       |),
+       |e AS MATERIALIZED (
+       |  SELECT p.o1, p.o2
+       |  FROM pairs p
+       |  JOIN od d1 ON p.o1 = d1.o JOIN od d2 ON p.o2 = d2.o
+       |  CROSS JOIN nu
+       |  WHERE $triLiftDen * p.cnt * nu.n > $triLiftNum * d1.c * d2.c
+       |),
+       |nbr AS (
+       |  SELECT o1 AS v, o2 AS w FROM e
+       |  UNION ALL SELECT o2 AS v, o1 AS w FROM e
+       |),
+       |degn AS (SELECT v, count(*) AS d FROM nbr GROUP BY 1),
+       |ctr AS (
+       |  SELECT n.v, n.w,
+       |    CAST(floor(1000000.0 / ln(CAST(d.d AS DOUBLE)) + 0.5)
+       |         AS BIGINT) AS aa
+       |  FROM nbr n JOIN degn d USING (v)
+       |  WHERE d.d BETWEEN 2 AND $linkpredMaxDeg
+       |),
+       |cand AS (
+       |  SELECT a.w AS o1, b.w AS o2, CAST(count(*) AS BIGINT) AS cn,
+       |         CAST(sum(a.aa) AS BIGINT) AS aa_micro
+       |  FROM ctr a JOIN ctr b ON a.v = b.v AND a.w < b.w
+       |  GROUP BY 1, 2
+       |)
+       |SELECT c.o1, c.o2, c.cn, c.aa_micro
+       |FROM cand c LEFT JOIN e ON c.o1 = e.o1 AND c.o2 = e.o2
+       |WHERE e.o1 IS NULL AND c.cn >= $linkpredMinCn
+       |ORDER BY c.o1, c.o2""".stripMargin
 }

@@ -1052,6 +1052,18 @@ object SignatureStore {
     graft.analytics.Graph.kcoreFrom(
       storedSo(spark, cohesionStore(spark, sfDir, "kcore")))
 
+  /** Link-prediction view over the same cohesion store: like the
+    * triangle and core views, the candidate set is a function of the
+    * WHOLE lift-filtered projection (one arriving interaction shifts
+    * degrees, the lift gate, and every Adamic-Adar weight), so the
+    * store's only fact stays the distinct (s, o) union and the wedge
+    * scoring runs at query time through the batch `linkpredFrom`;
+    * shares `q_linkpred`'s oracle.
+    */
+  def gatedLinkpred(spark: SparkSession, sfDir: String): DataFrame =
+    graft.analytics.Graph.linkpredFrom(
+      storedSo(spark, cohesionStore(spark, sfDir, "lp")))
+
   def storedPagerank(spark: SparkSession, storeDir: String): DataFrame = {
     Graft.ensureConf(spark)
     val edges = storedOrEmpty(spark, s"$storeDir/edges",

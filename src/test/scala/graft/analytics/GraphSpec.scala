@@ -61,6 +61,62 @@ class GraphSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet == core)
   }
 
+  test("linkpred: square's diagonals scored at exact Adamic-Adar " +
+       "micro-units; adjacent pairs never emitted") {
+    // 4-cycle 10-20-30-40: each side supported by its own 2 users, so
+    // every side has cnt 2, every object degree 4, n_users 8 -> lift
+    // 2*8/16 = 1.0 would FAIL the gate; 2 bystanders on {50,60} raise
+    // n to 10 (lift 1.25). Lift-gated edges = the 4 sides + (50,60).
+    // Exactly the two diagonals are non-adjacent with >= 2 common
+    // neighbors; each of their 2 wedge centers has degree 2, so
+    // aa = 2 * floor(1e6/ln(2) + 0.5) = 2 * 1442695.
+    val sides = Seq((10L, 20L), (20L, 30L), (30L, 40L), (40L, 10L))
+    val rows = sides.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((100L + 2 * i, a), (100L + 2 * i, b),
+        (101L + 2 * i, a), (101L + 2 * i, b))
+    } ++ Seq((900L, 50L), (900L, 60L), (901L, 50L), (901L, 60L))
+    val got = Graph.linkpredFrom(graft.core.Transform.extractFrom(
+        eventsOf(rows)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set((10L, 30L, 2L, 2885390L), (20L, 40L, 2L, 2885390L)))
+  }
+
+  test("linkpred: hub centers above the degree cap are excluded " +
+       "outright") {
+    // Two hubs 99,100 each joined to 65 spokes (their own 2 users per
+    // hub-spoke edge -> cnt 2; no user touches both hubs, so (99,100)
+    // is NOT an edge). 20 bystanders on {200,201} push n_users to 280
+    // so hub-spoke lift = 2*280/(130*4) = 1.077 > 1.05. Hub degree 65
+    // exceeds linkpredMaxDeg=64 -> hubs center NO wedges: without the
+    // cap the 65*64/2 spoke pairs (cn 2 via the two hubs) would all
+    // emit. Each spoke IS a live center (degree 2) whose single
+    // neighbor pair is (99,100) -> the one candidate, cn 65.
+    assert(Graph.linkpredMaxDeg == 64, "cap change must retune this spec")
+    val spokes = (0 until 65).map(i => 300L + i)
+    val rows = spokes.zipWithIndex.flatMap { case (sp, i) =>
+      Seq((1000L + 4 * i, 100L), (1000L + 4 * i, sp),
+        (1001L + 4 * i, 100L), (1001L + 4 * i, sp),
+        (1002L + 4 * i, 99L), (1002L + 4 * i, sp),
+        (1003L + 4 * i, 99L), (1003L + 4 * i, sp))
+    } ++ (0 until 20).flatMap(i =>
+      Seq((2000L + i, 200L), (2000L + i, 201L)))
+    val got = Graph.linkpredFrom(graft.core.Transform.extractFrom(
+        eventsOf(rows)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set((99L, 100L, 65L, 65L * 1442695L)))
+  }
+
+  test("cohesion store serves the linkpred view == one-shot q_linkpred") {
+    val oneShot = Graph.qLinkpred(spark, sfDir).collect().map(_.toSeq).toSet
+    val stored = graft.pipeline.SignatureStore.gatedLinkpred(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(stored == oneShot)
+  }
+
   test("graph store serves the ppr view == one-shot q_ppr") {
     val oneShot = Graph.qPpr(spark, sfDir).collect().map(_.toSeq).toSet
     val stored = graft.pipeline.SignatureStore.gatedPpr(spark, sfDir)
