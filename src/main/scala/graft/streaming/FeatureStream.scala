@@ -527,6 +527,19 @@ object FeatureStream {
   def streamKcore(spark: SparkSession, sfDir: String): DataFrame =
     kcoreOfSnapshot(pairSnapshot(spark, sfDir, "ss_stream_kcore"))
 
+  /** The link-prediction view over any CoPair snapshot: the candidate
+    * set and every Adamic-Adar weight are functions of the WHOLE
+    * lift-filtered projection (one arriving interaction shifts degrees,
+    * the lift gate, and the non-adjacency test), so like the triangle
+    * and core views the wedge scoring runs at query time through the
+    * batch face's shared `linkpredFromEdges` — never stored state.
+    */
+  def linkpredOfSnapshot(snap0: DataFrame): DataFrame =
+    graft.analytics.Graph.linkpredFromEdges(liftEdgesOfSnapshot(snap0))
+
+  def streamLinkpred(spark: SparkSession, sfDir: String): DataFrame =
+    linkpredOfSnapshot(pairSnapshot(spark, sfDir, "ss_stream_linkpred"))
+
   def streamCooccur(spark: SparkSession, sfDir: String): DataFrame = {
     val tuples = graft.core.Transform.extractFrom(
         StreamSum.streamingEvents(spark, sfDir))

@@ -191,6 +191,11 @@ class FeatureStreamSpec extends SparkSpec {
       rows(graft.analytics.Graph.qKcore(spark, sfDir)))
   }
 
+  test("ss_stream_linkpred == q_linkpred") {
+    assert(rows(FeatureStream.streamLinkpred(spark, sfDir)) ==
+      rows(graft.analytics.Graph.qLinkpred(spark, sfDir)))
+  }
+
   test("ss_stream_session_overlap == q_session_overlap") {
     assert(rows(StreamSum.streamSessionOverlap(spark, sfDir)) ==
       rows(graft.analytics.Tpch.qSessionOverlap(spark, sfDir)))
