@@ -670,6 +670,116 @@ object Graph {
       .orderBy(col("o1"), col("o2"))
   }
 
+  // ---- q_lpa: label-propagation community detection ------------------
+
+  /** Synchronous LPA round count. FIXED, not a convergence budget:
+    * synchronous label propagation has no fixpoint guarantee (a lone
+    * edge's two labels swap forever — spec-pinned), so unlike the
+    * k-core peel the contract is "the assignment after exactly N
+    * rounds", and the oracle unrolls exactly N.
+    */
+  val lpaRounds = 4
+
+  /** COMMUNITY DETECTION over the lift-filtered co-visitation
+    * projection — the partition member of the graph family (pagerank =
+    * importance, triangles/k-core = cohesion, linkpred = missing
+    * edges; this assigns every node a community). Synchronous label
+    * propagation (Raghavan 2007), made deterministic: every node
+    * starts labeled with its own id, and each round relabels
+    * SIMULTANEOUSLY to the most frequent label among its neighbors,
+    * ties broken toward the SMALLEST label (no self-vote, no float
+    * anywhere — counts and ids only, so both engines agree exactly).
+    * Exactly `lpaRounds` rounds, by contract (see above).
+    *
+    * 100 TB shape: per round ONE w-keyed join of the arc relation
+    * against the node-sized label relation + one map-combinable
+    * (v, label) count + one map-combinable per-v `min_by` — volume
+    * O(|E|) per round with no all-pairs and no window over anything
+    * larger than a node's distinct neighbor labels; the arc relation
+    * materializes once (localCheckpoint, the pagerank discipline).
+    *
+    * Reference: extends the graph family (caches.clj rolls up per-key;
+    * this partitions the interaction graph).
+    */
+  def qLpa(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    lpaFrom(Transform.extract(spark, sfDir))
+  }
+
+  private[graft] def lpaFrom(tuples: DataFrame): DataFrame = {
+    val act = capActive(tuples).localCheckpoint()
+    val nu = act.agg(count(lit(1)).as("n"))
+    val od = act.select(explode(col("os")).as("o"))
+      .groupBy(col("o")).agg(count(lit(1)).as("c"))
+    lpaFromEdges(liftEdges(
+      pairCounts(act).filter(col("cnt") >= cooccurMinCnt), od, nu))
+  }
+
+  /** The fixed-round propagation over any (o1 < o2) edge relation —
+    * shared by the batch face, the streaming face's snapshot view and
+    * the cohesion store's view.
+    */
+  private[graft] def lpaFromEdges(edges: DataFrame): DataFrame = {
+    val e = edges.localCheckpoint()
+    val nbr = e.select(col("o1").as("v"), col("o2").as("w"))
+      .unionAll(e.select(col("o2").as("v"), col("o1").as("w")))
+      .localCheckpoint()
+    var lbl = nbr.select(col("v")).distinct()
+      .select(col("v"), col("v").as("lbl"))
+    for (_ <- 1 to lpaRounds) {
+      lbl = nbr
+        .join(lbl.select(col("v").as("w"), col("lbl").as("lw")), "w")
+        .groupBy(col("v"), col("lw")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("v"))
+        .agg(min_by(col("lw"), struct(negate(col("cnt")), col("lw")))
+          .as("lbl"))
+    }
+    lbl.select(col("v").as("node_id"), col("lbl").as("community"))
+      .orderBy(col("node_id"))
+  }
+
+  val qLpaSql: String = {
+    val rounds = (1 to lpaRounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT v, lw AS lbl FROM (
+         |    SELECT n.v, l.lbl AS lw, count(*) AS cnt
+         |    FROM nbr n JOIN l${i - 1} l ON n.w = l.v GROUP BY 1, 2
+         |  ) QUALIFY
+         |    row_number() OVER (PARTITION BY v
+         |                       ORDER BY cnt DESC, lw ASC) = 1
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ${graft.oracle.Sql.tuplesCte},
+       |so AS (SELECT DISTINCT s, o FROM tuples),
+       |deg0 AS (SELECT s, count(*) AS d FROM so GROUP BY 1),
+       |el AS (
+       |  SELECT so.s, so.o FROM so JOIN deg0 USING (s)
+       |  WHERE deg0.d BETWEEN 2 AND $cooccurMaxDeg
+       |),
+       |nu AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS n FROM el),
+       |od AS (SELECT o, CAST(count(*) AS BIGINT) AS c FROM el GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.o AS o1, b.o AS o2, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM el a JOIN el b ON a.s = b.s AND a.o < b.o
+       |  GROUP BY 1, 2 HAVING count(*) >= $cooccurMinCnt
+       |),
+       |e AS MATERIALIZED (
+       |  SELECT p.o1, p.o2
+       |  FROM pairs p
+       |  JOIN od d1 ON p.o1 = d1.o JOIN od d2 ON p.o2 = d2.o
+       |  CROSS JOIN nu
+       |  WHERE $triLiftDen * p.cnt * nu.n > $triLiftNum * d1.c * d2.c
+       |),
+       |nbr AS MATERIALIZED (
+       |  SELECT o1 AS v, o2 AS w FROM e
+       |  UNION ALL SELECT o2 AS v, o1 AS w FROM e
+       |),
+       |l0 AS (SELECT DISTINCT v, v AS lbl FROM nbr),
+       |$rounds
+       |SELECT v AS node_id, lbl AS community FROM l$lpaRounds
+       |ORDER BY node_id""".stripMargin
+  }
+
   val qLinkpredSql: String =
     s"""WITH ${graft.oracle.Sql.tuplesCte},
        |so AS (SELECT DISTINCT s, o FROM tuples),

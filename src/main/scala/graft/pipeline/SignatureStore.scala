@@ -1064,6 +1064,17 @@ object SignatureStore {
     graft.analytics.Graph.linkpredFrom(
       storedSo(spark, cohesionStore(spark, sfDir, "lp")))
 
+  /** Community view over the same cohesion store: the fixed-round
+    * propagation is a function of the WHOLE lift-filtered projection
+    * (one arriving interaction re-routes every round's votes), so the
+    * store's only fact stays the distinct (s, o) union and the
+    * assignment runs at query time through the batch `lpaFrom`;
+    * shares `q_lpa`'s oracle.
+    */
+  def gatedLpa(spark: SparkSession, sfDir: String): DataFrame =
+    graft.analytics.Graph.lpaFrom(
+      storedSo(spark, cohesionStore(spark, sfDir, "lpa")))
+
   def storedPagerank(spark: SparkSession, storeDir: String): DataFrame = {
     Graft.ensureConf(spark)
     val edges = storedOrEmpty(spark, s"$storeDir/edges",

@@ -540,6 +540,18 @@ object FeatureStream {
   def streamLinkpred(spark: SparkSession, sfDir: String): DataFrame =
     linkpredOfSnapshot(pairSnapshot(spark, sfDir, "ss_stream_linkpred"))
 
+  /** The community view over any CoPair snapshot: the fixed-round
+    * propagation is a function of the WHOLE lift-filtered projection
+    * (one arriving interaction re-routes every round's votes), so the
+    * assignment is a query-time view through the batch face's shared
+    * `lpaFromEdges` — never stored state.
+    */
+  def lpaOfSnapshot(snap0: DataFrame): DataFrame =
+    graft.analytics.Graph.lpaFromEdges(liftEdgesOfSnapshot(snap0))
+
+  def streamLpa(spark: SparkSession, sfDir: String): DataFrame =
+    lpaOfSnapshot(pairSnapshot(spark, sfDir, "ss_stream_lpa"))
+
   def streamCooccur(spark: SparkSession, sfDir: String): DataFrame = {
     val tuples = graft.core.Transform.extractFrom(
         StreamSum.streamingEvents(spark, sfDir))

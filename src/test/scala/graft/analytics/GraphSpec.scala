@@ -110,6 +110,34 @@ class GraphSpec extends SparkSpec {
     assert(got == Set((99L, 100L, 65L, 65L * 1442695L)))
   }
 
+  test("lpa: bridged triangles split into two communities; a lone " +
+       "edge oscillates and lands on self-labels after the even " +
+       "round count") {
+    // Hand-replayed 4-round synchronous propagation (no self-vote,
+    // ties to the smallest label) on triangle {1,2,3} - bridge 3-7 -
+    // triangle {7,8,9}: labels pass 2,1,1,3,7,7 -> 1,1,1,7,3,3 ->
+    // 1,1,1,3,3,3 -> 1,1,1,3,3,3 (communities 1 and 3, the bridge
+    // never merges them). The isolated edge (10,20) swaps labels
+    // every round - the no-fixpoint case that makes lpaRounds a FIXED
+    // contract - so after 4 (even) rounds each end holds its own id.
+    assert(Graph.lpaRounds % 2 == 0, "odd rounds retune the oscillator")
+    val s = spark; import s.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 7L),
+      (7L, 8L), (7L, 9L), (8L, 9L), (10L, 20L))
+      .toDF("o1", "o2")
+    val got = Graph.lpaFromEdges(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 3L),
+      (8L, 3L), (9L, 3L), (10L, 10L), (20L, 20L)))
+  }
+
+  test("cohesion store serves the lpa view == one-shot q_lpa") {
+    val oneShot = Graph.qLpa(spark, sfDir).collect().map(_.toSeq).toSeq
+    val stored = graft.pipeline.SignatureStore.gatedLpa(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(stored == oneShot)
+  }
+
   test("cohesion store serves the linkpred view == one-shot q_linkpred") {
     val oneShot = Graph.qLinkpred(spark, sfDir).collect().map(_.toSeq).toSet
     val stored = graft.pipeline.SignatureStore.gatedLinkpred(spark, sfDir)

@@ -196,6 +196,11 @@ class FeatureStreamSpec extends SparkSpec {
       rows(graft.analytics.Graph.qLinkpred(spark, sfDir)))
   }
 
+  test("ss_stream_lpa == q_lpa") {
+    assert(rows(FeatureStream.streamLpa(spark, sfDir)) ==
+      rows(graft.analytics.Graph.qLpa(spark, sfDir)))
+  }
+
   test("ss_stream_session_overlap == q_session_overlap") {
     assert(rows(StreamSum.streamSessionOverlap(spark, sfDir)) ==
       rows(graft.analytics.Tpch.qSessionOverlap(spark, sfDir)))
