@@ -536,10 +536,13 @@ object Multimodal {
 
   /** Pure-JVM WAV writer: canonical RIFF/WAVE, 16-bit PCM mono,
     * little-endian - a genuine file javax.sound can open. Doc-derived
-    * waveform with a closed form: sample i = 50·((docId%100) + i%100),
-    * n = 500 + docId%300 samples, rate 8000 + (docId%4)·4000 Hz.
+    * waveform with a closed form: sample i = 50·((docId%100) + i%period),
+    * n = 500 + docId%300 samples, rate 8000 + (docId%4)·4000 Hz. The
+    * default period 100 is the feature corpus; the pitch corpus varies
+    * it per doc (see `audioPitch`).
     */
-  private[pipeline] def wavEncode(docId: Long): Array[Byte] = {
+  private[pipeline] def wavEncode(docId: Long,
+                                  period: Int = 100): Array[Byte] = {
     val n = (500 + docId % 300).toInt
     val rate = (8000 + (docId % 4) * 4000).toInt
     val base = (docId % 100).toInt
@@ -551,7 +554,7 @@ object Multimodal {
     b.put("data".getBytes).putInt(2 * n)
     var i = 0
     while (i < n) {
-      b.putShort((50 * (base + i % 100)).toShort)
+      b.putShort((50 * (base + i % period)).toShort)
       i += 1
     }
     b.array()
@@ -731,6 +734,115 @@ object Multimodal {
        |       + (m - 1) * m * (2 * m - 1) // 6) AS BIGINT) AS energy,
        |  CAST(50 * (base + m - 1) AS BIGINT) AS peak
        |FROM x ORDER BY doc_id, frame""".stripMargin
+
+  // ---- mm_audio_pitch: AMDF pitch detection over the decoded PCM ----
+
+  /** Candidate lag range (samples) the detector scans, half-open. The
+    * pitch corpus' per-doc period 50 + docId%70 ∈ [50, 120) sits
+    * strictly inside it, and for periods ≤ 59 the doubled lag 2p also
+    * lands in range with the SAME zero difference — the octave
+    * ambiguity every lag-domain pitch tracker has, resolved here by
+    * the smallest-lag tie-break (spec-pinned).
+    */
+  val pitchTauMin = 40
+  val pitchTauMax = 120
+
+  final case class PitchRow(doc_id: Long, period: Long, d_min: Long,
+                            pitch_mhz: Long)
+
+  /** AMDF pitch detector over an already-encoded 16-bit PCM buffer:
+    * for each candidate lag τ the average-magnitude-difference
+    * D(τ) = Σ_{i<n−τ} |s[i] − s[i+τ]| (exact integer — no FFT, no
+    * float), the detected period the argmin with ties to the SMALLEST
+    * lag, pitch = (1000·rate) DIV τ in exact milli-Hz. The lag-domain
+    * twin of autocorrelation pitch tracking (AMDF: Ross 1974; the
+    * difference function is also YIN's first step), chosen over raw
+    * autocorrelation because the DC-offset corpus would bias R(τ)
+    * toward small lags while D(τ) hits an EXACT integer zero at the
+    * true period.
+    */
+  private[pipeline] def pitchDetect(docId: Long,
+                                    bytes: Array[Byte]): PitchRow = {
+    val d = wavDecode(docId, bytes)
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var dataOff = -1
+    def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
+    while (dataOff < 0 && off + 8 <= bytes.length) {
+      val len = b.getInt(off + 4)
+      require(len >= 0, s"doc $docId: negative RIFF chunk length $len")
+      if (tag(off) == "data") dataOff = off + 8
+      else off += 8 + len + (len & 1)
+    }
+    val n = d.n_samples.toInt
+    var (bestTau, bestD) = (-1, Long.MaxValue)
+    var tau = pitchTauMin
+    while (tau < pitchTauMax) {
+      var acc = 0L
+      var i = 0
+      while (i < n - tau) {
+        acc += math.abs(b.getShort(dataOff + 2 * i).toLong -
+          b.getShort(dataOff + 2 * (i + tau)).toLong)
+        i += 1
+      }
+      if (acc < bestD) { bestD = acc; bestTau = tau } // strict: ties
+      tau += 1                                        // keep smaller τ
+    }
+    PitchRow(docId, bestTau.toLong, bestD,
+      1000L * d.sample_rate / bestTau)
+  }
+
+  /** Pitch detection over REAL WAV bytes: per-doc period
+    * 50 + docId%70, encode → parse → full AMDF lag scan, one fused
+    * narrow mapPartitions (the decode-adjacent posture of
+    * `audioFeatures`; per-doc cost n·|lags| ≈ 5·10⁴ integer ops — far
+    * below the codec's own cost, so the scan stays in the decode
+    * pass at 100 TB rather than materializing PCM rows).
+    *
+    * Oracle: on the sawtooth the base offset cancels in every
+    * difference, and with τ' = τ mod p each overlap position
+    * contributes 50·τ' (phase < p−τ') or 50·(p−τ') (phase ≥ p−τ'), so
+    * D(τ) = 50·(c₁·τ' + c₂·(p−τ')) with c₂ counted by floor division
+    * — a closed form the oracle evaluates per (doc, τ) with no sample
+    * replay.
+    */
+  def audioPitch(spark: SparkSession, sfDir: String): DataFrame = {
+    val s2 = Graft.ensureConf(spark)
+    import s2.implicits._
+    Graft.tableParallel(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(ids => ids.map(id =>
+        pitchDetect(id, wavEncode(id, (50 + id % 70).toInt))))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val audioPitchSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, 500 + doc_id % 300 AS n, 50 + doc_id % 70 AS p,
+       |         8000 + (doc_id % 4) * 4000 AS rate
+       |  FROM documents
+       |), l AS (
+       |  SELECT doc_id, n, p, rate,
+       |         unnest(range($pitchTauMin, $pitchTauMax)) AS tau
+       |  FROM t
+       |), d AS (
+       |  SELECT doc_id, rate, tau, n - tau AS m, p, tau % p AS tp
+       |  FROM l
+       |), s AS (
+       |  SELECT doc_id, rate, tau,
+       |    (m // p) * tp + greatest(0, m % p - (p - tp)) AS c2, m, p, tp
+       |  FROM d
+       |)
+       |SELECT doc_id, CAST(tau AS BIGINT) AS period,
+       |  CAST(50 * ((m - c2) * tp + c2 * (p - tp)) AS BIGINT) AS d_min,
+       |  CAST((1000 * rate) // tau AS BIGINT) AS pitch_mhz
+       |FROM s
+       |QUALIFY row_number() OVER (
+       |  PARTITION BY doc_id
+       |  ORDER BY 50 * ((m - c2) * tp + c2 * (p - tp)) ASC, tau ASC) = 1
+       |ORDER BY doc_id""".stripMargin
 
   // ---- mm_png_decode: a REAL compressed-image codec (no stub) --------
 

@@ -264,6 +264,46 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("pitchDetect recovers each doc's planted period with an exact " +
+       "zero AMDF, resolving the octave by the smallest lag") {
+    for (id <- 0L until 20L) {
+      val p = (50 + id % 70).toInt
+      val got = Multimodal.pitchDetect(id, Multimodal.wavEncode(id, p))
+      // the sawtooth repeats exactly at p, so D(p) == 0; for p <= 59
+      // the doubled lag 2p also zeroes and the tie-break must pick p
+      assert(got.period == p && got.d_min == 0L,
+        s"doc $id: expected period $p at D=0, got $got")
+      val rate = 8000 + (id % 4) * 4000
+      assert(got.pitch_mhz == 1000L * rate / p)
+    }
+    // independent referee on one doc: full AMDF recompute from a
+    // javax.sound decode, over every candidate lag
+    val id = 7L
+    val p = (50 + id % 70).toInt
+    val bytes = Multimodal.wavEncode(id, p)
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val pcm = in.readAllBytes()
+    val bb = java.nio.ByteBuffer.wrap(pcm)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val n = pcm.length / 2
+    val best = (Multimodal.pitchTauMin until Multimodal.pitchTauMax)
+      .map { tau =>
+        ((0 until n - tau).map(i => math.abs(
+          bb.getShort(2 * i).toLong -
+            bb.getShort(2 * (i + tau)).toLong)).sum, tau.toLong)
+      }.min
+    val got = Multimodal.pitchDetect(id, bytes)
+    assert((got.d_min, got.period) == best)
+  }
+
+  test("pitchDetect on the feature corpus (period 100) reports 100") {
+    for (id <- Seq(5L, 299L, 4242L)) {
+      val got = Multimodal.pitchDetect(id, Multimodal.wavEncode(id))
+      assert(got.period == 100L && got.d_min == 0L)
+    }
+  }
+
   test("bmp end-to-end matches the closed-form derivation") {
     val got = Multimodal.bmpDecodeE2e(spark, sfDir)
       .filter(col("doc_id") < 20)
