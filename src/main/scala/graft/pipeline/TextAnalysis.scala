@@ -349,6 +349,101 @@ object TextAnalysis {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---- txt_keyphrase: RAKE keyword extraction ------------------------
+
+  /** Candidate runs longer than this are EXCLUDED outright (RAKE's
+    * known failure mode is listy/degenerate text producing one giant
+    * "phrase"; the cap is the cooccur-family exclusion contract, not a
+    * truncation).
+    */
+  val rakeMaxLen = 4
+
+  /** Keyphrases emitted. */
+  val rakeTopK = 20
+
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * the maximal stopword-free token runs (gaps-and-islands over the
+    * token stream), each word scores deg(w)/freq(w) over the WHOLE
+    * candidate corpus — deg counts co-membership (Σ of containing
+    * phrase lengths), freq plain occurrences, the ratio favoring words
+    * that appear inside longer phrases — and a phrase scores the sum
+    * of its words' scores. Scores are exact integers: per-word
+    * (10⁶·deg) DIV freq micro-units summed with multiplicity, so both
+    * engines agree bitwise and the top-k order is a total order
+    * ((score DESC, phrase ASC) — phrase unique after the final
+    * aggregation).
+    *
+    * 100 TB shape: one corpus scan → narrow explode → ONE doc-keyed
+    * window (row_number for the island id — bounded per doc, never
+    * global) → keyed aggregations only; the word-score relation is
+    * vocab-sized and joins back keyed on the word; the top-k is a
+    * TakeOrdered. No all-pairs, no global window anywhere.
+    */
+  def keyphrase(spark: SparkSession, sfDir: String): DataFrame =
+    keyphraseFrom(Graft.tableParallel(spark, sfDir, "documents"))
+
+  private[graft] def keyphraseFrom(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), posexplode(expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")))
+      .toDF("doc_id", "i", "tok")
+    val ns = toks.filter(!col("tok").isin(stopwords: _*))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("i"))))
+      .withColumn("grp", col("i") - col("rn"))
+      .select(col("doc_id"), col("grp"), col("i"), col("tok"))
+    val ph = ns.groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("plen"),
+        concat_ws(" ", expr(
+          "transform(sort_array(collect_list(struct(i, tok))), " +
+            "x -> x.tok)")).as("phrase"))
+      .filter(col("plen") <= rakeMaxLen)
+    val phTok = ns.join(ph, Seq("doc_id", "grp"))
+      .select(col("doc_id"), col("grp"), col("tok"), col("plen"),
+        col("phrase"))
+    val ws = phTok.groupBy(col("tok"))
+      .agg(expr("(1000000L * sum(plen)) DIV count(1)").as("wscore"))
+    val inst = phTok.join(ws, "tok")
+      .groupBy(col("doc_id"), col("grp"), col("phrase"))
+      .agg(sum(col("wscore")).as("sc"))
+    inst.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occur"), min(col("sc")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("phrase"))
+      .limit(rakeTopK)
+  }
+
+  val keyphraseSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+       |  FROM documents
+       |), tok AS (
+       |  SELECT doc_id, u.i AS i, ts[u.i] AS tok
+       |  FROM d, unnest(range(1, len(ts) + 1)) u(i)
+       |), ns AS (
+       |  SELECT doc_id, i, tok,
+       |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+       |  FROM tok WHERE tok NOT IN ($stopList)
+       |), ph AS (
+       |  SELECT doc_id, grp, count(*) AS plen,
+       |         string_agg(tok, ' ' ORDER BY i) AS phrase
+       |  FROM ns GROUP BY 1, 2 HAVING count(*) <= $rakeMaxLen
+       |), pt AS (
+       |  SELECT ns.doc_id, ns.grp, ns.tok, ph.plen, ph.phrase
+       |  FROM ns JOIN ph USING (doc_id, grp)
+       |), ws AS (
+       |  SELECT tok,
+       |    CAST((1000000 * sum(plen)) // count(*) AS BIGINT) AS wscore
+       |  FROM pt GROUP BY 1
+       |), inst AS (
+       |  SELECT pt.doc_id, pt.grp, pt.phrase,
+       |         CAST(sum(ws.wscore) AS BIGINT) AS sc
+       |  FROM pt JOIN ws USING (tok) GROUP BY 1, 2, 3
+       |)
+       |SELECT phrase, CAST(count(*) AS BIGINT) AS n_occur,
+       |       CAST(min(sc) AS BIGINT) AS score_micro
+       |FROM inst GROUP BY 1
+       |ORDER BY score_micro DESC, phrase ASC LIMIT $rakeTopK""".stripMargin
+
   // ---- txt_phrase_merge ---------------------------------------------
 
   /** Ordered merge table ≙ a trained BPE/phrase vocabulary: pair

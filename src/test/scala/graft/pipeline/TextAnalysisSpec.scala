@@ -33,6 +33,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(n.getInt(0) == 2 && n.getInt(1) == 1)
   }
 
+  test("keyphrase: hand-replayed RAKE — islands split at stopwords, " +
+       "over-cap runs excluded, deg/freq in exact micro-units") {
+    val s = spark; import s.implicits._
+    // d1 runs: [deep learning] [deep networks] [fun]; d2's 5-token run
+    // b..f exceeds rakeMaxLen=4 and is excluded OUTRIGHT (its words
+    // must not reach the word stats). deep: freq 3, deg 6 -> 2e6;
+    // learning 2e6; networks 2e6; fun 1e6.
+    assert(TextAnalysis.rakeMaxLen == 4, "cap change must retune this spec")
+    val docs = Seq(
+      (1L, "deep learning of deep networks is fun"),
+      (2L, "deep learning and b c d e f"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.keyphraseFrom(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("deep learning", 2L, 4000000L),
+      ("deep networks", 1L, 4000000L),
+      ("fun", 1L, 1000000L)))
+  }
+
   test("langid picks the best-scoring marker language deterministically") {
     val r = TextAnalysis.langid(spark, sfDir).collect()
     assert(r.length == 500)
