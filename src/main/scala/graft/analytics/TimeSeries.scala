@@ -629,6 +629,127 @@ object TimeSeries {
        |FROM s ORDER BY lag""".stripMargin
   }
 
+  // ---- q_xcorr: lead-lag cross-correlation between event types -------
+
+  /** Largest lead the CCF reports (hour buckets). */
+  val xcorrMaxLag = 3
+
+  /** CROSS-correlation function between event-type activity series —
+    * the lead–lag diagnostic q_autocorr can't answer (autocorr: does a
+    * series remember ITSELF; this: does type a's activity at hour t
+    * predict type b's at t+ℓ — the "views lead purchases by an hour"
+    * question behind alerting and causal-ordering heuristics). Series
+    * are per-(type, hour-bucket) event counts DENSIFIED over the full
+    * corpus bucket span (a missing bucket is an observed ZERO — joining
+    * only existing buckets would silently bias every correlation
+    * upward), then each ordered pair (a ≠ b) at lags 0..`xcorrMaxLag`
+    * pools Pearson over the overlap region under the q_corr exact-sum
+    * discipline: integer count sums in DECIMAL(38,0) ≙ HUGEINT, one
+    * identical closed formula under q6, zero-variance → NULL (the
+    * ANSI-divide lesson).
+    *
+    * 100 TB shape: ONE corpus scan folds to the (types × buckets)
+    * count relation — map-combinable, tiny (5 types × hours) — and
+    * everything after runs on that relation: the dense spine is a
+    * sequence explode against 1-row bounds, the lag alignment a keyed
+    * equi-join on the bucket, the CCF a map-combinable
+    * (a, b, lag)-group aggregation. No second corpus scan, no window.
+    */
+  def qXcorr(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    xcorrFrom(Graft.table(spark, sfDir, "events"))
+  }
+
+  private[graft] def xcorrFrom(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val cnt = events
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type").as("et"),
+        expr("graft_ts_us(ts) DIV 3600000000").as("h"))
+      .groupBy(col("et"), col("h")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val spine = cnt.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("h"))
+    val dense = cnt.select(col("et")).distinct().crossJoin(spine)
+      .join(cnt, Seq("et", "h"), "left")
+      .select(col("et"), col("h"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .localCheckpoint()
+    val lags = (0 to xcorrMaxLag)
+      .map(l => spark.range(l, l + 1).select(col("id").as("lag")))
+      .reduce(_ unionAll _)
+    val a = dense.select(col("et").as("type_a"), col("h"),
+      col("c").cast("decimal(18,0)").as("x"))
+    val b = dense.select(col("et").as("type_b"), col("h").as("hb"),
+      col("c").cast("decimal(18,0)").as("y"))
+    a.crossJoin(lags)
+      .join(b, col("hb") === col("h") + col("lag"))
+      .filter(col("type_a") =!= col("type_b"))
+      .groupBy(col("type_a"), col("type_b"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("type_a"), col("type_b"), col("lag"), col("n_pairs"),
+        graft.pipeline.ParityMath.q6(expr(
+          """IF((sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+            |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            |    * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+            |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) = 0.0,
+            |   CAST(NULL AS DOUBLE),
+            |   (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+            |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            |   / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+            |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            |      * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+            |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))"""
+            .stripMargin)).as("xcf"))
+      .orderBy(col("type_a"), col("type_b"), col("lag"))
+  }
+
+  val qXcorrSql: String =
+    s"""WITH cnt AS (
+       |  SELECT event_type AS et, epoch_us(ts) // 3600000000 AS h,
+       |         CAST(count(*) AS BIGINT) AS c
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+       |  GROUP BY 1, 2
+       |), spine AS (
+       |  SELECT unnest(range(min(h), max(h) + 1)) AS h FROM cnt
+       |), dense AS (
+       |  SELECT t.et, s.h, coalesce(c.c, 0) AS c
+       |  FROM (SELECT DISTINCT et FROM cnt) t
+       |  CROSS JOIN spine s
+       |  LEFT JOIN cnt c ON c.et = t.et AND c.h = s.h
+       |), s AS (
+       |  SELECT a.et AS type_a, b.et AS type_b, l.lag,
+       |    CAST(count(*) AS BIGINT) AS n_pairs,
+       |    sum(CAST(a.c AS HUGEINT)) AS sx, sum(CAST(b.c AS HUGEINT)) AS sy,
+       |    sum(CAST(a.c AS HUGEINT) * b.c) AS sxy,
+       |    sum(CAST(a.c AS HUGEINT) * a.c) AS sxx,
+       |    sum(CAST(b.c AS HUGEINT) * b.c) AS syy
+       |  FROM dense a
+       |  CROSS JOIN (SELECT unnest(range(0, ${xcorrMaxLag + 1})) AS lag) l
+       |  JOIN dense b ON b.h = a.h + l.lag AND a.et <> b.et
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT type_a, type_b, CAST(lag AS BIGINT) AS lag, n_pairs,
+       |  ${graft.pipeline.ParityMath.q6Sql(
+            """(CASE WHEN (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+              |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              |         * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+              |                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) = 0.0
+              |  THEN NULL
+              |  ELSE (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+              |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              |       / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+              |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              |          * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+              |                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+              |  END)""".stripMargin)} AS xcf
+       |FROM s ORDER BY type_a, type_b, lag""".stripMargin
+
   // ---- q_anomaly: rolling z-score outlier detection ------------------
 
   /** Baseline window (strictly-preceding observations) and the minimum

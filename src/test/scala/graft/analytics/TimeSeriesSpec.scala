@@ -239,6 +239,35 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("xcorr: a one-hour-shifted copy correlates exactly 1.0 at " +
+       "lag 1; densification counts missing buckets as zero") {
+    val s = spark; import s.implicits._
+    graft.core.Graft.ensureConf(spark)
+    // type aa: hourly counts [1,2,3,4] over hours 0..3; type bb: the
+    // SAME ramp one hour later (hours 1..4). The corpus spine is
+    // hours 0..4, so densified aa = [1,2,3,4,0] and bb = [0,1,2,3,4]
+    // - the trailing/leading zeros exist only through densification,
+    // and without them lag-0 would not be exactly 0.
+    def burst(et: String, hour: Int, c: Int) = (0 until c).map(i =>
+      (new java.sql.Timestamp(hour * 3600000L + i), et))
+    val rows = ((0 until 4).flatMap(h => burst("aa", h, h + 1)) ++
+      (0 until 4).flatMap(h => burst("bb", h + 1, h + 1)))
+      .toDF("ts", "event_type")
+    val got = TimeSeries.xcorrFrom(rows).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        ((r.getLong(3), if (r.isNullAt(4)) Double.NaN else r.getDouble(4))))
+      .toMap
+    assert(got(("aa", "bb", 1L)) == ((4L, 1.0)),
+      "the shifted copy must correlate exactly 1.0 at its lead")
+    // hand-replay lag 0: x=[1,2,3,4,0], y=[0,1,2,3,4] -> numerator
+    // 5*20 - 10*10 = 0 exactly
+    assert(got(("aa", "bb", 0L)) == ((5L, 0.0)))
+    // reverse direction, lag 1: x=[0,1,2,3], y=[2,3,4,0] ->
+    // -10/sqrt(700) = -0.377964...
+    val (n, c) = got(("bb", "aa", 1L))
+    assert(n == 4L && math.abs(c - (-0.377964)) < 2e-6)
+  }
+
   test("trending: lift ranks recent-vs-prior day counts; older-only " +
        "objects are excluded") {
     val s = spark; import s.implicits._
