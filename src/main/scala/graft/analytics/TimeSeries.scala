@@ -660,14 +660,30 @@ object TimeSeries {
     xcorrFrom(Graft.table(spark, sfDir, "events"))
   }
 
-  private[graft] def xcorrFrom(events: DataFrame): DataFrame = {
-    val spark = events.sparkSession
-    val cnt = events
+  private[graft] def xcorrFrom(events: DataFrame): DataFrame =
+    xcorrFromBuckets(xcorrBuckets(events))
+
+  /** The per-(type, hour) count relation — the ADDITIVE fact the
+    * streaming and store faces accumulate (counts merge by plain sum
+    * under any batch split of the events).
+    */
+  private[graft] def xcorrBuckets(events: DataFrame): DataFrame =
+    events
       .filter(col("ts").isNotNull && col("event_type").isNotNull)
       .select(col("event_type").as("et"),
         expr("graft_ts_us(ts) DIV 3600000000").as("h"))
       .groupBy(col("et"), col("h")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+
+  /** The densify + lag-align + pooled-Pearson view over any
+    * (et, h, c) bucket relation — shared by the batch face and the
+    * streaming/store faces (the CCF is an evolving-answer quantity:
+    * one arriving event shifts its bucket and thereby every pair the
+    * bucket participates in, so only the bucket counts are storable
+    * state).
+    */
+  private[graft] def xcorrFromBuckets(cnt0: DataFrame): DataFrame = {
+    val spark = cnt0.sparkSession
+    val cnt = cnt0.localCheckpoint()
     val spine = cnt.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
       .select(explode(expr("sequence(lo, hi)")).as("h"))
     val dense = cnt.select(col("et")).distinct().crossJoin(spine)

@@ -631,6 +631,60 @@ object SignatureStore {
     storedDecay(spark, store)
   }
 
+  // ---- xcorr store ---------------------------------------------------
+
+  /** Incremental CCF store: per-batch (type, hour) partial counts —
+    * ADDITIVE under any batch split (plain sums), the decay store's
+    * structure on the correlation axis — with the densify/align/
+    * Pearson chain a query-time VIEW through the batch
+    * `xcorrFromBuckets` (one arriving event shifts its bucket and
+    * every pair that bucket touches, so no per-batch correlation
+    * could ever be unioned).
+    */
+  def catchUpXcorr(spark: SparkSession, watchDir: String,
+                   storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val ev = spark.readStream.schema(schema).parquet(watchDir)
+    val q = ev.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.analytics.TimeSeries.xcorrBuckets(batch)
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/hour_counts/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  def storedXcorr(spark: SparkSession, storeDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val b = storedOrEmpty(spark, s"$storeDir/hour_counts",
+      emptyLike(spark, spark.range(0).selectExpr(
+        "CAST(id AS STRING) AS et", "id AS h", "id AS c")))
+    graft.analytics.TimeSeries.xcorrFromBuckets(
+      b.groupBy(col("et"), col("h")).agg(sum(col("c")).as("c")))
+  }
+
+  /** Driver-gate face: parity-split appends (the same (type, hour)
+    * bucket accumulates across batches), then the query-time view;
+    * shares `q_xcorr`'s oracle.
+    */
+  def gatedXcorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_xcorr_watch")
+    val store = tempDirForExit("graft_gate_xcorr_store")
+    val ev = Graft.table(spark, sfDir, "events")
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpXcorr(spark, watch, store)
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpXcorr(spark, watch, store)
+    storedXcorr(spark, store)
+  }
+
   // ---- rfm store -----------------------------------------------------
 
   /** Incremental RFM: each arriving orders batch lands its per-customer

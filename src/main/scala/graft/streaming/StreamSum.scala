@@ -1278,6 +1278,23 @@ object StreamSum {
       runToTable(buckets, OutputMode.Complete(), "ss_stream_decay"))
   }
 
+  /** Streaming face of the lead–lag CCF, sharing `q_xcorr`'s oracle:
+    * the streamed state is the per-(type, hour) count — an ordinary
+    * streaming aggregation, state bounded at types × live hours — and
+    * the densify/align/Pearson chain is evaluated over the final
+    * snapshot via literally the batch `xcorrFromBuckets` (one arriving
+    * event shifts its bucket and every pair that bucket touches, so
+    * the CCF itself is never storable state — the decay face's
+    * evolving-answer contract on the correlation axis).
+    */
+  def streamXcorr(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.core.Graft.ensureConf(spark)
+    val buckets = graft.analytics.TimeSeries.xcorrBuckets(
+      streamingEvents(spark, sfDir))
+    graft.analytics.TimeSeries.xcorrFromBuckets(
+      runToTable(buckets, OutputMode.Complete(), "ss_stream_xcorr"))
+  }
+
   /** Streaming admission face of the entropy signal, sharing
     * `txt_entropy`'s oracle: the score is within-row (the whole point
     * of the in-row formulation), so arriving docs are scored by

@@ -444,6 +444,15 @@ class SignatureStoreSpec extends SparkSpec {
     assert(stored == oneShot)
   }
 
+  test("xcorr store: parity-split bucket partials sum to the one-shot " +
+       "CCF") {
+    val oneShot = graft.analytics.TimeSeries.qXcorr(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val stored = SignatureStore.gatedXcorr(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(stored == oneShot)
+  }
+
   test("markov store: the junction transition between batches is " +
        "stitched from boundary records") {
     val watch = Files.createTempDirectory("graft_mkv_watch").toString
