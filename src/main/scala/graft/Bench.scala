@@ -49,11 +49,12 @@ object Bench {
     "q_ewma", "q_holt", "q_forecast_eval", "q_autocorr", "q_anomaly",
     "q_funnel", "q_cohort", "q_pagerank", "q_ppr",
     "q_decay_count", "q_trending", "q_markov", "ss_stream_ewma",
-    "q_paths", "q_seasonality", "q_changepoint", "q_psi_drift",
+    "q_paths", "q_seasonality", "q_stl", "q_changepoint", "q_psi_drift",
     "q_histogram", "q_gini",
     "q_rfm",
     "q_skyline", "q_grouping_sets", "q_seq_pattern",
-    "q_triangles", "q_kcore", "q_session_overlap",
+    "q_triangles", "q_kcore", "q_linkpred", "q_lpa", "q_xcorr",
+    "q_session_overlap",
     // training-data pipeline
     "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard", "dd_jaccard_prefix",
     "dd_containment", "dd_simhash",
@@ -70,14 +71,14 @@ object Bench {
     "q_cms_sliding_prod", "q_cms_join_card_prod", "q_cms_f2_prod",
     "q_kmv_jaccard_prod", "q_kmv_retention_prod",
     "txt_stats", "txt_readability", "txt_fingerprint", "txt_repetition",
-    "txt_bpe_learn",
+    "txt_bpe_learn", "txt_keyphrase",
     "txt_bpe_encode", "txt_bm25", "q_hybrid_rrf", "q_retrieval_eval",
     "txt_bigram_nll", "txt_backoff_nll", "txt_tfidf", "txt_entropy",
     "txt_zipf",
     "mm_binary_stats", "mm_bmp_decode", "mm_resize", "mm_ahash_pairs",
     "mm_wav_decode",
     "mm_png_decode", "mm_jpeg_decode", "mm_avi_frames", "mm_avi_av",
-    "mm_scene_cut",
+    "mm_scene_cut", "mm_audio_pitch",
     "pipe_corpus_clean",
     "pipe_decontaminate", "pipe_decont_bloom", "pipe_dedup_apply",
     "pipe_quality_gate", "pipe_quality_prune", "pipe_qclf_score",
@@ -103,8 +104,9 @@ object Bench {
     "q_attribution",
     "q_ewma", "q_holt", "q_forecast_eval", "q_autocorr", "q_anomaly",
     "q_funnel", "q_cohort", "q_pagerank", "q_ppr", "q_trending", "q_markov", "ss_stream_ewma",
-    "q_paths", "q_seasonality", "q_changepoint", "q_psi_drift",
+    "q_paths", "q_seasonality", "q_stl", "q_changepoint", "q_psi_drift",
     "q_seq_pattern", "q_gini", "q_triangles", "q_kcore",
+    "q_linkpred", "q_lpa", "q_xcorr",
     "q_cms_topk", "q_cms_topk_prod", "q_cms_sliding", "q_cms_sliding_prod",
     "q_hll_sliding", "q_hll_sliding_prod", "q_qtile_sliding",
     "q_kmv_jaccard_prod", "q_kmv_retention_prod",
@@ -120,13 +122,14 @@ object Bench {
   val corpusHeadline: Seq[String] = Seq(
     "dd_minhash_lsh", "dd_jaccard_prefix", "dd_semantic", "txt_bigram_nll",
     "pipe_quality_gate", "ann_ivf_quant", "ann_ivf_pq", "ann_knn_join",
-    "txt_stats", "txt_readability", "pipe_embed_prune", "txt_bpe_encode",
+    "txt_stats", "txt_readability", "txt_keyphrase", "pipe_embed_prune",
+    "txt_bpe_encode",
     "txt_bm25", "q_hybrid_rrf", "q_retrieval_eval", "txt_backoff_nll",
     // the real-codec mapPartitions path: per-row cost must stay flat
     // as docs scale (narrow, no shuffle - the slope IS the claim)
     "mm_bmp_decode", "mm_resize", "mm_ahash_pairs", "mm_png_decode",
     "mm_jpeg_decode",
-    "mm_avi_frames", "mm_avi_av", "mm_scene_cut",
+    "mm_avi_frames", "mm_avi_av", "mm_scene_cut", "mm_audio_pitch",
     // the compressed codecs: deflate/inflate (PNG) and FDCT+Huffman
     // (JPEG) dominate, so the per-row cost claim is stronger than
     // BMP's raw-raster one

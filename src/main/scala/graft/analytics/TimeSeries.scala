@@ -766,6 +766,110 @@ object TimeSeries {
               |  END)""".stripMargin)} AS xcf
        |FROM s ORDER BY type_a, type_b, lag""".stripMargin
 
+  // ---- q_stl: trend-removed seasonal decomposition -------------------
+
+  /** STL-lite seasonal decomposition of the TOTAL hourly activity
+    * series — the trend-removal member next to `q_seasonality`'s raw
+    * hour-of-week profile (a raw profile conflates "busy hour" with
+    * "the corpus grew during the afternoon half of its span"; removing
+    * the trend first is what makes the seasonal index honest, which
+    * the spec proves by planting a steep linear trend that must cancel
+    * EXACTLY). Classical decomposition, exact integers throughout:
+    *
+    *   - trend: centered 2×24-hour moving average, kept in units of
+    *     1/48 — T48(t) = Σ_{i=-12..11} c(t+i) + Σ_{i=-11..12} c(t+i) —
+    *     defined only where the full window exists (no padded edges);
+    *   - detrended, units of 1/48: D48(t) = 48·c(t) − T48(t);
+    *   - seasonal index per hour-of-day: the mean of D48 over that
+    *     hour's cells, emitted as the exact integer numerator sum plus
+    *     the ONE q6 double division.
+    *
+    * The series is densified over the corpus span (a missing hour is
+    * an observed zero — the q_xcorr argument). 100 TB shape: one
+    * corpus scan folds map-combinably to the hours-sized count
+    * relation; the windows and the 24-group rollup run over that TINY
+    * relation (corpus-span hours — ~10⁵ rows after years; the
+    * q_seasonality "window over the tiny matrix" posture, never a
+    * second scan).
+    */
+  def qStl(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    stlFrom(Graft.table(spark, sfDir, "events"))
+  }
+
+  private[graft] def stlFrom(events: DataFrame): DataFrame =
+    stlFromBuckets(stlBuckets(events))
+
+  /** The total-per-hour count relation — ADDITIVE, the streaming and
+    * store faces' only storable fact.
+    */
+  private[graft] def stlBuckets(events: DataFrame): DataFrame =
+    events.filter(col("ts").isNotNull)
+      .select(expr("graft_ts_us(ts) DIV 3600000000").as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("c"))
+
+  /** Densify + trend-remove + hour-of-day rollup over any (h, c)
+    * bucket relation — shared by the batch, streaming and store faces
+    * (one arriving event shifts its bucket, the trend line through it,
+    * and every cell's detrended value: the decomposition is never
+    * storable state).
+    */
+  private[graft] def stlFromBuckets(cnt0: DataFrame): DataFrame = {
+    val cnt = cnt0.localCheckpoint()
+    val dense = cnt.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("h"))
+      .join(cnt, Seq("h"), "left")
+      .select(col("h"), coalesce(col("c"), lit(0L)).as("c"))
+    val wa = Window.orderBy(col("h")).rowsBetween(-12, 11)
+    val wb = Window.orderBy(col("h")).rowsBetween(-11, 12)
+    dense
+      .select(col("h"), col("c"),
+        sum(col("c")).over(wa).as("s1"), count(lit(1)).over(wa).as("n1"),
+        sum(col("c")).over(wb).as("s2"), count(lit(1)).over(wb).as("n2"))
+      .filter(col("n1") === 24 && col("n2") === 24)
+      .select(pmod(col("h"), lit(24)).as("hod"),
+        (col("c") * 48 - col("s1") - col("s2")).as("d48"))
+      .groupBy(col("hod"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("d48")).as("d48_sum"))
+      .select(col("hod"), col("n_cells"), col("d48_sum"),
+        graft.pipeline.ParityMath.q6(
+          col("d48_sum").cast("double") /
+            (lit(48.0) * col("n_cells").cast("double"))).as("seasonal"))
+      .orderBy(col("hod"))
+  }
+
+  val qStlSql: String =
+    s"""WITH cnt AS (
+       |  SELECT epoch_us(ts) // 3600000000 AS h,
+       |         CAST(count(*) AS BIGINT) AS c
+       |  FROM events WHERE ts IS NOT NULL GROUP BY 1
+       |), dense AS (
+       |  SELECT s.h, coalesce(c.c, 0) AS c
+       |  FROM (SELECT unnest(range(min(h), max(h) + 1)) AS h FROM cnt) s
+       |  LEFT JOIN cnt c ON c.h = s.h
+       |), w AS (
+       |  SELECT h, c,
+       |    sum(c) OVER wa AS s1, count(*) OVER wa AS n1,
+       |    sum(c) OVER wb AS s2, count(*) OVER wb AS n2
+       |  FROM dense
+       |  WINDOW wa AS (ORDER BY h ROWS BETWEEN 12 PRECEDING
+       |                AND 11 FOLLOWING),
+       |         wb AS (ORDER BY h ROWS BETWEEN 11 PRECEDING
+       |                AND 12 FOLLOWING)
+       |), d AS (
+       |  SELECT h % 24 AS hod, 48 * c - s1 - s2 AS d48
+       |  FROM w WHERE n1 = 24 AND n2 = 24
+       |), g AS (
+       |  SELECT hod, CAST(count(*) AS BIGINT) AS n_cells,
+       |         CAST(sum(d48) AS BIGINT) AS d48_sum
+       |  FROM d GROUP BY 1
+       |)
+       |SELECT hod, n_cells, d48_sum,
+       |  ${graft.pipeline.ParityMath.q6Sql(
+            "(CAST(d48_sum AS DOUBLE) / (48.0 * CAST(n_cells AS DOUBLE)))"
+          )} AS seasonal
+       |FROM g ORDER BY hod""".stripMargin
+
   // ---- q_anomaly: rolling z-score outlier detection ------------------
 
   /** Baseline window (strictly-preceding observations) and the minimum

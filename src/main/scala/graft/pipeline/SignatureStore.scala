@@ -685,6 +685,55 @@ object SignatureStore {
     storedXcorr(spark, store)
   }
 
+  // ---- stl store -----------------------------------------------------
+
+  /** Incremental STL store: per-batch total-per-hour partial counts
+    * (ADDITIVE under any batch split) with the densify/trend/seasonal
+    * chain a query-time VIEW through the batch `stlFromBuckets` —
+    * the xcorr store's structure on the decomposition axis.
+    */
+  def catchUpStl(spark: SparkSession, watchDir: String,
+                 storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val ev = spark.readStream.schema(schema).parquet(watchDir)
+    val q = ev.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.analytics.TimeSeries.stlBuckets(batch)
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/hour_counts/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  def storedStl(spark: SparkSession, storeDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val b = storedOrEmpty(spark, s"$storeDir/hour_counts",
+      emptyLike(spark, spark.range(0).selectExpr("id AS h", "id AS c")))
+    graft.analytics.TimeSeries.stlFromBuckets(
+      b.groupBy(col("h")).agg(sum(col("c")).as("c")))
+  }
+
+  /** Driver-gate face: parity-split appends, then the query-time
+    * view; shares `q_stl`'s oracle.
+    */
+  def gatedStl(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_stl_watch")
+    val store = tempDirForExit("graft_gate_stl_store")
+    val ev = Graft.table(spark, sfDir, "events")
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpStl(spark, watch, store)
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpStl(spark, watch, store)
+    storedStl(spark, store)
+  }
+
   // ---- rfm store -----------------------------------------------------
 
   /** Incremental RFM: each arriving orders batch lands its per-customer

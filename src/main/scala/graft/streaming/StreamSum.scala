@@ -1295,6 +1295,22 @@ object StreamSum {
       runToTable(buckets, OutputMode.Complete(), "ss_stream_xcorr"))
   }
 
+  /** Streaming face of the STL-lite decomposition, sharing `q_stl`'s
+    * oracle: the streamed state is the total-per-hour count (ordinary
+    * streaming aggregation, state bounded at live hours); the
+    * densify/trend/seasonal chain runs over the final snapshot via
+    * literally the batch `stlFromBuckets` (one arriving event shifts
+    * its bucket, the trend line through it, and every cell's
+    * detrended value — the decomposition is never storable state).
+    */
+  def streamStl(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.core.Graft.ensureConf(spark)
+    val buckets = graft.analytics.TimeSeries.stlBuckets(
+      streamingEvents(spark, sfDir))
+    graft.analytics.TimeSeries.stlFromBuckets(
+      runToTable(buckets, OutputMode.Complete(), "ss_stream_stl"))
+  }
+
   /** Streaming admission face of the entropy signal, sharing
     * `txt_entropy`'s oracle: the score is within-row (the whole point
     * of the in-row formulation), so arriving docs are scored by

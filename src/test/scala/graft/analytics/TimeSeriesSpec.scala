@@ -268,6 +268,30 @@ class TimeSeriesSpec extends SparkSpec {
     assert(n == 4L && math.abs(c - (-0.377964)) < 2e-6)
   }
 
+  test("stl: a steep linear trend cancels EXACTLY and the planted " +
+       "daily pattern comes back mean-centered") {
+    val s = spark; import s.implicits._
+    graft.core.Graft.ensureConf(spark)
+    // c(t) = 5t + (24 if t%24==0 else 0) over hours 0..71. The 2x24
+    // centered MA reproduces a linear trend exactly at the center, so
+    // D48(t) = 48*p(t%24) - 2*sum(pattern) regardless of the slope:
+    // hod 0 -> 23.0, every other hod -> -1.0, each over 2 full-window
+    // cells (t in [12, 59]).
+    val rows = (0 until 72).flatMap { t =>
+      val c = 5 * t + (if (t % 24 == 0) 24 else 0)
+      (0 until c).map(i => new java.sql.Timestamp(t * 3600000L + i))
+    }.map(Tuple1(_)).toDF("ts")
+    val got = TimeSeries.stlFrom(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got.size == 24)
+    assert(got(0L) == ((2L, 2208L, 23.0)))
+    (1L until 24L).foreach { h =>
+      assert(got(h) == ((2L, -96L, -1.0)),
+        s"hod $h must carry the exact mean-centered pattern")
+    }
+  }
+
   test("trending: lift ranks recent-vs-prior day counts; older-only " +
        "objects are excluded") {
     val s = spark; import s.implicits._

@@ -444,6 +444,15 @@ class SignatureStoreSpec extends SparkSpec {
     assert(stored == oneShot)
   }
 
+  test("stl store: parity-split bucket partials sum to the one-shot " +
+       "decomposition") {
+    val oneShot = graft.analytics.TimeSeries.qStl(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val stored = SignatureStore.gatedStl(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(stored == oneShot)
+  }
+
   test("xcorr store: parity-split bucket partials sum to the one-shot " +
        "CCF") {
     val oneShot = graft.analytics.TimeSeries.qXcorr(spark, sfDir)

@@ -201,6 +201,12 @@ class FeatureStreamSpec extends SparkSpec {
       rows(graft.analytics.Graph.qLpa(spark, sfDir)))
   }
 
+  test("ss_stream_stl == q_stl") {
+    assert(StreamSum.streamStl(spark, sfDir).collect().map(_.toSeq).toSeq
+      == graft.analytics.TimeSeries.qStl(spark, sfDir)
+        .collect().map(_.toSeq).toSeq)
+  }
+
   test("ss_stream_xcorr == q_xcorr") {
     assert(StreamSum.streamXcorr(spark, sfDir).collect().map(_.toSeq).toSeq
       == graft.analytics.TimeSeries.qXcorr(spark, sfDir)
