@@ -685,6 +685,59 @@ object SignatureStore {
     storedXcorr(spark, store)
   }
 
+  // ---- keyphrase store ----------------------------------------------
+
+  /** Incremental RAKE store: each arriving batch tokenizes its docs
+    * ONCE and lands the per-doc phrase-token facts (docs immutable →
+    * disjoint appends, the simhash-store discipline); word deg/freq,
+    * phrase scores and the top-k are a query-time VIEW through the
+    * batch `rakeScore` — one arriving doc shifts every word's stats
+    * and thereby every phrase's score, so scores are never storable
+    * state (the bm25-store evolving-answer contract on the keyword
+    * axis).
+    */
+  def catchUpKeyphrase(spark: SparkSession, watchDir: String,
+                       storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val docs = spark.readStream.schema(schema).parquet(watchDir)
+    val q = docs.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        TextAnalysis.rakePhraseTokens(batch)
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/phtok/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  def storedKeyphrase(spark: SparkSession, storeDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    TextAnalysis.rakeScore(storedOrEmpty(spark, s"$storeDir/phtok",
+      emptyLike(spark, spark.range(0).selectExpr("id AS doc_id",
+        "id AS grp", "CAST(id AS STRING) AS tok", "id AS plen",
+        "CAST(id AS STRING) AS phrase"))))
+  }
+
+  /** Driver-gate face: doc-parity appends, then the query-time view;
+    * shares `txt_keyphrase`'s oracle.
+    */
+  def gatedKeyphrase(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_rake_watch")
+    val store = tempDirForExit("graft_gate_rake_store")
+    val docs = Graft.table(spark, sfDir, "documents")
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpKeyphrase(spark, watch, store)
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpKeyphrase(spark, watch, store)
+    storedKeyphrase(spark, store)
+  }
+
   // ---- stl store -----------------------------------------------------
 
   /** Incremental STL store: per-batch total-per-hour partial counts

@@ -382,7 +382,16 @@ object TextAnalysis {
   def keyphrase(spark: SparkSession, sfDir: String): DataFrame =
     keyphraseFrom(Graft.tableParallel(spark, sfDir, "documents"))
 
-  private[graft] def keyphraseFrom(docs: DataFrame): DataFrame = {
+  private[graft] def keyphraseFrom(docs: DataFrame): DataFrame =
+    rakeScore(rakePhraseTokens(docs))
+
+  /** The per-doc candidate fact relation — one row per token instance
+    * inside a kept (≤ `rakeMaxLen`) stopword-free run, carrying its
+    * phrase and the phrase length. Docs are immutable, so the store
+    * face lands these ONCE per doc; everything corpus-global (word
+    * stats, phrase scores, the top-k) is downstream of this relation.
+    */
+  private[graft] def rakePhraseTokens(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), posexplode(expr(
         "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")))
@@ -398,9 +407,18 @@ object TextAnalysis {
           "transform(sort_array(collect_list(struct(i, tok))), " +
             "x -> x.tok)")).as("phrase"))
       .filter(col("plen") <= rakeMaxLen)
-    val phTok = ns.join(ph, Seq("doc_id", "grp"))
+    ns.join(ph, Seq("doc_id", "grp"))
       .select(col("doc_id"), col("grp"), col("tok"), col("plen"),
         col("phrase"))
+  }
+
+  /** Word stats + phrase scoring + top-k over any phrase-token fact
+    * relation — shared by the batch face and the store face's view
+    * (one arriving doc shifts every word's deg/freq and thereby every
+    * phrase's score: scores are never storable state).
+    */
+  private[graft] def rakeScore(phTok0: DataFrame): DataFrame = {
+    val phTok = phTok0.localCheckpoint()
     val ws = phTok.groupBy(col("tok"))
       .agg(expr("(1000000L * sum(plen)) DIV count(1)").as("wscore"))
     val inst = phTok.join(ws, "tok")

@@ -444,6 +444,15 @@ class SignatureStoreSpec extends SparkSpec {
     assert(stored == oneShot)
   }
 
+  test("keyphrase store: doc-parity landings serve the one-shot " +
+       "top-k through the evolving word stats") {
+    val oneShot = graft.pipeline.TextAnalysis.keyphrase(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val stored = SignatureStore.gatedKeyphrase(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(stored == oneShot)
+  }
+
   test("stl store: parity-split bucket partials sum to the one-shot " +
        "decomposition") {
     val oneShot = graft.analytics.TimeSeries.qStl(spark, sfDir)
