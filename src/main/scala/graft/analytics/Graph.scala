@@ -251,6 +251,99 @@ object Graph {
        |ORDER BY node_kind, node_id""".stripMargin
   }
 
+  // ---- q_hits: hubs and authorities -----------------------------------
+
+  /** HITS (Kleinberg 1999) over the DIRECTED user→object arcs — the
+    * mutual-reinforcement member next to the random-walk ranks: a
+    * hub is a user whose interactions point at strong objects, an
+    * authority an object pointed at by strong hubs. On the bipartite
+    * interaction graph the two roles separate exactly by side, which
+    * is why this face keeps the fwd arcs directed (PageRank walks
+    * both ways; HITS must not, or hubs and authorities collapse).
+    *
+    * Determinism scheme: scores in integer MICRO-shares. Each
+    * half-step sums the opposite side's scores along arcs, then
+    * normalizes to shares of 10⁶ with ONE floor division —
+    * a'(o) = (10⁶·Σ_{u→o} h(u)) DIV Σ_o Σ_{u→o} h(u) — so both
+    * engines see identical integers and the usual L2 normalization's
+    * irrational sqrt never appears (L1 vs L2 changes only the scale
+    * of the fixpoint, not its direction — the standard HITS
+    * invariance). Overflow bound: the 10⁶·raw numerator stays under
+    * 2⁶³ while #arcs < 9·10⁶ × maxdeg-adjusted bounds at gate scale;
+    * post-normalization iterations are bounded by 10⁶·maxdeg.
+    *
+    * 100 TB shape: per half-iteration ONE key-partitioned join of the
+    * arc relation against the node-sized score relation and one
+    * map-combinable keyed sum; the normalizer is a 1-row broadcast.
+    * Same Pregel-as-joins plan as the walk family, same session
+    * iteration knob.
+    */
+  def qHits(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    hitsFrom(fwdPairs(Transform.extract(spark, sfDir)),
+      iters = iterationsOf(spark))
+  }
+
+  /** The mutual-reinforcement iteration over any distinct directed
+    * (src, dst) arc relation — shared by the batch face and the
+    * 48m store's query-time view.
+    */
+  private[graft] def hitsFrom(fwdPairs: DataFrame,
+                              iters: Int = iterations): DataFrame = {
+    val fwd = fwdPairs.localCheckpoint()
+    var hubs = fwd.select(col("src")).distinct()
+      .withColumn("h", lit(1000000L))
+    var auth = fwd.select(col("dst")).distinct()
+      .withColumn("a", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val rawA = fwd.join(hubs, "src")
+        .groupBy(col("dst")).agg(sum(col("h")).as("ra"))
+      auth = rawA.crossJoin(broadcast(rawA.agg(sum(col("ra")).as("at"))))
+        .select(col("dst"), expr("(1000000L * ra) DIV at").as("a"))
+      val rawH = fwd.join(auth, "dst")
+        .groupBy(col("src")).agg(sum(col("a")).as("rh"))
+      hubs = rawH.crossJoin(broadcast(rawH.agg(sum(col("rh")).as("ht"))))
+        .select(col("src"), expr("(1000000L * rh) DIV ht").as("h"))
+    }
+    hubs.select(lit("hub").as("role"), expr("src DIV 2").as("node_id"),
+        col("h").as("score_mu"))
+      .unionAll(auth.select(lit("auth").as("role"),
+        expr("dst DIV 2").as("node_id"), col("a").as("score_mu")))
+      .orderBy(col("role"), col("node_id"))
+  }
+
+  val qHitsSql: String = {
+    val steps = (1 to iterations).map { i =>
+      s"""ra$i AS (
+         |  SELECT f.dst, sum(h.h) AS ra
+         |  FROM fwd f JOIN h${i - 1} h ON f.src = h.src GROUP BY 1
+         |), a$i AS (
+         |  SELECT dst, (1000000 * ra) // (SELECT sum(ra) FROM ra$i) AS a
+         |  FROM ra$i
+         |), rh$i AS (
+         |  SELECT f.src, sum(a.a) AS rh
+         |  FROM fwd f JOIN a$i a ON f.dst = a.dst GROUP BY 1
+         |), h$i AS (
+         |  SELECT src, (1000000 * rh) // (SELECT sum(rh) FROM rh$i) AS h
+         |  FROM rh$i
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ${graft.oracle.Sql.tuplesCte},
+       |fwd AS (
+       |  SELECT DISTINCT 2 * s AS src, 2 * o + 1 AS dst FROM tuples
+       |),
+       |h0 AS (SELECT DISTINCT src, CAST(1000000 AS BIGINT) AS h FROM fwd),
+       |$steps
+       |SELECT 'hub' AS role, CAST(src // 2 AS BIGINT) AS node_id,
+       |  CAST(h AS BIGINT) AS score_mu
+       |FROM h$iterations
+       |UNION ALL
+       |SELECT 'auth' AS role, CAST(dst // 2 AS BIGINT) AS node_id,
+       |  CAST(a AS BIGINT) AS score_mu
+       |FROM a$iterations
+       |ORDER BY role, node_id""".stripMargin
+  }
+
   // ---- q_cooccur: item co-occurrence ---------------------------------
 
   /** Per-user degree cap and the minimum support for an emitted pair. */

@@ -1256,6 +1256,36 @@ object SignatureStore {
       edges.select(col("src"), col("dst")).distinct())
   }
 
+  /** HITS view over the same stored edge relation: hubs and
+    * authorities are the mutually-recursive fixpoint of the WHOLE
+    * directed arc set (one arriving arc shifts every normalizer), so
+    * the store's only fact stays the edge union and the
+    * reinforcement iteration runs at query time through the batch
+    * `hitsFrom` — one store, three rank views; shares `q_hits`'
+    * oracle.
+    */
+  def storedHits(spark: SparkSession, storeDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val edges = storedOrEmpty(spark, s"$storeDir/edges",
+      emptyLike(spark, spark.range(0).selectExpr("id AS src",
+        "id AS dst")))
+    graft.analytics.Graph.hitsFrom(
+      edges.select(col("src"), col("dst")).distinct())
+  }
+
+  def gatedHits(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_hits_watch")
+    val store = tempDirForExit("graft_gate_hits_store")
+    val ev = Graft.table(spark, sfDir, "events")
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpGraph(spark, watch, store)
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpGraph(spark, watch, store)
+    storedHits(spark, store)
+  }
+
   def gatedPpr(spark: SparkSession, sfDir: String): DataFrame = {
     val watch = tempDirForExit("graft_gate_ppr_watch")
     val store = tempDirForExit("graft_gate_ppr_store")

@@ -159,6 +159,49 @@ class GraphSpec extends SparkSpec {
     assert(stored == oneShot)
   }
 
+  test("hits: planted bipartite graph matches an exact driver replay " +
+       "of the normalized reinforcement iteration") {
+    // u1 -> {10, 20}, u2 -> {10}: o10 outranks o20 as an authority
+    // (two hubs point at it), u1 outranks u2 as a hub (it points at
+    // both authorities). Replay the exact integer half-steps on the
+    // driver and demand bit-equality.
+    val pairs = Seq((1L, 10L), (1L, 20L), (2L, 10L))
+    val arcs = pairs.map { case (u, o) => (2 * u, 2 * o + 1) }.distinct
+    var h = arcs.map(_._1).distinct.map(v => v -> 1000000L).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to Graph.iterations) {
+      val ra = arcs.groupBy(_._2).view.mapValues(_.map(e => h(e._1)).sum)
+        .toMap
+      val at = ra.values.sum
+      a = ra.view.mapValues(v => 1000000L * v / at).toMap
+      val rh = arcs.groupBy(_._1).view.mapValues(_.map(e => a(e._2)).sum)
+        .toMap
+      val ht = rh.values.sum
+      h = rh.view.mapValues(v => 1000000L * v / ht).toMap
+    }
+    val expected =
+      h.map { case (v, s) => ("hub", v / 2, s) }.toSet ++
+        a.map { case (v, s) => ("auth", v / 2, s) }
+    val got = Graph.hitsFrom(Graph.fwdPairs(
+        graft.core.Transform.extractFrom(eventsOf(pairs))))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    // the roles genuinely separate: the shared authority dominates,
+    // the two-arc hub dominates
+    val auth = got.filter(_._1 == "auth").map(t => t._2 -> t._3).toMap
+    val hubs = got.filter(_._1 == "hub").map(t => t._2 -> t._3).toMap
+    assert(auth(10L) > auth(20L) && hubs(1L) > hubs(2L))
+  }
+
+  test("hits store: parity-split edge landings serve the one-shot " +
+       "hubs/authorities view") {
+    val oneShot = Graph.qHits(spark, sfDir).collect().map(_.toSeq).toSeq
+    val stored = graft.pipeline.SignatureStore.gatedHits(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(stored == oneShot)
+  }
+
   test("cooccur: planted pairs count common users; cap excludes hot user") {
     val s = spark; import s.implicits._
     // users 1,2 both touch {10, 20} -> pair (10,20) cnt 2;
