@@ -870,6 +870,95 @@ object TimeSeries {
           )} AS seasonal
        |FROM g ORDER BY hod""".stripMargin
 
+  // ---- q_mannkendall: distribution-free monotone-trend test ----------
+
+  /** Mann–Kendall trend test (Mann 1945, Kendall 1975) over the DAILY
+    * total series — the hypothesis-test member of the trend family
+    * (Holt SMOOTHES the trend, STL removes it; this one asks "is
+    * there one at all" without assuming any distribution): S =
+    * Σ_{i<j} sign(x_j − x_i), reported with the concordant/discordant
+    * pair counts and Kendall's tau = S / pairs. Everything is exact
+    * integer counting except the ONE final q6 division, so both
+    * engines agree bitwise. The series is densified over the corpus
+    * span (a missing day is an observed zero — the q_xcorr argument;
+    * dropping empty days would bias S toward whatever surrounds
+    * them). Days, not hours, on purpose: the test is O(n²) pairs by
+    * definition, and the DAILY series keeps that bounded at any
+    * corpus scale (a decade is ~3.7k days → 6.6M pairs — trivial),
+    * where the hourly grid's 10¹⁰ pairs would make the statistic the
+    * bottleneck instead of the scan.
+    *
+    * 100 TB shape: one corpus scan folds map-combinably to the
+    * days-sized count relation; the pair join runs over that TINY
+    * relation (broadcast NLJ by construction — the q_seasonality
+    * "window over the tiny matrix" posture, never a second scan).
+    */
+  def qMannKendall(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    mkFromBuckets(mkBuckets(Graft.table(spark, sfDir, "events")))
+  }
+
+  /** The total-per-day count relation — ADDITIVE, the streaming
+    * face's only storable fact.
+    */
+  private[graft] def mkBuckets(events: DataFrame): DataFrame =
+    events.filter(col("ts").isNotNull)
+      .select(expr("graft_ts_us(ts) DIV 86400000000").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("c"))
+
+  /** Densify + sign-pair count over any (d, c) bucket relation —
+    * shared by the batch and streaming faces (one arriving event
+    * shifts its day and the sign of every pair that day touches: the
+    * statistic is never storable state).
+    */
+  private[graft] def mkFromBuckets(cnt0: DataFrame): DataFrame = {
+    val cnt = cnt0.localCheckpoint()
+    val dense = cnt.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("d"))
+      .join(cnt, Seq("d"), "left")
+      .select(col("d"), coalesce(col("c"), lit(0L)).as("c"))
+      .localCheckpoint()
+    val days = dense.agg(count(lit(1)).as("n_days"))
+    dense.select(col("d").as("d1"), col("c").as("c1"))
+      .join(dense.select(col("d").as("d2"), col("c").as("c2")),
+        col("d1") < col("d2"))
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum((col("c2") > col("c1")).cast("long")), lit(0L))
+          .as("conc"),
+        coalesce(sum((col("c2") < col("c1")).cast("long")), lit(0L))
+          .as("disc"))
+      .crossJoin(broadcast(days))
+      .select(col("n_days"), col("n_pairs"), col("conc"), col("disc"),
+        (col("conc") - col("disc")).as("s_stat"),
+        when(col("n_pairs") > 0, graft.pipeline.ParityMath.q6(
+          (col("conc") - col("disc")).cast("double") /
+            col("n_pairs").cast("double"))).as("tau"))
+  }
+
+  val qMannKendallSql: String =
+    s"""WITH cnt AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS d,
+       |         CAST(count(*) AS BIGINT) AS c
+       |  FROM events WHERE ts IS NOT NULL GROUP BY 1
+       |), dense AS (
+       |  SELECT s.d, coalesce(c.c, 0) AS c
+       |  FROM (SELECT unnest(range(min(d), max(d) + 1)) AS d FROM cnt) s
+       |  LEFT JOIN cnt c ON c.d = s.d
+       |), p AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(coalesce(sum(CASE WHEN b.c > a.c THEN 1 END), 0)
+       |      AS BIGINT) AS conc,
+       |    CAST(coalesce(sum(CASE WHEN b.c < a.c THEN 1 END), 0)
+       |      AS BIGINT) AS disc
+       |  FROM dense a JOIN dense b ON a.d < b.d
+       |), n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM dense)
+       |SELECT n_days, n_pairs, conc, disc,
+       |  CAST(conc - disc AS BIGINT) AS s_stat,
+       |  CASE WHEN n_pairs > 0 THEN ${graft.pipeline.ParityMath.q6Sql(
+            "CAST(conc - disc AS DOUBLE) / CAST(n_pairs AS DOUBLE)")}
+       |  END AS tau
+       |FROM p, n""".stripMargin
+
   // ---- q_anomaly: rolling z-score outlier detection ------------------
 
   /** Baseline window (strictly-preceding observations) and the minimum

@@ -1311,6 +1311,22 @@ object StreamSum {
       runToTable(buckets, OutputMode.Complete(), "ss_stream_stl"))
   }
 
+  /** Streaming face of the Mann–Kendall trend test, sharing
+    * `q_mannkendall`'s oracle: the streamed state is the
+    * total-per-day count (ordinary streaming aggregation, state
+    * bounded at live days); the densify + sign-pair chain runs over
+    * the final snapshot via literally the batch `mkFromBuckets` (one
+    * arriving event shifts its day and the sign of every pair that
+    * day touches — the statistic is never storable state).
+    */
+  def streamMannKendall(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.core.Graft.ensureConf(spark)
+    val buckets = graft.analytics.TimeSeries.mkBuckets(
+      streamingEvents(spark, sfDir))
+    graft.analytics.TimeSeries.mkFromBuckets(
+      runToTable(buckets, OutputMode.Complete(), "ss_stream_mannkendall"))
+  }
+
   /** Streaming admission face of the entropy signal, sharing
     * `txt_entropy`'s oracle: the score is within-row (the whole point
     * of the in-row formulation), so arriving docs are scored by

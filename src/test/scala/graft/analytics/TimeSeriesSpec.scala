@@ -292,6 +292,31 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("mannkendall: sign pairs count over the DENSIFIED daily series " +
+       "(a gap day is an observed zero), ties excluded from both sides") {
+    val s = spark; import s.implicits._
+    graft.core.Graft.ensureConf(spark)
+    // days 0,1,3 observed at 1,5,2 -> densified series [1,5,0,2]:
+    // pairs (1,5)+ (1,0)- (1,2)+ (5,0)- (5,2)- (0,2)+ -> S = 0 exactly
+    // BECAUSE the gap day counts as zero (dropping it would give S=1).
+    val mixed = TimeSeries.mkFromBuckets(
+        Seq((0L, 1L), (1L, 5L), (3L, 2L)).toDF("d", "c"))
+      .collect().head
+    assert(mixed.toSeq.take(5) == Seq(4L, 6L, 3L, 3L, 0L))
+    assert(mixed.getDouble(5) == 0.0)
+    // strictly increasing -> every pair concordant, tau exactly 1
+    val up = TimeSeries.mkFromBuckets(
+        (0L to 3L).map(d => (d, d + 1)).toDF("d", "c"))
+      .collect().head
+    assert(up.toSeq.take(5) == Seq(4L, 6L, 6L, 0L, 6L))
+    assert(up.getDouble(5) == 1.0)
+    // all-tied series -> S = 0 with zero concordant AND discordant
+    val flat = TimeSeries.mkFromBuckets(
+        (0L to 2L).map(d => (d, 7L)).toDF("d", "c"))
+      .collect().head
+    assert(flat.toSeq.take(5) == Seq(3L, 3L, 0L, 0L, 0L))
+  }
+
   test("trending: lift ranks recent-vs-prior day counts; older-only " +
        "objects are excluded") {
     val s = spark; import s.implicits._
