@@ -1711,6 +1711,36 @@ object SignatureStore {
     storedBigramNll(spark, store)
   }
 
+  /** PMI-collocation view over the SAME lm2 store's additive bigram
+    * partials: the marginals and N are corpus-global (one arriving
+    * doc shifts every pair's PMI and can push pairs across the
+    * support floor), so the ranking runs at query time through the
+    * batch `pmiFromCounts` — one store, both the LM and the
+    * collocation views; shares `txt_pmi`'s oracle.
+    */
+  def storedPmi(spark: SparkSession, storeDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.sum
+    Graft.ensureConf(spark)
+    TextAnalysis.pmiFromCounts(
+      storedOrEmpty(spark, s"$storeDir/lm2_bigram_counts",
+        emptyLike(spark, spark.range(0)
+          .selectExpr("'' AS w1", "'' AS w2", "id AS n")))
+        .groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("cb")))
+  }
+
+  def gatedPmi(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_pmi_watch")
+    val store = tempDirForExit("graft_gate_pmi_store")
+    val docs = Graft.table(spark, sfDir, "documents")
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpLm2(spark, watch, store)
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpLm2(spark, watch, store)
+    storedPmi(spark, store)
+  }
+
   /** Incremental TF-IDF keyword store: each arriving documents batch
     * lands its per-(doc, term) counts — a document tokenizes exactly
     * once, ever. The df/idf side and the per-doc ranking are a

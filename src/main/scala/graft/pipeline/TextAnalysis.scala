@@ -1519,6 +1519,83 @@ object TextAnalysis {
        |  ON s.w1 = g.w1 AND s.w2 = g.w2
        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
+  // ---- txt_pmi: collocation mining ------------------------------------
+
+  /** Support floor (a hapax pair's PMI is pure noise — the classic
+    * Church & Hanks caveat) and the report size.
+    */
+  val pmiMinCount = 5L
+  val pmiTopK = 20
+
+  /** Pointwise-mutual-information COLLOCATIONS (Church & Hanks 1990)
+    * over adjacent token bigrams — the phrase-mining member of the
+    * text family (tfidf ranks what's characteristic of a DOCUMENT;
+    * this ranks which word PAIRS belong together corpus-wide: the
+    * signal behind multi-word-token vocabularies and template
+    * detection). All probabilities come from the bigram table itself
+    * (row marginal r(a) = Σ_b c(ab), column marginal s(b), N = Σ
+    * c(ab)), so PMI = ln(c·N / (r·s)) is a ratio of exact integer
+    * counts; it quantizes to integer micro-nats (the NLL family's
+    * floor(x·1e6 + 0.5) scheme) and the top-k order
+    * (pmi DESC, w1, w2) is total. Pairs below `pmiMinCount` are
+    * excluded BEFORE ranking.
+    *
+    * Shape at scale: the corpus is touched ONCE (in-row zip_with
+    * bigram stream → map-combinable (w1,w2) count); marginals and N
+    * fold from the bigram-vocabulary-sized relation, which is
+    * materialized once and joined keyed — no second scan, no window;
+    * the report is a TakeOrdered over the support-filtered vocab.
+    */
+  def pmi(spark: SparkSession, sfDir: String): DataFrame =
+    pmiFrom(Graft.tableParallel(spark, sfDir, "documents"))
+
+  /** PMI over any per-(w1, w2) bigram count relation — shared by the
+    * batch face and the incremental store face (whose stored per-batch
+    * bigram partials sum to exactly this relation).
+    */
+  private[graft] def pmiFromCounts(bf0: DataFrame): DataFrame = {
+    val bf = bf0.localCheckpoint()
+    val left = bf.groupBy(col("w1")).agg(sum(col("cb")).as("r"))
+    val right = bf.groupBy(col("w2")).agg(sum(col("cb")).as("s"))
+    val n = bf.agg(sum(col("cb")).as("nb"))
+    bf.filter(col("cb") >= pmiMinCount)
+      .join(left, "w1").join(right, "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("cb"), expr(
+        """CAST(floor(ln((CAST(cb AS DOUBLE) * CAST(nb AS DOUBLE))
+          |  / (CAST(r AS DOUBLE) * CAST(s AS DOUBLE))) * 1000000.0
+          |  + 0.5) AS BIGINT)""".stripMargin).as("pmi_mu"))
+      .orderBy(col("pmi_mu").desc, col("w1"), col("w2"))
+      .limit(pmiTopK)
+  }
+
+  private[graft] def pmiFrom(documents: DataFrame): DataFrame =
+    pmiFromCounts(bigramPairs(bigramDocToks(documents))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb")))
+
+  val pmiSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+       |  FROM documents
+       |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 2
+       |), bigrams AS (
+       |  SELECT ts[i] AS w1, ts[i + 1] AS w2
+       |  FROM d, unnest(range(1, len(ts))) u(i)
+       |), bf AS (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+       |  FROM bigrams GROUP BY w1, w2
+       |), lm AS (SELECT w1, sum(cb) AS r FROM bf GROUP BY w1),
+       |rm AS (SELECT w2, sum(cb) AS s FROM bf GROUP BY w2),
+       |n AS (SELECT sum(cb) AS nb FROM bf)
+       |SELECT b.w1, b.w2, b.cb,
+       |  CAST(floor(ln((CAST(b.cb AS DOUBLE) * CAST(n.nb AS DOUBLE))
+       |    / (CAST(lm.r AS DOUBLE) * CAST(rm.s AS DOUBLE))) * 1000000.0
+       |    + 0.5) AS BIGINT) AS pmi_mu
+       |FROM bf b
+       |JOIN lm ON lm.w1 = b.w1 JOIN rm ON rm.w2 = b.w2 CROSS JOIN n
+       |WHERE b.cb >= $pmiMinCount
+       |ORDER BY pmi_mu DESC, b.w1, b.w2 LIMIT $pmiTopK""".stripMargin
+
   // ---- txt_backoff_nll -----------------------------------------------
 
   /** Stupid Backoff backoff factor (Brants et al. 2007's α = 0.4),

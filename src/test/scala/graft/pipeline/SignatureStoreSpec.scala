@@ -453,6 +453,15 @@ class SignatureStoreSpec extends SparkSpec {
     assert(stored == oneShot)
   }
 
+  test("pmi store: the lm2 store's bigram partials serve the one-shot " +
+       "collocation report") {
+    val oneShot = graft.pipeline.TextAnalysis.pmi(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val stored = SignatureStore.gatedPmi(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(stored == oneShot)
+  }
+
   test("stl store: parity-split bucket partials sum to the one-shot " +
        "decomposition") {
     val oneShot = graft.analytics.TimeSeries.qStl(spark, sfDir)

@@ -8,6 +8,33 @@ import org.apache.spark.sql.functions._
   */
 class TextAnalysisSpec extends SparkSpec {
 
+  test("pmi: planted collocation table scores ln(c*N/(r*s)) in exact " +
+       "micro-nats; support floor excludes the hapax pair; ties break " +
+       "on the word order") {
+    val s = spark; import s.implicits._
+    // bigram table: (alpha,beta) 6, (alpha,gamma) 5, (delta,beta) 5,
+    // (x,y) 5, (p,q) 1 (below the floor). N=22, r(alpha)=11, r(delta)=5,
+    // r(x)=5, s(beta)=11, s(gamma)=5, s(y)=5. (alpha,gamma) and
+    // (delta,beta) tie exactly -> w1 order decides.
+    val docs = (
+      Seq.fill(6)("alpha beta") ++ Seq.fill(5)("alpha gamma") ++
+        Seq.fill(5)("delta beta") ++ Seq.fill(5)("x y") ++ Seq("p q"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def mu(c: Long, r: Long, sm: Long, n: Long): Long =
+      math.floor(math.log(c.toDouble * n / (r.toDouble * sm)) * 1e6
+        + 0.5).toLong
+    val got = TextAnalysis.pmiFrom(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("x", "y", 5L, mu(5, 5, 5, 22)),
+      ("alpha", "gamma", 5L, mu(5, 11, 5, 22)),
+      ("delta", "beta", 5L, mu(5, 5, 11, 22)),
+      ("alpha", "beta", 6L, mu(6, 11, 11, 22))))
+    assert(mu(5, 11, 5, 22) == mu(5, 5, 11, 22), "the tie is the point")
+  }
+
   test("pii scrub redacts emails, phones and SSNs") {
     val s = spark; import s.implicits._
     val df = Seq(
