@@ -532,6 +532,117 @@ object Multimodal {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---- mm_sobel: edge-energy feature over the decoded raster ---------
+
+  final case class BmpSobel(doc_id: Long, width: Long, height: Long,
+                            edge_sum: Long, edge_max: Long)
+
+  /** Sobel 3×3 edge energy (|Gx| + |Gy| summed over interior pixels,
+    * plus the max) of the blue plane — THE classic image-quality /
+    * blur-detection feature a vision-data pipeline computes per image
+    * (a blurry or blank frame has low edge energy; `pipe_gate`-style
+    * cuts run on exactly this signal). Runs against genuine decoded
+    * BMP bytes through the same header-validating parse as the resize
+    * face. The SCENE-textured corpus, not the plain gradient, on
+    * purpose: a linear ramp has CONSTANT Sobel response (16
+    * everywhere — the ahash lesson: a measure that cannot
+    * discriminate is not a feature), while the scene interference
+    * pattern gives every content class its own energy signature the
+    * closed-form oracle replays at each interior grid point.
+    */
+  private[pipeline] def bmpSobelEnergy(docId: Long,
+                                       bytes: Array[Byte]): BmpSobel = {
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54 && b.get(0) == 'B'.toByte &&
+      b.get(1) == 'M'.toByte, s"doc $docId: not a BMP payload")
+    val pixOff = b.getInt(10)
+    val w = b.getInt(18)
+    val h = b.getInt(22)
+    require(b.getShort(28).toInt == 24 && b.getInt(30) == 0,
+      s"doc $docId: only 24-bit BI_RGB supported")
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    def blue(x: Int, y: Int): Int =
+      bytes(pixOff + (h - 1 - y) * rowBytes + x * 3) & 0xff
+    var (sum, mx) = (0L, 0L)
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val gx = (blue(x + 1, y - 1) + 2 * blue(x + 1, y) +
+          blue(x + 1, y + 1)) - (blue(x - 1, y - 1) +
+          2 * blue(x - 1, y) + blue(x - 1, y + 1))
+        val gy = (blue(x - 1, y + 1) + 2 * blue(x, y + 1) +
+          blue(x + 1, y + 1)) - (blue(x - 1, y - 1) +
+          2 * blue(x, y - 1) + blue(x + 1, y - 1))
+        val e = math.abs(gx).toLong + math.abs(gy).toLong
+        sum += e
+        if (e > mx) mx = e
+        x += 1
+      }
+      y += 1
+    }
+    BmpSobel(docId, w.toLong, h.toLong, sum, mx)
+  }
+
+  /** End-to-end: encode the scene BMP, convolve the decoded raster.
+    * Same mapPartitions shape as the codec family — narrow, no
+    * shuffle, per-row cost constant in the corpus.
+    */
+  def sobelE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    val s2 = Graft.ensureConf(spark)
+    import s2.implicits._
+    Graft.tableParallel(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 16 + (id % 17).toInt
+          val h = 8 + (id % 11).toInt
+          bmpSobelEnergy(id, bmpEncodeScene(id, w, h))
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** Closed form: the oracle re-evaluates the scene formula
+    * p(x,y) = ((x+y) + 17·((2x+3y+s) mod 6)) mod 200 at every
+    * interior pixel (bounded series with the per-doc dim filter — the
+    * resize oracle's scheme) and replays the convolution in exact
+    * integers.
+    */
+  val sobelE2eSql: String = {
+    def p(dx: Int, dy: Int): String = {
+      val xx = if (dx == 0) "x" else s"(x + ($dx))"
+      val yy = if (dy == 0) "y" else s"(y + ($dy))"
+      s"((($xx + $yy) + 17 * ((2 * $xx + 3 * $yy + s) % 6)) % 200)"
+    }
+    val gx = s"((${p(1, -1)} + 2 * ${p(1, 0)} + ${p(1, 1)})" +
+      s" - (${p(-1, -1)} + 2 * ${p(-1, 0)} + ${p(-1, 1)}))"
+    val gy = s"((${p(-1, 1)} + 2 * ${p(0, 1)} + ${p(1, 1)})" +
+      s" - (${p(-1, -1)} + 2 * ${p(0, -1)} + ${p(1, -1)}))"
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         16 + doc_id % 17 AS w,
+       |         8 + doc_id % 11 AS h,
+       |         doc_id % $ahashScenes AS s
+       |  FROM documents
+       |), sx AS (SELECT unnest(generate_series(1, 30)) AS x),
+       |sy AS (SELECT unnest(generate_series(1, 16)) AS y),
+       |e AS (
+       |  SELECT doc_id, abs($gx) + abs($gy) AS en
+       |  FROM t CROSS JOIN sx CROSS JOIN sy
+       |  WHERE x <= w - 2 AND y <= h - 2
+       |), a AS (
+       |  SELECT doc_id, sum(en) AS es, max(en) AS em FROM e GROUP BY 1
+       |)
+       |SELECT t.doc_id, CAST(t.w AS BIGINT) AS width,
+       |  CAST(t.h AS BIGINT) AS height,
+       |  CAST(coalesce(a.es, 0) AS BIGINT) AS edge_sum,
+       |  CAST(coalesce(a.em, 0) AS BIGINT) AS edge_max
+       |FROM t LEFT JOIN a USING (doc_id) ORDER BY t.doc_id""".stripMargin
+  }
+
   // ---- mm_wav_decode: a REAL audio codec (no stub) -------------------
 
   /** Pure-JVM WAV writer: canonical RIFF/WAVE, 16-bit PCM mono,

@@ -94,6 +94,44 @@ class MultimodalSpec extends SparkSpec {
       s"at least 70% of cross-scene pairs must separate, got $far")
   }
 
+  test("sobel: the plain gradient's response is EXACTLY 16 at every " +
+       "interior pixel; the scene texture agrees with an ImageIO " +
+       "referee convolution; degenerate dims yield zero energy") {
+    // linear ramp p = x + y -> gx = gy = 8 everywhere, so the energy
+    // is the constant 16*(w-2)*(h-2) with max 16: pins the kernel,
+    // the interior bounds, and the bottom-up row addressing at once
+    for (id <- Seq(0L, 7L, 123L)) {
+      val w = 16 + (id % 17).toInt
+      val h = 8 + (id % 11).toInt
+      val got = Multimodal.bmpSobelEnergy(id, Multimodal.bmpEncode(id, w, h))
+      assert((got.edge_sum, got.edge_max) ==
+        ((16L * (w - 2) * (h - 2), 16L)), s"doc $id gradient energy")
+    }
+    // scene texture vs an independent ImageIO decode + driver convolve
+    for (id <- Seq(3L, 42L, 4567L)) {
+      val w = 16 + (id % 17).toInt
+      val h = 8 + (id % 11).toInt
+      val bytes = Multimodal.bmpEncodeScene(id, w, h)
+      val got = Multimodal.bmpSobelEnergy(id, bytes)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      def b(x: Int, y: Int): Int = img.getRGB(x, y) & 0xff
+      var (sum, mx) = (0L, 0L)
+      for (y <- 1 until h - 1; x <- 1 until w - 1) {
+        val gx = (b(x + 1, y - 1) + 2 * b(x + 1, y) + b(x + 1, y + 1)) -
+          (b(x - 1, y - 1) + 2 * b(x - 1, y) + b(x - 1, y + 1))
+        val gy = (b(x - 1, y + 1) + 2 * b(x, y + 1) + b(x + 1, y + 1)) -
+          (b(x - 1, y - 1) + 2 * b(x, y - 1) + b(x + 1, y - 1))
+        val e = math.abs(gx).toLong + math.abs(gy).toLong
+        sum += e; if (e > mx) mx = e
+      }
+      assert((got.edge_sum, got.edge_max) == ((sum, mx)),
+        s"doc $id scene energy disagrees with the ImageIO referee")
+    }
+    val tiny = Multimodal.bmpSobelEnergy(1L, Multimodal.bmpEncode(1L, 2, 5))
+    assert((tiny.edge_sum, tiny.edge_max) == ((0L, 0L)))
+  }
+
   test("bmpDecode agrees with ImageIO on every field it extracts") {
     for (id <- Seq(3L, 42L, 1001L)) {
       val w = 16 + (id % 17).toInt
