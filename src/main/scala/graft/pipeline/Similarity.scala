@@ -1706,6 +1706,117 @@ object Similarity {
        |    AS keep
        |FROM ranked ORDER BY vec_id""".stripMargin
 
+  // ---- ann_mmr: diversity-reranked retrieval ---------------------------
+
+  /** Candidate pool size, report size, and λ = 0.7 as the exact
+    * integer pair (7, 3) over a common ×10 scale — the greedy score is
+    * mmr_u = 7·rel_mu − 3·max_{s∈S} pair_mu, pure BIGINT arithmetic,
+    * no division anywhere (so the Spark/DuckDB negative-division
+    * divergence can never arise).
+    */
+  val mmrCand = 30
+  val mmrK = 10
+
+  /** MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein
+    * 1998) — the diversity member of the retrieval arc (33's brute
+    * top-k answers "most similar", 37m/37n fuse rankings; this
+    * answers "most similar AND not redundant", the selection every
+    * RAG context-builder and dedup-aware sampler actually wants):
+    * from the top-`mmrCand` cosine candidates, greedily pick
+    * `mmrK` docs maximizing 7·rel − 3·max-sim-to-already-picked,
+    * ties to the smaller vec_id.
+    *
+    * Driver/cluster line: candidate generation and ALL cosine work
+    * (30 rel sims + 30×29 pairwise sims, pinned-order quantized to
+    * integer micro-units) run distributed; the greedy itself is
+    * inherently sequential over ≤ 30×10 integer comparisons, so it
+    * folds on the driver like the classifier's 67-parameter epochs —
+    * the collect is the bounded candidate relation, never the corpus.
+    * At 100 TB the candidate pool comes from the IVF index instead of
+    * the brute scan; the greedy is unchanged (it never sees the
+    * corpus).
+    */
+  def annMmr(spark: SparkSession, sfDir: String): DataFrame = {
+    val s2 = Graft.ensureConf(spark)
+    import s2.implicits._
+    val e = emb(s2, sfDir).select(col("vec_id"), col("embedding"))
+    val qv = e.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("q_emb"))
+    val cand = e.crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("embedding"), expr(
+        s"CAST(floor((${cosSpark("embedding", "q_emb")}) * 1000000.0" +
+          " + 0.5) AS BIGINT)").as("rel_mu"))
+      .orderBy(col("rel_mu").desc, col("vec_id")).limit(mmrCand)
+      .localCheckpoint()
+    val rel = cand.select(col("vec_id"), col("rel_mu")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val pm = cand.as("x").crossJoin(cand.as("y"))
+      .filter(col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"), expr(
+        s"CAST(floor((${cosSpark("x.embedding", "y.embedding")})" +
+          " * 1000000.0 + 0.5) AS BIGINT)").as("pm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long)] // rk, vec_id, rel_mu, mmr_u
+    val remaining = scala.collection.mutable.LinkedHashMap(rel: _*)
+    while (picked.length < mmrK && remaining.nonEmpty) {
+      val scored = remaining.iterator.map { case (id, r) =>
+        val pen =
+          if (picked.isEmpty) 0L
+          else picked.iterator.map(s => pm((id, s._2))).max
+        (id, r, 7L * r - 3L * pen)
+      }.toSeq
+      val (id, r, sc) = scored.minBy { case (i, _, s) => (-s, i) }
+      picked += ((picked.length + 1L, id, r, sc))
+      remaining.remove(id)
+    }
+    picked.toSeq.toDF("rk", "doc_id", "rel_mu", "mmr_u").orderBy("rk")
+  }
+
+  /** Oracle: the greedy unrolls as `mmrK` materialized CTE steps (the
+    * lpa/pagerank iteration discipline), each an argmax over the
+    * not-yet-picked candidates with a scalar max-pair subquery.
+    */
+  val annMmrSql: String = {
+    val steps = (2 to mmrK).map { i =>
+      s"""sel$i AS MATERIALIZED (
+         |  SELECT c.vec_id, c.rel_mu,
+         |    7 * c.rel_mu - 3 * (
+         |      SELECT max(p.pm) FROM pairs p
+         |      WHERE p.a = c.vec_id
+         |        AND p.b IN (SELECT vec_id FROM acc${i - 1})) AS mmr_u,
+         |    CAST($i AS BIGINT) AS rk
+         |  FROM cand c
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM acc${i - 1})
+         |  ORDER BY mmr_u DESC, c.vec_id LIMIT 1
+         |), acc$i AS MATERIALIZED (
+         |  SELECT * FROM acc${i - 1} UNION ALL SELECT * FROM sel$i
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH qv AS (
+       |  SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0
+       |), cand AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    CAST(floor((${cosDuck("embedding", "q.q_emb")}) * 1000000.0
+       |      + 0.5) AS BIGINT) AS rel_mu
+       |  FROM embeddings e CROSS JOIN qv q
+       |  ORDER BY rel_mu DESC, vec_id LIMIT $mmrCand
+       |), pairs AS MATERIALIZED (
+       |  SELECT x.vec_id AS a, y.vec_id AS b,
+       |    CAST(floor((${cosDuck("x.embedding", "y.embedding")})
+       |      * 1000000.0 + 0.5) AS BIGINT) AS pm
+       |  FROM cand x JOIN cand y ON x.vec_id <> y.vec_id
+       |), sel1 AS (
+       |  SELECT vec_id, rel_mu, 7 * rel_mu AS mmr_u,
+       |    CAST(1 AS BIGINT) AS rk
+       |  FROM cand ORDER BY mmr_u DESC, vec_id LIMIT 1
+       |), acc1 AS MATERIALIZED (SELECT * FROM sel1), $steps
+       |SELECT rk, vec_id AS doc_id, CAST(rel_mu AS BIGINT) AS rel_mu,
+       |  CAST(mmr_u AS BIGINT) AS mmr_u
+       |FROM acc$mmrK ORDER BY rk""".stripMargin
+  }
+
   // ---- ann_recall_eval ------------------------------------------------
 
   /** ANN calibration face: per-query recall@k of the IVF index against

@@ -50,6 +50,39 @@ class KnnJoinSpec extends SparkSpec {
     assert(fast.nonEmpty && fast == replay)
   }
 
+
+  test("ann_mmr: diversity displaces the near-duplicate of the top " +
+       "pick; pure relevance order would rank it second") {
+    val s = spark; import s.implicits._
+    // v0 is the query itself (rel 1.0, always rank 1). v1 at 11.5deg,
+    // v2 a NEAR-DUP of v1 (0.8deg apart, rel barely lower), v3 at
+    // rel 0.965 but pointing into a fresh dimension. Brute order is
+    // 0,1,2,3; MMR must pick 0,1,3,2 because v2's pairwise sim to v1
+    // (~0.9999) costs it more than v3's lower relevance.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.98f, 0.19899749f, 0.0f)),
+      (2L, Array(0.97709f, 0.212799f, 0.0f)),
+      (3L, Array(0.965f, 0.0f, 0.2622499f)))
+      .map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mmr").toString
+    vecs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.annMmr(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 0L), (2L, 1L), (3L, 3L), (4L, 2L)),
+      s"mmr ranking wrong: $got")
+    // and the scores are the documented integer combination
+    val rows = Similarity.annMmr(spark, dir).collect()
+    rows.foreach { r =>
+      if (r.getLong(0) == 1L)
+        assert(r.getLong(3) == 7L * r.getLong(2),
+          "rank 1 has no diversity penalty")
+      else assert(r.getLong(3) < 7L * r.getLong(2))
+    }
+  }
+
+
   test("every vector gets neighbors; self is never a neighbor; ranks " +
        "are 1..k dense per vector") {
     val rows = Similarity.annKnnJoin(spark, sfDir).collect()
