@@ -870,6 +870,92 @@ object TimeSeries {
           )} AS seasonal
        |FROM g ORDER BY hod""".stripMargin
 
+  // ---- q_mad: median/MAD robust outliers ------------------------------
+
+  /** Median-absolute-deviation outlier detection per user — the
+    * DISTRIBUTION-FREE robust sibling of `q_anomaly`'s rolling
+    * z-score (one bad reading inflates a mean/σ baseline and masks
+    * itself; the median/MAD baseline has a 50% breakdown point, the
+    * textbook reason robust monitoring uses it): a value is flagged
+    * when |v − median| > 3·MAD over the user's WHOLE history. Pure
+    * integer end to end — values quantize to micro-units, median and
+    * MAD are rank-selected order STATISTICS (the q_quantile_exact
+    * convention: rank (n+1) DIV 2, the lower median), the deviation
+    * is integer subtraction and the verdict an integer comparison —
+    * no float mean/σ anywhere, both engines bitwise. The classic MAD
+    * collapse is kept and spec-pinned: when ≥ half the history is one
+    * value, MAD = 0 and EVERY other value flags — that is the
+    * signal's documented behavior, not a bug.
+    *
+    * 100 TB shape: the q_ewma posture — ONE user-keyed exchange
+    * carries both rank-selection windows and the two per-user joins
+    * (median and MAD relations are users-sized); zero corpus
+    * re-scans, no global window.
+    */
+  def qMad(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val e = Graft.table(spark, sfDir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), col("value"),
+        expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").as("v"))
+    val wu = Window.partitionBy(col("user_id"))
+    val wv = wu.orderBy(col("v"), col("event_id"))
+    val med = e.withColumn("rn", row_number().over(wv).cast("long"))
+      .withColumn("n", count(lit(1)).over(wu))
+      .filter(col("rn") === expr("(n + 1) DIV 2"))
+      .select(col("user_id"), col("v").as("med"))
+    val d = e.join(med, "user_id")
+      .withColumn("ad", abs(col("v") - col("med")))
+    val wa = wu.orderBy(col("ad"), col("event_id"))
+    val mad = d.withColumn("rn", row_number().over(wa).cast("long"))
+      .withColumn("n", count(lit(1)).over(wu))
+      .filter(col("rn") === expr("(n + 1) DIV 2"))
+      .select(col("user_id"), col("ad").as("mad"))
+    d.join(mad, "user_id")
+      .filter(col("ad") > lit(3L) * col("mad"))
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("med").as("med_mu"), col("mad").as("mad_mu"),
+        col("ad").as("dev_mu"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val qMadSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, value,
+       |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |    AND value IS NOT NULL
+       |), m AS (
+       |  SELECT user_id, v AS med FROM (
+       |    SELECT user_id, v,
+       |      row_number() OVER (PARTITION BY user_id
+       |        ORDER BY v, event_id) AS rn,
+       |      count(*) OVER (PARTITION BY user_id) AS n
+       |    FROM e)
+       |  WHERE rn = (n + 1) // 2
+       |), d AS (
+       |  SELECT e.user_id, e.event_id, e.value, m.med,
+       |         abs(e.v - m.med) AS ad
+       |  FROM e JOIN m USING (user_id)
+       |), md AS (
+       |  SELECT user_id, ad AS mad FROM (
+       |    SELECT user_id, ad,
+       |      row_number() OVER (PARTITION BY user_id
+       |        ORDER BY ad, event_id) AS rn,
+       |      count(*) OVER (PARTITION BY user_id) AS n
+       |    FROM d)
+       |  WHERE rn = (n + 1) // 2
+       |)
+       |SELECT d.user_id, d.event_id, d.value,
+       |  CAST(d.med AS BIGINT) AS med_mu,
+       |  CAST(md.mad AS BIGINT) AS mad_mu,
+       |  CAST(d.ad AS BIGINT) AS dev_mu
+       |FROM d JOIN md USING (user_id)
+       |WHERE d.ad > 3 * md.mad
+       |ORDER BY d.user_id, d.event_id""".stripMargin
+
   // ---- q_mannkendall: distribution-free monotone-trend test ----------
 
   /** Mann–Kendall trend test (Mann 1945, Kendall 1975) over the DAILY

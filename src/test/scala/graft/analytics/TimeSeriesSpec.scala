@@ -292,6 +292,28 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("mad: lower-median baseline flags only the gross outlier; the " +
+       "MAD collapse on a half-constant history flags every deviant") {
+    val s = spark; import s.implicits._
+    // user 1: values [1,2,3,100] -> med 2e6 (rank (4+1)//2 = 2 of the
+    // sorted values), deviations [1e6,0,1e6,98e6] -> mad 1e6; only
+    // 98e6 > 3e6 flags. user 2: [5,5,5,7] -> med 5e6, mad 0 -> the 7
+    // flags on ANY positive deviation (the documented collapse).
+    val ev = Seq(
+      (10L, 1L, 1.0), (11L, 1L, 2.0), (12L, 1L, 3.0), (13L, 1L, 100.0),
+      (20L, 2L, 5.0), (21L, 2L, 5.0), (22L, 2L, 5.0), (23L, 2L, 7.0))
+      .map { case (eid, u, v) =>
+        (eid, new java.sql.Timestamp(1000L + eid), u, "view", v, "{}")
+      }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mad").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = TimeSeries.qMad(spark, dir).collect().map(_.toSeq).toSeq
+    assert(got == Seq(
+      Seq(1L, 13L, 100.0, 2000000L, 1000000L, 98000000L),
+      Seq(2L, 23L, 7.0, 5000000L, 0L, 2000000L)), s"mad report: $got")
+  }
+
   test("mannkendall: sign pairs count over the DENSIFIED daily series " +
        "(a gap day is an observed zero), ties excluded from both sides") {
     val s = spark; import s.implicits._
