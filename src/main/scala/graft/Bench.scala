@@ -47,10 +47,10 @@ object Bench {
     "q_corr",
     "q_asof_join", "q_attribution", "q_range_join", "q_resample",
     "q_ewma", "q_holt", "q_forecast_eval", "q_autocorr", "q_anomaly",
-    "q_funnel", "q_cohort", "q_pagerank", "q_ppr",
+    "q_funnel", "q_cohort", "q_pagerank", "q_ppr", "q_hits",
     "q_decay_count", "q_trending", "q_markov", "ss_stream_ewma",
     "q_paths", "q_seasonality", "q_stl", "q_changepoint", "q_psi_drift",
-    "q_histogram", "q_gini",
+    "q_histogram", "q_gini", "q_mannkendall", "q_mad",
     "q_rfm",
     "q_skyline", "q_grouping_sets", "q_seq_pattern",
     "q_triangles", "q_kcore", "q_linkpred", "q_lpa", "q_xcorr",
@@ -61,6 +61,7 @@ object Bench {
     "dd_embed_cosine", "dd_semantic",
     "ann_topk_brute", "ann_topk_quant", "ann_lsh_bucketed", "ann_ivf",
     "ann_ivf_quant", "ann_ivf_adaptive", "ann_ivf_pq", "ann_knn_join",
+    "ann_mmr",
     "q_hll_distinct", "q_hll_sliding", "q_cms_topk",
     "q_cms_sliding", "q_cms_join_card", "q_cms_f2", "q_qtile_sketch",
     "q_quantile_exact", "q_qtile_sliding",
@@ -71,14 +72,14 @@ object Bench {
     "q_cms_sliding_prod", "q_cms_join_card_prod", "q_cms_f2_prod",
     "q_kmv_jaccard_prod", "q_kmv_retention_prod",
     "txt_stats", "txt_readability", "txt_fingerprint", "txt_repetition",
-    "txt_bpe_learn", "txt_keyphrase",
+    "txt_bpe_learn", "txt_keyphrase", "txt_pmi",
     "txt_bpe_encode", "txt_bm25", "q_hybrid_rrf", "q_retrieval_eval",
     "txt_bigram_nll", "txt_backoff_nll", "txt_tfidf", "txt_entropy",
     "txt_zipf",
     "mm_binary_stats", "mm_bmp_decode", "mm_resize", "mm_ahash_pairs",
     "mm_wav_decode",
     "mm_png_decode", "mm_jpeg_decode", "mm_avi_frames", "mm_avi_av",
-    "mm_scene_cut", "mm_audio_pitch",
+    "mm_scene_cut", "mm_audio_pitch", "mm_sobel", "mm_gif_decode",
     "pipe_corpus_clean",
     "pipe_decontaminate", "pipe_decont_bloom", "pipe_dedup_apply",
     "pipe_quality_gate", "pipe_quality_prune", "pipe_qclf_score",
@@ -103,9 +104,9 @@ object Bench {
     "q_sessionize", "q_session_overlap", "q_range_join", "q_resample",
     "q_attribution",
     "q_ewma", "q_holt", "q_forecast_eval", "q_autocorr", "q_anomaly",
-    "q_funnel", "q_cohort", "q_pagerank", "q_ppr", "q_trending", "q_markov", "ss_stream_ewma",
+    "q_funnel", "q_cohort", "q_pagerank", "q_ppr", "q_hits", "q_trending", "q_markov", "ss_stream_ewma",
     "q_paths", "q_seasonality", "q_stl", "q_changepoint", "q_psi_drift",
-    "q_seq_pattern", "q_gini", "q_triangles", "q_kcore",
+    "q_seq_pattern", "q_gini", "q_mannkendall", "q_mad", "q_triangles", "q_kcore",
     "q_linkpred", "q_lpa", "q_xcorr",
     "q_cms_topk", "q_cms_topk_prod", "q_cms_sliding", "q_cms_sliding_prod",
     "q_hll_sliding", "q_hll_sliding_prod", "q_qtile_sliding",
@@ -122,7 +123,8 @@ object Bench {
   val corpusHeadline: Seq[String] = Seq(
     "dd_minhash_lsh", "dd_jaccard_prefix", "dd_semantic", "txt_bigram_nll",
     "pipe_quality_gate", "ann_ivf_quant", "ann_ivf_pq", "ann_knn_join",
-    "txt_stats", "txt_readability", "txt_keyphrase", "pipe_embed_prune",
+    "txt_stats", "txt_readability", "txt_keyphrase", "txt_pmi",
+    "pipe_embed_prune", "ann_mmr",
     "txt_bpe_encode",
     "txt_bm25", "q_hybrid_rrf", "q_retrieval_eval", "txt_backoff_nll",
     // the real-codec mapPartitions path: per-row cost must stay flat
@@ -130,6 +132,7 @@ object Bench {
     "mm_bmp_decode", "mm_resize", "mm_ahash_pairs", "mm_png_decode",
     "mm_jpeg_decode",
     "mm_avi_frames", "mm_avi_av", "mm_scene_cut", "mm_audio_pitch",
+    "mm_sobel", "mm_gif_decode",
     // the compressed codecs: deflate/inflate (PNG) and FDCT+Huffman
     // (JPEG) dominate, so the per-row cost claim is stronger than
     // BMP's raw-raster one

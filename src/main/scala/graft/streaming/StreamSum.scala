@@ -1352,6 +1352,28 @@ object StreamSum {
     * least-squares run over the final snapshot via literally the
     * batch `zipfFrom`.
     */
+  /** Streaming face of the PMI collocation report, sharing
+    * `txt_pmi`'s oracle: the streamed state is the (w1, w2) bigram
+    * count — an ordinary streaming aggregation, state bounded at the
+    * bigram vocabulary — and the marginals/N/support-floor/top-k
+    * chain runs over the final snapshot via literally the batch
+    * `pmiFromCounts` (one arriving doc shifts every pair's marginals
+    * and can push pairs across the support floor: the ranking is
+    * never storable state — the tfidf contract on the pair axis).
+    */
+  def streamPmi(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val bf = graft.pipeline.TextAnalysis.bigramPairs(
+        graft.pipeline.TextAnalysis.bigramDocToks(docs))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    graft.pipeline.TextAnalysis.pmiFromCounts(
+      runToTable(bf, OutputMode.Complete(), "ss_stream_pmi"))
+  }
+
   def streamZipf(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
     val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
