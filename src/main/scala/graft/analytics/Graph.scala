@@ -296,12 +296,22 @@ object Graph {
     var auth = fwd.select(col("dst")).distinct()
       .withColumn("a", lit(1000000L))
     for (_ <- 1 to iters) {
+      // each raw half-step sum is referenced TWICE (normalizer agg +
+      // the normalized projection) and feeds the next half-step, so
+      // without materialization the unrolled lineage re-evaluates
+      // every upstream join 2^(2·iters) times — localCheckpoint the
+      // node-sized relation once per half-step (the pagerank
+      // superstep-checkpoint argument, mandatory here because the
+      // recursion is mutual). Measured at sf0.1: 6.95s unmaterialized
+      // → parity with the global walk (1.07x q_pagerank, same run).
       val rawA = fwd.join(hubs, "src")
         .groupBy(col("dst")).agg(sum(col("h")).as("ra"))
+        .localCheckpoint()
       auth = rawA.crossJoin(broadcast(rawA.agg(sum(col("ra")).as("at"))))
         .select(col("dst"), expr("(1000000L * ra) DIV at").as("a"))
       val rawH = fwd.join(auth, "dst")
         .groupBy(col("src")).agg(sum(col("a")).as("rh"))
+        .localCheckpoint()
       hubs = rawH.crossJoin(broadcast(rawH.agg(sum(col("rh")).as("ht"))))
         .select(col("src"), expr("(1000000L * rh) DIV ht").as("h"))
     }

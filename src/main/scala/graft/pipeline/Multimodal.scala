@@ -643,6 +643,140 @@ object Multimodal {
        |FROM t LEFT JOIN a USING (doc_id) ORDER BY t.doc_id""".stripMargin
   }
 
+  // ---- mm_histeq: histogram equalization over the decoded raster -----
+
+  final case class BmpHisteq(doc_id: Long, width: Long, height: Long,
+                             eq_sum: Long, eq_max: Long, eq_tl: Long)
+
+  /** HISTOGRAM EQUALIZATION of the blue plane — the contrast
+    * normalization a vision-data pipeline runs before feature
+    * extraction (the OpenCV `equalizeHist` convention): remap each
+    * value v to (cdf(v) − cdf_min)·255 DIV (npix − cdf_min), where
+    * cdf is the cumulative pixel-value histogram and cdf_min the CDF
+    * at the smallest PRESENT value. Everything is integer counting +
+    * one floor division on non-negative operands, so the gate is
+    * bit-exact through the real codec path (decode → per-image
+    * histogram → remap), and the oracle replays the histogram/CDF/
+    * remap chain over the closed-form scene texture in SQL. A
+    * constant image (npix == cdf_min) maps to 0 by convention —
+    * spec-pinned.
+    */
+  private[pipeline] def bmpHisteq(docId: Long,
+                                  bytes: Array[Byte]): BmpHisteq = {
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54 && b.get(0) == 'B'.toByte &&
+      b.get(1) == 'M'.toByte, s"doc $docId: not a BMP payload")
+    val pixOff = b.getInt(10)
+    val w = b.getInt(18)
+    val h = b.getInt(22)
+    require(b.getShort(28).toInt == 24 && b.getInt(30) == 0,
+      s"doc $docId: only 24-bit BI_RGB supported")
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val hist = new Array[Long](256)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        hist(bytes(pixOff + (h - 1 - y) * rowBytes + x * 3) & 0xff) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val npix = w.toLong * h
+    var vmin = 0
+    while (hist(vmin) == 0L) vmin += 1
+    val cdfMin = hist(vmin)
+    val eq = new Array[Long](256)
+    var cdf = 0L
+    var v = 0
+    while (v < 256) {
+      cdf += hist(v)
+      eq(v) =
+        if (npix == cdfMin) 0L
+        else (cdf - cdfMin) * 255L / (npix - cdfMin)
+      v += 1
+    }
+    var (sum, mx) = (0L, 0L)
+    v = 0
+    while (v < 256) {
+      if (hist(v) > 0) {
+        sum += hist(v) * eq(v)
+        if (eq(v) > mx) mx = eq(v)
+      }
+      v += 1
+    }
+    val tl = bytes(pixOff + (h - 1) * rowBytes) & 0xff
+    BmpHisteq(docId, w.toLong, h.toLong, sum, mx, eq(tl))
+  }
+
+  /** End-to-end over the scene corpus — the codec family's
+    * mapPartitions shape.
+    */
+  def histeqE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    val s2 = Graft.ensureConf(spark)
+    import s2.implicits._
+    Graft.tableParallel(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 16 + (id % 17).toInt
+          val h = 8 + (id % 11).toInt
+          bmpHisteq(id, bmpEncodeScene(id, w, h))
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: histogram of the closed-form scene values over bounded
+    * series, CDF by window, the same remap, then Σ cnt(v)·eq(v).
+    */
+  val histeqE2eSql: String = {
+    val p = "(((x + y) + 17 * ((2 * x + 3 * y + s) % 6)) % 200)"
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         16 + doc_id % 17 AS w,
+       |         8 + doc_id % 11 AS h,
+       |         doc_id % $ahashScenes AS s
+       |  FROM documents
+       |), sx AS (SELECT unnest(generate_series(0, 32)) AS x),
+       |sy AS (SELECT unnest(generate_series(0, 18)) AS y),
+       |hist AS (
+       |  SELECT doc_id, w, h, $p AS v, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM t CROSS JOIN sx CROSS JOIN sy
+       |  WHERE x < w AND y < h GROUP BY 1, 2, 3, 4
+       |), c AS (
+       |  SELECT doc_id, w, h, v, cnt,
+       |    sum(cnt) OVER (PARTITION BY doc_id ORDER BY v) AS cdf,
+       |    first_value(cnt) OVER (PARTITION BY doc_id ORDER BY v)
+       |      AS cdf_min,
+       |    CAST(w * h AS BIGINT) AS npix
+       |  FROM hist
+       |), e AS (
+       |  SELECT doc_id, w, h, v, cnt,
+       |    CASE WHEN npix = cdf_min THEN 0
+       |         ELSE ((cdf - cdf_min) * 255) // (npix - cdf_min)
+       |    END AS eq
+       |  FROM c
+       |), a AS (
+       |  SELECT doc_id, sum(cnt * eq) AS es, max(eq) AS em
+       |  FROM e GROUP BY 1
+       |), tl AS (
+       |  SELECT t.doc_id, (17 * (t.s % 6)) % 200 AS vtl FROM t
+       |)
+       |SELECT t.doc_id, CAST(t.w AS BIGINT) AS width,
+       |  CAST(t.h AS BIGINT) AS height,
+       |  CAST(a.es AS BIGINT) AS eq_sum,
+       |  CAST(a.em AS BIGINT) AS eq_max,
+       |  CAST(e.eq AS BIGINT) AS eq_tl
+       |FROM t
+       |JOIN a USING (doc_id)
+       |JOIN tl ON tl.doc_id = t.doc_id
+       |JOIN e ON e.doc_id = t.doc_id AND e.v = tl.vtl
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   // ---- mm_wav_decode: a REAL audio codec (no stub) -------------------
 
   /** Pure-JVM WAV writer: canonical RIFF/WAVE, 16-bit PCM mono,

@@ -132,6 +132,41 @@ class MultimodalSpec extends SparkSpec {
     assert((tiny.edge_sum, tiny.edge_max) == ((0L, 0L)))
   }
 
+  test("histeq: hand-computed 4x2 gradient remap; constant image maps " +
+       "to zero; scene corpus agrees with a replay over ImageIO's " +
+       "independently decoded raster") {
+    // gradient 4x2: v = x+y -> hist {0:1,1:2,2:2,3:2,4:1}, cdf_min 1,
+    // eq(v) = (cdf-1)*255 DIV 7 = [0,72,145,218,255]
+    val small = Multimodal.bmpHisteq(9L, Multimodal.bmpEncode(9L, 4, 2))
+    assert((small.eq_sum, small.eq_max, small.eq_tl) == ((1125L, 255L, 0L)))
+    // single pixel: npix == cdf_min -> the documented zero map
+    val one = Multimodal.bmpHisteq(3L, Multimodal.bmpEncode(3L, 1, 1))
+    assert((one.eq_sum, one.eq_max, one.eq_tl) == ((0L, 0L, 0L)))
+    for (id <- Seq(3L, 42L, 4567L)) {
+      val w = 16 + (id % 17).toInt
+      val h = 8 + (id % 11).toInt
+      val bytes = Multimodal.bmpEncodeScene(id, w, h)
+      val got = Multimodal.bmpHisteq(id, bytes)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      val hist = new Array[Long](256)
+      for (y <- 0 until h; x <- 0 until w)
+        hist(img.getRGB(x, y) & 0xff) += 1
+      val npix = w.toLong * h
+      val cdfMin = hist(hist.indexWhere(_ > 0))
+      var cdf = 0L; var sum = 0L; var mx = 0L; var tlEq = -1L
+      val tlV = img.getRGB(0, 0) & 0xff
+      for (v <- 0 until 256) {
+        cdf += hist(v)
+        val eq = (cdf - cdfMin) * 255L / (npix - cdfMin)
+        if (hist(v) > 0) { sum += hist(v) * eq; mx = math.max(mx, eq) }
+        if (v == tlV) tlEq = eq
+      }
+      assert((got.eq_sum, got.eq_max, got.eq_tl) == ((sum, mx, tlEq)),
+        s"doc $id histeq disagrees with the ImageIO-raster replay")
+    }
+  }
+
   test("bmpDecode agrees with ImageIO on every field it extracts") {
     for (id <- Seq(3L, 42L, 1001L)) {
       val w = 16 + (id % 17).toInt
