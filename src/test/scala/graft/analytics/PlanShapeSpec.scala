@@ -612,4 +612,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("replace(replace("),
       s"the merge chain must fold into one projection:\n$plan")
   }
+
+  test("pmi: the report never re-touches the corpus and the top-k is " +
+       "a bounded TakeOrdered, not a full sort") {
+    val plan = executed(
+      graft.pipeline.TextAnalysis.pmi(spark, sfDir))
+    // the bigram relation materializes ONCE (localCheckpoint) before
+    // this plan exists; marginals/N/ranking all read that vocab-sized
+    // relation - a FileScan here would be a second corpus pass
+    assert(!plan.contains("FileScan"),
+      s"pmi report must run off the materialized bigram relation:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a bounded TakeOrdered:\n$plan")
+  }
+
+  test("mad: user-keyed exchanges only - no single-partition window " +
+       "anywhere in the robust baseline") {
+    val plan = executed(TimeSeries.qMad(spark, sfDir))
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"median/MAD rank selection must never funnel to one task:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning") ||
+      plan.indexOf("Exchange rangepartitioning") ==
+        plan.lastIndexOf("Exchange rangepartitioning"),
+      s"only the presentation sort may range-partition:\n$plan")
+  }
+
+  test("gif/sobel/histeq: the codec features are narrow - no keyed " +
+       "exchange anywhere before the presentation sort") {
+    for (df <- Seq(graft.pipeline.Gif.gifE2e(spark, sfDir),
+        graft.pipeline.Multimodal.sobelE2e(spark, sfDir),
+        graft.pipeline.Multimodal.histeqE2e(spark, sfDir))) {
+      val plan = executed(df)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"codec features must not shuffle on a key:\n$plan")
+    }
+  }
 }
