@@ -997,13 +997,21 @@ object TimeSeries {
     * shifts its day and the sign of every pair that day touches: the
     * statistic is never storable state).
     */
-  private[graft] def mkFromBuckets(cnt0: DataFrame): DataFrame = {
+  /** The densified daily series (missing day = observed zero) from any
+    * (d, c) bucket relation — shared by the Mann–Kendall and Theil–Sen
+    * faces (the companion trend statistics read the same series).
+    */
+  private[graft] def mkDense(cnt0: DataFrame): DataFrame = {
     val cnt = cnt0.localCheckpoint()
-    val dense = cnt.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    cnt.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
       .select(explode(expr("sequence(lo, hi)")).as("d"))
       .join(cnt, Seq("d"), "left")
       .select(col("d"), coalesce(col("c"), lit(0L)).as("c"))
       .localCheckpoint()
+  }
+
+  private[graft] def mkFromBuckets(cnt0: DataFrame): DataFrame = {
+    val dense = mkDense(cnt0)
     val days = dense.agg(count(lit(1)).as("n_days"))
     dense.select(col("d").as("d1"), col("c").as("c1"))
       .join(dense.select(col("d").as("d2"), col("c").as("c2")),
@@ -1044,6 +1052,91 @@ object TimeSeries {
             "CAST(conc - disc AS DOUBLE) / CAST(n_pairs AS DOUBLE)")}
        |  END AS tau
        |FROM p, n""".stripMargin
+
+  // ---- q_theilsen: robust trend estimation -----------------------------
+
+  /** THEIL–SEN slope estimation over the densified daily series — the
+    * companion ESTIMATOR to Mann–Kendall's test (MK says whether a
+    * monotone trend exists; Theil–Sen says how steep, with the same
+    * 29% breakdown robustness no least-squares fit has): the slope is
+    * the MEDIAN of all pairwise slopes (c_j − c_i)/(d_j − d_i), the
+    * intercept the median of (c_i − slope·d_i). Determinism: each
+    * pairwise slope is ONE IEEE division of exact integers (identical
+    * on both engines), medians are rank-selected order statistics
+    * under the total (value, d1, d2) order — the q_mad lower-median
+    * convention — so the selected values are bitwise reproducible; no
+    * arithmetic ever mixes engine-specific rounding.
+    *
+    * 100 TB shape: the pair relation lives on the DAYS grid (the
+    * q_mannkendall argument — ~6.6M pairs per decade), and both
+    * median selections run through GlobalRank's range-shuffle rank —
+    * never a single-task global window.
+    */
+  def qTheilsen(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    theilsenFromBuckets(mkBuckets(Graft.table(spark, sfDir, "events")))
+  }
+
+  private[graft] def theilsenFromBuckets(cnt0: DataFrame): DataFrame = {
+    val dense = mkDense(cnt0)
+    val days = dense.agg(count(lit(1)).as("n_days"))
+    val pairs = dense.select(col("d").as("d1"), col("c").as("c1"))
+      .join(dense.select(col("d").as("d2"), col("c").as("c2")),
+        col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        ((col("c2") - col("c1")).cast("double") /
+          (col("d2") - col("d1")).cast("double")).as("slope"))
+    val (ranked, nPairs) = graft.core.GlobalRank.withRank(pairs,
+      Seq(col("slope").asc, col("d1").asc, col("d2").asc), "rn")
+    val med = ranked.filter(col("rn") === (nPairs + 1) / 2)
+      .select(col("slope").as("slope_med"))
+    val resid = dense.crossJoin(broadcast(med))
+      .select(col("d"),
+        (col("c").cast("double") - col("slope_med") *
+          col("d").cast("double")).as("b"))
+    val (rankedB, nDays) = graft.core.GlobalRank.withRank(resid,
+      Seq(col("b").asc, col("d").asc), "rn")
+    rankedB.filter(col("rn") === (nDays + 1) / 2)
+      .crossJoin(broadcast(med))
+      .crossJoin(broadcast(days))
+      .select(col("n_days"), lit(nPairs).as("n_pairs"),
+        col("slope_med").as("slope"), col("b").as("intercept"))
+  }
+
+  val qTheilsenSql: String =
+    s"""WITH cnt AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS d,
+       |         CAST(count(*) AS BIGINT) AS c
+       |  FROM events WHERE ts IS NOT NULL GROUP BY 1
+       |), dense AS MATERIALIZED (
+       |  SELECT s.d, coalesce(c.c, 0) AS c
+       |  FROM (SELECT unnest(range(min(d), max(d) + 1)) AS d FROM cnt) s
+       |  LEFT JOIN cnt c ON c.d = s.d
+       |), p AS (
+       |  SELECT a.d AS d1, b.d AS d2,
+       |    CAST(b.c - a.c AS DOUBLE) / CAST(b.d - a.d AS DOUBLE)
+       |      AS slope
+       |  FROM dense a JOIN dense b ON a.d < b.d
+       |), pr AS (
+       |  SELECT slope,
+       |    row_number() OVER (ORDER BY slope, d1, d2) AS rn,
+       |    count(*) OVER () AS np
+       |  FROM p
+       |), med AS (SELECT slope AS slope_med, np FROM pr
+       |           WHERE rn = (np + 1) // 2),
+       |resid AS (
+       |  SELECT d.d, CAST(d.c AS DOUBLE) - m.slope_med * CAST(d.d
+       |    AS DOUBLE) AS b, m.slope_med, m.np
+       |  FROM dense d CROSS JOIN med m
+       |), rr AS (
+       |  SELECT b, slope_med, np,
+       |    row_number() OVER (ORDER BY b, d) AS rn,
+       |    count(*) OVER () AS nd
+       |  FROM resid
+       |)
+       |SELECT CAST(nd AS BIGINT) AS n_days, CAST(np AS BIGINT) AS n_pairs,
+       |  slope_med AS slope, b AS intercept
+       |FROM rr WHERE rn = (nd + 1) // 2""".stripMargin
 
   // ---- q_anomaly: rolling z-score outlier detection ------------------
 

@@ -1327,6 +1327,20 @@ object StreamSum {
       runToTable(buckets, OutputMode.Complete(), "ss_stream_mannkendall"))
   }
 
+  /** Streaming face of the Theil–Sen estimator, sharing
+    * `q_theilsen`'s oracle: same storable fact as the Mann–Kendall
+    * face (the additive per-day count — the companion statistics read
+    * the same series), the median-of-slopes selection a query-time
+    * view through the batch `theilsenFromBuckets`.
+    */
+  def streamTheilsen(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.core.Graft.ensureConf(spark)
+    val buckets = graft.analytics.TimeSeries.mkBuckets(
+      streamingEvents(spark, sfDir))
+    graft.analytics.TimeSeries.theilsenFromBuckets(
+      runToTable(buckets, OutputMode.Complete(), "ss_stream_theilsen"))
+  }
+
   /** Streaming admission face of the entropy signal, sharing
     * `txt_entropy`'s oracle: the score is within-row (the whole point
     * of the in-row formulation), so arriving docs are scored by

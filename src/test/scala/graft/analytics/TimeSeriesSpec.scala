@@ -339,6 +339,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(flat.toSeq.take(5) == Seq(3L, 3L, 0L, 0L, 0L))
   }
 
+  test("theilsen: median of the 10 pairwise slopes and the residual " +
+       "median intercept, hand-computed; the gap day participates " +
+       "as an observed zero") {
+    val s = spark; import s.implicits._
+    graft.core.Graft.ensureConf(spark)
+    // series [1,3,2,4,10] on days 0..4 -> slopes sorted
+    // [-1,.5,.5,1,2,2,2.25,3.5,4,6], rank (10+1)//2 = 5 -> 2.0;
+    // residuals c - 2d = [1,1,-2,-2,2] -> sorted rank 3 -> 1.0
+    val a = TimeSeries.theilsenFromBuckets(
+        Seq((0L, 1L), (1L, 3L), (2L, 2L), (3L, 4L), (4L, 10L))
+          .toDF("d", "c"))
+      .collect().head
+    assert(a.toSeq == Seq(5L, 10L, 2.0, 1.0), s"theilsen: ${a.toSeq}")
+    // days {0, 2} observed [1, 5] -> densified [1,0,5]: slopes
+    // [-1, 2, 5] -> median 2; residuals [1,-2,1] -> median 1
+    val b = TimeSeries.theilsenFromBuckets(
+        Seq((0L, 1L), (2L, 5L)).toDF("d", "c"))
+      .collect().head
+    assert(b.toSeq == Seq(3L, 3L, 2.0, 1.0), s"gap case: ${b.toSeq}")
+  }
+
   test("trending: lift ranks recent-vs-prior day counts; older-only " +
        "objects are excluded") {
     val s = spark; import s.implicits._
