@@ -1596,6 +1596,112 @@ object TextAnalysis {
        |WHERE b.cb >= $pmiMinCount
        |ORDER BY pmi_mu DESC, b.w1, b.w2 LIMIT $pmiTopK""".stripMargin
 
+  // ---- txt_jsd_drift: per-source distribution drift --------------------
+
+  /** ln 2 in micro-nats — the closed-form contribution of every term
+    * ABSENT from a source (q_t/m_t = 2 exactly when c_st = 0), which
+    * is what lets the sum run over only the source's own vocabulary.
+    */
+  private val ln2Mu = 693147L
+
+  /** Per-source JENSEN–SHANNON divergence against the corpus-wide
+    * term distribution — the text sibling of `q_psi_drift`'s
+    * event-type monitor (PSI watches the event mix over time; this
+    * watches which SOURCES' vocabularies drift from the corpus — the
+    * source-quality leaderboard a curation pipeline reviews before
+    * reweighting): JSD(p_s ‖ q) = ½KL(p‖m) + ½KL(q‖m), m = ½(p+q),
+    * bounded in [0, ln 2], symmetric and defined even where supports
+    * differ (the reason it beats raw KL here).
+    *
+    * Exactness scheme: both KL ratios clear to INTEGER-ratio form
+    * (p_t/m_t = 2·c_st·N / (c_st·N + c_t·N_s), q_t/m_t the mirror),
+    * each term's ln quantizes to integer micro-nats BEFORE the
+    * count-weighted sums (the NLL discipline — order-free integer
+    * aggregation, ln last-ulp absorbed per term); terms ABSENT from
+    * the source contribute exactly q_t·ln 2, so the whole absent mass
+    * folds into the closed form (N − Σ_present c_t)·ln2_mu — the sum
+    * never touches vocab × sources, only the (source, term) support
+    * (the sparse relation one corpus scan already produces). Final
+    * JSD is one identical q6 double expression per source.
+    */
+  def jsdDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = Graft.tableParallel(spark, sfDir, "documents")
+      .select(col("source"), explode(expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("cst"))
+      .localCheckpoint()
+    val ct = st.groupBy(col("term")).agg(sum(col("cst")).as("ct"))
+    val ns = st.groupBy(col("source")).agg(sum(col("cst")).as("ns"))
+    val n = st.agg(sum(col("cst")).as("n"))
+    st.join(ct, "term").join(ns, "source").crossJoin(broadcast(n))
+      .select(col("source"), col("ns"), col("n"), col("cst"), col("ct"),
+        expr(
+          """CAST(floor(ln((2.0 * CAST(cst AS DOUBLE) * CAST(n AS DOUBLE))
+            |  / (CAST(cst AS DOUBLE) * CAST(n AS DOUBLE)
+            |     + CAST(ct AS DOUBLE) * CAST(ns AS DOUBLE)))
+            |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin).as("u1"),
+        expr(
+          """CAST(floor(ln((2.0 * CAST(ct AS DOUBLE) * CAST(ns AS DOUBLE))
+            |  / (CAST(cst AS DOUBLE) * CAST(n AS DOUBLE)
+            |     + CAST(ct AS DOUBLE) * CAST(ns AS DOUBLE)))
+            |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin).as("u2"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        max(col("ns")).as("ns"), max(col("n")).as("n"),
+        sum(col("cst") * col("u1")).as("num1"),
+        sum(col("ct") * col("u2")).as("num2"),
+        sum(col("ct")).as("ctsum"))
+      .select(col("source"), col("n_terms"), col("num1"), col("num2"),
+        ParityMath.q6(expr(
+          s"""(CAST(num1 AS DOUBLE) / CAST(ns AS DOUBLE)
+             | + CAST(num2 AS DOUBLE) / CAST(n AS DOUBLE)
+             | + CAST(n - ctsum AS DOUBLE) * $ln2Mu.0
+             |   / CAST(n AS DOUBLE))
+             | / 2000000.0""".stripMargin)).as("jsd"))
+      .orderBy(col("source"))
+  }
+
+  val jsdDriftSql: String =
+    s"""WITH st AS (
+       |  SELECT source, term, CAST(count(*) AS BIGINT) AS cst FROM (
+       |    SELECT source, unnest(regexp_extract_all(lower(text),
+       |      '[a-z0-9]+')) AS term
+       |    FROM documents
+       |  ) GROUP BY 1, 2
+       |), ct AS (SELECT term, sum(cst) AS ct FROM st GROUP BY 1),
+       |ns AS (SELECT source, sum(cst) AS ns FROM st GROUP BY 1),
+       |n AS (SELECT sum(cst) AS n FROM st),
+       |u AS (
+       |  SELECT st.source, ns.ns, n.n, st.cst, ct.ct,
+       |    CAST(floor(ln((2.0 * CAST(st.cst AS DOUBLE)
+       |        * CAST(n.n AS DOUBLE))
+       |      / (CAST(st.cst AS DOUBLE) * CAST(n.n AS DOUBLE)
+       |         + CAST(ct.ct AS DOUBLE) * CAST(ns.ns AS DOUBLE)))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS u1,
+       |    CAST(floor(ln((2.0 * CAST(ct.ct AS DOUBLE)
+       |        * CAST(ns.ns AS DOUBLE))
+       |      / (CAST(st.cst AS DOUBLE) * CAST(n.n AS DOUBLE)
+       |         + CAST(ct.ct AS DOUBLE) * CAST(ns.ns AS DOUBLE)))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS u2
+       |  FROM st JOIN ct USING (term) JOIN ns USING (source) CROSS JOIN n
+       |), g AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+       |    max(ns) AS ns, max(n) AS n,
+       |    CAST(sum(cst * u1) AS BIGINT) AS num1,
+       |    CAST(sum(ct * u2) AS BIGINT) AS num2,
+       |    sum(ct) AS ctsum
+       |  FROM u GROUP BY 1
+       |)
+       |SELECT source, n_terms, num1, num2,
+       |  ${ParityMath.q6Sql(
+          s"""(CAST(num1 AS DOUBLE) / CAST(ns AS DOUBLE)
+             | + CAST(num2 AS DOUBLE) / CAST(n AS DOUBLE)
+             | + CAST(n - ctsum AS DOUBLE) * $ln2Mu.0
+             |   / CAST(n AS DOUBLE))
+             | / 2000000.0""".stripMargin)} AS jsd
+       |FROM g ORDER BY source""".stripMargin
+
   // ---- txt_backoff_nll -----------------------------------------------
 
   /** Stupid Backoff backoff factor (Brants et al. 2007's α = 0.4),

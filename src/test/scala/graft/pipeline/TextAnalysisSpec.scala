@@ -35,6 +35,50 @@ class TextAnalysisSpec extends SparkSpec {
     assert(mu(5, 11, 5, 22) == mu(5, 5, 11, 22), "the tie is the point")
   }
 
+  test("jsd drift: identical sources score EXACTLY zero; a disjoint-" +
+       "vocabulary source matches the driver replay incl. the " +
+       "absent-mass ln2 closed form") {
+    val s = spark; import s.implicits._
+    def run(rows: Seq[(Long, String, String)]) = {
+      val docs = rows.map { case (id, src, t) =>
+        (id, t, "en", src, t.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val dir = java.nio.file.Files.createTempDirectory("graft_jsd")
+        .toString
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      TextAnalysis.jsdDrift(spark, dir).collect()
+    }
+    // p == q for every source -> both KL ratios are exactly 1 and the
+    // absent mass is empty: bitwise zero
+    val same = run(Seq((1L, "a", "x y"), (2L, "b", "x y")))
+    assert(same.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L &&
+      r.getDouble(4) == 0.0), s"identical sources must score 0: ${
+        same.map(_.toSeq).toSeq}")
+    // A = "x x y" (ns 3), B = "z" (ns 1), N = 4, ct = {x:2, y:1, z:1}
+    def lnq(num: Double, den: Double): Long =
+      math.floor(math.log(num / den) * 1e6 + 0.5).toLong
+    def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val got = run(Seq((1L, "a", "x x y"), (2L, "b", "z")))
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    val aNum1 = 2 * lnq(2.0 * 2 * 4, 2.0 * 4 + 2.0 * 3) +
+      1 * lnq(2.0 * 1 * 4, 1.0 * 4 + 1.0 * 3)
+    val aNum2 = 2 * lnq(2.0 * 2 * 3, 2.0 * 4 + 2.0 * 3) +
+      1 * lnq(2.0 * 1 * 3, 1.0 * 4 + 1.0 * 3)
+    val aJsd = q6((aNum1 / 3.0 + aNum2 / 4.0 + 1.0 * 693147.0 / 4.0)
+      / 2000000.0)
+    assert(got("a") == ((2L, aNum1, aNum2, aJsd)), s"source a: $got")
+    // B's only term z is exclusive: p_t/m_t = 2·1·4/(4+1) and
+    // q_t/m_t = 2·1·1/5; the other 3/4 of the corpus mass is absent
+    val bNum1 = 1 * lnq(2.0 * 1 * 4, 1.0 * 4 + 1.0 * 1)
+    val bNum2 = 1 * lnq(2.0 * 1 * 1, 1.0 * 4 + 1.0 * 1)
+    val bJsd = q6((bNum1 / 1.0 + bNum2 / 4.0 + 3.0 * 693147.0 / 4.0)
+      / 2000000.0)
+    assert(got("b") == ((1L, bNum1, bNum2, bJsd)), s"source b: $got")
+    // disjoint vocab drifts much harder than the shared-vocab source
+    assert(got("b")._4 > got("a")._4)
+  }
+
   test("pii scrub redacts emails, phones and SSNs") {
     val s = spark; import s.implicits._
     val df = Seq(
