@@ -1624,13 +1624,20 @@ object TextAnalysis {
     * (the sparse relation one corpus scan already produces). Final
     * JSD is one identical q6 double expression per source.
     */
-  def jsdDrift(spark: SparkSession, sfDir: String): DataFrame = {
-    val st = Graft.tableParallel(spark, sfDir, "documents")
+  def jsdDrift(spark: SparkSession, sfDir: String): DataFrame =
+    jsdFromCounts(Graft.tableParallel(spark, sfDir, "documents")
       .select(col("source"), explode(expr(
         "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
       .groupBy(col("source"), col("term"))
-      .agg(count(lit(1)).as("cst"))
-      .localCheckpoint()
+      .agg(count(lit(1)).as("cst")))
+
+  /** The divergence report over any (source, term, cst) support
+    * relation — shared by the batch and streaming faces (one arriving
+    * doc shifts N, its source's N_s, and every term's marginal: the
+    * divergence is never storable state, only the counts are).
+    */
+  private[graft] def jsdFromCounts(st0: DataFrame): DataFrame = {
+    val st = st0.localCheckpoint()
     val ct = st.groupBy(col("term")).agg(sum(col("cst")).as("ct"))
     val ns = st.groupBy(col("source")).agg(sum(col("cst")).as("ns"))
     val n = st.agg(sum(col("cst")).as("n"))

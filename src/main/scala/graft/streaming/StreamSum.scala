@@ -1388,6 +1388,29 @@ object StreamSum {
       runToTable(bf, OutputMode.Complete(), "ss_stream_pmi"))
   }
 
+  /** Streaming face of the per-source JSD drift monitor, sharing
+    * `txt_jsd_drift`'s oracle: the streamed state is the
+    * (source, term) count — an ordinary streaming aggregation, state
+    * bounded at the sparse support — and the divergence report runs
+    * over the final snapshot via literally the batch `jsdFromCounts`
+    * (one arriving doc shifts N, its source's N_s, and every term's
+    * marginal: the divergence is never storable state).
+    */
+  def streamJsd(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val st = docs
+      .select(col("source"), explode(expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("cst"))
+    graft.pipeline.TextAnalysis.jsdFromCounts(
+      runToTable(st, OutputMode.Complete(), "ss_stream_jsd"))
+  }
+
   def streamZipf(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
     val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
