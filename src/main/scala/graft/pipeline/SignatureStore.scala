@@ -787,6 +787,126 @@ object SignatureStore {
     storedStl(spark, store)
   }
 
+  // ---- trend store -----------------------------------------------------
+
+  /** Incremental TREND store serving BOTH robust-trend views from one
+    * per-batch landing of total-per-day partial counts (ADDITIVE
+    * under any batch split — the stl store's structure on the daily
+    * axis): the Mann–Kendall sign-pair test and the Theil–Sen
+    * median-of-slopes estimator are each functions of the WHOLE
+    * densified series (one arriving event flips the sign of every
+    * pair its day touches and shifts the slope median), so both run
+    * at query time through the batch faces' shared cores over the
+    * summed counts — one store, the test and the estimator.
+    */
+  def catchUpTrend(spark: SparkSession, watchDir: String,
+                   storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val ev = spark.readStream.schema(schema).parquet(watchDir)
+    val q = ev.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.analytics.TimeSeries.mkBuckets(batch)
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/day_counts/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private def storedDayCounts(spark: SparkSession,
+                              storeDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    storedOrEmpty(spark, s"$storeDir/day_counts",
+      emptyLike(spark, spark.range(0).selectExpr("id AS d", "id AS c")))
+      .groupBy(col("d")).agg(sum(col("c")).as("c"))
+  }
+
+  private def trendStore(spark: SparkSession, sfDir: String,
+                         name: String): String = {
+    val watch = tempDirForExit(s"graft_gate_${name}_watch")
+    val store = tempDirForExit(s"graft_gate_${name}_store")
+    val ev = Graft.table(spark, sfDir, "events")
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpTrend(spark, watch, store)
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpTrend(spark, watch, store)
+    store
+  }
+
+  /** Driver-gate faces: event-parity appends (most days land counts in
+    * both batches — the additive sum does real work), then the
+    * query-time views; share `q_mannkendall`'s / `q_theilsen`'s
+    * oracles.
+    */
+  def gatedMannKendall(spark: SparkSession, sfDir: String): DataFrame =
+    graft.analytics.TimeSeries.mkFromBuckets(
+      storedDayCounts(spark, trendStore(spark, sfDir, "mk")))
+
+  def gatedTheilsen(spark: SparkSession, sfDir: String): DataFrame =
+    graft.analytics.TimeSeries.theilsenFromBuckets(
+      storedDayCounts(spark, trendStore(spark, sfDir, "tsen")))
+
+  // ---- jsd store -------------------------------------------------------
+
+  /** Incremental DRIFT store: per-batch (source, term) partial counts
+    * (a document tokenizes exactly once, ever; counts are ADDITIVE
+    * under any batch split); the divergence report is a query-time
+    * VIEW through the batch `jsdFromCounts` — one arriving doc shifts
+    * N, its source's N_s and every term's marginal, so divergences
+    * are never storable state (the tfidf evolving-answer contract on
+    * the source axis).
+    */
+  def catchUpJsd(spark: SparkSession, watchDir: String,
+                 storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val docs = spark.readStream.schema(schema).parquet(watchDir)
+    val q = docs.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.select(col("source"), explode(expr(
+            "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+            .as("term"))
+          .groupBy(col("source"), col("term"))
+          .agg(count(lit(1)).as("cst"))
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/st_counts/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  def storedJsd(spark: SparkSession, storeDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    TextAnalysis.jsdFromCounts(
+      storedOrEmpty(spark, s"$storeDir/st_counts",
+        emptyLike(spark, spark.range(0).selectExpr("'' AS source",
+          "'' AS term", "id AS cst")))
+        .groupBy(col("source"), col("term"))
+        .agg(sum(col("cst")).as("cst")))
+  }
+
+  def gatedJsd(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_jsd_watch")
+    val store = tempDirForExit("graft_gate_jsd_store")
+    val docs = Graft.table(spark, sfDir, "documents")
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpJsd(spark, watch, store)
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpJsd(spark, watch, store)
+    storedJsd(spark, store)
+  }
+
   // ---- rfm store -----------------------------------------------------
 
   /** Incremental RFM: each arriving orders batch lands its per-customer

@@ -462,6 +462,27 @@ class SignatureStoreSpec extends SparkSpec {
     assert(stored == oneShot)
   }
 
+  test("trend store: one day-count landing serves BOTH the sign-pair " +
+       "test and the slope-median estimator") {
+    val mk = graft.analytics.TimeSeries.qMannKendall(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(SignatureStore.gatedMannKendall(spark, sfDir)
+      .collect().map(_.toSeq).toSeq == mk)
+    val ts = graft.analytics.TimeSeries.qTheilsen(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(SignatureStore.gatedTheilsen(spark, sfDir)
+      .collect().map(_.toSeq).toSeq == ts)
+  }
+
+  test("jsd store: doc-parity (source, term) partials serve the " +
+       "one-shot drift report through the evolving marginals") {
+    val oneShot = graft.pipeline.TextAnalysis.jsdDrift(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val stored = SignatureStore.gatedJsd(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(stored == oneShot)
+  }
+
   test("stl store: parity-split bucket partials sum to the one-shot " +
        "decomposition") {
     val oneShot = graft.analytics.TimeSeries.qStl(spark, sfDir)
