@@ -409,6 +409,75 @@ object Dedup {
        |  ON x.b = y.b AND x.h = y.h AND x.doc_id < y.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- dd_lsh_eval ------------------------------------------------------
+
+  /** DEDUP-QUALITY scorecard: precision/recall of the MinHash-LSH
+    * candidate pairs against the EXACT threshold-Jaccard truth — the
+    * eval-family member for dedup, next to `ann_recall_eval` (index
+    * recall), `txt_langid_eval` (confusion matrix), `q_retrieval_eval`
+    * (P@k/nDCG) and `pipe_qclf_eval` (held-out AUC): the numbers a
+    * pipeline owner actually reads before trusting banding parameters
+    * (8×4 here — more bands buy recall, longer bands buy precision).
+    * Both relations come from the production faces themselves
+    * (`minhashLsh` candidates, `jaccardPrefix` truth), pairs
+    * canonicalized to (min id, max id) because the prefix join orders
+    * by (size, id), not id. Counts are exact integers; the two ratios
+    * are ONE q6 division each.
+    */
+  def lshEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val cand = minhashLsh(spark, sfDir)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .localCheckpoint()
+    val truth = jaccardPrefix(spark, sfDir)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .localCheckpoint()
+    cand.agg(count(lit(1)).as("n_cand"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+      .crossJoin(broadcast(cand.join(truth, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).as("n_hit"))))
+      .select(col("n_cand"), col("n_true"), col("n_hit"),
+        when(col("n_cand") > 0, ParityMath.q6(
+          col("n_hit").cast("double") / col("n_cand").cast("double")))
+          .as("precision"),
+        when(col("n_true") > 0, ParityMath.q6(
+          col("n_hit").cast("double") / col("n_true").cast("double")))
+          .as("recall"))
+  }
+
+  /** Oracle independence: the truth side replays as the UNTILED
+    * brute-force all-pairs Jaccard (the session-overlap discipline —
+    * the gate certifies the prefix filter's exactness again, from the
+    * other side), the candidate side as the banding join.
+    */
+  val lshEvalSql: String =
+    s"""WITH $shingledCteDuck, $bandsCteDuck, cand AS MATERIALIZED (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.h = y.h AND x.doc_id < y.doc_id
+       |), truth AS MATERIALIZED (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+       |  WHERE (floor((CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |        / CAST(len(a.hs) + len(b.hs)
+       |               - len(list_intersect(a.hs, b.hs)) AS DOUBLE))
+       |      * 1000000.0 + 0.5) / 1000000.0) >= $jaccardThreshold
+       |), cc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+       |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+       |hh AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM cand JOIN truth USING (doc_a, doc_b)
+       |)
+       |SELECT n_cand, n_true, n_hit,
+       |  CASE WHEN n_cand > 0 THEN ${ParityMath.q6Sql(
+          "CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE)")} END
+       |    AS precision,
+       |  CASE WHEN n_true > 0 THEN ${ParityMath.q6Sql(
+          "CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE)")} END
+       |    AS recall
+       |FROM cc, tt, hh""".stripMargin
+
   // ---- dd_ngram_jaccard ----------------------------------------------
 
   /** Exact Jaccard verification over the LSH candidate pairs: the

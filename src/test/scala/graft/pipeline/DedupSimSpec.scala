@@ -25,6 +25,22 @@ class DedupSimSpec extends SparkSpec {
     assert(verified.subsetOf(cand))
   }
 
+  test("lsh eval: n_hit equals the verify face's row count (three " +
+       "faces agree), ratios recompute, and the hit count is bounded " +
+       "by both sides") {
+    val r = Dedup.lshEval(spark, sfDir).collect().head
+    val (nCand, nTrue, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nHit <= math.min(nCand, nTrue))
+    // cand ∩ truth IS the verify face's output relation by definition -
+    // the eval cross-checks minhashLsh, jaccardPrefix AND ngramJaccard
+    // against each other in one identity
+    assert(nHit == Dedup.ngramJaccard(spark, sfDir).count(),
+      "eval hits must equal the verified-candidate relation")
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(r.getDouble(3) == q6(nHit.toDouble / nCand) &&
+      r.getDouble(4) == q6(nHit.toDouble / nTrue))
+  }
+
   test("jaccard values are in (0.8, 1.0]") {
     val js = Dedup.ngramJaccard(spark, sfDir).collect().map(_.getDouble(2))
     assert(js.forall(j => j >= 0.8 && j <= 1.0))
