@@ -62,7 +62,7 @@ object Bench {
     "dd_embed_cosine", "dd_semantic",
     "ann_topk_brute", "ann_topk_quant", "ann_lsh_bucketed", "ann_ivf",
     "ann_ivf_quant", "ann_ivf_adaptive", "ann_ivf_pq", "ann_knn_join",
-    "ann_mmr",
+    "ann_mmr", "ann_mmr_ivf",
     "q_hll_distinct", "q_hll_sliding", "q_cms_topk",
     "q_cms_sliding", "q_cms_join_card", "q_cms_f2", "q_qtile_sketch",
     "q_quantile_exact", "q_qtile_sliding",
@@ -128,7 +128,7 @@ object Bench {
     "pipe_quality_gate", "ann_ivf_quant", "ann_ivf_pq", "ann_knn_join",
     "txt_stats", "txt_readability", "txt_keyphrase", "txt_pmi",
     "txt_jsd_drift",
-    "pipe_embed_prune", "ann_mmr",
+    "pipe_embed_prune", "ann_mmr", "ann_mmr_ivf",
     "txt_bpe_encode",
     "txt_bm25", "q_hybrid_rrf", "q_retrieval_eval", "txt_backoff_nll",
     // the real-codec mapPartitions path: per-row cost must stay flat

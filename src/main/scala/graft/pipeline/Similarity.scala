@@ -1737,12 +1737,43 @@ object Similarity {
     * corpus).
     */
   def annMmr(spark: SparkSession, sfDir: String): DataFrame = {
-    val s2 = Graft.ensureConf(spark)
-    import s2.implicits._
-    val e = emb(s2, sfDir).select(col("vec_id"), col("embedding"))
+    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
     val qv = e.filter(col("vec_id") === 0L)
       .select(col("embedding").as("q_emb"))
-    val cand = e.crossJoin(broadcast(qv))
+    mmrFromPool(spark, e.crossJoin(broadcast(qv)))
+  }
+
+  /** IVF-pooled MMR — the documented 100 TB path made concrete: the
+    * candidate pool comes from the trained index's probed cells (the
+    * ann_ivf machinery verbatim — assignment scan + csim-ranked probe
+    * set) instead of the brute corpus scan, and the greedy is shared
+    * unchanged (it never sees the corpus either way). On the fixture
+    * the probed cells contain the true top candidates, so the two
+    * faces usually agree — but the gate certifies THIS face's own
+    * oracle (the full Lloyd + probe + greedy chain replayed), not
+    * agreement with the brute face.
+    */
+  def annMmrIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val centVecs = trainedCentroidsFor(spark, sfDir)
+    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val assign = ivfAssignWith(e, centVecs)
+    val qv = e.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("q_emb"))
+    val probes = qv.crossJoin(broadcast(centsDF(spark, centVecs)))
+      .withColumn("csim", expr(cosSparkHof("q_emb", "c_emb")))
+      .orderBy(col("csim").desc, col("cid")).limit(ivfProbes)
+      .select(col("cid"))
+    mmrFromPool(spark,
+      assign.join(broadcast(probes), "cid").crossJoin(broadcast(qv)))
+  }
+
+  /** Candidate cut + greedy over any (vec_id, embedding, q_emb) pool
+    * relation — shared by the brute and IVF faces.
+    */
+  private def mmrFromPool(spark: SparkSession, pool: DataFrame): DataFrame = {
+    val s2 = Graft.ensureConf(spark)
+    import s2.implicits._
+    val cand = pool
       .select(col("vec_id"), col("embedding"), expr(
         s"CAST(floor((${cosSpark("embedding", "q_emb")}) * 1000000.0" +
           " + 0.5) AS BIGINT)").as("rel_mu"))
@@ -1778,7 +1809,11 @@ object Similarity {
     * lpa/pagerank iteration discipline), each an argmax over the
     * not-yet-picked candidates with a scalar max-pair subquery.
     */
-  val annMmrSql: String = {
+  /** The pairwise-sim + unrolled-greedy CTE suffix over any chain
+    * ending in `cand(vec_id, embedding, rel_mu)` — shared by the brute
+    * and IVF oracles.
+    */
+  private def mmrSqlWith(candChain: String): String = {
     val steps = (2 to mmrK).map { i =>
       s"""sel$i AS MATERIALIZED (
          |  SELECT c.vec_id, c.rel_mu,
@@ -1794,15 +1829,7 @@ object Similarity {
          |  SELECT * FROM acc${i - 1} UNION ALL SELECT * FROM sel$i
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH qv AS (
-       |  SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0
-       |), cand AS MATERIALIZED (
-       |  SELECT vec_id, embedding,
-       |    CAST(floor((${cosDuck("embedding", "q.q_emb")}) * 1000000.0
-       |      + 0.5) AS BIGINT) AS rel_mu
-       |  FROM embeddings e CROSS JOIN qv q
-       |  ORDER BY rel_mu DESC, vec_id LIMIT $mmrCand
-       |), pairs AS MATERIALIZED (
+    s"""WITH $candChain, pairs AS MATERIALIZED (
        |  SELECT x.vec_id AS a, y.vec_id AS b,
        |    CAST(floor((${cosDuck("x.embedding", "y.embedding")})
        |      * 1000000.0 + 0.5) AS BIGINT) AS pm
@@ -1816,6 +1843,49 @@ object Similarity {
        |  CAST(mmr_u AS BIGINT) AS mmr_u
        |FROM acc$mmrK ORDER BY rk""".stripMargin
   }
+
+  val annMmrSql: String = mmrSqlWith(
+    s"""qv AS (
+       |  SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0
+       |), cand AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    CAST(floor((${cosDuck("embedding", "q.q_emb")}) * 1000000.0
+       |      + 0.5) AS BIGINT) AS rel_mu
+       |  FROM embeddings e CROSS JOIN qv q
+       |  ORDER BY rel_mu DESC, vec_id LIMIT $mmrCand
+       |)""".stripMargin)
+
+  val annMmrIvfSql: String = mmrSqlWith(
+    s"""e AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), $lloydCentsCtes, assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosDuck("e.embedding", "c.c_emb")} DESC, c.cid)
+       |        AS ark
+       |    FROM e CROSS JOIN cents c
+       |  ) WHERE ark = 1
+       |), probes AS (
+       |  SELECT cid FROM (
+       |    SELECT c.cid,
+       |      row_number() OVER (
+       |        ORDER BY ${cosDuck("q.embedding", "c.c_emb")} DESC, c.cid)
+       |        AS prk
+       |    FROM e q CROSS JOIN cents c WHERE q.vec_id = 0
+       |  ) WHERE prk <= $ivfProbes
+       |), qv AS (
+       |  SELECT embedding AS q_emb FROM e WHERE vec_id = 0
+       |), cand AS MATERIALIZED (
+       |  SELECT a.vec_id, e.embedding,
+       |    CAST(floor((${cosDuck("e.embedding", "q.q_emb")}) * 1000000.0
+       |      + 0.5) AS BIGINT) AS rel_mu
+       |  FROM assign a
+       |  JOIN probes p ON a.cid = p.cid
+       |  JOIN e ON e.vec_id = a.vec_id
+       |  CROSS JOIN qv q
+       |  ORDER BY rel_mu DESC, a.vec_id LIMIT $mmrCand
+       |)""".stripMargin)
 
   // ---- ann_recall_eval ------------------------------------------------
 

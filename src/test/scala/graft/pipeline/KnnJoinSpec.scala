@@ -83,6 +83,19 @@ class KnnJoinSpec extends SparkSpec {
   }
 
 
+  test("ann_mmr_ivf: the index-pooled face picks the self-query first " +
+       "(its home cell is always probed), emits k distinct docs, and " +
+       "penalizes every later pick") {
+    val rows = Similarity.annMmrIvf(spark, sfDir).collect()
+    assert(rows.length == Similarity.mmrK)
+    assert(rows.head.getLong(0) == 1L && rows.head.getLong(1) == 0L &&
+      rows.head.getLong(3) == 7L * rows.head.getLong(2),
+      "rank 1 must be the self-query at 7x its relevance")
+    assert(rows.map(_.getLong(1)).distinct.length == rows.length)
+    rows.tail.foreach(r => assert(r.getLong(3) < 7L * r.getLong(2),
+      "every non-first pick carries a positive diversity penalty"))
+  }
+
   test("every vector gets neighbors; self is never a neighbor; ranks " +
        "are 1..k dense per vector") {
     val rows = Similarity.annKnnJoin(spark, sfDir).collect()
