@@ -49,7 +49,7 @@ object Bench {
     "q_ewma", "q_holt", "q_forecast_eval", "q_autocorr", "q_anomaly",
     "q_funnel", "q_cohort", "q_pagerank", "q_ppr", "q_hits",
     "q_decay_count", "q_trending", "q_markov", "ss_stream_ewma",
-    "q_paths", "q_seasonality", "q_stl", "q_changepoint", "q_psi_drift",
+    "q_paths", "q_seasonality", "q_stl", "q_changepoint", "q_cusum", "q_psi_drift",
     "q_histogram", "q_gini", "q_mannkendall", "q_mad", "q_theilsen",
     "q_rfm",
     "q_skyline", "q_grouping_sets", "q_seq_pattern",
@@ -107,7 +107,7 @@ object Bench {
     "q_attribution",
     "q_ewma", "q_holt", "q_forecast_eval", "q_autocorr", "q_anomaly",
     "q_funnel", "q_cohort", "q_pagerank", "q_ppr", "q_hits", "q_trending", "q_markov", "ss_stream_ewma",
-    "q_paths", "q_seasonality", "q_stl", "q_changepoint", "q_psi_drift",
+    "q_paths", "q_seasonality", "q_stl", "q_changepoint", "q_cusum", "q_psi_drift",
     "q_seq_pattern", "q_gini", "q_mannkendall", "q_mad", "q_theilsen",
     "q_triangles", "q_kcore",
     "q_linkpred", "q_lpa", "q_xcorr",

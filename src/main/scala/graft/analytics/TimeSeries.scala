@@ -1545,6 +1545,86 @@ object TimeSeries {
        |ORDER BY event_type""".stripMargin
   }
 
+  // ---- q_cusum: online drift detection over the daily series -----------
+
+  /** Page's CUSUM (1954) over the densified daily series — the ONLINE
+    * member of the changepoint family (q_changepoint finds the best
+    * split in hindsight; CUSUM is what a monitor computes as days
+    * arrive: the running excursion of the series above/below its
+    * reference level, and where that excursion peaked). The sequential
+    * max(0, S+d) recursion has the classic closed form over prefix
+    * sums — S⁺_t = P_t − min(0, min_{i≤t} P_i), S⁻_t mirrored — so
+    * the whole detector is two running windows, no recursion.
+    *
+    * Exactness: deviations are scaled by n (d_t = n·c_t − T, so the
+    * reference mean T/n never divides) — every quantity is a BIGINT
+    * in count·days units and both engines agree bitwise; excursion
+    * peaks are argmax rows under the total (excursion DESC, day ASC)
+    * order. 100 TB shape: one corpus scan folds to the days-sized
+    * relation; the running windows ride that TINY series (the stl
+    * "window over the tiny matrix" posture).
+    */
+  def qCusum(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    cusumFromBuckets(mkBuckets(Graft.table(spark, sfDir, "events")))
+  }
+
+  private[graft] def cusumFromBuckets(cnt0: DataFrame): DataFrame = {
+    val dense = mkDense(cnt0)
+    val tot = dense.agg(sum(col("c")).as("t"),
+      count(lit(1)).as("n_days"))
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val s = dense.crossJoin(broadcast(tot))
+      .select(col("d"), col("n_days"),
+        (col("n_days") * col("c") - col("t")).as("dd"))
+      .withColumn("p", sum(col("dd")).over(w))
+      .withColumn("up", col("p") -
+        least(lit(0L), min(col("p")).over(w)))
+      .withColumn("down",
+        greatest(lit(0L), max(col("p")).over(w)) - col("p"))
+      .localCheckpoint()
+    val up = s.orderBy(col("up").desc, col("d")).limit(1)
+      .select(col("n_days"), col("d").as("up_day"),
+        col("up").as("up_exc"))
+    val down = s.orderBy(col("down").desc, col("d")).limit(1)
+      .select(col("d").as("down_day"), col("down").as("down_exc"))
+    up.crossJoin(broadcast(down))
+  }
+
+  val qCusumSql: String =
+    s"""WITH cnt AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS d,
+       |         CAST(count(*) AS BIGINT) AS c
+       |  FROM events WHERE ts IS NOT NULL GROUP BY 1
+       |), dense AS MATERIALIZED (
+       |  SELECT s.d, coalesce(c.c, 0) AS c
+       |  FROM (SELECT unnest(range(min(d), max(d) + 1)) AS d FROM cnt) s
+       |  LEFT JOIN cnt c ON c.d = s.d
+       |), tot AS (SELECT sum(c) AS t, CAST(count(*) AS BIGINT) AS n_days
+       |           FROM dense),
+       |s0 AS (
+       |  SELECT d, n_days,
+       |    sum(n_days * c - t) OVER (ORDER BY d ROWS BETWEEN
+       |      UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+       |  FROM dense CROSS JOIN tot
+       |), s AS MATERIALIZED (
+       |  SELECT d, n_days,
+       |    p - least(0, min(p) OVER wd) AS up,
+       |    greatest(0, max(p) OVER wd) - p AS down
+       |  FROM s0
+       |  WINDOW wd AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+       |                AND CURRENT ROW)
+       |), u AS (
+       |  SELECT n_days, d AS up_day, CAST(up AS BIGINT) AS up_exc
+       |  FROM s ORDER BY up DESC, d LIMIT 1
+       |), dn AS (
+       |  SELECT d AS down_day, CAST(down AS BIGINT) AS down_exc
+       |  FROM s ORDER BY down DESC, d LIMIT 1
+       |)
+       |SELECT n_days, up_day, up_exc, down_day, down_exc
+       |FROM u CROSS JOIN dn""".stripMargin
+
   // ---- q_changepoint: best mean-shift split over the daily series ----
 
   /** Mean-shift changepoint scan: for every split point of the daily

@@ -1327,6 +1327,19 @@ object StreamSum {
       runToTable(buckets, OutputMode.Complete(), "ss_stream_mannkendall"))
   }
 
+  /** Streaming face of Page's CUSUM, sharing `q_cusum`'s oracle:
+    * same storable fact as the other daily-series trend faces (the
+    * additive per-day count), the prefix-sum/running-min excursion
+    * chain a query-time view through the batch `cusumFromBuckets`.
+    */
+  def streamCusum(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.core.Graft.ensureConf(spark)
+    val buckets = graft.analytics.TimeSeries.mkBuckets(
+      streamingEvents(spark, sfDir))
+    graft.analytics.TimeSeries.cusumFromBuckets(
+      runToTable(buckets, OutputMode.Complete(), "ss_stream_cusum"))
+  }
+
   /** Streaming face of the Theil–Sen estimator, sharing
     * `q_theilsen`'s oracle: same storable fact as the Mann–Kendall
     * face (the additive per-day count — the companion statistics read

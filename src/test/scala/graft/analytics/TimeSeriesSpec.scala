@@ -339,6 +339,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(flat.toSeq.take(5) == Seq(3L, 3L, 0L, 0L, 0L))
   }
 
+  test("cusum: the closed form equals Page's sequential recursion on " +
+       "a planted level shift and an oscillator; excursion ties break " +
+       "to the earliest day") {
+    val s = spark; import s.implicits._
+    graft.core.Graft.ensureConf(spark)
+    // level drop 5,5,5 -> 1,1,1: scaled deviations [12x3, -12x3],
+    // P = [12,24,36,24,12,0] -> up peaks 36 EXACTLY at the last day
+    // of the old level (day 2); down grows to 36 at the series end
+    val shift = TimeSeries.cusumFromBuckets(
+        (0L to 5L).map(d => (d, if (d < 3) 5L else 1L)).toDF("d", "c"))
+      .collect().head
+    assert(shift.toSeq == Seq(6L, 2L, 36L, 5L, 36L), s"${shift.toSeq}")
+    // oscillator 1,5,1,5: P = [-8,0,-8,0]; Page's recursion
+    // S+ = [0,8,0,8] -> tie at days 1 and 3 resolves to day 1;
+    // S- peaks 8 at day 0
+    val osc = TimeSeries.cusumFromBuckets(
+        Seq((0L, 1L), (1L, 5L), (2L, 1L), (3L, 5L)).toDF("d", "c"))
+      .collect().head
+    assert(osc.toSeq == Seq(4L, 1L, 8L, 0L, 8L), s"${osc.toSeq}")
+    // and the closed form IS the recursion, checked directly
+    val cs = Seq(1L, 5L, 1L, 5L)
+    val dd = cs.map(c => 4 * c - 12)
+    val pageUp = dd.scanLeft(0L)((acc, x) => math.max(0L, acc + x)).tail
+    assert(pageUp == Seq(0L, 8L, 0L, 8L))
+  }
+
   test("theilsen: median of the 10 pairwise slopes and the residual " +
        "median intercept, hand-computed; the gap day participates " +
        "as an observed zero") {
