@@ -852,6 +852,15 @@ object SignatureStore {
     graft.analytics.TimeSeries.theilsenFromBuckets(
       storedDayCounts(spark, trendStore(spark, sfDir, "tsen")))
 
+  /** Third view over the same day-count landing: the online CUSUM —
+    * the reference level T/n shifts with EVERY arriving event, so the
+    * whole excursion series re-derives at query time; shares
+    * `q_cusum`'s oracle.
+    */
+  def gatedCusum(spark: SparkSession, sfDir: String): DataFrame =
+    graft.analytics.TimeSeries.cusumFromBuckets(
+      storedDayCounts(spark, trendStore(spark, sfDir, "cusum")))
+
   // ---- jsd store -------------------------------------------------------
 
   /** Incremental DRIFT store: per-batch (source, term) partial counts

@@ -472,6 +472,10 @@ class SignatureStoreSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(SignatureStore.gatedTheilsen(spark, sfDir)
       .collect().map(_.toSeq).toSeq == ts)
+    val cu = graft.analytics.TimeSeries.qCusum(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(SignatureStore.gatedCusum(spark, sfDir)
+      .collect().map(_.toSeq).toSeq == cu)
   }
 
   test("jsd store: doc-parity (source, term) partials serve the " +
