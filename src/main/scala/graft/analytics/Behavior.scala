@@ -235,6 +235,93 @@ object Behavior {
             "CAST(n_trans AS DOUBLE) / CAST(n_from AS DOUBLE)")} AS p
        |FROM mm ORDER BY from_type, to_type""".stripMargin
 
+  // ---- q_markov2: second-order transitions ----------------------------
+
+  /** SECOND-ORDER Markov transitions — the context-aware member of
+    * the behavior family, completing the same arc the LM family walks
+    * (unigram → bigram → backoff): P(to | from2, from1) next to
+    * q_markov's memoryless P(to | from1), plus the LOG-LIFT of the
+    * context over the first-order prediction —
+    * ln(P₂(to|ctx) / P₁(to|from1)) in integer micro-nats — which is
+    * the actionable number (a context with lift ≈ 0 carries no
+    * memory; a large |lift| is where a 2-step recommender actually
+    * beats the transition matrix). Both probability ratios clear to
+    * count ratios (n₂·n_f1 / n_ctx·n₁), the ln quantizes per row (NLL
+    * discipline), and p is the one q6 division.
+    *
+    * 100 TB shape: ONE user-keyed exchange carries both lags in a
+    * single window projection; both count relations are map-combinable
+    * aggs on the (tiny) type-tuple vocabulary, the first-order join
+    * keyed on that vocabulary.
+    */
+  def qMarkov2(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val lagged = Graft.table(spark, sfDir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), expr("graft_ts_us(ts)").as("tus"),
+        col("event_id"), col("event_type"))
+      .withColumn("f1", lag(col("event_type"), 1).over(w))
+      .withColumn("f2", lag(col("event_type"), 2).over(w))
+      .localCheckpoint()
+    val first = lagged.filter(col("f1").isNotNull)
+      .groupBy(col("f1"), col("event_type")).agg(count(lit(1)).as("n1"))
+    val nf = first.groupBy(col("f1")).agg(sum(col("n1")).as("nf"))
+    val second = lagged.filter(col("f2").isNotNull)
+      .groupBy(col("f2"), col("f1"), col("event_type"))
+      .agg(count(lit(1)).as("n2"))
+      .withColumn("n_ctx", sum(col("n2")).over(
+        Window.partitionBy(col("f2"), col("f1"))))
+    second
+      .join(first.withColumnRenamed("n1", "n1"), Seq("f1", "event_type"))
+      .join(nf, "f1")
+      .select(col("f2").as("from2"), col("f1").as("from1"),
+        col("event_type").as("to_type"),
+        col("n2").as("n_trans"), col("n_ctx"),
+        graft.pipeline.ParityMath.q6(
+          col("n2").cast("double") / col("n_ctx").cast("double")).as("p"),
+        expr(
+          """CAST(floor(ln((CAST(n2 AS DOUBLE) * CAST(nf AS DOUBLE))
+            |  / (CAST(n_ctx AS DOUBLE) * CAST(n1 AS DOUBLE)))
+            |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin).as("lift_mu"))
+      .orderBy(col("from2"), col("from1"), col("to_type"))
+  }
+
+  val qMarkov2Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |), l AS MATERIALIZED (
+       |  SELECT event_type,
+       |    lag(event_type, 1) OVER w AS f1,
+       |    lag(event_type, 2) OVER w AS f2
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+       |), first AS (
+       |  SELECT f1, event_type, CAST(count(*) AS BIGINT) AS n1
+       |  FROM l WHERE f1 IS NOT NULL GROUP BY 1, 2
+       |), nf AS (SELECT f1, sum(n1) AS nf FROM first GROUP BY 1),
+       |second AS (
+       |  SELECT f2, f1, event_type, CAST(count(*) AS BIGINT) AS n2
+       |  FROM l WHERE f2 IS NOT NULL GROUP BY 1, 2, 3
+       |), sc AS (
+       |  SELECT *, sum(n2) OVER (PARTITION BY f2, f1) AS n_ctx
+       |  FROM second
+       |)
+       |SELECT sc.f2 AS from2, sc.f1 AS from1,
+       |  sc.event_type AS to_type, sc.n2 AS n_trans,
+       |  CAST(sc.n_ctx AS BIGINT) AS n_ctx,
+       |  ${graft.pipeline.ParityMath.q6Sql(
+          "CAST(sc.n2 AS DOUBLE) / CAST(sc.n_ctx AS DOUBLE)")} AS p,
+       |  CAST(floor(ln((CAST(sc.n2 AS DOUBLE) * CAST(nf.nf AS DOUBLE))
+       |    / (CAST(sc.n_ctx AS DOUBLE) * CAST(f.n1 AS DOUBLE)))
+       |    * 1000000.0 + 0.5) AS BIGINT) AS lift_mu
+       |FROM sc
+       |JOIN first f ON f.f1 = sc.f1 AND f.event_type = sc.event_type
+       |JOIN nf ON nf.f1 = sc.f1
+       |ORDER BY from2, from1, to_type""".stripMargin
+
   // ---- q_paths: top user journey prefixes ----------------------------
 
   /** Path length: the first `pathLen` events of each user's history. */

@@ -134,6 +134,32 @@ class BehaviorSpec extends SparkSpec {
       s"markov matrix wrong: $rows")
   }
 
+  test("markov2: the periodic-3 sequence carries exactly ln(2) of " +
+       "memory where the first-order matrix is 50/50, and zero where " +
+       "it is already deterministic") {
+    val s = spark; import s.implicits._
+    // one user: a a b a a b a a b -> first-order from a is 50/50
+    // (a->a 3, a->b 3) but the CONTEXT decides perfectly:
+    // (a,a)->b always, (b,a)->a always -> lift ln 2 = 693147; from b
+    // the first order is already deterministic (b->a 2/2), so
+    // (a,b)->a carries zero lift.
+    val ev = Seq("a", "a", "b", "a", "a", "b", "a", "a", "b")
+      .zipWithIndex.map { case (t, i) =>
+        (i.toLong, (i + 1) * 1000L, 1L, t, 1.0, "{}")
+      }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mk2").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = Behavior.qMarkov2(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getLong(6))).toSeq
+    assert(rows == Seq(
+      ("a", "a", "b", 3L, 3L, 1.0, 693147L),
+      ("a", "b", "a", 2L, 2L, 1.0, 0L),
+      ("b", "a", "a", 2L, 2L, 1.0, 693147L)),
+      s"markov2 wrong: $rows")
+  }
+
   test("cohort: first-activity week assigns the cohort, cells count " +
        "distinct returning users") {
     val s = spark; import s.implicits._
