@@ -937,6 +937,119 @@ object Multimodal {
     }
   }
 
+  /** Bursty sibling of `wavEncode` for the activity-detection path:
+    * same genuine WAV container, but the ramp only plays in 2-of-3
+    * frame slots (phase doc-derived) and the remaining slots are
+    * EXACT digital silence — sample i is 50·(base + i mod 100) when
+    * ((i div 100) + docId mod 3) mod 3 < 2, else 0. A uniformly-loud
+    * corpus cannot exercise a voice-activity detector (the ahash
+    * can't-discriminate lesson), and 2-frame bursts with 1-frame gaps
+    * make the island merge do real work.
+    */
+  private[pipeline] def wavEncodeBursty(docId: Long): Array[Byte] = {
+    val n = (500 + docId % 300).toInt
+    val rate = (8000 + (docId % 4) * 4000).toInt
+    val base = (docId % 100).toInt
+    val ph = (docId % 3).toInt
+    val b = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + 2 * n).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    b.put("data".getBytes).putInt(2 * n)
+    var i = 0
+    while (i < n) {
+      val active = (i / 100 + ph) % 3 < 2
+      b.putShort(if (active) (50 * (base + i % 100)).toShort else 0)
+      i += 1
+    }
+    b.array()
+  }
+
+  final case class VadSegment(doc_id: Long, seg: Long, start_frame: Long,
+                              end_frame: Long, n_frames: Long,
+                              seg_samples: Long)
+
+  /** VOICE/ACTIVITY-DETECTION segmentation — the audio family's
+    * segmentation member next to decode (39e1), frame features (39f1)
+    * and pitch (39e7), and the audio twin of the video scene cut: a
+    * frame is active when its energy exceeds the silence threshold
+    * (digital zero here — the corpus's silence is exact, so the
+    * threshold is the degenerate `> 0`; a real deployment sets the
+    * same knob in mean-square units), and consecutive active frames
+    * merge into segments (the dup-spans island rule on the frame
+    * axis). Runs end to end against genuine WAV bytes: encode →
+    * independent parse → frame energies → threshold → merge, all
+    * inside one narrow mapPartitions — segments never materialize as
+    * rows before their features do.
+    */
+  def audioVad(spark: SparkSession, sfDir: String): DataFrame = {
+    val s2 = Graft.ensureConf(spark)
+    import s2.implicits._
+    Graft.tableParallel(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val frames = audioFrames(id, wavEncodeBursty(id))
+          val segs = scala.collection.mutable.ArrayBuffer
+            .empty[VadSegment]
+          frames.foreach { f =>
+            if (f.energy > 0L) {
+              if (segs.nonEmpty &&
+                  segs.last.end_frame == f.frame - 1) {
+                val s0 = segs.last
+                segs(segs.length - 1) = s0.copy(
+                  end_frame = f.frame,
+                  n_frames = s0.n_frames + 1,
+                  seg_samples = s0.seg_samples + f.sum_samples)
+              } else segs += VadSegment(id, segs.length + 1L, f.frame,
+                f.frame, 1L, f.sum_samples)
+            }
+          }
+          segs
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"), col("seg"))
+  }
+
+  /** Closed forms: frame j is active iff (j + phase) mod 3 < 2; an
+    * active full frame's sample sum is 50·(100·base + 4950), the tail
+    * frame's the partial ramp sum; islands via the classic
+    * j − row_number grouping.
+    */
+  val audioVadSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, 500 + doc_id % 300 AS n, doc_id % 100 AS base,
+       |         doc_id % 3 AS ph
+       |  FROM documents
+       |), f AS (
+       |  SELECT doc_id, n, base, ph,
+       |    unnest(range(0, (n + 99) // 100)) AS j
+       |  FROM t
+       |), a AS (
+       |  SELECT doc_id, j,
+       |    CASE WHEN (j + 1) * 100 <= n THEN 100 ELSE n - j * 100 END
+       |      AS m, base
+       |  FROM f WHERE (j + ph) % 3 < 2
+       |), g AS (
+       |  SELECT doc_id, j,
+       |    50 * (m * base + (m * (m - 1)) // 2) AS fsum,
+       |    j - row_number() OVER (PARTITION BY doc_id ORDER BY j) AS grp
+       |  FROM a
+       |), seg AS (
+       |  SELECT doc_id, grp, min(j) AS start_frame, max(j) AS end_frame,
+       |    CAST(count(*) AS BIGINT) AS n_frames,
+       |    CAST(sum(fsum) AS BIGINT) AS seg_samples
+       |  FROM g GROUP BY 1, 2
+       |)
+       |SELECT doc_id,
+       |  CAST(row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY start_frame) AS BIGINT) AS seg,
+       |  CAST(start_frame AS BIGINT) AS start_frame,
+       |  CAST(end_frame AS BIGINT) AS end_frame, n_frames, seg_samples
+       |FROM seg ORDER BY doc_id, seg""".stripMargin
+
   /** Frame-feature extraction over REAL WAV bytes: encode → parse →
     * slice → exact integer features, one narrow mapPartitions (the
     * decode-adjacent stage stays fused with the decode at 100 TB —

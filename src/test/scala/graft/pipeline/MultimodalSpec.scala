@@ -167,6 +167,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("vad: doc 0's 2-of-3 burst pattern merges into the two " +
+       "hand-computed segments; javax.sound referee replay agrees on " +
+       "sampled docs") {
+    // id 0: n=500 (5 full frames), base 0, phase 0 -> frames {0,1}
+    // and {3,4} active; full-frame ramp sum = 50 * 4950 = 247500
+    val bytes0 = Multimodal.wavEncodeBursty(0L)
+    val frames0 = Multimodal.audioFrames(0L, bytes0)
+    assert(frames0.map(f => f.energy > 0).toSeq ==
+      Seq(true, true, false, true, true))
+    assert(frames0.filter(_.energy > 0).map(_.sum_samples).distinct ==
+      Seq(247500L))
+    // referee: decode with javax.sound and replay threshold+merge
+    for (id <- Seq(1L, 77L, 4567L)) {
+      val bytes = Multimodal.wavEncodeBursty(id)
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val raw = in.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(raw)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val n = raw.length / 2
+      val act = (0 until (n + 99) / 100).map { j =>
+        val hi = math.min((j + 1) * 100, n)
+        (j * 100 until hi).exists(i => bb.getShort(2 * i) != 0)
+      }
+      val got = Multimodal.audioFrames(id, bytes).map(_.energy > 0)
+      assert(got == act, s"doc $id activity disagrees with javax.sound")
+    }
+  }
+
   test("bmpDecode agrees with ImageIO on every field it extracts") {
     for (id <- Seq(3L, 42L, 1001L)) {
       val w = 16 + (id % 17).toInt
