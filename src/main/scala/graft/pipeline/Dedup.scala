@@ -332,7 +332,15 @@ object Dedup {
   /** (doc_id, band, band_hash) exploded from a shingle relation - the
     * LSH bucket key stream, usable over batch or streaming input.
     */
-  def bandsFrom(sh: DataFrame): DataFrame = {
+  def bandsFrom(sh: DataFrame): DataFrame =
+    bandsFromWith(sh, numBands, bandRows)
+
+  /** Parameterized banding over the SAME 32 signatures — the S-curve
+    * eval sweeps (bands × rows) splits of one signature matrix, so
+    * the comparison isolates the banding choice (nothing re-hashes).
+    */
+  private[pipeline] def bandsFromWith(sh: DataFrame, nb: Int,
+                                      br: Int): DataFrame = {
     // all 32 signatures in ONE traversal of hs (the relational form,
     // kept as `sigExprSpark` for the parity cross-check, runs 32
     // interpreted array_min(transform) passes per document); null sigs
@@ -342,9 +350,9 @@ object Dedup {
         org.apache.spark.sql.GraftBridge.expression(col("hs")),
         (0 until minhashK).map(permA).toArray,
         (0 until minhashK).map(permB).toArray, P))
-    val bandStructs = (0 until numBands).map { b =>
-      val sigs = (0 until bandRows)
-        .map(r => s"CAST(element_at(sigs, ${b * bandRows + r + 1}) AS STRING)")
+    val bandStructs = (0 until nb).map { b =>
+      val sigs = (0 until br)
+        .map(r => s"CAST(element_at(sigs, ${b * br + r + 1}) AS STRING)")
       s"named_struct('b', $b, 'h', md5(concat_ws(':', ${sigs.mkString(", ")})))"
     }
     // sub-3-token docs carry empty shingle arrays: their sigs are null
@@ -375,16 +383,20 @@ object Dedup {
     SignatureStore.bands(spark, sfDir, s"minhash-b${numBands}r$bandRows",
       bandsFrom)
 
-  private[pipeline] val bandsCteDuck: String = {
-    val branches = (0 until numBands).map { b =>
-      val sigs = (0 until bandRows)
-        .map(r => s"CAST(${sigExprDuck(b * bandRows + r)} AS VARCHAR)")
+  private[pipeline] def bandsCteDuckWith(nb: Int, br: Int,
+                                         name: String): String = {
+    val branches = (0 until nb).map { b =>
+      val sigs = (0 until br)
+        .map(r => s"CAST(${sigExprDuck(b * br + r)} AS VARCHAR)")
       s"""  SELECT doc_id, $b AS b,
          |    md5(concat_ws(':', ${sigs.mkString(", ")})) AS h
          |  FROM hs""".stripMargin
     }
-    s"bands AS (\n${branches.mkString("\n  UNION ALL\n")}\n)"
+    s"$name AS (\n${branches.mkString("\n  UNION ALL\n")}\n)"
   }
+
+  private[pipeline] val bandsCteDuck: String =
+    bandsCteDuckWith(numBands, bandRows, "bands")
 
   // ---- dd_minhash_lsh ------------------------------------------------
 
@@ -477,6 +489,92 @@ object Dedup {
           "CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE)")} END
        |    AS recall
        |FROM cc, tt, hh""".stripMargin
+
+  // ---- dd_lsh_curve ------------------------------------------------------
+
+  /** The banding configurations the S-curve sweeps — three (bands ×
+    * rows) splits of the SAME 32-signature matrix, so the comparison
+    * isolates the banding choice: longer bands (4×8) buy precision,
+    * more bands (16×2) buy recall.
+    */
+  val lshCurveConfigs: Seq[(Int, Int)] = Seq((4, 8), (8, 4), (16, 2))
+
+  final case class LshCurveRow(bands: Long, rows_per_band: Long,
+                               n_cand: Long, n_true: Long, n_hit: Long,
+                               precision: Double, recall: Double)
+
+  /** The LSH TUNING TABLE: `dd_lsh_eval`'s precision/recall measured
+    * at every `lshCurveConfigs` banding of one signature matrix — the
+    * S-curve a pipeline owner actually consults when picking (b, r)
+    * for a target Jaccard threshold. All counting is distributed (the
+    * per-config candidate joins and the truth intersection); only the
+    * three bounded scalar counts reach the driver, where the two q6
+    * ratios are formed exactly as the oracle forms them.
+    */
+  def lshCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val s2 = Graft.ensureConf(spark)
+    import s2.implicits._
+    val truth = jaccardPrefix(spark, sfDir)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .localCheckpoint()
+    val nTrue = truth.count()
+    def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val rows = lshCurveConfigs.map { case (nb, br) =>
+      val bands = bandsFromWith(shingled(spark, sfDir), nb, br)
+        .localCheckpoint()
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.h") === col("y.h") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+        .localCheckpoint()
+      val nCand = cand.count()
+      val nHit = cand.join(truth, Seq("doc_a", "doc_b")).count()
+      LshCurveRow(nb.toLong, br.toLong, nCand, nTrue, nHit,
+        if (nCand > 0) q6(nHit.toDouble / nCand) else Double.NaN,
+        if (nTrue > 0) q6(nHit.toDouble / nTrue) else Double.NaN)
+    }
+    rows.toDF().orderBy(col("bands"))
+  }
+
+  val lshCurveSql: String = {
+    val cfgs = lshCurveConfigs.map { case (nb, br) =>
+      val bname = s"bands_${nb}_$br"
+      val cname = s"cand_${nb}_$br"
+      val ctes =
+        s"""${bandsCteDuckWith(nb, br, bname)}, $cname AS MATERIALIZED (
+           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM $bname x JOIN $bname y
+           |    ON x.b = y.b AND x.h = y.h AND x.doc_id < y.doc_id
+           |)""".stripMargin
+      val row =
+        s"""SELECT CAST($nb AS BIGINT) AS bands,
+           |  CAST($br AS BIGINT) AS rows_per_band,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $cname) AS n_cand,
+           |  (SELECT CAST(count(*) AS BIGINT)
+           |   FROM $cname JOIN truth USING (doc_a, doc_b)) AS n_hit""".stripMargin
+      (ctes, row)
+    }
+    s"""WITH $shingledCteDuck, truth AS MATERIALIZED (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+       |  WHERE (floor((CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |        / CAST(len(a.hs) + len(b.hs)
+       |               - len(list_intersect(a.hs, b.hs)) AS DOUBLE))
+       |      * 1000000.0 + 0.5) / 1000000.0) >= $jaccardThreshold
+       |), tt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+       |${cfgs.map(_._1).mkString(",\n")}
+       |SELECT bands, rows_per_band, n_cand, n_true, n_hit,
+       |  CASE WHEN n_cand > 0 THEN ${ParityMath.q6Sql(
+          "CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE)")}
+       |       ELSE CAST('nan' AS DOUBLE) END AS precision,
+       |  CASE WHEN n_true > 0 THEN ${ParityMath.q6Sql(
+          "CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE)")}
+       |       ELSE CAST('nan' AS DOUBLE) END AS recall
+       |FROM (${cfgs.map(_._2).mkString(" UNION ALL ")}) CROSS JOIN tt
+       |ORDER BY bands""".stripMargin
+  }
 
   // ---- dd_ngram_jaccard ----------------------------------------------
 

@@ -41,6 +41,23 @@ class DedupSimSpec extends SparkSpec {
       r.getDouble(4) == q6(nHit.toDouble / nTrue))
   }
 
+  test("lsh curve: the production (8,4) row IS dd_lsh_eval's row; " +
+       "truth is config-independent; every config's hits are bounded") {
+    val rows = Dedup.lshCurve(spark, sfDir).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Dedup.lshCurveConfigs.map { case (b, r) => (b.toLong, r.toLong) }
+        .sortBy(_._1))
+    assert(rows.map(_.getLong(3)).distinct.length == 1,
+      "the exact truth cannot depend on the banding")
+    rows.foreach(r => assert(r.getLong(4) <=
+      math.min(r.getLong(2), r.getLong(3))))
+    val ev = Dedup.lshEval(spark, sfDir).collect().head
+    val prod = rows.find(r => r.getLong(0) == Dedup.numBands.toLong).get
+    assert((prod.getLong(2), prod.getLong(3), prod.getLong(4)) ==
+      ((ev.getLong(0), ev.getLong(1), ev.getLong(2))),
+      "the swept production config must reproduce the eval face")
+  }
+
   test("jaccard values are in (0.8, 1.0]") {
     val js = Dedup.ngramJaccard(spark, sfDir).collect().map(_.getDouble(2))
     assert(js.forall(j => j >= 0.8 && j <= 1.0))
