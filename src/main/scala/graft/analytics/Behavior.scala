@@ -258,26 +258,39 @@ object Behavior {
     Graft.ensureConf(spark)
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("tus"), col("event_id"))
-    val lagged = Graft.table(spark, sfDir, "events")
+    val tr = Graft.table(spark, sfDir, "events")
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
       .select(col("user_id"), expr("graft_ts_us(ts)").as("tus"),
         col("event_id"), col("event_type"))
       .withColumn("f1", lag(col("event_type"), 1).over(w))
       .withColumn("f2", lag(col("event_type"), 2).over(w))
-      .localCheckpoint()
-    val first = lagged.filter(col("f1").isNotNull)
-      .groupBy(col("f1"), col("event_type")).agg(count(lit(1)).as("n1"))
+      .filter(col("f1").isNotNull)
+      .select(col("f2"), col("f1"), col("event_type").as("to_type"))
+    markov2FromTrans(tr)
+  }
+
+  /** The second-order report over any (f2 nullable, f1, to_type)
+    * transition-fact relation — shared by the batch face (window lags)
+    * and the streaming face (per-user two-observation ring), so the
+    * count/lift math cannot drift. A null f2 marks each user's FIRST
+    * transition: it feeds the first-order matrix but no context row —
+    * exactly the batch lag semantics.
+    */
+  private[graft] def markov2FromTrans(tr0: DataFrame): DataFrame = {
+    val tr = tr0.localCheckpoint()
+    val first = tr.groupBy(col("f1"), col("to_type"))
+      .agg(count(lit(1)).as("n1"))
     val nf = first.groupBy(col("f1")).agg(sum(col("n1")).as("nf"))
-    val second = lagged.filter(col("f2").isNotNull)
-      .groupBy(col("f2"), col("f1"), col("event_type"))
+    val second = tr.filter(col("f2").isNotNull)
+      .groupBy(col("f2"), col("f1"), col("to_type"))
       .agg(count(lit(1)).as("n2"))
       .withColumn("n_ctx", sum(col("n2")).over(
         Window.partitionBy(col("f2"), col("f1"))))
     second
-      .join(first.withColumnRenamed("n1", "n1"), Seq("f1", "event_type"))
+      .join(first, Seq("f1", "to_type"))
       .join(nf, "f1")
       .select(col("f2").as("from2"), col("f1").as("from1"),
-        col("event_type").as("to_type"),
+        col("to_type"),
         col("n2").as("n_trans"), col("n_ctx"),
         graft.pipeline.ParityMath.q6(
           col("n2").cast("double") / col("n_ctx").cast("double")).as("p"),

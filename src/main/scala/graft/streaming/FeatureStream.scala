@@ -366,6 +366,61 @@ object FeatureStream {
       snap.select(col("from_type"), col("to_type"))))
   }
 
+  final case class Markov2Trans(user_id: Long, f2: String, f1: String,
+                                to_type: String)
+
+  /** Per-user second-order transition emission: state is the last TWO
+    * observations (newest first — the EWMA/ACF ring shape at length
+    * 2); each arrival emits its (f2 | null, f1, to) fact, FINAL at
+    * arrival (Append mode). A null f2 marks the user's first
+    * transition — it feeds the first-order matrix the lift compares
+    * against but no context row, exactly the batch lag semantics.
+    */
+  private def markov2Handler(
+      key: Long, rows: Iterator[EvRow],
+      state: GroupState[Seq[(Long, Long, String)]])
+      : Iterator[Markov2Trans] = {
+    var ring = state.getOption.getOrElse(Seq.empty)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Markov2Trans]
+    rows.toSeq.sortBy(r => (r.tus, r.event_id)).foreach { r =>
+      if (ring.nonEmpty)
+        out += Markov2Trans(key,
+          if (ring.length >= 2) ring(1)._3 else null,
+          ring.head._3, r.event_type)
+      ring = ((r.tus, r.event_id, r.event_type) +: ring).take(2)
+    }
+    if (ring.nonEmpty) state.update(ring)
+    out.iterator
+  }
+
+  /** The second-order transition stream over any (user_id, tus,
+    * event_id, event_type) relation — MemoryStream-drivable.
+    */
+  def markov2TransStream(ev: DataFrame): Dataset[Markov2Trans] = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.as[EvRow].groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(markov2Handler)
+  }
+
+  /** Streaming face of the second-order matrix, sharing
+    * `q_markov2`'s oracle: transition facts are final at arrival
+    * (Append), while counts, context totals and the first-order lift
+    * baseline are evolving answers — the report runs over the final
+    * snapshot via literally the batch `markov2FromTrans`.
+    */
+  def streamMarkov2(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = StreamSum.streamingEvents(spark, sfDir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), expr("graft_ts_us(ts)").as("tus"),
+        col("event_id"), col("event_type"))
+    val snap = StreamSum.runToTable(markov2TransStream(ev).toDF(),
+      OutputMode.Append(), "ss_stream_markov2")
+    Behavior.markov2FromTrans(
+      snap.select(col("f2"), col("f1"), col("to_type")))
+  }
+
   // ---- ss_stream_cooccur ---------------------------------------------
 
   final case class UserObj(user_id: Long, o: Long)
