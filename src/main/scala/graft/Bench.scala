@@ -57,7 +57,7 @@ object Bench {
     "q_session_overlap",
     // training-data pipeline
     "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard", "dd_jaccard_prefix",
-    "dd_lsh_eval",
+    "dd_lsh_eval", "dd_lsh_curve",
     "dd_containment", "dd_simhash",
     "dd_embed_cosine", "dd_semantic",
     "ann_topk_brute", "ann_topk_quant", "ann_lsh_bucketed", "ann_ivf",
