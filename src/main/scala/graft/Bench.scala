@@ -81,7 +81,7 @@ object Bench {
     "mm_wav_decode",
     "mm_png_decode", "mm_jpeg_decode", "mm_avi_frames", "mm_avi_av",
     "mm_scene_cut", "mm_audio_pitch", "mm_sobel", "mm_gif_decode",
-    "mm_histeq", "mm_vad",
+    "mm_histeq", "mm_vad", "mm_gif_anim",
     "pipe_corpus_clean",
     "pipe_decontaminate", "pipe_decont_bloom", "pipe_dedup_apply",
     "pipe_quality_gate", "pipe_quality_prune", "pipe_qclf_score",
@@ -136,7 +136,7 @@ object Bench {
     "mm_bmp_decode", "mm_resize", "mm_ahash_pairs", "mm_png_decode",
     "mm_jpeg_decode",
     "mm_avi_frames", "mm_avi_av", "mm_scene_cut", "mm_audio_pitch",
-    "mm_sobel", "mm_gif_decode", "mm_histeq", "mm_vad",
+    "mm_sobel", "mm_gif_decode", "mm_histeq", "mm_vad", "mm_gif_anim",
     // the compressed codecs: deflate/inflate (PNG) and FDCT+Huffman
     // (JPEG) dominate, so the per-row cost claim is stronger than
     // BMP's raw-raster one

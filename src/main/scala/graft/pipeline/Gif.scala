@@ -189,8 +189,18 @@ object Gif {
     * with the canonical 256-entry palette.
     */
   private[pipeline] def gifEncode(w: Int, h: Int,
-                                  idx: Array[Byte]): Array[Byte] = {
-    require(idx.length == w * h, "raster size mismatch")
+                                  idx: Array[Byte]): Array[Byte] =
+    gifEncodeAnim(w, h, Seq(idx))
+
+  /** Multi-image (ANIMATED) encode: one GIF whose image blocks are
+    * the frame sequence — the container form that makes GIF the
+    * sixth codec a VIDEO member too (87a multi-image: each frame is
+    * its own image descriptor + LZW stream under the shared GCT).
+    */
+  private[pipeline] def gifEncodeAnim(w: Int, h: Int,
+                                      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty && frames.forall(_.length == w * h),
+      "raster size mismatch")
     val out = new java.io.ByteArrayOutputStream()
     out.write("GIF87a".getBytes("US-ASCII"))
     def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
@@ -203,19 +213,21 @@ object Gif {
       out.write(paletteR(i)); out.write(paletteG(i)); out.write(paletteB(i))
       i += 1
     }
-    out.write(0x2c) // image descriptor
-    u16(0); u16(0); u16(w); u16(h)
-    out.write(0) // no LCT, not interlaced
-    out.write(minCodeSize)
-    val lzw = lzwEncode(idx)
-    var off = 0
-    while (off < lzw.length) {
-      val n = math.min(255, lzw.length - off)
-      out.write(n)
-      out.write(lzw, off, n)
-      off += n
+    frames.foreach { idx =>
+      out.write(0x2c) // image descriptor
+      u16(0); u16(0); u16(w); u16(h)
+      out.write(0) // no LCT, not interlaced
+      out.write(minCodeSize)
+      val lzw = lzwEncode(idx)
+      var off = 0
+      while (off < lzw.length) {
+        val n = math.min(255, lzw.length - off)
+        out.write(n)
+        out.write(lzw, off, n)
+        off += n
+      }
+      out.write(0) // block terminator
     }
-    out.write(0)    // block terminator
     out.write(0x3b) // trailer
     out.toByteArray
   }
@@ -232,7 +244,14 @@ object Gif {
     * could never certify the interlace path).
     */
   private[pipeline] def gifDecodeRaster(
-      docId: Long, bytes: Array[Byte]): (Int, Int, Array[Byte], Array[Int]) = {
+      docId: Long,
+      bytes: Array[Byte]): (Int, Int, Array[Byte], Array[Int]) =
+    gifDecodeFrames(docId, bytes).head
+
+  /** All image blocks (animation frames) until the trailer. */
+  private[pipeline] def gifDecodeFrames(
+      docId: Long,
+      bytes: Array[Byte]): Seq[(Int, Int, Array[Byte], Array[Int])] = {
     var pos = 0
     def u8(): Int = { val v = bytes(pos) & 0xff; pos += 1; v }
     def u16(): Int = { val v = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8); pos += 2; v }
@@ -253,9 +272,11 @@ object Gif {
       var n = u8()
       while (n != 0) { pos += n; n = u8() }
     }
-    var result: (Int, Int, Array[Byte], Array[Int]) = null
-    while (result == null) {
-      require(pos < bytes.length, s"doc $docId: no image data before EOF")
+    val frames = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Array[Byte], Array[Int])]
+    var done = false
+    while (!done) {
+      require(pos < bytes.length, s"doc $docId: no trailer before EOF")
       u8() match {
         case 0x21 => u8(); skipSubBlocks() // extension: label + blocks
         case 0x2c =>
@@ -295,15 +316,16 @@ object Gif {
             }
             out
           }
-          result = (w, h, idx, pal)
+          frames += ((w, h, idx, pal))
         case 0x3b =>
-          require(result != null, s"doc $docId: trailer before image")
+          require(frames.nonEmpty, s"doc $docId: trailer before image")
+          done = true
         case b =>
           throw new IllegalArgumentException(
             s"doc $docId: unknown GIF block 0x${b.toHexString}")
       }
     }
-    result
+    frames.toSeq
   }
 
   private[pipeline] def gifDecode(docId: Long,
@@ -359,6 +381,96 @@ object Gif {
       }
       .toDF()
       .orderBy(col("doc_id"))
+  }
+
+  final case class GifAnim(doc_id: Long, n_frames: Long, width: Long,
+                           height: Long, sum_red: Long, sum_green: Long,
+                           sum_blue: Long, last_tl: Long)
+
+  /** ANIMATED end-to-end — the container face that makes GIF the
+    * codec family's second VIDEO member next to AVI: 2 + doc mod 3
+    * frames, frame f carrying scene (s + f) mod 97 (content genuinely
+    * changes per frame, so a demux that re-reads frame 0 fails the
+    * sums), muxed as one multi-image GIF and demuxed by the
+    * independent parser walking image blocks to the trailer. Channel
+    * sums fold across frames; `last_tl` probes the LAST frame's (0,0)
+    * index — frame-count-sensitive where the sums alone would forgive
+    * a dropped trailing frame of the right total.
+    */
+  def gifAnimE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    val s2 = Graft.ensureConf(spark)
+    import s2.implicits._
+    Graft.tableParallel(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 16 + (id % 17).toInt
+          val h = 8 + (id % 11).toInt
+          val nf = (2 + id % 3).toInt
+          // frame f's scene is (s + f) mod 97: sceneIndices derives the
+          // scene from docId mod 97, so shifting the id by f shifts the
+          // scene by f (dims are pinned explicitly above)
+          val frames = (0 until nf).map(f => sceneIndices(id + f, w, h))
+          val decoded = gifDecodeFrames(id,
+            gifEncodeAnim(w, h, frames))
+          require(decoded.length == nf,
+            s"doc $id: expected $nf frames, got ${decoded.length}")
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          decoded.foreach { case (fw, fh, idx, pal) =>
+            var i = 0
+            while (i < fw * fh) {
+              val rgb = pal(idx(i) & 0xff)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff
+              sb += rgb & 0xff
+              i += 1
+            }
+          }
+          GifAnim(id, nf.toLong, w.toLong, h.toLong, sr, sg, sb,
+            (decoded.last._3(0) & 0xff).toLong)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** Closed forms: per-frame scene (s + f) mod 97 summed over the
+    * frame series × pixel series.
+    */
+  val gifAnimE2eSql: String = {
+    val p = "(((x + y) + 17 * ((2 * x + 3 * y + sf) % 6)) % 200)"
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         16 + doc_id % 17 AS w,
+       |         8 + doc_id % 11 AS h,
+       |         doc_id % ${Multimodal.ahashScenes} AS s,
+       |         2 + doc_id % 3 AS nf
+       |  FROM documents
+       |), fr AS (
+       |  SELECT doc_id, w, h, nf,
+       |    (s + f.f) % ${Multimodal.ahashScenes} AS sf, f.f
+       |  FROM t, unnest(generate_series(0, 4)) f(f)
+       |  WHERE f.f < nf
+       |), sx AS (SELECT unnest(generate_series(0, 32)) AS x),
+       |sy AS (SELECT unnest(generate_series(0, 18)) AS y),
+       |e AS (
+       |  SELECT doc_id, sum($p) AS sr, sum((2 * $p) % 256) AS sg,
+       |         sum(255 - $p) AS sb
+       |  FROM fr CROSS JOIN sx CROSS JOIN sy
+       |  WHERE x < w AND y < h GROUP BY 1
+       |), lt AS (
+       |  SELECT doc_id,
+       |    (17 * (((s + nf - 1) % ${Multimodal.ahashScenes}) % 6)) % 200
+       |      AS last_tl
+       |  FROM t
+       |)
+       |SELECT t.doc_id, CAST(t.nf AS BIGINT) AS n_frames,
+       |  CAST(t.w AS BIGINT) AS width, CAST(t.h AS BIGINT) AS height,
+       |  CAST(e.sr AS BIGINT) AS sum_red,
+       |  CAST(e.sg AS BIGINT) AS sum_green,
+       |  CAST(e.sb AS BIGINT) AS sum_blue,
+       |  CAST(lt.last_tl AS BIGINT) AS last_tl
+       |FROM t JOIN e USING (doc_id) JOIN lt ON lt.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
   }
 
   /** Closed forms: GIF is lossless over the indexed raster, so the

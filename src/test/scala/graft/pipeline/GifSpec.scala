@@ -79,6 +79,35 @@ class GifSpec extends SparkSpec {
     }
   }
 
+  test("animated: ImageIO counts the same frames and reads each one " +
+       "pixel-identical; frame content genuinely changes") {
+    for (id <- Seq(2L, 41L)) {
+      val w = 16 + (id % 17).toInt
+      val h = 8 + (id % 11).toInt
+      val nf = (2 + id % 3).toInt
+      val frames = (0 until nf).map(f => Gif.sceneIndices(id + f, w, h))
+      val bytes = Gif.gifEncodeAnim(w, h, frames)
+      val got = Gif.gifDecodeFrames(id, bytes)
+      assert(got.length == nf)
+      assert(got.map(_._3.toSeq).distinct.length == nf,
+        "frames must differ - a demux re-reading frame 0 must fail")
+      val rdr = javax.imageio.ImageIO
+        .getImageReadersByFormatName("gif").next()
+      rdr.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      assert(rdr.getNumImages(true) == nf,
+        s"doc $id: ImageIO sees a different frame count")
+      for (f <- 0 until nf) {
+        val img = rdr.read(f)
+        val (gw, gh, idx, pal) = got(f)
+        assert((img.getWidth, img.getHeight) == ((gw, gh)))
+        for (y <- 0 until gh; x <- 0 until gw)
+          assert((pal(idx(y * gw + x) & 0xff) & 0xffffff) ==
+            (img.getRGB(x, y) & 0xffffff), s"doc $id frame $f ($x,$y)")
+      }
+    }
+  }
+
   test("gifDecode rejects corrupt payloads loudly") {
     val good = Gif.gifEncode(16, 8, Gif.sceneIndices(1L, 16, 8))
     intercept[IllegalArgumentException] {
