@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * CountSummary.java, Queries.java, TupleComparators.java;
   * query_api.clj CountSummaryImpl.
   */
-final class CountSummaryView(state: DataFrame) {
+class CountSummaryView(state: DataFrame) {
 
   /** [obj count time]; absent key → (o, 0, None) ≙ [obj 0 nil]. */
   def getCount(s: Long, a: String, o: Long): (Long, Long, Option[Long]) =
@@ -93,6 +93,40 @@ final class CountSummaryView(state: DataFrame) {
         "distributed path) for whole-cache scans")
     ordering.sort(rows)
   }
+}
+
+/** The facade served straight off a published
+  * [[graft.sinks.BucketedSnapshotCacheSink]]: `getCount` - the
+  * reference's primary serving op, `getMap(name).get(key)`
+  * (src-java/streamsum/TupleCache.java:20) - goes through the sink's
+  * bucket-pruned `getKey`, so a point lookup reads ONE base bucket
+  * file (+ key-filtered pending deltas) instead of scanning the whole
+  * snapshot. The per-subject slice queries (actionsForSubj,
+  * countsForSubjAction, sumCounts, tuplesForSubjAction) key on `s`
+  * alone - a strict prefix the (cache, s, a, o) hash cannot prune -
+  * so they fall back to the full-relation view they always used;
+  * point reads are where the reference's serving traffic concentrates
+  * and where 1/numBuckets pruning pays.
+  *
+  * `sinkName` is the sink-level cache id the publish ran under;
+  * `cache` is the `cache` column value this view scopes to (one sink
+  * relation can multiplex several configured caches).
+  */
+final class SinkCountSummaryView(
+    spark: org.apache.spark.sql.SparkSession,
+    sink: graft.sinks.BucketedSnapshotCacheSink,
+    sinkName: String, cache: String)
+  extends CountSummaryView(
+    sink.get(spark, sinkName).filter(col("cache") === cache)
+      .select(col("s"), col("a"), col("o"), col("cnt"), col("last_t"))) {
+
+  override def getCount(s: Long, a: String,
+                        o: Long): (Long, Long, Option[Long]) =
+    sink.getKey(spark, sinkName, Seq(cache, s, a, o))
+      .select(col("cnt"), col("last_t"))
+      .collect().headOption
+      .map(r => (o, r.getLong(0), Some(r.getLong(1))))
+      .getOrElse((o, 0L, None))
 }
 
 object CountSummaryView {

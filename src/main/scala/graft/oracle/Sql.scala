@@ -84,6 +84,10 @@ object Sql {
     s"$prefix, st AS ($countStateSelect) " +
       "SELECT * FROM st ORDER BY cache, s, a, o"
 
+  val ssSinkPointRead: String =
+    s"$prefix, st AS ($countStateSelect) " +
+      "SELECT * FROM st ORDER BY cache, s, a, o LIMIT 20"
+
   val ssCacheKeycount: String =
     s"""$prefix SELECT 'subject-counts' AS cache, k, count(*) AS cnt
        |FROM xf GROUP BY k ORDER BY k""".stripMargin

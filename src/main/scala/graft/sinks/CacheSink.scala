@@ -419,6 +419,68 @@ final class BucketedSnapshotCacheSink(root: String, keys: Seq[String],
     })
   }
 
+  /** The key's bucket, computed DRIVER-SIDE with the identical
+    * Catalyst expression the writer bucketed with (`pmod(hash(keys),
+    * numBuckets)` - Murmur3, seed 42), so pruning and placement can
+    * never disagree. Literals are created at the column's exact
+    * DataType: `hash` of an Int and a Long differ, so the caller's
+    * value is converted against the stored schema, not its runtime
+    * class.
+    */
+  private def bucketForKey(schema: org.apache.spark.sql.types.StructType,
+                           keyVals: Seq[Any]): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    val lits = keys.zip(keyVals).map { case (k, value) =>
+      Literal.create(value, schema(k).dataType)
+    }
+    val h = Murmur3Hash(lits, 42).eval(null).asInstanceOf[Int]
+    ((h % numBuckets) + numBuckets) % numBuckets
+  }
+
+  /** Point lookup ≙ the reference's primary serving op
+    * `getMap(name).get(key)` (src-java/streamsum/TupleCache.java:20):
+    * reads ONE base bucket file - the key's hash bucket - plus the
+    * pending deltas filtered by key, never the whole base. At 10⁹
+    * cached keys over 4096 buckets a point read touches ~1/4096 of
+    * the state (plus ≤ compactFrac·base of key-filtered delta rows,
+    * where the parquet key predicate skips row groups by stats);
+    * `get` + filter would list and scan every bucket. The executed
+    * plan's base scan touches exactly one `_b=` directory -
+    * spec-pinned (BucketedSinkSpec).
+    */
+  def getKey(spark: SparkSession, name: String,
+             keyVals: Seq[Any]): DataFrame = {
+    require(keyVals.length == keys.length,
+      s"sink keys are $keys, got ${keyVals.length} value(s)")
+    val v = currentVersion(spark, name).getOrElse(
+      throw new IllegalStateException(
+        s"BucketedSnapshotCacheSink: '$name' has never been published " +
+          s"under $root"))
+    val st = readState(spark, name, v)
+    // schema from one base bucket's footer (base is never empty after
+    // a publish: empty states don't flip the manifest)
+    val (b0, (bv0, _)) = st.base.head
+    val schema =
+      spark.read.parquet(s"${vdir(name, bv0)}/base/$B=$b0").schema
+    val bucket = bucketForKey(schema, keyVals)
+    val keyFilter = keys.zip(keyVals).map { case (k, value) =>
+      col(k) === lit(value)
+    }.reduce(_ && _)
+    val base = st.base.get(bucket) match {
+      case Some((bv, _)) =>
+        spark.read.schema(schema)
+          .parquet(s"${vdir(name, bv)}/base/$B=$bucket")
+          .where(keyFilter)
+      case None => // bucket empty in base: key can only live in deltas
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    if (st.deltas.isEmpty) base
+    else applyDeltas(base, st.deltas.map { case (dv, _) =>
+      dv -> spark.read.parquet(s"${vdir(name, dv)}/delta").where(keyFilter)
+    })
+  }
+
   /** Delete version dirs neither inside the retention window nor
     * referenced (as a carried-forward bucket's home or a pending
     * delta) by any retained version's state.

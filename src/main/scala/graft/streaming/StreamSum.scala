@@ -777,6 +777,60 @@ object StreamSum {
       .orderBy(col("cache"), col("s"), col("a"), col("o"))
   }
 
+  /** Gate face of the bucket-pruned point-read path
+    * (`ss_sink_point_read`): publish the count cache as base + one
+    * PENDING delta (base from the first-half events; every key
+    * touched afterwards refreshed whole via `mergeDelta` - the
+    * update-mode publish contract), then serve a deterministic 20-key
+    * slice through [[graft.api.SinkCountSummaryView]].getCount, i.e.
+    * through the sink's `getKey`: each lookup's executed plan reads
+    * ONE base bucket file plus the key-filtered pending delta - never
+    * a full snapshot scan (the reference's `getMap(name).get(key)`
+    * serving shape, src-java/streamsum/TupleCache.java:20). Oracle:
+    * the batch count-cache state limited to the same 20 smallest
+    * keys, so a lookup that missed the pending delta - or merged the
+    * wrong version - mismatches.
+    */
+  def sinkPointReadState(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Graft.ensureConf(spark)
+    val xf = Transform.transformed(spark, sfDir)
+      .filter(col("cache").isin(Config.cachesOf(CountK): _*))
+    val b = xf.agg(min(col("t")), max(col("t"))).head
+    val mid = (b.getLong(0) + b.getLong(1)) / 2
+    val full = graft.core.Caches.countState(xf)
+    val base = graft.core.Caches.countState(xf.filter(col("t") <= mid))
+    // keys with post-split activity: their full-state rows ARE the
+    // delta (key replacement - the same rows update mode would emit)
+    val changed = xf.filter(col("t") > mid)
+      .select(col("cache"), col("k").as("s"), col("a"), col("v").as("o"))
+      .distinct()
+    val delta = full.join(changed, countSinkKeys, "left_semi")
+    val root = graft.pipeline.SignatureStore
+      .tempDirForExit("graft_point_read")
+    // compactFrac huge: the delta STAYS pending, so every point read
+    // exercises the base-bucket + filtered-delta merge
+    val sink = new graft.sinks.BucketedSnapshotCacheSink(
+      root, countSinkKeys, compactFrac = 1e9)
+    sink.put("pt", base)
+    sink.mergeDelta("pt", delta, countSinkKeys)
+    val targets = sink.get(spark, "pt")
+      .orderBy(countSinkKeys.map(col): _*).limit(20)
+      .select(countSinkKeys.map(col): _*).collect()
+    val views = targets.map(_.getString(0)).distinct.map { c =>
+      c -> new graft.api.SinkCountSummaryView(spark, sink, "pt", c)
+    }.toMap
+    val rows = targets.toSeq.map { r =>
+      val (c, s, a, o) =
+        (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))
+      val (_, cnt, lastT) = views(c).getCount(s, a, o)
+      (c, s, a, o, cnt, lastT.getOrElse(
+        sys.error(s"point read missed a published key ($c,$s,$a,$o)")))
+    }
+    rows.toDF("cache", "s", "a", "o", "cnt", "last_t")
+      .orderBy(col("cache"), col("s"), col("a"), col("o"))
+  }
+
   /** UPDATE-mode production publish of the last-N cache: the stream
     * emits per-key ring-buffer snapshots (with the key's monotone op
     * count); foreachBatch keeps each key's LATEST batch snapshot and

@@ -124,6 +124,50 @@ class BucketedSinkSpec extends SparkSpec {
     assert(rowSet(sink.get(spark, "c"))(7L -> "NEWEST"))
   }
 
+  /** The base `_b=` dirs a plan's file scans actually list. */
+  private def baseBuckets(d: DataFrame): Set[String] =
+    d.inputFiles.filter(_.contains("/base/"))
+      .map(_.split("_b=")(1).split("/")(0)).toSet
+
+  test("getKey: point read lists exactly ONE base bucket dir, merges " +
+       "pending deltas by key, and equals get().filter on every key") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_bsink_pt").toString
+    // compactFrac huge: deltas stay pending, so reads must merge them
+    val sink = new BucketedSnapshotCacheSink(root, Seq("k"),
+      numBuckets = 8, compactFrac = 1e9)
+    sink.put("c", df((1L to 200L).map(i => i -> s"v$i"): _*))
+    sink.mergeDelta("c", df(7L -> "NEW", 300L -> "add"), Seq("k"))
+
+    // delta-replaced key: delta wins over the base row
+    val hit = sink.getKey(spark, "c", Seq(7L))
+    assert(rowSet(hit) == Set(7L -> "NEW"))
+    // plan pin: the base scan lists the key's hash bucket and NO other
+    assert(baseBuckets(hit) == Set(bucketOf(7L, 8).toString),
+      s"point read listed base buckets ${baseBuckets(hit)}")
+    // control: the full read lists many buckets
+    assert(baseBuckets(sink.get(spark, "c")).size > 1)
+
+    // delta-only, base-only and absent keys
+    assert(rowSet(sink.getKey(spark, "c", Seq(300L))) == Set(300L -> "add"))
+    assert(rowSet(sink.getKey(spark, "c", Seq(42L))) == Set(42L -> "v42"))
+    assert(sink.getKey(spark, "c", Seq(9999L)).count() == 0)
+
+    // getKey == get().filter across a key sample (incl. post-compaction:
+    // drop compactFrac so the next merge folds the pending deltas)
+    val sink2 = new BucketedSnapshotCacheSink(root, Seq("k"),
+      numBuckets = 8, compactFrac = 1e-9)
+    sink2.mergeDelta("c", df(8L -> "NEW8"), Seq("k"))
+    val full = rowSet(sink2.get(spark, "c"))
+    for (k <- Seq(1L, 7L, 8L, 100L, 300L, 9999L))
+      assert(rowSet(sink2.getKey(spark, "c", Seq(k))) ==
+        full.filter(_._1 == k),
+        s"getKey($k) diverged from the snapshot")
+    // after compaction there are no deltas: still one bucket listed
+    assert(baseBuckets(sink2.getKey(spark, "c", Seq(8L))) ==
+      Set(bucketOf(8L, 8).toString))
+  }
+
   test("bucketed sink: torn publish stays invisible and a replay " +
        "rewrites the orphan (idempotent)") {
     val root = java.nio.file.Files
