@@ -119,9 +119,9 @@ object Bench {
   /** Corpus (documents/embeddings) queries the generator-driven third
     * anchor covers now that `graft-docs`/`graft-embeddings` exist -
     * the r6 cap ("no corpus generator") is lifted. The similarity
-    * family runs with `graft.similarity.cells` scaled linearly with
-    * the corpus (cells-stay-constant, the operational knob) so the
-    * measured slope is the 100 TB posture's, not a fixed-k blowup.
+    * family's cell count scales with the corpus automatically
+    * (`Similarity.cellsFor`, k = ⌈√n⌉) so the measured slope is the
+    * default deployment posture's, not a fixed-k blowup.
     */
   val corpusHeadline: Seq[String] = Seq(
     "dd_minhash_lsh", "dd_jaccard_prefix", "dd_semantic", "txt_bigram_nll",
@@ -316,10 +316,10 @@ object Bench {
             s"(events=$rows3 docs=$rowsD vecs=$rowsV)")
         val sel3 = selected.filter(q =>
           eventHeadline.contains(q._1) || corpusHeadline.contains(q._1))
-        // cells-stay-constant: k scales with the corpus via the conf
-        // knob, exactly how a deployment would retune it
-        spark.conf.set("graft.similarity.cells",
-          (graft.pipeline.Similarity.ivfCentroids * sf3Factor).toString)
+        // k scales with the corpus automatically now: the cellsFor
+        // ⌈√n⌉ default replaces the manual conf retune this anchor
+        // used to carry, so the benched number prices the default a
+        // deployment actually gets
         // the anchor takes the per-query MIN over >=2 passes: a single
         // pass cannot distinguish a plan regression from one bad run
         // (r9's 96s-vs-6.9s sink-face outlier defined the round), and

@@ -29,6 +29,17 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
+    // cross-engine rounding-headroom diagnostic for the one accepted
+    // libm risk (QualityClassifier.gdTrain): how close any sigmoid
+    // evaluation came to a floor(v+0.5) boundary this run - a margin
+    // >> 2e-10 means a 1-ulp exp() disagreement cannot flip a weight
+    if (only.forall(_.contains("pipe_qclf_train"))) {
+      try System.err.println(f"[verify] qclf sigmoid boundary margin = " +
+        f"${graft.pipeline.QualityClassifier.boundaryMargin(spark, sfDir)}%.3e")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] qclf margin diagnostic failed: $e")
+      }
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

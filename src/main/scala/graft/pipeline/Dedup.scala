@@ -811,6 +811,98 @@ object Dedup {
        |WHERE jaccard >= $jaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- dd_jaccard_routed -----------------------------------------------
+
+  /** Routing budget: candidate pairs per document the exact route is
+    * allowed before the router hands the corpus to LSH. Why a VOLUME
+    * statistic and not top-df skew: the r10 phase profile proved the
+    * exact prefix join quadratic exactly when prefix tokens stop being
+    * rare, but that is an AGGREGATE property - measured on the
+    * fixed-vocab bench corpus the top shingle's df/n is only 0.02
+    * (nothing is individually hot) while the pre-filter candidate
+    * volume per doc grows 0.05 → 4.8 → quadratic across 300 → 2000 →
+    * 50k docs; the Heaps-law control corpus sits flat at 0.24 at every
+    * size and the sf0.01 gate corpus at 0.50. The volume IS the cost
+    * being routed around, so the router prices it directly.
+    */
+  val candBudgetPerDoc = 4L
+
+  /** The route decision: the exact pre-filter candidate volume
+    * Σ_h C(cnt_h, 2) over the prefix relation's token buckets - one
+    * map-combined agg on top of the prefix relation the exact route
+    * needs anyway (the LSH route pays that O(total tokens) relation as
+    * its routing fee; no join runs to make the decision). All-integer
+    * predicate (c·(c−1) is even, so the per-term DIV 2 is exact), so
+    * the DuckDB replay can never disagree on a boundary corpus.
+    */
+  private[graft] def lshRouteFor(sh: DataFrame): Boolean = {
+    val volRow = prefixRelationFor(sh)
+      .groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) DIV 2"))).head
+    val vol = if (volRow.isNullAt(0)) 0L else volRow.getLong(0)
+    vol > candBudgetPerDoc * sh.count()
+  }
+
+  /** ROUTED threshold-Jaccard dedup: the candidate-volume statistic
+    * picks the plan - exact prefix join (zero false negatives) on
+    * natural-entropy corpora, MinHash-LSH candidates + exact verify on
+    * templated/boilerplate-heavy ones where the exact join's candidate
+    * volume is proven quadratic (data-inherent, PLANS.md r10 control
+    * experiment). Both routes share the verify semantics and rounding;
+    * the oracle replays the identical integer route predicate, so the
+    * gate exercises whichever branch the corpus actually takes.
+    */
+  def jaccardRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingled(spark, sfDir).select(col("doc_id"), col("hs"))
+    if (lshRouteFor(sh)) ngramJaccard(spark, sfDir)
+    else jaccardPrefixFrom(sh)
+  }
+
+  val jaccardRoutedSql: String =
+    s"""WITH $shingledCteDuck, $bandsCteDuck, ex AS (
+       |  SELECT doc_id, CAST(len(hs) AS BIGINT) AS sz, unnest(hs) AS h
+       |  FROM hs
+       |), f AS (
+       |  SELECT h, count(*) AS df FROM ex GROUP BY h
+       |), r AS (
+       |  SELECT e.doc_id, e.h, e.sz,
+       |    row_number() OVER (PARTITION BY e.doc_id ORDER BY f.df, e.h) AS rk
+       |  FROM ex e JOIN f ON f.h = e.h
+       |), p AS (
+       |  SELECT doc_id, h, sz FROM r WHERE rk <= sz - ((4 * sz + 4) // 5) + 1
+       |), stat AS (
+       |  SELECT (SELECT COALESCE(SUM(c * (c - 1) // 2), 0) FROM (
+       |            SELECT count(*) AS c FROM p GROUP BY h
+       |          ) pc) AS vol,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM hs) AS n
+       |), cand_e AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM p x JOIN p y ON x.h = y.h AND x.doc_id < y.doc_id
+       |    AND 5 * least(x.sz, y.sz) >= 4 * greatest(x.sz, y.sz)
+       |), cand_l AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.h = y.h AND x.doc_id < y.doc_id
+       |), cand AS (
+       |  SELECT doc_a, doc_b FROM cand_l
+       |  WHERE (SELECT vol > $candBudgetPerDoc * n FROM stat)
+       |  UNION ALL
+       |  SELECT doc_a, doc_b FROM cand_e
+       |  WHERE (SELECT vol <= $candBudgetPerDoc * n FROM stat)
+       |), j AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    (floor((CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |          / CAST(len(a.hs) + len(b.hs)
+       |                 - len(list_intersect(a.hs, b.hs)) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)
+       |      AS jaccard
+       |  FROM cand c
+       |  JOIN hs a ON a.doc_id = c.doc_a
+       |  JOIN hs b ON b.doc_id = c.doc_b
+       |)
+       |SELECT doc_a, doc_b, jaccard FROM j
+       |WHERE jaccard >= $jaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---- dd_containment ------------------------------------------------
 
   /** Containment threshold (9/10): C(a,b) = |a∩b| / |a|. */

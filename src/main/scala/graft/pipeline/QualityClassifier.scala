@@ -177,11 +177,36 @@ object QualityClassifier {
     * floor(1e6·sigmoid + 0.5) sits within 1 ulp of a .5 boundary;
     * unlike the one-shot micro-nat ln, a single boundary hit here
     * cascades through all 67 weights for the remaining epochs. The
-    * clean diagnostic exists by construction: `pipe_qclf_train` gates
-    * the WEIGHT VECTOR itself, so a libm divergence fails as a 67-row
-    * weight mismatch there before any downstream face can mis-score.
+    * clean failure detector exists by construction: `pipe_qclf_train`
+    * gates the WEIGHT VECTOR itself, so a libm divergence fails as a
+    * 67-row weight mismatch there before any downstream face can
+    * mis-score. The LOCALIZING diagnostic is `boundaryMargin`: the
+    * minimum distance any sigmoid evaluation in the whole training run
+    * comes to a .5 rounding boundary - a margin ≫ the ~2⁻⁵² relative
+    * exp() disagreement (≈2×10⁻¹⁰ absolute at the 1e6 scale) proves
+    * the accepted risk is not live on the gated corpus. Verify prints
+    * it per run; a spec pins a 10⁻⁶ floor.
     */
-  private[graft] def gdTrain(feats: DataFrame): (Array[Long], Long) = {
+  /** Min |frac(1e6·sigmoid) − 0.5| across every evaluation of the
+    * training run on this corpus - the cross-engine rounding headroom.
+    */
+  def boundaryMargin(spark: SparkSession, sfDir: String): Double = {
+    Graft.ensureConf(spark)
+    val m = new BoundaryMargin
+    gdTrain(featureRows(Graft.tableParallel(spark, sfDir, "documents")
+      .filter(col("doc_id") < qclfTrainN)), m)
+    m.min
+  }
+
+  private[graft] final class BoundaryMargin {
+    var min: Double = Double.MaxValue
+  }
+
+  private[graft] def gdTrain(feats: DataFrame): (Array[Long], Long) =
+    gdTrain(feats, null)
+
+  private[graft] def gdTrain(feats: DataFrame,
+                             margin: BoundaryMargin): (Array[Long], Long) = {
     val rows = feats
       .select(col("doc_id"), col("bucket"), col("x"), col("ymu"))
       .collect() // bounded: ≤ qclfTrainN × 67 rows
@@ -196,8 +221,13 @@ object QualityClassifier {
       byDoc.foreach { fs =>
         var zmu = 0L
         fs.foreach { case (_, b, x, _) => zmu += x * w(b + 3) }
-        val pmu = math.floor(1000000.0 /
-          (1.0 + math.exp(-(zmu.toDouble / 1000000.0))) + 0.5).toLong
+        val v = 1000000.0 /
+          (1.0 + math.exp(-(zmu.toDouble / 1000000.0)))
+        if (margin != null) {
+          val d = math.abs((v - math.floor(v)) - 0.5)
+          if (d < margin.min) margin.min = d
+        }
+        val pmu = math.floor(v + 0.5).toLong
         val errmu = pmu - fs.head._4
         fs.foreach { case (_, b, x, _) => grad(b + 3) += errmu * x }
       }

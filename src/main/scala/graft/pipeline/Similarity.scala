@@ -28,22 +28,60 @@ object Similarity {
   val ivfLloydRounds = 2
   val cosinePairThreshold = 0.4
 
-  /** Cell count for the trained k-means family (IVF ANN + SemDeDup):
-    * the OPERATIONAL scale knob. At 100 TB, k grows with the corpus so
-    * cells stay ~constant-sized and the within-cell quadratic term
-    * stays per-cell-constant × corpus - a deployment pins
-    * `graft.similarity.cells` per corpus size (same contract as
-    * `graft.shuffle.shards`, CorpusOps.scala:34) instead of editing a
-    * constant. The DuckDB oracle replays training at the DEFAULT, so
-    * the oracle-gated queries run with the conf unset.
+  /** Scale-aware default cell count: k = ⌈√n⌉ clamped to
+    * [ivfCentroids, annTrainN]. The classical balance: IVF-family cost
+    * is assignment ∝ n·k plus the within-cell quadratic term ∝ n²/k
+    * (balanced cells of size n/k, each pairing internally), minimized
+    * at k = √n - a FIXED k makes the second term grow quadratically
+    * with the corpus, which is exactly the 1.2× superlinearity the r10
+    * 10M probe measured on `ann_knn_join`. The upper clamp is the
+    * training-sample bound (seeds come from the `vec_id < annTrainN`
+    * prefix); past it a deployment raises `graft.similarity.cells`
+    * and the training-sample size together. The DuckDB oracles replay
+    * the SAME policy in SQL (the `kp` CTE in `lloydCentsCtes`) so the
+    * gated queries agree at any corpus size.
     */
-  def cellsOf(spark: SparkSession): Int =
+  def cellsFor(nVecs: Long): Int =
+    math.max(ivfCentroids.toLong,
+      math.min(annTrainN,
+        math.ceil(math.sqrt(nVecs.toDouble)).toLong)).toInt
+
+  /** Probe-count companion to `cellsFor`: probes = ⌈1.5·√k⌉, which is
+    * exactly `ivfProbes` = 6 at the k = 16 floor - the operating point
+    * whose recall@10 the spec pins at ≥ 0.90. Probed mass then shrinks
+    * as 1.5/√k while the per-query inverted-list scan stays
+    * probes·n/k ≈ 1.5·√n - the classical IVF balance (probes growing
+    * with √k keeps recall roughly flat as cells shrink, without
+    * scanning a constant corpus fraction). Oracles replay the same
+    * formula via the `kp` CTE's `p` column.
+    */
+  def probesFor(k: Int): Int =
+    math.ceil(1.5 * math.sqrt(k.toDouble)).toInt
+
+  /** Cell count for the trained k-means family (IVF ANN + SemDeDup):
+    * the scale-aware `cellsFor` default, overridable per deployment
+    * via `graft.similarity.cells` (same contract as
+    * `graft.shuffle.shards`, CorpusOps.scala:34). The DuckDB oracle
+    * replays the default policy, so the oracle-gated queries run with
+    * the conf unset.
+    */
+  def cellsOf(spark: SparkSession, nVecs: Long): Int =
+    cellsConf(spark).getOrElse(cellsFor(nVecs))
+
+  /** The k-means|| init face pins its STATIC default (the oracle's
+    * greedy seed replay is one unrolled CTE per seed, so its k must be
+    * known at SQL-generation time); the conf override still applies.
+    */
+  def kppCellsOf(spark: SparkSession): Int =
+    cellsConf(spark).getOrElse(ivfCentroids)
+
+  private def cellsConf(spark: SparkSession): Option[Int] =
     spark.conf.getOption("graft.similarity.cells").map { v =>
       val n = v.toIntOption.getOrElse(throw new IllegalArgumentException(
         s"graft.similarity.cells must be a positive int, got '$v'"))
       require(n >= 1, s"graft.similarity.cells must be >= 1, got $n")
       n
-    }.getOrElse(ivfCentroids)
+    }
 
   // ---- pinned-order cosine, both dialects ---------------------------
 
@@ -348,6 +386,24 @@ object Similarity {
   private val centCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), Seq[Seq[Double]]]()
 
+  /** Corpus vector count feeding the `cellsFor` policy - memoized per
+    * (session, dir) so the cheap count-star (parquet footer statistics,
+    * no data pages) runs once per corpus, not per face.
+    */
+  private val nVecCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), java.lang.Long]()
+
+  private[graft] def vecCountFor(spark: SparkSession,
+                                 sfDir: String): Long = {
+    val it = nVecCache.keySet().iterator()
+    while (it.hasNext) {
+      if (it.next()._1.sparkContext.isStopped) it.remove()
+    }
+    nVecCache.computeIfAbsent((spark, normDir(sfDir)), { case (s, _) =>
+      Graft.tableParallel(s, sfDir, "embeddings").count()
+    })
+  }
+
   /** Normalized memo key: equivalent spellings of the same corpus dir
     * (trailing slash, relative vs absolute) must hit one entry, not
     * train twice. Pure path normalization - no filesystem access, so
@@ -398,7 +454,10 @@ object Similarity {
     }
     // k and the init are part of the memo key: a session that re-tunes
     // either must re-train, not read a stale matrix
-    val k = cellsOf(spark)
+    val k = init match {
+      case KppInit => kppCellsOf(spark)
+      case _ => cellsOf(spark, vecCountFor(spark, sfDir))
+    }
     centCache.computeIfAbsent((spark, s"${normDir(sfDir)}#k=$k#i=$init"), {
       case (s, _) =>
         trainedCentroids(
@@ -411,6 +470,8 @@ object Similarity {
     import scala.jdk.CollectionConverters._
     centCache.keySet.asScala.filter(_._1 eq spark).toSeq
       .foreach(centCache.remove)
+    nVecCache.keySet.asScala.filter(_._1 eq spark).toSeq
+      .foreach(nVecCache.remove)
     releasePq(spark)
   }
 
@@ -649,7 +710,7 @@ object Similarity {
     val probes = q.crossJoin(broadcast(cents))
       .withColumn("csim", expr(cosSparkHof("q_emb", "c_emb")))
       .withColumn("prk", row_number().over(wProbe))
-      .filter(col("prk") <= ivfProbes)
+      .filter(col("prk") <= probesFor(centVecs.size))
       .select(col("q_id"), col("q_emb"), col("cid"))
     scoreProbes(assign, probes)
   }
@@ -756,7 +817,7 @@ object Similarity {
     val probes = qf.crossJoin(broadcast(cents))
       .withColumn("csim", expr(cosSparkHof("q_emb", "c_emb")))
       .withColumn("prk", row_number().over(wProbe))
-      .filter(col("prk") <= ivfProbes)
+      .filter(col("prk") <= probesFor(centVecs.size))
       .select(col("q_id"), col("cid"))
     // attach each probing query's quantized vector: numQueries x
     // ivfProbes rows joined against the numQueries-row quantized query
@@ -808,7 +869,7 @@ object Similarity {
        |        ORDER BY ${cosDuck("q.embedding", "c.c_emb")} DESC, c.cid)
        |        AS prk
        |    FROM e q CROSS JOIN cents c WHERE q.vec_id < $numQueries
-       |  ) WHERE prk <= $ivfProbes
+       |  ) WHERE prk <= (SELECT p FROM kp)
        |), scored AS (
        |  SELECT p.q_id, a.vec_id,
        |    (floor((${qdot("qq.qv", "ee.qv")}
@@ -841,6 +902,15 @@ object Similarity {
   val pqCodes = 16
   val pqLloydRounds = 2
   val pqShortlist: Int = 8 * topK
+
+  /** ADC shortlist scales with the probe count (integer ratio, exact
+    * in both engines): probes grow with √k while topK stays fixed, so
+    * the shortlist keeps a constant candidates-per-probe ratio - at
+    * the k = 16 floor this is exactly the measured 8·topK operating
+    * point the recall spec pins.
+    */
+  def pqShortlistFor(k: Int): Int =
+    (pqShortlist * probesFor(k)) / ivfProbes
 
   /** Per-subspace codebooks in integer MICRO-units:
     * cb(m)(j)(d), m < pqSub, j < pqCodes, d < pqSubDim. Fully integer
@@ -999,7 +1069,7 @@ object Similarity {
     val probes = q.crossJoin(broadcast(cents))
       .withColumn("csim", expr(cosSparkHof("q_emb", "c_emb")))
       .withColumn("prk", row_number().over(wProbe))
-      .filter(col("prk") <= ivfProbes)
+      .filter(col("prk") <= probesFor(centVecs.size))
       .select(col("q_id"), col("q_mu"), col("cid"))
     // decode each subspace's codeword once (per-m 16×8 literal, a
     // ~1 KB plan constant each), then the ADC sum references only the
@@ -1024,7 +1094,7 @@ object Similarity {
     val shortlist = withCw
       .withColumn("adc", expr(adcExpr))
       .withColumn("srk", row_number().over(wAdc))
-      .filter(col("srk") <= pqShortlist)
+      .filter(col("srk") <= pqShortlistFor(centVecs.size))
       .select(col("q_id"), col("vec_id"))
     // exact refine: only shortlist-sized vector fetches
     val wTop = Window.partitionBy(col("q_id"))
@@ -1119,7 +1189,7 @@ object Similarity {
        |        ORDER BY ${cosDuck("q.embedding", "c.c_emb")} DESC, c.cid)
        |        AS prk
        |    FROM e q CROSS JOIN cents c WHERE q.vec_id < $numQueries
-       |  ) WHERE prk <= $ivfProbes
+       |  ) WHERE prk <= (SELECT p FROM kp)
        |), adc AS (
        |  SELECT p.q_id, a.vec_id,
        |    SUM(b.cw[d.pos] * qv.v_mu[c.m * $sd + d.pos]) AS score
@@ -1136,7 +1206,7 @@ object Similarity {
        |      row_number() OVER (PARTITION BY q_id
        |        ORDER BY score DESC, vec_id) AS srk
        |    FROM adc
-       |  ) WHERE srk <= $pqShortlist
+       |  ) WHERE srk <= (SELECT ($pqShortlist * p) // $ivfProbes FROM kp)
        |), scored AS (
        |  SELECT s.q_id, s.vec_id,
        |    (floor((${cosDuck("q.embedding", "e2.embedding")})
@@ -1260,10 +1330,11 @@ object Similarity {
   }
 
   private def lloydCentsCtes: String = lloydCentsCtes(
+    // seed count = the kp CTE's scale-aware k (≙ Similarity.cellsFor)
     s"""c0 AS (
        |  SELECT vec_id AS cid,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb
-       |  FROM e WHERE vec_id < $ivfCentroids
+       |  FROM e WHERE vec_id < (SELECT k FROM kp)
        |)""".stripMargin)
 
   /** The Lloyd-round CTE chain over an arbitrary `c0` seed CTE - the
@@ -1272,6 +1343,17 @@ object Similarity {
     */
   private def lloydCentsCtes(seedCte: String): String = {
     val sb = new StringBuilder
+    // the scale-aware cell count, replayed in SQL (≙ cellsFor: ⌈√n⌉
+    // clamped to [ivfCentroids, annTrainN]); the kpp seed chain pins
+    // its own k literal and simply never reads this CTE
+    sb ++= s"""kp AS (
+       |  SELECT k, CAST(ceil(1.5 * sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS p
+       |  FROM (
+       |    SELECT GREATEST($ivfCentroids, LEAST($annTrainN,
+       |      CAST(ceil(sqrt(COUNT(*))) AS BIGINT))) AS k
+       |    FROM e
+       |  ) kk
+       |), """.stripMargin
     // the Lloyd rounds train on the same bounded vec_id-prefix sample
     // as the Spark side (annTrainN) — full-corpus assignment happens
     // once, downstream, in the `assign` CTEs
@@ -1313,7 +1395,8 @@ object Similarity {
 
   val annIvfSql: String = annIvfSqlWith(lloydCentsCtes)
 
-  val annIvfKppSql: String = annIvfSqlWith(lloydCentsCtes(kppSeedCtes))
+  val annIvfKppSql: String =
+    annIvfSqlWith(lloydCentsCtes(kppSeedCtes), ivfProbes.toString)
 
   val annIvfAdaptiveSql: String =
     s"""WITH e AS MATERIALIZED (
@@ -1354,7 +1437,10 @@ object Similarity {
        |SELECT q_id, vec_id, sim, rk FROM ranked
        |WHERE rk <= $topK ORDER BY q_id, rk""".stripMargin
 
-  private def annIvfSqlWith(centsCtes: String): String =
+  // probesSql: the scale-aware default reads the kp CTE; the kpp face
+  // pins the literal (its k is pinned too, and probesFor(16) == 6)
+  private def annIvfSqlWith(centsCtes: String,
+                            probesSql: String = "(SELECT p FROM kp)"): String =
     s"""WITH e AS MATERIALIZED (
        |  SELECT vec_id, embedding FROM embeddings
        |), $centsCtes, assign AS (
@@ -1372,7 +1458,7 @@ object Similarity {
        |        ORDER BY ${cosDuck("q.embedding", "c.c_emb")} DESC, c.cid)
        |        AS prk
        |    FROM e q CROSS JOIN cents c WHERE q.vec_id < $numQueries
-       |  ) WHERE prk <= $ivfProbes
+       |  ) WHERE prk <= $probesSql
        |), scored AS (
        |  SELECT p.q_id, a.vec_id,
        |    (floor((${cosDuck("q.embedding", "e.embedding")}) * 1000000.0 + 0.5) / 1000000.0) AS sim
@@ -1761,7 +1847,8 @@ object Similarity {
       .select(col("embedding").as("q_emb"))
     val probes = qv.crossJoin(broadcast(centsDF(spark, centVecs)))
       .withColumn("csim", expr(cosSparkHof("q_emb", "c_emb")))
-      .orderBy(col("csim").desc, col("cid")).limit(ivfProbes)
+      .orderBy(col("csim").desc, col("cid"))
+      .limit(probesFor(centVecs.size))
       .select(col("cid"))
     mmrFromPool(spark,
       assign.join(broadcast(probes), "cid").crossJoin(broadcast(qv)))
@@ -1873,7 +1960,7 @@ object Similarity {
        |        ORDER BY ${cosDuck("q.embedding", "c.c_emb")} DESC, c.cid)
        |        AS prk
        |    FROM e q CROSS JOIN cents c WHERE q.vec_id = 0
-       |  ) WHERE prk <= $ivfProbes
+       |  ) WHERE prk <= (SELECT p FROM kp)
        |), qv AS (
        |  SELECT embedding AS q_emb FROM e WHERE vec_id = 0
        |), cand AS MATERIALIZED (

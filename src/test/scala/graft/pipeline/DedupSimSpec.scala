@@ -427,18 +427,65 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("dedup router: fixed-vocab corpus routes to LSH, natural-entropy " +
+       "corpus routes exact; routed output equals the chosen face") {
+    def land(docs: org.apache.spark.sql.DataFrame): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_route").toString
+      val tmp = s"$dir/_gen"
+      docs.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(dir, "documents.parquet"))
+      dir
+    }
+    // the bench generator's fixed vocab: the shingle vocabulary
+    // saturates, so prefix-bucket candidate volume grows quadratically
+    // with docs (measured vol/doc 0.05 → 4.8 → quadratic at 300 →
+    // 2000 → 50k; 2500 here clears the budget-4 threshold with margin)
+    val fixedDir = land(spark.read.format("graft-docs")
+      .option("rows", "2500").load())
+    // ~5800 distinct tokens: rare prefixes, the exact join's home turf
+    val heapsDir = land(
+      graft.probe.CorpusScaleSmoke.syntheticDocs(spark, 300L)
+        .withColumn("lang", lit("en")).withColumn("source", lit("syn"))
+        .withColumn("n_chars", length(col("text")).cast("long")))
+    def sh(dir: String) = SignatureStore.shingles(spark, dir)
+      .select(col("doc_id"), col("hs"))
+    assert(Dedup.lshRouteFor(sh(fixedDir)),
+      "fixed-vocab corpus must route to LSH")
+    assert(!Dedup.lshRouteFor(sh(heapsDir)),
+      "natural-entropy corpus must route to the exact prefix join")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(Dedup.jaccardRouted(spark, fixedDir)) ==
+      rows(Dedup.ngramJaccard(spark, fixedDir)))
+    assert(rows(Dedup.jaccardRouted(spark, heapsDir)) ==
+      rows(Dedup.jaccardPrefix(spark, heapsDir)))
+  }
+
+  test("cellsFor: ⌈√n⌉ policy clamped to [ivfCentroids, annTrainN]") {
+    assert(Similarity.cellsFor(100) == Similarity.ivfCentroids)
+    assert(Similarity.cellsFor(500) == 23)
+    assert(Similarity.cellsFor(20000) == 142)
+    assert(Similarity.cellsFor(1000000) == Similarity.annTrainN.toInt)
+  }
+
   test("graft.similarity.cells: the conf knob reaches centroid training " +
        "and retuning never reads a stale matrix") {
     Similarity.releaseAll(spark)
     try {
-      assert(Similarity.trainedCentroidsFor(spark, sfDir).size ==
-        Similarity.ivfCentroids) // conf unset -> the oracle default
+      // conf unset -> the scale-aware default the oracle replays
+      val kDefault = Similarity.cellsFor(
+        Similarity.vecCountFor(spark, sfDir))
+      assert(Similarity.trainedCentroidsFor(spark, sfDir).size == kDefault)
       spark.conf.set("graft.similarity.cells", "4")
       assert(Similarity.trainedCentroidsFor(spark, sfDir).size == 4)
       // back to default: the k=4 memo entry must not shadow it
       spark.conf.unset("graft.similarity.cells")
-      assert(Similarity.trainedCentroidsFor(spark, sfDir).size ==
-        Similarity.ivfCentroids)
+      assert(Similarity.trainedCentroidsFor(spark, sfDir).size == kDefault)
       spark.conf.set("graft.similarity.cells", "not-a-number")
       intercept[IllegalArgumentException] {
         Similarity.trainedCentroidsFor(spark, sfDir)

@@ -66,6 +66,16 @@ class QualityClassifierSpec extends SparkSpec {
       "featureRows' hashed buckets drifted from hashfeatFrom")
   }
 
+  test("sigmoid rounding margin: the accepted libm exp() risk is not " +
+       "live on the gated corpus") {
+    // a 1-ulp cross-engine exp() disagreement moves 1e6·sigmoid by
+    // ~2e-10; the nearest approach to a floor(v+0.5) boundary across
+    // the whole training run must dominate that by orders of magnitude
+    val m = QualityClassifier.boundaryMargin(spark, sfDir)
+    assert(m >= 1e-6,
+      f"sigmoid evaluation within $m%.3e of a rounding boundary")
+  }
+
   test("held-out calibration: theta is deterministic, the held-out " +
        "slice excludes the training sample, and the calibrated cut " +
        "does not lose to the default on agreement") {
