@@ -42,6 +42,8 @@ object Bench {
     "ss_q_sort_variants", "ss_undo_lastn",
     // streaming faces
     "ss_stream_count_sink", "ss_stream_lastn_sink", "ss_stream_lsh_cand",
+    // serving: 20 bucket-pruned point reads through the facade
+    "ss_sink_point_read",
     // analytics
     "q1_agg", "q3_join_agg", "q5_multijoin", "q_window", "q_sessionize",
     "q_corr",
@@ -57,7 +59,7 @@ object Bench {
     "q_session_overlap",
     // training-data pipeline
     "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard", "dd_jaccard_prefix",
-    "dd_lsh_eval", "dd_lsh_curve",
+    "dd_jaccard_routed", "dd_lsh_eval", "dd_lsh_curve",
     "dd_containment", "dd_simhash",
     "dd_embed_cosine", "dd_semantic",
     "ann_topk_brute", "ann_topk_quant", "ann_lsh_bucketed", "ann_ivf",
@@ -124,7 +126,8 @@ object Bench {
     * default deployment posture's, not a fixed-k blowup.
     */
   val corpusHeadline: Seq[String] = Seq(
-    "dd_minhash_lsh", "dd_jaccard_prefix", "dd_semantic", "txt_bigram_nll",
+    "dd_minhash_lsh", "dd_jaccard_prefix", "dd_jaccard_routed",
+    "dd_semantic", "txt_bigram_nll",
     "pipe_quality_gate", "ann_ivf_quant", "ann_ivf_pq", "ann_knn_join",
     "txt_stats", "txt_readability", "txt_keyphrase", "txt_pmi",
     "txt_jsd_drift",

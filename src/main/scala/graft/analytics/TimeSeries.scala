@@ -691,15 +691,21 @@ object TimeSeries {
       .select(col("et"), col("h"),
         coalesce(col("c"), lit(0L)).as("c"))
       .localCheckpoint()
-    val lags = (0 to xcorrMaxLag)
-      .map(l => spark.range(l, l + 1).select(col("id").as("lag")))
-      .reduce(_ unionAll _)
+    // lag fan-out INLINE (explode) and the alignment key materialized
+    // as a column BEFORE the join: the earlier crossJoin(lags) +
+    // `hb === h + lag` formulation let the optimizer merge the two
+    // joins into one Cross join whose equi key was never extracted -
+    // a BroadcastNestedLoopJoin, O(H²·L) on H densified buckets (the
+    // r11 10M probe measured it 19× on 10× events; this plan is 1.0×
+    // flat on the same probe). Joining on the named column forces the
+    // hash-join path.
     val a = dense.select(col("et").as("type_a"), col("h"),
-      col("c").cast("decimal(18,0)").as("x"))
+        col("c").cast("decimal(18,0)").as("x"))
+      .withColumn("lag", explode(expr(s"sequence(0L, ${xcorrMaxLag}L)")))
+      .withColumn("hb", col("h") + col("lag"))
     val b = dense.select(col("et").as("type_b"), col("h").as("hb"),
       col("c").cast("decimal(18,0)").as("y"))
-    a.crossJoin(lags)
-      .join(b, col("hb") === col("h") + col("lag"))
+    a.join(b, "hb")
       .filter(col("type_a") =!= col("type_b"))
       .groupBy(col("type_a"), col("type_b"), col("lag"))
       .agg(count(lit(1)).as("n_pairs"),
@@ -1208,6 +1214,112 @@ object TimeSeries {
        |  AND (n * CAST(v AS HUGEINT) - s) * (n * CAST(v AS HUGEINT) - s)
        |      > 9 * (n * q - s * s)
        |ORDER BY user_id, event_id""".stripMargin
+
+  // ---- q_sax: symbolic aggregate approximation -------------------------
+
+  /** SAX segments per user series (the word length). */
+  val saxSegments = 8
+
+  /** SAX symbolization (Lin et al., "Experiencing SAX", DMKD 2007):
+    * each user's value series, ordered by (event time, event_id), is
+    * z-normalized, averaged into `saxSegments` equal-count segments
+    * (PAA), and each segment mean is quantized against the N(0,1)
+    * quartile breakpoints ±0.6745 into a 4-symbol alphabet a|b|c|d -
+    * the discretization that turns numeric series into tokens for
+    * motif mining, sequence indexing, or feeding the text family's
+    * n-gram machinery.
+    *
+    * ALL-INTEGER symbol decisions: z_g < β never divides or roots.
+    * With per-user n, S = Σv, Q = Σv² and per-segment c, s_g (v in
+    * exact milli-units), z_g = L / (c·√R2) for L = n·s_g − c·S and
+    * R2 = n·Q − S², so z_g < β ⇔ 10⁴·L < 6745·c·√R2, decided by sign
+    * plus ONE cross-multiplied square compare in DECIMAL(38) ≙ HUGEINT
+    * (the q_anomaly discipline; c·(c−1)-style exactness, headroom to
+    * n·v_milli ≈ 2×10¹³ per user). The reported PAA mean is the only
+    * float: one final division, q6 both engines.
+    *
+    * Scale shape: one rank window keyed on user_id (per-user stats
+    * ride the same pass), one (user, segment) map-combinable agg -
+    * nothing global, nothing quadratic.
+    */
+  def qSax(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    saxFrom(Graft.table(spark, sfDir, "events"))
+  }
+
+  private[graft] def saxFrom(events: DataFrame): DataFrame = {
+    val d = "decimal(38,0)"
+    val wr = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val wu = Window.partitionBy(col("user_id"))
+    val e = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("value").isNotNull)
+      .select(col("user_id"), expr("graft_ts_us(ts)").as("tus"),
+        col("event_id"),
+        expr("CAST(floor(value * 1000.0 + 0.5) AS BIGINT)").as("v"))
+      .withColumn("r", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(wu))
+      .withColumn("s", sum(col("v")).over(wu))
+      .withColumn("q", sum(col("v").cast(d) * col("v").cast(d)).over(wu))
+    e.groupBy(col("user_id"),
+        expr(s"((r - 1) * $saxSegments) DIV n").as("seg"),
+        col("n"), col("s"), col("q"))
+      .agg(count(lit(1)).as("m"), sum(col("v")).as("sg"))
+      .withColumn("bigL", col("n").cast(d) * col("sg").cast(d) -
+        col("m").cast(d) * col("s").cast(d))
+      .withColumn("r2",
+        col("n").cast(d) * col("q") - col("s").cast(d) * col("s").cast(d))
+      .withColumn("lhs2",
+        lit(100000000L).cast(d) * col("bigL") * col("bigL"))
+      .withColumn("rhs2", lit(45495025L).cast(d) *
+        col("m").cast(d) * col("m").cast(d) * col("r2"))
+      .select(col("user_id"), col("seg"), col("m").as("n_seg"),
+        graft.pipeline.ParityMath.q6(col("sg").cast("double") /
+          (col("m") * 1000L).cast("double")).as("paa"),
+        when(col("bigL") < 0 && col("lhs2") > col("rhs2"), "a")
+          .when(col("bigL") < 0, "b")
+          .when(col("bigL") === 0 || col("lhs2") < col("rhs2"), "c")
+          .otherwise("d").as("symbol"))
+      .orderBy(col("user_id"), col("seg"))
+  }
+
+  val qSaxSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+       |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS v
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |    AND value IS NOT NULL
+       |), w AS (
+       |  SELECT user_id, v,
+       |    row_number() OVER (PARTITION BY user_id
+       |                       ORDER BY tus, event_id) AS r,
+       |    count(*) OVER wu AS n,
+       |    sum(v) OVER wu AS s,
+       |    sum(CAST(v AS HUGEINT) * v) OVER wu AS q
+       |  FROM e WINDOW wu AS (PARTITION BY user_id)
+       |), seg AS (
+       |  SELECT user_id, ((r - 1) * $saxSegments) // n AS seg, n, s, q,
+       |    count(*) AS m, CAST(sum(v) AS BIGINT) AS sg
+       |  FROM w GROUP BY 1, 2, 3, 4, 5
+       |), c AS (
+       |  SELECT user_id, seg, m, sg,
+       |    (CAST(n AS HUGEINT) * sg - CAST(m AS HUGEINT) * s) AS L,
+       |    (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s) AS r2
+       |  FROM seg
+       |)
+       |SELECT user_id, CAST(seg AS BIGINT) AS seg,
+       |  CAST(m AS BIGINT) AS n_seg,
+       |  (floor(CAST(sg AS DOUBLE) / CAST(m * 1000 AS DOUBLE)
+       |     * 1000000.0 + 0.5) / 1000000.0) AS paa,
+       |  CASE WHEN L < 0 AND 100000000 * L * L
+       |              > 45495025 * CAST(m AS HUGEINT) * m * r2 THEN 'a'
+       |       WHEN L < 0 THEN 'b'
+       |       WHEN L = 0 OR 100000000 * L * L
+       |              < 45495025 * CAST(m AS HUGEINT) * m * r2 THEN 'c'
+       |       ELSE 'd' END AS symbol
+       |FROM c ORDER BY user_id, seg""".stripMargin
 
   // ---- q_decay_count: recency-weighted count cache --------------------
 

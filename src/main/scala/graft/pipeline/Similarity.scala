@@ -734,6 +734,81 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  // ---- ann_range -------------------------------------------------------
+
+  /** RANGE search through the trained IVF index: every corpus vector
+    * with cosine ≥ `cosinePairThreshold` of each query - the
+    * "all sufficiently similar", output-size-unknown complement of the
+    * fixed-k faces (retrieval wants top-k; dedup, contamination and
+    * policy sweeps want everything above a bar). Same probe set as
+    * `ann_ivf` (csim-ranked `probesFor(k)` cells), but the per-query
+    * top-k WINDOW disappears entirely: the plan is one broadcast probe
+    * join + a codegen'd filter - no rank exchange at all, strictly
+    * cheaper than the top-k face at any scale. Approximate exactly the
+    * way ann_ivf is (unprobed cells unseen); the oracle replays the
+    * full train/probe/filter chain, so the gate pins this face's own
+    * semantics.
+    */
+  /** Range bar: ~the corpus's p99 pairwise cosine on the synthetic
+    * embeddings (max sims sit at 0.33-0.39), so each query surfaces a
+    * non-trivial but selective neighbor set at every test SF.
+    */
+  val rangeSimThreshold = 0.3
+
+  def annRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val centVecs = trainedCentroidsFor(spark, sfDir)
+    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val assign = ivfAssignWith(e, centVecs)
+    val cents = centsDF(spark, centVecs)
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("csim", expr(cosSparkHof("q_emb", "c_emb")))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= probesFor(centVecs.size))
+      .select(col("q_id"), col("q_emb"), col("cid"))
+    assign.join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim",
+        ParityMath.q6(expr(cosSpark("q_emb", "embedding"))))
+      .filter(col("sim") >= rangeSimThreshold)
+      .select(col("q_id"), col("vec_id"), col("sim"))
+      .orderBy(col("q_id"), col("vec_id"))
+  }
+
+  val annRangeSql: String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), $lloydCentsCtes, assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosDuck("e.embedding", "c.c_emb")} DESC, c.cid)
+       |        AS ark
+       |    FROM e CROSS JOIN cents c
+       |  ) WHERE ark = 1
+       |), probes AS (
+       |  SELECT q_id, cid FROM (
+       |    SELECT q.vec_id AS q_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosDuck("q.embedding", "c.c_emb")} DESC, c.cid)
+       |        AS prk
+       |    FROM e q CROSS JOIN cents c WHERE q.vec_id < $numQueries
+       |  ) WHERE prk <= (SELECT p FROM kp)
+       |), scored AS (
+       |  SELECT p.q_id, a.vec_id,
+       |    (floor((${cosDuck("q.embedding", "e.embedding")}) * 1000000.0 + 0.5) / 1000000.0) AS sim
+       |  FROM probes p
+       |  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.q_id
+       |  JOIN e ON e.vec_id = a.vec_id
+       |  JOIN e q ON q.vec_id = p.q_id
+       |)
+       |SELECT q_id, vec_id, sim FROM scored
+       |WHERE sim >= $rangeSimThreshold
+       |ORDER BY q_id, vec_id""".stripMargin
+
   // ---- ann_ivf_adaptive ----------------------------------------------
 
   /** Adaptive probe-mass target: probe the minimal csim-ranked prefix

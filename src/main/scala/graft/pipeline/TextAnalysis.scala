@@ -2132,6 +2132,83 @@ object TextAnalysis {
        |ORDER BY doc_id, bucket""".stripMargin
   }
 
+  // ---- txt_heaps ------------------------------------------------------
+
+  /** Heaps-law vocabulary-growth curve: cumulative (docs, tokens,
+    * distinct terms) at ten doc-id-range checkpoints - the diagnostic
+    * that EXPLAINS the dedup router (`dd_jaccard_routed`): a corpus
+    * whose vocabulary keeps growing (V ∝ T^β, β ≈ 0.5-0.7 on natural
+    * text) keeps prefix tokens rare and the exact join linear; a curve
+    * that PLATEAUS is the fixed-vocab/templated signature whose
+    * candidate volume goes quadratic. The curation run logs this next
+    * to txt_zipf (rank-frequency says how mass concentrates; this says
+    * whether the vocabulary saturates).
+    *
+    * Shape at scale: each term pays one map-combinable min(doc_id)
+    * (first appearance), each doc one token count; both relations fold
+    * to TEN bucket rows (bucket = the first-appearance decile of the
+    * doc-id range) before the cumulative window runs - no global
+    * ordering over tokens, no growing state, ALL-INTEGER arithmetic.
+    */
+  def heaps(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val docs = Graft.tableParallel(spark, sfDir, "documents")
+    val lim = docs.agg(max(col("doc_id")) + 1L).head.getLong(0)
+    val toks = docs.select(col("doc_id"), explode(expr(
+      "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+    // bucket 0..9 by doc-id range (integer DIV, exact); every
+    // per-bucket partial is additive
+    val vocabB = toks.groupBy(col("term"))
+      .agg(min(col("doc_id")).as("fd"))
+      .groupBy(expr(s"(fd * 10) DIV ${lim}L").as("b"))
+      .agg(count(lit(1)).as("v"))
+    val tokB = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nt"))
+      .groupBy(expr(s"(doc_id * 10) DIV ${lim}L").as("b"))
+      .agg(sum(col("nt")).as("t"), count(lit(1)).as("d"))
+    val w = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s = spark
+    import s.implicits._
+    // left-join from the full decile spine: empty deciles stay visible
+    (0L until 10L).toDF("b")
+      .join(vocabB, Seq("b"), "left")
+      .join(tokB, Seq("b"), "left")
+      .select(col("b"),
+        sum(coalesce(col("d"), lit(0L))).over(w).as("n_docs"),
+        sum(coalesce(col("t"), lit(0L))).over(w).as("n_tokens"),
+        sum(coalesce(col("v"), lit(0L))).over(w).as("vocab"))
+      .select((col("b") + 1L).as("decile"), col("n_docs"),
+        col("n_tokens"), col("vocab"))
+      .orderBy(col("decile"))
+  }
+
+  val heapsSql: String =
+    s"""WITH lim AS (
+       |  SELECT max(doc_id) + 1 AS l FROM documents
+       |), toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+       |    '[a-z0-9]+')) AS term
+       |  FROM documents
+       |), vb AS (
+       |  SELECT (fd * 10) // (SELECT l FROM lim) AS b, count(*) AS v
+       |  FROM (SELECT term, min(doc_id) AS fd FROM toks GROUP BY term)
+       |  GROUP BY 1
+       |), tb AS (
+       |  SELECT (doc_id * 10) // (SELECT l FROM lim) AS b,
+       |    CAST(sum(nt) AS BIGINT) AS t, count(*) AS d
+       |  FROM (SELECT doc_id, count(*) AS nt FROM toks GROUP BY doc_id)
+       |  GROUP BY 1
+       |), spine AS (SELECT unnest(range(0, 10)) AS b)
+       |SELECT CAST(b + 1 AS BIGINT) AS decile,
+       |  CAST(sum(COALESCE(d, 0)) OVER wc AS BIGINT) AS n_docs,
+       |  CAST(sum(COALESCE(t, 0)) OVER wc AS BIGINT) AS n_tokens,
+       |  CAST(sum(COALESCE(v, 0)) OVER wc AS BIGINT) AS vocab
+       |FROM spine LEFT JOIN vb USING (b) LEFT JOIN tb USING (b)
+       |WINDOW wc AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+       |              AND CURRENT ROW)
+       |ORDER BY decile""".stripMargin
+
   // ---- txt_zipf -------------------------------------------------------
 
   /** Zipf rank-frequency regression over the corpus vocabulary - the

@@ -565,4 +565,31 @@ class TimeSeriesSpec extends SparkSpec {
       (2L, 2L, 8.0, true), (3L, 10L, 6.0, false)),
       s"changepoint scan wrong: $got")
   }
+
+  test("sax: a linear ramp symbolizes to the quartile word aabbccdd; " +
+       "a constant series is all-c with exact PAA means") {
+    val s = spark; import s.implicits._
+    val rows = ((0 until 80).map { i =>
+      (i.toLong, new java.sql.Timestamp(1000L + i), 1L, "view",
+        (i + 1).toDouble, """{"k": 1}""")
+    } ++ (0 until 16).map { i =>
+      (200L + i, new java.sql.Timestamp(1000L + i), 2L, "view", 42.5,
+        """{"k": 1}""")
+    }).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sax").toString
+    rows.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = TimeSeries.qSax(spark, tmp).collect()
+    // ramp: 8 equal segments whose mid z-scores are +-1.52, +-1.08,
+    // +-0.65, +-0.22 against the +-0.6745 quartile breakpoints
+    val u1 = r.filter(_.getLong(0) == 1L).sortBy(_.getLong(1))
+    assert(u1.map(_.getString(4)).mkString == "aabbccdd")
+    assert(u1.forall(_.getLong(2) == 10L))
+    assert(u1.head.getDouble(3) == 5.5) // mean(1..10)
+    assert(u1.last.getDouble(3) == 75.5) // mean(71..80)
+    // constant series: z = 0 everywhere -> every segment 'c'
+    val u2 = r.filter(_.getLong(0) == 2L)
+    assert(u2.nonEmpty && u2.forall(_.getString(4) == "c"))
+    assert(u2.forall(_.getDouble(3) == 42.5))
+  }
+
 }

@@ -512,4 +512,27 @@ class DedupSimSpec extends SparkSpec {
     // every vector appears exactly once with its assignment intact
     assert(r.map(_.getLong(0)).distinct.length == n)
   }
+
+  test("ann_range: every returned pair clears the bar exactly and " +
+       "recall vs the brute range truth is sane") {
+    val got = Similarity.annRange(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    assert(got.forall(_._3 >= Similarity.rangeSimThreshold))
+    // brute truth: exact q6 cosine filter over the full corpus
+    val e = graft.core.Graft.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < Similarity.numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val truth = q.crossJoin(e).filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", graft.pipeline.ParityMath.q6(
+        expr(Similarity.cosSpark("q_emb", "embedding"))))
+      .filter(col("sim") >= Similarity.rangeSimThreshold)
+      .select(col("q_id"), col("vec_id"), col("sim")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.toSet.subsetOf(truth), "range hits must be true hits")
+    assert(got.size.toDouble / truth.size >= 0.5,
+      s"range recall ${got.size}/${truth.size} collapsed")
+  }
+
 }

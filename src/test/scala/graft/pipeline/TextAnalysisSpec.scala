@@ -499,4 +499,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bi(1L) > bi(0L) + 0.5,
       s"bigram gate failed to separate: phrase=${bi(0L)} salad=${bi(1L)}")
   }
+
+  test("heaps: curve is cumulative-monotone and its final row equals " +
+       "the corpus totals") {
+    val r = TextAnalysis.heaps(spark, sfDir).collect()
+    assert(r.length == 10)
+    assert(r.map(_.getLong(0)).toSeq == (1L to 10L))
+    for (c <- 1 to 3)
+      assert(r.sliding(2).forall(p => p(0).getLong(c) <= p(1).getLong(c)),
+        s"column $c must be cumulative")
+    val docs = graft.core.Graft.table(spark, sfDir, "documents")
+    val toks = docs.select(org.apache.spark.sql.functions.explode(
+      org.apache.spark.sql.functions.expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("t"))
+    assert(r.last.getLong(1) == docs.count())
+    assert(r.last.getLong(2) == toks.count())
+    assert(r.last.getLong(3) == toks.distinct().count())
+  }
+
 }
