@@ -858,6 +858,50 @@ object Dedup {
     else jaccardPrefixFrom(sh)
   }
 
+  /** The router's decision made OBSERVABLE: one row with the measured
+    * candidate volume, the corpus size, the budget, and the route the
+    * engine will take - what a pipeline owner reads before a 100 TB
+    * dedup run (and what a regression gate watches: a corpus drifting
+    * toward boilerplate flips this row before it burns a cluster).
+    * Same statistic, same integer predicate as `jaccardRouted`.
+    */
+  def routeStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingled(spark, sfDir).select(col("doc_id"), col("hs"))
+    val vol = prefixRelationFor(sh)
+      .groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L))
+        .as("cand_volume"))
+    vol.crossJoin(sh.agg(count(lit(1)).as("n_docs")))
+      .select(col("cand_volume"), col("n_docs"),
+        lit(candBudgetPerDoc).as("budget_per_doc"),
+        when(col("cand_volume") > lit(candBudgetPerDoc) * col("n_docs"),
+          "lsh").otherwise("exact").as("route"))
+  }
+
+  val routeStatsSql: String =
+    s"""WITH $shingledCteDuck, ex AS (
+       |  SELECT doc_id, CAST(len(hs) AS BIGINT) AS sz, unnest(hs) AS h
+       |  FROM hs
+       |), f AS (
+       |  SELECT h, count(*) AS df FROM ex GROUP BY h
+       |), r AS (
+       |  SELECT e.doc_id, e.h, e.sz,
+       |    row_number() OVER (PARTITION BY e.doc_id ORDER BY f.df, e.h) AS rk
+       |  FROM ex e JOIN f ON f.h = e.h
+       |), p AS (
+       |  SELECT doc_id, h, sz FROM r WHERE rk <= sz - ((4 * sz + 4) // 5) + 1
+       |), stat AS (
+       |  SELECT CAST((SELECT COALESCE(SUM(c * (c - 1) // 2), 0) FROM (
+       |            SELECT count(*) AS c FROM p GROUP BY h
+       |          ) pc) AS BIGINT) AS cand_volume,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM hs) AS n_docs
+       |)
+       |SELECT cand_volume, n_docs,
+       |  CAST($candBudgetPerDoc AS BIGINT) AS budget_per_doc,
+       |  CASE WHEN cand_volume > $candBudgetPerDoc * n_docs
+       |       THEN 'lsh' ELSE 'exact' END AS route
+       |FROM stat""".stripMargin
+
   val jaccardRoutedSql: String =
     s"""WITH $shingledCteDuck, $bandsCteDuck, ex AS (
        |  SELECT doc_id, CAST(len(hs) AS BIGINT) AS sz, unnest(hs) AS h

@@ -2156,14 +2156,26 @@ object TextAnalysis {
     val lim = docs.agg(max(col("doc_id")) + 1L).head.getLong(0)
     val toks = docs.select(col("doc_id"), explode(expr(
       "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+    heapsFromRelations(spark,
+      toks.groupBy(col("term")).agg(min(col("doc_id")).as("fd")),
+      toks.groupBy(col("doc_id")).agg(count(lit(1)).as("nt")), lim)
+  }
+
+  /** The curve over any (term, fd) first-appearance relation and
+    * (doc_id, nt) token-count relation - shared with the streaming
+    * face, whose streamed state IS these two relations (min and count
+    * are both merge-clean under any batch split).
+    */
+  private[graft] def heapsFromRelations(spark: SparkSession,
+                                        firstDoc: DataFrame,
+                                        docTok: DataFrame,
+                                        lim: Long): DataFrame = {
     // bucket 0..9 by doc-id range (integer DIV, exact); every
     // per-bucket partial is additive
-    val vocabB = toks.groupBy(col("term"))
-      .agg(min(col("doc_id")).as("fd"))
+    val vocabB = firstDoc
       .groupBy(expr(s"(fd * 10) DIV ${lim}L").as("b"))
       .agg(count(lit(1)).as("v"))
-    val tokB = toks.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("nt"))
+    val tokB = docTok
       .groupBy(expr(s"(doc_id * 10) DIV ${lim}L").as("b"))
       .agg(sum(col("nt")).as("t"), count(lit(1)).as("d"))
     val w = Window.orderBy(col("b"))
@@ -2208,6 +2220,53 @@ object TextAnalysis {
        |WINDOW wc AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
        |              AND CURRENT ROW)
        |ORDER BY decile""".stripMargin
+
+  // ---- txt_novelty ----------------------------------------------------
+
+  /** Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    * 3-gram shingles never seen in any EARLIER doc (doc_id = arrival
+    * order) - the freshness/memorization signal a data curator reads
+    * next to the dedup verdicts: near-dups score ≈ 0 without ever
+    * running a pairwise join, boilerplate-heavy sources trend low
+    * corpus-wide, and a novelty collapse over arrival order means the
+    * crawl started eating its own tail. Reuses the dedup family's
+    * persisted shingle relation verbatim.
+    *
+    * Shape at scale: one map-combinable min(doc_id) per shingle
+    * (first appearance - the txt_heaps discipline), one hash join back
+    * on the shingle key, one per-doc count agg; the single float is
+    * the final q6 ratio.
+    */
+  def novelty(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val ex = SignatureStore.shingles(spark, sfDir)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val fd = ex.groupBy(col("h")).agg(min(col("doc_id")).as("fd"))
+    ex.join(fd, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        graft.pipeline.ParityMath.q6(col("n_novel").cast("double") /
+          col("n_grams").cast("double")).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  val noveltySql: String =
+    s"""WITH ${Dedup.shingledCteDuck}, ex AS (
+       |  SELECT doc_id, unnest(hs) AS h FROM hs
+       |), fd AS (
+       |  SELECT h, min(doc_id) AS fd FROM ex GROUP BY h
+       |)
+       |SELECT e.doc_id, count(*) AS n_grams,
+       |  CAST(sum(CASE WHEN f.fd = e.doc_id THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_novel,
+       |  (floor(CAST(sum(CASE WHEN f.fd = e.doc_id THEN 1 ELSE 0 END)
+       |     AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5)
+       |   / 1000000.0) AS novelty
+       |FROM ex e JOIN fd f ON f.h = e.h
+       |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin
 
   // ---- txt_zipf -------------------------------------------------------
 

@@ -481,6 +481,45 @@ final class BucketedSnapshotCacheSink(root: String, keys: Seq[String],
     })
   }
 
+  /** Batched point lookup - the serving-path MULTIGET: one pruned
+    * read for a SET of keys. Buckets are computed driver-side exactly
+    * as in `getKey`; the plan lists only the distinct home buckets of
+    * the requested keys (≤ |keys| of numBuckets) plus the key-filtered
+    * pending deltas, and runs as ONE job instead of |keys| round
+    * trips - the difference between 20 × (footer + scan + collect)
+    * and one scan when a dashboard asks for a key list.
+    */
+  def getKeys(spark: SparkSession, name: String,
+              keyRows: Seq[Seq[Any]]): DataFrame = {
+    require(keyRows.nonEmpty && keyRows.forall(_.length == keys.length),
+      s"sink keys are $keys; every key row must match")
+    val v = currentVersion(spark, name).getOrElse(
+      throw new IllegalStateException(
+        s"BucketedSnapshotCacheSink: '$name' has never been published " +
+          s"under $root"))
+    val st = readState(spark, name, v)
+    val (b0, (bv0, _)) = st.base.head
+    val schema =
+      spark.read.parquet(s"${vdir(name, bv0)}/base/$B=$b0").schema
+    val buckets = keyRows.map(bucketForKey(schema, _)).distinct
+    val keyFilter = keyRows.map { r =>
+      keys.zip(r).map { case (k, value) => col(k) === lit(value) }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    val paths = buckets.flatMap(b => st.base.get(b).map {
+      case (bv, _) => s"${vdir(name, bv)}/base/$B=$b"
+    })
+    val base =
+      if (paths.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(paths: _*).where(keyFilter)
+    if (st.deltas.isEmpty) base
+    else applyDeltas(base, st.deltas.map { case (dv, _) =>
+      dv -> spark.read.parquet(s"${vdir(name, dv)}/delta").where(keyFilter)
+    })
+  }
+
   /** Delete version dirs neither inside the retention window nor
     * referenced (as a carried-forward bucket's home or a pending
     * delta) by any retained version's state.

@@ -811,23 +811,25 @@ object StreamSum {
     // compactFrac huge: the delta STAYS pending, so every point read
     // exercises the base-bucket + filtered-delta merge
     val sink = new graft.sinks.BucketedSnapshotCacheSink(
-      root, countSinkKeys, compactFrac = 1e9)
+      root, countSinkKeys, numBuckets = 16, compactFrac = 1e9)
     sink.put("pt", base)
     sink.mergeDelta("pt", delta, countSinkKeys)
     val targets = sink.get(spark, "pt")
       .orderBy(countSinkKeys.map(col): _*).limit(20)
       .select(countSinkKeys.map(col): _*).collect()
-    val views = targets.map(_.getString(0)).distinct.map { c =>
-      c -> new graft.api.SinkCountSummaryView(spark, sink, "pt", c)
-    }.toMap
-    val rows = targets.toSeq.map { r =>
-      val (c, s, a, o) =
-        (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))
-      val (_, cnt, lastT) = views(c).getCount(s, a, o)
-      (c, s, a, o, cnt, lastT.getOrElse(
-        sys.error(s"point read missed a published key ($c,$s,$a,$o)")))
-    }
-    rows.toDF("cache", "s", "a", "o", "cnt", "last_t")
+    // one facade point read pins the single-key serving path live...
+    val t0 = targets.head
+    val view = new graft.api.SinkCountSummaryView(
+      spark, sink, "pt", t0.getString(0))
+    val (_, cnt0, lastT0) =
+      view.getCount(t0.getLong(1), t0.getString(2), t0.getLong(3))
+    require(lastT0.isDefined && cnt0 > 0,
+      "facade point read missed a published key")
+    // ...and the batched MULTIGET serves the whole key list in ONE
+    // pruned job (distinct home buckets + key-filtered deltas)
+    val keyRows = targets.toSeq.map(r => Seq[Any](
+      r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    sink.getKeys(spark, "pt", keyRows)
       .orderBy(col("cache"), col("s"), col("a"), col("o"))
   }
 
@@ -1490,6 +1492,34 @@ object StreamSum {
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
     graft.pipeline.TextAnalysis.zipfFrom(
       runToTable(freq, OutputMode.Complete(), "ss_stream_zipf"))
+  }
+
+  /** Streaming face of the Heaps vocabulary-growth curve, sharing
+    * `txt_heaps`'s oracle: the streamed state is the two merge-clean
+    * relations the batch core folds - per-term FIRST-appearance doc
+    * (min, merges under any batch split) and per-doc token count
+    * (each doc arrives whole in one file batch) - and the ten-row
+    * curve is a query-time view over them (cumulative vocabulary is
+    * an evolving-answer quantity: a late doc introducing an old term
+    * earlier would re-bucket it, which min-state absorbs and any
+    * per-batch curve union could not).
+    */
+  def streamHeaps(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    val toks = docs.select(col("doc_id"), explode(expr(
+      "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+    val firstDoc = runToTable(
+      toks.groupBy(col("term")).agg(min(col("doc_id")).as("fd")),
+      OutputMode.Complete(), "ss_stream_heaps_fd")
+    val docTok = runToTable(
+      toks.groupBy(col("doc_id")).agg(count(lit(1)).as("nt")),
+      OutputMode.Complete(), "ss_stream_heaps_nt")
+    val lim = docTok.agg(max(col("doc_id")) + 1L).head.getLong(0)
+    graft.pipeline.TextAnalysis.heapsFromRelations(
+      spark, firstDoc, docTok, lim)
   }
 
   /** Streaming face of the per-subject top-k count query, sharing

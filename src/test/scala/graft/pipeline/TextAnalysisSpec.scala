@@ -517,4 +517,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.last.getLong(3) == toks.distinct().count())
   }
 
+
+  test("novelty: later member of a planted near-dup pair scores at " +
+       "most 1 - jaccard-ish; ratios recompute") {
+    val nov = TextAnalysis.novelty(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    nov.values.foreach { case (g, n, r) =>
+      assert(n <= g && r == math.floor(n.toDouble / g * 1e6 + 0.5) / 1e6)
+    }
+    // every verified >=0.8-jaccard pair: the LATER doc shares >=80% of
+    // its shingles with an earlier one, so its novelty is <= ~0.2
+    val pairs = Dedup.ngramJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      val later = math.max(a, b)
+      assert(nov(later)._3 <= 0.25,
+        s"near-dup doc $later scored novelty ${nov(later)._3}")
+    }
+  }
+
 }

@@ -168,6 +168,25 @@ class BucketedSinkSpec extends SparkSpec {
       Set(bucketOf(8L, 8).toString))
   }
 
+  test("getKeys multiget: one plan listing only the requested keys' " +
+       "home buckets; equals the per-key getKey union") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_bsink_mget").toString
+    val sink = new BucketedSnapshotCacheSink(root, Seq("k"),
+      numBuckets = 8, compactFrac = 1e9)
+    sink.put("c", df((1L to 200L).map(i => i -> s"v$i"): _*))
+    sink.mergeDelta("c", df(7L -> "NEW", 300L -> "add"), Seq("k"))
+    val ks = Seq(7L, 42L, 300L, 9999L)
+    val got = sink.getKeys(spark, "c", ks.map(Seq[Any](_)))
+    assert(rowSet(got) ==
+      ks.flatMap(k => rowSet(sink.getKey(spark, "c", Seq(k)))).toSet)
+    // plan pin: listed base buckets ⊆ the keys' distinct home buckets
+    val wanted = ks.map(bucketOf(_, 8)).map(_.toString).toSet
+    val listed = baseBuckets(got)
+    assert(listed.nonEmpty && listed.subsetOf(wanted),
+      s"multiget listed $listed, wanted ⊆ $wanted")
+  }
+
   test("bucketed sink: torn publish stays invisible and a replay " +
        "rewrites the orphan (idempotent)") {
     val root = java.nio.file.Files
