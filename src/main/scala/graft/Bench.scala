@@ -64,7 +64,9 @@ object Bench {
     "dd_embed_cosine", "dd_semantic",
     "ann_topk_brute", "ann_topk_quant", "ann_lsh_bucketed", "ann_ivf",
     "ann_ivf_quant", "ann_ivf_adaptive", "ann_ivf_pq", "ann_knn_join",
-    "ann_mmr", "ann_mmr_ivf",
+    "ann_mmr", "ann_mmr_ivf", "ann_range",
+    "q_sax", "txt_heaps", "txt_novelty", "pipe_dataset_card",
+    "dd_route_stats",
     "q_hll_distinct", "q_hll_sliding", "q_cms_topk",
     "q_cms_sliding", "q_cms_join_card", "q_cms_f2", "q_qtile_sketch",
     "q_quantile_exact", "q_qtile_sliding",
@@ -111,6 +113,7 @@ object Bench {
     "q_funnel", "q_cohort", "q_pagerank", "q_ppr", "q_hits", "q_trending", "q_markov", "q_markov2", "ss_stream_ewma",
     "q_paths", "q_seasonality", "q_stl", "q_changepoint", "q_cusum", "q_psi_drift",
     "q_seq_pattern", "q_gini", "q_mannkendall", "q_mad", "q_theilsen",
+    "q_sax",
     "q_triangles", "q_kcore",
     "q_linkpred", "q_lpa", "q_xcorr",
     "q_cms_topk", "q_cms_topk_prod", "q_cms_sliding", "q_cms_sliding_prod",
@@ -131,7 +134,8 @@ object Bench {
     "pipe_quality_gate", "ann_ivf_quant", "ann_ivf_pq", "ann_knn_join",
     "txt_stats", "txt_readability", "txt_keyphrase", "txt_pmi",
     "txt_jsd_drift",
-    "pipe_embed_prune", "ann_mmr", "ann_mmr_ivf",
+    "pipe_embed_prune", "ann_mmr", "ann_mmr_ivf", "ann_range",
+    "txt_heaps", "txt_novelty", "pipe_dataset_card",
     "txt_bpe_encode",
     "txt_bm25", "q_hybrid_rrf", "q_retrieval_eval", "txt_backoff_nll",
     // the real-codec mapPartitions path: per-row cost must stay flat

@@ -738,6 +738,91 @@ object SignatureStore {
     storedKeyphrase(spark, store)
   }
 
+  // ---- novelty store ---------------------------------------------------
+
+  /** Driver-gate face of `txt_novelty` over the BASE incremental
+    * shingle store: no new landed relation at all - novelty is a
+    * query-time view over the shingles the dedup store already
+    * maintains (`noveltyFrom(storedShingles)`), so one store serves
+    * LSH candidates, exact verification AND the novelty signal.
+    * Doc-parity appends; shares `txt_novelty`'s oracle.
+    */
+  def gatedNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_nov_watch")
+    val store = tempDirForExit("graft_gate_nov_store")
+    val docs = Graft.table(spark, sfDir, "documents")
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUp(spark, watch, store)
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUp(spark, watch, store)
+    graft.pipeline.TextAnalysis.noveltyFrom(storedShingles(spark, store))
+  }
+
+  // ---- heaps store ---------------------------------------------------
+
+  /** Incremental Heaps-curve store: per-batch partials are the two
+    * merge-clean relations of the batch face - per-term min FIRST-doc
+    * (min re-merges across batches at query time) and per-doc token
+    * counts (docs arrive whole) - with the ten-row curve a query-time
+    * VIEW through `heapsFromRelations`. Cumulative vocabulary is an
+    * evolving-answer quantity: a late batch introducing an old term
+    * EARLIER in doc-id order re-buckets it, which the min-merge
+    * absorbs and any stored per-batch curve could not.
+    */
+  def catchUpHeaps(spark: SparkSession, watchDir: String,
+                   storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val docs = spark.readStream.schema(schema).parquet(watchDir)
+    val q = docs.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val toks = batch.select(col("doc_id"), explode(expr(
+          "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+        toks.groupBy(col("term")).agg(min(col("doc_id")).as("fd"))
+          .write.mode("overwrite").parquet(s"$storeDir/fd/batch=$id")
+        toks.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+          .write.mode("overwrite").parquet(s"$storeDir/nt/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  def storedHeaps(spark: SparkSession, storeDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val fd = storedOrEmpty(spark, s"$storeDir/fd",
+      emptyLike(spark, spark.range(0).selectExpr(
+        "CAST(id AS STRING) AS term", "id AS fd")))
+      .groupBy(col("term")).agg(min(col("fd")).as("fd"))
+    val nt = storedOrEmpty(spark, s"$storeDir/nt",
+      emptyLike(spark, spark.range(0).selectExpr(
+        "id AS doc_id", "id AS nt")))
+    val lim = nt.agg(max(col("doc_id")) + 1L).head
+    require(!lim.isNullAt(0), "heaps store: no documents landed yet")
+    graft.pipeline.TextAnalysis.heapsFromRelations(
+      spark, fd, nt, lim.getLong(0))
+  }
+
+  /** Driver-gate face: doc-parity appends, then the query-time view;
+    * shares `txt_heaps`'s oracle.
+    */
+  def gatedHeaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_heaps_watch")
+    val store = tempDirForExit("graft_gate_heaps_store")
+    val docs = Graft.table(spark, sfDir, "documents")
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpHeaps(spark, watch, store)
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpHeaps(spark, watch, store)
+    storedHeaps(spark, store)
+  }
+
   // ---- stl store -----------------------------------------------------
 
   /** Incremental STL store: per-batch total-per-hour partial counts

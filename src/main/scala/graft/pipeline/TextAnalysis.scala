@@ -2221,6 +2221,70 @@ object TextAnalysis {
        |              AND CURRENT ROW)
        |ORDER BY decile""".stripMargin
 
+  // ---- pipe_dataset_card ------------------------------------------------
+
+  /** One-row DATASET CARD: the corpus-composition summary a training
+    * run records next to its data manifest - size (docs, tokens,
+    * mean doc length), vocabulary, source mix (count + concentration),
+    * and exact-duplicate rate, each the same kernel its dedicated
+    * operator uses (tokenizer = txt_heaps/vocab, hash = dd_exact), so
+    * the card can never disagree with the operators it summarizes.
+    *
+    * Shape at scale: three map-combinable aggregations over one corpus
+    * scan each (token counts, source counts, hash distinct), all
+    * folding to scalars/≤|sources| rows before the final 1-row join;
+    * the only floats are three final q6 ratios.
+    */
+  def datasetCard(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val docs = Graft.tableParallel(spark, sfDir, "documents")
+    val toks = docs.select(col("doc_id"), explode(expr(
+      "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+    val tok = toks.agg(count(lit(1)).as("n_tokens"),
+      count_distinct(col("term")).as("vocab_size"))
+    val src = docs.groupBy(col("source")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_sources"), max(col("c")).as("top_c"))
+    val base = docs.agg(count(lit(1)).as("n_docs"),
+      count_distinct(md5(col("text").cast("binary"))).as("n_uniq"))
+    base.crossJoin(tok).crossJoin(src)
+      .select(col("n_docs"), col("n_tokens"), col("vocab_size"),
+        ParityMath.q6(col("n_tokens").cast("double") /
+          col("n_docs").cast("double")).as("mean_doc_tokens"),
+        col("n_sources"),
+        ParityMath.q6(col("top_c").cast("double") /
+          col("n_docs").cast("double")).as("top_source_share"),
+        ParityMath.q6((col("n_docs") - col("n_uniq")).cast("double") /
+          col("n_docs").cast("double")).as("exact_dup_rate"))
+  }
+
+  val datasetCardSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+       |    '[a-z0-9]+')) AS term
+       |  FROM documents
+       |), tok AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(count(DISTINCT term) AS BIGINT) AS vocab_size
+       |  FROM toks
+       |), src AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_sources,
+       |    CAST(max(c) AS BIGINT) AS top_c
+       |  FROM (SELECT source, count(*) AS c FROM documents GROUP BY source)
+       |), base AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_uniq
+       |  FROM documents
+       |)
+       |SELECT n_docs, n_tokens, vocab_size,
+       |  (floor(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |     * 1000000.0 + 0.5) / 1000000.0) AS mean_doc_tokens,
+       |  n_sources,
+       |  (floor(CAST(top_c AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |     * 1000000.0 + 0.5) / 1000000.0) AS top_source_share,
+       |  (floor(CAST(n_docs - n_uniq AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |     * 1000000.0 + 0.5) / 1000000.0) AS exact_dup_rate
+       |FROM base CROSS JOIN tok CROSS JOIN src""".stripMargin
+
   // ---- txt_novelty ----------------------------------------------------
 
   /** Per-document n-gram NOVELTY: the fraction of a doc's distinct
@@ -2239,8 +2303,18 @@ object TextAnalysis {
     */
   def novelty(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
-    val ex = SignatureStore.shingles(spark, sfDir)
-      .select(col("doc_id"), explode(col("hs")).as("h"))
+    noveltyFrom(SignatureStore.shingles(spark, sfDir))
+  }
+
+  /** The novelty view over any (doc_id, hs) shingle relation - shared
+    * with the incremental-store face (novelty is a query-time view
+    * over the shingles the dedup store already maintains: a late
+    * batch carrying an EARLIER doc_id re-assigns first-appearances,
+    * which min-at-query-time absorbs and no stored per-batch score
+    * could).
+    */
+  private[graft] def noveltyFrom(sh: DataFrame): DataFrame = {
+    val ex = sh.select(col("doc_id"), explode(col("hs")).as("h"))
     val fd = ex.groupBy(col("h")).agg(min(col("doc_id")).as("fd"))
     ex.join(fd, "h")
       .groupBy(col("doc_id"))

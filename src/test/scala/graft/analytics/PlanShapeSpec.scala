@@ -38,6 +38,35 @@ class PlanShapeSpec extends SparkSpec {
            plan.contains("BroadcastHashJoin"))
   }
 
+  test("ann_range: probe join broadcasts, and no rank-window exchange " +
+       "exists at all") {
+    val plan = executed(graft.pipeline.Similarity.annRange(spark, sfDir))
+    // the range face's whole point: same probe join as ann_ivf but the
+    // per-query top-k window (its q_id hash exchange) is GONE - the
+    // only exchange left is the final output sort
+    assert(plan.contains("BroadcastHashJoin") ||
+           plan.contains("BroadcastNestedLoopJoin"),
+      s"probes must broadcast onto the assignment scan:\n$plan")
+    // no per-query ranking over the CANDIDATE stream: the only ranking
+    // operators (Window / the TopKPerKey pair the window rewrite
+    // lowers them to) are the tiny probe-set ranking, which the top-k
+    // control ALSO carries - so the control must show strictly more
+    // ranking nodes (its candidate top-k) than the range face
+    def ranks(p: String) = p.linesIterator.count(l =>
+      l.contains("Window") || l.contains("TopK"))
+    val topk = executed(graft.pipeline.Similarity.annIvf(spark, sfDir))
+    assert(ranks(topk) > ranks(plan),
+      s"range face must rank strictly less than top-k: " +
+        s"${ranks(plan)} vs ${ranks(topk)}\n$plan")
+  }
+
+  test("xcorr: lag alignment is a hash/merge equi-join, never a " +
+       "nested-loop (the r11 19x regression shape)") {
+    val plan = executed(graft.analytics.TimeSeries.qXcorr(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"lag join degenerated to a nested loop:\n$plan")
+  }
+
   test("q4: EXISTS plans as a semi join with both filters pushed") {
     val plan = executed(Tpch.q4SemiJoin(spark, sfDir))
     assert(plan.contains("LeftSemi") || plan.contains("Semi"),
