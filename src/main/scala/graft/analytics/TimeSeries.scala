@@ -1215,6 +1215,195 @@ object TimeSeries {
        |      > 9 * (n * q - s * s)
        |ORDER BY user_id, event_id""".stripMargin
 
+  // ---- q_holt_winters: seasonal (triple) exponential smoothing --------
+
+  /** Holt-Winters season length: weekly pattern over daily buckets. */
+  val hwSeason = 7
+
+  /** ADDITIVE Holt-Winters (triple exponential smoothing) over each
+    * event type's densified DAILY count series - the seasonal member
+    * completing the forecast family (q_ewma smooths, q_holt adds
+    * trend, this adds the weekly cycle q_seasonality showed exists).
+    * Smoothing constants α = β = γ = 1/4, all-integer micro-units with
+    * truncating division (Scala Long `/` ≙ DuckDB `//`, both
+    * toward-zero - verified, so the recursion is bit-replayable):
+    *
+    *   init (end of the first week, t = 6): L = (Σ x_{0..6}) / 7,
+    *     T = 0, S_i = x_i − L;
+    *   step t ≥ 7 (x = xmu_t, s7 = season of t − 7):
+    *     fc_t = L' + T' + s7          (the one-step-ahead forecast)
+    *     L = (x − s7 + 3·(L' + T')) / 4
+    *     T = (L − L' + 3·T') / 4
+    *     S_t = (x − L + 3·s7) / 4.
+    *
+    * Execution: the corpus folds to a (type, day) count relation
+    * (map-combinable, the xcorr/stl bucket discipline); the recursion
+    * itself runs driver-side over that TINY matrix - its size is
+    * types × CALENDAR DAYS, bounded by time, not data (the
+    * gdTrain/Lloyd posture: distributed aggregation, driver-local
+    * fitting of a sequential model no window can express). The oracle
+    * replays the exact recursion as a recursive CTE carrying the
+    * 7-element season ring.
+    */
+  /** Densified per-type daily micro-count series (driver-side, TIME-
+    * bounded) - shared by the smoother and its backtest.
+    */
+  private def hwSeriesFor(spark: SparkSession,
+                          sfDir: String): (Long, Seq[(String, Array[Long])]) = {
+    // tus >= 0: same well-definedness contract as q_seasonality
+    val cnt = Graft.table(spark, sfDir, "events")
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type").as("et"),
+        expr("graft_ts_us(ts)").as("tus"))
+      .filter(col("tus") >= 0L)
+      .select(col("et"), expr(s"tus DIV ${dayUs}L").as("d"))
+      .groupBy(col("et"), col("d")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap // bounded: types x calendar days
+    if (cnt.isEmpty) return (0L, Seq.empty)
+    val lo = cnt.keys.map(_._2).min
+    val hi = cnt.keys.map(_._2).max
+    (lo, cnt.keys.map(_._1).toSeq.distinct.sorted.map { et =>
+      et -> (lo to hi).map(d =>
+        cnt.getOrElse((et, d), 0L) * 1000000L).toArray
+    })
+  }
+
+  /** The exact integer recursion: (t, level, trend, season_t,
+    * forecast_t) for every t >= hwSeason.
+    */
+  private def hwFold(xs: Array[Long]): Seq[(Int, Long, Long, Long, Long)] =
+    if (xs.length < hwSeason + 1) Seq.empty
+    else {
+      var lvl = xs.take(hwSeason).sum / hwSeason
+      var tr = 0L
+      val seas = scala.collection.mutable.Queue(
+        xs.take(hwSeason).map(_ - lvl): _*)
+      (hwSeason until xs.length).map { t =>
+        val x = xs(t)
+        val s7 = seas.dequeue()
+        val fc = lvl + tr + s7
+        val nl = (x - s7 + 3L * (lvl + tr)) / 4L
+        val nt = (nl - lvl + 3L * tr) / 4L
+        val ns = (x - nl + 3L * s7) / 4L
+        lvl = nl; tr = nt; seas.enqueue(ns)
+        (t, lvl, tr, ns, fc)
+      }
+    }
+
+  def qHoltWinters(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    import spark.implicits._
+    val (lo, series) = hwSeriesFor(spark, sfDir)
+    series.flatMap { case (et, xs) =>
+      hwFold(xs).map { case (t, lvl, tr, ns, fc) =>
+        (et, lo + t, xs(t) / 1000000L, lvl, tr, ns, fc)
+      }
+    }.toDF("et", "day", "n_events", "level_mu", "trend_mu",
+        "season_mu", "forecast_mu")
+      .orderBy(col("et"), col("day"))
+  }
+
+  /** Honest HW backtest (the q_forecast_eval discipline): per type,
+    * the one-step-ahead MAE of the Holt-Winters forecast against the
+    * NAIVE (yesterday) and SEASONAL-NAIVE (last week's same day)
+    * baselines over the identical day range - the number that says
+    * whether the seasonal model earns its state. All-integer micro
+    * MAEs (truncating division both engines).
+    */
+  def qHwEval(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    import spark.implicits._
+    val (_, series) = hwSeriesFor(spark, sfDir)
+    series.flatMap { case (et, xs) =>
+      val folds = hwFold(xs)
+      if (folds.isEmpty) None
+      else {
+        val n = folds.length.toLong
+        val hw = folds.map { case (t, _, _, _, fc) =>
+          math.abs(fc - xs(t)) }.sum
+        val nv = folds.map { case (t, _, _, _, _) =>
+          math.abs(xs(t - 1) - xs(t)) }.sum
+        val sn = folds.map { case (t, _, _, _, _) =>
+          math.abs(xs(t - hwSeason) - xs(t)) }.sum
+        Some((et, n, hw / n, nv / n, sn / n))
+      }
+    }.toDF("et", "n_days", "mae_hw_mu", "mae_naive_mu", "mae_snaive_mu")
+      .orderBy(col("et"))
+  }
+
+  private lazy val hwFoldCtes: String =
+    s"""WITH RECURSIVE cnt AS (
+       |  SELECT event_type AS et, epoch_us(ts) // $dayUs AS d,
+       |         count(*) AS c
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+       |    AND epoch_us(ts) >= 0
+       |  GROUP BY 1, 2
+       |), spine AS (
+       |  SELECT unnest(range((SELECT min(d) FROM cnt),
+       |                      (SELECT max(d) FROM cnt) + 1)) AS d
+       |), dense AS (
+       |  SELECT ty.et, s.d,
+       |    CAST(COALESCE(c.c, 0) * 1000000 AS BIGINT) AS xmu,
+       |    CAST(row_number() OVER (PARTITION BY ty.et ORDER BY s.d) - 1
+       |         AS BIGINT) AS t
+       |  FROM (SELECT DISTINCT et FROM cnt) ty
+       |  CROSS JOIN spine s
+       |  LEFT JOIN cnt c ON c.et = ty.et AND c.d = s.d
+       |), mx AS (
+       |  SELECT et, max(t) AS mx FROM dense GROUP BY et
+       |), init AS (
+       |  SELECT et, CAST(sum(xmu) // $hwSeason AS BIGINT) AS lvl,
+       |    list(xmu ORDER BY t) AS xs
+       |  FROM dense WHERE t < $hwSeason GROUP BY et
+       |), fold AS (
+       |  SELECT i.et, CAST($hwSeason - 1 AS BIGINT) AS t,
+       |    i.lvl, CAST(0 AS BIGINT) AS tr,
+       |    list_transform(i.xs, x -> x - i.lvl) AS seas,
+       |    CAST(NULL AS BIGINT) AS x, CAST(NULL AS BIGINT) AS fc,
+       |    CAST(NULL AS BIGINT) AS st
+       |  FROM init i JOIN mx ON mx.et = i.et AND mx.mx >= $hwSeason
+  |  UNION ALL
+       |  -- lateral aliases must NOT collide with fold's column names:
+       |  -- an unqualified `lvl` would bind to f.lvl, not the alias
+       |  SELECT f.et, f.t + 1,
+       |    CAST((d.xmu - f.seas[1] + 3 * (f.lvl + f.tr)) // 4
+       |         AS BIGINT) AS nlvl,
+       |    CAST((nlvl - f.lvl + 3 * f.tr) // 4 AS BIGINT) AS ntr,
+       |    list_append(f.seas[2:],
+       |      CAST((d.xmu - nlvl + 3 * f.seas[1]) // 4 AS BIGINT)),
+       |    d.xmu,
+       |    f.lvl + f.tr + f.seas[1],
+       |    CAST((d.xmu - nlvl + 3 * f.seas[1]) // 4 AS BIGINT)
+       |  FROM fold f
+       |  JOIN dense d ON d.et = f.et AND d.t = f.t + 1
+       |  JOIN mx ON mx.et = f.et AND f.t < mx.mx
+       |)""".stripMargin
+
+  lazy val qHoltWintersSql: String =
+    s"""$hwFoldCtes
+       |SELECT f.et, d.d AS day, f.x // 1000000 AS n_events,
+       |  f.lvl AS level_mu, f.tr AS trend_mu, f.st AS season_mu,
+       |  f.fc AS forecast_mu
+       |FROM fold f JOIN dense d ON d.et = f.et AND d.t = f.t
+       |WHERE f.t >= $hwSeason
+       |ORDER BY f.et, day""".stripMargin
+
+  lazy val qHwEvalSql: String =
+    s"""$hwFoldCtes
+       |SELECT f.et, CAST(count(*) AS BIGINT) AS n_days,
+       |  CAST(sum(abs(f.fc - f.x)) // count(*) AS BIGINT) AS mae_hw_mu,
+       |  CAST(sum(abs(p1.xmu - f.x)) // count(*) AS BIGINT)
+       |    AS mae_naive_mu,
+       |  CAST(sum(abs(p7.xmu - f.x)) // count(*) AS BIGINT)
+       |    AS mae_snaive_mu
+       |FROM fold f
+       |JOIN dense p1 ON p1.et = f.et AND p1.t = f.t - 1
+       |JOIN dense p7 ON p7.et = f.et AND p7.t = f.t - $hwSeason
+       |WHERE f.t >= $hwSeason
+       |GROUP BY f.et ORDER BY f.et""".stripMargin
+
   // ---- q_sax: symbolic aggregate approximation -------------------------
 
   /** SAX segments per user series (the word length). */

@@ -592,4 +592,36 @@ class TimeSeriesSpec extends SparkSpec {
     assert(u2.forall(_.getDouble(3) == 42.5))
   }
 
+
+  test("holt-winters: an exact weekly pattern is a fixed point (level " +
+       "= mean, trend 0, season = offsets, forecast reproduces the " +
+       "pattern); a constant series forecasts itself") {
+    val s = spark; import s.implicits._
+    val pat = Seq(7, 14, 21, 28, 35, 42, 49) // sum 196 = 7 * 28
+    val rows = (for {
+      d <- 0 until 21
+      i <- 0 until pat(d % 7)
+    } yield (d * 1000L + i, new java.sql.Timestamp(
+        d * 86400000L + i * 1000L), 1L, "view", 1.0, """{"k": 1}""")) ++
+      (for { d <- 0 until 21; i <- 0 until 5 } yield
+        (900000L + d * 100L + i, new java.sql.Timestamp(
+          d * 86400000L + i * 1000L), 2L, "click", 1.0, """{"k": 1}"""))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hw").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = TimeSeries.qHoltWinters(spark, tmp).collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> (x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5), x.getLong(6))).toMap
+    for (t <- 7 until 21) {
+      val (n, lvl, tr, seas, fc) = r(("view", t.toLong))
+      assert(n == pat(t % 7) && lvl == 28000000L && tr == 0L &&
+        seas == (pat(t % 7) - 28) * 1000000L &&
+        fc == pat(t % 7) * 1000000L,
+        s"day $t: ($n, $lvl, $tr, $seas, $fc)")
+      val (nc, lc, tc, sc, fcc) = r(("click", t.toLong))
+      assert(nc == 5 && lc == 5000000L && tc == 0L && sc == 0L &&
+        fcc == 5000000L, s"constant day $t: ($nc, $lc, $tc, $sc, $fcc)")
+    }
+  }
+
 }
