@@ -1248,17 +1248,27 @@ object TimeSeries {
   /** Densified per-type daily micro-count series (driver-side, TIME-
     * bounded) - shared by the smoother and its backtest.
     */
-  private def hwSeriesFor(spark: SparkSession,
-                          sfDir: String): (Long, Seq[(String, Array[Long])]) = {
-    // tus >= 0: same well-definedness contract as q_seasonality
-    val cnt = Graft.table(spark, sfDir, "events")
+  /** The per-(type, day) count relation - the ADDITIVE fact the store
+    * face accumulates (counts merge by plain sum under any batch
+    * split). tus >= 0: same well-definedness contract as
+    * q_seasonality.
+    */
+  private[graft] def hwBuckets(events: DataFrame): DataFrame =
+    events
       .filter(col("ts").isNotNull && col("event_type").isNotNull)
       .select(col("event_type").as("et"),
         expr("graft_ts_us(ts)").as("tus"))
       .filter(col("tus") >= 0L)
       .select(col("et"), expr(s"tus DIV ${dayUs}L").as("d"))
       .groupBy(col("et"), col("d")).agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+
+  /** Collect + densify any (et, d, c) bucket relation into per-type
+    * micro-count series (driver-side, TIME-bounded).
+    */
+  private[graft] def hwSeriesFromBuckets(
+      cnt0: DataFrame): (Long, Seq[(String, Array[Long])]) = {
+    val cnt = cnt0.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
       .toMap // bounded: types x calendar days
     if (cnt.isEmpty) return (0L, Seq.empty)
     val lo = cnt.keys.map(_._2).min
@@ -1267,6 +1277,26 @@ object TimeSeries {
       et -> (lo to hi).map(d =>
         cnt.getOrElse((et, d), 0L) * 1000000L).toArray
     })
+  }
+
+  private def hwSeriesFor(spark: SparkSession,
+                          sfDir: String): (Long, Seq[(String, Array[Long])]) =
+    hwSeriesFromBuckets(hwBuckets(Graft.table(spark, sfDir, "events")))
+
+  /** The smoother as a view over any bucket relation - shared with
+    * the incremental store face.
+    */
+  private[graft] def hwFromBuckets(cnt0: DataFrame): DataFrame = {
+    val spark = cnt0.sparkSession
+    import spark.implicits._
+    val (lo, series) = hwSeriesFromBuckets(cnt0)
+    series.flatMap { case (et, xs) =>
+      hwFold(xs).map { case (t, lvl, tr, ns, fc) =>
+        (et, lo + t, xs(t) / 1000000L, lvl, tr, ns, fc)
+      }
+    }.toDF("et", "day", "n_events", "level_mu", "trend_mu",
+        "season_mu", "forecast_mu")
+      .orderBy(col("et"), col("day"))
   }
 
   /** The exact integer recursion: (t, level, trend, season_t,
@@ -1293,15 +1323,7 @@ object TimeSeries {
 
   def qHoltWinters(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
-    import spark.implicits._
-    val (lo, series) = hwSeriesFor(spark, sfDir)
-    series.flatMap { case (et, xs) =>
-      hwFold(xs).map { case (t, lvl, tr, ns, fc) =>
-        (et, lo + t, xs(t) / 1000000L, lvl, tr, ns, fc)
-      }
-    }.toDF("et", "day", "n_events", "level_mu", "trend_mu",
-        "season_mu", "forecast_mu")
-      .orderBy(col("et"), col("day"))
+    hwFromBuckets(hwBuckets(Graft.table(spark, sfDir, "events")))
   }
 
   /** Honest HW backtest (the q_forecast_eval discipline): per type,

@@ -760,6 +760,59 @@ object SignatureStore {
     graft.pipeline.TextAnalysis.noveltyFrom(storedShingles(spark, store))
   }
 
+  // ---- holt-winters store ----------------------------------------------
+
+  /** Incremental Holt-Winters store: per-batch (type, day) partial
+    * counts - ADDITIVE under any batch split - with the seasonal
+    * recursion a query-time VIEW through the batch `hwFromBuckets`
+    * (the catchUpTrend discipline on the per-type axis: one arriving
+    * event changes its day's count and thereby every smoothed value
+    * from that day forward, so only the bucket counts are storable
+    * state).
+    */
+  def catchUpHw(spark: SparkSession, watchDir: String,
+                storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val ev = spark.readStream.schema(schema).parquet(watchDir)
+    val q = ev.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.analytics.TimeSeries.hwBuckets(batch)
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/etday_counts/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  def storedHw(spark: SparkSession, storeDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    graft.analytics.TimeSeries.hwFromBuckets(
+      storedOrEmpty(spark, s"$storeDir/etday_counts",
+        emptyLike(spark, spark.range(0).selectExpr(
+          "CAST(id AS STRING) AS et", "id AS d", "id AS c")))
+        .groupBy(col("et"), col("d")).agg(sum(col("c")).as("c")))
+  }
+
+  /** Driver-gate face: event-parity appends, then the query-time
+    * view; shares `q_holt_winters`'s oracle.
+    */
+  def gatedHw(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_hw_watch")
+    val store = tempDirForExit("graft_gate_hw_store")
+    val ev = Graft.table(spark, sfDir, "events")
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpHw(spark, watch, store)
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpHw(spark, watch, store)
+    storedHw(spark, store)
+  }
+
   // ---- heaps store ---------------------------------------------------
 
   /** Incremental Heaps-curve store: per-batch partials are the two

@@ -1351,6 +1351,22 @@ object StreamSum {
       runToTable(buckets, OutputMode.Complete(), "ss_stream_xcorr"))
   }
 
+  /** Streaming face of the Holt-Winters smoother, sharing
+    * `q_holt_winters`'s oracle: the streamed state is the ADDITIVE
+    * (type, day) count matrix (ordinary streaming aggregation, state
+    * bounded at types × live days); the seasonal recursion runs over
+    * the final snapshot via the batch `hwFromBuckets` - an arriving
+    * event changes its day's count and thereby every smoothed value
+    * from that day forward, so the recursion is never storable state.
+    */
+  def streamHw(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.core.Graft.ensureConf(spark)
+    val buckets = graft.analytics.TimeSeries.hwBuckets(
+      streamingEvents(spark, sfDir))
+    graft.analytics.TimeSeries.hwFromBuckets(
+      runToTable(buckets, OutputMode.Complete(), "ss_stream_hw"))
+  }
+
   /** Streaming face of the STL-lite decomposition, sharing `q_stl`'s
     * oracle: the streamed state is the total-per-hour count (ordinary
     * streaming aggregation, state bounded at live hours); the
