@@ -65,7 +65,7 @@ object Bench {
     "ann_topk_brute", "ann_topk_quant", "ann_lsh_bucketed", "ann_ivf",
     "ann_ivf_quant", "ann_ivf_adaptive", "ann_ivf_pq", "ann_knn_join",
     "ann_mmr", "ann_mmr_ivf", "ann_range",
-    "q_sax", "txt_heaps", "txt_novelty", "pipe_dataset_card",
+    "q_sax", "q_sax_word", "txt_heaps", "txt_novelty", "pipe_dataset_card",
     "dd_route_stats",
     "q_hll_distinct", "q_hll_sliding", "q_cms_topk",
     "q_cms_sliding", "q_cms_join_card", "q_cms_f2", "q_qtile_sketch",
@@ -113,7 +113,7 @@ object Bench {
     "q_funnel", "q_cohort", "q_pagerank", "q_ppr", "q_hits", "q_trending", "q_markov", "q_markov2", "ss_stream_ewma",
     "q_paths", "q_seasonality", "q_stl", "q_changepoint", "q_cusum", "q_psi_drift",
     "q_seq_pattern", "q_gini", "q_mannkendall", "q_mad", "q_theilsen",
-    "q_sax",
+    "q_sax", "q_sax_word",
     "q_triangles", "q_kcore",
     "q_linkpred", "q_lpa", "q_xcorr",
     "q_cms_topk", "q_cms_topk_prod", "q_cms_sliding", "q_cms_sliding_prod",

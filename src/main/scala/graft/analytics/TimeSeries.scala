@@ -1495,7 +1495,7 @@ object TimeSeries {
       .orderBy(col("user_id"), col("seg"))
   }
 
-  val qSaxSql: String =
+  private lazy val saxCtes: String =
     s"""WITH e AS (
        |  SELECT user_id, epoch_us(ts) AS tus, event_id,
        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS v
@@ -1520,7 +1520,10 @@ object TimeSeries {
        |    (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s) AS r2
        |  FROM seg
        |)
-       |SELECT user_id, CAST(seg AS BIGINT) AS seg,
+       |""".stripMargin.stripSuffix("\n")
+
+  private lazy val saxSelect: String =
+    s"""SELECT user_id, CAST(seg AS BIGINT) AS seg,
        |  CAST(m AS BIGINT) AS n_seg,
        |  (floor(CAST(sg AS DOUBLE) / CAST(m * 1000 AS DOUBLE)
        |     * 1000000.0 + 0.5) / 1000000.0) AS paa,
@@ -1530,7 +1533,42 @@ object TimeSeries {
        |       WHEN L = 0 OR 100000000 * L * L
        |              < 45495025 * CAST(m AS HUGEINT) * m * r2 THEN 'c'
        |       ELSE 'd' END AS symbol
-       |FROM c ORDER BY user_id, seg""".stripMargin
+       |FROM c""".stripMargin
+
+  lazy val qSaxSql: String =
+    s"$saxCtes\n$saxSelect ORDER BY user_id, seg"
+
+  /** SAX WORDS + temporal-shape cohorts: each user's per-segment
+    * symbols concatenated in segment order into one word, then users
+    * grouped by identical words - the "who moves alike" face that is
+    * the point of symbolizing (motif mining over tokens instead of
+    * distances). One extra user-keyed agg + one tiny word-keyed agg
+    * on top of the sax relation.
+    */
+  def qSaxWord(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    saxFrom(Graft.table(spark, sfDir, "events"))
+      .groupBy(col("user_id"))
+      .agg(expr("array_join(transform(array_sort(" +
+        "collect_list(struct(seg, symbol))), x -> x.symbol), '')")
+        .as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("user_id")).as("exemplar_user"))
+      .orderBy(col("n_users").desc, col("word"))
+  }
+
+  lazy val qSaxWordSql: String =
+    s"""$saxCtes, sax AS (
+       |$saxSelect
+       |), words AS (
+       |  SELECT user_id, string_agg(symbol, '' ORDER BY seg) AS word
+       |  FROM sax GROUP BY user_id
+       |)
+       |SELECT word, CAST(count(*) AS BIGINT) AS n_users,
+       |  min(user_id) AS exemplar_user
+       |FROM words GROUP BY word
+       |ORDER BY n_users DESC, word""".stripMargin
 
   // ---- q_decay_count: recency-weighted count cache --------------------
 

@@ -590,6 +590,11 @@ class TimeSeriesSpec extends SparkSpec {
     val u2 = r.filter(_.getLong(0) == 2L)
     assert(u2.nonEmpty && u2.forall(_.getString(4) == "c"))
     assert(u2.forall(_.getDouble(3) == 42.5))
+    // word face: the two users land in two distinct shape cohorts
+    val w = TimeSeries.qSaxWord(spark, tmp).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(w("aabbccdd") == ((1L, 1L)))
+    assert(w("cccccccc") == ((1L, 2L)))
   }
 
 
