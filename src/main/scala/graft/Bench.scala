@@ -64,7 +64,7 @@ object Bench {
     "dd_embed_cosine", "dd_semantic",
     "ann_topk_brute", "ann_topk_quant", "ann_lsh_bucketed", "ann_ivf",
     "ann_ivf_quant", "ann_ivf_adaptive", "ann_ivf_pq", "ann_knn_join",
-    "ann_mmr", "ann_mmr_ivf", "ann_range",
+    "ann_mmr", "ann_mmr_ivf", "ann_range", "ann_range_h2",
     "q_sax", "q_sax_word", "txt_heaps", "txt_novelty", "pipe_dataset_card",
     "dd_route_stats",
     "q_hll_distinct", "q_hll_sliding", "q_cms_topk",
@@ -135,6 +135,7 @@ object Bench {
     "txt_stats", "txt_readability", "txt_keyphrase", "txt_pmi",
     "txt_jsd_drift",
     "pipe_embed_prune", "ann_mmr", "ann_mmr_ivf", "ann_range",
+    "ann_range_h2",
     "txt_heaps", "txt_novelty", "pipe_dataset_card",
     "txt_bpe_encode",
     "txt_bm25", "q_hybrid_rrf", "q_retrieval_eval", "txt_backoff_nll",

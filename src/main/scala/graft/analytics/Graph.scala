@@ -927,4 +927,268 @@ object Graph {
        |FROM cand c LEFT JOIN e ON c.o1 = e.o1 AND c.o2 = e.o2
        |WHERE e.o1 IS NULL AND c.cn >= $linkpredMinCn
        |ORDER BY c.o1, c.o2""".stripMargin
+
+  // ---- q_concomp: connected components --------------------------------
+
+  /** Connected components of the interaction graph: every node labeled
+    * with its component's minimum encoded node id, plus the component
+    * size. The partition step every graph pipeline runs first (process
+    * components independently; find the orphaned tail the giant
+    * component misses). Reuses the dedup family's label-propagation +
+    * path-halving fixpoint (`Dedup.resolveComponents` — O(log diameter)
+    * rounds, one keyed shuffle each); the oracle recomputes the same
+    * partition as a recursive reachability closure, which only has to
+    * hold at gate scale — at 100 TB the Spark loop's per-round cost is
+    * the edge relation's one shuffle, the textbook hash-min CC plan.
+    */
+  def qConcomp(spark: SparkSession, sfDir: String): DataFrame =
+    concompFrom(spark, Transform.extract(spark, sfDir))
+
+  private[graft] def concompFrom(spark: SparkSession,
+                                 tuples: DataFrame): DataFrame = {
+    val edges = fwdPairs(tuples)
+      .select(col("src").as("doc_a"), col("dst").as("doc_b"))
+    val (labels, _) =
+      graft.pipeline.Dedup.resolveComponents(spark, edges)
+    val comp = labels.select(col("doc_id").as("v"),
+      col("cluster_id").as("comp_id"))
+    val sz = comp.groupBy(col("comp_id"))
+      .agg(count(lit(1)).as("comp_size"))
+    comp.join(sz, "comp_id")
+      .select(
+        when(pmod(col("v"), lit(2)) === 0, lit("user"))
+          .otherwise(lit("obj")).as("node_kind"),
+        expr("v DIV 2").as("node_id"),
+        col("comp_id"), col("comp_size"))
+      .orderBy(col("node_kind"), col("node_id"))
+  }
+
+  val qConcompSql: String =
+    s"""WITH RECURSIVE ${graft.oracle.Sql.tuplesCte},
+       |fwd AS (
+       |  SELECT DISTINCT 2 * s AS src, 2 * o + 1 AS dst FROM tuples
+       |),
+       |sym AS (
+       |  SELECT src AS a, dst AS b FROM fwd
+       |  UNION ALL SELECT dst AS a, src AS b FROM fwd
+       |),
+       |nodes AS (SELECT DISTINCT a AS v FROM sym),
+       |reach AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN sym e ON e.a = r.b
+       |),
+       |comp AS (
+       |  SELECT n.v, CAST(least(n.v, min(r.b)) AS BIGINT) AS comp_id
+       |  FROM nodes n LEFT JOIN reach r ON r.a = n.v
+       |  GROUP BY n.v
+       |),
+       |sz AS (
+       |  SELECT comp_id, CAST(count(*) AS BIGINT) AS comp_size
+       |  FROM comp GROUP BY 1
+       |)
+       |SELECT CASE WHEN c.v % 2 = 0 THEN 'user' ELSE 'obj' END
+       |    AS node_kind,
+       |  CAST(c.v // 2 AS BIGINT) AS node_id, c.comp_id, s.comp_size
+       |FROM comp c JOIN sz s USING (comp_id)
+       |ORDER BY node_kind, node_id""".stripMargin
+
+  // ---- q_bfs_hops: single-source shortest hops -------------------------
+
+  /** Frontier-expansion depth cap: a loud contract, not a tuning knob.
+    * The Spark loop THROWS past it (so a pathological chain graph can
+    * never silently truncate) and the oracle's recursive walk carries
+    * the same bound - both engines compute exact BFS whenever the
+    * graph's eccentricity fits, and the gate corpus does (spec pins
+    * convergence well under the cap).
+    */
+  val bfsMaxDepth = 64
+
+  /** Single-source BFS hop counts from the minimum encoded node id
+    * (deterministic source; reachable nodes only). The Pregel-as-joins
+    * frontier loop: each round joins the frontier against the edge
+    * relation and anti-joins the visited set - one keyed shuffle per
+    * round, rounds = eccentricity of the source, the standard
+    * distributed BFS plan at any scale.
+    */
+  def qBfsHops(spark: SparkSession, sfDir: String): DataFrame =
+    bfsHopsFrom(Transform.extract(spark, sfDir))
+
+  private[graft] def bfsHopsFrom(tuples: DataFrame): DataFrame = {
+    val fwd = fwdPairs(tuples).localCheckpoint()
+    val sym = fwd.unionAll(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val srcV = sym.agg(min(col("src"))).collect().head.getLong(0)
+    var visited = sym.sparkSession.range(1)
+      .select(lit(srcV).as("v"), lit(0L).as("hops")).localCheckpoint()
+    var frontier = visited
+    var depth = 0L
+    var more = true
+    while (more) {
+      depth += 1
+      if (depth > bfsMaxDepth)
+        throw new IllegalStateException(
+          s"qBfsHops: frontier alive past depth $bfsMaxDepth - raise " +
+            "the cap contract for this graph")
+      val next = frontier.join(sym, col("v") === col("src"))
+        .select(col("dst").as("v")).distinct()
+        .join(visited.select(col("v")), Seq("v"), "left_anti")
+        .select(col("v"), lit(depth).as("hops"))
+        .localCheckpoint()
+      if (next.isEmpty) more = false
+      else {
+        visited = visited.unionAll(next).localCheckpoint()
+        frontier = next
+      }
+    }
+    visited.select(
+        when(pmod(col("v"), lit(2)) === 0, lit("user"))
+          .otherwise(lit("obj")).as("node_kind"),
+        expr("v DIV 2").as("node_id"),
+        col("hops"))
+      .orderBy(col("node_kind"), col("node_id"))
+  }
+
+  val qBfsHopsSql: String =
+    s"""WITH RECURSIVE ${graft.oracle.Sql.tuplesCte},
+       |fwd AS (
+       |  SELECT DISTINCT 2 * s AS src, 2 * o + 1 AS dst FROM tuples
+       |),
+       |sym AS (
+       |  SELECT src AS a, dst AS b FROM fwd
+       |  UNION ALL SELECT dst AS a, src AS b FROM fwd
+       |),
+       |walk AS (
+       |  SELECT (SELECT min(a) FROM sym) AS v, 0 AS h
+       |  UNION
+       |  SELECT e.b AS v, w.h + 1 AS h
+       |  FROM walk w JOIN sym e ON e.a = w.v
+       |  WHERE w.h + 1 <= $bfsMaxDepth
+       |)
+       |SELECT CASE WHEN v % 2 = 0 THEN 'user' ELSE 'obj' END
+       |    AS node_kind,
+       |  CAST(v // 2 AS BIGINT) AS node_id,
+       |  CAST(min(h) AS BIGINT) AS hops
+       |FROM walk GROUP BY 1, 2
+       |ORDER BY node_kind, node_id""".stripMargin
+
+  // ---- q_degree_dist + q_assortativity ---------------------------------
+
+  /** Degree distribution by node kind: the first diagnostic anyone
+    * plots over a link graph (and the skew evidence behind every
+    * salting/broadcast decision in this file). One map-combinable agg
+    * over the edge relation, then a count-of-counts - two bounded
+    * shuffles at any scale.
+    */
+  def qDegreeDist(spark: SparkSession, sfDir: String): DataFrame =
+    degreeDistFrom(Transform.extract(spark, sfDir))
+
+  private[graft] def degreeDistFrom(tuples: DataFrame): DataFrame = {
+    val fwd = fwdPairs(tuples)
+    val sym = fwd.unionAll(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+    sym.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .select(
+        when(pmod(col("src"), lit(2)) === 0, lit("user"))
+          .otherwise(lit("obj")).as("node_kind"),
+        col("degree"))
+      .groupBy(col("node_kind"), col("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("node_kind"), col("degree"))
+  }
+
+  val qDegreeDistSql: String =
+    s"""WITH ${graft.oracle.Sql.tuplesCte},
+       |fwd AS (
+       |  SELECT DISTINCT 2 * s AS src, 2 * o + 1 AS dst FROM tuples
+       |),
+       |sym AS (
+       |  SELECT src AS a, dst AS b FROM fwd
+       |  UNION ALL SELECT dst AS a, src AS b FROM fwd
+       |),
+       |deg AS (SELECT a AS v, count(*) AS degree FROM sym GROUP BY 1)
+       |SELECT CASE WHEN v % 2 = 0 THEN 'user' ELSE 'obj' END
+       |    AS node_kind,
+       |  CAST(degree AS BIGINT) AS degree,
+       |  CAST(count(*) AS BIGINT) AS n_nodes
+       |FROM deg GROUP BY 1, 2
+       |ORDER BY node_kind, degree""".stripMargin
+
+  /** Degree assortativity (Pearson correlation of endpoint degrees over
+    * the directed arc list): does high-degree link to high-degree? The
+    * one-number mixing diagnostic (negative on bipartite user↔object
+    * graphs: heavy users touch rare objects too). All moment sums are
+    * exact BIGINTs over integer degrees; only the final Pearson ratio
+    * is floating point - one pinned expression, q6-rounded, identical
+    * in both engines. Sums first, division once: the moments stay
+    * map-combinable (one agg over the arc list after two bounded
+    * degree joins), nothing iterative.
+    */
+  def qAssortativity(spark: SparkSession, sfDir: String): DataFrame =
+    assortativityFrom(Transform.extract(spark, sfDir))
+
+  private[graft] def assortativityFrom(tuples: DataFrame): DataFrame = {
+    val fwd = fwdPairs(tuples)
+    val sym = fwd.unionAll(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .select(col("src").as("v"), col("d"))
+    val xy = sym
+      .join(deg.select(col("v").as("src"), col("d").as("dx")), "src")
+      .join(deg.select(col("v").as("dst"), col("d").as("dy")), "dst")
+    xy.agg(
+        count(lit(1)).as("m"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select(col("m"), graft.pipeline.ParityMath.q6(expr(
+        """CASE WHEN (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = CAST(0 AS DOUBLE)
+          |     OR (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+          |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = CAST(0 AS DOUBLE)
+          |THEN CAST(0 AS DOUBLE)
+          |ELSE (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+          |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |  / (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          |     * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+          |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+          |END""".stripMargin)).as("assortativity"))
+  }
+
+  val qAssortativitySql: String =
+    s"""WITH ${graft.oracle.Sql.tuplesCte},
+       |fwd AS (
+       |  SELECT DISTINCT 2 * s AS src, 2 * o + 1 AS dst FROM tuples
+       |),
+       |sym AS (
+       |  SELECT src AS a, dst AS b FROM fwd
+       |  UNION ALL SELECT dst AS a, src AS b FROM fwd
+       |),
+       |deg AS (SELECT a AS v, count(*) AS d FROM sym GROUP BY 1),
+       |mom AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS m,
+       |    CAST(sum(dx.d) AS BIGINT) AS sx,
+       |    CAST(sum(dy.d) AS BIGINT) AS sy,
+       |    CAST(sum(dx.d * dy.d) AS BIGINT) AS sxy,
+       |    CAST(sum(dx.d * dx.d) AS BIGINT) AS sxx,
+       |    CAST(sum(dy.d * dy.d) AS BIGINT) AS syy
+       |  FROM sym e JOIN deg dx ON dx.v = e.a JOIN deg dy ON dy.v = e.b
+       |)
+       |SELECT m,
+       |  CASE WHEN (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0.0
+       |       OR (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+       |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0.0
+       |  THEN 0.0
+       |  ELSE floor((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |    / (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |       * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+       |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       |    * 1000000.0 + 0.5) / 1000000.0
+       |  END AS assortativity
+       |FROM mom""".stripMargin
 }

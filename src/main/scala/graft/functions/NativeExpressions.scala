@@ -958,6 +958,75 @@ object IvfMath {
     }
     best
   }
+
+  /** Pinned-order cosine of `vec` against ONE centroid row - the
+    * shared inner kernel of the scans above, factored for the
+    * two-level walk below (identical loop, identical IEEE order).
+    */
+  private def cos1(vec: ArrayData, ce: Array[Double]): Double = {
+    val m = math.min(vec.numElements(), ce.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < m) {
+      val xv = vec.getFloat(i).toDouble
+      val yv = ce(i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** TWO-LEVEL nearest-centroid walk with a 2-probe coarse stage: the
+    * leaders are the prefix cents(0..g-1) (g = members.length); the
+    * row picks its TWO nearest leaders (csim DESC, id ASC, the family
+    * tie rule - multi-probe is the standard fix for coarse-boundary
+    * misrouting) and argmaxes over the union of both member lists.
+    * Per-row cost g + 2·k/g ≈ 3·√k instead of k - the sub-n^1.5
+    * assignment for the k = ⌈√n⌉ cell policy (flat assignment is
+    * n·k = n^1.5; this is Θ(n^1.25)). Semantics are the two-level
+    * quantizer's, not flat argmax: a row whose true nearest cell lives
+    * outside both probed groups lands on the probed-local best - the
+    * oracle replays exactly this rule.
+    */
+  def nearestH2(vec: ArrayData, cents: Array[Array[Double]],
+                members: Array[Array[Int]]): Long = {
+    val g = members.length
+    var best = Double.NegativeInfinity
+    var bestG = 0
+    var sec = Double.NegativeInfinity
+    var secG = 0
+    var j = 0
+    while (j < g) {
+      val csim = cos1(vec, cents(j))
+      // strict > everywhere ≙ (csim DESC, id ASC) row_numbers 1 and 2
+      if (csim > best) {
+        sec = best; secG = bestG
+        best = csim; bestG = j
+      } else if (csim > sec) {
+        sec = csim; secG = j
+      }
+      j += 1
+    }
+    var bestC = Int.MaxValue
+    best = Double.NegativeInfinity
+    var p = 0
+    while (p < 2) {
+      val grp = members(if (p == 0) bestG else secG)
+      var x = 0
+      while (x < grp.length) {
+        val c = grp(x)
+        val csim = cos1(vec, cents(c))
+        // groups are disjoint but the union is not cid-ordered, so
+        // break ties explicitly toward the smaller cid (≙ ORDER BY
+        // csim DESC, cid ASC row_number = 1)
+        if (csim > best || (csim == best && c < bestC)) {
+          best = csim; bestC = c
+        }
+        x += 1
+      }
+      // g == 1 degenerates to a single probe (secG == bestG)
+      if (secG == bestG) p = 2 else p += 1
+    }
+    bestC.toLong
+  }
 }
 
 /** graft_nearest_centroid(vec): argmax-cosine centroid id against a
@@ -988,6 +1057,46 @@ case class NearestCentroid(child: Expression, cents: Seq[Seq[Double]])
     val ref = ctx.addReferenceObj("cents", centsArr, "double[][]")
     defineCodeGen(ctx, ev,
       c => s"graft.functions.IvfMath.nearest($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** graft_nearest_centroid_h2(vec): TWO-LEVEL argmax-cosine centroid id
+  * against a plan-time centroid matrix whose prefix rows double as the
+  * coarse leaders (`members(j)` = the cids parented to leader j, each
+  * list cid-ascending). Same Column-API construction as
+  * `NearestCentroid`; codegen'd, zero shuffle - the assignment kernel
+  * whose per-row cost is 2·√k instead of k.
+  */
+case class NearestCentroidH2(child: Expression, cents: Seq[Seq[Double]],
+                             members: Seq[Seq[Int]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  @transient private lazy val centsArr: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+  @transient private lazy val membersArr: Array[Array[Int]] =
+    members.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_nearest_centroid_h2 expects array<float>, got ${other.catalogString}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_nearest_centroid_h2"
+
+  override def nullSafeEval(v: Any): Any =
+    IvfMath.nearestH2(v.asInstanceOf[ArrayData], centsArr, membersArr)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val refC = ctx.addReferenceObj("cents", centsArr, "double[][]")
+    val refM = ctx.addReferenceObj("members", membersArr, "int[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.IvfMath.nearestH2($c, $refC, $refM)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

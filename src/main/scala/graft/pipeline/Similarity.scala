@@ -809,6 +809,155 @@ object Similarity {
        |WHERE sim >= $rangeSimThreshold
        |ORDER BY q_id, vec_id""".stripMargin
 
+  // ---- ann_range_h2 ----------------------------------------------------
+
+  /** Coarse leader count for the two-level assignment: g = ⌈√k⌉, so the
+    * per-row cost is g + k/g ≈ 2·√k. Under the k = ⌈√n⌉ cell policy the
+    * flat assignment is Θ(n·k) = Θ(n^1.5) — the one >1.3× slope the r11
+    * 100× probe measured (`ann_range` 12.8×, PLANS.md); two levels make
+    * it Θ(n^1.25). Leaders are the PREFIX rows of the trained matrix
+    * (cid < g): Lloyd centroid order carries no spatial meaning, so the
+    * prefix is an unbiased sample — the same reasoning as the vec_id
+    * prefix seeds, and it keeps the oracle a pure filter (`l.cid < g`)
+    * instead of a second training chain.
+    */
+  def coarseFor(k: Int): Int = math.ceil(math.sqrt(k.toDouble)).toInt
+
+  /** Pinned-order cosine over two double vectors — the driver-side twin
+    * of the oracle's `cosDuck(c_emb, c_emb)` (ascending-index
+    * sequential sum, double ops only, so both engines agree
+    * bit-for-bit on centroid↔leader similarities).
+    */
+  private def cosDD(a: Seq[Double], b: Seq[Double]): Double = {
+    val m = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < m) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Leader-group membership: members(j) = the cids whose nearest
+    * leader (csim DESC, leader id ASC — the family tie rule) is j,
+    * cid-ascending. Computed on the driver over the k×g centroid
+    * matrix (k ≤ annTrainN, so ≤ 384×20 cosines — plan-time, like the
+    * training itself). Every leader parents itself (cos = 1 beats or
+    * ties-to-smaller), so groups partition {0..k-1} with no empties
+    * reachable from the coarse scan.
+    */
+  private[graft] def h2Members(cents: Seq[Seq[Double]]): Seq[Seq[Int]] = {
+    val g = coarseFor(cents.size)
+    val parents = cents.indices.map { c =>
+      var best = Double.NegativeInfinity; var bj = 0; var j = 0
+      while (j < g) {
+        val s = cosDD(cents(c), cents(j))
+        if (s > best) { best = s; bj = j }
+        j += 1
+      }
+      bj
+    }
+    (0 until g).map(j => cents.indices.filter(c => parents(c) == j))
+  }
+
+  /** Two-level centroid assignment: one codegen'd scan (zero shuffle,
+    * like `ivfAssign`) whose per-row kernel walks g leaders then the
+    * TWO nearest leaders' member lists (multi-probe; g + 2k/g ≈ 3√k
+    * per row) — the Θ(n^1.25) assignment for the ⌈√n⌉ cell policy.
+    */
+  private[graft] def ivfAssignH2(e: DataFrame,
+                                 cents: Seq[Seq[Double]]): DataFrame = {
+    val nearest = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.NearestCentroidH2(
+        org.apache.spark.sql.GraftBridge.expression(col("embedding")),
+        cents, h2Members(cents)))
+    e.select(col("vec_id"), col("embedding"), nearest.as("cid"))
+  }
+
+  /** `ann_range` through the TWO-LEVEL quantizer: same trained cells,
+    * same flat probe ranking (numQueries × k — never the scale term),
+    * but the corpus-side assignment — the Θ(n·k) term that made the
+    * flat face superlinear under k = ⌈√n⌉ — walks leaders-then-group.
+    * Semantics are the hierarchical quantizer's (a row near a group
+    * boundary may land one cell off flat argmax); the oracle replays
+    * the two-level rule itself, and the spec pins agreement + recall
+    * against the flat face on the gate corpus.
+    */
+  def annRangeH2(spark: SparkSession, sfDir: String): DataFrame = {
+    val centVecs = trainedCentroidsFor(spark, sfDir)
+    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val assign = ivfAssignH2(e, centVecs)
+    val cents = centsDF(spark, centVecs)
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("csim", expr(cosSparkHof("q_emb", "c_emb")))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= probesFor(centVecs.size))
+      .select(col("q_id"), col("q_emb"), col("cid"))
+    assign.join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim",
+        ParityMath.q6(expr(cosSpark("q_emb", "embedding"))))
+      .filter(col("sim") >= rangeSimThreshold)
+      .select(col("q_id"), col("vec_id"), col("sim"))
+      .orderBy(col("q_id"), col("vec_id"))
+  }
+
+  lazy val annRangeH2Sql: String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), $lloydCentsCtes, gp AS (
+       |  SELECT CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS g
+       |  FROM kp
+       |), parentc AS (
+       |  SELECT cid, pg FROM (
+       |    SELECT c.cid, l.cid AS pg,
+       |      row_number() OVER (PARTITION BY c.cid
+       |        ORDER BY ${cosDuck("c.c_emb", "l.c_emb")} DESC, l.cid)
+       |        AS prk2
+       |    FROM cents c JOIN cents l ON l.cid < (SELECT g FROM gp)
+       |  ) WHERE prk2 = 1
+       |), coarse AS (
+       |  SELECT vec_id, pg FROM (
+       |    SELECT e.vec_id, l.cid AS pg,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosDuck("e.embedding", "l.c_emb")} DESC, l.cid)
+       |        AS crk
+       |    FROM e JOIN cents l ON l.cid < (SELECT g FROM gp)
+       |  ) WHERE crk <= 2
+       |), assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT co.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY co.vec_id
+       |        ORDER BY ${cosDuck("ev.embedding", "c.c_emb")} DESC, c.cid)
+       |        AS ark
+       |    FROM coarse co
+       |    JOIN e ev ON ev.vec_id = co.vec_id
+       |    JOIN parentc p ON p.pg = co.pg
+       |    JOIN cents c ON c.cid = p.cid
+       |  ) WHERE ark = 1
+       |), probes AS (
+       |  SELECT q_id, cid FROM (
+       |    SELECT q.vec_id AS q_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosDuck("q.embedding", "c.c_emb")} DESC, c.cid)
+       |        AS prk
+       |    FROM e q CROSS JOIN cents c WHERE q.vec_id < $numQueries
+       |  ) WHERE prk <= (SELECT p FROM kp)
+       |), scored AS (
+       |  SELECT p.q_id, a.vec_id,
+       |    (floor((${cosDuck("q.embedding", "e.embedding")}) * 1000000.0 + 0.5) / 1000000.0) AS sim
+       |  FROM probes p
+       |  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.q_id
+       |  JOIN e ON e.vec_id = a.vec_id
+       |  JOIN e q ON q.vec_id = p.q_id
+       |)
+       |SELECT q_id, vec_id, sim FROM scored
+       |WHERE sim >= $rangeSimThreshold
+       |ORDER BY q_id, vec_id""".stripMargin
+
   // ---- ann_ivf_adaptive ----------------------------------------------
 
   /** Adaptive probe-mass target: probe the minimal csim-ranked prefix

@@ -324,4 +324,98 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(again == got)
   }
+
+  test("concomp: two planted components resolve to min-id labels with " +
+       "exact sizes; edge endpoints always share a label") {
+    // users 1,2 share object 10 (component min = user1's node 2,
+    // size 3); user 3 alone on object 20 (min = node 6, size 2)
+    val base = Seq((1L, 10L), (2L, 10L), (3L, 20L))
+    val got = Graph.concompFrom(spark,
+        graft.core.Transform.extractFrom(eventsOf(base)))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(
+      ("obj", 10L, 2L, 3L), ("obj", 20L, 6L, 2L),
+      ("user", 1L, 2L, 3L), ("user", 2L, 2L, 3L), ("user", 3L, 6L, 2L)))
+    // corpus-level invariants: endpoints agree, labels are members,
+    // sizes partition the node set
+    val tuples = graft.core.Transform.extract(spark, sfDir)
+    val comp = Graph.concompFrom(spark, tuples)
+      .withColumn("v", when(col("node_kind") === "user",
+        col("node_id") * 2).otherwise(col("node_id") * 2 + 1))
+    val lbl = comp.select(col("v"), col("comp_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl.values.toSet.subsetOf(lbl.keySet),
+      "every component label must itself be a member node")
+    assert(lbl.forall { case (v, c) => c <= v },
+      "label must be the component minimum")
+    val edges = Graph.fwdPairs(tuples).collect()
+    assert(edges.forall(e => lbl(e.getLong(0)) == lbl(e.getLong(1))),
+      "edge endpoints must share a component")
+  }
+
+  test("bfs hops: planted chain counts exact alternating distances and " +
+       "excludes the disconnected pair") {
+    // chain u1-o10-u2-o20-u3 from source u1 (the min encoded node);
+    // (u5, o30) is a separate component and must not appear
+    val base = Seq((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L), (5L, 30L))
+    val got = Graph.bfsHopsFrom(
+        graft.core.Transform.extractFrom(eventsOf(base)))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("obj", 10L, 1L), ("obj", 20L, 3L),
+      ("user", 1L, 0L), ("user", 2L, 2L), ("user", 3L, 4L)))
+    // corpus-level BFS invariant: along every edge the hop count
+    // changes by at most one, and exactly one source sits at zero
+    val tuples = graft.core.Transform.extract(spark, sfDir)
+    val hops = Graph.bfsHopsFrom(tuples)
+      .withColumn("v", when(col("node_kind") === "user",
+        col("node_id") * 2).otherwise(col("node_id") * 2 + 1))
+      .select(col("v"), col("hops")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hops.values.count(_ == 0L) == 1)
+    val edges = Graph.fwdPairs(tuples).collect()
+    assert(edges.forall { e =>
+      (hops.get(e.getLong(0)), hops.get(e.getLong(1))) match {
+        case (Some(a), Some(b)) => math.abs(a - b) <= 1
+        case (None, None) => true // both outside the source component
+        case _ => false // reached node adjacent to unreached one
+      }
+    }, "BFS hop counts must be edge-consistent")
+  }
+
+  test("degree dist: histogram masses recompute from the arc list") {
+    val base = Seq((1L, 10L), (1L, 20L), (2L, 10L))
+    val got = Graph.degreeDistFrom(
+        graft.core.Transform.extractFrom(eventsOf(base)))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("obj", 1L, 1L), ("obj", 2L, 1L),
+      ("user", 1L, 1L), ("user", 2L, 1L)))
+    // corpus-level: node and arc masses recompute from the histogram
+    val tuples = graft.core.Transform.extract(spark, sfDir)
+    val rows = Graph.degreeDistFrom(tuples).collect()
+    val nFwd = Graph.fwdPairs(tuples).count()
+    assert(rows.map(r => r.getLong(1) * r.getLong(2)).sum == 2 * nFwd,
+      "sum(degree x nodes) must equal the directed arc count")
+  }
+
+  test("assortativity: a star is exactly -1; the corpus value is a " +
+       "valid correlation over the right arc count") {
+    // one user touching three objects: every arc links degree 3 to
+    // degree 1, a perfectly disassortative graph
+    val star = Seq((5L, 1L), (5L, 2L), (5L, 3L))
+    val r = Graph.assortativityFrom(
+        graft.core.Transform.extractFrom(eventsOf(star)))
+      .collect().head
+    assert(r.getLong(0) == 6L)
+    assert(r.getDouble(1) == -1.0)
+    val tuples = graft.core.Transform.extract(spark, sfDir)
+    val c = Graph.assortativityFrom(tuples).collect().head
+    assert(c.getLong(0) == 2 * Graph.fwdPairs(tuples).count())
+    assert(c.getDouble(1) >= -1.0 && c.getDouble(1) <= 1.0)
+  }
 }
