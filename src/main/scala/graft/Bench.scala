@@ -64,6 +64,7 @@ object Bench {
     "dd_embed_cosine", "dd_semantic",
     "ann_topk_brute", "ann_topk_quant", "ann_lsh_bucketed", "ann_ivf",
     "ann_ivf_quant", "ann_ivf_adaptive", "ann_ivf_pq", "ann_knn_join",
+    "ann_knn_join_h2",
     "ann_mmr", "ann_mmr_ivf", "ann_range", "ann_range_h2",
     "q_sax", "q_sax_word", "txt_heaps", "txt_novelty", "pipe_dataset_card",
     "dd_route_stats",
@@ -132,6 +133,7 @@ object Bench {
     "dd_minhash_lsh", "dd_jaccard_prefix", "dd_jaccard_routed",
     "dd_semantic", "txt_bigram_nll",
     "pipe_quality_gate", "ann_ivf_quant", "ann_ivf_pq", "ann_knn_join",
+    "ann_knn_join_h2",
     "txt_stats", "txt_readability", "txt_keyphrase", "txt_pmi",
     "txt_jsd_drift",
     "pipe_embed_prune", "ann_mmr", "ann_mmr_ivf", "ann_range",

@@ -2100,4 +2100,130 @@ object TimeSeries {
        |    AS last_event_id,
        |  (n_events = 0) AS is_gap
        |FROM j ORDER BY user_id, tb""".stripMargin
+
+  // ---- q_dtw: dynamic time warping between type series -----------------
+
+  /** Unreachable-cell sentinel for the DTW band: far above any real
+    * warp cost (paths are ≤ 2·days cells of ≤ count-range each) yet
+    * small enough that BIG + a few costs cannot overflow a Long.
+    */
+  private val dtwBig = 1000000000000000L
+
+  /** DTW distance between every pair of event types' densified daily
+    * count series - the alignment-tolerant shape distance SAX
+    * symbolization approximates (two types with the same weekly shape
+    * offset by a day are DTW-close but Euclidean-far). All-integer:
+    * |Δcount| cell costs, Long min-plus recursion, so both engines
+    * agree exactly.
+    *
+    * Execution: the corpus folds map-combinably to the (type, day)
+    * count matrix (the hwBuckets relation the Holt-Winters family
+    * already stores); the O(days²) recursion runs driver-side over
+    * that TIME-bounded matrix (types × calendar days - the
+    * gdTrain/Lloyd posture: no window expresses a 2-D min-plus DP).
+    * The oracle replays the identical DP as an anti-diagonal recursive
+    * CTE: diagonal d depends only on diagonals d-1 and d-2, carried as
+    * two fixed-length lists per pair per level.
+    */
+  def qDtw(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    dtwFromBuckets(hwBuckets(Graft.table(spark, sfDir, "events")))
+  }
+
+  /** The pairwise-DTW view over any (et, d, c) bucket relation -
+    * shared with the incremental store face.
+    */
+  private[graft] def dtwFromBuckets(cnt0: DataFrame): DataFrame = {
+    val spark = cnt0.sparkSession
+    import spark.implicits._
+    val (_, seriesMu) = hwSeriesFromBuckets(cnt0)
+    // hwSeriesFromBuckets scales to micro-units for the smoother;
+    // DTW costs are raw count deltas (exact division back)
+    val series = seriesMu.map { case (et, xs) =>
+      et -> xs.map(_ / 1000000L) }
+    val out = for {
+      i <- series.indices
+      j <- series.indices if i < j
+    } yield {
+      val (ea, a) = series(i)
+      val (eb, b) = series(j)
+      (ea, eb, dtwDist(a, b), a.length.toLong)
+    }
+    out.toDF("type_a", "type_b", "dtw", "n_days")
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** Exact integer DTW (full band): row-major min-plus DP with the
+    * standard D(0,0)=0 / first-row/column-unreachable boundary.
+    */
+  private def dtwDist(a: Array[Long], b: Array[Long]): Long = {
+    val n = a.length
+    val m = b.length
+    var prev = Array.fill(m + 1)(dtwBig)
+    prev(0) = 0L
+    var i = 1
+    while (i <= n) {
+      val cur = Array.fill(m + 1)(dtwBig)
+      var j = 1
+      while (j <= m) {
+        val c = math.abs(a(i - 1) - b(j - 1))
+        cur(j) = c + math.min(math.min(prev(j), cur(j - 1)), prev(j - 1))
+        j += 1
+      }
+      prev = cur
+      i += 1
+    }
+    prev(m)
+  }
+
+  lazy val qDtwSql: String =
+    s"""WITH RECURSIVE buckets AS (
+       |  SELECT event_type AS et, epoch_us(ts) // $dayUs AS d,
+       |         CAST(count(*) AS BIGINT) AS c
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+       |    AND epoch_us(ts) >= 0
+       |  GROUP BY 1, 2
+       |), span AS (
+       |  SELECT min(d) AS lo, max(d) AS hi FROM buckets
+       |), types AS (
+       |  SELECT DISTINCT et FROM buckets
+       |), days AS (
+       |  SELECT unnest(range(lo, hi + 1)) AS d FROM span
+       |), dense AS (
+       |  SELECT t.et, dy.d, COALESCE(b.c, 0) AS c
+       |  FROM types t CROSS JOIN days dy
+       |  LEFT JOIN buckets b ON b.et = t.et AND b.d = dy.d
+       |), ser AS (
+       |  SELECT et, list(c ORDER BY d) AS xs,
+       |         CAST(count(*) AS INTEGER) AS n
+       |  FROM dense GROUP BY et
+       |), prs AS (
+       |  SELECT a.et AS type_a, b.et AS type_b,
+       |         a.xs AS xa, b.xs AS xb, a.n AS n
+       |  FROM ser a JOIN ser b ON a.et < b.et
+       |), walk AS (
+       |  SELECT type_a, type_b, xa, xb, n, 0 AS dg,
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, n + 1),
+       |        i -> CAST($dtwBig AS BIGINT))) AS cur,
+       |    CAST(NULL AS BIGINT[]) AS prev
+       |  FROM prs
+       |  UNION ALL
+       |  SELECT type_a, type_b, xa, xb, n, dg + 1,
+       |    list_transform(range(0, CAST(n AS BIGINT) + 1), i ->
+       |      CASE WHEN i >= 1 AND (dg + 1 - i) >= 1
+       |                AND (dg + 1 - i) <= n
+       |      THEN abs(xa[i] - xb[dg + 1 - i])
+       |        + least(COALESCE(cur[i], $dtwBig),
+       |                COALESCE(cur[i + 1], $dtwBig),
+       |                COALESCE(prev[i], $dtwBig))
+       |      ELSE CAST($dtwBig AS BIGINT) END),
+       |    cur
+       |  FROM walk WHERE dg < 2 * n
+       |)
+       |SELECT type_a, type_b, CAST(cur[n + 1] AS BIGINT) AS dtw,
+       |       CAST(n AS BIGINT) AS n_days
+       |FROM walk WHERE dg = 2 * n
+       |ORDER BY type_a, type_b""".stripMargin
 }

@@ -1027,6 +1027,54 @@ object IvfMath {
     }
     bestC.toLong
   }
+
+  /** TOP-2 cells of the two-level walk, packed as best·10⁶ + second
+    * (cid < annTrainN = 384 ≪ 10⁶, so the pack is lossless): the kNN
+    * join's home + boundary cells through the same 2-probe coarse
+    * union as `nearestH2`, in ONE narrow scan. Tie rule everywhere:
+    * (csim DESC, cid ASC) ≙ the oracle's row_numbers 1 and 2 over the
+    * union. Requires the union to hold ≥ 2 cells - guaranteed for
+    * g ≥ 2 (disjoint non-empty groups), which k ≥ 16 implies.
+    */
+  def nearestH2Top2(vec: ArrayData, cents: Array[Array[Double]],
+                    members: Array[Array[Int]]): Long = {
+    val g = members.length
+    var best = Double.NegativeInfinity
+    var bestG = 0
+    var sec = Double.NegativeInfinity
+    var secG = 0
+    var j = 0
+    while (j < g) {
+      val csim = cos1(vec, cents(j))
+      if (csim > best) {
+        sec = best; secG = bestG
+        best = csim; bestG = j
+      } else if (csim > sec) {
+        sec = csim; secG = j
+      }
+      j += 1
+    }
+    var c1 = Int.MaxValue; var s1 = Double.NegativeInfinity
+    var c2 = Int.MaxValue; var s2 = Double.NegativeInfinity
+    var p = 0
+    while (p < 2) {
+      val grp = members(if (p == 0) bestG else secG)
+      var x = 0
+      while (x < grp.length) {
+        val c = grp(x)
+        val csim = cos1(vec, cents(c))
+        if (csim > s1 || (csim == s1 && c < c1)) {
+          s2 = s1; c2 = c1
+          s1 = csim; c1 = c
+        } else if (csim > s2 || (csim == s2 && c < c2)) {
+          s2 = csim; c2 = c
+        }
+        x += 1
+      }
+      if (secG == bestG) p = 2 else p += 1
+    }
+    c1.toLong * 1000000L + c2.toLong
+  }
 }
 
 /** graft_nearest_centroid(vec): argmax-cosine centroid id against a
@@ -1097,6 +1145,45 @@ case class NearestCentroidH2(child: Expression, cents: Seq[Seq[Double]],
     val refM = ctx.addReferenceObj("members", membersArr, "int[][]")
     defineCodeGen(ctx, ev,
       c => s"graft.functions.IvfMath.nearestH2($c, $refC, $refM)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** graft_nearest_centroid_h2_top2(vec): home + boundary cells through
+  * the two-level walk, packed best·10⁶ + second (see
+  * `IvfMath.nearestH2Top2`) - the kNN join's probe cells in one
+  * codegen'd scan at 3·√k per-row cost.
+  */
+case class NearestCentroidH2Top2(child: Expression,
+                                 cents: Seq[Seq[Double]],
+                                 members: Seq[Seq[Int]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  @transient private lazy val centsArr: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+  @transient private lazy val membersArr: Array[Array[Int]] =
+    members.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_nearest_centroid_h2_top2 expects array<float>, got ${other.catalogString}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_nearest_centroid_h2_top2"
+
+  override def nullSafeEval(v: Any): Any =
+    IvfMath.nearestH2Top2(v.asInstanceOf[ArrayData], centsArr, membersArr)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val refC = ctx.addReferenceObj("cents", centsArr, "double[][]")
+    val refM = ctx.addReferenceObj("members", membersArr, "int[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.IvfMath.nearestH2Top2($c, $refC, $refM)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

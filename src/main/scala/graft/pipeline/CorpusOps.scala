@@ -88,6 +88,65 @@ object CorpusOps {
       .orderBy(col("shard"), col("pos"))
   }
 
+  // ---- pipe_curriculum -------------------------------------------------
+
+  /** Number of difficulty stages in the curriculum ordering. */
+  val curriculumStages = 4L
+
+  val curriculumSalt = "curriculum:"
+
+  /** Staged curriculum ordering for training: documents ranked
+    * easy→hard by the corpus LM's unigram NLL (the
+    * `pipe_quality_prune` difficulty metric - low NLL = predictable =
+    * easy), cut into `curriculumStages` equal-mass stages by exact
+    * integer rank math (stage = (rnk-1)·S DIV n), then deterministically
+    * hash-shuffled WITHIN each stage (the `pipe_shuffle` salted-key
+    * discipline) so no stage replays corpus order. The emitted `ord`
+    * is the training read order: easy stages first, mixed within.
+    *
+    * Scale shape: both global ranks ride `GlobalRank.withRank` (range
+    * shuffle + partition-offset arithmetic), never a one-task global
+    * window; the NLL relation is the quality-prune core (broadcast LM
+    * join + one doc-keyed combine).
+    */
+  def curriculum(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    graft.functions.NativeFunctions.register(spark)
+    val nll = QualityGate.nllPerDoc(spark, sfDir)
+    val (ranked, n) = graft.core.GlobalRank.withRank(
+      nll, Seq(col("nll").asc, col("doc_id").asc), "rnk")
+    val staged = ranked
+      .withColumn("stage",
+        expr(s"((rnk - 1L) * $curriculumStages) DIV ${n}L"))
+      .withColumn("skey", expr(
+        s"graft_md5_48(concat('$curriculumSalt', CAST(doc_id AS STRING)))"))
+    val (ordered, _) = graft.core.GlobalRank.withRank(
+      staged, Seq(col("stage").asc, col("skey").asc, col("doc_id").asc),
+      "ord")
+    ordered.select(col("ord"), col("doc_id"), col("stage"), col("nll"))
+      .orderBy(col("ord"))
+  }
+
+  val curriculumSql: String = {
+    val h48 = HashParity.hex48Duck(
+      s"md5(concat('$curriculumSalt', CAST(doc_id AS VARCHAR)))")
+    s"""WITH ${QualityGate.nllCtesDuck}, ranked AS (
+       |  SELECT doc_id, nll,
+       |    row_number() OVER (ORDER BY nll, doc_id) AS rnk,
+       |    count(*) OVER () AS n
+       |  FROM nll
+       |), staged AS (
+       |  SELECT doc_id, nll,
+       |    CAST(((rnk - 1) * $curriculumStages) // n AS BIGINT) AS stage,
+       |    $h48 AS skey
+       |  FROM ranked
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY stage, skey, doc_id)
+       |         AS BIGINT) AS ord,
+       |       doc_id, stage, nll
+       |FROM staged ORDER BY ord""".stripMargin
+  }
+
   // ---- pipe_decontaminate -------------------------------------------
 
   val decontamN = 5 // n-gram length for overlap detection

@@ -91,7 +91,7 @@ object QualityGate {
           / col("n_tok")).as("nll"))
 
   /** doc_id -> nll: the batch LM relation, without a presentation sort. */
-  private def nllPerDoc(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def nllPerDoc(spark: SparkSession, sfDir: String): DataFrame = {
     val (freq, nTotal, vSize) = lmRelations(spark, sfDir)
     nllFromToks(termToks(Graft.tableParallel(spark, sfDir, "documents")),
       freq, nTotal, vSize)
@@ -205,8 +205,13 @@ object QualityGate {
     pruneAssemble(nb, pruneCuts(nb))
   }
 
-  val pruneSql: String =
-    s"""WITH toks AS (
+  /** The shared doc_id -> nll CTE chain (≙ `nllPerDoc`) - one
+    * definition for every oracle that scores by the unigram LM
+    * (pipe_quality_prune, pipe_curriculum), so the difficulty metric
+    * cannot drift between faces.
+    */
+  private[graft] val nllCtesDuck: String =
+    s"""toks AS (
        |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
        |    '[a-z0-9]+')) AS term
        |  FROM documents
@@ -224,7 +229,10 @@ object QualityGate {
        |        AS BIGINT) AS nll_u
        |    FROM toks t JOIN freq f USING (term) CROSS JOIN totals tt
        |  ) GROUP BY doc_id
-       |), nb AS (
+       |)""".stripMargin
+
+  val pruneSql: String =
+    s"""WITH $nllCtesDuck, nb AS (
        |  SELECT n.doc_id, d.source, n.nll,
        |    CAST(floor(n.nll * $pruneBinInv) AS BIGINT) AS bin
        |  FROM nll n JOIN documents d USING (doc_id)

@@ -813,6 +813,29 @@ object SignatureStore {
     storedHw(spark, store)
   }
 
+  /** DTW view over the SAME additive (type, day) bucket store as the
+    * Holt-Winters face: the warp distance is a whole-series function
+    * (one arriving event shifts a day count and can reroute the whole
+    * alignment path), so only the bucket matrix is storable state and
+    * the min-plus DP runs at query time through `dtwFromBuckets`.
+    */
+  def gatedDtw(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_dtw_watch")
+    val store = tempDirForExit("graft_gate_dtw_store")
+    val ev = Graft.table(spark, sfDir, "events")
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpHw(spark, watch, store)
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpHw(spark, watch, store)
+    graft.analytics.TimeSeries.dtwFromBuckets(
+      storedOrEmpty(spark, s"$store/etday_counts",
+        emptyLike(spark, spark.range(0).selectExpr(
+          "CAST(id AS STRING) AS et", "id AS d", "id AS c")))
+        .groupBy(col("et"), col("d")).agg(sum(col("c")).as("c")))
+  }
+
   // ---- heaps store ---------------------------------------------------
 
   /** Incremental Heaps-curve store: per-batch partials are the two
@@ -1474,6 +1497,16 @@ object SignatureStore {
   def gatedKcore(spark: SparkSession, sfDir: String): DataFrame =
     graft.analytics.Graph.kcoreFrom(
       storedSo(spark, cohesionStore(spark, sfDir, "kcore")))
+
+  /** Component view over the same union-distinct pair store: the
+    * labeling is a fixpoint of the WHOLE edge relation (one arriving
+    * pair can merge two components), so it runs at query time through
+    * the batch face's `concompFrom` - the store holds only the
+    * additive distinct-pair relation.
+    */
+  def gatedConcomp(spark: SparkSession, sfDir: String): DataFrame =
+    graft.analytics.Graph.concompFrom(spark,
+      storedSo(spark, cohesionStore(spark, sfDir, "cc")))
 
   /** Link-prediction view over the same cohesion store: like the
     * triangle and core views, the candidate set is a function of the

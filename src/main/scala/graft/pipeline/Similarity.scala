@@ -1782,6 +1782,99 @@ object Similarity {
        |SELECT q_id, vec_id AS nbr_id, sim, rk FROM ranked
        |WHERE rk <= $knnK ORDER BY q_id, rk""".stripMargin
 
+  // ---- ann_knn_join_h2 --------------------------------------------------
+
+  /** `ann_knn_join` through the TWO-LEVEL quantizer: same
+    * home+boundary probing discipline, but both cells come from the
+    * 2-probe coarse union at 3·√k per-row cost instead of the flat
+    * k-scan — the Θ(n^1.25) assignment closing the kNN join's measured
+    * n^1.5 term the same way `ann_range_h2` closed the range face's.
+    * One packed codegen'd scan computes both cells; the candidate join
+    * and the bounded per-key top-k are unchanged. The oracle replays
+    * the two-level union ranking itself.
+    */
+  def annKnnJoinH2(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val centVecs = trainedCentroidsFor(spark, sfDir)
+    val members = h2Members(centVecs)
+    require(members.size >= 2,
+      "two-level kNN join needs >= 2 coarse groups (k >= 16 implies it)")
+    val packed = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.NearestCentroidH2Top2(
+        org.apache.spark.sql.GraftBridge.expression(col("embedding")),
+        centVecs, members))
+    val assign2 = e.select(col("vec_id"), col("embedding"),
+        packed.as("pk"))
+      .select(col("vec_id"), col("embedding"),
+        expr("pk DIV 1000000L").as("cid"),
+        expr("pk % 1000000L").as("cid2"))
+    val probes = assign2
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(array(col("cid"), col("cid2"))).as("pcid"))
+    val index = assign2.select(col("vec_id"), col("embedding"),
+      col("cid").as("pcid"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    probes.join(index, "pcid")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim",
+        ParityMath.q6(expr(cosSpark("q_emb", "embedding"))))
+      .withColumn("rk", row_number().over(wTop).cast(LongType))
+      .filter(col("rk") <= knnK)
+      .select(col("q_id"), col("vec_id").as("nbr_id"), col("sim"),
+        col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  lazy val annKnnJoinH2Sql: String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), $lloydCentsCtes, gp AS (
+       |  SELECT CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS g
+       |  FROM kp
+       |), parentc AS (
+       |  SELECT cid, pg FROM (
+       |    SELECT c.cid, l.cid AS pg,
+       |      row_number() OVER (PARTITION BY c.cid
+       |        ORDER BY ${cosDuck("c.c_emb", "l.c_emb")} DESC, l.cid)
+       |        AS prk2
+       |    FROM cents c JOIN cents l ON l.cid < (SELECT g FROM gp)
+       |  ) WHERE prk2 = 1
+       |), coarse AS (
+       |  SELECT vec_id, pg FROM (
+       |    SELECT e.vec_id, l.cid AS pg,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosDuck("e.embedding", "l.c_emb")} DESC, l.cid)
+       |        AS crk
+       |    FROM e JOIN cents l ON l.cid < (SELECT g FROM gp)
+       |  ) WHERE crk <= 2
+       |), ranks AS MATERIALIZED (
+       |  SELECT vec_id, cid, crk FROM (
+       |    SELECT co.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY co.vec_id
+       |        ORDER BY ${cosDuck("ev.embedding", "c.c_emb")} DESC, c.cid)
+       |        AS crk
+       |    FROM coarse co
+       |    JOIN e ev ON ev.vec_id = co.vec_id
+       |    JOIN parentc p ON p.pg = co.pg
+       |    JOIN cents c ON c.cid = p.cid
+       |  ) WHERE crk <= 2
+       |), scored AS (
+       |  SELECT p.vec_id AS q_id, a.vec_id,
+       |    (floor((${cosDuck("q.embedding", "e.embedding")}) * 1000000.0 + 0.5) / 1000000.0) AS sim
+       |  FROM ranks p
+       |  JOIN ranks a ON a.cid = p.cid AND a.crk = 1
+       |    AND a.vec_id <> p.vec_id
+       |  JOIN e ON e.vec_id = a.vec_id
+       |  JOIN e q ON q.vec_id = p.vec_id
+       |), ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |                 ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
+       |  FROM scored
+       |)
+       |SELECT q_id, vec_id AS nbr_id, sim, rk FROM ranked
+       |WHERE rk <= $knnK ORDER BY q_id, rk""".stripMargin
+
   // ---- dd_semantic ---------------------------------------------------
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,

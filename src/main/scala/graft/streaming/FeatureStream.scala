@@ -607,6 +607,23 @@ object FeatureStream {
   def streamLpa(spark: SparkSession, sfDir: String): DataFrame =
     lpaOfSnapshot(pairSnapshot(spark, sfDir, "ss_stream_lpa"))
 
+  /** Streaming connected components: state = the first-seen distinct
+    * (s, o) pair relation (the streamDedup discipline - exact, append
+    * only), with the component fixpoint an evolving answer of the
+    * WHOLE graph (one arriving edge can merge two components), so the
+    * labeling runs at query time over the snapshot through the batch
+    * face's shared `concompFrom`.
+    */
+  def streamConcomp(spark: SparkSession, sfDir: String): DataFrame = {
+    val snap = StreamSum.runToTable(
+      graft.core.Transform.extractFrom(
+          StreamSum.streamingEvents(spark, sfDir))
+        .select(col("s"), col("o"))
+        .dropDuplicates("s", "o"),
+      OutputMode.Append(), "ss_stream_concomp")
+    graft.analytics.Graph.concompFrom(spark, snap)
+  }
+
   def streamCooccur(spark: SparkSession, sfDir: String): DataFrame = {
     val tuples = graft.core.Transform.extractFrom(
         StreamSum.streamingEvents(spark, sfDir))

@@ -629,4 +629,34 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("dtw: identical shapes are distance 0, a one-day shift warps " +
+       "to the boundary cost while Euclidean pays every day, and the " +
+       "pair list is the sorted type cross") {
+    val s = spark; import s.implicits._
+    // 8 days: 'view' pattern P = 1,5,1,5,...; 'click' = P shifted by
+    // one day; 'error' = an exact copy of 'view'
+    val pat = Seq(1, 5, 1, 5, 1, 5, 1, 5)
+    def mk(et: String, off: Int, base: Long) = for {
+      d <- 0 until 8
+      i <- 0 until pat((d + off) % 8)
+    } yield (base + d * 1000L + i, new java.sql.Timestamp(
+        d * 86400000L + i * 1000L), 1L, et, 1.0, """{"k": 1}""")
+    val rows = mk("view", 0, 0L) ++ mk("click", 1, 100000L) ++
+      mk("error", 0, 200000L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dtw").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = TimeSeries.qDtw(spark, tmp).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3))).toMap
+    assert(r.keySet == Set(("click", "error"), ("click", "view"),
+      ("error", "view")), s"pairs: ${r.keySet}")
+    assert(r(("error", "view"))._1 == 0L, "identical series warp free")
+    // the shifted copy aligns everywhere except the unmatchable
+    // boundary: DTW = |5-1| at each end = 8, vs Euclidean 8 days x 4
+    assert(r(("click", "view"))._1 == 8L,
+      s"shifted pair: ${r(("click", "view"))}")
+    assert(r.values.forall(_._2 == 8L), "densified span is 8 days")
+  }
+
 }

@@ -345,6 +345,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.toSet == expect)
   }
 
+  test("curriculum: ord is a permutation, stages are equal-mass and " +
+       "monotone easy-to-hard, and within-stage order is the salted " +
+       "shuffle, not corpus order") {
+    val rows = CorpusOps.curriculum(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val n = rows.length
+    assert(n > 0)
+    assert(rows.map(_._1).sorted.toSeq == (1L to n.toLong),
+      "ord must be a 1..n permutation")
+    assert(rows.map(_._2).distinct.length == n, "every doc exactly once")
+    // equal-mass stages from the exact integer rank cut
+    val byStage = rows.groupBy(_._3).toSeq.sortBy(_._1)
+    assert(byStage.map(_._1) == (0L until CorpusOps.curriculumStages),
+      "all stages populated")
+    assert(byStage.map(_._2.length).distinct.length <= 2,
+      "stage masses differ by at most the remainder")
+    // reading in ord order, the stage never decreases and mean
+    // difficulty rises stage over stage (easy first)
+    assert(rows.sortBy(_._1).map(_._3).sliding(2)
+      .forall(p => p(0) <= p(1)), "stage must be monotone in ord")
+    val means = byStage.map { case (_, g) =>
+      g.map(_._4).sum / g.length }
+    assert(means.sliding(2).forall(p => p(0) < p(1)),
+      "mean NLL must rise across stages")
+    // within a stage the read order is the salted shuffle: it must not
+    // replay doc_id order (the anti-clustering property)
+    val s0 = rows.filter(_._3 == 0L).sortBy(_._1).map(_._2).toSeq
+    assert(s0 != s0.sorted, "stage 0 must not read in corpus order")
+  }
+
   test("adaptive bloom fpp holds the per-document false-flag target") {
     // a p95-length doc's false-flag chance is ~grams x fpp: the
     // adaptive fpp must keep that product at the target across length

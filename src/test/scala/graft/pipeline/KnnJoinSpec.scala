@@ -108,4 +108,44 @@ class KnnJoinSpec extends SparkSpec {
     // every vector must reach the full k
     assert(byQ.values.forall(_.size == Similarity.knnK))
   }
+
+  test("ann_knn_join_h2: structure matches the flat face and neighbor " +
+       "recall vs the exact top-k holds for both quantizers") {
+    import org.apache.spark.sql.functions._
+    val h2 = Similarity.annKnnJoinH2(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val byQ = h2.groupBy(_._1)
+    assert(byQ.values.forall(g =>
+      g.map(_._3).sorted.toSeq == (1L to g.size.toLong)))
+    assert(h2.forall { case (q, n, _) => q != n })
+    // exact truth: brute-force top-k per vector (500² at the fixture)
+    val e = graft.core.Graft.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    val truth = e.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"))
+      .crossJoin(e).filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", graft.pipeline.ParityMath.q6(
+        expr(Similarity.cosSpark("q_emb", "embedding"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= Similarity.knnK)
+      .select(col("q_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(rows: Array[(Long, Long, Long)]): Double =
+      rows.count(r => truth.contains((r._1, r._2))).toDouble / truth.size
+    val flat = Similarity.annKnnJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val (rH2, rFlat) = (recallOf(h2), recallOf(flat))
+    println(f"[knn-h2] recall flat=$rFlat%.3f h2=$rH2%.3f")
+    // measured at the fixture: flat 0.349, h2 0.285. Top-5-of-500 truth
+    // through 2-of-23 probed cells on near-orthogonal vectors is a
+    // LOW-recall regime for both quantizers (the fixture's cells barely
+    // block, H2Probe); the floors pin the measured level so a real
+    // regression (broken probe union, empty cells) still fails loudly
+    assert(rFlat >= 0.30, f"flat knn recall $rFlat%.3f collapsed")
+    assert(rH2 >= 0.25, f"h2 knn recall $rH2%.3f collapsed")
+    assert(rH2 >= rFlat - 0.10,
+      f"h2 recall $rH2%.3f fell too far below flat $rFlat%.3f")
+  }
 }
