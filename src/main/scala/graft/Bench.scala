@@ -57,6 +57,8 @@ object Bench {
     "q_skyline", "q_grouping_sets", "q_seq_pattern",
     "q_triangles", "q_kcore", "q_linkpred", "q_lpa", "q_xcorr",
     "q_session_overlap",
+    "q_concomp", "q_bfs_hops", "q_degree_dist", "q_assortativity",
+    "q_dtw", "q_burstiness", "pipe_curriculum",
     // training-data pipeline
     "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard", "dd_jaccard_prefix",
     "dd_jaccard_routed", "dd_lsh_eval", "dd_lsh_curve",
@@ -117,6 +119,8 @@ object Bench {
     "q_sax", "q_sax_word",
     "q_triangles", "q_kcore",
     "q_linkpred", "q_lpa", "q_xcorr",
+    "q_concomp", "q_bfs_hops", "q_degree_dist", "q_assortativity",
+    "q_dtw", "q_burstiness",
     "q_cms_topk", "q_cms_topk_prod", "q_cms_sliding", "q_cms_sliding_prod",
     "q_hll_sliding", "q_hll_sliding_prod", "q_qtile_sliding",
     "q_kmv_jaccard_prod", "q_kmv_retention_prod",
@@ -139,6 +143,7 @@ object Bench {
     "pipe_embed_prune", "ann_mmr", "ann_mmr_ivf", "ann_range",
     "ann_range_h2",
     "txt_heaps", "txt_novelty", "pipe_dataset_card",
+    "pipe_curriculum",
     "txt_bpe_encode",
     "txt_bm25", "q_hybrid_rrf", "q_retrieval_eval", "txt_backoff_nll",
     // the real-codec mapPartitions path: per-row cost must stay flat

@@ -2176,6 +2176,68 @@ object TimeSeries {
     prev(m)
   }
 
+  // ---- q_burstiness: Fano factor per type -------------------------------
+
+  /** Burstiness (Fano factor, variance/mean) of each event type's
+    * densified daily count series: the one-number dispersion verdict
+    * behind rate-limiter sizing and anomaly-threshold choice (a
+    * Poisson-like arrival process sits at 1; bursty traffic far
+    * above). Fully distributed: the (type, day) matrix folds
+    * map-combinably, each type's moment sums (S = Σc, Q = Σc²) are
+    * exact BIGINTs, the densified span rides a broadcast one-row agg
+    * (zero days contribute zero to S and Q but count toward n), and
+    * only the final ratio (n·Q − S²)/(n·S) is floating point -
+    * q6-rounded, identical both engines.
+    */
+  def qBurstiness(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    burstFromBuckets(hwBuckets(Graft.table(spark, sfDir, "events")))
+  }
+
+  /** The Fano verdict over any (et, d, c) bucket relation - shared by
+    * the batch, stream and store faces.
+    */
+  private[graft] def burstFromBuckets(cnt0: DataFrame): DataFrame = {
+    val span = cnt0.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select((col("hi") - col("lo") + lit(1L)).as("n_days"))
+    cnt0.groupBy(col("et"))
+      .agg(sum(col("c")).as("S"), sum(col("c") * col("c")).as("Q"))
+      .crossJoin(broadcast(span))
+      .select(col("et"), col("n_days"), col("S").as("n_events"),
+        graft.pipeline.ParityMath.q6(expr(
+          """(CAST(n_days * Q - S * S AS DOUBLE))
+            | / (CAST(n_days * S AS DOUBLE))""".stripMargin))
+          .as("fano"))
+      .withColumn("is_bursty", col("fano") > lit(1.0))
+      .orderBy(col("et"))
+  }
+
+  lazy val qBurstinessSql: String =
+    s"""WITH buckets AS (
+       |  SELECT event_type AS et, epoch_us(ts) // $dayUs AS d,
+       |         CAST(count(*) AS BIGINT) AS c
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+       |    AND epoch_us(ts) >= 0
+       |  GROUP BY 1, 2
+       |), span AS (
+       |  SELECT max(d) - min(d) + 1 AS n_days FROM buckets
+       |), mom AS (
+       |  SELECT et, CAST(sum(c) AS BIGINT) AS S,
+       |         CAST(sum(c * c) AS BIGINT) AS Q
+       |  FROM buckets GROUP BY 1
+       |)
+       |SELECT et, CAST(n_days AS BIGINT) AS n_days, S AS n_events,
+       |  ${graft.pipeline.ParityMath.q6Sql(
+            """CAST(n_days * Q - S * S AS DOUBLE)
+              | / CAST(n_days * S AS DOUBLE)""".stripMargin)} AS fano,
+       |  (${graft.pipeline.ParityMath.q6Sql(
+            """CAST(n_days * Q - S * S AS DOUBLE)
+              | / CAST(n_days * S AS DOUBLE)""".stripMargin)}) > 1.0
+       |    AS is_bursty
+       |FROM mom CROSS JOIN span
+       |ORDER BY et""".stripMargin
+
   lazy val qDtwSql: String =
     s"""WITH RECURSIVE buckets AS (
        |  SELECT event_type AS et, epoch_us(ts) // $dayUs AS d,

@@ -836,6 +836,27 @@ object SignatureStore {
         .groupBy(col("et"), col("d")).agg(sum(col("c")).as("c")))
   }
 
+  /** Burstiness view over the same additive bucket store (Fano needs
+    * the corpus-wide densified span, so only the bucket matrix is
+    * storable state - the gatedDtw argument).
+    */
+  def gatedBurst(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_burst_watch")
+    val store = tempDirForExit("graft_gate_burst_store")
+    val ev = Graft.table(spark, sfDir, "events")
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpHw(spark, watch, store)
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpHw(spark, watch, store)
+    graft.analytics.TimeSeries.burstFromBuckets(
+      storedOrEmpty(spark, s"$store/etday_counts",
+        emptyLike(spark, spark.range(0).selectExpr(
+          "CAST(id AS STRING) AS et", "id AS d", "id AS c")))
+        .groupBy(col("et"), col("d")).agg(sum(col("c")).as("c")))
+  }
+
   // ---- heaps store ---------------------------------------------------
 
   /** Incremental Heaps-curve store: per-batch partials are the two

@@ -672,8 +672,27 @@ object Similarity {
   def ivfAssign(e: DataFrame): DataFrame =
     ivfAssignWith(e, trainedCentroids(e))
 
+  /** Assignment-kernel posture, retunable per session via
+    * `graft.similarity.assign`: `flat` (default, the oracle-replayed
+    * n·k argmax) or `h2` (the two-level 3·√k walk of `ann_range_h2` /
+    * `ann_knn_join_h2` - the Θ(n^1.25) posture a large deployment
+    * flips on once n·k dominates). Same opt-in contract as
+    * `graft.similarity.init=kmeanspar`: the gated defaults replay
+    * flat, the h2 faces pin the two-level semantics bit-for-bit, and
+    * the conf routes every ivfAssignWith consumer (ann_ivf family,
+    * dd_semantic, ann_range) through the cheap kernel.
+    */
+  private[graft] def h2AssignOf(spark: SparkSession): Boolean =
+    spark.conf.getOption("graft.similarity.assign") match {
+      case None | Some("flat") => false
+      case Some("h2") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft.similarity.assign must be 'flat' or 'h2', got '$other'")
+    }
+
   private[graft] def ivfAssignWith(e: DataFrame,
                                    cents: Seq[Seq[Double]]): DataFrame = {
+    if (h2AssignOf(e.sparkSession)) return ivfAssignH2(e, cents)
     val nearest = org.apache.spark.sql.GraftBridge.column(
       graft.functions.NearestCentroid(
         org.apache.spark.sql.GraftBridge.expression(col("embedding")),
@@ -1724,6 +1743,9 @@ object Similarity {
     * map-side partials. Nothing broadcasts, nothing is corpus².
     */
   def annKnnJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    // the assignment-posture conf routes the probe-cell scan too (the
+    // kNN join's own n·k term); the h2 face pins those semantics
+    if (h2AssignOf(spark)) return annKnnJoinH2(spark, sfDir)
     val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
     val centVecs = trainedCentroidsFor(spark, sfDir)
     val nearest = org.apache.spark.sql.GraftBridge.column(

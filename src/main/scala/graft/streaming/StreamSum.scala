@@ -1367,6 +1367,33 @@ object StreamSum {
       runToTable(buckets, OutputMode.Complete(), "ss_stream_hw"))
   }
 
+  /** Streaming DTW: the same bounded (type, day) aggregation state as
+    * `ss_stream_hw`, with the min-plus alignment a query-time view
+    * through the batch `dtwFromBuckets` (one arriving event shifts a
+    * day count and can reroute the whole warp path - nothing about the
+    * DP is storable per batch).
+    */
+  def streamDtw(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.core.Graft.ensureConf(spark)
+    val buckets = graft.analytics.TimeSeries.hwBuckets(
+      streamingEvents(spark, sfDir))
+    graft.analytics.TimeSeries.dtwFromBuckets(
+      runToTable(buckets, OutputMode.Complete(), "ss_stream_dtw"))
+  }
+
+  /** Streaming burstiness: same bounded bucket state, verdict a
+    * query-time view through the batch `burstFromBuckets` (the Fano
+    * ratio needs the corpus-wide densified span, which one arriving
+    * out-of-range event extends for every type).
+    */
+  def streamBurst(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.core.Graft.ensureConf(spark)
+    val buckets = graft.analytics.TimeSeries.hwBuckets(
+      streamingEvents(spark, sfDir))
+    graft.analytics.TimeSeries.burstFromBuckets(
+      runToTable(buckets, OutputMode.Complete(), "ss_stream_burst"))
+  }
+
   /** Streaming face of the STL-lite decomposition, sharing `q_stl`'s
     * oracle: the streamed state is the total-per-hour count (ordinary
     * streaming aggregation, state bounded at live hours); the

@@ -659,4 +659,31 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.values.forall(_._2 == 8L), "densified span is 8 days")
   }
 
+  test("burstiness: a constant series is exactly 0, a one-day burst is " +
+       "the closed-form N(n-1)/n, and the densified span counts the " +
+       "burst type's silent days") {
+    val s = spark; import s.implicits._
+    // 'view': 2/day for 5 days (constant); 'click': 10 events all on
+    // day 0, silent for the other 4 densified days
+    val rows = (for { d <- 0 until 5; i <- 0 until 2 } yield
+        (d * 100L + i, new java.sql.Timestamp(d * 86400000L + i * 1000L),
+          1L, "view", 1.0, """{"k": 1}""")) ++
+      (for { i <- 0 until 10 } yield
+        (9000L + i, new java.sql.Timestamp(i * 1000L),
+          2L, "click", 1.0, """{"k": 1}"""))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_burst").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = TimeSeries.qBurstiness(spark, tmp).collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getBoolean(4)))
+      .toMap
+    assert(r("view") == ((5L, 10L, 0.0, false)),
+      s"constant: ${r("view")}")
+    // Fano = N(n-1)/n = 10*4/5 = 8 exactly
+    assert(r("click") == ((5L, 10L, 8.0, true)),
+      s"burst: ${r("click")}")
+  }
+
 }

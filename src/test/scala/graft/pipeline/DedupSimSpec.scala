@@ -588,4 +588,31 @@ class DedupSimSpec extends SparkSpec {
       s"h2 range recall ${got.size}/${truth.size} collapsed")
   }
 
+  test("assign posture conf: graft.similarity.assign=h2 routes the " +
+       "whole IVF family through the two-level kernel (face-identical " +
+       "results), default stays flat, junk values throw") {
+    val flatRange = Similarity.annRange(spark, sfDir).collect()
+      .map(_.toString).toSeq
+    val h2Range = Similarity.annRangeH2(spark, sfDir).collect()
+      .map(_.toString).toSeq
+    val h2Knn = Similarity.annKnnJoinH2(spark, sfDir).collect()
+      .map(_.toString).toSeq
+    try {
+      spark.conf.set("graft.similarity.assign", "h2")
+      assert(Similarity.annRange(spark, sfDir).collect()
+        .map(_.toString).toSeq == h2Range,
+        "conf'd ann_range must BE the h2 face")
+      assert(Similarity.annKnnJoin(spark, sfDir).collect()
+        .map(_.toString).toSeq == h2Knn,
+        "conf'd ann_knn_join must BE the h2 face")
+      spark.conf.set("graft.similarity.assign", "diagonal")
+      intercept[IllegalArgumentException] {
+        Similarity.annRange(spark, sfDir).collect()
+      }
+    } finally spark.conf.unset("graft.similarity.assign")
+    assert(Similarity.annRange(spark, sfDir).collect()
+      .map(_.toString).toSeq == flatRange,
+      "unset conf must restore the flat default")
+  }
+
 }
