@@ -828,4 +828,101 @@ object Tpch {
        |  ${graft.pipeline.ParityMath.q6Sql(
             "CAST(cum_items AS DOUBLE) / CAST(total AS DOUBLE)")} AS cdf
        |FROM w ORDER BY bucket""".stripMargin
+
+  // ---- q_benford: first-significant-digit diagnostic -------------------
+
+  /** Benford expected frequencies log10(1 + 1/d), computed ONCE in
+    * Scala and injected as plan-time literals into BOTH engines (the
+    * LSH-hyperplane discipline: no cross-engine libm log in the
+    * dataflow; Double.toString round-trips, so DuckDB parses the
+    * identical double).
+    */
+  private val benfordExpected: Seq[(Long, Double)] =
+    (1 to 9).map(d => d.toLong -> math.log10(1.0 + 1.0 / d))
+
+  /** First-significant-digit distribution of event values vs Benford's
+    * law - the classic fabrication/quality screen over any monetary or
+    * magnitude column. Exact digit extraction: 2-decimal values are
+    * exact in doubles (the q_histogram argument), so cents =
+    * floor(v·100 + 0.5) is an exact BIGINT and the first digit is its
+    * leading DECIMAL-STRING character - identical in both engines, no
+    * log10 in the dataflow. One scan into a 9-cell map-combinable agg;
+    * the per-digit chi-square contribution ((n − N·e)² / (N·e), q6) is
+    * the screen's test statistic, summable by the reader.
+    */
+  def qBenford(spark: SparkSession, sfDir: String): DataFrame =
+    benfordFromCounts(
+      benfordDigits(Graft.table(spark, sfDir, "events"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n")))
+
+  /** The per-event leading digit - the ADDITIVE fact the stream and
+    * store faces accumulate (digit counts merge by plain sum under
+    * any batch split).
+    */
+  private[graft] def benfordDigits(events: DataFrame): DataFrame =
+    events
+      .filter(col("value").isNotNull && col("value") > 0.0)
+      .select(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .filter(col("cents") > 0L)
+      .select(expr(
+        "CAST(substring(CAST(cents AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+
+  /** Frequencies + chi-square from any (digit, n) count relation -
+    * shared by the batch, stream and store faces.
+    */
+  private[graft] def benfordFromCounts(counts: DataFrame): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val tot = counts.agg(sum(col("n")).as("total"))
+    val exp = benfordExpected.toDF("digit", "expected")
+    exp.join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        col("expected"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        graft.pipeline.ParityMath.q6(
+          col("n").cast(DoubleType) / col("total").cast(DoubleType))
+          .as("obs_freq"),
+        graft.pipeline.ParityMath.q6(col("expected")).as("exp_freq"),
+        graft.pipeline.ParityMath.q6(
+          (col("n").cast(DoubleType)
+            - col("total").cast(DoubleType) * col("expected"))
+          * (col("n").cast(DoubleType)
+            - col("total").cast(DoubleType) * col("expected"))
+          / (col("total").cast(DoubleType) * col("expected"))).as("chi"))
+      .orderBy(col("digit"))
+  }
+
+  lazy val qBenfordSql: String = {
+    val vals = benfordExpected
+      .map { case (d, e) => s"($d, $e)" }.mkString(", ")
+    s"""WITH cents AS (
+       |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM events WHERE value IS NOT NULL AND value > 0.0
+       |), digits AS (
+       |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+       |    AS digit
+       |  FROM cents WHERE cents > 0
+       |), c AS (
+       |  SELECT digit, CAST(count(*) AS BIGINT) AS n
+       |  FROM digits GROUP BY 1
+       |), t AS (SELECT CAST(sum(n) AS BIGINT) AS N FROM c),
+       |e AS (SELECT * FROM (VALUES $vals) AS v(digit, expected))
+       |SELECT CAST(e.digit AS BIGINT) AS digit,
+       |  COALESCE(c.n, 0) AS n,
+       |  ${graft.pipeline.ParityMath.q6Sql(
+            "CAST(COALESCE(c.n, 0) AS DOUBLE) / CAST(t.N AS DOUBLE)")}
+       |    AS obs_freq,
+       |  ${graft.pipeline.ParityMath.q6Sql("e.expected")} AS exp_freq,
+       |  ${graft.pipeline.ParityMath.q6Sql(
+            """(CAST(COALESCE(c.n, 0) AS DOUBLE)
+              |   - CAST(t.N AS DOUBLE) * e.expected)
+              | * (CAST(COALESCE(c.n, 0) AS DOUBLE)
+              |   - CAST(t.N AS DOUBLE) * e.expected)
+              | / (CAST(t.N AS DOUBLE) * e.expected)""".stripMargin)}
+       |    AS chi
+       |FROM e LEFT JOIN c ON c.digit = e.digit CROSS JOIN t
+       |ORDER BY digit""".stripMargin
+  }
 }

@@ -836,6 +836,48 @@ object SignatureStore {
         .groupBy(col("et"), col("d")).agg(sum(col("c")).as("c")))
   }
 
+  /** Incremental Benford store: per-batch digit-count PARTIALS — the
+    * rare store whose fact is a fixed NINE-row histogram, additive
+    * under any batch split — with the frequency/chi view a query-time
+    * recompute through the batch `benfordFromCounts` (total-N shifts
+    * every digit's expected mass, so only the counts are storable).
+    */
+  def catchUpBenford(spark: SparkSession, watchDir: String,
+                     storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val ev = spark.readStream.schema(schema).parquet(watchDir)
+    val q = ev.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.analytics.Tpch.benfordDigits(batch)
+          .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/digit_counts/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  def gatedBenford(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_benford_watch")
+    val store = tempDirForExit("graft_gate_benford_store")
+    val ev = Graft.table(spark, sfDir, "events")
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpBenford(spark, watch, store)
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpBenford(spark, watch, store)
+    graft.analytics.Tpch.benfordFromCounts(
+      storedOrEmpty(spark, s"$store/digit_counts",
+        emptyLike(spark, spark.range(0).selectExpr(
+          "id AS digit", "id AS n")))
+        .groupBy(col("digit")).agg(sum(col("n")).as("n")))
+  }
+
   /** Burstiness view over the same additive bucket store (Fano needs
     * the corpus-wide densified span, so only the bucket matrix is
     * storable state - the gatedDtw argument).
@@ -1528,6 +1570,24 @@ object SignatureStore {
   def gatedConcomp(spark: SparkSession, sfDir: String): DataFrame =
     graft.analytics.Graph.concompFrom(spark,
       storedSo(spark, cohesionStore(spark, sfDir, "cc")))
+
+  /** Degree-histogram, assortativity and BFS views over the same
+    * union-distinct pair store: all three are whole-graph statistics
+    * (one arriving pair shifts degrees / moments / distances
+    * globally), so the store's only fact stays the additive pair
+    * relation and each view runs at query time through its batch core.
+    */
+  def gatedDegreeDist(spark: SparkSession, sfDir: String): DataFrame =
+    graft.analytics.Graph.degreeDistFrom(
+      storedSo(spark, cohesionStore(spark, sfDir, "deg")))
+
+  def gatedAssortativity(spark: SparkSession, sfDir: String): DataFrame =
+    graft.analytics.Graph.assortativityFrom(
+      storedSo(spark, cohesionStore(spark, sfDir, "assort")))
+
+  def gatedBfsHops(spark: SparkSession, sfDir: String): DataFrame =
+    graft.analytics.Graph.bfsHopsFrom(
+      storedSo(spark, cohesionStore(spark, sfDir, "bfs")))
 
   /** Link-prediction view over the same cohesion store: like the
     * triangle and core views, the candidate set is a function of the

@@ -41,10 +41,30 @@ object Similarity {
     * the SAME policy in SQL (the `kp` CTE in `lloydCentsCtes`) so the
     * gated queries agree at any corpus size.
     */
-  def cellsFor(nVecs: Long): Int =
+  def cellsFor(nVecs: Long): Int = cellsFor(nVecs, annTrainN)
+
+  /** The clamp's "raise cells and sample together" contract made
+    * EXECUTABLE: `graft.similarity.trainN` lifts the training-sample
+    * bound (and with it the k = ⌈√n⌉ ceiling) in one knob, so past
+    * n = trainN² a deployment restores the √n balance instead of
+    * riding the n²/k within-cell term (the r12-measured dominant cost
+    * of both kNN faces at the 10M-vector regime). Oracles replay the
+    * DEFAULT bound, so gated runs leave it unset - the kmeanspar/h2
+    * opt-in contract.
+    */
+  def cellsFor(nVecs: Long, trainN: Long): Int =
     math.max(ivfCentroids.toLong,
-      math.min(annTrainN,
+      math.min(trainN,
         math.ceil(math.sqrt(nVecs.toDouble)).toLong)).toInt
+
+  private[graft] def trainNOf(spark: SparkSession): Long =
+    spark.conf.getOption("graft.similarity.trainN").map { v =>
+      val n = v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"graft.similarity.trainN must be a positive long, got '$v'"))
+      require(n >= ivfCentroids,
+        s"graft.similarity.trainN must be >= $ivfCentroids, got $n")
+      n
+    }.getOrElse(annTrainN)
 
   /** Probe-count companion to `cellsFor`: probes = ⌈1.5·√k⌉, which is
     * exactly `ivfProbes` = 6 at the k = 16 floor - the operating point
@@ -66,7 +86,7 @@ object Similarity {
     * the conf unset.
     */
   def cellsOf(spark: SparkSession, nVecs: Long): Int =
-    cellsConf(spark).getOrElse(cellsFor(nVecs))
+    cellsConf(spark).getOrElse(cellsFor(nVecs, trainNOf(spark)))
 
   /** The k-means|| init face pins its STATIC default (the oracle's
     * greedy seed replay is one unrolled CTE per seed, so its k must be
@@ -452,17 +472,21 @@ object Similarity {
     while (it.hasNext) {
       if (it.next()._1.sparkContext.isStopped) it.remove()
     }
-    // k and the init are part of the memo key: a session that re-tunes
-    // either must re-train, not read a stale matrix
+    // k, the init AND the training bound are part of the memo key: a
+    // session that re-tunes any of them must re-train, not read a
+    // stale matrix
     val k = init match {
       case KppInit => kppCellsOf(spark)
       case _ => cellsOf(spark, vecCountFor(spark, sfDir))
     }
-    centCache.computeIfAbsent((spark, s"${normDir(sfDir)}#k=$k#i=$init"), {
+    val tn = trainNOf(spark)
+    centCache.computeIfAbsent(
+      (spark, s"${normDir(sfDir)}#k=$k#i=$init#t=$tn"), {
       case (s, _) =>
         trainedCentroids(
           Graft.tableParallel(s, sfDir, "embeddings")
-            .select(col("vec_id"), col("embedding")), k = k, init = init)
+            .select(col("vec_id"), col("embedding")), k = k, init = init,
+          trainN = tn)
     })
   }
 
@@ -611,7 +635,8 @@ object Similarity {
   private[graft] def trainedCentroids(
       e: DataFrame, rounds: Int = ivfLloydRounds,
       k: Int = ivfCentroids,
-      init: SeedInit = PrefixInit): Seq[Seq[Double]] = {
+      init: SeedInit = PrefixInit,
+      trainN: Long = annTrainN): Seq[Seq[Double]] = {
     val seed: Seq[Seq[Double]] = init match {
       case PrefixInit =>
         e.filter(col("vec_id") < k)
@@ -619,10 +644,10 @@ object Similarity {
           .toSeq.map(_.getSeq[Float](1).toSeq.map(_.toDouble))
       case KppInit => kppSeeds(e, k)
     }
-    // rounds run on the bounded deterministic sample (annTrainN), not
-    // the corpus — assignment of the FULL corpus happens once,
-    // downstream, in ivfAssignWith
-    val et = e.filter(col("vec_id") < annTrainN)
+    // rounds run on the bounded deterministic sample (trainN, default
+    // annTrainN), not the corpus — assignment of the FULL corpus
+    // happens once, downstream, in ivfAssignWith
+    val et = e.filter(col("vec_id") < trainN)
     (1 to rounds).foldLeft(seed) { case (cents, _) =>
       val nearest = org.apache.spark.sql.GraftBridge.column(
         graft.functions.NearestCentroid(

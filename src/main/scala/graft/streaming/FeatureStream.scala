@@ -624,6 +624,44 @@ object FeatureStream {
     graft.analytics.Graph.concompFrom(spark, snap)
   }
 
+  /** The distinct-pair stream state shared by the component, degree
+    * and assortativity views (streamDedup discipline: exact,
+    * append-only first-seen pairs - the minimum state ANY
+    * whole-graph statistic can carry).
+    */
+  private def pairDedupSnapshot(spark: SparkSession, sfDir: String,
+                                table: String): DataFrame =
+    StreamSum.runToTable(
+      graft.core.Transform.extractFrom(
+          StreamSum.streamingEvents(spark, sfDir))
+        .select(col("s"), col("o"))
+        .dropDuplicates("s", "o"),
+      OutputMode.Append(), table)
+
+  /** Streaming degree histogram: every arriving first-seen pair shifts
+    * two degrees and re-bins both nodes, so the histogram is a
+    * query-time view over the pair state.
+    */
+  def streamDegreeDist(spark: SparkSession, sfDir: String): DataFrame =
+    graft.analytics.Graph.degreeDistFrom(
+      pairDedupSnapshot(spark, sfDir, "ss_stream_degree"))
+
+  /** Streaming assortativity: the Pearson moments are corpus-global
+    * (one pair shifts two degrees and thereby every arc's (dx, dy)
+    * contribution), so the statistic is a query-time view.
+    */
+  def streamAssortativity(spark: SparkSession, sfDir: String): DataFrame =
+    graft.analytics.Graph.assortativityFrom(
+      pairDedupSnapshot(spark, sfDir, "ss_stream_assort"))
+
+  /** Streaming BFS hops: reachability and distances are whole-graph
+    * fixpoints (one arriving pair can shorten arbitrarily many
+    * distances), so the frontier loop runs at query time.
+    */
+  def streamBfsHops(spark: SparkSession, sfDir: String): DataFrame =
+    graft.analytics.Graph.bfsHopsFrom(
+      pairDedupSnapshot(spark, sfDir, "ss_stream_bfs"))
+
   def streamCooccur(spark: SparkSession, sfDir: String): DataFrame = {
     val tuples = graft.core.Transform.extractFrom(
         StreamSum.streamingEvents(spark, sfDir))

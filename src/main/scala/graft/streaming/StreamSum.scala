@@ -1381,6 +1381,22 @@ object StreamSum {
       runToTable(buckets, OutputMode.Complete(), "ss_stream_dtw"))
   }
 
+  /** Streaming Benford screen: state is the NINE-counter digit
+    * histogram (ordinary Complete-mode agg - the minimum any exact
+    * frequency test can carry), frequencies + chi a query-time view
+    * through the batch `benfordFromCounts`.
+    */
+  def streamBenford(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.core.Graft.ensureConf(spark)
+    val counts = graft.analytics.Tpch.benfordDigits(
+        streamingEvents(spark, sfDir))
+      .groupBy(col("digit"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    graft.analytics.Tpch.benfordFromCounts(
+      runToTable(counts, OutputMode.Complete(), "ss_stream_benford"))
+  }
+
   /** Streaming burstiness: same bounded bucket state, verdict a
     * query-time view through the batch `burstFromBuckets` (the Fano
     * ratio needs the corpus-wide densified span, which one arriving

@@ -90,4 +90,37 @@ class SegmentationSpec extends SparkSpec {
       (3L, 15000.0, 1L, 4L, 1.0)),
       s"histogram cells wrong: $got")
   }
+
+  test("benford: exact digit extraction (sub-cent and zero values " +
+       "excluded), observed frequencies and chi-square recompute, " +
+       "all nine digits always emitted") {
+    val s = spark; import s.implicits._
+    // values 1.00 x2, 2.00, 0.55 (digit 5), 12.31 (digit 1),
+    // 0.004 (cents 0 - excluded), -3.0 and null (excluded)
+    val rows = Seq(
+      (0L, 1.00), (1L, 1.00), (2L, 2.00), (3L, 0.55), (4L, 12.31),
+      (5L, 0.004), (6L, -3.0))
+      .map { case (i, v) =>
+        (i, new java.sql.Timestamp(1000L + i), 1L, "view", v, """{"k":1}""")
+      }
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_benford").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Tpch.qBenford(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.map(_._1).toSeq == (1L to 9L), "all nine digit rows")
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val n = Map(1L -> 3L, 2L -> 1L, 5L -> 1L).withDefaultValue(0L)
+    val total = 5.0
+    got.foreach { case (d, cnt, obs, exp, chi) =>
+      assert(cnt == n(d), s"digit $d count")
+      assert(obs == q6(cnt / total), s"digit $d obs")
+      val e = math.log10(1.0 + 1.0 / d)
+      assert(exp == q6(e), s"digit $d expected")
+      assert(chi == q6((cnt - total * e) * (cnt - total * e)
+        / (total * e)), s"digit $d chi")
+    }
+  }
 }

@@ -588,6 +588,33 @@ class DedupSimSpec extends SparkSpec {
       s"h2 range recall ${got.size}/${truth.size} collapsed")
   }
 
+  test("trainN conf: graft.similarity.trainN lifts the cell ceiling " +
+       "and the Lloyd sample bound together; default unchanged; junk " +
+       "throws") {
+    // the policy math: the ceiling moves with the bound
+    assert(Similarity.cellsFor(1000000, Similarity.annTrainN) ==
+      Similarity.annTrainN.toInt)
+    assert(Similarity.cellsFor(1000000, 2048) == 1000)
+    assert(Similarity.cellsFor(1000000, 600) == 600)
+    val defCents = Similarity.trainedCentroidsFor(spark, sfDir)
+    try {
+      // the fixture has 500 vectors; k = ceil(sqrt(500)) = 23 is under
+      // both bounds, but the SAMPLE bound changes: default trains on
+      // vec_id < 384, conf'd on the whole 500 - different centroids
+      spark.conf.set("graft.similarity.trainN", "500")
+      val lifted = Similarity.trainedCentroidsFor(spark, sfDir)
+      assert(lifted.size == defCents.size)
+      assert(lifted != defCents,
+        "a lifted sample bound must reach the Lloyd rounds")
+      spark.conf.set("graft.similarity.trainN", "3")
+      intercept[IllegalArgumentException] {
+        Similarity.trainedCentroidsFor(spark, sfDir)
+      }
+    } finally spark.conf.unset("graft.similarity.trainN")
+    assert(Similarity.trainedCentroidsFor(spark, sfDir) == defCents,
+      "unset conf must restore the default (memoized) matrix")
+  }
+
   test("assign posture conf: graft.similarity.assign=h2 routes the " +
        "whole IVF family through the two-level kernel (face-identical " +
        "results), default stays flat, junk values throw") {
