@@ -523,4 +523,114 @@ object Behavior {
        |  array_to_string(regexp_extract_all(seq, '$seqPattern'), '|')
        |    AS matches
        |FROM s ORDER BY user_id""".stripMargin
+
+  // ---- q_survival: Kaplan-Meier inter-event retention -------------------
+
+  /** Kaplan-Meier survival curve over pooled inter-event gaps: for
+    * every consecutive event pair of a user the gap (in whole days) is
+    * an OBSERVED duration; each user's last event contributes a
+    * CENSORED duration up to the corpus observation end — the standard
+    * retention/"time to next visit" estimator, censoring handled the
+    * only statistically honest way (dropping the open-ended last gaps
+    * would bias survival low). S(t) = prod over death-days s <= t of
+    * (n_s - d_s)/n_s, in integer MICRO-units with truncating division
+    * (DuckDB // ≙ Scala Long /, verified), deaths-before-censoring at
+    * equal times (the KM convention).
+    *
+    * Scale shape: gap extraction is one per-user window (the funnel
+    * discipline); the (day, deaths, censored) relation is
+    * map-combinably aggregated and TIME-bounded (days, not data), so
+    * the sequential product folds driver-side over that tiny relation
+    * (the gdTrain/Lloyd posture) while everything data-sized stays
+    * distributed. The oracle replays the fold as a recursive CTE over
+    * the day-indexed relation.
+    */
+  def qSurvival(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    qSurvivalFrom(
+      Graft.table(spark, sfDir, "events")
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(col("user_id"), expr("graft_ts_us(ts)").as("tus"),
+          col("event_id")),
+      TimeSeries.dayUs)
+  }
+
+  private[graft] def qSurvivalFrom(ev: DataFrame, dayUs: Long): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val seq = ev.withColumn("nxt", lead(col("tus"), 1).over(order))
+    val mx = ev.agg(max(col("tus")).as("mx"))
+    val obs = seq.filter(col("nxt").isNotNull)
+      .select(expr(s"(nxt - tus) DIV ${dayUs}L").as("t"),
+        lit(1L).as("d"), lit(0L).as("c"))
+    val cens = seq.filter(col("nxt").isNull)
+      .crossJoin(broadcast(mx))
+      .select(expr(s"(mx - tus) DIV ${dayUs}L").as("t"),
+        lit(0L).as("d"), lit(1L).as("c"))
+    val days = obs.unionAll(cens)
+      .groupBy(col("t"))
+      .agg(sum(col("d")).as("d"), sum(col("c")).as("c"))
+      .orderBy(col("t"))
+      .collect() // TIME-bounded: one row per calendar day with activity
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    var remaining = days.map(r => r._2 + r._3).sum
+    var sMu = 1000000L
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long)]
+    for ((t, d, c) <- days) {
+      val nRisk = remaining
+      if (d > 0) {
+        sMu = (sMu * (nRisk - d)) / nRisk
+        rows += ((t, nRisk, d, c, sMu))
+      }
+      remaining -= (d + c)
+    }
+    rows.toSeq
+      .toDF("t_days", "n_risk", "d_events", "c_censored", "surv_mu")
+      .orderBy(col("t_days"))
+  }
+
+  lazy val qSurvivalSql: String = {
+    val dayUs = TimeSeries.dayUs
+    s"""WITH RECURSIVE ev AS (
+       |  SELECT user_id, epoch_us(ts) AS tus, event_id
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |), mx AS (SELECT max(tus) AS m FROM ev),
+       |sq AS (
+       |  SELECT user_id, tus,
+       |    lead(tus) OVER (PARTITION BY user_id
+       |                    ORDER BY tus, event_id) AS nxt
+       |  FROM ev
+       |), dur AS (
+       |  SELECT (nxt - tus) // $dayUs AS t, 1 AS d, 0 AS c
+       |  FROM sq WHERE nxt IS NOT NULL
+       |  UNION ALL
+       |  SELECT (mx.m - tus) // $dayUs AS t, 0 AS d, 1 AS c
+       |  FROM sq CROSS JOIN mx WHERE nxt IS NULL
+       |), days AS (
+       |  SELECT t, CAST(sum(d) AS BIGINT) AS d, CAST(sum(c) AS BIGINT) AS c
+       |  FROM dur GROUP BY t
+       |), ord AS (
+       |  SELECT t, d, c,
+       |    CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS i,
+       |    CAST((SELECT count(*) FROM dur) AS BIGINT)
+       |      - CAST(COALESCE(sum(d + c) OVER (ORDER BY t
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |        AS BIGINT) AS n_risk
+       |  FROM days
+       |), walk AS (
+       |  SELECT CAST(0 AS BIGINT) AS i, CAST(1000000 AS BIGINT) AS s
+       |  UNION ALL
+       |  SELECT o.i,
+       |    CASE WHEN o.d > 0 THEN (w.s * (o.n_risk - o.d)) // o.n_risk
+       |         ELSE w.s END
+       |  FROM walk w JOIN ord o ON o.i = w.i + 1
+       |)
+       |SELECT o.t AS t_days, o.n_risk, o.d AS d_events,
+       |       o.c AS c_censored, w.s AS surv_mu
+       |FROM ord o JOIN walk w ON w.i = o.i
+       |WHERE o.d > 0 ORDER BY t_days""".stripMargin
+  }
 }

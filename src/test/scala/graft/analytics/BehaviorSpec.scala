@@ -216,4 +216,32 @@ class BehaviorSpec extends SparkSpec {
       (3L, 4L, 1L, "vp"), (4L, 4L, 2L, "cp|cp")),
       s"seq pattern report wrong: $rows")
   }
+
+  test("survival: hand-computed Kaplan-Meier with censoring - the " +
+       "risk set shrinks through censored-only days, deaths before " +
+       "censoring at equal times, exact micro-unit product") {
+    val s = spark; import s.implicits._
+    val day = 86400000L // ms
+    // user 1: events day 0, 1, 3 -> gaps 1, 2; censored at 0 (obs end
+    // = day 3). user 2: events day 0, 2 -> gap 2; censored at 1.
+    // durations: deaths {1:1, 2:2}, censors {0:1, 1:1}, total 5.
+    // KM: day 0 censor-only (risk 5 -> 4); day 1: n=4, d=1 ->
+    // S = 750000, then its censor leaves 2; day 2: n=2, d=2 -> S = 0.
+    val rows = Seq(
+      (0L, 0L, 1L), (1L, 1 * day, 1L), (2L, 3 * day, 1L),
+      (3L, 0L, 2L), (4L, 2 * day, 2L))
+      .map { case (i, ms, u) =>
+        (i, new java.sql.Timestamp(ms), u, "view", 1.0, """{"k":1}""")
+      }
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_surv").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Behavior.qSurvival(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, 4L, 1L, 1L, 750000L),
+      (2L, 2L, 2L, 0L, 0L)), s"KM curve wrong: $got")
+  }
 }
