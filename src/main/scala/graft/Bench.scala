@@ -58,7 +58,8 @@ object Bench {
     "q_triangles", "q_kcore", "q_linkpred", "q_lpa", "q_xcorr",
     "q_session_overlap",
     "q_concomp", "q_bfs_hops", "q_degree_dist", "q_assortativity",
-    "q_dtw", "q_burstiness", "q_benford", "q_survival", "pipe_curriculum",
+    "q_dtw", "q_burstiness", "q_benford", "q_survival",
+    "q_markov_entropy", "pipe_curriculum",
     // training-data pipeline
     "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard", "dd_jaccard_prefix",
     "dd_jaccard_routed", "dd_lsh_eval", "dd_lsh_curve",
@@ -121,6 +122,7 @@ object Bench {
     "q_linkpred", "q_lpa", "q_xcorr",
     "q_concomp", "q_bfs_hops", "q_degree_dist", "q_assortativity",
     "q_dtw", "q_burstiness", "q_benford", "q_survival",
+    "q_markov_entropy",
     "q_cms_topk", "q_cms_topk_prod", "q_cms_sliding", "q_cms_sliding_prod",
     "q_hll_sliding", "q_hll_sliding_prod", "q_qtile_sliding",
     "q_kmv_jaccard_prod", "q_kmv_retention_prod",

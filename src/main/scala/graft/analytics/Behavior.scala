@@ -235,6 +235,87 @@ object Behavior {
             "CAST(n_trans AS DOUBLE) / CAST(n_from AS DOUBLE)")} AS p
        |FROM mm ORDER BY from_type, to_type""".stripMargin
 
+  // ---- q_markov_entropy: per-state entropy + chain entropy rate --------
+
+  /** Entropy of each state's outgoing transition distribution plus the
+    * chain's overall ENTROPY RATE (the empirical-frequency-weighted
+    * mean) - the one-number "how predictable is the next action"
+    * diagnostic that prices q_markov's matrix (a near-zero rate says a
+    * first-order model basically suffices; ln|states| says it adds
+    * nothing). Micro-nat convention: per-transition
+    * nll = floor(−ln(c_st/c_s)·10⁶ + 0.5) (the LM family's quantizer -
+    * both engines feed ln the identical double, the accepted libm
+    * risk the qclf margin quantified), then every downstream step is
+    * exact integer arithmetic: H(s) = (Σ_t c_st·nll_st) DIV c_s,
+    * rate = (Σ_s c_s·H(s)) DIV Σ_s c_s. One keyed agg over the
+    * transition relation, windows only over the states-sized matrix.
+    */
+  def qMarkovEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val trans = Graft.table(spark, sfDir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), expr("graft_ts_us(ts)").as("tus"),
+        col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .select(col("from_type"), col("event_type").as("to_type"))
+    val m = trans.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val mm = m.withColumn("n_from",
+      sum(col("n_trans")).over(Window.partitionBy(col("from_type"))))
+    val nll = mm.withColumn("nll_mu", expr(
+      """CAST(floor(-ln(CAST(n_trans AS DOUBLE)
+        | / CAST(n_from AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"""
+        .stripMargin))
+    val hs = nll.groupBy(col("from_type"))
+      .agg(max(col("n_from")).as("n_from"),
+        sum(col("n_trans") * col("nll_mu")).as("hw"))
+      .select(col("from_type"), col("n_from"),
+        expr("hw DIV n_from").as("h_mu"))
+    // the rate rides a window over the STATES-sized relation (a few
+    // rows), never the transition stream
+    hs.withColumn("rate_mu", expr("""
+        (sum(n_from * h_mu) OVER ()) DIV (sum(n_from) OVER ())"""))
+      .orderBy(col("from_type"))
+  }
+
+  val qMarkovEntropySql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |), t AS (
+       |  SELECT
+       |    lag(event_type, 1) OVER (PARTITION BY user_id
+       |      ORDER BY tus, event_id) AS from_type,
+       |    event_type AS to_type
+       |  FROM e
+       |), m AS (
+       |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_trans
+       |  FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2
+       |), mm AS (
+       |  SELECT from_type, to_type, n_trans,
+       |    CAST(sum(n_trans) OVER (PARTITION BY from_type) AS BIGINT)
+       |      AS n_from
+       |  FROM m
+       |), nl AS (
+       |  SELECT from_type, to_type, n_trans, n_from,
+       |    CAST(floor(-ln(CAST(n_trans AS DOUBLE)
+       |      / CAST(n_from AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+       |      AS nll_mu
+       |  FROM mm
+       |), hs AS (
+       |  SELECT from_type, CAST(max(n_from) AS BIGINT) AS n_from,
+       |    CAST(sum(n_trans * nll_mu) AS BIGINT) // CAST(max(n_from) AS BIGINT)
+       |      AS h_mu
+       |  FROM nl GROUP BY from_type
+       |)
+       |SELECT from_type, n_from, h_mu,
+       |  CAST((sum(n_from * h_mu) OVER ()) // (sum(n_from) OVER ())
+       |    AS BIGINT) AS rate_mu
+       |FROM hs ORDER BY from_type""".stripMargin
+
   // ---- q_markov2: second-order transitions ----------------------------
 
   /** SECOND-ORDER Markov transitions — the context-aware member of

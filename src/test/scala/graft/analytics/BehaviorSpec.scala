@@ -244,4 +244,38 @@ class BehaviorSpec extends SparkSpec {
       (1L, 4L, 1L, 1L, 750000L),
       (2L, 2L, 2L, 0L, 0L)), s"KM curve wrong: $got")
   }
+
+  test("markov entropy: deterministic states are exactly 0, a uniform " +
+       "2-way split is exactly the micro-nat ln 2, and the rate is " +
+       "the frequency-weighted integer mean") {
+    val s = spark; import s.implicits._
+    // user 1 alternates view/click (both states deterministic);
+    // user 2's 'error' splits 2/2 to purchase/signup (entropy ln 2),
+    // with purchase/signup returning to error deterministically
+    val seq1 = Seq("view", "click", "view", "click", "view")
+    val seq2 = Seq("error", "purchase", "error", "signup",
+      "error", "purchase", "error", "signup", "error")
+    val rows = (seq1.zipWithIndex.map { case (et, i) =>
+        (i.toLong, new java.sql.Timestamp(1000L + i), 1L, et, 1.0,
+          """{"k":1}""")
+      }) ++ (seq2.zipWithIndex.map { case (et, i) =>
+        (100L + i, new java.sql.Timestamp(1000L + i), 2L, et, 1.0,
+          """{"k":1}""")
+      })
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_mkent").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Behavior.qMarkovEntropy(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // ln 2 in micro-nats = floor(693147.18 + 0.5) = 693147;
+    // rate = (4 * 693147) DIV 12 = 231049
+    assert(got == Seq(
+      ("click", 2L, 0L, 231049L),
+      ("error", 4L, 693147L, 231049L),
+      ("purchase", 2L, 0L, 231049L),
+      ("signup", 2L, 0L, 231049L),
+      ("view", 2L, 0L, 231049L)), s"entropy rows wrong: $got")
+  }
 }
