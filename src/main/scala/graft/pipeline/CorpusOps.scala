@@ -112,7 +112,14 @@ object CorpusOps {
   def curriculum(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
     graft.functions.NativeFunctions.register(spark)
-    val nll = QualityGate.nllPerDoc(spark, sfDir)
+    curriculumFromNll(QualityGate.nllPerDoc(spark, sfDir))
+  }
+
+  /** The staged ordering over any (doc_id, nll) difficulty relation -
+    * shared by the batch face and the streaming face (whose NLL comes
+    * from the evolving LM store, bit-equal at catch-up).
+    */
+  private[graft] def curriculumFromNll(nll: DataFrame): DataFrame = {
     val (ranked, n) = graft.core.GlobalRank.withRank(
       nll, Seq(col("nll").asc, col("doc_id").asc), "rnk")
     val staged = ranked

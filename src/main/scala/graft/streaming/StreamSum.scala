@@ -260,6 +260,27 @@ object StreamSum {
     SignatureStore.storedQualityGate(spark, store)
   }
 
+  /** Streaming face of the curriculum ordering, sharing
+    * `pipe_curriculum`'s oracle: the streamed state is the evolving LM
+    * store's additive term partials + per-doc term multisets (the
+    * admitLm discipline - the same state the quality faces carry), and
+    * the ranking/staging is a query-time view through the batch
+    * `curriculumFromNll` (one late document shifts the global LM, every
+    * NLL, and thereby every stage cut - nothing about the order is
+    * storable per batch).
+    */
+  def streamCurriculum(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    graft.functions.NativeFunctions.register(spark)
+    import graft.pipeline.SignatureStore
+    val store = SignatureStore.tempDirForExit("graft_stream_curr")
+    SignatureStore.admitLm(spark, sfDir, store, glob = "documents.parquet")
+    val docTerms = spark.read.parquet(s"$store/lm_doc_terms")
+      .drop("batch")
+    graft.pipeline.CorpusOps.curriculumFromNll(
+      SignatureStore.lmNllAgainstStore(spark, store, docTerms))
+  }
+
   /** Streaming face of the readability scorer, sharing
     * `txt_readability`'s oracle: the scoring is ROW-LOCAL (three regex
     * counts + two closed formulas), so the stream is the identical
