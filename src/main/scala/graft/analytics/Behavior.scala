@@ -261,8 +261,19 @@ object Behavior {
       .withColumn("from_type", lag(col("event_type"), 1).over(w))
       .filter(col("from_type").isNotNull)
       .select(col("from_type"), col("event_type").as("to_type"))
-    val m = trans.groupBy(col("from_type"), col("to_type"))
-      .agg(count(lit(1)).as("n_trans"))
+    markovEntropyFrom(markovCount(trans))
+  }
+
+  /** Entropy math over any (from_type, to_type, n_trans) count
+    * relation — shared by the batch, streaming, and store faces
+    * exactly as `markovMatrixFrom` is for q_markov (the faces' stored
+    * fact is the SAME transition matrix; entropy is one more
+    * query-time view over it, never per-batch state: a single arriving
+    * transition shifts its row's distribution AND the rate's weights).
+    */
+  private[graft] def markovEntropyFrom(counts: DataFrame): DataFrame = {
+    val m = counts.groupBy(col("from_type"), col("to_type"))
+      .agg(sum(col("n_trans")).as("n_trans"))
     val mm = m.withColumn("n_from",
       sum(col("n_trans")).over(Window.partitionBy(col("from_type"))))
     val nll = mm.withColumn("nll_mu", expr(

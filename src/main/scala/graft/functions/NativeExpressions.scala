@@ -1038,6 +1038,11 @@ object IvfMath {
     */
   def nearestH2Top2(vec: ArrayData, cents: Array[Array[Double]],
                     members: Array[Array[Int]]): Long = {
+    // the pack is lossless only while cid < 10⁶; trainN/cells knobs
+    // (and the √n-grown defaults) can lift k arbitrarily, so fail
+    // LOUDLY instead of silently corrupting both decoded cells
+    require(cents.length < 1000000,
+      s"two-level top-2 pack requires k < 1000000 cells, got ${cents.length}")
     val g = members.length
     var best = Double.NegativeInfinity
     var bestG = 0

@@ -1358,7 +1358,19 @@ object SignatureStore {
     * relation, normalized by the shared batch fold. Matches
     * `q_markov`'s oracle once caught up (under the in-order contract).
     */
-  def storedMarkov(spark: SparkSession, storeDir: String): DataFrame = {
+  def storedMarkov(spark: SparkSession, storeDir: String): DataFrame =
+    graft.analytics.Behavior.markovMatrixFrom(
+      storedMarkovCounts(spark, storeDir))
+
+  /** The stored transition-count relation (within-batch partials plus
+    * the lag-derived junction transitions over the boundary relation) —
+    * the shared storable fact of EVERY first-order-chain view:
+    * `storedMarkov` normalizes it into the matrix,
+    * `storedMarkovEntropy` folds it into per-state entropy + the
+    * chain's rate.
+    */
+  private def storedMarkovCounts(spark: SparkSession,
+                                 storeDir: String): DataFrame = {
     Graft.ensureConf(spark)
     val within = storedOrEmpty(spark, s"$storeDir/trans_counts",
       emptyLike(spark, spark.range(0).selectExpr(
@@ -1376,19 +1388,44 @@ object SignatureStore {
       .withColumn("from_type", lag(col("last_type"), 1).over(w))
       .filter(col("from_type").isNotNull)
       .select(col("from_type"), col("first_type").as("to_type"))
-    graft.analytics.Behavior.markovMatrixFrom(
-      within.select(col("from_type"), col("to_type"), col("n_trans"))
-        .unionByName(graft.analytics.Behavior.markovCount(junction)))
+    within.select(col("from_type"), col("to_type"), col("n_trans"))
+      .unionByName(graft.analytics.Behavior.markovCount(junction))
   }
+
+  /** Entropy-rate view over the SAME stored matrix as `storedMarkov`
+    * (shared `storedMarkovCounts`), via the shared
+    * `markovEntropyFrom` — so the store and its entropy reading can
+    * never disagree on a count.
+    */
+  def storedMarkovEntropy(spark: SparkSession,
+                          storeDir: String): DataFrame =
+    graft.analytics.Behavior.markovEntropyFrom(
+      storedMarkovCounts(spark, storeDir))
 
   /** Driver-gate face: fresh store, two TIME-contiguous appends split
     * at the midpoint day (users' chains straddle the cut, so the
     * junction stitch is exercised on nearly every user); shares
     * `q_markov`'s oracle.
     */
-  def gatedMarkov(spark: SparkSession, sfDir: String): DataFrame = {
-    val watch = tempDirForExit("graft_gate_markov_watch")
-    val store = tempDirForExit("graft_gate_markov_store")
+  def gatedMarkov(spark: SparkSession, sfDir: String): DataFrame =
+    storedMarkov(spark, markovGateStore(spark, sfDir, "markov"))
+
+  /** Same gate chain, entropy-rate view — shares `q_markov_entropy`'s
+    * oracle.
+    */
+  def gatedMarkovEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    storedMarkovEntropy(spark,
+      markovGateStore(spark, sfDir, "markov_entropy"))
+
+  /** The shared markov gate chain: fresh store, two TIME-contiguous
+    * appends split at the midpoint day (the arrival contract's honest
+    * split), caught up through `catchUpMarkov`; returns the store dir
+    * for whichever view the face reads.
+    */
+  private def markovGateStore(spark: SparkSession, sfDir: String,
+                              tag: String): String = {
+    val watch = tempDirForExit(s"graft_gate_${tag}_watch")
+    val store = tempDirForExit(s"graft_gate_${tag}_store")
     val ev = Graft.table(spark, sfDir, "events")
     val dayUs = graft.analytics.TimeSeries.decayHalflifeUs
     val cut = ev.filter(col("ts").isNotNull)
@@ -1401,7 +1438,7 @@ object SignatureStore {
     land(ev.filter(expr(s"graft_ts_us(ts) DIV ${dayUs}L") > cut),
       watch, "arrival2.parquet")
     catchUpMarkov(spark, watch, store)
-    storedMarkov(spark, store)
+    store
   }
 
   // ---- seq-pattern store -----------------------------------------------
@@ -1470,6 +1507,51 @@ object SignatureStore {
       "arrival2.parquet")
     catchUpSeq(spark, watch, store)
     storedSeq(spark, store)
+  }
+
+  // ---- survival store --------------------------------------------------
+
+  /** Kaplan-Meier view over the SAME per-user event-history fragment
+    * store as the seq-pattern face (`catchUpSeq`): the stored fact -
+    * each batch's unsorted (tus, event_id) structs per user - is the
+    * inherent state of any exact censoring estimator (an arriving
+    * event turns a user's censored last gap into an observed one and
+    * can move the corpus observation end, so neither the (day, deaths,
+    * censored) relation nor the fold is additive). Fragments are
+    * order-free (disjoint appends; the view's per-user window re-sorts
+    * the union), the gap/censor/KM chain is literally the batch
+    * `qSurvivalFrom`. The fragment's unused `c` column costs one
+    * char per event and buys one store serving two views.
+    */
+  def storedSurvival(spark: SparkSession, storeDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val frags = storedOrEmpty(spark, s"$storeDir/frags",
+      emptyLike(spark, spark.range(0).selectExpr("id AS user_id",
+        "array(struct(id AS tus, id AS event_id, " +
+          "CAST(id AS STRING) AS c)) AS buf")))
+    graft.analytics.Behavior.qSurvivalFrom(
+      frags.select(col("user_id"), explode(col("buf")).as("x"))
+        .select(col("user_id"), col("x.tus").as("tus"),
+          col("x.event_id").as("event_id")),
+      graft.analytics.TimeSeries.dayUs)
+  }
+
+  /** Driver-gate face: fresh store, two event-id-PARITY appends (the
+    * order-free split - every user's gap sequence interleaves across
+    * batches, so the view must reconstruct consecutive pairs from
+    * shuffled fragments); shares `q_survival`'s oracle.
+    */
+  def gatedSurvival(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_survival_watch")
+    val store = tempDirForExit("graft_gate_survival_store")
+    val ev = Graft.table(spark, sfDir, "events")
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpSeq(spark, watch, store)
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpSeq(spark, watch, store)
+    storedSurvival(spark, store)
   }
 
   // ---- graph store ---------------------------------------------------

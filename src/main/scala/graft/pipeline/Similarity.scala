@@ -41,30 +41,47 @@ object Similarity {
     * the SAME policy in SQL (the `kp` CTE in `lloydCentsCtes`) so the
     * gated queries agree at any corpus size.
     */
-  def cellsFor(nVecs: Long): Int = cellsFor(nVecs, annTrainN)
+  def cellsFor(nVecs: Long): Int = cellsFor(nVecs, trainNFor(nVecs))
 
   /** The clamp's "raise cells and sample together" contract made
     * EXECUTABLE: `graft.similarity.trainN` lifts the training-sample
     * bound (and with it the k = ⌈√n⌉ ceiling) in one knob, so past
     * n = trainN² a deployment restores the √n balance instead of
     * riding the n²/k within-cell term (the r12-measured dominant cost
-    * of both kNN faces at the 10M-vector regime). Oracles replay the
-    * DEFAULT bound, so gated runs leave it unset - the kmeanspar/h2
-    * opt-in contract.
+    * of both kNN faces at the 10M-vector regime). Since round 13 the
+    * knob is a TUNE, not a rescue: the DEFAULT bound itself grows as
+    * max(annTrainN, ⌈√n⌉) (`trainNFor`), so the clamp NEVER binds
+    * unless a deployment pins trainN below √n explicitly. Oracles
+    * replay the default policy (the kp CTE's `tn` column).
     */
   def cellsFor(nVecs: Long, trainN: Long): Int =
     math.max(ivfCentroids.toLong,
       math.min(trainN,
         math.ceil(math.sqrt(nVecs.toDouble)).toLong)).toInt
 
-  private[graft] def trainNOf(spark: SparkSession): Long =
+  /** Scale-aware default training-sample bound: max(annTrainN, ⌈√n⌉).
+    * Below n = annTrainN² (≈147k vectors) this is exactly the r12
+    * constant (384) - every gate corpus and the committed oracles sit
+    * there, bit-identical. Above it the bound grows with √n so
+    * `cellsFor`'s min(trainN, ⌈√n⌉) clamp never binds and the
+    * within-cell scoring term stays Θ(n^1.5/√n)=Θ(n) instead of the
+    * clamped Θ(n²/annTrainN) the r12 verdict named as the one
+    * remaining scale-killer. Lloyd training cost at the grown bound is
+    * trainN·k = √n·√n = Θ(n) per round - linear, never the bottleneck.
+    * Conf `graft.similarity.trainN` still overrides outright.
+    */
+  def trainNFor(nVecs: Long): Long =
+    math.max(annTrainN,
+      math.ceil(math.sqrt(nVecs.toDouble)).toLong)
+
+  private[graft] def trainNOf(spark: SparkSession, nVecs: Long): Long =
     spark.conf.getOption("graft.similarity.trainN").map { v =>
       val n = v.toLongOption.getOrElse(throw new IllegalArgumentException(
         s"graft.similarity.trainN must be a positive long, got '$v'"))
       require(n >= ivfCentroids,
         s"graft.similarity.trainN must be >= $ivfCentroids, got $n")
       n
-    }.getOrElse(annTrainN)
+    }.getOrElse(trainNFor(nVecs))
 
   /** Probe-count companion to `cellsFor`: probes = ⌈1.5·√k⌉, which is
     * exactly `ivfProbes` = 6 at the k = 16 floor - the operating point
@@ -86,7 +103,7 @@ object Similarity {
     * the conf unset.
     */
   def cellsOf(spark: SparkSession, nVecs: Long): Int =
-    cellsConf(spark).getOrElse(cellsFor(nVecs, trainNOf(spark)))
+    cellsConf(spark).getOrElse(cellsFor(nVecs, trainNOf(spark, nVecs)))
 
   /** The k-means|| init face pins its STATIC default (the oracle's
     * greedy seed replay is one unrolled CTE per seed, so its k must be
@@ -475,11 +492,12 @@ object Similarity {
     // k, the init AND the training bound are part of the memo key: a
     // session that re-tunes any of them must re-train, not read a
     // stale matrix
+    val nVecs = vecCountFor(spark, sfDir)
     val k = init match {
       case KppInit => kppCellsOf(spark)
-      case _ => cellsOf(spark, vecCountFor(spark, sfDir))
+      case _ => cellsOf(spark, nVecs)
     }
-    val tn = trainNOf(spark)
+    val tn = trainNOf(spark, nVecs)
     centCache.computeIfAbsent(
       (spark, s"${normDir(sfDir)}#k=$k#i=$init#t=$tn"), {
       case (s, _) =>
@@ -697,19 +715,29 @@ object Similarity {
   def ivfAssign(e: DataFrame): DataFrame =
     ivfAssignWith(e, trainedCentroids(e))
 
-  /** Assignment-kernel posture, retunable per session via
-    * `graft.similarity.assign`: `flat` (default, the oracle-replayed
-    * n·k argmax) or `h2` (the two-level 3·√k walk of `ann_range_h2` /
-    * `ann_knn_join_h2` - the Θ(n^1.25) posture a large deployment
-    * flips on once n·k dominates). Same opt-in contract as
-    * `graft.similarity.init=kmeanspar`: the gated defaults replay
-    * flat, the h2 faces pin the two-level semantics bit-for-bit, and
-    * the conf routes every ivfAssignWith consumer (ann_ivf family,
-    * dd_semantic, ann_range) through the cheap kernel.
+  /** Assignment-kernel posture via `graft.similarity.assign`: `flat`
+    * (the oracle-replayed n·k argmax), `h2` (the two-level 3·√k walk
+    * of `ann_range_h2` / `ann_knn_join_h2` - Θ(n^1.25)), or UNSET -
+    * the default since round 13 - which AUTO-ROUTES on the trained
+    * cell count: flat while k ≤ annTrainN (every gate corpus -
+    * bit-identical to the r12 defaults and to the committed oracles),
+    * h2 once k = ⌈√n⌉ crosses it (n > annTrainN² ≈ 147k vectors,
+    * where the r12 probes measured flat's n·k assignment dominating:
+    * flat 14.2 s vs h2 8.05 s at 200k vectors). A 100 TB deployment
+    * gets the scale-safe kernel WITHOUT knowing the knob exists - the
+    * r12 verdict's #1; the conf still pins either kernel outright.
+    * Both kernels stay oracle-pinned at the gate: the default faces
+    * replay flat argmax, the `*_h2` faces replay the two-level rule
+    * bit-for-bit. Above the crossover the kernel switch is a PLAN
+    * choice (same contract as AQE picking a join strategy): the h2
+    * quantizer may land boundary rows one cell off flat, and its END
+    * recall is probe-measured ≥ flat's (0.820 vs 0.757 at sf0.1,
+    * PLANS.md round 12).
     */
-  private[graft] def h2AssignOf(spark: SparkSession): Boolean =
+  private[graft] def h2AssignOf(spark: SparkSession, k: Int): Boolean =
     spark.conf.getOption("graft.similarity.assign") match {
-      case None | Some("flat") => false
+      case None => k > annTrainN // auto: h2 exactly where the old clamp bound
+      case Some("flat") => false
       case Some("h2") => true
       case Some(other) => throw new IllegalArgumentException(
         s"graft.similarity.assign must be 'flat' or 'h2', got '$other'")
@@ -717,7 +745,7 @@ object Similarity {
 
   private[graft] def ivfAssignWith(e: DataFrame,
                                    cents: Seq[Seq[Double]]): DataFrame = {
-    if (h2AssignOf(e.sparkSession)) return ivfAssignH2(e, cents)
+    if (h2AssignOf(e.sparkSession, cents.size)) return ivfAssignH2(e, cents)
     val nearest = org.apache.spark.sql.GraftBridge.column(
       graft.functions.NearestCentroid(
         org.apache.spark.sql.GraftBridge.expression(col("embedding")),
@@ -1611,22 +1639,29 @@ object Similarity {
     */
   private def lloydCentsCtes(seedCte: String): String = {
     val sb = new StringBuilder
-    // the scale-aware cell count, replayed in SQL (≙ cellsFor: ⌈√n⌉
-    // clamped to [ivfCentroids, annTrainN]); the kpp seed chain pins
-    // its own k literal and simply never reads this CTE
+    // the scale-aware policy, replayed in SQL: trainN = tn =
+    // max(annTrainN, ⌈√n⌉) (≙ trainNFor - grows with the corpus so
+    // the k clamp never binds) and k = ⌈√n⌉ clamped to
+    // [ivfCentroids, tn] (≙ cellsFor, which under the grown tn is
+    // just max(ivfCentroids, ⌈√n⌉)); the kpp seed chain pins its own
+    // k literal and simply never reads this CTE
     sb ++= s"""kp AS (
-       |  SELECT k, CAST(ceil(1.5 * sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS p
+       |  SELECT k, CAST(ceil(1.5 * sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS p,
+       |    tn
        |  FROM (
-       |    SELECT GREATEST($ivfCentroids, LEAST($annTrainN,
-       |      CAST(ceil(sqrt(COUNT(*))) AS BIGINT))) AS k
+       |    SELECT GREATEST($ivfCentroids, LEAST(
+       |      GREATEST($annTrainN, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)),
+       |      CAST(ceil(sqrt(COUNT(*))) AS BIGINT))) AS k,
+       |      GREATEST($annTrainN,
+       |        CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS tn
        |    FROM e
        |  ) kk
        |), """.stripMargin
     // the Lloyd rounds train on the same bounded vec_id-prefix sample
-    // as the Spark side (annTrainN) — full-corpus assignment happens
-    // once, downstream, in the `assign` CTEs
+    // as the Spark side (trainNFor's tn) — full-corpus assignment
+    // happens once, downstream, in the `assign` CTEs
     sb ++= s"""et AS (
-       |  SELECT vec_id, embedding FROM e WHERE vec_id < $annTrainN
+       |  SELECT vec_id, embedding FROM e WHERE vec_id < (SELECT tn FROM kp)
        |), """.stripMargin
     sb ++= seedCte
     for (r <- 1 to ivfLloydRounds) {
@@ -1768,9 +1803,11 @@ object Similarity {
     * map-side partials. Nothing broadcasts, nothing is corpus².
     */
   def annKnnJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    // the assignment-posture conf routes the probe-cell scan too (the
-    // kNN join's own n·k term); the h2 face pins those semantics
-    if (h2AssignOf(spark)) return annKnnJoinH2(spark, sfDir)
+    // the assignment posture (conf or the k > annTrainN auto-route)
+    // governs the probe-cell scan too (the kNN join's own n·k term);
+    // the h2 face pins those semantics
+    if (h2AssignOf(spark, cellsOf(spark, vecCountFor(spark, sfDir))))
+      return annKnnJoinH2(spark, sfDir)
     val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
     val centVecs = trainedCentroidsFor(spark, sfDir)
     val nearest = org.apache.spark.sql.GraftBridge.column(

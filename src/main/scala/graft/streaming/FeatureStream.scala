@@ -366,6 +366,27 @@ object FeatureStream {
       snap.select(col("from_type"), col("to_type"))))
   }
 
+  /** Streaming face of the Markov entropy rate, sharing
+    * `q_markov_entropy`'s oracle: the streamed fact is the SAME
+    * per-user transition emission as `ss_stream_markov` (each
+    * transition final at arrival, Append mode — the matrix is the
+    * storable state of every first-order-chain view), with the
+    * entropy/rate math a query-time view via the shared
+    * `markovEntropyFrom` (one arriving transition shifts its row's
+    * distribution and the rate's weights, so no per-batch entropy is
+    * reusable).
+    */
+  def streamMarkovEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = StreamSum.streamingEvents(spark, sfDir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), expr("graft_ts_us(ts)").as("tus"),
+        col("event_id"), col("event_type"))
+    val snap = StreamSum.runToTable(markovTransStream(ev).toDF(),
+      OutputMode.Append(), "ss_stream_markov_entropy")
+    Behavior.markovEntropyFrom(Behavior.markovCount(
+      snap.select(col("from_type"), col("to_type"))))
+  }
+
   final case class Markov2Trans(user_id: Long, f2: String, f1: String,
                                 to_type: String)
 

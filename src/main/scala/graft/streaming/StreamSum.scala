@@ -1675,6 +1675,35 @@ object StreamSum {
           .as("seq")))
   }
 
+  /** Streaming face of the Kaplan-Meier survival curve, sharing
+    * `q_survival`'s oracle: the per-user state is the event-time
+    * history as an UNSORTED collect_list of (tus, event_id) — the
+    * seq-pattern discipline, and the inherent state of ANY exact
+    * censoring estimator (an arriving event turns the user's previous
+    * last gap from censored into observed AND can move the corpus
+    * observation end, so neither the (day, deaths, censored) relation
+    * nor the product fold is storable). The gap extraction, censoring
+    * against max(tus), and the integer KM fold are a query-time view
+    * over the snapshot via literally the batch `qSurvivalFrom`; a
+    * deployment bounds the history with retention.
+    */
+  def streamSurvival(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val state = streamingEvents(spark, sfDir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), expr("graft_ts_us(ts)").as("tus"),
+        col("event_id"))
+      .groupBy(col("user_id"))
+      .agg(collect_list(struct(col("tus"), col("event_id"))).as("buf"))
+    val snap = runToTable(state, OutputMode.Complete(),
+      "ss_stream_survival")
+    graft.analytics.Behavior.qSurvivalFrom(
+      snap.select(col("user_id"), explode(col("buf")).as("x"))
+        .select(col("user_id"), col("x.tus").as("tus"),
+          col("x.event_id").as("event_id")),
+      graft.analytics.TimeSeries.dayUs)
+  }
+
   /** Streaming face of the RFM segmentation, sharing `q_rfm`'s oracle:
     * the streamed state is the per-customer rollup (max last-order
     * time / order count / cents sum — the same declarative aggregation

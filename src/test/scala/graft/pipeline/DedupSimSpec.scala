@@ -466,11 +466,40 @@ class DedupSimSpec extends SparkSpec {
       rows(Dedup.jaccardPrefix(spark, heapsDir)))
   }
 
-  test("cellsFor: ⌈√n⌉ policy clamped to [ivfCentroids, annTrainN]") {
+  test("cellsFor: ⌈√n⌉ policy with the √n-grown trainN default - the " +
+       "clamp never binds, so k tracks ⌈√n⌉ at every n") {
     assert(Similarity.cellsFor(100) == Similarity.ivfCentroids)
     assert(Similarity.cellsFor(500) == 23)
     assert(Similarity.cellsFor(20000) == 142)
-    assert(Similarity.cellsFor(1000000) == Similarity.annTrainN.toInt)
+    // r12's clamp bound here (k stuck at 384 = Θ(n²/384) scoring);
+    // the r13 default grows trainN with √n so k = ⌈√n⌉ continues
+    assert(Similarity.trainNFor(1000000) == 1000L)
+    assert(Similarity.cellsFor(1000000) == 1000)
+    // below annTrainN² the grown bound IS the r12 constant - every
+    // gate corpus sits here, bit-identical behavior
+    assert(Similarity.trainNFor(500) == Similarity.annTrainN)
+    assert(Similarity.trainNFor(147456) == Similarity.annTrainN)
+    assert(Similarity.trainNFor(147457) == Similarity.annTrainN + 1)
+  }
+
+  test("assignment auto-route: flat at gate-scale k, h2 past the " +
+       "k > annTrainN crossover, conf pins either outright") {
+    try {
+      // auto (conf unset): the crossover is exactly where the old
+      // clamp would have bound
+      assert(!Similarity.h2AssignOf(spark, 384))
+      assert(Similarity.h2AssignOf(spark, 385))
+      // gate corpus k (23 at n=500) stays flat - oracle-replayed
+      assert(!Similarity.h2AssignOf(spark, 23))
+      spark.conf.set("graft.similarity.assign", "flat")
+      assert(!Similarity.h2AssignOf(spark, 100000))
+      spark.conf.set("graft.similarity.assign", "h2")
+      assert(Similarity.h2AssignOf(spark, 16))
+      spark.conf.set("graft.similarity.assign", "junk")
+      intercept[IllegalArgumentException] {
+        Similarity.h2AssignOf(spark, 16)
+      }
+    } finally spark.conf.unset("graft.similarity.assign")
   }
 
   test("graft.similarity.cells: the conf knob reaches centroid training " +
