@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The per-round driver captures only a TAIL of the run's output and
+// parses the bench summary JSON out of it; sbt's default LoggedOutput
+// prefixes every forked line with "[info] ", which is exactly what has
+// kept BENCH_rN.json's "parsed" null two rounds running. Stream the
+// forked program's output RAW so the final summary line is bare JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

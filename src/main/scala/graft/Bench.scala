@@ -176,6 +176,7 @@ object Bench {
     graft.pipeline.Similarity.releaseAll(spark)
     graft.pipeline.QualityClassifier.releaseAll(spark)
     graft.pipeline.TextAnalysis.releaseAll(spark)
+    graft.analytics.Graph.releaseAll(spark)
     // memory-sink harness tables pin complete-mode state snapshots in
     // driver heap; a multi-pass sweep accumulates 100+ of them and the
     // GC pressure lands on whichever stateful query runs late (r9's
@@ -239,8 +240,11 @@ object Bench {
     // under it are probe evidence, not the default's price)
     sys.env.get("SPARK_GRAFT_BENCH_CONF").foreach { kvs =>
       kvs.split(",").filter(_.nonEmpty).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k, v)
+          case _ => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_BENCH_CONF entry '$kv' is not key=value")
+        }
       }
     }
     // JIT/codegen warm-up on the smallest SF so per-query numbers

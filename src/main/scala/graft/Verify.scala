@@ -60,6 +60,7 @@ object Verify {
     graft.pipeline.SignatureStore.releaseAll(spark)
     graft.pipeline.Similarity.releaseAll(spark)
     graft.pipeline.QualityClassifier.releaseAll(spark)
+    graft.analytics.Graph.releaseAll(spark)
     spark.stop()
   }
 }

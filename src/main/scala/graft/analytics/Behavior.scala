@@ -725,4 +725,207 @@ object Behavior {
        |FROM ord o JOIN walk w ON w.i = o.i
        |WHERE o.d > 0 ORDER BY t_days""".stripMargin
   }
+
+  // ---- q_survival_logrank: stratified KM + two-group log-rank ----------
+
+  /** STRATIFIED Kaplan-Meier plus the log-rank test — the comparison
+    * member that makes `q_survival` actionable: one KM curve per user
+    * cohort (even/odd user_id — a deterministic stand-in for "the
+    * segment we compare", same convention as pprSeedMod) and the
+    * log-rank chi-square asking whether the two curves differ beyond
+    * chance. Per pooled death day t with group-0 at-risk n0 of n and
+    * deaths d0 of d: O−E(t) = d0 − d·n0/n and hypergeometric variance
+    * V(t) = d·(n0/n)·((n−n0)/n)·((n−d)/(n−1)) (0 when n = 1), each
+    * quantized to integer MICRO-units (the micro-nat discipline:
+    * both engines feed the same pinned double chain to floor(·10⁶+.5),
+    * then every sum is exact BIGINT); chi² = (ΣOE)²/ΣV evaluates once
+    * over the two micro-sums. At-risk sets are exact integers
+    * (deaths-before-censoring, truncating division — the q_survival
+    * conventions per group).
+    *
+    * Scale shape: identical to q_survival — gap extraction is one
+    * per-user window, the (grp, day, deaths, censored) relation is
+    * map-combinably aggregated and TIME-bounded (2 × days), so both
+    * the per-group product folds and the log-rank accumulation run
+    * driver-side over that tiny relation (the gdTrain/Lloyd posture).
+    * The oracle replays the per-group walk as a grp-carrying recursive
+    * CTE and the log-rank as one aggregate over the pooled death days.
+    */
+  def qSurvivalLogrank(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    survivalLogrankFrom(
+      Graft.table(spark, sfDir, "events")
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(pmod(col("user_id"), lit(2L)).as("grp"), col("user_id"),
+          expr("graft_ts_us(ts)").as("tus"), col("event_id")),
+      TimeSeries.dayUs)
+  }
+
+  private[graft] def survivalLogrankFrom(ev: DataFrame,
+                                         dayUs: Long): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val seq = ev.withColumn("nxt", lead(col("tus"), 1).over(order))
+    // pooled observation end: censoring is against the CORPUS horizon,
+    // not per-group horizons (groups share the study window)
+    val mx = ev.agg(max(col("tus")).as("mx"))
+    val obs = seq.filter(col("nxt").isNotNull)
+      .select(col("grp"), expr(s"(nxt - tus) DIV ${dayUs}L").as("t"),
+        lit(1L).as("d"), lit(0L).as("c"))
+    val cens = seq.filter(col("nxt").isNull)
+      .crossJoin(broadcast(mx))
+      .select(col("grp"), expr(s"(mx - tus) DIV ${dayUs}L").as("t"),
+        lit(0L).as("d"), lit(1L).as("c"))
+    val days = obs.unionAll(cens)
+      .groupBy(col("grp"), col("t"))
+      .agg(sum(col("d")).as("d"), sum(col("c")).as("c"))
+      .orderBy(col("grp"), col("t"))
+      .collect() // TIME-bounded: 2 x one row per active calendar day
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // per-group KM fold (exactly qSurvivalFrom's walk, per grp)
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long)]
+    for (g <- days.map(_._1).distinct.sorted) {
+      val gd = days.filter(_._1 == g)
+      var remaining = gd.map(r => r._3 + r._4).sum
+      var sMu = 1000000L
+      for ((_, t, d, c) <- gd) {
+        val nRisk = remaining
+        if (d > 0) {
+          sMu = (sMu * (nRisk - d)) / nRisk
+          rows += ((g, t, nRisk, d, c, sMu))
+        }
+        remaining -= (d + c)
+      }
+    }
+    // log-rank over POOLED death days: both groups' at-risk counts
+    // advance together down the shared day axis
+    val byDay = days.groupBy(_._2)
+    val rem = scala.collection.mutable.Map(
+      days.map(_._1).distinct.map(g =>
+        g -> days.filter(_._1 == g).map(r => r._3 + r._4).sum): _*)
+    var sOmE = 0L
+    var sV = 0L
+    for (t <- days.map(_._2).distinct.sorted) {
+      val at = byDay(t)
+      def dOf(g: Long) = at.find(_._1 == g).map(_._3).getOrElse(0L)
+      def cOf(g: Long) = at.find(_._1 == g).map(_._4).getOrElse(0L)
+      val n0 = rem.getOrElse(0L, 0L); val n1 = rem.getOrElse(1L, 0L)
+      val d0 = dOf(0L); val d1 = dOf(1L)
+      val n = n0 + n1; val d = d0 + d1
+      if (d > 0) {
+        // pinned double chains, identical in the oracle's SQL
+        sOmE += math.floor((d0.toDouble -
+          d.toDouble * n0.toDouble / n.toDouble) * 1000000.0 + 0.5).toLong
+        if (n > 1)
+          sV += math.floor((d.toDouble * n0.toDouble / n.toDouble *
+            (n - n0).toDouble / n.toDouble *
+            (n - d).toDouble / (n - 1).toDouble) * 1000000.0 + 0.5).toLong
+      }
+      for (g <- Seq(0L, 1L) if rem.contains(g))
+        rem(g) -= (dOf(g) + cOf(g))
+    }
+    val chi =
+      if (sV == 0L) 0.0
+      else {
+        val raw = sOmE.toDouble * sOmE.toDouble / (1000000.0 * sV.toDouble)
+        math.floor(raw * 1000000.0 + 0.5) / 1000000.0
+      }
+    rows.toSeq
+      .toDF("grp", "t_days", "n_risk", "d_events", "c_censored",
+        "surv_mu")
+      .withColumn("logrank_chi2", lit(chi))
+      .orderBy(col("grp"), col("t_days"))
+  }
+
+  lazy val qSurvivalLogrankSql: String = {
+    val dayUs = TimeSeries.dayUs
+    s"""WITH RECURSIVE ev AS (
+       |  SELECT user_id % 2 AS grp, user_id, epoch_us(ts) AS tus,
+       |    event_id
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |), mx AS (SELECT max(tus) AS m FROM ev),
+       |sq AS (
+       |  SELECT grp, user_id, tus,
+       |    lead(tus) OVER (PARTITION BY user_id
+       |                    ORDER BY tus, event_id) AS nxt
+       |  FROM ev
+       |), dur AS (
+       |  SELECT grp, (nxt - tus) // $dayUs AS t, 1 AS d, 0 AS c
+       |  FROM sq WHERE nxt IS NOT NULL
+       |  UNION ALL
+       |  SELECT grp, (mx.m - tus) // $dayUs AS t, 0 AS d, 1 AS c
+       |  FROM sq CROSS JOIN mx WHERE nxt IS NULL
+       |), daysg AS (
+       |  SELECT grp, t, CAST(sum(d) AS BIGINT) AS d,
+       |    CAST(sum(c) AS BIGINT) AS c
+       |  FROM dur GROUP BY grp, t
+       |), ordg AS (
+       |  SELECT grp, t, d, c,
+       |    CAST(row_number() OVER (PARTITION BY grp ORDER BY t)
+       |      AS BIGINT) AS i,
+       |    CAST(sum(d + c) OVER (PARTITION BY grp) AS BIGINT)
+       |      - CAST(COALESCE(sum(d + c) OVER (PARTITION BY grp
+       |          ORDER BY t
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |        AS BIGINT) AS n_risk
+       |  FROM daysg
+       |), walkg AS (
+       |  SELECT grp, CAST(0 AS BIGINT) AS i, CAST(1000000 AS BIGINT) AS s
+       |  FROM (SELECT DISTINCT grp FROM daysg)
+       |  UNION ALL
+       |  SELECT o.grp, o.i,
+       |    CASE WHEN o.d > 0 THEN (w.s * (o.n_risk - o.d)) // o.n_risk
+       |         ELSE w.s END
+       |  FROM walkg w JOIN ordg o ON o.grp = w.grp AND o.i = w.i + 1
+       |), pooled AS (
+       |  SELECT t,
+       |    CAST(sum(CASE WHEN grp = 0 THEN d ELSE 0 END) AS BIGINT)
+       |      AS d0,
+       |    CAST(sum(d) AS BIGINT) AS d,
+       |    CAST(sum(CASE WHEN grp = 0 THEN n_risk ELSE 0 END)
+       |      AS BIGINT) AS n0,
+       |    CAST(sum(n_risk) AS BIGINT) AS n
+       |  FROM (
+       |    -- at-risk per group at EVERY pooled day: total minus what
+       |    -- left strictly before t (groups without a row at t still
+       |    -- stand at risk)
+       |    SELECT dd.t, g.grp,
+       |      COALESCE((SELECT max(o.d) FROM ordg o
+       |                WHERE o.grp = g.grp AND o.t = dd.t), 0) AS d,
+       |      (SELECT sum(o.d + o.c) FROM ordg o WHERE o.grp = g.grp)
+       |        - COALESCE((SELECT sum(o.d + o.c) FROM ordg o
+       |                    WHERE o.grp = g.grp AND o.t < dd.t), 0)
+       |        AS n_risk
+       |    FROM (SELECT DISTINCT t FROM daysg) dd
+       |    CROSS JOIN (SELECT DISTINCT grp FROM daysg) g
+       |  ) GROUP BY t
+       |), lr AS (
+       |  SELECT
+       |    CAST(COALESCE(sum(CAST(floor((CAST(d0 AS DOUBLE)
+       |      - CAST(d AS DOUBLE) * CAST(n0 AS DOUBLE)
+       |        / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)), 0)
+       |      AS BIGINT) AS s_ome,
+       |    CAST(COALESCE(sum(CASE WHEN n > 1 THEN
+       |      CAST(floor((CAST(d AS DOUBLE) * CAST(n0 AS DOUBLE)
+       |        / CAST(n AS DOUBLE) * CAST(n - n0 AS DOUBLE)
+       |        / CAST(n AS DOUBLE) * CAST(n - d AS DOUBLE)
+       |        / CAST(n - 1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+       |      ELSE 0 END), 0) AS BIGINT) AS s_v
+       |  FROM pooled WHERE d > 0
+       |), chi AS (
+       |  SELECT CASE WHEN s_v = 0 THEN 0.0
+       |    ELSE floor((CAST(s_ome AS DOUBLE) * CAST(s_ome AS DOUBLE)
+       |      / (1000000.0 * CAST(s_v AS DOUBLE))) * 1000000.0 + 0.5)
+       |      / 1000000.0 END AS logrank_chi2
+       |  FROM lr
+       |)
+       |SELECT o.grp, o.t AS t_days, o.n_risk, o.d AS d_events,
+       |       o.c AS c_censored, w.s AS surv_mu, chi.logrank_chi2
+       |FROM ordg o JOIN walkg w ON w.grp = o.grp AND w.i = o.i
+       |CROSS JOIN chi
+       |WHERE o.d > 0 ORDER BY o.grp, t_days""".stripMargin
+  }
 }

@@ -72,12 +72,44 @@ object Graph {
     tuples.select((col("s") * 2).as("src"), (col("o") * 2 + 1).as("dst"))
       .distinct()
 
+  /** The distinct interaction pair relation memoized per (session,
+    * corpus) with the SignatureStore discipline: all seven batch graph
+    * faces that walk the SAME encoded pair relation (pagerank, PPR,
+    * HITS, concomp, BFS, degree distribution, assortativity) used to
+    * pay the extract + distinct scan independently — the shared floor
+    * of the r12 100× probes (concomp 15.3 s / assortativity 18.2 s at
+    * 10M events, each mostly re-deriving this relation). At 100 TB
+    * this is the edge table a deployment materializes once between
+    * the log and every graph consumer. Stream/store faces keep their
+    * own snapshot-derived relations (their state IS the edge store).
+    */
+  private val pairCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private[graft] def fwdPairsFor(spark: SparkSession,
+                                 sfDir: String): DataFrame = {
+    // sweep entries pinned to stopped sessions (the centCache pattern)
+    val it = pairCache.keySet().iterator()
+    while (it.hasNext) {
+      if (it.next()._1.sparkContext.isStopped) it.remove()
+    }
+    pairCache.computeIfAbsent((spark, sfDir), { case (s, dir) =>
+      fwdPairs(Transform.extract(s, dir)).persist()
+    })
+  }
+
+  def releaseAll(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    pairCache.keySet.asScala.filter(_._1 eq spark).toSeq
+      .foreach(k => Option(pairCache.remove(k)).foreach(_.unpersist()))
+  }
+
   /** Node encoding: users ride even ids (2s), objects odd (2o+1) —
     * the two id spaces cannot collide.
     */
   def qPagerank(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
-    pagerankFrom(fwdPairs(Transform.extract(spark, sfDir)),
+    pagerankFrom(fwdPairsFor(spark, sfDir),
       iters = iterationsOf(spark),
       checkpointRanks = checkpointRanksOf(spark))
   }
@@ -176,7 +208,7 @@ object Graph {
     */
   def qPpr(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
-    pprFrom(fwdPairs(Transform.extract(spark, sfDir)))
+    pprFrom(fwdPairsFor(spark, sfDir))
   }
 
   private[graft] def pprFrom(fwdPairs: DataFrame,
@@ -280,7 +312,7 @@ object Graph {
     */
   def qHits(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
-    hitsFrom(fwdPairs(Transform.extract(spark, sfDir)),
+    hitsFrom(fwdPairsFor(spark, sfDir),
       iters = iterationsOf(spark))
   }
 
@@ -942,11 +974,15 @@ object Graph {
     * the edge relation's one shuffle, the textbook hash-min CC plan.
     */
   def qConcomp(spark: SparkSession, sfDir: String): DataFrame =
-    concompFrom(spark, Transform.extract(spark, sfDir))
+    concompFromPairs(spark, fwdPairsFor(spark, sfDir))
 
   private[graft] def concompFrom(spark: SparkSession,
-                                 tuples: DataFrame): DataFrame = {
-    val edges = fwdPairs(tuples)
+                                 tuples: DataFrame): DataFrame =
+    concompFromPairs(spark, fwdPairs(tuples))
+
+  private[graft] def concompFromPairs(spark: SparkSession,
+                                      fwdPairs: DataFrame): DataFrame = {
+    val edges = fwdPairs
       .select(col("src").as("doc_a"), col("dst").as("doc_b"))
     val (labels, _) =
       graft.pipeline.Dedup.resolveComponents(spark, edges)
@@ -1012,13 +1048,25 @@ object Graph {
     * distributed BFS plan at any scale.
     */
   def qBfsHops(spark: SparkSession, sfDir: String): DataFrame =
-    bfsHopsFrom(Transform.extract(spark, sfDir))
+    bfsHopsFromPairs(fwdPairsFor(spark, sfDir))
 
-  private[graft] def bfsHopsFrom(tuples: DataFrame): DataFrame = {
-    val fwd = fwdPairs(tuples).localCheckpoint()
+  private[graft] def bfsHopsFrom(tuples: DataFrame): DataFrame =
+    bfsHopsFromPairs(fwdPairs(tuples))
+
+  private[graft] def bfsHopsFromPairs(fwdPairs: DataFrame): DataFrame = {
+    val fwd = fwdPairs.localCheckpoint()
     val sym = fwd.unionAll(
       fwd.select(col("dst").as("src"), col("src").as("dst")))
-    val srcV = sym.agg(min(col("src"))).collect().head.getLong(0)
+    // empty pair relation: no source to expand from - return the empty
+    // (node_kind, node_id, hops) frame like the sibling faces, instead
+    // of NPE-ing on the null min (reachable via the stream/store faces
+    // before any pairs arrive)
+    val srcRow = sym.agg(min(col("src"))).collect().head
+    if (srcRow.isNullAt(0))
+      return fwd.sparkSession.range(0).select(
+        lit("user").as("node_kind"), col("id").as("node_id"),
+        col("id").as("hops"))
+    val srcV = srcRow.getLong(0)
     var visited = sym.sparkSession.range(1)
       .select(lit(srcV).as("v"), lit(0L).as("hops")).localCheckpoint()
     var frontier = visited
@@ -1081,10 +1129,13 @@ object Graph {
     * shuffles at any scale.
     */
   def qDegreeDist(spark: SparkSession, sfDir: String): DataFrame =
-    degreeDistFrom(Transform.extract(spark, sfDir))
+    degreeDistFromPairs(fwdPairsFor(spark, sfDir))
 
-  private[graft] def degreeDistFrom(tuples: DataFrame): DataFrame = {
-    val fwd = fwdPairs(tuples)
+  private[graft] def degreeDistFrom(tuples: DataFrame): DataFrame =
+    degreeDistFromPairs(fwdPairs(tuples))
+
+  private[graft] def degreeDistFromPairs(fwdPairs: DataFrame): DataFrame = {
+    val fwd = fwdPairs
     val sym = fwd.unionAll(
       fwd.select(col("dst").as("src"), col("src").as("dst")))
     sym.groupBy(col("src")).agg(count(lit(1)).as("degree"))
@@ -1125,10 +1176,13 @@ object Graph {
     * degree joins), nothing iterative.
     */
   def qAssortativity(spark: SparkSession, sfDir: String): DataFrame =
-    assortativityFrom(Transform.extract(spark, sfDir))
+    assortativityFromPairs(fwdPairsFor(spark, sfDir))
 
-  private[graft] def assortativityFrom(tuples: DataFrame): DataFrame = {
-    val fwd = fwdPairs(tuples)
+  private[graft] def assortativityFrom(tuples: DataFrame): DataFrame =
+    assortativityFromPairs(fwdPairs(tuples))
+
+  private[graft] def assortativityFromPairs(fwdPairs: DataFrame): DataFrame = {
+    val fwd = fwdPairs
     val sym = fwd.unionAll(
       fwd.select(col("dst").as("src"), col("src").as("dst")))
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))

@@ -139,6 +139,18 @@ object SignatureStore {
     * schema when no batch has ever committed - a store that hasn't
     * seen data yet answers queries with zero rows, not an error.
     */
+  /** The LM store's doc-term relation, or its empty frame when
+    * `admitLm` produced no batches (empty/missing glob) - the
+    * storedOrEmpty discipline for the two streaming faces that read
+    * the store directly (a raw parquet read throws AnalysisException
+    * on the empty store instead of returning the empty answer).
+    */
+  private[graft] def storedLmDocTerms(spark: SparkSession,
+                                      storeDir: String): DataFrame =
+    storedOrEmpty(spark, s"$storeDir/lm_doc_terms",
+      emptyLike(spark, spark.range(0)
+        .selectExpr("id AS doc_id", "'' AS term", "id AS k")))
+
   private def storedOrEmpty(spark: SparkSession, dir: String,
                             empty: => DataFrame): DataFrame = {
     Graft.ensureConf(spark)

@@ -275,8 +275,7 @@ object StreamSum {
     import graft.pipeline.SignatureStore
     val store = SignatureStore.tempDirForExit("graft_stream_curr")
     SignatureStore.admitLm(spark, sfDir, store, glob = "documents.parquet")
-    val docTerms = spark.read.parquet(s"$store/lm_doc_terms")
-      .drop("batch")
+    val docTerms = SignatureStore.storedLmDocTerms(spark, store)
     graft.pipeline.CorpusOps.curriculumFromNll(
       SignatureStore.lmNllAgainstStore(spark, store, docTerms))
   }
@@ -400,8 +399,7 @@ object StreamSum {
     import graft.pipeline.{QualityGate, SignatureStore}
     val store = SignatureStore.tempDirForExit("graft_stream_qprune")
     SignatureStore.admitLm(spark, sfDir, store, glob = "documents.parquet")
-    val docTerms = spark.read.parquet(s"$store/lm_doc_terms")
-      .drop("batch")
+    val docTerms = SignatureStore.storedLmDocTerms(spark, store)
     val nll = SignatureStore.lmNllAgainstStore(spark, store, docTerms)
     val docsB = Graft.table(spark, sfDir, "documents")
     val nb = QualityGate.nllBinned(docsB, nll)

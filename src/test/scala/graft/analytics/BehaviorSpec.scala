@@ -245,6 +245,39 @@ class BehaviorSpec extends SparkSpec {
       (2L, 2L, 2L, 0L, 0L)), s"KM curve wrong: $got")
   }
 
+  test("survival logrank: hand-computed two-group log-rank - per-group " +
+       "KM curves, pooled-day at-risk accounting, exact micro-unit " +
+       "O-E and variance sums, chi2 = 1.0 on the planted split") {
+    val s = spark; import s.implicits._
+    val day = 86400000L // ms
+    // user 0 (grp 0): events day 0,1,2 -> gaps 1,1; censored 1 (obs
+    // end = day 3). user 1 (grp 1): events day 0,3 -> gap 3;
+    // censored 0.
+    // g0 days: t=1 (d=2,c=1); KM: n=3, d=2 -> S = 333333.
+    // g1 days: t=0 (c=1), t=3 (d=1); KM: risk 2->1 through t=0,
+    //   t=3: n=1, d=1 -> S = 0.
+    // log-rank pooled: t=0 d=0 skip (g1 risk 2->1); t=1: n0=3, n1=1,
+    //   d0=2, d=2 -> O-E = 2 - 2*3/4 = 0.5 (500000), V =
+    //   2*(3/4)*(1/4)*(2/3) = 0.25 (250000); t=3: n=1 -> V term 0,
+    //   O-E = 0. chi2 = 0.5^2 / 0.25 = 1.0.
+    val rows = Seq(
+      (0L, 0L, 0L), (1L, 1 * day, 0L), (2L, 2 * day, 0L),
+      (3L, 0L, 1L), (4L, 3 * day, 1L))
+      .map { case (i, ms, u) =>
+        (i, new java.sql.Timestamp(ms), u, "view", 1.0, """{"k":1}""")
+      }
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_logrank").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Behavior.qSurvivalLogrank(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(got == Seq(
+      (0L, 1L, 3L, 2L, 1L, 333333L, 1.0),
+      (1L, 3L, 1L, 1L, 0L, 0L, 1.0)), s"logrank wrong: $got")
+  }
+
   test("markov entropy: deterministic states are exactly 0, a uniform " +
        "2-way split is exactly the micro-nat ln 2, and the rate is " +
        "the frequency-weighted integer mean") {
