@@ -1566,6 +1566,33 @@ object SignatureStore {
     storedSurvival(spark, store)
   }
 
+  /** Stratified KM + log-rank view over the SAME fragment store (the
+    * cohort label is derivable from user_id, so the store needs no
+    * extra column); shares `q_survival_logrank`'s oracle. Same
+    * parity-split gate as `gatedSurvival`.
+    */
+  def gatedSurvivalLogrank(spark: SparkSession,
+                           sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_logrank_watch")
+    val store = tempDirForExit("graft_gate_logrank_store")
+    val ev = Graft.table(spark, sfDir, "events")
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpSeq(spark, watch, store)
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpSeq(spark, watch, store)
+    val frags = storedOrEmpty(spark, s"$store/frags",
+      emptyLike(spark, spark.range(0).selectExpr("id AS user_id",
+        "array(struct(id AS tus, id AS event_id, " +
+          "CAST(id AS STRING) AS c)) AS buf")))
+    graft.analytics.Behavior.survivalLogrankFrom(
+      frags.select(col("user_id"), explode(col("buf")).as("x"))
+        .select(pmod(col("user_id"), lit(2L)).as("grp"), col("user_id"),
+          col("x.tus").as("tus"), col("x.event_id").as("event_id")),
+      graft.analytics.TimeSeries.dayUs)
+  }
+
   // ---- graph store ---------------------------------------------------
 
   /** Incremental interaction graph: each arriving batch lands its

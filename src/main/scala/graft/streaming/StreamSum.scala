@@ -1702,6 +1702,31 @@ object StreamSum {
       graft.analytics.TimeSeries.dayUs)
   }
 
+  /** Streaming face of the stratified KM + log-rank, sharing
+    * `q_survival_logrank`'s oracle: the SAME per-user history state as
+    * `ss_stream_survival` (the cohort label is derivable from the key,
+    * so stratification adds NOTHING to the storable fact), with the
+    * per-group folds and the pooled-day log-rank accounting a
+    * query-time view via the batch `survivalLogrankFrom`.
+    */
+  def streamSurvivalLogrank(spark: SparkSession,
+                            sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val state = streamingEvents(spark, sfDir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), expr("graft_ts_us(ts)").as("tus"),
+        col("event_id"))
+      .groupBy(col("user_id"))
+      .agg(collect_list(struct(col("tus"), col("event_id"))).as("buf"))
+    val snap = runToTable(state, OutputMode.Complete(),
+      "ss_stream_survival_logrank")
+    graft.analytics.Behavior.survivalLogrankFrom(
+      snap.select(col("user_id"), explode(col("buf")).as("x"))
+        .select(pmod(col("user_id"), lit(2L)).as("grp"), col("user_id"),
+          col("x.tus").as("tus"), col("x.event_id").as("event_id")),
+      graft.analytics.TimeSeries.dayUs)
+  }
+
   /** Streaming face of the RFM segmentation, sharing `q_rfm`'s oracle:
     * the streamed state is the per-customer rollup (max last-order
     * time / order count / cents sum — the same declarative aggregation
