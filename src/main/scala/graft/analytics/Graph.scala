@@ -283,6 +283,95 @@ object Graph {
        |ORDER BY node_kind, node_id""".stripMargin
   }
 
+  // ---- q_katz: Katz centrality ----------------------------------------
+
+  /** Katz attenuation 1/katzAlphaDen per hop — 1/8 keeps the series
+    * contraction safe for any degree the gate graphs carry (the walk
+    * is truncated at `iterations` anyway, so convergence is a
+    * well-conditioning choice, not a requirement).
+    */
+  val katzAlphaDen = 8L
+
+  /** KATZ centrality: x(v) = Σ_k α^k · (# walks of length k ending at
+    * v), truncated at `iterations` — the centrality member that counts
+    * WALKS instead of PageRank's degree-normalized mass (a node
+    * adjacent to hubs scores high even when the hubs' attention is
+    * divided; the classic complement in the centrality family:
+    * pagerank = random surfer, PPR = seeded surfer, HITS = mutual
+    * reinforcement, Katz = attenuated walk counting). Integer
+    * micro-units with truncating division:
+    * x'(v) = (Σ_{u→v} (x(u) + 10⁶)) DIV katzAlphaDen — the +1 per
+    * neighbor is Katz's β·A·1 drive term, α = 1/katzAlphaDen the
+    * attenuation, both exact on both engines.
+    *
+    * 100 TB shape: identical to the pagerank loop on the SAME
+    * memoized pair relation (`fwdPairsFor`) — per iteration one
+    * src-keyed join against the node-sized score relation and one
+    * map-combinable dst-keyed sum; no degree join at all (walks are
+    * not normalized), so it is strictly cheaper than the pagerank
+    * round.
+    */
+  def qKatz(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    katzFrom(fwdPairsFor(spark, sfDir), iters = iterationsOf(spark))
+  }
+
+  private[graft] def katzFrom(fwdPairs: DataFrame,
+                              iters: Int = iterations): DataFrame = {
+    val fwd = fwdPairs.localCheckpoint()
+    val edges = fwd.unionAll(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val nodes = edges.select(col("src").as("v")).distinct()
+    var x = nodes.select(col("v"), lit(0L).as("x"))
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .join(x.select(col("v").as("src"), col("x")), "src")
+        .groupBy(col("dst").as("v"))
+        .agg(sum(col("x") + lit(1000000L)).as("S"))
+      x = nodes.join(contribs, Seq("v"), "left")
+        .select(col("v"), expr(
+          s"coalesce(S, 0L) DIV ${katzAlphaDen}L").as("x"))
+    }
+    x.select(
+        when(pmod(col("v"), lit(2)) === 0, lit("user"))
+          .otherwise(lit("obj")).as("node_kind"),
+        expr("v DIV 2").as("node_id"),
+        col("x").as("katz_mu"))
+      .orderBy(col("node_kind"), col("node_id"))
+  }
+
+  val qKatzSql: String = {
+    val iters = (1 to iterations).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS v, sum(x.x + 1000000) AS S
+         |  FROM edges e
+         |  JOIN x${i - 1} x ON e.src = x.v
+         |  GROUP BY 1
+         |), x$i AS (
+         |  SELECT n.v,
+         |    CAST(COALESCE(c.S, 0) // $katzAlphaDen AS BIGINT) AS x
+         |  FROM nodes n LEFT JOIN c$i c ON n.v = c.v
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ${graft.oracle.Sql.tuplesCte},
+       |fwd AS (
+       |  SELECT DISTINCT 2 * s AS src, 2 * o + 1 AS dst FROM tuples
+       |),
+       |edges AS (
+       |  SELECT src, dst FROM fwd
+       |  UNION ALL
+       |  SELECT dst AS src, src AS dst FROM fwd
+       |),
+       |nodes AS (SELECT DISTINCT src AS v FROM edges),
+       |x0 AS (SELECT v, CAST(0 AS BIGINT) AS x FROM nodes),
+       |$iters
+       |SELECT CASE WHEN v % 2 = 0 THEN 'user' ELSE 'obj' END
+       |    AS node_kind,
+       |  CAST(v // 2 AS BIGINT) AS node_id,
+       |  CAST(x AS BIGINT) AS katz_mu
+       |FROM x$iterations ORDER BY node_kind, node_id""".stripMargin
+  }
+
   // ---- q_hits: hubs and authorities -----------------------------------
 
   /** HITS (Kleinberg 1999) over the DIRECTED user→object arcs — the
@@ -721,6 +810,108 @@ object Graph {
        |SELECT node_id, CAST(count(*) AS BIGINT) AS tri_cnt
        |FROM (SELECT unnest([src, a, b]) AS node_id FROM tri)
        |GROUP BY 1 ORDER BY node_id""".stripMargin
+
+  // ---- q_lcc: local clustering coefficient ----------------------------
+
+  /** LOCAL CLUSTERING COEFFICIENT per node of the lift-filtered
+    * co-visitation projection: lcc(v) = 2·tri(v) / (d(v)·(d(v)−1)) for
+    * every node with projection degree ≥ 2 (nodes on no triangle
+    * report 0) — the per-node "how clique-like is my neighborhood"
+    * reading that q_triangles' motif counts and q_kcore's global peel
+    * bracket: a node can carry many triangles yet low lcc (a hub) or
+    * few yet lcc = 1 (a tight clique corner). One q6 double division
+    * per node over exact integer counts.
+    *
+    * 100 TB shape: the same degree-oriented wedge+closure plan as
+    * q_triangles (Σ outdeg² ≤ O(|E|^{3/2}) regardless of skew) plus
+    * one node-keyed left join of the two node-sized relations —
+    * nothing new touches the event log.
+    */
+  def qLcc(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    lccFrom(Transform.extract(spark, sfDir))
+  }
+
+  private[graft] def lccFrom(tuples: DataFrame): DataFrame = {
+    val act = capActive(tuples).localCheckpoint()
+    val nu = act.agg(count(lit(1)).as("n"))
+    val od = act.select(explode(col("os")).as("o"))
+      .groupBy(col("o")).agg(count(lit(1)).as("c"))
+    val e = liftEdges(
+      pairCounts(act).filter(col("cnt") >= cooccurMinCnt), od, nu)
+      .localCheckpoint()
+    val deg = e.select(col("o1").as("v"))
+      .unionAll(e.select(col("o2").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+    val tri = trianglesFromEdges(e)
+      .select(col("node_id").as("v"), col("tri_cnt"))
+    deg.join(tri, Seq("v"), "left")
+      .filter(col("degree") >= 2)
+      .select(col("v").as("node_id"), col("degree"),
+        coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"),
+        graft.pipeline.ParityMath.q6(
+          (lit(2L) * coalesce(col("tri_cnt"), lit(0L))).cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"))
+          .as("lcc"))
+      .orderBy(col("node_id"))
+  }
+
+  val qLccSql: String =
+    s"""WITH ${graft.oracle.Sql.tuplesCte},
+       |so AS (SELECT DISTINCT s, o FROM tuples),
+       |deg0 AS (SELECT s, count(*) AS d FROM so GROUP BY 1),
+       |el AS (
+       |  SELECT so.s, so.o FROM so JOIN deg0 USING (s)
+       |  WHERE deg0.d BETWEEN 2 AND $cooccurMaxDeg
+       |),
+       |nu AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS n FROM el),
+       |od AS (SELECT o, CAST(count(*) AS BIGINT) AS c FROM el GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.o AS o1, b.o AS o2, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM el a JOIN el b ON a.s = b.s AND a.o < b.o
+       |  GROUP BY 1, 2 HAVING count(*) >= $cooccurMinCnt
+       |),
+       |e AS (
+       |  SELECT p.o1, p.o2
+       |  FROM pairs p
+       |  JOIN od d1 ON p.o1 = d1.o JOIN od d2 ON p.o2 = d2.o
+       |  CROSS JOIN nu
+       |  WHERE $triLiftDen * p.cnt * nu.n > $triLiftNum * d1.c * d2.c
+       |),
+       |deg AS (
+       |  SELECT v, CAST(count(*) AS BIGINT) AS degree FROM (
+       |    SELECT o1 AS v FROM e UNION ALL SELECT o2 AS v FROM e
+       |  ) GROUP BY 1
+       |),
+       |ori AS (
+       |  SELECT
+       |    CASE WHEN da.degree < db.degree
+       |           OR (da.degree = db.degree AND e.o1 < e.o2)
+       |         THEN e.o1 ELSE e.o2 END AS src,
+       |    CASE WHEN da.degree < db.degree
+       |           OR (da.degree = db.degree AND e.o1 < e.o2)
+       |         THEN e.o2 ELSE e.o1 END AS dst
+       |  FROM e JOIN deg da ON e.o1 = da.v JOIN deg db ON e.o2 = db.v
+       |),
+       |tri AS (
+       |  SELECT w.src, w.a, w.b FROM (
+       |    SELECT e1.src, e1.dst AS a, e2.dst AS b
+       |    FROM ori e1 JOIN ori e2 ON e1.src = e2.src AND e1.dst < e2.dst
+       |  ) w JOIN e ON w.a = e.o1 AND w.b = e.o2
+       |),
+       |tcnt AS (
+       |  SELECT node_id, CAST(count(*) AS BIGINT) AS tri_cnt
+       |  FROM (SELECT unnest([src, a, b]) AS node_id FROM tri)
+       |  GROUP BY 1
+       |)
+       |SELECT d.v AS node_id, d.degree,
+       |  CAST(COALESCE(t.tri_cnt, 0) AS BIGINT) AS tri_cnt,
+       |  ${graft.pipeline.ParityMath.q6Sql(
+            "CAST(2 * COALESCE(t.tri_cnt, 0) AS DOUBLE) " +
+              "/ CAST(d.degree * (d.degree - 1) AS DOUBLE)")} AS lcc
+       |FROM deg d LEFT JOIN tcnt t ON t.node_id = d.v
+       |WHERE d.degree >= 2
+       |ORDER BY node_id""".stripMargin
 
   // ---- q_linkpred: common-neighbor / Adamic-Adar link prediction -----
 

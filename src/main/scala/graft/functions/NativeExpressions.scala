@@ -933,6 +933,44 @@ object IvfMath {
     secC.toLong
   }
 
+  /** TOP-3 cells under the (csim DESC, cid ASC) order, packed as
+    * c1·10¹² + c2·10⁶ + c3 (each cid < 10⁶, so the pack is lossless
+    * and fits a signed long: max < 10¹⁸) — the multi-probe kNN join's
+    * home + two boundary cells in ONE narrow scan, same one-pass
+    * 3-way tracking shape as `second`. Requires ≥ 3 centroids (the
+    * k ≥ 16 floor guarantees it).
+    */
+  def top3(vec: ArrayData, cents: Array[Array[Double]]): Long = {
+    require(cents.length < 1000000,
+      s"top-3 pack requires k < 1000000 cells, got ${cents.length}")
+    val n = vec.numElements()
+    var s1 = Double.NegativeInfinity; var c1 = -1
+    var s2 = Double.NegativeInfinity; var c2 = -1
+    var s3 = Double.NegativeInfinity; var c3 = -1
+    var c = 0
+    while (c < cents.length) {
+      val ce = cents(c)
+      val m = math.min(n, ce.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < m) {
+        val xv = vec.getFloat(i).toDouble
+        val yv = ce(i)
+        dot += xv * yv; na += xv * xv; nb += yv * yv; i += 1
+      }
+      val csim = dot / (math.sqrt(na) * math.sqrt(nb))
+      // strict > everywhere: ties resolve to the earlier (smaller) cid
+      if (csim > s1) {
+        s3 = s2; c3 = c2; s2 = s1; c2 = c1; s1 = csim; c1 = c
+      } else if (csim > s2) {
+        s3 = s2; c3 = c2; s2 = csim; c2 = c
+      } else if (csim > s3) {
+        s3 = csim; c3 = c
+      }
+      c += 1
+    }
+    c1.toLong * 1000000000000L + c2.toLong * 1000000L + c3.toLong
+  }
+
   /** Best (maximum) pinned-order cosine of `vec` against the matrix -
     * the k-means|| cost scan's kernel. Same per-centroid math as
     * `nearest` (so the value agrees bit-for-bit with what the oracle's
@@ -1223,6 +1261,40 @@ case class SecondCentroid(child: Expression, cents: Seq[Seq[Double]])
     val ref = ctx.addReferenceObj("cents", centsArr, "double[][]")
     defineCodeGen(ctx, ev,
       c => s"graft.functions.IvfMath.second($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** graft_top3_centroids(vec): the three nearest centroids packed as
+  * c1·10¹² + c2·10⁶ + c3 — the multi-probe kNN join's probe cells in
+  * one narrow codegen'd scan (never a k-way crossJoin + window). Same
+  * construction as `SecondCentroid`.
+  */
+case class NearestCentroidTop3(child: Expression, cents: Seq[Seq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  @transient private lazy val centsArr: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_top3_centroids expects array<float>, got ${other.catalogString}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_top3_centroids"
+
+  override def nullSafeEval(v: Any): Any =
+    IvfMath.top3(v.asInstanceOf[ArrayData], centsArr)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", centsArr, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.IvfMath.top3($c, $ref)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -1710,6 +1710,14 @@ object SignatureStore {
     graft.analytics.Graph.bfsHopsFrom(
       storedSo(spark, cohesionStore(spark, sfDir, "bfs")))
 
+  /** Clustering-coefficient view over the same union-distinct pair
+    * store (degrees, the lift gate and every closure are
+    * whole-projection facts); shares `q_lcc`'s oracle.
+    */
+  def gatedLcc(spark: SparkSession, sfDir: String): DataFrame =
+    graft.analytics.Graph.lccFrom(
+      storedSo(spark, cohesionStore(spark, sfDir, "lcc")))
+
   /** Link-prediction view over the same cohesion store: like the
     * triangle and core views, the candidate set is a function of the
     * WHOLE lift-filtered projection (one arriving interaction shifts
@@ -1773,6 +1781,35 @@ object SignatureStore {
         "id AS dst")))
     graft.analytics.Graph.hitsFrom(
       edges.select(col("src"), col("dst")).distinct())
+  }
+
+  /** Katz view over the same stored edge relation: attenuated walk
+    * counts are a fixpoint of the WHOLE graph (one arriving edge adds
+    * walks through everything it reaches), so the store's only fact
+    * stays the edge union and the truncated iteration runs at query
+    * time through the batch `katzFrom` — one store, a fourth rank
+    * view; shares `q_katz`'s oracle.
+    */
+  def storedKatz(spark: SparkSession, storeDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val edges = storedOrEmpty(spark, s"$storeDir/edges",
+      emptyLike(spark, spark.range(0).selectExpr("id AS src",
+        "id AS dst")))
+    graft.analytics.Graph.katzFrom(
+      edges.select(col("src"), col("dst")).distinct())
+  }
+
+  def gatedKatz(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_katz_watch")
+    val store = tempDirForExit("graft_gate_katz_store")
+    val ev = Graft.table(spark, sfDir, "events")
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpGraph(spark, watch, store)
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpGraph(spark, watch, store)
+    storedKatz(spark, store)
   }
 
   def gatedHits(spark: SparkSession, sfDir: String): DataFrame = {

@@ -1959,6 +1959,84 @@ object Similarity {
        |SELECT q_id, vec_id AS nbr_id, sim, rk FROM ranked
        |WHERE rk <= $knnK ORDER BY q_id, rk""".stripMargin
 
+  // ---- ann_knn_join_mp ---------------------------------------------------
+
+  /** MULTI-PROBE kNN join: each vector probes its THREE nearest cells
+    * (home + two boundary) against the home-cell index — the RECALL
+    * knob for the kNN join's one measured weakness (r13
+    * ScaleRecallProbe: 2-cell probing recalls 0.22 → 0.10 of brute
+    * truth as 2/√n coverage shrinks from 2k to 200k near-uniform
+    * vectors; every extra probe buys coverage linearly at candidate
+    * volume p·n²/k = p·n^1.5). All three cells come from ONE narrow
+    * codegen'd scan (`graft_top3_centroids`, c1·10¹²+c2·10⁶+c3 packed
+    * — never a k-way crossJoin + corpus window); the candidate join
+    * shuffles each side once on the cell id (probe side ×3 via the
+    * explode) and the bounded per-key top-k is unchanged. The gated
+    * face pins the flat top-3 ranking (the oracle replays crk ≤ 3);
+    * at 100 TB the probe count is the documented cost/recall dial —
+    * this face IS the p=3 point of that curve, measured against p=2
+    * in PLANS.md.
+    */
+  def annKnnJoinMp(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val centVecs = trainedCentroidsFor(spark, sfDir)
+    require(centVecs.size >= 3,
+      "multi-probe kNN join needs >= 3 cells (k >= 16 implies it)")
+    val packed = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.NearestCentroidTop3(
+        org.apache.spark.sql.GraftBridge.expression(col("embedding")),
+        centVecs))
+    val assign3 = e.select(col("vec_id"), col("embedding"),
+        packed.as("pk"))
+      .select(col("vec_id"), col("embedding"),
+        expr("pk DIV 1000000000000L").as("cid"),
+        expr("(pk DIV 1000000L) % 1000000L").as("cid2"),
+        expr("pk % 1000000L").as("cid3"))
+    val probes = assign3
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(array(col("cid"), col("cid2"), col("cid3"))).as("pcid"))
+    val index = assign3.select(col("vec_id"), col("embedding"),
+      col("cid").as("pcid"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    probes.join(index, "pcid")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim",
+        ParityMath.q6(expr(cosSpark("q_emb", "embedding"))))
+      .withColumn("rk", row_number().over(wTop).cast(LongType))
+      .filter(col("rk") <= knnK)
+      .select(col("q_id"), col("vec_id").as("nbr_id"), col("sim"),
+        col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val annKnnJoinMpSql: String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), $lloydCentsCtes, ranks AS MATERIALIZED (
+       |  SELECT vec_id, cid, crk FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosDuck("e.embedding", "c.c_emb")} DESC, c.cid)
+       |        AS crk
+       |    FROM e CROSS JOIN cents c
+       |  ) WHERE crk <= 3
+       |), scored AS (
+       |  SELECT p.vec_id AS q_id, a.vec_id,
+       |    (floor((${cosDuck("q.embedding", "e.embedding")}) * 1000000.0 + 0.5) / 1000000.0) AS sim
+       |  FROM ranks p
+       |  JOIN ranks a ON a.cid = p.cid AND a.crk = 1
+       |    AND a.vec_id <> p.vec_id
+       |  JOIN e ON e.vec_id = a.vec_id
+       |  JOIN e q ON q.vec_id = p.vec_id
+       |), ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |                 ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
+       |  FROM scored
+       |)
+       |SELECT q_id, vec_id AS nbr_id, sim, rk FROM ranked
+       |WHERE rk <= $knnK ORDER BY q_id, rk""".stripMargin
+
   // ---- dd_semantic ---------------------------------------------------
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,

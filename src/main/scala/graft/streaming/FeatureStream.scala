@@ -683,6 +683,25 @@ object FeatureStream {
     graft.analytics.Graph.bfsHopsFrom(
       pairDedupSnapshot(spark, sfDir, "ss_stream_bfs"))
 
+  /** Streaming Katz centrality: attenuated walk counts are a fixpoint
+    * of the WHOLE graph (one arriving pair adds walks through every
+    * node it reaches), so the truncated iteration runs at query time
+    * over the same minimal distinct-pair state.
+    */
+  def streamKatz(spark: SparkSession, sfDir: String): DataFrame =
+    graft.analytics.Graph.katzFrom(graft.analytics.Graph.fwdPairs(
+      pairDedupSnapshot(spark, sfDir, "ss_stream_katz")))
+
+  /** Streaming local clustering coefficient: degrees, the lift gate
+    * and every closure test are whole-projection facts (one arriving
+    * pair can open or close wedges anywhere in its two endpoints'
+    * neighborhoods), so the coefficient is a query-time view over the
+    * distinct-pair state through the batch `lccFrom`.
+    */
+  def streamLcc(spark: SparkSession, sfDir: String): DataFrame =
+    graft.analytics.Graph.lccFrom(
+      pairDedupSnapshot(spark, sfDir, "ss_stream_lcc"))
+
   def streamCooccur(spark: SparkSession, sfDir: String): DataFrame = {
     val tuples = graft.core.Transform.extractFrom(
         StreamSum.streamingEvents(spark, sfDir))

@@ -418,4 +418,37 @@ class GraphSpec extends SparkSpec {
     assert(c.getLong(0) == 2 * Graph.fwdPairs(tuples).count())
     assert(c.getDouble(1) >= -1.0 && c.getDouble(1) <= 1.0)
   }
+
+  test("katz: hand-replayed 3-iteration integer walk on a 2-star; " +
+       "walk counting is NOT degree-normalized") {
+    // user 0 (v=0) - objects 1, 2 (v=3, 5). Per iteration
+    // x'(v) = (sum over nbrs of (x + 1e6)) DIV 8:
+    //   i1: u = 2e6/8 = 250000,  a = b = 1e6/8 = 125000
+    //   i2: u = 2*(1125000)/8 = 281250, a = b = 1250000/8 = 156250
+    //   i3: u = 2*(1156250)/8 = 289062, a = b = 1281250/8 = 160156
+    val got = Graph.katzFrom(Graph.fwdPairs(
+        graft.core.Transform.extractFrom(eventsOf(Seq(
+          (0L, 1L), (0L, 2L))))))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == Seq(("obj", 1L, 160156L), ("obj", 2L, 160156L),
+      ("user", 0L, 289062L)), s"katz walk wrong: $got")
+  }
+
+  test("lcc: a planted clique corner is exactly 1.0 and an open wedge " +
+       "is 0; degree-1 nodes are excluded") {
+    // reuse the triangle fixture: clique {10,20,30} (lift-passing) and
+    // the wedge-free pair (40,50). Clique nodes: degree 2, one
+    // triangle -> lcc = 2*1/(2*1) = 1.0; pair nodes: degree 1 ->
+    // excluded entirely.
+    val base = (1L to 4L).flatMap(u => Seq(10L, 20L, 30L).map((u, _))) ++
+      Seq((5L, 40L), (5L, 50L), (6L, 40L), (6L, 50L))
+    val got = Graph.lccFrom(
+        graft.core.Transform.extractFrom(eventsOf(base)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq((10L, 2L, 1L, 1.0), (20L, 2L, 1L, 1.0),
+      (30L, 2L, 1L, 1.0)), s"lcc wrong: $got")
+  }
 }

@@ -99,6 +99,15 @@ object ScaleRecallProbe {
     println(f"ann_knn_join sampled recall@${Similarity.knnK} " +
       f"(default route): ${hk.toDouble / math.max(tk, 1)}%.3f " +
       s"(truth=$tk)")
+    // (d) the p=3 point of the probe/recall dial, same sample
+    val t2 = System.nanoTime()
+    val gotMp = Similarity.annKnnJoinMp(spark, dir)
+      .filter(col("q_id").isin(sampleIds: _*))
+      .select(col("q_id"), col("nbr_id").as("vec_id"))
+    val hm = cnt(gotMp.join(bruteKnn, Seq("q_id", "vec_id")))
+    println(f"ann_knn_join_mp sampled recall@${Similarity.knnK} " +
+      f"(p=3): ${hm.toDouble / math.max(tk, 1)}%.3f " +
+      f"(${(System.nanoTime() - t2) / 1e9}%.1fs filtered run)")
     spark.stop()
   }
 }
