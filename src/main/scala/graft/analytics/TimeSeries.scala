@@ -1144,6 +1144,121 @@ object TimeSeries {
        |  slope_med AS slope, b AS intercept
        |FROM rr WHERE rn = (nd + 1) // 2""".stripMargin
 
+  // ---- q_runs_test: Wald-Wolfowitz randomness screen -------------------
+
+  /** WALD-WOLFOWITZ RUNS TEST over the densified daily series — the
+    * randomness screen next to the trend pair (Mann-Kendall asks "is
+    * there a monotone trend", CUSUM "did the level shift"; this asks
+    * the prior question: is the sequence of above/below-median days
+    * even EXCHANGEABLE, or does it cluster/alternate beyond chance).
+    * Days equal to the median are dropped (the standard two-category
+    * reduction); the median is the LOWER median under the (c, d)
+    * total order — the q_mad convention, rank-selected so both
+    * engines pick the identical element.
+    *
+    * Determinism: n_above / n_below / runs are exact integers; only
+    * the final z = (R − E[R]) / sqrt(V[R]) is floating point — one
+    * pinned double chain over exact BIGINTs (sqrt is IEEE
+    * correctly-rounded), q6-rounded, guarded NULL when either side is
+    * empty or 2·n1·n2 ≤ m (V = 0: the statistic is undefined).
+    *
+    * 100 TB shape: the same additive per-day count state as the other
+    * trend faces (ONE map-combinable agg over the events scan), the
+    * median via GlobalRank's range-shuffle rank, then one ordered
+    * scan over the TIME-bounded day grid (single-task by contract,
+    * like every days-grid window in this file) for the run count.
+    */
+  def qRunsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    runsFromBuckets(mkBuckets(Graft.table(spark, sfDir, "events")))
+  }
+
+  /** The pinned z chain, written ONCE and spliced into both engines:
+    * a = n_above, b = n_below, r = runs, m = a + b.
+    */
+  private val runsZExpr: String =
+    """(CAST(runs AS DOUBLE)
+      | - (CAST(1 AS DOUBLE)
+      |    + (CAST(2 AS DOUBLE) * CAST(n_above AS DOUBLE)
+      |       * CAST(n_below AS DOUBLE))
+      |      / CAST(n_above + n_below AS DOUBLE)))
+      |/ sqrt((CAST(2 AS DOUBLE) * CAST(n_above AS DOUBLE)
+      |          * CAST(n_below AS DOUBLE)
+      |        * (CAST(2 AS DOUBLE) * CAST(n_above AS DOUBLE)
+      |             * CAST(n_below AS DOUBLE)
+      |           - CAST(n_above + n_below AS DOUBLE)))
+      |       / (CAST(n_above + n_below AS DOUBLE)
+      |          * CAST(n_above + n_below AS DOUBLE)
+      |          * (CAST(n_above + n_below AS DOUBLE)
+      |             - CAST(1 AS DOUBLE))))""".stripMargin
+
+  /** The test over any (d, c) bucket relation — shared by the batch,
+    * streaming and store faces (one arriving event shifts its day,
+    * possibly the median, and thereby every sign: never storable
+    * state beyond the additive counts).
+    */
+  private[graft] def runsFromBuckets(cnt0: DataFrame): DataFrame = {
+    val dense = mkDense(cnt0)
+    val days = dense.agg(count(lit(1)).as("n_days"))
+    val (ranked, nDays) = graft.core.GlobalRank.withRank(dense,
+      Seq(col("c").asc, col("d").asc), "rn")
+    val med = ranked.filter(col("rn") === (nDays + 1) / 2)
+      .select(col("c").as("c_med"))
+    val signed = dense.crossJoin(broadcast(med))
+      .filter(col("c") =!= col("c_med"))
+      .select(col("d"), (col("c") > col("c_med")).cast("long").as("up"))
+    val w = Window.orderBy(col("d"))
+    val stats = signed
+      .withColumn("prev", lag(col("up"), 1).over(w))
+      .agg(
+        coalesce(sum(col("up")), lit(0L)).as("n_above"),
+        coalesce(sum(lit(1L) - col("up")), lit(0L)).as("n_below"),
+        coalesce(sum(when(col("prev").isNull ||
+          col("prev") =!= col("up"), 1L).otherwise(0L)), lit(0L))
+          .as("runs"))
+    stats.crossJoin(broadcast(days)).crossJoin(broadcast(med))
+      .select(col("n_days"), col("c_med"),
+        col("n_above"), col("n_below"), col("runs"),
+        when(col("n_above") > 0 && col("n_below") > 0 &&
+          lit(2L) * col("n_above") * col("n_below") >
+            col("n_above") + col("n_below"),
+          graft.pipeline.ParityMath.q6(expr(runsZExpr))).as("z"))
+  }
+
+  val qRunsTestSql: String =
+    s"""WITH cnt AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS d,
+       |         CAST(count(*) AS BIGINT) AS c
+       |  FROM events WHERE ts IS NOT NULL GROUP BY 1
+       |), dense AS MATERIALIZED (
+       |  SELECT s.d, coalesce(c.c, 0) AS c
+       |  FROM (SELECT unnest(range(min(d), max(d) + 1)) AS d FROM cnt) s
+       |  LEFT JOIN cnt c ON c.d = s.d
+       |), n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM dense),
+       |med AS (
+       |  SELECT c AS c_med FROM (
+       |    SELECT c, row_number() OVER (ORDER BY c, d) AS rn,
+       |           count(*) OVER () AS nd
+       |    FROM dense
+       |  ) WHERE rn = (nd + 1) // 2
+       |), signed AS (
+       |  SELECT d, CASE WHEN c > m.c_med THEN 1 ELSE 0 END AS up
+       |  FROM dense CROSS JOIN med m WHERE c <> m.c_med
+       |), r AS (
+       |  SELECT
+       |    CAST(coalesce(sum(up), 0) AS BIGINT) AS n_above,
+       |    CAST(coalesce(sum(1 - up), 0) AS BIGINT) AS n_below,
+       |    CAST(coalesce(sum(CASE WHEN prev IS NULL OR prev <> up
+       |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS runs
+       |  FROM (SELECT up, lag(up) OVER (ORDER BY d) AS prev FROM signed)
+       |)
+       |SELECT n.n_days, m.c_med, r.n_above, r.n_below, r.runs,
+       |  CASE WHEN r.n_above > 0 AND r.n_below > 0
+       |         AND 2 * r.n_above * r.n_below > r.n_above + r.n_below
+       |  THEN ${graft.pipeline.ParityMath.q6Sql(runsZExpr)}
+       |  END AS z
+       |FROM r, n, med m""".stripMargin
+
   // ---- q_anomaly: rolling z-score outlier detection ------------------
 
   /** Baseline window (strictly-preceding observations) and the minimum

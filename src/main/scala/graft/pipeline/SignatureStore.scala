@@ -1088,6 +1088,16 @@ object SignatureStore {
     graft.analytics.TimeSeries.theilsenFromBuckets(
       storedDayCounts(spark, trendStore(spark, sfDir, "tsen")))
 
+  /** Runs-test view over the same day-count landing: the median — and
+    * with it every day's above/below sign — shifts with any arriving
+    * event, so only the additive counts are storable and the whole
+    * sign/run chain re-derives at query time; shares `q_runs_test`'s
+    * oracle.
+    */
+  def gatedRunsTest(spark: SparkSession, sfDir: String): DataFrame =
+    graft.analytics.TimeSeries.runsFromBuckets(
+      storedDayCounts(spark, trendStore(spark, sfDir, "runs")))
+
   /** Third view over the same day-count landing: the online CUSUM —
     * the reference level T/n shifts with EVERY arriving event, so the
     * whole excursion series re-derives at query time; shares

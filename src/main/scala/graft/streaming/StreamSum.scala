@@ -1488,6 +1488,21 @@ object StreamSum {
       runToTable(buckets, OutputMode.Complete(), "ss_stream_theilsen"))
   }
 
+  /** Streaming face of the Wald-Wolfowitz runs test, sharing
+    * `q_runs_test`'s oracle: same storable fact as the other
+    * daily-series faces (the additive per-day count — one arriving
+    * event can shift the median and thereby EVERY day's sign), the
+    * median/sign/run chain a query-time view through the batch
+    * `runsFromBuckets`.
+    */
+  def streamRunsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.core.Graft.ensureConf(spark)
+    val buckets = graft.analytics.TimeSeries.mkBuckets(
+      streamingEvents(spark, sfDir))
+    graft.analytics.TimeSeries.runsFromBuckets(
+      runToTable(buckets, OutputMode.Complete(), "ss_stream_runs"))
+  }
+
   /** Streaming admission face of the entropy signal, sharing
     * `txt_entropy`'s oracle: the score is within-row (the whole point
     * of the in-row formulation), so arriving docs are scored by

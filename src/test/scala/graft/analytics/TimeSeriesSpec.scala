@@ -386,6 +386,37 @@ class TimeSeriesSpec extends SparkSpec {
     assert(b.toSeq == Seq(3L, 3L, 2.0, 1.0), s"gap case: ${b.toSeq}")
   }
 
+  test("runs test: lower-median split, tie days dropped, run count " +
+       "and z hand-computed; one-sided splits yield no verdict") {
+    val s = spark; import s.implicits._
+    graft.core.Graft.ensureConf(spark)
+    // series [5,1,1,5,5,1,3] -> sorted (c,d) rank (7+1)//2 = 4 picks
+    // med 3 (day 6 drops as the tie); signs by day [1,0,0,1,1,0] ->
+    // 4 runs; n1 = n2 = 3 -> E[R] = 4 exactly -> z = 0
+    val a = TimeSeries.runsFromBuckets(
+        Seq((0L, 5L), (1L, 1L), (2L, 1L), (3L, 5L), (4L, 5L),
+          (5L, 1L), (6L, 3L)).toDF("d", "c"))
+      .collect().head
+    assert(a.toSeq.take(5) == Seq(7L, 3L, 3L, 3L, 4L), s"${a.toSeq}")
+    assert(a.getDouble(5) == 0.0, s"balanced runs must z at 0: $a")
+    // clustered [9,9,9,1,0,0,0]: med 1, signs [1,1,1,0,0,0] -> 2 runs,
+    // z = (2 - 4)/sqrt(1.2) q6 exactly
+    val b = TimeSeries.runsFromBuckets(
+        Seq((0L, 9L), (1L, 9L), (2L, 9L), (3L, 1L), (4L, 0L),
+          (5L, 0L), (6L, 0L)).toDF("d", "c"))
+      .collect().head
+    assert(b.toSeq.take(5) == Seq(7L, 1L, 3L, 3L, 2L), s"${b.toSeq}")
+    val zExp = math.floor(-2.0 / math.sqrt(1.2) * 1e6 + 0.5) / 1e6
+    assert(b.getDouble(5) == zExp, s"clustered z: ${b.getDouble(5)}")
+    // one-sided split [5,1,5,1]: med 1 -> only above-days survive
+    // (n_below = 0) -> the statistic is undefined, z NULL
+    val c = TimeSeries.runsFromBuckets(
+        Seq((0L, 5L), (1L, 1L), (2L, 5L), (3L, 1L)).toDF("d", "c"))
+      .collect().head
+    assert(c.toSeq.take(5) == Seq(4L, 1L, 2L, 0L, 1L), s"${c.toSeq}")
+    assert(c.isNullAt(5), s"one-sided split must yield NULL z: $c")
+  }
+
   test("trending: lift ranks recent-vs-prior day counts; older-only " +
        "objects are excluded") {
     val s = spark; import s.implicits._
