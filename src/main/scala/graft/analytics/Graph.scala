@@ -1106,6 +1106,147 @@ object Graph {
        |ORDER BY node_id""".stripMargin
   }
 
+  // ---- q_modularity: partition quality of the LPA communities ---------
+
+  /** NEWMAN MODULARITY of the LPA partition over the lift-filtered
+    * co-visitation projection — the grade on the community detector's
+    * own output (q_lpa says WHICH communities; this says whether that
+    * partition beats the random-graph null at all): per community c,
+    * ΔQ_c = e_c/m − (deg_c/(2m))², with e_c the within-community edge
+    * count, deg_c the community's degree mass, m the projection's
+    * edge count; Q = Σ_c ΔQ_c. Emitted per community (size, internal
+    * edges, degree mass, ΔQ) so the reader sees WHERE the structure
+    * lives, not just the one number.
+    *
+    * Determinism: m, e_c, deg_c, n_nodes are exact integers off the
+    * same deterministic LPA labels as q_lpa; ΔQ is one pinned double
+    * chain over them, q6-rounded — both engines agree bitwise.
+    *
+    * 100 TB shape: the LPA rounds dominate (same plan as q_lpa); on
+    * top of them this adds one node-keyed degree join, one
+    * edge-labelling join pair for e_c and two map-combinable
+    * community-keyed aggs — all on the already-materialized
+    * projection, no new scan of anything event-sized.
+    */
+  def qModularity(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    modularityFrom(Transform.extract(spark, sfDir))
+  }
+
+  private[graft] def modularityFrom(tuples: DataFrame): DataFrame = {
+    val act = capActive(tuples).localCheckpoint()
+    val nu = act.agg(count(lit(1)).as("n"))
+    val od = act.select(explode(col("os")).as("o"))
+      .groupBy(col("o")).agg(count(lit(1)).as("c"))
+    modularityFromEdges(liftEdges(
+      pairCounts(act).filter(col("cnt") >= cooccurMinCnt), od, nu))
+  }
+
+  /** The pinned per-community ΔQ chain, spliced into both engines. */
+  private val modularityDqExpr: String =
+    """CAST(e_in AS DOUBLE) / CAST(m AS DOUBLE)
+      |- (CAST(deg_sum AS DOUBLE)
+      |     / (CAST(2 AS DOUBLE) * CAST(m AS DOUBLE)))
+      |  * (CAST(deg_sum AS DOUBLE)
+      |     / (CAST(2 AS DOUBLE) * CAST(m AS DOUBLE)))""".stripMargin
+
+  /** The per-community report over any (o1 < o2) edge relation —
+    * shared by the batch face, the streaming face's snapshot view and
+    * the cohesion store's view (communities, degrees and e_c are all
+    * functions of the WHOLE projection: never storable state).
+    */
+  private[graft] def modularityFromEdges(edges: DataFrame): DataFrame = {
+    val e = edges.localCheckpoint()
+    val lbl = lpaFromEdges(e)
+      .select(col("node_id").as("v"), col("community"))
+    val m = e.agg(count(lit(1)).as("m"))
+    val deg = e.select(col("o1").as("v"))
+      .unionAll(e.select(col("o2").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val within = e
+      .join(lbl.select(col("v").as("o1"), col("community").as("ca")),
+        "o1")
+      .join(lbl.select(col("v").as("o2"), col("community").as("cb")),
+        "o2")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_in"))
+    lbl.join(deg, "v")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("deg_sum"))
+      .join(within, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("deg_sum"))
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"), col("e_in"),
+        col("deg_sum"),
+        graft.pipeline.ParityMath.q6(expr(modularityDqExpr)).as("dq"))
+      .orderBy(col("community"))
+  }
+
+  val qModularitySql: String = {
+    val rounds = (1 to lpaRounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT v, lw AS lbl FROM (
+         |    SELECT n.v, l.lbl AS lw, count(*) AS cnt
+         |    FROM nbr n JOIN l${i - 1} l ON n.w = l.v GROUP BY 1, 2
+         |  ) QUALIFY
+         |    row_number() OVER (PARTITION BY v
+         |                       ORDER BY cnt DESC, lw ASC) = 1
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ${graft.oracle.Sql.tuplesCte},
+       |so AS (SELECT DISTINCT s, o FROM tuples),
+       |deg0 AS (SELECT s, count(*) AS d FROM so GROUP BY 1),
+       |el AS (
+       |  SELECT so.s, so.o FROM so JOIN deg0 USING (s)
+       |  WHERE deg0.d BETWEEN 2 AND $cooccurMaxDeg
+       |),
+       |nu AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS n FROM el),
+       |od AS (SELECT o, CAST(count(*) AS BIGINT) AS c FROM el GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.o AS o1, b.o AS o2, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM el a JOIN el b ON a.s = b.s AND a.o < b.o
+       |  GROUP BY 1, 2 HAVING count(*) >= $cooccurMinCnt
+       |),
+       |e AS MATERIALIZED (
+       |  SELECT p.o1, p.o2
+       |  FROM pairs p
+       |  JOIN od d1 ON p.o1 = d1.o JOIN od d2 ON p.o2 = d2.o
+       |  CROSS JOIN nu
+       |  WHERE $triLiftDen * p.cnt * nu.n > $triLiftNum * d1.c * d2.c
+       |),
+       |nbr AS MATERIALIZED (
+       |  SELECT o1 AS v, o2 AS w FROM e
+       |  UNION ALL SELECT o2 AS v, o1 AS w FROM e
+       |),
+       |l0 AS (SELECT DISTINCT v, v AS lbl FROM nbr),
+       |$rounds,
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+       |dg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+       |       FROM nbr GROUP BY 1),
+       |win AS (
+       |  SELECT a.lbl AS community, CAST(count(*) AS BIGINT) AS e_in
+       |  FROM e JOIN l$lpaRounds a ON e.o1 = a.v
+       |         JOIN l$lpaRounds b ON e.o2 = b.v
+       |  WHERE a.lbl = b.lbl GROUP BY 1
+       |),
+       |comm AS (
+       |  SELECT l.lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+       |         CAST(sum(d.d) AS BIGINT) AS deg_sum
+       |  FROM l$lpaRounds l JOIN dg d ON l.v = d.v GROUP BY 1
+       |),
+       |full0 AS (
+       |  SELECT c.community, c.n_nodes,
+       |         CAST(coalesce(w.e_in, 0) AS BIGINT) AS e_in,
+       |         c.deg_sum, m.m
+       |  FROM comm c LEFT JOIN win w ON c.community = w.community
+       |  CROSS JOIN m
+       |)
+       |SELECT community, n_nodes, e_in, deg_sum,
+       |  ${graft.pipeline.ParityMath.q6Sql(modularityDqExpr)} AS dq
+       |FROM full0 ORDER BY community""".stripMargin
+  }
+
   val qLinkpredSql: String =
     s"""WITH ${graft.oracle.Sql.tuplesCte},
        |so AS (SELECT DISTINCT s, o FROM tuples),

@@ -1751,6 +1751,16 @@ object SignatureStore {
     graft.analytics.Graph.lpaFrom(
       storedSo(spark, cohesionStore(spark, sfDir, "lpa")))
 
+  /** Modularity view over the same cohesion store: the partition, its
+    * degree masses and m all re-derive from the WHOLE lift-filtered
+    * projection on any arrival, so the store's only fact stays the
+    * distinct (s, o) union and the report runs at query time through
+    * the batch `modularityFrom`; shares `q_modularity`'s oracle.
+    */
+  def gatedModularity(spark: SparkSession, sfDir: String): DataFrame =
+    graft.analytics.Graph.modularityFrom(
+      storedSo(spark, cohesionStore(spark, sfDir, "mod")))
+
   def storedPagerank(spark: SparkSession, storeDir: String): DataFrame = {
     Graft.ensureConf(spark)
     val edges = storedOrEmpty(spark, s"$storeDir/edges",

@@ -628,6 +628,19 @@ object FeatureStream {
   def streamLpa(spark: SparkSession, sfDir: String): DataFrame =
     lpaOfSnapshot(pairSnapshot(spark, sfDir, "ss_stream_lpa"))
 
+  /** The modularity view over any CoPair snapshot: labels, degrees
+    * and within-community edge counts are all functions of the WHOLE
+    * lift-filtered projection (one arriving interaction re-routes the
+    * propagation and shifts m), so the per-community report is a
+    * query-time view through the batch `modularityFromEdges` — never
+    * stored state.
+    */
+  def modularityOfSnapshot(snap0: DataFrame): DataFrame =
+    graft.analytics.Graph.modularityFromEdges(liftEdgesOfSnapshot(snap0))
+
+  def streamModularity(spark: SparkSession, sfDir: String): DataFrame =
+    modularityOfSnapshot(pairSnapshot(spark, sfDir, "ss_stream_modularity"))
+
   /** Streaming connected components: state = the first-seen distinct
     * (s, o) pair relation (the streamDedup discipline - exact, append
     * only), with the component fixpoint an evolving answer of the

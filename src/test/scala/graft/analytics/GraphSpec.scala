@@ -131,6 +131,35 @@ class GraphSpec extends SparkSpec {
       (8L, 3L), (9L, 3L), (10L, 10L), (20L, 20L)))
   }
 
+  test("modularity: per-community report hand-computed on the bridged " +
+       "triangles; the crossing bridge and lone edge count against") {
+    val s = spark; import s.implicits._
+    // Same graph as the lpa fixture -> communities {1,2,3}=1,
+    // {7,8,9}=3, 10 and 20 self-labeled. m = 8. Each triangle:
+    // e_in 3, deg mass 7 -> dq = 3/8 - (7/16)^2 = 0.18359375 ->
+    // q6 0.183594. Each lone end: e_in 0, deg 1 ->
+    // dq = -(1/16)^2 = -0.00390625 -> q6 -0.003906 (floor(-3905.75)).
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 7L),
+      (7L, 8L), (7L, 9L), (8L, 9L), (10L, 20L))
+      .toDF("o1", "o2")
+    val got = Graph.modularityFromEdges(edges).collect()
+      .map(_.toSeq).toSeq
+    assert(got == Seq(
+      Seq(1L, 3L, 3L, 7L, 0.183594),
+      Seq(3L, 3L, 3L, 7L, 0.183594),
+      Seq(10L, 1L, 0L, 1L, -0.003906),
+      Seq(20L, 1L, 0L, 1L, -0.003906)), s"modularity: $got")
+  }
+
+  test("cohesion store serves the modularity view == one-shot " +
+       "q_modularity") {
+    val oneShot = Graph.qModularity(spark, sfDir).collect()
+      .map(_.toSeq).toSeq
+    val stored = graft.pipeline.SignatureStore
+      .gatedModularity(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(stored == oneShot)
+  }
+
   test("cohesion store serves the lpa view == one-shot q_lpa") {
     val oneShot = Graph.qLpa(spark, sfDir).collect().map(_.toSeq).toSeq
     val stored = graft.pipeline.SignatureStore.gatedLpa(spark, sfDir)
