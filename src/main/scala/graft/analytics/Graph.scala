@@ -1399,6 +1399,21 @@ object Graph {
         lit("user").as("node_kind"), col("id").as("node_id"),
         col("id").as("hops"))
     val srcV = srcRow.getLong(0)
+    bfsVisited(sym, srcV).select(
+        when(pmod(col("v"), lit(2)) === 0, lit("user"))
+          .otherwise(lit("obj")).as("node_kind"),
+        expr("v DIV 2").as("node_id"),
+        col("hops"))
+      .orderBy(col("node_kind"), col("node_id"))
+  }
+
+  /** The frontier loop from an arbitrary source over any symmetric
+    * (src, dst) arc relation — shared by the single-source face and
+    * the double-sweep diameter face. Returns the (v, hops) visited
+    * relation; throws LOUDLY past `bfsMaxDepth` (truncating would
+    * silently under-report distances).
+    */
+  private def bfsVisited(sym: DataFrame, srcV: Long): DataFrame = {
     var visited = sym.sparkSession.range(1)
       .select(lit(srcV).as("v"), lit(0L).as("hops")).localCheckpoint()
     var frontier = visited
@@ -1408,7 +1423,7 @@ object Graph {
       depth += 1
       if (depth > bfsMaxDepth)
         throw new IllegalStateException(
-          s"qBfsHops: frontier alive past depth $bfsMaxDepth - raise " +
+          s"bfs: frontier alive past depth $bfsMaxDepth - raise " +
             "the cap contract for this graph")
       val next = frontier.join(sym, col("v") === col("src"))
         .select(col("dst").as("v")).distinct()
@@ -1421,13 +1436,99 @@ object Graph {
         frontier = next
       }
     }
-    visited.select(
-        when(pmod(col("v"), lit(2)) === 0, lit("user"))
-          .otherwise(lit("obj")).as("node_kind"),
-        expr("v DIV 2").as("node_id"),
-        col("hops"))
-      .orderBy(col("node_kind"), col("node_id"))
+    visited
   }
+
+  // ---- q_diameter: double-sweep diameter bound -------------------------
+
+  /** DOUBLE-SWEEP DIAMETER BOUND (Magnien-Latapy-Habib): BFS from the
+    * deterministic seed (min encoded node), take the FARTHEST visited
+    * node (ties to the smallest id), BFS again from it — the second
+    * eccentricity is the classic diameter lower bound, exact on trees
+    * and within a small factor in practice, at the cost of exactly
+    * TWO BFS runs instead of the all-pairs O(V·E) a true diameter
+    * needs (the only honest option at 100 TB). Reported with both
+    * sweep endpoints and the reached-component size so the reader
+    * sees WHICH component was measured (the seed's, by the q_bfs_hops
+    * convention).
+    *
+    * 100 TB shape: two runs of the same Pregel-as-joins frontier loop
+    * as q_bfs_hops on the memoized pair relation; the two argmax
+    * selections are 1-row driver folds over the node-sized visited
+    * relation.
+    */
+  def qDiameter(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    diameterFromPairs(fwdPairsFor(spark, sfDir))
+  }
+
+  private[graft] def diameterFrom(tuples: DataFrame): DataFrame =
+    diameterFromPairs(fwdPairs(tuples))
+
+  private[graft] def diameterFromPairs(fwdPairs: DataFrame): DataFrame = {
+    val spark = fwdPairs.sparkSession
+    val fwd = fwdPairs.localCheckpoint()
+    val sym = fwd.unionAll(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val srcRow = sym.agg(min(col("src"))).collect().head
+    if (srcRow.isNullAt(0))
+      return spark.range(0).select(
+        lit("user").as("seed_kind"), col("id").as("seed_id"),
+        lit("user").as("far_kind"), col("id").as("far_id"),
+        col("id").as("ecc_seed"), col("id").as("diameter_lb"),
+        col("id").as("n_reach"))
+    val s0 = srcRow.getLong(0)
+    val v1 = bfsVisited(sym, s0)
+    val far1 = v1.orderBy(col("hops").desc, col("v").asc)
+      .limit(1).collect().head
+    val u = far1.getLong(0)
+    val eccSeed = far1.getLong(1)
+    val nReach = v1.count()
+    val v2 = bfsVisited(sym, u)
+    val diamLb = v2.agg(max(col("hops"))).collect().head.getLong(0)
+    def kind(v: Long) = if (v % 2 == 0) "user" else "obj"
+    spark.range(1).select(
+      lit(kind(s0)).as("seed_kind"), lit(s0 / 2).as("seed_id"),
+      lit(kind(u)).as("far_kind"), lit(u / 2).as("far_id"),
+      lit(eccSeed).as("ecc_seed"), lit(diamLb).as("diameter_lb"),
+      lit(nReach).as("n_reach"))
+  }
+
+  val qDiameterSql: String =
+    s"""WITH RECURSIVE ${graft.oracle.Sql.tuplesCte},
+       |fwd AS (
+       |  SELECT DISTINCT 2 * s AS src, 2 * o + 1 AS dst FROM tuples
+       |),
+       |sym AS (
+       |  SELECT src AS a, dst AS b FROM fwd
+       |  UNION ALL SELECT dst AS a, src AS b FROM fwd
+       |),
+       |walk1 AS (
+       |  SELECT (SELECT min(a) FROM sym) AS v, 0 AS h
+       |  UNION
+       |  SELECT e.b AS v, w.h + 1 AS h
+       |  FROM walk1 w JOIN sym e ON e.a = w.v
+       |  WHERE w.h + 1 <= $bfsMaxDepth
+       |),
+       |h1 AS (SELECT v, min(h) AS h FROM walk1 GROUP BY 1),
+       |far1 AS (SELECT v, h FROM h1 ORDER BY h DESC, v ASC LIMIT 1),
+       |walk2 AS (
+       |  SELECT (SELECT v FROM far1) AS v, 0 AS h
+       |  UNION
+       |  SELECT e.b AS v, w.h + 1 AS h
+       |  FROM walk2 w JOIN sym e ON e.a = w.v
+       |  WHERE w.h + 1 <= $bfsMaxDepth
+       |),
+       |h2 AS (SELECT v, min(h) AS h FROM walk2 GROUP BY 1)
+       |SELECT
+       |  CASE WHEN s.v % 2 = 0 THEN 'user' ELSE 'obj' END AS seed_kind,
+       |  CAST(s.v // 2 AS BIGINT) AS seed_id,
+       |  CASE WHEN f.v % 2 = 0 THEN 'user' ELSE 'obj' END AS far_kind,
+       |  CAST(f.v // 2 AS BIGINT) AS far_id,
+       |  CAST(f.h AS BIGINT) AS ecc_seed,
+       |  CAST((SELECT max(h) FROM h2) AS BIGINT) AS diameter_lb,
+       |  CAST((SELECT count(*) FROM h1) AS BIGINT) AS n_reach
+       |FROM (SELECT min(a) AS v FROM sym) s, far1 f""".stripMargin
 
   val qBfsHopsSql: String =
     s"""WITH RECURSIVE ${graft.oracle.Sql.tuplesCte},

@@ -1720,6 +1720,14 @@ object SignatureStore {
     graft.analytics.Graph.bfsHopsFrom(
       storedSo(spark, cohesionStore(spark, sfDir, "bfs")))
 
+  /** Diameter-bound view over the same union-distinct pair store
+    * (both sweeps and the component size are whole-graph facts);
+    * shares `q_diameter`'s oracle.
+    */
+  def gatedDiameter(spark: SparkSession, sfDir: String): DataFrame =
+    graft.analytics.Graph.diameterFrom(
+      storedSo(spark, cohesionStore(spark, sfDir, "diam")))
+
   /** Clustering-coefficient view over the same union-distinct pair
     * store (degrees, the lift gate and every closure are
     * whole-projection facts); shares `q_lcc`'s oracle.

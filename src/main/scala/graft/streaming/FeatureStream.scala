@@ -696,6 +696,16 @@ object FeatureStream {
     graft.analytics.Graph.bfsHopsFrom(
       pairDedupSnapshot(spark, sfDir, "ss_stream_bfs"))
 
+  /** Streaming diameter bound: both sweep endpoints and every
+    * distance are whole-graph fixpoints (one arriving pair can
+    * shorten arbitrarily many paths and move the farthest node), so
+    * the double sweep runs at query time over the same minimal
+    * distinct-pair state.
+    */
+  def streamDiameter(spark: SparkSession, sfDir: String): DataFrame =
+    graft.analytics.Graph.diameterFrom(
+      pairDedupSnapshot(spark, sfDir, "ss_stream_diameter"))
+
   /** Streaming Katz centrality: attenuated walk counts are a fixpoint
     * of the WHOLE graph (one arriving pair adds walks through every
     * node it reaches), so the truncated iteration runs at query time

@@ -384,6 +384,28 @@ class GraphSpec extends SparkSpec {
       "edge endpoints must share a component")
   }
 
+  test("diameter: double sweep walks the planted chain end to end; " +
+       "the disconnected pair stays out of the seed component") {
+    // chain u1-o10-u2-o20-u3: seed = u1 (min encoded node), first
+    // sweep reaches u3 at hops 4 (the far end), second sweep from u3
+    // measures the exact path diameter 4 over the 5 reached nodes;
+    // (u5, o30) is a separate component and must not count
+    val base = Seq((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L), (5L, 30L))
+    val got = Graph.diameterFrom(
+        graft.core.Transform.extractFrom(eventsOf(base)))
+      .collect().map(_.toSeq).toSeq
+    assert(got == Seq(Seq("user", 1L, "user", 3L, 4L, 4L, 5L)),
+      s"diameter: $got")
+    // star u1..u4 -> o10: seed u1, far end any leaf at 2 hops (tie
+    // resolves to the smallest id, u2), diameter exactly 2, 5 nodes
+    val star = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L))
+    val got2 = Graph.diameterFrom(
+        graft.core.Transform.extractFrom(eventsOf(star)))
+      .collect().map(_.toSeq).toSeq
+    assert(got2 == Seq(Seq("user", 1L, "user", 2L, 2L, 2L, 5L)),
+      s"star diameter: $got2")
+  }
+
   test("bfs hops: planted chain counts exact alternating distances and " +
        "excludes the disconnected pair") {
     // chain u1-o10-u2-o20-u3 from source u1 (the min encoded node);
