@@ -928,4 +928,238 @@ object Behavior {
        |CROSS JOIN chi
        |WHERE o.d > 0 ORDER BY o.grp, t_days""".stripMargin
   }
+
+  // ---- q_chisq: event-mix independence across user cohorts ------------
+
+  /** CHI-SQUARE TEST OF INDEPENDENCE on the event_type x user-parity
+    * contingency table (even/odd user_id - the pprSeedMod stand-in
+    * convention for an experiment assignment), with Cramer's V as the
+    * effect size: does the event MIX differ between the two cohorts
+    * beyond what their sizes predict? The categorical companion to
+    * q_abtest's single-goal proportion test.
+    *
+    * Determinism: the table, row/column margins and dof are exact
+    * integers; each cell's (obs - e)^2/e is a pinned double chain
+    * quantized to integer MICRO-units (both engines floor(x*1e6+.5)
+    * the same expression) and summed exactly as BIGINTs - the
+    * q_survival_logrank discipline - so cell order can never reorder
+    * float addition; V = sqrt(chi2/(n*min(r-1,c-1))) is one more
+    * pinned chain, q6.
+    *
+    * Zero-observed cells still contribute (obs 0 against a positive
+    * expectation), so the grid is the full types x groups cross - a
+    * type seen only in one cohort is exactly the signal.
+    *
+    * 100 TB shape: ONE map-combinable (type, parity) count over the
+    * events scan; everything after lives on the tiny cell grid
+    * (#types x 2). Margins broadcast; no second scan of anything
+    * event-sized.
+    */
+  def qChisq(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    chisqFromCells(chisqCells(Graft.table(spark, sfDir, "events")))
+  }
+
+  /** The ADDITIVE contingency cells - the streaming/store faces' only
+    * storable fact.
+    */
+  private[graft] def chisqCells(events: DataFrame): DataFrame =
+    events.filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type").as("et"),
+        pmod(col("user_id"), lit(2)).as("grp"))
+      .groupBy(col("et"), col("grp")).agg(count(lit(1)).as("n"))
+
+  /** The pinned per-cell micro-contribution, spliced into both
+    * engines: e = rt*cg/n_tot, cell = (obs - e)^2 / e.
+    */
+  private val chisqCellMicroExpr: String =
+    """CAST(floor(
+      |  ((CAST(obs AS DOUBLE)
+      |    - CAST(rt AS DOUBLE) * CAST(cg AS DOUBLE)
+      |      / CAST(n_tot AS DOUBLE))
+      |   * (CAST(obs AS DOUBLE)
+      |      - CAST(rt AS DOUBLE) * CAST(cg AS DOUBLE)
+      |        / CAST(n_tot AS DOUBLE)))
+      |  / (CAST(rt AS DOUBLE) * CAST(cg AS DOUBLE)
+      |     / CAST(n_tot AS DOUBLE))
+      |  * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)
+      |) AS BIGINT)""".stripMargin
+
+  private val chisqVExpr: String =
+    """sqrt((CAST(chi2_micro AS DOUBLE) / CAST(1000000 AS DOUBLE))
+      |/ (CAST(n_tot AS DOUBLE)
+      |   * CAST(least(n_types - 1, n_groups - 1) AS DOUBLE)))"""
+      .stripMargin
+
+  /** The test over any (et, grp, n) cell relation - shared by the
+    * batch, streaming and store faces (margins and every expectation
+    * shift with any arriving event: only the counts are storable).
+    */
+  private[graft] def chisqFromCells(cells0: DataFrame): DataFrame = {
+    val cells = cells0.localCheckpoint()
+    val rt = cells.groupBy(col("et")).agg(sum(col("n")).as("rt"))
+    val cg = cells.groupBy(col("grp")).agg(sum(col("n")).as("cg"))
+    val tot = cells.agg(sum(col("n")).as("n_tot"),
+      countDistinct(col("et")).as("n_types"),
+      countDistinct(col("grp")).as("n_groups"))
+    val grid = cells.select(col("et")).distinct()
+      .crossJoin(cells.select(col("grp")).distinct())
+      .join(cells, Seq("et", "grp"), "left")
+      .select(col("et"), col("grp"),
+        coalesce(col("n"), lit(0L)).as("obs"))
+      .join(broadcast(rt), "et")
+      .join(broadcast(cg), "grp")
+      .crossJoin(broadcast(tot.select(col("n_tot"))))
+    grid.select(expr(chisqCellMicroExpr).as("mi"))
+      .agg(coalesce(sum(col("mi")), lit(0L)).as("chi2_micro"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_tot"), col("n_types"), col("n_groups"),
+        (greatest(col("n_types") - 1, lit(0L)) *
+          greatest(col("n_groups") - 1, lit(0L))).as("dof"),
+        (col("chi2_micro").cast("double") / lit(1000000.0)).as("chi2"),
+        when(col("n_types") > 1 && col("n_groups") > 1,
+          graft.pipeline.ParityMath.q6(expr(chisqVExpr)))
+          .as("cramers_v"))
+  }
+
+  val qChisqSql: String =
+    s"""WITH cells AS (
+       |  SELECT event_type AS et, user_id % 2 AS grp,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM events
+       |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+       |  GROUP BY 1, 2
+       |), rt AS (SELECT et, CAST(sum(n) AS BIGINT) AS rt
+       |          FROM cells GROUP BY 1),
+       |cg AS (SELECT grp, CAST(sum(n) AS BIGINT) AS cg
+       |       FROM cells GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+       |         CAST(count(DISTINCT et) AS BIGINT) AS n_types,
+       |         CAST(count(DISTINCT grp) AS BIGINT) AS n_groups
+       |  FROM cells
+       |), grid AS (
+       |  SELECT t.et, g.grp, CAST(coalesce(c.n, 0) AS BIGINT) AS obs
+       |  FROM (SELECT DISTINCT et FROM cells) t
+       |  CROSS JOIN (SELECT DISTINCT grp FROM cells) g
+       |  LEFT JOIN cells c ON c.et = t.et AND c.grp = g.grp
+       |), mic AS (
+       |  SELECT CAST(coalesce(sum($chisqCellMicroExpr), 0) AS BIGINT)
+       |    AS chi2_micro
+       |  FROM grid JOIN rt USING (et) JOIN cg USING (grp) CROSS JOIN tot
+       |)
+       |SELECT tot.n_tot, tot.n_types, tot.n_groups,
+       |  CAST(greatest(tot.n_types - 1, 0)
+       |       * greatest(tot.n_groups - 1, 0) AS BIGINT) AS dof,
+       |  CAST(chi2_micro AS DOUBLE) / CAST(1000000 AS DOUBLE) AS chi2,
+       |  CASE WHEN tot.n_types > 1 AND tot.n_groups > 1
+       |  THEN ${graft.pipeline.ParityMath.q6Sql(chisqVExpr)}
+       |  END AS cramers_v
+       |FROM mic CROSS JOIN tot""".stripMargin
+
+  // ---- q_abtest: two-proportion experiment readout ---------------------
+
+  /** The conversion goal: a user converts on their first 'purchase'. */
+  val abtestGoal = "purchase"
+
+  /** TWO-PROPORTION Z-TEST between the even/odd user cohorts on the
+    * purchase-conversion goal - the experiment readout every A/B
+    * dashboard leads with (q_chisq asks "does the whole event mix
+    * differ"; this asks the decision question about ONE goal metric,
+    * signed, with the per-arm rates beside it).
+    *
+    * Determinism: per-arm user and converter counts are exact
+    * integers off a per-user max fold; the rates and the pooled
+    * z = (pA - pB)/sqrt(p(1-p)(1/nA + 1/nB)) are pinned double
+    * chains over them (sqrt is IEEE correctly-rounded), q6, with z
+    * NULL when either arm is empty or the pooled rate is degenerate
+    * (0 or 1 - no variance, no verdict).
+    *
+    * 100 TB shape: ONE user-keyed map-combinable max fold over the
+    * events scan, then a 4-counter global agg - no joins, state one
+    * bit per user.
+    */
+  def qAbtest(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    abtestFromFlags(abtestFlags(Graft.table(spark, sfDir, "events")))
+  }
+
+  /** The per-user conversion flag relation (user_id, grp, conv) -
+    * max-mergeable, the streaming/store faces' storable fact.
+    */
+  private[graft] def abtestFlags(events: DataFrame): DataFrame =
+    events.filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(max((col("event_type") === abtestGoal).cast("long"))
+        .as("conv"))
+      .select(col("user_id"), pmod(col("user_id"), lit(2)).as("grp"),
+        col("conv"))
+
+  private val abtestZExpr: String =
+    """(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      | - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |/ sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |       * (CAST(1 AS DOUBLE)
+      |          - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |       * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |          + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE)))"""
+      .stripMargin
+
+  /** The readout over any (user_id, grp, conv) flag relation - shared
+    * by all three faces.
+    */
+  private[graft] def abtestFromFlags(flags: DataFrame): DataFrame =
+    flags.agg(
+        coalesce(sum(when(col("grp") === 0, 1L).otherwise(0L)), lit(0L))
+          .as("n_a"),
+        coalesce(sum(when(col("grp") === 0, col("conv"))
+          .otherwise(0L)), lit(0L)).as("x_a"),
+        coalesce(sum(when(col("grp") === 1, 1L).otherwise(0L)), lit(0L))
+          .as("n_b"),
+        coalesce(sum(when(col("grp") === 1, col("conv"))
+          .otherwise(0L)), lit(0L)).as("x_b"))
+      .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        when(col("n_a") > 0, graft.pipeline.ParityMath.q6(
+          col("x_a").cast("double") / col("n_a").cast("double")))
+          .as("rate_a"),
+        when(col("n_b") > 0, graft.pipeline.ParityMath.q6(
+          col("x_b").cast("double") / col("n_b").cast("double")))
+          .as("rate_b"),
+        when(col("n_a") > 0 && col("n_b") > 0 &&
+          col("x_a") + col("x_b") > 0 &&
+          col("x_a") + col("x_b") < col("n_a") + col("n_b"),
+          graft.pipeline.ParityMath.q6(expr(abtestZExpr))).as("z"))
+
+  val qAbtestSql: String =
+    s"""WITH pu AS (
+       |  SELECT user_id, user_id % 2 AS grp,
+       |    CAST(max(CASE WHEN event_type = '$abtestGoal'
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS conv
+       |  FROM events
+       |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+       |  GROUP BY 1, 2
+       |), t AS (
+       |  SELECT
+       |    CAST(coalesce(sum(CASE WHEN grp = 0 THEN 1 END), 0)
+       |      AS BIGINT) AS n_a,
+       |    CAST(coalesce(sum(CASE WHEN grp = 0 THEN conv END), 0)
+       |      AS BIGINT) AS x_a,
+       |    CAST(coalesce(sum(CASE WHEN grp = 1 THEN 1 END), 0)
+       |      AS BIGINT) AS n_b,
+       |    CAST(coalesce(sum(CASE WHEN grp = 1 THEN conv END), 0)
+       |      AS BIGINT) AS x_b
+       |  FROM pu
+       |)
+       |SELECT n_a, x_a, n_b, x_b,
+       |  CASE WHEN n_a > 0 THEN ${graft.pipeline.ParityMath.q6Sql(
+            "CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)")}
+       |  END AS rate_a,
+       |  CASE WHEN n_b > 0 THEN ${graft.pipeline.ParityMath.q6Sql(
+            "CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)")}
+       |  END AS rate_b,
+       |  CASE WHEN n_a > 0 AND n_b > 0 AND x_a + x_b > 0
+       |         AND x_a + x_b < n_a + n_b
+       |  THEN ${graft.pipeline.ParityMath.q6Sql(abtestZExpr)}
+       |  END AS z
+       |FROM t""".stripMargin
 }

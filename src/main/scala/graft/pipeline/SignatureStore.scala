@@ -890,6 +890,87 @@ object SignatureStore {
         .groupBy(col("digit")).agg(sum(col("n")).as("n")))
   }
 
+  /** Incremental chi-square store: per-batch (event_type, parity)
+    * cell-count PARTIALS — additive under any batch split, the
+    * catchUpBenford discipline — with margins, expectations and V a
+    * query-time recompute through the batch `chisqFromCells`.
+    */
+  def catchUpChisq(spark: SparkSession, watchDir: String,
+                   storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val ev = spark.readStream.schema(schema).parquet(watchDir)
+    val q = ev.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.analytics.Behavior.chisqCells(batch)
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/cells/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  def gatedChisq(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_chisq_watch")
+    val store = tempDirForExit("graft_gate_chisq_store")
+    val ev = Graft.table(spark, sfDir, "events")
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpChisq(spark, watch, store)
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpChisq(spark, watch, store)
+    graft.analytics.Behavior.chisqFromCells(
+      storedOrEmpty(spark, s"$store/cells",
+        emptyLike(spark, spark.range(0).selectExpr(
+          "CAST(id AS STRING) AS et", "id AS grp", "id AS n")))
+        .groupBy(col("et"), col("grp")).agg(sum(col("n")).as("n")))
+  }
+
+  /** Incremental A/B store: per-batch per-user conversion-flag
+    * PARTIALS — max-mergeable under any batch split (a user's flag
+    * can only rise), with the pooled z a query-time recompute
+    * through the batch `abtestFromFlags`.
+    */
+  def catchUpAbtest(spark: SparkSession, watchDir: String,
+                    storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val ev = spark.readStream.schema(schema).parquet(watchDir)
+    val q = ev.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.analytics.Behavior.abtestFlags(batch)
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/flags/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  def gatedAbtest(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_abtest_watch")
+    val store = tempDirForExit("graft_gate_abtest_store")
+    val ev = Graft.table(spark, sfDir, "events")
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpAbtest(spark, watch, store)
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpAbtest(spark, watch, store)
+    graft.analytics.Behavior.abtestFromFlags(
+      storedOrEmpty(spark, s"$store/flags",
+        emptyLike(spark, spark.range(0).selectExpr(
+          "id AS user_id", "id AS grp", "id AS conv")))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(max(col("conv")).as("conv")))
+  }
+
   /** Burstiness view over the same additive bucket store (Fano needs
     * the corpus-wide densified span, so only the bucket matrix is
     * storable state - the gatedDtw argument).

@@ -1416,6 +1416,33 @@ object StreamSum {
       runToTable(counts, OutputMode.Complete(), "ss_stream_benford"))
   }
 
+  /** Streaming chi-square screen: state is the ADDITIVE
+    * (event_type, parity) contingency cells (ordinary Complete-mode
+    * agg, bounded at #types x 2), margins/expectations/V a query-time
+    * view through the batch `chisqFromCells` (any arriving event
+    * shifts a margin and with it EVERY cell's expectation).
+    */
+  def streamChisq(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.core.Graft.ensureConf(spark)
+    val cells = graft.analytics.Behavior.chisqCells(
+      streamingEvents(spark, sfDir))
+    graft.analytics.Behavior.chisqFromCells(
+      runToTable(cells, OutputMode.Complete(), "ss_stream_chisq"))
+  }
+
+  /** Streaming A/B readout: state is the per-user conversion flag
+    * (Complete-mode max fold, one bit per live user), the pooled z a
+    * query-time view through the batch `abtestFromFlags` (one
+    * arriving purchase flips a flag and re-pools both arms).
+    */
+  def streamAbtest(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.core.Graft.ensureConf(spark)
+    val flags = graft.analytics.Behavior.abtestFlags(
+      streamingEvents(spark, sfDir))
+    graft.analytics.Behavior.abtestFromFlags(
+      runToTable(flags, OutputMode.Complete(), "ss_stream_abtest"))
+  }
+
   /** Streaming burstiness: same bounded bucket state, verdict a
     * query-time view through the batch `burstFromBuckets` (the Fano
     * ratio needs the corpus-wide densified span, which one arriving

@@ -217,6 +217,63 @@ class BehaviorSpec extends SparkSpec {
       s"seq pattern report wrong: $rows")
   }
 
+  test("chisq: hand-computed 2x2 contingency incl. a zero-observed " +
+       "cell; single-group tables yield dof 0 and no V") {
+    val s = spark; import s.implicits._
+    // cells (view,0)=4 (view,1)=2 (purchase,0)=1 (purchase,1)=3:
+    // margins 6/4 and 5/5, n=10 -> e = 3,3,2,2; micro contribs
+    // 333333+333333+500000+500000 -> chi2 1.666666, dof 1,
+    // V = q6(sqrt(1.666666/10))
+    val a = Behavior.chisqFromCells(Seq(
+        ("view", 0L, 4L), ("view", 1L, 2L),
+        ("purchase", 0L, 1L), ("purchase", 1L, 3L))
+      .toDF("et", "grp", "n")).collect().head
+    assert(a.toSeq.take(5) == Seq(10L, 2L, 2L, 1L, 1.666666),
+      s"chisq: ${a.toSeq}")
+    val vExp = math.floor(
+      math.sqrt(1.666666 / 10.0) * 1e6 + 0.5) / 1e6
+    assert(a.getDouble(5) == vExp, s"V: ${a.getDouble(5)}")
+    // a type seen only in one cohort: the (buy, 0) cell contributes
+    // its full expectation 0.75 -> micro 750000 despite obs 0
+    val b = Behavior.chisqFromCells(Seq(
+        ("view", 0L, 3L), ("view", 1L, 3L), ("buy", 1L, 2L))
+      .toDF("et", "grp", "n")).collect().head
+    assert(b.toSeq.take(5) == Seq(8L, 2L, 2L, 1L, 1.6),
+      s"zero cell: ${b.toSeq}")
+    // one group only -> every expectation equals its observation,
+    // chi2 0, dof 0, V NULL
+    val c = Behavior.chisqFromCells(Seq(
+        ("view", 0L, 3L), ("buy", 0L, 2L))
+      .toDF("et", "grp", "n")).collect().head
+    assert(c.toSeq.take(5) == Seq(5L, 2L, 1L, 0L, 0.0), s"${c.toSeq}")
+    assert(c.isNullAt(5), s"single-group V must be NULL: $c")
+  }
+
+  test("abtest: hand-computed pooled z over planted arms; a " +
+       "degenerate pooled rate yields no verdict") {
+    val s = spark; import s.implicits._
+    // arm A (grp 0): 4 users, 2 converted; arm B: 5 users, 1 ->
+    // rates .5/.2, pooled 1/3, z = .3/sqrt((1/3)(2/3)(1/4+1/5))
+    val a = Behavior.abtestFromFlags(Seq(
+        (2L, 0L, 1L), (4L, 0L, 1L), (6L, 0L, 0L), (8L, 0L, 0L),
+        (1L, 1L, 1L), (3L, 1L, 0L), (5L, 1L, 0L), (7L, 1L, 0L),
+        (9L, 1L, 0L))
+      .toDF("user_id", "grp", "conv")).collect().head
+    assert(a.toSeq.take(4) == Seq(4L, 2L, 5L, 1L), s"${a.toSeq}")
+    assert(a.getDouble(4) == 0.5 && a.getDouble(5) == 0.2)
+    val zExp = math.floor(
+      (2.0 / 4.0 - 1.0 / 5.0) / math.sqrt(
+        (3.0 / 9.0) * (1.0 - 3.0 / 9.0) * (1.0 / 4.0 + 1.0 / 5.0))
+      * 1e6 + 0.5) / 1e6
+    assert(a.getDouble(6) == zExp, s"z: ${a.getDouble(6)}")
+    // every user converted -> pooled p = 1, zero variance, z NULL
+    val b = Behavior.abtestFromFlags(Seq(
+        (2L, 0L, 1L), (1L, 1L, 1L))
+      .toDF("user_id", "grp", "conv")).collect().head
+    assert(b.toSeq.take(4) == Seq(1L, 1L, 1L, 1L) && b.isNullAt(6),
+      s"degenerate: ${b.toSeq}")
+  }
+
   test("survival: hand-computed Kaplan-Meier with censoring - the " +
        "risk set shrinks through censored-only days, deaths before " +
        "censoring at equal times, exact micro-unit product") {
