@@ -60,6 +60,8 @@ object Bench {
     "q_concomp", "q_bfs_hops", "q_degree_dist", "q_assortativity",
     "q_dtw", "q_burstiness", "q_benford", "q_survival",
     "q_markov_entropy", "pipe_curriculum",
+    "q_katz", "q_lcc", "q_survival_logrank", "ann_knn_join_mp",
+    "q_runs_test", "q_modularity", "q_diameter", "q_chisq", "q_abtest",
     // training-data pipeline
     "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard", "dd_jaccard_prefix",
     "dd_jaccard_routed", "dd_lsh_eval", "dd_lsh_curve",
@@ -123,6 +125,8 @@ object Bench {
     "q_concomp", "q_bfs_hops", "q_degree_dist", "q_assortativity",
     "q_dtw", "q_burstiness", "q_benford", "q_survival",
     "q_markov_entropy",
+    "q_katz", "q_lcc", "q_survival_logrank",
+    "q_runs_test", "q_modularity", "q_diameter", "q_chisq", "q_abtest",
     "q_cms_topk", "q_cms_topk_prod", "q_cms_sliding", "q_cms_sliding_prod",
     "q_hll_sliding", "q_hll_sliding_prod", "q_qtile_sliding",
     "q_kmv_jaccard_prod", "q_kmv_retention_prod",
@@ -139,7 +143,7 @@ object Bench {
     "dd_minhash_lsh", "dd_jaccard_prefix", "dd_jaccard_routed",
     "dd_semantic", "txt_bigram_nll",
     "pipe_quality_gate", "ann_ivf_quant", "ann_ivf_pq", "ann_knn_join",
-    "ann_knn_join_h2",
+    "ann_knn_join_h2", "ann_knn_join_mp",
     "txt_stats", "txt_readability", "txt_keyphrase", "txt_pmi",
     "txt_jsd_drift",
     "pipe_embed_prune", "ann_mmr", "ann_mmr_ivf", "ann_range",
