@@ -1259,6 +1259,115 @@ object TimeSeries {
        |  END AS z
        |FROM r, n, med m""".stripMargin
 
+  // ---- q_periodogram: fixed-point DFT power at candidate periods ------
+
+  /** Candidate periods (days) the spectral screen prices: weekly,
+    * bi-weekly, monthly — the cycles an event log plausibly carries.
+    */
+  val periodogramPeriods: Seq[Int] = Seq(7, 14, 30)
+
+  /** FIXED-POINT PERIODOGRAM over the densified daily series: DFT
+    * power |Σ_d c'_d · e^{-2πi·d/p}|² at each candidate period p,
+    * with c'_d = n·c_d − T the n-scaled mean-centered count (exact
+    * integers — scaling by n avoids the fractional mean). The
+    * spectral member of the seasonality family: q_seasonality reads
+    * the day-of-week PROFILE, q_stl extracts the component; this asks
+    * WHICH of the candidate cycles carries the most energy (power is
+    * phase-invariant, so the epoch alignment of d % p is immaterial).
+    *
+    * Determinism: cos/sin are the ONLY transcendentals and they never
+    * run in either engine — the micro-unit trig table is generated
+    * ONCE in Scala (floor(·10⁶+.5)) and spliced as literals into both
+    * the Spark plan and the oracle SQL, so every term, sum and square
+    * is exact integer arithmetic in DECIMAL(38,0) ≙ HUGEINT (the
+    * q_anomaly scheme). Headroom: |A| ≤ Σ|c'|·10⁶ must stay < 10¹⁹
+    * for A² to fit 38 digits — ~27B events/year at a 365-day span;
+    * beyond that the counts need a pre-scale, loudly documented here
+    * rather than silently wrong.
+    *
+    * 100 TB shape: everything downstream of the additive per-day
+    * count state lives on the DAY grid (≤ a few thousand rows at any
+    * corpus scale) joined against a 51-row broadcast trig table — the
+    * events scan pays exactly the one map-combinable agg every trend
+    * face shares.
+    */
+  def qPeriodogram(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    periodogramFromBuckets(mkBuckets(Graft.table(spark, sfDir, "events")))
+  }
+
+  /** The shared micro-unit trig table: (p, r, cos_mu, sin_mu) for
+    * r = 0..p−1 — single source for both engines.
+    */
+  private[graft] lazy val periodogramTrig: Seq[(Int, Int, Long, Long)] =
+    periodogramPeriods.flatMap { p =>
+      (0 until p).map { r =>
+        val th = 2.0 * math.Pi * r / p
+        (p, r, math.floor(math.cos(th) * 1e6 + 0.5).toLong,
+          math.floor(math.sin(th) * 1e6 + 0.5).toLong)
+      }
+    }
+
+  private[graft] def periodogramFromBuckets(cnt0: DataFrame): DataFrame = {
+    val spark = cnt0.sparkSession
+    import spark.implicits._
+    val dense = mkDense(cnt0)
+    val tot = dense.agg(count(lit(1)).as("n_days"),
+      coalesce(sum(col("c")), lit(0L)).as("t"))
+    val trig = periodogramTrig.toDF("p", "r", "cq", "sq")
+    val d20 = "decimal(20,0)"
+    val ab = dense.crossJoin(broadcast(tot))
+      .select(col("d"),
+        (col("c") * col("n_days") - col("t")).as("cp"))
+      .join(broadcast(trig), pmod(col("d"), col("p")) === col("r"))
+      .groupBy(col("p"))
+      .agg(sum(col("cp").cast(d20) * col("cq").cast(d20)).as("a"),
+        sum(col("cp").cast(d20) * col("sq").cast(d20)).as("b"))
+    val w = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    ab.select(col("p").cast("long").as("period"),
+        (col("a") * col("a") + col("b") * col("b"))
+          .cast("decimal(38,0)").as("power"))
+      .crossJoin(broadcast(tot.select(col("n_days"))))
+      .withColumn("is_peak", col("power") === max(col("power")).over(w))
+      .select(col("period"), col("n_days"), col("power"), col("is_peak"))
+      .orderBy(col("period"))
+  }
+
+  val qPeriodogramSql: String = {
+    val values = periodogramTrig
+      .map { case (p, r, cq, sq) => s"($p, $r, $cq, $sq)" }
+      .mkString(", ")
+    s"""WITH cnt AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS d,
+       |         CAST(count(*) AS BIGINT) AS c
+       |  FROM events WHERE ts IS NOT NULL GROUP BY 1
+       |), dense AS MATERIALIZED (
+       |  SELECT s.d, coalesce(c.c, 0) AS c
+       |  FROM (SELECT unnest(range(min(d), max(d) + 1)) AS d FROM cnt) s
+       |  LEFT JOIN cnt c ON c.d = s.d
+       |), tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+       |         CAST(coalesce(sum(c), 0) AS BIGINT) AS t
+       |  FROM dense
+       |), trig(p, r, cq, sq) AS (VALUES $values),
+       |ab AS (
+       |  SELECT tr.p,
+       |    sum(CAST(dense.c * tot.n_days - tot.t AS HUGEINT) * tr.cq)
+       |      AS a,
+       |    sum(CAST(dense.c * tot.n_days - tot.t AS HUGEINT) * tr.sq)
+       |      AS b
+       |  FROM dense CROSS JOIN tot
+       |  JOIN trig tr ON tr.r = dense.d % tr.p
+       |  GROUP BY 1
+       |)
+       |SELECT CAST(p AS BIGINT) AS period,
+       |  (SELECT n_days FROM tot) AS n_days,
+       |  CAST(a * a + b * b AS DECIMAL(38,0)) AS power,
+       |  a * a + b * b = max(a * a + b * b) OVER () AS is_peak
+       |FROM ab ORDER BY period""".stripMargin
+  }
+
   // ---- q_anomaly: rolling z-score outlier detection ------------------
 
   /** Baseline window (strictly-preceding observations) and the minimum

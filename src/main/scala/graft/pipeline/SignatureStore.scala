@@ -1179,6 +1179,15 @@ object SignatureStore {
     graft.analytics.TimeSeries.runsFromBuckets(
       storedDayCounts(spark, trendStore(spark, sfDir, "runs")))
 
+  /** Periodogram view over the same day-count landing: the mean
+    * centering rescales every day on any arrival, so only the
+    * additive counts are storable and the spectral fold re-derives at
+    * query time; shares `q_periodogram`'s oracle.
+    */
+  def gatedPeriodogram(spark: SparkSession, sfDir: String): DataFrame =
+    graft.analytics.TimeSeries.periodogramFromBuckets(
+      storedDayCounts(spark, trendStore(spark, sfDir, "pgram")))
+
   /** Third view over the same day-count landing: the online CUSUM —
     * the reference level T/n shifts with EVERY arriving event, so the
     * whole excursion series re-derives at query time; shares

@@ -1530,6 +1530,21 @@ object StreamSum {
       runToTable(buckets, OutputMode.Complete(), "ss_stream_runs"))
   }
 
+  /** Streaming face of the fixed-point periodogram, sharing
+    * `q_periodogram`'s oracle: same additive per-day count state as
+    * the other trend faces (one arriving event shifts its day's
+    * mean-centered value and with it every period's power), the
+    * trig-table fold a query-time view through the batch
+    * `periodogramFromBuckets`.
+    */
+  def streamPeriodogram(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.core.Graft.ensureConf(spark)
+    val buckets = graft.analytics.TimeSeries.mkBuckets(
+      streamingEvents(spark, sfDir))
+    graft.analytics.TimeSeries.periodogramFromBuckets(
+      runToTable(buckets, OutputMode.Complete(), "ss_stream_periodogram"))
+  }
+
   /** Streaming admission face of the entropy signal, sharing
     * `txt_entropy`'s oracle: the score is within-row (the whole point
     * of the in-row formulation), so arriving docs are scored by

@@ -417,6 +417,41 @@ class TimeSeriesSpec extends SparkSpec {
     assert(c.isNullAt(5), s"one-sided split must yield NULL z: $c")
   }
 
+  test("periodogram: exact integer replay of the trig-table fold on a " +
+       "planted weekly cycle; the 7-day line is the peak") {
+    val s = spark; import s.implicits._
+    graft.core.Graft.ensureConf(spark)
+    // two full weeks of a pure 7-day pulse: c = 10 on d%7==0, else 3
+    val series = (0L to 13L).map(d => (d, if (d % 7 == 0) 10L else 3L))
+    val got = TimeSeries.periodogramFromBuckets(series.toDF("d", "c"))
+      .collect()
+    // independent replay in BigInt off the SAME shared trig table:
+    // c' = n*c - T (n=14, T=56), A/B per period, power = A^2 + B^2
+    val trig = TimeSeries.periodogramTrig
+      .map { case (p, r, cq, sq) => (p, r) -> ((cq, sq)) }.toMap
+    val exp = TimeSeries.periodogramPeriods.map { p =>
+      var a = BigInt(0); var b = BigInt(0)
+      series.foreach { case (d, c) =>
+        val cp = BigInt(14L * c - 56L)
+        val (cq, sq) = trig((p, (d % p).toInt))
+        a += cp * cq; b += cp * sq
+      }
+      p.toLong -> (a * a + b * b)
+    }.toMap
+    val peak = exp.values.max
+    assert(got.length == 3)
+    got.foreach { r =>
+      val period = r.getLong(0)
+      assert(r.getLong(1) == 14L, s"n_days: $r")
+      val pw = r.getDecimal(2).toBigInteger
+      assert(BigInt(pw) == exp(period), s"power at $period: $r")
+      assert(r.getBoolean(3) == (exp(period) == peak), s"peak flag: $r")
+    }
+    // and the physics: the planted cycle's line dominates
+    assert(exp(7L) == peak && exp(7L) > exp(14L) && exp(7L) > exp(30L),
+      s"7-day line must dominate: $exp")
+  }
+
   test("trending: lift ranks recent-vs-prior day counts; older-only " +
        "objects are excluded") {
     val s = spark; import s.implicits._
