@@ -1553,6 +1553,114 @@ object Graph {
        |FROM walk GROUP BY 1, 2
        |ORDER BY node_kind, node_id""".stripMargin
 
+  // ---- q_harmonic: landmark harmonic closeness -------------------------
+
+  /** Landmark count for the harmonic estimate — the 4 smallest
+    * encoded node ids, a deterministic pivot set (the pprSeedMod
+    * philosophy: reproducible stand-in for a sampled set).
+    */
+  val harmonicLandmarks = 4
+
+  /** HARMONIC CLOSENESS CENTRALITY estimated from a landmark set —
+    * the distance-based centrality member (walk counts rank by flow:
+    * pagerank/katz; this ranks by PROXIMITY: a node is central when
+    * it sits few hops from the pivots). Exact all-pairs harmonic
+    * centrality is O(V·E) — at 100 TB the only honest plan is the
+    * landmark estimate (Eppstein–Wang): h(v) = Σ_lm 10⁶ DIV d(lm, v)
+    * over the `harmonicLandmarks` smallest node ids, exact integer
+    * micro-units (truncating division on positive hops, identical in
+    * both engines). Nodes unreached by every landmark (other
+    * components) are absent — distance-undefined, not zero.
+    *
+    * 100 TB shape: ONE multi-source labeled BFS — the q_bfs_hops
+    * frontier loop with (landmark, node) state, landmark-count× the
+    * state and the same O(diameter) rounds of one keyed join + one
+    * distinct each — on the memoized pair relation; the final fold is
+    * one map-combinable node-keyed sum.
+    */
+  def qHarmonic(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    harmonicFromPairs(fwdPairsFor(spark, sfDir))
+  }
+
+  private[graft] def harmonicFrom(tuples: DataFrame): DataFrame =
+    harmonicFromPairs(fwdPairs(tuples))
+
+  private[graft] def harmonicFromPairs(fwdPairs: DataFrame): DataFrame = {
+    val spark = fwdPairs.sparkSession
+    val fwd = fwdPairs.localCheckpoint()
+    val sym = fwd.unionAll(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val lms = sym.select(col("src")).distinct()
+      .orderBy(col("src")).limit(harmonicLandmarks)
+      .collect().map(_.getLong(0)).toSeq
+    if (lms.isEmpty)
+      return spark.range(0).select(
+        lit("user").as("node_kind"), col("id").as("node_id"),
+        col("id").as("harmonic_mu"))
+    import spark.implicits._
+    var visited = lms.map(l => (l, l, 0L)).toDF("lm", "v", "hops")
+      .localCheckpoint()
+    var frontier = visited
+    var depth = 0L
+    var more = true
+    while (more) {
+      depth += 1
+      if (depth > bfsMaxDepth)
+        throw new IllegalStateException(
+          s"qHarmonic: frontier alive past depth $bfsMaxDepth - raise " +
+            "the cap contract for this graph")
+      val next = frontier.join(sym, col("v") === col("src"))
+        .select(col("lm"), col("dst").as("v")).distinct()
+        .join(visited.select(col("lm"), col("v")), Seq("lm", "v"),
+          "left_anti")
+        .select(col("lm"), col("v"), lit(depth).as("hops"))
+        .localCheckpoint()
+      if (next.isEmpty) more = false
+      else {
+        visited = visited.unionAll(next).localCheckpoint()
+        frontier = next
+      }
+    }
+    visited.filter(col("hops") > 0)
+      .groupBy(col("v"))
+      .agg(sum(expr("1000000L DIV hops")).as("harmonic_mu"))
+      .select(
+        when(pmod(col("v"), lit(2)) === 0, lit("user"))
+          .otherwise(lit("obj")).as("node_kind"),
+        expr("v DIV 2").as("node_id"),
+        col("harmonic_mu"))
+      .orderBy(col("node_kind"), col("node_id"))
+  }
+
+  val qHarmonicSql: String =
+    s"""WITH RECURSIVE ${graft.oracle.Sql.tuplesCte},
+       |fwd AS (
+       |  SELECT DISTINCT 2 * s AS src, 2 * o + 1 AS dst FROM tuples
+       |),
+       |sym AS (
+       |  SELECT src AS a, dst AS b FROM fwd
+       |  UNION ALL SELECT dst AS a, src AS b FROM fwd
+       |),
+       |lms AS (
+       |  SELECT DISTINCT a AS lm FROM sym
+       |  ORDER BY lm LIMIT $harmonicLandmarks
+       |),
+       |walk AS (
+       |  SELECT lm, lm AS v, 0 AS h FROM lms
+       |  UNION
+       |  SELECT w.lm, e.b AS v, w.h + 1 AS h
+       |  FROM walk w JOIN sym e ON e.a = w.v
+       |  WHERE w.h + 1 <= $bfsMaxDepth
+       |),
+       |hh AS (SELECT lm, v, min(h) AS h FROM walk GROUP BY 1, 2)
+       |SELECT CASE WHEN v % 2 = 0 THEN 'user' ELSE 'obj' END
+       |    AS node_kind,
+       |  CAST(v // 2 AS BIGINT) AS node_id,
+       |  CAST(sum(1000000 // h) AS BIGINT) AS harmonic_mu
+       |FROM hh WHERE h > 0 GROUP BY 1, 2
+       |ORDER BY node_kind, node_id""".stripMargin
+
   // ---- q_degree_dist + q_assortativity ---------------------------------
 
   /** Degree distribution by node kind: the first diagnostic anyone

@@ -1810,6 +1810,14 @@ object SignatureStore {
     graft.analytics.Graph.bfsHopsFrom(
       storedSo(spark, cohesionStore(spark, sfDir, "bfs")))
 
+  /** Harmonic-closeness view over the same union-distinct pair store
+    * (landmarks and distances are whole-graph facts); shares
+    * `q_harmonic`'s oracle.
+    */
+  def gatedHarmonic(spark: SparkSession, sfDir: String): DataFrame =
+    graft.analytics.Graph.harmonicFrom(
+      storedSo(spark, cohesionStore(spark, sfDir, "harm")))
+
   /** Diameter-bound view over the same union-distinct pair store
     * (both sweeps and the component size are whole-graph facts);
     * shares `q_diameter`'s oracle.

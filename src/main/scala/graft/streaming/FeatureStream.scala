@@ -696,6 +696,16 @@ object FeatureStream {
     graft.analytics.Graph.bfsHopsFrom(
       pairDedupSnapshot(spark, sfDir, "ss_stream_bfs"))
 
+  /** Streaming harmonic closeness: the landmark set and every
+    * distance are whole-graph facts (one arriving pair can shorten
+    * paths and even change which ids are the smallest), so the
+    * multi-source loop runs at query time over the same minimal
+    * distinct-pair state.
+    */
+  def streamHarmonic(spark: SparkSession, sfDir: String): DataFrame =
+    graft.analytics.Graph.harmonicFrom(
+      pairDedupSnapshot(spark, sfDir, "ss_stream_harmonic"))
+
   /** Streaming diameter bound: both sweep endpoints and every
     * distance are whole-graph fixpoints (one arriving pair can
     * shorten arbitrarily many paths and move the farthest node), so

@@ -406,6 +406,25 @@ class GraphSpec extends SparkSpec {
       s"star diameter: $got2")
   }
 
+  test("harmonic: landmark sums hand-computed on the chain; a " +
+       "landmark-only component reaches nothing and reports nothing") {
+    // chain u1-o10-u2-o20-u3 plus lone pair (u5, o30): encoded nodes
+    // sorted 2,4,6,10,21,41,61 -> landmarks {2,4,6,10}. Hand sums
+    // (10^6 DIV d over landmarks at d > 0): u1 750000, u2 10^6,
+    // u3 750000, o10/o20 2333333, o30 10^6; u5 is reached by no
+    // OTHER landmark -> distance-undefined, absent.
+    val base = Seq((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L), (5L, 30L))
+    val got = Graph.harmonicFrom(
+        graft.core.Transform.extractFrom(eventsOf(base)))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("obj", 10L, 2333333L), ("obj", 20L, 2333333L),
+      ("obj", 30L, 1000000L),
+      ("user", 1L, 750000L), ("user", 2L, 1000000L),
+      ("user", 3L, 750000L)), s"harmonic: $got")
+  }
+
   test("bfs hops: planted chain counts exact alternating distances and " +
        "excludes the disconnected pair") {
     // chain u1-o10-u2-o20-u3 from source u1 (the min encoded node);
