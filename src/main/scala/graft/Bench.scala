@@ -64,7 +64,7 @@ object Bench {
     "q_runs_test", "q_modularity", "q_diameter", "q_chisq", "q_abtest",
     "q_periodogram", "q_harmonic",
     // training-data pipeline
-    "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard", "dd_jaccard_prefix",
+    "dd_exact", "dd_minhash_lsh", "dd_edit_verify", "dd_ngram_jaccard", "dd_jaccard_prefix",
     "dd_jaccard_routed", "dd_lsh_eval", "dd_lsh_curve",
     "dd_containment", "dd_simhash",
     "dd_embed_cosine", "dd_semantic",
@@ -142,7 +142,7 @@ object Bench {
     * default deployment posture's, not a fixed-k blowup.
     */
   val corpusHeadline: Seq[String] = Seq(
-    "dd_minhash_lsh", "dd_jaccard_prefix", "dd_jaccard_routed",
+    "dd_minhash_lsh", "dd_edit_verify", "dd_jaccard_prefix", "dd_jaccard_routed",
     "dd_semantic", "txt_bigram_nll",
     "pipe_quality_gate", "ann_ivf_quant", "ann_ivf_pq", "ann_knn_join",
     "ann_knn_join_h2", "ann_knn_join_mp",

@@ -421,6 +421,81 @@ object Dedup {
        |  ON x.b = y.b AND x.h = y.h AND x.doc_id < y.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- dd_edit_verify ----------------------------------------------------
+
+  /** Verification prefix (chars) and the accept ratio: a candidate
+    * pair is a verified near-dup when den·dist ≤ max(len_a, len_b)
+    * over the capped prefixes — ≤ 10% edits.
+    */
+  val editPrefixChars = 256
+  val editVerifyDen = 10L
+
+  /** EDIT-DISTANCE VERIFICATION of the MinHash-LSH candidates — the
+    * character-level second opinion next to the set-based verifies
+    * (`dd_lsh_eval` scores the banding against shingle-Jaccard truth;
+    * this re-judges each candidate on the RAW TEXT, the signal
+    * shingles blur: transpositions, small in-place edits). Exact
+    * Levenshtein is O(L²) per pair, so the contract caps both sides
+    * at `editPrefixChars` chars — a deterministic rule both engines
+    * apply identically (the cooccur cap philosophy: a bound you can
+    * reason about, not a sample), and the documented deployment knob
+    * when corpora carry longer near-identical prefixes.
+    *
+    * 100 TB shape: candidate generation stays banded/bucketed (never
+    * all-pairs — the LSH join's plan); verification adds two
+    * doc-keyed joins to fetch capped prefixes and a per-row O(P²)
+    * codegen'd levenshtein, volume O(|candidates|).
+    */
+  def editVerify(spark: SparkSession, sfDir: String): DataFrame =
+    editVerifyFrom(minhashLsh(spark, sfDir),
+      Graft.tableParallel(spark, sfDir, "documents"))
+
+  /** The verify over any (doc_a, doc_b) candidate relation — shared
+    * by the batch face, the streaming candidate state's view and the
+    * document store's view (order-independent, the containmentVerify
+    * argument).
+    */
+  private[graft] def editVerifyFrom(cand: DataFrame,
+                                    docs: DataFrame): DataFrame = {
+    val px = docs.select(col("doc_id"),
+      substring(col("text"), 1, editPrefixChars).as("px"))
+    cand
+      .join(px.select(col("doc_id").as("doc_a"), col("px").as("pa")),
+        "doc_a")
+      .join(px.select(col("doc_id").as("doc_b"), col("px").as("pb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        length(col("pa")).cast(LongType).as("len_a"),
+        length(col("pb")).cast(LongType).as("len_b"),
+        levenshtein(col("pa"), col("pb")).cast(LongType).as("dist"))
+      .withColumn("dup", lit(editVerifyDen) * col("dist") <=
+        greatest(col("len_a"), col("len_b")))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val editVerifySql: String =
+    s"""WITH $shingledCteDuck, $bandsCteDuck,
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.h = y.h AND x.doc_id < y.doc_id
+       |),
+       |px AS (
+       |  SELECT doc_id, substr(text, 1, $editPrefixChars) AS px
+       |  FROM documents
+       |)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(len(a.px) AS BIGINT) AS len_a,
+       |  CAST(len(b.px) AS BIGINT) AS len_b,
+       |  CAST(levenshtein(a.px, b.px) AS BIGINT) AS dist,
+       |  $editVerifyDen * CAST(levenshtein(a.px, b.px) AS BIGINT)
+       |    <= greatest(CAST(len(a.px) AS BIGINT),
+       |                CAST(len(b.px) AS BIGINT)) AS dup
+       |FROM cand c
+       |JOIN px a ON a.doc_id = c.doc_a
+       |JOIN px b ON b.doc_id = c.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---- dd_lsh_eval ------------------------------------------------------
 
   /** DEDUP-QUALITY scorecard: precision/recall of the MinHash-LSH

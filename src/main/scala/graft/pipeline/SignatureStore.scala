@@ -2123,6 +2123,17 @@ object SignatureStore {
     storedCandidates(spark, store).orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Edit-verify view over the same incrementally-banded document
+    * store: candidates from the stored bands, the capped-prefix
+    * Levenshtein at query time (order-independent verify); shares
+    * `dd_edit_verify`'s oracle.
+    */
+  def gatedEditVerify(spark: SparkSession, sfDir: String): DataFrame = {
+    val store = freshDocStore(spark, sfDir, "ed")
+    Dedup.editVerifyFrom(storedCandidates(spark, store),
+      Graft.tableParallel(spark, sfDir, "documents"))
+  }
+
   /** Exact-similarity-join faces of the document store: the stored
     * shingle relation (tokenized ONCE, incrementally) feeds the
     * prefix-filter Jaccard join and the containment join, whose

@@ -948,7 +948,12 @@ object StreamSum {
     pairs.iterator
   }
 
-  def streamLshCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The streamed LSH candidate snapshot (banded cells as keyed
+    * state, append-only emission) — shared by the candidate face and
+    * the edit-verify face.
+    */
+  private def lshCandSnapshot(spark: SparkSession, sfDir: String,
+                              table: String): DataFrame = {
     Graft.ensureConf(spark)
     import spark.implicits._
     val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
@@ -961,10 +966,23 @@ object StreamSum {
     val out = bands.groupByKey(r => (r.b, r.h))
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout())(lshCandHandler)
-    runToTable(out.toDF(), OutputMode.Append(), "ss_stream_lsh_cand")
-      .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
+    runToTable(out.toDF(), OutputMode.Append(), table).distinct()
   }
+
+  def streamLshCandidates(spark: SparkSession, sfDir: String): DataFrame =
+    lshCandSnapshot(spark, sfDir, "ss_stream_lsh_cand")
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Streaming edit-verify face, sharing `dd_edit_verify`'s oracle:
+    * the streamed state is the SAME banded candidate cells as
+    * `ss_stream_lsh_cand` (the verify is order-independent over any
+    * candidate superset — the containmentVerify argument), with the
+    * capped-prefix Levenshtein a query-time view over the snapshot.
+    */
+  def streamEditVerify(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.Dedup.editVerifyFrom(
+      lshCandSnapshot(spark, sfDir, "ss_stream_edit"),
+      graft.core.Graft.tableParallel(spark, sfDir, "documents"))
 
   final case class TokRow(doc_id: Long, sz: Long, h: Long)
   final case class DirCand(doc_a: Long, doc_b: Long)

@@ -25,6 +25,31 @@ class DedupSimSpec extends SparkSpec {
     assert(verified.subsetOf(cand))
   }
 
+  test("edit verify: hand-computed Levenshtein on planted candidates; " +
+       "the 10% rule admits the one-char edit and rejects the rewrite") {
+    val s = spark; import s.implicits._
+    // doc 1 vs 2: one substitution in 40 chars -> dist 1, dup (10 <= 40)
+    // doc 1 vs 3: disjoint text -> large dist, not dup
+    // doc 4 vs 5: 30-char tail beyond the 256 cap is INVISIBLE to the
+    //   verify - dist 0 on identical prefixes, dup
+    val base = "the quick brown fox jumps over the lazy"
+    val longTxt = "z" * 256
+    val docs = Seq(
+      (1L, base), (2L, base.replace('q', 'x')),
+      (3L, "entirely different content with no overlap here"),
+      (4L, longTxt + "A" * 30), (5L, longTxt + "B" * 30))
+      .toDF("doc_id", "text")
+    val cand = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val got = Dedup.editVerifyFrom(cand, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4),
+        r.getBoolean(5))).toSeq
+    assert(got.length == 3)
+    assert(got(0) == ((1L, 2L, 1L, true)), s"one-char edit: ${got(0)}")
+    assert(got(1)._3 > 4L && !got(1)._4, s"rewrite: ${got(1)}")
+    assert(got(2) == ((4L, 5L, 0L, true)),
+      s"capped prefixes must tie at 0: ${got(2)}")
+  }
+
   test("lsh eval: n_hit equals the verify face's row count (three " +
        "faces agree), ratios recompute, and the hit count is bounded " +
        "by both sides") {
