@@ -644,6 +644,118 @@ object Graph {
       .orderBy(col("node_id"))
   }
 
+  // ---- q_transitivity: global clustering ratio -------------------------
+
+  /** GLOBAL TRANSITIVITY of the lift-filtered projection —
+    * 3·triangles / wedges, the one-number cohesion summary bracketing
+    * the per-node readings (q_triangles = where the motifs are,
+    * q_lcc = each node's closure rate; this is the corpus-level
+    * "do acquaintances of acquaintances know each other" ratio, the
+    * number small-world papers lead with). Exact: wedges as
+    * Σ d(d−1) (even per term, halved by integer division), closed
+    * wedges as 3·triangle-count off the same degree-oriented plan as
+    * q_triangles; the ratio is one pinned double chain
+    * 2·t3/w2 ≡ 3T/W, q6, NULL-guarded on wedge-free projections.
+    *
+    * 100 TB shape: the triangle closure join dominates (the
+    * O(|E|^{3/2}) degree-orientation bound); the wedge count is one
+    * map-combinable degree agg on top — no new join anywhere.
+    */
+  def qTransitivity(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    transitivityFrom(Transform.extract(spark, sfDir))
+  }
+
+  private[graft] def transitivityFrom(tuples: DataFrame): DataFrame = {
+    val act = capActive(tuples).localCheckpoint()
+    val nu = act.agg(count(lit(1)).as("n"))
+    val od = act.select(explode(col("os")).as("o"))
+      .groupBy(col("o")).agg(count(lit(1)).as("c"))
+    transitivityFromEdges(liftEdges(
+      pairCounts(act).filter(col("cnt") >= cooccurMinCnt), od, nu))
+  }
+
+  private val transitivityExpr: String =
+    "CAST(2 AS DOUBLE) * CAST(t3 AS DOUBLE) / CAST(w2 AS DOUBLE)"
+
+  /** The ratio over any (o1 < o2) edge relation — shared by all three
+    * faces (degrees, wedges and closures are whole-projection facts).
+    */
+  private[graft] def transitivityFromEdges(edges: DataFrame): DataFrame = {
+    val e = edges.localCheckpoint()
+    val deg = e.select(col("o1").as("v"))
+      .unionAll(e.select(col("o2").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val w2 = deg.agg(
+      coalesce(sum(col("d") * (col("d") - 1)), lit(0L)).as("w2"))
+    val t3 = trianglesFromEdges(e)
+      .agg(coalesce(sum(col("tri_cnt")), lit(0L)).as("t3"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(w2))
+      .crossJoin(broadcast(t3))
+      .select(col("n_edges"),
+        expr("w2 DIV 2").as("n_wedges"),
+        expr("t3 DIV 3").as("n_triangles"),
+        when(col("w2") > 0,
+          graft.pipeline.ParityMath.q6(expr(transitivityExpr)))
+          .as("transitivity"))
+  }
+
+  val qTransitivitySql: String =
+    s"""WITH ${graft.oracle.Sql.tuplesCte},
+       |so AS (SELECT DISTINCT s, o FROM tuples),
+       |deg0 AS (SELECT s, count(*) AS d FROM so GROUP BY 1),
+       |el AS (
+       |  SELECT so.s, so.o FROM so JOIN deg0 USING (s)
+       |  WHERE deg0.d BETWEEN 2 AND $cooccurMaxDeg
+       |),
+       |nu AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS n FROM el),
+       |od AS (SELECT o, CAST(count(*) AS BIGINT) AS c FROM el GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.o AS o1, b.o AS o2, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM el a JOIN el b ON a.s = b.s AND a.o < b.o
+       |  GROUP BY 1, 2 HAVING count(*) >= $cooccurMinCnt
+       |),
+       |e AS MATERIALIZED (
+       |  SELECT p.o1, p.o2
+       |  FROM pairs p
+       |  JOIN od d1 ON p.o1 = d1.o JOIN od d2 ON p.o2 = d2.o
+       |  CROSS JOIN nu
+       |  WHERE $triLiftDen * p.cnt * nu.n > $triLiftNum * d1.c * d2.c
+       |),
+       |deg AS (
+       |  SELECT v, count(*) AS d FROM (
+       |    SELECT o1 AS v FROM e UNION ALL SELECT o2 AS v FROM e
+       |  ) GROUP BY 1
+       |),
+       |ori AS (
+       |  SELECT
+       |    CASE WHEN da.d < db.d OR (da.d = db.d AND e.o1 < e.o2)
+       |         THEN e.o1 ELSE e.o2 END AS src,
+       |    CASE WHEN da.d < db.d OR (da.d = db.d AND e.o1 < e.o2)
+       |         THEN e.o2 ELSE e.o1 END AS dst
+       |  FROM e JOIN deg da ON e.o1 = da.v JOIN deg db ON e.o2 = db.v
+       |),
+       |tri AS (
+       |  SELECT w.src, w.a, w.b FROM (
+       |    SELECT e1.src, e1.dst AS a, e2.dst AS b
+       |    FROM ori e1 JOIN ori e2 ON e1.src = e2.src AND e1.dst < e2.dst
+       |  ) w JOIN e ON w.a = e.o1 AND w.b = e.o2
+       |),
+       |wsum AS (
+       |  SELECT CAST(coalesce(sum(d * (d - 1)), 0) AS BIGINT) AS w2
+       |  FROM deg
+       |),
+       |tsum AS (SELECT CAST(count(*) * 3 AS BIGINT) AS t3 FROM tri),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+       |SELECT m.n_edges,
+       |  CAST(w2 // 2 AS BIGINT) AS n_wedges,
+       |  CAST(t3 // 3 AS BIGINT) AS n_triangles,
+       |  CASE WHEN w2 > 0
+       |  THEN ${graft.pipeline.ParityMath.q6Sql(transitivityExpr)}
+       |  END AS transitivity
+       |FROM m, wsum, tsum""".stripMargin
+
   // ---- q_kcore: bounded-round core decomposition ---------------------
 
   /** Core threshold and the peel-round safety budget. Spark peels to

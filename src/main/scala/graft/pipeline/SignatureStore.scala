@@ -1867,6 +1867,14 @@ object SignatureStore {
     graft.analytics.Graph.modularityFrom(
       storedSo(spark, cohesionStore(spark, sfDir, "mod")))
 
+  /** Global-transitivity view over the same cohesion store (wedges
+    * and closures re-derive from the whole projection on any
+    * arrival); shares `q_transitivity`'s oracle.
+    */
+  def gatedTransitivity(spark: SparkSession, sfDir: String): DataFrame =
+    graft.analytics.Graph.transitivityFrom(
+      storedSo(spark, cohesionStore(spark, sfDir, "trans")))
+
   def storedPagerank(spark: SparkSession, storeDir: String): DataFrame = {
     Graft.ensureConf(spark)
     val edges = storedOrEmpty(spark, s"$storeDir/edges",

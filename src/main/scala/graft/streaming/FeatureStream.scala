@@ -641,6 +641,18 @@ object FeatureStream {
   def streamModularity(spark: SparkSession, sfDir: String): DataFrame =
     modularityOfSnapshot(pairSnapshot(spark, sfDir, "ss_stream_modularity"))
 
+  /** The global-transitivity view over any CoPair snapshot: wedges
+    * and closures are whole-projection facts, so the ratio is a
+    * query-time view through the batch `transitivityFromEdges`.
+    */
+  def transitivityOfSnapshot(snap0: DataFrame): DataFrame =
+    graft.analytics.Graph.transitivityFromEdges(
+      liftEdgesOfSnapshot(snap0))
+
+  def streamTransitivity(spark: SparkSession, sfDir: String): DataFrame =
+    transitivityOfSnapshot(
+      pairSnapshot(spark, sfDir, "ss_stream_transitivity"))
+
   /** Streaming connected components: state = the first-seen distinct
     * (s, o) pair relation (the streamDedup discipline - exact, append
     * only), with the component fixpoint an evolving answer of the

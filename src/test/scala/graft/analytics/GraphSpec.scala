@@ -151,6 +151,24 @@ class GraphSpec extends SparkSpec {
       Seq(20L, 1L, 0L, 1L, -0.003906)), s"modularity: $got")
   }
 
+  test("transitivity: wedges and closures hand-counted on the bridged " +
+       "triangles; wedge-free projections yield no ratio") {
+    val s = spark; import s.implicits._
+    // bridged triangles + lone edge: degrees 2,2,3,3,2,2,1,1 ->
+    // sum d(d-1) = 20 -> 10 wedges; 2 triangles -> 6 closed wedge
+    // slots -> transitivity 2*6/20 = 0.6 exactly
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 7L),
+      (7L, 8L), (7L, 9L), (8L, 9L), (10L, 20L))
+      .toDF("o1", "o2")
+    val got = Graph.transitivityFromEdges(edges).collect().head
+    assert(got.toSeq == Seq(8L, 10L, 2L, 0.6), s"transitivity: $got")
+    // a single edge: two degree-1 endpoints, zero wedges -> NULL
+    val lone = Graph.transitivityFromEdges(
+        Seq((1L, 2L)).toDF("o1", "o2")).collect().head
+    assert(lone.toSeq.take(3) == Seq(1L, 0L, 0L) && lone.isNullAt(3),
+      s"wedge-free: $lone")
+  }
+
   test("cohesion store serves the modularity view == one-shot " +
        "q_modularity") {
     val oneShot = Graph.qModularity(spark, sfDir).collect()
