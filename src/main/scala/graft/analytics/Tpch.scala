@@ -750,6 +750,90 @@ object Tpch {
               .stripMargin)} AS gini
        |FROM s""".stripMargin
 
+  // ---- q_lorenz: decile concentration curve ---------------------------
+
+  /** LORENZ CURVE of per-user activity in deciles — the curve behind
+    * q_gini's one number (gini = 1 − 2·area under this curve): decile
+    * d of users (ranked ascending by count, ties to the smaller id —
+    * the gini order exactly) holds cum_share of all events. The
+    * curve every "top 10% of sources produce X% of tokens"
+    * concentration claim reads from.
+    *
+    * Determinism: the decile assignment ((rk−1)·10 DIV n + 1) and all
+    * counts are exact integers on the same GlobalRank order as gini;
+    * cum_share is one pinned division per decile row, q6.
+    *
+    * 100 TB shape: one map-combinable per-user count, GlobalRank's
+    * range-shuffle rank (never a single-task global window), one
+    * 10-row agg — the running sum lives on the decile relation.
+    */
+  def qLorenz(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    lorenzFromCounts(Graft.table(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("x")))
+  }
+
+  /** The curve over any (user_id, x) count relation — shared with the
+    * gini faces' state (one arriving event re-ranks globally: query-
+    * time view only).
+    */
+  private[graft] def lorenzFromCounts(counts: DataFrame): DataFrame = {
+    val (ranked, n) = graft.core.GlobalRank.withRank(
+      counts, Seq(col("x").asc, col("user_id").asc), "rk")
+    if (n == 0)
+      return counts.sparkSession.range(0).select(
+        col("id").as("decile"), col("id").as("n_users"),
+        col("id").as("n_events"), col("id").as("cum_events"),
+        lit(0.0).as("cum_share"))
+    val tot = ranked.agg(coalesce(sum(col("x")), lit(0L)).as("tot"))
+    val dec = ranked
+      .select(expr(s"((rk - 1) * 10) DIV ${n}L + 1").as("decile"),
+        col("x"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("n_events"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("decile"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    dec.withColumn("cum_events", sum(col("n_events")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_users"), col("n_events"),
+        col("cum_events"),
+        when(col("tot") > 0, graft.pipeline.ParityMath.q6(
+          col("cum_events").cast("double") / col("tot").cast("double")))
+          .as("cum_share"))
+      .orderBy(col("decile"))
+  }
+
+  val qLorenzSql: String =
+    s"""WITH c AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS x
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+       |), r AS (
+       |  SELECT x, row_number() OVER (ORDER BY x, user_id) AS rk,
+       |         count(*) OVER () AS n
+       |  FROM c
+       |), tot AS (SELECT CAST(coalesce(sum(x), 0) AS BIGINT) AS tot
+       |           FROM c),
+       |dec AS (
+       |  SELECT CAST((rk - 1) * 10 // n + 1 AS BIGINT) AS decile,
+       |         CAST(count(*) AS BIGINT) AS n_users,
+       |         CAST(sum(x) AS BIGINT) AS n_events
+       |  FROM r GROUP BY 1
+       |), cum AS (
+       |  SELECT decile, n_users, n_events,
+       |    CAST(sum(n_events) OVER (ORDER BY decile
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum_events
+       |  FROM dec
+       |)
+       |SELECT decile, n_users, n_events, cum_events,
+       |  CASE WHEN tot > 0 THEN ${graft.pipeline.ParityMath.q6Sql(
+            "CAST(cum_events AS DOUBLE) / CAST(tot AS DOUBLE)")}
+       |  END AS cum_share
+       |FROM cum CROSS JOIN tot ORDER BY decile""".stripMargin
+
   // ---- q_histogram: fixed-width price histogram + exact CDF ----------
 
   /** Bucket width for the extended-price histogram. */

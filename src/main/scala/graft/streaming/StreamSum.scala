@@ -316,6 +316,20 @@ object StreamSum {
     graft.analytics.Tpch.giniFromCounts(snap)
   }
 
+  /** Streaming Lorenz curve, sharing `q_lorenz`'s oracle: the SAME
+    * per-user Complete-mode count state as the gini face (the curve
+    * is gini's integrand — one arriving event re-ranks globally, so
+    * the deciles are a query-time view through `lorenzFromCounts`).
+    */
+  def streamLorenz(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = streamingEvents(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+    val snap = runToTable(counts, OutputMode.Complete(),
+      "ss_stream_lorenz")
+    graft.analytics.Tpch.lorenzFromCounts(snap)
+  }
+
   /** Streaming face of the learned quality filter, sharing
     * `pipe_qclf_score`'s oracle: the streamed state is the
     * (doc, bucket) feature relation — ONE Complete-mode aggregation

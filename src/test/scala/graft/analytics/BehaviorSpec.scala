@@ -217,6 +217,20 @@ class BehaviorSpec extends SparkSpec {
       s"seq pattern report wrong: $rows")
   }
 
+  test("lorenz: decile curve hand-computed on the gini fixture; the " +
+       "heavy tail lands alone in the top decile") {
+    val s = spark; import s.implicits._
+    // counts (1,1,1,1,6), n=5 -> deciles (rk-1)*10 DIV 5 + 1 =
+    // 1,3,5,7,9, one user each; cum shares .1 .2 .3 .4 1.0
+    val got = Tpch.lorenzFromCounts(Seq(
+        (1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 6L))
+      .toDF("user_id", "x")).collect().map(_.toSeq).toSeq
+    assert(got == Seq(
+      Seq(1L, 1L, 1L, 1L, 0.1), Seq(3L, 1L, 1L, 2L, 0.2),
+      Seq(5L, 1L, 1L, 3L, 0.3), Seq(7L, 1L, 1L, 4L, 0.4),
+      Seq(9L, 1L, 6L, 10L, 1.0)), s"lorenz: $got")
+  }
+
   test("chisq: hand-computed 2x2 contingency incl. a zero-observed " +
        "cell; single-group tables yield dof 0 and no V") {
     val s = spark; import s.implicits._
