@@ -929,6 +929,89 @@ object Behavior {
        |WHERE o.d > 0 ORDER BY o.grp, t_days""".stripMargin
   }
 
+  // ---- q_stickiness: DAU/MAU engagement ratio --------------------------
+
+  /** The stickiness window in days (30-day epoch windows — exact
+    * integer bucketing both engines share; calendar months would drag
+    * in tz/locale semantics for no analytical gain).
+    */
+  val stickinessWindowDays = 30L
+
+  /** STICKINESS (avg DAU / MAU) per 30-day window — the engagement
+    * ratio product dashboards read next to the cohort matrix
+    * (q_cohort says who RETURNS across weeks; this says how much of
+    * the live base shows up on a given day). Exact: dau_sum =
+    * Σ_day |distinct users that day|, mau = |distinct users in the
+    * window|, stickiness = dau_sum/(n_days·mau) — the average-DAU/MAU
+    * form with the day count kept integral (no fractional mean), one
+    * pinned q6 division per window.
+    *
+    * 100 TB shape: one (day, user) distinct, aggregated twice along
+    * its own prefix (day-level count then window fold; window-level
+    * distinct shares the same exchange) — two map-combinable aggs,
+    * no joins, no second events scan.
+    */
+  def qStickiness(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    stickinessFromDayUsers(
+      Graft.table(spark, sfDir, "events")
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(expr("graft_ts_us(ts) DIV 86400000000").as("d"),
+          col("user_id"))
+        .distinct())
+  }
+
+  /** The fold over any distinct (d, user_id) relation — the streaming
+    * face's storable fact (first-seen day-user pairs, the streamDedup
+    * discipline).
+    */
+  private[graft] def stickinessFromDayUsers(du: DataFrame): DataFrame = {
+    val d0 = du.select(
+      expr(s"d DIV $stickinessWindowDays").as("w"),
+      col("d"), col("user_id"))
+    val dau = d0.groupBy(col("w"), col("d"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("dau_sum"))
+    val mau = d0.groupBy(col("w"))
+      .agg(countDistinct(col("user_id")).as("mau"))
+    dau.join(mau, "w")
+      .select(col("w").as("win"), col("n_days"), col("dau_sum"),
+        col("mau"),
+        when(col("mau") > 0 && col("n_days") > 0,
+          graft.pipeline.ParityMath.q6(expr(
+            """CAST(dau_sum AS DOUBLE)
+              |/ (CAST(n_days AS DOUBLE) * CAST(mau AS DOUBLE))"""
+              .stripMargin))).as("stickiness"))
+      .orderBy(col("win"))
+  }
+
+  val qStickinessSql: String =
+    s"""WITH du AS (
+       |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |), dd AS (
+       |  SELECT d // $stickinessWindowDays AS w, d,
+       |         CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+       |  FROM du GROUP BY 1, 2
+       |), a AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS n_days,
+       |         CAST(sum(dau) AS BIGINT) AS dau_sum
+       |  FROM dd GROUP BY 1
+       |), m AS (
+       |  SELECT d // $stickinessWindowDays AS w,
+       |         CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+       |  FROM du GROUP BY 1
+       |)
+       |SELECT a.w AS win, a.n_days, a.dau_sum, m.mau,
+       |  CASE WHEN m.mau > 0 AND a.n_days > 0
+       |  THEN ${graft.pipeline.ParityMath.q6Sql(
+            """CAST(dau_sum AS DOUBLE)
+              |/ (CAST(n_days AS DOUBLE) * CAST(mau AS DOUBLE))"""
+              .stripMargin)}
+       |  END AS stickiness
+       |FROM a JOIN m ON a.w = m.w ORDER BY win""".stripMargin
+
   // ---- q_chisq: event-mix independence across user cohorts ------------
 
   /** CHI-SQUARE TEST OF INDEPENDENCE on the event_type x user-parity

@@ -930,6 +930,50 @@ object SignatureStore {
         .groupBy(col("et"), col("grp")).agg(sum(col("n")).as("n")))
   }
 
+  /** Incremental stickiness store: per-batch distinct (day, user)
+    * PARTIALS — set-mergeable under any batch split (a pair either
+    * exists or not), with the window fold a query-time recompute
+    * through the batch `stickinessFromDayUsers`.
+    */
+  def catchUpStickiness(spark: SparkSession, watchDir: String,
+                        storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val ev = spark.readStream.schema(schema).parquet(watchDir)
+    val q = ev.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch
+          .filter(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(expr("graft_ts_us(ts) DIV 86400000000").as("d"),
+            col("user_id"))
+          .distinct()
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/day_users/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  def gatedStickiness(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_stick_watch")
+    val store = tempDirForExit("graft_gate_stick_store")
+    val ev = Graft.table(spark, sfDir, "events")
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpStickiness(spark, watch, store)
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpStickiness(spark, watch, store)
+    graft.analytics.Behavior.stickinessFromDayUsers(
+      storedOrEmpty(spark, s"$store/day_users",
+        emptyLike(spark, spark.range(0).selectExpr(
+          "id AS d", "id AS user_id")))
+        .distinct())
+  }
+
   /** Incremental A/B store: per-batch per-user conversion-flag
     * PARTIALS — max-mergeable under any batch split (a user's flag
     * can only rise), with the pooled z a query-time recompute

@@ -1448,6 +1448,24 @@ object StreamSum {
       runToTable(counts, OutputMode.Complete(), "ss_stream_benford"))
   }
 
+  /** Streaming stickiness: state is the first-seen distinct
+    * (day, user) pair relation (the streamDedup discipline — exact,
+    * append-only, the minimum fact ANY distinct-user ratio needs),
+    * with the window fold a query-time view through the batch
+    * `stickinessFromDayUsers` (one arriving pair shifts a day's DAU
+    * and the window's MAU together).
+    */
+  def streamStickiness(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.core.Graft.ensureConf(spark)
+    val du = streamingEvents(spark, sfDir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(expr("graft_ts_us(ts) DIV 86400000000").as("d"),
+        col("user_id"))
+      .dropDuplicates("d", "user_id")
+    graft.analytics.Behavior.stickinessFromDayUsers(
+      runToTable(du, OutputMode.Append(), "ss_stream_stickiness"))
+  }
+
   /** Streaming chi-square screen: state is the ADDITIVE
     * (event_type, parity) contingency cells (ordinary Complete-mode
     * agg, bounded at #types x 2), margins/expectations/V a query-time

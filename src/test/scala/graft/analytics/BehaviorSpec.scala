@@ -231,6 +231,21 @@ class BehaviorSpec extends SparkSpec {
       Seq(9L, 1L, 6L, 10L, 1.0)), s"lorenz: $got")
   }
 
+  test("stickiness: hand-computed DAU/MAU over two 30-day windows; " +
+       "a window's repeat visitor counts once in MAU, twice in DAU") {
+    val s = spark; import s.implicits._
+    // window 0: day 1 users {1,2}, day 2 users {1} -> dau_sum 3,
+    // mau 2, n_days 2 -> 3/(2*2) = 0.75; window 1: day 31 user {3}
+    // -> 1/(1*1) = 1.0
+    val du = Seq((1L, 1L), (1L, 2L), (2L, 1L), (31L, 3L))
+      .toDF("d", "user_id")
+    val got = Behavior.stickinessFromDayUsers(du).collect()
+      .map(_.toSeq).toSeq
+    assert(got == Seq(
+      Seq(0L, 2L, 3L, 2L, 0.75),
+      Seq(1L, 1L, 1L, 1L, 1.0)), s"stickiness: $got")
+  }
+
   test("chisq: hand-computed 2x2 contingency incl. a zero-observed " +
        "cell; single-group tables yield dof 0 and no V") {
     val s = spark; import s.implicits._
