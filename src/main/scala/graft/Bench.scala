@@ -83,7 +83,7 @@ object Bench {
     "q_hll_distinct_prod", "q_hll_sliding_prod", "q_cms_topk_prod",
     "q_cms_sliding_prod", "q_cms_join_card_prod", "q_cms_f2_prod",
     "q_kmv_jaccard_prod", "q_kmv_retention_prod",
-    "txt_stats", "txt_readability", "txt_fingerprint", "txt_repetition",
+    "txt_stats", "txt_readability", "txt_fertility", "txt_fingerprint", "txt_repetition",
     "txt_bpe_learn", "txt_keyphrase", "txt_pmi", "txt_jsd_drift",
     "txt_bpe_encode", "txt_bm25", "q_hybrid_rrf", "q_retrieval_eval",
     "txt_bigram_nll", "txt_backoff_nll", "txt_tfidf", "txt_entropy",
@@ -146,7 +146,7 @@ object Bench {
     "dd_semantic", "txt_bigram_nll",
     "pipe_quality_gate", "ann_ivf_quant", "ann_ivf_pq", "ann_knn_join",
     "ann_knn_join_h2", "ann_knn_join_mp",
-    "txt_stats", "txt_readability", "txt_keyphrase", "txt_pmi",
+    "txt_stats", "txt_readability", "txt_fertility", "txt_keyphrase", "txt_pmi",
     "txt_jsd_drift",
     "pipe_embed_prune", "ann_mmr", "ann_mmr_ivf", "ann_range",
     "ann_range_h2",

@@ -974,6 +974,52 @@ object SignatureStore {
         .distinct())
   }
 
+  /** Incremental fertility store: per-batch per-language ADDITIVE
+    * sums of the within-row doc stats (the catchUpBenford discipline
+    * on the documents watch), with the ratio report a query-time
+    * recompute through `fertilityFromSums`.
+    */
+  def catchUpFertility(spark: SparkSession, watchDir: String,
+                       storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val docs = spark.readStream.schema(schema).parquet(watchDir)
+    val q = docs.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.pipeline.TextAnalysis.fertilityDocStats(batch)
+          .groupBy(col("pred_lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_ws")).as("ws"),
+            sum(col("n_bpe")).as("bpe"), sum(col("n_chars")).as("chars"))
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/lang_sums/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  def gatedFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_fert_watch")
+    val store = tempDirForExit("graft_gate_fert_store")
+    val docs = Graft.table(spark, sfDir, "documents")
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpFertility(spark, watch, store)
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpFertility(spark, watch, store)
+    graft.pipeline.TextAnalysis.fertilityFromSums(
+      storedOrEmpty(spark, s"$store/lang_sums",
+        emptyLike(spark, spark.range(0).selectExpr(
+          "CAST(id AS STRING) AS pred_lang", "id AS n_docs",
+          "id AS ws", "id AS bpe", "id AS chars")))
+        .groupBy(col("pred_lang"))
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("ws")).as("ws"),
+          sum(col("bpe")).as("bpe"), sum(col("chars")).as("chars")))
+  }
+
   /** Incremental A/B store: per-batch per-user conversion-flag
     * PARTIALS — max-mergeable under any batch split (a user's flag
     * can only rise), with the pooled z a query-time recompute

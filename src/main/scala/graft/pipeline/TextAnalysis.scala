@@ -272,6 +272,119 @@ object TextAnalysis {
       |    AS chars_per_tok
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- txt_fertility --------------------------------------------------
+
+  /** TOKENIZER FERTILITY per predicted language — the pretraining
+    * diagnostic behind "how many BPE pieces does a word cost in each
+    * language" (fertility skew is how a tokenizer silently taxes some
+    * languages' context windows): per language, pieces-per-word
+    * (Σ n_bpe / Σ n_ws) and chars-per-piece (Σ chars / Σ n_bpe) over
+    * exact corpus-wide sums, one pinned q6 division each. Language =
+    * the in-row argmax of the marker scores (min over
+    * (−score, cand) structs ≡ the txt_langid window's
+    * (score DESC, cand ASC) pick — same winner, no window, so the
+    * per-doc projection stays streamable); score divides by
+    * greatest(1, n_ws) so empty docs rank deterministically.
+    *
+    * 100 TB shape: the per-doc stats are WITHIN-ROW (narrow, no
+    * shuffle); the only exchange is the final languages-sized
+    * map-combinable sum — the storable fact of both faces.
+    */
+  def fertility(spark: SparkSession, sfDir: String): DataFrame =
+    fertilityFromDocStats(fertilityDocStats(
+      Graft.tableParallel(spark, sfDir, "documents")))
+
+  /** The within-row per-doc projection (pred_lang, n_ws, n_bpe,
+    * n_chars) — shared by all three faces.
+    */
+  private[graft] def fertilityDocStats(docs: DataFrame): DataFrame = {
+    val scored = docs
+      .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+      .withColumn("n_ws", size(col("toks")).cast(LongType))
+    val langScores = langMarkers.map { case (lang, markers) =>
+      val ml = markers.map(m => s"'$m'").mkString(", ")
+      struct(
+        negate(ParityMath.q6(
+          expr(s"CAST(size(filter(toks, x -> x IN ($ml))) AS DOUBLE)") /
+            greatest(col("n_ws"), lit(1L)).cast("double"))).as("ns"),
+        lit(lang).as("cand"))
+    }
+    scored
+      .withColumn("pick", array_min(array(langScores: _*)))
+      .select(col("pick.cand").as("pred_lang"), col("n_ws"),
+        expr("size(regexp_extract_all(text," +
+          " '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\\\s]', 0))")
+          .cast(LongType).as("n_bpe"),
+        length(col("text")).cast(LongType).as("n_chars"))
+  }
+
+  /** The report over any per-doc stats relation (its languages-sized
+    * additive sums are the faces' storable fact).
+    */
+  private[graft] def fertilityFromDocStats(st: DataFrame): DataFrame =
+    fertilityFromSums(st.groupBy(col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_ws")).as("ws"),
+        sum(col("n_bpe")).as("bpe"), sum(col("n_chars")).as("chars")))
+
+  /** The final ratios over any per-language ADDITIVE sum relation —
+    * the store face's mergeable fact.
+    */
+  private[graft] def fertilityFromSums(sums: DataFrame): DataFrame =
+    sums
+      .select(col("pred_lang"), col("n_docs"), col("ws"), col("bpe"),
+        col("chars"),
+        when(col("ws") > 0, ParityMath.q6(
+          col("bpe").cast("double") / col("ws").cast("double")))
+          .as("fertility"),
+        when(col("bpe") > 0, ParityMath.q6(
+          col("chars").cast("double") / col("bpe").cast("double")))
+          .as("chars_per_piece"))
+      .orderBy(col("pred_lang"))
+
+  val fertilitySql: String = {
+    val branches = langMarkers.map { case (lang, markers) =>
+      val ml = markers.map(m => s"'$m'").mkString(", ")
+      s"""  SELECT doc_id, '$lang' AS cand,
+         |    (floor((CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
+         |                   x -> x IN ($ml))) AS DOUBLE)
+         |          / CAST(greatest(len(regexp_extract_all(text, '\\S+')), 1)
+         |                 AS DOUBLE))
+         |          * 1000000.0 + 0.5) / 1000000.0) AS score
+         |  FROM documents""".stripMargin
+    }
+    s"""WITH scored AS (
+       |${branches.mkString("\n  UNION ALL\n")}
+       |), pick AS (
+       |  SELECT doc_id, cand AS pred_lang FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                                 ORDER BY score DESC, cand) AS rk
+       |    FROM scored
+       |  ) WHERE rk = 1
+       |), st AS (
+       |  SELECT p.pred_lang,
+       |    CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT)
+       |      AS n_ws,
+       |    CAST(len(regexp_extract_all(d.text,
+       |         '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpe,
+       |    CAST(length(d.text) AS BIGINT) AS n_chars
+       |  FROM documents d JOIN pick p ON p.doc_id = d.doc_id
+       |), agg AS (
+       |  SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_ws) AS BIGINT) AS ws,
+       |    CAST(sum(n_bpe) AS BIGINT) AS bpe,
+       |    CAST(sum(n_chars) AS BIGINT) AS chars
+       |  FROM st GROUP BY 1
+       |)
+       |SELECT pred_lang, n_docs, ws, bpe, chars,
+       |  CASE WHEN ws > 0 THEN ${ParityMath.q6Sql(
+            "CAST(bpe AS DOUBLE) / CAST(ws AS DOUBLE)")}
+       |  END AS fertility,
+       |  CASE WHEN bpe > 0 THEN ${ParityMath.q6Sql(
+            "CAST(chars AS DOUBLE) / CAST(bpe AS DOUBLE)")}
+       |  END AS chars_per_piece
+       |FROM agg ORDER BY pred_lang""".stripMargin
+  }
+
   // ---- txt_pii_scrub ------------------------------------------------
 
   /** PII scrubbing: redact email / phone / SSN-shaped spans (the

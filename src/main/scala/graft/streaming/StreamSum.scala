@@ -299,6 +299,24 @@ object StreamSum {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming fertility face, sharing `txt_fertility`'s oracle: the
+    * per-doc (pred_lang, counts) projection is WITHIN-ROW (the in-row
+    * argmax is the whole point), so arriving docs append final stats
+    * with zero stream-side shuffles; the per-language report is a
+    * query-time fold over the snapshot through the batch
+    * `fertilityFromDocStats`.
+    */
+  def streamFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    graft.pipeline.TextAnalysis.fertilityFromDocStats(
+      runToTable(graft.pipeline.TextAnalysis.fertilityDocStats(docs),
+        OutputMode.Append(), "ss_stream_fertility"))
+  }
+
   /** Streaming face of the Gini concentration, sharing `q_gini`'s
     * oracle: the streamed state is the per-user count — ONE
     * Complete-mode aggregation, a single long per user (the minimum

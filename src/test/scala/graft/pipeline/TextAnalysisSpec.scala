@@ -79,6 +79,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got("b")._4 > got("a")._4)
   }
 
+  test("fertility: in-row argmax routes docs to their marker language " +
+       "and the per-language ratios are hand-exact") {
+    val s = spark; import s.implicits._
+    // en doc: 8 words, 8 letter-run pieces, 28 chars -> fertility 1.0,
+    // chars/piece 3.5; fr doc: 7/7/25 -> 1.0 and q6(25/7)
+    val docs = Seq(
+      (1L, "the cat and the dog is a pet"),
+      (2L, "le chat et la vie les des"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.fertilityFromDocStats(
+        TextAnalysis.fertilityDocStats(docs))
+      .collect().map(_.toSeq).toSeq
+    val cpFr = math.floor(25.0 / 7.0 * 1e6 + 0.5) / 1e6
+    assert(got == Seq(
+      Seq("en", 1L, 8L, 8L, 28L, 1.0, 3.5),
+      Seq("fr", 1L, 7L, 7L, 25L, 1.0, cpFr)), s"fertility: $got")
+    // the in-row pick == the langid window pick on the real corpus
+    val inRow = TextAnalysis.fertilityDocStats(
+        graft.core.Graft.tableParallel(spark, sfDir, "documents"))
+      .groupBy("pred_lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val windowed = TextAnalysis.langid(spark, sfDir)
+      .groupBy("pred_lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(inRow == windowed,
+      s"argmax parity: in-row $inRow vs windowed $windowed")
+  }
+
   test("pii scrub redacts emails, phones and SSNs") {
     val s = spark; import s.implicits._
     val df = Seq(
