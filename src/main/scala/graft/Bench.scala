@@ -73,7 +73,7 @@ object Bench {
     "ann_knn_join_h2",
     "ann_mmr", "ann_mmr_ivf", "ann_range", "ann_range_h2",
     "q_sax", "q_sax_word", "txt_heaps", "txt_novelty", "pipe_dataset_card",
-    "dd_route_stats",
+    "dd_route_stats", "dd_cluster_stats",
     "q_hll_distinct", "q_hll_sliding", "q_cms_topk",
     "q_cms_sliding", "q_cms_join_card", "q_cms_f2", "q_qtile_sketch",
     "q_quantile_exact", "q_qtile_sliding",

@@ -1278,6 +1278,61 @@ object Dedup {
        |SELECT doc_id, cluster_id, is_canonical FROM clusters
        |ORDER BY doc_id""".stripMargin
 
+  // ---- dd_cluster_stats ------------------------------------------------
+
+  /** CLUSTER-SIZE HISTOGRAM of the verified near-dup clusters — the
+    * dataset-card view of the dedup family's end product (q_lorenz
+    * asks who concentrates activity; this asks how duplication
+    * concentrates: many pairs, or a few giant boilerplate blobs?):
+    * per cluster size, how many clusters, how many docs they hold,
+    * how many a keep-canonical policy removes, and that removal as a
+    * share of the WHOLE corpus (exact counts, one pinned q6 division
+    * per row). The histogram a pipeline owner reads before choosing
+    * between pair-level scrubbing and cluster-level dropping.
+    *
+    * 100 TB shape: everything on the clusters-sized relation (tiny
+    * next to the corpus) + one 1-row corpus count broadcast.
+    */
+  def clusterStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val sizes = dupClusters(spark, sfDir)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+    val nDocs = Graft.table(spark, sfDir, "documents")
+      .agg(count(lit(1)).as("n_corpus"))
+    sizes.groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs_in"),
+        ((col("cluster_size") - 1) * col("n_clusters"))
+          .as("n_removable"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs_in"),
+        col("n_removable"),
+        when(col("n_corpus") > 0, ParityMath.q6(
+          col("n_removable").cast("double") /
+            col("n_corpus").cast("double"))).as("removable_share"))
+      .orderBy(col("cluster_size"))
+  }
+
+  val clusterStatsSql: String =
+    s"""WITH RECURSIVE $clustersCteDuck,
+       |sizes AS (
+       |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+       |  FROM clusters GROUP BY 1
+       |), hist AS (
+       |  SELECT sz AS cluster_size,
+       |         CAST(count(*) AS BIGINT) AS n_clusters
+       |  FROM sizes GROUP BY 1
+       |), nc AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus
+       |          FROM documents)
+       |SELECT cluster_size, n_clusters,
+       |  CAST(cluster_size * n_clusters AS BIGINT) AS n_docs_in,
+       |  CAST((cluster_size - 1) * n_clusters AS BIGINT) AS n_removable,
+       |  CASE WHEN n_corpus > 0 THEN ${ParityMath.q6Sql(
+            """CAST((cluster_size - 1) * n_clusters AS DOUBLE)
+              |/ CAST(n_corpus AS DOUBLE)""".stripMargin)}
+       |  END AS removable_share
+       |FROM hist CROSS JOIN nc ORDER BY cluster_size""".stripMargin
+
   // ---- pipe_dedup_apply ----------------------------------------------
 
   /** The end product of the dedup family: the corpus with near-dup

@@ -50,6 +50,21 @@ class DedupSimSpec extends SparkSpec {
       s"capped prefixes must tie at 0: ${got(2)}")
   }
 
+  test("cluster stats: histogram re-aggregates the clusters relation " +
+       "exactly; removable == the non-canonical count") {
+    val cl = Dedup.dupClusters(spark, sfDir).collect()
+    val bySize = cl.groupBy(_.getLong(1)).values.map(_.length.toLong)
+      .groupBy(identity).map { case (s, g) => s -> g.size.toLong }
+    val got = Dedup.clusterStats(spark, sfDir).collect()
+    assert(got.map(r => r.getLong(0) -> r.getLong(1)).toMap == bySize,
+      "histogram must match the clusters relation")
+    assert(got.map(_.getLong(2)).sum == cl.length,
+      "docs-in must cover every clustered doc")
+    assert(got.map(_.getLong(3)).sum ==
+      cl.count(r => !r.getBoolean(2)),
+      "removable must equal the non-canonical count")
+  }
+
   test("lsh eval: n_hit equals the verify face's row count (three " +
        "faces agree), ratios recompute, and the hit count is bounded " +
        "by both sides") {
