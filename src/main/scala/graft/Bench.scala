@@ -52,7 +52,7 @@ object Bench {
     "q_funnel", "q_cohort", "q_pagerank", "q_ppr", "q_hits",
     "q_decay_count", "q_trending", "q_markov", "q_markov2", "ss_stream_ewma",
     "q_paths", "q_seasonality", "q_stl", "q_changepoint", "q_cusum", "q_psi_drift",
-    "q_histogram", "q_gini", "q_lorenz", "q_mannkendall", "q_mad", "q_theilsen",
+    "q_histogram", "q_gini", "q_lorenz", "q_mannkendall", "q_mad", "q_trimmed_mean", "q_theilsen",
     "q_rfm",
     "q_skyline", "q_grouping_sets", "q_seq_pattern",
     "q_triangles", "q_kcore", "q_linkpred", "q_lpa", "q_xcorr",
@@ -119,7 +119,7 @@ object Bench {
     "q_ewma", "q_holt", "q_holt_winters", "q_forecast_eval", "q_autocorr", "q_anomaly",
     "q_funnel", "q_cohort", "q_pagerank", "q_ppr", "q_hits", "q_trending", "q_markov", "q_markov2", "ss_stream_ewma",
     "q_paths", "q_seasonality", "q_stl", "q_changepoint", "q_cusum", "q_psi_drift",
-    "q_seq_pattern", "q_gini", "q_lorenz", "q_mannkendall", "q_mad", "q_theilsen",
+    "q_seq_pattern", "q_gini", "q_lorenz", "q_mannkendall", "q_mad", "q_trimmed_mean", "q_theilsen",
     "q_sax", "q_sax_word",
     "q_triangles", "q_kcore",
     "q_linkpred", "q_lpa", "q_xcorr",

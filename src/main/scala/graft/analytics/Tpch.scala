@@ -750,6 +750,81 @@ object Tpch {
               .stripMargin)} AS gini
        |FROM s""".stripMargin
 
+  // ---- q_trimmed_mean: robust location per event type ------------------
+
+  /** 10%-TRIMMED MEAN of `value` per event type — the robust location
+    * member next to q_mad's robust dispersion (an outlier that moves
+    * the plain mean arbitrarily moves this one not at all once it
+    * falls in the trimmed tail): per type, drop the k = n DIV 10
+    * smallest and largest observations under the total
+    * (value, event_id) order, then average the rest. ENTIRELY integer
+    * (values in micro-units at ingest, truncating-division means —
+    * on NON-NEGATIVE sums, where Spark DIV ≡ DuckDB //; a deployment
+    * with signed values must pin floor semantics on both sides) — no
+    * float ever, both engines bitwise by construction; the plain
+    * mean rides along so the reader sees what the trim removed.
+    *
+    * 100 TB shape: one type-keyed exchange + sort (the window), a
+    * rank filter, one map-combinable agg — the q_ewma plan shape with
+    * a trim instead of a frame.
+    */
+  def qTrimmedMean(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("v_mu"), col("event_id"))
+    Graft.table(spark, sfDir, "events")
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").as("v_mu"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+      .withColumn("k", expr("n DIV 10"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("k")).as("n_trim_each"),
+        sum(col("v_mu")).as("s_all"),
+        sum(when(col("rk") > col("k") && col("rk") <= col("n") - col("k"),
+          col("v_mu")).otherwise(0L)).as("s_kept"),
+        sum(when(col("rk") > col("k") && col("rk") <= col("n") - col("k"),
+          1L).otherwise(0L)).as("n_kept"))
+      .select(col("event_type"), col("n"), col("n_trim_each"),
+        col("n_kept"),
+        expr("s_all DIV n").as("mean_mu"),
+        when(col("n_kept") > 0, expr("s_kept DIV n_kept"))
+          .as("trimmed_mean_mu"))
+      .orderBy(col("event_type"))
+  }
+
+  val qTrimmedMeanSql: String =
+    s"""WITH v AS (
+       |  SELECT event_type, event_id,
+       |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_mu
+       |  FROM events
+       |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+       |), r AS (
+       |  SELECT event_type, v_mu,
+       |    row_number() OVER (PARTITION BY event_type
+       |                       ORDER BY v_mu, event_id) AS rk,
+       |    count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM v
+       |), a AS (
+       |  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       |    CAST(max(n // 10) AS BIGINT) AS n_trim_each,
+       |    CAST(coalesce(sum(CASE WHEN rk > n // 10
+       |      AND rk <= n - n // 10 THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |      AS n_kept,
+       |    CAST(sum(v_mu) AS BIGINT) AS s_all,
+       |    CAST(coalesce(sum(CASE WHEN rk > n // 10
+       |      AND rk <= n - n // 10 THEN v_mu ELSE 0 END), 0) AS BIGINT)
+       |      AS s_kept
+       |  FROM r GROUP BY 1
+       |)
+       |SELECT event_type, n, n_trim_each, n_kept,
+       |  CAST(s_all // n AS BIGINT) AS mean_mu,
+       |  CASE WHEN n_kept > 0
+       |  THEN CAST(s_kept // n_kept AS BIGINT) END AS trimmed_mean_mu
+       |FROM a ORDER BY event_type""".stripMargin
+
   // ---- q_lorenz: decile concentration curve ---------------------------
 
   /** LORENZ CURVE of per-user activity in deciles — the curve behind

@@ -386,6 +386,31 @@ class TimeSeriesSpec extends SparkSpec {
     assert(b.toSeq == Seq(3L, 3L, 2.0, 1.0), s"gap case: ${b.toSeq}")
   }
 
+  test("trimmed mean: the planted outlier moves the mean, not the " +
+       "trimmed mean; small groups trim nothing") {
+    val s = spark; import s.implicits._
+    graft.core.Graft.ensureConf(spark)
+    // type a: 10 values, 9 ones + one 1000 -> k=1 trims both ends:
+    // kept = 8 ones -> trimmed 1e6 exactly; mean (9 + 1000)/10 =
+    // 100.9e6. type b: 3 values -> k=0, nothing trimmed.
+    val ev = ((1 to 9).map(i => (i.toLong, "a", 1.0)) :+
+        (10L, "a", 1000.0)) ++
+      Seq((21L, "b", 2.0), (22L, "b", 4.0), (23L, "b", 9.0))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_trim").toString
+    ev.map { case (eid, t, v) =>
+        (eid, new java.sql.Timestamp(1000L + eid), eid, t, v, "{}")
+      }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Tpch.qTrimmedMean(spark, dir).collect()
+      .map(_.toSeq).toSeq
+    assert(got == Seq(
+      Seq("a", 10L, 1L, 8L, 100900000L, 1000000L),
+      Seq("b", 3L, 0L, 3L, 5000000L, 5000000L)),
+      s"trimmed mean: $got")
+  }
+
   test("runs test: lower-median split, tie days dropped, run count " +
        "and z hand-computed; one-sided splits yield no verdict") {
     val s = spark; import s.implicits._
