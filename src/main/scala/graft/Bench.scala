@@ -88,7 +88,7 @@ object Bench {
     "txt_bpe_encode", "txt_bm25", "q_hybrid_rrf", "q_retrieval_eval",
     "txt_bigram_nll", "txt_backoff_nll", "txt_tfidf", "txt_entropy",
     "txt_zipf",
-    "mm_binary_stats", "mm_bmp_decode", "mm_resize", "mm_ahash_pairs",
+    "mm_binary_stats", "mm_bmp_decode", "mm_resize", "mm_ahash_pairs", "mm_phash",
     "mm_wav_decode",
     "mm_png_decode", "mm_jpeg_decode", "mm_avi_frames", "mm_avi_av",
     "mm_scene_cut", "mm_audio_pitch", "mm_sobel", "mm_gif_decode",
@@ -156,7 +156,7 @@ object Bench {
     "txt_bm25", "q_hybrid_rrf", "q_retrieval_eval", "txt_backoff_nll",
     // the real-codec mapPartitions path: per-row cost must stay flat
     // as docs scale (narrow, no shuffle - the slope IS the claim)
-    "mm_bmp_decode", "mm_resize", "mm_ahash_pairs", "mm_png_decode",
+    "mm_bmp_decode", "mm_resize", "mm_ahash_pairs", "mm_phash", "mm_png_decode",
     "mm_jpeg_decode",
     "mm_avi_frames", "mm_avi_av", "mm_scene_cut", "mm_audio_pitch",
     "mm_sobel", "mm_gif_decode", "mm_histeq", "mm_vad", "mm_gif_anim",

@@ -420,7 +420,11 @@ object Multimodal {
     * equally), robust to small rescales because the grid sample moves
     * only at floor-index boundaries.
     */
-  private[pipeline] def bmpAhash48(docId: Long, bytes: Array[Byte]): Long = {
+  /** The shared 8×6 blue-plane grid sample of a real BMP payload —
+    * the front half of both perceptual hashes (average and DCT).
+    */
+  private[pipeline] def bmpCells48(docId: Long,
+                                   bytes: Array[Byte]): Array[Long] = {
     val b = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     require(bytes.length >= 54 && b.get(0) == 'B'.toByte &&
@@ -432,25 +436,88 @@ object Multimodal {
       s"doc $docId: only 24-bit BI_RGB supported")
     val rowBytes = (w * 3 + 3) / 4 * 4
     val cells = Array.ofDim[Long](ahashGw * ahashGh)
-    var tot = 0L
     var oy = 0
     while (oy < ahashGh) {
       val sy = oy * h / ahashGh
       var ox = 0
       while (ox < ahashGw) {
-        val p = (bytes(pixOff + (h - 1 - sy) * rowBytes +
-          (ox * w / ahashGw) * 3) & 0xff).toLong
-        cells(oy * ahashGw + ox) = p
-        tot += p
+        cells(oy * ahashGw + ox) = (bytes(pixOff + (h - 1 - sy) *
+          rowBytes + (ox * w / ahashGw) * 3) & 0xff).toLong
         ox += 1
       }
       oy += 1
     }
-    var sim = 0L
+    cells
+  }
+
+  private[pipeline] def bmpAhash48(docId: Long, bytes: Array[Byte]): Long = {
+    val cells = bmpCells48(docId, bytes)
+    var tot = 0L
     var i = 0
+    while (i < cells.length) { tot += cells(i); i += 1 }
+    var sim = 0L
+    i = 0
     while (i < cells.length) {
       if (cells.length * cells(i) > tot) sim |= 1L << i
       i += 1
+    }
+    sim
+  }
+
+  // ---- mm_phash: DCT perceptual hash ----------------------------------
+
+  /** Kept DCT coefficients: the low-frequency block u < 4, v < 3 with
+    * DC dropped — 11 bits, (v, u)-lexicographic bit order (bit
+    * i = v·4 + u − 1).
+    */
+  private[pipeline] val phashKeep: Seq[(Int, Int)] =
+    for { v <- 0 until 3; u <- 0 until 4; if !(u == 0 && v == 0) }
+      yield (u, v)
+
+  /** Micro-unit DCT-II basis tables, generated ONCE here and spliced
+    * as literals into the oracle — the periodogram discipline: the
+    * cosine never runs cross-engine, so every coefficient is exact
+    * integer arithmetic in both.
+    */
+  private[pipeline] lazy val phashCosW: Array[Array[Long]] =
+    Array.tabulate(ahashGw, ahashGw) { (u, x) =>
+      math.floor(math.cos(
+        math.Pi * (2 * x + 1) * u / (2.0 * ahashGw)) * 1e6 + 0.5).toLong
+    }
+  private[pipeline] lazy val phashCosH: Array[Array[Long]] =
+    Array.tabulate(ahashGh, ahashGh) { (v, y) =>
+      math.floor(math.cos(
+        math.Pi * (2 * y + 1) * v / (2.0 * ahashGh)) * 1e6 + 0.5).toLong
+    }
+
+  /** DCT PERCEPTUAL HASH of a real BMP payload — the frequency-domain
+    * upgrade of `bmpAhash48` (aHash reads raw cell brightness, so
+    * high-frequency texture flips bits; pHash reads the 11
+    * lowest-frequency DCT coefficients against their LOWER median, so
+    * the bits encode coarse STRUCTURE — the standard pHash argument):
+    * integer 2-D DCT-II over the shared 8×6 grid in micro² units,
+    * bit i = coeff_i > median. Coefficient magnitude ≤ 48·255·10¹² —
+    * exact in BIGINT on both engines.
+    */
+  private[pipeline] def bmpPhash(docId: Long, bytes: Array[Byte]): Long = {
+    val cells = bmpCells48(docId, bytes)
+    val coeffs = phashKeep.map { case (u, v) =>
+      var s = 0L
+      var y = 0
+      while (y < ahashGh) {
+        var x = 0
+        while (x < ahashGw) {
+          s += cells(y * ahashGw + x) * phashCosW(u)(x) * phashCosH(v)(y)
+          x += 1
+        }
+        y += 1
+      }
+      s
+    }
+    val med = coeffs.sorted.apply((coeffs.length + 1) / 2 - 1)
+    var sim = 0L
+    coeffs.indices.foreach { i =>
+      if (coeffs(i) > med) sim |= 1L << i
     }
     sim
   }
@@ -480,6 +547,91 @@ object Multimodal {
       }
       .toDF("doc_id", "sim")
     Dedup.simhashPairsFrom(sims)
+  }
+
+  /** Per-doc DCT perceptual hash over the corpus's real BMP bytes —
+    * encode the scene, decode, sample the shared 8×6 grid, integer
+    * DCT against the literal micro cos tables, 11 bits vs the lower
+    * median. The signature relation image near-dup policies key on
+    * when texture robustness matters more than brightness (aHash's
+    * regime); emitted with its popcount for readability.
+    *
+    * 100 TB shape: mapPartitions-narrow, per-row constant cost, no
+    * shuffle — the multimodal family's plan.
+    */
+  def phash(spark: SparkSession, sfDir: String): DataFrame = {
+    val s2 = Graft.ensureConf(spark)
+    import s2.implicits._
+    Graft.tableParallel(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 16 + (id % 17).toInt
+          val h = 8 + (id % 11).toInt
+          val ph = bmpPhash(id, bmpEncodeScene(id, w, h))
+          (id, ph, java.lang.Long.bitCount(ph).toLong)
+        }
+      }
+      .toDF("doc_id", "phash", "n_set")
+      .orderBy(col("doc_id"))
+  }
+
+  val phashSql: String = {
+    val ctw = phashCosW.zipWithIndex.flatMap { case (row, u) =>
+      row.zipWithIndex.map { case (c, x) => s"($u, $x, ${c})" }
+    }.mkString(", ")
+    val cth = phashCosH.zipWithIndex.flatMap { case (row, v) =>
+      row.zipWithIndex.map { case (c, y) => s"($v, $y, ${c})" }
+    }.mkString(", ")
+    val keep = phashKeep.zipWithIndex
+      .map { case ((u, v), i) => s"($u, $v, $i)" }.mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         16 + doc_id % 17 AS w,
+       |         8 + doc_id % 11 AS h
+       |  FROM documents
+       |), gx AS (
+       |  SELECT unnest(generate_series(0, ${ahashGw - 1})) AS ox
+       |), gy AS (
+       |  SELECT unnest(generate_series(0, ${ahashGh - 1})) AS oy
+       |), px AS (
+       |  SELECT doc_id, ox, oy,
+       |         ((sx + sy) + 17 * ((2 * sx + 3 * sy + sc) % 6)) % 200
+       |           AS p
+       |  FROM (
+       |    SELECT t.doc_id, ox, oy,
+       |           (ox * t.w) // $ahashGw AS sx,
+       |           (oy * t.h) // $ahashGh AS sy,
+       |           t.doc_id % $ahashScenes AS sc
+       |    FROM t CROSS JOIN gx CROSS JOIN gy
+       |  )
+       |), ctw(u, x, c) AS (VALUES $ctw),
+       |cth(v, y, c) AS (VALUES $cth),
+       |keep(u, v, i) AS (VALUES $keep),
+       |co AS (
+       |  SELECT px.doc_id, k.i,
+       |    CAST(sum(px.p * w.c * h.c) AS BIGINT) AS coeff
+       |  FROM px
+       |  JOIN keep k ON TRUE
+       |  JOIN ctw w ON w.u = k.u AND w.x = px.ox
+       |  JOIN cth h ON h.v = k.v AND h.y = px.oy
+       |  GROUP BY 1, 2
+       |), med AS (
+       |  SELECT doc_id, coeff AS med FROM (
+       |    SELECT doc_id, coeff,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY coeff) AS rn
+       |    FROM co
+       |  ) WHERE rn = ${(phashKeep.length + 1) / 2}
+       |), sims AS (
+       |  SELECT co.doc_id,
+       |    CAST(coalesce(sum(CASE WHEN co.coeff > m.med
+       |      THEN (CAST(1 AS BIGINT) << co.i) ELSE 0 END), 0) AS BIGINT)
+       |      AS phash
+       |  FROM co JOIN med m USING (doc_id) GROUP BY 1
+       |)
+       |SELECT doc_id, phash,
+       |  CAST(bit_count(phash) AS BIGINT) AS n_set
+       |FROM sims ORDER BY doc_id""".stripMargin
   }
 
   /** Closed forms: cell p(ox, oy) = ⌊ox·w/8⌋ + ⌊oy·h/6⌋ (the gradient

@@ -55,6 +55,39 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("phash: DC-dropped DCT is brightness-shift invariant; the " +
+       "hash matches an independent BigInt replay of the basis fold") {
+    val a = 0L
+    val w0 = 16; val h0 = 8
+    val bytes = Multimodal.bmpEncodeScene(a, w0, h0)
+    // uniform +7 on the blue plane moves ONLY the (dropped) DC term
+    val shifted = bytes.clone()
+    val rowBytes = (w0 * 3 + 3) / 4 * 4
+    for (y <- 0 until h0; x <- 0 until w0) {
+      val off = 54 + y * rowBytes + x * 3
+      shifted(off) = (shifted(off) + 7).toByte
+    }
+    assert(Multimodal.bmpPhash(a, shifted) ==
+      Multimodal.bmpPhash(a, bytes),
+      "a uniform brightness shift must not change any AC bit")
+    // independent replay: same cells, BigInt basis fold, lower median
+    val cells = Multimodal.bmpCells48(a, bytes)
+    val coeffs = Multimodal.phashKeep.map { case (u, v) =>
+      (for (y <- 0 until 6; x <- 0 until 8) yield
+        BigInt(cells(y * 8 + x)) * Multimodal.phashCosW(u)(x) *
+          Multimodal.phashCosH(v)(y)).sum
+    }
+    val med = coeffs.sorted.apply((coeffs.length + 1) / 2 - 1)
+    var exp = 0L
+    coeffs.indices.foreach(i => if (coeffs(i) > med) exp |= 1L << i)
+    assert(Multimodal.bmpPhash(a, bytes) == exp,
+      "engine hash must equal the BigInt replay")
+    // exactly floor(11/2) = 5 bits set (11 distinct-or-tied coeffs,
+    // strict > lower median): popcount is bounded by construction
+    val n = java.lang.Long.bitCount(Multimodal.bmpPhash(a, bytes))
+    assert(n <= 5, s"at most 5 of 11 bits can clear a lower median: $n")
+  }
+
   test("ahash: same scene at different brightness hashes identically; " +
        "different scenes separate; the scene BMP is ImageIO-valid") {
     // docs 0 and 97*187 share scene (mod 97) AND dims (mod 17/11)
