@@ -48,7 +48,7 @@ object Bench {
     "q1_agg", "q3_join_agg", "q5_multijoin", "q_window", "q_sessionize",
     "q_corr",
     "q_asof_join", "q_attribution", "q_range_join", "q_resample",
-    "q_ewma", "q_holt", "q_holt_winters", "q_forecast_eval", "q_autocorr", "q_anomaly",
+    "q_ewma", "q_holt", "q_holt_winters", "q_forecast_eval", "q_autocorr", "q_pacf", "q_anomaly",
     "q_funnel", "q_cohort", "q_pagerank", "q_ppr", "q_hits",
     "q_decay_count", "q_trending", "q_markov", "q_markov2", "ss_stream_ewma",
     "q_paths", "q_seasonality", "q_stl", "q_changepoint", "q_cusum", "q_psi_drift",
@@ -116,7 +116,7 @@ object Bench {
     "ss_stream_count_sink", "ss_stream_lastn_sink",
     "q_sessionize", "q_session_overlap", "q_range_join", "q_resample",
     "q_attribution",
-    "q_ewma", "q_holt", "q_holt_winters", "q_forecast_eval", "q_autocorr", "q_anomaly",
+    "q_ewma", "q_holt", "q_holt_winters", "q_forecast_eval", "q_autocorr", "q_pacf", "q_anomaly",
     "q_funnel", "q_cohort", "q_pagerank", "q_ppr", "q_hits", "q_trending", "q_markov", "q_markov2", "ss_stream_ewma",
     "q_paths", "q_seasonality", "q_stl", "q_changepoint", "q_cusum", "q_psi_drift",
     "q_seq_pattern", "q_gini", "q_lorenz", "q_mannkendall", "q_mad", "q_trimmed_mean", "q_theilsen",

@@ -1144,6 +1144,130 @@ object TimeSeries {
        |  slope_med AS slope, b AS intercept
        |FROM rr WHERE rn = (nd + 1) // 2""".stripMargin
 
+  // ---- q_pacf: partial autocorrelation ---------------------------------
+
+  /** PARTIAL AUTOCORRELATION to `acfMaxLag` via Durbin-Levinson — the
+    * ACF's companion every Box-Jenkins identification reads (ACF says
+    * how lag k correlates; PACF says how much SURVIVES after
+    * regressing out lags 1..k−1 — the AR-order cutoff diagnostic):
+    * φ₁₁ = r₁, then φ_kk = (r_k − Σ_j φ_{k−1,j}·r_{k−j}) /
+    * (1 − Σ_j φ_{k−1,j}·r_j), φ_{k,j} updated by reflection.
+    *
+    * Determinism: inputs are the autocorr face's q6 acf values; the
+    * recursion is a PINNED double chain — sums accumulate ascending-j
+    * left-associated, literally the same IEEE op sequence the
+    * generated oracle unrolls (k ≤ 4, so the unroll is 3 layers) —
+    * and each φ_kk lands under one q6. NULL acf (zero-variance side)
+    * propagates to NULL pacf through both engines' arithmetic.
+    *
+    * 100 TB shape: everything heavy is the autocorr scan itself; the
+    * recursion folds driver-side over the k-bounded (≤ acfMaxLag)
+    * relation — the gdTrain/Lloyd driver-fold posture.
+    */
+  def qPacf(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    pacfFromAcf(spark, qAutocorr(spark, sfDir))
+  }
+
+  /** The Durbin-Levinson fold over any (lag, n_pairs, acf) relation —
+    * shared by all three faces.
+    */
+  private[graft] def pacfFromAcf(spark: SparkSession,
+                                 acf0: DataFrame): DataFrame = {
+    val L = acfMaxLag
+    val rows = acf0.collect()
+    val r = Array.fill[Option[Double]](L + 1)(None)
+    rows.foreach { row =>
+      val k = row.getLong(0).toInt
+      if (k >= 1 && k <= L && !row.isNullAt(2))
+        r(k) = Some(row.getDouble(2))
+    }
+    // phi(k)(j); None propagates like SQL NULL
+    val phi = Array.fill[Option[Double]](L + 1, L + 1)(None)
+    phi(1)(1) = r(1)
+    for (k <- 2 to L) {
+      val deps = (1 until k).map(j =>
+        (phi(k - 1)(j), r(k - j), r(j)))
+      val kk: Option[Double] =
+        if (r(k).isEmpty || deps.exists(d => d._1.isEmpty ||
+          d._2.isEmpty || d._3.isEmpty)) None
+        else {
+          var sn = 0.0; var sd = 0.0
+          for (j <- 1 until k) {
+            sn += phi(k - 1)(j).get * r(k - j).get
+            sd += phi(k - 1)(j).get * r(j).get
+          }
+          Some((r(k).get - sn) / (1.0 - sd))
+        }
+      phi(k)(k) = kk
+      for (j <- 1 until k) {
+        phi(k)(j) =
+          if (kk.isEmpty || phi(k - 1)(j).isEmpty ||
+            phi(k - 1)(k - j).isEmpty) None
+          else Some(phi(k - 1)(j).get - kk.get * phi(k - 1)(k - j).get)
+      }
+    }
+    def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val out = (1 to L).map { k =>
+      org.apache.spark.sql.Row(k.toLong,
+        r(k).orNull, phi(k)(k).map(q6).orNull)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("lag",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("acf",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("pacf",
+          org.apache.spark.sql.types.DoubleType))))
+      .orderBy(col("lag"))
+  }
+
+  lazy val qPacfSql: String = {
+    val L = acfMaxLag
+    val rr = (1 to L).map(k =>
+      s"max(CASE WHEN lag = $k THEN acf END) AS r$k").mkString(",\n    ")
+    // unrolled Durbin-Levinson layers: kkK computes the new phi_kk,
+    // kK carries the reflected row — ascending-j left-assoc sums,
+    // matching the Scala fold's IEEE op order exactly
+    val layers = (2 to L).map { k =>
+      val sn = (1 until k)
+        .map(j => s"(p_${k - 1}_$j * r${k - j})").mkString(" + ")
+      val sd = (1 until k)
+        .map(j => s"(p_${k - 1}_$j * r$j)").mkString(" + ")
+      val refl = (1 until k).map(j =>
+        s"p_${k - 1}_$j - kk * p_${k - 1}_${k - j} AS p_${k}_$j")
+        .mkString(", ")
+      s"""kk$k AS (
+         |  SELECT (r$k - ($sn)) / (CAST(1 AS DOUBLE) - ($sd)) AS kk
+         |  FROM k${k - 1}, rr
+         |), k$k AS (
+         |  SELECT kk AS p_${k}_$k, $refl FROM kk$k, k${k - 1}
+         |)""".stripMargin
+    }.mkString(", ")
+    val pacfCase = (1 to L).map(k =>
+      s"WHEN s.lag = $k THEN ${graft.pipeline.ParityMath.q6Sql(
+        s"p_${k}_$k")}").mkString("\n    ")
+    s"""WITH acfq AS (
+       |${qAutocorrSql.replace("ORDER BY lag", "")
+         .linesIterator.map("  " + _).mkString("\n")}
+       |), rr AS (
+       |  SELECT
+       |    $rr
+       |  FROM acfq
+       |), k1 AS (SELECT r1 AS p_1_1 FROM rr),
+       |$layers
+       |SELECT s.lag, a.acf,
+       |  CASE
+       |    $pacfCase
+       |  END AS pacf
+       |FROM (SELECT unnest(generate_series(1, $L)) AS lag) s
+       |LEFT JOIN acfq a ON a.lag = s.lag
+       |CROSS JOIN ${(1 to L).map(k => s"k$k").mkString(" CROSS JOIN ")}
+       |ORDER BY s.lag""".stripMargin
+  }
+
   // ---- q_runs_test: Wald-Wolfowitz randomness screen -------------------
 
   /** WALD-WOLFOWITZ RUNS TEST over the densified daily series — the

@@ -318,6 +318,16 @@ object FeatureStream {
       StreamSum.runToTable(acfPairStream(valueEvents(spark, sfDir)).toDF(),
         OutputMode.Append(), "ss_stream_autocorr"))
 
+  /** Streaming PACF, sharing `q_pacf`'s oracle: the SAME per-user
+    * lag-ring pair state as the autocorr face (PACF is a pure
+    * function of the pooled ACF — one arriving event shifts every
+    * moment, so the Durbin-Levinson fold is a query-time view).
+    */
+  def streamPacf(spark: SparkSession, sfDir: String): DataFrame =
+    TimeSeries.pacfFromAcf(spark, TimeSeries.acfFromPairs(
+      StreamSum.runToTable(acfPairStream(valueEvents(spark, sfDir)).toDF(),
+        OutputMode.Append(), "ss_stream_pacf")))
+
   // ---- ss_stream_markov ----------------------------------------------
 
   final case class MarkovTrans(user_id: Long, from_type: String,

@@ -411,6 +411,29 @@ class TimeSeriesSpec extends SparkSpec {
       s"trimmed mean: $got")
   }
 
+  test("pacf: Durbin-Levinson cuts off after lag 1 on an exact AR(1) " +
+       "acf; a missing lag NULLs every deeper coefficient") {
+    val s = spark; import s.implicits._
+    graft.core.Graft.ensureConf(spark)
+    // r_k = 0.5^k (binary-exact): phi_11 = .5, every deeper phi_kk
+    // is exactly 0 - the AR(1) signature the op exists to reveal
+    val acf = Seq((1L, 10L, 0.5), (2L, 10L, 0.25),
+      (3L, 10L, 0.125), (4L, 10L, 0.0625))
+      .toDF("lag", "n_pairs", "acf")
+    val got = TimeSeries.pacfFromAcf(spark, acf).collect()
+      .map(_.toSeq).toSeq
+    assert(got == Seq(
+      Seq(1L, 0.5, 0.5), Seq(2L, 0.25, 0.0),
+      Seq(3L, 0.125, 0.0), Seq(4L, 0.0625, 0.0)), s"pacf: $got")
+    // lag 3 missing -> phi_33 and phi_44 undefined, shallower intact
+    val holed = Seq((1L, 10L, 0.5), (2L, 10L, 0.25), (4L, 10L, 0.0625))
+      .toDF("lag", "n_pairs", "acf")
+    val g2 = TimeSeries.pacfFromAcf(spark, holed).collect()
+    assert(g2(0).getDouble(2) == 0.5 && g2(1).getDouble(2) == 0.0)
+    assert(g2(2).isNullAt(1) && g2(2).isNullAt(2) && g2(3).isNullAt(2),
+      s"hole must propagate: ${g2.toSeq}")
+  }
+
   test("runs test: lower-median split, tie days dropped, run count " +
        "and z hand-computed; one-sided splits yield no verdict") {
     val s = spark; import s.implicits._
