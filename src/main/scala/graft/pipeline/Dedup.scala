@@ -425,10 +425,17 @@ object Dedup {
 
   /** Verification prefix (chars) and the accept ratio: a candidate
     * pair is a verified near-dup when den·dist ≤ max(len_a, len_b)
-    * over the capped prefixes — ≤ 10% edits.
+    * over the capped prefixes — ≤ 10% edits. Distances CLAMP at
+    * `editDistCap` = prefix/den + 1: any larger distance fails the
+    * verdict for every possible length (den·cap > prefix ≥ max len),
+    * so the clamp loses nothing — and it lets the Spark side run the
+    * BANDED O(cap·len) threshold DP instead of the full O(len²) table
+    * (measured 11.2 s → banded at sf0.1: the one out-of-band cost in
+    * the r13 sweep; the oracle replays the clamp with least()).
     */
   val editPrefixChars = 256
   val editVerifyDen = 10L
+  val editDistCap: Long = editPrefixChars / editVerifyDen + 1
 
   /** EDIT-DISTANCE VERIFICATION of the MinHash-LSH candidates — the
     * character-level second opinion next to the set-based verifies
@@ -467,7 +474,10 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         length(col("pa")).cast(LongType).as("len_a"),
         length(col("pb")).cast(LongType).as("len_b"),
-        levenshtein(col("pa"), col("pb")).cast(LongType).as("dist"))
+        expr(s"levenshtein(pa, pb, ${editDistCap.toInt})").as("d0"))
+      .select(col("doc_a"), col("doc_b"), col("len_a"), col("len_b"),
+        when(col("d0") < 0, lit(editDistCap))
+          .otherwise(col("d0").cast(LongType)).as("dist"))
       .withColumn("dup", lit(editVerifyDen) * col("dist") <=
         greatest(col("len_a"), col("len_b")))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -487,8 +497,10 @@ object Dedup {
        |SELECT c.doc_a, c.doc_b,
        |  CAST(len(a.px) AS BIGINT) AS len_a,
        |  CAST(len(b.px) AS BIGINT) AS len_b,
-       |  CAST(levenshtein(a.px, b.px) AS BIGINT) AS dist,
-       |  $editVerifyDen * CAST(levenshtein(a.px, b.px) AS BIGINT)
+       |  least(CAST(levenshtein(a.px, b.px) AS BIGINT), $editDistCap)
+       |    AS dist,
+       |  $editVerifyDen *
+       |    least(CAST(levenshtein(a.px, b.px) AS BIGINT), $editDistCap)
        |    <= greatest(CAST(len(a.px) AS BIGINT),
        |                CAST(len(b.px) AS BIGINT)) AS dup
        |FROM cand c
