@@ -2171,6 +2171,88 @@ object Similarity {
        |FROM assign a LEFT JOIN dups d USING (vec_id)
        |ORDER BY a.vec_id""".stripMargin
 
+  // ---- dd_semantic_eval ------------------------------------------------
+
+  /** RECALL SCORECARD for the blocked semantic dedup — the eval-family
+    * member for SemDeDup, next to `dd_lsh_eval` (banding vs exact
+    * Jaccard truth) and `ann_recall_eval` (index vs brute): the
+    * within-cell pair relation against the BRUTE all-pairs cosine
+    * truth at the same `semanticEps`. Blocked pairs are a SUBSET of
+    * the truth by construction (both demand sim ≥ eps; blocking can
+    * only DROP cross-cell pairs), so precision is structural —
+    * `containment_ok` asserts it — and the number that matters is
+    * RECALL: how much duplicate mass the cell boundaries hide.
+    *
+    * 100 TB shape: the blocked side is the production plan; the brute
+    * truth side is O(n²) BY DEFINITION (that is what makes it truth)
+    * — in deployment this eval runs on a sampled slice, exactly like
+    * the lsh-eval and recall-eval faces; it is headline-benched at
+    * the primary SF only, never the scale anchor.
+    */
+  def ddSemanticEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val assign = ivfAssignWith(e, trainedCentroidsFor(spark, sfDir))
+      .localCheckpoint()
+    val cand = assign.as("x").join(assign.as("y"),
+        col("x.cid") === col("y.cid") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .filter(ParityMath.q6(expr(cosSpark("x.embedding", "y.embedding")))
+        >= semanticEps)
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .localCheckpoint()
+    val truth = e.as("x").join(e.as("y"),
+        col("x.vec_id") < col("y.vec_id"))
+      .filter(ParityMath.q6(expr(cosSpark("x.embedding", "y.embedding")))
+        >= semanticEps)
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .localCheckpoint()
+    val nc = cand.agg(count(lit(1)).as("n_blocked"))
+    val nt = truth.agg(count(lit(1)).as("n_true"))
+    val nh = cand.join(truth, Seq("vec_a", "vec_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    nc.crossJoin(broadcast(nt)).crossJoin(broadcast(nh))
+      .select(col("n_blocked"), col("n_true"), col("n_hit"),
+        (col("n_hit") === col("n_blocked")).as("containment_ok"),
+        when(col("n_true") > 0, ParityMath.q6(
+          col("n_hit").cast("double") / col("n_true").cast("double")))
+          .as("recall"))
+  }
+
+  lazy val ddSemanticEvalSql: String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), $lloydCentsCtes, assign AS MATERIALIZED (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosDuck("e.embedding", "c.c_emb")} DESC, c.cid)
+       |        AS ark
+       |    FROM e CROSS JOIN cents c
+       |  ) WHERE ark = 1
+       |), cand AS MATERIALIZED (
+       |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM assign x JOIN assign y
+       |    ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |  JOIN e ex ON ex.vec_id = x.vec_id
+       |  JOIN e ey ON ey.vec_id = y.vec_id
+       |  WHERE (floor((${cosDuck("ex.embedding", "ey.embedding")}) * 1000000.0 + 0.5) / 1000000.0) >= $semanticEps
+       |), truth AS MATERIALIZED (
+       |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM e x JOIN e y ON x.vec_id < y.vec_id
+       |  WHERE (floor((${cosDuck("x.embedding", "y.embedding")}) * 1000000.0 + 0.5) / 1000000.0) >= $semanticEps
+       |), cc AS (SELECT CAST(count(*) AS BIGINT) AS n_blocked FROM cand),
+       |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+       |hh AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM cand JOIN truth USING (vec_a, vec_b)
+       |)
+       |SELECT n_blocked, n_true, n_hit,
+       |  n_hit = n_blocked AS containment_ok,
+       |  CASE WHEN n_true > 0 THEN ${ParityMath.q6Sql(
+            "CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE)")}
+       |  END AS recall
+       |FROM cc, tt, hh""".stripMargin
+
   // ---- pipe_embed_prune ----------------------------------------------
 
   /** Fraction of the corpus pruned as embedding outliers: the bottom

@@ -50,6 +50,22 @@ class DedupSimSpec extends SparkSpec {
       s"capped prefixes must tie at 0: ${got(2)}")
   }
 
+  test("semantic eval: blocked pairs are contained in the brute " +
+       "truth and the recall reading is coherent") {
+    val r = Similarity.ddSemanticEval(spark, sfDir).collect().head
+    val (nb, nt, nh) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(r.getBoolean(3), s"blocking must never invent a pair: $r")
+    assert(nh == nb && nb <= nt && nt > 0, s"containment: $r")
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(r.getDouble(4) == q6(nh.toDouble / nt), s"recall: $r")
+    // the blocked side must agree with dd_semantic's own verdicts:
+    // every non-keep vector has at least one blocked pair naming it
+    val dropped = Similarity.ddSemantic(spark, sfDir).collect()
+      .filter(row => !row.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(dropped.nonEmpty && nb >= dropped.size,
+      s"pair mass must cover the ${dropped.size} dropped vectors")
+  }
+
   test("cluster stats: histogram re-aggregates the clusters relation " +
        "exactly; removable == the non-canonical count") {
     val cl = Dedup.dupClusters(spark, sfDir).collect()
