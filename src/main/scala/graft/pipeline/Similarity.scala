@@ -2253,6 +2253,162 @@ object Similarity {
        |  END AS recall
        |FROM cc, tt, hh""".stripMargin
 
+  // ---- dd_semantic_mp + its eval ---------------------------------------
+
+  /** MULTI-PROBE SemDeDup — the measured answer to what
+    * `dd_semantic_eval` exposes (single-cell blocking hides ~3/4 of
+    * the duplicate mass on the near-uniform corpus): every vector
+    * also probes its SECOND cell against the home-cell index (both
+    * cells off the ONE `graft_top3_centroids` codegen'd scan the kNN
+    * mp face already pays), so a pair is a candidate when either
+    * side's two probed cells reach the other's home. Verdict shape is
+    * dd_semantic's exactly (vec_id, home cid, keep, dup_of = the
+    * smallest dominating id); candidate volume ≈ 2× the single-cell
+    * face — the p=2 point of the same cost/recall dial the kNN join
+    * documents at p=3.
+    */
+  def ddSemanticMp(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val centVecs = trainedCentroidsFor(spark, sfDir)
+    require(centVecs.size >= 3,
+      "multi-probe dedup needs >= 3 cells (k >= 16 implies it)")
+    val assign2 = withTop2Cells(e, centVecs).localCheckpoint()
+    val pairs = mpPairs(assign2)
+    val dups = pairs.groupBy(col("vb").as("vec_id"))
+      .agg(min(col("va")).as("dup_of"))
+    assign2.select(col("vec_id"), col("cid"))
+      .join(dups, Seq("vec_id"), "left")
+      .withColumn("keep", col("dup_of").isNull)
+      .select(col("vec_id"), col("cid"), col("keep"), col("dup_of"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Home + second cell off the one packed scan. */
+  private def withTop2Cells(e: DataFrame,
+                            centVecs: Seq[Seq[Double]]): DataFrame = {
+    val packed = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.NearestCentroidTop3(
+        org.apache.spark.sql.GraftBridge.expression(col("embedding")),
+        centVecs))
+    e.select(col("vec_id"), col("embedding"), packed.as("pk"))
+      .select(col("vec_id"), col("embedding"),
+        expr("pk DIV 1000000000000L").as("cid"),
+        expr("(pk DIV 1000000L) % 1000000L").as("cid2"))
+  }
+
+  /** The deduped eps-similar (va < vb) pair relation under 2-probe
+    * blocking — shared by the verdict face and the eval.
+    */
+  private def mpPairs(assign2: DataFrame): DataFrame = {
+    val probes = assign2.select(col("vec_id").as("p_vec"),
+      col("embedding").as("p_emb"),
+      explode(array(col("cid"), col("cid2"))).as("pcid"))
+    val index = assign2.select(col("vec_id").as("i_vec"),
+      col("embedding").as("i_emb"), col("cid").as("pcid"))
+    probes.join(index, "pcid")
+      .filter(col("p_vec") =!= col("i_vec"))
+      .filter(ParityMath.q6(expr(cosSpark("p_emb", "i_emb")))
+        >= semanticEps)
+      .select(least(col("p_vec"), col("i_vec")).as("va"),
+        greatest(col("p_vec"), col("i_vec")).as("vb"))
+      .distinct()
+  }
+
+  lazy val ddSemanticMpSql: String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), $lloydCentsCtes, ranks AS MATERIALIZED (
+       |  SELECT vec_id, cid, crk FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosDuck("e.embedding", "c.c_emb")} DESC, c.cid)
+       |        AS crk
+       |    FROM e CROSS JOIN cents c
+       |  ) WHERE crk <= 2
+       |), pairs AS (
+       |  SELECT DISTINCT least(p.vec_id, a.vec_id) AS va,
+       |    greatest(p.vec_id, a.vec_id) AS vb
+       |  FROM ranks p
+       |  JOIN ranks a ON a.cid = p.cid AND a.crk = 1
+       |    AND a.vec_id <> p.vec_id
+       |  JOIN e ep ON ep.vec_id = p.vec_id
+       |  JOIN e ea ON ea.vec_id = a.vec_id
+       |  WHERE (floor((${cosDuck("ep.embedding", "ea.embedding")}) * 1000000.0 + 0.5) / 1000000.0) >= $semanticEps
+       |), dups AS (
+       |  SELECT vb AS vec_id, min(va) AS dup_of FROM pairs GROUP BY 1
+       |)
+       |SELECT r.vec_id, r.cid, (d.dup_of IS NULL) AS keep, d.dup_of
+       |FROM ranks r LEFT JOIN dups d USING (vec_id)
+       |WHERE r.crk = 1
+       |ORDER BY r.vec_id""".stripMargin
+
+  /** The same recall scorecard as `dd_semantic_eval`, for the 2-probe
+    * face — the after picture of the dial (containment still
+    * structural: probing adds cells, never invents similarity).
+    */
+  def ddSemanticMpEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val centVecs = trainedCentroidsFor(spark, sfDir)
+    require(centVecs.size >= 3,
+      "multi-probe dedup needs >= 3 cells (k >= 16 implies it)")
+    val cand = mpPairs(withTop2Cells(e, centVecs).localCheckpoint())
+      .select(col("va").as("vec_a"), col("vb").as("vec_b"))
+      .localCheckpoint()
+    val truth = e.as("x").join(e.as("y"),
+        col("x.vec_id") < col("y.vec_id"))
+      .filter(ParityMath.q6(expr(cosSpark("x.embedding", "y.embedding")))
+        >= semanticEps)
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .localCheckpoint()
+    val nc = cand.agg(count(lit(1)).as("n_blocked"))
+    val nt = truth.agg(count(lit(1)).as("n_true"))
+    val nh = cand.join(truth, Seq("vec_a", "vec_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    nc.crossJoin(broadcast(nt)).crossJoin(broadcast(nh))
+      .select(col("n_blocked"), col("n_true"), col("n_hit"),
+        (col("n_hit") === col("n_blocked")).as("containment_ok"),
+        when(col("n_true") > 0, ParityMath.q6(
+          col("n_hit").cast("double") / col("n_true").cast("double")))
+          .as("recall"))
+  }
+
+  lazy val ddSemanticMpEvalSql: String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), $lloydCentsCtes, ranks AS MATERIALIZED (
+       |  SELECT vec_id, cid, crk FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosDuck("e.embedding", "c.c_emb")} DESC, c.cid)
+       |        AS crk
+       |    FROM e CROSS JOIN cents c
+       |  ) WHERE crk <= 2
+       |), cand AS MATERIALIZED (
+       |  SELECT DISTINCT least(p.vec_id, a.vec_id) AS vec_a,
+       |    greatest(p.vec_id, a.vec_id) AS vec_b
+       |  FROM ranks p
+       |  JOIN ranks a ON a.cid = p.cid AND a.crk = 1
+       |    AND a.vec_id <> p.vec_id
+       |  JOIN e ep ON ep.vec_id = p.vec_id
+       |  JOIN e ea ON ea.vec_id = a.vec_id
+       |  WHERE (floor((${cosDuck("ep.embedding", "ea.embedding")}) * 1000000.0 + 0.5) / 1000000.0) >= $semanticEps
+       |), truth AS MATERIALIZED (
+       |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM e x JOIN e y ON x.vec_id < y.vec_id
+       |  WHERE (floor((${cosDuck("x.embedding", "y.embedding")}) * 1000000.0 + 0.5) / 1000000.0) >= $semanticEps
+       |), cc AS (SELECT CAST(count(*) AS BIGINT) AS n_blocked FROM cand),
+       |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+       |hh AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM cand JOIN truth USING (vec_a, vec_b)
+       |)
+       |SELECT n_blocked, n_true, n_hit,
+       |  n_hit = n_blocked AS containment_ok,
+       |  CASE WHEN n_true > 0 THEN ${ParityMath.q6Sql(
+            "CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE)")}
+       |  END AS recall
+       |FROM cc, tt, hh""".stripMargin
+
   // ---- pipe_embed_prune ----------------------------------------------
 
   /** Fraction of the corpus pruned as embedding outliers: the bottom

@@ -66,6 +66,31 @@ class DedupSimSpec extends SparkSpec {
       s"pair mass must cover the ${dropped.size} dropped vectors")
   }
 
+  test("semantic mp: 2-probe candidates dominate the single-cell " +
+       "face - verdicts only tighten and measured recall rises") {
+    val home = Similarity.ddSemantic(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    val mp = Similarity.ddSemanticMp(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(mp.keySet == home.keySet, "same vector universe")
+    home.foreach { case (v, (cid, keep, dupOf)) =>
+      val (mcid, mkeep, mdup) = mp(v)
+      assert(mcid == cid, s"home cell must not move: $v")
+      if (!keep) {
+        assert(!mkeep, s"a single-cell drop must survive probing: $v")
+        assert(mdup <= dupOf, s"the dominating id can only shrink: $v")
+      }
+    }
+    val r1 = Similarity.ddSemanticEval(spark, sfDir).collect().head
+    val r2 = Similarity.ddSemanticMpEval(spark, sfDir).collect().head
+    assert(r2.getBoolean(3), "mp containment is structural too")
+    assert(r2.getDouble(4) >= r1.getDouble(4),
+      s"p=2 recall ${r2.getDouble(4)} must dominate p=1 " +
+        s"${r1.getDouble(4)}")
+  }
+
   test("cluster stats: histogram re-aggregates the clusters relation " +
        "exactly; removable == the non-canonical count") {
     val cl = Dedup.dupClusters(spark, sfDir).collect()
