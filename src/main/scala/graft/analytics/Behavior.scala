@@ -966,9 +966,13 @@ object Behavior {
     * discipline).
     */
   private[graft] def stickinessFromDayUsers(du: DataFrame): DataFrame = {
+    // both the DAU and MAU branches fold this relation - materialize
+    // it once (the mkDense discipline) instead of re-deriving the
+    // distinct from the events scan twice
     val d0 = du.select(
       expr(s"d DIV $stickinessWindowDays").as("w"),
       col("d"), col("user_id"))
+      .localCheckpoint()
     val dau = d0.groupBy(col("w"), col("d"))
       .agg(countDistinct(col("user_id")).as("dau"))
       .groupBy(col("w"))
