@@ -2512,6 +2512,91 @@ object TextAnalysis {
           .as("slope"))
   }
 
+  // ---- txt_vocab_coverage ----------------------------------------------
+
+  /** Coverage-curve cut points: the "how big must the vocab be"
+    * readings a tokenizer budget is negotiated against.
+    */
+  val coverageCuts: Seq[Long] = Seq(10L, 100L, 1000L)
+
+  /** TOP-K TYPE COVERAGE — the actionable curve behind txt_zipf's law
+    * fit (zipf says frequencies decay as a power law; this says what
+    * fraction of all TOKENS the k most frequent types actually cover
+    * — the vocabulary-sizing and OOV-budget reading, txt_fertility's
+    * corpus-side companion): per cut k, the types admitted, tokens
+    * covered, and the q6 share. Rank = (cnt DESC, term ASC), the zipf
+    * total order, selected via GlobalRank's range shuffle — never a
+    * single-task window over a 100 TB vocabulary.
+    */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    coverageFrom(Graft.tableParallel(spark, sfDir, "documents")
+      .select(explode(expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt")))
+  }
+
+  /** The curve over any (term, cnt) frequency relation — shared with
+    * the zipf stream face's state.
+    */
+  private[graft] def coverageFrom(freq: DataFrame): DataFrame = {
+    val (ranked, vocab) = graft.core.GlobalRank.withRank(freq,
+      Seq(col("cnt").desc, col("term").asc), "rk")
+    val cutAggs = coverageCuts.map(k =>
+      coalesce(sum(when(col("rk") <= k, col("cnt")).otherwise(0L)),
+        lit(0L)).as(s"c$k"))
+    val rows = coverageCuts.map { k =>
+      s"struct(CAST($k AS BIGINT) AS k, c$k AS covered)"
+    }.mkString(", ")
+    ranked
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("total"),
+        cutAggs: _*)
+      .select(col("total"), explode(expr(s"array($rows)")).as("r"))
+      .select(col("r.k").as("k"),
+        least(col("r.k"), lit(vocab)).as("n_types"),
+        col("r.covered").as("covered"),
+        when(col("total") > 0, graft.pipeline.ParityMath.q6(
+          col("r.covered").cast("double") / col("total").cast("double")))
+          .as("share"))
+      .orderBy(col("k"))
+  }
+
+  val vocabCoverageSql: String = {
+    val cutCols = coverageCuts.map(k =>
+      s"CAST(coalesce(sum(CASE WHEN rk <= $k THEN cnt ELSE 0 END), 0) " +
+        s"AS BIGINT) AS c$k").mkString(",\n    ")
+    val branches = coverageCuts.map { k =>
+      s"""  SELECT CAST($k AS BIGINT) AS k,
+         |    CAST(least($k, vocab) AS BIGINT) AS n_types,
+         |    c$k AS covered,
+         |    CASE WHEN total > 0 THEN ${ParityMath.q6Sql(
+              s"CAST(c$k AS DOUBLE) / CAST(total AS DOUBLE)")}
+         |    END AS share
+         |  FROM a""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+       |    AS term
+       |  FROM documents
+       |), freq AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM toks GROUP BY 1
+       |), r AS (
+       |  SELECT cnt,
+       |    row_number() OVER (ORDER BY cnt DESC, term) AS rk,
+       |    count(*) OVER () AS vocab
+       |  FROM freq
+       |), a AS (
+       |  SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS total,
+       |    CAST(max(vocab) AS BIGINT) AS vocab,
+       |    $cutCols
+       |  FROM r
+       |)
+       |SELECT * FROM (
+       |$branches
+       |) ORDER BY k""".stripMargin
+  }
+
   def zipf(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
     zipfFrom(Graft.tableParallel(spark, sfDir, "documents")

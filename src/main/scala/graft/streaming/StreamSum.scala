@@ -1697,6 +1697,25 @@ object StreamSum {
       runToTable(freq, OutputMode.Complete(), "ss_stream_zipf"))
   }
 
+  /** Streaming coverage curve, sharing `txt_vocab_coverage`'s
+    * oracle: the SAME Complete-mode (term, cnt) state as the zipf
+    * face (one arriving doc can re-rank any type), the rank/cut fold
+    * a query-time view through the batch `coverageFrom`.
+    */
+  def streamVocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val freq = docs
+      .select(explode(expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    graft.pipeline.TextAnalysis.coverageFrom(
+      runToTable(freq, OutputMode.Complete(), "ss_stream_coverage"))
+  }
+
   /** Streaming face of the Heaps vocabulary-growth curve, sharing
     * `txt_heaps`'s oracle: the streamed state is the two merge-clean
     * relations the batch core folds - per-term FIRST-appearance doc

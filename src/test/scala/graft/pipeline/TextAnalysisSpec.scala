@@ -107,6 +107,23 @@ class TextAnalysisSpec extends SparkSpec {
       s"argmax parity: in-row $inRow vs windowed $windowed")
   }
 
+  test("vocab coverage: hand-computed cuts over a 12-type frequency " +
+       "table; the curve saturates at full vocabulary") {
+    val s = spark; import s.implicits._
+    graft.core.Graft.ensureConf(spark)
+    // counts 12..1 (total 78): top-10 covers 75 -> q6(75/78);
+    // both larger cuts admit all 12 types and cover everything
+    val freq = (1 to 12).map(i => (f"t$i%02d", (13 - i).toLong))
+      .toDF("term", "cnt")
+    val got = TextAnalysis.coverageFrom(freq).collect()
+      .map(_.toSeq).toSeq
+    val s10 = math.floor(75.0 / 78.0 * 1e6 + 0.5) / 1e6
+    assert(got == Seq(
+      Seq(10L, 10L, 75L, s10),
+      Seq(100L, 12L, 78L, 1.0),
+      Seq(1000L, 12L, 78L, 1.0)), s"coverage: $got")
+  }
+
   test("pii scrub redacts emails, phones and SSNs") {
     val s = spark; import s.implicits._
     val df = Seq(
