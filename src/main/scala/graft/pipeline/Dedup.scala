@@ -1413,6 +1413,89 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ---- dd_simhash_eval ---------------------------------------------------
+
+  /** RECALL SCORECARD for the chunk-blocked SimHash join — the eval
+    * member for the Hamming family (dd_lsh_eval scores the banding,
+    * dd_semantic_eval the cells; this scores the 4x12-bit pigeonhole
+    * blocks): blocked pairs vs the BRUTE all-pairs Hamming truth at
+    * the same threshold. The pigeonhole guarantee is exact only to
+    * distance `simhashChunks - 1` = 3; the family runs at threshold
+    * 6, so recall < 1 is a REAL property of the production face —
+    * this face measures it instead of asserting it. Containment is
+    * structural (blocking filters the same hamming bound).
+    *
+    * 100 TB shape: blocked side is the production plan; the O(n²)
+    * truth side is the eval posture (sampled slice at deployment,
+    * primary-SF-only in the bench — the dd_semantic_eval argument).
+    */
+  def simhashEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val sims = SignatureStore.shingles(spark, sfDir)
+      .select(col("doc_id"), expr("graft_simhash48(hst)").as("sim"))
+      .localCheckpoint()
+    val cand = simhashPairsFrom(sims)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val truth = sims.as("x").join(sims.as("y"),
+        col("x.doc_id") < col("y.doc_id"))
+      .filter(expr("graft_hamming(x.sim, y.sim)") <= hammingThreshold)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .localCheckpoint()
+    val nc = cand.agg(count(lit(1)).as("n_blocked"))
+    val nt = truth.agg(count(lit(1)).as("n_true"))
+    val nh = cand.join(truth, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    nc.crossJoin(broadcast(nt)).crossJoin(broadcast(nh))
+      .select(col("n_blocked"), col("n_true"), col("n_hit"),
+        (col("n_hit") === col("n_blocked")).as("containment_ok"),
+        when(col("n_true") > 0, ParityMath.q6(
+          col("n_hit").cast("double") / col("n_true").cast("double")))
+          .as("recall"))
+  }
+
+  lazy val simhashEvalSql: String = {
+    val h48 = hex48Duck("md5(s)")
+    val bitSums = (0 until simhashBits).map { b =>
+      s"(CASE WHEN list_sum(list_transform(hst, h -> " +
+        s"CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END)) > 0 " +
+        s"THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << $b)"
+    }
+    val chunkBranches = (0 until simhashChunks).map { c =>
+      s"  SELECT doc_id, sim, $c AS c, (sim >> ${12 * c}) & 4095 AS v FROM sims"
+    }
+    s"""WITH tt AS (
+       |  SELECT doc_id,
+       |    list_transform(regexp_extract_all(text, '\\S+'), s -> $h48)
+       |      AS hst
+       |  FROM documents
+       |  WHERE len(regexp_extract_all(text, '\\S+')) >= 1
+       |), sims AS MATERIALIZED (
+       |  SELECT doc_id, ${bitSums.mkString(" + ")} AS sim FROM tt
+       |), chunks AS (
+       |${chunkBranches.mkString("\n  UNION ALL\n")}
+       |), cand AS MATERIALIZED (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM chunks x JOIN chunks y
+       |    ON x.c = y.c AND x.v = y.v AND x.doc_id < y.doc_id
+       |  WHERE bit_count(xor(x.sim, y.sim)) <= $hammingThreshold
+       |), truth AS MATERIALIZED (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+       |  WHERE bit_count(xor(x.sim, y.sim)) <= $hammingThreshold
+       |), cc AS (SELECT CAST(count(*) AS BIGINT) AS n_blocked FROM cand),
+       |tt2 AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+       |hh AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM cand JOIN truth USING (doc_a, doc_b)
+       |)
+       |SELECT n_blocked, n_true, n_hit,
+       |  n_hit = n_blocked AS containment_ok,
+       |  CASE WHEN n_true > 0 THEN ${ParityMath.q6Sql(
+            "CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE)")}
+       |  END AS recall
+       |FROM cc, tt2, hh""".stripMargin
+  }
+
   val simhashPairsSql: String = {
     val h48 = hex48Duck("md5(s)")
     val bitSums = (0 until simhashBits).map { b =>

@@ -91,6 +91,31 @@ class DedupSimSpec extends SparkSpec {
         s"${r1.getDouble(4)}")
   }
 
+  test("simhash eval: pigeonhole is exact to distance 3, misses are " +
+       "real past it, and the corpus scorecard is contained") {
+    val s = spark; import s.implicits._
+    // doc 2: 3 flips in one chunk -> some chunk intact -> FOUND;
+    // doc 4: 4 flips, one per 12-bit chunk -> every chunk differs ->
+    // MISSED although true hamming 4 <= 6 (the measured gap)
+    val sims = Seq(
+      (1L, 0L), (2L, 7L),
+      (4L, (1L << 0) | (1L << 12) | (1L << 24) | (1L << 36)))
+      .toDF("doc_id", "sim")
+    val got = Dedup.simhashPairsFrom(sims).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), "distance 3 must be guaranteed")
+    assert(!got.contains((1L, 4L)),
+      "one flip per chunk defeats the blocking - the gap the eval " +
+        "face exists to measure")
+    val r = Dedup.simhashEval(spark, sfDir).collect().head
+    assert(r.getBoolean(3), s"containment is structural: $r")
+    assert(r.getLong(2) == r.getLong(0) && r.getLong(1) >= r.getLong(0))
+    assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0, s"recall: $r")
+    // and the candidate face IS the hit set
+    assert(r.getLong(0) == Dedup.simhashPairs(spark, sfDir).count(),
+      "scorecard must count the production face's own pairs")
+  }
+
   test("cluster stats: histogram re-aggregates the clusters relation " +
        "exactly; removable == the non-canonical count") {
     val cl = Dedup.dupClusters(spark, sfDir).collect()
