@@ -124,7 +124,7 @@ object Behavior {
     cohortMatrixFrom(Graft.table(spark, sfDir, "events")
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
       .select(col("user_id"),
-        expr(s"(graft_ts_us(ts)) DIV ${cohortWeekUs}L").as("w"))
+        expr(graft.pipeline.ParityMath.fdivSql("graft_ts_us(ts)", s"${cohortWeekUs}L")).as("w"))
       .groupBy(col("user_id"))
       .agg(collect_set(col("w")).as("ws")))
   }
@@ -956,7 +956,7 @@ object Behavior {
     stickinessFromDayUsers(
       Graft.table(spark, sfDir, "events")
         .filter(col("ts").isNotNull && col("user_id").isNotNull)
-        .select(expr("graft_ts_us(ts) DIV 86400000000").as("d"),
+        .select(expr(graft.pipeline.ParityMath.fdivSql("graft_ts_us(ts)", "86400000000")).as("d"),
           col("user_id"))
         .distinct())
   }
@@ -970,7 +970,7 @@ object Behavior {
     // it once (the mkDense discipline) instead of re-deriving the
     // distinct from the events scan twice
     val d0 = du.select(
-      expr(s"d DIV $stickinessWindowDays").as("w"),
+      expr(graft.pipeline.ParityMath.fdivSql("d", s"$stickinessWindowDays")).as("w"),
       col("d"), col("user_id"))
       .localCheckpoint()
     val dau = d0.groupBy(col("w"), col("d"))

@@ -522,7 +522,7 @@ object Sketches {
     graft.functions.NativeFunctions.register(spark)
     val ev = Graft.tableParallel(spark, sfDir, "events")
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
-      .select(expr(s"(graft_ts_us(ts)) DIV ${slideBucketUs}L").as("b"),
+      .select(expr(ParityMath.fdivSql("graft_ts_us(ts)", s"${slideBucketUs}L")).as("b"),
         col("user_id"))
     val regs = hashRho(ev.select(col("b").as("l_returnflag"),
         col("user_id").as("l_orderkey")))
@@ -716,7 +716,7 @@ object Sketches {
     graft.functions.NativeFunctions.register(spark)
     val ev = Graft.tableParallel(spark, sfDir, "events")
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
-      .select(expr(s"(graft_ts_us(ts)) DIV ${slideBucketUs}L").as("b"),
+      .select(expr(ParityMath.fdivSql("graft_ts_us(ts)", s"${slideBucketUs}L")).as("b"),
         col("user_id"))
     val counters = ev
       .select(col("b"), col("user_id"),
@@ -796,7 +796,7 @@ object Sketches {
     Graft.ensureConf(spark)
     val ev = Graft.table(spark, sfDir, "events")
       .filter(col("ts").isNotNull && col("value").isNotNull)
-      .select(expr(s"(graft_ts_us(ts)) DIV ${slideBucketUs}L").as("b"),
+      .select(expr(ParityMath.fdivSql("graft_ts_us(ts)", s"${slideBucketUs}L")).as("b"),
         floor(col("value") / lit(slideQtileW)).as("bin"))
     val partials = ev.groupBy(col("b"), col("bin"))
       .agg(count(lit(1)).as("c"))
@@ -862,7 +862,7 @@ object Sketches {
     graft.functions.NativeFunctions.register(spark)
     val hs = Graft.tableParallel(spark, sfDir, "events")
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
-      .select(expr(s"(graft_ts_us(ts)) DIV ${slideBucketUs}L").as("b"),
+      .select(expr(ParityMath.fdivSql("graft_ts_us(ts)", s"${slideBucketUs}L")).as("b"),
         expr("graft_md5_48(CAST(user_id AS STRING))").as("h"))
       .distinct()
     // buckets x k longs - small by construction, same local-pair-table
@@ -1061,7 +1061,7 @@ object Sketches {
     graft.functions.NativeFunctions.register(spark)
     val ev = Graft.tableParallel(spark, sfDir, "events")
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
-      .select(expr(s"(graft_ts_us(ts)) DIV ${slideBucketUs}L").as("b"),
+      .select(expr(ParityMath.fdivSql("graft_ts_us(ts)", s"${slideBucketUs}L")).as("b"),
         col("user_id"))
     val regs = hashRho(ev.select(col("b").as("l_returnflag"),
         col("user_id").as("l_orderkey")))
@@ -1166,7 +1166,7 @@ object Sketches {
     graft.functions.NativeFunctions.register(spark)
     val ev = Graft.tableParallel(spark, sfDir, "events")
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
-      .select(expr(s"(graft_ts_us(ts)) DIV ${slideBucketUs}L").as("b"),
+      .select(expr(ParityMath.fdivSql("graft_ts_us(ts)", s"${slideBucketUs}L")).as("b"),
         col("user_id"))
     val counters = ev
       .select(col("b"), col("user_id"),
@@ -1378,7 +1378,7 @@ object Sketches {
     graft.functions.NativeFunctions.register(spark)
     val hs = Graft.tableParallel(spark, sfDir, "events")
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
-      .select(expr(s"(graft_ts_us(ts)) DIV ${slideBucketUs}L").as("b"),
+      .select(expr(ParityMath.fdivSql("graft_ts_us(ts)", s"${slideBucketUs}L")).as("b"),
         expr("graft_md5_48(CAST(user_id AS STRING))").as("h"))
       .distinct()
     val s2 = spark; import s2.implicits._

@@ -30,7 +30,7 @@ object TimeSeries {
   private[graft] def resampleBase(ev: DataFrame): DataFrame =
     ev.filter(col("ts").isNotNull && col("user_id").isNotNull)
       .select(col("user_id"),
-        expr(s"(graft_ts_us(ts)) DIV ${resampleBucketUs}L").as("tb"),
+        expr(graft.pipeline.ParityMath.fdivSql("graft_ts_us(ts)", s"${resampleBucketUs}L")).as("tb"),
         col("event_id"))
       .groupBy(col("user_id"), col("tb"))
       .agg(count(lit(1)).as("n_events"),
@@ -74,7 +74,7 @@ object TimeSeries {
     ev.filter(col("ts").isNotNull && col("user_id").isNotNull &&
         col("value").isNotNull)
       .select(col("user_id"),
-        expr(s"(graft_ts_us(ts)) DIV ${resampleBucketUs}L").as("tb"),
+        expr(graft.pipeline.ParityMath.fdivSql("graft_ts_us(ts)", s"${resampleBucketUs}L")).as("tb"),
         col("event_id"),
         expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").as("v_mu"))
       .groupBy(col("user_id"), col("tb"))
@@ -671,7 +671,7 @@ object TimeSeries {
     events
       .filter(col("ts").isNotNull && col("event_type").isNotNull)
       .select(col("event_type").as("et"),
-        expr("graft_ts_us(ts) DIV 3600000000").as("h"))
+        expr(graft.pipeline.ParityMath.fdivSql("graft_ts_us(ts)", "3600000000")).as("h"))
       .groupBy(col("et"), col("h")).agg(count(lit(1)).as("c"))
 
   /** The densify + lag-align + pooled-Pearson view over any
@@ -811,7 +811,7 @@ object TimeSeries {
     */
   private[graft] def stlBuckets(events: DataFrame): DataFrame =
     events.filter(col("ts").isNotNull)
-      .select(expr("graft_ts_us(ts) DIV 3600000000").as("h"))
+      .select(expr(graft.pipeline.ParityMath.fdivSql("graft_ts_us(ts)", "3600000000")).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("c"))
 
   /** Densify + trend-remove + hour-of-day rollup over any (h, c)
@@ -995,7 +995,7 @@ object TimeSeries {
     */
   private[graft] def mkBuckets(events: DataFrame): DataFrame =
     events.filter(col("ts").isNotNull)
-      .select(expr("graft_ts_us(ts) DIV 86400000000").as("d"))
+      .select(expr(graft.pipeline.ParityMath.fdivSql("graft_ts_us(ts)", "86400000000")).as("d"))
       .groupBy(col("d")).agg(count(lit(1)).as("c"))
 
   /** Densify + sign-pair count over any (d, c) bucket relation —
@@ -1451,10 +1451,18 @@ object TimeSeries {
       Window.unboundedPreceding, Window.unboundedFollowing)
     ab.select(col("p").cast("long").as("period"),
         (col("a") * col("a") + col("b") * col("b"))
-          .cast("decimal(38,0)").as("power"))
+          .cast("decimal(38,0)").as("pow_exact"))
       .crossJoin(broadcast(tot.select(col("n_days"))))
-      .withColumn("is_peak", col("power") === max(col("power")).over(w))
-      .select(col("period"), col("n_days"), col("power"), col("is_peak"))
+      .withColumn("is_peak",
+        col("pow_exact") === max(col("pow_exact")).over(w))
+      // Hash-stable output type: the exact DECIMAL(38,0) integer is
+      // proven bit-identical cross-engine, but >18-digit decimals
+      // normalize differently on the two read paths of the driver's
+      // hash. Both engines cast the IDENTICAL exact integer to DOUBLE
+      // (IEEE round-to-nearest of the same integer → same bits); the
+      // peak verdict is still decided on the exact integer above.
+      .select(col("period"), col("n_days"),
+        col("pow_exact").cast("double").as("power"), col("is_peak"))
       .orderBy(col("period"))
   }
 
@@ -1482,12 +1490,12 @@ object TimeSeries {
        |    sum(CAST(dense.c * tot.n_days - tot.t AS HUGEINT) * tr.sq)
        |      AS b
        |  FROM dense CROSS JOIN tot
-       |  JOIN trig tr ON tr.r = dense.d % tr.p
+       |  JOIN trig tr ON tr.r = ((dense.d % tr.p) + tr.p) % tr.p
        |  GROUP BY 1
        |)
        |SELECT CAST(p AS BIGINT) AS period,
        |  (SELECT n_days FROM tot) AS n_days,
-       |  CAST(a * a + b * b AS DECIMAL(38,0)) AS power,
+       |  CAST(a * a + b * b AS DOUBLE) AS power,
        |  a * a + b * b = max(a * a + b * b) OVER () AS is_peak
        |FROM ab ORDER BY period""".stripMargin
   }
@@ -1945,7 +1953,7 @@ object TimeSeries {
   private[graft] def decayBuckets(tuples: DataFrame): DataFrame =
     tuples
       .select(col("p"), col("s"), col("o"),
-        expr(s"t DIV ${decayHalflifeUs}L").as("day"))
+        expr(graft.pipeline.ParityMath.fdivSql("t", s"${decayHalflifeUs}L")).as("day"))
       .groupBy(col("p"), col("s"), col("o"), col("day"))
       .agg(count(lit(1)).as("c"))
 
@@ -2024,7 +2032,7 @@ object TimeSeries {
   def qTrending(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
     trendingFromBuckets(graft.core.Transform.extract(spark, sfDir)
-      .select(col("o"), expr(s"t DIV ${decayHalflifeUs}L").as("day"))
+      .select(col("o"), expr(graft.pipeline.ParityMath.fdivSql("t", s"${decayHalflifeUs}L")).as("day"))
       .groupBy(col("o"), col("day"))
       .agg(count(lit(1)).as("c")))
   }
@@ -2186,7 +2194,7 @@ object TimeSeries {
     val bounds = ev.agg(min(col("tus")).as("lo"), max(col("tus")).as("hi"))
     val counts = ev.crossJoin(broadcast(bounds))
       .select(col("event_type"),
-        expr("IF(tus <= (lo + hi) DIV 2L, 1L, 0L)").as("is_ref"))
+        expr(s"IF(tus <= ${graft.pipeline.ParityMath.fdivSql("lo + hi", "2L")}, 1L, 0L)").as("is_ref"))
       .groupBy(col("event_type"))
       .agg(sum(col("is_ref")).as("c_ref"),
         sum(lit(1L) - col("is_ref")).as("c_cur"))

@@ -23,8 +23,43 @@ object Dedup {
   val numBands: Int = minhashK / bandRows // 8
   val jaccardThreshold = 0.8
   val simhashBits = 48
-  val simhashChunks = 4
   val hammingThreshold = 6
+
+  /** Chunk count giving the PIGEONHOLE GUARANTEE at the family's own
+    * threshold: k chunks guarantee recall 1.0 for Hamming distance
+    * ≤ k−1 (a pair within d flips can ruin at most d chunks), so
+    * `hammingThreshold` = 6 needs 7 chunks. r13 ran 4×12-bit chunks,
+    * which only guarantee d ≤ 3 — `dd_simhash_eval` measured the gap
+    * as recall 0.669 with the miss mode planted in spec (VERDICT r13
+    * #2/next-round #2). The price is bucket volume: 7-bit chunk
+    * values collide ~32× more often than 12-bit ones per chunk — the
+    * standard HmSearch trade, paid in the SAME bucketed-join shape
+    * (never all-pairs), and the per-pair Hamming verdict is unchanged.
+    */
+  val simhashChunks = 7
+
+  /** (shift, mask) per chunk: 6 chunks of 7 bits + 1 of 6 over the
+    * 48-bit signature — single source for the Spark face AND every
+    * oracle (text simhash, image ahash share it via
+    * `simhashChunkBranchesSql`).
+    */
+  private[graft] val simhashChunkSpec: Seq[(Int, Int)] = {
+    val base = simhashBits / simhashChunks
+    val extra = simhashBits % simhashChunks
+    val widths =
+      Seq.tabulate(simhashChunks)(c => if (c < extra) base + 1 else base)
+    widths.scanLeft(0)(_ + _).zip(widths)
+      .map { case (sh, w) => (sh, (1 << w) - 1) }
+  }
+
+  /** The DuckDB chunk-explode branches over a `(doc_id, sim)` CTE —
+    * shared by simhashPairsSql / simhashEvalSql / ahashPairsSql so
+    * the blocking scheme cannot drift between faces or engines.
+    */
+  private[graft] def simhashChunkBranchesSql(src: String): Seq[String] =
+    simhashChunkSpec.zipWithIndex.map { case ((sh, m), c) =>
+      s"  SELECT doc_id, sim, $c AS c, (sim >> $sh) & $m AS v FROM $src"
+    }
 
   // ---- dd_exact ------------------------------------------------------
 
@@ -1378,9 +1413,9 @@ object Dedup {
 
   /** 48-bit SimHash near-dup pairs. Token-frequency-weighted bit
     * majority per document (narrow), then the standard chunk-blocking:
-    * two docs within Hamming distance d of each other must share at
-    * least one of 4 12-bit chunks exactly (d <= 3 guaranteed; we use it
-    * as the candidate generator for d <= 6). Shuffle keyed on
+    * two docs within Hamming distance d must share at least one of the
+    * `simhashChunks` = 7 chunks exactly — the pigeonhole guarantee
+    * covers the family's own threshold d <= 6. Shuffle keyed on
     * (chunk_idx, chunk_value). The token-hash array comes from the
     * session-shared SignatureStore relation - the same tokenize+hash
     * pass that already feeds minhash/LSH/Jaccard, not a second
@@ -1398,8 +1433,9 @@ object Dedup {
   private[graft] def simhashPairsFrom(simDocs: DataFrame): DataFrame = {
     val chunks = simDocs.select(col("doc_id"), col("sim"),
       explode(expr(
-        (0 until simhashChunks)
-          .map(c => s"named_struct('c', $c, 'v', shiftright(sim, ${12 * c}) & 4095)")
+        simhashChunkSpec.zipWithIndex
+          .map { case ((sh, m), c) =>
+            s"named_struct('c', $c, 'v', shiftright(sim, $sh) & $m)" }
           .mkString("array(", ", ", ")"))).as("ch"))
       .select(col("doc_id"), col("sim"), col("ch.c").as("c"),
         col("ch.v").as("v"))
@@ -1417,13 +1453,14 @@ object Dedup {
 
   /** RECALL SCORECARD for the chunk-blocked SimHash join — the eval
     * member for the Hamming family (dd_lsh_eval scores the banding,
-    * dd_semantic_eval the cells; this scores the 4x12-bit pigeonhole
+    * dd_semantic_eval the cells; this scores the 7-chunk pigeonhole
     * blocks): blocked pairs vs the BRUTE all-pairs Hamming truth at
-    * the same threshold. The pigeonhole guarantee is exact only to
-    * distance `simhashChunks - 1` = 3; the family runs at threshold
-    * 6, so recall < 1 is a REAL property of the production face —
-    * this face measures it instead of asserting it. Containment is
-    * structural (blocking filters the same hamming bound).
+    * the same threshold. With `simhashChunks` = 7 the pigeonhole
+    * guarantee is exact through distance `simhashChunks - 1` = 6 =
+    * `hammingThreshold`, so recall is structurally 1.0 (r13's 4x12
+    * layout measured 0.669 here); the face stays as the regression
+    * scorecard. Containment is structural (blocking filters the same
+    * hamming bound).
     *
     * 100 TB shape: blocked side is the production plan; the O(n²)
     * truth side is the eval posture (sampled slice at deployment,
@@ -1460,9 +1497,7 @@ object Dedup {
         s"CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END)) > 0 " +
         s"THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << $b)"
     }
-    val chunkBranches = (0 until simhashChunks).map { c =>
-      s"  SELECT doc_id, sim, $c AS c, (sim >> ${12 * c}) & 4095 AS v FROM sims"
-    }
+    val chunkBranches = simhashChunkBranchesSql("sims")
     s"""WITH tt AS (
        |  SELECT doc_id,
        |    list_transform(regexp_extract_all(text, '\\S+'), s -> $h48)
@@ -1503,9 +1538,7 @@ object Dedup {
         s"CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END)) > 0 " +
         s"THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << $b)"
     }
-    val chunkBranches = (0 until simhashChunks).map { c =>
-      s"  SELECT doc_id, sim, $c AS c, (sim >> ${12 * c}) & 4095 AS v FROM sims"
-    }
+    val chunkBranches = simhashChunkBranchesSql("sims")
     s"""WITH tt AS (
        |  SELECT doc_id,
        |    list_transform(regexp_extract_all(text, '\\S+'), s -> $h48)

@@ -81,7 +81,7 @@ object Layout {
   private[graft] def zorderFrom(ev: DataFrame): DataFrame =
     ev.filter(col("ts").isNotNull && col("value").isNotNull)
       .select(col("event_id"),
-        expr(s"pmod((graft_ts_us(ts)) DIV ${tBucketUs}L, ${1L << zBits})")
+        expr(s"pmod(${ParityMath.fdivSql("graft_ts_us(ts)", s"${tBucketUs}L")}, ${1L << zBits})")
           .as("tb"),
         expr(vbSpark("value")).as("vb"))
       .withColumn("zkey", expr(zSpark))
@@ -139,8 +139,9 @@ object Layout {
     * the FileIndex level, before any I/O.
     */
   def writeZOrdered(ev: DataFrame, dir: String): Unit =
-    ev.withColumn("tb", expr(
-        s"pmod((graft_ts_us(ts)) DIV ${tBucketUs}L, ${1L << zBits})"))
+    ev.withColumn("tb", expr(s"pmod(" +
+        s"${ParityMath.fdivSql("graft_ts_us(ts)", s"${tBucketUs}L")}, " +
+        s"${1L << zBits})"))
       // explicit null guard: least() SKIPS nulls, so a bare
       // least(floor(NULL), max) would silently bucket null values at
       // the top of the range instead of quarantining them
@@ -171,7 +172,8 @@ object Layout {
   val zorderSql: String =
     s"""WITH b AS (
        |  SELECT event_id,
-       |    (epoch_us(ts) // $tBucketUs) % ${1L << zBits} AS tb,
+       |    (((epoch_us(ts) // $tBucketUs) % ${1L << zBits})
+       |     + ${1L << zBits}) % ${1L << zBits} AS tb,
        |    ${vbDuck("value")} AS vb
        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
        |)

@@ -639,10 +639,7 @@ object Multimodal {
     * 48-bit sum, and the pair join the simhash oracle's chunk scheme.
     */
   val ahashPairsSql: String = {
-    val chunkBranches = (0 until Dedup.simhashChunks).map { c =>
-      s"  SELECT doc_id, sim, $c AS c, (sim >> ${12 * c}) & 4095 AS v" +
-        " FROM sims"
-    }
+    val chunkBranches = Dedup.simhashChunkBranchesSql("sims")
     s"""WITH t AS (
        |  SELECT doc_id,
        |         16 + doc_id % 17 AS w,

@@ -28,4 +28,18 @@ object ParityMath {
 
   def q9Sql(e: String): String =
     s"(floor(($e) * 1000000000.0 + 0.5) / 1000000000.0)"
+
+  /** FLOOR-division SQL text matching DuckDB `//` for ANY sign of x
+    * (p must be a POSITIVE literal): Spark's `DIV` truncates toward
+    * zero while DuckDB's `//` floors, so `x DIV p` vs `x // p`
+    * silently diverge on negative operands — concretely, pre-1970
+    * timestamps bucketed to epoch days/hours/weeks. `x − pmod(x, p)`
+    * is the exact multiple `p·⌊x/p⌋`, so the final DIV is exact and
+    * sign-safe; all integer arithmetic, whole-stage codegen'd. Every
+    * Spark-side time-bucket site pairs this with an unguarded `//`
+    * oracle; sites that instead enforce the `tus >= 0` contract do so
+    * on BOTH faces (q_seasonality discipline) and stay on plain DIV.
+    */
+  def fdivSql(x: String, p: String): String =
+    s"((($x) - pmod(($x), $p)) DIV ($p))"
 }

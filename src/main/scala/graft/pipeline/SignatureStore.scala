@@ -541,8 +541,8 @@ object SignatureStore {
       .option("checkpointLocation", s"$storeDir/_checkpoint")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         batch.filter(col("ts").isNotNull && col("user_id").isNotNull)
-          .select(col("user_id"), expr(
-            s"(graft_ts_us(ts)) DIV ${graft.analytics.Behavior.cohortWeekUs}L")
+          .select(col("user_id"), expr(ParityMath.fdivSql("graft_ts_us(ts)",
+            s"${graft.analytics.Behavior.cohortWeekUs}L"))
             .as("w"))
           .distinct()
           .write.mode("overwrite")
@@ -946,7 +946,7 @@ object SignatureStore {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         batch
           .filter(col("ts").isNotNull && col("user_id").isNotNull)
-          .select(expr("graft_ts_us(ts) DIV 86400000000").as("d"),
+          .select(expr(ParityMath.fdivSql("graft_ts_us(ts)", "86400000000")).as("d"),
             col("user_id"))
           .distinct()
           .write.mode("overwrite")

@@ -484,7 +484,7 @@ object StreamSum {
     import spark.implicits._
     val bucketed = streamingEvents(spark, sfDir)
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
-      .select(expr(s"(graft_ts_us(ts)) DIV ${Sketches.slideBucketUs}L").as("b"),
+      .select(expr(graft.pipeline.ParityMath.fdivSql("graft_ts_us(ts)", s"${Sketches.slideBucketUs}L")).as("b"),
         expr("graft_md5_48(CAST(user_id AS STRING))").as("h"))
       .as[(Long, Long)]
     val agg = graft.functions.MinKAgg(Sketches.kmvK)
@@ -499,7 +499,7 @@ object StreamSum {
         col("kmv_jaccard"), col("kmv_union_est"))
     val hs = Graft.table(spark, sfDir, "events")
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
-      .select(expr(s"(graft_ts_us(ts)) DIV ${Sketches.slideBucketUs}L").as("b"),
+      .select(expr(graft.pipeline.ParityMath.fdivSql("graft_ts_us(ts)", s"${Sketches.slideBucketUs}L")).as("b"),
         expr("graft_md5_48(CAST(user_id AS STRING))").as("h"))
       .distinct()
     val sizes = hs.groupBy(col("b")).agg(count(lit(1)).as("n"))
@@ -1477,7 +1477,7 @@ object StreamSum {
     graft.core.Graft.ensureConf(spark)
     val du = streamingEvents(spark, sfDir)
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
-      .select(expr("graft_ts_us(ts) DIV 86400000000").as("d"),
+      .select(expr(graft.pipeline.ParityMath.fdivSql("graft_ts_us(ts)", "86400000000")).as("d"),
         col("user_id"))
       .dropDuplicates("d", "user_id")
     graft.analytics.Behavior.stickinessFromDayUsers(
@@ -1944,8 +1944,8 @@ object StreamSum {
   def streamTrending(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
     val buckets = Transform.extractFrom(streamingEvents(spark, sfDir))
-      .select(col("o"), expr(
-        s"t DIV ${graft.analytics.TimeSeries.decayHalflifeUs}L").as("day"))
+      .select(col("o"), expr(graft.pipeline.ParityMath.fdivSql("t",
+        s"${graft.analytics.TimeSeries.decayHalflifeUs}L")).as("day"))
       .groupBy(col("o"), col("day"))
       .agg(count(lit(1)).as("c"))
     graft.analytics.TimeSeries.trendingFromBuckets(
@@ -2126,7 +2126,7 @@ object StreamSum {
     val perUser = streamingEvents(spark, sfDir)
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
       .select(col("user_id"),
-        expr(s"(graft_ts_us(ts)) DIV ${Behavior.cohortWeekUs}L").as("w"))
+        expr(graft.pipeline.ParityMath.fdivSql("graft_ts_us(ts)", s"${Behavior.cohortWeekUs}L")).as("w"))
       .groupBy(col("user_id"))
       .agg(collect_set(col("w")).as("ws"))
     Behavior.cohortMatrixFrom(

@@ -91,26 +91,37 @@ class DedupSimSpec extends SparkSpec {
         s"${r1.getDouble(4)}")
   }
 
-  test("simhash eval: pigeonhole is exact to distance 3, misses are " +
-       "real past it, and the corpus scorecard is contained") {
+  test("simhash eval: 7 chunks give the pigeonhole guarantee at the " +
+       "family threshold 6, and the corpus scorecard is contained") {
     val s = spark; import s.implicits._
-    // doc 2: 3 flips in one chunk -> some chunk intact -> FOUND;
-    // doc 4: 4 flips, one per 12-bit chunk -> every chunk differs ->
-    // MISSED although true hamming 4 <= 6 (the measured gap)
+    // 7 chunks over 48 bits (6x7 + 1x6): any pair within Hamming 6
+    // keeps >= 1 chunk intact, so the d=4 one-flip-per-chunk pattern
+    // that defeated the r13 4x12 blocking (measured recall 0.669) is
+    // now FOUND; a 7-flip pattern hitting every chunk is past the
+    // threshold anyway, so the only pairs the blocking can drop are
+    // pairs the verdict would reject regardless.
+    val worstD6 = // 6 flips, one in each of 6 distinct chunks
+      Dedup.simhashChunkSpec.take(6).map { case (sh, _) => 1L << sh }
+        .reduce(_ | _)
     val sims = Seq(
       (1L, 0L), (2L, 7L),
-      (4L, (1L << 0) | (1L << 12) | (1L << 24) | (1L << 36)))
+      (4L, (1L << 0) | (1L << 12) | (1L << 24) | (1L << 36)),
+      (5L, worstD6))
       .toDF("doc_id", "sim")
     val got = Dedup.simhashPairsFrom(sims).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.contains((1L, 2L)), "distance 3 must be guaranteed")
-    assert(!got.contains((1L, 4L)),
-      "one flip per chunk defeats the blocking - the gap the eval " +
-        "face exists to measure")
+    assert(got.contains((1L, 4L)),
+      "r13's planted miss (4 flips spread across the old 12-bit " +
+        "chunks) must now be found")
+    assert(got.contains((1L, 5L)),
+      "worst case at the threshold: 6 flips in 6 distinct chunks " +
+        "still share the untouched 7th chunk")
     val r = Dedup.simhashEval(spark, sfDir).collect().head
     assert(r.getBoolean(3), s"containment is structural: $r")
     assert(r.getLong(2) == r.getLong(0) && r.getLong(1) >= r.getLong(0))
-    assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0, s"recall: $r")
+    assert(r.getDouble(4) == 1.0,
+      s"pigeonhole at d<=6 makes recall exactly 1.0: $r")
     // and the candidate face IS the hit set
     assert(r.getLong(0) == Dedup.simhashPairs(spark, sfDir).count(),
       "scorecard must count the production face's own pairs")
