@@ -49,7 +49,7 @@ object Bench {
     "q_corr",
     "q_asof_join", "q_attribution", "q_range_join", "q_resample",
     "q_ewma", "q_holt", "q_holt_winters", "q_forecast_eval", "q_autocorr", "q_pacf", "q_anomaly",
-    "q_funnel", "q_cohort", "q_pagerank", "q_ppr", "q_hits",
+    "q_funnel", "q_cohort", "graph_memo_build", "q_pagerank", "q_ppr", "q_hits",
     "q_decay_count", "q_trending", "q_markov", "q_markov2", "ss_stream_ewma",
     "q_paths", "q_seasonality", "q_stl", "q_changepoint", "q_cusum", "q_psi_drift",
     "q_histogram", "q_gini", "q_lorenz", "q_mannkendall", "q_mad", "q_trimmed_mean", "q_theilsen",
@@ -117,7 +117,7 @@ object Bench {
     "q_sessionize", "q_session_overlap", "q_range_join", "q_resample",
     "q_attribution",
     "q_ewma", "q_holt", "q_holt_winters", "q_forecast_eval", "q_autocorr", "q_pacf", "q_anomaly",
-    "q_funnel", "q_cohort", "q_pagerank", "q_ppr", "q_hits", "q_trending", "q_markov", "q_markov2", "ss_stream_ewma",
+    "q_funnel", "q_cohort", "graph_memo_build", "q_pagerank", "q_ppr", "q_hits", "q_trending", "q_markov", "q_markov2", "ss_stream_ewma",
     "q_paths", "q_seasonality", "q_stl", "q_changepoint", "q_cusum", "q_psi_drift",
     "q_seq_pattern", "q_gini", "q_lorenz", "q_mannkendall", "q_mad", "q_trimmed_mean", "q_theilsen",
     "q_sax", "q_sax_word",

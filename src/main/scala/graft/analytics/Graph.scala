@@ -104,6 +104,32 @@ object Graph {
       .foreach(k => Option(pairCache.remove(k)).foreach(_.unpersist()))
   }
 
+  /** The memo build PRICED ON ITS OWN BENCH LINE (VERDICT r13 #5):
+    * r13's q_pagerank regression (1.49× min) was pure attribution —
+    * whichever graph query runs first pays the one-time
+    * `fwdPairsFor` extract + distinct + persist for the whole block.
+    * This face builds the memo and emits its summary (count + node
+    * cardinalities — forcing full materialization), so in the bench
+    * (where it runs BEFORE the graph block) per-query graph numbers
+    * price their own plan, and a regression in the memo itself is
+    * visible on this line instead of smeared into pagerank's.
+    */
+  def graphMemoBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    fwdPairsFor(spark, sfDir)
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("src")).as("n_src"),
+        countDistinct(col("dst")).as("n_dst"))
+  }
+
+  val graphMemoBuildSql: String =
+    s"""WITH ${graft.oracle.Sql.tuplesCte},
+       |p AS (SELECT DISTINCT s * 2 AS src, o * 2 + 1 AS dst FROM tuples)
+       |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(count(DISTINCT src) AS BIGINT) AS n_src,
+       |  CAST(count(DISTINCT dst) AS BIGINT) AS n_dst
+       |FROM p""".stripMargin
+
   /** Node encoding: users ride even ids (2s), objects odd (2o+1) —
     * the two id spaces cannot collide.
     */

@@ -2285,7 +2285,15 @@ object Similarity {
 
   /** Home + second cell off the one packed scan. */
   private def withTop2Cells(e: DataFrame,
-                            centVecs: Seq[Seq[Double]]): DataFrame = {
+                            centVecs: Seq[Seq[Double]]): DataFrame =
+    withTop3Cells(e, centVecs).drop("cid3")
+
+  /** Home + second + third cell off the one packed
+    * `graft_top3_centroids` scan (c1·10¹² + c2·10⁶ + c3; ties to the
+    * smaller cid, ≙ the oracle's `ORDER BY cos DESC, cid`).
+    */
+  private[graft] def withTop3Cells(e: DataFrame,
+                                   centVecs: Seq[Seq[Double]]): DataFrame = {
     val packed = org.apache.spark.sql.GraftBridge.column(
       graft.functions.NearestCentroidTop3(
         org.apache.spark.sql.GraftBridge.expression(col("embedding")),
@@ -2293,7 +2301,8 @@ object Similarity {
     e.select(col("vec_id"), col("embedding"), packed.as("pk"))
       .select(col("vec_id"), col("embedding"),
         expr("pk DIV 1000000000000L").as("cid"),
-        expr("(pk DIV 1000000L) % 1000000L").as("cid2"))
+        expr("(pk DIV 1000000L) % 1000000L").as("cid2"),
+        expr("pk % 1000000L").as("cid3"))
   }
 
   /** The deduped eps-similar (va < vb) pair relation under 2-probe
@@ -2408,6 +2417,129 @@ object Similarity {
             "CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE)")}
        |  END AS recall
        |FROM cc, tt, hh""".stripMargin
+
+  // ---- dd_semantic_dial ------------------------------------------------
+
+  /** THE PROBE-COUNT DIAL, measured end to end in one gated face: the
+    * SemDeDup blocking recall at p = 1, 2, 3 probed cells against the
+    * shared brute truth — three rows (p, n_blocked, n_true, recall).
+    * r13 reported the dial pointwise (dd_semantic_eval 0.236 at p=1,
+    * dd_semantic_mp_eval 0.442 at p=2) and ASSERTED the ceiling is
+    * corpus-inherent; this face (plus the planted-cluster fixture in
+    * DedupSimSpec) demonstrates it: on the near-uniform gate corpus
+    * the marginal recall per probe SHRINKS (saturation — the
+    * eps-similarity graph has no cell structure to recover), while on
+    * a corpus with genuine duplicate clusters p=1 alone clears 0.7
+    * (the fixture's planted-win case). All three probe cells come off
+    * the ONE packed `graft_top3_centroids` scan the kNN mp face
+    * already pays; a pair's probe rank `mr` is the SMALLEST p that
+    * discovers it, so the three counts are one cumulative aggregation
+    * over one pair relation, not three joins.
+    *
+    * 100 TB shape: identical to dd_semantic_mp (cell-keyed bucketed
+    * join, candidate volume ≈ p× the single-cell face); the brute
+    * truth side is the eval posture — sampled slice in deployment,
+    * primary-SF-only in the bench.
+    */
+  def ddSemanticDial(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    ddSemanticDialFrom(e, trainedCentroidsFor(spark, sfDir))
+  }
+
+  /** The dial scorecard over any (vec_id, embedding) relation under
+    * given centroids — shared by the gated face and the planted
+    * fixture spec.
+    */
+  private[graft] def ddSemanticDialFrom(
+      e: DataFrame, centVecs: Seq[Seq[Double]]): DataFrame = {
+    require(centVecs.size >= 3,
+      "the probe dial needs >= 3 cells (k >= 16 implies it)")
+    val a3 = withTop3Cells(e, centVecs).localCheckpoint()
+    val pairs = dialPairs(a3).localCheckpoint()
+    val counts = pairs.agg(
+      coalesce(sum(when(col("mr") <= 1, 1L)), lit(0L)).as("b1"),
+      coalesce(sum(when(col("mr") <= 2, 1L)), lit(0L)).as("b2"),
+      count(lit(1)).as("b3"))
+    val nt = e.as("x").join(e.as("y"),
+        col("x.vec_id") < col("y.vec_id"))
+      .filter(ParityMath.q6(expr(cosSpark("x.embedding", "y.embedding")))
+        >= semanticEps)
+      .agg(count(lit(1)).as("n_true"))
+    counts.crossJoin(broadcast(nt))
+      .select(explode(expr(
+        """array(named_struct('p', 1L, 'n_blocked', b1),
+          |      named_struct('p', 2L, 'n_blocked', b2),
+          |      named_struct('p', 3L, 'n_blocked', b3))""".stripMargin))
+        .as("r"), col("n_true"))
+      .select(col("r.p").as("p"), col("r.n_blocked").as("n_blocked"),
+        col("n_true"),
+        when(col("n_true") > 0, ParityMath.q6(
+          col("r.n_blocked").cast("double") / col("n_true").cast("double")))
+          .as("recall"))
+      .orderBy(col("p"))
+  }
+
+  /** The eps-similar (va < vb) pair relation with `mr` = the smallest
+    * probe count that discovers the pair (1 = same home cell, 2 =
+    * via either side's second cell, 3 = via a third): one cell-keyed
+    * join of the 3-exploded probe side against the home-cell index,
+    * then a min fold per pair. Containment in the brute truth is
+    * structural (every candidate passes the same eps filter).
+    */
+  private def dialPairs(a3: DataFrame): DataFrame = {
+    val probes = a3.select(col("vec_id").as("p_vec"),
+      col("embedding").as("p_emb"),
+      posexplode(array(col("cid"), col("cid2"), col("cid3")))
+        .as(Seq("pos", "pcid")))
+    val index = a3.select(col("vec_id").as("i_vec"),
+      col("embedding").as("i_emb"), col("cid").as("pcid"))
+    probes.join(index, "pcid")
+      .filter(col("p_vec") =!= col("i_vec"))
+      .filter(ParityMath.q6(expr(cosSpark("p_emb", "i_emb")))
+        >= semanticEps)
+      .select(least(col("p_vec"), col("i_vec")).as("va"),
+        greatest(col("p_vec"), col("i_vec")).as("vb"),
+        (col("pos") + 1).cast("long").as("crk"))
+      .groupBy(col("va"), col("vb")).agg(min(col("crk")).as("mr"))
+  }
+
+  lazy val ddSemanticDialSql: String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), $lloydCentsCtes, ranks AS MATERIALIZED (
+       |  SELECT vec_id, cid, crk FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosDuck("e.embedding", "c.c_emb")} DESC, c.cid)
+       |        AS crk
+       |    FROM e CROSS JOIN cents c
+       |  ) WHERE crk <= 3
+       |), pairs AS MATERIALIZED (
+       |  SELECT least(p.vec_id, a.vec_id) AS va,
+       |    greatest(p.vec_id, a.vec_id) AS vb,
+       |    CAST(min(p.crk) AS BIGINT) AS mr
+       |  FROM ranks p
+       |  JOIN ranks a ON a.cid = p.cid AND a.crk = 1
+       |    AND a.vec_id <> p.vec_id
+       |  JOIN e ep ON ep.vec_id = p.vec_id
+       |  JOIN e ea ON ea.vec_id = a.vec_id
+       |  WHERE (floor((${cosDuck("ep.embedding", "ea.embedding")}) * 1000000.0 + 0.5) / 1000000.0) >= $semanticEps
+       |  GROUP BY 1, 2
+       |), t AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_true
+       |  FROM e x JOIN e y ON x.vec_id < y.vec_id
+       |  WHERE (floor((${cosDuck("x.embedding", "y.embedding")}) * 1000000.0 + 0.5) / 1000000.0) >= $semanticEps
+       |), b AS (
+       |  SELECT pr.p AS p,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM pairs WHERE mr <= pr.p)
+       |      AS n_blocked
+       |  FROM (VALUES (1), (2), (3)) pr(p)
+       |)
+       |SELECT CAST(b.p AS BIGINT) AS p, b.n_blocked, t.n_true,
+       |  CASE WHEN t.n_true > 0 THEN ${ParityMath.q6Sql(
+            "CAST(b.n_blocked AS DOUBLE) / CAST(t.n_true AS DOUBLE)")}
+       |  END AS recall
+       |FROM b CROSS JOIN t ORDER BY p""".stripMargin
 
   // ---- pipe_embed_prune ----------------------------------------------
 

@@ -91,6 +91,44 @@ class DedupSimSpec extends SparkSpec {
         s"${r1.getDouble(4)}")
   }
 
+  test("semantic dial: blocking WINS on a planted-cluster corpus, and " +
+       "the gate corpus's probe dial saturates (corpus-inherent gap)") {
+    val s = spark; import s.implicits._
+    // The planted-nonuniform fixture where cell blocking SHOULD win:
+    // 4 well-separated clusters (axis 2c scaled 10) of 10 vectors
+    // each, with a small deterministic per-vector perturbation.
+    // Within-cluster cosine > 0.99 >> eps; cross-cluster < 0.06 <<
+    // eps, so truth = exactly the 4*C(10,2) = 180 within-cluster
+    // pairs. PrefixInit's seeds (vec_id < 4 = one per cluster, ids
+    // interleaved mod 4) put Lloyd at the cluster means, so the HOME
+    // cell alone must recover every true pair: p=1 recall 1.0 —
+    // demonstrating the gate corpus's low dial readings are a
+    // property of its near-uniform geometry, not of the blocking.
+    val dim = 8
+    val e = (0 until 40).map { i =>
+      val c = i % 4
+      val v = Array.fill(dim)(0.0f)
+      v(2 * c) = 10.0f
+      v((2 * c + 1 + (i / 4) % 6) % dim) += 0.5f
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.trainedCentroids(e, k = 4, trainN = 40L)
+    val planted = Similarity.ddSemanticDialFrom(e, cents).collect()
+    assert(planted.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(planted.head.getLong(2) == 180L,
+      s"fixture truth must be the within-cluster pairs: ${planted.head}")
+    assert(planted.head.getDouble(3) >= 0.7,
+      s"p=1 must clear 0.7 on planted structure: ${planted.head}")
+    // and on the near-uniform gate corpus the dial must show
+    // diminishing returns: each extra probe buys LESS recall
+    val corpus = Similarity.ddSemanticDial(spark, sfDir).collect()
+      .map(_.getDouble(3))
+    assert(corpus.length == 3 && corpus(0) < corpus(1) &&
+      corpus(1) < corpus(2), s"dial must rise: ${corpus.toSeq}")
+    assert(corpus(1) - corpus(0) >= corpus(2) - corpus(1),
+      s"marginal recall per probe must shrink: ${corpus.toSeq}")
+  }
+
   test("simhash eval: 7 chunks give the pigeonhole guarantee at the " +
        "family threshold 6, and the corpus scorecard is contained") {
     val s = spark; import s.implicits._
