@@ -525,14 +525,24 @@ object TimeSeries {
     */
   def qAutocorr(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
+    acfFromPairs(acfPairsFromValues(
+      Graft.table(spark, sfDir, "events")
+        .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+          col("value").isNotNull)
+        .select(col("user_id"), expr("graft_ts_us(ts)").as("tus"),
+          col("event_id"),
+          expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)")
+            .as("v0"))))
+  }
+
+  /** The per-user lag-pair explode over any (user_id, tus, event_id,
+    * v0) value relation — shared by the batch face and the
+    * incremental ACF fragment store (whose per-batch fragments union
+    * to exactly this relation).
+    */
+  private[graft] def acfPairsFromValues(lagged: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("tus"), col("event_id"))
-    val lagged = Graft.table(spark, sfDir, "events")
-      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
-        col("value").isNotNull)
-      .select(col("user_id"), expr("graft_ts_us(ts)").as("tus"),
-        col("event_id"),
-        expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").as("v0"))
     val withLags = (1 to acfMaxLag).foldLeft(lagged) { (df, i) =>
       df.withColumn(s"v$i", lag(col("v0"), i).over(w))
     }
@@ -541,11 +551,11 @@ object TimeSeries {
         s"named_struct('lag', CAST($k AS BIGINT), 'x', v0, 'y', v$k), " +
         "CAST(NULL AS STRUCT<lag: BIGINT, x: BIGINT, y: BIGINT>))"
     }.mkString(", ")
-    acfFromPairs(withLags
+    withLags
       .select(explode(expr(
         s"filter(array($arr), p -> p IS NOT NULL)")).as("p"))
       .select(col("p.lag").as("lag"), col("p.x").as("x"),
-        col("p.y").as("y")))
+        col("p.y").as("y"))
   }
 
   /** The pooled-Pearson view over any (lag, x, y) BIGINT pair relation

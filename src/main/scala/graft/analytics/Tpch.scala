@@ -825,6 +825,42 @@ object Tpch {
        |  THEN CAST(s_kept // n_kept AS BIGINT) END AS trimmed_mean_mu
        |FROM a ORDER BY event_type""".stripMargin
 
+  /** The trimmed-mean report over any (event_type, v_mu, c)
+    * VALUE-COUNT relation — the stream/store faces' storable fact
+    * (counts are additive under any batch split). Equivalent to the
+    * batch face's rank filter because ties at a trim boundary carry
+    * EQUAL v_mu: a value group occupies the contiguous rank range
+    * (lo, hi], its kept mass is the overlap with (k, n−k], and the
+    * kept SUM is v_mu × overlap regardless of which tied rows the
+    * row-level rank would have trimmed. Same truncating-division
+    * means as the batch face (shared oracle; the non-negative-sums
+    * contract documented there applies here identically).
+    */
+  private[graft] def trimmedFromValueCounts(vc: DataFrame): DataFrame = {
+    val wcum = Window.partitionBy(col("event_type"))
+      .orderBy(col("v_mu"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    vc.withColumn("hi", sum(col("c")).over(wcum))
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy(col("event_type"))))
+      .withColumn("lo", col("hi") - col("c"))
+      .withColumn("k", expr("n DIV 10"))
+      .withColumn("kept", greatest(lit(0L),
+        least(col("hi"), col("n") - col("k")) -
+          greatest(col("lo"), col("k"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("k")).as("n_trim_each"),
+        sum(col("kept")).as("n_kept"),
+        sum(col("v_mu") * col("c")).as("s_all"),
+        sum(col("v_mu") * col("kept")).as("s_kept"))
+      .select(col("event_type"), col("n"), col("n_trim_each"),
+        col("n_kept"),
+        expr("s_all DIV n").as("mean_mu"),
+        when(col("n_kept") > 0, expr("s_kept DIV n_kept"))
+          .as("trimmed_mean_mu"))
+      .orderBy(col("event_type"))
+  }
+
   // ---- q_lorenz: decile concentration curve ---------------------------
 
   /** LORENZ CURVE of per-user activity in deciles — the curve behind

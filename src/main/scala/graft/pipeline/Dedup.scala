@@ -707,9 +707,18 @@ object Dedup {
     * (identical sets in both engines; collision probability
     * ~|doc|²/2^48, negligible) - integer intersect, not string.
     */
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingled(spark, sfDir).select(col("doc_id"), col("hs"))
-    minhashLsh(spark, sfDir)
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccardFrom(minhashLsh(spark, sfDir),
+      shingled(spark, sfDir).select(col("doc_id"), col("hs")))
+
+  /** The exact-verify join over any (doc_a, doc_b) candidate relation
+    * and (doc_id, hs) shingle relation — shared by the batch face and
+    * the incremental-store cluster faces (whose stored bands/shingles
+    * union to exactly these relations once caught up).
+    */
+  private[graft] def ngramJaccardFrom(cand: DataFrame,
+                                      sh: DataFrame): DataFrame =
+    cand
       .join(sh.withColumnRenamed("doc_id", "doc_a")
               .withColumnRenamed("hs", "hs_a"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b")
@@ -723,7 +732,6 @@ object Dedup {
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   val ngramJaccardSql: String =
     s"""WITH $shingledCteDuck, $bandsCteDuck, cand AS (
@@ -1340,11 +1348,18 @@ object Dedup {
     * 100 TB shape: everything on the clusters-sized relation (tiny
     * next to the corpus) + one 1-row corpus count broadcast.
     */
-  def clusterStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val sizes = dupClusters(spark, sfDir)
+  def clusterStats(spark: SparkSession, sfDir: String): DataFrame =
+    clusterStatsFrom(dupClusters(spark, sfDir),
+      Graft.table(spark, sfDir, "documents")
+        .agg(count(lit(1)).as("n_corpus")))
+
+  /** The histogram fold over any cluster relation plus a 1-row corpus
+    * count — shared by the batch face and the incremental-store face.
+    */
+  private[graft] def clusterStatsFrom(clusters: DataFrame,
+                                      nDocs: DataFrame): DataFrame = {
+    val sizes = clusters
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
-    val nDocs = Graft.table(spark, sfDir, "documents")
-      .agg(count(lit(1)).as("n_corpus"))
     sizes.groupBy(col("sz").as("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"))
       .select(col("cluster_size"), col("n_clusters"),

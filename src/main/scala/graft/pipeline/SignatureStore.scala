@@ -697,6 +697,183 @@ object SignatureStore {
     storedXcorr(spark, store)
   }
 
+  // ---- lorenz store --------------------------------------------------
+
+  /** Incremental Lorenz store: per-batch (user_id, x) count PARTIALS —
+    * ADDITIVE under any batch split (the xcorr store's structure on
+    * the concentration axis) — with the global rank, deciles and
+    * cumulative shares a query-time VIEW through the batch
+    * `lorenzFromCounts` (one arriving event re-ranks its user
+    * globally, so no per-batch curve could ever be unioned).
+    */
+  def catchUpLorenz(spark: SparkSession, watchDir: String,
+                    storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val ev = spark.readStream.schema(schema).parquet(watchDir)
+    val q = ev.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.filter(col("user_id").isNotNull)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/user_counts/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Driver-gate face: parity-split appends (most users land counts
+    * in both batches — the additive sum does real work), then the
+    * query-time curve; shares `q_lorenz`'s oracle.
+    */
+  def gatedLorenz(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_lorenz_watch")
+    val store = tempDirForExit("graft_gate_lorenz_store")
+    val ev = Graft.table(spark, sfDir, "events")
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpLorenz(spark, watch, store)
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpLorenz(spark, watch, store)
+    graft.analytics.Tpch.lorenzFromCounts(
+      storedOrEmpty(spark, s"$store/user_counts",
+        emptyLike(spark, spark.range(0).selectExpr(
+          "id AS user_id", "id AS x")))
+        .groupBy(col("user_id")).agg(sum(col("x")).as("x")))
+  }
+
+  // ---- trimmed-mean store --------------------------------------------
+
+  /** Incremental trimmed-mean store: per-batch (event_type, v_mu)
+    * value-count PARTIALS — ADDITIVE under any batch split — with the
+    * rank trim a query-time VIEW through the shared
+    * `trimmedFromValueCounts` (one arriving value shifts every rank
+    * above it, so no per-batch trim could ever be unioned; ties at
+    * the boundary make value-level counts a SUFFICIENT state, the
+    * fold's documented equivalence).
+    */
+  def catchUpTrimmed(spark: SparkSession, watchDir: String,
+                     storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val ev = spark.readStream.schema(schema).parquet(watchDir)
+    val q = ev.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch
+          .filter(col("event_type").isNotNull && col("value").isNotNull)
+          .select(col("event_type"),
+            expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)")
+              .as("v_mu"))
+          .groupBy(col("event_type"), col("v_mu"))
+          .agg(count(lit(1)).as("c"))
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/value_counts/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Driver-gate face: parity-split appends, query-time trim; shares
+    * `q_trimmed_mean`'s oracle.
+    */
+  def gatedTrimmedMean(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_trim_watch")
+    val store = tempDirForExit("graft_gate_trim_store")
+    val ev = Graft.table(spark, sfDir, "events")
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpTrimmed(spark, watch, store)
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpTrimmed(spark, watch, store)
+    graft.analytics.Tpch.trimmedFromValueCounts(
+      storedOrEmpty(spark, s"$store/value_counts",
+        emptyLike(spark, spark.range(0).selectExpr(
+          "CAST(id AS STRING) AS event_type", "id AS v_mu", "id AS c")))
+        .groupBy(col("event_type"), col("v_mu"))
+        .agg(sum(col("c")).as("c")))
+  }
+
+  // ---- pacf (ACF fragment) store -------------------------------------
+
+  /** Incremental ACF/PACF store: each arriving batch lands one
+    * per-user FRAGMENT — the batch's (tus, event_id, v_mu) structs as
+    * an unsorted list (the seq-pattern store's discipline on the
+    * value axis: fragments are disjoint appends, concatenation + one
+    * sort equals sorting the union, so the merge is exact under ANY
+    * batch split with no arrival-order contract). The lag pairs, the
+    * pooled ACF and the Durbin–Levinson fold are all query-time views
+    * through the batch faces' shared `acfPairsFromValues` /
+    * `acfFromPairs` / `pacfFromAcf` — one arriving event creates lag
+    * pairs against events stored batches ago, so no pair relation is
+    * storable per batch.
+    */
+  def catchUpAcfFrags(spark: SparkSession, watchDir: String,
+                      storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val ev = spark.readStream.schema(schema).parquet(watchDir)
+    val q = ev.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch
+          .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+            col("value").isNotNull)
+          .select(col("user_id"), expr("graft_ts_us(ts)").as("tus"),
+            col("event_id"),
+            expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)")
+              .as("v_mu"))
+          .groupBy(col("user_id"))
+          .agg(collect_list(struct(col("tus"), col("event_id"),
+            col("v_mu"))).as("buf"))
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/frags/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private def storedAcf(spark: SparkSession, storeDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val frags = storedOrEmpty(spark, s"$storeDir/frags",
+      emptyLike(spark, spark.range(0).selectExpr("id AS user_id",
+        "array(struct(id AS tus, id AS event_id, id AS v_mu)) AS buf")))
+    graft.analytics.TimeSeries.acfFromPairs(
+      graft.analytics.TimeSeries.acfPairsFromValues(
+        frags.select(col("user_id"),
+            explode(col("buf")).as("e"))
+          .select(col("user_id"), col("e.tus").as("tus"),
+            col("e.event_id").as("event_id"),
+            col("e.v_mu").as("v0"))))
+  }
+
+  /** Driver-gate face: event-id-PARITY appends (every user's series
+    * interleaves across the two batches, so the fragment merge must
+    * reconstruct each user's global order from shuffled pieces), then
+    * the Durbin–Levinson view; shares `q_pacf`'s oracle.
+    */
+  def gatedPacf(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_pacf_watch")
+    val store = tempDirForExit("graft_gate_pacf_store")
+    val ev = Graft.table(spark, sfDir, "events")
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpAcfFrags(spark, watch, store)
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpAcfFrags(spark, watch, store)
+    graft.analytics.TimeSeries.pacfFromAcf(spark, storedAcf(spark, store))
+  }
+
   // ---- keyphrase store ----------------------------------------------
 
   /** Incremental RAKE store: each arriving batch tokenizes its docs
@@ -2221,6 +2398,27 @@ object SignatureStore {
     storedCandidates(spark, store).orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Cluster-histogram view over the same incrementally-banded
+    * document store: candidates from the stored bands, exact-verify
+    * against the stored shingles (the batch `ngramJaccardFrom`), then
+    * the path-halving components and the size histogram at query time
+    * (one arriving document can merge two existing clusters, so no
+    * per-batch component — let alone histogram — is ever storable);
+    * shares `dd_cluster_stats`' oracle. The corpus count is read from
+    * the source at query time (the gatedEditVerify posture: the store
+    * holds the DERIVED signature state, not a copy of the corpus).
+    */
+  def gatedClusterStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val store = freshDocStore(spark, sfDir, "cs")
+    val edges = Dedup.ngramJaccardFrom(
+        storedCandidates(spark, store), storedShingles(spark, store))
+      .select(col("doc_a"), col("doc_b"))
+    val (clusters, _) = Dedup.resolveComponents(spark, edges)
+    Dedup.clusterStatsFrom(clusters,
+      Graft.table(spark, sfDir, "documents")
+        .agg(count(lit(1)).as("n_corpus")))
+  }
+
   /** Edit-verify view over the same incrementally-banded document
     * store: candidates from the stored bands, the capped-prefix
     * Levenshtein at query time (order-independent verify); shares
@@ -2682,6 +2880,61 @@ object SignatureStore {
       "arrival2.parquet")
     catchUpAhash(spark, watch, store)
     storedSimhashPairs(spark, store)
+  }
+
+  /** Incremental DCT perceptual-hash store: each arriving image batch
+    * lands its (doc_id, phash) signature fact ONCE (images immutable →
+    * disjoint appends, the catchUpAhash discipline with the DCT hash);
+    * the per-doc report is a plain projection of the stored facts.
+    */
+  def catchUpPhash(spark: SparkSession, watchDir: String,
+                   storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val docs = spark.readStream.schema(schema).parquet(watchDir)
+    val q = docs.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s2 = batch.sparkSession
+        import s2.implicits._
+        batch.select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { did =>
+              val w = 16 + (did % 17).toInt
+              val h = 8 + (did % 11).toInt
+              (did, Multimodal.bmpPhash(did,
+                Multimodal.bmpEncodeScene(did, w, h)))
+            }
+          }
+          .toDF("doc_id", "phash")
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/sig/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Driver-gate face: doc-parity appends, per-doc projection; shares
+    * `mm_phash`'s oracle.
+    */
+  def gatedPhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_phash_watch")
+    val store = tempDirForExit("graft_gate_phash_store")
+    val docs = Graft.table(spark, sfDir, "documents")
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpPhash(spark, watch, store)
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpPhash(spark, watch, store)
+    storedOrEmpty(spark, s"$store/sig",
+      emptyLike(spark, spark.range(0).selectExpr(
+        "id AS doc_id", "id AS phash")))
+      .select(col("doc_id"), col("phash"),
+        expr("CAST(bit_count(phash) AS BIGINT)").as("n_set"))
+      .orderBy(col("doc_id"))
   }
 
   /** Incremental SEMDEDUP store, the semantic member of the dedup-store

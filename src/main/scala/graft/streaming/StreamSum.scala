@@ -348,6 +348,27 @@ object StreamSum {
     graft.analytics.Tpch.lorenzFromCounts(snap)
   }
 
+  /** Streaming trimmed mean, sharing `q_trimmed_mean`'s oracle: the
+    * streamed state is the per-(type, value) COUNT — one Complete-mode
+    * aggregation, bounded by types × distinct micro-unit values (the
+    * gini face's per-key-count posture on the value axis) — while the
+    * trim needs each type's GLOBAL value order, so the report is a
+    * query-time view through the shared `trimmedFromValueCounts`
+    * (one arriving value shifts every rank above it; no per-batch
+    * trim could ever be unioned).
+    */
+  def streamTrimmedMean(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val vc = streamingEvents(spark, sfDir)
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").as("v_mu"))
+      .groupBy(col("event_type"), col("v_mu"))
+      .agg(count(lit(1)).as("c"))
+    graft.analytics.Tpch.trimmedFromValueCounts(
+      runToTable(vc, OutputMode.Complete(), "ss_stream_trimmed_mean"))
+  }
+
   /** Streaming face of the learned quality filter, sharing
     * `pipe_qclf_score`'s oracle: the streamed state is the
     * (doc, bucket) feature relation — ONE Complete-mode aggregation
