@@ -697,6 +697,56 @@ object SignatureStore {
     storedXcorr(spark, store)
   }
 
+  // ---- seasonality store ---------------------------------------------
+
+  /** Incremental seasonality store: per-batch (dow, hour) cell-count
+    * PARTIALS — ADDITIVE and bounded at 168 cells per batch (the
+    * chisq store's structure on the calendar axis) — with the lift a
+    * query-time VIEW through the batch `seasonalityFromCells` (every
+    * arriving event moves the total every cell divides by). The
+    * shared `seasonalityCells` carries the operator's `tus >= 0`
+    * contract into each landing.
+    */
+  def catchUpSeasonality(spark: SparkSession, watchDir: String,
+                         storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val ev = spark.readStream.schema(schema).parquet(watchDir)
+    val q = ev.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.analytics.TimeSeries.seasonalityCells(batch)
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/cells/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Driver-gate face: parity-split appends (most cells land counts
+    * in both batches), then the query-time lift view; shares
+    * `q_seasonality`'s oracle.
+    */
+  def gatedSeasonality(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_season_watch")
+    val store = tempDirForExit("graft_gate_season_store")
+    val ev = Graft.table(spark, sfDir, "events")
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpSeasonality(spark, watch, store)
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpSeasonality(spark, watch, store)
+    graft.analytics.TimeSeries.seasonalityFromCells(
+      storedOrEmpty(spark, s"$store/cells",
+        emptyLike(spark, spark.range(0).selectExpr(
+          "id AS dow", "id AS hour", "id AS n_events")))
+        .groupBy(col("dow"), col("hour"))
+        .agg(sum(col("n_events")).as("n_events")))
+  }
+
   // ---- lorenz store --------------------------------------------------
 
   /** Incremental Lorenz store: per-batch (user_id, x) count PARTIALS —
@@ -740,6 +790,29 @@ object SignatureStore {
       "arrival2.parquet")
     catchUpLorenz(spark, watch, store)
     graft.analytics.Tpch.lorenzFromCounts(
+      storedOrEmpty(spark, s"$store/user_counts",
+        emptyLike(spark, spark.range(0).selectExpr(
+          "id AS user_id", "id AS x")))
+        .groupBy(col("user_id")).agg(sum(col("x")).as("x")))
+  }
+
+  /** Gini view over the SAME per-user count landing as the Lorenz
+    * store (the curve is gini's integrand — one store discipline, two
+    * concentration views): additive partials, global rank at query
+    * time through the batch `giniFromCounts`; shares `q_gini`'s
+    * oracle.
+    */
+  def gatedGini(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_gini_watch")
+    val store = tempDirForExit("graft_gate_gini_store")
+    val ev = Graft.table(spark, sfDir, "events")
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpLorenz(spark, watch, store)
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpLorenz(spark, watch, store)
+    graft.analytics.Tpch.giniFromCounts(
       storedOrEmpty(spark, s"$store/user_counts",
         emptyLike(spark, spark.range(0).selectExpr(
           "id AS user_id", "id AS x")))
@@ -872,6 +945,23 @@ object SignatureStore {
       "arrival2.parquet")
     catchUpAcfFrags(spark, watch, store)
     graft.analytics.TimeSeries.pacfFromAcf(spark, storedAcf(spark, store))
+  }
+
+  /** Pooled-ACF view over the SAME per-user value-fragment landing as
+    * the PACF store (the ACF is its input — one fragment discipline,
+    * two diagnostic views); shares `q_autocorr`'s oracle.
+    */
+  def gatedAutocorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_acf_watch")
+    val store = tempDirForExit("graft_gate_acf_store")
+    val ev = Graft.table(spark, sfDir, "events")
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpAcfFrags(spark, watch, store)
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpAcfFrags(spark, watch, store)
+    storedAcf(spark, store)
   }
 
   // ---- keyphrase store ----------------------------------------------
@@ -1435,6 +1525,20 @@ object SignatureStore {
   def gatedTheilsen(spark: SparkSession, sfDir: String): DataFrame =
     graft.analytics.TimeSeries.theilsenFromBuckets(
       storedDayCounts(spark, trendStore(spark, sfDir, "tsen")))
+
+  /** Changepoint view over the same day-count landing: the global
+    * mean split-score rescales with any arrival, so only the additive
+    * counts are storable and the cumulative scan re-derives at query
+    * time. The batch face's `tus >= 0` contract becomes `d >= 0` here
+    * — exactly equivalent under the floor-division bucketing (tus < 0
+    * ⟺ d < 0), so the store face enforces the same contract the
+    * oracle's WHERE clause does; shares `q_changepoint`'s oracle.
+    */
+  def gatedChangepoint(spark: SparkSession, sfDir: String): DataFrame =
+    graft.analytics.TimeSeries.changepointFrom(
+      storedDayCounts(spark, trendStore(spark, sfDir, "chg"))
+        .filter(col("d") >= 0L)
+        .select(col("d").as("day"), col("c").as("n_events")))
 
   /** Runs-test view over the same day-count landing: the median — and
     * with it every day's above/below sign — shifts with any arriving
