@@ -38,19 +38,40 @@ object Dedup {
     */
   val simhashChunks = 7
 
-  /** (shift, mask) per chunk: 6 chunks of 7 bits + 1 of 6 over the
-    * 48-bit signature — single source for the Spark face AND every
-    * oracle (text simhash, image ahash share it via
-    * `simhashChunkBranchesSql`).
+  /** Deployment knob `graft.dedup.simhashChunks` (the trainN posture-
+    * conf contract: default replayed by the oracles, junk throws):
+    * k chunks guarantee recall 1.0 only to Hamming distance k−1, so
+    * lowering k below 7 trades the d ≤ 6 guarantee floor for smaller
+    * bucket volume (wider chunk values collide less) — a deployment
+    * whose dedup SLO tolerates missing the far tail can run k=4 at
+    * r13's measured recall 0.669 and ~1/4 the candidate volume. The
+    * gated runs leave the conf unset.
     */
-  private[graft] val simhashChunkSpec: Seq[(Int, Int)] = {
-    val base = simhashBits / simhashChunks
-    val extra = simhashBits % simhashChunks
+  def simhashChunksOf(spark: SparkSession): Int =
+    spark.conf.getOption("graft.dedup.simhashChunks").map { v =>
+      val n = v.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"graft.dedup.simhashChunks must be a positive int, got '$v'"))
+      require(n >= 1 && n <= simhashBits,
+        s"graft.dedup.simhashChunks must be in [1, $simhashBits], got $n")
+      n
+    }.getOrElse(simhashChunks)
+
+  /** (shift, mask) per chunk for a given chunk count: widths differ by
+    * at most one (6×7 + 1×6 at the default 7 over 48 bits) — single
+    * source for the Spark face AND every oracle (text simhash, image
+    * ahash share it via `simhashChunkBranchesSql`).
+    */
+  private[graft] def simhashChunkSpecFor(k: Int): Seq[(Int, Int)] = {
+    val base = simhashBits / k
+    val extra = simhashBits % k
     val widths =
-      Seq.tabulate(simhashChunks)(c => if (c < extra) base + 1 else base)
+      Seq.tabulate(k)(c => if (c < extra) base + 1 else base)
     widths.scanLeft(0)(_ + _).zip(widths)
       .map { case (sh, w) => (sh, (1 << w) - 1) }
   }
+
+  private[graft] val simhashChunkSpec: Seq[(Int, Int)] =
+    simhashChunkSpecFor(simhashChunks)
 
   /** The DuckDB chunk-explode branches over a `(doc_id, sim)` CTE —
     * shared by simhashPairsSql / simhashEvalSql / ahashPairsSql so
@@ -1446,9 +1467,10 @@ object Dedup {
     * exactly this relation: a doc signs once, ever).
     */
   private[graft] def simhashPairsFrom(simDocs: DataFrame): DataFrame = {
+    val spec = simhashChunkSpecFor(simhashChunksOf(simDocs.sparkSession))
     val chunks = simDocs.select(col("doc_id"), col("sim"),
       explode(expr(
-        simhashChunkSpec.zipWithIndex
+        spec.zipWithIndex
           .map { case ((sh, m), c) =>
             s"named_struct('c', $c, 'v', shiftright(sim, $sh) & $m)" }
           .mkString("array(", ", ", ")"))).as("ch"))

@@ -491,8 +491,11 @@ class TimeSeriesSpec extends SparkSpec {
     got.foreach { r =>
       val period = r.getLong(0)
       assert(r.getLong(1) == 14L, s"n_days: $r")
-      val pw = r.getDecimal(2).toBigInteger
-      assert(BigInt(pw) == exp(period), s"power at $period: $r")
+      // the face emits the exact integer cast to DOUBLE (the round-14
+      // hash-stable output type); the fixture's powers are well within
+      // double-exact range, so the comparison is still exact
+      assert(r.getDouble(2) == exp(period).toDouble,
+        s"power at $period: $r")
       assert(r.getBoolean(3) == (exp(period) == peak), s"peak flag: $r")
     }
     // and the physics: the planted cycle's line dominates

@@ -165,6 +165,34 @@ class DedupSimSpec extends SparkSpec {
       "scorecard must count the production face's own pairs")
   }
 
+  test("simhash chunk knob: k=4 reproduces the r13 recall floor, " +
+       "junk throws, default keeps the guarantee") {
+    val s = spark; import s.implicits._
+    val sims = Seq(
+      (1L, 0L),
+      (4L, (1L << 0) | (1L << 12) | (1L << 24) | (1L << 36)))
+      .toDF("doc_id", "sim")
+    try {
+      spark.conf.set("graft.dedup.simhashChunks", "4")
+      val got4 = Dedup.simhashPairsFrom(sims).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!got4.contains((1L, 4L)),
+        "at k=4 the one-flip-per-12-bit-chunk pattern must be missed " +
+          "again - the documented price of the smaller bucket volume")
+      spark.conf.set("graft.dedup.simhashChunks", "junk")
+      intercept[IllegalArgumentException] {
+        Dedup.simhashPairsFrom(sims).collect()
+      }
+      spark.conf.set("graft.dedup.simhashChunks", "0")
+      intercept[IllegalArgumentException] {
+        Dedup.simhashPairsFrom(sims).collect()
+      }
+    } finally spark.conf.unset("graft.dedup.simhashChunks")
+    val got = Dedup.simhashPairsFrom(sims).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 4L)), "default k=7 finds it")
+  }
+
   test("cluster stats: histogram re-aggregates the clusters relation " +
        "exactly; removable == the non-canonical count") {
     val cl = Dedup.dupClusters(spark, sfDir).collect()
