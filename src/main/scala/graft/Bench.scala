@@ -62,7 +62,7 @@ object Bench {
     "q_markov_entropy", "pipe_curriculum",
     "q_katz", "q_lcc", "q_survival_logrank", "ann_knn_join_mp",
     "q_runs_test", "q_modularity", "q_diameter", "q_chisq", "q_abtest",
-    "q_periodogram", "q_harmonic", "q_transitivity", "q_stickiness",
+    "q_periodogram", "q_harmonic", "q_betweenness", "q_transitivity", "q_stickiness",
     // training-data pipeline
     "dd_exact", "dd_minhash_lsh", "dd_edit_verify", "dd_ngram_jaccard", "dd_jaccard_prefix",
     "dd_jaccard_routed", "dd_lsh_eval", "dd_lsh_curve",
@@ -129,7 +129,7 @@ object Bench {
     "q_markov_entropy",
     "q_katz", "q_lcc", "q_survival_logrank",
     "q_runs_test", "q_modularity", "q_diameter", "q_chisq", "q_abtest",
-    "q_periodogram", "q_harmonic", "q_transitivity", "q_stickiness",
+    "q_periodogram", "q_harmonic", "q_betweenness", "q_transitivity", "q_stickiness",
     "q_cms_topk", "q_cms_topk_prod", "q_cms_sliding", "q_cms_sliding_prod",
     "q_hll_sliding", "q_hll_sliding_prod", "q_qtile_sliding",
     "q_kmv_jaccard_prod", "q_kmv_retention_prod",
@@ -144,6 +144,10 @@ object Bench {
     */
   val corpusHeadline: Seq[String] = Seq(
     "dd_minhash_lsh", "dd_edit_verify", "dd_jaccard_prefix", "dd_jaccard_routed",
+    // the 7-chunk pigeonhole blocking's scaling slope at 10x docs —
+    // candidate volume grows ~n^2/2^w per chunk, so the anchor is
+    // where a bucket-volume regression would show first
+    "dd_simhash",
     "dd_semantic", "txt_bigram_nll",
     "pipe_quality_gate", "ann_ivf_quant", "ann_ivf_pq", "ann_knn_join",
     "ann_knn_join_h2", "ann_knn_join_mp",

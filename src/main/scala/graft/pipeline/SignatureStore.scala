@@ -2197,6 +2197,14 @@ object SignatureStore {
     graft.analytics.Graph.diameterFrom(
       storedSo(spark, cohesionStore(spark, sfDir, "diam")))
 
+  /** Landmark-betweenness view over the same union-distinct pair
+    * store (path counts and dependencies are whole-graph fixpoints);
+    * shares `q_betweenness`'s oracle.
+    */
+  def gatedBetweenness(spark: SparkSession, sfDir: String): DataFrame =
+    graft.analytics.Graph.betweennessFrom(
+      storedSo(spark, cohesionStore(spark, sfDir, "btw")))
+
   /** Clustering-coefficient view over the same union-distinct pair
     * store (degrees, the lift gate and every closure are
     * whole-projection facts); shares `q_lcc`'s oracle.

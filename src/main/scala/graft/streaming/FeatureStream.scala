@@ -728,6 +728,16 @@ object FeatureStream {
     graft.analytics.Graph.harmonicFrom(
       pairDedupSnapshot(spark, sfDir, "ss_stream_harmonic"))
 
+  /** Streaming landmark betweenness: the landmark set, every distance
+    * and every path count are whole-graph facts (one arriving pair
+    * can create shorter paths and reroute every dependency), so both
+    * Brandes sweeps run at query time over the same minimal
+    * distinct-pair state.
+    */
+  def streamBetweenness(spark: SparkSession, sfDir: String): DataFrame =
+    graft.analytics.Graph.betweennessFrom(
+      pairDedupSnapshot(spark, sfDir, "ss_stream_betweenness"))
+
   /** Streaming diameter bound: both sweep endpoints and every
     * distance are whole-graph fixpoints (one arriving pair can
     * shorten arbitrarily many paths and move the farthest node), so
