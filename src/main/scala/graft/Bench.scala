@@ -87,7 +87,7 @@ object Bench {
     "txt_stats", "txt_readability", "txt_fertility", "txt_fingerprint", "txt_repetition",
     "txt_bpe_learn", "txt_keyphrase", "txt_pmi", "txt_jsd_drift",
     "txt_bpe_encode", "txt_bm25", "q_hybrid_rrf", "q_retrieval_eval",
-    "txt_bigram_nll", "txt_backoff_nll", "txt_tfidf", "txt_entropy",
+    "txt_bigram_nll", "txt_backoff_nll", "txt_kn_nll", "txt_tfidf", "txt_entropy",
     "txt_zipf", "txt_vocab_coverage",
     "mm_binary_stats", "mm_bmp_decode", "mm_resize", "mm_ahash_pairs", "mm_phash",
     "mm_wav_decode",

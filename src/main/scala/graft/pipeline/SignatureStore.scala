@@ -2795,6 +2795,49 @@ object SignatureStore {
     storedBigramNll(spark, store)
   }
 
+  /** Kneser–Ney view over the SAME lm2 store's additive bigram
+    * partials and per-doc multisets: every KN input (row sums,
+    * successor/predecessor type counts, the bigram-type total) is a
+    * query-time fold of the summed partials — one arriving doc can
+    * create a pair type and shift EVERY continuation probability, so
+    * no score is storable state (the lm2 re-scoring contract under
+    * proper smoothing); scoring runs through the batch
+    * `knScoredVocab`, k identical pairs contributing k·nll; shares
+    * `txt_kn_nll`'s oracle.
+    */
+  def storedKnNll(spark: SparkSession, storeDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, sum}
+    Graft.ensureConf(spark)
+    val freqB = storedOrEmpty(spark, s"$storeDir/lm2_bigram_counts",
+      emptyLike(spark, spark.range(0)
+        .selectExpr("'' AS w1", "'' AS w2", "id AS n")))
+      .groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("cb"))
+    val docBg = storedOrEmpty(spark, s"$storeDir/lm2_doc_bigrams",
+      emptyLike(spark, spark.range(0).selectExpr("id AS doc_id",
+        "'' AS w1", "'' AS w2", "id AS k")))
+    docBg.join(TextAnalysis.knScoredVocab(freqB), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k") * col("nll_kn_b")).as("sum_b"),
+        sum(col("k")).as("n_big"))
+      .select(col("doc_id"), col("n_big"),
+        ParityMath.q6((col("sum_b").cast("double") / lit(1000000.0))
+          / col("n_big")).as("nll_kn"))
+      .orderBy(col("doc_id"))
+  }
+
+  def gatedKnNll(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_kn_watch")
+    val store = tempDirForExit("graft_gate_kn_store")
+    val docs = Graft.table(spark, sfDir, "documents")
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpLm2(spark, watch, store)
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpLm2(spark, watch, store)
+    storedKnNll(spark, store)
+  }
+
   /** PMI-collocation view over the SAME lm2 store's additive bigram
     * partials: the marginals and N are corpus-global (one arriving
     * doc shifts every pair's PMI and can push pairs across the

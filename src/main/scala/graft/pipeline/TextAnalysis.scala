@@ -1632,6 +1632,109 @@ object TextAnalysis {
        |  ON s.w1 = g.w1 AND s.w2 = g.w2
        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
+  // ---- txt_kn_nll ------------------------------------------------------
+
+  /** Interpolated KNESER–NEY bigram NLL (Kneser & Ney 1995; Chen &
+    * Goodman 1999's interpolated form, fixed discount D = 3/4) — the
+    * proper-smoothing upgrade over the add-1 gate (`txt_bigram_nll`)
+    * and the stupid-backoff scorer: the backoff mass goes to the
+    * CONTINUATION unigram (in how many distinct contexts does w2
+    * appear?), not the raw frequency — the distinction that stops
+    * "Francisco" (frequent but one-context) from soaking up held-out
+    * mass. P(w2|w1) = (max(c(w1w2)−D, 0) + D·N₁₊(w1·)·P_cont(w2)) /
+    * c(w1·), P_cont(w2) = N₁₊(·w2)/N_bb — every input an exact
+    * integer off the bigram count relation (row sums, distinct
+    * successor/predecessor type counts, the bigram-type total); the
+    * probability itself is ONE pinned double chain (identical
+    * expression text in both engines — the psi-term discipline) and
+    * each position quantizes to integer micro-nats BEFORE the per-doc
+    * sum (the NLL family's parity argument).
+    *
+    * 100 TB shape: txt_bigram_nll's exactly — scores computed
+    * VOCAB-SIDE (three keyed aggregations of the bigram-vocabulary-
+    * sized relation + one 1-row broadcast), the corpus-token-sized
+    * bigram stream pays one (w1, w2)-keyed join + one doc-keyed sum.
+    */
+  def knNll(spark: SparkSession, sfDir: String): DataFrame =
+    knNllFrom(Graft.tableParallel(spark, sfDir, "documents"))
+
+  /** The pinned probability/NLL chain — ONE text, spliced into the
+    * Spark plan, the DuckDB oracle, and the store face.
+    */
+  private[graft] val knNllChain: String =
+    """CAST(floor(-ln(
+      |  (greatest(CAST(cb AS DOUBLE) - 0.75, 0.0)
+      |   + (0.75 * CAST(n1p AS DOUBLE))
+      |     * (CAST(n1c AS DOUBLE) / CAST(nbb AS DOUBLE)))
+      |  / CAST(r AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)""".stripMargin
+
+  /** Vocab-side KN scoring of any (w1, w2, cb) bigram count relation —
+    * shared by the batch face and the incremental store (whose
+    * additive lm2 partials sum to exactly this relation).
+    */
+  private[graft] def knScoredVocab(bfreq: DataFrame): DataFrame = {
+    val bf = bfreq.localCheckpoint()
+    val rr = bf.groupBy(col("w1"))
+      .agg(sum(col("cb")).as("r"), countDistinct(col("w2")).as("n1p"))
+    val cc = bf.groupBy(col("w2"))
+      .agg(countDistinct(col("w1")).as("n1c"))
+    val tot = bf.agg(count(lit(1)).as("nbb"))
+    bf.join(rr, "w1").join(cc, "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), expr(knNllChain).as("nll_kn_b"))
+  }
+
+  private[graft] def knNllFrom(documents: DataFrame): DataFrame = {
+    val docs = bigramDocToks(documents)
+    val bigrams = bigramPairs(docs)
+    val bfreq = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cb"))
+    bigrams.join(knScoredVocab(bfreq), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("nll_kn_b")).as("sum_b"), count(lit(1)).as("n_big"))
+      .select(col("doc_id"), col("n_big"),
+        ParityMath.q6((col("sum_b").cast("double") / lit(1000000.0))
+          / col("n_big")).as("nll_kn"))
+      .orderBy(col("doc_id"))
+  }
+
+  val knNllSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+       |  FROM documents
+       |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 2
+       |), bigrams AS (
+       |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+       |  FROM d, unnest(range(1, len(ts))) u(i)
+       |), bfreq AS MATERIALIZED (
+       |  SELECT w1, w2, count(*) AS cb FROM bigrams GROUP BY w1, w2
+       |), rr AS (
+       |  SELECT w1, CAST(sum(cb) AS BIGINT) AS r,
+       |         CAST(count(DISTINCT w2) AS BIGINT) AS n1p
+       |  FROM bfreq GROUP BY 1
+       |), cc AS (
+       |  SELECT w2, CAST(count(DISTINCT w1) AS BIGINT) AS n1c
+       |  FROM bfreq GROUP BY 1
+       |), tt AS (SELECT CAST(count(*) AS BIGINT) AS nbb FROM bfreq),
+       |sv AS (
+       |  SELECT b.w1, b.w2,
+       |    CAST(floor(-ln(
+       |      (greatest(CAST(b.cb AS DOUBLE) - 0.75, 0.0)
+       |       + (0.75 * CAST(rr.n1p AS DOUBLE))
+       |         * (CAST(cc.n1c AS DOUBLE) / CAST(tt.nbb AS DOUBLE)))
+       |      / CAST(rr.r AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+       |      AS nll_kn_b
+       |  FROM bfreq b JOIN rr ON rr.w1 = b.w1 JOIN cc ON cc.w2 = b.w2
+       |  CROSS JOIN tt
+       |)
+       |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_big,
+       |  ${ParityMath.q6Sql(
+            "(CAST(sum(s.nll_kn_b) AS DOUBLE) / 1000000.0) / count(*)")}
+       |    AS nll_kn
+       |FROM bigrams g JOIN sv s
+       |  ON s.w1 = g.w1 AND s.w2 = g.w2
+       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
   // ---- txt_pmi: collocation mining ------------------------------------
 
   /** Support floor (a hapax pair's PMI is pure noise — the classic

@@ -545,6 +545,40 @@ class TextAnalysisSpec extends SparkSpec {
       s"bigram gate failed to separate: phrase=${bi(0L)} salad=${bi(1L)}")
   }
 
+  test("kneser-ney: hand-replay of the interpolated chain on a planted " +
+       "corpus; continuation beats raw frequency where it should") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kn").toString
+    // doc 0 "a b a b": bigrams (a,b)x2, (b,a); doc 1 "a c": (a,c).
+    // bfreq: (a,b)=2, (b,a)=1, (a,c)=1 -> r(a)=3 n1p(a)=2, r(b)=1
+    // n1p(b)=1; n1c(a)=1, n1c(b)=1, n1c(c)=1; nbb=3.
+    val docs = spark.createDataFrame(Seq(
+      (0L, "a b a b", "en", "src0", 7L),
+      (1L, "a c", "en", "src0", 3L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def nllMu(cb: Long, r: Long, n1p: Long, n1c: Long, nbb: Long): Long =
+      math.floor(-math.log(
+        (math.max(cb.toDouble - 0.75, 0.0)
+          + (0.75 * n1p.toDouble) * (n1c.toDouble / nbb.toDouble))
+          / r.toDouble) * 1e6 + 0.5).toLong
+    val ab = nllMu(2, 3, 2, 1, 3) // P(b|a) = (1.25 + .5)/3
+    val ba = nllMu(1, 1, 1, 1, 3) // P(a|b) = (0.25 + .25)/1
+    val ac = nllMu(1, 3, 2, 1, 3) // P(c|a) = (0.25 + .5)/3
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val got = TextAnalysis.knNll(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(0L)._1 == 3L && got(1L)._1 == 1L)
+    assert(got(0L)._2 == q6(((2 * ab + ba).toDouble / 1e6) / 3.0),
+      s"doc 0: ${got(0L)}")
+    assert(got(1L)._2 == q6((ac.toDouble / 1e6) / 1.0),
+      s"doc 1: ${got(1L)}")
+    // the KN property: (a,c) and (b,a) have the SAME raw count but
+    // different verdicts - (a,c) pays for its rare context mass while
+    // the a-context's heavier competition makes P(c|a) < P(a|b)
+    assert(ac > ba, "continuation-aware smoothing must separate " +
+      "equal-count pairs by context")
+  }
+
   test("heaps: curve is cumulative-monotone and its final row equals " +
        "the corpus totals") {
     val r = TextAnalysis.heaps(spark, sfDir).collect()
