@@ -1171,6 +1171,135 @@ object Behavior {
     abtestFromFlags(abtestFlags(Graft.table(spark, sfDir, "events")))
   }
 
+  // ---- q_mannwhitney: rank-sum test between the user cohorts ----------
+
+  /** MANN–WHITNEY U (Wilcoxon rank-sum) between the two user cohorts
+    * (even/odd user_id — the abtest/log-rank split) over event
+    * `value`: the NONPARAMETRIC companion completing the test family
+    * (q_chisq on categories, q_abtest on rates, q_survival_logrank on
+    * curves; this on a numeric distribution with no normality
+    * assumption — the correct A/B readout for skewed metrics like
+    * revenue or latency). Tie-safe and exact: observations collapse
+    * to value-level counts (ties at a value carry EQUAL rank, so the
+    * DOUBLED average rank lo+hi+1 is an integer — the
+    * trimmedFromValueCounts argument on the rank axis), 2R_A folds as
+    * Σ c_A·(2·lo + c + 1), the tie correction T = Σ(c³−c), and
+    * z = (2U_A − n_A·n_B) / (2·√((n_A·n_B/12)·((n+1) − T/(n(n−1)))))
+    * is ONE pinned double chain over those integers, q6, NULL when
+    * either cohort is empty or every observation ties (variance 0).
+    * No continuity correction (documented; both engines identical).
+    * Headroom: T needs c³ < 2⁶³ — a single value repeated ≤ ~2M times
+    * per distinct v_mu; beyond that T needs the DECIMAL(38,0) scheme
+    * (the periodogram-style loud bound, not silent wrap).
+    *
+    * 100 TB shape: one map-combinable (grp, value) count, one
+    * values-sized `GlobalRank.withPrefixSum` range shuffle for the
+    * exclusive below-count (never a single-task global window), one
+    * 1-row fold. The (grp, v_mu) count relation is the ADDITIVE
+    * storable fact of both extra faces.
+    */
+  def qMannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    mannWhitneyFromCounts(
+      Graft.table(spark, sfDir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(pmod(col("user_id"), lit(2)).as("grp"),
+          expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)")
+            .as("v_mu"))
+        .groupBy(col("grp"), col("v_mu"))
+        .agg(count(lit(1)).as("c")))
+  }
+
+  private val mannWhitneyZExpr: String =
+    """(CAST(two_u_a AS DOUBLE)
+      | - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+      |/ (2.0 * sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
+      |   * ((CAST(n_tot AS DOUBLE) + 1.0)
+      |      - CAST(t_ties AS DOUBLE)
+      |        / (CAST(n_tot AS DOUBLE)
+      |           * (CAST(n_tot AS DOUBLE) - 1.0)))))""".stripMargin
+
+  /** The test over any (grp, v_mu, c) value-count relation — shared
+    * by all three faces (counts are additive under any batch split).
+    */
+  private[graft] def mannWhitneyFromCounts(vc0: DataFrame): DataFrame = {
+    val spark = vc0.sparkSession
+    val vc = vc0.groupBy(col("v_mu")).agg(
+      sum(col("c")).as("c"),
+      coalesce(sum(when(col("grp") === 0, col("c")).otherwise(0L)),
+        lit(0L)).as("c_a"))
+    val (ranked, nTot) = graft.core.GlobalRank.withPrefixSum(
+      vc, Seq(col("v_mu").asc), "c", "lo")
+    ranked.agg(
+        coalesce(sum(col("c_a")), lit(0L)).as("n_a"),
+        coalesce(sum(col("c") - col("c_a")), lit(0L)).as("n_b"),
+        coalesce(sum(col("c_a") * (lit(2L) * col("lo") + col("c")
+          + 1L)), lit(0L)).as("two_r_a"),
+        coalesce(sum(col("c") * col("c") * col("c") - col("c")),
+          lit(0L)).as("t_ties"))
+      .select(col("n_a"), col("n_b"),
+        (col("two_r_a") - col("n_a") * (col("n_a") + 1L))
+          .as("two_u_a"),
+        col("t_ties"), lit(nTot).as("n_tot"))
+      .select(col("n_a"), col("n_b"), col("two_u_a"), col("t_ties"),
+        when(col("n_a") > 0 && col("n_b") > 0 && col("n_tot") > 1 &&
+          expr("""(CAST(n_tot AS DOUBLE) + 1.0)
+                 |- CAST(t_ties AS DOUBLE)
+                 |  / (CAST(n_tot AS DOUBLE)
+                 |     * (CAST(n_tot AS DOUBLE) - 1.0))"""
+            .stripMargin) > 0.0,
+          graft.pipeline.ParityMath.q6(expr(mannWhitneyZExpr)))
+          .as("z"))
+  }
+
+  val qMannWhitneySql: String =
+    s"""WITH obs AS (
+       |  SELECT user_id % 2 AS grp,
+       |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_mu
+       |  FROM events
+       |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+       |), vc AS (
+       |  SELECT v_mu,
+       |    CAST(count(*) AS BIGINT) AS c,
+       |    CAST(coalesce(sum(CASE WHEN grp = 0 THEN 1 END), 0)
+       |      AS BIGINT) AS c_a
+       |  FROM obs GROUP BY 1
+       |), r AS (
+       |  SELECT v_mu, c, c_a,
+       |    CAST(coalesce(sum(c) OVER (ORDER BY v_mu
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS lo
+       |  FROM vc
+       |), t AS (
+       |  SELECT
+       |    CAST(coalesce(sum(c_a), 0) AS BIGINT) AS n_a,
+       |    CAST(coalesce(sum(c - c_a), 0) AS BIGINT) AS n_b,
+       |    CAST(coalesce(sum(c_a * (2 * lo + c + 1)), 0) AS BIGINT)
+       |      AS two_r_a,
+       |    CAST(coalesce(sum(c * c * c - c), 0) AS BIGINT) AS t_ties,
+       |    CAST(coalesce(sum(c), 0) AS BIGINT) AS n_tot
+       |  FROM r
+       |)
+       |SELECT n_a, n_b,
+       |  two_r_a - n_a * (n_a + 1) AS two_u_a, t_ties,
+       |  CASE WHEN n_a > 0 AND n_b > 0 AND n_tot > 1 AND
+       |    (CAST(n_tot AS DOUBLE) + 1.0)
+       |    - CAST(t_ties AS DOUBLE)
+       |      / (CAST(n_tot AS DOUBLE)
+       |         * (CAST(n_tot AS DOUBLE) - 1.0)) > 0.0
+       |  THEN ${graft.pipeline.ParityMath.q6Sql(
+            """(CAST(two_r_a - n_a * (n_a + 1) AS DOUBLE)
+              | - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+              |/ (2.0 * sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+              |   / 12.0)
+              |   * ((CAST(n_tot AS DOUBLE) + 1.0)
+              |      - CAST(t_ties AS DOUBLE)
+              |        / (CAST(n_tot AS DOUBLE)
+              |           * (CAST(n_tot AS DOUBLE) - 1.0)))))"""
+              .stripMargin)}
+       |  END AS z
+       |FROM t""".stripMargin
+
   /** The per-user conversion flag relation (user_id, grp, conv) -
     * max-mergeable, the streaming/store faces' storable fact.
     */

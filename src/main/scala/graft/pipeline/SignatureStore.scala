@@ -874,6 +874,59 @@ object SignatureStore {
         .agg(sum(col("c")).as("c")))
   }
 
+  // ---- mann-whitney store --------------------------------------------
+
+  /** Incremental Mann–Whitney store: per-batch (cohort, value)
+    * count PARTIALS — ADDITIVE under any batch split (the trimmed
+    * store's structure with the cohort key) — with ranks, the tie
+    * correction and z a query-time VIEW through the shared
+    * `mannWhitneyFromCounts`.
+    */
+  def catchUpMannWhitney(spark: SparkSession, watchDir: String,
+                         storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val ev = spark.readStream.schema(schema).parquet(watchDir)
+    val q = ev.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch
+          .filter(col("user_id").isNotNull && col("value").isNotNull)
+          .select(pmod(col("user_id"), lit(2)).as("grp"),
+            expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)")
+              .as("v_mu"))
+          .groupBy(col("grp"), col("v_mu"))
+          .agg(count(lit(1)).as("c"))
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/grp_value_counts/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Driver-gate face: parity-split appends, query-time test; shares
+    * `q_mannwhitney`'s oracle.
+    */
+  def gatedMannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_mw_watch")
+    val store = tempDirForExit("graft_gate_mw_store")
+    val ev = Graft.table(spark, sfDir, "events")
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpMannWhitney(spark, watch, store)
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpMannWhitney(spark, watch, store)
+    graft.analytics.Behavior.mannWhitneyFromCounts(
+      storedOrEmpty(spark, s"$store/grp_value_counts",
+        emptyLike(spark, spark.range(0).selectExpr(
+          "id AS grp", "id AS v_mu", "id AS c")))
+        .groupBy(col("grp"), col("v_mu"))
+        .agg(sum(col("c")).as("c")))
+  }
+
   // ---- pacf (ACF fragment) store -------------------------------------
 
   /** Incremental ACF/PACF store: each arriving batch lands one

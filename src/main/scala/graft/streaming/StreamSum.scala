@@ -348,6 +348,27 @@ object StreamSum {
     graft.analytics.Tpch.lorenzFromCounts(snap)
   }
 
+  /** Streaming Mann–Whitney, sharing `q_mannwhitney`'s oracle: the
+    * streamed state is the per-(cohort, value) COUNT — one
+    * Complete-mode aggregation (the trimmed-mean face's posture on
+    * the cohort axis) — while ranks, the tie correction and z are all
+    * functions of the GLOBAL value order, so the test is a query-time
+    * view through the shared `mannWhitneyFromCounts` (one arriving
+    * value shifts every rank above it).
+    */
+  def streamMannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val vc = streamingEvents(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select(pmod(col("user_id"), lit(2)).as("grp"),
+        expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)")
+          .as("v_mu"))
+      .groupBy(col("grp"), col("v_mu"))
+      .agg(count(lit(1)).as("c"))
+    graft.analytics.Behavior.mannWhitneyFromCounts(
+      runToTable(vc, OutputMode.Complete(), "ss_stream_mannwhitney"))
+  }
+
   /** Streaming trimmed mean, sharing `q_trimmed_mean`'s oracle: the
     * streamed state is the per-(type, value) COUNT — one Complete-mode
     * aggregation, bounded by types × distinct micro-unit values (the

@@ -278,6 +278,29 @@ class BehaviorSpec extends SparkSpec {
     assert(c.isNullAt(5), s"single-group V must be NULL: $c")
   }
 
+  test("mann-whitney: hand-computed tied-rank U and z on the textbook " +
+       "fixture; an all-tied corpus yields no verdict") {
+    val s = spark; import s.implicits._
+    // A = {1, 2, 3}, B = {2, 4}: tied ranks (1, 2.5, 4) -> R_A = 7.5,
+    // U_A = 1.5 (one win + half the 2-2 tie), T = 2^3-2 = 6,
+    // var = (6/12)*(6 - 6/20) = 2.85, z = -1.5/sqrt(2.85)
+    val vc = Seq((0L, 1000000L, 1L), (0L, 2000000L, 1L),
+      (0L, 3000000L, 1L), (1L, 2000000L, 1L), (1L, 4000000L, 1L))
+      .toDF("grp", "v_mu", "c")
+    val r = Behavior.mannWhitneyFromCounts(vc).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L, s"ns: $r")
+    assert(r.getLong(2) == 3L, s"2U_A: $r") // = 2*1.5
+    assert(r.getLong(3) == 6L, s"tie term: $r")
+    val expZ = math.floor(
+      (3.0 - 3.0 * 2.0) / (2.0 * math.sqrt((3.0 * 2.0 / 12.0)
+        * ((5.0 + 1.0) - 6.0 / (5.0 * 4.0)))) * 1e6 + 0.5) / 1e6
+    assert(r.getDouble(4) == expZ, s"z: $r vs $expZ")
+    // every observation identical: tie term kills the variance -> NULL
+    val flat = Seq((0L, 5L, 4L), (1L, 5L, 3L)).toDF("grp", "v_mu", "c")
+    val fr = Behavior.mannWhitneyFromCounts(flat).collect().head
+    assert(fr.isNullAt(4), s"all-tied must yield no verdict: $fr")
+  }
+
   test("abtest: hand-computed pooled z over planted arms; a " +
        "degenerate pooled rate yields no verdict") {
     val s = spark; import s.implicits._
