@@ -46,7 +46,7 @@ object Bench {
     "ss_sink_point_read",
     // analytics
     "q1_agg", "q3_join_agg", "q5_multijoin", "q_window", "q_sessionize",
-    "q_corr",
+    "q_corr", "q_spearman",
     "q_asof_join", "q_attribution", "q_range_join", "q_resample",
     "q_ewma", "q_holt", "q_holt_winters", "q_forecast_eval", "q_autocorr", "q_pacf", "q_anomaly",
     "q_funnel", "q_cohort", "graph_memo_build", "q_pagerank", "q_ppr", "q_hits",

@@ -685,6 +685,121 @@ object Tpch {
               .stripMargin)} AS covar_pop
        |FROM s ORDER BY l_returnflag""".stripMargin
 
+  // ---- q_spearman: rank correlation ------------------------------------
+
+  /** SPEARMAN rank correlation between quantity and price — the
+    * robust companion to q_corr's Pearson (a handful of price
+    * outliers can drag Pearson anywhere; the rank statistic moves
+    * only as far as the outliers' ranks): Pearson over tie-averaged
+    * ranks, computed EXACTLY. Ties make average ranks half-integral,
+    * so both axes carry DOUBLED ranks (2·lo + c + 1 per value group —
+    * an integer; doubling both axes cancels in the correlation), the
+    * exclusive below-counts come from `GlobalRank.withPrefixSum`
+    * (range-shuffle cumulative, never a single-task global window),
+    * and n/Σrx/Σry/Σrxry/Σrx²/Σry² accumulate in DECIMAL(38,0) ≙
+    * HUGEINT before ONE closed-formula double chain under q6 (the
+    * q_corr discipline on the rank axis). NULL when either axis is
+    * constant (zero rank variance).
+    *
+    * 100 TB shape: the corpus collapses to the (x, y) PAIR-COUNT
+    * relation (map-combinable, and the ADDITIVE storable fact of the
+    * stream/store faces); per-axis value counts fold from it; the
+    * rank join-back runs pair-relation-sized, never row-sized.
+    */
+  def qSpearman(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    spearmanFromPairCounts(Graft.table(spark, sfDir, "lineitem")
+      .select(expr("CAST(l_quantity AS BIGINT)").as("x"),
+        expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)")
+          .as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("k")))
+  }
+
+  /** The statistic over any (x, y, k) pair-count relation — shared by
+    * all three faces.
+    */
+  private[graft] def spearmanFromPairCounts(pc0: DataFrame): DataFrame = {
+    val pc = pc0.localCheckpoint()
+    def ranks(cn: String): DataFrame = {
+      val vc = pc.groupBy(col(cn)).agg(sum(col("k")).as("c"))
+      val (pf, _) = graft.core.GlobalRank.withPrefixSum(
+        vc, Seq(col(cn).asc), "c", "lo")
+      pf.select(col(cn),
+        (lit(2L) * col("lo") + col("c") + 1L).as(s"r2_$cn"))
+    }
+    val d12 = "decimal(12,0)"
+    pc.join(ranks("x"), "x").join(ranks("y"), "y")
+      .select(col("k").cast(d12).as("k"),
+        col("r2_x").cast(d12).as("rx"), col("r2_y").cast(d12).as("ry"))
+      .agg(coalesce(sum(col("k")), lit(0L).cast(d12)).as("n"),
+        sum(col("k") * col("rx")).as("sx"),
+        sum(col("k") * col("ry")).as("sy"),
+        sum(col("k") * (col("rx") * col("ry"))).as("sxy"),
+        sum(col("k") * (col("rx") * col("rx"))).as("sxx"),
+        sum(col("k") * (col("ry") * col("ry"))).as("syy"))
+      .select(col("n").cast("long").as("n"),
+        when(expr(
+          """CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+            |AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+            |  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0"""
+            .stripMargin),
+          graft.pipeline.ParityMath.q6(expr(
+            """((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))"""
+              .stripMargin))).as("spearman"))
+  }
+
+  val qSpearmanSql: String =
+    s"""WITH b AS (
+       |  SELECT CAST(l_quantity AS BIGINT) AS x,
+       |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+       |  FROM lineitem
+       |), pc AS MATERIALIZED (
+       |  SELECT x, y, CAST(count(*) AS BIGINT) AS k FROM b GROUP BY 1, 2
+       |), xr AS (
+       |  SELECT x, CAST(2 * coalesce(sum(c) OVER (ORDER BY x
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      + c + 1 AS BIGINT) AS r2_x
+       |  FROM (SELECT x, sum(k) AS c FROM pc GROUP BY 1)
+       |), yr AS (
+       |  SELECT y, CAST(2 * coalesce(sum(c) OVER (ORDER BY y
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      + c + 1 AS BIGINT) AS r2_y
+       |  FROM (SELECT y, sum(k) AS c FROM pc GROUP BY 1)
+       |), j AS (
+       |  SELECT CAST(pc.k AS HUGEINT) AS k,
+       |    CAST(xr.r2_x AS HUGEINT) AS rx,
+       |    CAST(yr.r2_y AS HUGEINT) AS ry
+       |  FROM pc JOIN xr USING (x) JOIN yr USING (y)
+       |), s AS (
+       |  SELECT coalesce(sum(k), 0) AS n,
+       |    sum(k * rx) AS sx, sum(k * ry) AS sy,
+       |    sum(k * (rx * ry)) AS sxy,
+       |    sum(k * (rx * rx)) AS sxx,
+       |    sum(k * (ry * ry)) AS syy
+       |  FROM j
+       |)
+       |SELECT CAST(n AS BIGINT) AS n,
+       |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+       |   AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+       |  THEN ${graft.pipeline.ParityMath.q6Sql(
+            """((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))"""
+              .stripMargin)}
+       |  END AS spearman
+       |FROM s""".stripMargin
+
   // ---- q_gini: activity-concentration coefficient ---------------------
 
   /** GINI coefficient of per-user event counts — the concentration

@@ -874,6 +874,56 @@ object SignatureStore {
         .agg(sum(col("c")).as("c")))
   }
 
+  // ---- spearman store ------------------------------------------------
+
+  /** Incremental Spearman store: per-batch (x, y) pair-count PARTIALS
+    * off the lineitem stream — ADDITIVE under any batch split — with
+    * the per-axis ranks and the closed formula a query-time VIEW
+    * through the shared `spearmanFromPairCounts` (one arriving row
+    * shifts every rank above its values on BOTH axes).
+    */
+  def catchUpSpearman(spark: SparkSession, watchDir: String,
+                      storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val li = spark.readStream.schema(schema).parquet(watchDir)
+    val q = li.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch
+          .select(expr("CAST(l_quantity AS BIGINT)").as("x"),
+            expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)")
+              .as("y"))
+          .groupBy(col("x"), col("y")).agg(count(lit(1)).as("k"))
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/pair_counts/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Driver-gate face: orderkey-parity appends, query-time ranks;
+    * shares `q_spearman`'s oracle.
+    */
+  def gatedSpearman(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_sp_watch")
+    val store = tempDirForExit("graft_gate_sp_store")
+    val li = Graft.table(spark, sfDir, "lineitem")
+    land(li.filter(pmod(col("l_orderkey"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpSpearman(spark, watch, store)
+    land(li.filter(pmod(col("l_orderkey"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpSpearman(spark, watch, store)
+    graft.analytics.Tpch.spearmanFromPairCounts(
+      storedOrEmpty(spark, s"$store/pair_counts",
+        emptyLike(spark, spark.range(0).selectExpr(
+          "id AS x", "id AS y", "id AS k")))
+        .groupBy(col("x"), col("y")).agg(sum(col("k")).as("k")))
+  }
+
   // ---- mann-whitney store --------------------------------------------
 
   /** Incremental Mann–Whitney store: per-batch (cohort, value)

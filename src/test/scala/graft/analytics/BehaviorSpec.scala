@@ -278,6 +278,27 @@ class BehaviorSpec extends SparkSpec {
     assert(c.isNullAt(5), s"single-group V must be NULL: $c")
   }
 
+  test("spearman: monotone data scores exactly 1 regardless of " +
+       "outliers, anti-monotone -1, tied blocks stay exact, constant " +
+       "axis yields no verdict") {
+    val s = spark; import s.implicits._
+    def sp(pc: Seq[(Long, Long, Long)]): org.apache.spark.sql.Row =
+      graft.analytics.Tpch.spearmanFromPairCounts(
+        pc.toDF("x", "y", "k")).collect().head
+    // a wild y outlier that would drag Pearson: ranks don't care
+    val mono = sp(Seq((1L, 1L, 1L), (2L, 2L, 1L), (3L, 3L, 1L),
+      (4L, 1000000L, 1L)))
+    assert(mono.getLong(0) == 4L && mono.getDouble(1) == 1.0, s"$mono")
+    val anti = sp(Seq((1L, 3L, 1L), (2L, 2L, 1L), (3L, 1L, 1L)))
+    assert(anti.getDouble(1) == -1.0, s"$anti")
+    // tie blocks: both axes tie identically -> still a perfect
+    // monotone relation under average ranks
+    val tied = sp(Seq((1L, 1L, 2L), (2L, 2L, 1L)))
+    assert(tied.getLong(0) == 3L && tied.getDouble(1) == 1.0, s"$tied")
+    val flat = sp(Seq((1L, 7L, 2L), (2L, 7L, 3L)))
+    assert(flat.isNullAt(1), s"constant axis must be NULL: $flat")
+  }
+
   test("mann-whitney: hand-computed tied-rank U and z on the textbook " +
        "fixture; an all-tied corpus yields no verdict") {
     val s = spark; import s.implicits._
