@@ -1210,6 +1210,147 @@ object Behavior {
         .agg(count(lit(1)).as("c")))
   }
 
+  // ---- q_ks_test: two-sample Kolmogorov–Smirnov -----------------------
+
+  /** TWO-SAMPLE KOLMOGOROV–SMIRNOV between the user cohorts over
+    * event value — the distribution-SHAPE member next to
+    * q_mannwhitney's location shift (KS sees a variance or tail
+    * change MW is blind to; the classic drift detector between a
+    * reference and a live window). D = max_v |F_A(v) − F_B(v)| is
+    * EXACT end to end: per distinct value the cumulative cohort
+    * counts come from ONE `GlobalRank.withPrefixSum` pass (the
+    * inclusive ECDF step), and |cumA·n_B − cumB·n_A| is an integer —
+    * the max and the argmax value are integer comparisons, with the
+    * single division D = num/(n_A·n_B) one q6 at the end. The
+    * asymptotic significance scale λ = D·√(n_A·n_B/(n_A+n_B)) rides
+    * along as one pinned double chain (the reader compares it to the
+    * 1.36 ≈ α = 0.05 line). NULL verdict when either cohort is empty.
+    * Headroom: cum·n < 2⁶³ bounds the corpus at ~3B per cohort;
+    * beyond that the numerator needs the DECIMAL(38,0) scheme (loud
+    * bound, not silent wrap).
+    *
+    * 100 TB shape: the q_mannwhitney plan exactly — one map-combinable
+    * (grp, value) count (the SAME additive relation; the store face
+    * reuses the MW landing verbatim), one values-sized range-shuffle
+    * prefix sum, one 1-row fold. Ties need no special case: both
+    * ECDFs step at the same point and the sup over step points is the
+    * sup over the whole line.
+    */
+  def qKsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    ksFromCounts(
+      Graft.table(spark, sfDir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(pmod(col("user_id"), lit(2)).as("grp"),
+          expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)")
+            .as("v_mu"))
+        .groupBy(col("grp"), col("v_mu"))
+        .agg(count(lit(1)).as("c")))
+  }
+
+  private val ksLambdaExpr: String =
+    """(CAST(d_num AS DOUBLE)
+      | / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+      |* sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+      |       / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))"""
+      .stripMargin
+
+  /** The test over any (grp, v_mu, c) value-count relation — shared
+    * by all three faces (the q_mannwhitney state, one more view).
+    */
+  private[graft] def ksFromCounts(vc0: DataFrame): DataFrame = {
+    val vc = vc0.groupBy(col("v_mu")).agg(
+      coalesce(sum(when(col("grp") === 0, col("c")).otherwise(0L)),
+        lit(0L)).as("ca"),
+      coalesce(sum(when(col("grp") =!= 0, col("c")).otherwise(0L)),
+        lit(0L)).as("cb"))
+    // two prefix passes over the same values-sized sorted relation
+    // (never corpus-sized); inclusive ECDF steps = exclusive + own
+    val (p1, _) = graft.core.GlobalRank.withPrefixSum(
+      vc, Seq(col("v_mu").asc), "ca", "cum_a0")
+    val (p2, _) = graft.core.GlobalRank.withPrefixSum(
+      p1, Seq(col("v_mu").asc), "cb", "cum_b0")
+    val cum = p2.select(col("v_mu"),
+        (col("cum_a0") + col("ca")).as("cum_a"),
+        (col("cum_b0") + col("cb")).as("cum_b"))
+      .localCheckpoint()
+    val tot = cum.agg(coalesce(max(col("cum_a")), lit(0L)).as("n_a"),
+      coalesce(max(col("cum_b")), lit(0L)).as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"), col("v_mu"),
+        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a"))
+          .as("dn"))
+      .agg(coalesce(max(col("n_a")), lit(0L)).as("n_a"),
+        coalesce(max(col("n_b")), lit(0L)).as("n_b"),
+        // argmax with ties to the SMALLEST value: max over
+        // (dn, -v_mu) pairs is deterministic
+        max(struct(col("dn"), (-col("v_mu")).as("nv"))).as("m"))
+      .select(col("n_a"), col("n_b"),
+        coalesce(col("m.dn"), lit(0L)).as("d_num"),
+        (-col("m.nv")).as("d_at"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          graft.pipeline.ParityMath.q6(
+            col("m.dn").cast("double") /
+              (col("n_a").cast("double") * col("n_b").cast("double"))))
+          .as("d"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          graft.pipeline.ParityMath.q6(expr(ksLambdaExpr
+            .replace("d_num", "m.dn")))).as("ks_lambda"))
+  }
+
+  val qKsTestSql: String =
+    s"""WITH obs AS (
+       |  SELECT user_id % 2 AS grp,
+       |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_mu
+       |  FROM events
+       |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+       |), vc AS (
+       |  SELECT v_mu,
+       |    CAST(coalesce(sum(CASE WHEN grp = 0 THEN 1 END), 0)
+       |      AS BIGINT) AS ca,
+       |    CAST(coalesce(sum(CASE WHEN grp <> 0 THEN 1 END), 0)
+       |      AS BIGINT) AS cb
+       |  FROM obs GROUP BY 1
+       |), cum AS (
+       |  SELECT v_mu,
+       |    CAST(sum(ca) OVER (ORDER BY v_mu
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum_a,
+       |    CAST(sum(cb) OVER (ORDER BY v_mu
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum_b
+       |  FROM vc
+       |), tot AS (
+       |  SELECT CAST(coalesce(max(cum_a), 0) AS BIGINT) AS n_a,
+       |         CAST(coalesce(max(cum_b), 0) AS BIGINT) AS n_b
+       |  FROM cum
+       |), dd AS (
+       |  SELECT t.n_a, t.n_b, c.v_mu,
+       |    abs(c.cum_a * t.n_b - c.cum_b * t.n_a) AS dn
+       |  FROM cum c CROSS JOIN tot t
+       |), m AS (
+       |  SELECT CAST(coalesce(max(n_a), 0) AS BIGINT) AS n_a,
+       |    CAST(coalesce(max(n_b), 0) AS BIGINT) AS n_b,
+       |    CAST(coalesce(max(dn), 0) AS BIGINT) AS d_num,
+       |    CAST(min(v_mu) FILTER (WHERE dn = (SELECT max(dn) FROM dd))
+       |      AS BIGINT) AS d_at
+       |  FROM dd
+       |)
+       |SELECT n_a, n_b, d_num, d_at,
+       |  CASE WHEN n_a > 0 AND n_b > 0 THEN ${graft.pipeline.ParityMath.q6Sql(
+            """CAST(d_num AS DOUBLE)
+              |/ (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"""
+              .stripMargin)}
+       |  END AS d,
+       |  CASE WHEN n_a > 0 AND n_b > 0 THEN ${graft.pipeline.ParityMath.q6Sql(
+            """(CAST(d_num AS DOUBLE)
+              | / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+              |* sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+              |       / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))"""
+              .stripMargin)}
+       |  END AS ks_lambda
+       |FROM m""".stripMargin
+
   private val mannWhitneyZExpr: String =
     """(CAST(two_u_a AS DOUBLE)
       | - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))

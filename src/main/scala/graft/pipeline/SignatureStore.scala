@@ -956,6 +956,29 @@ object SignatureStore {
     q.awaitTermination()
   }
 
+  /** Kolmogorov–Smirnov view over the SAME (cohort, value) count
+    * landing as the Mann–Whitney store — one store discipline, two
+    * test views (the lorenz/gini pairing on the test axis); shares
+    * `q_ks_test`'s oracle.
+    */
+  def gatedKsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_ks_watch")
+    val store = tempDirForExit("graft_gate_ks_store")
+    val ev = Graft.table(spark, sfDir, "events")
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpMannWhitney(spark, watch, store)
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpMannWhitney(spark, watch, store)
+    graft.analytics.Behavior.ksFromCounts(
+      storedOrEmpty(spark, s"$store/grp_value_counts",
+        emptyLike(spark, spark.range(0).selectExpr(
+          "id AS grp", "id AS v_mu", "id AS c")))
+        .groupBy(col("grp"), col("v_mu"))
+        .agg(sum(col("c")).as("c")))
+  }
+
   /** Driver-gate face: parity-split appends, query-time test; shares
     * `q_mannwhitney`'s oracle.
     */

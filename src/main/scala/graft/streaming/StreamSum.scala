@@ -369,6 +369,25 @@ object StreamSum {
       runToTable(vc, OutputMode.Complete(), "ss_stream_mannwhitney"))
   }
 
+  /** Streaming Kolmogorov–Smirnov, sharing `q_ks_test`'s oracle: the
+    * SAME per-(cohort, value) Complete-mode count state as the
+    * Mann–Whitney face — one stored relation, two test views — with
+    * both ECDFs and the sup a query-time view through the shared
+    * `ksFromCounts` (one arriving value moves every step above it).
+    */
+  def streamKsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val vc = streamingEvents(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select(pmod(col("user_id"), lit(2)).as("grp"),
+        expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)")
+          .as("v_mu"))
+      .groupBy(col("grp"), col("v_mu"))
+      .agg(count(lit(1)).as("c"))
+    graft.analytics.Behavior.ksFromCounts(
+      runToTable(vc, OutputMode.Complete(), "ss_stream_ks"))
+  }
+
   /** Streaming trimmed mean, sharing `q_trimmed_mean`'s oracle: the
     * streamed state is the per-(type, value) COUNT — one Complete-mode
     * aggregation, bounded by types × distinct micro-unit values (the

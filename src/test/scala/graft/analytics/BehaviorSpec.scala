@@ -299,6 +299,26 @@ class BehaviorSpec extends SparkSpec {
     assert(flat.isNullAt(1), s"constant axis must be NULL: $flat")
   }
 
+  test("ks test: exact sup gap with argmax ties to the smallest value; " +
+       "disjoint supports score D = 1; an empty cohort has no verdict") {
+    val s = spark; import s.implicits._
+    def ks(pc: Seq[(Long, Long, Long)]): org.apache.spark.sql.Row =
+      Behavior.ksFromCounts(pc.toDF("grp", "v_mu", "c")).collect().head
+    // A = {1, 2}, B = {2, 3}: ECDF gaps (scaled by n_a*n_b = 4) are
+    // 2, 2, 0 -> D = 2/4 at the SMALLEST achieving value v = 1
+    val r = ks(Seq((0L, 1L, 1L), (0L, 2L, 1L), (1L, 2L, 1L),
+      (1L, 3L, 1L)))
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L, s"ns: $r")
+    assert(r.getLong(2) == 2L && r.getLong(3) == 1L, s"sup: $r")
+    assert(r.getDouble(4) == 0.5, s"D: $r")
+    assert(r.getDouble(5) == 0.5, s"lambda: $r") // 0.5 * sqrt(4/4)
+    val disj = ks(Seq((0L, 1L, 3L), (1L, 2L, 2L)))
+    assert(disj.getDouble(4) == 1.0, s"disjoint supports: $disj")
+    val one = ks(Seq((0L, 1L, 2L), (0L, 5L, 1L)))
+    assert(one.isNullAt(4) && one.isNullAt(5),
+      s"empty cohort must yield no verdict: $one")
+  }
+
   test("mann-whitney: hand-computed tied-rank U and z on the textbook " +
        "fixture; an all-tied corpus yields no verdict") {
     val s = spark; import s.implicits._
