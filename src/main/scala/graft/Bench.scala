@@ -69,7 +69,7 @@ object Bench {
     "dd_jaccard_routed", "dd_lsh_eval", "dd_lsh_curve",
     "dd_containment", "dd_simhash", "dd_simhash_eval",
     "dd_embed_cosine", "dd_semantic", "dd_semantic_eval", "dd_semantic_mp",
-    "dd_semantic_dial",
+    "dd_semantic_dial", "emb_mmd",
     "ann_topk_brute", "ann_topk_quant", "ann_lsh_bucketed", "ann_ivf",
     "ann_ivf_quant", "ann_ivf_adaptive", "ann_ivf_pq", "ann_knn_join",
     "ann_knn_join_h2",

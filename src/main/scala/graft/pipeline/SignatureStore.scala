@@ -874,6 +874,59 @@ object SignatureStore {
         .agg(sum(col("c")).as("c")))
   }
 
+  // ---- emb-mmd store -------------------------------------------------
+
+  /** Incremental embedding-drift store: per-batch (cohort, dimension)
+    * component-sum PARTIALS off the embeddings stream — ADDITIVE
+    * under any batch split, dims-sized per batch — with the
+    * squared-mean-distance fold a query-time VIEW through the shared
+    * `mmdFromDimSums`.
+    */
+  def catchUpEmbMmd(spark: SparkSession, watchDir: String,
+                    storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val vecs = spark.readStream.schema(schema).parquet(watchDir)
+    val q = vecs.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch
+          .select(pmod(col("vec_id"), lit(2)).as("grp"),
+            org.apache.spark.sql.functions.posexplode(col("embedding"))
+              .as(Seq("pos", "v")))
+          .select(col("grp"), col("pos").cast("long").as("pos"),
+            expr("CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) " +
+              "AS BIGINT)").as("v_mu"))
+          .groupBy(col("grp"), col("pos"))
+          .agg(sum(col("v_mu")).as("s"), count(lit(1)).as("n"))
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/dim_sums/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Driver-gate face: vec-parity appends, query-time fold; shares
+    * `emb_mmd`'s oracle.
+    */
+  def gatedEmbMmd(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_mmd_watch")
+    val store = tempDirForExit("graft_gate_mmd_store")
+    val vecs = Graft.table(spark, sfDir, "embeddings")
+    land(vecs.filter(pmod(col("vec_id"), lit(4)) < 2), watch,
+      "arrival1.parquet")
+    catchUpEmbMmd(spark, watch, store)
+    land(vecs.filter(pmod(col("vec_id"), lit(4)) >= 2), watch,
+      "arrival2.parquet")
+    catchUpEmbMmd(spark, watch, store)
+    graft.pipeline.Similarity.mmdFromDimSums(
+      storedOrEmpty(spark, s"$store/dim_sums",
+        emptyLike(spark, spark.range(0).selectExpr(
+          "id AS grp", "id AS pos", "id AS s", "id AS n"))))
+  }
+
   // ---- spearman store ------------------------------------------------
 
   /** Incremental Spearman store: per-batch (x, y) pair-count PARTIALS

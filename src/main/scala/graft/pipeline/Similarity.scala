@@ -2541,6 +2541,105 @@ object Similarity {
        |  END AS recall
        |FROM b CROSS JOIN t ORDER BY p""".stripMargin
 
+  // ---- emb_mmd ---------------------------------------------------------
+
+  /** LINEAR-KERNEL MAXIMUM MEAN DISCREPANCY between the even/odd
+    * vec_id cohorts — the EMBEDDING-SPACE member completing the drift
+    * family (q_psi_drift watches the event mix, txt_jsd_drift the
+    * source vocabularies, q_ks_test the value distribution; this
+    * watches where the REPRESENTATIONS live — the "did the new crawl
+    * move the embedding distribution" monitor run before mixing a
+    * fresh batch into a training corpus). With the linear kernel,
+    * MMD² = ‖μ_A − μ_B‖² exactly, computed EXACTLY: per-dimension
+    * micro-unit component sums (floats quantized at ingest, so the
+    * sums are order-free integers), the per-dimension difference
+    * sA·n_B − sB·n_A an integer (headroom: < 2⁶³ bounds ~3·10⁹
+    * vectors per cohort at unit-scale dims — the loud-bound scheme),
+    * its square summed in DECIMAL(38,0) ≙ HUGEINT, and ONE final
+    * double chain /(n_A·n_B)²/10¹² under q6.
+    *
+    * 100 TB shape: one corpus scan folds map-combinably to the
+    * (cohort, dim) sum relation — dims-sized, the ADDITIVE storable
+    * fact of both extra faces — and everything after is a
+    * dims-sized join + one 1-row fold. No pairwise term anywhere
+    * (the linear kernel's gift: the quadratic MMD estimator collapses
+    * to mean vectors).
+    */
+  def embMmd(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    mmdFromDimSums(
+      emb(spark, sfDir)
+        .select(pmod(col("vec_id"), lit(2)).as("grp"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("grp"), col("pos").cast("long").as("pos"),
+          expr("CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) " +
+            "AS BIGINT)").as("v_mu"))
+        .groupBy(col("grp"), col("pos"))
+        .agg(sum(col("v_mu")).as("s"), count(lit(1)).as("n")))
+  }
+
+  /** The statistic over any (grp, pos, s, n) per-dimension sum
+    * relation — shared by all three faces (sums and counts are
+    * additive under any batch split).
+    */
+  private[graft] def mmdFromDimSums(ds0: DataFrame): DataFrame = {
+    val ds = ds0.groupBy(col("grp"), col("pos"))
+      .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+      .localCheckpoint()
+    val a = ds.filter(col("grp") === 0)
+      .select(col("pos"), col("s").as("sa"), col("n").as("na"))
+    val b = ds.filter(col("grp") =!= 0)
+      .select(col("pos"), col("s").as("sb"), col("n").as("nb"))
+    a.join(b, "pos")
+      .select(col("na"), col("nb"), col("pos"),
+        (col("sa") * col("nb") - col("sb") * col("na"))
+          .cast("decimal(19,0)").as("diff"))
+      .agg(coalesce(max(col("na")), lit(0L)).as("n_a"),
+        coalesce(max(col("nb")), lit(0L)).as("n_b"),
+        count(lit(1)).as("dims"),
+        coalesce(sum(col("diff") * col("diff")),
+          lit(0L).cast("decimal(38,0)")).as("num"))
+      .select(col("n_a"), col("n_b"), col("dims"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          graft.pipeline.ParityMath.q6(expr(
+            """CAST(num AS DOUBLE)
+              |/ (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+              |   * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+              |/ 1000000000000.0""".stripMargin))).as("mmd2"))
+  }
+
+  val embMmdSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id % 2 AS grp, u.i - 1 AS pos,
+       |    CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000.0 + 0.5)
+       |      AS BIGINT) AS v_mu
+       |  FROM embeddings,
+       |       unnest(range(1, len(embedding) + 1)) u(i)
+       |), ds AS (
+       |  SELECT grp, pos, CAST(sum(v_mu) AS BIGINT) AS s,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM e GROUP BY 1, 2
+       |), j AS (
+       |  SELECT a.n AS na, b.n AS nb, a.pos,
+       |    CAST(a.s * b.n - b.s * a.n AS HUGEINT) AS diff
+       |  FROM ds a JOIN ds b ON a.pos = b.pos
+       |  WHERE a.grp = 0 AND b.grp <> 0
+       |), t AS (
+       |  SELECT CAST(coalesce(max(na), 0) AS BIGINT) AS n_a,
+       |    CAST(coalesce(max(nb), 0) AS BIGINT) AS n_b,
+       |    CAST(count(*) AS BIGINT) AS dims,
+       |    coalesce(sum(diff * diff), 0) AS num
+       |  FROM j
+       |)
+       |SELECT n_a, n_b, dims,
+       |  CASE WHEN n_a > 0 AND n_b > 0 THEN ${ParityMath.q6Sql(
+            """CAST(num AS DOUBLE)
+              |/ (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+              |   * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+              |/ 1000000000000.0""".stripMargin)}
+       |  END AS mmd2
+       |FROM t""".stripMargin
+
   // ---- pipe_embed_prune ----------------------------------------------
 
   /** Fraction of the corpus pruned as embedding outliers: the bottom

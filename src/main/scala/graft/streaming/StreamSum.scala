@@ -1171,6 +1171,31 @@ object StreamSum {
     pairs.iterator
   }
 
+  /** Streaming embedding-drift monitor, sharing `emb_mmd`'s oracle:
+    * the streamed state is the per-(cohort, dimension) micro-unit
+    * component SUM + count — one Complete-mode aggregation bounded at
+    * 2×dims rows, the smallest state any exact mean-embedding
+    * statistic can carry — with the squared-distance fold a
+    * query-time view through the shared `mmdFromDimSums` (every
+    * arriving vector moves its cohort's mean on every axis).
+    */
+  def streamEmbMmd(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val schema = spark.read.parquet(s"$sfDir/embeddings.parquet").schema
+    val ds = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(sfDir)
+      .select(pmod(col("vec_id"), lit(2)).as("grp"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("grp"), col("pos").cast(LongType).as("pos"),
+        expr("CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) " +
+          "AS BIGINT)").as("v_mu"))
+      .groupBy(col("grp"), col("pos"))
+      .agg(sum(col("v_mu")).as("s"), count(lit(1)).as("n"))
+    graft.pipeline.Similarity.mmdFromDimSums(
+      runToTable(ds, OutputMode.Complete(), "ss_stream_emb_mmd"))
+  }
+
   def streamAnnCandidates(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
     import spark.implicits._

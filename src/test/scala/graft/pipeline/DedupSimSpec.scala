@@ -165,6 +165,25 @@ class DedupSimSpec extends SparkSpec {
       "scorecard must count the production face's own pairs")
   }
 
+  test("emb mmd: planted orthogonal drift scores exactly ||u1-u2||^2, " +
+       "identical cohorts score 0, a missing cohort has no verdict") {
+    val s = spark; import s.implicits._
+    def mmd(ds: Seq[(Long, Long, Long, Long)]): org.apache.spark.sql.Row =
+      Similarity.mmdFromDimSums(ds.toDF("grp", "pos", "s", "n"))
+        .collect().head
+    // A = two copies of (1, 0), B = two copies of (0, 1):
+    // mmd2 = ||(1,0) - (0,1)||^2 = 2 exactly
+    val drift = mmd(Seq((0L, 0L, 2000000L, 2L), (0L, 1L, 0L, 2L),
+      (1L, 0L, 0L, 2L), (1L, 1L, 2000000L, 2L)))
+    assert(drift.getLong(0) == 2L && drift.getLong(2) == 2L, s"$drift")
+    assert(drift.getDouble(3) == 2.0, s"planted drift: $drift")
+    val same = mmd(Seq((0L, 0L, 700000L, 3L), (1L, 0L, 700000L, 3L)))
+    assert(same.getDouble(3) == 0.0, s"identical cohorts: $same")
+    val lone = mmd(Seq((0L, 0L, 5L, 1L)))
+    assert(lone.getLong(0) == 0L && lone.isNullAt(3),
+      s"missing cohort: $lone")
+  }
+
   test("simhash chunk knob: k=4 reproduces the r13 recall floor, " +
        "junk throws, default keeps the guarantee") {
     val s = spark; import s.implicits._
