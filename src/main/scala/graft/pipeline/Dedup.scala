@@ -1461,12 +1461,46 @@ object Dedup {
     simhashPairsFrom(SignatureStore.shingles(spark, sfDir)
       .select(col("doc_id"), expr("graft_simhash48(hst)").as("sim")))
 
-  /** The chunk-blocked Hamming pair join over any (doc_id, sim)
-    * signature relation — shared by the batch face and the
-    * incremental store (whose per-batch signature facts union to
-    * exactly this relation: a doc signs once, ever).
+  /** Physical blocking scheme, `graft.dedup.simhashScheme` (a pure
+    * PLAN choice — both schemes emit the identical pair relation,
+    * both with the full d ≤ 6 pigeonhole guarantee, so the oracle is
+    * one semantic spec for either):
+    *
+    *  - `flip1` (DEFAULT): 4×12-bit chunks with SINGLE-FLIP
+    *    enumeration on the probe side — d ≤ 6 errors over 4 chunks
+    *    leave some chunk with ≤ ⌊6/4⌋ = 1 error, so the index side's
+    *    exact chunk value is inside the probe's 13-value enumeration
+    *    (value + 12 one-bit flips). Candidate volume ∝ 4·13·n²/2¹²
+    *    ≈ n²/79 — ~4.3× below chunk7's 7·n²/2⁷ ≈ n²/18 (the r14 sf3
+    *    probe measured the chunk7 default at 9.3× wall on 10× docs;
+    *    this is the measured answer, the multi-index one-deletion
+    *    idea of Manku et al.'s simhash dedup applied at the bit
+    *    level).
+    *  - `chunk7`: the plain 7-chunk pigeonhole (6×7+1×6 bits), with
+    *    `graft.dedup.simhashChunks` still trading recall floor for
+    *    volume below 7.
     */
-  private[graft] def simhashPairsFrom(simDocs: DataFrame): DataFrame = {
+  def simhashSchemeOf(spark: SparkSession): String =
+    spark.conf.getOption("graft.dedup.simhashScheme") match {
+      case None => "flip1"
+      case Some(s @ ("flip1" | "chunk7")) => s
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft.dedup.simhashScheme must be 'flip1' or 'chunk7', " +
+          s"got '$other'")
+    }
+
+  /** The blocked Hamming pair join over any (doc_id, sim) signature
+    * relation — shared by the batch face and the incremental store
+    * (whose per-batch signature facts union to exactly this relation:
+    * a doc signs once, ever).
+    */
+  private[graft] def simhashPairsFrom(simDocs: DataFrame): DataFrame =
+    simhashSchemeOf(simDocs.sparkSession) match {
+      case "chunk7" => simhashChunkPairsFrom(simDocs)
+      case _ => simhashFlipPairsFrom(simDocs)
+    }
+
+  private[graft] def simhashChunkPairsFrom(simDocs: DataFrame): DataFrame = {
     val spec = simhashChunkSpecFor(simhashChunksOf(simDocs.sparkSession))
     val chunks = simDocs.select(col("doc_id"), col("sim"),
       explode(expr(
@@ -1481,6 +1515,37 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         expr("graft_hamming(x.sim, y.sim)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= hammingThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private[graft] def simhashFlipPairsFrom(simDocs: DataFrame): DataFrame = {
+    val spec = simhashChunkSpecFor(4) // 4×12 bits
+    val indexExprs = spec.zipWithIndex.map { case ((sh, m), c) =>
+      s"named_struct('c', $c, 'v', shiftright(sim, $sh) & $m)"
+    }
+    val probeExprs = spec.zipWithIndex.flatMap { case ((sh, m), c) =>
+      val base = s"(shiftright(sim, $sh) & $m)"
+      s"named_struct('c', $c, 'v', $base)" +:
+        (0 until 12).map(b =>
+          s"named_struct('c', $c, 'v', $base ^ ${1 << b})")
+    }
+    val docs = simDocs.localCheckpoint()
+    val probes = docs.select(col("doc_id").as("p_id"),
+        col("sim").as("p_sim"),
+        explode(expr(probeExprs.mkString("array(", ", ", ")"))).as("ch"))
+      .select(col("p_id"), col("p_sim"), col("ch.c").as("c"),
+        col("ch.v").as("v"))
+    val index = docs.select(col("doc_id").as("i_id"),
+        col("sim").as("i_sim"),
+        explode(expr(indexExprs.mkString("array(", ", ", ")"))).as("ch"))
+      .select(col("i_id"), col("i_sim"), col("ch.c").as("c"),
+        col("ch.v").as("v"))
+    probes.join(index, Seq("c", "v"))
+      .filter(col("p_id") < col("i_id"))
+      .select(col("p_id").as("doc_a"), col("i_id").as("doc_b"),
+        expr("graft_hamming(p_sim, i_sim)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= hammingThreshold)
       .orderBy(col("doc_a"), col("doc_b"))

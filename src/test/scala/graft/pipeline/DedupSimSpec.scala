@@ -184,20 +184,35 @@ class DedupSimSpec extends SparkSpec {
       s"missing cohort: $lone")
   }
 
-  test("simhash chunk knob: k=4 reproduces the r13 recall floor, " +
-       "junk throws, default keeps the guarantee") {
+  test("simhash scheme/chunk knobs: flip1 and chunk7 emit the SAME " +
+       "pairs, chunk7 at k=4 reproduces the r13 recall floor, junk " +
+       "throws, the default keeps the guarantee") {
     val s = spark; import s.implicits._
     val sims = Seq(
       (1L, 0L),
       (4L, (1L << 0) | (1L << 12) | (1L << 24) | (1L << 36)))
       .toDF("doc_id", "sim")
     try {
+      // the two schemes are one semantic spec: identical output on
+      // the gate corpus (plan choice, not a semantics choice)
+      val flip = Dedup.simhashFlipPairsFrom(
+        SignatureStore.shingles(spark, sfDir)
+          .select(col("doc_id"),
+            org.apache.spark.sql.functions.expr("graft_simhash48(hst)")
+              .as("sim"))).collect().map(_.toString).toSeq
+      val chunk = Dedup.simhashChunkPairsFrom(
+        SignatureStore.shingles(spark, sfDir)
+          .select(col("doc_id"),
+            org.apache.spark.sql.functions.expr("graft_simhash48(hst)")
+              .as("sim"))).collect().map(_.toString).toSeq
+      assert(flip == chunk, "schemes must agree row for row")
+      spark.conf.set("graft.dedup.simhashScheme", "chunk7")
       spark.conf.set("graft.dedup.simhashChunks", "4")
       val got4 = Dedup.simhashPairsFrom(sims).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(!got4.contains((1L, 4L)),
-        "at k=4 the one-flip-per-12-bit-chunk pattern must be missed " +
-          "again - the documented price of the smaller bucket volume")
+        "at chunk7/k=4 the one-flip-per-12-bit-chunk pattern must be " +
+          "missed again - the documented price of the smaller volume")
       spark.conf.set("graft.dedup.simhashChunks", "junk")
       intercept[IllegalArgumentException] {
         Dedup.simhashPairsFrom(sims).collect()
@@ -206,10 +221,19 @@ class DedupSimSpec extends SparkSpec {
       intercept[IllegalArgumentException] {
         Dedup.simhashPairsFrom(sims).collect()
       }
-    } finally spark.conf.unset("graft.dedup.simhashChunks")
+      spark.conf.unset("graft.dedup.simhashChunks")
+      spark.conf.set("graft.dedup.simhashScheme", "junk")
+      intercept[IllegalArgumentException] {
+        Dedup.simhashPairsFrom(sims).collect()
+      }
+    } finally {
+      spark.conf.unset("graft.dedup.simhashChunks")
+      spark.conf.unset("graft.dedup.simhashScheme")
+    }
     val got = Dedup.simhashPairsFrom(sims).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got.contains((1L, 4L)), "default k=7 finds it")
+    assert(got.contains((1L, 4L)),
+      "the default flip1 enumeration finds the planted d=4 pattern")
   }
 
   test("cluster stats: histogram re-aggregates the clusters relation " +
