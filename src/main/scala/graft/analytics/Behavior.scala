@@ -1210,6 +1210,143 @@ object Behavior {
         .agg(count(lit(1)).as("c")))
   }
 
+  // ---- q_kruskal: k-group rank test ------------------------------------
+
+  /** KRUSKAL–WALLIS H between the EVENT TYPES over value — the
+    * k-group extension of q_mannwhitney (MW asks "did the A/B split
+    * move the distribution?", this asks "do the event types draw
+    * value from one distribution at all?" — the screen run before
+    * pairwise tests): pooled tie-averaged ranks (the DOUBLED-rank
+    * integers, 2·lo + c + 1 per value group, from ONE
+    * `GlobalRank.withPrefixSum` pass), per-type doubled rank sums
+    * 2R_g exact BIGINTs, tie term T = Σ(c³−c), and
+    * H = [12/(n(n+1))·Σ_g R_g²/n_g − 3(n+1)] / (1 − T/(n³−n)). The
+    * per-type R_g²/n_g terms are doubles, so the cross-type total
+    * folds in event_type order (the q_psi_drift sorted-fold
+    * discipline — a plain sum would be partition-order-dependent);
+    * everything upstream is exact integers. NULL H when n < 2,
+    * k < 2, or every observation ties (the correction denominator
+    * hits 0). Headroom: 2R_g ≤ 2n² needs n ≲ 2·10⁹ for BIGINT (the
+    * MW bound's shape, loud not silent).
+    *
+    * 100 TB shape: one map-combinable (type, value) count — the
+    * ADDITIVE storable fact of the stream/store faces — one
+    * values-sized prefix pass, one types-sized fold.
+    */
+  def qKruskal(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    kruskalFromCounts(
+      Graft.table(spark, sfDir, "events")
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .select(col("event_type").as("et"),
+          expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)")
+            .as("v_mu"))
+        .groupBy(col("et"), col("v_mu"))
+        .agg(count(lit(1)).as("c")))
+  }
+
+  /** The test over any (et, v_mu, c) value-count relation — shared by
+    * all three faces.
+    */
+  private[graft] def kruskalFromCounts(vc0: DataFrame): DataFrame = {
+    val vc = vc0.groupBy(col("et"), col("v_mu"))
+      .agg(sum(col("c")).as("c")).localCheckpoint()
+    val pooled = vc.groupBy(col("v_mu")).agg(sum(col("c")).as("c"))
+    val (pf, nTot) = graft.core.GlobalRank.withPrefixSum(
+      pooled, Seq(col("v_mu").asc), "c", "lo")
+    val r2 = pf.select(col("v_mu"),
+      (lit(2L) * col("lo") + col("c") + 1L).as("r2"),
+      (col("c") * col("c") * col("c") - col("c")).as("tv"))
+    val perType = vc.join(r2, "v_mu")
+      .groupBy(col("et"))
+      .agg(sum(col("c")).as("n_g"),
+        sum(col("c") * col("r2")).as("two_r"))
+      .localCheckpoint()
+    val ties = r2.agg(coalesce(sum(col("tv")), lit(0L)).as("t_ties"))
+    val totals = perType.agg(count(lit(1)).as("k_groups"))
+    val terms = perType
+      .select(col("et"),
+        expr("""(CAST(two_r AS DOUBLE) / 2.0)
+               |* (CAST(two_r AS DOUBLE) / 2.0)
+               |/ CAST(n_g AS DOUBLE)""".stripMargin).as("term"))
+      .agg(expr(
+        """aggregate(array_sort(collect_list(struct(et, term))),
+          |  CAST(0 AS DOUBLE), (acc, x) -> acc + x.term)""".stripMargin)
+        .as("s_terms"))
+    val hExpr =
+      s"""(12.0 / (CAST(n_tot AS DOUBLE) * (CAST(n_tot AS DOUBLE) + 1.0))
+         |  * s_terms - 3.0 * (CAST(n_tot AS DOUBLE) + 1.0))
+         |/ (1.0 - CAST(t_ties AS DOUBLE)
+         |   / (CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE)
+         |      * CAST(n_tot AS DOUBLE) - CAST(n_tot AS DOUBLE)))"""
+        .stripMargin
+    perType.crossJoin(broadcast(
+        terms.crossJoin(ties).crossJoin(totals)
+          .select(col("s_terms"), col("t_ties"), col("k_groups"),
+            lit(nTot).as("n_tot"))))
+      .select(col("et").as("event_type"), col("n_g"), col("two_r"),
+        col("k_groups"), col("t_ties"),
+        when(col("n_tot") > 1 && col("k_groups") > 1 &&
+          expr("""CAST(t_ties AS DOUBLE)
+                 |< CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE)
+                 |  * CAST(n_tot AS DOUBLE) - CAST(n_tot AS DOUBLE)"""
+            .stripMargin),
+          graft.pipeline.ParityMath.q6(expr(hExpr))).as("h"))
+      .orderBy(col("event_type"))
+  }
+
+  val qKruskalSql: String =
+    s"""WITH obs AS (
+       |  SELECT event_type AS et,
+       |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_mu
+       |  FROM events
+       |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+       |), vc AS MATERIALIZED (
+       |  SELECT et, v_mu, CAST(count(*) AS BIGINT) AS c
+       |  FROM obs GROUP BY 1, 2
+       |), pooled AS (
+       |  SELECT v_mu, CAST(sum(c) AS BIGINT) AS c FROM vc GROUP BY 1
+       |), r2 AS MATERIALIZED (
+       |  SELECT v_mu,
+       |    CAST(2 * coalesce(sum(c) OVER (ORDER BY v_mu
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      + c + 1 AS BIGINT) AS r2,
+       |    CAST(c * c * c - c AS BIGINT) AS tv
+       |  FROM pooled
+       |), pt AS MATERIALIZED (
+       |  SELECT vc.et, CAST(sum(vc.c) AS BIGINT) AS n_g,
+       |    CAST(sum(vc.c * r2.r2) AS BIGINT) AS two_r
+       |  FROM vc JOIN r2 USING (v_mu) GROUP BY 1
+       |), tt AS (
+       |  SELECT CAST(coalesce(sum(tv), 0) AS BIGINT) AS t_ties,
+       |    CAST(coalesce(sum(c), 0) AS BIGINT) AS n_tot
+       |  FROM pooled CROSS JOIN r2 r WHERE r.v_mu = pooled.v_mu
+       |), tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS k_groups,
+       |    (SELECT list_sum(list(
+       |       (CAST(two_r AS DOUBLE) / 2.0)
+       |       * (CAST(two_r AS DOUBLE) / 2.0)
+       |       / CAST(n_g AS DOUBLE) ORDER BY et)) FROM pt) AS s_terms
+       |  FROM pt
+       |)
+       |SELECT pt.et AS event_type, pt.n_g, pt.two_r,
+       |  tot.k_groups, tt.t_ties,
+       |  CASE WHEN tt.n_tot > 1 AND tot.k_groups > 1 AND
+       |    CAST(tt.t_ties AS DOUBLE)
+       |    < CAST(tt.n_tot AS DOUBLE) * CAST(tt.n_tot AS DOUBLE)
+       |      * CAST(tt.n_tot AS DOUBLE) - CAST(tt.n_tot AS DOUBLE)
+       |  THEN ${graft.pipeline.ParityMath.q6Sql(
+            """(12.0 / (CAST(tt.n_tot AS DOUBLE)
+              |         * (CAST(tt.n_tot AS DOUBLE) + 1.0))
+              |  * tot.s_terms - 3.0 * (CAST(tt.n_tot AS DOUBLE) + 1.0))
+              |/ (1.0 - CAST(tt.t_ties AS DOUBLE)
+              |   / (CAST(tt.n_tot AS DOUBLE) * CAST(tt.n_tot AS DOUBLE)
+              |      * CAST(tt.n_tot AS DOUBLE)
+              |      - CAST(tt.n_tot AS DOUBLE)))""".stripMargin)}
+       |  END AS h
+       |FROM pt CROSS JOIN tt CROSS JOIN tot
+       |ORDER BY event_type""".stripMargin
+
   // ---- q_ks_test: two-sample Kolmogorov–Smirnov -----------------------
 
   /** TWO-SAMPLE KOLMOGOROV–SMIRNOV between the user cohorts over

@@ -977,6 +977,58 @@ object SignatureStore {
         .groupBy(col("x"), col("y")).agg(sum(col("k")).as("k")))
   }
 
+  // ---- kruskal store ---------------------------------------------------
+
+  /** Incremental Kruskal–Wallis store: per-batch (type, value) count
+    * PARTIALS — ADDITIVE under any batch split — with pooled ranks,
+    * the tie term and H a query-time VIEW through the shared
+    * `kruskalFromCounts`.
+    */
+  def catchUpKruskal(spark: SparkSession, watchDir: String,
+                     storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val ev = spark.readStream.schema(schema).parquet(watchDir)
+    val q = ev.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch
+          .filter(col("event_type").isNotNull && col("value").isNotNull)
+          .select(col("event_type").as("et"),
+            expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)")
+              .as("v_mu"))
+          .groupBy(col("et"), col("v_mu"))
+          .agg(count(lit(1)).as("c"))
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/type_value_counts/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Driver-gate face: parity-split appends, query-time test; shares
+    * `q_kruskal`'s oracle.
+    */
+  def gatedKruskal(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_kw_watch")
+    val store = tempDirForExit("graft_gate_kw_store")
+    val ev = Graft.table(spark, sfDir, "events")
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpKruskal(spark, watch, store)
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpKruskal(spark, watch, store)
+    graft.analytics.Behavior.kruskalFromCounts(
+      storedOrEmpty(spark, s"$store/type_value_counts",
+        emptyLike(spark, spark.range(0).selectExpr(
+          "CAST(id AS STRING) AS et", "id AS v_mu", "id AS c")))
+        .groupBy(col("et"), col("v_mu"))
+        .agg(sum(col("c")).as("c")))
+  }
+
   // ---- mann-whitney store --------------------------------------------
 
   /** Incremental Mann–Whitney store: per-batch (cohort, value)

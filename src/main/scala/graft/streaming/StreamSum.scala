@@ -348,6 +348,25 @@ object StreamSum {
     graft.analytics.Tpch.lorenzFromCounts(snap)
   }
 
+  /** Streaming Kruskal–Wallis, sharing `q_kruskal`'s oracle: the
+    * streamed state is the per-(type, value) COUNT — one Complete-mode
+    * aggregation — while the pooled ranks, the tie term and H are all
+    * whole-corpus facts recomputed at query time through the shared
+    * `kruskalFromCounts`.
+    */
+  def streamKruskal(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val vc = streamingEvents(spark, sfDir)
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_type").as("et"),
+        expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)")
+          .as("v_mu"))
+      .groupBy(col("et"), col("v_mu"))
+      .agg(count(lit(1)).as("c"))
+    graft.analytics.Behavior.kruskalFromCounts(
+      runToTable(vc, OutputMode.Complete(), "ss_stream_kruskal"))
+  }
+
   /** Streaming Mann–Whitney, sharing `q_mannwhitney`'s oracle: the
     * streamed state is the per-(cohort, value) COUNT — one
     * Complete-mode aggregation (the trimmed-mean face's posture on

@@ -299,6 +299,28 @@ class BehaviorSpec extends SparkSpec {
     assert(flat.isNullAt(1), s"constant axis must be NULL: $flat")
   }
 
+  test("kruskal-wallis: hand-computed H on three separated groups; " +
+       "all-tied and single-group corpora yield no verdict") {
+    val s = spark; import s.implicits._
+    def kw(pc: Seq[(String, Long, Long)]): Array[org.apache.spark.sql.Row] =
+      Behavior.kruskalFromCounts(pc.toDF("et", "v_mu", "c")).collect()
+    // A={1,2}, B={3,4}, C={5,6}: rank sums 3/7/11, no ties ->
+    // H = 12/(6*7) * (9/2 + 49/2 + 121/2) - 3*7 = 32/7
+    val r = kw(Seq(("a", 1L, 1L), ("a", 2L, 1L), ("b", 3L, 1L),
+      ("b", 4L, 1L), ("c", 5L, 1L), ("c", 6L, 1L)))
+    assert(r.length == 3 && r.forall(_.getLong(3) == 3L))
+    assert(r.map(x => x.getString(0) -> x.getLong(2)).toSeq ==
+      Seq("a" -> 6L, "b" -> 14L, "c" -> 22L), r.mkString(";"))
+    val expH = math.floor(32.0 / 7.0 * 1e6 + 0.5) / 1e6
+    assert(r.forall(_.getDouble(5) == expH), s"H: ${r.head}")
+    // every observation identical -> tie correction denominator 0
+    val flat = kw(Seq(("a", 5L, 2L), ("b", 5L, 3L)))
+    assert(flat.forall(_.isNullAt(5)), flat.mkString(";"))
+    // one group -> nothing to compare
+    val one = kw(Seq(("a", 1L, 1L), ("a", 2L, 1L)))
+    assert(one.forall(_.isNullAt(5)), one.mkString(";"))
+  }
+
   test("ks test: exact sup gap with argmax ties to the smallest value; " +
        "disjoint supports score D = 1; an empty cohort has no verdict") {
     val s = spark; import s.implicits._
