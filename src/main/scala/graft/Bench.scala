@@ -55,7 +55,7 @@ object Bench {
     "q_histogram", "q_gini", "q_lorenz", "q_mannkendall", "q_mad", "q_trimmed_mean", "q_theilsen",
     "q_rfm",
     "q_skyline", "q_grouping_sets", "q_seq_pattern",
-    "q_triangles", "q_kcore", "q_linkpred", "q_lpa", "q_xcorr",
+    "q_triangles", "q_kcore", "q_ktruss", "q_linkpred", "q_lpa", "q_xcorr",
     "q_session_overlap",
     "q_concomp", "q_bfs_hops", "q_degree_dist", "q_assortativity",
     "q_dtw", "q_burstiness", "q_benford", "q_survival",
@@ -123,7 +123,7 @@ object Bench {
     "q_paths", "q_seasonality", "q_stl", "q_changepoint", "q_cusum", "q_psi_drift",
     "q_seq_pattern", "q_gini", "q_lorenz", "q_mannkendall", "q_mad", "q_trimmed_mean", "q_theilsen",
     "q_sax", "q_sax_word",
-    "q_triangles", "q_kcore",
+    "q_triangles", "q_kcore", "q_ktruss",
     "q_linkpred", "q_lpa", "q_xcorr",
     "q_concomp", "q_bfs_hops", "q_degree_dist", "q_assortativity",
     "q_dtw", "q_burstiness", "q_benford", "q_survival",

@@ -904,6 +904,146 @@ object Graph {
        |ORDER BY node_id""".stripMargin
   }
 
+  // ---- q_ktruss: triangle-support edge peel ----------------------------
+
+  /** Truss order and the peel-round budget (loud past it, the kcore
+    * contract).
+    */
+  val trussK = 4
+  val trussMaxRounds = 16
+
+  /** K-TRUSS of the lift-filtered co-visitation projection — the edge
+    * member completing the cohesion ladder (25q4 counts triangles,
+    * 25q6 peels NODES by degree; this peels EDGES by triangle
+    * support, the strictly stronger community backbone: every edge of
+    * a k-truss sits in ≥ k−2 triangles that themselves survive, so a
+    * chain or a star that k-core keeps is stripped). Each round
+    * enumerates triangles over the surviving canonical (o1 < o2)
+    * edges (one a-keyed wedge join + one closing hash join — the
+    * O(|E|^1.5) class q_triangles pays once, paid per peel round),
+    * folds per-edge support, and drops edges below `trussK` − 2;
+    * an unchanged edge count is the fixpoint (peeling only removes).
+    * Output: the surviving edges with their FIXPOINT support.
+    *
+    * 100 TB shape: rounds of map-combinable joins on the TINY lifted
+    * projection (the graph family's shared posture), localCheckpoint
+    * between rounds; the oracle unrolls the same rounds as
+    * MATERIALIZED CTEs — extra rounds past the fixpoint are no-ops,
+    * so the fixed unroll and the early-exit loop agree exactly.
+    */
+  def qKtruss(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    trussFrom(Transform.extract(spark, sfDir))
+  }
+
+  private[graft] def trussFrom(tuples: DataFrame): DataFrame = {
+    val act = capActive(tuples).localCheckpoint()
+    val nu = act.agg(count(lit(1)).as("n"))
+    val od = act.select(explode(col("os")).as("o"))
+      .groupBy(col("o")).agg(count(lit(1)).as("c"))
+    trussFromEdges(liftEdges(
+      pairCounts(act).filter(col("cnt") >= cooccurMinCnt), od, nu))
+  }
+
+  /** One round's per-edge triangle support over a canonical
+    * (o1 < o2) edge relation.
+    */
+  private def trussSupport(e: DataFrame): DataFrame =
+    e.select(col("o1").as("a"), col("o2").as("b"))
+      .join(e.select(col("o1").as("a"), col("o2").as("c")), "a")
+      .filter(col("b") < col("c"))
+      .join(e.select(col("o1").as("b"), col("o2").as("c")),
+        Seq("b", "c"))
+      .select(explode(array(
+        struct(col("a").as("o1"), col("b").as("o2")),
+        struct(col("a").as("o1"), col("c").as("o2")),
+        struct(col("b").as("o1"), col("c").as("o2")))).as("ed"))
+      .select(col("ed.o1").as("o1"), col("ed.o2").as("o2"))
+      .groupBy(col("o1"), col("o2"))
+      .agg(count(lit(1)).as("support"))
+
+  /** The fixpoint edge peel over any (o1 < o2) edge relation — shared
+    * by the batch face and the stream/store faces' snapshot views.
+    */
+  private[graft] def trussFromEdges(edges: DataFrame): DataFrame = {
+    val minSup = trussK - 2
+    var e = edges.localCheckpoint()
+    var edgeCount = e.count()
+    var stable = edgeCount == 0L
+    var round = 0
+    while (!stable && round < trussMaxRounds) {
+      val sup = trussSupport(e)
+      val next = e.join(sup, Seq("o1", "o2"), "left")
+        .filter(coalesce(col("support"), lit(0L)) >= minSup)
+        .select(col("o1"), col("o2"))
+        .localCheckpoint()
+      val m = next.count()
+      stable = m == edgeCount || m == 0L
+      e = next; edgeCount = m; round += 1
+    }
+    require(stable,
+      s"k-truss peel exceeded the $trussMaxRounds-round budget " +
+        s"($edgeCount edges still unstable) - raise trussMaxRounds " +
+        "and the oracle's unroll together")
+    e.join(trussSupport(e), Seq("o1", "o2"))
+      .select(col("o1"), col("o2"), col("support"))
+      .orderBy(col("o1"), col("o2"))
+  }
+
+  val qKtrussSql: String = {
+    val minSup = trussK - 2
+    def supCte(i: Int, src: String) =
+      s"""t$i AS (
+         |  SELECT ed.o1, ed.o2, CAST(count(*) AS BIGINT) AS support
+         |  FROM (
+         |    SELECT unnest([
+         |        {'o1': ab.a, 'o2': ab.b},
+         |        {'o1': ab.a, 'o2': cc.c},
+         |        {'o1': ab.b, 'o2': cc.c}]) AS ed
+         |    FROM (SELECT o1 AS a, o2 AS b FROM $src) ab
+         |    JOIN (SELECT o1 AS a, o2 AS c FROM $src) cc USING (a)
+         |    JOIN (SELECT o1 AS b, o2 AS c FROM $src) bc
+         |      ON bc.b = ab.b AND bc.c = cc.c
+         |    WHERE ab.b < cc.c
+         |  ) GROUP BY 1, 2
+         |)""".stripMargin
+    val peels = (1 to trussMaxRounds).map { i =>
+      s"""${supCte(i, s"e${i - 1}")},
+         |e$i AS MATERIALIZED (
+         |  SELECT e.o1, e.o2 FROM e${i - 1} e
+         |  LEFT JOIN t$i USING (o1, o2)
+         |  WHERE coalesce(t$i.support, 0) >= $minSup
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ${graft.oracle.Sql.tuplesCte},
+       |so AS (SELECT DISTINCT s, o FROM tuples),
+       |deg0 AS (SELECT s, count(*) AS d FROM so GROUP BY 1),
+       |el AS (
+       |  SELECT so.s, so.o FROM so JOIN deg0 USING (s)
+       |  WHERE deg0.d BETWEEN 2 AND $cooccurMaxDeg
+       |),
+       |nu AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS n FROM el),
+       |od AS (SELECT o, CAST(count(*) AS BIGINT) AS c FROM el GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.o AS o1, b.o AS o2, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM el a JOIN el b ON a.s = b.s AND a.o < b.o
+       |  GROUP BY 1, 2 HAVING count(*) >= $cooccurMinCnt
+       |),
+       |e0 AS MATERIALIZED (
+       |  SELECT p.o1, p.o2
+       |  FROM pairs p
+       |  JOIN od d1 ON p.o1 = d1.o JOIN od d2 ON p.o2 = d2.o
+       |  CROSS JOIN nu
+       |  WHERE $triLiftDen * p.cnt * nu.n > $triLiftNum * d1.c * d2.c
+       |),
+       |$peels,
+       |${supCte(trussMaxRounds + 1, s"e$trussMaxRounds")}
+       |SELECT e.o1, e.o2, t${trussMaxRounds + 1}.support
+       |FROM e$trussMaxRounds e
+       |JOIN t${trussMaxRounds + 1} USING (o1, o2)
+       |ORDER BY o1, o2""".stripMargin
+  }
+
   val qTrianglesSql: String =
     s"""WITH ${graft.oracle.Sql.tuplesCte},
        |so AS (SELECT DISTINCT s, o FROM tuples),

@@ -2384,6 +2384,14 @@ object SignatureStore {
     graft.analytics.Graph.kcoreFrom(
       storedSo(spark, cohesionStore(spark, sfDir, "kcore")))
 
+  /** K-truss view over the same union-distinct pair store (edge
+    * supports are whole-projection fixpoints); shares `q_ktruss`'s
+    * oracle.
+    */
+  def gatedKtruss(spark: SparkSession, sfDir: String): DataFrame =
+    graft.analytics.Graph.trussFrom(
+      storedSo(spark, cohesionStore(spark, sfDir, "truss")))
+
   /** Component view over the same union-distinct pair store: the
     * labeling is a fixpoint of the WHOLE edge relation (one arriving
     * pair can merge two components), so it runs at query time through

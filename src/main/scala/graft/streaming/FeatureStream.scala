@@ -613,6 +613,16 @@ object FeatureStream {
   def streamKcore(spark: SparkSession, sfDir: String): DataFrame =
     kcoreOfSnapshot(pairSnapshot(spark, sfDir, "ss_stream_kcore"))
 
+  /** Streaming k-truss: edge supports are fixpoints of the WHOLE
+    * lift-filtered projection (one arriving interaction can open or
+    * close triangles anywhere in its endpoints' neighborhoods), so
+    * the peel runs at query time over the same snapshot state as the
+    * triangle and core views.
+    */
+  def streamKtruss(spark: SparkSession, sfDir: String): DataFrame =
+    graft.analytics.Graph.trussFromEdges(liftEdgesOfSnapshot(
+      pairSnapshot(spark, sfDir, "ss_stream_ktruss")))
+
   /** The link-prediction view over any CoPair snapshot: the candidate
     * set and every Adamic-Adar weight are functions of the WHOLE
     * lift-filtered projection (one arriving interaction shifts degrees,

@@ -443,6 +443,27 @@ class GraphSpec extends SparkSpec {
       ("user", 3L, 750000L)), s"harmonic: $got")
   }
 
+  test("ktruss: a 4-clique survives with support 2, pendant chains " +
+       "are stripped round one, and a lone triangle cascades to empty") {
+    val s = spark; import s.implicits._
+    def truss(edges: Seq[(Long, Long)]) =
+      Graph.trussFromEdges(edges.toDF("o1", "o2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // 4-clique + pendant chain: every clique edge sits in exactly 2
+    // clique triangles; the chain has none and is peeled immediately
+    // WITHOUT disturbing the clique supports
+    val clique = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L))
+    val got = truss(clique ++ Seq((4L, 5L), (5L, 6L)))
+    assert(got == clique.map { case (a, b) => (a, b, 2L) },
+      s"ktruss: $got")
+    // a lone triangle: every edge has support 1 < trussK-2 = 2, so
+    // the first peel empties it (4-truss demands denser cohesion
+    // than the triangle itself - the edge-vs-node peel distinction)
+    assert(truss(Seq((7L, 8L), (7L, 9L), (8L, 9L))).isEmpty,
+      "a bare triangle is not a 4-truss")
+  }
+
   test("betweenness: Brandes dependencies hand-computed on the chain; " +
        "endpoints score 0 and an unreached pivot reports nothing") {
     // chain u1-o10-u2-o20-u3 (encoded path 2-21-4-41-6) plus lone
