@@ -1254,9 +1254,17 @@ object Behavior {
     val pooled = vc.groupBy(col("v_mu")).agg(sum(col("c")).as("c"))
     val (pf, nTot) = graft.core.GlobalRank.withPrefixSum(
       pooled, Seq(col("v_mu").asc), "c", "lo")
+    // Loud BIGINT headroom, the mannWhitneyFromCounts discipline:
+    // 2R_g <= ~2n^2 caps n at ~2.1e9 (driver-side), and the tie cube
+    // needs each pooled per-value count <= 2e6 (in-plan loudBound) -
+    // beyond either, silent non-ANSI Long wrap vs the HUGEINT oracle.
+    require(nTot <= 2100000000L,
+      s"kruskal: n=$nTot exceeds the 2.1e9 BIGINT rank-sum bound")
+    val cTie = graft.pipeline.ParityMath.loudBound(
+      col("c"), 2000000L, "kruskal per-value tie count")
     val r2 = pf.select(col("v_mu"),
       (lit(2L) * col("lo") + col("c") + 1L).as("r2"),
-      (col("c") * col("c") * col("c") - col("c")).as("tv"))
+      (cTie * cTie * cTie - cTie).as("tv"))
     val perType = vc.join(r2, "v_mu")
       .groupBy(col("et"))
       .agg(sum(col("c")).as("n_g"),
@@ -1403,10 +1411,16 @@ object Behavior {
         lit(0L)).as("cb"))
     // two prefix passes over the same values-sized sorted relation
     // (never corpus-sized); inclusive ECDF steps = exclusive + own
-    val (p1, _) = graft.core.GlobalRank.withPrefixSum(
+    val (p1, nA) = graft.core.GlobalRank.withPrefixSum(
       vc, Seq(col("v_mu").asc), "ca", "cum_a0")
-    val (p2, _) = graft.core.GlobalRank.withPrefixSum(
+    val (p2, nB) = graft.core.GlobalRank.withPrefixSum(
       p1, Seq(col("v_mu").asc), "cb", "cum_b0")
+    // Loud BIGINT headroom: the cross products cum_a*n_b / cum_b*n_a
+    // reach n_a*n_b, which must fit int64 - beyond that, non-ANSI
+    // Long wrap vs the HUGEINT oracle. The prefix totals are already
+    // in hand driver-side; fail loudly (the qBetweenness discipline).
+    require(BigInt(nA) * BigInt(nB) <= BigInt(Long.MaxValue),
+      s"ksTest: n_a=$nA * n_b=$nB exceeds the BIGINT ECDF-step bound")
     val cum = p2.select(col("v_mu"),
         (col("cum_a0") + col("ca")).as("cum_a"),
         (col("cum_b0") + col("cb")).as("cum_b"))
@@ -1508,12 +1522,23 @@ object Behavior {
         lit(0L)).as("c_a"))
     val (ranked, nTot) = graft.core.GlobalRank.withPrefixSum(
       vc, Seq(col("v_mu").asc), "c", "lo")
+    // Loud BIGINT headroom (the bounds the Scaladoc claims): 2R_A <=
+    // ~2n^2 needs n <~ 2.1e9 (driver-side, nTot is already in hand),
+    // and the tie cube c^3 needs the PER-VALUE count <= 2e6 (in-plan
+    // loudBound - the driver never sees per-value counts). Beyond
+    // either, the fold needs the DECIMAL(38,0) scheme; fail loudly
+    // rather than let non-ANSI Long arithmetic wrap while the DuckDB
+    // HUGEINT oracle keeps computing.
+    require(nTot <= 2100000000L,
+      s"mannWhitney: n=$nTot exceeds the 2.1e9 BIGINT rank-sum bound")
+    val cTie = graft.pipeline.ParityMath.loudBound(
+      col("c"), 2000000L, "mannWhitney per-value tie count")
     ranked.agg(
         coalesce(sum(col("c_a")), lit(0L)).as("n_a"),
         coalesce(sum(col("c") - col("c_a")), lit(0L)).as("n_b"),
         coalesce(sum(col("c_a") * (lit(2L) * col("lo") + col("c")
           + 1L)), lit(0L)).as("two_r_a"),
-        coalesce(sum(col("c") * col("c") * col("c") - col("c")),
+        coalesce(sum(cTie * cTie * cTie - cTie),
           lit(0L)).as("t_ties"))
       .select(col("n_a"), col("n_b"),
         (col("two_r_a") - col("n_a") * (col("n_a") + 1L))

@@ -722,16 +722,25 @@ object Tpch {
     val pc = pc0.localCheckpoint()
     def ranks(cn: String): DataFrame = {
       val vc = pc.groupBy(col(cn)).agg(sum(col("k")).as("c"))
-      val (pf, _) = graft.core.GlobalRank.withPrefixSum(
+      val (pf, nTot) = graft.core.GlobalRank.withPrefixSum(
         vc, Seq(col(cn).asc), "c", "lo")
+      // Loud headroom (the qBetweenness require discipline): doubled
+      // ranks reach 2n+1 and the triple products k*rx*ry accumulate
+      // in DECIMAL(38,0), so n*(2n+1)^2 < 1e38 caps n at ~2.9e12 -
+      // comfortably above the 6e11-row 100 TB design point, and the
+      // DECIMAL(14,0) rank casts below hold to n < 5e13. Beyond the
+      // bound, non-ANSI decimal overflow nulls silently while the
+      // DuckDB HUGEINT oracle keeps computing; fail loudly instead.
+      require(nTot <= 2900000000000L,
+        s"spearman: n=$nTot exceeds the 2.9e12 DECIMAL(38,0) bound")
       pf.select(col(cn),
         (lit(2L) * col("lo") + col("c") + 1L).as(s"r2_$cn"))
     }
-    val d12 = "decimal(12,0)"
+    val d14 = "decimal(14,0)"
     pc.join(ranks("x"), "x").join(ranks("y"), "y")
-      .select(col("k").cast(d12).as("k"),
-        col("r2_x").cast(d12).as("rx"), col("r2_y").cast(d12).as("ry"))
-      .agg(coalesce(sum(col("k")), lit(0L).cast(d12)).as("n"),
+      .select(col("k").cast(d14).as("k"),
+        col("r2_x").cast(d14).as("rx"), col("r2_y").cast(d14).as("ry"))
+      .agg(coalesce(sum(col("k")), lit(0L).cast(d14)).as("n"),
         sum(col("k") * col("rx")).as("sx"),
         sum(col("k") * col("ry")).as("sy"),
         sum(col("k") * (col("rx") * col("ry"))).as("sxy"),

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{floor, lit}
+import org.apache.spark.sql.functions.{concat, floor, lit, raise_error, when}
 
 /** Portable 6-decimal quantization. Engine round() implementations
   * disagree on exact ties (Spark rounds the shortest decimal
@@ -42,4 +42,21 @@ object ParityMath {
     */
   def fdivSql(x: String, p: String): String =
     s"((($x) - pmod(($x), $p)) DIV ($p))"
+
+  /** In-plan LOUD integer-headroom guard: passes `c` through unchanged
+    * while |c| ≤ `lim`, raises a job-failing error beyond it. The
+    * distributed complement of the driver-side `require(nTot ≤ …)`
+    * discipline (qBetweenness's maxSig guard) for bounds on PER-ROW
+    * values the driver never sees — e.g. a per-value tie count whose
+    * cube feeds a BIGINT sum. Without this, `spark.sql.ansi.enabled`
+    * being off means Long arithmetic WRAPS silently while the DuckDB
+    * oracle (HUGEINT) keeps computing — the worst failure mode: two
+    * confident, different answers. Codegen'd `when`, zero extra
+    * actions, no effect on any in-bounds plan.
+    */
+  def loudBound(c: Column, lim: Long, what: String): Column =
+    when(c > lit(lim) || c < lit(-lim),
+      raise_error(concat(
+        lit(s"$what exceeds the +/-$lim integer-headroom bound: "),
+        c.cast("string")))).otherwise(c)
 }

@@ -2590,9 +2590,23 @@ object Similarity {
       .select(col("pos"), col("s").as("sa"), col("n").as("na"))
     val b = ds.filter(col("grp") =!= 0)
       .select(col("pos"), col("s").as("sb"), col("n").as("nb"))
+    // Loud BIGINT headroom on the cross products: each of sa*nb and
+    // sb*na must stay within Long.MaxValue/2 so their DIFFERENCE
+    // cannot wrap either - beyond that, non-ANSI Long arithmetic
+    // wraps silently while the HUGEINT oracle keeps computing. The
+    // bound is dynamic (|s| <= lim/n per row), so it is enforced
+    // in-plan (the loudBound discipline), not via a driver require.
+    val halfMax = lit(Long.MaxValue / 2)
+    val prodBad =
+      (col("nb") > 0L && abs(col("sa")) > halfMax / col("nb")) ||
+        (col("na") > 0L && abs(col("sb")) > halfMax / col("na"))
     a.join(b, "pos")
       .select(col("na"), col("nb"), col("pos"),
-        (col("sa") * col("nb") - col("sb") * col("na"))
+        when(prodBad, raise_error(concat(
+          lit("mmd: |component sum| * cohort size exceeds the "),
+          lit("BIGINT half-range bound at dim "),
+          col("pos").cast("string"))))
+          .otherwise(col("sa") * col("nb") - col("sb") * col("na"))
           .cast("decimal(19,0)").as("diff"))
       .agg(coalesce(max(col("na")), lit(0L)).as("n_a"),
         coalesce(max(col("nb")), lit(0L)).as("n_b"),
