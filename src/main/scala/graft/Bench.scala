@@ -146,10 +146,13 @@ object Bench {
     */
   val corpusHeadline: Seq[String] = Seq(
     "dd_minhash_lsh", "dd_edit_verify", "dd_jaccard_prefix", "dd_jaccard_routed",
-    // the 7-chunk pigeonhole blocking's scaling slope at 10x docs —
-    // candidate volume grows ~n^2/2^w per chunk, so the anchor is
-    // where a bucket-volume regression would show first
-    "dd_simhash",
+    // the ROUTED blocking's scaling slope at 10x docs: the router
+    // prices both physical schemes' exact candidate volumes and the
+    // anchor is where it must have switched to flip1's single-flip
+    // enumeration (~n²/79 candidate volume vs chunk7's ~n²/18) — a
+    // route regression (wrong side of the budget) or a bucket-volume
+    // regression would both show here first
+    "dd_simhash", "dd_simhash_route",
     "dd_semantic", "txt_bigram_nll",
     "pipe_quality_gate", "ann_ivf_quant", "ann_ivf_pq", "ann_knn_join",
     "ann_knn_join_h2", "ann_knn_join_mp",

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.core.Graft
 import HashParity._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -1462,42 +1462,176 @@ object Dedup {
       .select(col("doc_id"), expr("graft_simhash48(hst)").as("sim")))
 
   /** Physical blocking scheme, `graft.dedup.simhashScheme` (a pure
-    * PLAN choice — both schemes emit the identical pair relation,
-    * both with the full d ≤ 6 pigeonhole guarantee, so the oracle is
-    * one semantic spec for either):
+    * PLAN choice — all schemes emit the identical pair relation,
+    * all with the full d ≤ 6 pigeonhole guarantee, so the oracle is
+    * one semantic spec for any of them):
     *
-    *  - `flip1` (DEFAULT): 4×12-bit chunks with SINGLE-FLIP
-    *    enumeration on the probe side — d ≤ 6 errors over 4 chunks
-    *    leave some chunk with ≤ ⌊6/4⌋ = 1 error, so the index side's
-    *    exact chunk value is inside the probe's 13-value enumeration
-    *    (value + 12 one-bit flips). Candidate volume ∝ 4·13·n²/2¹²
-    *    ≈ n²/79 — ~4.3× below chunk7's 7·n²/2⁷ ≈ n²/18 (the r14 sf3
-    *    probe measured the chunk7 default at 9.3× wall on 10× docs;
-    *    this is the measured answer, the multi-index one-deletion
-    *    idea of Manku et al.'s simhash dedup applied at the bit
-    *    level).
+    *  - `routed` (DEFAULT): price BOTH physical schemes' exact
+    *    candidate volumes from the bucket-count relations (tiny:
+    *    ≤ 7·2⁷ + 4·2¹² rows regardless of corpus size) and take the
+    *    cheaper plan — `simhashFlipRouteFor` below, the
+    *    `dd_jaccard_routed` precedent. flip1's ~4.3× smaller n²
+    *    term buys nothing until the join volume outgrows its
+    *    52-vs-7-rows-per-doc fixed explode cost (the measured dead
+    *    band and the decisive 10×-anchor flip1 wins are documented
+    *    at `simhashFlipBudgetPerDoc`); the router takes chunk7's
+    *    smaller footprint in the dead band and flip1 once the
+    *    volume gap is real.
+    *  - `flip1`: 4×12-bit chunks with SINGLE-FLIP enumeration on
+    *    the probe side — d ≤ 6 errors over 4 chunks leave some chunk
+    *    with ≤ ⌊6/4⌋ = 1 error, so the index side's exact chunk
+    *    value is inside the probe's 13-value enumeration (value + 12
+    *    one-bit flips). Candidate volume ∝ 4·13·n²/2¹² ≈ n²/79 —
+    *    ~4.3× below chunk7's 7·n²/2⁷ ≈ n²/18 (the multi-index
+    *    one-deletion idea of Manku et al.'s simhash dedup applied at
+    *    the bit level).
     *  - `chunk7`: the plain 7-chunk pigeonhole (6×7+1×6 bits), with
     *    `graft.dedup.simhashChunks` still trading recall floor for
     *    volume below 7.
     */
   def simhashSchemeOf(spark: SparkSession): String =
     spark.conf.getOption("graft.dedup.simhashScheme") match {
-      case None => "flip1"
-      case Some(s @ ("flip1" | "chunk7")) => s
+      case None => "routed"
+      case Some(s @ ("routed" | "flip1" | "chunk7")) => s
       case Some(other) => throw new IllegalArgumentException(
-        s"graft.dedup.simhashScheme must be 'flip1' or 'chunk7', " +
-          s"got '$other'")
+        s"graft.dedup.simhashScheme must be 'routed', 'flip1' or " +
+          s"'chunk7', got '$other'")
     }
+
+  /** The scheme router's budget: the flip1 plan's extra FIXED cost
+    * per document relative to chunk7, denominated in candidate
+    * pairs — flip1 explodes 52 probe + 4 index rows per doc where
+    * chunk7 explodes 7, so its ~4.3× smaller n² join term must repay
+    * that before it wins. Pinned from the r15 `SimhashRouteProbe`
+    * (4 runs, min wall, text + image corpora at sf0.1 and the 10×
+    * anchor): every point with per-doc volume gap
+    * (v_chunk − v_flip)/n ≤ 652 measures the schemes within noise of
+    * each other (sf0.1 text 0.62 vs 0.61 s — the r14 cross-round
+    * "crossover" at sf0.1 does not reproduce under same-session
+    * conditions), and every point with gap ≥ 2357 measures flip1
+    * ahead (10× text 7.8 vs 4.6 s, 10× image 2.48 vs 1.91 s). 1000
+    * sits in the measured dead band: below it the volumes are too
+    * small for the n² term to matter and the router keeps the
+    * 7-rows/doc plan with the smaller shuffle footprint; above it
+    * flip1's volume advantage is real. The predicate is all-integer
+    * (BigInt driver-side, HUGEINT oracle-side), so engines can never
+    * disagree on a boundary corpus.
+    */
+  val simhashFlipBudgetPerDoc = 1000L
+
+  /** Exact candidate volumes of BOTH physical schemes, priced from
+    * bucket counts BEFORE running either join: ONE Spark job — an
+    * explode+count over the signature relation (11 rows/doc, the
+    * same shuffle family the chosen join pays 7–56×) collected to
+    * the driver, which is safe because the bucket-count relation is
+    * LAYOUT-bounded, not corpus-bounded (≤ k·2ʷ + 4·2¹² ≈ 17k rows
+    * at the default widths no matter how many documents exist — the
+    * engine's documented driver-fold posture). The fold is BigInt,
+    * so the ~n²/18 volumes can never wrap. v_chunk = Σ_bucket C(k,2)
+    * over the chunk layout; v_flip = Σ_bucket C(k,2) over the 4×12
+    * layout (base probes) + Σ_{bucket,bit} k_v·k_{v⊕bit}/2
+    * (single-flip probes; each cross pair is seen from both ends, so
+    * the halving is exact). Returns (n_docs, v_chunk, v_flip).
+    */
+  private[graft] def simhashRouteStatsFor(
+      docs: DataFrame): (Long, BigInt, BigInt) = {
+    val kC = simhashChunksOf(docs.sparkSession)
+    require(kC >= 3,
+      s"the routed simhash scheme prices chunk buckets driver-side, " +
+        s"which needs chunk widths <= 16 bits (simhashChunks >= 3, " +
+        s"got $kC); pin graft.dedup.simhashScheme explicitly instead")
+    val specC = simhashChunkSpecFor(kC)
+    val specF = simhashChunkSpecFor(4)
+    val tagged =
+      specC.zipWithIndex.map { case ((sh, m), c) =>
+        s"named_struct('s', 0, 'c', $c, 'v', shiftright(sim, $sh) & $m)"
+      } ++ specF.zipWithIndex.map { case ((sh, m), c) =>
+        s"named_struct('s', 1, 'c', $c, 'v', shiftright(sim, $sh) & $m)"
+      }
+    val rows = docs
+      .select(explode(expr(tagged.mkString("array(", ", ", ")")))
+        .as("ch"))
+      .select(col("ch.s").as("s"), col("ch.c").as("c"),
+        col("ch.v").as("v"))
+      .groupBy(col("s"), col("c"), col("v"))
+      .agg(count(lit(1)).as("k"))
+      .collect()
+    var n = 0L
+    var vChunk = BigInt(0)
+    var vSame = BigInt(0)
+    val fBuckets = scala.collection.mutable.HashMap.empty[(Int, Long), Long]
+    rows.foreach { r =>
+      val (s, c, v, k) =
+        (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))
+      val pairs = BigInt(k) * (k - 1) / 2
+      if (s == 0) vChunk += pairs
+      else {
+        vSame += pairs
+        fBuckets((c, v)) = k
+        if (c == 0) n += k // every doc lands in flip chunk 0 exactly once
+      }
+    }
+    var cross2 = BigInt(0)
+    fBuckets.foreach { case ((c, v), k) =>
+      var b = 0
+      while (b < 12) {
+        fBuckets.get((c, v ^ (1L << b)))
+          .foreach(k2 => cross2 += BigInt(k) * k2)
+        b += 1
+      }
+    }
+    (n, vChunk, vSame + cross2 / 2)
+  }
+
+  /** The router's predicate — the single place the decision lives
+    * (the batch route and the observable face both read THIS), so
+    * the route cannot drift between its consumers or engines.
+    */
+  private[graft] def simhashRouteOf(n: Long, vChunk: BigInt,
+                                    vFlip: BigInt): String =
+    if (vChunk - vFlip > BigInt(simhashFlipBudgetPerDoc) * n) "flip1"
+    else "chunk7"
+
+  /** Route memo, keyed by (session, canonicalized signature plan) —
+    * the SignatureStore memo discipline: the decision is a pure
+    * function of the signature RELATION, so re-pricing it per call
+    * (dd_simhash + dd_simhash_eval + bench reps all walk the same
+    * relation) would bill the route fee many times for one answer.
+    * A store face's per-batch union is a DIFFERENT plan, so it
+    * re-prices (correct: its corpus grew).
+    */
+  private val routeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), Boolean]()
+
+  private[graft] def simhashFlipRouteFor(docs: DataFrame): Boolean =
+    routeMemo.computeIfAbsent(
+      (docs.sparkSession,
+        docs.queryExecution.logical.canonicalized.semanticHash()),
+      _ => {
+        val (n, vChunk, vFlip) = simhashRouteStatsFor(docs)
+        simhashRouteOf(n, vChunk, vFlip) == "flip1"
+      })
 
   /** The blocked Hamming pair join over any (doc_id, sim) signature
     * relation — shared by the batch face and the incremental store
     * (whose per-batch signature facts union to exactly this relation:
-    * a doc signs once, ever).
+    * a doc signs once, ever). Under the default `routed` scheme the
+    * signature relation is checkpointed ONCE and both the route
+    * pricing and the chosen join read the checkpoint — the route fee
+    * is one bucket-count shuffle, never a second signature pass.
     */
   private[graft] def simhashPairsFrom(simDocs: DataFrame): DataFrame =
     simhashSchemeOf(simDocs.sparkSession) match {
       case "chunk7" => simhashChunkPairsFrom(simDocs)
-      case _ => simhashFlipPairsFrom(simDocs)
+      case "flip1" => simhashFlipPairsFromCk(simDocs.localCheckpoint())
+      case _ =>
+        // Decide BEFORE checkpointing: the memo keys on the stable
+        // logical plan (a localCheckpoint is a fresh RDD every call,
+        // so keying after it would never hit).
+        val flip = simhashFlipRouteFor(simDocs)
+        val docs = simDocs.localCheckpoint()
+        if (flip) simhashFlipPairsFromCk(docs)
+        else simhashChunkPairsFrom(docs)
     }
 
   private[graft] def simhashChunkPairsFrom(simDocs: DataFrame): DataFrame = {
@@ -1520,7 +1654,10 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  private[graft] def simhashFlipPairsFrom(simDocs: DataFrame): DataFrame = {
+  private[graft] def simhashFlipPairsFrom(simDocs: DataFrame): DataFrame =
+    simhashFlipPairsFromCk(simDocs.localCheckpoint())
+
+  private def simhashFlipPairsFromCk(docs: DataFrame): DataFrame = {
     val spec = simhashChunkSpecFor(4) // 4×12 bits
     val indexExprs = spec.zipWithIndex.map { case ((sh, m), c) =>
       s"named_struct('c', $c, 'v', shiftright(sim, $sh) & $m)"
@@ -1531,7 +1668,6 @@ object Dedup {
         (0 until 12).map(b =>
           s"named_struct('c', $c, 'v', $base ^ ${1 << b})")
     }
-    val docs = simDocs.localCheckpoint()
     val probes = docs.select(col("doc_id").as("p_id"),
         col("sim").as("p_sim"),
         explode(expr(probeExprs.mkString("array(", ", ", ")"))).as("ch"))
@@ -1549,6 +1685,74 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= hammingThreshold)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---- dd_simhash_route ----------------------------------------------
+
+  /** The simhash scheme router's decision made OBSERVABLE (the
+    * `dd_route_stats` precedent): one row with the corpus size, both
+    * schemes' EXACT candidate volumes, the budget, and the plan the
+    * `routed` default will take — what a pipeline owner reads before
+    * a 100 TB dedup run, and what a regression gate watches (a corpus
+    * drifting toward signature clumping flips this row before it
+    * burns a cluster on the wrong blocking plan). Volumes are exact
+    * integers cast to DOUBLE for output (the periodogram wide-integer
+    * output discipline); the route predicate itself compares the
+    * decimals, so the boundary is integer-exact on both engines.
+    */
+  def simhashRoute(spark: SparkSession, sfDir: String): DataFrame = {
+    val (n, vChunk, vFlip) = simhashRouteStatsFor(
+      SignatureStore.shingles(spark, sfDir)
+        .select(col("doc_id"), expr("graft_simhash48(hst)").as("sim")))
+    import spark.implicits._
+    Seq((n, vChunk.toDouble, vFlip.toDouble, simhashFlipBudgetPerDoc,
+        simhashRouteOf(n, vChunk, vFlip)))
+      .toDF("n_docs", "v_chunk", "v_flip", "budget_per_doc", "route")
+  }
+
+  lazy val simhashRouteSql: String = {
+    val h48 = hex48Duck("md5(s)")
+    val bitSums = (0 until simhashBits).map { b =>
+      s"(CASE WHEN list_sum(list_transform(hst, h -> " +
+        s"CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END)) > 0 " +
+        s"THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << $b)"
+    }
+    val branches =
+      simhashChunkSpec.zipWithIndex.map { case ((sh, m), c) =>
+        s"  SELECT 0 AS s, $c AS c, (sim >> $sh) & $m AS v FROM sims"
+      } ++ simhashChunkSpecFor(4).zipWithIndex.map { case ((sh, m), c) =>
+        s"  SELECT 1 AS s, $c AS c, (sim >> $sh) & $m AS v FROM sims"
+      }
+    s"""WITH tt AS (
+       |  SELECT doc_id,
+       |    list_transform(regexp_extract_all(text, '\\S+'), s -> $h48)
+       |      AS hst
+       |  FROM documents
+       |  WHERE len(regexp_extract_all(text, '\\S+')) >= 1
+       |), sims AS MATERIALIZED (
+       |  SELECT doc_id, ${bitSums.mkString(" + ")} AS sim FROM tt
+       |), bc AS MATERIALIZED (
+       |  SELECT s, c, v, CAST(count(*) AS HUGEINT) AS k FROM (
+       |${branches.mkString("\n  UNION ALL\n")}
+       |  ) GROUP BY 1, 2, 3
+       |), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM sims),
+       |vc AS (SELECT COALESCE(SUM(k * (k - 1)), 0) // 2 AS v_chunk
+       |       FROM bc WHERE s = 0),
+       |vs AS (SELECT COALESCE(SUM(k * (k - 1)), 0) // 2 AS v_same
+       |       FROM bc WHERE s = 1),
+       |vx AS (
+       |  SELECT COALESCE(SUM(f.kp * h.k), 0) // 2 AS v_cross FROM (
+       |    SELECT g.c AS c, xor(g.v, 1 << u.b) AS v, g.k AS kp
+       |    FROM bc g, unnest(range(0, 12)) AS u(b) WHERE g.s = 1
+       |  ) f JOIN bc h ON h.s = 1 AND h.c = f.c AND h.v = f.v
+       |)
+       |SELECT n_docs, CAST(v_chunk AS DOUBLE) AS v_chunk,
+       |  CAST(v_same + v_cross AS DOUBLE) AS v_flip,
+       |  CAST($simhashFlipBudgetPerDoc AS BIGINT) AS budget_per_doc,
+       |  CASE WHEN v_chunk - (v_same + v_cross)
+       |            > $simhashFlipBudgetPerDoc * n_docs
+       |       THEN 'flip1' ELSE 'chunk7' END AS route
+       |FROM n CROSS JOIN vc CROSS JOIN vs CROSS JOIN vx""".stripMargin
   }
 
   // ---- dd_simhash_eval ---------------------------------------------------

@@ -533,21 +533,35 @@ object Multimodal {
     * volume quantizes by the 17×11 dim classes, a generator artifact
     * a real corpus doesn't have (documented, not hidden).
     */
-  def ahashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val s2 = Graft.ensureConf(spark)
-    import s2.implicits._
-    val sims = Graft.tableParallel(spark, sfDir, "documents")
-      .select(col("doc_id")).as[Long]
-      .mapPartitions { ids =>
-        ids.map { id =>
-          val w = 16 + (id % 17).toInt
-          val h = 8 + (id % 11).toInt
-          (id, bmpAhash48(id, bmpEncodeScene(id, w, h)))
+  def ahashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simhashPairsFrom(ahashSims(spark, sfDir))
+
+  /** The (doc_id, sim) aHash signature relation the pair join and the
+    * scheme router price — narrow encode+hash per row, no shuffle.
+    * Memoized per (session, corpus dir): not for the compute (narrow,
+    * cheap) but for PLAN IDENTITY — the scheme router's memo keys on
+    * the canonicalized plan, and a fresh mapPartitions closure per
+    * call would never compare equal, re-billing the route fee.
+    */
+  private val ahashSimCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[graft] def ahashSims(spark: SparkSession,
+                               sfDir: String): DataFrame =
+    ahashSimCache.computeIfAbsent((spark, sfDir), { case (s0, dir) =>
+      val s2 = Graft.ensureConf(s0)
+      import s2.implicits._
+      Graft.tableParallel(s0, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val w = 16 + (id % 17).toInt
+            val h = 8 + (id % 11).toInt
+            (id, bmpAhash48(id, bmpEncodeScene(id, w, h)))
+          }
         }
-      }
-      .toDF("doc_id", "sim")
-    Dedup.simhashPairsFrom(sims)
-  }
+        .toDF("doc_id", "sim")
+    })
 
   /** Per-doc DCT perceptual hash over the corpus's real BMP bytes —
     * encode the scene, decode, sample the shared 8×6 grid, integer

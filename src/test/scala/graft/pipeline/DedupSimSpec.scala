@@ -233,7 +233,42 @@ class DedupSimSpec extends SparkSpec {
     val got = Dedup.simhashPairsFrom(sims).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.contains((1L, 4L)),
-      "the default flip1 enumeration finds the planted d=4 pattern")
+      "the routed default finds the planted d=4 pattern (either " +
+        "physical scheme carries the full pigeonhole guarantee)")
+  }
+
+  test("simhash route boundary: the budget predicate is pinned on " +
+       "both sides, and the routed plan's output equals both static " +
+       "schemes' on either side of it") {
+    val s = spark; import s.implicits._
+    // BELOW the budget: a sparse corpus - per-doc volume gap ~0, the
+    // router keeps chunk7's smaller footprint
+    val sparse = (1L to 50L).map(i => (i, i << 13)).toDF("doc_id", "sim")
+    val (nS, vcS, vfS) = Dedup.simhashRouteStatsFor(sparse)
+    assert(nS == 50L)
+    assert(Dedup.simhashRouteOf(nS, vcS, vfS) == "chunk7",
+      s"sparse corpus must stay chunk7: gap=${vcS - vfS} n=$nS")
+    // ABOVE the budget: 1000 docs sharing ONE signature - every
+    // scheme's buckets clump, v_chunk = 7*C(n,2), v_flip = 4*C(n,2),
+    // gap/doc = 1.5*(n-1) ~ 1499 > 1000 - the router takes flip1
+    val clumped = (1L to 1000L).map(i => (i, 0L)).toDF("doc_id", "sim")
+    val (nC, vcC, vfC) = Dedup.simhashRouteStatsFor(clumped)
+    assert(nC == 1000L && vcC == BigInt(7) * 499500 &&
+      vfC == BigInt(4) * 499500,
+      s"clumped volumes must be exact: n=$nC v_chunk=$vcC v_flip=$vfC")
+    assert(Dedup.simhashRouteOf(nC, vcC, vfC) == "flip1",
+      s"clumped corpus must route flip1: gap=${vcC - vfC} n=$nC")
+    // output parity across the route on the gate corpus: routed ==
+    // chunk7 == flip1 row for row (the scheme-parity guarantee the
+    // router relies on to be a pure plan choice)
+    def pairsUnder(scheme: String): Seq[String] = {
+      spark.conf.set("graft.dedup.simhashScheme", scheme)
+      try Dedup.simhashPairs(spark, sfDir).collect().map(_.toString).toSeq
+      finally spark.conf.unset("graft.dedup.simhashScheme")
+    }
+    val routed = pairsUnder("routed")
+    assert(routed == pairsUnder("chunk7") && routed == pairsUnder("flip1"),
+      "routed output must equal both static schemes row for row")
   }
 
   test("cluster stats: histogram re-aggregates the clusters relation " +
