@@ -927,6 +927,50 @@ object SignatureStore {
           "id AS grp", "id AS pos", "id AS s", "id AS n"))))
   }
 
+  // ---- emb-mmd-rbf store -----------------------------------------------
+
+  /** Incremental RBF-drift store: per-batch (cohort, feature) RFF
+    * cos-sum PARTIALS off the embeddings stream — ADDITIVE under any
+    * batch split, 2·D rows per batch — with the kernel-MMD fold a
+    * query-time VIEW through the shared `rbfMmdFromFeatureSums`.
+    */
+  def catchUpEmbMmdRbf(spark: SparkSession, watchDir: String,
+                       storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val vecs = spark.readStream.schema(schema).parquet(watchDir)
+    val q = vecs.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.pipeline.Similarity.rbfFeatureSums(batch)
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/feature_sums/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Driver-gate face: vec-parity appends, query-time fold; shares
+    * `emb_mmd_rbf`'s oracle.
+    */
+  def gatedEmbMmdRbf(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_mmdrbf_watch")
+    val store = tempDirForExit("graft_gate_mmdrbf_store")
+    val vecs = Graft.table(spark, sfDir, "embeddings")
+    land(vecs.filter(pmod(col("vec_id"), lit(4)) < 2), watch,
+      "arrival1.parquet")
+    catchUpEmbMmdRbf(spark, watch, store)
+    land(vecs.filter(pmod(col("vec_id"), lit(4)) >= 2), watch,
+      "arrival2.parquet")
+    catchUpEmbMmdRbf(spark, watch, store)
+    graft.pipeline.Similarity.rbfMmdFromFeatureSums(
+      storedOrEmpty(spark, s"$store/feature_sums",
+        emptyLike(spark, spark.range(0).selectExpr(
+          "id AS grp", "id AS i", "id AS s", "id AS n"))))
+  }
+
   // ---- spearman store ------------------------------------------------
 
   /** Incremental Spearman store: per-batch (x, y) pair-count PARTIALS

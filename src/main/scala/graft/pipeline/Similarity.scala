@@ -2654,6 +2654,201 @@ object Similarity {
        |  END AS mmd2
        |FROM t""".stripMargin
 
+  // ---- emb_mmd_rbf -----------------------------------------------------
+
+  /** Random-Fourier-feature count D, embedding dimension contract,
+    * angle grid, and the frozen projection: the RBF kernel
+    * exp(−‖x−y‖²/2) (σ = 1, the unit-scale embedding contract) is
+    * approximated by z(x) = √(2/D)·[cos(w_i·x + b_i)] with
+    * w ~ N(0, I), b ~ U[0, 2π) — and every "random" draw is FROZEN at
+    * build time from a deterministic LCG (normals via Irwin–Hall: sum
+    * of 12 uniforms − 6, no transcendental in the generator), then
+    * quantized to micro-units and spliced as literals into BOTH
+    * engines, the periodogram trig-table discipline. cos itself never
+    * runs in either engine: angles are exact integers in picoradians
+    * (w_mu·v_mu sums), reduced mod the integer period 2π·10¹², and
+    * looked up on a 1024-cell midpoint cos table generated once in
+    * Scala. Max grid error ~3·10⁻³ per feature — noise relative to
+    * the 1/√D Monte-Carlo error any RFF estimate carries, and both
+    * engines make the IDENTICAL error, so parity is exact.
+    */
+  val rbfFeatureCount = 16
+  val rbfDim = 64
+  val rbfGridCells = 1024
+  val rbfPeriodPr = 6283185307180L // round(2π·1e12) picoradians
+
+  private def lcgStream(seed: Long): Iterator[Double] = {
+    var s = seed
+    Iterator.continually {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (s >>> 11).toDouble / (1L << 53).toDouble
+    }
+  }
+
+  /** (w micro-units per feature×dim, b picoradians per feature). */
+  private[graft] lazy val (rbfWMu, rbfBPr) = {
+    val u = lcgStream(0x5DEECE66DL)
+    val w = Seq.fill(rbfFeatureCount)(Seq.fill(rbfDim) {
+      val z = (0 until 12).map(_ => u.next()).sum - 6.0
+      math.floor(z * 1e6 + 0.5).toLong
+    })
+    val b = Seq.fill(rbfFeatureCount)(
+      math.floor(u.next() * rbfPeriodPr).toLong)
+    (w, b)
+  }
+
+  /** Midpoint cos table over the angle grid, micro-units — single
+    * source for both engines (periodogramTrig's scheme).
+    */
+  private[graft] lazy val rbfCosTable: Seq[(Int, Long)] =
+    (0 until rbfGridCells).map { g =>
+      val th = 2.0 * math.Pi * (g + 0.5) / rbfGridCells
+      g -> math.floor(math.cos(th) * 1e6 + 0.5).toLong
+    }
+
+  /** The (grp, i, s, n) RFF feature-sum relation over any
+    * (vec_id, embedding) relation — the ADDITIVE storable fact of the
+    * stream/store faces (cos sums and counts add under any batch
+    * split). Per row: D exact integer dot products against the
+    * literal projection (array expressions — narrow, no explode-join
+    * shuffle), angle reduction, then D rows joined against the
+    * broadcast cos table and map-combined into the (2·D)-row fact.
+    */
+  private[graft] def rbfFeatureSums(vecs: DataFrame): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val vq = "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)" +
+      " * 1000000.0 + 0.5) AS BIGINT))"
+    val feats = (0 until rbfFeatureCount).map { i =>
+      val w = rbfWMu(i).mkString("array(", "L, ", "L)")
+      val th = s"aggregate(zip_with(vq, $w, (a, b) -> a * b), " +
+        s"CAST(0 AS BIGINT), (acc, x) -> acc + x) + ${rbfBPr(i)}L"
+      s"named_struct('i', $i, " +
+        s"'g', CAST(pmod($th, ${rbfPeriodPr}L) * $rbfGridCells " +
+        s"DIV ${rbfPeriodPr}L AS INT))"
+    }
+    val cosDf = rbfCosTable.toDF("g", "cq")
+    vecs.select(pmod(col("vec_id"), lit(2)).as("grp"),
+        expr(vq).as("vq"))
+      .select(col("grp"),
+        explode(expr(feats.mkString("array(", ", ", ")"))).as("f"))
+      .select(col("grp"), col("f.i").cast("long").as("i"),
+        col("f.g").as("g"))
+      .join(broadcast(cosDf), "g")
+      .groupBy(col("grp"), col("i"))
+      .agg(sum(col("cq")).as("s"), count(lit(1)).as("n"))
+  }
+
+  /** RBF (Gaussian-kernel) MMD between the even/odd vec_id cohorts
+    * via random Fourier features — the drift monitor `emb_mmd`'s
+    * linear kernel cannot be: linear MMD² = ‖μ_A − μ_B‖² scores 0 on
+    * ANY equal-mean change (a variance or shape drift after
+    * re-normalization — the most common real drift mode), while
+    * RBF-MMD² ≈ ‖z̄_A − z̄_B‖² over the frozen Fourier features
+    * responds to any distribution change the kernel resolves
+    * (Gretton et al. 2012, JMLR 13; Rahimi & Recht 2007, NIPS). The
+    * estimator stays EXACT-integer to the last step: per-feature cos
+    * sums in micro-units, cross products s_A·n_B − s_B·n_A (the
+    * emb_mmd loud-bound guard), squares in DECIMAL(38,0) ≙ HUGEINT,
+    * ONE final double chain ·2/D/(n_A·n_B)²/10¹² under q6.
+    *
+    * 100 TB shape: one corpus scan folds map-combinably to the
+    * (cohort, feature) sum relation — 2·D rows, the ADDITIVE storable
+    * fact of both extra faces — and everything after is feature-sized.
+    * No pairwise term anywhere: the quadratic kernel estimator
+    * collapses to mean feature vectors, the RFF gift.
+    */
+  def embMmdRbf(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    rbfMmdFromFeatureSums(rbfFeatureSums(emb(spark, sfDir)))
+  }
+
+  /** The statistic over any (grp, i, s, n) feature-sum relation —
+    * shared by all three faces.
+    */
+  private[graft] def rbfMmdFromFeatureSums(ds0: DataFrame): DataFrame = {
+    val ds = ds0.groupBy(col("grp"), col("i"))
+      .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+      .localCheckpoint()
+    val a = ds.filter(col("grp") === 0)
+      .select(col("i"), col("s").as("sa"), col("n").as("na"))
+    val b = ds.filter(col("grp") =!= 0)
+      .select(col("i"), col("s").as("sb"), col("n").as("nb"))
+    // the emb_mmd loud-bound discipline on the cross products
+    val halfMax = lit(Long.MaxValue / 2)
+    val prodBad =
+      (col("nb") > 0L && abs(col("sa")) > halfMax / col("nb")) ||
+        (col("na") > 0L && abs(col("sb")) > halfMax / col("na"))
+    a.join(b, "i")
+      .select(col("na"), col("nb"), col("i"),
+        when(prodBad, raise_error(concat(
+          lit("rbf mmd: |cos sum| * cohort size exceeds the "),
+          lit("BIGINT half-range bound at feature "),
+          col("i").cast("string"))))
+          .otherwise(col("sa") * col("nb") - col("sb") * col("na"))
+          .cast("decimal(19,0)").as("diff"))
+      .agg(coalesce(max(col("na")), lit(0L)).as("n_a"),
+        coalesce(max(col("nb")), lit(0L)).as("n_b"),
+        count(lit(1)).as("d_features"),
+        coalesce(sum(col("diff") * col("diff")),
+          lit(0L).cast("decimal(38,0)")).as("num"))
+      .select(col("n_a"), col("n_b"), col("d_features"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          graft.pipeline.ParityMath.q6(expr(
+            s"""CAST(num AS DOUBLE) * 2.0 / $rbfFeatureCount.0
+               |/ (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+               |   * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+               |/ 1000000000000.0""".stripMargin))).as("mmd2"))
+  }
+
+  lazy val embMmdRbfSql: String = {
+    val branches = (0 until rbfFeatureCount).map { i =>
+      val w = rbfWMu(i).mkString("[", ", ", "]")
+      s"""  SELECT grp, $i AS i,
+         |    ((th % ${rbfPeriodPr}) + ${rbfPeriodPr}) % ${rbfPeriodPr}
+         |      * $rbfGridCells // ${rbfPeriodPr} AS g
+         |  FROM (SELECT grp,
+         |    list_sum(list_transform(range(1, ${rbfDim + 1}),
+         |      d -> vq[d] * ($w)[d])) + ${rbfBPr(i)} AS th FROM e)"""
+        .stripMargin
+    }
+    val ct = rbfCosTable.map { case (g, cq) => s"($g, $cq)" }
+      .mkString(", ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id % 2 AS grp,
+       |    list_transform(embedding, v ->
+       |      CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5)
+       |        AS BIGINT)) AS vq
+       |  FROM embeddings
+       |), f AS (
+       |${branches.mkString("\n  UNION ALL\n")}
+       |), ct(g, cq) AS (VALUES $ct),
+       |sums AS (
+       |  SELECT grp, i, CAST(sum(cq) AS BIGINT) AS s,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM f JOIN ct USING (g) GROUP BY 1, 2
+       |), j AS (
+       |  SELECT a.n AS na, b.n AS nb, a.i,
+       |    CAST(a.s * b.n - b.s * a.n AS HUGEINT) AS diff
+       |  FROM sums a JOIN sums b ON a.i = b.i
+       |  WHERE a.grp = 0 AND b.grp <> 0
+       |), t AS (
+       |  SELECT CAST(coalesce(max(na), 0) AS BIGINT) AS n_a,
+       |    CAST(coalesce(max(nb), 0) AS BIGINT) AS n_b,
+       |    CAST(count(*) AS BIGINT) AS d_features,
+       |    coalesce(sum(diff * diff), 0) AS num
+       |  FROM j
+       |)
+       |SELECT n_a, n_b, d_features,
+       |  CASE WHEN n_a > 0 AND n_b > 0 THEN ${ParityMath.q6Sql(
+            s"""CAST(num AS DOUBLE) * 2.0 / $rbfFeatureCount.0
+               |/ (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+               |   * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+               |/ 1000000000000.0""".stripMargin)}
+       |  END AS mmd2
+       |FROM t""".stripMargin
+  }
+
   // ---- pipe_embed_prune ----------------------------------------------
 
   /** Fraction of the corpus pruned as embedding outliers: the bottom

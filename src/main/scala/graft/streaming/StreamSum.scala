@@ -1215,6 +1215,23 @@ object StreamSum {
       runToTable(ds, OutputMode.Complete(), "ss_stream_emb_mmd"))
   }
 
+  /** Streaming face of the RFF RBF-MMD drift monitor, sharing
+    * `emb_mmd_rbf`'s oracle: the state is the (cohort, feature)
+    * cos-sum relation (2·D rows — additive, so a Complete-mode agg
+    * over the mapped stream IS the batch fact), and the fold is a
+    * query-time view through the shared `rbfMmdFromFeatureSums`.
+    */
+  def streamEmbMmdRbf(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val schema = spark.read.parquet(s"$sfDir/embeddings.parquet").schema
+    val vecs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(sfDir)
+    graft.pipeline.Similarity.rbfMmdFromFeatureSums(
+      runToTable(graft.pipeline.Similarity.rbfFeatureSums(vecs),
+        OutputMode.Complete(), "ss_stream_emb_mmd_rbf"))
+  }
+
   def streamAnnCandidates(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
     import spark.implicits._

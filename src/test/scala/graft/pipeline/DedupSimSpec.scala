@@ -184,6 +184,52 @@ class DedupSimSpec extends SparkSpec {
       s"missing cohort: $lone")
   }
 
+  test("emb mmd rbf: equal-mean covariance drift is INVISIBLE to the " +
+       "linear kernel (mmd2 exactly 0) and separated by the RFF RBF " +
+       "face; identical cohorts score ~0") {
+    val s = spark; import s.implicits._
+    // A (even vec_id): 50 copies each of +u and -u with u = 0.5
+    // everywhere -> mean exactly 0, covariance 0.25*J. B (odd
+    // vec_id): 100 zero vectors -> mean 0, covariance 0. The drift
+    // is purely in SHAPE.
+    val vecs = (0 until 200).map { j =>
+      val id = j.toLong
+      val e =
+        if (id % 2 == 1) Array.fill(Similarity.rbfDim)(0.0f)
+        else if ((id / 2) % 2 == 0) Array.fill(Similarity.rbfDim)(0.5f)
+        else Array.fill(Similarity.rbfDim)(-0.5f)
+      (id, e)
+    }.toDF("vec_id", "embedding")
+    // the linear face's own map over the same fixture
+    val dimSums = vecs
+      .select(pmod(col("vec_id"), lit(2)).as("grp"),
+        org.apache.spark.sql.functions.posexplode(col("embedding"))
+          .as(Seq("pos", "v")))
+      .select(col("grp"), col("pos").cast("long").as("pos"),
+        org.apache.spark.sql.functions.expr(
+          "CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)")
+          .as("v_mu"))
+      .groupBy(col("grp"), col("pos"))
+      .agg(sum(col("v_mu")).as("s"), count(lit(1)).as("n"))
+    val lin = Similarity.mmdFromDimSums(dimSums).collect().head
+    assert(lin.getDouble(3) == 0.0,
+      s"linear MMD must be blind to the equal-mean shape drift: $lin")
+    val rbf = Similarity.rbfMmdFromFeatureSums(
+      Similarity.rbfFeatureSums(vecs)).collect().head
+    assert(rbf.getLong(0) == 100L && rbf.getLong(1) == 100L &&
+      rbf.getLong(2) == Similarity.rbfFeatureCount.toLong, s"$rbf")
+    assert(rbf.getDouble(3) > 0.01,
+      s"RBF MMD must separate the covariance drift: $rbf")
+    // no drift at all: the two cohorts are identical point masses
+    val sameVecs = (0 until 100).map { j =>
+      (j.toLong, Array.fill(Similarity.rbfDim)(0.25f))
+    }.toDF("vec_id", "embedding")
+    val sameRbf = Similarity.rbfMmdFromFeatureSums(
+      Similarity.rbfFeatureSums(sameVecs)).collect().head
+    assert(sameRbf.getDouble(3) == 0.0,
+      s"identical cohorts must score exactly 0: $sameRbf")
+  }
+
   test("simhash scheme/chunk knobs: flip1 and chunk7 emit the SAME " +
        "pairs, chunk7 at k=4 reproduces the r13 recall floor, junk " +
        "throws, the default keeps the guarantee") {
