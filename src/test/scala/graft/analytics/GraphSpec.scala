@@ -464,28 +464,31 @@ class GraphSpec extends SparkSpec {
       "a bare triangle is not a 4-truss")
   }
 
-  test("betweenness: Brandes dependencies hand-computed on the chain; " +
-       "endpoints score 0 and an unreached pivot reports nothing") {
+  test("betweenness: Brandes dependencies hand-computed on the chain " +
+       "under DEGREE-ranked landmarks; endpoints score 0 and the " +
+       "landmark-free component reports nothing") {
     // chain u1-o10-u2-o20-u3 (encoded path 2-21-4-41-6) plus lone
-    // pair (u5, o30): encoded nodes sorted 2,4,6,10,21,41,61 ->
-    // landmarks {2,4,6,10}. Hand Brandes per landmark (sigma = 1
-    // everywhere on a path, delta in micro-units):
+    // pair (u5, o30): sym degrees 4:2, 21:2, 41:2, others 1 ->
+    // top-4-by-degree landmarks (id tie-break) {4, 21, 41, 2}. Hand
+    // Brandes per landmark (sigma = 1 everywhere on a path, delta in
+    // micro-units):
     //   lm=2:  21:3e6, 4:2e6, 41:1e6, 6:0
     //   lm=4:  21:1e6, 41:1e6, 2:0, 6:0
-    //   lm=6:  41:3e6, 4:2e6, 21:1e6, 2:0
-    //   lm=10: 61:0
-    // Sums: o10 5e6, o20 5e6, o30 0, u1 0, u2 4e6, u3 0; u5 is a
-    // landmark reached by no OTHER landmark -> absent (the harmonic
-    // convention: dist-0 self rows never score).
+    //   lm=21: 4:2e6, 41:1e6, 2:0, 6:0
+    //   lm=41: 4:2e6, 21:1e6, 2:0, 6:0
+    // Sums: o10 5e6, o20 3e6, u1 0, u2 6e6, u3 0. The lone pair
+    // (u5, o30) holds no landmark (degree 1, ids above the
+    // tie-break) and is reached by none -> ABSENT, unlike the old
+    // id-order pick that spent a landmark on it: the degree rank
+    // concentrates the sample where the paths are.
     val base = Seq((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L), (5L, 30L))
     val got = Graph.betweennessFrom(
         graft.core.Transform.extractFrom(eventsOf(base)))
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq(
-      ("obj", 10L, 5000000L), ("obj", 20L, 5000000L),
-      ("obj", 30L, 0L),
-      ("user", 1L, 0L), ("user", 2L, 4000000L),
+      ("obj", 10L, 5000000L), ("obj", 20L, 3000000L),
+      ("user", 1L, 0L), ("user", 2L, 6000000L),
       ("user", 3L, 0L)), s"betweenness: $got")
   }
 
