@@ -1372,6 +1372,28 @@ object StreamSum {
     * the result - the same property that makes the batch face
     * bitwise-comparable cross-engine.
     */
+  /** Streaming face of the Spearman rank correlation, sharing
+    * `q_spearman`'s oracle (the ss_stream_corr precedent): ranks are
+    * a GLOBAL property so they cannot stream, but the statistic's
+    * storable fact — the (x, y) PAIR-COUNT relation — is additive, so
+    * a Complete-mode count agg over the stream IS the batch fact and
+    * the rank join-back + closed formula are a query-time view
+    * through the shared `spearmanFromPairCounts`.
+    */
+  def streamSpearman(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val schema = spark.read.parquet(s"$sfDir/lineitem.parquet").schema
+    val pc = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet")
+      .parquet(sfDir)
+      .select(expr("CAST(l_quantity AS BIGINT)").as("x"),
+        expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)")
+          .as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("k"))
+    graft.analytics.Tpch.spearmanFromPairCounts(
+      runToTable(pc, OutputMode.Complete(), "ss_stream_spearman"))
+  }
+
   def streamCorr(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
     val schema = spark.read.parquet(s"$sfDir/lineitem.parquet").schema
@@ -1464,6 +1486,23 @@ object StreamSum {
     val store = SignatureStore.tempDirForExit("graft_stream_lm2")
     SignatureStore.admitLm2(spark, sfDir, store, glob = "documents.parquet")
     SignatureStore.storedBigramNll(spark, store)
+  }
+
+  /** Streaming face of the Kneser–Ney bigram NLL, sharing
+    * `txt_kn_nll`'s oracle (the ss_stream_bigram precedent, one store
+    * serving the whole LM family): the evolving corpus streams its
+    * additive bigram/unigram partials into the lm2 store through the
+    * SAME admission path the bigram face uses, and the interpolated
+    * KN smoothing — continuation counts, per-history type counts,
+    * the discount chain — is a query-time view through
+    * `storedKnNll`, vocab-sized, never corpus-sized.
+    */
+  def streamKnNll(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    import graft.pipeline.SignatureStore
+    val store = SignatureStore.tempDirForExit("graft_stream_kn_lm2")
+    SignatureStore.admitLm2(spark, sfDir, store, glob = "documents.parquet")
+    SignatureStore.storedKnNll(spark, store)
   }
 
   /** Streaming admission face of the temperature mix, sharing
