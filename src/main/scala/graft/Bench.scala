@@ -69,7 +69,7 @@ object Bench {
     "dd_jaccard_routed", "dd_lsh_eval", "dd_lsh_curve",
     "dd_containment", "dd_simhash", "dd_simhash_eval",
     "dd_embed_cosine", "dd_semantic", "dd_semantic_eval", "dd_semantic_mp",
-    "dd_semantic_dial", "emb_mmd",
+    "dd_semantic_dial", "emb_mmd", "emb_mmd_rbf",
     "ann_topk_brute", "ann_topk_quant", "ann_lsh_bucketed", "ann_ivf",
     "ann_ivf_quant", "ann_ivf_adaptive", "ann_ivf_pq", "ann_knn_join",
     "ann_knn_join_h2",
@@ -78,6 +78,7 @@ object Bench {
     "dd_route_stats", "dd_cluster_stats",
     "q_hll_distinct", "q_hll_sliding", "q_cms_topk",
     "q_cms_sliding", "q_cms_join_card", "q_cms_f2", "q_qtile_sketch",
+    "q_ddsketch_drift",
     "q_quantile_exact", "q_qtile_sliding",
     "q_kmv_jaccard", "q_kmv_retention",
     // production (sketch-only) faces next to their adjunct-bearing

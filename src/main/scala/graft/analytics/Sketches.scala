@@ -414,6 +414,147 @@ object Sketches {
       .agg(count(lit(1)).as("c")))
   }
 
+  // ------------------------------------------------------------------
+  // Log-spaced (DDSketch-class) quantile drift
+  // ------------------------------------------------------------------
+
+  /** Bin width of the LOG-spaced quantile sketch, in integer
+    * micro-nats: bin = ⌊ln(v_mu)·10⁶ + 0.5⌋ DIV 20000, i.e. γ = e^0.02
+    * — each bin spans ~2.02% of value, so a mid-bin estimate carries
+    * ~±1% RELATIVE error at every magnitude (the DDSketch guarantee,
+    * Masson et al., VLDB 2019). The fixed-bin histogram above has
+    * ABSOLUTE error one bin width — useless at the small end of a
+    * heavy-tailed metric like revenue or latency; the log bins are the
+    * member that serves those. Bins are defined by the VALUE DOMAIN,
+    * so the (grp, bin) counts are a true mergeable sketch (order-free
+    * additive — unlike KLL/t-digest/GK, whose compaction state depends
+    * on arrival order and could never sit under a cross-engine
+    * oracle), and the bin count is LAYOUT-bounded: the entire positive
+    * micro-unit range collapses to ≤ ⌈ln(2⁶³)·10⁶/20000⌉ ≈ 2200 bins.
+    * The one ln() per row runs on an exact INTEGER and quantizes to
+    * micro-nats immediately — the tfidf/NLL parity scheme.
+    */
+  val ddBinWidthMu = 20000L
+  private[graft] val ddBinExpr =
+    "CAST(floor(ln(CAST(v_mu AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)" +
+      s" DIV $ddBinWidthMu"
+
+  /** The (grp, bin, c) log-bin count relation over the even/odd user
+    * cohorts — the ADDITIVE storable fact of all three faces.
+    */
+  private[graft] def ddBinCounts(events: DataFrame): DataFrame =
+    events
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select(pmod(col("user_id"), lit(2)).as("grp"),
+        expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)")
+          .as("v_mu"))
+      .filter(col("v_mu") >= 1L) // ln needs a positive integer
+      .select(col("grp"), expr(ddBinExpr).as("bin"))
+      .groupBy(col("grp"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+
+  /** QUANTILE-SKETCH DRIFT between the user cohorts — the sketch
+    * family's member of the drift suite (q_psi_drift watches the
+    * event mix, q_ks_test the exact ECDF distance; this watches WHERE
+    * the quantiles sit, at sketch cost, and reads out in RELATIVE
+    * units): per cohort, the rank-r value (r = ⌈q·n⌉) falls in the
+    * first log bin whose cumulative count reaches r; the integer bin
+    * gap `drift_bins` IS the relative drift in e^0.02-factor units
+    * (each bin ≈ +2% of value), exact and engine-proof, with the
+    * mid-bin value estimates beside it as ONE pinned double chain
+    * under q6.
+    *
+    * 100 TB shape: one map-combinable (grp, bin) count — the additive
+    * fact — then everything runs on the ≤ ~2200-row layout-bounded
+    * bin relation (the per-cohort cumulative window partitions on
+    * grp over layout-bounded rows, never corpus-sized ones).
+    */
+  def qDdsketchDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    ddsketchDriftFromBinCounts(
+      ddBinCounts(Graft.table(spark, sfDir, "events")))
+  }
+
+  /** The drift readout over any (grp, bin, c) relation — shared by
+    * all three faces.
+    */
+  private[graft] def ddsketchDriftFromBinCounts(vc0: DataFrame): DataFrame = {
+    val spark = vc0.sparkSession
+    val vc = vc0.groupBy(col("grp"), col("bin"))
+      .agg(sum(col("c")).as("c")).localCheckpoint()
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("bin"))
+    val wAll = Window.partitionBy(col("grp"))
+    val cum = vc
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+    val qdf = spark.createDataFrame(qtileQs.map(Tuple1(_))).toDF("q")
+    val hit = cum.join(broadcast(qdf),
+        col("cum") >= ceil(col("q") * col("n")))
+      .groupBy(col("grp"), col("q"))
+      .agg(min(col("bin")).as("qbin"), max(col("n")).as("n"))
+      .localCheckpoint()
+    def estChain(b: String): String =
+      s"exp((CAST($b AS DOUBLE) * $ddBinWidthMu.0 + " +
+        s"${ddBinWidthMu / 2}.0) / 1000000.0) / 1000000.0"
+    val a = hit.filter(col("grp") === 0)
+      .select(col("q"), col("qbin").as("bin_a"), col("n").as("n_a"))
+    val b = hit.filter(col("grp") =!= 0)
+      .select(col("q"), col("qbin").as("bin_b"), col("n").as("n_b"))
+    a.join(b, "q")
+      .select(col("q"), col("n_a"), col("n_b"),
+        col("bin_a"), col("bin_b"),
+        (col("bin_a") - col("bin_b")).as("drift_bins"),
+        graft.pipeline.ParityMath.q6(expr(estChain("bin_a")))
+          .as("est_a"),
+        graft.pipeline.ParityMath.q6(expr(estChain("bin_b")))
+          .as("est_b"))
+      .orderBy(col("q"))
+  }
+
+  lazy val qDdsketchDriftSql: String = {
+    val qs = qtileQs.map(q => s"(CAST($q AS DOUBLE))").mkString(", ")
+    def estChain(b: String): String =
+      graft.pipeline.ParityMath.q6Sql(
+        s"exp((CAST($b AS DOUBLE) * $ddBinWidthMu.0 + " +
+          s"${ddBinWidthMu / 2}.0) / 1000000.0) / 1000000.0")
+    s"""WITH obs AS (
+       |  SELECT user_id % 2 AS grp,
+       |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_mu
+       |  FROM events
+       |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+       |), bins AS (
+       |  SELECT grp, $ddBinExprDuck AS bin FROM obs WHERE v_mu >= 1
+       |), vc AS (
+       |  SELECT grp, bin, CAST(count(*) AS BIGINT) AS c
+       |  FROM bins GROUP BY 1, 2
+       |), cum AS (
+       |  SELECT grp, bin, c,
+       |    CAST(sum(c) OVER (PARTITION BY grp ORDER BY bin
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum,
+       |    CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+       |  FROM vc
+       |), qs(q) AS (VALUES $qs),
+       |hit AS (
+       |  SELECT grp, q, CAST(min(bin) AS BIGINT) AS qbin,
+       |    CAST(max(n) AS BIGINT) AS n
+       |  FROM cum JOIN qs ON cum >= ceil(q * n)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT a.q, a.n AS n_a, b.n AS n_b,
+       |  a.qbin AS bin_a, b.qbin AS bin_b,
+       |  a.qbin - b.qbin AS drift_bins,
+       |  ${estChain("a.qbin")} AS est_a,
+       |  ${estChain("b.qbin")} AS est_b
+       |FROM hit a JOIN hit b ON a.q = b.q
+       |WHERE a.grp = 0 AND b.grp <> 0
+       |ORDER BY a.q""".stripMargin
+  }
+
+  private def ddBinExprDuck: String =
+    "CAST(floor(ln(CAST(v_mu AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)" +
+      s" // $ddBinWidthMu"
+
   /** EXACT per-group quantiles by rank selection (quantile_disc): the
     * ground truth the histogram sketch above approximates, at the
     * honest exact price — one per-group exchange + SORT of every

@@ -927,6 +927,51 @@ object SignatureStore {
           "id AS grp", "id AS pos", "id AS s", "id AS n"))))
   }
 
+  // ---- ddsketch store --------------------------------------------------
+
+  /** Incremental quantile-sketch store: per-batch (cohort, log-bin)
+    * count PARTIALS off the events stream — ADDITIVE under any batch
+    * split (the log-binned counters ARE the DDSketch-class mergeable
+    * state), layout-bounded per batch — with the quantile walk a
+    * query-time VIEW through the shared `ddsketchDriftFromBinCounts`.
+    */
+  def catchUpDdsketch(spark: SparkSession, watchDir: String,
+                      storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val ev = spark.readStream.schema(schema).parquet(watchDir)
+    val q = ev.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.analytics.Sketches.ddBinCounts(batch)
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/dd_bins/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Driver-gate face: event-parity appends, query-time fold; shares
+    * `q_ddsketch_drift`'s oracle.
+    */
+  def gatedDdsketch(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_dd_watch")
+    val store = tempDirForExit("graft_gate_dd_store")
+    val ev = Graft.table(spark, sfDir, "events")
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpDdsketch(spark, watch, store)
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpDdsketch(spark, watch, store)
+    graft.analytics.Sketches.ddsketchDriftFromBinCounts(
+      storedOrEmpty(spark, s"$store/dd_bins",
+        emptyLike(spark, spark.range(0).selectExpr(
+          "id AS grp", "id AS bin", "id AS c"))))
+  }
+
   // ---- emb-mmd-rbf store -----------------------------------------------
 
   /** Incremental RBF-drift store: per-batch (cohort, feature) RFF

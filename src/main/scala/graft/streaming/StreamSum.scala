@@ -1372,6 +1372,24 @@ object StreamSum {
     * the result - the same property that makes the batch face
     * bitwise-comparable cross-engine.
     */
+  /** Streaming face of the log-spaced quantile-sketch drift, sharing
+    * `q_ddsketch_drift`'s oracle: the sketch IS an additive
+    * (cohort, bin) counter relation — layout-bounded at ~2200 rows —
+    * so a Complete-mode agg over the mapped stream is the batch fact
+    * and the quantile walk is a query-time view through the shared
+    * `ddsketchDriftFromBinCounts`.
+    */
+  def streamDdsketchDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val ev = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    graft.analytics.Sketches.ddsketchDriftFromBinCounts(
+      runToTable(graft.analytics.Sketches.ddBinCounts(ev),
+        OutputMode.Complete(), "ss_stream_ddsketch"))
+  }
+
   /** Streaming face of the Spearman rank correlation, sharing
     * `q_spearman`'s oracle (the ss_stream_corr precedent): ranks are
     * a GLOBAL property so they cannot stream, but the statistic's

@@ -26,6 +26,58 @@ class SketchesSpec extends SparkSpec {
     assert(under == 0)
   }
 
+  test("ddsketch: every quantile estimate is within the gamma relative " +
+       "bound of the exact quantile, and the bin counters merge " +
+       "across any split") {
+    val s2 = spark; import s2.implicits._
+    // two cohorts by user parity: A log-uniform-ish, B shifted 20% up
+    // at the top half - known positive values across 4 magnitudes
+    val rows = (1 to 4000).map { j =>
+      val uid = j.toLong % 100
+      val base = math.pow(10.0, 1.0 + (j % 400) / 100.0) // 10..~1e5
+      val v = if (uid % 2 == 1 && j % 400 >= 200) base * 1.2 else base
+      (uid, v)
+    }
+    val ev = rows.toDF("user_id", "value")
+    val drift = Sketches.ddsketchDriftFromBinCounts(
+      Sketches.ddBinCounts(ev)).collect()
+    assert(drift.length == 4, s"one row per quantile: ${drift.length}")
+    // exact per-cohort quantiles (discrete, rank = ceil(q*n)) to
+    // check the DDSketch guarantee: mid-bin estimate within one bin
+    // width, i.e. est/exact in [e^-0.02, e^0.02] up to quantization
+    val byG = rows.groupBy(_._1 % 2).map { case (g, rs) =>
+      g -> rs.map(r => math.floor(r._2 * 1e6 + 0.5) / 1e6).sorted
+    }
+    val gBound = math.exp(Sketches.ddBinWidthMu / 1e6)
+    drift.foreach { r =>
+      val q = r.getDouble(0)
+      for ((g, est) <- Seq((0L, r.getDouble(6)), (1L, r.getDouble(7)))) {
+        val vs = byG(g)
+        val exact = vs((math.ceil(q * vs.length) - 1).toInt.max(0))
+        assert(est / exact > 1.0 / gBound && est / exact < gBound,
+          s"q=$q grp=$g est=$est exact=$exact outside the " +
+            s"relative bound $gBound")
+      }
+    }
+    // the planted 20% top-half shift reads out as positive bin drift
+    // at the upper quantiles on the SHIFTED side (B above A -> bin_a
+    // - bin_b negative)
+    val p95 = drift.find(_.getDouble(0) == 0.95).get
+    assert(p95.getLong(4) > p95.getLong(3),
+      s"planted upper-tail shift must move B's p95 bin up: $p95")
+    // mergeability: counters from any split re-aggregate to the batch
+    val full = Sketches.ddBinCounts(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val h1 = Sketches.ddBinCounts(ev.filter(col("value") < 1000.0))
+    val h2 = Sketches.ddBinCounts(ev.filter(col("value") >= 1000.0))
+    val merged = h1.unionByName(h2)
+      .groupBy(col("grp"), col("bin")).agg(sum(col("c")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(merged == full, "split counters must merge to the batch fact")
+  }
+
   test("CMS: collisions produce strict overestimates at the test width") {
     // 600 distinct single-occurrence items in 256 buckets: most items
     // share every row's bucket with someone, so strict overestimates
