@@ -135,6 +135,7 @@ object Bench {
     "q_periodogram", "q_harmonic", "q_betweenness", "q_transitivity", "q_stickiness",
     "q_cms_topk", "q_cms_topk_prod", "q_cms_sliding", "q_cms_sliding_prod",
     "q_hll_sliding", "q_hll_sliding_prod", "q_qtile_sliding",
+    "q_ddsketch_drift",
     "q_kmv_jaccard_prod", "q_kmv_retention_prod",
     "pipe_layout_zorder")
 
