@@ -131,7 +131,7 @@ object Behavior {
 
   val qCohortSql: String =
     s"""WITH weeks AS (
-       |  SELECT DISTINCT user_id, epoch_us(ts) // $cohortWeekUs AS w
+       |  SELECT DISTINCT user_id, ${graft.pipeline.ParityMath.fdivDuckSql("epoch_us(ts)", cohortWeekUs.toString)} AS w
        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
        |), first AS (
        |  SELECT user_id, min(w) AS cw FROM weeks GROUP BY 1
@@ -992,10 +992,10 @@ object Behavior {
 
   val qStickinessSql: String =
     s"""WITH du AS (
-       |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id
+       |  SELECT DISTINCT ${graft.pipeline.ParityMath.fdivDuckSql("epoch_us(ts)", "86400000000")} AS d, user_id
        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
        |), dd AS (
-       |  SELECT d // $stickinessWindowDays AS w, d,
+       |  SELECT ${graft.pipeline.ParityMath.fdivDuckSql("d", stickinessWindowDays.toString)} AS w, d,
        |         CAST(count(DISTINCT user_id) AS BIGINT) AS dau
        |  FROM du GROUP BY 1, 2
        |), a AS (
@@ -1003,7 +1003,7 @@ object Behavior {
        |         CAST(sum(dau) AS BIGINT) AS dau_sum
        |  FROM dd GROUP BY 1
        |), m AS (
-       |  SELECT d // $stickinessWindowDays AS w,
+       |  SELECT ${graft.pipeline.ParityMath.fdivDuckSql("d", stickinessWindowDays.toString)} AS w,
        |         CAST(count(DISTINCT user_id) AS BIGINT) AS mau
        |  FROM du GROUP BY 1
        |)

@@ -687,7 +687,7 @@ object Sketches {
   val qHllSlidingSql: String = {
     val h48 = HashParity.hex48Duck("md5(CAST(user_id AS VARCHAR))")
     s"""WITH e AS (
-       |  SELECT epoch_us(ts) // $slideBucketUs AS b, user_id
+       |  SELECT ${ParityMath.fdivDuckSql("epoch_us(ts)", slideBucketUs.toString)} AS b, user_id
        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
        |), r AS (
        |  SELECT b, h >> $wBits AS reg, h % $wMod AS w FROM (
@@ -891,7 +891,7 @@ object Sketches {
   val qCmsSlidingSql: String = {
     val rowsList = cmsRows.mkString("[", ", ", "]")
     s"""WITH e AS (
-       |  SELECT epoch_us(ts) // $slideBucketUs AS b, user_id
+       |  SELECT ${ParityMath.fdivDuckSql("epoch_us(ts)", slideBucketUs.toString)} AS b, user_id
        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
        |), counters AS (
        |  SELECT b, r, bkt, count(*) AS c FROM (
@@ -954,7 +954,7 @@ object Sketches {
     val qList = qtileQs.map(q => s"CAST($q AS DOUBLE)")
       .mkString("[", ", ", "]")
     s"""WITH e AS (
-       |  SELECT epoch_us(ts) // $slideBucketUs AS b,
+       |  SELECT ${ParityMath.fdivDuckSql("epoch_us(ts)", slideBucketUs.toString)} AS b,
        |    CAST(floor(value / $w) AS BIGINT) AS bin
        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
        |), p AS (
@@ -1039,7 +1039,7 @@ object Sketches {
   val qKmvRetentionSql: String = {
     val h48 = HashParity.hex48Duck("md5(CAST(user_id AS VARCHAR))")
     s"""WITH hs AS (
-       |  SELECT DISTINCT epoch_us(ts) // $slideBucketUs AS b, $h48 AS h
+       |  SELECT DISTINCT ${ParityMath.fdivDuckSql("epoch_us(ts)", slideBucketUs.toString)} AS b, $h48 AS h
        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
        |), km AS (
        |  SELECT b, list_sort(list(h)) AS ks FROM (
@@ -1220,7 +1220,7 @@ object Sketches {
   val qHllSlidingProdSql: String = {
     val h48 = HashParity.hex48Duck("md5(CAST(user_id AS VARCHAR))")
     s"""WITH e AS (
-       |  SELECT epoch_us(ts) // $slideBucketUs AS b, user_id
+       |  SELECT ${ParityMath.fdivDuckSql("epoch_us(ts)", slideBucketUs.toString)} AS b, user_id
        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
        |), r AS (
        |  SELECT b, h >> $wBits AS reg, h % $wMod AS w FROM (
@@ -1350,7 +1350,7 @@ object Sketches {
   val qCmsSlidingProdSql: String = {
     val rowsList = cmsRows.mkString("[", ", ", "]")
     s"""WITH e AS (
-       |  SELECT epoch_us(ts) // $slideBucketUs AS b, user_id
+       |  SELECT ${ParityMath.fdivDuckSql("epoch_us(ts)", slideBucketUs.toString)} AS b, user_id
        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
        |), counters AS (
        |  SELECT b, r, bkt, count(*) AS c FROM (
@@ -1537,7 +1537,7 @@ object Sketches {
   val qKmvRetentionProdSql: String = {
     val h48 = HashParity.hex48Duck("md5(CAST(user_id AS VARCHAR))")
     s"""WITH hs AS (
-       |  SELECT DISTINCT epoch_us(ts) // $slideBucketUs AS b, $h48 AS h
+       |  SELECT DISTINCT ${ParityMath.fdivDuckSql("epoch_us(ts)", slideBucketUs.toString)} AS b, $h48 AS h
        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
        |), km AS (
        |  SELECT b, list_sort(list(h)) AS ks FROM (

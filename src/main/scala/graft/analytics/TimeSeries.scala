@@ -131,7 +131,7 @@ object TimeSeries {
 
   val qResampleInterpSql: String =
     s"""WITH e AS (
-       |  SELECT user_id, epoch_us(ts) // $resampleBucketUs AS tb,
+       |  SELECT user_id, ${graft.pipeline.ParityMath.fdivDuckSql("epoch_us(ts)", resampleBucketUs.toString)} AS tb,
        |         event_id,
        |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_mu
        |  FROM events
@@ -742,7 +742,7 @@ object TimeSeries {
 
   val qXcorrSql: String =
     s"""WITH cnt AS (
-       |  SELECT event_type AS et, epoch_us(ts) // 3600000000 AS h,
+       |  SELECT event_type AS et, ${graft.pipeline.ParityMath.fdivDuckSql("epoch_us(ts)", "3600000000")} AS h,
        |         CAST(count(*) AS BIGINT) AS c
        |  FROM events
        |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
@@ -856,7 +856,7 @@ object TimeSeries {
 
   val qStlSql: String =
     s"""WITH cnt AS (
-       |  SELECT epoch_us(ts) // 3600000000 AS h,
+       |  SELECT ${graft.pipeline.ParityMath.fdivDuckSql("epoch_us(ts)", "3600000000")} AS h,
        |         CAST(count(*) AS BIGINT) AS c
        |  FROM events WHERE ts IS NOT NULL GROUP BY 1
        |), dense AS (
@@ -873,7 +873,7 @@ object TimeSeries {
        |         wb AS (ORDER BY h ROWS BETWEEN 11 PRECEDING
        |                AND 12 FOLLOWING)
        |), d AS (
-       |  SELECT h % 24 AS hod, 48 * c - s1 - s2 AS d48
+       |  SELECT ((h % 24) + 24) % 24 AS hod, 48 * c - s1 - s2 AS d48
        |  FROM w WHERE n1 = 24 AND n2 = 24
        |), g AS (
        |  SELECT hod, CAST(count(*) AS BIGINT) AS n_cells,
@@ -1047,7 +1047,7 @@ object TimeSeries {
 
   val qMannKendallSql: String =
     s"""WITH cnt AS (
-       |  SELECT epoch_us(ts) // 86400000000 AS d,
+       |  SELECT ${graft.pipeline.ParityMath.fdivDuckSql("epoch_us(ts)", "86400000000")} AS d,
        |         CAST(count(*) AS BIGINT) AS c
        |  FROM events WHERE ts IS NOT NULL GROUP BY 1
        |), dense AS (
@@ -1121,7 +1121,7 @@ object TimeSeries {
 
   val qTheilsenSql: String =
     s"""WITH cnt AS (
-       |  SELECT epoch_us(ts) // 86400000000 AS d,
+       |  SELECT ${graft.pipeline.ParityMath.fdivDuckSql("epoch_us(ts)", "86400000000")} AS d,
        |         CAST(count(*) AS BIGINT) AS c
        |  FROM events WHERE ts IS NOT NULL GROUP BY 1
        |), dense AS MATERIALIZED (
@@ -1361,7 +1361,7 @@ object TimeSeries {
 
   val qRunsTestSql: String =
     s"""WITH cnt AS (
-       |  SELECT epoch_us(ts) // 86400000000 AS d,
+       |  SELECT ${graft.pipeline.ParityMath.fdivDuckSql("epoch_us(ts)", "86400000000")} AS d,
        |         CAST(count(*) AS BIGINT) AS c
        |  FROM events WHERE ts IS NOT NULL GROUP BY 1
        |), dense AS MATERIALIZED (
@@ -1481,7 +1481,7 @@ object TimeSeries {
       .map { case (p, r, cq, sq) => s"($p, $r, $cq, $sq)" }
       .mkString(", ")
     s"""WITH cnt AS (
-       |  SELECT epoch_us(ts) // 86400000000 AS d,
+       |  SELECT ${graft.pipeline.ParityMath.fdivDuckSql("epoch_us(ts)", "86400000000")} AS d,
        |         CAST(count(*) AS BIGINT) AS c
        |  FROM events WHERE ts IS NOT NULL GROUP BY 1
        |), dense AS MATERIALIZED (
@@ -1722,7 +1722,7 @@ object TimeSeries {
 
   private lazy val hwFoldCtes: String =
     s"""WITH RECURSIVE cnt AS (
-       |  SELECT event_type AS et, epoch_us(ts) // $dayUs AS d,
+       |  SELECT event_type AS et, ${graft.pipeline.ParityMath.fdivDuckSql("epoch_us(ts)", dayUs.toString)} AS d,
        |         count(*) AS c
        |  FROM events
        |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
@@ -2001,7 +2001,7 @@ object TimeSeries {
   val qDecayCountSql: String =
     s"""WITH ${graft.oracle.Sql.tuplesCte},
        |b AS (
-       |  SELECT p, s, o, t // $decayHalflifeUs AS day, count(*) AS c
+       |  SELECT p, s, o, ${graft.pipeline.ParityMath.fdivDuckSql("t", decayHalflifeUs.toString)} AS day, count(*) AS c
        |  FROM tuples GROUP BY 1, 2, 3, 4
        |),
        |tm AS (SELECT max(day) AS day_max FROM b),
@@ -2078,7 +2078,7 @@ object TimeSeries {
   val qTrendingSql: String =
     s"""WITH ${graft.oracle.Sql.tuplesCte},
        |b AS (
-       |  SELECT o, t // $decayHalflifeUs AS day, count(*) AS c
+       |  SELECT o, ${graft.pipeline.ParityMath.fdivDuckSql("t", decayHalflifeUs.toString)} AS day, count(*) AS c
        |  FROM tuples GROUP BY 1, 2
        |),
        |tm AS (SELECT max(day) AS day_max FROM b),
@@ -2123,10 +2123,11 @@ object TimeSeries {
   def qSeasonality(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
     // tus >= 0 is part of the operator contract, enforced on BOTH
-    // faces: for negative (pre-epoch) timestamps Spark's DIV/% truncate
-    // toward zero while DuckDB's // floors, so dow/hour would silently
-    // diverge (and dow could go negative). The filter makes the
-    // integer bucket math well-defined instead of data-dependent.
+    // faces: for negative (pre-epoch) timestamps the truncating
+    // integer DIV/% (BOTH engines truncate — DuckDB 1.0.0 integer //
+    // truncates too, see ParityMath.fdivDuckSql) would put dow/hour
+    // outside 0..6/0..23. The filter makes the integer bucket math
+    // well-defined instead of data-dependent.
     seasonalityFromCells(seasonalityCells(
       Graft.table(spark, sfDir, "events")))
   }
@@ -2246,9 +2247,9 @@ object TimeSeries {
        |  SELECT min(tus) AS lo, max(tus) AS hi FROM e
        |), c AS (
        |  SELECT event_type,
-       |    sum(CASE WHEN tus <= (lo + hi) // 2 THEN 1 ELSE 0 END)
+       |    sum(CASE WHEN tus <= ${graft.pipeline.ParityMath.fdivDuckSql("lo + hi", "2")} THEN 1 ELSE 0 END)
        |      AS c_ref,
-       |    sum(CASE WHEN tus <= (lo + hi) // 2 THEN 0 ELSE 1 END)
+       |    sum(CASE WHEN tus <= ${graft.pipeline.ParityMath.fdivDuckSql("lo + hi", "2")} THEN 0 ELSE 1 END)
        |      AS c_cur
        |  FROM e CROSS JOIN b GROUP BY event_type
        |), t AS (
@@ -2321,7 +2322,7 @@ object TimeSeries {
 
   val qCusumSql: String =
     s"""WITH cnt AS (
-       |  SELECT epoch_us(ts) // 86400000000 AS d,
+       |  SELECT ${graft.pipeline.ParityMath.fdivDuckSql("epoch_us(ts)", "86400000000")} AS d,
        |         CAST(count(*) AS BIGINT) AS c
        |  FROM events WHERE ts IS NOT NULL GROUP BY 1
        |), dense AS MATERIALIZED (
@@ -2410,7 +2411,7 @@ object TimeSeries {
 
   val qChangepointSql: String =
     s"""WITH e AS (
-       |  SELECT epoch_us(ts) // $dayUs AS day FROM events
+       |  SELECT ${graft.pipeline.ParityMath.fdivDuckSql("epoch_us(ts)", dayUs.toString)} AS day FROM events
        |  WHERE ts IS NOT NULL AND epoch_us(ts) >= 0
        |), d AS (
        |  SELECT day, count(*) AS n_events FROM e GROUP BY 1
@@ -2442,7 +2443,7 @@ object TimeSeries {
 
   val qResampleSql: String =
     s"""WITH e AS (
-       |  SELECT user_id, epoch_us(ts) // $resampleBucketUs AS tb,
+       |  SELECT user_id, ${graft.pipeline.ParityMath.fdivDuckSql("epoch_us(ts)", resampleBucketUs.toString)} AS tb,
        |         event_id
        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
        |), base AS (
@@ -2580,7 +2581,7 @@ object TimeSeries {
 
   lazy val qBurstinessSql: String =
     s"""WITH buckets AS (
-       |  SELECT event_type AS et, epoch_us(ts) // $dayUs AS d,
+       |  SELECT event_type AS et, ${graft.pipeline.ParityMath.fdivDuckSql("epoch_us(ts)", dayUs.toString)} AS d,
        |         CAST(count(*) AS BIGINT) AS c
        |  FROM events
        |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
@@ -2606,7 +2607,7 @@ object TimeSeries {
 
   lazy val qDtwSql: String =
     s"""WITH RECURSIVE buckets AS (
-       |  SELECT event_type AS et, epoch_us(ts) // $dayUs AS d,
+       |  SELECT event_type AS et, ${graft.pipeline.ParityMath.fdivDuckSql("epoch_us(ts)", dayUs.toString)} AS d,
        |         CAST(count(*) AS BIGINT) AS c
        |  FROM events
        |  WHERE ts IS NOT NULL AND event_type IS NOT NULL

@@ -110,6 +110,59 @@ object GlobalRank {
     (GraftBridge.ofInternalRows(spark, out, outSchema), total)
   }
 
+  /** Multi-column variant of `withPrefixSum`: EXCLUSIVE running sums
+    * of SEVERAL non-null LongType columns under ONE total order, in
+    * one range shuffle + one size pass — chaining `withPrefixSum` per
+    * column would re-sample, re-shuffle and re-collect per column,
+    * pure scheduler overhead (the `longAxisRanks` argument). Returns
+    * the augmented relation and each column's grand total.
+    */
+  def withPrefixSums(df: DataFrame, order: Seq[Column],
+                     valueCols: Seq[String],
+                     sumCols: Seq[String]): (DataFrame, Seq[Long]) = {
+    require(valueCols.nonEmpty && valueCols.length == sumCols.length,
+      s"valueCols/sumCols arity mismatch: $valueCols vs $sumCols")
+    val spark = df.sparkSession
+    val parts = spark.sparkContext.defaultParallelism
+    val sorted = df
+      .repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+    val inSchema = sorted.schema
+    val vIdx = valueCols.map(inSchema.fieldIndex).toArray
+    vIdx.foreach(i => require(inSchema(i).dataType == LongType,
+      s"${inSchema(i).name} must be LongType, got ${inSchema(i).dataType}"))
+    val outSchema = StructType(inSchema.fields ++
+      sumCols.map(c => StructField(c, LongType, nullable = false)))
+    val k = vIdx.length
+    val rdd = sorted.queryExecution.toRdd
+    val sums = rdd.mapPartitions { it =>
+      val s = new Array[Long](k)
+      while (it.hasNext) {
+        val ir = it.next()
+        var j = 0
+        while (j < k) { s(j) += ir.getLong(vIdx(j)); j += 1 }
+      }
+      Iterator.single(s)
+    }.collect()
+    val offsets = sums.scanLeft(new Array[Long](k)) { (acc, p) =>
+      Array.tabulate(k)(j => acc(j) + p(j))
+    }
+    val totals = offsets.last.toSeq
+    val out = rdd.mapPartitionsWithIndex { (pi, it) =>
+      val acc = offsets(pi).clone()
+      it.map[InternalRow] { ir =>
+        // copy: unsafe-row iterators reuse the backing buffer
+        val vals = ir.copy().toSeq(inSchema).toArray[Any]
+        val row = new GenericInternalRow(
+          vals ++ acc.map(a => (a: Any))) // exclusive
+        var j = 0
+        while (j < k) { acc(j) += ir.getLong(vIdx(j)); j += 1 }
+        row
+      }
+    }
+    (GraftBridge.ofInternalRows(spark, out, outSchema), totals)
+  }
+
   /** SEVERAL global rankings of one relation in ONE range shuffle:
     * each row is tagged into `axes.length` skinny (key, axis, value)
     * rows, range-partitioned on (axis, value, key) — axis leading, so

@@ -255,7 +255,7 @@ object Sql {
   /** Tumbling 1-day windows are epoch-aligned in both engines. */
   val ssStreamWindowed: String =
     s"""WITH $tuplesCte
-       |SELECT (t // 86400000000) * 86400000000 AS window_start, p,
+       |SELECT ${graft.pipeline.ParityMath.fdivDuckSql("t", "86400000000")} * 86400000000 AS window_start, p,
        |       count(*) AS cnt
        |FROM tuples GROUP BY 1, 2 ORDER BY window_start, p""".stripMargin
 

@@ -172,7 +172,7 @@ object Layout {
   val zorderSql: String =
     s"""WITH b AS (
        |  SELECT event_id,
-       |    (((epoch_us(ts) // $tBucketUs) % ${1L << zBits})
+       |    (((${ParityMath.fdivDuckSql("epoch_us(ts)", tBucketUs.toString)}) % ${1L << zBits})
        |     + ${1L << zBits}) % ${1L << zBits} AS tb,
        |    ${vbDuck("value")} AS vb
        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL

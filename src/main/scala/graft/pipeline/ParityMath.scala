@@ -29,19 +29,32 @@ object ParityMath {
   def q9Sql(e: String): String =
     s"(floor(($e) * 1000000000.0 + 0.5) / 1000000000.0)"
 
-  /** FLOOR-division SQL text matching DuckDB `//` for ANY sign of x
+  /** Exact FLOOR-division SQL text for the Spark face, any sign of x
     * (p must be a POSITIVE literal): Spark's `DIV` truncates toward
-    * zero while DuckDB's `//` floors, so `x DIV p` vs `x // p`
-    * silently diverge on negative operands — concretely, pre-1970
-    * timestamps bucketed to epoch days/hours/weeks. `x − pmod(x, p)`
-    * is the exact multiple `p·⌊x/p⌋`, so the final DIV is exact and
-    * sign-safe; all integer arithmetic, whole-stage codegen'd. Every
-    * Spark-side time-bucket site pairs this with an unguarded `//`
-    * oracle; sites that instead enforce the `tus >= 0` contract do so
-    * on BOTH faces (q_seasonality discipline) and stay on plain DIV.
+    * zero, so `x DIV p` mis-buckets negative operands — concretely,
+    * pre-1970 timestamps bucketed to epoch days/hours/weeks.
+    * `x − pmod(x, p)` is the exact multiple `p·⌊x/p⌋`, so the final
+    * DIV is exact and sign-safe; all integer arithmetic, whole-stage
+    * codegen'd. Every Spark-side time-bucket site pairs this with a
+    * `fdivDuckSql` oracle (below); sites that instead enforce the
+    * `tus >= 0` contract do so on BOTH faces (q_seasonality
+    * discipline) and stay on plain DIV / plain `//`.
     */
   def fdivSql(x: String, p: String): String =
     s"((($x) - pmod(($x), $p)) DIV ($p))"
+
+  /** The DuckDB half of the floor-division pair. r13's premise that
+    * DuckDB `//` floors is WRONG for integer operands: DuckDB 1.0.0
+    * integer `//` TRUNCATES toward zero ((-7)//2 = -3), exactly like
+    * Spark DIV — measured r15 when the sliced-energy face's negative
+    * dot products exposed it (every time-bucket gate had only
+    * post-1970 data, so the divergence was latent). Same construction
+    * as `fdivSql`: subtract the FLOORED modulo (((x%p)+p)%p, the
+    * pmod equivalent), after which the division is exact and
+    * truncation equals floor.
+    */
+  def fdivDuckSql(x: String, p: String): String =
+    s"((($x) - ((($x) % ($p)) + ($p)) % ($p)) // ($p))"
 
   /** In-plan LOUD integer-headroom guard: passes `c` through unchanged
     * while |c| ≤ `lim`, raises a job-failing error beyond it. The

@@ -1016,6 +1016,50 @@ object SignatureStore {
           "id AS grp", "id AS i", "id AS s", "id AS n"))))
   }
 
+  // ---- emb-energy store --------------------------------------------------
+
+  /** Incremental sliced-energy store: per-batch (dir, grp, p) count
+    * PARTIALS off the embeddings stream — ADDITIVE under any batch
+    * split, values-sized per batch — with the rank-prefix energy fold
+    * a query-time VIEW through the shared `energyFromProjCounts`.
+    */
+  def catchUpEmbEnergy(spark: SparkSession, watchDir: String,
+                       storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.parquet(watchDir).schema
+    val vecs = spark.readStream.schema(schema).parquet(watchDir)
+    val q = vecs.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.pipeline.Similarity.energyProjCounts(batch)
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/proj_counts/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Driver-gate face: vec-parity appends, query-time fold; shares
+    * `emb_energy`'s oracle.
+    */
+  def gatedEmbEnergy(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_energy_watch")
+    val store = tempDirForExit("graft_gate_energy_store")
+    val vecs = Graft.table(spark, sfDir, "embeddings")
+    land(vecs.filter(pmod(col("vec_id"), lit(4)) < 2), watch,
+      "arrival1.parquet")
+    catchUpEmbEnergy(spark, watch, store)
+    land(vecs.filter(pmod(col("vec_id"), lit(4)) >= 2), watch,
+      "arrival2.parquet")
+    catchUpEmbEnergy(spark, watch, store)
+    graft.pipeline.Similarity.energyFromProjCounts(
+      storedOrEmpty(spark, s"$store/proj_counts",
+        emptyLike(spark, spark.range(0).selectExpr(
+          "id AS dir", "id AS grp", "id AS p", "id AS c"))))
+  }
+
   // ---- spearman store ------------------------------------------------
 
   /** Incremental Spearman store: per-batch (x, y) pair-count PARTIALS

@@ -2849,6 +2849,234 @@ object Similarity {
        |FROM t""".stripMargin
   }
 
+  // ---- emb_energy --------------------------------------------------------
+
+  /** Frozen projection directions for the SLICED energy distance:
+    * `energyDirCount` unit vectors drawn from the same deterministic
+    * LCG + Irwin–Hall generator as the RFF features (different seed),
+    * normalized in Scala at build time and quantized to micro-units —
+    * literal-spliced into both engines, never re-drawn.
+    */
+  val energyDirCount = 8
+  private[graft] lazy val energyWMu: Seq[Seq[Long]] = {
+    val u = lcgStream(0x0E17ED5EEDL)
+    Seq.fill(energyDirCount) {
+      val z = Seq.fill(rbfDim)((0 until 12).map(_ => u.next()).sum - 6.0)
+      val norm = math.sqrt(z.map(x => x * x).sum)
+      z.map(x => math.floor(x / norm * 1e6 + 0.5).toLong)
+    }
+  }
+
+  /** The (dir, grp, p, c) projection-count relation over any
+    * (vec_id, embedding) relation — the ADDITIVE storable fact of the
+    * stream/store faces. Per row: `energyDirCount` exact integer dot
+    * products against the literal unit directions (array expressions,
+    * narrow), floor-divided to 10⁻⁴-unit projections via the
+    * sign-safe `fdivSql` (dots go negative; Spark DIV would truncate
+    * where DuckDB // floors), then a map-combinable count.
+    */
+  private[graft] def energyProjCounts(vecs: DataFrame): DataFrame = {
+    val vq = "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)" +
+      " * 1000000.0 + 0.5) AS BIGINT))"
+    val projs = (0 until energyDirCount).map { j =>
+      val w = energyWMu(j).mkString("array(", "L, ", "L)")
+      val dot = s"aggregate(zip_with(vq, $w, (a, b) -> a * b), " +
+        s"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+      s"named_struct('dir', $j, " +
+        s"'p', ${ParityMath.fdivSql(dot, "100000000")})"
+    }
+    vecs.select(pmod(col("vec_id"), lit(2)).as("grp"),
+        expr(vq).as("vq"))
+      .select(col("grp"),
+        explode(expr(projs.mkString("array(", ", ", ")"))).as("f"))
+      .select(col("f.dir").cast("long").as("dir"), col("grp"),
+        col("f.p").as("p"))
+      .groupBy(col("dir"), col("grp"), col("p"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** SLICED ENERGY DISTANCE between the even/odd vec_id cohorts — the
+    * third member of the embedding drift family, orthogonal to both
+    * kernels: linear MMD sees only mean shift, RFF-RBF MMD sees what
+    * its 16 random features resolve; the energy statistic
+    * E² = 2·E‖X−Y‖ − E‖X−X'‖ − E‖Y−Y'‖ (Székely & Rizzo 2004) is
+    * zero iff the distributions coincide, and its SLICED form
+    * averages the 1-D statistic over frozen unit directions
+    * (Cramér–Wold), where 1-D energy distance is EXACTLY computable
+    * from rank prefix sums — no pairwise term, no kernel bandwidth,
+    * no transcendental anywhere: Σ_{i<j}|v_i−v_j| over a value-count
+    * relation is Σ_v c_v·(v·W_lt(v) − S_lt(v)) in pure integers.
+    *
+    * All four prefix series (both cohorts' counts and v-weighted
+    * sums) ride ONE `GlobalRank.withPrefixSums` range shuffle ordered
+    * by (dir, p); per-direction boundaries come from the dirs-sized
+    * total relation (8 rows, driver-folded). Cross/within-cohort
+    * absolute-difference sums accumulate per direction in
+    * DECIMAL(38,0) ≙ HUGEINT and fold across directions EXACTLY
+    * (equal denominators), so the whole statistic is ONE pinned
+    * double chain at the very end, q6. Loud headroom: |p| ≤ ~1.6·10⁵
+    * (unit directions, unit-scale embeddings), so p·W needs
+    * n ≲ 5·10¹² — enforced via the prefix totals already in hand.
+    *
+    * 100 TB shape: one corpus scan folds map-combinably to the
+    * (dir, grp, p) count relation (values-sized, the additive fact),
+    * one multi-column range-shuffle prefix pass, one 1-row fold.
+    */
+  def embEnergy(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    energyFromProjCounts(energyProjCounts(emb(spark, sfDir)))
+  }
+
+  /** The statistic over any (dir, grp, p, c) projection-count
+    * relation — shared by all three faces.
+    */
+  private[graft] def energyFromProjCounts(pc0: DataFrame): DataFrame = {
+    val spark = pc0.sparkSession
+    import spark.implicits._
+    val d19 = "decimal(19,0)"
+    val d38 = "decimal(38,0)"
+    val vc = pc0.groupBy(col("dir"), col("p")).agg(
+        coalesce(sum(when(col("grp") === 0, col("c")).otherwise(0L)),
+          lit(0L)).as("ca"),
+        coalesce(sum(when(col("grp") =!= 0, col("c")).otherwise(0L)),
+          lit(0L)).as("cb"))
+      .withColumn("sa", col("p") * col("ca"))
+      .withColumn("sb", col("p") * col("cb"))
+      .localCheckpoint()
+    val (pf, totals) = graft.core.GlobalRank.withPrefixSums(vc,
+      Seq(col("dir").asc, col("p").asc),
+      Seq("ca", "cb", "sa", "sb"),
+      Seq("g_ca", "g_cb", "g_sa", "g_sb"))
+    // per-cohort size: every vec projects once per direction, so the
+    // grand count total is dirs * n. Loud headroom for p*W products.
+    require(totals.head / math.max(energyDirCount, 1) <= 1000000000000L,
+      s"embEnergy: cohort size ${totals.head / energyDirCount} exceeds " +
+        "the 1e12 BIGINT prefix-product bound")
+    // per-direction boundary offsets and totals: dirs-sized (8 rows),
+    // the documented driver-fold posture
+    val dirTot = vc.groupBy(col("dir")).agg(
+        sum(col("ca")).as("tca"), sum(col("cb")).as("tcb"),
+        sum(col("sa")).as("tsa"), sum(col("sb")).as("tsb"))
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .sortBy(_._1)
+    val nA = dirTot.headOption.map(_._2._1).getOrElse(0L)
+    val nB = dirTot.headOption.map(_._2._2).getOrElse(0L)
+    require(dirTot.forall(t => t._2._1 == nA && t._2._2 == nB),
+      "embEnergy: per-direction cohort counts must agree")
+    var accCa = 0L; var accCb = 0L; var accSa = 0L; var accSb = 0L
+    val offRows = dirTot.map { case (dir, (tca, tcb, tsa, tsb)) =>
+      val row = (dir, accCa, accCb, accSa, accSb, tca, tcb, tsa, tsb)
+      accCa += tca; accCb += tcb; accSa += tsa; accSb += tsb
+      row
+    }.toSeq
+    val offs = offRows.toDF("dir", "o_ca", "o_cb", "o_sa", "o_sb",
+      "t_ca", "t_cb", "t_sa", "t_sb")
+    val terms = pf.join(broadcast(offs), "dir")
+      .select(
+        // exclusive below-counts/sums WITHIN the direction
+        (col("g_ca") - col("o_ca")).as("wa"),
+        (col("g_cb") - col("o_cb")).as("wb"),
+        (col("g_sa") - col("o_sa")).as("la"),
+        (col("g_sb") - col("o_sb")).as("lb"),
+        col("t_ca"), col("t_cb"), col("t_sa"), col("t_sb"),
+        col("p"), col("ca"), col("cb"), col("sa"), col("sb"))
+      .select(
+        (col("ca").cast(d19) *
+          (col("p") * col("wb") - col("lb") +
+            (col("t_sb") - col("lb") - col("sb")) -
+            col("p") * (col("t_cb") - col("wb") - col("cb")))
+            .cast(d19)).as("xyd"),
+        (lit(2L).cast(d19) * col("ca").cast(d19) *
+          (col("p") * col("wa") - col("la")).cast(d19)).as("xxd"),
+        (lit(2L).cast(d19) * col("cb").cast(d19) *
+          (col("p") * col("wb") - col("lb")).cast(d19)).as("yyd"))
+      .agg(
+        coalesce(sum(col("xyd")), lit(0).cast(d19)).cast(d38).as("xy"),
+        coalesce(sum(col("xxd")), lit(0).cast(d19)).cast(d38).as("xx2"),
+        coalesce(sum(col("yyd")), lit(0).cast(d19)).cast(d38).as("yy2"))
+    terms
+      .select(lit(nA).as("n_a"), lit(nB).as("n_b"),
+        lit(energyDirCount.toLong).as("d_dirs"),
+        col("xy"), col("xx2"), col("yy2"))
+      .select(col("n_a"), col("n_b"), col("d_dirs"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          ParityMath.q6(expr(energyChain))).as("energy2"))
+  }
+
+  private[graft] val energyChain: String =
+    s"""(2.0 * CAST(xy AS DOUBLE)
+       | / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+       | - CAST(xx2 AS DOUBLE)
+       |   / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE))
+       | - CAST(yy2 AS DOUBLE)
+       |   / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)))
+       |/ 10000.0 / $energyDirCount.0""".stripMargin
+
+  lazy val embEnergySql: String = {
+    val branches = (0 until energyDirCount).map { j =>
+      val w = energyWMu(j).mkString("[", ", ", "]")
+      s"""  SELECT grp, $j AS dir,
+         |    CAST(${ParityMath.fdivDuckSql("dot", "100000000")} AS BIGINT) AS p
+         |  FROM (SELECT grp,
+         |    list_sum(list_transform(range(1, ${rbfDim + 1}),
+         |      d -> vq[d] * ($w)[d])) AS dot FROM e)""".stripMargin
+    }
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id % 2 AS grp,
+       |    list_transform(embedding, v ->
+       |      CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5)
+       |        AS BIGINT)) AS vq
+       |  FROM embeddings
+       |), pr AS (
+       |${branches.mkString("\n  UNION ALL\n")}
+       |), vc AS (
+       |  SELECT dir, p,
+       |    CAST(coalesce(sum(CASE WHEN grp = 0 THEN 1 END), 0)
+       |      AS BIGINT) AS ca,
+       |    CAST(coalesce(sum(CASE WHEN grp <> 0 THEN 1 END), 0)
+       |      AS BIGINT) AS cb
+       |  FROM pr GROUP BY 1, 2
+       |), cum AS (
+       |  SELECT dir, p, ca, cb, p * ca AS sa, p * cb AS sb,
+       |    CAST(coalesce(sum(ca) OVER w, 0) AS BIGINT) AS wa,
+       |    CAST(coalesce(sum(cb) OVER w, 0) AS BIGINT) AS wb,
+       |    CAST(coalesce(sum(p * ca) OVER w, 0) AS BIGINT) AS la,
+       |    CAST(coalesce(sum(p * cb) OVER w, 0) AS BIGINT) AS lb,
+       |    CAST(sum(ca) OVER wd AS BIGINT) AS t_ca,
+       |    CAST(sum(cb) OVER wd AS BIGINT) AS t_cb,
+       |    CAST(sum(p * ca) OVER wd AS BIGINT) AS t_sa,
+       |    CAST(sum(p * cb) OVER wd AS BIGINT) AS t_sb
+       |  FROM vc
+       |  WINDOW w AS (PARTITION BY dir ORDER BY p
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |  wd AS (PARTITION BY dir)
+       |), t AS (
+       |  SELECT
+       |    coalesce(sum(CAST(ca AS HUGEINT) *
+       |      (p * wb - lb + (t_sb - lb - sb)
+       |       - p * (t_cb - wb - cb))), 0) AS xy,
+       |    coalesce(sum(2 * CAST(ca AS HUGEINT) * (p * wa - la)), 0)
+       |      AS xx2,
+       |    coalesce(sum(2 * CAST(cb AS HUGEINT) * (p * wb - lb)), 0)
+       |      AS yy2
+       |  FROM cum
+       |), n AS (
+       |  SELECT
+       |    CAST(coalesce(sum(CASE WHEN grp = 0 THEN 1 END), 0)
+       |      AS BIGINT) AS n_a,
+       |    CAST(coalesce(sum(CASE WHEN grp <> 0 THEN 1 END), 0)
+       |      AS BIGINT) AS n_b
+       |  FROM e
+       |)
+       |SELECT n_a, n_b,
+       |  CAST($energyDirCount AS BIGINT) AS d_dirs,
+       |  CASE WHEN n_a > 0 AND n_b > 0
+       |    THEN ${ParityMath.q6Sql(energyChain)}
+       |  END AS energy2
+       |FROM t CROSS JOIN n""".stripMargin
+  }
+
   // ---- pipe_embed_prune ----------------------------------------------
 
   /** Fraction of the corpus pruned as embedding outliers: the bottom

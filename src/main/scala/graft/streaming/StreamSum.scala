@@ -1232,6 +1232,24 @@ object StreamSum {
         OutputMode.Complete(), "ss_stream_emb_mmd_rbf"))
   }
 
+  /** Streaming face of the sliced energy distance, sharing
+    * `emb_energy`'s oracle: the state is the additive (dir, grp, p)
+    * projection-count relation (values-sized), so a Complete-mode agg
+    * over the mapped stream IS the batch fact and the rank-prefix
+    * fold runs at query time through the shared
+    * `energyFromProjCounts`.
+    */
+  def streamEmbEnergy(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val schema = spark.read.parquet(s"$sfDir/embeddings.parquet").schema
+    val vecs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(sfDir)
+    graft.pipeline.Similarity.energyFromProjCounts(
+      runToTable(graft.pipeline.Similarity.energyProjCounts(vecs),
+        OutputMode.Complete(), "ss_stream_emb_energy"))
+  }
+
   def streamAnnCandidates(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
     import spark.implicits._

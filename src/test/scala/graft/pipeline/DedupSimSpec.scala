@@ -230,6 +230,47 @@ class DedupSimSpec extends SparkSpec {
       s"identical cohorts must score exactly 0: $sameRbf")
   }
 
+  test("emb energy: the 1-d fold reproduces a hand-computed energy " +
+       "distance exactly; equal-mean covariance drift separates; " +
+       "identical cohorts score exactly 0") {
+    val s = spark; import s.implicits._
+    // hand fact at dir 0 (p in 1e-4 units): A = {0, 2}, B = {1}.
+    // T_XY = |0-1|+|2-1| = 2; T_XX(ordered) = 2*|0-2| = 4; T_YY = 0.
+    // E2_dir = 2*2/(2*1) - 4/4 - 0 = 1.0; /8 dirs -> 0.125 exactly.
+    val hand = Seq((0L, 0L, 0L, 1L), (0L, 0L, 20000L, 1L),
+      (0L, 1L, 10000L, 1L)).toDF("dir", "grp", "p", "c")
+    val h = Similarity.energyFromProjCounts(hand).collect().head
+    assert(h.getLong(0) == 2L && h.getLong(1) == 1L, s"$h")
+    assert(h.getDouble(3) == 0.125, s"hand energy: $h")
+    // the RBF test's covariance fixture: means equal, shapes differ -
+    // every 1-d projection of A is the symmetric pair {+w*u, -w*u}
+    // while B projects to a point mass at 0, so the sliced statistic
+    // must separate what linear MMD scored 0 on
+    val vecs = (0 until 200).map { j =>
+      val id = j.toLong
+      val e =
+        if (id % 2 == 1) Array.fill(Similarity.rbfDim)(0.0f)
+        else if ((id / 2) % 2 == 0) Array.fill(Similarity.rbfDim)(0.5f)
+        else Array.fill(Similarity.rbfDim)(-0.5f)
+      (id, e)
+    }.toDF("vec_id", "embedding")
+    val drift = Similarity.energyFromProjCounts(
+      Similarity.energyProjCounts(vecs)).collect().head
+    assert(drift.getLong(0) == 100L && drift.getLong(1) == 100L &&
+      drift.getLong(2) == Similarity.energyDirCount.toLong, s"$drift")
+    assert(drift.getDouble(3) > 0.01,
+      s"sliced energy must separate the covariance drift: $drift")
+    // identical cohorts: all projection multisets equal -> E2 is an
+    // exact integer 0 before the double chain ever runs
+    val sameVecs = (0 until 100).map { j =>
+      (j.toLong, Array.fill(Similarity.rbfDim)(0.25f))
+    }.toDF("vec_id", "embedding")
+    val same = Similarity.energyFromProjCounts(
+      Similarity.energyProjCounts(sameVecs)).collect().head
+    assert(same.getDouble(3) == 0.0,
+      s"identical cohorts must score exactly 0: $same")
+  }
+
   test("simhash scheme/chunk knobs: flip1 and chunk7 emit the SAME " +
        "pairs, chunk7 at k=4 reproduces the r13 recall floor, junk " +
        "throws, the default keeps the guarantee") {
