@@ -62,7 +62,7 @@ object Bench {
     "q_markov_entropy", "pipe_curriculum",
     "q_katz", "q_lcc", "q_survival_logrank", "ann_knn_join_mp",
     "q_runs_test", "q_modularity", "q_diameter", "q_chisq", "q_abtest",
-    "q_mannwhitney", "q_ks_test", "q_kruskal",
+    "q_mannwhitney", "q_ks_test", "q_kruskal", "q_dunn",
     "q_periodogram", "q_harmonic", "q_betweenness", "q_transitivity", "q_stickiness",
     // training-data pipeline
     "dd_exact", "dd_minhash_lsh", "dd_edit_verify", "dd_ngram_jaccard", "dd_jaccard_prefix",
@@ -131,7 +131,7 @@ object Bench {
     "q_markov_entropy",
     "q_katz", "q_lcc", "q_survival_logrank",
     "q_runs_test", "q_modularity", "q_diameter", "q_chisq", "q_abtest",
-    "q_mannwhitney", "q_ks_test", "q_kruskal",
+    "q_mannwhitney", "q_ks_test", "q_kruskal", "q_dunn",
     "q_periodogram", "q_harmonic", "q_betweenness", "q_transitivity", "q_stickiness",
     "q_cms_topk", "q_cms_topk_prod", "q_cms_sliding", "q_cms_sliding_prod",
     "q_hll_sliding", "q_hll_sliding_prod", "q_qtile_sliding",

@@ -1245,10 +1245,14 @@ object Behavior {
         .agg(count(lit(1)).as("c")))
   }
 
-  /** The test over any (et, v_mu, c) value-count relation — shared by
-    * all three faces.
+  /** The pooled tie-averaged rank sums over any (et, v_mu, c)
+    * value-count relation — the shared core of BOTH k-group rank
+    * tests (Kruskal–Wallis screens, Dunn localizes; one landed fact,
+    * two views): per-type (n_g, 2R_g), the tie term, and n. ONE
+    * `GlobalRank.withPrefixSum` pass, exact integers.
     */
-  private[graft] def kruskalFromCounts(vc0: DataFrame): DataFrame = {
+  private[graft] def pooledRankSums(
+      vc0: DataFrame): (DataFrame, DataFrame, Long) = {
     val vc = vc0.groupBy(col("et"), col("v_mu"))
       .agg(sum(col("c")).as("c")).localCheckpoint()
     val pooled = vc.groupBy(col("v_mu")).agg(sum(col("c")).as("c"))
@@ -1259,9 +1263,9 @@ object Behavior {
     // needs each pooled per-value count <= 2e6 (in-plan loudBound) -
     // beyond either, silent non-ANSI Long wrap vs the HUGEINT oracle.
     require(nTot <= 2100000000L,
-      s"kruskal: n=$nTot exceeds the 2.1e9 BIGINT rank-sum bound")
+      s"rank test: n=$nTot exceeds the 2.1e9 BIGINT rank-sum bound")
     val cTie = graft.pipeline.ParityMath.loudBound(
-      col("c"), 2000000L, "kruskal per-value tie count")
+      col("c"), 2000000L, "rank-test per-value tie count")
     val r2 = pf.select(col("v_mu"),
       (lit(2L) * col("lo") + col("c") + 1L).as("r2"),
       (cTie * cTie * cTie - cTie).as("tv"))
@@ -1271,6 +1275,14 @@ object Behavior {
         sum(col("c") * col("r2")).as("two_r"))
       .localCheckpoint()
     val ties = r2.agg(coalesce(sum(col("tv")), lit(0L)).as("t_ties"))
+    (perType, ties, nTot)
+  }
+
+  /** The test over any (et, v_mu, c) value-count relation — shared by
+    * all three faces.
+    */
+  private[graft] def kruskalFromCounts(vc0: DataFrame): DataFrame = {
+    val (perType, ties, nTot) = pooledRankSums(vc0)
     val totals = perType.agg(count(lit(1)).as("k_groups"))
     val terms = perType
       .select(col("et"),
@@ -1354,6 +1366,109 @@ object Behavior {
        |  END AS h
        |FROM pt CROSS JOIN tt CROSS JOIN tot
        |ORDER BY event_type""".stripMargin
+
+  // ---- q_dunn: post-hoc pairwise rank tests ---------------------------
+
+  /** DUNN'S TEST between every pair of event types — the POST-HOC
+    * member the k-group family was missing: q_kruskal answers "do the
+    * types draw value from one distribution at all?" and stops; the
+    * analyst's next question is always WHICH pairs differ, and
+    * running pairwise Mann–Whitneys re-ranks each pair (wrong: the
+    * tests must share the pooled ranking, or the family-wise story
+    * falls apart — Dunn 1964's point). This face reuses the EXACT
+    * pooled rank sums Kruskal–Wallis already computes
+    * (`pooledRankSums` — one landed fact, two views; the
+    * stream/store faces share q_kruskal's (et, v_mu, c) state):
+    * z_gh = (R̄_g − R̄_h) / √(σ²·(1/n_g + 1/n_h)) with
+    * σ² = [n(n+1) − T/(n−1)]/12, tie-corrected; mean ranks are
+    * two_r/(2n_g) off the exact integers, ONE pinned double chain per
+    * pair, q6, NULL when the variance degenerates (all values tied).
+    *
+    * 100 TB shape: everything after the shared rank pass runs on the
+    * TYPES-sized relation — the pair join is k², k = event types
+    * (dozens), never data-sized.
+    */
+  def qDunn(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    dunnFromCounts(
+      Graft.table(spark, sfDir, "events")
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .select(col("event_type").as("et"),
+          expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)")
+            .as("v_mu"))
+        .groupBy(col("et"), col("v_mu"))
+        .agg(count(lit(1)).as("c")))
+  }
+
+  private[graft] val dunnZExpr: String =
+    """(CAST(r2_a AS DOUBLE) / (2.0 * CAST(n_a AS DOUBLE))
+      | - CAST(r2_b AS DOUBLE) / (2.0 * CAST(n_b AS DOUBLE)))
+      |/ sqrt((CAST(n_tot AS DOUBLE) * (CAST(n_tot AS DOUBLE) + 1.0)
+      |        - CAST(t_ties AS DOUBLE)
+      |          / (CAST(n_tot AS DOUBLE) - 1.0)) / 12.0
+      |       * (1.0 / CAST(n_a AS DOUBLE)
+      |          + 1.0 / CAST(n_b AS DOUBLE)))""".stripMargin
+
+  private[graft] val dunnVarPosExpr: String =
+    """CAST(n_tot AS DOUBLE) * (CAST(n_tot AS DOUBLE) + 1.0)
+      |- CAST(t_ties AS DOUBLE)
+      |  / (CAST(n_tot AS DOUBLE) - 1.0)""".stripMargin
+
+  /** The pairwise readout over any (et, v_mu, c) value-count
+    * relation — shared by all three faces.
+    */
+  private[graft] def dunnFromCounts(vc0: DataFrame): DataFrame = {
+    val (perType, ties, nTot) = pooledRankSums(vc0)
+    val a = perType.select(col("et").as("et_a"), col("n_g").as("n_a"),
+      col("two_r").as("r2_a"))
+    val b = perType.select(col("et").as("et_b"), col("n_g").as("n_b"),
+      col("two_r").as("r2_b"))
+    a.join(b, col("et_a") < col("et_b"))
+      .crossJoin(broadcast(
+        ties.select(col("t_ties"), lit(nTot).as("n_tot"))))
+      .select(col("et_a"), col("et_b"), col("n_a"), col("n_b"),
+        when(col("n_tot") > 1 && expr(dunnVarPosExpr) > 0.0,
+          graft.pipeline.ParityMath.q6(expr(dunnZExpr))).as("z"))
+      .orderBy(col("et_a"), col("et_b"))
+  }
+
+  val qDunnSql: String =
+    s"""WITH obs AS (
+       |  SELECT event_type AS et,
+       |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_mu
+       |  FROM events
+       |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+       |), vc AS MATERIALIZED (
+       |  SELECT et, v_mu, CAST(count(*) AS BIGINT) AS c
+       |  FROM obs GROUP BY 1, 2
+       |), pooled AS (
+       |  SELECT v_mu, CAST(sum(c) AS BIGINT) AS c FROM vc GROUP BY 1
+       |), r2 AS MATERIALIZED (
+       |  SELECT v_mu,
+       |    CAST(2 * coalesce(sum(c) OVER (ORDER BY v_mu
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      + c + 1 AS BIGINT) AS r2,
+       |    CAST(c * c * c - c AS BIGINT) AS tv
+       |  FROM pooled
+       |), pt AS MATERIALIZED (
+       |  SELECT vc.et, CAST(sum(vc.c) AS BIGINT) AS n_g,
+       |    CAST(sum(vc.c * r2.r2) AS BIGINT) AS two_r
+       |  FROM vc JOIN r2 USING (v_mu) GROUP BY 1
+       |), tt AS (
+       |  SELECT CAST(coalesce(sum(tv), 0) AS BIGINT) AS t_ties,
+       |    CAST(coalesce(sum(c), 0) AS BIGINT) AS n_tot
+       |  FROM pooled CROSS JOIN r2 r WHERE r.v_mu = pooled.v_mu
+       |)
+       |SELECT a.et AS et_a, b.et AS et_b,
+       |  a.n_g AS n_a, b.n_g AS n_b,
+       |  CASE WHEN n_tot > 1 AND ${dunnVarPosExpr
+            .replace("r2_a", "a.two_r").replace("r2_b", "b.two_r")} > 0.0
+       |  THEN ${graft.pipeline.ParityMath.q6Sql(dunnZExpr
+            .replace("r2_a", "a.two_r").replace("r2_b", "b.two_r")
+            .replace("n_a", "a.n_g").replace("n_b", "b.n_g"))}
+       |  END AS z
+       |FROM pt a JOIN pt b ON a.et < b.et CROSS JOIN tt
+       |ORDER BY et_a, et_b""".stripMargin
 
   // ---- q_ks_test: two-sample Kolmogorov–Smirnov -----------------------
 

@@ -1162,6 +1162,28 @@ object SignatureStore {
         .agg(sum(col("c")).as("c")))
   }
 
+  /** Driver-gate face of the Dunn post-hoc over the SAME landed
+    * (type, value) count fact the Kruskal store maintains — one
+    * store, two query-time views; shares `q_dunn`'s oracle.
+    */
+  def gatedDunn(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_dunn_watch")
+    val store = tempDirForExit("graft_gate_dunn_store")
+    val ev = Graft.table(spark, sfDir, "events")
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpKruskal(spark, watch, store)
+    land(ev.filter(pmod(col("event_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpKruskal(spark, watch, store)
+    graft.analytics.Behavior.dunnFromCounts(
+      storedOrEmpty(spark, s"$store/type_value_counts",
+        emptyLike(spark, spark.range(0).selectExpr(
+          "CAST(id AS STRING) AS et", "id AS v_mu", "id AS c")))
+        .groupBy(col("et"), col("v_mu"))
+        .agg(sum(col("c")).as("c")))
+  }
+
   // ---- mann-whitney store --------------------------------------------
 
   /** Incremental Mann–Whitney store: per-batch (cohort, value)

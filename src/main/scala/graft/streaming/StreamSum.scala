@@ -367,6 +367,24 @@ object StreamSum {
       runToTable(vc, OutputMode.Complete(), "ss_stream_kruskal"))
   }
 
+  /** Streaming Dunn post-hoc, sharing `q_dunn`'s oracle: the SAME
+    * per-(type, value) Complete-mode count state the Kruskal face
+    * streams (one landed fact, two views), with the pairwise readout
+    * a query-time view through the shared `dunnFromCounts`.
+    */
+  def streamDunn(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val vc = streamingEvents(spark, sfDir)
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_type").as("et"),
+        expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)")
+          .as("v_mu"))
+      .groupBy(col("et"), col("v_mu"))
+      .agg(count(lit(1)).as("c"))
+    graft.analytics.Behavior.dunnFromCounts(
+      runToTable(vc, OutputMode.Complete(), "ss_stream_dunn"))
+  }
+
   /** Streaming Mann–Whitney, sharing `q_mannwhitney`'s oracle: the
     * streamed state is the per-(cohort, value) COUNT — one
     * Complete-mode aggregation (the trimmed-mean face's posture on

@@ -364,6 +364,44 @@ class BehaviorSpec extends SparkSpec {
     assert(fr.isNullAt(4), s"all-tied must yield no verdict: $fr")
   }
 
+  test("dunn: hand-computed pairwise z; k=2 reduces to the mann-whitney " +
+       "z on the same counts; all-tied corpus yields no verdict") {
+    val s = spark; import s.implicits._
+    // a = {1, 2}, b = {3, 4}: pooled ranks 1..4, mean ranks 1.5 vs
+    // 3.5, T = 0, var = [4*5/12]*(1/2+1/2) = 5/3,
+    // z = -2/sqrt(5/3) = -1.549193 (q6)
+    val vc = Seq(("a", 1L, 1L), ("a", 2L, 1L),
+      ("b", 3L, 1L), ("b", 4L, 1L)).toDF("et", "v_mu", "c")
+    val r = Behavior.dunnFromCounts(vc).collect()
+    assert(r.length == 1, s"one pair: ${r.toSeq}")
+    assert(r.head.getString(0) == "a" && r.head.getString(1) == "b")
+    assert(r.head.getLong(2) == 2L && r.head.getLong(3) == 2L)
+    val expZ = math.floor(
+      -2.0 / math.sqrt(4.0 * 5.0 / 12.0 * (0.5 + 0.5)) * 1e6 + 0.5) / 1e6
+    assert(r.head.getDouble(4) == expZ, s"z: ${r.head} vs $expZ")
+    // k = 2: Dunn's tie-corrected pooled-rank z IS the Mann-Whitney z
+    // (same ranking, algebraically identical variance) - the
+    // cross-check that the post-hoc member agrees with the pairwise
+    // family on its shared ground
+    val mwVc = Seq((0L, 1000000L, 2L), (0L, 2000000L, 1L),
+      (0L, 3000000L, 4L), (1L, 2000000L, 3L), (1L, 4000000L, 2L),
+      (1L, 1000000L, 1L)).toDF("grp", "v_mu", "c")
+    val zMw = Behavior.mannWhitneyFromCounts(mwVc).collect()
+      .head.getDouble(4)
+    val dunnVc = mwVc.select(
+      when(col("grp") === 0, "a").otherwise("b").as("et"),
+      col("v_mu"), col("c"))
+    val zDunn = Behavior.dunnFromCounts(dunnVc).collect()
+      .head.getDouble(4)
+    assert(math.abs(zDunn - zMw) <= 1e-6,
+      s"k=2 Dunn must equal MW z: $zDunn vs $zMw")
+    // every observation identical: the tie correction kills the
+    // variance -> no verdict
+    val flat = Seq(("a", 5L, 4L), ("b", 5L, 3L)).toDF("et", "v_mu", "c")
+    val fr = Behavior.dunnFromCounts(flat).collect().head
+    assert(fr.isNullAt(4), s"all-tied must yield no verdict: $fr")
+  }
+
   test("abtest: hand-computed pooled z over planted arms; a " +
        "degenerate pooled rate yields no verdict") {
     val s = spark; import s.implicits._
