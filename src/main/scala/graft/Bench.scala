@@ -154,7 +154,7 @@ object Bench {
     // enumeration (~n²/79 candidate volume vs chunk7's ~n²/18) — a
     // route regression (wrong side of the budget) or a bucket-volume
     // regression would both show here first
-    "dd_simhash", "dd_simhash_route",
+    "dd_simhash", "dd_simhash_route", "mm_ahash_route",
     "dd_semantic", "txt_bigram_nll",
     "pipe_quality_gate", "ann_ivf_quant", "ann_ivf_pq", "ann_knn_join",
     "ann_knn_join_h2", "ann_knn_join_mp",

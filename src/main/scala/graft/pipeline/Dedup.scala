@@ -1700,10 +1700,17 @@ object Dedup {
     * output discipline); the route predicate itself compares the
     * decimals, so the boundary is integer-exact on both engines.
     */
-  def simhashRoute(spark: SparkSession, sfDir: String): DataFrame = {
-    val (n, vChunk, vFlip) = simhashRouteStatsFor(
-      SignatureStore.shingles(spark, sfDir)
-        .select(col("doc_id"), expr("graft_simhash48(hst)").as("sim")))
+  def simhashRoute(spark: SparkSession, sfDir: String): DataFrame =
+    simhashRouteFaceFor(SignatureStore.shingles(spark, sfDir)
+      .select(col("doc_id"), expr("graft_simhash48(hst)").as("sim")))
+
+  /** The observable decision row over ANY signature relation — shared
+    * with the image corpus's `mm_ahash_route` face (one router, every
+    * 48-bit Hamming modality).
+    */
+  private[graft] def simhashRouteFaceFor(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val (n, vChunk, vFlip) = simhashRouteStatsFor(docs)
     import spark.implicits._
     Seq((n, vChunk.toDouble, vFlip.toDouble, simhashFlipBudgetPerDoc,
         simhashRouteOf(n, vChunk, vFlip)))
@@ -1717,12 +1724,6 @@ object Dedup {
         s"CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END)) > 0 " +
         s"THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << $b)"
     }
-    val branches =
-      simhashChunkSpec.zipWithIndex.map { case ((sh, m), c) =>
-        s"  SELECT 0 AS s, $c AS c, (sim >> $sh) & $m AS v FROM sims"
-      } ++ simhashChunkSpecFor(4).zipWithIndex.map { case ((sh, m), c) =>
-        s"  SELECT 1 AS s, $c AS c, (sim >> $sh) & $m AS v FROM sims"
-      }
     s"""WITH tt AS (
        |  SELECT doc_id,
        |    list_transform(regexp_extract_all(text, '\\S+'), s -> $h48)
@@ -1731,7 +1732,21 @@ object Dedup {
        |  WHERE len(regexp_extract_all(text, '\\S+')) >= 1
        |), sims AS MATERIALIZED (
        |  SELECT doc_id, ${bitSums.mkString(" + ")} AS sim FROM tt
-       |), bc AS MATERIALIZED (
+       |), $simhashRouteTailSql""".stripMargin
+  }
+
+  /** The route readout SQL over any `sims(doc_id, sim)` CTE — shared
+    * by the text face and the image (ahash) face so the replayed
+    * integer predicate is literally one text.
+    */
+  private[graft] lazy val simhashRouteTailSql: String = {
+    val branches =
+      simhashChunkSpec.zipWithIndex.map { case ((sh, m), c) =>
+        s"  SELECT 0 AS s, $c AS c, (sim >> $sh) & $m AS v FROM sims"
+      } ++ simhashChunkSpecFor(4).zipWithIndex.map { case ((sh, m), c) =>
+        s"  SELECT 1 AS s, $c AS c, (sim >> $sh) & $m AS v FROM sims"
+      }
+    s"""bc AS MATERIALIZED (
        |  SELECT s, c, v, CAST(count(*) AS HUGEINT) AS k FROM (
        |${branches.mkString("\n  UNION ALL\n")}
        |  ) GROUP BY 1, 2, 3

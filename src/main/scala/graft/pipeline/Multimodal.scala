@@ -652,9 +652,25 @@ object Multimodal {
     * under the grid index map), the mean test in integers, the pack a
     * 48-bit sum, and the pair join the simhash oracle's chunk scheme.
     */
-  val ahashPairsSql: String = {
-    val chunkBranches = Dedup.simhashChunkBranchesSql("sims")
-    s"""WITH t AS (
+  /** The scheme router's decision row for the IMAGE corpus — the
+    * `dd_simhash_route` twin over the aHash signature relation (one
+    * router, every 48-bit Hamming modality; the image corpus clumps
+    * by its 17x11 dim classes, so its volumes and route can differ
+    * from the text corpus's on the same day). Same observable shape,
+    * same integer predicate, same budget.
+    */
+  def ahashRoute(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simhashRouteFaceFor(ahashSims(spark, sfDir))
+
+  lazy val ahashRouteSql: String =
+    s"""WITH $ahashSimsCtesSql,
+       |${Dedup.simhashRouteTailSql}""".stripMargin
+
+  /** The aHash `sims(doc_id, sim)` CTE chain — shared by the pair
+    * oracle and the route oracle.
+    */
+  private lazy val ahashSimsCtesSql: String =
+    s"""t AS (
        |  SELECT doc_id,
        |         16 + doc_id % 17 AS w,
        |         8 + doc_id % 11 AS h
@@ -676,13 +692,17 @@ object Multimodal {
        |  )
        |), tot AS (
        |  SELECT doc_id, sum(p) AS s FROM px GROUP BY doc_id
-       |), sims AS (
+       |), sims AS MATERIALIZED (
        |  SELECT p.doc_id,
        |    CAST(sum(CASE WHEN ${ahashGw * ahashGh} * p.p > t.s
        |             THEN (CAST(1 AS BIGINT) << p.b) ELSE 0 END)
        |      AS BIGINT) AS sim
        |  FROM px p JOIN tot t USING (doc_id) GROUP BY p.doc_id
-       |), chunks AS (
+       |)""".stripMargin
+
+  val ahashPairsSql: String = {
+    val chunkBranches = Dedup.simhashChunkBranchesSql("sims")
+    s"""WITH $ahashSimsCtesSql, chunks AS (
        |${chunkBranches.mkString("\n  UNION ALL\n")}
        |), pairs AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
