@@ -98,6 +98,7 @@ object Bench {
     "mm_histeq", "mm_vad", "mm_gif_anim",
     "pipe_corpus_clean",
     "pipe_decontaminate", "pipe_decont_bloom", "pipe_dedup_apply",
+    "pipe_dedup_keep_best",
     "pipe_quality_gate", "pipe_quality_prune", "pipe_qclf_score",
     "pipe_source_cap", "pipe_embed_prune", "pipe_repeat_upsample",
     "pipe_token_budget", "dd_dup_spans",

@@ -1445,6 +1445,79 @@ object Dedup {
        |  (SELECT doc_id FROM clusters WHERE NOT is_canonical)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- pipe_dedup_keep_best --------------------------------------------
+
+  /** Near-dup removal keeping the BEST copy, not the first: real
+    * pipelines don't keep the minimum doc_id of a duplicate cluster —
+    * they keep the highest-quality member (the crawl that got the
+    * clean extraction, not the one that happened to arrive first).
+    * Per verified cluster the keeper is the member with the LOWEST
+    * corpus-own add-1 unigram NLL (the sourceCap/token-budget quality
+    * key — its q6-quantized double is bit-identical cross-engine, so
+    * it is a safe ordering key), ties by doc_id; everything else in
+    * the cluster is dropped via one anti-join. `pipe_dedup_apply`
+    * stays as the cheap id-canonical variant (no quality pass); this
+    * face is what a curation run actually ships.
+    *
+    * 100 TB shape: clustering and the NLL relation are both
+    * session-shared passes the suite already pays; the keeper pick
+    * runs on the CLUSTERS-sized relation (min of a (nll, doc_id)
+    * struct per cluster — map-combinable, no window), and the apply
+    * is the same anti-join AQE broadcasts when the drop list fits.
+    */
+  def dedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    val cl = dupClusters(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id"))
+    val nll = TextAnalysis.unigramNll(spark, sfDir)
+      .select(col("doc_id"), col("nll"))
+    val scored = cl.join(nll, Seq("doc_id")).localCheckpoint()
+    val keep = scored
+      .groupBy(col("cluster_id"))
+      .agg(min(struct(col("nll"), col("doc_id"))).as("best"))
+      .select(col("cluster_id"), col("best.doc_id").as("keep_id"))
+    val drop = scored.join(keep, Seq("cluster_id"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"))
+    Graft.table(spark, sfDir, "documents")
+      .join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupKeepBestSql: String =
+    s"""WITH RECURSIVE $clustersCteDuck,
+       |toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+       |    '[a-z0-9]+')) AS term
+       |  FROM documents
+       |), freq AS (
+       |  SELECT term, count(*) AS cnt FROM toks GROUP BY term
+       |), totals AS (
+       |  SELECT sum(cnt) AS n_total, count(*) AS v_size FROM freq
+       |), sc AS (
+       |  SELECT t.doc_id,
+       |    CAST(floor(-ln(CAST(f.cnt + 1 AS DOUBLE)
+       |      / CAST(tt.n_total + tt.v_size AS DOUBLE)) * 1000000.0 + 0.5)
+       |      AS BIGINT) AS nll_u
+       |  FROM toks t JOIN freq f USING (term) CROSS JOIN totals tt
+       |), nll AS (
+       |  SELECT doc_id,
+       |    ${ParityMath.q6Sql(
+            "(CAST(sum(nll_u) AS DOUBLE) / 1000000.0) / count(*)")}
+       |      AS nll
+       |  FROM sc GROUP BY doc_id
+       |), ranked AS (
+       |  SELECT c.doc_id, c.cluster_id,
+       |    row_number() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY n.nll, c.doc_id) AS rn
+       |  FROM clusters c JOIN nll n USING (doc_id)
+       |)
+       |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+       |FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---- dd_simhash ----------------------------------------------------
 
   /** 48-bit SimHash near-dup pairs. Token-frequency-weighted bit

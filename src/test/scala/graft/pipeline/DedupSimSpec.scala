@@ -324,6 +324,36 @@ class DedupSimSpec extends SparkSpec {
         "physical scheme carries the full pigeonhole guarantee)")
   }
 
+  test("dedup keep-best: exactly one keeper per cluster, the keeper is " +
+       "the (nll, doc_id) argmin, and the kept-corpus size matches the " +
+       "id-canonical variant") {
+    val cl = Dedup.dupClusters(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id"))
+    val nll = TextAnalysis.unigramNll(spark, sfDir)
+      .select(col("doc_id"), col("nll"))
+    val kept = Dedup.dedupKeepBest(spark, sfDir).select(col("doc_id"))
+    val perCluster = cl.join(kept, "doc_id")
+      .groupBy(col("cluster_id")).count().collect()
+    assert(perCluster.nonEmpty && perCluster.forall(_.getLong(1) == 1L),
+      s"every cluster keeps exactly one member: ${perCluster.toSeq}")
+    val argmin = cl.join(nll, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(min(struct(col("nll"), col("doc_id"))).as("best"))
+      .select(col("cluster_id"), col("best.doc_id").as("keep_id"))
+    val wrong = cl.join(kept, "doc_id").join(argmin, "cluster_id")
+      .filter(col("doc_id") =!= col("keep_id")).count()
+    assert(wrong == 0L, "the keeper must be the quality argmin")
+    // same clusters -> same number of removals as the id-canonical
+    // variant, but (on this corpus) different keepers somewhere
+    val applyIds = Dedup.dedupApply(spark, sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val bestIds = Dedup.dedupKeepBest(spark, sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(applyIds.size == bestIds.size, "one keeper per cluster both ways")
+    assert(applyIds != bestIds,
+      "quality must actually move at least one keeper on this corpus")
+  }
+
   test("simhash route boundary: the budget predicate is pinned on " +
        "both sides, and the routed plan's output equals both static " +
        "schemes' on either side of it") {
