@@ -67,9 +67,10 @@ object Bench {
     // training-data pipeline
     "dd_exact", "dd_minhash_lsh", "dd_edit_verify", "dd_ngram_jaccard", "dd_jaccard_prefix",
     "dd_jaccard_routed", "dd_lsh_eval", "dd_lsh_curve",
-    "dd_containment", "dd_simhash", "dd_simhash_eval",
+    "dd_containment", "dd_simhash", "dd_simhash_route", "mm_ahash_route",
+    "dd_simhash_eval",
     "dd_embed_cosine", "dd_semantic", "dd_semantic_eval", "dd_semantic_mp",
-    "dd_semantic_dial", "emb_mmd", "emb_mmd_rbf",
+    "dd_semantic_dial", "emb_mmd", "emb_mmd_rbf", "emb_energy",
     "ann_topk_brute", "ann_topk_quant", "ann_lsh_bucketed", "ann_ivf",
     "ann_ivf_quant", "ann_ivf_adaptive", "ann_ivf_pq", "ann_knn_join",
     "ann_knn_join_h2",
