@@ -158,6 +158,10 @@ object Bench {
     // regression would both show here first
     "dd_simhash", "dd_simhash_route", "mm_ahash_route",
     "dd_semantic", "txt_bigram_nll",
+    // embedding-drift slopes: the vectors scale with the corpus, so
+    // the anchor prices the (cohort, dim/feature/projection)-state
+    // folds at 10x vecs
+    "emb_mmd", "emb_mmd_rbf", "emb_energy",
     "pipe_quality_gate", "ann_ivf_quant", "ann_ivf_pq", "ann_knn_join",
     "ann_knn_join_h2", "ann_knn_join_mp",
     "txt_stats", "txt_readability", "txt_fertility", "txt_keyphrase", "txt_pmi",
