@@ -48,6 +48,54 @@ class GlobalRankSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("withPrefixSums == chaining withPrefixSum per column, one " +
+       "shuffle, totals match") {
+    val s = spark; import s.implicits._
+    val rows = (0L until 800L).map(i =>
+      (i, (i * 13) % 97 + 1, (i * 7) % 31 - 15, (i * 29) % 11))
+    val in = rows.toDF("k", "a", "b", "c")
+    val (multi, totals) = GlobalRank.withPrefixSums(in,
+      Seq(col("k").asc), Seq("a", "b", "c"), Seq("pa", "pb", "pc"))
+    assert(totals == Seq(rows.map(_._2).sum, rows.map(_._3).sum,
+      rows.map(_._4).sum), s"totals: $totals")
+    // reference: three chained single-column passes
+    val (c1, t1) = GlobalRank.withPrefixSum(in, Seq(col("k").asc),
+      "a", "ra")
+    val (c2, t2) = GlobalRank.withPrefixSum(c1, Seq(col("k").asc),
+      "b", "rb")
+    val (c3, t3) = GlobalRank.withPrefixSum(c2, Seq(col("k").asc),
+      "c", "rc")
+    assert(Seq(t1, t2, t3) == totals)
+    val got = multi.select("k", "pa", "pb", "pc").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val ref = c3.select("k", "ra", "rb", "rc").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(got == ref, "multi-column pass must equal the chained passes")
+  }
+
+  test("loudBound passes in-bounds values through unchanged and FIRES " +
+       "on a violation (the guard is not decorative)") {
+    val s = spark; import s.implicits._
+    val ok = Seq(5L, -2000000L, 2000000L).toDF("c")
+      .select(graft.pipeline.ParityMath.loudBound(col("c"), 2000000L,
+        "spec bound").as("c"))
+      .collect().map(_.getLong(0)).toSet
+    assert(ok == Set(5L, -2000000L, 2000000L))
+    val err = intercept[Exception] {
+      Seq(2000001L).toDF("c")
+        .select(graft.pipeline.ParityMath.loudBound(col("c"), 2000000L,
+          "spec bound").as("c"))
+        .collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(err).contains("spec bound"),
+      s"the raise_error message must name the bound: ${rootMsg(err)}")
+  }
+
   test("longAxisRanks == three independent window ranks, one shuffle") {
     val s = spark; import s.implicits._
     val rows = (0L until 500L).map(i =>
