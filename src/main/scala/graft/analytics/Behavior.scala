@@ -1258,14 +1258,20 @@ object Behavior {
     val pooled = vc.groupBy(col("v_mu")).agg(sum(col("c")).as("c"))
     val (pf, nTot) = graft.core.GlobalRank.withPrefixSum(
       pooled, Seq(col("v_mu").asc), "c", "lo")
-    // Loud BIGINT headroom, the mannWhitneyFromCounts discipline:
-    // 2R_g <= ~2n^2 caps n at ~2.1e9 (driver-side), and the tie cube
-    // needs each pooled per-value count <= 2e6 (in-plan loudBound) -
-    // beyond either, silent non-ANSI Long wrap vs the HUGEINT oracle.
+    // Loud BIGINT headroom, JOINTLY sufficient (r15 ADVICE: the old
+    // independent caps n <= 2.1e9 AND c <= 2e6 still let the tie-cube
+    // SUM reach ~n*c_max^2 ~ 8.4e21 >> Long.Max): 2R_g <= ~2n^2 caps
+    // n at ~2.1e9 (driver-side), and since sum_v(c^3 - c) <=
+    // c_max^2 * sum_v(c) = c_max^2 * n, the per-value cap is DERIVED
+    // from the n already in hand - c <= sqrt(0.98*Long.Max/n) (~66k
+    // at n = 2.1e9; the 2e6 ceiling only binds below n ~ 2.2e6).
+    // Beyond either, silent non-ANSI Long wrap vs the HUGEINT oracle.
     require(nTot <= 2100000000L,
       s"rank test: n=$nTot exceeds the 2.1e9 BIGINT rank-sum bound")
+    val cCap = math.min(2000000L, math.sqrt(
+      Long.MaxValue.toDouble * 0.98 / math.max(nTot, 1L)).toLong)
     val cTie = graft.pipeline.ParityMath.loudBound(
-      col("c"), 2000000L, "rank-test per-value tie count")
+      col("c"), cCap, "rank-test per-value tie count")
     val r2 = pf.select(col("v_mu"),
       (lit(2L) * col("lo") + col("c") + 1L).as("r2"),
       (cTie * cTie * cTie - cTie).as("tv"))
@@ -1637,17 +1643,22 @@ object Behavior {
         lit(0L)).as("c_a"))
     val (ranked, nTot) = graft.core.GlobalRank.withPrefixSum(
       vc, Seq(col("v_mu").asc), "c", "lo")
-    // Loud BIGINT headroom (the bounds the Scaladoc claims): 2R_A <=
-    // ~2n^2 needs n <~ 2.1e9 (driver-side, nTot is already in hand),
-    // and the tie cube c^3 needs the PER-VALUE count <= 2e6 (in-plan
-    // loudBound - the driver never sees per-value counts). Beyond
-    // either, the fold needs the DECIMAL(38,0) scheme; fail loudly
-    // rather than let non-ANSI Long arithmetic wrap while the DuckDB
-    // HUGEINT oracle keeps computing.
+    // Loud BIGINT headroom, JOINTLY sufficient (r15 ADVICE; the
+    // pooledRankSums discipline): 2R_A <= ~2n^2 needs n <~ 2.1e9
+    // (driver-side, nTot is already in hand), and since the tie-cube
+    // SUM obeys sum_v(c^3 - c) <= c_max^2 * n, the per-value cap is
+    // DERIVED from that n - c <= sqrt(0.98*Long.Max/n) (~66k at
+    // n = 2.1e9; the 2e6 ceiling only binds below n ~ 2.2e6),
+    // enforced in-plan (the driver never sees per-value counts).
+    // Beyond either, the fold needs the DECIMAL(38,0) scheme; fail
+    // loudly rather than let non-ANSI Long arithmetic wrap while the
+    // DuckDB HUGEINT oracle keeps computing.
     require(nTot <= 2100000000L,
       s"mannWhitney: n=$nTot exceeds the 2.1e9 BIGINT rank-sum bound")
+    val cCap = math.min(2000000L, math.sqrt(
+      Long.MaxValue.toDouble * 0.98 / math.max(nTot, 1L)).toLong)
     val cTie = graft.pipeline.ParityMath.loudBound(
-      col("c"), 2000000L, "mannWhitney per-value tie count")
+      col("c"), cCap, "mannWhitney per-value tie count")
     ranked.agg(
         coalesce(sum(col("c_a")), lit(0L)).as("n_a"),
         coalesce(sum(col("c") - col("c_a")), lit(0L)).as("n_b"),

@@ -1665,25 +1665,38 @@ object Dedup {
     if (vChunk - vFlip > BigInt(simhashFlipBudgetPerDoc) * n) "flip1"
     else "chunk7"
 
-  /** Route memo, keyed by (session, canonicalized signature plan) —
-    * the SignatureStore memo discipline: the decision is a pure
-    * function of the signature RELATION, so re-pricing it per call
-    * (dd_simhash + dd_simhash_eval + bench reps all walk the same
-    * relation) would bill the route fee many times for one answer.
-    * A store face's per-batch union is a DIFFERENT plan, so it
-    * re-prices (correct: its corpus grew).
+  /** Route memo, keyed by (session identity, canonicalized signature
+    * plan) — the SignatureStore memo discipline: the decision is a
+    * pure function of the signature RELATION, so re-pricing it per
+    * call (dd_simhash + dd_simhash_eval + bench reps all walk the
+    * same relation) would bill the route fee many times for one
+    * answer. A store face's per-batch union is a DIFFERENT plan, so
+    * it re-prices (correct: its corpus grew). The key holds no
+    * session reference (identityHashCode, so sessions can be GC'd)
+    * and the map is size-bounded; a hash collision silently reusing
+    * another relation's route is PERF-only — both physical schemes
+    * emit identical pairs, so results can never change.
     */
   private val routeMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Boolean]()
 
-  private[graft] def simhashFlipRouteFor(docs: DataFrame): Boolean =
+  /** The route decision for a signature relation, memo-keyed on
+    * `keyed`'s ORIGINAL logical plan (a localCheckpoint is a fresh
+    * RDD every call, so keying on the checkpoint would never hit)
+    * while the pricing job reads `priced` (the checkpoint) — on a
+    * memo miss the signature computation runs exactly once.
+    */
+  private[graft] def simhashFlipRouteFor(keyed: DataFrame,
+                                         priced: DataFrame): Boolean = {
+    if (routeMemo.size > 1024) routeMemo.clear()
     routeMemo.computeIfAbsent(
-      (docs.sparkSession,
-        docs.queryExecution.logical.canonicalized.semanticHash()),
+      (System.identityHashCode(keyed.sparkSession),
+        keyed.queryExecution.logical.canonicalized.semanticHash()),
       _ => {
-        val (n, vChunk, vFlip) = simhashRouteStatsFor(docs)
+        val (n, vChunk, vFlip) = simhashRouteStatsFor(priced)
         simhashRouteOf(n, vChunk, vFlip) == "flip1"
       })
+  }
 
   /** The blocked Hamming pair join over any (doc_id, sim) signature
     * relation — shared by the batch face and the incremental store
@@ -1698,12 +1711,13 @@ object Dedup {
       case "chunk7" => simhashChunkPairsFrom(simDocs)
       case "flip1" => simhashFlipPairsFromCk(simDocs.localCheckpoint())
       case _ =>
-        // Decide BEFORE checkpointing: the memo keys on the stable
-        // logical plan (a localCheckpoint is a fresh RDD every call,
-        // so keying after it would never hit).
-        val flip = simhashFlipRouteFor(simDocs)
+        // Checkpoint ONCE, memo-key on the ORIGINAL plan, price on
+        // the checkpoint (r15 ADVICE): on a memo miss the signature
+        // relation is computed exactly once and read by both the
+        // pricing job and the chosen join — the Scaladoc contract.
         val docs = simDocs.localCheckpoint()
-        if (flip) simhashFlipPairsFromCk(docs)
+        if (simhashFlipRouteFor(simDocs, docs))
+          simhashFlipPairsFromCk(docs)
         else simhashChunkPairsFrom(docs)
     }
 
@@ -1783,6 +1797,17 @@ object Dedup {
     */
   private[graft] def simhashRouteFaceFor(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
+    // The observable faces are PINNED to the default chunk layout
+    // (r15 ADVICE): their oracle SQL (`simhashRouteTailSql`) replays
+    // the compile-time default spec, so honoring the simhashChunks
+    // knob here would diverge v_chunk (and possibly the route)
+    // between engines. The pair joins still honor the knob; the
+    // route READOUT does not.
+    require(simhashChunksOf(spark) == simhashChunkSpec.length,
+      s"the dd_simhash_route/mm_ahash_route faces are pinned to the " +
+        s"default ${simhashChunkSpec.length}-chunk layout their oracle " +
+        s"replays; unset graft.dedup.simhashChunks " +
+        s"(=${simhashChunksOf(spark)}) to read the route")
     val (n, vChunk, vFlip) = simhashRouteStatsFor(docs)
     import spark.implicits._
     Seq((n, vChunk.toDouble, vFlip.toDouble, simhashFlipBudgetPerDoc,

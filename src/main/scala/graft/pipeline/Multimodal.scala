@@ -547,7 +547,8 @@ object Multimodal {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   private[graft] def ahashSims(spark: SparkSession,
-                               sfDir: String): DataFrame =
+                               sfDir: String): DataFrame = {
+    if (ahashSimCache.size > 64) ahashSimCache.clear() // bound retention
     ahashSimCache.computeIfAbsent((spark, sfDir), { case (s0, dir) =>
       val s2 = Graft.ensureConf(s0)
       import s2.implicits._
@@ -562,6 +563,7 @@ object Multimodal {
         }
         .toDF("doc_id", "sim")
     })
+  }
 
   /** Per-doc DCT perceptual hash over the corpus's real BMP bytes —
     * encode the scene, decode, sample the shared 8×6 grid, integer

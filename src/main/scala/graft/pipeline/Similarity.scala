@@ -2940,18 +2940,36 @@ object Similarity {
           lit(0L)).as("ca"),
         coalesce(sum(when(col("grp") =!= 0, col("c")).otherwise(0L)),
           lit(0L)).as("cb"))
-      .withColumn("sa", col("p") * col("ca"))
-      .withColumn("sb", col("p") * col("cb"))
+      // In-plan |p| bound (r15 ADVICE): the faces feed arbitrary
+      // (dir, grp, p, c) relations here, so the |p| <= ~1.6e5 claim
+      // of the batch quantizer is ENFORCED, not assumed - together
+      // with the per-cohort count requires below it makes every Long
+      // intermediate provably safe: grand counts <= dirs*1e12 = 8e12
+      // per cohort, so sa/sb prefixes and totals are <= 2e5 * 8e12 =
+      // 1.6e18 < Long.Max, and the p*W/p*(t_c-w-c) products are
+      // <= 2e5 * 1e12 = 2e17.
+      .withColumn("pb", ParityMath.loudBound(
+        col("p"), 200000L, "embEnergy projection value"))
+      .withColumn("sa", col("pb") * col("ca"))
+      .withColumn("sb", col("pb") * col("cb"))
+      .drop("pb")
       .localCheckpoint()
     val (pf, totals) = graft.core.GlobalRank.withPrefixSums(vc,
       Seq(col("dir").asc, col("p").asc),
       Seq("ca", "cb", "sa", "sb"),
       Seq("g_ca", "g_cb", "g_sa", "g_sb"))
     // per-cohort size: every vec projects once per direction, so the
-    // grand count total is dirs * n. Loud headroom for p*W products.
-    require(totals.head / math.max(energyDirCount, 1) <= 1000000000000L,
-      s"embEnergy: cohort size ${totals.head / energyDirCount} exceeds " +
-        "the 1e12 BIGINT prefix-product bound")
+    // grand count total is dirs * n. Loud headroom for the p*W
+    // products and the sa/sb prefix accumulation - BOTH cohorts (r15
+    // ADVICE: cohort B's counts drive p*wb/lb and the sb prefixes
+    // just as hard as cohort A's), jointly sufficient with the
+    // in-plan |p| <= 2e5 bound above (see the derivation there).
+    val dirsDiv = math.max(energyDirCount, 1)
+    require(totals(0) / dirsDiv <= 1000000000000L &&
+        totals(1) / dirsDiv <= 1000000000000L,
+      s"embEnergy: cohort sizes (${totals(0) / dirsDiv}, " +
+        s"${totals(1) / dirsDiv}) exceed the 1e12 BIGINT " +
+        "prefix-product bound")
     // per-direction boundary offsets and totals: dirs-sized (8 rows),
     // the documented driver-fold posture
     val dirTot = vc.groupBy(col("dir")).agg(
