@@ -157,6 +157,11 @@ object Bench {
     // route regression (wrong side of the budget) or a bucket-volume
     // regression would both show here first
     "dd_simhash", "dd_simhash_route", "mm_ahash_route",
+    // the cluster CONSUMERS (r15 verdict #2): the LSH+verify+concomp
+    // machinery was anchored but the faces that ride it were not —
+    // their slopes must track clusters-sized work (keeper pick,
+    // anti-join apply, histogram), never corpus² work
+    "dd_cluster_stats", "pipe_dedup_apply", "pipe_dedup_keep_best",
     "dd_semantic", "txt_bigram_nll",
     // embedding-drift slopes: the vectors scale with the corpus, so
     // the anchor prices the (cohort, dim/feature/projection)-state

@@ -1465,11 +1465,23 @@ object Dedup {
     * struct per cluster — map-combinable, no window), and the apply
     * is the same anti-join AQE broadcasts when the drop list fits.
     */
-  def dedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
-    val cl = dupClusters(spark, sfDir)
-      .select(col("doc_id"), col("cluster_id"))
-    val nll = TextAnalysis.unigramNll(spark, sfDir)
-      .select(col("doc_id"), col("nll"))
+  def dedupKeepBest(spark: SparkSession, sfDir: String): DataFrame =
+    dedupKeepBestFrom(
+      dupClusters(spark, sfDir),
+      TextAnalysis.unigramNll(spark, sfDir),
+      Graft.table(spark, sfDir, "documents"))
+
+  /** The keeper pick + apply over any (doc_id, cluster_id) cluster
+    * relation, (doc_id, nll) quality relation and corpus — shared by
+    * the batch face and the incremental-store face (whose clusters
+    * and NLL re-derive from the evolving stores at query time, so
+    * verdicts re-evaluate under the FINAL state = this batch logic).
+    */
+  private[graft] def dedupKeepBestFrom(clusters: DataFrame,
+                                       nll0: DataFrame,
+                                       documents: DataFrame): DataFrame = {
+    val cl = clusters.select(col("doc_id"), col("cluster_id"))
+    val nll = nll0.select(col("doc_id"), col("nll"))
     val scored = cl.join(nll, Seq("doc_id")).localCheckpoint()
     val keep = scored
       .groupBy(col("cluster_id"))
@@ -1478,7 +1490,7 @@ object Dedup {
     val drop = scored.join(keep, Seq("cluster_id"))
       .filter(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id"))
-    Graft.table(spark, sfDir, "documents")
+    documents
       .join(drop, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"))

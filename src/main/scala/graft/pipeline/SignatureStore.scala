@@ -2925,6 +2925,43 @@ object SignatureStore {
         .agg(count(lit(1)).as("n_corpus")))
   }
 
+  /** Keep-best curation over BOTH evolving stores (`pipe_dedup_keep_best`'s
+    * store face — the family convention that every shipped curation
+    * face has a store or stream story): clusters re-derive from the
+    * incrementally-banded document store exactly as `gatedClusterStats`
+    * (stored bands → stored-shingle verify → query-time components;
+    * one arriving doc can merge clusters, so no per-batch component is
+    * storable), and the keeper's quality key re-scores every stored
+    * document's term multiset under the LM store's FINAL summed term
+    * partials (the `storedQualityGate`/`admitLm` evolving-answer
+    * discipline — a batch-1 doc's NLL reflects batch-2's vocabulary).
+    * Both stores catch up on the same two doc-parity arrivals; since
+    * verdicts re-evaluate under the final state, the answer is exactly
+    * the one-shot batch relation and the face shares
+    * `pipe_dedup_keep_best`'s oracle.
+    */
+  def gatedKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    val store = freshDocStore(spark, sfDir, "kb")
+    val edges = Dedup.ngramJaccardFrom(
+        storedCandidates(spark, store), storedShingles(spark, store))
+      .select(col("doc_a"), col("doc_b"))
+    val (clusters, _) = Dedup.resolveComponents(spark, edges)
+    val watch = tempDirForExit("graft_gate_kbl_watch")
+    val lmStore = tempDirForExit("graft_gate_kbl_store")
+    val docs = Graft.table(spark, sfDir, "documents")
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpLm(spark, watch, lmStore)
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpLm(spark, watch, lmStore)
+    val docTerms = storedOrEmpty(spark, s"$lmStore/lm_doc_terms",
+      emptyLike(spark, spark.range(0)
+        .selectExpr("id AS doc_id", "'' AS term", "id AS k")))
+    Dedup.dedupKeepBestFrom(clusters,
+      lmNllAgainstStore(spark, lmStore, docTerms), docs)
+  }
+
   /** Edit-verify view over the same incrementally-banded document
     * store: candidates from the stored bands, the capped-prefix
     * Levenshtein at query time (order-independent verify); shares
