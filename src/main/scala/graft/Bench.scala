@@ -96,7 +96,7 @@ object Bench {
     "mm_wav_decode",
     "mm_png_decode", "mm_jpeg_decode", "mm_avi_frames", "mm_avi_av",
     "mm_scene_cut", "mm_audio_pitch", "mm_sobel", "mm_gif_decode",
-    "mm_histeq", "mm_vad", "mm_gif_anim",
+    "mm_histeq", "mm_vad", "mm_gif_anim", "mm_mel",
     "pipe_corpus_clean",
     "pipe_decontaminate", "pipe_decont_bloom", "pipe_dedup_apply",
     "pipe_dedup_keep_best",
@@ -182,7 +182,7 @@ object Bench {
     "mm_bmp_decode", "mm_resize", "mm_ahash_pairs", "mm_phash", "mm_png_decode",
     "mm_jpeg_decode",
     "mm_avi_frames", "mm_avi_av", "mm_scene_cut", "mm_audio_pitch",
-    "mm_sobel", "mm_gif_decode", "mm_histeq", "mm_vad", "mm_gif_anim",
+    "mm_sobel", "mm_gif_decode", "mm_histeq", "mm_vad", "mm_gif_anim", "mm_mel",
     // the compressed codecs: deflate/inflate (PNG) and FDCT+Huffman
     // (JPEG) dominate, so the per-row cost claim is stronger than
     // BMP's raw-raster one

@@ -1387,6 +1387,183 @@ object Multimodal {
        |  ORDER BY 50 * ((m - c2) * tp + c2 * (p - tp)) ASC, tau ASC) = 1
        |ORDER BY doc_id""".stripMargin
 
+  // ---- mm_mel: mel-filterbank band energies over the decoded PCM ----
+
+  /** Analysis frame (samples, = DFT size), spectrum bins (k = 1..32,
+    * bin 32 = Nyquist) and mel band count for the filterbank feature.
+    */
+  val melFrameLen = 64
+  val melBins = 32
+  val melFilters = 6
+
+  /** The shared micro-unit DFT twiddle table: r → (cos, sin) at
+    * 2πr/64, quantized once in Scala and spliced as literals into
+    * both engines (the q_periodogram discipline — cos/sin never run
+    * in either engine). e^{-2πi·ki/N} depends only on k·i mod N, so
+    * 64 rows serve every (bin, sample) pair.
+    */
+  private[graft] lazy val melTrig: Seq[(Int, Long, Long)] =
+    (0 until melFrameLen).map { r =>
+      val th = 2.0 * math.Pi * r / melFrameLen
+      (r, math.floor(math.cos(th) * 1e6 + 0.5).toLong,
+        math.floor(math.sin(th) * 1e6 + 0.5).toLong)
+    }
+
+  /** Triangular mel filterbank weights per sample-rate index
+    * (ri = docId % 4 → 8/12/16/20 kHz): `melFilters` filters with
+    * centers equally spaced on the mel scale (Stevens–Volkmann
+    * 2595·log10(1 + f/700)) between 0 Hz and Nyquist, evaluated at
+    * the bin frequencies k·rate/64 and micro-quantized — like the
+    * twiddles, generated ONCE driver-side so the transcendentals
+    * never run in a plan. Rows: (ri, m, k, w_mu), zero weights
+    * dropped. The rate-dependence is the real thing a multi-rate
+    * corpus forces on a mel frontend: the same bin index maps to a
+    * different frequency, hence different band membership, per rate.
+    */
+  private[graft] lazy val melWeights: Seq[(Int, Int, Int, Long)] = {
+    def mel(f: Double) = 2595.0 * math.log10(1.0 + f / 700.0)
+    def inv(m: Double) = 700.0 * (math.pow(10.0, m / 2595.0) - 1.0)
+    for {
+      ri <- 0 until 4
+      rate = 8000 + ri * 4000
+      centers = {
+        val mMax = mel(rate / 2.0)
+        (0 to melFilters + 1).map(j => inv(j * mMax / (melFilters + 1)))
+      }
+      m <- 1 to melFilters
+      k <- 1 to melBins
+      fk = k * rate / 64.0
+      w = if (fk <= centers(m - 1) || fk >= centers(m + 1)) 0.0
+          else if (fk <= centers(m))
+            (fk - centers(m - 1)) / (centers(m) - centers(m - 1))
+          else (centers(m + 1) - fk) / (centers(m + 1) - centers(m))
+      wq = math.floor(w * 1e6 + 0.5).toLong
+      if wq > 0
+    } yield (ri, m, k, wq)
+  }
+
+  /** Per-doc DFT coefficients over the first analysis frame of an
+    * already-encoded 16-bit PCM buffer: for k = 1..`melBins`,
+    * (a, b) = Σ_i s[i]·(cos, sin)(2πki/64) in exact micro-trig
+    * integers (|a| ≤ 64·|s|max·10⁶ ≈ 7·10¹¹ — Long-safe; the squares
+    * move to DECIMAL(38,0) in the PLAN, never here). Emitting the
+    * 32 coefficient rows per doc and folding the filterbank as a
+    * broadcast join keeps every wide-integer step in the engine
+    * where the oracle can replay it bit-for-bit.
+    */
+  private[pipeline] def melDft(docId: Long, bytes: Array[Byte])
+      : Seq[(Long, Int, Int, Long, Long)] = {
+    val d = wavDecode(docId, bytes)
+    require(d.n_samples >= melFrameLen,
+      s"doc $docId: ${d.n_samples} samples < mel frame $melFrameLen")
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var dataOff = -1
+    def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
+    while (dataOff < 0 && off + 8 <= bytes.length) {
+      val len = b.getInt(off + 4)
+      require(len >= 0, s"doc $docId: negative RIFF chunk length $len")
+      if (tag(off) == "data") dataOff = off + 8
+      else off += 8 + len + (len & 1)
+    }
+    val s = Array.tabulate(melFrameLen)(i =>
+      b.getShort(dataOff + 2 * i).toLong)
+    val tc = melTrig.map(_._2).toArray
+    val ts = melTrig.map(_._3).toArray
+    (1 to melBins).map { k =>
+      var a = 0L
+      var bb = 0L
+      var i = 0
+      while (i < melFrameLen) {
+        val r = (k * i) & (melFrameLen - 1)
+        a += s(i) * tc(r)
+        bb += s(i) * ts(r)
+        i += 1
+      }
+      (docId, (docId % 4).toInt, k, a, bb)
+    }
+  }
+
+  /** MEL-FILTERBANK BAND ENERGIES over real WAV bytes — the
+    * embedding-input feature every audio pipeline computes between
+    * decode and a model (MFCC's filterbank stage; pitch reads the
+    * lag domain, VAD the energy envelope, this the spectral SHAPE):
+    * encode the per-doc-period sawtooth (the pitch corpus, so
+    * spectra genuinely differ per doc) → parse → 64-point DFT of the
+    * first frame in exact micro-trig integers (one fused narrow
+    * mapPartitions, decode-adjacent — per-doc cost 64·32 integer
+    * multiply-adds, far below the codec's own) → triangular mel
+    * weights as a broadcast literal join → band energy
+    * e_m = Σ_k (a_k² + b_k²)·w_{m,k} accumulated in DECIMAL(38,0) ≙
+    * HUGEINT, cast to DOUBLE only at output (both engines cast the
+    * IDENTICAL exact integer — the q_periodogram hash-stability
+    * scheme).
+    *
+    * 100 TB shape: mapPartitions-narrow per-row constant cost, one
+    * 32-rows/doc coefficient relation joined against a ≤ ~500-row
+    * broadcast weight table, one (doc, m)-keyed map-combinable agg —
+    * the multimodal family's plan with the periodogram's arithmetic.
+    */
+  def audioMel(spark: SparkSession, sfDir: String): DataFrame = {
+    val s2 = Graft.ensureConf(spark)
+    import s2.implicits._
+    val dft = Graft.tableParallel(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(ids => ids.flatMap(id =>
+        melDft(id, wavEncode(id, (50 + id % 70).toInt))))
+      .toDF("doc_id", "ri", "k", "a", "b")
+    val mw = melWeights.toDF("ri", "m", "k", "w")
+    val d20 = "decimal(20,0)"
+    val d38 = "decimal(38,0)"
+    dft.join(broadcast(mw), Seq("ri", "k"))
+      .select(col("doc_id"), col("m"),
+        ((col("a").cast(d20) * col("a").cast(d20) +
+          col("b").cast(d20) * col("b").cast(d20)).cast(d38) *
+          col("w").cast("decimal(7,0)")).as("pw"))
+      .groupBy(col("doc_id"), col("m"))
+      .agg(sum(col("pw")).cast(d38).as("e"))
+      .select(col("doc_id"), col("m").cast("long").as("mel"),
+        col("e").cast("double").as("energy"))
+      .orderBy(col("doc_id"), col("mel"))
+  }
+
+  /** Oracle: replays the closed-form pitch-corpus samples
+    * s_i = 50·(base + i mod p) for the first 64 sample positions, the
+    * frozen twiddle/weight literals, and the identical exact-integer
+    * chain — no WAV bytes, no transcendentals, HUGEINT throughout.
+    */
+  lazy val audioMelSql: String = {
+    val trig = melTrig.map { case (r, c, s) => s"($r, $c, $s)" }
+      .mkString(", ")
+    val ws = melWeights.map { case (ri, m, k, w) => s"($ri, $m, $k, $w)" }
+      .mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, doc_id % 100 AS base, 50 + doc_id % 70 AS p,
+       |         doc_id % 4 AS ri
+       |  FROM documents
+       |), x AS (
+       |  SELECT doc_id, ri,
+       |         CAST(50 * (base + i % p) AS BIGINT) AS s, i
+       |  FROM t, unnest(range(0, $melFrameLen)) AS u(i)
+       |), tr(r, cq, sq) AS (VALUES $trig),
+       |ks AS (
+       |  SELECT doc_id, ri, s, i, k
+       |  FROM x, unnest(range(1, ${melBins + 1})) AS v(k)
+       |), bins AS MATERIALIZED (
+       |  SELECT doc_id, ri, k,
+       |    sum(ks.s * tr.cq) AS a, sum(ks.s * tr.sq) AS b
+       |  FROM ks JOIN tr ON tr.r = (k * ks.i) % $melFrameLen
+       |  GROUP BY 1, 2, 3
+       |), mw(ri, m, k, w) AS (VALUES $ws)
+       |SELECT b.doc_id, CAST(mw.m AS BIGINT) AS mel,
+       |  CAST(sum((CAST(b.a AS HUGEINT) * b.a + CAST(b.b AS HUGEINT) * b.b)
+       |           * mw.w) AS DOUBLE) AS energy
+       |FROM bins b JOIN mw ON mw.ri = b.ri AND mw.k = b.k
+       |GROUP BY 1, 2
+       |ORDER BY doc_id, mel""".stripMargin
+  }
+
   // ---- mm_png_decode: a REAL compressed-image codec (no stub) --------
 
   /** PNG Paeth predictor (RFC 2083 §6.6) - shared by the encoder's

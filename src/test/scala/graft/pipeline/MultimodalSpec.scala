@@ -439,6 +439,96 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("melDft/audioMel: independent double-precision DFT referee, " +
+       "exact javax.sound parse referee, harmonic structure, and full " +
+       "(rate, band) weight coverage") {
+    // every (rate index, band) pair must carry weight - a rate whose
+    // bin grid missed a band would silently zero that band's energy
+    assert(Multimodal.melWeights.map(w => (w._1, w._2)).distinct.size
+      == 4 * Multimodal.melFilters)
+
+    // exact referee of the byte-parse path: javax.sound decodes the
+    // same WAV; the quantized-DFT coefficients recomputed from its
+    // PCM must match melDft's integers EXACTLY
+    val id = 7L
+    val bytes = Multimodal.wavEncode(id, (50 + id % 70).toInt)
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val pcm = in.readAllBytes()
+    val bb = java.nio.ByteBuffer.wrap(pcm)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val tc = Multimodal.melTrig.map(_._2).toArray
+    val ts = Multimodal.melTrig.map(_._3).toArray
+    val refCoef = (1 to Multimodal.melBins).map { k =>
+      var a = 0L; var b = 0L
+      for (i <- 0 until Multimodal.melFrameLen) {
+        val s = bb.getShort(2 * i).toLong
+        a += s * tc((k * i) & 63); b += s * ts((k * i) & 63)
+      }
+      (id, (id % 4).toInt, k, a, b)
+    }
+    assert(Multimodal.melDft(id, bytes) == refCoef)
+
+    // independent double-precision referee of the WHOLE feature: raw
+    // math.cos/sin DFT + freshly-derived double triangular weights
+    // (no quantized table reuse); the engine's exact integer energy
+    // is scaled by 1e6 (trig)^2 x 1e6 (weight) = 1e18
+    def mel(f: Double) = 2595.0 * math.log10(1.0 + f / 700.0)
+    def invMel(m: Double) = 700.0 * (math.pow(10.0, m / 2595.0) - 1.0)
+    for (docId <- 0L until 8L) {
+      val p = (50 + docId % 70).toInt
+      val base = (docId % 100).toInt
+      val rate = (8000 + (docId % 4) * 4000).toInt
+      val s = Array.tabulate(Multimodal.melFrameLen)(i =>
+        (50.0 * (base + i % p)))
+      val mMax = mel(rate / 2.0)
+      val ctr = (0 to Multimodal.melFilters + 1)
+        .map(j => invMel(j * mMax / (Multimodal.melFilters + 1)))
+      val refE = (1 to Multimodal.melFilters).map { m =>
+        (1 to Multimodal.melBins).map { k =>
+          var a = 0.0; var b = 0.0
+          for (i <- 0 until Multimodal.melFrameLen) {
+            val th = 2.0 * math.Pi * ((k * i) % 64) / 64.0
+            a += s(i) * math.cos(th); b += s(i) * math.sin(th)
+          }
+          val fk = k * rate / 64.0
+          val w =
+            if (fk <= ctr(m - 1) || fk >= ctr(m + 1)) 0.0
+            else if (fk <= ctr(m)) (fk - ctr(m - 1)) / (ctr(m) - ctr(m - 1))
+            else (ctr(m + 1) - fk) / (ctr(m + 1) - ctr(m))
+          (a * a + b * b) * w
+        }.sum
+      }
+      val coef = Multimodal.melDft(docId,
+        Multimodal.wavEncode(docId, p))
+      val wt = Multimodal.melWeights
+        .filter(_._1 == (docId % 4).toInt)
+      val gotE = (1 to Multimodal.melFilters).map { m =>
+        wt.filter(_._2 == m).map { case (_, _, k, w) =>
+          val c = coef(k - 1)
+          (BigInt(c._4) * c._4 + BigInt(c._5) * c._5) * w
+        }.sum
+      }
+      for (m <- 0 until Multimodal.melFilters) {
+        val refScaled = refE(m) * 1e18
+        val got = gotE(m).toDouble
+        assert(math.abs(got - refScaled) <=
+          math.max(1e-3 * math.abs(refScaled), 1e12),
+          s"doc $docId band ${m + 1}: $got vs referee $refScaled")
+      }
+    }
+
+    // harmonic structure: a period-8 sawtooth's 64-sample frame is
+    // exactly periodic, so all non-DC energy sits at bins 8/16/24/32;
+    // off-harmonic coefficients are quantization dust only
+    val h = Multimodal.melDft(3L, Multimodal.wavEncode(3L, 8))
+    val (harm, rest) = h.partition(_._3 % 8 == 0)
+    assert(harm.map(c => BigInt(c._4) * c._4 + BigInt(c._5) * c._5)
+      .forall(_ > BigInt("1000000000000000")))
+    assert(rest.forall(c =>
+      math.abs(c._4) < 10000000L && math.abs(c._5) < 10000000L))
+  }
+
   test("bmp end-to-end matches the closed-form derivation") {
     val got = Multimodal.bmpDecodeE2e(spark, sfDir)
       .filter(col("doc_id") < 20)
