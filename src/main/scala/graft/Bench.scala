@@ -46,7 +46,7 @@ object Bench {
     "ss_sink_point_read",
     // analytics
     "q1_agg", "q3_join_agg", "q5_multijoin", "q_window", "q_sessionize",
-    "q_corr", "q_spearman",
+    "q_corr", "q_spearman", "q_corr_events", "q_spearman_events",
     "q_asof_join", "q_attribution", "q_range_join", "q_resample",
     "q_ewma", "q_holt", "q_holt_winters", "q_forecast_eval", "q_autocorr", "q_pacf", "q_anomaly",
     "q_funnel", "q_cohort", "graph_memo_build", "q_pagerank", "q_ppr", "q_hits",
@@ -134,6 +134,7 @@ object Bench {
     "q_katz", "q_lcc", "q_survival_logrank",
     "q_runs_test", "q_modularity", "q_diameter", "q_chisq", "q_abtest",
     "q_mannwhitney", "q_ks_test", "q_kruskal", "q_dunn",
+    "q_corr_events", "q_spearman_events",
     "q_periodogram", "q_harmonic", "q_betweenness", "q_transitivity", "q_stickiness",
     "q_cms_topk", "q_cms_topk_prod", "q_cms_sliding", "q_cms_sliding_prod",
     "q_hll_sliding", "q_hll_sliding_prod", "q_qtile_sliding",

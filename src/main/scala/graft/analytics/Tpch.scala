@@ -809,6 +809,166 @@ object Tpch {
        |  END AS spearman
        |FROM s""".stripMargin
 
+  // ---- q_corr_events / q_spearman_events: the correlation pair on ----
+  // the events axis (the family's generator-anchored twins)
+
+  /** Shared axes of both events twins: x = micro-quantized value,
+    * y = second-of-day — "does the metric carry a time-of-day
+    * effect", the monitoring question the pair answers (Pearson reads
+    * the linear component, Spearman the monotone one). Second-of-day
+    * uses the sign-safe fdiv/pmod pair, so the pre-1970 proof corpus
+    * lands in [0, 86400) identically on both engines.
+    */
+  private def eventsXY(spark: SparkSession, sfDir: String): DataFrame =
+    Graft.table(spark, sfDir, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(
+        expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").as("x"),
+        expr(s"pmod(${graft.pipeline.ParityMath
+          .fdivSql("graft_ts_us(ts)", "1000000")}, 86400)").as("y"),
+        col("event_type").as("et"))
+
+  private val eventsXYDuck: String =
+    s"""SELECT CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS x,
+       |    ((${graft.pipeline.ParityMath
+             .fdivDuckSql("epoch_us(ts)", "1000000")} % 86400)
+       |     + 86400) % 86400 AS y,
+       |    event_type AS et
+       |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL""".stripMargin
+
+  /** PEARSON value↔time-of-day correlation per event type over the
+    * events table — q_corr's moment fold on the axis that actually
+    * scales in the generator anchor (lineitem does not; r15 verdict
+    * #6). Same one-pass map-combinable moment shape, but the micro-
+    * quantized x axis makes Σk·x² reach ~3·10¹⁷·n, so the moments
+    * accumulate in DECIMAL(38,0) ≙ HUGEINT (headroom to n ~ 10²⁰ —
+    * structurally unreachable) instead of q_corr's BIGINT, and the
+    * closed formula is ONE pinned double chain under q6, identical
+    * text both engines.
+    *
+    * 100 TB shape: one map-combinable six-moment agg keyed by the
+    * handful of event types; nothing else exists.
+    */
+  def qCorrEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val d20 = "decimal(20,0)"
+    val d38 = "decimal(38,0)"
+    eventsXY(spark, sfDir)
+      .filter(col("et").isNotNull)
+      .groupBy(col("et"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(d20)).cast(d38).as("sx"),
+        sum(col("y").cast(d20)).cast(d38).as("sy"),
+        sum((col("x").cast(d20) * col("y").cast(d20)).cast(d38))
+          .cast(d38).as("sxy"),
+        sum((col("x").cast(d20) * col("x").cast(d20)).cast(d38))
+          .cast(d38).as("sxx"),
+        sum((col("y").cast(d20) * col("y").cast(d20)).cast(d38))
+          .cast(d38).as("syy"))
+      .select(col("et"), col("n"),
+        when(expr(
+          """CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+            |AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+            |  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0"""
+            .stripMargin),
+          graft.pipeline.ParityMath.q6(expr(
+            """((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))"""
+              .stripMargin))).as("corr_value_tod"))
+      .orderBy(col("et"))
+  }
+
+  val qCorrEventsSql: String =
+    s"""WITH b AS (
+       |  $eventsXYDuck
+       |), s AS (
+       |  SELECT et, CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+       |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+       |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+       |    sum(CAST(y AS HUGEINT) * y) AS syy
+       |  FROM b WHERE et IS NOT NULL GROUP BY et
+       |)
+       |SELECT et, n,
+       |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+       |   AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+       |  THEN ${graft.pipeline.ParityMath.q6Sql(
+            """((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))"""
+              .stripMargin)}
+       |  END AS corr_value_tod
+       |FROM s ORDER BY et""".stripMargin
+
+  /** SPEARMAN value↔time-of-day over events — the SAME
+    * `spearmanFromPairCounts` fold as q_spearman (one landed fact,
+    * two corpora), here on the axis the generator anchor scales, so
+    * the `withPrefixSums` rank machinery carries a measured 10×
+    * slope (r15 verdict #6: q_spearman/q_corr were the only
+    * rank/moment statistics without one). The pair-count relation is
+    * ~corpus-sized on the micro-quantized axis — the honest worst
+    * case for the rank join-back.
+    */
+  def qSpearmanEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    spearmanFromPairCounts(eventsXY(spark, sfDir)
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("k")))
+  }
+
+  val qSpearmanEventsSql: String =
+    s"""WITH b AS (
+       |  $eventsXYDuck
+       |), pc AS MATERIALIZED (
+       |  SELECT x, y, CAST(count(*) AS BIGINT) AS k FROM b GROUP BY 1, 2
+       |), xr AS (
+       |  SELECT x, CAST(2 * coalesce(sum(c) OVER (ORDER BY x
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      + c + 1 AS BIGINT) AS r2_x
+       |  FROM (SELECT x, sum(k) AS c FROM pc GROUP BY 1)
+       |), yr AS (
+       |  SELECT y, CAST(2 * coalesce(sum(c) OVER (ORDER BY y
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      + c + 1 AS BIGINT) AS r2_y
+       |  FROM (SELECT y, sum(k) AS c FROM pc GROUP BY 1)
+       |), j AS (
+       |  SELECT CAST(pc.k AS HUGEINT) AS k,
+       |    CAST(xr.r2_x AS HUGEINT) AS rx,
+       |    CAST(yr.r2_y AS HUGEINT) AS ry
+       |  FROM pc JOIN xr USING (x) JOIN yr USING (y)
+       |), s AS (
+       |  SELECT coalesce(sum(k), 0) AS n,
+       |    sum(k * rx) AS sx, sum(k * ry) AS sy,
+       |    sum(k * (rx * ry)) AS sxy,
+       |    sum(k * (rx * rx)) AS sxx,
+       |    sum(k * (ry * ry)) AS syy
+       |  FROM j
+       |)
+       |SELECT CAST(n AS BIGINT) AS n,
+       |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+       |   AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+       |  THEN ${graft.pipeline.ParityMath.q6Sql(
+            """((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))"""
+              .stripMargin)}
+       |  END AS spearman
+       |FROM s""".stripMargin
+
   // ---- q_gini: activity-concentration coefficient ---------------------
 
   /** GINI coefficient of per-user event counts — the concentration
