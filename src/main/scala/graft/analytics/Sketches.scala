@@ -555,6 +555,132 @@ object Sketches {
     "CAST(floor(ln(CAST(v_mu AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)" +
       s" // $ddBinWidthMu"
 
+  /** The per-key quantile READOUT over any (et, bin, c) log-bin count
+    * relation — the keyed sibling of `ddsketchDriftFromBinCounts`'
+    * cohort readout (one estimator family, two views): per (key, q)
+    * the rank-⌈q·n⌉ value's bin and its mid-bin estimate, the exact
+    * integer bin beside ONE pinned double chain under q6.
+    */
+  private[graft] def ddsketchQtileFromBinCounts(vc0: DataFrame): DataFrame = {
+    val spark = vc0.sparkSession
+    val vc = vc0.groupBy(col("et"), col("bin"))
+      .agg(sum(col("c")).as("c"))
+    val wCum = Window.partitionBy(col("et")).orderBy(col("bin"))
+    val wAll = Window.partitionBy(col("et"))
+    val cum = vc
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+    val qdf = spark.createDataFrame(qtileQs.map(Tuple1(_))).toDF("q")
+    def estChain(b: String): String =
+      s"exp((CAST($b AS DOUBLE) * $ddBinWidthMu.0 + " +
+        s"${ddBinWidthMu / 2}.0) / 1000000.0) / 1000000.0"
+    cum.join(broadcast(qdf),
+        col("cum") >= ceil(col("q") * col("n")))
+      .groupBy(col("et"), col("q"))
+      .agg(min(col("bin")).as("qbin"), max(col("n")).as("n"))
+      .select(col("et"), col("q"), col("n"),
+        col("qbin").as("bin"),
+        graft.pipeline.ParityMath.q6(expr(estChain("qbin"))).as("est"))
+      .orderBy(col("et"), col("q"))
+  }
+
+  /** MERGEABLE QUANTILE STORE served off the bucketed sink
+    * (`q_ddsketch_sink`) — the percentile-serving story the sketch
+    * family was missing: the t-digest/KLL use case (publish quantile
+    * state once, serve percentiles per key from point reads) carried
+    * by the DDSketch-class log-bin histogram, because domain-defined
+    * bins are the MERGEABLE form of that idea — (et, bin, c) counts
+    * are order-free additive under any split (t-digest/GK compaction
+    * state is arrival-order-dependent and could never sit under a
+    * cross-engine oracle; same argument as `ddBinWidthMu`). The gate
+    * replays the full publish + serve path: base from the first time
+    * half, every event type touched afterwards refreshed WHOLE via
+    * `mergeDelta` (the update-mode publish contract, key = et), the
+    * delta left PENDING (compactFrac huge), then each key's
+    * percentiles served through `getKey` — a single-bucket pruned
+    * base read plus the key-filtered pending delta, the
+    * `ss_sink_point_read` serving shape with the quantile estimator
+    * on top. Oracle: the batch per-type readout over the whole
+    * corpus, so a lookup that missed the pending delta — or merged
+    * the wrong version — mismatches.
+    *
+    * 100 TB shape: the additive (et, bin) partial is the landed fact
+    * (map-combinable; ≤ ~2200 bins per key regardless of corpus
+    * size); publish is O(changed keys × bins); a percentile read
+    * touches ONE base bucket + key-filtered deltas, never the store.
+    */
+  def qDdsketchSink(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val ev = Graft.table(spark, sfDir, "events")
+      .filter(col("event_type").isNotNull && col("value").isNotNull &&
+        col("ts").isNotNull)
+      .select(col("event_type").as("et"),
+        expr("graft_ts_us(ts)").as("t"),
+        expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)")
+          .as("v_mu"))
+      .filter(col("v_mu") >= 1L)
+    val b = ev.agg(min(col("t")), max(col("t"))).head
+    val mid = (b.getLong(0) + b.getLong(1)) / 2
+    def binCounts(e: DataFrame): DataFrame =
+      e.select(col("et"), expr(ddBinExpr).as("bin"))
+        .groupBy(col("et"), col("bin")).agg(count(lit(1)).as("c"))
+    val full = binCounts(ev)
+    val base = binCounts(ev.filter(col("t") <= mid))
+    // keys with post-split activity: their full-state rows ARE the
+    // delta (whole-key replacement - the update-mode publish contract)
+    val changed = ev.filter(col("t") > mid).select(col("et")).distinct()
+    val delta = full.join(changed, Seq("et"), "left_semi")
+    val root = graft.pipeline.SignatureStore
+      .tempDirForExit("graft_qtile_sink")
+    val sink = new graft.sinks.BucketedSnapshotCacheSink(
+      root, Seq("et"), numBuckets = 8, compactFrac = 1e9)
+    sink.put("qt", base)
+    sink.mergeDelta("qt", delta, Seq("et"))
+    // serve every key through the point-read path (the facade
+    // posture): one pruned single-bucket read per key
+    val ets = sink.get(spark, "qt").select(col("et")).distinct()
+      .orderBy(col("et")).collect().map(_.getString(0))
+    require(ets.nonEmpty, "quantile sink published no keys")
+    val served = ets.map(e => sink.getKey(spark, "qt", Seq(e)))
+      .reduce(_ unionByName _)
+    ddsketchQtileFromBinCounts(served)
+  }
+
+  lazy val qDdsketchSinkSql: String = {
+    val qs = qtileQs.map(q => s"(CAST($q AS DOUBLE))").mkString(", ")
+    def estChain(b: String): String =
+      graft.pipeline.ParityMath.q6Sql(
+        s"exp((CAST($b AS DOUBLE) * $ddBinWidthMu.0 + " +
+          s"${ddBinWidthMu / 2}.0) / 1000000.0) / 1000000.0")
+    s"""WITH obs AS (
+       |  SELECT event_type AS et,
+       |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_mu
+       |  FROM events
+       |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+       |    AND ts IS NOT NULL
+       |), bins AS (
+       |  SELECT et, $ddBinExprDuck AS bin FROM obs WHERE v_mu >= 1
+       |), vc AS (
+       |  SELECT et, bin, CAST(count(*) AS BIGINT) AS c
+       |  FROM bins GROUP BY 1, 2
+       |), cum AS (
+       |  SELECT et, bin, c,
+       |    CAST(sum(c) OVER (PARTITION BY et ORDER BY bin
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum,
+       |    CAST(sum(c) OVER (PARTITION BY et) AS BIGINT) AS n
+       |  FROM vc
+       |), qs(q) AS (VALUES $qs),
+       |hit AS (
+       |  SELECT et, q, CAST(min(bin) AS BIGINT) AS qbin,
+       |    CAST(max(n) AS BIGINT) AS n
+       |  FROM cum JOIN qs ON cum >= ceil(q * n)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT et, q, n, qbin AS bin, ${estChain("qbin")} AS est
+       |FROM hit ORDER BY et, q""".stripMargin
+  }
+
   /** EXACT per-group quantiles by rank selection (quantile_disc): the
     * ground truth the histogram sketch above approximates, at the
     * honest exact price — one per-group exchange + SORT of every
