@@ -717,6 +717,118 @@ object Multimodal {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---- mm_caption_consistency: cross-modal composed face -------------
+
+  /** CAPTION↔IMAGE CONSISTENCY scorecard — the cross-modal composed
+    * face (the `pipe_corpus_clean` composition precedent: two shipped
+    * relations composed as ONE declarative plan, no new machinery):
+    * for every image near-dup pair (the blocked aHash join, shared
+    * pairing core with text dedup), how much do the two documents'
+    * CAPTIONS agree, measured as Jaccard over their winnowing
+    * fingerprints (`txt_fingerprint` — the near-copy sketch)? Pairs
+    * whose images match but whose fingerprints share nothing are the
+    * mislabel/mismatched-caption suspects a multimodal curation run
+    * routes to review; pairs that agree on both axes are true
+    * cross-modal duplicates (drop candidates beyond what either
+    * modality alone proves).
+    *
+    * 100 TB shape: the pair relation is the BLOCKED join's bounded
+    * output, the fingerprint relation is per-doc-bounded; the overlap
+    * count is one (doc, fp)-keyed equi-join per side — nothing is
+    * all-pairs, nothing re-reads bytes or text (both inputs are the
+    * session-shared relations the suite already pays).
+    */
+  def captionConsistency(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = ahashPairs(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    val fp = TextAnalysis.fingerprint(spark, sfDir)
+      .select(col("doc_id"), col("fp"))
+    val nfp = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val shared = pairs
+      .join(fp.select(col("doc_id").as("doc_a"), col("fp")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("fp")),
+        Seq("doc_b", "fp"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(nfp.select(col("doc_id").as("doc_a"),
+        col("n_fp").as("n_fp_a")), Seq("doc_a"), "left")
+      .join(nfp.select(col("doc_id").as("doc_b"),
+        col("n_fp").as("n_fp_b")), Seq("doc_b"), "left")
+      .join(shared, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        coalesce(col("n_fp_a"), lit(0L)).as("n_fp_a"),
+        coalesce(col("n_fp_b"), lit(0L)).as("n_fp_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        col("n_fp_a"), col("n_fp_b"), col("n_shared"),
+        when(col("n_fp_a") + col("n_fp_b") - col("n_shared") > 0L,
+          graft.pipeline.ParityMath.q6(
+            col("n_shared").cast("double") /
+              (col("n_fp_a") + col("n_fp_b") - col("n_shared"))
+                .cast("double"))).as("fp_jaccard"),
+        (col("n_shared") > 0L).as("caption_match"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  lazy val captionConsistencySql: String = {
+    val chunkBranches = Dedup.simhashChunkBranchesSql("sims")
+    s"""WITH $ahashSimsCtesSql, chunks AS (
+       |${chunkBranches.mkString("\n  UNION ALL\n")}
+       |), pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    CAST(bit_count(xor(x.sim, y.sim)) AS BIGINT) AS hamming
+       |  FROM chunks x JOIN chunks y
+       |    ON x.c = y.c AND x.v = y.v AND x.doc_id < y.doc_id
+       |), ip AS (
+       |  SELECT doc_a, doc_b, hamming FROM pairs
+       |  WHERE hamming <= ${Dedup.hammingThreshold}
+       |), ft AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+       |  FROM documents
+       |  WHERE len(regexp_extract_all(text, '\\S+')) >= 6
+       |), fh AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, len(toks) - 1),
+       |      i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+       |      AS hashes
+       |  FROM ft
+       |), fw AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(hashes) - 2),
+       |      i -> list_min(hashes[i:i+3]))) AS fps
+       |  FROM fh
+       |), fp AS MATERIALIZED (
+       |  SELECT doc_id, unnest(fps) AS fp FROM fw
+       |), nfp AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+       |  FROM fp GROUP BY doc_id
+       |), shared AS (
+       |  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM ip p
+       |  JOIN fp a ON a.doc_id = p.doc_a
+       |  JOIN fp b ON b.doc_id = p.doc_b AND b.fp = a.fp
+       |  GROUP BY 1, 2
+       |)
+       |SELECT p.doc_a, p.doc_b, p.hamming,
+       |  coalesce(na.n_fp, 0) AS n_fp_a,
+       |  coalesce(nb.n_fp, 0) AS n_fp_b,
+       |  coalesce(s.n_shared, 0) AS n_shared,
+       |  CASE WHEN coalesce(na.n_fp, 0) + coalesce(nb.n_fp, 0)
+       |            - coalesce(s.n_shared, 0) > 0
+       |  THEN ${graft.pipeline.ParityMath.q6Sql(
+            """CAST(coalesce(s.n_shared, 0) AS DOUBLE)
+              |/ CAST(coalesce(na.n_fp, 0) + coalesce(nb.n_fp, 0)
+              |       - coalesce(s.n_shared, 0) AS DOUBLE)""".stripMargin)}
+       |  END AS fp_jaccard,
+       |  coalesce(s.n_shared, 0) > 0 AS caption_match
+       |FROM ip p
+       |LEFT JOIN nfp na ON na.doc_id = p.doc_a
+       |LEFT JOIN nfp nb ON nb.doc_id = p.doc_b
+       |LEFT JOIN shared s ON s.doc_a = p.doc_a AND s.doc_b = p.doc_b
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin
+  }
+
   // ---- mm_sobel: edge-energy feature over the decoded raster ---------
 
   final case class BmpSobel(doc_id: Long, width: Long, height: Long,
