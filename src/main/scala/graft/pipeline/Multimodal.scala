@@ -733,10 +733,16 @@ object Multimodal {
     * modality alone proves).
     *
     * 100 TB shape: the pair relation is the BLOCKED join's bounded
-    * output, the fingerprint relation is per-doc-bounded; the overlap
-    * count is one (doc, fp)-keyed equi-join per side — nothing is
-    * all-pairs, nothing re-reads bytes or text (both inputs are the
-    * session-shared relations the suite already pays).
+    * output and the overlap count comes from the FP-KEYED self-join,
+    * not from exploding image pairs against both docs' fingerprint
+    * sets (the AllPairs lesson: key on the rare signature — docs
+    * sharing a winnowing fingerprint are the near-copy tail, so the
+    * self-join's output is text-dup-sized while pairs × fps is
+    * image-pair-volume × doc length; measured 20.5 → ~4 s at the 10×
+    * anchor). A pathological hot fingerprint (boilerplate trigram
+    * surviving winnowing) is the same skew every signature join here
+    * carries — the df-cap/salting postures apply unchanged. Nothing
+    * re-reads bytes or text (both inputs are session-shared).
     */
   def captionConsistency(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = ahashPairs(spark, sfDir)
@@ -744,12 +750,13 @@ object Multimodal {
     val fp = TextAnalysis.fingerprint(spark, sfDir)
       .select(col("doc_id"), col("fp"))
     val nfp = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
-    val shared = pairs
-      .join(fp.select(col("doc_id").as("doc_a"), col("fp")), "doc_a")
-      .join(fp.select(col("doc_id").as("doc_b"), col("fp")),
-        Seq("doc_b", "fp"))
+    val shared = fp.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(fp.select(col("doc_id").as("doc_b"), col("fp")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
+      .join(pairs.select(col("doc_a"), col("doc_b")),
+        Seq("doc_a", "doc_b"), "left_semi")
     pairs
       .join(nfp.select(col("doc_id").as("doc_a"),
         col("n_fp").as("n_fp_a")), Seq("doc_a"), "left")
@@ -804,10 +811,9 @@ object Multimodal {
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
        |  FROM fp GROUP BY doc_id
        |), shared AS (
-       |  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_shared
-       |  FROM ip p
-       |  JOIN fp a ON a.doc_id = p.doc_a
-       |  JOIN fp b ON b.doc_id = p.doc_b AND b.fp = a.fp
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM fp a JOIN fp b ON b.fp = a.fp AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
        |)
        |SELECT p.doc_a, p.doc_b, p.hamming,
