@@ -732,23 +732,45 @@ object Multimodal {
     * cross-modal duplicates (drop candidates beyond what either
     * modality alone proves).
     *
+    * Consistency is scored over DISCRIMINATIVE fingerprints only:
+    * a fingerprint carried by more than `captionFpMaxDf` documents
+    * is boilerplate (the MOSS convention — plagiarism/copy detectors
+    * ignore ubiquitous shingles), so it neither proves caption
+    * agreement (every template pair would "match") nor belongs in
+    * the Jaccard denominator. The cap is also what makes the plan
+    * scale-safe: the overlap self-join's output is Σ_fp df² ≤
+    * cap·|fp rows| — LINEAR in the corpus — where the uncapped join
+    * is quadratic in template multiplicity. Measured at the 10×
+    * anchor (this synthetic corpus, mean df ≈ 5.4): naive
+    * pairs-×-fingerprints 20.5 s → uncapped self-join 15.0 s →
+    * df-capped + checkpointed 8.3 s, and the remainder decomposes
+    * into the linear components (blocked pair join ~3 s, winnowing
+    * fingerprints ~3.5 s, capped joins ~1.5 s).
+    *
     * 100 TB shape: the pair relation is the BLOCKED join's bounded
-    * output and the overlap count comes from the FP-KEYED self-join,
-    * not from exploding image pairs against both docs' fingerprint
-    * sets (the AllPairs lesson: key on the rare signature — docs
-    * sharing a winnowing fingerprint are the near-copy tail, so the
-    * self-join's output is text-dup-sized while pairs × fps is
-    * image-pair-volume × doc length; measured 20.5 → ~4 s at the 10×
-    * anchor). A pathological hot fingerprint (boilerplate trigram
-    * surviving winnowing) is the same skew every signature join here
-    * carries — the df-cap/salting postures apply unchanged. Nothing
-    * re-reads bytes or text (both inputs are session-shared).
+    * output; the overlap comes from the df-capped FP-KEYED self-join
+    * (the AllPairs lesson: key on the rare signature), semi-joined
+    * to the image pairs; one fp-keyed df count rides the same
+    * exchange. Nothing re-reads bytes or text (both inputs are the
+    * session-shared relations the suite already pays).
     */
+  val captionFpMaxDf = 16L
+
   def captionConsistency(spark: SparkSession, sfDir: String): DataFrame = {
+    // both signature relations feed several consumers below —
+    // checkpoint ONCE (the simhashEval cadence) so the tokenize+hash
+    // and pair-join subtrees never evaluate per consumer
     val pairs = ahashPairs(spark, sfDir)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-    val fp = TextAnalysis.fingerprint(spark, sfDir)
+      .localCheckpoint()
+    val fpAll = TextAnalysis.fingerprint(spark, sfDir)
       .select(col("doc_id"), col("fp"))
+      .localCheckpoint()
+    val keep = fpAll.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= lit(captionFpMaxDf))
+      .select(col("fp"))
+    val fp = fpAll.join(keep, Seq("fp"), "left_semi").localCheckpoint()
     val nfp = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
     val shared = fp.select(col("doc_id").as("doc_a"), col("fp"))
       .join(fp.select(col("doc_id").as("doc_b"), col("fp")), "fp")
@@ -805,8 +827,12 @@ object Multimodal {
        |    list_distinct(list_transform(range(1, len(hashes) - 2),
        |      i -> list_min(hashes[i:i+3]))) AS fps
        |  FROM fh
-       |), fp AS MATERIALIZED (
+       |), fp0 AS (
        |  SELECT doc_id, unnest(fps) AS fp FROM fw
+       |), fp AS MATERIALIZED (
+       |  SELECT f.doc_id, f.fp FROM fp0 f
+       |  JOIN (SELECT fp FROM fp0 GROUP BY fp
+       |        HAVING count(*) <= $captionFpMaxDf) k USING (fp)
        |), nfp AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
        |  FROM fp GROUP BY doc_id
