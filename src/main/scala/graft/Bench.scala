@@ -96,7 +96,7 @@ object Bench {
     "mm_wav_decode",
     "mm_png_decode", "mm_jpeg_decode", "mm_avi_frames", "mm_avi_av",
     "mm_scene_cut", "mm_audio_pitch", "mm_sobel", "mm_gif_decode",
-    "mm_histeq", "mm_vad", "mm_gif_anim", "mm_mel",
+    "mm_histeq", "mm_vad", "mm_gif_anim", "mm_mel", "mm_mfcc",
     "mm_caption_consistency",
     "pipe_corpus_clean",
     "pipe_decontaminate", "pipe_decont_bloom", "pipe_dedup_apply",
@@ -185,7 +185,7 @@ object Bench {
     "mm_jpeg_decode",
     "mm_avi_frames", "mm_avi_av", "mm_scene_cut", "mm_audio_pitch",
     "mm_sobel", "mm_gif_decode", "mm_histeq", "mm_vad", "mm_gif_anim", "mm_mel",
-    "mm_caption_consistency",
+    "mm_mfcc", "mm_caption_consistency",
     // the compressed codecs: deflate/inflate (PNG) and FDCT+Huffman
     // (JPEG) dominate, so the per-row cost claim is stronger than
     // BMP's raw-raster one

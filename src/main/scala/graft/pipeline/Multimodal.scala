@@ -1649,7 +1649,14 @@ object Multimodal {
     * broadcast weight table, one (doc, m)-keyed map-combinable agg —
     * the multimodal family's plan with the periodogram's arithmetic.
     */
-  def audioMel(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The landed fact both audio-feature views read: exact
+    * DECIMAL(38,0) band energies (doc_id, m, e) from the fused
+    * decode→DFT pass and the broadcast filterbank join. One relation,
+    * two views (mm_mel energies, mm_mfcc cepstrum) — the
+    * pooledRankSums convention.
+    */
+  private[pipeline] def melBandEnergies(spark: SparkSession,
+      sfDir: String): DataFrame = {
     val s2 = Graft.ensureConf(spark)
     import s2.implicits._
     val dft = Graft.tableParallel(spark, sfDir, "documents")
@@ -1667,17 +1674,24 @@ object Multimodal {
           col("w").cast("decimal(7,0)")).as("pw"))
       .groupBy(col("doc_id"), col("m"))
       .agg(sum(col("pw")).cast(d38).as("e"))
+  }
+
+  def audioMel(spark: SparkSession, sfDir: String): DataFrame =
+    melBandEnergies(spark, sfDir)
       .select(col("doc_id"), col("m").cast("long").as("mel"),
         col("e").cast("double").as("energy"))
       .orderBy(col("doc_id"), col("mel"))
-  }
 
   /** Oracle: replays the closed-form pitch-corpus samples
     * s_i = 50·(base + i mod p) for the first 64 sample positions, the
     * frozen twiddle/weight literals, and the identical exact-integer
     * chain — no WAV bytes, no transcendentals, HUGEINT throughout.
     */
-  lazy val audioMelSql: String = {
+  /** Shared oracle CTE chain ending in `bande(doc_id, m, e)` — the
+    * HUGEINT twin of [[melBandEnergies]]; both audio-feature oracles
+    * append their view to it.
+    */
+  private lazy val melEnergyCtes: String = {
     val trig = melTrig.map { case (r, c, s) => s"($r, $c, $s)" }
       .mkString(", ")
     val ws = melWeights.map { case (ri, m, k, w) => s"($ri, $m, $k, $w)" }
@@ -1699,13 +1713,88 @@ object Multimodal {
        |    sum(ks.s * tr.cq) AS a, sum(ks.s * tr.sq) AS b
        |  FROM ks JOIN tr ON tr.r = (k * ks.i) % $melFrameLen
        |  GROUP BY 1, 2, 3
-       |), mw(ri, m, k, w) AS (VALUES $ws)
-       |SELECT b.doc_id, CAST(mw.m AS BIGINT) AS mel,
-       |  CAST(sum((CAST(b.a AS HUGEINT) * b.a + CAST(b.b AS HUGEINT) * b.b)
-       |           * mw.w) AS DOUBLE) AS energy
-       |FROM bins b JOIN mw ON mw.ri = b.ri AND mw.k = b.k
-       |GROUP BY 1, 2
+       |), mw(ri, m, k, w) AS (VALUES $ws),
+       |bande AS (
+       |  SELECT b.doc_id, mw.m,
+       |    sum((CAST(b.a AS HUGEINT) * b.a + CAST(b.b AS HUGEINT) * b.b)
+       |        * mw.w) AS e
+       |  FROM bins b JOIN mw ON mw.ri = b.ri AND mw.k = b.k
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+  }
+
+  lazy val audioMelSql: String =
+    s"""$melEnergyCtes
+       |SELECT doc_id, CAST(m AS BIGINT) AS mel, CAST(e AS DOUBLE) AS energy
+       |FROM bande
        |ORDER BY doc_id, mel""".stripMargin
+
+  // ---- mm_mfcc: DCT-II cepstrum over the log-mel energies ------------
+
+  /** Cepstral coefficients kept (q = 0..3; c0 = the log-energy sum). */
+  val mfccCoefs = 4
+
+  /** DCT-II basis cos(π·q·(2m−1)/(2M)) over the `melFilters` bands,
+    * micro-quantized once driver-side (the melTrig discipline — the
+    * cosines never run in a plan). Rows: (q, m, w_mu).
+    */
+  private[graft] lazy val mfccDct: Seq[(Int, Int, Long)] =
+    for { q <- 0 until mfccCoefs; m <- 1 to melFilters }
+      yield (q, m, math.floor(math.cos(
+        math.Pi * q * (2 * m - 1) / (2.0 * melFilters)) * 1e6 + 0.5).toLong)
+
+  /** MFCC — the cepstral embedding front-end over [[melBandEnergies]]
+    * (decode → DFT → filterbank → log → DCT-II, the full classical
+    * chain): per band, log-energy quantizes to INTEGER micro-nats
+    * lme = floor(ln(1 + e)·1e6 + 0.5) — e is the IDENTICAL exact
+    * DECIMAL(38,0)/HUGEINT integer in both engines, so ln() sees the
+    * same double and the NLL family's argument applies (quantization
+    * absorbs last-ulp differences; everything after is exact integer
+    * arithmetic). The DCT folds as a ≤ 24-row broadcast literal join:
+    * c_q = Σ_m lme_m·w_{q,m}, |c_q| ≤ 6·7.2e7·1e6 ≈ 4.4e14 —
+    * Long-safe and double-exact; output divides the exact integer by
+    * 1e12 (micro-nats × micro-weights), one identical IEEE op per
+    * engine.
+    *
+    * 100 TB shape: inherits mm_mel's (narrow fused decode+DFT, two
+    * broadcast literal joins, one map-combinable (doc, q) agg) — the
+    * cepstrum costs one more ≤ 24-row broadcast over the 6-rows/doc
+    * band relation.
+    */
+  def audioMfcc(spark: SparkSession, sfDir: String): DataFrame = {
+    val s2 = Graft.ensureConf(spark)
+    import s2.implicits._
+    val dct = mfccDct.toDF("q", "m", "w")
+    melBandEnergies(spark, sfDir)
+      .select(col("doc_id"), col("m"),
+        expr("CAST(floor(ln(1.0 + CAST(e AS DOUBLE)) * 1000000.0 + 0.5) " +
+          "AS BIGINT)").as("lme"))
+      .join(broadcast(dct), Seq("m"))
+      .groupBy(col("doc_id"), col("q"))
+      .agg(sum(col("lme") * col("w")).as("cmu"))
+      .select(col("doc_id"), col("q").cast("long").as("coef"),
+        (col("cmu").cast("double") / lit(1.0e12)).as("mfcc"))
+      .orderBy(col("doc_id"), col("coef"))
+  }
+
+  /** Oracle: the shared `bande` HUGEINT chain + the identical
+    * micro-nat ln quantization + the frozen DCT literals.
+    */
+  lazy val audioMfccSql: String = {
+    val dw = mfccDct.map { case (q, m, w) => s"($q, $m, $w)" }
+      .mkString(", ")
+    s"""$melEnergyCtes,
+       |lm AS (
+       |  SELECT doc_id, m,
+       |    CAST(floor(ln(1.0 + CAST(e AS DOUBLE)) * 1000000.0 + 0.5)
+       |      AS BIGINT) AS lme
+       |  FROM bande
+       |), dw(q, m, w) AS (VALUES $dw)
+       |SELECT lm.doc_id, CAST(dw.q AS BIGINT) AS coef,
+       |  CAST(sum(lm.lme * dw.w) AS DOUBLE) / 1000000000000.0 AS mfcc
+       |FROM lm JOIN dw ON dw.m = lm.m
+       |GROUP BY 1, 2
+       |ORDER BY doc_id, coef""".stripMargin
   }
 
   // ---- mm_png_decode: a REAL compressed-image codec (no stub) --------

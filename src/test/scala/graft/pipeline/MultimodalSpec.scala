@@ -529,6 +529,62 @@ class MultimodalSpec extends SparkSpec {
       math.abs(c._4) < 10000000L && math.abs(c._5) < 10000000L))
   }
 
+  test("audioMfcc: independent double-precision log-mel DCT referee " +
+       "and c0 = plain log-energy sum") {
+    // the frozen DCT table covers every (coef, band) pair, and the
+    // q = 0 row is exactly the unit basis (cos 0 quantizes to 1e6)
+    assert(Multimodal.mfccDct.size ==
+      Multimodal.mfccCoefs * Multimodal.melFilters)
+    assert(Multimodal.mfccDct.filter(_._1 == 0).forall(_._3 == 1000000L))
+
+    // independent referee: double-precision band energies (fresh
+    // cos/sin + fresh triangular weights, the audioMel referee's
+    // derivation), then ln(1 + e·1e18) and a raw math.cos DCT-II —
+    // no quantized table reuse anywhere
+    def mel(f: Double) = 2595.0 * math.log10(1.0 + f / 700.0)
+    def invMel(m: Double) = 700.0 * (math.pow(10.0, m / 2595.0) - 1.0)
+    val rows = Multimodal.audioMfcc(spark, sfDir)
+      .filter(col("doc_id") < 8).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(rows.size == 8 * Multimodal.mfccCoefs)
+    for (docId <- 0L until 8L) {
+      val p = (50 + docId % 70).toInt
+      val base = (docId % 100).toInt
+      val rate = (8000 + (docId % 4) * 4000).toInt
+      val s = Array.tabulate(Multimodal.melFrameLen)(i =>
+        (50.0 * (base + i % p)))
+      val mMax = mel(rate / 2.0)
+      val ctr = (0 to Multimodal.melFilters + 1)
+        .map(j => invMel(j * mMax / (Multimodal.melFilters + 1)))
+      val lnE = (1 to Multimodal.melFilters).map { m =>
+        val e = (1 to Multimodal.melBins).map { k =>
+          var a = 0.0; var b = 0.0
+          for (i <- 0 until Multimodal.melFrameLen) {
+            val th = 2.0 * math.Pi * ((k * i) % 64) / 64.0
+            a += s(i) * math.cos(th); b += s(i) * math.sin(th)
+          }
+          val fk = k * rate / 64.0
+          val w =
+            if (fk <= ctr(m - 1) || fk >= ctr(m + 1)) 0.0
+            else if (fk <= ctr(m)) (fk - ctr(m - 1)) / (ctr(m) - ctr(m - 1))
+            else (ctr(m + 1) - fk) / (ctr(m + 1) - ctr(m))
+          (a * a + b * b) * w
+        }.sum
+        math.log(1.0 + e * 1e18)
+      }
+      for (q <- 0 until Multimodal.mfccCoefs) {
+        val ref = (1 to Multimodal.melFilters).map(m =>
+          lnE(m - 1) * math.cos(
+            math.Pi * q * (2 * m - 1) / (2.0 * Multimodal.melFilters))).sum
+        val got = rows((docId, q.toLong))
+        assert(math.abs(got - ref) <= 0.02,
+          s"doc $docId coef $q: $got vs referee $ref")
+      }
+      // c0 is the plain log-energy sum
+      assert(math.abs(rows((docId, 0L)) - lnE.sum) <= 0.02)
+    }
+  }
+
   test("bmp end-to-end matches the closed-form derivation") {
     val got = Multimodal.bmpDecodeE2e(spark, sfDir)
       .filter(col("doc_id") < 20)
