@@ -103,7 +103,8 @@ object Bench {
     "pipe_dedup_keep_best",
     "pipe_quality_gate", "pipe_quality_prune", "pipe_qclf_score",
     "pipe_source_cap", "pipe_embed_prune", "pipe_repeat_upsample",
-    "pipe_token_budget", "dd_dup_spans",
+    "pipe_token_budget", "pipe_pack_tokens", "pipe_pack_stats",
+    "dd_dup_spans",
     "pipe_span_scrub", "pipe_sample_weighted", "pipe_layout_zorder",
     "txt_phrase_merge")
 
@@ -199,7 +200,10 @@ object Bench {
     "pipe_repeat_upsample",
     // the token-budget variant: same map-side trim argument, budget
     // in tokens - its cumsum window must stay on the trimmed rows
-    "pipe_token_budget")
+    "pipe_token_budget",
+    // concat-and-chunk packing: ONE range-shuffle prefix sum + a
+    // narrow segment explode - the slope must track the corpus
+    "pipe_pack_tokens")
 
   private def releaseMemos(spark: SparkSession): Unit = {
     graft.core.Transform.releaseAll(spark)

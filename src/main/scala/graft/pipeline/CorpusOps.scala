@@ -814,6 +814,113 @@ object CorpusOps {
       .orderBy(col("source"), col("nll"), col("doc_id"))
   }
 
+  // ---- pipe_pack_tokens: concat-and-chunk sequence packing -----------
+
+  /** Fixed training-sequence length (tokens per pack). */
+  val packLen: Long = 128L
+
+  /** The landed packing fact both views read: per-document segment
+    * rows of the concat-and-chunk packing — concatenate every kept
+    * document's tokens in doc_id order, chunk the stream into
+    * `packLen`-token training sequences, and emit one row per
+    * (document, pack) overlap with exact offsets. This is the
+    * manifest a packed-dataset writer consumes: for each segment,
+    * which pack it lands in, where in the pack, where in the document,
+    * and how many tokens — sufficient to materialize every training
+    * sequence (and its cross-document attention-mask boundaries)
+    * without re-tokenizing.
+    *
+    * 100 TB shape: ONE range shuffle (the GlobalRank exclusive
+    * prefix-sum machinery — per-partition sums to the driver, never
+    * the rows), then a narrow per-row explode of ≤ 1 + n/packLen
+    * segment rows. Output volume is docs + total_tokens/packLen rows
+    * — the same order as the corpus itself, fully partition-parallel.
+    */
+  private[pipeline] def packSegments(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val sized = Graft.tableParallel(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        expr("CAST(size(regexp_extract_all(text, '\\\\S+', 0)) AS BIGINT)")
+          .as("n_ws"))
+      .filter(col("n_ws") >= 1L)
+    val (cum, total) = graft.core.GlobalRank.withPrefixSum(
+      sized, Seq(col("doc_id")), "n_ws", "tok_start")
+    require(total <= Long.MaxValue / packLen,
+      s"token stream $total too large for pack arithmetic headroom")
+    val L = lit(packLen)
+    cum
+      .withColumn("tok_end", col("tok_start") + col("n_ws") - 1L)
+      .withColumn("pack_id", explode(sequence(
+        expr(s"tok_start DIV $packLen"), expr(s"tok_end DIV $packLen"))))
+      .withColumn("seg_start",
+        greatest(col("tok_start"), col("pack_id") * L))
+      .select(col("pack_id"), col("doc_id"),
+        (col("seg_start") - col("pack_id") * L).as("off_in_pack"),
+        (col("seg_start") - col("tok_start")).as("off_in_doc"),
+        (least(col("tok_end"), (col("pack_id") + 1L) * L - 1L)
+          - col("seg_start") + 1L).as("seg_len"))
+  }
+
+  /** The packing manifest itself, ordered by (pack, offset). */
+  def packTokens(spark: SparkSession, sfDir: String): DataFrame =
+    packSegments(spark, sfDir)
+      .orderBy(col("pack_id"), col("off_in_pack"))
+
+  /** Per-pack occupancy scorecard over the same segment fact: how many
+    * documents each training sequence interleaves (the attention-mask
+    * fan-in) and whether it is boundary-tight — every pack but the
+    * tail must hold exactly `packLen` tokens with zero leading gap.
+    */
+  def packStats(spark: SparkSession, sfDir: String): DataFrame =
+    packSegments(spark, sfDir)
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(col("seg_len")).as("n_tokens"))
+      .select(col("pack_id"), col("n_segs"), col("n_tokens"),
+        (col("n_tokens") === lit(packLen)).as("is_full"))
+      .orderBy(col("pack_id"))
+
+  private def packSegSql: String =
+    s"""sized AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws
+       |  FROM documents
+       |  WHERE len(regexp_extract_all(text, '\\S+')) >= 1
+       |), c AS (
+       |  SELECT doc_id, n_ws,
+       |    CAST(COALESCE(sum(n_ws) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS tok_start
+       |  FROM sized
+       |), seg AS (
+       |  SELECT doc_id, tok_start, tok_start + n_ws - 1 AS tok_end,
+       |    unnest(range(tok_start // $packLen,
+       |                 (tok_start + n_ws - 1) // $packLen + 1)) AS p
+       |  FROM c
+       |), segs AS (
+       |  SELECT CAST(p AS BIGINT) AS pack_id, doc_id,
+       |    greatest(tok_start, p * $packLen) - p * $packLen AS off_in_pack,
+       |    greatest(tok_start, p * $packLen) - tok_start AS off_in_doc,
+       |    least(tok_end, (p + 1) * $packLen - 1)
+       |      - greatest(tok_start, p * $packLen) + 1 AS seg_len
+       |  FROM seg
+       |)""".stripMargin
+
+  val packTokensSql: String =
+    s"""WITH $packSegSql
+       |SELECT pack_id, doc_id, CAST(off_in_pack AS BIGINT) AS off_in_pack,
+       |  CAST(off_in_doc AS BIGINT) AS off_in_doc,
+       |  CAST(seg_len AS BIGINT) AS seg_len
+       |FROM segs ORDER BY pack_id, off_in_pack""".stripMargin
+
+  val packStatsSql: String =
+    s"""WITH $packSegSql
+       |SELECT pack_id, CAST(count(*) AS BIGINT) AS n_segs,
+       |  CAST(sum(seg_len) AS BIGINT) AS n_tokens,
+       |  sum(seg_len) = $packLen AS is_full
+       |FROM segs GROUP BY pack_id ORDER BY pack_id""".stripMargin
+
   val tokenBudgetSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(regexp_extract_all(lower(text),

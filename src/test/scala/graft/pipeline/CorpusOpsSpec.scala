@@ -62,6 +62,62 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r.toSeq == r2.toSeq)
   }
 
+  test("packTokens: segments tile every pack exactly, reconstruct " +
+       "every document exactly, and stats agree") {
+    val segs = CorpusOps.packTokens(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val L = CorpusOps.packLen
+    val nWs = graft.core.Graft.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        expr("CAST(size(regexp_extract_all(text, '\\\\S+', 0)) AS BIGINT)")
+          .as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .filter(_._2 >= 1L).toMap
+
+    // per pack: segments tile [0, L) with no gap or overlap (the tail
+    // pack tiles a prefix)
+    val byPack = segs.groupBy(_._1)
+    val lastPack = byPack.keys.max
+    byPack.foreach { case (p, rows) =>
+      val sorted = rows.sortBy(_._3)
+      var at = 0L
+      sorted.foreach { case (_, _, off, _, len) =>
+        assert(off == at, s"pack $p: gap/overlap at $off vs $at")
+        at = off + len
+      }
+      if (p != lastPack) assert(at == L, s"pack $p not full: $at")
+    }
+
+    // per doc: segments cover [0, n_ws) contiguously and appear in
+    // consecutive packs
+    val byDoc = segs.groupBy(_._2)
+    assert(byDoc.keySet == nWs.keySet, "every sized doc packed")
+    byDoc.foreach { case (d, rows) =>
+      val sorted = rows.sortBy(_._4)
+      var at = 0L
+      sorted.foreach { case (_, _, _, offDoc, len) =>
+        assert(offDoc == at, s"doc $d: segment gap at $offDoc vs $at")
+        at = offDoc + len
+      }
+      assert(at == nWs(d), s"doc $d: packed $at of ${nWs(d)} tokens")
+      val packs = sorted.map(_._1)
+      assert(packs.zip(packs.tail).forall { case (a, b) => b == a + 1 },
+        s"doc $d spans non-consecutive packs: ${packs.toSeq}")
+    }
+
+    // the stats view agrees with the manifest
+    val stats = CorpusOps.packStats(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    assert(stats.keySet == byPack.keySet)
+    byPack.foreach { case (p, rows) =>
+      val (nSegs, nToks, full) = stats(p)
+      assert(nSegs == rows.length && nToks == rows.map(_._5).sum
+        && full == (nToks == L))
+    }
+  }
+
   test("shuffle: every doc exactly once, deterministic, shards used") {
     val r1 = CorpusOps.shuffle(spark, sfDir).collect()
       .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
