@@ -836,14 +836,24 @@ object CorpusOps {
     * segment rows. Output volume is docs + total_tokens/packLen rows
     * — the same order as the corpus itself, fully partition-parallel.
     */
-  private[pipeline] def packSegments(spark: SparkSession,
+  /** The per-document size fact the packing derives from — tiny
+    * (16 bytes/doc, never the text), additive under append, and the
+    * only thing the store face lands per batch.
+    */
+  private[pipeline] def packSized(spark: SparkSession,
       sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
-    val sized = Graft.tableParallel(spark, sfDir, "documents")
+    Graft.tableParallel(spark, sfDir, "documents")
       .select(col("doc_id"),
         expr("CAST(size(regexp_extract_all(text, '\\\\S+', 0)) AS BIGINT)")
           .as("n_ws"))
       .filter(col("n_ws") >= 1L)
+  }
+
+  /** Segment manifest over any (doc_id, n_ws) size relation — the
+    * batch pass and the store face share this derivation verbatim.
+    */
+  private[pipeline] def packSegmentsFrom(sized: DataFrame): DataFrame = {
     val (cum, total) = graft.core.GlobalRank.withPrefixSum(
       sized, Seq(col("doc_id")), "n_ws", "tok_start")
     require(total <= Long.MaxValue / packLen,
@@ -861,6 +871,10 @@ object CorpusOps {
         (least(col("tok_end"), (col("pack_id") + 1L) * L - 1L)
           - col("seg_start") + 1L).as("seg_len"))
   }
+
+  private[pipeline] def packSegments(spark: SparkSession,
+      sfDir: String): DataFrame =
+    packSegmentsFrom(packSized(spark, sfDir))
 
   /** The packing manifest itself, ordered by (pack, offset). */
   def packTokens(spark: SparkSession, sfDir: String): DataFrame =

@@ -3360,6 +3360,72 @@ object SignatureStore {
     storedTfidf(spark, store)
   }
 
+  /** Incremental SEQUENCE-PACKING store: each arriving batch lands its
+    * per-doc (doc_id, n_ws) size fact ONCE — 16 bytes/doc, never the
+    * text; the tokenize pass runs on the batch alone (docs immutable →
+    * size facts are disjoint appends). The manifest is a query-time
+    * view through the batch face's shared `packSegmentsFrom`: a new
+    * doc_id can land anywhere in the global doc order, shifting every
+    * later document's token offset — so segment rows are never
+    * storable per batch, but the derivation input is the SIZE
+    * relation, not the corpus. Per-batch partition overwrite keeps
+    * replay idempotent, same as catchUp.
+    */
+  def catchUpPack(spark: SparkSession, watchDir: String,
+                  storeDir: String): Unit = {
+    Graft.ensureConf(spark)
+    if (!hasParquet(spark, watchDir)) return
+    val schema = spark.read.option("pathGlobFilter", "*.parquet")
+      .parquet(watchDir).schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet").parquet(watchDir)
+    val q = docs.writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch
+          .select(col("doc_id"), expr(
+            "CAST(size(regexp_extract_all(text, '\\\\S+', 0)) AS BIGINT)")
+            .as("n_ws"))
+          .filter(col("n_ws") >= 1L)
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/pack_sized/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The packing manifest from the stored size facts — literally the
+    * batch `packSegmentsFrom`, so the store's answer matches
+    * `pipe_pack_tokens`' oracle once caught up.
+    */
+  def storedPackTokens(spark: SparkSession, storeDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    val sized = storedOrEmpty(spark, s"$storeDir/pack_sized",
+      emptyLike(spark, spark.range(0)
+        .selectExpr("id AS doc_id", "id AS n_ws")))
+    graft.pipeline.CorpusOps.packSegmentsFrom(sized)
+      .orderBy(col("pack_id"), col("off_in_pack"))
+  }
+
+  /** Driver-gate face: fresh store, two doc-parity appends (the second
+    * batch's doc_ids interleave the first's, shifting nearly every
+    * token offset — the manifest must re-derive under the union), then
+    * the query-time packing; shares `pipe_pack_tokens`' oracle.
+    */
+  def gatedPackTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    val watch = tempDirForExit("graft_gate_pack_watch")
+    val store = tempDirForExit("graft_gate_pack_store")
+    val docs = Graft.table(spark, sfDir, "documents")
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 0), watch,
+      "arrival1.parquet")
+    catchUpPack(spark, watch, store)
+    land(docs.filter(pmod(col("doc_id"), lit(2)) === 1), watch,
+      "arrival2.parquet")
+    catchUpPack(spark, watch, store)
+    storedPackTokens(spark, store)
+  }
+
   /** Incremental SIMHASH store, completing the dedup-store family
     * (48a minhash bands, 48b spans, jaccard-prefix, containment — and
     * now the Hamming member): each arriving batch lands its per-doc
