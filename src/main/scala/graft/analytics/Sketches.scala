@@ -764,6 +764,100 @@ object Sketches {
   }
 
   // ------------------------------------------------------------------
+  // q_equidepth: exact quantile binning on the compressed value relation
+  // ------------------------------------------------------------------
+
+  /** Equi-depth bin count for the discretizer. */
+  val edBins = 16
+
+  /** EXACT EQUI-DEPTH HISTOGRAM (quantile discretization) — the
+    * feature-binning map an ML pipeline fits ("cut this column into 16
+    * equal-population bins"), and the quantile family's third member:
+    * q_histogram fixes the WIDTH, the sketches approximate, this fixes
+    * the DEPTH exactly. The point is the PLAN: rows are never ranked.
+    * Values micro-quantize and collapse to the (value, count) relation
+    * (one map-combinable groupBy); ONE range-shuffle exclusive prefix
+    * sum over the DISTINCT values (GlobalRank — per-partition sums to
+    * the driver, never rows) gives each value its rank interval
+    * [cum+1, cum+c]; the ≤ `edBins`-row bin spec (rank cuts b·n DIV B,
+    * computed driver-side from the free grand total) broadcasts back,
+    * and per-bin occupancy/boundaries are exact integer interval
+    * arithmetic. Bin b holds ranks (b·n DIV B, (b+1)·n DIV B] under
+    * the (v, arrival) total order — tie groups split across a cut by
+    * count, so the per-bin populations are exactly n/B ±1 regardless
+    * of ties, and lo/hi report each bin's value range.
+    *
+    * 100 TB shape: the expensive exchange is over DISTINCT
+    * micro-values (sublinear whenever values repeat — a metric column
+    * at corpus scale repeats constantly), everything after is
+    * bins-sized. The full-sort alternative (q_quantile_exact's honest
+    * price) never touches this operator.
+    */
+  def qEquidepth(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    equidepthOf(spark, Graft.table(spark, sfDir, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)")
+        .as("v")))
+  }
+
+  /** The equi-depth core over any single-column `v: BIGINT` relation
+    * (the spec feeds planted tie corpora through this entry).
+    */
+  def equidepthOf(spark: SparkSession, values: DataFrame): DataFrame = {
+    val vals = values
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val (cum, n) = graft.core.GlobalRank.withPrefixSum(
+      vals, Seq(col("v")), "c", "cum")
+    require(n <= Long.MaxValue / edBins,
+      s"$n values exceed the bin-cut arithmetic headroom")
+    val bins = (0 until edBins)
+      .map(b => (b.toLong, b * n / edBins + 1L, (b + 1) * n / edBins))
+      .filter { case (_, lo, hi) => hi >= lo }
+    import spark.implicits._
+    cum.join(broadcast(bins.toDF("bin", "r_lo", "r_hi")),
+        col("cum") + 1L <= col("r_hi") && col("cum") + col("c") >= col("r_lo"))
+      .groupBy(col("bin"))
+      .agg(sum(least(col("r_hi"), col("cum") + col("c")) -
+          greatest(col("r_lo"), col("cum") + 1L) + 1L).as("n_events"),
+        min(col("v")).as("lo_mu"), max(col("v")).as("hi_mu"))
+      .orderBy(col("bin"))
+  }
+
+  /** Oracle: the same compressed-relation rank-interval arithmetic via
+    * one window prefix sum — exact integers end to end.
+    */
+  val qEquidepthSql: String =
+    s"""WITH e AS (
+       |  SELECT CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND value IS NOT NULL
+       |), vc AS (
+       |  SELECT v, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1
+       |), cum AS (
+       |  SELECT v, c,
+       |    CAST(COALESCE(sum(c) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cum
+       |  FROM vc
+       |), nn AS (
+       |  SELECT CAST(sum(c) AS BIGINT) AS n FROM vc
+       |), bins AS (
+       |  SELECT b, b * n // $edBins + 1 AS r_lo,
+       |         (b + 1) * n // $edBins AS r_hi
+       |  FROM (SELECT unnest(range(0, $edBins)) AS b), nn
+       |  WHERE (b + 1) * n // $edBins >= b * n // $edBins + 1
+       |)
+       |SELECT CAST(bin.b AS BIGINT) AS bin,
+       |  CAST(sum(least(bin.r_hi, cum.cum + cum.c)
+       |    - greatest(bin.r_lo, cum.cum + 1) + 1) AS BIGINT) AS n_events,
+       |  min(cum.v) AS lo_mu, max(cum.v) AS hi_mu
+       |FROM cum JOIN bins bin
+       |  ON cum.cum + 1 <= bin.r_hi AND cum.cum + cum.c >= bin.r_lo
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
   // Sliding-window distinct via register merge
   // ------------------------------------------------------------------
 

@@ -424,6 +424,45 @@ class SketchesSpec extends SparkSpec {
         .orderBy(col("b_prev"))))
   }
 
+  test("equidepth: bin populations are exactly the DIV-cut sizes even " +
+       "when one tie group spans multiple bins, and boundaries are " +
+       "ordered") {
+    val s2 = spark; import s2.implicits._
+    // planted skew: value 42 holds 60% of the mass (spans ~9 of the
+    // 16 bins), the rest spread over 400 distinct values
+    val n = 10000
+    val rows = (0 until n).map { j =>
+      if (j < 6000) 42L else 100L + (j % 400).toLong
+    }
+    val out = Sketches.equidepthOf(spark, rows.toDF("v")).collect()
+    val bCnt = Sketches.edBins
+    assert(out.length == bCnt, s"all $bCnt bins occupied: ${out.length}")
+    // exact interval arithmetic: bin b holds ranks
+    // (b*n DIV B, (b+1)*n DIV B] - population is a pure function of
+    // (n, B), independent of the tie structure
+    out.foreach { r =>
+      val b = r.getLong(0)
+      val want = (b + 1) * n / bCnt - b * n / bCnt
+      assert(r.getLong(1) == want,
+        s"bin $b population ${r.getLong(1)} != DIV-cut size $want")
+      assert(r.getLong(2) <= r.getLong(3), s"lo <= hi in $r")
+    }
+    assert(out.map(_.getLong(1)).sum == n)
+    // boundaries ordered under the total order; a tie group split
+    // across a cut shares the boundary value (>=, not >)
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) >= a.getLong(3),
+        s"bin ${b.getLong(0)} lo ${b.getLong(2)} below prior hi " +
+          s"${a.getLong(3)}")
+      case _ =>
+    }
+    // the planted 60% tie group must cover every bin whose rank range
+    // sits inside its interval: bins 0..9 all report lo=hi=42
+    val tied = out.filter(r => r.getLong(2) == 42L && r.getLong(3) == 42L)
+    assert(tied.length >= 8,
+      s"the 60% tie group must span multiple whole bins: ${tied.length}")
+  }
+
   test("cms sliding prod: the pre-distinct cuts the window fan volume " +
        "on a corpus with real key repetition") {
     // the crossover claim (PLANS.md r6): prod beats the exact-adjunct
