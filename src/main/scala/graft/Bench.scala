@@ -80,7 +80,7 @@ object Bench {
     "q_hll_distinct", "q_hll_sliding", "q_cms_topk",
     "q_cms_sliding", "q_cms_join_card", "q_cms_f2", "q_qtile_sketch",
     "q_ddsketch_drift", "q_ddsketch_sink",
-    "q_quantile_exact", "q_qtile_sliding", "q_equidepth",
+    "q_quantile_exact", "q_qtile_sliding", "q_equidepth", "q_equidepth_map",
     "q_kmv_jaccard", "q_kmv_retention",
     // production (sketch-only) faces next to their adjunct-bearing
     // twins: the delta IS the cost of the exact adjunct
@@ -140,7 +140,7 @@ object Bench {
     "q_periodogram", "q_harmonic", "q_betweenness", "q_transitivity", "q_stickiness",
     "q_cms_topk", "q_cms_topk_prod", "q_cms_sliding", "q_cms_sliding_prod",
     "q_hll_sliding", "q_hll_sliding_prod", "q_qtile_sliding",
-    "q_equidepth",
+    "q_equidepth", "q_equidepth_map",
     "q_ddsketch_drift", "q_ddsketch_sink",
     "q_kmv_jaccard_prod", "q_kmv_retention_prod",
     "pipe_layout_zorder")

@@ -857,6 +857,91 @@ object Sketches {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
 
+  /** THE FITTED DISCRETIZER'S APPLY SIDE — the (value → bin) map under
+    * the standard ML-binning contract (Spark QuantileDiscretizer /
+    * pandas qcut): bins are defined by CUT VALUES, equal values always
+    * share a bin, and duplicate cuts collapse. This is deliberately
+    * NOT `qEquidepth`'s rank-interval split: there a 60%-mass tie
+    * group spans 9 bins (populations exactly n/B ±1); here it lands
+    * whole in one bin and the realized populations absorb the skew —
+    * the two faces document the two textbook tie semantics side by
+    * side. Cut value b = the distinct value whose rank interval
+    * contains rank b·n DIV B; values ≤ a cut belong to the lower bin
+    * (right-closed intervals), so bin(v) = #cuts < v.
+    *
+    * 100 TB shape: the FIT collapses to ≤ B−1 cut values folded on
+    * the driver from a (B−1)-row broadcast join (the documented
+    * k-bounded driver-fold posture), and the APPLY is a NARROW
+    * codegen'd comparison fold — literal cuts spliced into the plan,
+    * zero shuffle, zero broadcast at apply time. The map is emitted at
+    * distinct-value granularity (the reusable artifact); applying it
+    * to the raw column is the same literal fold.
+    */
+  def qEquidepthMap(spark: SparkSession, sfDir: String): DataFrame = {
+    Graft.ensureConf(spark)
+    equidepthMapOf(spark, Graft.table(spark, sfDir, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)")
+        .as("v")))
+  }
+
+  /** The map core over any single-column `v: BIGINT` relation. */
+  def equidepthMapOf(spark: SparkSession, values: DataFrame): DataFrame = {
+    val vals = values
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val (cum, n) = graft.core.GlobalRank.withPrefixSum(
+      vals, Seq(col("v")), "c", "cum")
+    require(n <= Long.MaxValue / edBins,
+      s"$n values exceed the bin-cut arithmetic headroom")
+    val cutRanks = (1 until edBins).map(b => b * n / edBins)
+      .filter(_ >= 1L).distinct
+    import spark.implicits._
+    // <= B-1 cut values reach the driver: the fitted artifact itself
+    val cuts: Seq[Long] =
+      if (cutRanks.isEmpty) Seq.empty
+      else cum.join(broadcast(cutRanks.toDF("r")),
+          col("cum") < col("r") && col("r") <= col("cum") + col("c"))
+        .select(col("v")).distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted
+    val bin = cuts.map(cv => when(col("v") > lit(cv), 1L).otherwise(0L))
+      .reduceOption(_ + _).getOrElse(lit(0L))
+    vals.select(col("v"), col("c"), bin.as("bin"))
+      .orderBy(col("v"))
+  }
+
+  /** Oracle: same construction — cut ranks to cut values on the
+    * compressed prefix relation, then the comparison-count bin.
+    */
+  val qEquidepthMapSql: String =
+    s"""WITH e AS (
+       |  SELECT CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND value IS NOT NULL
+       |), vc AS (
+       |  SELECT v, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1
+       |), cum AS (
+       |  SELECT v, c,
+       |    CAST(COALESCE(sum(c) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cum
+       |  FROM vc
+       |), nn AS (
+       |  SELECT CAST(sum(c) AS BIGINT) AS n FROM vc
+       |), cutr AS (
+       |  SELECT DISTINCT b * n // $edBins AS r
+       |  FROM (SELECT unnest(range(1, $edBins)) AS b), nn
+       |  WHERE b * n // $edBins >= 1
+       |), cuts AS (
+       |  SELECT DISTINCT cum.v AS cv
+       |  FROM cum JOIN cutr ON cum.cum < cutr.r AND cutr.r <= cum.cum + cum.c
+       |)
+       |SELECT vc.v, vc.c,
+       |  CAST(COALESCE(sum(CASE WHEN cuts.cv < vc.v THEN 1 ELSE 0 END), 0)
+       |    AS BIGINT) AS bin
+       |FROM vc LEFT JOIN cuts ON true
+       |GROUP BY 1, 2
+       |ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------------
   // Sliding-window distinct via register merge
   // ------------------------------------------------------------------

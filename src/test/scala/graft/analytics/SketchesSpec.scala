@@ -463,6 +463,41 @@ class SketchesSpec extends SparkSpec {
       s"the 60% tie group must span multiple whole bins: ${tied.length}")
   }
 
+  test("equidepth map: equal values share a bin, duplicate cuts " +
+       "collapse, and the assignment is the comparison count against " +
+       "the fitted cut values") {
+    val s2 = spark; import s2.implicits._
+    // same planted skew as the histogram test: 42 holds 60% of the
+    // mass; under the qcut contract it must land WHOLE in bin 0 (the
+    // rank-interval face splits it across 9 bins - the documented
+    // semantic contrast between the two faces)
+    val rows = (0 until 10000).map { j =>
+      if (j < 6000) 42L else 100L + (j % 400).toLong
+    }
+    val out = Sketches.equidepthMapOf(spark, rows.toDF("v")).collect()
+    assert(out.length == 401, s"one row per distinct value: ${out.length}")
+    val byV = out.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byV(42L) == ((6000L, 0L)),
+      s"the tie group lands whole in bin 0: ${byV(42L)}")
+    // cut ranks b*625 for b=1..15; ranks <= 6000 all resolve to v=42,
+    // so the 15 raw cuts collapse to 7 distinct values -> bins 0..7
+    assert(out.map(_.getLong(2)).max == 7L,
+      s"collapsed cuts renumber to 8 bins: ${out.map(_.getLong(2)).max}")
+    // monotone assignment in v
+    out.sortBy(_.getLong(0)).sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(2) <= b.getLong(2), s"monotone: $a -> $b")
+      case _ =>
+    }
+    // hand-checked cut: rank 6250 falls in v=124's interval, so
+    // values in (42, 124] are bin 1 - 25 values x 10 rows
+    assert(byV(124L)._2 == 1L && byV(125L)._2 == 2L,
+      s"cut at 124 right-closed: ${byV(124L)} ${byV(125L)}")
+    val bin1Pop = out.filter(_.getLong(2) == 1L).map(_.getLong(1)).sum
+    assert(bin1Pop == 250L, s"bin 1 realized population: $bin1Pop")
+    // populations sum to n under any tie structure
+    assert(out.map(_.getLong(1)).sum == 10000L)
+  }
+
   test("cms sliding prod: the pre-distinct cuts the window fan volume " +
        "on a corpus with real key repetition") {
     // the crossover claim (PLANS.md r6): prod beats the exact-adjunct
