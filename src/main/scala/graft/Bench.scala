@@ -67,7 +67,7 @@ object Bench {
     // training-data pipeline
     "dd_exact", "dd_minhash_lsh", "dd_edit_verify", "dd_ngram_jaccard", "dd_jaccard_prefix",
     "dd_jaccard_routed", "dd_lsh_eval", "dd_lsh_curve",
-    "dd_containment", "dd_simhash", "dd_simhash_route", "mm_ahash_route",
+    "dd_containment", "dd_cross_dedup", "dd_simhash", "dd_simhash_route", "mm_ahash_route",
     "dd_simhash_eval",
     "dd_embed_cosine", "dd_semantic", "dd_semantic_eval", "dd_semantic_mp",
     "dd_semantic_dial", "emb_mmd", "emb_mmd_rbf", "emb_energy",
@@ -161,6 +161,9 @@ object Bench {
     // route regression (wrong side of the budget) or a bucket-volume
     // regression would both show here first
     "dd_simhash", "dd_simhash_route", "mm_ahash_route",
+    // the asymmetric shard-vs-kept-corpus face rides the same banded
+    // relation: its slope must track candidate volume, never A x B
+    "dd_cross_dedup",
     // the cluster CONSUMERS (r15 verdict #2): the LSH+verify+concomp
     // machinery was anchored but the faces that ride it were not —
     // their slopes must track clusters-sized work (keeper pick,

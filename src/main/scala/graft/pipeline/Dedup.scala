@@ -773,6 +773,73 @@ object Dedup {
        |WHERE jaccard >= $jaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- dd_cross_dedup ------------------------------------------------
+
+  /** CROSS-SET near-duplicate removal — "dedup the incoming shard
+    * against the kept corpus", the incremental-curation op every
+    * recurring crawl runs. Within-set dedup (30a/30b) is symmetric;
+    * this is the ASYMMETRIC face: corpus A is immutable (already
+    * kept), only B-side documents can drop, and B×B duplicates are
+    * deliberately NOT this op's business (they are the next
+    * within-set pass). Sides split by the `pipe_split` discipline
+    * (doc_id parity — deterministic, content-independent, so the gate
+    * exercises a realistic interleaved shard). Candidates come from
+    * the SAME banded minhash relation the family shares, as an A×B
+    * bucket join — the self-join's `doc_id <` ordering replaced by
+    * the side predicates, so no within-set pair ever reaches verify;
+    * verify is the exact hashed-shingle Jaccard at the family
+    * threshold; the verdict aggregates per B doc with plain
+    * map-combinable aggregates: the canonical A keeper (min doc_id
+    * over verified matches), the match count, and the best verified
+    * Jaccard as evidence.
+    *
+    * 100 TB shape: with the signature store, the kept corpus's
+    * bands/shingles are ALREADY-LANDED facts — only the shard
+    * re-signatures; the bucket join is bounded by band-bucket sizes
+    * (band index in the key), verify touches candidates only, and
+    * the per-B-doc agg is map-combinable. Nothing is ever A×A.
+    */
+  def crossDedup(spark: SparkSession, sfDir: String): DataFrame =
+    crossDedupFrom(bandsDf(spark, sfDir),
+      shingled(spark, sfDir).select(col("doc_id"), col("hs")))
+
+  private[graft] def crossDedupFrom(bands: DataFrame,
+                                    sh: DataFrame): DataFrame = {
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.h") === col("y.h") &&
+        col("x.doc_id") % 2 === 0 && col("y.doc_id") % 2 === 1)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    ngramJaccardFrom(cand, sh)
+      .groupBy(col("doc_b"))
+      .agg(min(col("doc_a")).as("keeper_a"),
+        count(lit(1)).as("n_matches"),
+        max(col("jaccard")).as("best_j"))
+      .orderBy(col("doc_b"))
+  }
+
+  val crossDedupSql: String =
+    s"""WITH $shingledCteDuck, $bandsCteDuck, cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.h = y.h
+       |   AND x.doc_id % 2 = 0 AND y.doc_id % 2 = 1
+       |), j AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    (floor((CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |          / CAST(len(a.hs) + len(b.hs)
+       |                 - len(list_intersect(a.hs, b.hs)) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)
+       |      AS jaccard
+       |  FROM cand c
+       |  JOIN hs a ON a.doc_id = c.doc_a
+       |  JOIN hs b ON b.doc_id = c.doc_b
+       |)
+       |SELECT doc_b, min(doc_a) AS keeper_a,
+       |  CAST(count(*) AS BIGINT) AS n_matches, max(jaccard) AS best_j
+       |FROM j WHERE jaccard >= $jaccardThreshold
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   // ---- dd_jaccard_prefix ---------------------------------------------
 
   /** Exact threshold-Jaccard self-join by PREFIX FILTERING (the

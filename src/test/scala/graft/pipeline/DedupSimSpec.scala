@@ -25,6 +25,29 @@ class DedupSimSpec extends SparkSpec {
     assert(verified.subsetOf(cand))
   }
 
+  test("cross dedup: asymmetric - only shard docs drop, B×B and A×A " +
+       "pairs never reach the verdict, keeper is the canonical A match") {
+    val s = spark; import s.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "one two three four five six seven eight nine ten"
+    val third = "red orange yellow green blue indigo violet umber ochre teal"
+    val docs = Seq(
+      2L -> base,           // A (even): kept
+      3L -> base,           // B (odd): dup of A:2 -> must drop, keeper 2
+      4L -> other, 6L -> other, // A×A dup pair: A never drops
+      5L -> third, 7L -> third  // B×B dup pair with no A match: not
+                                // this op's business - absent
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shinglesFrom(docs).select(col("doc_id"), col("hs"))
+    val out = Dedup.crossDedupFrom(Dedup.bandsFrom(sh), sh).collect()
+    assert(out.length == 1, s"only the A-matched shard doc: ${out.toSeq}")
+    val r = out.head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L,
+      s"doc 3 drops with keeper 2: $r")
+    assert(r.getLong(2) >= 1L && r.getDouble(3) == 1.0,
+      s"exact dup verifies at jaccard 1.0: $r")
+  }
+
   test("edit verify: hand-computed Levenshtein on planted candidates; " +
        "the 10% rule admits the one-char edit and rejects the rewrite") {
     val s = spark; import s.implicits._
