@@ -94,14 +94,59 @@ object Graph {
       if (it.next()._1.sparkContext.isStopped) it.remove()
     }
     pairCache.computeIfAbsent((spark, sfDir), { case (s, dir) =>
-      fwdPairs(Transform.extract(s, dir)).persist()
+      // localCheckpoint, not persist: every consumer face re-ran its
+      // own defensive localCheckpoint() on the memoized relation (one
+      // materialization job per graph query); storing the flat
+      // LogicalRDD leaf makes `materialized` a no-op for all of them
+      fwdPairs(Transform.extract(s, dir)).localCheckpoint()
+    })
+  }
+
+  /** Materialize an iteration input once — but not twice: relations
+    * already landed as a LogicalRDD leaf (the memoized pair/projection
+    * relations, anything out of `localCheckpoint`) pass through.
+    */
+  private[graft] def materialized(df: DataFrame): DataFrame =
+    if (org.apache.spark.sql.GraftBridge.isMaterializedLeaf(df)) df
+    else df.localCheckpoint()
+
+  /** The lift-filtered co-visitation projection, session-shared: all
+    * cohesion faces (triangles, transitivity, k-core, k-truss, LPA,
+    * modularity, LCC) walk the SAME (o1 < o2) edge relation, and each
+    * used to re-run the capped set-build + in-row pair explode + lift
+    * joins + its own checkpoint. At 100 TB this projection is the
+    * object-graph table a deployment materializes once between the
+    * event log and every graph consumer (the `fwdPairsFor` argument,
+    * one level up the cohesion stack). Stream/store faces keep their
+    * snapshot-derived relations.
+    */
+  private val projCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private[graft] def projEdgesFor(spark: SparkSession,
+                                  sfDir: String): DataFrame = {
+    val it = projCache.keySet().iterator()
+    while (it.hasNext) {
+      if (it.next()._1.sparkContext.isStopped) it.remove()
+    }
+    projCache.computeIfAbsent((spark, sfDir), { case (s, dir) =>
+      val act = capActive(Transform.extract(s, dir)).localCheckpoint()
+      val nu = act.agg(count(lit(1)).as("n"))
+      val od = act.select(explode(col("os")).as("o"))
+        .groupBy(col("o")).agg(count(lit(1)).as("c"))
+      liftEdges(pairCounts(act).filter(col("cnt") >= cooccurMinCnt),
+        od, nu).localCheckpoint()
     })
   }
 
   def releaseAll(spark: SparkSession): Unit = {
     import scala.jdk.CollectionConverters._
     pairCache.keySet.asScala.filter(_._1 eq spark).toSeq
-      .foreach(k => Option(pairCache.remove(k)).foreach(_.unpersist()))
+      .foreach(k => Option(pairCache.remove(k)).foreach(
+        org.apache.spark.sql.GraftBridge.unpersistMaterialized))
+    projCache.keySet.asScala.filter(_._1 eq spark).toSeq
+      .foreach(k => Option(projCache.remove(k)).foreach(
+        org.apache.spark.sql.GraftBridge.unpersistMaterialized))
   }
 
   /** The memo build PRICED ON ITS OWN BENCH LINE (VERDICT r13 #5):
@@ -150,7 +195,7 @@ object Graph {
     // truncates lineage, ≙ the reliable checkpoint an iterative graph
     // job takes between supersteps) - without it every iteration's
     // unrolled plan re-derives the scan + distinct
-    val fwd = fwdPairs.localCheckpoint()
+    val fwd = materialized(fwdPairs)
     // undirected walk: each interaction pair contributes both arcs;
     // even→odd and odd→even cannot duplicate, so unionAll is exact
     val edges = fwd.unionAll(
@@ -239,7 +284,7 @@ object Graph {
 
   private[graft] def pprFrom(fwdPairs: DataFrame,
                              iters: Int = iterations): DataFrame = {
-    val fwd = fwdPairs.localCheckpoint()
+    val fwd = materialized(fwdPairs)
     val edges = fwd.unionAll(
       fwd.select(col("dst").as("src"), col("src").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
@@ -344,7 +389,7 @@ object Graph {
 
   private[graft] def katzFrom(fwdPairs: DataFrame,
                               iters: Int = iterations): DataFrame = {
-    val fwd = fwdPairs.localCheckpoint()
+    val fwd = materialized(fwdPairs)
     val edges = fwd.unionAll(
       fwd.select(col("dst").as("src"), col("src").as("dst")))
     val nodes = edges.select(col("src").as("v")).distinct()
@@ -437,7 +482,7 @@ object Graph {
     */
   private[graft] def hitsFrom(fwdPairs: DataFrame,
                               iters: Int = iterations): DataFrame = {
-    val fwd = fwdPairs.localCheckpoint()
+    val fwd = materialized(fwdPairs)
     var hubs = fwd.select(col("src")).distinct()
       .withColumn("h", lit(1000000L))
     var auth = fwd.select(col("dst")).distinct()
@@ -609,7 +654,10 @@ object Graph {
     */
   def qTriangles(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
-    trianglesFrom(Transform.extract(spark, sfDir))
+    // the lift-filtered projection is the session-shared tier
+    // (`projEdgesFor`); the tuples-argument builder below stays
+    // for the snapshot-derived stream/store faces
+    trianglesFromEdges(projEdgesFor(spark, sfDir))
   }
 
   private[graft] def trianglesFrom(tuples: DataFrame): DataFrame = {
@@ -644,7 +692,7 @@ object Graph {
     * read it, not three re-derivations.
     */
   private[graft] def trianglesFromEdges(edges: DataFrame): DataFrame = {
-    val e = edges.localCheckpoint()
+    val e = materialized(edges)
     val deg = e.select(col("o1").as("v"))
       .unionAll(e.select(col("o2").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
@@ -689,7 +737,10 @@ object Graph {
     */
   def qTransitivity(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
-    transitivityFrom(Transform.extract(spark, sfDir))
+    // the lift-filtered projection is the session-shared tier
+    // (`projEdgesFor`); the tuples-argument builder below stays
+    // for the snapshot-derived stream/store faces
+    transitivityFromEdges(projEdgesFor(spark, sfDir))
   }
 
   private[graft] def transitivityFrom(tuples: DataFrame): DataFrame = {
@@ -708,7 +759,7 @@ object Graph {
     * faces (degrees, wedges and closures are whole-projection facts).
     */
   private[graft] def transitivityFromEdges(edges: DataFrame): DataFrame = {
-    val e = edges.localCheckpoint()
+    val e = materialized(edges)
     val deg = e.select(col("o1").as("v"))
       .unionAll(e.select(col("o2").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
@@ -814,7 +865,10 @@ object Graph {
     */
   def qKcore(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
-    kcoreFrom(Transform.extract(spark, sfDir))
+    // the lift-filtered projection is the session-shared tier
+    // (`projEdgesFor`); the tuples-argument builder below stays
+    // for the snapshot-derived stream/store faces
+    kcoreFromEdges(projEdgesFor(spark, sfDir))
   }
 
   private[graft] def kcoreFrom(tuples: DataFrame): DataFrame = {
@@ -830,7 +884,7 @@ object Graph {
     * the batch face and the streaming face's snapshot view.
     */
   private[graft] def kcoreFromEdges(edges: DataFrame): DataFrame = {
-    var e = edges.localCheckpoint()
+    var e = materialized(edges)
     var edgeCount = e.count()
     var stable = false
     var round = 0
@@ -933,7 +987,10 @@ object Graph {
     */
   def qKtruss(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
-    trussFrom(Transform.extract(spark, sfDir))
+    // the lift-filtered projection is the session-shared tier
+    // (`projEdgesFor`); the tuples-argument builder below stays
+    // for the snapshot-derived stream/store faces
+    trussFromEdges(projEdgesFor(spark, sfDir))
   }
 
   private[graft] def trussFrom(tuples: DataFrame): DataFrame = {
@@ -967,7 +1024,7 @@ object Graph {
     */
   private[graft] def trussFromEdges(edges: DataFrame): DataFrame = {
     val minSup = trussK - 2
-    var e = edges.localCheckpoint()
+    var e = materialized(edges)
     var edgeCount = e.count()
     var stable = edgeCount == 0L
     var round = 0
@@ -1107,7 +1164,8 @@ object Graph {
     */
   def qLcc(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
-    lccFrom(Transform.extract(spark, sfDir))
+    // the lift-filtered projection is the session-shared tier
+    lccFromEdges(projEdgesFor(spark, sfDir))
   }
 
   private[graft] def lccFrom(tuples: DataFrame): DataFrame = {
@@ -1115,9 +1173,12 @@ object Graph {
     val nu = act.agg(count(lit(1)).as("n"))
     val od = act.select(explode(col("os")).as("o"))
       .groupBy(col("o")).agg(count(lit(1)).as("c"))
-    val e = liftEdges(
-      pairCounts(act).filter(col("cnt") >= cooccurMinCnt), od, nu)
-      .localCheckpoint()
+    lccFromEdges(liftEdges(
+      pairCounts(act).filter(col("cnt") >= cooccurMinCnt), od, nu))
+  }
+
+  private[graft] def lccFromEdges(edges: DataFrame): DataFrame = {
+    val e = materialized(edges)
     val deg = e.select(col("o1").as("v"))
       .unionAll(e.select(col("o2").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("degree"))
@@ -1233,7 +1294,10 @@ object Graph {
     */
   def qLinkpred(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
-    linkpredFrom(Transform.extract(spark, sfDir))
+    // the lift-filtered projection is the session-shared tier
+    // (`projEdgesFor`); the tuples-argument builder below stays
+    // for the snapshot-derived stream/store faces
+    linkpredFromEdges(projEdgesFor(spark, sfDir))
   }
 
   private[graft] def linkpredFrom(tuples: DataFrame): DataFrame = {
@@ -1252,7 +1316,7 @@ object Graph {
     * three re-derivations of the lift gate.
     */
   private[graft] def linkpredFromEdges(edges: DataFrame): DataFrame = {
-    val e = edges.localCheckpoint()
+    val e = materialized(edges)
     val nbr = e.select(col("o1").as("v"), col("o2").as("w"))
       .unionAll(e.select(col("o2").as("v"), col("o1").as("w")))
     val ctr = nbr.groupBy(col("v"))
@@ -1307,7 +1371,10 @@ object Graph {
     */
   def qLpa(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
-    lpaFrom(Transform.extract(spark, sfDir))
+    // the lift-filtered projection is the session-shared tier
+    // (`projEdgesFor`); the tuples-argument builder below stays
+    // for the snapshot-derived stream/store faces
+    lpaFromEdges(projEdgesFor(spark, sfDir))
   }
 
   private[graft] def lpaFrom(tuples: DataFrame): DataFrame = {
@@ -1324,10 +1391,12 @@ object Graph {
     * the cohesion store's view.
     */
   private[graft] def lpaFromEdges(edges: DataFrame): DataFrame = {
-    val e = edges.localCheckpoint()
+    val e = materialized(edges)
+    // no checkpoint: a union of two projections of the flat edge leaf
+    // re-derives for a block read per reference (the betweenness sym
+    // argument) - the materialization job was the only cost
     val nbr = e.select(col("o1").as("v"), col("o2").as("w"))
       .unionAll(e.select(col("o2").as("v"), col("o1").as("w")))
-      .localCheckpoint()
     var lbl = nbr.select(col("v")).distinct()
       .select(col("v"), col("v").as("lbl"))
     for (_ <- 1 to lpaRounds) {
@@ -1408,7 +1477,10 @@ object Graph {
     */
   def qModularity(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
-    modularityFrom(Transform.extract(spark, sfDir))
+    // the lift-filtered projection is the session-shared tier
+    // (`projEdgesFor`); the tuples-argument builder below stays
+    // for the snapshot-derived stream/store faces
+    modularityFromEdges(projEdgesFor(spark, sfDir))
   }
 
   private[graft] def modularityFrom(tuples: DataFrame): DataFrame = {
@@ -1434,7 +1506,7 @@ object Graph {
     * functions of the WHOLE projection: never storable state).
     */
   private[graft] def modularityFromEdges(edges: DataFrame): DataFrame = {
-    val e = edges.localCheckpoint()
+    val e = materialized(edges)
     val lbl = lpaFromEdges(e)
       .select(col("node_id").as("v"), col("community"))
     val m = e.agg(count(lit(1)).as("m"))
@@ -1664,7 +1736,7 @@ object Graph {
     bfsHopsFromPairs(fwdPairs(tuples))
 
   private[graft] def bfsHopsFromPairs(fwdPairs: DataFrame): DataFrame = {
-    val fwd = fwdPairs.localCheckpoint()
+    val fwd = materialized(fwdPairs)
     val sym = fwd.unionAll(
       fwd.select(col("dst").as("src"), col("src").as("dst")))
     // empty pair relation: no source to expand from - return the empty
@@ -1710,7 +1782,9 @@ object Graph {
         .localCheckpoint()
       if (next.isEmpty) more = false
       else {
-        visited = visited.unionAll(next).localCheckpoint()
+        // lazy union of flat checkpointed frontiers: re-checkpointing
+        // the whole visited set per round copied it O(depth) times
+        visited = visited.unionAll(next)
         frontier = next
       }
     }
@@ -1745,7 +1819,7 @@ object Graph {
 
   private[graft] def diameterFromPairs(fwdPairs: DataFrame): DataFrame = {
     val spark = fwdPairs.sparkSession
-    val fwd = fwdPairs.localCheckpoint()
+    val fwd = materialized(fwdPairs)
     val sym = fwd.unionAll(
       fwd.select(col("dst").as("src"), col("src").as("dst")))
     val srcRow = sym.agg(min(col("src"))).collect().head
@@ -1866,7 +1940,7 @@ object Graph {
 
   private[graft] def harmonicFromPairs(fwdPairs: DataFrame): DataFrame = {
     val spark = fwdPairs.sparkSession
-    val fwd = fwdPairs.localCheckpoint()
+    val fwd = materialized(fwdPairs)
     val sym = fwd.unionAll(
       fwd.select(col("dst").as("src"), col("src").as("dst")))
     val lms = sym.select(col("src")).distinct()
@@ -1896,7 +1970,9 @@ object Graph {
         .localCheckpoint()
       if (next.isEmpty) more = false
       else {
-        visited = visited.unionAll(next).localCheckpoint()
+        // lazy union of flat checkpointed frontiers: re-checkpointing
+        // the whole visited set per round copied it O(depth) times
+        visited = visited.unionAll(next)
         frontier = next
       }
     }
@@ -1960,10 +2036,12 @@ object Graph {
   private[graft] def betweennessFromPairs(fwdPairs: DataFrame): DataFrame = {
     val spark = fwdPairs.sparkSession
     import spark.implicits._
-    val fwd = fwdPairs.localCheckpoint()
+    val fwd = materialized(fwdPairs)
+    // no checkpoint for sym: a union of two projections of a flat
+    // leaf re-derives for pennies per reference, and skipping the
+    // materialization job removes one full-relation copy per query
     val sym = fwd.unionAll(
-        fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
     // Landmarks = top-k by DEGREE (id tie-break): the landmark choice
     // is the whole error term of source-sampled Brandes, and hubs sit
     // on the most shortest paths, so degree-ranked landmarks make the
@@ -1981,34 +2059,38 @@ object Graph {
     // forward: per-layer (lm, v, sigma); layer 0 = the landmarks
     var layers = Vector(
       lms.map(l => (l, l, 1L)).toDF("lm", "v", "sigma").localCheckpoint())
-    var visited = layers(0).select(col("lm"), col("v")).localCheckpoint()
+    var visited = layers(0).select(col("lm"), col("v"))
     var d = 0
     var alive = true
+    // one materialization job per depth: the old loop checkpointed a
+    // distinct frontier relation, probed it for emptiness, THEN built
+    // and checkpointed sigma against it (plus a third checkpoint of
+    // the visited union) — 3 jobs per depth for what is one. Folding
+    // the frontier into the sigma agg (sum per neighbor, anti-join
+    // the visited set after) computes identical sigmas for the kept
+    // rows; `visited` stays a lazy union of flat checkpointed layers,
+    // re-derived per anti-join for the price of a block read.
     while (alive && d < betweennessRadius) {
       d += 1
       val prev = layers(d - 1)
-      val nextNodes = prev.join(sym, col("v") === col("src"))
-        .select(col("lm"), col("dst").as("v")).distinct()
+      val sig = prev
+        .select(col("lm"), col("v").as("u"), col("sigma").as("su"))
+        .join(sym.select(col("src").as("u"), col("dst").as("v")), "u")
+        .groupBy(col("lm"), col("v"))
+        .agg(sum(col("su")).as("sigma"))
         .join(visited, Seq("lm", "v"), "left_anti")
         .localCheckpoint()
-      if (nextNodes.isEmpty) alive = false
+      if (sig.isEmpty) alive = false
       else {
-        val sig = prev
-          .select(col("lm"), col("v").as("u"), col("sigma").as("su"))
-          .join(sym.select(col("src").as("u"), col("dst").as("v")), "u")
-          .join(nextNodes, Seq("lm", "v"))
-          .groupBy(col("lm"), col("v"))
-          .agg(sum(col("su")).as("sigma"))
-          .localCheckpoint()
         layers = layers :+ sig
         visited = visited.unionAll(sig.select(col("lm"), col("v")))
-          .localCheckpoint()
       }
     }
-    val maxSig = layers.map { l =>
-      Option(l.agg(max(col("sigma"))).first().get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
-    }.max
+    // one agg job over the unioned (checkpointed) layers, not one per
+    // layer
+    val maxSig = Option(layers.map(_.select(col("sigma")))
+        .reduce(_ unionAll _).agg(max(col("sigma"))).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     require(maxSig <= 1000000L,
       s"qBetweenness: shortest-path count $maxSig exceeds the 1e6 " +
         s"headroom bound at radius $betweennessRadius - lower the " +

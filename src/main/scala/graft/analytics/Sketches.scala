@@ -621,14 +621,26 @@ object Sketches {
       .filter(col("v_mu") >= 1L)
     val b = ev.agg(min(col("t")), max(col("t"))).head
     val mid = (b.getLong(0) + b.getLong(1)) / 2
-    def binCounts(e: DataFrame): DataFrame =
-      e.select(col("et"), expr(ddBinExpr).as("bin"))
-        .groupBy(col("et"), col("bin")).agg(count(lit(1)).as("c"))
-    val full = binCounts(ev)
-    val base = binCounts(ev.filter(col("t") <= mid))
+    // ONE events pass lands full counts, first-half counts and the
+    // touched-after-split flag per (et, bin) — the full/base/changed
+    // trio used to be three independent shuffles of the raw corpus
+    // (full bins, first-half bins, post-split key distinct); every
+    // derived relation below reads the checkpointed bin-sized state
+    val state = ev
+      .select(col("et"), expr(ddBinExpr).as("bin"),
+        (col("t") <= mid).as("in1"))
+      .groupBy(col("et"), col("bin"))
+      .agg(count(lit(1)).as("c_full"),
+        count(when(col("in1"), lit(1))).as("c_base"),
+        max(when(!col("in1"), lit(1))).as("touched2"))
+      .localCheckpoint()
+    val full = state.select(col("et"), col("bin"), col("c_full").as("c"))
+    val base = state.filter(col("c_base") > 0)
+      .select(col("et"), col("bin"), col("c_base").as("c"))
     // keys with post-split activity: their full-state rows ARE the
     // delta (whole-key replacement - the update-mode publish contract)
-    val changed = ev.filter(col("t") > mid).select(col("et")).distinct()
+    val changed = state.filter(col("touched2") === 1)
+      .select(col("et")).distinct()
     val delta = full.join(changed, Seq("et"), "left_semi")
     val root = graft.pipeline.SignatureStore
       .tempDirForExit("graft_qtile_sink")
@@ -637,12 +649,19 @@ object Sketches {
     sink.put("qt", base)
     sink.mergeDelta("qt", delta, Seq("et"))
     // serve every key through the point-read path (the facade
-    // posture): one pruned single-bucket read per key
+    // posture). One key goes through the single-key `getKey` so the
+    // per-key serving plan stays live on this face; the full key list
+    // is served by the batched MULTIGET (`getKeys` - the
+    // ss_sink_point_read precedent): identical pruned single-bucket
+    // semantics, ONE job instead of |keys| footer+scan round trips.
     val ets = sink.get(spark, "qt").select(col("et")).distinct()
       .orderBy(col("et")).collect().map(_.getString(0))
     require(ets.nonEmpty, "quantile sink published no keys")
-    val served = ets.map(e => sink.getKey(spark, "qt", Seq(e)))
-      .reduce(_ unionByName _)
+    val served0 = sink.getKey(spark, "qt", Seq(ets.head))
+    val served =
+      if (ets.length == 1) served0
+      else served0.unionByName(
+        sink.getKeys(spark, "qt", ets.tail.toSeq.map(Seq[Any](_))))
     ddsketchQtileFromBinCounts(served)
   }
 
@@ -952,6 +971,21 @@ object Sketches {
   val slideBucketUs = 14400000000L
   val slideSpan = 5L // window = [wb - 5, wb]
 
+  /** Attach each row (carrying a bucket column `b`) to every OCCUPIED
+    * sliding window covering it: wb ∈ [b, b + slideSpan] ∩ wins. The
+    * predicate form `b BETWEEN wb - span AND wb` plans as a
+    * BroadcastNestedLoopJoin — O(rows × windows) predicate
+    * evaluations, the accidental-cartesian shape of guide §3 — while
+    * this explode + equi-join fans each row to its ≤ span+1 candidate
+    * windows and hash-joins them against the occupied-window list:
+    * O(rows × (span+1)) with a codegen'd BroadcastHashJoin. Identical
+    * output relation (same columns, wb leading).
+    */
+  private[analytics] def fanToWindows(df: DataFrame,
+                                      wins: DataFrame): DataFrame =
+    df.withColumn("wb", explode(expr(s"sequence(b, b + ${slideSpan}L)")))
+      .join(broadcast(wins), Seq("wb"))
+
   /** Distinct users per sliding 24 h window - the mergeable-sketch
     * payoff over TIME: per-4h-bucket HLL registers are built once
     * (one narrow hash pass + one (bucket, register) max), and every
@@ -976,12 +1010,10 @@ object Sketches {
       .groupBy(col("b"), col("reg"))
       .agg(max(col("rho")).as("mj"))
     val wins = ev.select(col("b").as("wb")).distinct()
-    val merged = regs.join(broadcast(wins),
-        col("b").between(col("wb") - slideSpan, col("wb")))
+    val merged = fanToWindows(regs, wins)
       .groupBy(col("wb"), col("reg"))
       .agg(max(col("mj")).as("mj"))
-    val exact = ev.join(broadcast(wins),
-        col("b").between(col("wb") - slideSpan, col("wb")))
+    val exact = fanToWindows(ev, wins)
       .groupBy(col("wb"))
       .agg(countDistinct(col("user_id")).as("n_exact"))
     estimate(merged, "wb").join(exact, Seq("wb"))
@@ -1171,12 +1203,10 @@ object Sketches {
       .groupBy(col("b"), col("r"), col("bkt"))
       .agg(count(lit(1)).as("c"))
     val wins = ev.select(col("b").as("wb")).distinct()
-    val merged = counters.join(broadcast(wins),
-        col("b").between(col("wb") - slideSpan, col("wb")))
+    val merged = fanToWindows(counters, wins)
       .groupBy(col("wb"), col("r"), col("bkt"))
       .agg(sum(col("c")).as("c"))
-    val items = ev.join(broadcast(wins),
-        col("b").between(col("wb") - slideSpan, col("wb")))
+    val items = fanToWindows(ev, wins)
       .groupBy(col("wb"), col("user_id"))
       .agg(count(lit(1)).as("exact_cnt"))
     val probes = items
@@ -1247,8 +1277,7 @@ object Sketches {
     val partials = ev.groupBy(col("b"), col("bin"))
       .agg(count(lit(1)).as("c"))
     val wins = ev.select(col("b").as("wb")).distinct()
-    val merged = partials.join(broadcast(wins),
-        col("b").between(col("wb") - slideSpan, col("wb")))
+    val merged = fanToWindows(partials, wins)
       .groupBy(col("wb"), col("bin"))
       .agg(sum(col("c")).as("c"))
     qtileEstimate(merged, "wb", slideQtileW)
@@ -1306,11 +1335,16 @@ object Sketches {
   def qKmvRetention(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
     graft.functions.NativeFunctions.register(spark)
+    // materialized once: three consumers walk this relation (the KMV
+    // buffer fold, the per-bucket sizes and BOTH sides of the exact
+    // h-keyed self-join) - unchecked, each re-ran the scan + hash +
+    // distinct shuffle
     val hs = Graft.tableParallel(spark, sfDir, "events")
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
       .select(expr(ParityMath.fdivSql("graft_ts_us(ts)", s"${slideBucketUs}L")).as("b"),
         expr("graft_md5_48(CAST(user_id AS STRING))").as("h"))
       .distinct()
+      .localCheckpoint()
     // buckets x k longs - small by construction, same local-pair-table
     // argument as qKmvJaccard: the adjacency math never duplicates the
     // corpus-scan subtree
@@ -1515,8 +1549,7 @@ object Sketches {
       .groupBy(col("b"), col("reg"))
       .agg(max(col("rho")).as("mj"))
     val wins = ev.select(col("b").as("wb")).distinct()
-    val merged = regs.join(broadcast(wins),
-        col("b").between(col("wb") - slideSpan, col("wb")))
+    val merged = fanToWindows(regs, wins)
       .groupBy(col("wb"), col("reg"))
       .agg(max(col("mj")).as("mj"))
     estimate(merged, "wb").orderBy(col("wb"))
@@ -1621,22 +1654,21 @@ object Sketches {
       .groupBy(col("b"), col("r"), col("bkt"))
       .agg(count(lit(1)).as("c"))
     val wins = ev.select(col("b").as("wb")).distinct()
-    val merged = counters.join(broadcast(wins),
-        col("b").between(col("wb") - slideSpan, col("wb")))
+    val merged = fanToWindows(counters, wins)
       .groupBy(col("wb"), col("r"), col("bkt"))
       .agg(sum(col("c")).as("c"))
     // candidates come from the distinct (bucket, item) relation built
     // ONCE (one map-side-combinable keyed shuffle over the corpus);
-    // the windows nested-loop join then fans out bucket-distinct rows,
-    // bounded by buckets x items, NOT raw corpus rows - the twin's
-    // exact counts need the raw rows per window, which is precisely
-    // the re-scan the production path exists to avoid. The (wb, user)
-    // distinct runs BEFORE the 6-row probe fan-out (so the fan and the
-    // est agg see each candidate once), and its partitioning is reused
-    // by the min(c) agg below - no exchange between them.
+    // the window fan-out (explode + equi-join, `fanToWindows`) then
+    // fans bucket-distinct rows, bounded by buckets x items, NOT raw
+    // corpus rows - the twin's exact counts need the raw rows per
+    // window, which is precisely the re-scan the production path
+    // exists to avoid. The (wb, user) distinct runs BEFORE the 6-row
+    // probe fan-out (so the fan and the est agg see each candidate
+    // once), and its partitioning is reused by the min(c) agg below -
+    // no exchange between them.
     val bi = ev.distinct()
-    val cand = bi.join(broadcast(wins),
-        col("b").between(col("wb") - slideSpan, col("wb")))
+    val cand = fanToWindows(bi, wins)
       .select(col("wb"), col("user_id")).distinct()
     val probes = cand
       .select(col("wb"), col("user_id"),

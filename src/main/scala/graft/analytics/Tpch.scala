@@ -554,33 +554,62 @@ object Tpch {
         col("start_t"), col("end_t")))
   }
 
-  /** The tiled overlap count over any (user_id, session_id, start_t,
-    * end_t) session relation — shared by the batch face and the
-    * streaming face's snapshot view.
+  /** The overlap count over any (user_id, session_id, start_t, end_t)
+    * session relation — shared by the batch face and the streaming
+    * face's snapshot view.
+    *
+    * Interval-stabbing identity, pair-free: two intervals overlap iff
+    * NOT (other.start > my.end OR other.end < my.start) — and the two
+    * disjuncts are disjoint (start ≤ end), so
+    *   n_overlap(s) = F_start≤(end_s) − F_end<(start_s) − 1
+    * (N total sessions cancel; −1 removes s itself; same-user
+    * sessions are >30-min-gap disjoint by construction, so no other
+    * self-exclusion exists to replicate). Both cumulatives ride ONE
+    * axis-tagged range-shuffle prefix sum: axis 0 anchors every
+    * session start (cc 1) and queries at end_s AFTER anchors at the
+    * same v (kind 1 — the ≤); axis 1 anchors every end and queries at
+    * start_s BEFORE anchors at the same v (kind 0 — the strict <).
+    * Tied query rows carry cc 0, so their exclusive prefixes agree
+    * regardless of tie order. The tiled bin self-join this replaces
+    * materialized every overlapping PAIR (quadratic in session
+    * density at a fixed time span — the q_range_join argument); here
+    * output volume is sessions-sized and nothing fans past 4 rows per
+    * session.
     */
   private[graft] def overlapFrom(sessions: DataFrame): DataFrame = {
-    val w = overlapBinUs
-    val sess = sessions.localCheckpoint()
-    val binned = sess.select(col("user_id"), col("session_id"),
-      col("start_t"), col("end_t"),
-      explode(expr(s"sequence(start_t DIV ${w}L, end_t DIV ${w}L)"))
-        .as("bin"))
-    val a = binned.select(col("bin"), col("user_id").as("u1"),
-      col("session_id").as("s1"), col("start_t").as("st1"),
-      col("end_t").as("en1"))
-    val b = binned.select(col("bin"), col("user_id").as("u2"),
-      col("session_id").as("s2"), col("start_t").as("st2"),
-      col("end_t").as("en2"))
-    val ov = a.join(b, "bin")
-      .filter(col("st1") <= col("en2") && col("st2") <= col("en1"))
-      .filter(!(col("u1") === col("u2") && col("s1") === col("s2")))
-      .filter(col("bin") ===
-        expr(s"greatest(st1, st2) DIV ${w}L"))
-      .groupBy(col("u1").as("user_id"), col("s1").as("session_id"))
-      .agg(count(lit(1)).as("n_overlap"))
-    sess.join(ov, Seq("user_id", "session_id"), "left")
+    val tagged = sessions.select(explode(expr(
+        """array(
+          |  named_struct('axis', 0, 'v', start_t, 'kind', 0,
+          |    'cc', CAST(1 AS BIGINT),
+          |    'qu', CAST(NULL AS BIGINT), 'qs', CAST(NULL AS BIGINT)),
+          |  named_struct('axis', 0, 'v', end_t, 'kind', 1,
+          |    'cc', CAST(0 AS BIGINT), 'qu', user_id, 'qs', session_id),
+          |  named_struct('axis', 1, 'v', end_t, 'kind', 1,
+          |    'cc', CAST(1 AS BIGINT),
+          |    'qu', CAST(NULL AS BIGINT), 'qs', CAST(NULL AS BIGINT)),
+          |  named_struct('axis', 1, 'v', start_t, 'kind', 0,
+          |    'cc', CAST(0 AS BIGINT), 'qu', user_id, 'qs', session_id))"""
+          .stripMargin)).as("r"))
+      .select(col("r.axis").as("axis"), col("r.v").as("v"),
+        col("r.kind").as("kind"), col("r.cc").as("cc"),
+        col("r.qu").as("qu"), col("r.qs").as("qs"))
+    val (pf, grand) = graft.core.GlobalRank.withPrefixSum(
+      tagged, Seq(col("axis").asc, col("v").asc, col("kind").asc),
+      "cc", "f")
+    // the tagged prefix runs ACROSS axes (axis leading), so every
+    // axis-1 prefix carries axis 0's whole anchor mass N on top of
+    // F_end<; each axis anchors every session once, so grand = 2N and
+    // n = f0 − (f1 − N) − 1
+    val nSessions = grand / 2
+    val fStartLeEnd = pf.filter(col("axis") === 0 && col("kind") === 1)
+      .select(col("qu").as("user_id"), col("qs").as("session_id"),
+        col("f").as("f0"))
+    val fEndLtStart = pf.filter(col("axis") === 1 && col("kind") === 0)
+      .select(col("qu").as("user_id"), col("qs").as("session_id"),
+        col("f").as("f1"))
+    fStartLeEnd.join(fEndLtStart, Seq("user_id", "session_id"))
       .select(col("user_id"), col("session_id"),
-        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+        (col("f0") - col("f1") + lit(nSessions) - 1L).as("n_overlap"))
       .orderBy(col("user_id"), col("session_id"))
   }
 
@@ -720,24 +749,39 @@ object Tpch {
     */
   private[graft] def spearmanFromPairCounts(pc0: DataFrame): DataFrame = {
     val pc = pc0.localCheckpoint()
-    def ranks(cn: String): DataFrame = {
-      val vc = pc.groupBy(col(cn)).agg(sum(col("k")).as("c"))
-      val (pf, nTot) = graft.core.GlobalRank.withPrefixSum(
-        vc, Seq(col(cn).asc), "c", "lo")
-      // Loud headroom (the qBetweenness require discipline): doubled
-      // ranks reach 2n+1 and the triple products k*rx*ry accumulate
-      // in DECIMAL(38,0), so n*(2n+1)^2 < 1e38 caps n at ~2.9e12 -
-      // comfortably above the 6e11-row 100 TB design point, and the
-      // DECIMAL(14,0) rank casts below hold to n < 5e13. Beyond the
-      // bound, non-ANSI decimal overflow nulls silently while the
-      // DuckDB HUGEINT oracle keeps computing; fail loudly instead.
-      require(nTot <= 2900000000000L,
-        s"spearman: n=$nTot exceeds the 2.9e12 DECIMAL(38,0) bound")
-      pf.select(col(cn),
-        (lit(2L) * col("lo") + col("c") + 1L).as(s"r2_$cn"))
-    }
+    // BOTH axes' value counts ride ONE axis-tagged range shuffle
+    // (axis-leading order, the `longAxisRanks` argument): per axis the
+    // exclusive prefix is the tagged prefix minus the axes landed
+    // before it — axis 0 contributes exactly nTot to every axis-1
+    // prefix, and each axis's counts sum to nTot, so grand = 2·nTot.
+    // Chaining `withPrefixSum` per axis paid the RangePartitioner
+    // sampling pass + size pass + shuffle twice for the same math.
+    val vc = pc.select(explode(array(
+        struct(lit(0).as("axis"), col("x").as("v"), col("k")),
+        struct(lit(1).as("axis"), col("y").as("v"), col("k")))).as("t"))
+      .select(col("t.axis").as("axis"), col("t.v").as("v"),
+        col("t.k").as("k"))
+      .groupBy(col("axis"), col("v")).agg(sum(col("k")).as("c"))
+    val (pf, grand) = graft.core.GlobalRank.withPrefixSum(
+      vc, Seq(col("axis").asc, col("v").asc), "c", "lo0")
+    val nTot = grand / 2
+    // Loud headroom (the qBetweenness require discipline): doubled
+    // ranks reach 2n+1 and the triple products k*rx*ry accumulate
+    // in DECIMAL(38,0), so n*(2n+1)^2 < 1e38 caps n at ~2.9e12 -
+    // comfortably above the 6e11-row 100 TB design point, and the
+    // DECIMAL(14,0) rank casts below hold to n < 5e13. Beyond the
+    // bound, non-ANSI decimal overflow nulls silently while the
+    // DuckDB HUGEINT oracle keeps computing; fail loudly instead.
+    require(nTot <= 2900000000000L,
+      s"spearman: n=$nTot exceeds the 2.9e12 DECIMAL(38,0) bound")
+    val ranks = pf.select(col("axis"), col("v"),
+      (lit(2L) * (col("lo0") - col("axis") * lit(nTot)) +
+        col("c") + 1L).as("r2"))
+    def axisRanks(a: Int, cn: String): DataFrame =
+      ranks.filter(col("axis") === a)
+        .select(col("v").as(cn), col("r2").as(s"r2_$cn"))
     val d14 = "decimal(14,0)"
-    pc.join(ranks("x"), "x").join(ranks("y"), "y")
+    pc.join(axisRanks(0, "x"), "x").join(axisRanks(1, "y"), "y")
       .select(col("k").cast(d14).as("k"),
         col("r2_x").cast(d14).as("rx"), col("r2_y").cast(d14).as("ry"))
       .agg(coalesce(sum(col("k")), lit(0L).cast(d14)).as("n"),

@@ -182,30 +182,81 @@ object CountQueries {
     org.apache.spark.sql.GraftBridge.ofInternalRows(spark, out, outSchema)
   }
 
+  /** ALL SIX orderings in ONE range shuffle (the `longAxisRanks`
+    * argument applied to the sort-variant family): each state row is
+    * tagged into three skinny (axis, k1, k2, payload) rows whose
+    * unified order (axis, k1, k2, s, a, o) restricted to an axis
+    * reproduces that variant's exact total order — time ≙ (last_t, 0),
+    * count ≙ (cnt, 0), count_time ≙ (cnt, last_t) — so one sampling
+    * pass, one size pass and one shuffle replace three of each (the
+    * per-pair loop paid a RangePartitioner sampling job + a size-pass
+    * collect + a full exchange per pair, pure scheduler overhead at
+    * key-tuple scale), and each descending rank is still N + 1 - asc.
+    * The persist of the shared state is gone with the fan-out: the one
+    * tagged relation is the single consumer, and its size and data
+    * passes already share one shuffle lineage.
+    */
   def sortedVariantsFrom(state: DataFrame): DataFrame = {
-    // one computation of the count state feeds all rankings (without
-    // the persist each branch re-aggregates from the events scan); the
-    // partition-size passes above materialize each pair's range shuffle
-    // eagerly, so the data pass normally reads shuffle files, not the
-    // cache - but unpersisting HERE would bet on that reuse (a
-    // re-planned consumer or cleaned shuffle files silently re-aggregate
-    // from the source scan), so release is deferred to the
-    // caller-visible `releaseAll` teardown instead, mirroring
-    // Transform.releaseAll
-    val shared = state.persist()
-    val out = sortVariantPairs.map { case (nameAsc, nameDesc, keys) =>
-      rankedPairGlobally(shared, nameAsc, nameDesc, keys)
-    }.reduce(_ unionAll _)
-    // keyed by (session, semantic plan): a caller re-running the same
-    // variants query replaces (and unpersists) its previous pinned
-    // state instead of enqueueing forever; entries whose session has
-    // been stopped are swept on every call, so a consumer that never
-    // calls releaseAll still can't accumulate dead references
-    val prev = pendingRelease.put(
-      (state.sparkSession, state.semanticHash()), shared)
-    if (prev != null && (prev ne shared)) prev.unpersist(blocking = false)
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val spark = state.sparkSession
+    val parts = spark.sparkContext.defaultParallelism
+    val nAxes = sortVariantPairs.length
+    val tagged = state
+      .select(col("s"), col("a"), col("o"), col("cnt"), col("last_t"))
+      .select(expr(
+        """explode(array(
+          |  named_struct('axis', 0, 'k1', last_t, 'k2', CAST(0 AS BIGINT)),
+          |  named_struct('axis', 1, 'k1', cnt,    'k2', CAST(0 AS BIGINT)),
+          |  named_struct('axis', 2, 'k1', cnt,    'k2', last_t)))"""
+          .stripMargin).as("t"),
+        col("s"), col("a"), col("o"), col("cnt"), col("last_t"))
+      .select(col("t.axis").as("axis"), col("t.k1").as("k1"),
+        col("t.k2").as("k2"),
+        col("s"), col("a"), col("o"), col("cnt"), col("last_t"))
+    val order = Seq(col("axis").asc, col("k1").asc, col("k2").asc,
+      col("s").asc, col("a").asc, col("o").asc)
+    val sorted = tagged
+      .repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+    val inSchema = sorted.schema
+    val payload = inSchema.fields.drop(3)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("ordering", StringType,
+        nullable = false) +:
+      org.apache.spark.sql.types.StructField("rk", LongType,
+        nullable = false) +: payload.toSeq)
+    val rdd = sorted.queryExecution.toRdd
+    // per-(partition, axis) row counts - Long accumulation (Int would
+    // wrap past 2^31 rows per range partition and corrupt every rank)
+    val stats = rdd.mapPartitions { it =>
+      val c = new Array[Long](nAxes)
+      while (it.hasNext) { c(it.next().getInt(0)) += 1L }
+      Iterator.single(c)
+    }.collect()
+    val ns = (0 until nAxes).map(a => stats.map(_(a)).sum)
+    val offsets = stats.scanLeft(new Array[Long](nAxes)) { (acc, c) =>
+      Array.tabulate(nAxes)(a => acc(a) + c(a))
+    }
+    val names = sortVariantPairs.map { case (na, nd, _) => (na, nd) }
+    val out = rdd.mapPartitionsWithIndex { (pi, it) =>
+      val ascTags = names.map(n => UTF8String.fromString(n._1)).toArray
+      val descTags = names.map(n => UTF8String.fromString(n._2)).toArray
+      val idx = offsets(pi).clone()
+      it.flatMap { ir =>
+        val a = ir.getInt(0)
+        // copy: unsafe-row iterators reuse the backing buffer
+        val vals = ir.copy().toSeq(inSchema).drop(3).toArray[Any]
+        idx(a) += 1L
+        Iterator[InternalRow](
+          new GenericInternalRow(Array[Any](ascTags(a), idx(a)) ++ vals),
+          new GenericInternalRow(
+            Array[Any](descTags(a), ns(a) - idx(a) + 1L) ++ vals))
+      }
+    }
     sweepStopped()
-    out
+    org.apache.spark.sql.GraftBridge.ofInternalRows(spark, out, outSchema)
   }
 
   private val pendingRelease =

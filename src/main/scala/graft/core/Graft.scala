@@ -40,6 +40,16 @@ object Graft {
     * rows buys full-width parallelism for the expensive per-row work;
     * ops that immediately shuffle anyway should use `table` instead.
     */
+  /** The split-starvation probe (`df.rdd.getNumPartitions`) runs a
+    * full physical-planning pass per call; the answer is a property of
+    * the table's file layout, fixed for the life of a session — so it
+    * is memoized per (session, dir, table). ~100 headline queries call
+    * this (some more than once); unmemoized, each paid the extra
+    * planning pass just to re-learn the same layout fact.
+    */
+  private val spreadCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Boolean]()
+
   def tableParallel(spark: SparkSession, sfDir: String,
                     name: String): DataFrame = {
     val df = table(spark, sfDir, name)
@@ -48,7 +58,13 @@ object Graft {
     // groups already feeds every core, and an unconditional
     // repartition would re-shuffle the whole corpus for nothing.
     val cores = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= cores) df
-    else df.repartition(cores)
+    val it = spreadCache.keySet().iterator()
+    while (it.hasNext) {
+      if (it.next()._1.sparkContext.isStopped) it.remove()
+    }
+    val starved = spreadCache.computeIfAbsent(
+      (spark, s"$sfDir/$name"),
+      _ => Boolean.box(df.rdd.getNumPartitions < cores))
+    if (starved) df.repartition(cores) else df
   }
 }

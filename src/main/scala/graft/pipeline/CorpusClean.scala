@@ -25,7 +25,7 @@ object CorpusClean {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
     val exactKeep = Dedup.exact(spark, sfDir)
       .filter(col("is_canonical")).select(col("doc_id"))
-    val nearDupLosers = Dedup.ngramJaccard(spark, sfDir)
+    val nearDupLosers = Dedup.verifiedPairs(spark, sfDir)
       .select(col("doc_b").as("doc_id")).distinct()
     stats
       .join(exactKeep, Seq("doc_id"), "left_semi")

@@ -460,15 +460,24 @@ object Dedup {
     * The self-join shuffles on (b, h) - bounded bucket sizes, band index
     * in the key.
     */
-  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val bands = bandsDf(spark, sfDir)
-    bands.as("x").join(bands.as("y"),
-        col("x.b") === col("y.b") && col("x.h") === col("y.h") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
-  }
+  /** The distinct LSH candidate pair relation, session-shared
+    * (`SignatureStore.tier` — the materialization a deployment writes
+    * between candidate generation and every verify/eval consumer).
+    * Unordered: each consumer face applies its own contract order.
+    */
+  private[pipeline] def candPairs(spark: SparkSession,
+                                  sfDir: String): DataFrame =
+    SignatureStore.tier(spark, sfDir, "lsh-cand") {
+      val bands = bandsDf(spark, sfDir)
+      bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.h") === col("y.h") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+    }
+
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    candPairs(spark, sfDir).orderBy(col("doc_a"), col("doc_b"))
 
   val minhashLshSql: String =
     s"""WITH $shingledCteDuck, $bandsCteDuck
@@ -510,7 +519,7 @@ object Dedup {
     * codegen'd levenshtein, volume O(|candidates|).
     */
   def editVerify(spark: SparkSession, sfDir: String): DataFrame =
-    editVerifyFrom(minhashLsh(spark, sfDir),
+    editVerifyFrom(candPairs(spark, sfDir),
       Graft.tableParallel(spark, sfDir, "documents"))
 
   /** The verify over any (doc_a, doc_b) candidate relation — shared
@@ -580,14 +589,15 @@ object Dedup {
     * are ONE q6 division each.
     */
   def lshEval(spark: SparkSession, sfDir: String): DataFrame = {
-    val cand = minhashLsh(spark, sfDir)
+    // both inputs are session-shared checkpointed tiers: the cheap
+    // canonicalizing projections below re-run per agg job over flat
+    // leaves, so the extra per-query localCheckpoint jobs are gone
+    val cand = candPairs(spark, sfDir)
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"))
-      .localCheckpoint()
-    val truth = jaccardPrefix(spark, sfDir)
+    val truth = jaccardTruth(spark, sfDir)
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"))
-      .localCheckpoint()
     cand.agg(count(lit(1)).as("n_cand"))
       .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
       .crossJoin(broadcast(cand.join(truth, Seq("doc_a", "doc_b"))
@@ -657,26 +667,41 @@ object Dedup {
   def lshCurve(spark: SparkSession, sfDir: String): DataFrame = {
     val s2 = Graft.ensureConf(spark)
     import s2.implicits._
-    val truth = jaccardPrefix(spark, sfDir)
+    // truth is the session-shared exact-AllPairs tier (one compute per
+    // session, reused by dd_jaccard_prefix/dd_lsh_eval); the three
+    // banding configs are TAGGED into one relation so one candidate
+    // join prices all of them — the per-config serial loop paid three
+    // band materializations, three join jobs and three hit joins for
+    // what is one (cfg, b, h)-keyed join + two grouped counts
+    val truth = jaccardTruth(spark, sfDir)
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+    val sh = shingled(spark, sfDir)
+    val bands = lshCurveConfigs.zipWithIndex.map { case ((nb, br), i) =>
+      bandsFromWith(sh, nb, br)
+        .select(lit(i).as("cfg"), col("doc_id"), col("b"), col("h"))
+    }.reduce(_ unionAll _).localCheckpoint()
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.cfg") === col("y.cfg") &&
+        col("x.b") === col("y.b") && col("x.h") === col("y.h") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.cfg").as("cfg"),
+        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
       .localCheckpoint()
     val nTrue = truth.count()
+    val nCand = cand.groupBy(col("cfg")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nHit = cand.join(truth, Seq("doc_a", "doc_b"))
+      .groupBy(col("cfg")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
-    val rows = lshCurveConfigs.map { case (nb, br) =>
-      val bands = bandsFromWith(shingled(spark, sfDir), nb, br)
-        .localCheckpoint()
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.b") === col("y.b") && col("x.h") === col("y.h") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-        .localCheckpoint()
-      val nCand = cand.count()
-      val nHit = cand.join(truth, Seq("doc_a", "doc_b")).count()
-      LshCurveRow(nb.toLong, br.toLong, nCand, nTrue, nHit,
-        if (nCand > 0) q6(nHit.toDouble / nCand) else Double.NaN,
-        if (nTrue > 0) q6(nHit.toDouble / nTrue) else Double.NaN)
+    val rows = lshCurveConfigs.zipWithIndex.map { case ((nb, br), i) =>
+      val c = nCand.getOrElse(i, 0L)
+      val h = nHit.getOrElse(i, 0L)
+      LshCurveRow(nb.toLong, br.toLong, c, nTrue, h,
+        if (c > 0) q6(h.toDouble / c) else Double.NaN,
+        if (nTrue > 0) q6(h.toDouble / nTrue) else Double.NaN)
     }
     rows.toDF().orderBy(col("bands"))
   }
@@ -728,9 +753,20 @@ object Dedup {
     * (identical sets in both engines; collision probability
     * ~|doc|²/2^48, negligible) - integer intersect, not string.
     */
+  /** The Jaccard-verified edge relation, session-shared (the verify
+    * output is the pipeline's landed fact: clusters, the apply faces
+    * and the composed cleaner all read it). Rows carry the contract
+    * order from `ngramJaccardFrom`; the checkpoint preserves it.
+    */
+  private[pipeline] def verifiedPairs(spark: SparkSession,
+                                      sfDir: String): DataFrame =
+    SignatureStore.tier(spark, sfDir, "verified") {
+      ngramJaccardFrom(candPairs(spark, sfDir),
+        shingled(spark, sfDir).select(col("doc_id"), col("hs")))
+    }
+
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
-    ngramJaccardFrom(minhashLsh(spark, sfDir),
-      shingled(spark, sfDir).select(col("doc_id"), col("hs")))
+    verifiedPairs(spark, sfDir).orderBy(col("doc_a"), col("doc_b"))
 
   /** The exact-verify join over any (doc_a, doc_b) candidate relation
     * and (doc_id, hs) shingle relation — shared by the batch face and
@@ -865,8 +901,18 @@ object Dedup {
     * generalizes its exact-key dedup (caches.clj assoc-cache
     * last-write-wins identity) to set similarity.
     */
+  /** The exact AllPairs/PPJoin truth relation, session-shared — both
+    * eval faces (`dd_lsh_eval`, `dd_lsh_curve`) score against it and
+    * the routed face's exact branch IS it, so one compute serves all.
+    */
+  private[pipeline] def jaccardTruth(spark: SparkSession,
+                                     sfDir: String): DataFrame =
+    SignatureStore.tier(spark, sfDir, "jaccard-truth") {
+      jaccardPrefixFrom(shingled(spark, sfDir))
+    }
+
   def jaccardPrefix(spark: SparkSession, sfDir: String): DataFrame =
-    jaccardPrefixFrom(shingled(spark, sfDir))
+    jaccardTruth(spark, sfDir).orderBy(col("doc_a"), col("doc_b"))
 
   /** Core of `jaccardPrefix` over any (doc_id, hs) shingle relation -
     * the incremental store face re-derives prefixes under the EVOLVED
@@ -1072,8 +1118,11 @@ object Dedup {
     */
   def jaccardRouted(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingled(spark, sfDir).select(col("doc_id"), col("hs"))
+    // both branches are session-shared tiers now: the route fee is the
+    // volume statistic alone, never a re-verify of a relation some
+    // earlier face already landed
     if (lshRouteFor(sh)) ngramJaccard(spark, sfDir)
-    else jaccardPrefixFrom(sh)
+    else jaccardPrefix(spark, sfDir)
   }
 
   /** The router's decision made OBSERVABLE: one row with the measured
@@ -1277,11 +1326,16 @@ object Dedup {
     * here (bounded by graph diameter, not data size); each iteration's
     * result is materialized so lineage stays flat.
     */
-  def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = ngramJaccard(spark, sfDir)
-      .select(col("doc_a"), col("doc_b"))
-    resolveComponents(spark, edges)._1
-  }
+  def dupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    // session-shared (tierRaw: resolveComponents already checkpoints):
+    // the three cluster consumers (stats histogram, apply anti-join,
+    // keep-best pick) each re-ran the LSH join + verify + concomp
+    // fixpoint before this tier existed
+    SignatureStore.tierRaw(spark, sfDir, "clusters") {
+      val edges = verifiedPairs(spark, sfDir)
+        .select(col("doc_a"), col("doc_b"))
+      resolveComponents(spark, edges)._1
+    }
 
   /** Connected components of a (doc_a, doc_b) edge relation. Each
     * round is min-label propagation over the edges PLUS a path-halving

@@ -50,18 +50,54 @@ object SignatureStore {
       bandExprs(shingles(s, dir)).persist()
     })
 
+  /** Generic session-shared materialized pipeline tier, the same
+    * discipline as `shingles`/`bands` extended UP the dedup pipeline:
+    * the LSH candidate pairs, the Jaccard-verified edges, the exact
+    * AllPairs truth and the resolved clusters are each "what you'd
+    * write to a table between pipeline stages" at 100 TB — yet every
+    * consumer face used to re-run the whole upstream chain (the
+    * cluster consumers re-paid candidates + verify + the concomp
+    * fixpoint per query). Computed once per (session, corpus, id) by
+    * whichever face asks first, localCheckpoint'd (flat LogicalRDD
+    * leaf: downstream plans stay small), reused by the rest.
+    * Determinism: every tier is a deterministic relation of the
+    * corpus, so consumers see bit-identical inputs either way.
+    */
+  private val tierCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def tier(spark: SparkSession, sfDir: String, id: String)
+          (build: => DataFrame): DataFrame =
+    tierCache.computeIfAbsent((spark, sfDir, id),
+      _ => build.localCheckpoint())
+
+  /** Tier variant for builders that already materialize their result
+    * (e.g. the concomp fixpoint checkpoints before returning) — a
+    * second checkpoint would be one pure-overhead materialization job.
+    */
+  def tierRaw(spark: SparkSession, sfDir: String, id: String)
+             (build: => DataFrame): DataFrame =
+    tierCache.computeIfAbsent((spark, sfDir, id), _ => build)
+
   def release(spark: SparkSession, sfDir: String): Unit = {
     import scala.jdk.CollectionConverters._
     Option(shingleCache.remove((spark, sfDir))).foreach(_.unpersist())
     bandCache.keySet.asScala
       .filter(k => (k._1 eq spark) && k._2 == sfDir).toSeq
       .foreach(k => Option(bandCache.remove(k)).foreach(_.unpersist()))
+    tierCache.keySet.asScala
+      .filter(k => (k._1 eq spark) && k._2 == sfDir).toSeq
+      .foreach { k =>
+        Option(tierCache.remove(k)).foreach(
+          org.apache.spark.sql.GraftBridge.unpersistMaterialized)
+      }
   }
 
   def releaseAll(spark: SparkSession): Unit = {
     import scala.jdk.CollectionConverters._
     (shingleCache.keySet.asScala.map(k => (k._1, k._2)) ++
-        bandCache.keySet.asScala.map(k => (k._1, k._2)))
+        bandCache.keySet.asScala.map(k => (k._1, k._2)) ++
+        tierCache.keySet.asScala.map(k => (k._1, k._2)))
       .filter(_._1 eq spark).toSeq.distinct
       .foreach { case (_, dir) => release(spark, dir) }
   }

@@ -704,8 +704,16 @@ object TextAnalysis {
     * non-increasing across rounds (a merge can only create pairs at
     * most as frequent as the ones it consumed), asserted in spec.
     */
-  def bpeLearn(spark: SparkSession, sfDir: String): DataFrame =
-    bpeLearnFrom(Graft.tableParallel(spark, sfDir, "documents"), bpeRounds)
+  def bpeLearn(spark: SparkSession, sfDir: String): DataFrame = {
+    // the learn FACE reads the same memo the encode face consumes:
+    // before this, a pass benching both faces ran the full sequential
+    // induction twice (the face called bpeLearnFrom directly and the
+    // encode's memo missed because nothing had populated it)
+    val s2 = Graft.ensureConf(spark)
+    import s2.implicits._
+    learnedTableFor(spark, sfDir)
+      .toDF("round", "lhs", "rhs", "pair_count").orderBy(col("round"))
+  }
 
   /** Learned merge table memoized per (session, corpus) - the
     * trained-centroid posture (`Similarity.trainedCentroidsFor`): the
@@ -713,10 +721,12 @@ object TextAnalysis {
     * encode face prices the corpus-scale APPLY, not a re-train per
     * query. Deterministic induction ⇒ the memo cannot change any
     * gated result. Stopped-session sweep + release hook match the
-    * centroid memo's.
+    * centroid memo's. The memo holds the FULL learned rows (round,
+    * lhs, rhs, pair_count) so the learn face and the encode apply
+    * share one induction.
     */
   private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Seq[(String, String)]]()
+    (SparkSession, String), Seq[(Long, String, String, Long)]]()
 
   private def normDir(dir: String): String =
     if (dir.contains(":")) dir
@@ -724,22 +734,32 @@ object TextAnalysis {
       try java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
       catch { case _: Throwable => dir }
 
-  private[graft] def learnedMergesFor(
-      spark: SparkSession, sfDir: String): Seq[(String, String)] = {
+  private[graft] def learnedTableFor(
+      spark: SparkSession,
+      sfDir: String): Seq[(Long, String, String, Long)] = {
     val it = bpeCache.keySet().iterator()
     while (it.hasNext) {
       if (it.next()._1.sparkContext.isStopped) it.remove()
     }
     bpeCache.computeIfAbsent((spark, normDir(sfDir)), { case (s, _) =>
-      bpeLearn(s, sfDir).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
+      bpeLearnFrom(Graft.tableParallel(s, sfDir, "documents"), bpeRounds)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq
     })
   }
+
+  private[graft] def learnedMergesFor(
+      spark: SparkSession, sfDir: String): Seq[(String, String)] =
+    learnedTableFor(spark, sfDir).map(t => (t._2, t._3))
 
   def releaseAll(spark: SparkSession): Unit = {
     import scala.jdk.CollectionConverters._
     bpeCache.keySet.asScala.filter(_._1 eq spark).toSeq
       .foreach(bpeCache.remove)
+    listCache.keySet.asScala.filter(_._1 eq spark).toSeq
+      .foreach(k => Option(listCache.remove(k)).foreach(
+        org.apache.spark.sql.GraftBridge.unpersistMaterialized))
   }
 
   private[graft] def bpeLearnFrom(docs: DataFrame, rounds: Int): DataFrame = {
@@ -752,17 +772,29 @@ object TextAnalysis {
         .as("wrapped"))
       .persist()
     var learned = Vector.empty[(Long, String, String, Long)]
+    // the merged stream carries forward INCREMENTALLY: round r applies
+    // only the newest merge to round r-1's materialized output (the
+    // argmax job below materializes it), instead of replaying an
+    // r-length replace chain over the base - O(R) corpus string scans
+    // total, not O(R²), with a bit-identical stream at every round
+    // (chained vs incremental application of the same ordered replaces
+    // is the same function)
+    var cur = base
+    var toRelease: Option[DataFrame] = None
     try {
       var r = 1
       var stopped = false
       while (r <= rounds && !stopped) {
-        // lit()-based replace chain: learned tokens never pass through
-        // SQL text, so quotes/backslashes in corpus tokens are inert
-        val mergedCol = learned.foldLeft(col("wrapped")) {
-          case (acc, (_, a, b, _)) =>
-            replace(acc, lit(d + a + d + d + b + d), lit(d + a + "_" + b + d))
+        // lit()-based replace: learned tokens never pass through SQL
+        // text, so quotes/backslashes in corpus tokens are inert
+        val mergedCol = learned.lastOption match {
+          case Some((_, a, b, _)) =>
+            replace(col("wrapped"),
+              lit(d + a + d + d + b + d), lit(d + a + "_" + b + d))
+          case None => col("wrapped")
         }
-        val top = base.select(mergedCol.as("m"))
+        val next = cur.select(mergedCol.as("wrapped")).persist()
+        val top = next.select(col("wrapped").as("m"))
           .withColumn("mtoks", expr(
             "split(substring(m, 2, length(m) - 2), chr(1) || chr(1))"))
           .filter(size(col("mtoks")) >= 2)
@@ -774,6 +806,9 @@ object TextAnalysis {
           .agg(count(lit(1)).as("pair_count"))
           .orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)
           .limit(1).collect()
+        toRelease.foreach(_.unpersist())
+        toRelease = Some(next)
+        cur = next
         // early stop: an empty or sub-floor argmax ends the induction -
         // no further round can beat the floor (max is non-increasing)
         top.headOption match {
@@ -784,7 +819,10 @@ object TextAnalysis {
         }
         r += 1
       }
-    } finally base.unpersist()
+    } finally {
+      toRelease.foreach(_.unpersist())
+      base.unpersist()
+    }
     import spark.implicits._
     learned.toDF("round", "lhs", "rhs", "pair_count").orderBy("round")
   }
@@ -1303,33 +1341,51 @@ object TextAnalysis {
     * the fusion and eval faces. Rank over the ≤n-row TakeOrdered
     * output: the empty-partition window is an n-row formality.
     */
+  /** The ≤n-row ranked retrieval lists, memoized per (session, corpus,
+    * list, n): txt_bm25/q_hybrid_rrf/q_retrieval_eval each re-ran the
+    * corpus-scale BM25 tokenize+score (and the full-corpus cosine
+    * scan) to rebuild the SAME bounded list — q_retrieval_eval twice,
+    * once directly and once inside its hybrid leg. The memoized
+    * relation is TakeOrdered-bounded (≤ 50 rows), the classic
+    * "materialize the candidate list between retrieval stages" step.
+    */
+  private val listCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
+  private def memoList(spark: SparkSession, sfDir: String, id: String)
+                      (build: => DataFrame): DataFrame =
+    listCache.computeIfAbsent((spark, normDir(sfDir), id),
+      _ => build.localCheckpoint())
+
   private[graft] def textList(spark: SparkSession, sfDir: String,
-                              n: Int): DataFrame = {
-    val w = Window.orderBy(col("score_u").desc, col("doc_id"))
-    bm25Scored(spark, sfDir)
-      .orderBy(col("score_u").desc, col("doc_id")).limit(n)
-      .withColumn("text_rank", row_number().over(w).cast(LongType))
-      .select(col("doc_id"), col("text_rank"))
-  }
+                              n: Int): DataFrame =
+    memoList(spark, sfDir, s"text-$n") {
+      val w = Window.orderBy(col("score_u").desc, col("doc_id"))
+      bm25Scored(spark, sfDir)
+        .orderBy(col("score_u").desc, col("doc_id")).limit(n)
+        .withColumn("text_rank", row_number().over(w).cast(LongType))
+        .select(col("doc_id"), col("text_rank"))
+    }
 
   /** The query-embedding cosine top-n list as (doc_id, vec_rank) —
     * shared by the fusion and eval faces.
     */
   private[graft] def vecList(spark: SparkSession, sfDir: String,
-                             n: Int): DataFrame = {
-    val e = Graft.tableParallel(spark, sfDir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
-    val qv = e.filter(col("vec_id") === 0L)
-      .select(col("embedding").as("q_emb"))
-    val w = Window.orderBy(col("sim").desc, col("doc_id"))
-    e.crossJoin(broadcast(qv))
-      .withColumn("sim", ParityMath.q6(
-        expr(Similarity.cosSpark("embedding", "q_emb"))))
-      .select(col("vec_id").as("doc_id"), col("sim"))
-      .orderBy(col("sim").desc, col("doc_id")).limit(n)
-      .withColumn("vec_rank", row_number().over(w).cast(LongType))
-      .select(col("doc_id"), col("vec_rank"))
-  }
+                             n: Int): DataFrame =
+    memoList(spark, sfDir, s"vec-$n") {
+      val e = Graft.tableParallel(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val qv = e.filter(col("vec_id") === 0L)
+        .select(col("embedding").as("q_emb"))
+      val w = Window.orderBy(col("sim").desc, col("doc_id"))
+      e.crossJoin(broadcast(qv))
+        .withColumn("sim", ParityMath.q6(
+          expr(Similarity.cosSpark("embedding", "q_emb"))))
+        .select(col("vec_id").as("doc_id"), col("sim"))
+        .orderBy(col("sim").desc, col("doc_id")).limit(n)
+        .withColumn("vec_rank", row_number().over(w).cast(LongType))
+        .select(col("doc_id"), col("vec_rank"))
+    }
 
   def hybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
     val s2 = Graft.ensureConf(spark)

@@ -947,14 +947,29 @@ object StreamSum {
       .filter(col("cache").isin(Config.cachesOf(CountK): _*))
     val b = xf.agg(min(col("t")), max(col("t"))).head
     val mid = (b.getLong(0) + b.getLong(1)) / 2
-    val full = graft.core.Caches.countState(xf)
-    val base = graft.core.Caches.countState(xf.filter(col("t") <= mid))
+    // ONE keyed pass lands the full counts, the first-half counts and
+    // the touched-after-split flag per key — full/base/changed used to
+    // be three independent shuffles of the transformed stream; every
+    // derived relation below reads the checkpointed key-sized state
+    val state = xf
+      .select(col("cache"), col("k").as("s"), col("a"),
+        col("v").as("o"), col("t"), (col("t") <= mid).as("in1"))
+      .groupBy(col("cache"), col("s"), col("a"), col("o"))
+      .agg(count(lit(1)).as("cnt_full"), max(col("t")).as("last_t_full"),
+        count(when(col("in1"), lit(1))).as("cnt_base"),
+        max(when(col("in1"), col("t"))).as("last_t_base"),
+        max(when(!col("in1"), lit(1))).as("touched2"))
+      .localCheckpoint()
+    val full = state.select(col("cache"), col("s"), col("a"), col("o"),
+      col("cnt_full").as("cnt"), col("last_t_full").as("last_t"))
+    val base = state.filter(col("cnt_base") > 0)
+      .select(col("cache"), col("s"), col("a"), col("o"),
+        col("cnt_base").as("cnt"), col("last_t_base").as("last_t"))
     // keys with post-split activity: their full-state rows ARE the
     // delta (key replacement - the same rows update mode would emit)
-    val changed = xf.filter(col("t") > mid)
-      .select(col("cache"), col("k").as("s"), col("a"), col("v").as("o"))
-      .distinct()
-    val delta = full.join(changed, countSinkKeys, "left_semi")
+    val delta = full.join(state.filter(col("touched2") === 1)
+        .select(col("cache"), col("s"), col("a"), col("o")),
+      countSinkKeys, "left_semi")
     val root = graft.pipeline.SignatureStore
       .tempDirForExit("graft_point_read")
     // compactFrac huge: the delta STAYS pending, so every point read

@@ -31,4 +31,27 @@ object GraftBridge {
 
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** True iff the DataFrame's plan is already a materialized leaf
+    * (LogicalRDD — what `localCheckpoint`/`ofInternalRows` produce):
+    * the signal that a defensive `localCheckpoint()` before an
+    * iterative loop would be a pure-overhead second materialization.
+    */
+  def isMaterializedLeaf(df: DataFrame): Boolean =
+    df.queryExecution.logical
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+
+  /** Deterministically release a `localCheckpoint`ed relation's blocks:
+    * `Dataset.unpersist` only talks to the CacheManager, so the
+    * checkpoint RDD would otherwise stay in `getPersistentRDDs` until
+    * the ContextCleaner notices the dropped reference — a release
+    * visible only to the GC is not a release a memo teardown can
+    * assert on.
+    */
+  def unpersistMaterialized(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

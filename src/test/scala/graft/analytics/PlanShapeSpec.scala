@@ -472,16 +472,22 @@ class PlanShapeSpec extends SparkSpec {
       s"no unkeyed corpus product anywhere in the eval:\n$plan")
   }
 
-  test("session overlap: the interval self-join rides the tile " +
-       "equi-join - no product join anywhere") {
+  test("session overlap: pair-free interval stabbing - no product " +
+       "join, no pair self-join, one range shuffle") {
     val plan = executed(Tpch.qSessionOverlap(spark, sfDir))
       .split("== Initial Plan ==").head
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
-      s"the overlap predicate must filter inside the tile equi-join, " +
-        s"never drive a product:\n$plan")
-    assert(!plan.contains("FileScan parquet"),
-      s"everything derives from the checkpointed session relation:\n$plan")
+      s"the overlap count must never drive a product join:\n$plan")
+    // the prefix-difference rewrite: cumulative counts ride the
+    // tagged RANGE shuffle (GlobalRank.withPrefixSum); the only
+    // remaining join is the sessions-sized f0/f1 zip - a tile-keyed
+    // pair self-join (hashpartitioning on a bin column) would mean
+    // the rewrite regressed to materializing overlap pairs
+    assert(plan.contains("rangepartitioning"),
+      s"the stabbing cumulatives must ride a range shuffle:\n$plan")
+    assert(!plan.toLowerCase.contains("bin#"),
+      s"no tile bin key may appear - pairs must never materialize:\n$plan")
   }
 
   test("hashfeat: one scan, one (doc, bucket)-keyed exchange") {
