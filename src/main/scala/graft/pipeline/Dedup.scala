@@ -1368,13 +1368,24 @@ object Dedup {
     val maxRounds = 1000
     var changed = 1L
     var rounds = 0
+    // FRONTIER propagation: only nodes whose label changed last round
+    // need to re-send. Labels only ever decrease, so if lbl(u) is
+    // unchanged since the round that last propagated it, every
+    // neighbor v already took min with that exact value and v's label
+    // has only decreased since - an unchanged sender cannot improve
+    // any receiver. Round 1's frontier is everything (nothing has
+    // propagated yet); afterwards it is the post-jump changed set,
+    // which SHRINKS as components converge - at 100 TB the difference
+    // between re-shuffling the whole label relation every round and
+    // touching only the active wavefront.
+    var frontier = labels
     while (changed > 0) {
       rounds += 1
       if (rounds > maxRounds)
         throw new IllegalStateException(
           s"dupClusters: no fixpoint after $maxRounds rounds - " +
             "propagation must strictly shrink labels; this is a bug")
-      val prop = labels.join(sym, col("doc_id") === col("doc_a"))
+      val prop = frontier.join(sym, col("doc_id") === col("doc_a"))
         .groupBy(col("doc_b")).agg(min(col("lbl")).as("nlbl"))
         .select(col("doc_b").as("doc_id"), col("nlbl"))
       // carry the previous label through, so the convergence check is
@@ -1409,8 +1420,13 @@ object Dedup {
       // forward doubles the plan tree per round - at O(log d) rounds
       // the EXPLAIN string alone OOMs long before execution does.
       // InternalRow end to end; reads come from the cached relation.
-      labels = org.apache.spark.sql.GraftBridge.ofInternalRows(spark,
-          jumped.queryExecution.toRdd, jumped.schema)
+      val rebased = org.apache.spark.sql.GraftBridge.ofInternalRows(
+        spark, jumped.queryExecution.toRdd, jumped.schema)
+      labels = rebased.select(col("doc_id"), col("lbl"))
+      // next round's senders: exactly the rows the convergence count
+      // just measured (post-jump label below the pre-round one) -
+      // derived lazily off the same persisted rows, one block re-read
+      frontier = rebased.filter(col("lbl") < col("prev"))
         .select(col("doc_id"), col("lbl"))
     }
     // materialize the (small: clustered docs only) result while the
