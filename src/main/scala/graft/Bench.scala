@@ -448,21 +448,44 @@ object Bench {
     }
     val fullJson =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmtQueries(results)},"queries_min":${fmtQueries(mins)},"sf":"$sfDir"$failedJson$secondSf$thirdSf}"""
+    // best-effort tail survival for the per-query medians: the console
+    // capture is a bounded TAIL, so emit them in small stderr chunks
+    // right before the final stdout lines - whatever the tail window
+    // covers is directly readable without the file
+    val medJson = fmtQueries(results)
+    medJson.grouped(1800).zipWithIndex.foreach { case (c, i) =>
+      System.err.println(
+        s"[bench] medians ${i + 1}/${(medJson.length + 1799) / 1800}: $c")
+    }
     println(fullJson)
     // The harness that invokes this captures only a TAIL of the sbt
     // output; the full line above outgrows it once the suite passes
-    // ~45 queries. Two escape hatches: (1) persist the full JSON to a
-    // file (repo root by default) so it can be read/diffed regardless
+    // ~45 queries. Two escape hatches: (1) persist the full JSON to
+    // files (repo root by default) so it can be read/diffed regardless
     // of console truncation; (2) print a compact summary as the very
     // LAST stdout line, small enough to always survive the tail.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
-    try {
-      val w = new java.io.PrintWriter(new java.io.File(outPath), "UTF-8")
-      try w.println(fullJson) finally w.close()
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    // The default file name is CPU-QUALIFIED (BENCH_c<cpus>.json):
+    // the driver re-runs the bench at a lower core count for the
+    // scaling measurement, and r16 lost all per-query data because the
+    // 8-core run overwrote the 32-core BENCH.json. The plain
+    // BENCH.json name is kept as a copy of the primary (32-core) run.
+    val outPaths = sys.env.get("SPARK_GRAFT_BENCH_OUT") match {
+      case Some(p) => Seq(p)
+      case None =>
+        val cq = s"BENCH_c$cpus.json"
+        if (cpus == "32") Seq(cq, "BENCH.json") else Seq(cq)
     }
+    outPaths.foreach { outPath =>
+      try {
+        val w = new java.io.PrintWriter(new java.io.File(outPath), "UTF-8")
+        try w.println(fullJson) finally w.close()
+      } catch {
+        case e: Throwable =>
+          System.err.println(
+            s"[bench] could not write $outPath: ${e.getMessage}")
+      }
+    }
+    val outPath = outPaths.last
     val failedList = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total2Json = total2.map(t => f""","total_sf2":$t%.3f""").getOrElse("")
     val total3Json = total3.map(t => f""","total_sf3":$t%.3f""").getOrElse("")

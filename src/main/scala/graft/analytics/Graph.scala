@@ -893,11 +893,15 @@ object Graph {
         .unionAll(e.select(col("o2").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("d"))
       val live = deg.filter(col("d") >= kcoreK).select(col("v"))
+      // LAZY checkpoint + count = ONE action per round: the count job
+      // both materializes every checkpoint block (full consumption, so
+      // no fill-in job) and delivers the convergence test - the eager
+      // checkpoint paid a second, separate job per peel round
       val next = e
         .join(broadcast(live.withColumnRenamed("v", "o1")), "o1")
         .join(broadcast(live.withColumnRenamed("v", "o2")), "o2")
         .select(col("o1"), col("o2"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val m = next.count()
       // peeling only removes: an unchanged edge count means no node
       // fell below k -> fixpoint
@@ -1030,10 +1034,12 @@ object Graph {
     var round = 0
     while (!stable && round < trussMaxRounds) {
       val sup = trussSupport(e)
+      // lazy checkpoint + count: one action per peel round (kcore's
+      // fused materialize-and-count discipline)
       val next = e.join(sup, Seq("o1", "o2"), "left")
         .filter(coalesce(col("support"), lit(0L)) >= minSup)
         .select(col("o1"), col("o2"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val m = next.count()
       stable = m == edgeCount || m == 0L
       e = next; edgeCount = m; round += 1
@@ -1775,12 +1781,16 @@ object Graph {
         throw new IllegalStateException(
           s"bfs: frontier alive past depth $bfsMaxDepth - raise " +
             "the cap contract for this graph")
+      // lazy checkpoint + count = one action per depth: count consumes
+      // every partition, so the checkpoint blocks land in the same job
+      // that answers the emptiness test (isEmpty only touched one
+      // partition, leaving a fill-in materialization job behind it)
       val next = frontier.join(sym, col("v") === col("src"))
         .select(col("dst").as("v")).distinct()
         .join(visited.select(col("v")), Seq("v"), "left_anti")
         .select(col("v"), lit(depth).as("hops"))
-        .localCheckpoint()
-      if (next.isEmpty) more = false
+        .localCheckpoint(false)
+      if (next.count() == 0L) more = false
       else {
         // lazy union of flat checkpointed frontiers: re-checkpointing
         // the whole visited set per round copied it O(depth) times
@@ -1962,13 +1972,15 @@ object Graph {
         throw new IllegalStateException(
           s"qHarmonic: frontier alive past depth $bfsMaxDepth - raise " +
             "the cap contract for this graph")
+      // lazy checkpoint + count: one action per depth (the bfsVisited
+      // fused materialize-and-test discipline)
       val next = frontier.join(sym, col("v") === col("src"))
         .select(col("lm"), col("dst").as("v")).distinct()
         .join(visited.select(col("lm"), col("v")), Seq("lm", "v"),
           "left_anti")
         .select(col("lm"), col("v"), lit(depth).as("hops"))
-        .localCheckpoint()
-      if (next.isEmpty) more = false
+        .localCheckpoint(false)
+      if (next.count() == 0L) more = false
       else {
         // lazy union of flat checkpointed frontiers: re-checkpointing
         // the whole visited set per round copied it O(depth) times
@@ -2079,8 +2091,8 @@ object Graph {
         .groupBy(col("lm"), col("v"))
         .agg(sum(col("su")).as("sigma"))
         .join(visited, Seq("lm", "v"), "left_anti")
-        .localCheckpoint()
-      if (sig.isEmpty) alive = false
+        .localCheckpoint(false)
+      if (sig.count() == 0L) alive = false
       else {
         layers = layers :+ sig
         visited = visited.unionAll(sig.select(col("lm"), col("v")))
@@ -2116,7 +2128,10 @@ object Graph {
         .join(wSide, Seq("lm", "w"))
         .groupBy(col("lm"), col("v"))
         .agg(sum(expr("(sv * (1000000L + dw)) DIV sw")).as("delta_mu"))
-        .localCheckpoint()
+        // lazy: the next (shallower) layer's delta job is the first
+        // full consumer and lands the checkpoint blocks as it runs -
+        // the eager variant paid a dedicated job per layer
+        .localCheckpoint(false)
       deltas += dd -> del
     }
     val vis1 = layers.drop(1).map(_.select(col("lm"), col("v")))

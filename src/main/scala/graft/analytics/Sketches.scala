@@ -100,10 +100,15 @@ object Sketches {
     graft.functions.NativeFunctions.register(spark)
     val li = Graft.tableParallel(spark, sfDir, "lineitem")
       .select(col("l_returnflag"), col("l_orderkey"))
-    val regs = hashRho(li)
+    // one (flag, key) distinct pass serves the register build (max is
+    // duplicate-blind) and the exact adjunct (countDistinct over a
+    // distinct relation) - the raw table crosses the network once
+    // (guide §2.2)
+    val dis = li.distinct().localCheckpoint()
+    val regs = hashRho(dis)
       .groupBy(col("l_returnflag"), col("reg"))
       .agg(max(col("rho")).as("mj"))
-    estimate(regs).join(exactDistinct(li), Seq("l_returnflag"))
+    estimate(regs).join(exactDistinct(dis), Seq("l_returnflag"))
       .select(col("l_returnflag"), col("n_exact"), col("hll_est"))
       .orderBy(col("l_returnflag"))
   }
@@ -1004,16 +1009,26 @@ object Sketches {
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
       .select(expr(ParityMath.fdivSql("graft_ts_us(ts)", s"${slideBucketUs}L")).as("b"),
         col("user_id"))
-    val regs = hashRho(ev.select(col("b").as("l_returnflag"),
+    // ONE (bucket, user) distinct pass serves every consumer (guide
+    // §2.2 "aggregate before you shuffle"): the register build is
+    // duplicate-blind (max over identical (reg, rho) rows), the exact
+    // adjunct's countDistinct only sees the SET of users per window,
+    // and the occupied-window list is a projection - so the raw event
+    // stream crosses the network ONCE and everything downstream is
+    // keyed on the (b, user)-distinct relation, which shrinks by
+    // exactly the per-bucket key-repetition factor that grows with
+    // corpus scale
+    val dis = ev.distinct().localCheckpoint()
+    val regs = hashRho(dis.select(col("b").as("l_returnflag"),
         col("user_id").as("l_orderkey")))
       .select(col("l_returnflag").as("b"), col("reg"), col("rho"))
       .groupBy(col("b"), col("reg"))
       .agg(max(col("rho")).as("mj"))
-    val wins = ev.select(col("b").as("wb")).distinct()
+    val wins = dis.select(col("b").as("wb")).distinct()
     val merged = fanToWindows(regs, wins)
       .groupBy(col("wb"), col("reg"))
       .agg(max(col("mj")).as("mj"))
-    val exact = fanToWindows(ev, wins)
+    val exact = fanToWindows(dis, wins)
       .groupBy(col("wb"))
       .agg(countDistinct(col("user_id")).as("n_exact"))
     estimate(merged, "wb").join(exact, Seq("wb"))
@@ -1196,19 +1211,31 @@ object Sketches {
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
       .select(expr(ParityMath.fdivSql("graft_ts_us(ts)", s"${slideBucketUs}L")).as("b"),
         col("user_id"))
-    val counters = ev
-      .select(col("b"), col("user_id"),
+    // ONE per-(bucket, user) count pass serves every consumer (guide
+    // §2.2 "aggregate before you shuffle"): the CMS counters are sums
+    // of per-user counts (the bucket is a pure function of (r, user)),
+    // the exact adjunct's per-window count is the additive sum of
+    // per-bucket counts, and the occupied-window list is a projection
+    // - so the raw event stream crosses the network ONCE and both the
+    // 4-row CMS explode and the 6-way window fan run over the
+    // (b, user)-aggregated relation, which shrinks by exactly the
+    // key-repetition factor that grows with corpus scale
+    val bu = ev.groupBy(col("b"), col("user_id"))
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    val counters = bu
+      .select(col("b"), col("user_id"), col("c"),
         explode(array(cmsRows.map(lit(_)): _*)).as("r"))
-      .select(col("b"), col("r"), expr(bucketSpark("r")).as("bkt"))
+      .select(col("b"), col("r"), expr(bucketSpark("r")).as("bkt"),
+        col("c"))
       .groupBy(col("b"), col("r"), col("bkt"))
-      .agg(count(lit(1)).as("c"))
-    val wins = ev.select(col("b").as("wb")).distinct()
+      .agg(sum(col("c")).as("c"))
+    val wins = bu.select(col("b").as("wb")).distinct()
     val merged = fanToWindows(counters, wins)
       .groupBy(col("wb"), col("r"), col("bkt"))
       .agg(sum(col("c")).as("c"))
-    val items = fanToWindows(ev, wins)
+    val items = fanToWindows(bu, wins)
       .groupBy(col("wb"), col("user_id"))
-      .agg(count(lit(1)).as("exact_cnt"))
+      .agg(sum(col("c")).as("exact_cnt"))
     val probes = items
       .select(col("wb"), col("user_id"), col("exact_cnt"),
         explode(array(cmsRows.map(lit(_)): _*)).as("r"))
@@ -1274,9 +1301,12 @@ object Sketches {
       .filter(col("ts").isNotNull && col("value").isNotNull)
       .select(expr(ParityMath.fdivSql("graft_ts_us(ts)", s"${slideBucketUs}L")).as("b"),
         floor(col("value") / lit(slideQtileW)).as("bin"))
+    // the occupied-window list is a projection of the (bucket, bin)
+    // partials - one raw-event shuffle total (guide §2.2), where
+    // deriving wins from the raw stream re-shuffled it a second time
     val partials = ev.groupBy(col("b"), col("bin"))
-      .agg(count(lit(1)).as("c"))
-    val wins = ev.select(col("b").as("wb")).distinct()
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    val wins = partials.select(col("b").as("wb")).distinct()
     val merged = fanToWindows(partials, wins)
       .groupBy(col("wb"), col("bin"))
       .agg(sum(col("c")).as("c"))
@@ -1543,12 +1573,17 @@ object Sketches {
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
       .select(expr(ParityMath.fdivSql("graft_ts_us(ts)", s"${slideBucketUs}L")).as("b"),
         col("user_id"))
-    val regs = hashRho(ev.select(col("b").as("l_returnflag"),
+    // the register build is duplicate-blind (max over identical
+    // (reg, rho) rows), so one (b, user) distinct pass feeds it AND
+    // the occupied-window list - the raw stream crosses the network
+    // once (guide §2.2, the adjunct twin's shape)
+    val dis = ev.distinct().localCheckpoint()
+    val regs = hashRho(dis.select(col("b").as("l_returnflag"),
         col("user_id").as("l_orderkey")))
       .select(col("l_returnflag").as("b"), col("reg"), col("rho"))
       .groupBy(col("b"), col("reg"))
       .agg(max(col("rho")).as("mj"))
-    val wins = ev.select(col("b").as("wb")).distinct()
+    val wins = dis.select(col("b").as("wb")).distinct()
     val merged = fanToWindows(regs, wins)
       .groupBy(col("wb"), col("reg"))
       .agg(max(col("mj")).as("mj"))
@@ -1647,28 +1682,32 @@ object Sketches {
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
       .select(expr(ParityMath.fdivSql("graft_ts_us(ts)", s"${slideBucketUs}L")).as("b"),
         col("user_id"))
-    val counters = ev
-      .select(col("b"), col("user_id"),
+    // ONE per-(bucket, user) count pass serves counters, candidates
+    // AND the occupied-window list (guide §2.2, the adjunct twin's
+    // shape): the raw event stream crosses the network once
+    val bu = ev.groupBy(col("b"), col("user_id"))
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    val counters = bu
+      .select(col("b"), col("user_id"), col("c"),
         explode(array(cmsRows.map(lit(_)): _*)).as("r"))
-      .select(col("b"), col("r"), expr(bucketSpark("r")).as("bkt"))
+      .select(col("b"), col("r"), expr(bucketSpark("r")).as("bkt"),
+        col("c"))
       .groupBy(col("b"), col("r"), col("bkt"))
-      .agg(count(lit(1)).as("c"))
-    val wins = ev.select(col("b").as("wb")).distinct()
+      .agg(sum(col("c")).as("c"))
+    val wins = bu.select(col("b").as("wb")).distinct()
     val merged = fanToWindows(counters, wins)
       .groupBy(col("wb"), col("r"), col("bkt"))
       .agg(sum(col("c")).as("c"))
     // candidates come from the distinct (bucket, item) relation built
-    // ONCE (one map-side-combinable keyed shuffle over the corpus);
-    // the window fan-out (explode + equi-join, `fanToWindows`) then
-    // fans bucket-distinct rows, bounded by buckets x items, NOT raw
-    // corpus rows - the twin's exact counts need the raw rows per
+    // ONCE; the window fan-out (explode + equi-join, `fanToWindows`)
+    // then fans bucket-distinct rows, bounded by buckets x items, NOT
+    // raw corpus rows - the twin's exact counts need the rows per
     // window, which is precisely the re-scan the production path
     // exists to avoid. The (wb, user) distinct runs BEFORE the 6-row
     // probe fan-out (so the fan and the est agg see each candidate
     // once), and its partitioning is reused by the min(c) agg below -
     // no exchange between them.
-    val bi = ev.distinct()
-    val cand = fanToWindows(bi, wins)
+    val cand = fanToWindows(bu.select(col("b"), col("user_id")), wins)
       .select(col("wb"), col("user_id")).distinct()
     val probes = cand
       .select(col("wb"), col("user_id"),

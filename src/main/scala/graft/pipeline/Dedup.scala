@@ -908,7 +908,12 @@ object Dedup {
   private[pipeline] def jaccardTruth(spark: SparkSession,
                                      sfDir: String): DataFrame =
     SignatureStore.tier(spark, sfDir, "jaccard-truth") {
-      jaccardPrefixFrom(shingled(spark, sfDir))
+      // candidates ride the shared ranked-token tier; verify rejoins
+      // the shared shingle relation
+      jaccardPrefixVerified(
+        jaccardPrefixCandidatesRanked(rankedToks(spark, sfDir),
+          positional = true),
+        shingled(spark, sfDir).select(col("doc_id"), col("hs")))
     }
 
   def jaccardPrefix(spark: SparkSession, sfDir: String): DataFrame =
@@ -944,7 +949,16 @@ object Dedup {
     * exposing ~|x|/9 tokens instead of ~|x|/5: the candidate fan of a
     * rare-but-repeated prefix token drops by nearly half.
     */
-  private[graft] def prefixRelationFor(sh0: DataFrame): DataFrame = {
+  private[graft] def prefixRelationFor(sh0: DataFrame): DataFrame =
+    prefixFromRanked(rankedToksFrom(sh0))
+
+  /** The rare-first RANKED token relation (doc_id, h, sz, rk) every
+    * prefix-filter face derives: one explode + one df agg + one
+    * doc-keyed rank window over the total token stream. Shared
+    * builder for the session tier below and the store faces'
+    * evolved-df re-derivations.
+    */
+  private[graft] def rankedToksFrom(sh0: DataFrame): DataFrame = {
     val sh = sh0.select(col("doc_id"), col("hs"))
     val ex = sh.select(col("doc_id"),
       size(col("hs")).cast(LongType).as("sz"), explode(col("hs")).as("h"))
@@ -952,15 +966,37 @@ object Dedup {
     ex.join(dfreq, "h")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
-      .filter(col("rk") <= col("sz") - expr("(4 * sz + 4) div 5") + lit(1L))
       .select(col("doc_id"), col("h"), col("sz"),
-        col("rk").cast(LongType).as("rk"),
-        (col("sz") - expr("(8 * sz + 8) div 9") + lit(1L)).as("p_probe"))
+        col("rk").cast(LongType).as("rk"))
   }
 
+  /** Session-shared materialized ranked-token tier: FOUR faces per
+    * pass used to re-pay the O(total tokens) explode + df agg + rank
+    * window (the jaccard truth build, dd_containment's probe/index,
+    * dd_jaccard_routed's route fee, dd_route_stats' readout); now the
+    * first one pays it once per (session, corpus).
+    */
+  private[graft] def rankedToks(spark: SparkSession,
+                                sfDir: String): DataFrame =
+    SignatureStore.tier(spark, sfDir, "rank-toks")(
+      rankedToksFrom(shingled(spark, sfDir)))
+
+  /** The asymmetric-prefix projection (AllPairs probe/index cutoffs)
+    * over any ranked-token relation.
+    */
+  private[graft] def prefixFromRanked(ranked: DataFrame): DataFrame =
+    ranked
+      .filter(col("rk") <= col("sz") - expr("(4 * sz + 4) div 5") + lit(1L))
+      .select(col("doc_id"), col("h"), col("sz"), col("rk"),
+        (col("sz") - expr("(8 * sz + 8) div 9") + lit(1L)).as("p_probe"))
+
   private[graft] def jaccardPrefixCandidates(
-      sh0: DataFrame, positional: Boolean): DataFrame = {
-    val prefix = prefixRelationFor(sh0)
+      sh0: DataFrame, positional: Boolean): DataFrame =
+    jaccardPrefixCandidatesRanked(rankedToksFrom(sh0), positional)
+
+  private[graft] def jaccardPrefixCandidatesRanked(
+      ranked: DataFrame, positional: Boolean): DataFrame = {
+    val prefix = prefixFromRanked(ranked)
     // PPJoin positional filter (Xiao et al. WWW'08): a shared token at
     // rare-first ranks (i, j) bounds the overlap by
     //   min(i, j) - 1  (shared tokens BEFORE this one in the global
@@ -1026,9 +1062,13 @@ object Dedup {
   }
 
   private def jaccardPrefixFrom(sh0: DataFrame,
-                                positional: Boolean): DataFrame = {
-    val sh = sh0.select(col("doc_id"), col("hs"))
-    val cand = jaccardPrefixCandidates(sh0, positional)
+                                positional: Boolean): DataFrame =
+    jaccardPrefixVerified(jaccardPrefixCandidates(sh0, positional),
+      sh0.select(col("doc_id"), col("hs")))
+
+  /** The exact verify tail over any candidate set + shingle relation. */
+  private def jaccardPrefixVerified(cand: DataFrame,
+                                    sh: DataFrame): DataFrame = {
     cand
       .join(sh.withColumnRenamed("doc_id", "doc_a")
               .withColumnRenamed("hs", "hs_a"), "doc_a")
@@ -1099,8 +1139,12 @@ object Dedup {
     * predicate (c·(c−1) is even, so the per-term DIV 2 is exact), so
     * the DuckDB replay can never disagree on a boundary corpus.
     */
-  private[graft] def lshRouteFor(sh: DataFrame): Boolean = {
-    val volRow = prefixRelationFor(sh)
+  private[graft] def lshRouteFor(sh: DataFrame): Boolean =
+    lshRouteFor(sh, prefixRelationFor(sh))
+
+  private[graft] def lshRouteFor(sh: DataFrame,
+                                 prefix: DataFrame): Boolean = {
+    val volRow = prefix
       .groupBy(col("h")).agg(count(lit(1)).as("c"))
       .agg(sum(expr("c * (c - 1) DIV 2"))).head
     val vol = if (volRow.isNullAt(0)) 0L else volRow.getLong(0)
@@ -1118,10 +1162,11 @@ object Dedup {
     */
   def jaccardRouted(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingled(spark, sfDir).select(col("doc_id"), col("hs"))
-    // both branches are session-shared tiers now: the route fee is the
-    // volume statistic alone, never a re-verify of a relation some
-    // earlier face already landed
-    if (lshRouteFor(sh)) ngramJaccard(spark, sfDir)
+    // both branches are session-shared tiers now, and the route fee's
+    // volume statistic folds over the shared ranked-token tier - the
+    // route never re-derives a relation some earlier face landed
+    if (lshRouteFor(sh, prefixFromRanked(rankedToks(spark, sfDir))))
+      ngramJaccard(spark, sfDir)
     else jaccardPrefix(spark, sfDir)
   }
 
@@ -1134,7 +1179,7 @@ object Dedup {
     */
   def routeStats(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingled(spark, sfDir).select(col("doc_id"), col("hs"))
-    val vol = prefixRelationFor(sh)
+    val vol = prefixFromRanked(rankedToks(spark, sfDir))
       .groupBy(col("h")).agg(count(lit(1)).as("c"))
       .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L))
         .as("cand_volume"))
@@ -1239,21 +1284,26 @@ object Dedup {
     * only.
     */
   def containment(spark: SparkSession, sfDir: String): DataFrame =
-    containmentFrom(shingled(spark, sfDir))
+    containmentFromRanked(rankedToks(spark, sfDir),
+      shingled(spark, sfDir).select(col("doc_id"), col("hs")))
 
   /** Core of `containment` over any (doc_id, hs) shingle relation. */
   def containmentFrom(sh0: DataFrame): DataFrame = {
     val sh = sh0.select(col("doc_id"), col("hs"))
-    val ex = sh.select(col("doc_id"),
-      size(col("hs")).cast(LongType).as("sz"), explode(col("hs")).as("h"))
-    val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
-    val probe = ex.join(dfreq, "h")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+    containmentFromRanked(rankedToksFrom(sh0), sh)
+  }
+
+  private def containmentFromRanked(ranked: DataFrame,
+                                    sh: DataFrame): DataFrame = {
+    // probe = each doc's containment prefix; index = every token of
+    // every doc — both projections of the one ranked-token relation
+    // (the session tier for the batch face)
+    val probe = ranked
       .filter(col("rk") <=
         col("sz") - expr(s"($containmentNum * sz + ${containmentDen - 1}) div $containmentDen") + lit(1L))
       .select(col("doc_id"), col("h"), col("sz"))
-    val cand = probe.as("x").join(ex.as("y"),
+    val index = ranked.select(col("doc_id"), col("sz"), col("h"))
+    val cand = probe.as("x").join(index.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") =!= col("y.doc_id") &&
         lit(containmentDen.toLong) * col("y.sz") >=
           lit(containmentNum.toLong) * col("x.sz"))
@@ -1401,9 +1451,24 @@ object Dedup {
       // path halving: every label value is itself a doc_id in this
       // relation (labels start as own ids and only ever adopt another
       // node's id), so lbl(lbl(x)) is a lookup join against the same
-      // round's relation; lbl(y) <= y makes least() pure safety
+      // round's relation; lbl(y) <= y makes least() pure safety.
+      // The LOOKUP side is FRONTIER-RESTRICTED to this round's
+      // post-propagation changes: a target whose label did not change
+      // this round was already jumped through the last time it did,
+      // so the full-relation self-join (the last O(V)-per-round
+      // shuffle in this fixpoint) buys nothing the changed subset
+      // doesn't. Soundness is unconditional - the jump is a pure
+      // accelerator (least() with values already in the relation,
+      // monotone decreasing), and the propagation step alone covers
+      // every edge, so any improvement a restricted jump misses is
+      // delivered by propagation in a later round and the exit
+      // condition (a full round with zero changes) is unaffected.
+      // The shrinking lookup side lets AQE plan the join as a
+      // broadcast once the wavefront is small: the full relation is
+      // then scanned narrowly, never shuffled.
       val jumped = next.as("x")
-        .join(next.select(col("doc_id").as("jd"), col("lbl").as("jl"))
+        .join(next.filter(col("lbl") < col("prev"))
+          .select(col("doc_id").as("jd"), col("lbl").as("jl"))
           .as("j"), col("x.lbl") === col("j.jd"), "left")
         .select(col("x.doc_id").as("doc_id"),
           least(col("x.lbl"), coalesce(col("j.jl"), col("x.lbl")))
@@ -1680,8 +1745,36 @@ object Dedup {
     * full-corpus scan of `text`.
     */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame =
-    simhashPairsFrom(SignatureStore.shingles(spark, sfDir)
-      .select(col("doc_id"), expr("graft_simhash48(hst)").as("sim")))
+    simhashPairsTier(spark, sfDir)
+
+  /** The (doc_id, sim) SimHash signature PLAN (un-materialized) — the
+    * stable logical plan that keys the route memo across passes.
+    */
+  private def simhashSimsPlan(spark: SparkSession,
+                              sfDir: String): DataFrame =
+    SignatureStore.shingles(spark, sfDir)
+      .select(col("doc_id"), expr("graft_simhash48(hst)").as("sim"))
+
+  /** Session-shared materialized signature tier: the simhash relation
+    * is computed once per (session, corpus) and read by the pair
+    * join, the route pricing, and the eval face's exact truth —
+    * the SignatureStore tier discipline applied to the one dedup
+    * family that didn't have it (dd_simhash / dd_simhash_route /
+    * dd_simhash_eval each re-ran graft_simhash48 over the corpus).
+    */
+  private[graft] def simhashSims(spark: SparkSession,
+                                 sfDir: String): DataFrame =
+    SignatureStore.tier(spark, sfDir, "simhash-sims")(
+      simhashSimsPlan(spark, sfDir))
+
+  /** Session-shared blocked pair relation: dd_simhash emits it and
+    * dd_simhash_eval's candidate side reads the same materialization.
+    */
+  private[graft] def simhashPairsTier(spark: SparkSession,
+                                      sfDir: String): DataFrame =
+    SignatureStore.tier(spark, sfDir, "simhash-pairs")(
+      simhashPairsFromMat(simhashSimsPlan(spark, sfDir),
+        simhashSims(spark, sfDir)))
 
   /** Physical blocking scheme, `graft.dedup.simhashScheme` (a pure
     * PLAN choice — all schemes emit the identical pair relation,
@@ -1864,10 +1957,23 @@ object Dedup {
         // the checkpoint (r15 ADVICE): on a memo miss the signature
         // relation is computed exactly once and read by both the
         // pricing job and the chosen join — the Scaladoc contract.
-        val docs = simDocs.localCheckpoint()
-        if (simhashFlipRouteFor(simDocs, docs))
-          simhashFlipPairsFromCk(docs)
-        else simhashChunkPairsFrom(docs)
+        simhashPairsFromMat(simDocs, simDocs.localCheckpoint())
+    }
+
+  /** The routed pair join over an ALREADY-MATERIALIZED signature
+    * relation (`priced`, e.g. a session tier) — no internal
+    * checkpoint; the route memo keys on `keyed`, the stable original
+    * plan, so re-materialized tiers still hit the memo across passes.
+    */
+  private[graft] def simhashPairsFromMat(keyed: DataFrame,
+                                         priced: DataFrame): DataFrame =
+    simhashSchemeOf(priced.sparkSession) match {
+      case "chunk7" => simhashChunkPairsFrom(priced)
+      case "flip1" => simhashFlipPairsFromCk(priced)
+      case _ =>
+        if (simhashFlipRouteFor(keyed, priced))
+          simhashFlipPairsFromCk(priced)
+        else simhashChunkPairsFrom(priced)
     }
 
   private[graft] def simhashChunkPairsFrom(simDocs: DataFrame): DataFrame = {
@@ -1937,8 +2043,7 @@ object Dedup {
     * decimals, so the boundary is integer-exact on both engines.
     */
   def simhashRoute(spark: SparkSession, sfDir: String): DataFrame =
-    simhashRouteFaceFor(SignatureStore.shingles(spark, sfDir)
-      .select(col("doc_id"), expr("graft_simhash48(hst)").as("sim")))
+    simhashRouteFaceFor(simhashSims(spark, sfDir))
 
   /** The observable decision row over ANY signature relation — shared
     * with the image corpus's `mm_ahash_route` face (one router, every
@@ -2035,12 +2140,13 @@ object Dedup {
     * primary-SF-only in the bench — the dd_semantic_eval argument).
     */
   def simhashEval(spark: SparkSession, sfDir: String): DataFrame = {
-    val sims = SignatureStore.shingles(spark, sfDir)
-      .select(col("doc_id"), expr("graft_simhash48(hst)").as("sim"))
-      .localCheckpoint()
-    val cand = simhashPairsFrom(sims)
+    // signature and candidate relations come from the session tiers
+    // (one simhash48 pass and one blocked pair join per corpus, shared
+    // with dd_simhash / dd_simhash_route); only the exact truth join
+    // is this face's own work
+    val sims = simhashSims(spark, sfDir)
+    val cand = simhashPairsTier(spark, sfDir)
       .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
     val truth = sims.as("x").join(sims.as("y"),
         col("x.doc_id") < col("y.doc_id"))
       .filter(expr("graft_hamming(x.sim, y.sim)") <= hammingThreshold)

@@ -534,7 +534,27 @@ object Multimodal {
     * a real corpus doesn't have (documented, not hidden).
     */
   def ahashPairs(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.simhashPairsFrom(ahashSims(spark, sfDir))
+    ahashPairsTier(spark, sfDir)
+
+  /** Session-shared materialized aHash signature tier (the simhash
+    * sims tier's image twin): one encode+hash pass per (session,
+    * corpus) read by the pair join, the route pricing, and the
+    * caption-consistency composition.
+    */
+  private[graft] def ahashSimsMat(spark: SparkSession,
+                                  sfDir: String): DataFrame =
+    SignatureStore.tier(spark, sfDir, "ahash-sims")(
+      ahashSims(spark, sfDir))
+
+  /** Session-shared blocked pair relation: mm_ahash_pairs emits it
+    * and mm_caption_consistency's image axis reads the same
+    * materialization instead of re-running the blocked join.
+    */
+  private[graft] def ahashPairsTier(spark: SparkSession,
+                                    sfDir: String): DataFrame =
+    SignatureStore.tier(spark, sfDir, "ahash-pairs")(
+      Dedup.simhashPairsFromMat(ahashSims(spark, sfDir),
+        ahashSimsMat(spark, sfDir)))
 
   /** The (doc_id, sim) aHash signature relation the pair join and the
     * scheme router price — narrow encode+hash per row, no shuffle.
@@ -662,7 +682,7 @@ object Multimodal {
     * same integer predicate, same budget.
     */
   def ahashRoute(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.simhashRouteFaceFor(ahashSims(spark, sfDir))
+    Dedup.simhashRouteFaceFor(ahashSimsMat(spark, sfDir))
 
   lazy val ahashRouteSql: String =
     s"""WITH $ahashSimsCtesSql,
@@ -757,15 +777,13 @@ object Multimodal {
   val captionFpMaxDf = 16L
 
   def captionConsistency(spark: SparkSession, sfDir: String): DataFrame = {
-    // both signature relations feed several consumers below —
-    // checkpoint ONCE (the simhashEval cadence) so the tokenize+hash
-    // and pair-join subtrees never evaluate per consumer
-    val pairs = ahashPairs(spark, sfDir)
+    // both input relations are session tiers (flat materialized
+    // leaves shared with mm_ahash_pairs and txt_fingerprint) — no
+    // per-face re-derivation or defensive checkpoint needed
+    val pairs = ahashPairsTier(spark, sfDir)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .localCheckpoint()
-    val fpAll = TextAnalysis.fingerprint(spark, sfDir)
+    val fpAll = TextAnalysis.fingerprintTier(spark, sfDir)
       .select(col("doc_id"), col("fp"))
-      .localCheckpoint()
     val keep = fpAll.groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= lit(captionFpMaxDf))

@@ -66,10 +66,15 @@ object SignatureStore {
   private val tierCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
+  // Builds run OUTSIDE the map's compute lock: tiers build on top of
+  // other tiers (verifiedPairs -> candPairs -> bands), and a nested
+  // computeIfAbsent on one ConcurrentHashMap throws "Recursive update"
+  // whenever the two keys land in the same bin. get-then-putIfAbsent
+  // tolerates the (single-threaded in practice) duplicate-build race
+  // by releasing the loser.
   def tier(spark: SparkSession, sfDir: String, id: String)
           (build: => DataFrame): DataFrame =
-    tierCache.computeIfAbsent((spark, sfDir, id),
-      _ => build.localCheckpoint())
+    tierGet(spark, sfDir, id)(build.localCheckpoint())
 
   /** Tier variant for builders that already materialize their result
     * (e.g. the concomp fixpoint checkpoints before returning) — a
@@ -77,7 +82,20 @@ object SignatureStore {
     */
   def tierRaw(spark: SparkSession, sfDir: String, id: String)
              (build: => DataFrame): DataFrame =
-    tierCache.computeIfAbsent((spark, sfDir, id), _ => build)
+    tierGet(spark, sfDir, id)(build)
+
+  private def tierGet(spark: SparkSession, sfDir: String, id: String)
+                     (build: => DataFrame): DataFrame = {
+    val k = (spark, sfDir, id)
+    val existing = tierCache.get(k)
+    if (existing != null) return existing
+    val built = build
+    val prev = tierCache.putIfAbsent(k, built)
+    if (prev != null) {
+      org.apache.spark.sql.GraftBridge.unpersistMaterialized(built)
+      prev
+    } else built
+  }
 
   def release(spark: SparkSession, sfDir: String): Unit = {
     import scala.jdk.CollectionConverters._

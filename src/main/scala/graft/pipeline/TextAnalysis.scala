@@ -493,7 +493,8 @@ object TextAnalysis {
     * TakeOrdered. No all-pairs, no global window anywhere.
     */
   def keyphrase(spark: SparkSession, sfDir: String): DataFrame =
-    keyphraseFrom(Graft.tableParallel(spark, sfDir, "documents"))
+    rakeScore(rakePhraseTokensFromToks(lmDocToks(spark, sfDir)
+      .select(col("doc_id"), col("ts"))))
 
   private[graft] def keyphraseFrom(docs: DataFrame): DataFrame =
     rakeScore(rakePhraseTokens(docs))
@@ -504,10 +505,13 @@ object TextAnalysis {
     * face lands these ONCE per doc; everything corpus-global (word
     * stats, phrase scores, the top-k) is downstream of this relation.
     */
-  private[graft] def rakePhraseTokens(docs: DataFrame): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), posexplode(expr(
-        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")))
+  private[graft] def rakePhraseTokens(docs: DataFrame): DataFrame =
+    rakePhraseTokensFromToks(docs.select(col("doc_id"), expr(
+      "regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts")))
+
+  private[graft] def rakePhraseTokensFromToks(docToks: DataFrame): DataFrame = {
+    val toks = docToks
+      .select(col("doc_id"), posexplode(col("ts")))
       .toDF("doc_id", "i", "tok")
     val ns = toks.filter(!col("tok").isin(stopwords: _*))
       .withColumn("rn", row_number().over(
@@ -982,6 +986,20 @@ object TextAnalysis {
     * Fingerprinting", SIGMOD 2003 - the standard near-copy sketch.)
     */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    fingerprintTier(spark, sfDir)
+
+  /** Session-shared materialized fingerprint relation: the
+    * txt_fingerprint face emits it and mm_caption_consistency's
+    * caption axis reads the same materialization instead of re-running
+    * the tokenize + winnowing pass (the SignatureStore tier
+    * discipline).
+    */
+  private[graft] def fingerprintTier(spark: SparkSession,
+                                     sfDir: String): DataFrame =
+    SignatureStore.tier(spark, sfDir, "txt-fingerprint")(
+      fingerprintPlan(spark, sfDir))
+
+  private def fingerprintPlan(spark: SparkSession, sfDir: String): DataFrame =
     Graft.tableParallel(spark, sfDir, "documents")
       .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
       .filter(size(col("toks")) >= 6)
@@ -1035,9 +1053,11 @@ object TextAnalysis {
     * identical final divisions on both engines.
     */
   def unigramNll(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Graft.tableParallel(spark, sfDir, "documents")
-      .select(col("doc_id"), explode(
-        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+    // the token stream reads the session tier (one regexp pass per
+    // corpus shared family-wide; this face alone used to tokenize
+    // twice - freq and the scoring join each re-derived it)
+    val toks = lmDocToks(spark, sfDir)
+      .select(col("doc_id"), explode(col("ts")).as("term"))
     val freq = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
     val totals = freq.agg(sum(col("cnt")).as("n_total"),
       count(lit(1)).as("v_size"))
@@ -1098,9 +1118,8 @@ object TextAnalysis {
     * per-doc state is a bounded k-heap, never a full sort.
     */
   def tfidf(spark: SparkSession, sfDir: String): DataFrame = {
-    val tf = Graft.tableParallel(spark, sfDir, "documents")
-      .select(col("doc_id"), explode(
-        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+    val tf = lmDocToks(spark, sfDir)
+      .select(col("doc_id"), explode(col("ts")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
     tfidfFrom(tf)
   }
@@ -1614,7 +1633,35 @@ object TextAnalysis {
     * parity argument).
     */
   def bigramNll(spark: SparkSession, sfDir: String): DataFrame =
-    bigramNllFrom(Graft.tableParallel(spark, sfDir, "documents"))
+    bigramNllFromToks(lmBigramToks(spark, sfDir))
+
+  /** Session-shared materialized LM token relation (the `[a-z0-9]+`
+    * lowercase tokenization the whole text-statistics family runs):
+    * tokenize the corpus ONCE per (session, corpus) — before this,
+    * txt_bigram_nll alone re-ran the regexp pass three times (ufreq,
+    * bfreq, and the scoring join each re-derived it) and the
+    * backoff/KN/PMI/unigram/tfidf/keyphrase/entropy/zipf/heaps/
+    * vocab-coverage/jsd faces each re-tokenized again. Carries
+    * `source` so the drift face can ride it too. The `size >= 1`
+    * filter is the weakest of the faces' gates and is TRANSPARENT to
+    * every consumer (each either explodes `ts` — a zero-token doc
+    * contributes no rows either way — or layers its own stricter
+    * filter); at 100 TB this relation is exactly the tokenized table
+    * a pipeline writes between stages.
+    */
+  private[graft] def lmDocToks(spark: SparkSession,
+                               sfDir: String): DataFrame =
+    SignatureStore.tier(spark, sfDir, "lm-toks")(
+      Graft.tableParallel(spark, sfDir, "documents")
+        .select(col("doc_id"), col("source"), expr(
+          "regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts"))
+        .filter(size(col("ts")) >= 1))
+
+  /** The bigram faces' gate (>= 2 LM tokens) over the shared tier. */
+  private def lmBigramToks(spark: SparkSession,
+                           sfDir: String): DataFrame =
+    lmDocToks(spark, sfDir).filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("ts"))
 
   /** The gate's tokenization, shared verbatim with the incremental
     * store (`SignatureStore.catchUpLm2`) so the faces cannot drift:
@@ -1632,8 +1679,10 @@ object TextAnalysis {
         |  (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
 
-  private[graft] def bigramNllFrom(documents: DataFrame): DataFrame = {
-    val docs = bigramDocToks(documents)
+  private[graft] def bigramNllFrom(documents: DataFrame): DataFrame =
+    bigramNllFromToks(bigramDocToks(documents))
+
+  private[graft] def bigramNllFromToks(docs: DataFrame): DataFrame = {
     val bigrams = bigramPairs(docs)
     val ufreq = docs.select(explode(col("ts")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cu"))
@@ -1712,7 +1761,7 @@ object TextAnalysis {
     * bigram stream pays one (w1, w2)-keyed join + one doc-keyed sum.
     */
   def knNll(spark: SparkSession, sfDir: String): DataFrame =
-    knNllFrom(Graft.tableParallel(spark, sfDir, "documents"))
+    knNllFromToks(lmBigramToks(spark, sfDir))
 
   /** The pinned probability/NLL chain — ONE text, spliced into the
     * Spark plan, the DuckDB oracle, and the store face.
@@ -1740,8 +1789,10 @@ object TextAnalysis {
       .select(col("w1"), col("w2"), expr(knNllChain).as("nll_kn_b"))
   }
 
-  private[graft] def knNllFrom(documents: DataFrame): DataFrame = {
-    val docs = bigramDocToks(documents)
+  private[graft] def knNllFrom(documents: DataFrame): DataFrame =
+    knNllFromToks(bigramDocToks(documents))
+
+  private[graft] def knNllFromToks(docs: DataFrame): DataFrame = {
     val bigrams = bigramPairs(docs)
     val bfreq = bigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("cb"))
@@ -1819,7 +1870,7 @@ object TextAnalysis {
     * the report is a TakeOrdered over the support-filtered vocab.
     */
   def pmi(spark: SparkSession, sfDir: String): DataFrame =
-    pmiFrom(Graft.tableParallel(spark, sfDir, "documents"))
+    pmiFromToks(lmBigramToks(spark, sfDir))
 
   /** PMI over any per-(w1, w2) bigram count relation — shared by the
     * batch face and the incremental store face (whose stored per-batch
@@ -1843,6 +1894,10 @@ object TextAnalysis {
 
   private[graft] def pmiFrom(documents: DataFrame): DataFrame =
     pmiFromCounts(bigramPairs(bigramDocToks(documents))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb")))
+
+  private[graft] def pmiFromToks(docs: DataFrame): DataFrame =
+    pmiFromCounts(bigramPairs(docs)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb")))
 
   val pmiSql: String =
@@ -1897,9 +1952,8 @@ object TextAnalysis {
     * JSD is one identical q6 double expression per source.
     */
   def jsdDrift(spark: SparkSession, sfDir: String): DataFrame =
-    jsdFromCounts(Graft.tableParallel(spark, sfDir, "documents")
-      .select(col("source"), explode(expr(
-        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+    jsdFromCounts(lmDocToks(spark, sfDir)
+      .select(col("source"), explode(col("ts")).as("term"))
       .groupBy(col("source"), col("term"))
       .agg(count(lit(1)).as("cst")))
 
@@ -2021,7 +2075,8 @@ object TextAnalysis {
     * assumes it fits.
     */
   def backoffNll(spark: SparkSession, sfDir: String): DataFrame =
-    backoffNllFrom(Graft.tableParallel(spark, sfDir, "documents"))
+    backoffNllFromToks(lmDocToks(spark, sfDir)
+      .select(col("doc_id"), col("ts")))
 
   /** The gate's tokenization, shared with the incremental store so
     * the faces cannot drift: docs with ≥ 1 LM token.
@@ -2065,14 +2120,16 @@ object TextAnalysis {
       .select(col("doc_id"), col("p.i").as("i"), col("p.w1").as("w1"),
         col("p.w2").as("w2"), col("p.w3").as("w3"))
 
-  private[graft] def backoffNllFrom(documents: DataFrame): DataFrame = {
-    val toks = backoffDocToks(documents)
-    // the training half tokenizes ONCE (localCheckpoint): the three
-    // n-gram counts derive from the materialized token relation, not
-    // three corpus re-scans; the held-out half streams off its single
-    // scan
+  private[graft] def backoffNllFrom(documents: DataFrame): DataFrame =
+    backoffNllFromToks(backoffDocToks(documents).localCheckpoint())
+
+  /** Over an already-materialized token relation (the session tier or
+    * an ad-hoc checkpoint): train/test are narrow filters over the
+    * cached blocks, so the corpus tokenizes exactly once however many
+    * n-gram relations derive from it.
+    */
+  private def backoffNllFromToks(toks: DataFrame): DataFrame = {
     val train = toks.filter(pmod(col("doc_id"), lit(2)) === 0)
-      .localCheckpoint()
     val test = toks.filter(pmod(col("doc_id"), lit(2)) === 1)
     backoffScore(backoffPos(test), backoffUni(train), backoffBg(train),
       backoffTg(train))
@@ -2089,15 +2146,29 @@ object TextAnalysis {
                                   tg: DataFrame): DataFrame = {
     val tot = uni.agg(sum(col("cu")).as("s_tok"),
       count(lit(1)).as("v_size"))
-    val tgs = tg.join(
-      tg.groupBy(col("w1"), col("w2")).agg(sum(col("c3")).as("c12")),
-      Seq("w1", "w2"))
-    val bgs = bg.join(
-      bg.groupBy(col("w2")).agg(sum(col("c2")).as("c1")), Seq("w2"))
+    // context totals as WINDOW sums (identical values to the old
+    // aggregate-then-self-join: sum over the same group), so each
+    // n-gram relation is derived - and shuffled - once, not twice
+    val tgs = tg.withColumn("c12",
+      sum(col("c3")).over(Window.partitionBy(col("w1"), col("w2"))))
+    val bgs = bg.withColumn("c1",
+      sum(col("c2")).over(Window.partitionBy(col("w2"))))
     val a = backoffAlpha
+    // co-partition the chain on (w2, w3) - a subset of BOTH join key
+    // sets (guide §2.4 "two operations keyed the same way share one
+    // exchange"). Keying the VOCAB sides (cheap, n-gram-sized) lets
+    // the planner align the corpus-token-sized position stream to
+    // (w2, w3) once, so when the joins run as sort-merge (the 100 TB
+    // shape - the vocab outgrows a broadcast) the position stream
+    // crosses the network ONCE instead of once per join ((w1,w2,w3)
+    // then (w2,w3)); when the vocab is small enough to broadcast the
+    // extra exchanges are vocab-sized noise and the stream still
+    // never shuffles.
     pos
-      .join(tgs, Seq("w1", "w2", "w3"), "left")
-      .join(bgs, Seq("w2", "w3"), "left")
+      .join(tgs.repartition(col("w2"), col("w3")),
+        Seq("w1", "w2", "w3"), "left")
+      .join(bgs.repartition(col("w2"), col("w3")),
+        Seq("w2", "w3"), "left")
       .join(broadcast(uni), Seq("w3"), "left")
       .crossJoin(broadcast(tot))
       .select(col("doc_id"),
@@ -2295,9 +2366,13 @@ object TextAnalysis {
     * admission face.
     */
   private[graft] def entropyFrom(docs: DataFrame): DataFrame =
-    docs
+    entropyFromToks(docs
       .select(col("doc_id"), expr(
-        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("toks"))
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts")))
+
+  private[graft] def entropyFromToks(docToks: DataFrame): DataFrame =
+    docToks
+      .select(col("doc_id"), col("ts").as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
       .filter(col("n") > 0L)
       .withColumn("sum_clnc", expr(
@@ -2316,7 +2391,8 @@ object TextAnalysis {
 
   def entropy(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
-    entropyFrom(Graft.tableParallel(spark, sfDir, "documents"))
+    entropyFromToks(lmDocToks(spark, sfDir)
+      .select(col("doc_id"), col("ts")))
       .orderBy(col("doc_id"))
   }
 
@@ -2426,8 +2502,8 @@ object TextAnalysis {
     Graft.ensureConf(spark)
     val docs = Graft.tableParallel(spark, sfDir, "documents")
     val lim = docs.agg(max(col("doc_id")) + 1L).head.getLong(0)
-    val toks = docs.select(col("doc_id"), explode(expr(
-      "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+    val toks = lmDocToks(spark, sfDir)
+      .select(col("doc_id"), explode(col("ts")).as("term"))
     heapsFromRelations(spark,
       toks.groupBy(col("term")).agg(min(col("doc_id")).as("fd")),
       toks.groupBy(col("doc_id")).agg(count(lit(1)).as("nt")), lim)
@@ -2689,9 +2765,8 @@ object TextAnalysis {
     */
   def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
-    coverageFrom(Graft.tableParallel(spark, sfDir, "documents")
-      .select(explode(expr(
-        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+    coverageFrom(lmDocToks(spark, sfDir)
+      .select(explode(col("ts")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt")))
   }
 
@@ -2758,9 +2833,8 @@ object TextAnalysis {
 
   def zipf(spark: SparkSession, sfDir: String): DataFrame = {
     Graft.ensureConf(spark)
-    zipfFrom(Graft.tableParallel(spark, sfDir, "documents")
-      .select(explode(expr(
-        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+    zipfFrom(lmDocToks(spark, sfDir)
+      .select(explode(col("ts")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt")))
   }
 

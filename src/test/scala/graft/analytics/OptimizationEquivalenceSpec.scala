@@ -51,6 +51,69 @@ class OptimizationEquivalenceSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("pre-fan aggregation ≡ raw-row window fan (sliding exact adjuncts)") {
+    import spark.implicits._
+    // heavy per-bucket key repetition + occupancy gaps, so the
+    // pre-aggregation actually collapses rows AND unoccupied candidate
+    // windows must still drop out
+    val ev = Seq((1L, 10L), (1L, 10L), (1L, 11L), (3L, 10L), (3L, 10L),
+      (3L, 10L), (7L, 12L), (8L, 10L), (8L, 10L), (14L, 11L), (14L, 11L))
+      .toDF("b", "user_id")
+    val wins = ev.select(col("b").as("wb")).distinct()
+    // q_cms_sliding items: fan per-(b,user) counts then sum ≡ fan raw
+    // rows then count
+    val raw = Sketches.fanToWindows(ev, wins)
+      .groupBy(col("wb"), col("user_id"))
+      .agg(count(lit(1)).as("exact_cnt"))
+    val agg = Sketches.fanToWindows(
+        ev.groupBy(col("b"), col("user_id")).agg(count(lit(1)).as("c")),
+        wins)
+      .groupBy(col("wb"), col("user_id"))
+      .agg(sum(col("c")).as("exact_cnt"))
+    assert(raw.exceptAll(agg).isEmpty && agg.exceptAll(raw).isEmpty)
+    // q_hll_sliding exact: fan distinct (b,user) then countDistinct ≡
+    // fan raw rows then countDistinct
+    val rawD = Sketches.fanToWindows(ev, wins)
+      .groupBy(col("wb")).agg(countDistinct(col("user_id")).as("n"))
+    val aggD = Sketches.fanToWindows(ev.distinct(), wins)
+      .groupBy(col("wb")).agg(countDistinct(col("user_id")).as("n"))
+    assert(rawD.exceptAll(aggD).isEmpty && aggD.exceptAll(rawD).isEmpty)
+  }
+
+  test("frontier-restricted pointer jump ≡ brute-force components on " +
+       "a mixed topology") {
+    import spark.implicits._
+    // chain (worst case for propagation) + star + triangle-with-tail +
+    // seeded random edges: exercises the stale-target case (a holder
+    // adopts a pointer whose target's label stopped changing rounds
+    // ago - the hazard the restricted lookup must stay sound under)
+    val rnd = new scala.util.Random(42)
+    val edges =
+      (0L until 30L).map(i => (i, i + 1)) ++            // chain 0..30
+      (101L to 110L).map(l => (100L, l)) ++             // star
+      Seq((200L, 201L), (201L, 202L), (202L, 200L), (202L, 203L)) ++
+      (0 until 40).map { _ =>
+        val a = 300L + rnd.nextInt(25); val b = 300L + rnd.nextInt(25)
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2)
+    val df = edges.toDF("doc_a", "doc_b")
+    val (out, rounds) = graft.pipeline.Dedup.resolveComponents(spark, df)
+    // brute-force union-find on the driver
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val exp = parent.keys.map(k => k -> find(k)).toMap
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === exp, "labels must be the component minimum")
+    assert(rounds <= 12, s"restricted jump lost the O(log d) bound: $rounds")
+  }
+
   test("single-shuffle spearman ≡ the two-pass rank formulation") {
     import spark.implicits._
     // ties on both axes; negative values; skew

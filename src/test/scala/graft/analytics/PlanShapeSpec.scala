@@ -400,13 +400,17 @@ class PlanShapeSpec extends SparkSpec {
       s"per-doc entropy shuffled on a key:\n$plan")
   }
 
-  test("zipf: totals and top-R heap share ONE corpus scan") {
+  test("zipf: totals and top-R heap ride the shared token tier - " +
+       "zero corpus re-scans") {
     val plan = executed(graft.pipeline.TextAnalysis.zipf(spark, sfDir))
       .split("== Initial Plan ==").head
+    // r17: the tokenization is the session-shared lm-toks tier (one
+    // regexp pass per corpus family-wide), so the face's own plan
+    // must not scan documents at all
     assert(plan.linesIterator.count(l =>
         l.contains("FileScan parquet") &&
-          l.contains("documents.parquet")) == 1,
-      s"vocab totals and ranks must come off one scan:\n$plan")
+          l.contains("documents.parquet")) == 0,
+      s"vocab totals and ranks must come off the shared token tier:\n$plan")
   }
 
   test("pagerank: iterations run over the checkpointed edges, zero " +
@@ -441,14 +445,16 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("backoff nll: train n-grams derive from one materialized " +
-       "tokenization; held-out side scans the corpus once") {
+       "tokenization; held-out side reads the shared token tier") {
     val plan = executed(
       graft.pipeline.TextAnalysis.backoffNll(spark, sfDir))
       .split("== Initial Plan ==").head
+    // r17: BOTH halves read the session-shared lm-toks tier, so the
+    // face's own plan never scans documents (the tokenize pass is
+    // paid once per corpus, family-wide)
     assert(plan.linesIterator.count(l =>
-        l.contains("FileScan parquet") && l.contains("documents")) == 1,
-      s"only the held-out stream may scan the corpus (train side is " +
-        s"localCheckpoint'd):\n$plan")
+        l.contains("FileScan parquet") && l.contains("documents")) == 0,
+      s"both halves must read the materialized token tier:\n$plan")
     // (the 1-row totals relation rides the house BNLJ-broadcast cross
     // join; the pin is that the three n-gram joins stay keyed and no
     // unkeyed product of corpus-sized relations appears)

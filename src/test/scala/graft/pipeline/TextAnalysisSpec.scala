@@ -406,6 +406,68 @@ class TextAnalysisSpec extends SparkSpec {
       "expected overlap between the lexical and vector lists")
   }
 
+  test("backoff score: window context totals + co-partitioned chain " +
+       "≡ the aggregate-join formulation it replaced") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    // docs chosen so trigram/bigram/unseen branches all fire and some
+    // (w1,w2) / (w2) contexts repeat with different continuations
+    val docs = Seq(
+      (0L, "the cat sat on the mat"), (2L, "the cat sat on the hat"),
+      (4L, "a dog sat on a log"), (6L, "the dog ran"),
+      (1L, "the cat sat on the mat"), (3L, "zz unseen words here"),
+      (5L, "the dog sat on the mat quickly"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.backoffNllFrom(docs)
+      .collect().map(_.toSeq).toSeq
+    // the pre-r17 shape, reimplemented verbatim: context totals via
+    // aggregate + self-join, naive join chain
+    val toks = TextAnalysis.backoffDocToks(docs).localCheckpoint()
+    val train = toks.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val test0 = toks.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val (pos, uni, bg, tg) = (TextAnalysis.backoffPos(test0),
+      TextAnalysis.backoffUni(train), TextAnalysis.backoffBg(train),
+      TextAnalysis.backoffTg(train))
+    val tot = uni.agg(sum(col("cu")).as("s_tok"), count(lit(1)).as("v_size"))
+    val tgs = tg.join(
+      tg.groupBy(col("w1"), col("w2")).agg(sum(col("c3")).as("c12")),
+      Seq("w1", "w2"))
+    val bgs = bg.join(
+      bg.groupBy(col("w2")).agg(sum(col("c2")).as("c1")), Seq("w2"))
+    val a = TextAnalysis.backoffAlpha
+    val exp = pos
+      .join(tgs, Seq("w1", "w2", "w3"), "left")
+      .join(bgs, Seq("w2", "w3"), "left")
+      .join(broadcast(uni), Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        expr(s"""CAST(floor(-ln(CASE
+          |  WHEN i >= 3 AND c3 IS NOT NULL
+          |    THEN CAST(c3 AS DOUBLE) / CAST(c12 AS DOUBLE)
+          |  WHEN i >= 2 AND c2 IS NOT NULL
+          |    THEN (CASE WHEN i >= 3 THEN $a ELSE 1.0 END)
+          |      * (CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))
+          |  ELSE (CASE WHEN i >= 3 THEN $a * $a WHEN i = 2 THEN $a
+          |        ELSE 1.0 END)
+          |    * (CAST(coalesce(cu, 0) + 1 AS DOUBLE)
+          |       / CAST(s_tok + v_size AS DOUBLE))
+          |END) * 1000000.0 + 0.5) AS BIGINT)""".stripMargin).as("nll_u"),
+        expr("""CASE
+          |  WHEN i >= 3 AND c3 IS NULL AND c2 IS NULL THEN 2L
+          |  WHEN i >= 3 AND c3 IS NULL THEN 1L
+          |  WHEN i = 2 AND c2 IS NULL THEN 1L
+          |  ELSE 0L END""".stripMargin).as("bo"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("bo")).as("n_bo"),
+        sum(col("nll_u")).as("sum_u"))
+      .select(col("doc_id"), col("n_tok"), col("n_bo"),
+        ParityMath.q6((col("sum_u").cast("double") / lit(1000000.0))
+          / col("n_tok")).as("nll"))
+      .orderBy(col("doc_id"))
+      .collect().map(_.toSeq).toSeq
+    assert(got === exp)
+  }
+
   test("stupid backoff: verbatim held-out text never backs off; " +
        "reordered text backs off and scores worse") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_sbo").toString
